@@ -1,0 +1,271 @@
+"""Pluggable deterministic encoders standing in for the reference's BERT.
+
+The reference's four heads are BERT + small dense layers with *trained*
+weights. Shipping a checkpoint is impossible here (no torch/transformers in
+the runtime) and unnecessary: every stage AROUND the encoder — tokenization,
+offset maps, thresholds, span pairing, n-ary merge, dedup, eval — is where
+triple-level parity lives. Two encoders share one interface:
+
+* ``PlantedEncoder`` — turns gold labels (via ``core.labeling``) into 0/1
+  "probabilities", so thresholds/pairing decode them back; end-to-end tests
+  then assert P/R == 1.0 against gold and exact equality against the
+  plain-Python oracle.
+* ``HashEncoder`` — a seeded, pure-numpy forward pass with the same tensor
+  shapes as the reference models ([L,112] BIO logits; [L,2]+[L,55,2] mpn;
+  [L,27]+[L,L,55] mhs; biaffine einsum), used for throughput benchmarking
+  with realistic firing sparsity. Fully deterministic given (seed, tokens).
+
+Both are instantiated lazily once per executor process (module-level
+singleton), mirroring the reference's per-process model load.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+
+from ..config import BIO_NUM_LABELS, E_NUM, R_NUM
+from .labeling import bio_token_labels, span_gold_spoes
+
+_HIDDEN = 64
+
+
+def _token_vec(token: str, dim: int = _HIDDEN) -> np.ndarray:
+    """Deterministic embedding: first 8 md5 bytes seed a PCG64 draw."""
+    h = hashlib.md5(token.encode("utf-8")).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+class _EmbeddingCache:
+    def __init__(self, dim: int = _HIDDEN, max_size: int = 200_000):
+        self._cache: dict[str, np.ndarray] = {}
+        self._dim = dim
+        self._max = max_size
+
+    def get(self, token: str) -> np.ndarray:
+        v = self._cache.get(token)
+        if v is None:
+            v = _token_vec(token, self._dim)
+            if len(self._cache) < self._max:
+                self._cache[token] = v
+        return v
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class HashEncoder:
+    """Deterministic numpy forward pass with reference-shaped outputs.
+
+    Firing sparsity is tuned via per-head logit biases so decoded triples per
+    sentence land in a realistic range (a handful, not thousands) — decode
+    cost then matches real workloads instead of degenerate cross products.
+    """
+
+    def __init__(self, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        H = _HIDDEN
+
+        def w(*shape):
+            return (rng.standard_normal(shape) / np.sqrt(shape[0])).astype(
+                np.float32
+            )
+
+        self.emb = _EmbeddingCache(H)
+        # context mixer (cheap 1-layer "attention-ish" smoothing)
+        self.w_mix = w(H, H)
+        # heads
+        self.w_bio = w(H, BIO_NUM_LABELS)
+        self.w_sub = w(H, 2)
+        self.w_beta = w(2 * H, H)
+        self.w_gamma = w(2 * H, H)
+        self.w_po = w(H, R_NUM * 2)
+        self.w_start = w(H, E_NUM + 1)
+        self.w_end = w(H, E_NUM + 1)
+        self.w_head = w(H, 32)
+        self.w_tail = w(H, 32)
+        self.w_rel = w(32, R_NUM)
+        # biaffine scorer
+        self.w_bi1 = (rng.standard_normal((32, R_NUM, 32)) / 32).astype(np.float32)
+        self.w_bi2 = w(2 * 32 + 1, R_NUM)
+        self._calibrate()
+
+    def _calibrate(self) -> None:
+        """Set per-head logit biases from a fixed probe corpus so decoded
+        fire rates land in a realistic range (a few spans/triples per turn)
+        regardless of weight draw. Deterministic: probe tokens are fixed."""
+        probe = [chr(0x4E00 + 7 * i) for i in range(360)]
+        Cs = [
+            self.encode(["[CLS]"] + probe[i * 30 : (i + 1) * 30] + ["[SEP]"])
+            for i in range(12)
+        ]
+        C = np.concatenate(Cs)
+
+        def bias(z: np.ndarray, rate: float, thr_logit: float = 0.0) -> float:
+            return float(thr_logit - 2.0 * np.quantile(z, 1.0 - rate))
+
+        self.b_bio = bias(C @ self.w_bio, 0.008)
+        self.b_sub = bias(C @ self.w_sub, 0.06, 0.405)
+        self.b_po = bias(C @ self.w_po, 0.0066, 0.405)
+        self.b_typed = bias(
+            np.concatenate([C @ self.w_start, C @ self.w_end], axis=1), 0.025
+        )
+        f1 = np.maximum(Cs[0] @ self.w_head, 0.0)
+        f2 = np.maximum(Cs[0] @ self.w_tail, 0.0)
+        inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)
+        self.b_rel = bias(inter @ self.w_rel, 0.015)
+        z1 = np.einsum("xoj,yj->xyo", np.einsum("xi,ioj->xoj", f1, self.w_bi1), f2)
+        L = f1.shape[0]
+        pair = np.concatenate(
+            [
+                np.broadcast_to(f1[:, None, :], (L, L, 32)),
+                np.broadcast_to(f2[None, :, :], (L, L, 32)),
+                np.ones((L, L, 1), dtype=np.float32),
+            ],
+            axis=-1,
+        )
+        self.b_bi = bias(z1 + pair @ self.w_bi2, 0.05)
+
+    # --- shared context encoding -------------------------------------
+    def encode(self, tokens: Sequence[str]) -> np.ndarray:
+        """[L, H] context representation: embeddings + positional wave +
+        tanh-mixed rolling context."""
+        L = len(tokens)
+        E = np.stack([self.emb.get(t) for t in tokens])
+        pos = np.arange(L, dtype=np.float32)[:, None]
+        E = E + 0.1 * np.sin(pos / 10.0)
+        ctx = np.cumsum(E, axis=0) / np.arange(1, L + 1, dtype=np.float32)[:, None]
+        return np.tanh(E + 0.5 * (ctx @ self.w_mix))
+
+    # --- BIO head ------------------------------------------------------
+    def bio_probs(self, tokens: Sequence[str]) -> np.ndarray:
+        C = self.encode(tokens)
+        return _sigmoid(2.0 * (C @ self.w_bio) + self.b_bio)
+
+    # --- mpn head -------------------------------------------------------
+    def subject_probs(self, tokens: Sequence[str]) -> np.ndarray:
+        C = self.encode(tokens)
+        return _sigmoid(2.0 * (C @ self.w_sub) + self.b_sub)
+
+    def po_probs(
+        self, tokens: Sequence[str], subject_spans: list[tuple[int, int]]
+    ) -> np.ndarray:
+        """[S, L, R, 2] conditional object pointers, one slab per subject —
+        the conditional-layer-norm analogue: gamma/beta from the subject's
+        start/end context vectors re-scale the sequence."""
+        C = self.encode(tokens)
+        L = C.shape[0]
+        out = np.empty((len(subject_spans), L, R_NUM, 2), dtype=np.float32)
+        for k, (s0, s1) in enumerate(subject_spans):
+            cond = np.concatenate([C[s0], C[s1]])
+            gamma = np.tanh(cond @ self.w_gamma)
+            beta = np.tanh(cond @ self.w_beta)
+            Cc = C * (1.0 + 0.2 * gamma) + 0.2 * beta
+            logits = 2.0 * (Cc @ self.w_po) + self.b_po
+            out[k] = logits.reshape(L, R_NUM, 2)
+        return _sigmoid(out)
+
+    # --- mhs / biaffine heads -------------------------------------------
+    def typed_span_probs(
+        self, tokens: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        C = self.encode(tokens)
+        return (
+            _sigmoid(2.0 * (C @ self.w_start) + self.b_typed),
+            _sigmoid(2.0 * (C @ self.w_end) + self.b_typed),
+        )
+
+    def pair_cube(self, tokens: Sequence[str]) -> np.ndarray:
+        """[L, L, R] selection scores: concat-projection MLP, vectorized."""
+        C = self.encode(tokens)
+        f1 = np.maximum(C @ self.w_head, 0.0)  # [L, 32]
+        f2 = np.maximum(C @ self.w_tail, 0.0)  # [L, 32]
+        inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)  # [L, L, 32]
+        return _sigmoid(2.0 * (inter @ self.w_rel) + self.b_rel)
+
+    def pair_cube_biaffine(self, tokens: Sequence[str]) -> np.ndarray:
+        """[L, L, R] biaffine scores: x^T W1 y + [x;y;1] W2 (reference
+        models/model_mhs_biaffine.py:10-28, einsum form)."""
+        C = self.encode(tokens)
+        f1 = np.maximum(C @ self.w_head, 0.0)
+        f2 = np.maximum(C @ self.w_tail, 0.0)
+        # two-step contraction: [L,R,32] then [L,L,R] — avoids the O(L^2*R*H^2)
+        # naive path of the single three-operand einsum
+        logits1 = np.einsum(
+            "xoj,yj->xyo", np.einsum("xi,ioj->xoj", f1, self.w_bi1), f2
+        )
+        L = C.shape[0]
+        ones = np.ones((L, L, 1), dtype=np.float32)
+        pair = np.concatenate(
+            [
+                np.broadcast_to(f1[:, None, :], (L, L, 32)),
+                np.broadcast_to(f2[None, :, :], (L, L, 32)),
+                ones,
+            ],
+            axis=-1,
+        )
+        logits2 = pair @ self.w_bi2
+        return _sigmoid(logits1 + logits2 + self.b_bi)
+
+
+class PlantedEncoder:
+    """Gold labels as probabilities — decode must reproduce gold exactly.
+
+    Each method takes the raw text + gold spo_list (shipped alongside the
+    batch in fixture mode) and produces 0/1 prob tensors shaped like the
+    HashEncoder's, via the reference's own label-encoding semantics.
+    """
+
+    # --- BIO -------------------------------------------------------------
+    def bio_probs(self, text: str, spo_list: list[dict]) -> np.ndarray:
+        enc = bio_token_labels(text, spo_list)
+        return np.asarray(enc["labels"], dtype=np.float32)
+
+    # --- mpn -------------------------------------------------------------
+    def mpn_planted(self, text: str, spo_list: list[dict]):
+        """(subject_probs [L,2], spoes dict, tokens, maps) with probs=1.0 at
+        gold span endpoints."""
+        enc = span_gold_spoes(text, spo_list, with_types=False)
+        L = len(enc["tokens"])
+        sub = np.zeros((L, 2), dtype=np.float32)
+        for s0, s1 in enc["spoes"].keys():
+            sub[s0, 0] = 1.0
+            sub[s1, 1] = 1.0
+        return sub, enc
+
+    def mpn_po_probs(
+        self,
+        enc: dict,
+        subject_spans: list[tuple[int, int]],
+    ) -> np.ndarray:
+        L = len(enc["tokens"])
+        out = np.zeros((len(subject_spans), L, R_NUM, 2), dtype=np.float32)
+        for k, s in enumerate(subject_spans):
+            for o0, o1, p in enc["spoes"].get(tuple(s), []):
+                out[k, o0, p, 0] = 1.0
+                out[k, o1, p, 1] = 1.0
+        return out
+
+    # --- mhs / biaffine ----------------------------------------------------
+    def mhs_planted(self, text: str, spo_list: list[dict]):
+        """(start_probs [L,E+1], end_probs [L,E+1], cube [L,L,R], enc)."""
+        enc = span_gold_spoes(text, spo_list, with_types=True)
+        L = len(enc["tokens"])
+        start = np.zeros((L, E_NUM + 1), dtype=np.float32)
+        end = np.zeros((L, E_NUM + 1), dtype=np.float32)
+        cube = np.zeros((L, L, R_NUM), dtype=np.float32)
+        for (s0, s1, st), olist in enc["spoes"].items():
+            if st is None:
+                continue
+            start[s0, st] = 1.0
+            end[s1, st] = 1.0
+            for o0, o1, ot, p in olist:
+                if ot is not None:
+                    start[o0, ot] = 1.0
+                    end[o1, ot] = 1.0
+                cube[s1, o1, p] = 1.0
+        return start, end, cube, enc

@@ -1,0 +1,155 @@
+"""Per-sentence extraction for the four heads: text -> (entities, spo_list).
+
+Pure functions (numpy + the core decode modules) with no Spark dependency.
+They are the single source of truth for head semantics: the Spark
+``mapInPandas`` stage in ``operators/extract.py`` maps them over Arrow
+batches, and the pytest oracle maps them over plain pandas rows — so any
+distribution-layer bug (partitioning, Arrow conversion, ordering, explode)
+shows up as a diff against an otherwise-identical computation.
+
+Head lifecycles mirror the reference run scripts:
+* bio      — run_baseline.py eval path: encode -> sigmoid -> threshold ->
+             find_entity -> cross product -> n-ary affiliation.
+* mpn      — run_mpn.py eval path: subject pointers -> per-subject fan-out ->
+             conditional object pointers -> convert_spo_contour ->
+             convert2ressult.
+* mhs      — run_mhs.py eval path: typed spans -> [L,L,R] selection cube ->
+             convert_spo_contour2 -> convert2ressult.
+* biaffine — run_mhs_biaffine.py: same decode as mhs, biaffine-scored cube.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+
+from .decode_bio import decode_bio_sentence
+from .decode_span import (
+    decode_pair_cube,
+    decode_po_for_subject,
+    decode_span_sentence,
+    decode_subject_spans,
+    decode_typed_spans,
+)
+from .encoders import HashEncoder, PlantedEncoder
+from .tokenization import normalize_text, tokenize_for_bio, tokenize_framed
+
+HEADS = ("bio", "mpn", "mhs", "biaffine")
+DEFAULT_MAX_LEN = 200
+
+_hash_encoder_cache: dict[int, HashEncoder] = {}
+_planted_encoder = PlantedEncoder()
+
+
+def get_hash_encoder(seed: int = 42) -> HashEncoder:
+    """Per-process lazy singleton, like the reference's per-worker model."""
+    enc = _hash_encoder_cache.get(seed)
+    if enc is None:
+        enc = HashEncoder(seed)
+        _hash_encoder_cache[seed] = enc
+    return enc
+
+
+def _truncate(tokens: list[str], max_len: int) -> list[str]:
+    """Bound [CLS]-framed length at max_len, keeping the [SEP] frame."""
+    if len(tokens) <= max_len:
+        return tokens
+    return tokens[: max_len - 1] + ["[SEP]"]
+
+
+def extract_bio_row(
+    text: str,
+    planted_gold: list[dict] | None = None,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+) -> dict[str, Any]:
+    text = normalize_text(text)
+    if planted_gold is not None:
+        probs = _planted_encoder.bio_probs(text, planted_gold)
+        _, offsets = tokenize_for_bio(text)
+    else:
+        tokens, offsets = tokenize_for_bio(text)
+        tokens = _truncate(tokens, max_len)
+        offsets = offsets[: len(tokens)]
+        probs = get_hash_encoder(seed).bio_probs(tokens)
+    return decode_bio_sentence(text, probs, offsets)
+
+
+def extract_mpn_row(
+    text: str,
+    planted_gold: list[dict] | None = None,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+) -> dict[str, Any]:
+    text = normalize_text(text)
+    if planted_gold is not None:
+        sub_probs, enc = _planted_encoder.mpn_planted(text, planted_gold)
+        tokens = enc["tokens"]
+        tok_start, tok_end = enc["tok_to_orig_start"], enc["tok_to_orig_end"]
+        subjects = decode_subject_spans(sub_probs, len(tokens))
+        po = _planted_encoder.mpn_po_probs(enc, subjects)
+    else:
+        tokens, tok_start, tok_end = tokenize_framed(text)
+        tokens = _truncate(tokens, max_len)
+        encoder = get_hash_encoder(seed)
+        sub_probs = encoder.subject_probs(tokens)
+        subjects = decode_subject_spans(sub_probs, len(tokens))
+        po = (
+            encoder.po_probs(tokens, subjects)
+            if subjects
+            else np.zeros((0, len(tokens), 1, 2), dtype=np.float32)
+        )
+    spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for k, s in enumerate(subjects):
+        spoes.setdefault(s, []).extend(decode_po_for_subject(po[k], len(tokens)))
+    return decode_span_sentence(text, spoes, tok_start, tok_end, subjects)
+
+
+def extract_mhs_row(
+    text: str,
+    planted_gold: list[dict] | None = None,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+    biaffine: bool = False,
+) -> dict[str, Any]:
+    text = normalize_text(text)
+    if planted_gold is not None:
+        start, end, cube, enc = _planted_encoder.mhs_planted(text, planted_gold)
+        tokens = enc["tokens"]
+        tok_start, tok_end = enc["tok_to_orig_start"], enc["tok_to_orig_end"]
+    else:
+        tokens, tok_start, tok_end = tokenize_framed(text)
+        tokens = _truncate(tokens, max_len)
+        encoder = get_hash_encoder(seed)
+        start, end = encoder.typed_span_probs(tokens)
+        cube = (
+            encoder.pair_cube_biaffine(tokens)
+            if biaffine
+            else encoder.pair_cube(tokens)
+        )
+    spans, end_list, _ = decode_typed_spans(start, end)
+    spoes = decode_pair_cube(cube, end_list, spans)
+    return decode_span_sentence(text, spoes, tok_start, tok_end, spans)
+
+
+def extract_row(
+    head: str,
+    text: str,
+    gold_json: str | None = None,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+) -> dict[str, Any]:
+    """Dispatch one turn through a head. ``gold_json`` (JSON-encoded
+    spo_list) switches on planted mode."""
+    planted = json.loads(gold_json) if gold_json else None
+    if head == "bio":
+        return extract_bio_row(text, planted, seed, max_len)
+    if head == "mpn":
+        return extract_mpn_row(text, planted, seed, max_len)
+    if head == "mhs":
+        return extract_mhs_row(text, planted, seed, max_len)
+    if head == "biaffine":
+        return extract_mhs_row(text, planted, seed, max_len, biaffine=True)
+    raise ValueError(f"unknown head: {head!r}")

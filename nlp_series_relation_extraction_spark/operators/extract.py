@@ -1,0 +1,144 @@
+"""Spark extraction stage: transcripts -> per-turn (entities, triples).
+
+One ``mapInPandas`` stage per head, mirroring the reference eval lifecycle
+(``run_baseline.py``/``run_mpn.py``/``run_mhs.py`` evaluate paths) as a
+distributed dataflow:
+
+    transcripts
+      -> [JVM] regexp_replace normalization (®◆ strip, Catalyst-planned)
+      -> repartition(conv_id)            # dense Arrow batches, co-located convs
+      -> mapInPandas(tokenize -> encode -> threshold decode -> span assemble)
+      -> per-turn row: entities array<string> + triples array<struct>
+      -> explode -> triple table
+
+Scale notes (100TB design):
+* Python runs ONLY inside the Arrow-batched UDF; everything else is Catalyst
+  (column pruning means only conv_id/turn_idx/text/gold_json reach Python).
+* Arrow batch size is bounded (session.py) so the [L,L,R] heads can't blow
+  executor memory; the UDF additionally micro-chunks the mpn subject fan-out
+  like the reference's split_heads=1024 chunking (model_mpn.py:207-211).
+* The stage is stateless per row -> embarrassingly parallel; repartition(N)
+  on conv_id gives deterministic shuffle-level parallelism and keeps
+  conversations co-located for downstream per-conv ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.heads import DEFAULT_MAX_LEN, extract_row
+
+# array<struct> of SPO dicts + entity mentions, one row per turn
+TURN_RESULT_SCHEMA = (
+    "conv_id string, turn_idx int, entities array<string>, "
+    "triples array<struct<predicate:string, subject:string, subject_type:string, "
+    "object:map<string,string>, object_type:map<string,string>>>"
+)
+
+TRIPLE_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "predicate",
+    "subject",
+    "subject_type",
+    "object",
+    "object_type",
+]
+
+
+def _make_udf(head: str, planted: bool, seed: int, max_len: int):
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "conv_id": pdf["conv_id"].tolist(),
+                "turn_idx": pdf["turn_idx"].tolist(),
+                "entities": [],
+                "triples": [],
+            }
+            golds = pdf["gold_json"] if planted else None
+            for i, text in enumerate(pdf["text"]):
+                res = extract_row(
+                    head,
+                    text,
+                    gold_json=(golds.iloc[i] if planted else None),
+                    seed=seed,
+                    max_len=max_len,
+                )
+                out["entities"].append(res["entity_list"])
+                out["triples"].append(
+                    [
+                        (
+                            s["predicate"],
+                            s["subject"],
+                            s["subject_type"],
+                            s["object"],
+                            s["object_type"],
+                        )
+                        for s in res["spo_list"]
+                    ]
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def extract_turn_results(
+    transcripts: DataFrame,
+    head: str = "bio",
+    planted: bool = False,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-turn extraction results (entities + triples arrays).
+
+    ``planted=True`` reads the ``gold_json`` column (fixture mode) so decode
+    reproduces gold exactly; otherwise the deterministic HashEncoder runs.
+    """
+    cols = ["conv_id", "turn_idx", "text"] + (["gold_json"] if planted else [])
+    df = transcripts.select(*cols).withColumn(
+        # ®◆ normalization stays JVM-side (dataset_mpn.py:36-37 semantics);
+        # extract_row re-applies it idempotently for oracle parity.
+        "text",
+        F.regexp_replace("text", "[®◆]", ""),
+    )
+    if num_partitions:
+        df = df.repartition(num_partitions, "conv_id")
+    else:
+        df = df.repartition("conv_id")
+    return df.mapInPandas(
+        _make_udf(head, planted, seed, max_len), schema=TURN_RESULT_SCHEMA
+    )
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    head: str = "bio",
+    planted: bool = False,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Flat triple table: one row per extracted SPO."""
+    turns = extract_turn_results(
+        transcripts, head, planted, seed, max_len, num_partitions
+    )
+    return turns.select(
+        "conv_id", "turn_idx", F.explode("triples").alias("spo")
+    ).select("conv_id", "turn_idx", "spo.*")
+
+
+def extract_entities(
+    transcripts: DataFrame,
+    head: str = "bio",
+    planted: bool = False,
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+) -> DataFrame:
+    """Flat entity-mention table (one row per decoded mention occurrence)."""
+    turns = extract_turn_results(transcripts, head, planted, seed, max_len)
+    return turns.select(
+        "conv_id", "turn_idx", F.explode("entities").alias("mention")
+    )

@@ -1,0 +1,90 @@
+"""Graph materialization: triples + canonical entities -> node/edge tables.
+
+Produces the north-rule output tables:
+
+* ``nodes(entity_id, canonical_name, n_mentions, n_occurrences)``
+* ``edges(subj_entity_id, predicate, obj_entity_id, n_evidence,
+  first_conv_id, first_turn_idx)`` — one row per distinct canonical edge,
+  with provenance back to the earliest supporting turn.
+* ``triples_canonical`` — per-occurrence triple rows with canonical ids.
+
+Scale design: edges are written partitioned by ``predicate`` (55 predicates
+-> natural partition pruning for per-relation queries); entity-id joins are
+skew-safe because mention->entity mapping happens on the deduped alias
+dimension (hot mentions are single dimension rows; see operators/linking.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_triples(
+    triples: DataFrame, aliases: DataFrame
+) -> DataFrame:
+    """Attach canonical entity ids to subject and object-@value mentions.
+
+    ``triples``: (conv_id, turn_idx, predicate, subject, object map, ...).
+    ``aliases``: (mention_norm, entity_id) from linking. Mentions missing
+    from the alias table (filtered/degenerate) keep a null id.
+    """
+    from .linking import norm_expr
+
+    tr = triples.withColumn("subj_norm", norm_expr(F.col("subject"))).withColumn(
+        "obj_norm", norm_expr(F.element_at(F.col("object"), "@value"))
+    )
+    subj_alias = aliases.select(
+        F.col("mention_norm").alias("subj_norm"),
+        F.col("entity_id").alias("subj_entity_id"),
+    )
+    obj_alias = aliases.select(
+        F.col("mention_norm").alias("obj_norm"),
+        F.col("entity_id").alias("obj_entity_id"),
+    )
+    # alias dimension is mention-deduped (small relative to facts): broadcast
+    return tr.join(F.broadcast(subj_alias), "subj_norm", "left").join(
+        F.broadcast(obj_alias), "obj_norm", "left"
+    )
+
+
+def edge_table(canonical: DataFrame) -> DataFrame:
+    """Aggregate canonical triples to distinct edges with evidence counts."""
+    return (
+        canonical.where(
+            F.col("subj_entity_id").isNotNull()
+            & F.col("obj_entity_id").isNotNull()
+        )
+        .groupBy("subj_entity_id", "predicate", "obj_entity_id")
+        .agg(
+            F.count("*").alias("n_evidence"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("_first"),
+        )
+        .select(
+            "subj_entity_id",
+            "predicate",
+            "obj_entity_id",
+            "n_evidence",
+            F.col("_first.conv_id").alias("first_conv_id"),
+            F.col("_first.turn_idx").alias("first_turn_idx"),
+        )
+    )
+
+
+def write_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    base_path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize node/edge tables. Edges partitioned by predicate for
+    partition pruning; nodes written flat (entity_id is high-cardinality).
+    With an Iceberg catalog configured, pass fmt='iceberg' and base_path as
+    a table prefix instead."""
+    if fmt == "iceberg":
+        nodes.writeTo(f"{base_path}_nodes").createOrReplace()
+        edges.writeTo(f"{base_path}_edges").partitionedBy("predicate").createOrReplace()
+    else:
+        nodes.write.mode("overwrite").parquet(f"{base_path}/nodes")
+        edges.write.mode("overwrite").partitionBy("predicate").parquet(
+            f"{base_path}/edges"
+        )

@@ -1,0 +1,265 @@
+"""Entity linking & canonicalization (north-rule stages beyond the reference).
+
+The reference never canonicalizes — mentions are compared as raw strings
+(``run_evaluation.py:222-255``) — so linking is additive: parity evaluation
+runs on pre-linking triples; canonical tables are downstream.
+
+Pipeline (all DataFrame ops, shuffle-conscious):
+
+1. **mention normalization** — lower, \\xa0/whitespace strip (JVM-side).
+2. **mention-level dedup FIRST** — the occurrences table is heavily skewed
+   (hot entities appear in ~10% of turns); aggregating to distinct mentions
+   with counts removes that skew from every later pairwise stage.
+3. **blocking** — each distinct mention emits its character-2-gram block
+   keys (explode); oversized blocks (stopword-like grams) are capped: a
+   block bigger than ``max_block`` is dropped, the standard LSH-blocking
+   guard that keeps candidate generation near-linear at 100TB.
+4. **similarity join** — candidate pairs co-blocked at least once, deduped,
+   scored with character-2-gram Jaccard computed JVM-side on array columns;
+   pairs >= ``threshold`` become edges.
+5. **connected components** — iterative min-label propagation over edges
+   (alternating join + aggregate, lineage broken via localCheckpoint each
+   round; O(log n) rounds for chain-shaped clusters, few rounds in practice).
+6. **canonical entities** — per component: canonical name = highest
+   occurrence count (ties: lexicographic min), stable canonical id =
+   min mention hash. Alias table maps every mention to its canonical id.
+
+Hot-key handling for the occurrence->canonical mapping join is explicit:
+``salted_join`` spreads a skewed key across ``salt`` sub-keys (AQE skew-join
+also covers this; salting is kept explicit per the north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def norm_expr(col):
+    """Shared mention-normalization expression: lowercase, strip \\xa0,
+    trim outer whitespace. Used by linking AND by the canonical-triple join
+    (operators/graph.py) \u2014 they must stay identical or alias joins miss."""
+    return F.trim(F.regexp_replace(F.lower(col), "\u00a0", ""))
+
+
+def normalize_mentions(mentions: DataFrame, col: str = "mention") -> DataFrame:
+    """Lowercase + strip \\xa0 and outer whitespace; drop empties."""
+    return (
+        mentions.withColumn("mention_norm", norm_expr(F.col(col)))
+        .where(F.length("mention_norm") > 0)
+    )
+
+
+def distinct_mentions(mentions: DataFrame) -> DataFrame:
+    """Aggregate occurrences -> (mention_norm, n_occurrences, mention_id).
+
+    This is the skew firewall: hot entities collapse to one row each before
+    any pairwise work. mention_id = xxhash64 (stable, no driver state).
+    """
+    return (
+        mentions.groupBy("mention_norm")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("mention_id", F.xxhash64("mention_norm"))
+    )
+
+
+def _grams(col: str, n: int = 2):
+    """Character n-gram array (distinct), JVM-side via transform/substring."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
+            f"i -> substring({col}, i, {n}))"
+        )
+    )
+
+
+def candidate_pairs(
+    dmentions: DataFrame,
+    max_block: int = 200,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Similarity-joined mention pairs (a_id < b_id, jaccard >= threshold).
+
+    Blocking on char-2-grams; a mention pair is a candidate if it co-occurs
+    in any non-degenerate block. Jaccard over distinct 2-gram sets.
+    """
+    with_grams = dmentions.select(
+        "mention_id",
+        "mention_norm",
+        _grams("mention_norm").alias("grams"),
+    )
+    blocks = with_grams.select(
+        "mention_id", F.explode("grams").alias("block_key")
+    )
+    # cap pathological blocks (very common grams) — candidate generation
+    # must stay near-linear; recall is preserved by the other grams
+    block_sizes = blocks.groupBy("block_key").agg(F.count("*").alias("bsz"))
+    blocks = blocks.join(
+        F.broadcast(block_sizes.where(F.col("bsz") > max_block)),
+        "block_key",
+        "left_anti",
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            F.col("a.mention_id").alias("a_id"),
+            F.col("b.mention_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ga = with_grams.select(
+        F.col("mention_id").alias("a_id"),
+        F.col("grams").alias("a_grams"),
+        F.col("mention_norm").alias("a_mention"),
+    )
+    gb = with_grams.select(
+        F.col("mention_id").alias("b_id"),
+        F.col("grams").alias("b_grams"),
+        F.col("mention_norm").alias("b_mention"),
+    )
+    scored = (
+        pairs.join(ga, "a_id")
+        .join(gb, "b_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect("a_grams", "b_grams"))
+        )
+        .withColumn(
+            "union_", F.size("a_grams") + F.size("b_grams") - F.col("inter")
+        )
+        .withColumn(
+            "jaccard",
+            F.when(F.col("union_") > 0, F.col("inter") / F.col("union_"))
+            .otherwise(F.lit(0.0)),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return scored.select("a_id", "b_id", "a_mention", "b_mention", "jaccard")
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Min-label propagation: (mention_id, component_id).
+
+    ``vertices``: any df with mention_id; ``edges``: (a_id, b_id).
+    Each round joins current labels over undirected edges and takes the min
+    neighbor label; stops at fixpoint (count of changed labels == 0) or
+    max_iter. Lineage is broken every round (localCheckpoint) so plans stay
+    flat — at cluster scale this would be a persisted table per round.
+    """
+    labels = vertices.select(
+        "mention_id", F.col("mention_id").alias("component_id")
+    ).localCheckpoint(eager=True)
+    und = edges.select("a_id", "b_id").union(
+        edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.b_id == labels.mention_id)
+            .groupBy("a_id")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.mention_id == neighbor_min.a_id, "left"
+            )
+            .select(
+                "mention_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "mention_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(
+    dmentions: DataFrame, components: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(entities, aliases).
+
+    entities: (entity_id, canonical_name, n_mentions, n_occurrences)
+    aliases:  (mention_norm, mention_id, entity_id)
+    Canonical name: max occurrences, ties broken lexicographically (min).
+    """
+    labeled = dmentions.join(components, "mention_id")
+    entities = (
+        labeled.groupBy(F.col("component_id").alias("entity_id"))
+        .agg(
+            F.expr(
+                "min_by(mention_norm, struct(-n_occurrences, mention_norm))"
+            ).alias("canonical_name"),
+            F.count("*").alias("n_mentions"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+    )
+    aliases = labeled.select(
+        "mention_norm", "mention_id", F.col("component_id").alias("entity_id")
+    )
+    return entities, aliases
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: spread hot fact keys over ``salt`` sub-keys and
+    replicate the dimension side once per sub-key (explicit salting per the
+    north rule; complements AQE skew-join)."""
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(salt))
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    out = salted_facts.join(salted_dim, [key, "_salt"]).drop("_salt")
+    return out
+
+
+def link_mentions(
+    mention_occurrences: DataFrame,
+    threshold: float = 0.5,
+    max_block: int = 200,
+    max_iter: int = 10,
+) -> dict[str, DataFrame]:
+    """Full linking pipeline. Input: (conv_id, turn_idx, mention).
+
+    Returns dict with distinct_mentions, edges, components, entities,
+    aliases, and linked occurrences (occurrence -> entity_id via salted
+    dimension join).
+    """
+    norm = normalize_mentions(mention_occurrences)
+    dm = distinct_mentions(norm)
+    edges = candidate_pairs(dm, max_block=max_block, threshold=threshold)
+    comps = connected_components(dm, edges, max_iter=max_iter)
+    entities, aliases = canonical_entities(dm, comps)
+    linked = salted_join(
+        norm.select("conv_id", "turn_idx", "mention_norm"),
+        aliases.select("mention_norm", "entity_id"),
+        key="mention_norm",
+    )
+    return {
+        "distinct_mentions": dm,
+        "edges": edges,
+        "components": comps,
+        "entities": entities,
+        "aliases": aliases,
+        "linked_occurrences": linked,
+    }

@@ -1,0 +1,440 @@
+"""Named queries for the driver harness (__spark_entry__.py).
+
+Every entry here is a (spark, sf_dir) -> DataFrame callable plus — when the
+operator is SQL-expressible — a DuckDB oracle producing identical rows
+(same column names, order-insensitive). Floating-point results are computed
+on integer cents / via identical per-row IEEE expressions so the value hashes
+match bit-for-bit across engines.
+
+KG-head extraction queries have no SQL oracle (tokenize/encode/decode run in
+the Arrow UDF); the driver records the weaker rows-only check, and pytest
+covers exactness against the plain-Python oracle + gold roundtrip instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import extract_triples
+from ..evaluation.metrics import triple_prf
+from ..sources.synthetic import synth_transcripts
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _kg_turns(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic synthetic-transcript row count tied to the sf dir."""
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    return int(n_docs) * 2
+
+
+# --- KG extraction (rows-only checks; exactness covered in pytest) ---------
+
+def _kg_extract(head: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        n = _kg_turns(spark, sf_dir)
+        transcripts = synth_transcripts(spark, n, seed=42)
+        trip = extract_triples(transcripts, head=head, planted=True)
+        return trip.select(
+            "conv_id",
+            "turn_idx",
+            "predicate",
+            "subject",
+            "subject_type",
+            F.to_json(
+                F.map_from_entries(F.array_sort(F.map_entries("object")))
+            ).alias("object_json"),
+        )
+
+    return q
+
+
+# --- KG evaluation join (SQL-expressible, mirrored in DuckDB) ---------------
+
+def _derived_triples(spark: SparkSession, sf_dir: str, max_linenumber: int) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= max_linenumber)
+    return li.select(
+        F.expr("cast(l_orderkey % 1000 as string)").alias("conv_id"),
+        F.expr("cast(l_orderkey div 1000 as int)").alias("turn_idx"),
+        F.lit("supplies").alias("predicate"),
+        F.col("l_suppkey").cast("string").alias("subject"),
+        F.create_map(
+            F.lit("@value"), F.col("l_partkey").cast("string")
+        ).alias("object"),
+    )
+
+
+def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match triple P/R/F1 (reference run_evaluation.py:179-255
+    semantics) over derived pred/gold triple tables."""
+    gold = _derived_triples(spark, sf_dir, 1)
+    pred = _derived_triples(spark, sf_dir, 2)
+    return triple_prf(pred, gold)
+
+
+_KG_EVAL_SQL = """
+WITH gold AS (
+  SELECT cast(l_orderkey % 1000 AS VARCHAR) AS conv_id,
+         cast(l_orderkey // 1000 AS INT) AS turn_idx,
+         'supplies' AS predicate,
+         cast(l_suppkey AS VARCHAR) AS subject,
+         '{"@value":"' || cast(l_partkey AS VARCHAR) || '"}' AS object_json
+  FROM lineitem WHERE l_linenumber <= 1
+), pred AS (
+  SELECT cast(l_orderkey % 1000 AS VARCHAR) AS conv_id,
+         cast(l_orderkey // 1000 AS INT) AS turn_idx,
+         'supplies' AS predicate,
+         cast(l_suppkey AS VARCHAR) AS subject,
+         '{"@value":"' || cast(l_partkey AS VARCHAR) || '"}' AS object_json
+  FROM lineitem WHERE l_linenumber <= 2
+), gd AS (SELECT DISTINCT * FROM gold),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM pred p WHERE EXISTS (
+       SELECT 1 FROM gd g WHERE g.conv_id = p.conv_id
+         AND g.turn_idx = p.turn_idx AND g.predicate = p.predicate
+         AND g.subject = p.subject AND g.object_json = p.object_json)) AS tp,
+    (SELECT count(*) FROM pred) AS pred_total,
+    (SELECT count(*) FROM gold) AS gold_total
+)
+SELECT tp, pred_total - tp AS fp, gold_total - tp AS fn,
+  CASE WHEN pred_total != 0 THEN cast(tp AS DOUBLE) / pred_total ELSE 0.0 END AS precision,
+  CASE WHEN gold_total != 0 THEN cast(tp AS DOUBLE) / gold_total ELSE 0.0 END AS recall,
+  CASE WHEN (CASE WHEN pred_total != 0 THEN cast(tp AS DOUBLE) / pred_total ELSE 0.0 END)
+          + (CASE WHEN gold_total != 0 THEN cast(tp AS DOUBLE) / gold_total ELSE 0.0 END) != 0
+       THEN 2 * (cast(tp AS DOUBLE) / pred_total) * (cast(tp AS DOUBLE) / gold_total)
+            / ((cast(tp AS DOUBLE) / pred_total) + (cast(tp AS DOUBLE) / gold_total))
+       ELSE 0.0 END AS f1
+FROM counts
+"""
+
+
+# --- SPO cross-product / n-ary adjacency join shapes -------------------------
+
+def q_spo_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group subjects x objects cross join (decode cross-product shape,
+    utils/utils.py:221-229), aggregated per order status."""
+    li = t(spark, sf_dir, "lineitem")
+    subj = li.where(F.col("l_quantity") > 30).select(
+        "l_orderkey", F.col("l_partkey").alias("subj_part")
+    )
+    obj = li.where(F.col("l_quantity") < 10).select(
+        "l_orderkey", F.col("l_partkey").alias("obj_part")
+    )
+    orders = t(spark, sf_dir, "orders")
+    pairs = subj.join(obj, "l_orderkey").join(
+        orders, subj.l_orderkey == orders.o_orderkey
+    )
+    return (
+        pairs.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_pairs"), F.count_distinct("l_orderkey").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_SPO_CROSS_SQL = """
+SELECT o.o_orderstatus, count(*) AS n_pairs,
+       count(DISTINCT s.l_orderkey) AS n_orders
+FROM (SELECT l_orderkey, l_partkey AS subj_part FROM lineitem WHERE l_quantity > 30) s
+JOIN (SELECT l_orderkey, l_partkey AS obj_part FROM lineitem WHERE l_quantity < 10) o2
+  ON s.l_orderkey = o2.l_orderkey
+JOIN orders o ON s.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
+def q_nary_adjacency_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on (key, position+1) — the affiliated-slot id-adjacency
+    join shape (utils/utils.py:244-262)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.l_returnflag").alias("flag_a"),
+            F.col("b.l_returnflag").alias("flag_b"),
+        )
+        .agg(F.count("*").alias("n_adjacent"))
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+_NARY_ADJ_SQL = """
+SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b, count(*) AS n_adjacent
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- classic scan/agg/join operators ----------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped partial+final hash aggregation. Money sums on integer
+    cents so Spark/DuckDB hashes match exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.expr(f"cast(round({c} * 100) as bigint)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+                )
+            ).alias("sum_disc_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (Q3 shape). The customer dimension is
+    broadcast (small side)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOP_CUSTOMER_SQL = """
+SELECT c.c_custkey, c.c_name,
+  cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue_cents DESC, c.c_custkey ASC LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast dimension join (Q5 shape)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_NATION_REV_SQL = """
+SELECT r.r_name, n.n_name,
+  cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name
+"""
+
+
+# --- text analysis over documents -------------------------------------------
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from integer char-class counts."""
+    d = t(spark, sf_dir, "documents")
+    ascii_n = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
+    total = F.length(F.col("text"))
+    return d.select(
+        "doc_id",
+        ascii_n.alias("n_ascii"),
+        total.alias("n_total"),
+        F.when(ascii_n * 10 >= total * 9, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+_LANG_ID_SQL = """
+SELECT doc_id,
+  length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_ascii,
+  length(text) AS n_total,
+  CASE WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 10
+            >= length(text) * 9 THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score components as exact integers (length, word count,
+    stopword hits, punctuation count)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, '\\\\b(the|a|and|of|to|in|is|it)\\\\b', 0)"
+            )
+        ).alias("n_stopwords"),
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).alias(
+            "n_punct"
+        ),
+    )
+
+
+_QUALITY_SQL = r"""
+SELECT doc_id,
+  length(text) AS n_chars_actual,
+  len(string_split(text, ' ')) AS n_words,
+  len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b')) AS n_stopwords,
+  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: canonical id + group size per digest."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
+"""
+
+
+# --- events windowed ops ------------------------------------------------------
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization: 30-min inactivity gap starts a new
+    session; per-user session/event counts."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, cast(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def queries() -> dict:
+    q = {
+        "kg_eval_prf": q_kg_eval_prf,
+        "spo_cross_product": q_spo_cross_product,
+        "nary_adjacency_join": q_nary_adjacency_join,
+        "pricing_summary": q_pricing_summary,
+        "top_customer_revenue": q_top_customer_revenue,
+        "nation_revenue": q_nation_revenue,
+        "doc_token_count": q_doc_token_count,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "dedup_exact": q_dedup_exact,
+        "events_sessionize": q_events_sessionize,
+    }
+    for head in ("bio", "mpn", "mhs", "biaffine"):
+        q[f"kg_extract_{head}"] = _kg_extract(head)
+    return q
+
+
+def oracle_sql() -> dict:
+    return {
+        "kg_eval_prf": _KG_EVAL_SQL,
+        "spo_cross_product": _SPO_CROSS_SQL,
+        "nary_adjacency_join": _NARY_ADJ_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_customer_revenue": _TOP_CUSTOMER_SQL,
+        "nation_revenue": _NATION_REV_SQL,
+        "doc_token_count": _TOKEN_COUNT_SQL,
+        "doc_lang_id": _LANG_ID_SQL,
+        "doc_quality": _QUALITY_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+    }

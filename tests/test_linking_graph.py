@@ -1,0 +1,111 @@
+"""Entity linking, canonicalization, salted join, graph materialization."""
+
+from pyspark.sql import functions as F
+
+from nlp_series_relation_extraction_spark.operators.graph import (
+    canonical_triples,
+    edge_table,
+)
+from nlp_series_relation_extraction_spark.operators.linking import (
+    candidate_pairs,
+    connected_components,
+    distinct_mentions,
+    link_mentions,
+    normalize_mentions,
+    salted_join,
+)
+
+
+def _occurrences(spark):
+    rows = []
+    # hot entity: 周星驰 in many turns (skew), plus near-duplicate aliases
+    for i in range(40):
+        rows.append((f"c{i}", 0, "周星驰"))
+    rows += [
+        ("c1", 1, "周星驰先生"),
+        ("c2", 1, "星驰"),
+        ("c3", 1, "刘德华"),
+        ("c4", 1, "刘德华\xa0"),
+        ("c5", 1, "Angelababy"),
+        ("c6", 1, "angelababy"),
+        ("c7", 1, "完全不同的名字"),
+        ("c8", 1, ""),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, mention string"
+    )
+
+
+def test_normalize_and_distinct_kill_skew(spark):
+    dm = distinct_mentions(normalize_mentions(_occurrences(spark)))
+    rows = {r.mention_norm: r.n_occurrences for r in dm.collect()}
+    assert rows["周星驰"] == 40  # 40 occurrences -> ONE distinct row
+    assert "刘德华" in rows and rows["刘德华"] == 2  # \xa0 variant merged
+    assert rows["angelababy"] == 2  # case-folded
+    assert "" not in rows  # empties dropped
+
+
+def test_candidate_pairs_jaccard(spark):
+    dm = distinct_mentions(normalize_mentions(_occurrences(spark)))
+    edges = candidate_pairs(dm, threshold=0.4)
+    pairs = {
+        tuple(sorted((r.a_mention, r.b_mention))) for r in edges.collect()
+    }
+    assert ("周星驰", "周星驰先生") in pairs
+    # completely different strings never pair
+    assert not any("完全不同的名字" in p for p in pairs)
+
+
+def test_connected_components_chain(spark):
+    # chain a-b, b-c must converge to one component (tests >1 iteration)
+    v = spark.createDataFrame([(1,), (2,), (3,), (9,)], "mention_id long")
+    e = spark.createDataFrame([(3, 2), (2, 1)], "a_id long, b_id long")
+    comps = {r.mention_id: r.component_id for r in connected_components(v, e).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[9] == 9
+
+
+def test_link_mentions_end_to_end(spark):
+    out = link_mentions(_occurrences(spark), threshold=0.4)
+    ents = out["entities"].collect()
+    names = {r.canonical_name for r in ents}
+    # 周星驰 (most frequent in its component) is the canonical name
+    assert "周星驰" in names
+    hot = [r for r in ents if r.canonical_name == "周星驰"][0]
+    assert hot.n_occurrences >= 40
+    # every occurrence got an entity id
+    n_linked = out["linked_occurrences"].count()
+    assert n_linked == 47  # 48 rows minus the empty mention
+
+
+def test_salted_join_correctness(spark):
+    facts = spark.createDataFrame(
+        [("k1", i) for i in range(100)] + [("k2", i) for i in range(3)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame([("k1", "a"), ("k2", "b")], "k string, attr string")
+    out = salted_join(facts, dim, key="k", salt=8).collect()
+    assert len(out) == 103
+    assert {(r.k, r.attr) for r in out} == {("k1", "a"), ("k2", "b")}
+
+
+def test_graph_edges(spark):
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "作者", "甲书", {"@value": "张三"}),
+            ("c2", 1, "作者", "甲书", {"@value": "张三"}),
+            ("c3", 0, "作者", "乙书", {"@value": "张三"}),
+        ],
+        "conv_id string, turn_idx int, predicate string, subject string, "
+        "object map<string,string>",
+    )
+    aliases = spark.createDataFrame(
+        [("甲书", 11), ("乙书", 12), ("张三", 99)],
+        "mention_norm string, entity_id long",
+    )
+    canon = canonical_triples(triples, aliases)
+    edges = edge_table(canon).collect()
+    by_subj = {(r.subj_entity_id, r.obj_entity_id): r for r in edges}
+    assert by_subj[(11, 99)].n_evidence == 2
+    assert by_subj[(11, 99)].first_conv_id == "c1"
+    assert by_subj[(12, 99)].n_evidence == 1
