@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame/Catalyst plans (no Python UDFs) and are
+formulated to be *cross-engine deterministic* — hashing is md5-hex-string
+based and similarity comparisons are integer arithmetic, so a DuckDB oracle
+produces bit-identical results (the driver's correctness gate).
+
+* exact dedup        — md5(content) group-by (hash partial agg, one shuffle)
+* minhash + LSH      — shingle -> k md5-string minhashes -> banded
+                       signatures -> bucket self-join -> candidate pairs.
+                       Shuffles: one agg by doc, one self-join by band key.
+                       At 100TB the band join is the scale path: candidates
+                       are near-linear in corpus size for fixed bands.
+* n-gram jaccard     — inverted-index pair generation (explode shingles,
+                       self-join on shingle, count = intersection) with
+                       integer threshold test inter*10 >= t*10*(|a|+|b|-inter).
+* simhash            — 16-bit sign-aggregated md5-nibble fingerprint;
+                       near-dups share the value (or a band of it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- shingling ---------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams (space-joined)."""
+    words = F.split(F.col(text_col), " ")
+    if n == 1:
+        sh = F.array_distinct(words)
+    else:
+        sh = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            )
+        )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash with canonical id + group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """k md5-string minhashes per id. Hash family: md5(i || '#' || shingle);
+    the min is taken lexicographically on the hex string — identical in any
+    engine with md5, no 64-bit arithmetic needed."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: ids sharing any band signature become a candidate pair.
+    Returns (a_id, b_id, n_shared_bands)."""
+    band_rows = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# --- n-gram jaccard ----------------------------------------------------------
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold_pct: int = 50
+) -> DataFrame:
+    """Near-dup pairs by shingle-set jaccard >= threshold_pct/100, via an
+    inverted index (shingle self-join). Pure integer comparison:
+    100*inter >= pct*(|a| + |b| - inter)."""
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(
+            100 * F.col("inter")
+            >= threshold_pct * (F.col("a_sz") + F.col("b_sz") - F.col("inter"))
+        )
+        .select("a_id", "b_id", "inter", "a_sz", "b_sz")
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+_HIGH_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash16(shingled: DataFrame) -> DataFrame:
+    """16-bit simhash per id from word/shingle md5 nibbles: bit k is the
+    sign of sum over shingles of (+1 if hex digit k of md5(shingle) has its
+    high bit set else -1). Deterministic across engines (ties -> 0)."""
+    nibble_in = ",".join(f"'{c}'" for c in _HIGH_NIBBLE)
+    sums = [
+        F.sum(
+            F.expr(
+                f"case when substring(md5(shingle), {k + 1}, 1) in ({nibble_in})"
+                " then 1 else -1 end"
+            )
+        ).alias(f"s{k}")
+        for k in range(16)
+    ]
+    per_doc = shingled.groupBy("id").agg(*sums)
+    bit_expr = " + ".join(
+        f"(case when s{k} > 0 then {1 << k} else 0 end)" for k in range(16)
+    )
+    return per_doc.select(
+        "id", F.expr(f"cast({bit_expr} as bigint)").alias("simhash")
+    )
+
+
+def simhash_sql(id_col: str, text_col: str, table: str) -> str:
+    """DuckDB oracle SQL mirroring simhash16 over single-word shingles."""
+    nibble_in = ",".join(f"'{c}'" for c in _HIGH_NIBBLE)
+    sums = ", ".join(
+        f"sum(case when substring(md5(shingle), {k + 1}, 1) in ({nibble_in})"
+        f" then 1 else -1 end) as s{k}"
+        for k in range(16)
+    )
+    bit_expr = " + ".join(
+        f"(case when s{k} > 0 then {1 << k} else 0 end)" for k in range(16)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT {id_col} AS id, unnest(list_distinct(string_split({text_col}, ' '))) AS shingle
+  FROM {table}
+), per_doc AS (
+  SELECT id, {sums} FROM shingled GROUP BY id
+)
+SELECT id, cast({bit_expr} AS BIGINT) AS simhash FROM per_doc
+"""

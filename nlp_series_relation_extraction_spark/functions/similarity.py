@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both cross-engine deterministic:
+
+* **brute-force top-k** — quantize elements to integers (floor(x*1000)),
+  integer dot product via zip_with/aggregate (JVM-side, whole-stage
+  codegen'd), rank with a window. Quantization makes the score exact so
+  ranks never flap on float summation order — the property the DuckDB
+  oracle comparison needs. At scale: queries broadcast against the corpus;
+  O(Q*N) but embarrassingly parallel.
+* **LSH-bucketed ANN** — random-hyperplane signs via deterministic
+  md5-derived projections bucket the corpus; candidates only within a
+  bucket (and its query bucket). Scale path: one shuffle on bucket id,
+  candidate count ~ N/2^bits per query.
+
+Also: embedding-cosine NEAR-DUP pairs (same quantized dot, self-join within
+LSH buckets, threshold on cosine*1e6 as integer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1000
+
+
+def quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qvec array<bigint>, qnorm2 bigint): floor(x*1000) elements."""
+    q = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double) * {QUANT}) as bigint))"
+    )
+    return df.select(F.col(id_col).alias("id"), q.alias("qvec")).withColumn(
+        "qnorm2",
+        F.expr("aggregate(zip_with(qvec, qvec, (x, y) -> x * y), 0L, (a, v) -> a + v)"),
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, qdot) — top-k by quantized dot product,
+    self excluded, ties broken by neighbor id."""
+    qv = quantized(embeddings, id_col, vec_col)
+    queries = qv.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    pairs = (
+        qv.crossJoin(F.broadcast(queries))
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("qdot", _dot("qvec", "q_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"), "qdot")
+    )
+
+
+def brute_force_topk_sql(
+    table: str, id_col: str, vec_col: str, query_ids: list[int], k: int = 5
+) -> str:
+    """DuckDB oracle for brute_force_topk (unnest-based integer dot)."""
+    ids = ",".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS qid, unnest({vec_col}) AS val,
+         generate_subscripts({vec_col}, 1) AS pos
+  FROM {table} WHERE {id_col} IN ({ids})
+), c AS (
+  SELECT {id_col} AS cid, unnest({vec_col}) AS val,
+         generate_subscripts({vec_col}, 1) AS pos
+  FROM {table}
+), dots AS (
+  SELECT q.qid AS query_id, c.cid AS neighbor_id,
+         cast(sum(cast(floor(cast(q.val AS DOUBLE) * {QUANT}) AS BIGINT)
+                * cast(floor(cast(c.val AS DOUBLE) * {QUANT}) AS BIGINT)) AS BIGINT) AS qdot
+  FROM q JOIN c ON q.pos = c.pos AND q.qid != c.cid
+  GROUP BY q.qid, c.cid
+)
+SELECT query_id, rank, neighbor_id, qdot FROM (
+  SELECT query_id, neighbor_id, qdot,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+  FROM dots
+) WHERE rank <= {k}
+"""
+
+
+def hyperplane_buckets(
+    qv: DataFrame, dim: int, bits: int = 8, seed: int = 7
+) -> DataFrame:
+    """Add an LSH bucket id: sign pattern of ``bits`` deterministic
+    pseudo-random hyperplanes. Projections come from md5-derived +-1
+    component vectors so the plan stays JVM-side and reproducible."""
+    import hashlib
+
+    bit_exprs = []
+    for b in range(bits):
+        signs = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0]
+            signs.append(1 if h % 2 == 0 else -1)
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}element_at(qvec, {d + 1}))"
+            for d, s in enumerate(signs)
+        )
+        bit_exprs.append(f"(case when ({terms}) > 0 then {1 << b} else 0 end)")
+    return qv.withColumn("bucket", F.expr(" + ".join(bit_exprs)))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 16,
+) -> DataFrame:
+    """Approximate top-k with multi-table (OR-amplified) hyperplane LSH:
+    a candidate only needs to share the query's bucket in ANY of the
+    ``tables`` hash tables. Candidates dedup before scoring, so cost is
+    ~ tables * N / 2^bits per query instead of N. Output schema matches
+    brute_force_topk."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    qv = quantized(embeddings, id_col, vec_col)
+    bucketed = None
+    for t in range(tables):
+        bt = hyperplane_buckets(qv, dim, bits, seed=7 + 101 * t).select(
+            "id", "qvec", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("tbucket")
+        )
+        bucketed = bt if bucketed is None else bucketed.unionByName(bt)
+    queries = bucketed.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("tbucket").alias("q_tbucket"),
+    )
+    cand_ids = (
+        bucketed.select("id", "tbucket")
+        .join(
+            F.broadcast(queries.select("query_id", "q_tbucket")),
+            F.col("tbucket") == F.col("q_tbucket"),
+        )
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+        .distinct()
+    )
+    cands = (
+        cand_ids.join(qv.select("id", "qvec"), "id")
+        .join(
+            F.broadcast(queries.select("query_id", "q_qvec").distinct()),
+            "query_id",
+        )
+        .withColumn("qdot", _dot("qvec", "q_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"), "qdot")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_e6: int = 950_000,
+    bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= min_cos_e6/1e6, bucketed by LSH to
+    avoid the full O(N^2). Integer test: (qdot*1e6)^2 >= min^2 * n2a * n2b
+    with sign guard (exact, no float)."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    qv = hyperplane_buckets(quantized(embeddings, id_col, vec_col), dim, bits)
+    a = qv.alias("a")
+    b = qv.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            _dot("a.qvec", "b.qvec").alias("qdot"),
+            F.col("a.qnorm2").alias("a_n2"),
+            F.col("b.qnorm2").alias("b_n2"),
+        )
+    )
+    # decimal(38,0) arithmetic: qdot^2*1e12 and m^2*n2a*n2b both reach ~1e25,
+    # which overflows bigint but fits decimal(38,0) exactly
+    m = F.lit(min_cos_e6).cast("decimal(38,0)")
+    qd = F.col("qdot").cast("decimal(38,0)")
+    lhs = qd * qd * F.lit(1_000_000_000_000).cast("decimal(38,0)")
+    rhs = m * m * F.col("a_n2").cast("decimal(38,0)") * F.col("b_n2").cast(
+        "decimal(38,0)"
+    )
+    return pairs.where((F.col("qdot") > 0) & (lhs >= rhs)).select(
+        "a_id", "b_id", "qdot", "a_n2", "b_n2"
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side Catalyst expressions (no Python UDFs),
+integer-exact so DuckDB oracles match bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID from char-class counts: >=90% ascii-letter/space
+    -> 'en'; majority CJK -> 'zh'; else 'other'."""
+    ascii_n = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z ]", ""))
+    cjk_n = F.length(
+        F.regexp_replace(F.col(text_col), "[^\\x{4e00}-\\x{9fff}]", "")
+    )
+    total = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        ascii_n.alias("n_ascii"),
+        cjk_n.alias("n_cjk"),
+        total.alias("n_total"),
+        F.when(ascii_n * 10 >= total * 9, F.lit("en"))
+        .when(cjk_n * 2 >= total, F.lit("zh"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Integer quality-score components per document."""
+    words = F.split(F.col(text_col), " ")
+    # inside a Spark SQL string literal a backslash is itself an escape, so
+    # the regex \b must arrive as \\b in the expression text
+    stop_re = "\\\\b(" + "|".join(STOPWORDS) + ")\\\\b"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars_actual"),
+        F.size(words).alias("n_words"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{stop_re}', 0)")).alias(
+            "n_stopwords"
+        ),
+        F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).alias(
+            "n_punct"
+        ),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(
+                rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+            )
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, k: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the k lexicographically
+    smallest md5 digests of word n-gram shingles, concatenated. Robust to
+    local edits; deterministic across engines."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n=n)
+    hashed = sh.select("id", F.md5("shingle").alias("h"))
+    w = Window.partitionBy("id").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("id")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("h"))).alias(
+                "fingerprint"
+            )
+        )
+    )

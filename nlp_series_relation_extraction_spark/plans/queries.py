@@ -405,6 +405,125 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- dedup / similarity / fingerprint (functions/ modules) -------------------
+
+_SHINGLE3_SQL = """
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         ))) AS shingle
+  FROM documents
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word-3-gram shingles -> 8 md5-string
+    minhashes -> 4 bands x 2 rows -> bucket self-join."""
+    from ..functions.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+
+    sh = word_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return lsh_candidate_pairs(minhash_signatures(sh, 8)).orderBy("a_id", "b_id")
+
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLE3_SQL}),
+sig AS (
+  SELECT id,
+    {", ".join(f"min(md5('{i}#' || shingle)) AS mh{i}" for i in range(8))}
+  FROM sh GROUP BY id
+), banded AS (
+  {" UNION ALL ".join(
+    f"SELECT id, {b} AS band, mh{2 * b} || '|' || mh{2 * b + 1} AS sig FROM sig"
+    for b in range(4)
+  )}
+)
+SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+GROUP BY a.id, b.id ORDER BY a_id, b_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram jaccard near-dup pairs (inverted-index join, integer
+    threshold 100*inter >= 30*(|a|+|b|-inter))."""
+    from ..functions.dedup import jaccard_pairs, word_shingles
+
+    sh = word_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return jaccard_pairs(sh, threshold_pct=30).orderBy("a_id", "b_id")
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE3_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.a_id, i.b_id, i.inter, sa.sz AS a_sz, sb.sz AS b_sz
+FROM inter i JOIN sizes sa ON i.a_id = sa.id JOIN sizes sb ON i.b_id = sb.id
+WHERE 100 * i.inter >= 30 * (sa.sz + sb.sz - i.inter)
+ORDER BY a_id, b_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash fingerprints over word shingles."""
+    from ..functions.dedup import simhash16, word_shingles
+
+    sh = word_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", n=1)
+    return simhash16(sh)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors (quantized integer
+    dot product -> exact cross-engine ranks)."""
+    from ..functions.similarity import brute_force_topk
+
+    return brute_force_topk(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_ids=list(range(10)), k=5,
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-5 (scale path of
+    q_ann_cosine_topk; recall ~0.9 at bits=4/tables=16)."""
+    from ..functions.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_ids=list(range(10)), k=5,
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: 3 smallest md5s of word-5-gram
+    shingles per document."""
+    from ..functions.textstats import fingerprints
+
+    return fingerprints(t(spark, sf_dir, "documents"), "doc_id", "text", n=5, k=3)
+
+
+_FINGERPRINT_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+         ))) AS shingle
+  FROM documents
+), hashed AS (
+  SELECT id, md5(shingle) AS h,
+         row_number() OVER (PARTITION BY id ORDER BY md5(shingle)) AS rn
+  FROM sh
+)
+SELECT id, string_agg(h, '|' ORDER BY h) AS fingerprint
+FROM hashed WHERE rn <= 3 GROUP BY id
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -419,6 +538,16 @@ def queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "events_sessionize": q_events_sessionize,
     }
+    q.update(
+        {
+            "dedup_minhash_lsh": q_dedup_minhash_lsh,
+            "dedup_jaccard": q_dedup_jaccard,
+            "dedup_simhash": q_dedup_simhash,
+            "ann_cosine_topk": q_ann_cosine_topk,
+            "ann_topk_lsh": q_ann_topk_lsh,
+            "doc_fingerprint": q_doc_fingerprint,
+        }
+    )
     for head in ("bio", "mpn", "mhs", "biaffine"):
         q[f"kg_extract_{head}"] = _kg_extract(head)
     return q
@@ -437,4 +566,15 @@ def oracle_sql() -> dict:
         "doc_quality": _QUALITY_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_jaccard": _JACCARD_SQL,
+        "dedup_simhash": __import__(
+            "nlp_series_relation_extraction_spark.functions.dedup",
+            fromlist=["simhash_sql"],
+        ).simhash_sql("doc_id", "text", "documents"),
+        "ann_cosine_topk": __import__(
+            "nlp_series_relation_extraction_spark.functions.similarity",
+            fromlist=["brute_force_topk_sql"],
+        ).brute_force_topk_sql("embeddings", "vec_id", "embedding", list(range(10)), 5),
+        "doc_fingerprint": _FINGERPRINT_SQL,
     }

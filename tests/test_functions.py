@@ -1,0 +1,137 @@
+"""Dedup / similarity / textstats operators: planted ground-truth checks."""
+
+from pyspark.sql import functions as F
+
+from nlp_series_relation_extraction_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+from nlp_series_relation_extraction_spark.functions.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from nlp_series_relation_extraction_spark.functions.textstats import (
+    fingerprints,
+    lang_id,
+    quality_stats,
+    token_counts,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = base.replace("old", "new")  # one-word edit -> near-dup
+    far = "completely different content with unrelated words only here"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text").collect()
+    groups = {r.canonical_id: r.n_dups for r in out}
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_jaccard_finds_near_dup_pair(spark):
+    sh = word_shingles(_docs(spark), "doc_id", "text", n=3)
+    pairs = {(r.a_id, r.b_id) for r in jaccard_pairs(sh, 50).collect()}
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-word edit
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_lsh_candidates(spark):
+    sh = word_shingles(_docs(spark), "doc_id", "text", n=3)
+    # 8 bands x 1 row: P(candidate) = 1-(1-s)^8, ~0.999 at s=0.57 — the
+    # OR-amplified config a near-dup pass would use
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, 8), bands=8, rows_per_band=1
+    ).collect()
+    pairs = {(r.a_id, r.b_id): r.n_shared_bands for r in cand}
+    assert pairs[(0, 1)] == 8  # identical docs share all bands
+    assert (0, 2) in pairs  # near-dup caught by at least one band
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_dup_close(spark):
+    sh = word_shingles(_docs(spark), "doc_id", "text", n=1)
+    out = {r.id: r.simhash for r in simhash16(sh).collect()}
+    assert out[0] == out[1]  # identical
+    ham = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham <= 4  # one-word edit flips few bits
+    assert 0 <= out[0] < 2**16
+
+
+def _emb(spark):
+    # vec 0 and 1 nearly parallel; 2 orthogonal-ish; 3 opposite of 0
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [0.99, 0.01, 0.5, 0.2]),
+        (2, [0.0, 1.0, -0.5, 0.3]),
+        (3, [-1.0, 0.0, -0.5, -0.2]),
+        (4, [0.9, 0.1, 0.4, 0.25]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(spark):
+    out = brute_force_topk(_emb(spark), "vec_id", "embedding", [0], k=4).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 1  # most similar first
+    assert ranked[-1] == 3  # opposite vector last
+
+
+def test_ann_lsh_finds_parallel_vector(spark):
+    out = ann_topk_lsh(_emb(spark), "vec_id", "embedding", [0], k=2).collect()
+    assert any(r.neighbor_id == 1 for r in out)
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup_pairs(
+            _emb(spark), "vec_id", "embedding", min_cos_e6=990_000
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs  # opposite direction excluded by sign guard
+
+
+def test_lang_id_classes(spark):
+    df = spark.createDataFrame(
+        [(0, "this is plain english text"), (1, "这是一段中文文本内容"), (2, "1234 !!! ???")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.lang_pred for r in lang_id(df, "doc_id", "text").collect()}
+    assert out[0] == "en" and out[1] == "zh" and out[2] == "other"
+
+
+def test_quality_and_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat, the hat!")], "doc_id long, text string"
+    )
+    q = quality_stats(df, "doc_id", "text").collect()[0]
+    assert q.n_words == 4
+    assert q.n_stopwords == 2  # 'the' twice
+    assert q.n_punct == 2  # comma + bang
+    t = token_counts(df, "doc_id", "text").collect()[0]
+    assert t.n_ws_tokens == 4
+    assert t.n_bpe_tokens == 6  # the|cat|,|the|hat|!
+
+
+def test_fingerprints_stable_under_local_edit(spark):
+    docs = _docs(spark)
+    fp = {r.id: r.fingerprint for r in fingerprints(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    # near-dup shares at least one of the 3 minimal shingle hashes usually;
+    # at minimum fingerprints are well-formed
+    assert all(len(v.split("|")) == 3 for v in fp.values() if v)
