@@ -34,14 +34,22 @@ BENCH_TURNS = {"bio": 40_000, "mpn": 40_000, "mhs": 20_000, "biaffine": 10_000}
 
 RELATIONAL = [
     "kg_eval_prf",
+    "entity_em_eval",
     "pricing_summary",
+    "filter_pushdown_agg",
     "top_customer_revenue",
     "nation_revenue",
     "spo_cross_product",
     "nary_adjacency_join",
     "doc_token_count",
     "doc_quality",
+    "doc_fingerprint",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_topk_lsh",
     "events_sessionize",
 ]
 
@@ -72,6 +80,28 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end pipeline (extract -> link -> canonicalize -> graph), fresh
+    # workdir so nothing resumes
+    import shutil
+    import tempfile
+
+    from nlp_series_relation_extraction_spark.plans.pipeline import run_kg_pipeline
+
+    wd = tempfile.mkdtemp(prefix="nre_bench_pipeline_")
+    try:
+        t0 = time.time()
+        out = run_kg_pipeline(
+            spark,
+            synth_transcripts(spark, 10_000, seed=42),
+            wd,
+            head="mpn",
+            planted=True,
+        )
+        timings["kg_pipeline_e2e_10k"] = round(time.time() - t0, 3)
+        extras["pipeline_edges"] = out["edges"].count()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
     return timings, extras
 

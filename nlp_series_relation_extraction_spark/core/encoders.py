@@ -212,6 +212,34 @@ class HashEncoder:
         return _sigmoid(logits1 + logits2 + self.b_bi)
 
 
+WEIGHT_KEYS = (
+    "w_mix", "w_bio", "w_sub", "w_beta", "w_gamma", "w_po", "w_start",
+    "w_end", "w_head", "w_tail", "w_rel", "w_bi1", "w_bi2",
+)
+BIAS_KEYS = ("b_bio", "b_sub", "b_po", "b_typed", "b_rel", "b_bi")
+
+
+def save_encoder(encoder: HashEncoder, path: str) -> None:
+    """Checkpoint encoder weights (the torch.save(state_dict) analogue,
+    reference run_baseline.py:215-217). Ship the file to executors with
+    ``spark-submit --files`` and load via SparkFiles.get + load_encoder."""
+    arrays = {k: getattr(encoder, k) for k in WEIGHT_KEYS}
+    arrays.update({k: np.float64(getattr(encoder, k)) for k in BIAS_KEYS})
+    np.savez(path, **arrays)
+
+
+def load_encoder(path: str) -> HashEncoder:
+    """Restore an encoder from a weights file without re-deriving biases."""
+    data = np.load(path)
+    enc = HashEncoder.__new__(HashEncoder)
+    enc.emb = _EmbeddingCache(_HIDDEN)
+    for k in WEIGHT_KEYS:
+        setattr(enc, k, data[k])
+    for k in BIAS_KEYS:
+        setattr(enc, k, float(data[k]))
+    return enc
+
+
 class PlantedEncoder:
     """Gold labels as probabilities — decode must reproduce gold exactly.
 

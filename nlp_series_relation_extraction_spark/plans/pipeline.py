@@ -65,14 +65,28 @@ class StageStore:
         else:
             status = "resumed"
         out = self.read(name)
-        n = out.count()
+        # per-partition row counts (north-rule lineage/metrics requirement):
+        # one aggregation over spark_partition_id, recorded with the stage
+        pstats = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(
+                F.count("*").alias("parts"),
+                F.sum("count").alias("rows"),
+                F.min("count").alias("min_rows"),
+                F.max("count").alias("max_rows"),
+            )
+            .collect()[0]
+        )
         self._metrics.append(
             {
                 "stage": name,
                 "status": status,
-                "rows": n,
+                "rows": int(pstats["rows"] or 0),
                 "wall_sec": round(time.time() - t0, 3),
-                "n_partitions": out.rdd.getNumPartitions(),
+                "n_partitions": int(pstats["parts"]),
+                "partition_min_rows": int(pstats["min_rows"] or 0),
+                "partition_max_rows": int(pstats["max_rows"] or 0),
                 "ts": time.time(),
             }
         )

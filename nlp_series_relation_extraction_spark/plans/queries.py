@@ -524,6 +524,123 @@ FROM hashed WHERE rn <= 3 GROUP BY id
 """
 
 
+def q_entity_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity exact-match micro metrics (run_evaluation.py:191-208 semantics)
+    over derived pred/gold mention tables (per-turn set intersection)."""
+    from ..evaluation.metrics import entity_em
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.explode(F.split("text", " ")).alias("mention"),
+    )
+    pred = words.where(F.length("mention") >= 6)
+    gold = words.where((F.length("mention") >= 5) & (F.length("mention") <= 9))
+    return entity_em(pred, gold)
+
+
+_ENTITY_EM_SQL = """
+WITH words AS (
+  SELECT cast(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+         unnest(string_split(text, ' ')) AS mention
+  FROM documents
+), p AS (SELECT DISTINCT conv_id, turn_idx, mention FROM words WHERE length(mention) >= 6),
+g AS (SELECT DISTINCT conv_id, turn_idx, mention FROM words
+      WHERE length(mention) BETWEEN 5 AND 9),
+c AS (
+  SELECT
+    (SELECT count(*) FROM p WHERE EXISTS (SELECT 1 FROM g
+       WHERE g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+         AND g.mention = p.mention)) AS em,
+    (SELECT count(*) FROM p) AS pred_num,
+    (SELECT count(*) FROM g) AS gold_num
+)
+SELECT em, pred_num, gold_num,
+  CASE WHEN pred_num > 0 THEN 100.0 * em / pred_num ELSE 0.0 END AS entity_precision,
+  CASE WHEN gold_num > 0 THEN 100.0 * em / gold_num ELSE 0.0 END AS entity_recall,
+  CASE WHEN (CASE WHEN pred_num > 0 THEN 100.0 * em / pred_num ELSE 0.0 END)
+          + (CASE WHEN gold_num > 0 THEN 100.0 * em / gold_num ELSE 0.0 END) != 0
+       THEN 2.0 * (100.0 * em / pred_num) * (100.0 * em / gold_num)
+            / ((100.0 * em / pred_num) + (100.0 * em / gold_num))
+       ELSE 0.0 END AS entity_f1
+FROM c
+"""
+
+
+def q_filter_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: range filters (all pushed to the parquet scan, see
+    explain PushedFilters) + single global aggregate on integer cents."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * l_discount * 100) as bigint)")
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_FILTER_PUSHDOWN_SQL = """
+SELECT cast(sum(cast(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+
+def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full linking stage over extracted mentions (rows-only): canonical
+    entity table from the mpn head's planted triples."""
+    from ..operators.linking import link_mentions
+
+    n = _kg_turns(spark, sf_dir)
+    transcripts = synth_transcripts(spark, n, seed=42)
+    trip = extract_triples(transcripts, head="mpn", planted=True)
+    mentions = trip.select(
+        "conv_id", "turn_idx", F.col("subject").alias("mention")
+    ).unionByName(
+        trip.select(
+            "conv_id", "turn_idx",
+            F.element_at("object", "@value").alias("mention"),
+        )
+    )
+    out = link_mentions(mentions)
+    return out["entities"].select(
+        "entity_id", "canonical_name", "n_mentions", "n_occurrences"
+    )
+
+
+def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full product through the driver (rows-only): extract -> link ->
+    canonicalize -> edge table."""
+    from ..operators.graph import canonical_triples, edge_table
+    from ..operators.linking import link_mentions
+
+    n = _kg_turns(spark, sf_dir)
+    transcripts = synth_transcripts(spark, n, seed=42)
+    trip = extract_triples(transcripts, head="mpn", planted=True)
+    mentions = trip.select(
+        "conv_id", "turn_idx", F.col("subject").alias("mention")
+    ).unionByName(
+        trip.select(
+            "conv_id", "turn_idx",
+            F.element_at("object", "@value").alias("mention"),
+        )
+    )
+    aliases = link_mentions(mentions)["aliases"]
+    return edge_table(canonical_triples(trip, aliases))
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -546,6 +663,10 @@ def queries() -> dict:
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
             "doc_fingerprint": q_doc_fingerprint,
+            "entity_em_eval": q_entity_em,
+            "filter_pushdown_agg": q_filter_pushdown_agg,
+            "kg_entities": q_kg_entities,
+            "kg_graph_edges": q_kg_graph_edges,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -577,4 +698,6 @@ def oracle_sql() -> dict:
             fromlist=["brute_force_topk_sql"],
         ).brute_force_topk_sql("embeddings", "vec_id", "embedding", list(range(10)), 5),
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "entity_em_eval": _ENTITY_EM_SQL,
+        "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
     }

@@ -1,0 +1,42 @@
+"""Driver-contract registry consistency + sf0.001 smoke of every query."""
+
+import numpy as np
+import pytest
+
+from nlp_series_relation_extraction_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_has_a_query():
+    qs, osql = Q.queries(), Q.oracle_sql()
+    assert set(osql) <= set(qs)
+    # the KG extraction + linking queries are deliberately rows-only
+    rows_only = set(qs) - set(osql)
+    assert all(k.startswith(("kg_extract_", "kg_entities", "kg_graph", "ann_topk_lsh", "dedup_simhash")) or k in ()
+               for k in rows_only), rows_only
+
+
+@pytest.mark.parametrize("name", sorted(Q.queries().keys()))
+def test_query_smoke_sf0001(spark, name):
+    df = Q.queries()[name](spark, SF)
+    rows = df.limit(5000).collect()
+    assert rows is not None
+    # stable, non-empty schema
+    assert len(df.columns) >= 2
+
+
+def test_encoder_weight_roundtrip(tmp_path):
+    from nlp_series_relation_extraction_spark.core.encoders import (
+        HashEncoder,
+        load_encoder,
+        save_encoder,
+    )
+
+    enc = HashEncoder(42)
+    p = str(tmp_path / "weights.npz")
+    save_encoder(enc, p)
+    enc2 = load_encoder(p)
+    toks = ["[CLS]", "甲", "乙", "abc", "[SEP]"]
+    assert np.allclose(enc.bio_probs(toks), enc2.bio_probs(toks))
+    assert enc.b_rel == enc2.b_rel
