@@ -54,8 +54,15 @@ class _EmbeddingCache:
         return v
 
 
+_F32_ONE = np.float32(1.0)
+_F32_HALF = np.float32(0.5)
+
+
 def _sigmoid(x: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-x))
+    # sigmoid via tanh: np.exp has no SIMD path on this host (measured
+    # ~55x slower than np.tanh per element); also keep float32 throughout
+    # (python-float constants would upcast to f64)
+    return _F32_HALF * (np.tanh(_F32_HALF * x) + _F32_ONE)
 
 
 class HashEncoder:
@@ -137,19 +144,51 @@ class HashEncoder:
         L = len(tokens)
         E = np.stack([self.emb.get(t) for t in tokens])
         pos = np.arange(L, dtype=np.float32)[:, None]
-        E = E + 0.1 * np.sin(pos / 10.0)
+        E = E + np.float32(0.1) * np.sin(pos / np.float32(10.0))
         ctx = np.cumsum(E, axis=0) / np.arange(1, L + 1, dtype=np.float32)[:, None]
-        return np.tanh(E + 0.5 * (ctx @ self.w_mix))
+        return np.tanh(E + np.float32(0.5) * (ctx @ self.w_mix))
+
+    def encode_batch(
+        self, tokens_batch: list[Sequence[str]]
+    ) -> tuple[np.ndarray, list[int]]:
+        """Batched [B, Lmax, H] context encoding (zero-padded). Valid
+        positions carry exactly the same values as per-row ``encode`` —
+        padding sits after the valid prefix, so the positional wave and the
+        prefix cumsum are unaffected. Mirrors the reference's dynamic
+        batch-max-len padding (dataset_baseline.py:180-184)."""
+        lens = [len(t) for t in tokens_batch]
+        B, Lm = len(tokens_batch), max(lens) if lens else 0
+        E = np.zeros((B, Lm, _HIDDEN), dtype=np.float32)
+        for i, toks in enumerate(tokens_batch):
+            if toks:
+                E[i, : lens[i]] = np.stack([self.emb.get(t) for t in toks])
+        pos = np.arange(Lm, dtype=np.float32)[None, :, None]
+        E = E + np.float32(0.1) * np.sin(pos / np.float32(10.0))
+        ctx = np.cumsum(E, axis=1) / np.arange(1, Lm + 1, dtype=np.float32)[
+            None, :, None
+        ]
+        # one [B*Lm, H] GEMM — a 3-D @ 2-D matmul degrades to B tiny GEMMs
+        mixed = (ctx.reshape(-1, _HIDDEN) @ self.w_mix).reshape(B, Lm, _HIDDEN)
+        return np.tanh(E + np.float32(0.5) * mixed), lens
 
     # --- BIO head ------------------------------------------------------
     def bio_probs(self, tokens: Sequence[str]) -> np.ndarray:
         C = self.encode(tokens)
-        return _sigmoid(2.0 * (C @ self.w_bio) + self.b_bio)
+        return _sigmoid(np.float32(2.0) * (C @ self.w_bio) + np.float32(self.b_bio))
+
+    def bio_probs_batch(
+        self, tokens_batch: list[Sequence[str]]
+    ) -> tuple[np.ndarray, list[int]]:
+        """[B, Lmax, 112] batched BIO probs + valid lengths."""
+        C, lens = self.encode_batch(tokens_batch)
+        B, Lm, H = C.shape
+        logits = (C.reshape(-1, H) @ self.w_bio).reshape(B, Lm, -1)
+        return _sigmoid(np.float32(2.0) * logits + np.float32(self.b_bio)), lens
 
     # --- mpn head -------------------------------------------------------
     def subject_probs(self, tokens: Sequence[str]) -> np.ndarray:
         C = self.encode(tokens)
-        return _sigmoid(2.0 * (C @ self.w_sub) + self.b_sub)
+        return _sigmoid(np.float32(2.0) * (C @ self.w_sub) + np.float32(self.b_sub))
 
     def po_probs(
         self, tokens: Sequence[str], subject_spans: list[tuple[int, int]]
@@ -164,8 +203,8 @@ class HashEncoder:
             cond = np.concatenate([C[s0], C[s1]])
             gamma = np.tanh(cond @ self.w_gamma)
             beta = np.tanh(cond @ self.w_beta)
-            Cc = C * (1.0 + 0.2 * gamma) + 0.2 * beta
-            logits = 2.0 * (Cc @ self.w_po) + self.b_po
+            Cc = C * (_F32_ONE + np.float32(0.2) * gamma) + np.float32(0.2) * beta
+            logits = np.float32(2.0) * (Cc @ self.w_po) + np.float32(self.b_po)
             out[k] = logits.reshape(L, R_NUM, 2)
         return _sigmoid(out)
 
@@ -175,8 +214,8 @@ class HashEncoder:
     ) -> tuple[np.ndarray, np.ndarray]:
         C = self.encode(tokens)
         return (
-            _sigmoid(2.0 * (C @ self.w_start) + self.b_typed),
-            _sigmoid(2.0 * (C @ self.w_end) + self.b_typed),
+            _sigmoid(np.float32(2.0) * (C @ self.w_start) + np.float32(self.b_typed)),
+            _sigmoid(np.float32(2.0) * (C @ self.w_end) + np.float32(self.b_typed)),
         )
 
     def pair_cube(self, tokens: Sequence[str]) -> np.ndarray:
@@ -185,7 +224,7 @@ class HashEncoder:
         f1 = np.maximum(C @ self.w_head, 0.0)  # [L, 32]
         f2 = np.maximum(C @ self.w_tail, 0.0)  # [L, 32]
         inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)  # [L, L, 32]
-        return _sigmoid(2.0 * (inter @ self.w_rel) + self.b_rel)
+        return _sigmoid(np.float32(2.0) * (inter @ self.w_rel) + np.float32(self.b_rel))
 
     def pair_cube_biaffine(self, tokens: Sequence[str]) -> np.ndarray:
         """[L, L, R] biaffine scores: x^T W1 y + [x;y;1] W2 (reference
@@ -209,7 +248,7 @@ class HashEncoder:
             axis=-1,
         )
         logits2 = pair @ self.w_bi2
-        return _sigmoid(logits1 + logits2 + self.b_bi)
+        return _sigmoid(logits1 + logits2 + np.float32(self.b_bi))
 
 
 WEIGHT_KEYS = (

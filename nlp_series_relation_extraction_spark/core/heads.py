@@ -134,6 +134,24 @@ def extract_mhs_row(
     return decode_span_sentence(text, spoes, tok_start, tok_end, spans)
 
 
+def extract_bio_rows_batch(
+    texts: list[str], seed: int = 42, max_len: int = DEFAULT_MAX_LEN
+) -> list[dict[str, Any]]:
+    """Batched hash-mode BIO extraction: one padded encoder forward for the
+    whole Arrow batch (the reference's collate+batched-forward shape), then
+    per-row threshold decode. Valid-position probs equal the per-row path;
+    used by BOTH the Spark UDF and the pytest oracle."""
+    normed = [normalize_text(t) for t in texts]
+    toks_offs = [tokenize_for_bio(t) for t in normed]
+    toks = [_truncate(t, max_len) for t, _ in toks_offs]
+    probs, lens = get_hash_encoder(seed).bio_probs_batch(toks)
+    out = []
+    for i, text in enumerate(normed):
+        offsets = toks_offs[i][1][: lens[i]]
+        out.append(decode_bio_sentence(text, probs[i, : lens[i]], offsets))
+    return out
+
+
 def extract_row(
     head: str,
     text: str,

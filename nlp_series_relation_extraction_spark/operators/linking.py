@@ -151,7 +151,18 @@ def connected_components(
     max_iter. Lineage is broken every round (localCheckpoint) so plans stay
     flat — at cluster scale this would be a persisted table per round.
     """
-    labels = vertices.select(
+    # iterate ONLY over vertices that touch an edge — isolated mentions (the
+    # overwhelming majority of a deduped mention table) keep their own label
+    # and never enter the propagation joins
+    connected = (
+        edges.select(F.col("a_id").alias("mention_id"))
+        .union(edges.select(F.col("b_id").alias("mention_id")))
+        .distinct()
+    )
+    isolated = vertices.select("mention_id").join(
+        connected, "mention_id", "left_anti"
+    ).select("mention_id", F.col("mention_id").alias("component_id"))
+    labels = connected.select(
         "mention_id", F.col("mention_id").alias("component_id")
     ).localCheckpoint(eager=True)
     und = edges.select("a_id", "b_id").union(
@@ -185,7 +196,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels.unionByName(isolated)
 
 
 def canonical_entities(

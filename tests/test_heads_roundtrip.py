@@ -56,3 +56,15 @@ def test_empty_and_degenerate_inputs():
         assert extract_row(head, "®◆")["spo_list"] == []
         # single char, planted with empty gold
         assert extract_row(head, "甲", gold_json="[]")["spo_list"] == []
+
+
+def test_bio_batch_forward_equals_per_row():
+    from nlp_series_relation_extraction_spark.core.heads import (
+        extract_bio_rows_batch,
+    )
+
+    texts = synth_pandas(200, seed=13).text.tolist()
+    batch = extract_bio_rows_batch(texts)
+    per = [extract_row("bio", t) for t in texts]
+    assert [b["spo_list"] for b in batch] == [p["spo_list"] for p in per]
+    assert [b["entity_list"] for b in batch] == [p["entity_list"] for p in per]
