@@ -97,12 +97,27 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingled: DataFrame, threshold_pct: int = 50
+    shingled: DataFrame, threshold_pct: int = 50, max_df: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by shingle-set jaccard >= threshold_pct/100, via an
     inverted index (shingle self-join). Pure integer comparison:
-    100*inter >= pct*(|a| + |b| - inter)."""
+    100*inter >= pct*(|a| + |b| - inter).
+
+    ``max_df`` drops shingles occurring in more than that many documents
+    before pair generation — the standard stopword guard that keeps the
+    inverted-index join near-linear at corpus scale (a shingle shared by k
+    docs emits k^2 candidate rows). Sizes are computed BEFORE the cap so the
+    jaccard denominator stays exact; the cap only loses candidate pairs
+    whose overlap is dominated by ultra-common shingles.
+    """
     sizes = shingled.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (

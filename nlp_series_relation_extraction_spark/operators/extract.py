@@ -107,6 +107,7 @@ def extract_turn_results(
     max_len: int = DEFAULT_MAX_LEN,
     num_partitions: int | None = None,
     batch_forward: bool = False,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Per-turn extraction results (entities + triples arrays).
 
@@ -122,7 +123,12 @@ def extract_turn_results(
         "text",
         F.regexp_replace("text", "[®◆]", ""),
     )
-    if num_partitions:
+    if pre_partitioned:
+        # input is already laid out by conv_id (e.g. an Iceberg table
+        # partitioned/bucketed on conv_id — the 100TB production layout):
+        # no shuffle, the UDF maps straight over the scan splits
+        pass
+    elif num_partitions:
         df = df.repartition(num_partitions, "conv_id")
     else:
         df = df.repartition("conv_id")
@@ -139,10 +145,12 @@ def extract_triples(
     seed: int = 42,
     max_len: int = DEFAULT_MAX_LEN,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Flat triple table: one row per extracted SPO."""
     turns = extract_turn_results(
-        transcripts, head, planted, seed, max_len, num_partitions
+        transcripts, head, planted, seed, max_len, num_partitions,
+        pre_partitioned=pre_partitioned,
     )
     return turns.select(
         "conv_id", "turn_idx", F.explode("triples").alias("spo")

@@ -41,9 +41,13 @@ def canonical_triples(
         F.col("mention_norm").alias("obj_norm"),
         F.col("entity_id").alias("obj_entity_id"),
     )
-    # alias dimension is mention-deduped (small relative to facts): broadcast
-    return tr.join(F.broadcast(subj_alias), "subj_norm", "left").join(
-        F.broadcast(obj_alias), "obj_norm", "left"
+    # The alias dimension is mention-deduped, so it's small relative to the
+    # fact side — but at 10^12-turn scale "small" can still be billions of
+    # rows, so DON'T force a broadcast: under autoBroadcastJoinThreshold
+    # Catalyst broadcasts it automatically, above it AQE picks sort-merge
+    # with skew splitting (hot mentions are single dimension rows anyway).
+    return tr.join(subj_alias, "subj_norm", "left").join(
+        obj_alias, "obj_norm", "left"
     )
 
 

@@ -135,3 +135,18 @@ def test_fingerprints_stable_under_local_edit(spark):
     # near-dup shares at least one of the 3 minimal shingle hashes usually;
     # at minimum fingerprints are well-formed
     assert all(len(v.split("|")) == 3 for v in fp.values() if v)
+
+
+def test_jaccard_max_df_guard(spark):
+    # a stopword-like shingle in every doc would emit O(n^2) candidates;
+    # max_df drops it while true near-dups still pair on their rare shingles
+    rows = [(i, f"common common unique{i} unique{i}x") for i in range(20)]
+    rows.append((100, "common common uniqueX uniqueY"))
+    rows.append((101, "common common uniqueX uniqueY"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, "doc_id", "text", n=1)
+    capped = jaccard_pairs(sh, threshold_pct=50, max_df=5)
+    pairs = {(r.a_id, r.b_id) for r in capped.collect()}
+    # identical docs still pair via their rare shingles; the ubiquitous
+    # shingle alone creates NO pairs
+    assert pairs == {(100, 101)}

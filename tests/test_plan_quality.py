@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the plans must stay the plans we chose.
+
+These guard the scale properties the engine is designed around — column
+pruning into the scan, predicate pushdown, broadcast joins for dimension
+sides, partial+final aggregation — so a refactor that silently degrades a
+plan (e.g. breaks pruning by touching extra columns) fails CI, not a 100TB
+run.
+"""
+
+import re
+
+from nlp_series_relation_extraction_spark.operators.extract import extract_triples
+from nlp_series_relation_extraction_spark.plans import queries as Q
+from nlp_series_relation_extraction_spark.sources.synthetic import synth_transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_extraction_scan_prunes_to_three_columns(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    synth_transcripts(spark, 50, seed=1, partitions=2).write.parquet(p)
+    plan = _plan(extract_triples(spark.read.parquet(p), head="mpn"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # gold_json/role/tool/ts must NOT reach the scan in hash mode
+    assert cols == {"conv_id", "turn_idx", "text"}
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(Q.q_filter_pushdown_agg(spark, SF))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.02)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan or "LessThan(l_quantity,24" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(Q.q_top_customer_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    plan5 = _plan(Q.q_nation_revenue(spark, SF))
+    assert plan5.count("BroadcastHashJoin") >= 3
+
+
+def test_aggregation_is_partial_plus_final(spark):
+    plan = _plan(Q.q_pricing_summary(spark, SF))
+    # two HashAggregate nodes (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_eval_join_is_semi(spark):
+    plan = _plan(Q.q_kg_eval_prf(spark, SF))
+    assert "LeftSemi" in plan

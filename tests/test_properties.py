@@ -1,0 +1,86 @@
+"""Property-based invariants (hypothesis) for the tokenizer and search."""
+
+from hypothesis import given, settings, strategies as st
+
+from nlp_series_relation_extraction_spark.core.labeling import (
+    search,
+    search_spo_index,
+)
+from nlp_series_relation_extraction_spark.core.tokenization import (
+    segment_units,
+    tokenize_for_bio,
+    tokenize_with_orig_index,
+)
+
+# mix of CJK, ASCII letters/digits, CJK+ASCII punctuation and whitespace noise
+_alphabet = st.sampled_from(
+    list("中文测试天地人王国演义abcXYZ0123456789 ，。《》()%～\xa0®◆")
+)
+texts = st.text(alphabet=_alphabet, min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_segmentation_partitions_text(text):
+    # units concatenate back to the exact input (no char lost or duplicated)
+    assert "".join(segment_units(text)) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_offset_maps_are_valid_spans(text):
+    t = tokenize_with_orig_index(text)
+    assert len(t.tokens) == len(t.tok_to_orig_start) == len(t.tok_to_orig_end)
+    prev_start = -1
+    for s, e in zip(t.tok_to_orig_start, t.tok_to_orig_end):
+        assert 0 <= s <= e < len(text)
+        assert s >= prev_start  # non-decreasing starts
+        prev_start = s
+        # the token's unit text contains the token (modulo lowercasing)
+        unit = text[s : e + 1]
+        assert unit.lower() != "" and unit != ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_bio_offsets_frame_shape(text):
+    tokens, offsets = tokenize_for_bio(text)
+    assert tokens[0] == "[CLS]" and tokens[-1] == "[SEP]"
+    assert offsets[0] == (0, 0) and offsets[-1] == (0, 0)
+    for s, e in offsets[1:-1]:
+        assert 0 <= s < e <= len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=12),
+    st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=4),
+)
+def test_search_matches_naive(seq, pat):
+    naive = -1
+    for i in range(len(seq) - len(pat) + 1):
+        if seq[i : i + len(pat)] == pat:
+            naive = i
+            break
+    assert search(pat, seq) == naive
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.sampled_from(list("abc")), min_size=2, max_size=14),
+    st.lists(st.sampled_from(list("abc")), min_size=1, max_size=3),
+    st.lists(st.sampled_from(list("abc")), min_size=1, max_size=3),
+)
+def test_search_spo_index_invariants(tokens, subj, obj):
+    s, o = search_spo_index(tokens, subj, obj)
+    # returned indices really match the sequences
+    if s != -1:
+        assert tokens[s : s + len(subj)] == subj
+    if o != -1:
+        assert tokens[o : o + len(obj)] == obj
+    # when both found, the shorter one's start avoids the longer one's span
+    if s != -1 and o != -1:
+        if len(subj) > len(obj):
+            assert not (s <= o < s + len(subj))
+        elif len(obj) > len(subj):
+            assert not (o <= s < o + len(obj))
