@@ -142,6 +142,7 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 10,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Min-label propagation: (mention_id, component_id).
 
@@ -164,10 +165,21 @@ def connected_components(
     ).select("mention_id", F.col("mention_id").alias("component_id"))
     labels = connected.select(
         "mention_id", F.col("mention_id").alias("component_id")
-    ).localCheckpoint(eager=True)
+    )
     und = edges.select("a_id", "b_id").union(
         edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     )
+    # size the iteration's shuffles to the (usually tiny) connected subgraph,
+    # not the session default — each round is several jobs, and 32-partition
+    # shuffles over a few thousand edges are pure scheduling latency. At real
+    # scale pass num_partitions explicitly (or leave the session default).
+    if num_partitions is None:
+        n_edges = und.count()
+        num_partitions = max(1, min(32, n_edges // 50_000 + 1))
+    labels = labels.repartition(num_partitions, "mention_id").localCheckpoint(
+        eager=True
+    )
+    und = und.repartition(num_partitions, "b_id").localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.b_id == labels.mention_id)
