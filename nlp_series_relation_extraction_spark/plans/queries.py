@@ -641,6 +641,20 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_table(canonical_triples(trip, aliases))
 
 
+def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BIO-head training (rows-only): per-epoch masked-BCE loss
+    from synchronous data-parallel SGD; deterministic given the seed."""
+    from ..operators.train import train_bio_head
+
+    n = min(_kg_turns(spark, sf_dir), 600)  # bounded training set
+    t_df = synth_transcripts(spark, n, seed=42)
+    res = train_bio_head(t_df, epochs=3, lr=0.08)
+    rows = [
+        (i, round(float(loss), 6)) for i, loss in enumerate(res["loss_history"])
+    ]
+    return spark.createDataFrame(rows, "epoch int, mean_masked_bce double")
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -667,6 +681,7 @@ def queries() -> dict:
             "filter_pushdown_agg": q_filter_pushdown_agg,
             "kg_entities": q_kg_entities,
             "kg_graph_edges": q_kg_graph_edges,
+            "kg_train_bio": q_kg_train_bio,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

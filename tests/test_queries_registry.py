@@ -13,8 +13,8 @@ def test_every_oracle_has_a_query():
     assert set(osql) <= set(qs)
     # the KG extraction + linking queries are deliberately rows-only
     rows_only = set(qs) - set(osql)
-    assert all(k.startswith(("kg_extract_", "kg_entities", "kg_graph", "ann_topk_lsh", "dedup_simhash")) or k in ()
-               for k in rows_only), rows_only
+    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train", "ann_topk_lsh")
+    assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
 @pytest.mark.parametrize("name", sorted(Q.queries().keys()))
