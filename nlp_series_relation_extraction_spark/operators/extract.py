@@ -68,17 +68,19 @@ def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: 
             else:
                 results = None
             for i, text in enumerate(pdf["text"]):
-                res = (
-                    results[i]
-                    if results is not None
-                    else extract_row(
+                if text is None or (isinstance(text, float)):
+                    # null text (or pandas NaN) -> no entities, no triples
+                    res = {"entity_list": [], "spo_list": []}
+                elif results is not None:
+                    res = results[i]
+                else:
+                    res = extract_row(
                         head,
                         text,
                         gold_json=(golds.iloc[i] if planted else None),
                         seed=seed,
                         max_len=max_len,
                     )
-                )
                 out["entities"].append(res["entity_list"])
                 out["triples"].append(
                     [

@@ -110,3 +110,15 @@ def test_turn_results_schema_and_counts(spark):
         for _, r in synth_pandas(64, seed=1).iterrows()
     }
     assert keys == want
+
+
+def test_null_text_rows_survive(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "《甲》是乙写的小说"), ("c1", 1, None), ("c2", 0, "")],
+        "conv_id string, turn_idx int, text string",
+    )
+    res = extract_turn_results(df, head="mpn", planted=False)
+    rows = {(r.conv_id, r.turn_idx): r for r in res.collect()}
+    assert len(rows) == 3  # null/empty turns still produce result rows
+    assert rows[("c1", 1)].triples == [] and rows[("c1", 1)].entities == []
+    assert rows[("c2", 0)].triples == []
