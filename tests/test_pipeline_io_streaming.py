@@ -188,3 +188,96 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in extract_triples(t, head="bio", planted=False).collect()
     )
     assert got == want
+
+
+def test_windowed_stream_equals_batch(spark, tmp_path):
+    from nlp_series_relation_extraction_spark.streaming.incremental import (
+        read_transcripts_stream,
+    )
+    from nlp_series_relation_extraction_spark.streaming.windowed import (
+        turns_per_window,
+    )
+
+    src = str(tmp_path / "wsrc")
+    t = synth_transcripts(spark, 100, seed=4, partitions=3)
+    t.drop("gold_json").write.mode("overwrite").parquet(src)
+
+    out_path = str(tmp_path / "wout")
+
+    def drain():
+        q = (
+            turns_per_window(read_transcripts_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # append mode only emits windows the watermark has passed; a late
+    # sentinel row (1 day ahead) in a second drain advances the watermark
+    # past every real window, so they all close and emit
+    spark.createDataFrame(
+        [("sentinel", 0, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).withColumn(
+        "ts", F.lit("2024-01-02 12:00:00").cast("timestamp")
+    ).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(
+        (str(r.window_start), r.role, r.n_turns, r.n_convs_approx)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    want = sorted(
+        (str(r.window_start), r.role, r.n_turns, r.n_convs_approx)
+        for r in turns_per_window(
+            spark.read.parquet(src).where(F.col("conv_id") != "sentinel")
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stateful_first_seen_mentions(spark, tmp_path):
+    from nlp_series_relation_extraction_spark.streaming.incremental import (
+        read_transcripts_stream,
+    )
+    from nlp_series_relation_extraction_spark.streaming.stateful import (
+        first_seen_mentions_stream,
+    )
+
+    src = str(tmp_path / "ssrc")
+    t = synth_transcripts(spark, 80, seed=21, partitions=2)
+    t.drop("gold_json").write.mode("overwrite").parquet(src)
+
+    out_path = str(tmp_path / "sout")
+    q = (
+        first_seen_mentions_stream(read_transcripts_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_path).collect()
+    assert len(rows) > 0
+    # each (conv, mention) appears exactly once — streaming dedup invariant
+    pairs = [(r.conv_id, r.mention) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    # and matches the batch first-seen answer
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_triples,
+    )
+    from pyspark.sql import functions as F2
+
+    trip = extract_triples(t, head="mpn", planted=False)
+    mentions = trip.select("conv_id", F2.col("subject").alias("mention")).unionByName(
+        trip.select("conv_id", F2.element_at("object", "@value").alias("mention"))
+    ).where(F2.length("mention") > 0)
+    want = {(r.conv_id, r.mention) for r in mentions.distinct().collect()}
+    assert set(pairs) == want
