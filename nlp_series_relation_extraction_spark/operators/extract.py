@@ -134,6 +134,11 @@ def extract_turn_results(
         df = df.repartition(num_partitions, "conv_id")
     else:
         df = df.repartition("conv_id")
+    if batch_forward:
+        # length bucketing: sorting turns by length within partitions keeps
+        # the batched forward's dynamic padding dense (the reference pads to
+        # batch max-len, dataset_baseline.py:180-184 — SURVEY §4 micro-opt)
+        df = df.sortWithinPartitions(F.length("text"))
     return df.mapInPandas(
         _make_udf(head, planted, seed, max_len, batch_forward),
         schema=TURN_RESULT_SCHEMA,

@@ -122,3 +122,22 @@ def test_null_text_rows_survive(spark):
     assert len(rows) == 3  # null/empty turns still produce result rows
     assert rows[("c1", 1)].triples == [] and rows[("c1", 1)].entities == []
     assert rows[("c2", 0)].triples == []
+
+
+def test_batch_forward_with_length_bucketing_matches(spark):
+    t = synth_transcripts(spark, 100, seed=6, partitions=4)
+    a = _spark_triples(
+        extract_triples(t, head="bio", planted=False).collect()
+    )
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_turn_results,
+    )
+    from pyspark.sql import functions as F2
+
+    turns = extract_turn_results(t, head="bio", batch_forward=True)
+    b = _spark_triples(
+        turns.select("conv_id", "turn_idx", F2.explode("triples").alias("spo"))
+        .select("conv_id", "turn_idx", "spo.*")
+        .collect()
+    )
+    assert a == b
