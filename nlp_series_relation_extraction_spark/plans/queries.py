@@ -279,10 +279,10 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
         F.size(
             F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
-        ).alias("n_bpe_tokens"),
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -301,8 +301,8 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.length(F.col("text"))
     return d.select(
         "doc_id",
-        ascii_n.alias("n_ascii"),
-        total.alias("n_total"),
+        ascii_n.cast("long").alias("n_ascii"),
+        total.cast("long").alias("n_total"),
         F.when(ascii_n * 10 >= total * 9, F.lit("en"))
         .otherwise(F.lit("other"))
         .alias("lang_pred"),
@@ -325,14 +325,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
         F.size(
             F.expr(
                 "regexp_extract_all(text, '\\\\b(the|a|and|of|to|in|is|it)\\\\b', 0)"
             )
-        ).alias("n_stopwords"),
-        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).alias(
+        ).cast("long").alias("n_stopwords"),
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("long").alias(
             "n_punct"
         ),
     )
