@@ -269,8 +269,16 @@ def link_mentions(
     dimension join).
     """
     norm = normalize_mentions(mention_occurrences)
-    dm = distinct_mentions(norm)
-    edges = candidate_pairs(dm, max_block=max_block, threshold=threshold)
+    # materialize the deduped mention table and the edge set ONCE: linking
+    # fans out into several consumers and an iterative loop, and without a
+    # checkpoint every action would re-execute the (expensive) upstream
+    # extraction UDF that produced the mentions (SURVEY §4 risk). At cluster
+    # scale these become persisted stage tables (plans/pipeline.py does so);
+    # localCheckpoint is the in-session equivalent.
+    dm = distinct_mentions(norm).localCheckpoint(eager=True)
+    edges = candidate_pairs(
+        dm, max_block=max_block, threshold=threshold
+    ).localCheckpoint(eager=True)
     comps = connected_components(dm, edges, max_iter=max_iter)
     entities, aliases = canonical_entities(dm, comps)
     linked = salted_join(

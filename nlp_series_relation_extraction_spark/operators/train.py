@@ -92,6 +92,8 @@ def train_bio_head(
     df = transcripts.select("text", "gold_json")
     if num_partitions:
         df = df.repartition(num_partitions)
+    # every epoch is a fresh action over the same rows: materialize once
+    df = df.localCheckpoint(eager=True)
 
     history: list[float] = []
     best = (np.inf, W.copy())

@@ -605,7 +605,11 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _kg_turns(spark, sf_dir)
     transcripts = synth_transcripts(spark, n, seed=42)
-    trip = extract_triples(transcripts, head="mpn", planted=True)
+    # materialize the UDF stage once: the mention union + linking otherwise
+    # re-execute extraction on every downstream action
+    trip = extract_triples(transcripts, head="mpn", planted=True).localCheckpoint(
+        eager=True
+    )
     mentions = trip.select(
         "conv_id", "turn_idx", F.col("subject").alias("mention")
     ).unionByName(
@@ -628,7 +632,11 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _kg_turns(spark, sf_dir)
     transcripts = synth_transcripts(spark, n, seed=42)
-    trip = extract_triples(transcripts, head="mpn", planted=True)
+    # materialize the UDF stage once: the mention union + linking otherwise
+    # re-execute extraction on every downstream action
+    trip = extract_triples(transcripts, head="mpn", planted=True).localCheckpoint(
+        eager=True
+    )
     mentions = trip.select(
         "conv_id", "turn_idx", F.col("subject").alias("mention")
     ).unionByName(
