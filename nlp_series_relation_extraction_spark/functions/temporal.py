@@ -1,0 +1,93 @@
+"""Temporal operators: as-of join and multi-resolution rollups.
+
+The as-of join is the relational twin of the reference's pointer-pairing
+decode (``end[end >= i][0]`` — nearest FOLLOWING event, model_mpn.py:173;
+see SURVEY §2.5): for each left row, attach the first right row at or after
+it within the same key. Expressed as a union + window (sort once per key,
+no range-explosion join), the standard Spark formulation that scales as a
+single shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, the first right row with time >= left time in the
+    same key group (ties: right row at the same timestamp matches).
+
+    Implementation: tag and union both sides, sort within key by
+    (time, left-before-right at equal time so an equal-timestamp right row
+    stays inside the left row's following frame), then take the first
+    following right row via ``first(... ignoreNulls) over (rows between
+    current and unbounded following)``. One shuffle, no O(n^2) range join.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in (key, time_col) else F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+        ],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(time_col).asc(),
+            F.col("_is_left").desc(),
+            # deterministic among right rows sharing a timestamp (right_cols
+            # should include a unique id)
+            *[F.col(f"_r_{c}").asc_nulls_last() for c in right_cols],
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = u.select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"next_{c}")
+            for c in right_cols
+        ],
+    )
+    return out.where(F.col("_is_left") == 1).drop(
+        "_is_left", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def rollup_time_buckets(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_col: str,
+    bucket_minutes: int,
+) -> DataFrame:
+    """Hypertable-style rollup: per (bucket, group) count + integer-cents sum
+    (exact across engines)."""
+    # bucket as epoch seconds (BIGINT): timezone-proof across engines
+    bucket = F.expr(
+        f"cast(floor(unix_timestamp({time_col}) / {bucket_minutes * 60}) as bigint)"
+        f" * {bucket_minutes * 60}"
+    )
+    return (
+        df.groupBy(bucket.alias("bucket_epoch"), F.col(group_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr(f"cast(round({value_col} * 100) as bigint)")
+            ).alias("value_cents"),
+        )
+    )

@@ -649,6 +649,58 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_table(canonical_triples(trip, aliases))
 
 
+def q_events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest FOLLOWING match per key) — the relational twin of
+    the pointer-pairing decode (end[end>=i][0], SURVEY §2.5): for every
+    'error' event, the first 'click' by the same user at or after it."""
+    from ..functions.temporal import asof_join_next
+
+    e = t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join_next(errors, clicks, key="user_id", time_col="ts",
+                         right_cols=["click_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("next_click_id").alias("next_click_id"),
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+  (SELECT min(c.event_id) FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      AND c.ts = (SELECT min(c2.ts) FROM events c2
+                  WHERE c2.event_type = 'click' AND c2.user_id = e.user_id
+                    AND c2.ts >= e.ts)) AS next_click_id
+FROM events e WHERE e.event_type = 'error'
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style 15-minute rollup per event type (epoch-second
+    buckets, integer-cents sums — exact across engines)."""
+    from ..functions.temporal import rollup_time_buckets
+
+    return rollup_time_buckets(
+        t(spark, sf_dir, "events"), "ts", "value", "event_type", 15
+    )
+
+
+_ROLLUP_SQL = """
+SELECT cast(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bucket_epoch,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def _kg_selfeval(head: str):
     """End-to-end self-evaluation: extract with planted labels, score
     against the exploded gold table with the DuIE exact-match metric. The
@@ -694,6 +746,8 @@ def queries() -> dict:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "events_sessionize": q_events_sessionize,
+        "events_asof_next": q_events_asof_next,
+        "events_rollup": q_events_rollup,
     }
     q.update(
         {
@@ -730,6 +784,8 @@ def oracle_sql() -> dict:
         "doc_quality": _QUALITY_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        "events_asof_next": _ASOF_SQL,
+        "events_rollup": _ROLLUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_simhash": __import__(

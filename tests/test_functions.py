@@ -150,3 +150,48 @@ def test_jaccard_max_df_guard(spark):
     # identical docs still pair via their rare shingles; the ubiquitous
     # shingle alone creates NO pairs
     assert pairs == {(100, 101)}
+
+
+def test_asof_join_next_semantics(spark):
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        asof_join_next,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 00:00:10"), (2, "u1", "2024-01-01 00:01:00"),
+         (3, "u2", "2024-01-01 00:00:00")],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:10", 100),  # equal ts -> matches event 1
+         ("u1", "2024-01-01 00:00:30", 101),
+         ("u2", "2023-12-31 23:59:59", 102)],  # before -> no match for u2
+        "user_id string, ts string, click_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.event_id: r.next_click_id
+        for r in asof_join_next(
+            left, right, key="user_id", time_col="ts", right_cols=["click_id"]
+        ).collect()
+    }
+    assert out == {1: 100, 2: None, 3: None}
+
+
+def test_rollup_buckets(spark):
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        rollup_time_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:01:00", 1.25), ("a", "2024-01-01 00:14:59", 2.0),
+         ("a", "2024-01-01 00:15:00", 4.0), ("b", "2024-01-01 00:02:00", 8.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        (r.bucket_epoch, r.event_type): (r.n_events, r.value_cents)
+        for r in rollup_time_buckets(df, "ts", "value", "event_type", 15).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert rows[(base, "a")] == (2, 325)
+    assert rows[(base + 900, "a")] == (1, 400)
+    assert rows[(base, "b")] == (1, 800)
