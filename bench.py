@@ -52,6 +52,8 @@ RELATIONAL = [
     "ann_cosine_topk",
     "ann_topk_lsh",
     "events_sessionize",
+    "events_asof_next",
+    "events_rollup",
 ]
 
 
