@@ -57,21 +57,38 @@ def decode_subject_spans(sub_probs: np.ndarray, n_tokens: int) -> list[tuple[int
 
 
 def decode_typed_spans(
-    start_probs: np.ndarray, end_probs: np.ndarray
+    start_probs: np.ndarray,
+    end_probs: np.ndarray,
+    n_tokens: int | None = None,
 ) -> tuple[list[tuple[int, int]], list[int], dict[int, int]]:
     """mhs/biaffine typed span decode. ``start_probs``/``end_probs``:
-    [L, E+1] sigmoid probs. Returns (spans, end_positions, end_pos->type)."""
+    [L, E+1] sigmoid probs. Returns (spans, end_positions, end_pos->type).
+
+    Deliberate robustness deviation from the reference: spans anchored at
+    [CLS] (index 0) or reaching [SEP]/beyond (> n_tokens-2) are excluded,
+    matching the mpn subject guards (model_mpn.py:169-174). The reference's
+    mhs decode has no such guard and its span->text reconstruction then
+    indexes tok_to_orig[-1] (silent wraparound) or past the end (crash) —
+    reachable only when the encoder fires on special-token positions, which
+    a trained model rarely does but a stand-in encoder will.
+    """
+    if n_tokens is None:
+        n_tokens = start_probs.shape[0]
     start, start_tp = np.nonzero(start_probs > PAIR_SCORE_THRESHOLD)
     end, end_tp = np.nonzero(end_probs > PAIR_SCORE_THRESHOLD)
     spans: list[tuple[int, int]] = []
     end_list: list[int] = []
     end_type: dict[int, int] = {}
     for i, t in zip(start, start_tp):
+        if i == 0 or i > n_tokens - 2:
+            continue
         sel = end >= i
         j = end[sel]
         te = end_tp[sel]
         if len(j) > 0 and te[0] == t:
             j0 = int(j[0])
+            if j0 > n_tokens - 2:
+                continue
             spans.append((int(i), j0))
             end_list.append(j0)
             end_type[j0] = int(t)

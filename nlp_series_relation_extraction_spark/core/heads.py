@@ -129,7 +129,7 @@ def extract_mhs_row(
             if biaffine
             else encoder.pair_cube(tokens)
         )
-    spans, end_list, _ = decode_typed_spans(start, end)
+    spans, end_list, _ = decode_typed_spans(start, end, n_tokens=len(tokens))
     spoes = decode_pair_cube(cube, end_list, spans)
     return decode_span_sentence(text, spoes, tok_start, tok_end, spans)
 

@@ -26,15 +26,24 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows: distinct word n-grams (space-joined)."""
+    """(id, shingle) rows: distinct word n-grams (space-joined).
+
+    Documents with fewer than n words emit NO shingles (matching the DuckDB
+    oracle's empty generate_series(1,0)) — a plain greatest(...,0) guard
+    would feed sequence(1,0), which Spark evaluates as the DESCENDING
+    [1, 0] and slice(words, 0, n) then throws.
+    """
     words = F.split(F.col(text_col), " ")
     if n == 1:
         sh = F.array_distinct(words)
     else:
+        w = f"split({text_col}, ' ')"
         sh = F.array_distinct(
             F.expr(
-                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
-                f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+                f"case when size({w}) >= {n} then "
+                f"transform(sequence(1, size({w}) - {n - 1}),"
+                f" i -> concat_ws(' ', slice({w}, i, {n}))) "
+                f"else array() end"
             )
         )
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))

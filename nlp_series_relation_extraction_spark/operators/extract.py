@@ -164,6 +164,21 @@ def extract_triples(
     ).select("conv_id", "turn_idx", "spo.*")
 
 
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """Mention occurrences from a triple table: subject + object @value per
+    row. Single definition shared by the pipeline, the linking queries and
+    eval — keep mention derivation from drifting between them."""
+    return triples.select(
+        "conv_id", "turn_idx", F.col("subject").alias("mention")
+    ).unionByName(
+        triples.select(
+            "conv_id",
+            "turn_idx",
+            F.element_at("object", "@value").alias("mention"),
+        )
+    )
+
+
 def extract_entities(
     transcripts: DataFrame,
     head: str = "bio",

@@ -64,7 +64,11 @@ def extract_triples_mpn_twostage(
         for pdf in batches:
             yield decode_subjects_rows(pdf, seed, max_len)
 
-    subjects = df.mapInPandas(stage1, schema=SUBJECTS_SCHEMA)
+    # stage 1 feeds BOTH the fan-out and the final reassembly join:
+    # materialize once or the tokenize+subject-decode UDF runs twice
+    subjects = df.mapInPandas(stage1, schema=SUBJECTS_SCHEMA).localCheckpoint(
+        eager=False
+    )
 
     fanout = subjects.select(
         "conv_id",

@@ -141,7 +141,7 @@ def candidate_pairs(
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
-    max_iter: int = 10,
+    max_iter: int = 15,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Min-label propagation: (mention_id, component_id).
@@ -149,8 +149,11 @@ def connected_components(
     ``vertices``: any df with mention_id; ``edges``: (a_id, b_id).
     Each round joins current labels over undirected edges and takes the min
     neighbor label; stops at fixpoint (count of changed labels == 0) or
-    max_iter. Lineage is broken every round (localCheckpoint) so plans stay
-    flat — at cluster scale this would be a persisted table per round.
+    max_iter. Convergence needs O(component diameter) rounds — alias
+    clusters are shallow in practice, but if max_iter is hit with labels
+    still changing a warning is emitted (a split component would otherwise
+    be silent). Lineage is broken every round (localCheckpoint) so plans
+    stay flat — at cluster scale this would be a persisted table per round.
     """
     # iterate ONLY over vertices that touch an edge — isolated mentions (the
     # overwhelming majority of a deduped mention table) keep their own label
@@ -208,6 +211,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} with {changed} "
+            "labels still changing — some components may be split; raise "
+            "max_iter (component diameter bounds the rounds needed)",
+            stacklevel=2,
+        )
     return labels.unionByName(isolated)
 
 
@@ -260,7 +272,7 @@ def link_mentions(
     mention_occurrences: DataFrame,
     threshold: float = 0.5,
     max_block: int = 200,
-    max_iter: int = 10,
+    max_iter: int = 15,
 ) -> dict[str, DataFrame]:
     """Full linking pipeline. Input: (conv_id, turn_idx, mention).
 

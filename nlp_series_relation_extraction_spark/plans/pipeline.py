@@ -130,17 +130,11 @@ def run_kg_pipeline(
         params={"head": head, "planted": planted},
     )
 
+    from ..operators.extract import mentions_from_triples
+
     mentions = store.run_stage(
         "mentions",
-        lambda: triples.select(
-            "conv_id", "turn_idx", F.col("subject").alias("mention")
-        ).unionByName(
-            triples.select(
-                "conv_id",
-                "turn_idx",
-                F.element_at("object", "@value").alias("mention"),
-            )
-        ),
+        lambda: mentions_from_triples(triples),
         inputs=["triples"],
     )
 

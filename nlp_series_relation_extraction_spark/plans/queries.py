@@ -41,15 +41,15 @@ def _kg_extract(head: str):
         n = _kg_turns(spark, sf_dir)
         transcripts = synth_transcripts(spark, n, seed=42)
         trip = extract_triples(transcripts, head=head, planted=True)
-        return trip.select(
+        from ..evaluation.metrics import with_object_json
+
+        return with_object_json(trip).select(
             "conv_id",
             "turn_idx",
             "predicate",
             "subject",
             "subject_type",
-            F.to_json(
-                F.map_from_entries(F.array_sort(F.map_entries("object")))
-            ).alias("object_json"),
+            F.col("object_json"),
         )
 
     return q
@@ -610,14 +610,9 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip = extract_triples(transcripts, head="mpn", planted=True).localCheckpoint(
         eager=True
     )
-    mentions = trip.select(
-        "conv_id", "turn_idx", F.col("subject").alias("mention")
-    ).unionByName(
-        trip.select(
-            "conv_id", "turn_idx",
-            F.element_at("object", "@value").alias("mention"),
-        )
-    )
+    from ..operators.extract import mentions_from_triples
+
+    mentions = mentions_from_triples(trip)
     out = link_mentions(mentions)
     return out["entities"].select(
         "entity_id", "canonical_name", "n_mentions", "n_occurrences"
@@ -637,14 +632,9 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip = extract_triples(transcripts, head="mpn", planted=True).localCheckpoint(
         eager=True
     )
-    mentions = trip.select(
-        "conv_id", "turn_idx", F.col("subject").alias("mention")
-    ).unionByName(
-        trip.select(
-            "conv_id", "turn_idx",
-            F.element_at("object", "@value").alias("mention"),
-        )
-    )
+    from ..operators.extract import mentions_from_triples
+
+    mentions = mentions_from_triples(trip)
     aliases = link_mentions(mentions)["aliases"]
     return edge_table(canonical_triples(trip, aliases))
 

@@ -47,9 +47,12 @@ TRANSCRIPTS_SCHEMA = T.StructType(
 
 def read_duie_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Line-delimited DuIE records -> transcripts-shaped rows: each line
-    becomes one single-turn conversation (conv_id from a stable hash of
-    position-independent content + monotonic id). Missing ``spo_list`` is
-    tolerated, matching the reference's .get() default."""
+    becomes one single-turn conversation. conv_id derives from
+    monotonically_increasing_id, i.e. it is stable WITHIN one read but
+    depends on partition layout — join pred/gold tables built from the SAME
+    DataFrame (as the tests do), not from two separate reads of the file.
+    Missing ``spo_list`` is tolerated, matching the reference's .get()
+    default."""
     raw = spark.read.schema(DUIE_SCHEMA).json(path)
     return (
         raw.withColumn("_rid", F.monotonically_increasing_id())
@@ -80,10 +83,10 @@ def read_transcripts(
 def write_prediction_jsonl(turn_results: DataFrame, path: str) -> None:
     """Per-turn prediction sink: one JSON object per line with the
     reference's output shape {text?, spo_list}; UTF-8 (non-ASCII kept
-    verbatim, ensure_ascii=False semantics). Ordered by (conv_id, turn_idx)
+    verbatim, ensure_ascii=False semantics). Sorted by (conv_id, turn_idx)
     within files for the stable-ordering invariant."""
     (
-        turn_results.select(
+        turn_results.sortWithinPartitions("conv_id", "turn_idx").select(
             F.to_json(
                 F.struct(
                     F.col("conv_id"),

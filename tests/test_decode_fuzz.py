@@ -41,6 +41,7 @@ def naive_subject_decode(sub, n_tokens):
 
 
 def naive_typed_decode(start_m, end_m):
+    n_tokens = len(start_m)
     starts = [
         (i, t)
         for i in range(len(start_m))
@@ -55,8 +56,10 @@ def naive_typed_decode(start_m, end_m):
     ]
     spans, end_list = [], []
     for i, t in starts:
+        if i == 0 or i > n_tokens - 2:  # [CLS]/[SEP] guard
+            continue
         cand = [(j, te) for j, te in ends if j >= i]
-        if cand and cand[0][1] == t:
+        if cand and cand[0][1] == t and cand[0][0] <= n_tokens - 2:
             spans.append((i, cand[0][0]))
             end_list.append(cand[0][0])
     return spans, end_list
