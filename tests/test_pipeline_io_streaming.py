@@ -281,3 +281,17 @@ def test_stateful_first_seen_mentions(spark, tmp_path):
     ).where(F2.length("mention") > 0)
     want = {(r.conv_id, r.mention) for r in mentions.distinct().collect()}
     assert set(pairs) == want
+
+
+def test_pipeline_with_gold_eval_stage(spark, tmp_path):
+    from nlp_series_relation_extraction_spark.sources.synthetic import gold_triples
+
+    wd = str(tmp_path / "kg_eval")
+    t = synth_transcripts(spark, 100, seed=42, partitions=3)
+    gold = gold_triples(spark, t)
+    out = run_kg_pipeline(spark, t, wd, head="mpn", planted=True, gold=gold)
+    ev = out["eval"].collect()[0]
+    # planted extraction must reproduce gold exactly through the pipeline
+    assert (ev.fp, ev.fn) == (0, 0)
+    assert ev.precision == 1.0 and ev.recall == 1.0 and ev.f1 == 1.0
+    assert ev.tp > 50

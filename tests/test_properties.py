@@ -84,3 +84,23 @@ def test_search_spo_index_invariants(tokens, subj, obj):
             assert not (s <= o < s + len(subj))
         elif len(obj) > len(subj):
             assert not (o <= s < o + len(obj))
+
+
+_weird = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",)  # no lone surrogates (invalid UTF-8)
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_weird)
+def test_extraction_never_crashes_on_arbitrary_text(text):
+    from nlp_series_relation_extraction_spark.core.heads import HEADS, extract_row
+
+    for head in HEADS:
+        res = extract_row(head, text, max_len=64)
+        assert isinstance(res["spo_list"], list)
+        assert isinstance(res["entity_list"], list)
