@@ -19,7 +19,7 @@ Pipeline (all DataFrame ops, shuffle-conscious):
    pairs >= ``threshold`` become edges.
 5. **connected components** — iterative min-label propagation over edges
    (alternating join + aggregate, lineage broken via localCheckpoint each
-   round; O(log n) rounds for chain-shaped clusters, few rounds in practice).
+   round; O(component diameter) rounds, warned if the cap is hit).
 6. **canonical entities** — per component: canonical name = highest
    occurrence count (ties: lexicographic min), stable canonical id =
    min mention hash. Alias table maps every mention to its canonical id.
