@@ -71,13 +71,18 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     qs = Q.queries()
 
     for head, n_turns in BENCH_TURNS.items():
+        # materialize the synthetic input BEFORE the timer so the reported
+        # throughput is extraction, not generation+extraction
+        transcripts = synth_transcripts(spark, n_turns, seed=42).localCheckpoint(
+            eager=True
+        )
         t0 = time.time()
-        transcripts = synth_transcripts(spark, n_turns, seed=42)
         n = extract_triples(transcripts, head=head, planted=False).count()
         dt = time.time() - t0
         timings[f"kg_extract_{head}"] = round(dt, 3)
         extras[f"turns_per_sec_{head}"] = round(n_turns / dt, 1)
         extras[f"triples_{head}"] = n
+        transcripts.unpersist()
 
     for name in RELATIONAL:
         t0 = time.time()
@@ -128,18 +133,21 @@ def scaling_run(n_turns: int = 800_000, head: str = "mpn") -> dict:
     import shutil
     import tempfile
 
+    # cache key carries turn count + generator seed; a generator change
+    # should bump SEED or clear /tmp to avoid benchmarking stale data
+    SEED = 42
     path = os.path.join(
-        tempfile.gettempdir(), f"nre_bench_transcripts_{n_turns}_p128"
+        tempfile.gettempdir(), f"nre_bench_transcripts_{n_turns}_s{SEED}_p128"
     )
     if not os.path.isdir(path):
         spark = get_spark(app_name="nre-bench-gen", master=f"local[{CPUS}]")
         spark.sparkContext.setLogLevel("ERROR")
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         # pre-partition by conv_id at write time — the 100TB production
         # layout (Iceberg partitioning); the measured job then has NO
         # pre-UDF shuffle, just scan -> Arrow UDF -> explode -> count
-        synth_transcripts(spark, n_turns, seed=42).repartition(
+        synth_transcripts(spark, n_turns, seed=SEED).repartition(
             128, "conv_id"
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, path)
@@ -192,8 +200,9 @@ def scaling_run(n_turns: int = 800_000, head: str = "mpn") -> dict:
 
 
 def write_scaling_report(res: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH — two-cluster-size scaling run (N vs 4N cores)\n\n"
             "Same job — KG %s-head extraction (hash encoder) over %d synthetic\n"

@@ -39,8 +39,26 @@ class StageStore:
     def path(self, name: str) -> str:
         return os.path.join(self.workdir, name)
 
-    def done(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+    def _params_path(self, name: str) -> str:
+        return os.path.join(self.workdir, f"{name}._params.json")
+
+    def done(self, name: str, params: dict | None = None) -> bool:
+        """Complete = success marker present AND recorded params match.
+
+        Resuming a checkpoint produced under different parameters (another
+        head, threshold, ...) would silently return stale results labeled
+        with the new parameters — a param mismatch forces recompute instead.
+        """
+        if not os.path.exists(os.path.join(self.path(name), "_SUCCESS")):
+            return False
+        if params is None:
+            return True
+        try:
+            with open(self._params_path(name)) as f:
+                recorded = json.load(f)
+        except FileNotFoundError:
+            recorded = {}
+        return recorded == params
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
@@ -55,12 +73,14 @@ class StageStore:
     ) -> DataFrame:
         """Build + materialize a stage unless already complete (resume)."""
         t0 = time.time()
-        if not self.done(name):
+        if not self.done(name, params or {}):
             df = builder()
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(self.path(name))
+            with open(self._params_path(name), "w") as f:
+                json.dump(params or {}, f)
             status = "computed"
         else:
             status = "resumed"
@@ -138,19 +158,22 @@ def run_kg_pipeline(
         inputs=["triples"],
     )
 
-    if not store.done("entities") or not store.done("aliases"):
+    link_params = {"threshold": link_threshold}
+    if not store.done("entities", link_params) or not store.done("aliases", {}):
         linked = link_mentions(mentions, threshold=link_threshold)
         entities = store.run_stage(
             "entities",
             lambda: linked["entities"],
             inputs=["mentions"],
-            params={"threshold": link_threshold},
+            params=link_params,
         )
         aliases = store.run_stage(
             "aliases", lambda: linked["aliases"], inputs=["mentions"]
         )
     else:
-        entities = store.run_stage("entities", None, inputs=["mentions"])
+        entities = store.run_stage(
+            "entities", None, inputs=["mentions"], params=link_params
+        )
         aliases = store.run_stage("aliases", None, inputs=["mentions"])
 
     canon = store.run_stage(

@@ -25,17 +25,26 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
-        os.environ.get("SPARK_GRAFT_CPUS", "*")
-    )
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        # under spark-submit, spark.master is already set — do NOT override
+        # it (a hardcoded local[*] default would silently pull a cluster
+        # launch back onto the driver); fall back to local only when no
+        # master is configured anywhere
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cores, 8)))
         )
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -47,15 +47,16 @@ def main() -> None:
         synth_transcripts,
     )
 
+    if not args.synthetic and not args.input:
+        ap.error("need --input or --synthetic")  # validate before JVM startup
+
     spark = get_spark(app_name="kg-pipeline", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synthetic:
         transcripts = synth_transcripts(spark, args.synthetic, seed=42)
-    elif args.input:
-        transcripts = read_transcripts(spark, args.input, fmt=args.format)
     else:
-        ap.error("need --input or --synthetic")
+        transcripts = read_transcripts(spark, args.input, fmt=args.format)
 
     out = run_kg_pipeline(
         spark,
@@ -65,7 +66,14 @@ def main() -> None:
         planted=args.planted,
         link_threshold=args.link_threshold,
     )
-    summary = {name: df.count() for name, df in out.items()}
+    # per-stage row counts were already recorded by the pipeline's metrics
+    # pass — read them back instead of re-counting every stage table
+    rows = {}
+    with open(os.path.join(args.workdir, "metrics.jsonl")) as f:
+        for line in f:
+            m = json.loads(line)
+            rows[m["stage"]] = m["rows"]
+    summary = {name: rows.get(name) for name in out}
     print(json.dumps({"workdir": args.workdir, "head": args.head, "rows": summary}))
     spark.stop()
 

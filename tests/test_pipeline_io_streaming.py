@@ -295,3 +295,19 @@ def test_pipeline_with_gold_eval_stage(spark, tmp_path):
     assert (ev.fp, ev.fn) == (0, 0)
     assert ev.precision == 1.0 and ev.recall == 1.0 and ev.f1 == 1.0
     assert ev.tp > 50
+
+
+def test_resume_with_changed_params_recomputes(spark, tmp_path):
+    wd = str(tmp_path / "kg3")
+    t = synth_transcripts(spark, 60, seed=5, partitions=2)
+    out_bio = run_kg_pipeline(spark, t, wd, head="bio", planted=True)
+    bio_triples = _collect_triples(out_bio)
+    # same workdir, different head: stale bio checkpoints must NOT be
+    # resumed and mislabeled as mpn output
+    out_mpn = run_kg_pipeline(spark, t, wd, head="mpn", planted=True)
+    metrics = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    second = [m for m in metrics[len(metrics) // 2:] if m["stage"] == "triples"]
+    assert second and second[0]["status"] == "computed"
+    # and a third run with the same params resumes again
+    out_mpn2 = run_kg_pipeline(spark, t, wd, head="mpn", planted=True)
+    assert _collect_triples(out_mpn2) == _collect_triples(out_mpn)
