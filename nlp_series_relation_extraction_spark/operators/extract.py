@@ -34,6 +34,7 @@ TURN_RESULT_SCHEMA = (
     "triples array<struct<predicate:string, subject:string, subject_type:string, "
     "object:map<string,string>, object_type:map<string,string>>>"
 )
+TURN_RESULT_SCHEMA_WITH_TEXT = TURN_RESULT_SCHEMA + ", text string"
 
 TRIPLE_COLUMNS = [
     "conv_id",
@@ -46,7 +47,7 @@ TRIPLE_COLUMNS = [
 ]
 
 
-def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False):
+def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False, keep_text: bool = False):
     def run(batches):
         for pdf in batches:
             out = {
@@ -94,6 +95,8 @@ def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: 
                         for s in res["spo_list"]
                     ]
                 )
+            if keep_text:
+                out["text"] = pdf["text"].tolist()
             import pandas as pd
 
             yield pd.DataFrame(out)
@@ -110,8 +113,11 @@ def extract_turn_results(
     num_partitions: int | None = None,
     batch_forward: bool = False,
     pre_partitioned: bool = False,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Per-turn extraction results (entities + triples arrays).
+    ``keep_text=True`` carries the (normalized) turn text through — needed
+    for the reference-shaped prediction sink.
 
     ``planted=True`` reads the ``gold_json`` column (fixture mode) so decode
     reproduces gold exactly; otherwise the deterministic HashEncoder runs.
@@ -140,8 +146,8 @@ def extract_turn_results(
         # batch max-len, dataset_baseline.py:180-184 — SURVEY §4 micro-opt)
         df = df.sortWithinPartitions(F.length("text"))
     return df.mapInPandas(
-        _make_udf(head, planted, seed, max_len, batch_forward),
-        schema=TURN_RESULT_SCHEMA,
+        _make_udf(head, planted, seed, max_len, batch_forward, keep_text),
+        schema=TURN_RESULT_SCHEMA_WITH_TEXT if keep_text else TURN_RESULT_SCHEMA,
     )
 
 

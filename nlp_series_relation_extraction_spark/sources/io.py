@@ -98,6 +98,27 @@ def write_prediction_jsonl(turn_results: DataFrame, path: str) -> None:
     )
 
 
+def write_prediction_jsonl_reference_format(
+    turn_results_with_text: DataFrame, path: str
+) -> None:
+    """Reference-shaped prediction sink: one ``{"text": ..., "spo_list":
+    [...]}`` object per line (utils/utils.py:275-282 + run_mpn.py
+    formatted_outputs), UTF-8 verbatim, sorted within files."""
+    (
+        turn_results_with_text.sortWithinPartitions("conv_id", "turn_idx")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("text"),
+                    F.col("triples").alias("spo_list"),
+                )
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def write_triples(
     triples: DataFrame, path: str, fmt: str = "parquet"
 ) -> None:

@@ -311,3 +311,49 @@ def test_resume_with_changed_params_recomputes(spark, tmp_path):
     # and a third run with the same params resumes again
     out_mpn2 = run_kg_pipeline(spark, t, wd, head="mpn", planted=True)
     assert _collect_triples(out_mpn2) == _collect_triples(out_mpn)
+
+
+def test_reference_format_prediction_sink(spark, tmp_path):
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_turn_results,
+    )
+    from nlp_series_relation_extraction_spark.sources.io import (
+        write_prediction_jsonl_reference_format,
+    )
+
+    t = synth_transcripts(spark, 30, seed=9, partitions=2)
+    res = extract_turn_results(t, head="mpn", planted=True, keep_text=True)
+    out_dir = str(tmp_path / "refpred")
+    write_prediction_jsonl_reference_format(res, out_dir)
+    lines = []
+    for fn in sorted(os.listdir(out_dir)):
+        if fn.startswith("part-"):
+            with open(os.path.join(out_dir, fn), encoding="utf-8") as f:
+                lines += [json.loads(x) for x in f if x.strip()]
+    assert len(lines) == 30
+    # exactly the reference's record shape: {"text": ..., "spo_list": [...]}
+    assert all(set(x) == {"text", "spo_list"} for x in lines)
+    withspo = [x for x in lines if x["spo_list"]]
+    assert withspo and {"predicate", "subject", "subject_type", "object",
+                        "object_type"} <= set(withspo[0]["spo_list"][0])
+
+
+def test_linking_deterministic_across_runs(spark):
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_triples,
+        mentions_from_triples,
+    )
+    from nlp_series_relation_extraction_spark.operators.linking import link_mentions
+
+    t = synth_transcripts(spark, 150, seed=3, partitions=4)
+    trip = extract_triples(t, head="mpn", planted=True).localCheckpoint(eager=True)
+    m = mentions_from_triples(trip)
+
+    def run():
+        out = link_mentions(m)
+        return sorted(
+            (r.entity_id, r.canonical_name, r.n_mentions, r.n_occurrences)
+            for r in out["entities"].collect()
+        )
+
+    assert run() == run()
