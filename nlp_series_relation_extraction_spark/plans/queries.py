@@ -709,6 +709,58 @@ def _kg_selfeval(head: str):
     return q
 
 
+def q_kg_selfeval_entity_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity exact-match self-eval (run_evaluation.py:191-208
+    semantics): decoded subject mentions (mpn, planted) vs the gold subject
+    entity list — expected em==pred_num==gold_num, P=R=F1=100."""
+    import pandas as pd
+
+    from ..evaluation.metrics import entity_em
+    from ..operators.extract import extract_entities
+
+    n = _kg_turns(spark, sf_dir)
+    transcripts = synth_transcripts(spark, n, seed=42)
+    pred = extract_entities(transcripts, head="mpn", planted=True)
+
+    def gold_entities(batches):
+        import json
+
+        from ..core.labeling import span_gold_spoes
+        from ..core.tokenization import normalize_text
+
+        for pdf in batches:
+            rows = {"conv_id": [], "turn_idx": [], "mention": []}
+            for cid, tix, text, gj in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["gold_json"]
+            ):
+                enc = span_gold_spoes(normalize_text(text), json.loads(gj))
+                for m in enc["sub_entity_list"]:
+                    rows["conv_id"].append(cid)
+                    rows["turn_idx"].append(tix)
+                    rows["mention"].append(m)
+            yield pd.DataFrame(rows)
+
+    gold = transcripts.select(
+        "conv_id", "turn_idx", "text", "gold_json"
+    ).mapInPandas(gold_entities, "conv_id string, turn_idx int, mention string")
+    return entity_em(pred, gold)
+
+
+def q_kg_extract_mpn_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed (turn, subject) fan-out mpn plan through the driver
+    (rows-only; asserted equal to the single-stage plan in pytest)."""
+    from ..operators.extract_mpn_twostage import extract_triples_mpn_twostage
+
+    n = _kg_turns(spark, sf_dir)
+    transcripts = synth_transcripts(spark, n, seed=42)
+    trip = extract_triples_mpn_twostage(transcripts)
+    from ..evaluation.metrics import with_object_json
+
+    return with_object_json(trip).select(
+        "conv_id", "turn_idx", "predicate", "subject", "object_json"
+    )
+
+
 def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BIO-head training (rows-only): per-epoch masked-BCE loss
     from synchronous data-parallel SGD; deterministic given the seed."""
@@ -754,6 +806,8 @@ def queries() -> dict:
             "kg_train_bio": q_kg_train_bio,
             "kg_selfeval_prf_mpn": _kg_selfeval("mpn"),
             "kg_selfeval_prf_bio": _kg_selfeval("bio"),
+            "kg_selfeval_entity_em": q_kg_selfeval_entity_em,
+            "kg_extract_mpn_twostage": q_kg_extract_mpn_twostage,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
