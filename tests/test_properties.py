@@ -104,3 +104,74 @@ def test_extraction_never_crashes_on_arbitrary_text(text):
         res = extract_row(head, text, max_len=64)
         assert isinstance(res["spo_list"], list)
         assert isinstance(res["entity_list"], list)
+
+
+_cjk_texts = st.text(
+    alphabet=st.sampled_from(list("甲乙丙丁戊己庚辛壬癸《》，。abc123")),
+    min_size=1,
+    max_size=30,
+)
+_entities = st.text(
+    alphabet=st.sampled_from(list("甲乙丙丁戊")), min_size=1, max_size=4
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_cjk_texts, _entities, _entities)
+def test_bio_labels_shape_and_search_consistency(text, subj, obj):
+    from nlp_series_relation_extraction_spark.config import (
+        BIO_NUM_LABELS,
+        PREDICATE2ID,
+    )
+    from nlp_series_relation_extraction_spark.core.labeling import (
+        bio_token_labels,
+    )
+
+    gold = [{
+        "predicate": "作者", "subject": subj, "subject_type": "图书作品",
+        "object": {"@value": obj}, "object_type": {"@value": "人物"},
+    }]
+    enc = bio_token_labels(text, gold)
+    labels = enc["labels"]
+    assert len(labels) == len(enc["tokens"]) == len(enc["offset_mapping"])
+    assert all(len(row) == BIO_NUM_LABELS for row in labels)
+    # every token carries at least one label (O backfill)
+    assert all(any(row) for row in labels)
+    k = PREDICATE2ID["作者"]
+    subj_planted = any(row[k] for row in labels)
+    obj_planted = any(row[k + 55] for row in labels)
+    # labels planted ONLY when the entity's tokens occur in the text tokens
+    from nlp_series_relation_extraction_spark.core.labeling import search
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        tokenize_with_orig_index,
+    )
+
+    toks = enc["tokens"]
+    if subj_planted:
+        assert search(tokenize_with_orig_index(subj).tokens, toks) != -1
+    if obj_planted:
+        assert search(tokenize_with_orig_index(obj).tokens, toks) != -1
+
+
+@settings(max_examples=150, deadline=None)
+@given(_cjk_texts, _entities, _entities)
+def test_span_gold_spoes_spans_match_tokens(text, subj, obj):
+    from nlp_series_relation_extraction_spark.core.labeling import (
+        span_gold_spoes,
+    )
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        tokenize_with_orig_index,
+    )
+
+    gold = [{
+        "predicate": "作者", "subject": subj, "subject_type": "图书作品",
+        "object": {"@value": obj}, "object_type": {"@value": "人物"},
+    }]
+    enc = span_gold_spoes(text, gold)
+    toks = enc["tokens"]
+    subj_toks = tokenize_with_orig_index(subj).tokens
+    for (s0, s1), olist in enc["spoes"].items():
+        # the subject span really covers the subject's token run
+        assert toks[s0 : s1 + 1] == subj_toks
+        for o0, o1, p in olist:
+            assert toks[o0 : o1 + 1] == tokenize_with_orig_index(obj).tokens
