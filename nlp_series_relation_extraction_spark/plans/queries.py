@@ -691,6 +691,66 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation per group (count_distinct shuffle shape)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join shape (the fn side of exact-match eval): users that
+    never produced an 'error' event."""
+    e = t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    err = e.where(F.col("event_type") == "error").select("user_id").distinct()
+    return users.join(err, "user_id", "left_anti").orderBy("user_id")
+
+
+_USERS_NO_ERR_SQL = """
+SELECT DISTINCT user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error')
+ORDER BY user_id
+"""
+
+
+def q_vocab_spo_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 55-row relation dimension table as a DataFrame (the broadcast
+    dimension the decode UDFs closure-capture); oracle = inlined VALUES, so
+    the vocabulary data itself is driver-checked."""
+    from ..config import vocab_dimension_rows
+
+    rows = vocab_dimension_rows()["spo_tag"]
+    return spark.createDataFrame(
+        rows, "rel_id int, predicate string, subject_type string, object_type string"
+    )
+
+
+def _vocab_spo_tag_sql() -> str:
+    from ..config import vocab_dimension_rows
+
+    rows = vocab_dimension_rows()["spo_tag"]
+    values = ",\n".join(
+        f"({i}, '{p}', '{s}', '{o}')" for i, p, s, o in rows
+    )
+    return (
+        "SELECT cast(col0 AS INT) AS rel_id, col1 AS predicate, "
+        "col2 AS subject_type, col3 AS object_type FROM (VALUES\n"
+        + values + "\n) v(col0, col1, col2, col3)"
+    )
+
+
 def _kg_selfeval(head: str):
     """End-to-end self-evaluation: extract with planted labels, score
     against the exploded gold table with the DuIE exact-match metric. The
@@ -790,6 +850,9 @@ def queries() -> dict:
         "events_sessionize": q_events_sessionize,
         "events_asof_next": q_events_asof_next,
         "events_rollup": q_events_rollup,
+        "events_distinct_users": q_events_distinct_users,
+        "users_without_errors": q_users_without_errors,
+        "vocab_spo_tag": q_vocab_spo_tag,
     }
     q.update(
         {
@@ -830,6 +893,9 @@ def oracle_sql() -> dict:
         "events_sessionize": _SESSIONIZE_SQL,
         "events_asof_next": _ASOF_SQL,
         "events_rollup": _ROLLUP_SQL,
+        "events_distinct_users": _DISTINCT_USERS_SQL,
+        "users_without_errors": _USERS_NO_ERR_SQL,
+        "vocab_spo_tag": _vocab_spo_tag_sql(),
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_simhash": __import__(

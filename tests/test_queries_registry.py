@@ -23,7 +23,7 @@ def test_query_smoke_sf0001(spark, name):
     rows = df.limit(5000).collect()
     assert rows is not None
     # stable, non-empty schema
-    assert len(df.columns) >= 2
+    assert len(df.columns) >= 1
 
 
 def test_encoder_weight_roundtrip(tmp_path):
