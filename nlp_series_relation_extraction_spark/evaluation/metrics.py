@@ -38,11 +38,12 @@ def triple_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """One-row DataFrame: tp/fp/fn + micro precision/recall/f1.
 
     ``pred``/``gold``: triple tables with (conv_id, turn_idx, predicate,
-    subject, object map). Duplicate gold rows must not double-count a
-    matching prediction, so the gold side is deduped before the semi join.
+    subject, object map). A LEFT SEMI join keeps each prediction at most
+    once regardless of duplicate gold rows, so no gold-side dedup shuffle
+    is needed for correct tp counting.
     """
     p = with_object_json(pred).select(*TRIPLE_KEY)
-    g = with_object_json(gold).select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
+    g = with_object_json(gold).select(*TRIPLE_KEY)
 
     counts = (
         p.join(g, on=TRIPLE_KEY, how="left_semi")

@@ -25,12 +25,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _kg_turns(spark: SparkSession, sf_dir: str) -> int:
-    """Deterministic synthetic-transcript row count tied to the sf dir."""
-    import duckdb
+    """Deterministic synthetic-transcript row count tied to the sf dir
+    (parquet footer metadata — no extra engine dependency, no Spark job)."""
+    import pyarrow.parquet as pq
 
-    n_docs = duckdb.sql(
-        f"select count(*) from '{sf_dir}/documents.parquet'"
-    ).fetchone()[0]
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     return int(n_docs) * 2
 
 
@@ -275,14 +274,15 @@ GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name
 # --- text analysis over documents -------------------------------------------
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex tokens per doc."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
-        F.size(
-            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
-        ).cast("long").alias("n_bpe_tokens"),
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc
+    (single definition in functions/textstats.py)."""
+    from ..functions.textstats import token_counts
+
+    out = token_counts(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_ws_tokens").cast("long"),
+        F.col("n_bpe_tokens").cast("long"),
     )
 
 
@@ -320,21 +320,17 @@ FROM documents
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score components as exact integers (length, word count,
-    stopword hits, punctuation count)."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_actual"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
-        F.size(
-            F.expr(
-                "regexp_extract_all(text, '\\\\b(the|a|and|of|to|in|is|it)\\\\b', 0)"
-            )
-        ).cast("long").alias("n_stopwords"),
-        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("long").alias(
-            "n_punct"
-        ),
+    """Quality-score components as exact integers (single definition in
+    functions/textstats.py; the stopword-regex escaping lives there once)."""
+    from ..functions.textstats import quality_stats
+
+    out = quality_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_chars_actual").cast("long"),
+        F.col("n_words").cast("long"),
+        F.col("n_stopwords").cast("long"),
+        F.col("n_punct").cast("long"),
     )
 
 
@@ -349,14 +345,12 @@ FROM documents
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content hash: canonical id + group size per digest."""
-    d = t(spark, sf_dir, "documents")
+    """Exact dedup via content hash (functions/dedup.py:exact_dedup)."""
+    from ..functions.dedup import exact_dedup
+
     return (
-        d.groupBy(F.md5(F.col("text")).alias("content_md5"))
-        .agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count("*").alias("n_dups"),
-        )
+        exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("canonical_id", "canonical_doc_id")
         .orderBy("canonical_doc_id")
     )
 
@@ -762,8 +756,12 @@ def _kg_selfeval(head: str):
 
         n = _kg_turns(spark, sf_dir)
         transcripts = synth_transcripts(spark, n, seed=42)
-        pred = extract_triples(transcripts, head=head, planted=True)
-        gold = gold_triples(spark, transcripts)
+        # triple_prf references each side twice (semi-join + total count):
+        # materialize once so the Arrow-UDF extraction runs once
+        pred = extract_triples(
+            transcripts, head=head, planted=True
+        ).localCheckpoint(eager=True)
+        gold = gold_triples(spark, transcripts).localCheckpoint(eager=True)
         return triple_prf(pred, gold)
 
     return q
@@ -780,7 +778,9 @@ def q_kg_selfeval_entity_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _kg_turns(spark, sf_dir)
     transcripts = synth_transcripts(spark, n, seed=42)
-    pred = extract_entities(transcripts, head="mpn", planted=True)
+    pred = extract_entities(
+        transcripts, head="mpn", planted=True
+    ).localCheckpoint(eager=True)
 
     def gold_entities(batches):
         import json
@@ -800,9 +800,11 @@ def q_kg_selfeval_entity_em(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["mention"].append(m)
             yield pd.DataFrame(rows)
 
-    gold = transcripts.select(
-        "conv_id", "turn_idx", "text", "gold_json"
-    ).mapInPandas(gold_entities, "conv_id string, turn_idx int, mention string")
+    gold = (
+        transcripts.select("conv_id", "turn_idx", "text", "gold_json")
+        .mapInPandas(gold_entities, "conv_id string, turn_idx int, mention string")
+        .localCheckpoint(eager=True)
+    )
     return entity_em(pred, gold)
 
 

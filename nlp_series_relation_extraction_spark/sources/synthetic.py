@@ -4,7 +4,8 @@ Generates the BASELINE.json input_hint table
 ``transcripts(conv_id, turn_idx, role, text, tool, ts)`` plus per-turn gold
 ``spo_list`` (JSON column), with text patterns modeled on the reference demo
 data (``data/duie_demon.json``): simple triples, n-ary slot predicates
-(获奖/上映时间/票房/饰演/配音), symmetric 丈夫/妻子 pairs, overlapping
+(获奖 with inWork/onDate, 上映时间 with inArea), symmetric 丈夫/妻子
+pairs, overlapping
 subject==object mentions, mixed-script/digit runs, ``®``/``◆``/``\\xa0``
 noise, empty-gold tool turns, hot-skew entities, and a tail of
 100+-turn conversations.
@@ -30,7 +31,8 @@ _PLACE_CHARS = "北南东西安宁昌庆阳州京津沪杭苏广深成渝"
 _AWARD_NAMES = ["金像奖", "金马奖", "金鸡奖", "百花奖", "飞天奖"]
 _COUNTRIES = ["中国", "摩尔多瓦", "法国", "日本", "新加坡", "意大利"]
 _CAPITALS = ["北京", "基希讷乌", "巴黎", "东京", "新加坡市", "罗马"]
-# hot entity for skew-handling tests: appears in ~10% of turns
+# hot entity for skew-handling tests: appears in ~4% of turns
+# (1 of 12 templates at 50% probability)
 _HOT_PERSON = "周星驰"
 _ASCII_NAMES = ["fresh果果", "Angelababy", "TFBOYS", "S.H.E"]
 
@@ -41,7 +43,11 @@ BASE_CONV_LEN = 8
 
 
 def _rng(seed: int, idx: int) -> np.random.Generator:
-    return np.random.default_rng(np.uint64(seed * 1_000_003 + idx * 2_654_435_761))
+    # mod 2**64 BEFORE the uint64 cast: beyond idx ~ 6.9e9 the raw product
+    # exceeds the uint64 range and np.uint64() raises OverflowError
+    return np.random.default_rng(
+        np.uint64((seed * 1_000_003 + idx * 2_654_435_761) % (2**64))
+    )
 
 
 def _person(rng) -> str:
@@ -133,7 +139,7 @@ def _gen_turn(seed: int, idx: int) -> tuple[str, list[dict]]:
                 {"@value": "Date", "inArea": "地点"},
             )
         ]
-    elif kind == 6:  # 主演 with hot-skew entity ~50% of the time here
+    elif kind == 6:  # 主演 with the hot-skew entity 50% of the time
         w = _work(rng)
         p = _HOT_PERSON if rng.random() < 0.5 else _person(rng)
         text = f"电影《{w}》由{p}主演，票房口碑双丰收"
