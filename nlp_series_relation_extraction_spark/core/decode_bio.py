@@ -92,33 +92,41 @@ def decode_bio_sentence(
                         }
                     )
         else:
+            # affiliated-slot lookups are invariant over the subject x object
+            # double loop below — hoist them (find_entities is deterministic)
+            affi_slots: list[tuple[str, str, str]] = []  # (slot, mention, type)
+            if id_ in [8, 10, 32, 46] and (id_ + 1) in subject_id_list:
+                id_affi = id_ + 1
+                affi = find_entities(text_raw, id_affi + 55, labels, off)
+                if affi:
+                    affi_slots.append(
+                        (
+                            ID2SPO["object_type"][id_affi].split("_")[1],
+                            affi[0],
+                            ID2SPO["object_type"][id_affi].split("_")[0],
+                        )
+                    )
+            elif id_ == 26:
+                for id_affi in [27, 28, 29]:
+                    if id_affi in subject_id_list:
+                        affi = find_entities(text_raw, id_affi + 55, labels, off)
+                        if affi:
+                            affi_slots.append(
+                                (
+                                    ID2SPO["object_type"][id_affi].split("_")[1],
+                                    affi[0],
+                                    ID2SPO["object_type"][id_affi].split("_")[0],
+                                )
+                            )
             for subject_ in subjects:
                 for object_ in objects:
                     object_dict = {"@value": object_}
                     object_type_dict = {
                         "@value": ID2SPO["object_type"][id_].split("_")[0]
                     }
-                    if id_ in [8, 10, 32, 46] and (id_ + 1) in subject_id_list:
-                        id_affi = id_ + 1
-                        slot = ID2SPO["object_type"][id_affi].split("_")[1]
-                        affi = find_entities(text_raw, id_affi + 55, labels, off)
-                        if affi:
-                            object_dict[slot] = affi[0]
-                            object_type_dict[slot] = ID2SPO["object_type"][
-                                id_affi
-                            ].split("_")[0]
-                    elif id_ == 26:
-                        for id_affi in [27, 28, 29]:
-                            if id_affi in subject_id_list:
-                                slot = ID2SPO["object_type"][id_affi].split("_")[1]
-                                affi = find_entities(
-                                    text_raw, id_affi + 55, labels, off
-                                )
-                                if affi:
-                                    object_dict[slot] = affi[0]
-                                    object_type_dict[slot] = ID2SPO["object_type"][
-                                        id_affi
-                                    ].split("_")[0]
+                    for slot, mention, slot_type in affi_slots:
+                        object_dict[slot] = mention
+                        object_type_dict[slot] = slot_type
                     spo_list.append(
                         {
                             "predicate": ID2SPO["predicate"][id_],

@@ -23,6 +23,9 @@ def decode_subjects_rows(pdf: pd.DataFrame, seed: int, max_len: int) -> pd.DataF
     }
     encoder = get_hash_encoder(seed)
     for text in pdf["text"]:
+        if text is None or isinstance(text, float):  # null/NaN turn text
+            out["subjects"].append([])
+            continue
         tokens = _truncate(tokenize_framed(text)[0], max_len)
         spans = decode_subject_spans(encoder.subject_probs(tokens), len(tokens))
         out["subjects"].append([(int(a), int(b)) for a, b in spans])
@@ -40,6 +43,9 @@ def decode_po_rows(pdf: pd.DataFrame, seed: int, max_len: int) -> pd.DataFrame:
     }
     encoder = get_hash_encoder(seed)
     for text, s0, s1 in zip(pdf["text"], pdf["s0"], pdf["s1"]):
+        if text is None or isinstance(text, float):
+            out["po"].append([])
+            continue
         tokens = _truncate(tokenize_framed(text)[0], max_len)
         po = encoder.po_probs(tokens, [(int(s0), int(s1))])[0]
         out["po"].append(

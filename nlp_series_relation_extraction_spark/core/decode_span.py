@@ -120,13 +120,20 @@ def decode_pair_cube(
     (s_end, o_end, pred) where both ends are known span ends. Returns
     spoes[(s_start, s_end)] -> [(o_start, o_end, pred)]."""
     spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
-    s_e_o = np.nonzero(cube > PAIR_SCORE_THRESHOLD)
-    for s_end, o_end, predicate in zip(*s_e_o):
-        s_end_i, o_end_i = int(s_end), int(o_end)
-        if s_end_i in end_list and o_end_i in end_list:
-            s = spans[end_list.index(s_end_i)]
-            o = spans[end_list.index(o_end_i)]
-            spoes.setdefault(s, []).append((o[0], o[1], int(predicate)))
+    if not end_list:
+        return spoes
+    # prefilter the [L,L,R] cube to known span-end rows/cols before the
+    # Python loop: only a handful of positions are ends, but the full
+    # nonzero scan yielded tens of thousands of interpreted iterations per
+    # sentence at L=200. ``ends`` is sorted-unique; the FIRST span carrying
+    # each end wins, matching end_list.index() (reference convert_spo_contour2).
+    ends = sorted(set(end_list))
+    first_span = {e: spans[end_list.index(e)] for e in ends}
+    sub = cube[np.ix_(ends, ends)]  # [E, E, R], row-major order preserved
+    for si, oi, predicate in zip(*np.nonzero(sub > PAIR_SCORE_THRESHOLD)):
+        s = first_span[ends[int(si)]]
+        o = first_span[ends[int(oi)]]
+        spoes.setdefault(s, []).append((o[0], o[1], int(predicate)))
     return spoes
 
 

@@ -262,6 +262,8 @@ def save_encoder(encoder: HashEncoder, path: str) -> None:
     """Checkpoint encoder weights (the torch.save(state_dict) analogue,
     reference run_baseline.py:215-217). Ship the file to executors with
     ``spark-submit --files`` and load via SparkFiles.get + load_encoder."""
+    if not path.endswith(".npz"):
+        path += ".npz"  # np.savez appends it silently; keep load symmetric
     arrays = {k: getattr(encoder, k) for k in WEIGHT_KEYS}
     arrays.update({k: np.float64(getattr(encoder, k)) for k in BIAS_KEYS})
     np.savez(path, **arrays)
@@ -269,6 +271,8 @@ def save_encoder(encoder: HashEncoder, path: str) -> None:
 
 def load_encoder(path: str) -> HashEncoder:
     """Restore an encoder from a weights file without re-deriving biases."""
+    if not path.endswith(".npz"):
+        path += ".npz"
     data = np.load(path)
     enc = HashEncoder.__new__(HashEncoder)
     enc.emb = _EmbeddingCache(_HIDDEN)
@@ -281,6 +285,14 @@ def load_encoder(path: str) -> HashEncoder:
 
 class PlantedEncoder:
     """Gold labels as probabilities — decode must reproduce gold exactly.
+
+    Caveat (inherent to the reference's own label encoding, which plants
+    all subject spans into one shared [L,2] start/end array): NESTED gold
+    subject spans collapse under nearest-end pairing, e.g. spans (2,9) and
+    (5,7) decode as (2,7). The reference's training labels have the same
+    property (dataset_mpn.py:166-170). Fixture generators should avoid
+    nested subject mentions when asserting exact roundtrips, as the
+    synthetic corpus does.
 
     Each method takes the raw text + gold spo_list (shipped alongside the
     batch in fixture mode) and produces 0/1 prob tensors shaped like the

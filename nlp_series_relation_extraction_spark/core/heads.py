@@ -67,8 +67,13 @@ def extract_bio_row(
 ) -> dict[str, Any]:
     text = normalize_text(text)
     if planted_gold is not None:
-        probs = _planted_encoder.bio_probs(text, planted_gold)
-        _, offsets = tokenize_for_bio(text)
+        # one tokenization pass: the label encoder already produced the
+        # offset mapping alongside the labels
+        from .labeling import bio_token_labels
+
+        enc = bio_token_labels(text, planted_gold)
+        probs = np.asarray(enc["labels"], dtype=np.float32)
+        offsets = enc["offset_mapping"]
     else:
         tokens, offsets = tokenize_for_bio(text)
         tokens = _truncate(tokens, max_len)
