@@ -29,12 +29,21 @@ def asof_join_next(
     stays inside the left row's following frame), then take the first
     following right row via ``first(... ignoreNulls) over (rows between
     current and unbounded following)``. One shuffle, no O(n^2) range join.
+
+    All ``right_cols`` are carried in ONE struct so every ``next_<col>``
+    value comes from the same nearest right row — independent per-column
+    ``first(ignoreNulls)`` windows would mix fields from different right
+    rows whenever the nearest one carries a NULL in some column.
     """
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    r_struct_type = (
+        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    )
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         *[
@@ -42,7 +51,7 @@ def asof_join_next(
             for c, t in left.dtypes
         ],
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     u = l_tag.unionByName(r_tag)
     w = (
@@ -51,21 +60,16 @@ def asof_join_next(
             F.col(time_col).asc(),
             F.col("_is_left").desc(),
             # deterministic among right rows sharing a timestamp (right_cols
-            # should include a unique id)
-            *[F.col(f"_r_{c}").asc_nulls_last() for c in right_cols],
+            # should include a unique id); struct ordering is field-by-field
+            F.col("_r").asc_nulls_last(),
         )
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = u.select(
+    out = u.withColumn("_r_next", F.first("_r", ignorenulls=True).over(w)).select(
         "*",
-        *[
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"next_{c}")
-            for c in right_cols
-        ],
+        *[F.col(f"_r_next.{c}").alias(f"next_{c}") for c in right_cols],
     )
-    return out.where(F.col("_is_left") == 1).drop(
-        "_is_left", *[f"_r_{c}" for c in right_cols]
-    )
+    return out.where(F.col("_is_left") == 1).drop("_is_left", "_r", "_r_next")
 
 
 def rollup_time_buckets(

@@ -273,12 +273,17 @@ def link_mentions(
     threshold: float = 0.5,
     max_block: int = 200,
     max_iter: int = 15,
+    num_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full linking pipeline. Input: (conv_id, turn_idx, mention).
 
     Returns dict with distinct_mentions, edges, components, entities,
     aliases, and linked occurrences (occurrence -> entity_id via salted
     dimension join).
+
+    ``num_partitions`` sizes the connected-components iteration shuffles;
+    pass it explicitly at cluster scale (a pipeline-level constant) so the
+    loop avoids the driver-side edge count used to auto-size locally.
     """
     norm = normalize_mentions(mention_occurrences)
     # materialize the deduped mention table and the edge set ONCE: linking
@@ -291,7 +296,9 @@ def link_mentions(
     edges = candidate_pairs(
         dm, max_block=max_block, threshold=threshold
     ).localCheckpoint(eager=True)
-    comps = connected_components(dm, edges, max_iter=max_iter)
+    comps = connected_components(
+        dm, edges, max_iter=max_iter, num_partitions=num_partitions
+    )
     entities, aliases = canonical_entities(dm, comps)
     linked = salted_join(
         norm.select("conv_id", "turn_idx", "mention_norm"),

@@ -138,16 +138,26 @@ def run_kg_pipeline(
     planted: bool = False,
     link_threshold: float = 0.5,
     gold: DataFrame | None = None,
+    link_num_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns dict of stage DataFrames; all stages
-    checkpointed under ``workdir`` and resumable."""
+    checkpointed under ``workdir`` and resumable.
+
+    Every downstream stage records the FULL upstream parameter set
+    (run fingerprint), not just its own knobs: a checkpoint produced under
+    head='mpn' must not be resumed by a head='bio' run even though the
+    downstream stage itself has no 'head' parameter — any upstream param
+    change invalidates the whole chain."""
     store = StageStore(spark, workdir)
+
+    extract_fp = {"head": head, "planted": planted}
+    link_fp = {**extract_fp, "link_threshold": link_threshold}
 
     triples = store.run_stage(
         "triples",
         lambda: extract_triples(transcripts, head=head, planted=planted),
         inputs=["transcripts"],
-        params={"head": head, "planted": planted},
+        params=extract_fp,
     )
 
     from ..operators.extract import mentions_from_triples
@@ -156,35 +166,44 @@ def run_kg_pipeline(
         "mentions",
         lambda: mentions_from_triples(triples),
         inputs=["triples"],
+        params=extract_fp,
     )
 
-    link_params = {"threshold": link_threshold}
-    if not store.done("entities", link_params) or not store.done("aliases", {}):
-        linked = link_mentions(mentions, threshold=link_threshold)
+    if not store.done("entities", link_fp) or not store.done("aliases", link_fp):
+        linked = link_mentions(
+            mentions,
+            threshold=link_threshold,
+            num_partitions=link_num_partitions,
+        )
         entities = store.run_stage(
             "entities",
             lambda: linked["entities"],
             inputs=["mentions"],
-            params=link_params,
+            params=link_fp,
         )
         aliases = store.run_stage(
-            "aliases", lambda: linked["aliases"], inputs=["mentions"]
+            "aliases", lambda: linked["aliases"], inputs=["mentions"],
+            params=link_fp,
         )
     else:
         entities = store.run_stage(
-            "entities", None, inputs=["mentions"], params=link_params
+            "entities", None, inputs=["mentions"], params=link_fp
         )
-        aliases = store.run_stage("aliases", None, inputs=["mentions"])
+        aliases = store.run_stage(
+            "aliases", None, inputs=["mentions"], params=link_fp
+        )
 
     canon = store.run_stage(
         "triples_canonical",
         lambda: canonical_triples(triples, aliases),
         inputs=["triples", "aliases"],
+        params=link_fp,
     )
     edges = store.run_stage(
         "edges",
         lambda: edge_table(canon),
         inputs=["triples_canonical"],
+        params=link_fp,
         partition_by=["predicate"],
     )
 
@@ -201,6 +220,7 @@ def run_kg_pipeline(
             "eval",
             lambda: triple_prf(triples, gold),
             inputs=["triples", "gold"],
+            params=extract_fp,
         )
     store.flush_metadata()
     return out

@@ -177,6 +177,32 @@ def test_asof_join_next_semantics(spark):
     assert out == {1: 100, 2: None, 3: None}
 
 
+def test_asof_join_next_multi_col_same_row(spark):
+    """All next_<col> values must come from the SAME nearest right row even
+    when that row carries NULLs — independent per-column first(ignoreNulls)
+    windows would backfill the null column from a later right row."""
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        asof_join_next,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 00:00:00")],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:05", 100, None),   # nearest: tag is NULL
+         ("u1", "2024-01-01 00:00:30", 101, "late")],
+        "user_id string, ts string, click_id long, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join_next(
+        left, right, key="user_id", time_col="ts",
+        right_cols=["click_id", "tag"],
+    ).collect()[0]
+    # both fields from the nearest row (click 100), no mixed-row output
+    assert row.next_click_id == 100
+    assert row.next_tag is None
+
+
 def test_rollup_buckets(spark):
     from nlp_series_relation_extraction_spark.functions.temporal import (
         rollup_time_buckets,

@@ -313,6 +313,38 @@ def test_resume_with_changed_params_recomputes(spark, tmp_path):
     assert _collect_triples(out_mpn2) == _collect_triples(out_mpn)
 
 
+def test_param_change_invalidates_downstream_stages(spark, tmp_path):
+    """Switching head (or link threshold) must recompute the WHOLE chain,
+    not just the stage that owns the parameter: downstream stages record the
+    full upstream fingerprint, so mentions/entities/aliases/canonical/edges
+    from the old run are never resumed into the new run's output."""
+    wd = str(tmp_path / "kg_fp")
+    t = synth_transcripts(spark, 60, seed=5, partitions=2)
+    run_kg_pipeline(spark, t, wd, head="mpn", planted=True)
+    # same workdir, head switched: every downstream stage must match a
+    # fresh bio-only run, not carry mpn-derived rows
+    out_mixed = run_kg_pipeline(spark, t, wd, head="bio", planted=True)
+    wd_fresh = str(tmp_path / "kg_fp_fresh")
+    out_fresh = run_kg_pipeline(spark, t, wd_fresh, head="bio", planted=True)
+    for stage in ("mentions", "entities", "aliases", "triples_canonical",
+                  "edges"):
+        got = sorted(map(tuple, out_mixed[stage].collect()))
+        want = sorted(map(tuple, out_fresh[stage].collect()))
+        assert got == want, f"stage {stage} resumed stale cross-head data"
+    # link-threshold change in the same workdir invalidates linking onward
+    out_thr = run_kg_pipeline(
+        spark, t, wd, head="bio", planted=True, link_threshold=0.9
+    )
+    wd_thr = str(tmp_path / "kg_fp_thr")
+    out_thr_fresh = run_kg_pipeline(
+        spark, t, wd_thr, head="bio", planted=True, link_threshold=0.9
+    )
+    for stage in ("entities", "aliases"):
+        got = sorted(map(tuple, out_thr[stage].collect()))
+        want = sorted(map(tuple, out_thr_fresh[stage].collect()))
+        assert got == want, f"stage {stage} resumed stale-threshold data"
+
+
 def test_reference_format_prediction_sink(spark, tmp_path):
     from nlp_series_relation_extraction_spark.operators.extract import (
         extract_turn_results,
