@@ -295,27 +295,33 @@ FROM documents
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID from integer char-class counts."""
-    d = t(spark, sf_dir, "documents")
-    ascii_n = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
-    total = F.length(F.col("text"))
-    return d.select(
-        "doc_id",
-        ascii_n.cast("long").alias("n_ascii"),
-        total.cast("long").alias("n_total"),
-        F.when(ascii_n * 10 >= total * 9, F.lit("en"))
-        .otherwise(F.lit("other"))
-        .alias("lang_pred"),
+    """Heuristic language ID (single definition in functions/textstats.py —
+    the full en/zh/other branch set; the oracle pins the shared operator)."""
+    from ..functions.textstats import lang_id
+
+    out = lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_ascii").cast("long"),
+        F.col("n_cjk").cast("long"),
+        F.col("n_total").cast("long"),
+        "lang_pred",
     )
 
 
-_LANG_ID_SQL = """
-SELECT doc_id,
-  length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_ascii,
-  length(text) AS n_total,
-  CASE WHEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 10
-            >= length(text) * 9 THEN 'en' ELSE 'other' END AS lang_pred
-FROM documents
+_LANG_ID_SQL = r"""
+WITH counts AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_ascii,
+    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+    length(text) AS n_total
+  FROM documents
+)
+SELECT doc_id, n_ascii, n_cjk, n_total,
+  CASE WHEN n_ascii * 10 >= n_total * 9 THEN 'en'
+       WHEN n_cjk * 2 >= n_total THEN 'zh'
+       ELSE 'other' END AS lang_pred
+FROM counts
 """
 
 
@@ -438,21 +444,35 @@ GROUP BY a.id, b.id ORDER BY a_id, b_id
 """
 
 
+# stopword-shingle document-frequency cap for the inverted-index jaccard
+# join: a shingle shared by k docs emits k^2 candidate rows, so an uncapped
+# join explodes quadratically on hot shingles at corpus scale. Sizes (the
+# jaccard denominator) are computed BEFORE the cap, so only candidate pairs
+# whose overlap is dominated by ultra-common shingles are lost.
+JACCARD_MAX_DF = 100
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram jaccard near-dup pairs (inverted-index join, integer
-    threshold 100*inter >= 30*(|a|+|b|-inter))."""
+    threshold 100*inter >= 30*(|a|+|b|-inter)), hot shingles capped at
+    document frequency JACCARD_MAX_DF (the scale guard is ON by default)."""
     from ..functions.dedup import jaccard_pairs, word_shingles
 
     sh = word_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
-    return jaccard_pairs(sh, threshold_pct=30).orderBy("a_id", "b_id")
+    return jaccard_pairs(
+        sh, threshold_pct=30, max_df=JACCARD_MAX_DF
+    ).orderBy("a_id", "b_id")
 
 
 _JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLE3_SQL}),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+sh2 AS (SELECT sh.id, sh.shingle FROM sh JOIN sdf USING (shingle)
+        WHERE sdf.df <= {JACCARD_MAX_DF}),
 inter AS (
   SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT i.a_id, i.b_id, i.inter, sa.sz AS a_sz, sb.sz AS b_sz

@@ -152,6 +152,27 @@ def test_jaccard_max_df_guard(spark):
     assert pairs == {(100, 101)}
 
 
+def test_jaccard_hot_shingle_no_quadratic_explosion(spark):
+    """One shingle present in 50% of the corpus must not blow up candidate
+    generation quadratically: with the cap the hot shingle emits ZERO
+    candidate pairs; without it, k docs sharing it emit C(k,2)."""
+    rows = [(i, f"hot w{i}a w{i}b") for i in range(20)]       # 50% share 'hot'
+    rows += [(i, f"w{i}c w{i}a w{i}b") for i in range(20, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, "doc_id", "text", n=1)
+    # threshold 0 keeps every candidate pair -> counts the join fan-out
+    uncapped = jaccard_pairs(sh, threshold_pct=0).count()
+    capped = jaccard_pairs(sh, threshold_pct=0, max_df=10).count()
+    assert uncapped >= 190          # C(20,2) from the hot shingle alone
+    assert capped == 0              # all other shingles are unique
+    # and the driver query path has the cap ON by default
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        JACCARD_MAX_DF,
+    )
+
+    assert JACCARD_MAX_DF is not None and JACCARD_MAX_DF > 0
+
+
 def test_asof_join_next_semantics(spark):
     from nlp_series_relation_extraction_spark.functions.temporal import (
         asof_join_next,
