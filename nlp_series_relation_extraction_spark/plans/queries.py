@@ -503,7 +503,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-5 (scale path of
-    q_ann_cosine_topk; recall ~0.9 at bits=4/tables=16)."""
+    q_ann_cosine_topk; recall@5 >= 0.9 vs brute force at the default
+    bits=4/tables=24, pinned in tests/test_functions.py). Oracle: the
+    md5-derived +-1 projections are deterministic, so the whole bucket ->
+    candidate -> rank pipeline is SQL-expressible (ann_topk_lsh_sql)."""
     from ..functions.similarity import ann_topk_lsh
 
     return ann_topk_lsh(
@@ -928,6 +931,12 @@ def oracle_sql() -> dict:
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["brute_force_topk_sql"],
         ).brute_force_topk_sql("embeddings", "vec_id", "embedding", list(range(10)), 5),
+        "ann_topk_lsh": __import__(
+            "nlp_series_relation_extraction_spark.functions.similarity",
+            fromlist=["ann_topk_lsh_sql"],
+        ).ann_topk_lsh_sql(
+            "embeddings", "vec_id", "embedding", list(range(10)), k=5, dim=64
+        ),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,

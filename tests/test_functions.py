@@ -106,6 +106,36 @@ def test_embedding_near_dup_pairs_planted(spark):
     assert (0, 3) not in pairs  # opposite direction excluded by sign guard
 
 
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Pin the LSH recall claim: at the default (bits=4, tables=24, seed
+    family 7+101t) the approximate top-5 recovers >= 0.9 of the exact
+    brute-force top-5 on the real dim-64 test embeddings."""
+    import os
+
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        ann_topk_lsh,
+        brute_force_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):  # pragma: no cover
+        import pytest
+
+        pytest.skip("driver test data not present")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qids = list(range(10))
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, "vec_id", "embedding", qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_lsh(emb, "vec_id", "embedding", qids, k=5).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, f"LSH recall {recall} below pinned floor"
+
+
 def test_lang_id_classes(spark):
     df = spark.createDataFrame(
         [(0, "this is plain english text"), (1, "这是一段中文文本内容"), (2, "1234 !!! ???")],
