@@ -14,10 +14,18 @@ and ``utils/extract_chinese_and_punct.py``):
 
 Step 2 in the reference calls a trained BERT wordpiece vocabulary, which is
 not shippable here (and irrelevant to the relational semantics). Our
-deterministic stand-in lowercases each unit and emits it as a single token
-(empty after stripping whitespace-only chars -> no token). Both the Spark
-pipeline and the plain-Python oracle share this tokenizer, so offset-map and
-span semantics are exercised exactly as in the reference.
+deterministic stand-in lowercases each unit and — like real wordpiece on
+long English words / digit runs — splits any unit longer than
+``MAX_WORDPIECE_CHARS`` into several sub-tokens, the continuation pieces
+carrying the ``##`` prefix. ALL sub-tokens of a unit share the unit's char
+span in ``tok_to_orig_*`` (reference ``data_utils.py:104-108``: every
+``sub_token`` from ``tokenizer.tokenize(token)`` records the same
+``len(text_tmp)-len(token) .. len(text_tmp)-1`` span), so the >1-token-per-
+unit offset bookkeeping the reference was built around is actually
+exercised. Single CJK chars stay single tokens (each is already its own
+unit). Whitespace-only units produce no token. Both the Spark pipeline and
+the plain-Python oracle share this tokenizer, so offset-map and span
+semantics are exercised exactly as in the reference.
 
 The BIO head uses the "fast tokenizer" shape instead (reference
 ``dataset/dataset_baseline.py:56-63``): per-token ``offset_mapping`` char
@@ -108,18 +116,36 @@ def segment_units(text: str) -> list[str]:
     return units
 
 
-def tokenize_unit(unit: str) -> list[str]:
-    """Deterministic wordpiece stand-in: one lowercased token per unit.
+# Chunk width of the wordpiece stand-in: units longer than this split into
+# several sub-tokens (the multi-sub-token case of reference
+# data_utils.py:98-112), continuation pieces prefixed '##' like BERT.
+MAX_WORDPIECE_CHARS = 4
 
-    Matches the reference's contract that ``' '`` (and other whitespace-only
-    units) produce no token; everything else produces >= 1 token.
+
+def tokenize_unit(unit: str) -> list[str]:
+    """Deterministic wordpiece stand-in (reference data_utils.py:104 calls
+    ``tokenizer.tokenize(token)`` which may emit SEVERAL sub-tokens).
+
+    * ``' '`` and other whitespace-only units produce no token;
+    * units of <= MAX_WORDPIECE_CHARS chars produce one lowercased token
+      (every CJK char is its own unit, so CJK stays one token per char);
+    * longer units (English words, digit runs) split into fixed-width
+      chunks, continuation chunks carrying the ``##`` wordpiece prefix —
+      deterministic and context-free per unit, so an entity string always
+      tokenizes to the same sub-token sequence as its in-text occurrence.
     """
     if unit == " ":
         return []
     # Whitespace-only units vanish, like BERT's cleaner ('\xa0' is isspace).
     if unit.isspace():
         return []
-    return [unit.lower()]
+    low = unit.lower()
+    if len(low) <= MAX_WORDPIECE_CHARS:
+        return [low]
+    pieces = [low[:MAX_WORDPIECE_CHARS]]
+    for i in range(MAX_WORDPIECE_CHARS, len(low), MAX_WORDPIECE_CHARS):
+        pieces.append("##" + low[i : i + MAX_WORDPIECE_CHARS])
+    return pieces
 
 
 @dataclass

@@ -83,6 +83,28 @@ def test_nbsp_kept_inside_letter_runs():
     # \xa0 inside a letter run stays in the unit (mention slices will carry
     # it until the decode-side strip); standalone \xa0 unit yields no token
     t = tokenize_with_orig_index("ab\xa0cd")
-    assert t.tokens == ["ab\xa0cd"]
+    assert t.tokens == ["ab\xa0c", "##d"]  # 5-char unit -> wordpiece split
+    assert "".join(t.tokens).replace("##", "") == "ab\xa0cd"
     t2 = tokenize_with_orig_index("冰\xa0火")
     assert t2.tokens == ["冰", "火"]
+
+
+def test_multi_subtoken_units_share_unit_char_span():
+    """The reference's tokenizer.tokenize(unit) can emit several sub-tokens,
+    ALL recording the unit's char span (data_utils.py:104-108). Long English
+    words and digit runs must exercise that shape here too."""
+    text = "看playing2008080812次"
+    t = tokenize_with_orig_index(text)
+    # units: 看 | playing | 2008080812 | 次
+    assert t.tokens == [
+        "看", "play", "##ing", "2008", "##0808", "##12", "次",
+    ]
+    # every sub-token of a unit carries the unit's full char span
+    assert t.tok_to_orig_start == [0, 1, 1, 8, 8, 8, 18]
+    assert t.tok_to_orig_end == [0, 7, 7, 17, 17, 17, 18]
+    # an entity that is one of these units tokenizes to the same sub-token
+    # run, so subsequence search still locates it
+    ent = tokenize_with_orig_index("playing")
+    assert ent.tokens == ["play", "##ing"]
+    i = t.tokens.index(ent.tokens[0])
+    assert t.tokens[i : i + len(ent.tokens)] == ent.tokens
