@@ -28,6 +28,7 @@ import numpy as np
 
 from ..config import BIO_NUM_LABELS, E_NUM, R_NUM
 from .labeling import bio_token_labels, span_gold_spoes
+from .tokenization import truncate_framed
 
 _HIDDEN = 64
 
@@ -190,20 +191,27 @@ class HashEncoder:
         C = self.encode(tokens)
         return _sigmoid(np.float32(2.0) * (C @ self.w_sub) + np.float32(self.b_sub))
 
+    def cond_encode(
+        self, C: np.ndarray, span: tuple[int, int]
+    ) -> np.ndarray:
+        """[L, H] subject-conditioned encoding — the conditional-layer-norm
+        analogue (reference models/model_mpn.py:85-100): gamma/beta from the
+        subject span's start/end context vectors re-scale the sequence."""
+        s0, s1 = span
+        cond = np.concatenate([C[s0], C[s1]])
+        gamma = np.tanh(cond @ self.w_gamma)
+        beta = np.tanh(cond @ self.w_beta)
+        return C * (_F32_ONE + np.float32(0.2) * gamma) + np.float32(0.2) * beta
+
     def po_probs(
         self, tokens: Sequence[str], subject_spans: list[tuple[int, int]]
     ) -> np.ndarray:
-        """[S, L, R, 2] conditional object pointers, one slab per subject —
-        the conditional-layer-norm analogue: gamma/beta from the subject's
-        start/end context vectors re-scale the sequence."""
+        """[S, L, R, 2] conditional object pointers, one slab per subject."""
         C = self.encode(tokens)
         L = C.shape[0]
         out = np.empty((len(subject_spans), L, R_NUM, 2), dtype=np.float32)
-        for k, (s0, s1) in enumerate(subject_spans):
-            cond = np.concatenate([C[s0], C[s1]])
-            gamma = np.tanh(cond @ self.w_gamma)
-            beta = np.tanh(cond @ self.w_beta)
-            Cc = C * (_F32_ONE + np.float32(0.2) * gamma) + np.float32(0.2) * beta
+        for k, span in enumerate(subject_spans):
+            Cc = self.cond_encode(C, span)
             logits = np.float32(2.0) * (Cc @ self.w_po) + np.float32(self.b_po)
             out[k] = logits.reshape(L, R_NUM, 2)
         return _sigmoid(out)
@@ -299,21 +307,41 @@ class PlantedEncoder:
     HashEncoder's, via the reference's own label-encoding semantics.
     """
 
+    @staticmethod
+    def _truncate_enc(enc: dict, max_len: int | None) -> dict:
+        """Bound the framed token list at max_len (frame-preserving, the
+        reference's encode(truncation=True) shape). Offset maps stay full —
+        they are per-index lookup tables and in-bounds indices still map."""
+        if max_len is None or len(enc["tokens"]) <= max_len:
+            return enc
+        enc = dict(enc)
+        enc["tokens"] = truncate_framed(enc["tokens"], max_len)
+        return enc
+
     # --- BIO -------------------------------------------------------------
-    def bio_probs(self, text: str, spo_list: list[dict]) -> np.ndarray:
-        enc = bio_token_labels(text, spo_list)
+    def bio_probs(
+        self, text: str, spo_list: list[dict], max_len: int | None = None
+    ) -> np.ndarray:
+        enc = bio_token_labels(text, spo_list, max_len=max_len)
         return np.asarray(enc["labels"], dtype=np.float32)
 
     # --- mpn -------------------------------------------------------------
-    def mpn_planted(self, text: str, spo_list: list[dict]):
+    def mpn_planted(
+        self, text: str, spo_list: list[dict], max_len: int | None = None
+    ):
         """(subject_probs [L,2], spoes dict, tokens, maps) with probs=1.0 at
-        gold span endpoints."""
-        enc = span_gold_spoes(text, spo_list, with_types=False)
+        gold span endpoints. Subjects whose span end falls past max_len are
+        not planted (reference dataset_mpn.py:165-168 plants only
+        ``s[1] <= max_len - 1``; :173-174 skips over-long chosen subjects)."""
+        enc = self._truncate_enc(
+            span_gold_spoes(text, spo_list, with_types=False), max_len
+        )
         L = len(enc["tokens"])
         sub = np.zeros((L, 2), dtype=np.float32)
         for s0, s1 in enc["spoes"].keys():
-            sub[s0, 0] = 1.0
-            sub[s1, 1] = 1.0
+            if s1 <= L - 1:
+                sub[s0, 0] = 1.0
+                sub[s1, 1] = 1.0
         return sub, enc
 
     def mpn_po_probs(
@@ -325,14 +353,26 @@ class PlantedEncoder:
         out = np.zeros((len(subject_spans), L, R_NUM, 2), dtype=np.float32)
         for k, s in enumerate(subject_spans):
             for o0, o1, p in enc["spoes"].get(tuple(s), []):
-                out[k, o0, p, 0] = 1.0
-                out[k, o1, p, 1] = 1.0
+                # objects past the (possibly truncated) length are dropped,
+                # reference dataset_mpn.py:177-180 (o[1] <= max_len - 1)
+                if o1 <= L - 1:
+                    out[k, o0, p, 0] = 1.0
+                    out[k, o1, p, 1] = 1.0
         return out
 
     # --- mhs / biaffine ----------------------------------------------------
-    def mhs_planted(self, text: str, spo_list: list[dict]):
-        """(start_probs [L,E+1], end_probs [L,E+1], cube [L,L,R], enc)."""
-        enc = span_gold_spoes(text, spo_list, with_types=True)
+    def mhs_planted(
+        self, text: str, spo_list: list[dict], max_len: int | None = None
+    ):
+        """(start_probs [L,E+1], end_probs [L,E+1], cube [L,L,R], enc).
+
+        Truncation parity with reference dataset_mhs.py:164-175: subject
+        typed labels need ``s[1] <= max_len-1``, object typed labels need
+        ``o[1] <= max_len-1`` (planted even when the subject is out of
+        bounds), the cube entry needs BOTH ends in bounds."""
+        enc = self._truncate_enc(
+            span_gold_spoes(text, spo_list, with_types=True), max_len
+        )
         L = len(enc["tokens"])
         start = np.zeros((L, E_NUM + 1), dtype=np.float32)
         end = np.zeros((L, E_NUM + 1), dtype=np.float32)
@@ -340,11 +380,15 @@ class PlantedEncoder:
         for (s0, s1, st), olist in enc["spoes"].items():
             if st is None:
                 continue
-            start[s0, st] = 1.0
-            end[s1, st] = 1.0
+            s_in = s1 <= L - 1
+            if s_in:
+                start[s0, st] = 1.0
+                end[s1, st] = 1.0
             for o0, o1, ot, p in olist:
-                if ot is not None:
+                o_in = o1 <= L - 1
+                if o_in and ot is not None:
                     start[o0, ot] = 1.0
                     end[o1, ot] = 1.0
-                cube[s1, o1, p] = 1.0
+                if o_in and s_in:
+                    cube[s1, o1, p] = 1.0
         return start, end, cube, enc

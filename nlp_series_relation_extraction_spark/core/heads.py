@@ -34,10 +34,16 @@ from .decode_span import (
     decode_typed_spans,
 )
 from .encoders import HashEncoder, PlantedEncoder
-from .tokenization import normalize_text, tokenize_for_bio, tokenize_framed
+from .tokenization import (
+    normalize_text,
+    tokenize_for_bio,
+    tokenize_framed,
+    truncate_framed,
+)
 
 HEADS = ("bio", "mpn", "mhs", "biaffine")
-DEFAULT_MAX_LEN = 200
+# the reference's --max_len default (utils/finetuning_argparse.py:9)
+DEFAULT_MAX_LEN = 512
 
 _hash_encoder_cache: dict[int, HashEncoder] = {}
 _planted_encoder = PlantedEncoder()
@@ -52,11 +58,8 @@ def get_hash_encoder(seed: int = 42) -> HashEncoder:
     return enc
 
 
-def _truncate(tokens: list[str], max_len: int) -> list[str]:
-    """Bound [CLS]-framed length at max_len, keeping the [SEP] frame."""
-    if len(tokens) <= max_len:
-        return tokens
-    return tokens[: max_len - 1] + ["[SEP]"]
+# frame-preserving truncation (single definition in core.tokenization)
+_truncate = truncate_framed
 
 
 def extract_bio_row(
@@ -71,7 +74,7 @@ def extract_bio_row(
         # offset mapping alongside the labels
         from .labeling import bio_token_labels
 
-        enc = bio_token_labels(text, planted_gold)
+        enc = bio_token_labels(text, planted_gold, max_len=max_len)
         probs = np.asarray(enc["labels"], dtype=np.float32)
         offsets = enc["offset_mapping"]
     else:
@@ -90,7 +93,9 @@ def extract_mpn_row(
 ) -> dict[str, Any]:
     text = normalize_text(text)
     if planted_gold is not None:
-        sub_probs, enc = _planted_encoder.mpn_planted(text, planted_gold)
+        sub_probs, enc = _planted_encoder.mpn_planted(
+            text, planted_gold, max_len=max_len
+        )
         tokens = enc["tokens"]
         tok_start, tok_end = enc["tok_to_orig_start"], enc["tok_to_orig_end"]
         subjects = decode_subject_spans(sub_probs, len(tokens))
@@ -121,7 +126,9 @@ def extract_mhs_row(
 ) -> dict[str, Any]:
     text = normalize_text(text)
     if planted_gold is not None:
-        start, end, cube, enc = _planted_encoder.mhs_planted(text, planted_gold)
+        start, end, cube, enc = _planted_encoder.mhs_planted(
+            text, planted_gold, max_len=max_len
+        )
         tokens = enc["tokens"]
         tok_start, tok_end = enc["tok_to_orig_start"], enc["tok_to_orig_end"]
     else:

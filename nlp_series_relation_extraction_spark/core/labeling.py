@@ -87,9 +87,17 @@ def _iter_spo_slots(spo: dict[str, Any]):
         yield slot, spo["object"][slot]
 
 
-def bio_token_labels(text: str, spo_list: list[dict]) -> dict[str, Any]:
+def bio_token_labels(
+    text: str, spo_list: list[dict], max_len: int | None = None
+) -> dict[str, Any]:
     """Per-token 112-class multi-hot labels for the BIO head plus the entity
-    list, over [CLS]-framed tokens (reference dataset_baseline.py:50-154)."""
+    list, over [CLS]-framed tokens (reference dataset_baseline.py:50-154).
+
+    ``max_len`` mirrors the reference's collate-time truncation
+    (dataset_baseline.py:180-186): labels are planted over the FULL token
+    list, then tokens/offsets/labels are plain-sliced to max_len (the BIO
+    path slices — no [SEP] preservation — unlike the mpn/mhs encode path).
+    """
     from .tokenization import tokenize_for_bio
 
     tokens, offsets = tokenize_for_bio(text)
@@ -149,6 +157,11 @@ def bio_token_labels(text: str, spo_list: list[dict]) -> dict[str, Any]:
     for i in range(seq_len):
         if not any(labels[i]):
             labels[i][0] = 1
+
+    if max_len is not None and seq_len > max_len:
+        tokens = tokens[:max_len]
+        offsets = offsets[:max_len]
+        labels = labels[:max_len]
 
     return {
         "tokens": tokens,

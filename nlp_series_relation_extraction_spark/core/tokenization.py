@@ -204,6 +204,15 @@ def tokenize_framed(text: str) -> tuple[list[str], list[int], list[int]]:
     )
 
 
+def truncate_framed(tokens: list[str], max_len: int) -> list[str]:
+    """Bound a [CLS]-framed token list at ``max_len`` keeping the [SEP]
+    frame — the shape of reference ``tokenizer.encode(...,
+    max_length=max_len, truncation=True)`` (dataset_mpn.py:160-163)."""
+    if len(tokens) <= max_len:
+        return tokens
+    return tokens[: max_len - 1] + ["[SEP]"]
+
+
 def normalize_text(text: str) -> str:
     """Pre-tokenization normalization: drop ``®`` and ``◆`` (reference
     dataset/dataset_mpn.py:36-37). Applied JVM-side with regexp_replace in

@@ -48,7 +48,7 @@ TRIPLE_SCHEMA = (
 def extract_triples_mpn_twostage(
     transcripts: DataFrame,
     seed: int = 42,
-    max_len: int = 200,
+    max_len: int = 512,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed-fan-out mpn extraction; output equals the single-stage

@@ -860,6 +860,33 @@ def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "epoch int, mean_masked_bce double")
 
 
+def q_kg_train_mpn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mpn-head training (rows-only): per-epoch joint
+    subject+po masked-BCE losses (reference models/model_mpn.py:122-154,
+    run_mpn.py:165-179 lifecycle) from synchronous data-parallel SGD;
+    deterministic given the seed, losses strictly decreasing."""
+    from ..operators.train import train_mpn_head
+
+    n = min(_kg_turns(spark, sf_dir), 600)  # bounded training set
+    t_df = synth_transcripts(spark, n, seed=42)
+    res = train_mpn_head(t_df, epochs=3, lr=0.4)
+    rows = [
+        (i, round(float(l), 6), round(float(sl), 6), round(float(pl), 6))
+        for i, (l, sl, pl) in enumerate(
+            zip(
+                res["loss_history"],
+                res["sub_loss_history"],
+                res["po_loss_history"],
+            )
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "epoch int, mean_joint_bce double, mean_subject_bce double, "
+        "mean_po_bce double",
+    )
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -892,6 +919,7 @@ def queries() -> dict:
             "kg_entities": q_kg_entities,
             "kg_graph_edges": q_kg_graph_edges,
             "kg_train_bio": q_kg_train_bio,
+            "kg_train_mpn": q_kg_train_mpn,
             "kg_selfeval_prf_mpn": _kg_selfeval("mpn"),
             "kg_selfeval_prf_bio": _kg_selfeval("bio"),
             "kg_selfeval_entity_em": q_kg_selfeval_entity_em,

@@ -1,8 +1,12 @@
-"""Distributed BIO-head training: loss must decrease across Spark epochs."""
+"""Distributed BIO/mpn-head training: loss must decrease across Spark epochs."""
 
 import numpy as np
 
-from nlp_series_relation_extraction_spark.operators.train import train_bio_head
+from nlp_series_relation_extraction_spark.operators.train import (
+    running_mean_20,
+    train_bio_head,
+    train_mpn_head,
+)
 from nlp_series_relation_extraction_spark.sources.synthetic import synth_transcripts
 
 
@@ -22,6 +26,130 @@ def test_training_deterministic(spark):
     a = train_bio_head(t, epochs=2, lr=0.05)
     b = train_bio_head(t, epochs=2, lr=0.05)
     assert a["loss_history"] == b["loss_history"]
+
+
+def test_mpn_joint_sgd_reduces_loss(spark):
+    t = synth_transcripts(spark, 240, seed=42, partitions=4)
+    res = train_mpn_head(t, epochs=4, lr=0.4)
+    h = res["loss_history"]
+    assert len(h) == 4
+    assert all(b < a for a, b in zip(h, h[1:]))  # strictly decreasing
+    assert res["best_loss"] == min(h)
+    assert res["w_sub"].shape == (64, 2)
+    assert res["w_po"].shape == (64, 110)
+    assert np.isfinite(res["w_sub"]).all() and np.isfinite(res["w_po"]).all()
+    # both joint-loss components improve end-to-end
+    assert res["sub_loss_history"][-1] < res["sub_loss_history"][0]
+    assert res["po_loss_history"][-1] < res["po_loss_history"][0]
+
+
+def test_mpn_training_deterministic_and_partition_invariant(spark):
+    t1 = synth_transcripts(spark, 120, seed=7, partitions=3)
+    a = train_mpn_head(t1, epochs=2, lr=0.3)
+    b = train_mpn_head(t1, epochs=2, lr=0.3)
+    assert a["loss_history"] == b["loss_history"]
+    # 1 vs 4 partitions: same math up to f32 partial-sum regrouping
+    c = train_mpn_head(t1, epochs=2, lr=0.3, num_partitions=1)
+    d = train_mpn_head(t1, epochs=2, lr=0.3, num_partitions=4)
+    assert np.allclose(c["loss_history"], d["loss_history"], rtol=1e-5)
+
+
+def test_mpn_gradient_matches_finite_difference():
+    """The analytic map-side gradient equals the numeric directional
+    derivative of the joint loss (pure numpy, replicating the epoch UDF on
+    a tiny corpus; central difference vs <grad, direction>)."""
+    import json
+
+    from nlp_series_relation_extraction_spark.core.encoders import (
+        HashEncoder,
+        PlantedEncoder,
+        _sigmoid,
+    )
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        normalize_text,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import synth_pandas
+
+    pdf = synth_pandas(8, seed=11)
+    enc_h = HashEncoder(42)
+    pe = PlantedEncoder()
+    eps = 1e-7
+
+    def loss_and_grad(ws, wp):
+        gs = np.zeros_like(ws)
+        gp = np.zeros_like(wp)
+        total = 0.0
+        n = 0
+        for text, gj in zip(pdf["text"], pdf["gold_json"]):
+            text = normalize_text(text)
+            sub_y, enc = pe.mpn_planted(text, json.loads(gj), max_len=512)
+            L = len(enc["tokens"])
+            in_subj = sorted(s for s in enc["spoes"] if s[1] <= L - 1)
+            if not in_subj:
+                continue
+            chosen = in_subj[0]
+            po_y = pe.mpn_po_probs(enc, [chosen])[0].reshape(L, -1)
+            C = enc_h.encode(enc["tokens"]).astype(np.float64)
+            p_sub = _sigmoid(2.0 * (C @ ws) + enc_h.b_sub)
+            Cc = enc_h.cond_encode(
+                C.astype(np.float32), chosen
+            ).astype(np.float64)
+            p_po = _sigmoid(2.0 * (Cc @ wp) + enc_h.b_po)
+            total += float(
+                -(sub_y * np.log(p_sub + eps)
+                  + (1 - sub_y) * np.log(1 - p_sub + eps)).mean(axis=1).sum()
+            )
+            total += float(
+                -(po_y * np.log(p_po + eps)
+                  + (1 - po_y) * np.log(1 - p_po + eps))
+                .reshape(L, -1, 2).mean(axis=2).sum()
+            )
+            gs += C.T @ (p_sub - sub_y)
+            gp += Cc.T @ (p_po - po_y)
+            n += L
+        n = max(n, 1)
+        return total / n, gs / n, gp / n
+
+    Ws = np.array(enc_h.w_sub, dtype=np.float64)
+    Wp = np.array(enc_h.w_po, dtype=np.float64)
+    _, gs, gp = loss_and_grad(Ws, Wp)
+    rng = np.random.default_rng(0)
+    Ds = rng.standard_normal(Ws.shape)
+    Ds /= np.linalg.norm(Ds)
+    Dp = rng.standard_normal(Wp.shape)
+    Dp /= np.linalg.norm(Dp)
+    h = 1e-4
+    for W0, D, g, other in ((Ws, Ds, gs, "sub"), (Wp, Dp, gp, "po")):
+        if other == "sub":
+            lp = loss_and_grad(Ws + h * D, Wp)[0]
+            lm = loss_and_grad(Ws - h * D, Wp)[0]
+        else:
+            lp = loss_and_grad(Ws, Wp + h * D)[0]
+            lm = loss_and_grad(Ws, Wp - h * D)[0]
+        numeric = (lp - lm) / (2 * h)
+        analytic = float((g * D).sum())
+        assert np.isclose(numeric, analytic, rtol=1e-3, atol=1e-8), (
+            other, numeric, analytic,
+        )
+
+
+def test_mpn_loss_approaches_zero_on_tiny_corpus(spark):
+    """Output layers can drive the planted-label joint BCE toward zero on a
+    small corpus — the optimizability sanity the reference gets from its
+    best-F1 epoch selection."""
+    t = synth_transcripts(spark, 4, seed=3, partitions=1)
+    res = train_mpn_head(t, epochs=60, lr=2.0)
+    h = res["loss_history"]
+    assert h[-1] < 0.15 * h[0], f"loss did not approach zero: {h[0]} -> {h[-1]}"
+
+
+def test_running_mean_20_reference_quirk():
+    # run_mpn.py:60-64 divides by 20 even before 20 values exist
+    assert running_mean_20([1.0]) == [1.0 / 20]
+    xs = [float(i) for i in range(30)]
+    out = running_mean_20(xs)
+    assert out[29] == sum(xs[10:30]) / 20
+    assert out[5] == sum(xs[:6]) / 20
 
 
 def test_long_text_truncation_bounds_work():
