@@ -1,0 +1,121 @@
+"""Tie the prediction sink's output format to the reference's OWN scorer.
+
+The reference-shaped JSONL written by write_prediction_jsonl_reference_format
+is scored with the reference's own ``calculate_metric``
+(run_evaluation.py:222-255, loaded directly from /root/reference at test
+time — its module has torch-importing siblings, so the single pure function
+is extracted by AST; no reference code is copied into this repo). The
+resulting P/R/F1 must equal what this repo's parity tests compute: exact
+(1.0) for the span heads on the demo data, and the pinned BIO
+over-generation precision.
+"""
+
+import ast
+import json
+import os
+
+import pytest
+
+from nlp_series_relation_extraction_spark.operators.extract import (
+    extract_turn_results,
+)
+from nlp_series_relation_extraction_spark.sources.io import (
+    write_prediction_jsonl_reference_format,
+)
+
+DEMO = "/root/reference/data/duie_demon.json"
+REF_EVAL = "/root/reference/run_evaluation.py"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(DEMO) and os.path.exists(REF_EVAL)),
+    reason="reference repo not present",
+)
+
+
+def _load_reference_calculate_metric():
+    """Extract run_evaluation.calculate_metric (pure, dependency-free) from
+    the reference source without importing its torch-dependent module."""
+    with open(REF_EVAL, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    fn = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "calculate_metric"
+    )
+    ns: dict = {}
+    exec(  # noqa: S102 - loading the reference's own scorer for parity
+        compile(ast.Module(body=[fn], type_ignores=[]), REF_EVAL, "exec"), ns
+    )
+    return ns["calculate_metric"]
+
+
+def _records():
+    with open(DEMO, encoding="utf-8") as f:
+        return [json.loads(line) for line in f]
+
+
+def _score_sink_with_reference(spark, tmp_path, head):
+    recs = _records()
+    rows = [
+        (
+            "demo",
+            i,
+            "user",
+            r["text"],
+            None,
+            None,
+            json.dumps(r.get("spo_list", []), ensure_ascii=False),
+        )
+        for i, r in enumerate(recs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, gold_json string",
+    )
+    res = extract_turn_results(df, head=head, planted=True, keep_text=True)
+    out_dir = str(tmp_path / f"refsink_{head}")
+    write_prediction_jsonl_reference_format(res, out_dir)
+    pred_by_text = {}
+    for fn in sorted(os.listdir(out_dir)):
+        if fn.startswith("part-"):
+            with open(os.path.join(out_dir, fn), encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        pred_by_text[rec["text"]] = rec["spo_list"]
+
+    calculate_metric = _load_reference_calculate_metric()
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        normalize_text,
+    )
+
+    tp = fp = fn_ = 0
+    for r in recs:
+        gold = r.get("spo_list", [])
+        pred = pred_by_text[normalize_text(r["text"])]
+        t, f, n = calculate_metric(gold, pred)
+        tp, fp, fn_ = tp + t, fp + f, fn_ + n
+    p = tp / (tp + fp) if tp + fp else 0
+    rc = tp / (tp + fn_) if tp + fn_ else 0
+    f1 = 2 * p * rc / (p + rc) if p + rc else 0
+    return p, rc, f1, tp, fp, fn_
+
+
+@pytest.mark.parametrize("head", ["mpn", "mhs", "biaffine"])
+def test_reference_scorer_exact_on_span_head_sink(spark, tmp_path, head):
+    p, r, f1, tp, fp, fn_ = _score_sink_with_reference(spark, tmp_path, head)
+    assert (p, r, f1) == (1.0, 1.0, 1.0), (head, tp, fp, fn_)
+
+
+def test_reference_scorer_bio_sink_matches_parity_pins(spark, tmp_path):
+    """BIO over-generates by cross product (58 triples on sentence 0 — the
+    pinned reference semantics); the reference scorer must see recall 1.0
+    and exactly the pinned fp count."""
+    p, r, f1, tp, fp, fn_ = _score_sink_with_reference(spark, tmp_path, "bio")
+    assert r == 1.0 and fn_ == 0
+    n_gold = sum(len(x.get("spo_list", [])) for x in _records())
+    assert tp == n_gold
+    # pinned prediction counts [58, 1, 1, 2] -> 62 predictions total
+    assert tp + fp == 62
+    assert p == pytest.approx(n_gold / 62)
