@@ -458,7 +458,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency JACCARD_MAX_DF (the scale guard is ON by default)."""
     from ..functions.dedup import jaccard_pairs, word_shingles
 
-    sh = word_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    # materialize the shingle stage ONCE: sizes, the df cap, and both join
+    # sides consume it, and re-evaluating the split/slice/explode expression
+    # 4x measured ~4x slower at sf0.1. At cluster scale this is a persisted
+    # shingle stage table.
+    sh = word_shingles(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    ).localCheckpoint(eager=True)
     return jaccard_pairs(
         sh, threshold_pct=30, max_df=JACCARD_MAX_DF
     ).orderBy("a_id", "b_id")
