@@ -866,6 +866,89 @@ def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "epoch int, mean_masked_bce double")
 
 
+def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL linking pipeline (operators/linking.py: normalize -> skew
+    firewall dedup -> 2-gram blocking with the max_block cap -> jaccard
+    similarity join -> iterative connected components -> canonical
+    entities) over a deterministic SQL-derivable mention table (word
+    bigrams of documents), so the whole stage is driver-checked against a
+    DuckDB oracle (recursive-CTE reachability = the CC fixpoint).
+    entity_id (xxhash64-based) is excluded — DuckDB has no xxhash64 — the
+    compared surface is (canonical_name, n_mentions, n_occurrences)."""
+    from ..operators.linking import link_mentions
+
+    d = t(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    mentions = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({w}) - 1),"
+                f" i -> concat_ws(' ', slice({w}, i, 2)))"
+            )
+        ).alias("mention"),
+    )
+    ent = link_mentions(mentions, threshold=0.5, max_block=200)["entities"]
+    return ent.select(
+        "canonical_name",
+        F.col("n_mentions").cast("long"),
+        F.col("n_occurrences").cast("long"),
+    ).orderBy("canonical_name")
+
+
+_LINKING_SQL = """
+WITH RECURSIVE occ AS (
+  SELECT trim(replace(lower(m), chr(160), '')) AS mention_norm
+  FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, len(string_split(text,' ')) - 1),
+      i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')
+    )) AS m FROM documents
+  ) WHERE length(trim(replace(lower(m), chr(160), ''))) > 0
+), dm AS (
+  SELECT mention_norm, count(*) AS n_occurrences FROM occ GROUP BY mention_norm
+), grams AS (
+  SELECT mention_norm, list_distinct(list_transform(
+    generate_series(1, greatest(length(mention_norm) - 1, 1)),
+    i -> substring(mention_norm, i, 2))) AS gs
+  FROM dm
+), blocks AS (
+  SELECT mention_norm, unnest(gs) AS g FROM grams
+), gsz AS (SELECT g, count(*) AS c FROM blocks GROUP BY g),
+blk AS (SELECT b.mention_norm, b.g FROM blocks b JOIN gsz USING (g)
+        WHERE gsz.c <= 200),
+cand AS (
+  SELECT DISTINCT a.mention_norm AS am, b.mention_norm AS bm
+  FROM blk a JOIN blk b ON a.g = b.g AND a.mention_norm < b.mention_norm
+), scored AS (
+  SELECT c.am, c.bm,
+    len(list_intersect(ga.gs, gb.gs)) AS inter,
+    len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS un
+  FROM cand c JOIN grams ga ON c.am = ga.mention_norm
+              JOIN grams gb ON c.bm = gb.mention_norm
+), e AS (
+  SELECT am, bm FROM scored WHERE un > 0 AND cast(inter AS DOUBLE)/un >= 0.5
+), eu AS (SELECT am AS x, bm AS y FROM e UNION ALL SELECT bm, am FROM e),
+reach AS (
+  SELECT mention_norm AS root, mention_norm AS node FROM dm
+  UNION
+  SELECT r.root, eu.y FROM reach r JOIN eu ON r.node = eu.x
+), comp AS (
+  SELECT node AS mention_norm, min(root) AS component FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.mention_norm, d.n_occurrences, c.component,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_occurrences DESC, d.mention_norm ASC) AS rn
+  FROM dm d JOIN comp c USING (mention_norm)
+)
+SELECT max(CASE WHEN rn = 1 THEN mention_norm END) AS canonical_name,
+       count(*) AS n_mentions,
+       cast(sum(n_occurrences) AS BIGINT) AS n_occurrences
+FROM labeled GROUP BY component ORDER BY canonical_name
+"""
+
+
 def q_kg_train_mpn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed mpn-head training (rows-only): per-epoch joint
     subject+po masked-BCE losses (reference models/model_mpn.py:122-154,
@@ -923,6 +1006,7 @@ def queries() -> dict:
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
             "kg_entities": q_kg_entities,
+            "kg_linking_entities": q_kg_linking_entities,
             "kg_graph_edges": q_kg_graph_edges,
             "kg_train_bio": q_kg_train_bio,
             "kg_train_mpn": q_kg_train_mpn,
@@ -974,4 +1058,5 @@ def oracle_sql() -> dict:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
+        "kg_linking_entities": _LINKING_SQL,
     }

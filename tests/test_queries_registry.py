@@ -11,9 +11,12 @@ SF = "/root/testdata/sf0.001"
 def test_every_oracle_has_a_query():
     qs, osql = Q.queries(), Q.oracle_sql()
     assert set(osql) <= set(qs)
-    # the KG extraction + linking queries are deliberately rows-only
+    # the Arrow-UDF extraction queries are deliberately rows-only (their
+    # exactness is covered by planted P/R=1.0 + reference-scorer tests);
+    # everything SQL-expressible — incl. LSH ANN and the full linking
+    # pipeline — carries a DuckDB oracle
     rows_only = set(qs) - set(osql)
-    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train", "kg_selfeval", "ann_topk_lsh")
+    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train", "kg_selfeval")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
