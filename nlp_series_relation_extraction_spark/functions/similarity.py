@@ -326,3 +326,60 @@ def embedding_near_dup_pairs(
     return pairs.where((F.col("qdot") > 0) & (lhs >= rhs)).select(
         "a_id", "b_id", "qdot", "a_n2", "b_n2"
     )
+
+
+def embedding_near_dup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    min_cos_e6: int = 950_000,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB oracle mirroring embedding_near_dup_pairs: the same
+    md5-derived hyperplane bucket (seed family as hyperplane_buckets),
+    same quantized integer dot, and the same decimal-exact threshold test —
+    DuckDB's HUGEINT (int128) holds qdot^2 * 1e12 (~1e27) exactly, like
+    Spark's decimal(38,0)."""
+    import hashlib
+
+    bit_terms = []
+    for b in range(bits):
+        # per-element leading sign, matching hyperplane_buckets' expression
+        terms = " + ".join(
+            f"({'' if hashlib.md5(f'{seed}:{b}:{d}'.encode()).digest()[0] % 2 == 0 else '-'}qvec[{d + 1}])"
+            for d in range(dim)
+        )
+        bit_terms.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    bucket_expr = " + ".join(bit_terms)
+    m = int(min_cos_e6)
+    return f"""
+WITH qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+           x -> cast(floor(cast(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qvec
+  FROM {table}
+), bk AS (
+  SELECT id, qvec, ({bucket_expr}) AS bucket FROM qv
+), flat AS (
+  SELECT id, unnest(qvec) AS val, generate_subscripts(qvec, 1) AS pos FROM qv
+), n2 AS (
+  SELECT id, cast(sum(val * val) AS BIGINT) AS qnorm2 FROM flat GROUP BY id
+), pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+), dots AS (
+  SELECT p.a_id, p.b_id, cast(sum(fa.val * fb.val) AS BIGINT) AS qdot
+  FROM pairs p
+  JOIN flat fa ON fa.id = p.a_id
+  JOIN flat fb ON fb.id = p.b_id AND fb.pos = fa.pos
+  GROUP BY p.a_id, p.b_id
+)
+SELECT d.a_id, d.b_id, d.qdot, na.qnorm2 AS a_n2, nb.qnorm2 AS b_n2
+FROM dots d JOIN n2 na ON na.id = d.a_id JOIN n2 nb ON nb.id = d.b_id
+WHERE d.qdot > 0
+  AND cast(d.qdot AS HUGEINT) * d.qdot * 1000000000000
+      >= cast({m} AS HUGEINT) * {m} * na.qnorm2 * nb.qnorm2
+ORDER BY a_id, b_id
+"""

@@ -521,6 +521,19 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (one shuffle on the
+    bucket id, no all-pairs), decimal-exact integer threshold test. The
+    threshold (cos >= 0.43, bits=2) sits below the synthetic corpus's max
+    cosine (~0.51) so the check is non-vacuous at every SF."""
+    from ..functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        min_cos_e6=430_000, bits=2,
+    ).orderBy("a_id", "b_id")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: 3 smallest md5s of word-5-gram
     shingles per document."""
@@ -1002,6 +1015,7 @@ def queries() -> dict:
             "dedup_simhash": q_dedup_simhash,
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
+            "embedding_near_dup": q_embedding_near_dup,
             "doc_fingerprint": q_doc_fingerprint,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
@@ -1059,4 +1073,11 @@ def oracle_sql() -> dict:
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,
+        "embedding_near_dup": __import__(
+            "nlp_series_relation_extraction_spark.functions.similarity",
+            fromlist=["embedding_near_dup_sql"],
+        ).embedding_near_dup_sql(
+            "embeddings", "vec_id", "embedding",
+            min_cos_e6=430_000, bits=2, dim=64,
+        ),
     }
