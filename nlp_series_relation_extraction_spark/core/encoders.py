@@ -226,11 +226,17 @@ class HashEncoder:
             _sigmoid(np.float32(2.0) * (C @ self.w_end) + np.float32(self.b_typed)),
         )
 
+    def head_tail_features(self, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Frozen (f1, f2) head/tail projections [L, 32] — the inner layers
+        below the trainable pair scorer (reference model_mhs.py:47-49)."""
+        return (
+            np.maximum(C @ self.w_head, 0.0),
+            np.maximum(C @ self.w_tail, 0.0),
+        )
+
     def pair_cube(self, tokens: Sequence[str]) -> np.ndarray:
         """[L, L, R] selection scores: concat-projection MLP, vectorized."""
-        C = self.encode(tokens)
-        f1 = np.maximum(C @ self.w_head, 0.0)  # [L, 32]
-        f2 = np.maximum(C @ self.w_tail, 0.0)  # [L, 32]
+        f1, f2 = self.head_tail_features(self.encode(tokens))
         inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)  # [L, L, 32]
         return _sigmoid(np.float32(2.0) * (inter @ self.w_rel) + np.float32(self.b_rel))
 
@@ -238,8 +244,7 @@ class HashEncoder:
         """[L, L, R] biaffine scores: x^T W1 y + [x;y;1] W2 (reference
         models/model_mhs_biaffine.py:10-28, einsum form)."""
         C = self.encode(tokens)
-        f1 = np.maximum(C @ self.w_head, 0.0)
-        f2 = np.maximum(C @ self.w_tail, 0.0)
+        f1, f2 = self.head_tail_features(C)
         # two-step contraction: [L,R,32] then [L,L,R] — avoids the O(L^2*R*H^2)
         # naive path of the single three-operand einsum
         logits1 = np.einsum(

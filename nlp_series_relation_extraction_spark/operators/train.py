@@ -299,3 +299,176 @@ def train_mpn_head(
         "loss_sliding20": running_mean_20(history),
         "best_loss": best[0],
     }
+
+
+# --- mhs / biaffine heads: typed spans + pair cube ---------------------------
+
+_MHS_GRAD_SCHEMA = (
+    "grads binary, sub_loss double, rel_loss double, n_tokens long"
+)
+
+
+def _bce_sum(p: np.ndarray, y: np.ndarray) -> float:
+    eps = 1e-7
+    return float(
+        -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+    )
+
+
+def _mhs_epoch_udf(weights: dict, seed: int, max_len: int, biaffine: bool):
+    """Per-partition gradient/loss sums for the mhs objective (reference
+    models/model_mhs.py:58-64, identical in model_mhs_biaffine.py:84-90):
+    loss = 10 * mean-masked (BCE(start) + BCE(end))/2 + mean-masked
+    BCE(pair cube). Every sentence trains (the reference mhs collate has
+    no skip — gold-less sentences contribute all-zero labels)."""
+
+    def run(batches):
+        import json
+
+        from ..core.encoders import PlantedEncoder
+
+        encoder = get_hash_encoder(seed)
+        planted = PlantedEncoder()
+        w32 = {k: v.astype(np.float32) for k, v in weights.items()}
+        g = {k: np.zeros_like(v, dtype=np.float64) for k, v in weights.items()}
+        sub_loss = rel_loss = 0.0
+        n_tokens = 0
+        for pdf in batches:
+            for text, gold_json in zip(pdf["text"], pdf["gold_json"]):
+                text = normalize_text(text)
+                y_start, y_end, y_cube, enc = planted.mhs_planted(
+                    text, json.loads(gold_json), max_len=max_len
+                )
+                L = len(enc["tokens"])
+                C = encoder.encode(enc["tokens"])  # frozen [L, H]
+                p_start = _sigmoid(
+                    np.float32(2.0) * (C @ w32["w_start"]) + np.float32(encoder.b_typed)
+                )
+                p_end = _sigmoid(
+                    np.float32(2.0) * (C @ w32["w_end"]) + np.float32(encoder.b_typed)
+                )
+                f1, f2 = encoder.head_tail_features(C)  # frozen inner layers
+                if biaffine:
+                    z1 = np.einsum(
+                        "xoj,yj->xyo", np.einsum("xi,ioj->xoj", f1, w32["w_bi1"]), f2
+                    )
+                    pair = np.concatenate(
+                        [
+                            np.broadcast_to(f1[:, None, :], (L, L, 32)),
+                            np.broadcast_to(f2[None, :, :], (L, L, 32)),
+                            np.ones((L, L, 1), dtype=np.float32),
+                        ],
+                        axis=-1,
+                    )
+                    p_cube = _sigmoid(
+                        z1 + pair @ w32["w_bi2"] + np.float32(encoder.b_bi)
+                    )
+                else:
+                    inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)
+                    p_cube = _sigmoid(
+                        np.float32(2.0) * (inter @ w32["w_rel"])
+                        + np.float32(encoder.b_rel)
+                    )
+                sub_loss += 0.5 * (_bce_sum(p_start, y_start) + _bce_sum(p_end, y_end))
+                rel_loss += _bce_sum(p_cube, y_cube)
+                # grads of (10*sub + rel)/n_total; /n happens on the driver.
+                # start/end: d mean-free BCE wrt z = (p-y); z = 2 C W + b and
+                # the /2 in loss_sub cancel -> 10 * C^T (p - y)
+                g["w_start"] += 10.0 * (C.T @ (p_start - y_start)).astype(np.float64)
+                g["w_end"] += 10.0 * (C.T @ (p_end - y_end)).astype(np.float64)
+                d = (p_cube - y_cube).astype(np.float32)  # [L, L, R]
+                if biaffine:
+                    # z1 = einsum(xi,ioj,yj); z2 = pair @ W2 (coefficient 1)
+                    # two-step contraction (the naive 3-operand path is
+                    # O(L^2 * 32^2 * R))
+                    tmp = np.einsum("xi,xyo->iyo", f1, d)
+                    g["w_bi1"] += np.einsum("iyo,yj->ioj", tmp, f2).astype(
+                        np.float64
+                    )
+                    g["w_bi2"] += (
+                        pair.reshape(L * L, -1).T @ d.reshape(L * L, -1)
+                    ).astype(np.float64)
+                else:
+                    g["w_rel"] += 2.0 * (
+                        inter.reshape(L * L, -1).T @ d.reshape(L * L, -1)
+                    ).astype(np.float64)
+                n_tokens += L
+        blob = b"".join(
+            g[k].astype(np.float32).tobytes() for k in sorted(g)
+        )
+        yield pd.DataFrame(
+            {
+                "grads": [blob],
+                "sub_loss": [sub_loss],
+                "rel_loss": [rel_loss],
+                "n_tokens": [n_tokens],
+            }
+        )
+
+    return run
+
+
+def train_mhs_head(
+    transcripts: DataFrame,
+    epochs: int = 5,
+    lr: float = 0.2,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    max_len: int = 512,
+    biaffine: bool = False,
+) -> dict:
+    """Synchronous data-parallel SGD on the mhs (or biaffine) output
+    layers: typed-span start/end projections plus the pair scorer
+    (w_rel, or the biaffine w_bi1/w_bi2). Same map-side gradient combine
+    as the other trainers; reference loss weighting loss_sub*10 + loss_rel
+    (model_mhs.py:58-64)."""
+    base = HashEncoder(seed)
+    if biaffine:
+        keys = ("w_start", "w_end", "w_bi1", "w_bi2")
+    else:
+        keys = ("w_start", "w_end", "w_rel")
+    W = {k: np.array(getattr(base, k), dtype=np.float64) for k in keys}
+
+    df = transcripts.select("text", "gold_json")
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    df = df.localCheckpoint(eager=True)
+
+    history: list[float] = []
+    sub_hist: list[float] = []
+    rel_hist: list[float] = []
+    best = (np.inf, {k: v.copy() for k, v in W.items()})
+    for _ in range(epochs):
+        parts = df.mapInPandas(
+            _mhs_epoch_udf(W, seed, max_len, biaffine), schema=_MHS_GRAD_SCHEMA
+        ).collect()
+        g = {k: np.zeros_like(v) for k, v in W.items()}
+        sl = rl = 0.0
+        n = 0
+        for r in parts:
+            buf = np.frombuffer(r.grads, dtype=np.float32)
+            off = 0
+            for k in sorted(g):
+                size = g[k].size
+                g[k] += buf[off : off + size].reshape(g[k].shape)
+                off += size
+            sl += r.sub_loss
+            rl += r.rel_loss
+            n += r.n_tokens
+        n = max(n, 1)
+        loss = (10.0 * sl + rl) / n
+        history.append(loss)
+        sub_hist.append(sl / n)
+        rel_hist.append(rl / n)
+        if loss < best[0]:
+            best = (loss, {k: v.copy() for k, v in W.items()})
+        for k in W:
+            W[k] = W[k] - lr * (g[k] / n)
+    return {
+        "weights": {k: v.astype(np.float32) for k, v in best[1].items()},
+        "loss_history": history,
+        "sub_loss_history": sub_hist,
+        "rel_loss_history": rel_hist,
+        "loss_sliding20": running_mean_20(history),
+        "best_loss": best[0],
+    }

@@ -989,6 +989,32 @@ def q_kg_train_mpn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_train_mhs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mhs-head training (rows-only): per-epoch weighted loss
+    10*sub + rel (reference models/model_mhs.py:58-64) from synchronous
+    data-parallel SGD on the typed-span + pair-scorer output layers."""
+    from ..operators.train import train_mhs_head
+
+    n = min(_kg_turns(spark, sf_dir), 400)  # cube math is the heavy head
+    t_df = synth_transcripts(spark, n, seed=42)
+    res = train_mhs_head(t_df, epochs=3, lr=0.2)
+    rows = [
+        (i, round(float(l), 6), round(float(sl), 6), round(float(rl), 6))
+        for i, (l, sl, rl) in enumerate(
+            zip(
+                res["loss_history"],
+                res["sub_loss_history"],
+                res["rel_loss_history"],
+            )
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "epoch int, weighted_bce double, mean_sub_bce double, "
+        "mean_rel_bce double",
+    )
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -1024,6 +1050,7 @@ def queries() -> dict:
             "kg_graph_edges": q_kg_graph_edges,
             "kg_train_bio": q_kg_train_bio,
             "kg_train_mpn": q_kg_train_mpn,
+            "kg_train_mhs": q_kg_train_mhs,
             "kg_selfeval_prf_mpn": _kg_selfeval("mpn"),
             "kg_selfeval_prf_bio": _kg_selfeval("bio"),
             "kg_selfeval_entity_em": q_kg_selfeval_entity_em,

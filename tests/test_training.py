@@ -5,6 +5,7 @@ import numpy as np
 from nlp_series_relation_extraction_spark.operators.train import (
     running_mean_20,
     train_bio_head,
+    train_mhs_head,
     train_mpn_head,
 )
 from nlp_series_relation_extraction_spark.sources.synthetic import synth_transcripts
@@ -141,6 +142,117 @@ def test_mpn_loss_approaches_zero_on_tiny_corpus(spark):
     res = train_mpn_head(t, epochs=60, lr=2.0)
     h = res["loss_history"]
     assert h[-1] < 0.15 * h[0], f"loss did not approach zero: {h[0]} -> {h[-1]}"
+
+
+def test_mhs_sgd_reduces_weighted_loss(spark):
+    t = synth_transcripts(spark, 160, seed=42, partitions=4)
+    res = train_mhs_head(t, epochs=3, lr=0.2)
+    h = res["loss_history"]
+    assert len(h) == 3 and all(b < a for a, b in zip(h, h[1:]))
+    assert res["weights"]["w_start"].shape == (64, 27)
+    assert res["weights"]["w_end"].shape == (64, 27)
+    assert res["weights"]["w_rel"].shape == (32, 55)
+    assert res["sub_loss_history"][-1] < res["sub_loss_history"][0]
+    assert res["rel_loss_history"][-1] < res["rel_loss_history"][0]
+    # deterministic across runs
+    res2 = train_mhs_head(t, epochs=3, lr=0.2)
+    assert res2["loss_history"] == h
+
+
+def test_biaffine_sgd_reduces_weighted_loss(spark):
+    t = synth_transcripts(spark, 120, seed=42, partitions=4)
+    res = train_mhs_head(t, epochs=3, lr=0.2, biaffine=True)
+    h = res["loss_history"]
+    assert len(h) == 3 and all(b < a for a, b in zip(h, h[1:]))
+    assert res["weights"]["w_bi1"].shape == (32, 55, 32)
+    assert res["weights"]["w_bi2"].shape == (65, 55)
+    assert all(np.isfinite(v).all() for v in res["weights"].values())
+
+
+def test_mhs_gradient_matches_finite_difference():
+    """Directional-derivative check for the mhs pair-scorer gradient and
+    the biaffine w_bi1 gradient (pure numpy, replicating the epoch UDF)."""
+    import json
+
+    from nlp_series_relation_extraction_spark.core.encoders import (
+        HashEncoder,
+        PlantedEncoder,
+        _sigmoid,
+    )
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        normalize_text,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import synth_pandas
+
+    pdf = synth_pandas(6, seed=5)
+    enc_h = HashEncoder(42)
+    pe = PlantedEncoder()
+    eps = 1e-7
+
+    def loss_and_grads(w_rel, w_bi1, biaffine):
+        g = np.zeros_like(w_bi1 if biaffine else w_rel)
+        total = 0.0
+        n = 0
+        for text, gj in zip(pdf["text"], pdf["gold_json"]):
+            text = normalize_text(text)
+            ys, ye, yc, enc = pe.mhs_planted(text, json.loads(gj), max_len=512)
+            L = len(enc["tokens"])
+            C = enc_h.encode(enc["tokens"]).astype(np.float64)
+            f1, f2 = enc_h.head_tail_features(C.astype(np.float32))
+            f1 = f1.astype(np.float64)
+            f2 = f2.astype(np.float64)
+            if biaffine:
+                z1 = np.einsum(
+                    "xoj,yj->xyo", np.einsum("xi,ioj->xoj", f1, w_bi1), f2
+                )
+                pair = np.concatenate(
+                    [
+                        np.broadcast_to(f1[:, None, :], (L, L, 32)),
+                        np.broadcast_to(f2[None, :, :], (L, L, 32)),
+                        np.ones((L, L, 1)),
+                    ],
+                    axis=-1,
+                )
+                pc = _sigmoid(
+                    z1 + pair @ np.asarray(enc_h.w_bi2, np.float64) + enc_h.b_bi
+                )
+                d = pc - yc
+                tmp = np.einsum("xi,xyo->iyo", f1, d)
+                g += np.einsum("iyo,yj->ioj", tmp, f2)
+            else:
+                inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)
+                pc = _sigmoid(2.0 * (inter @ w_rel) + enc_h.b_rel)
+                d = pc - yc
+                g += 2.0 * (
+                    inter.reshape(L * L, -1).T @ d.reshape(L * L, -1)
+                )
+            total += float(
+                -(yc * np.log(pc + eps) + (1 - yc) * np.log(1 - pc + eps)).sum()
+            )
+            n += L
+        n = max(n, 1)
+        return total / n, g / n
+
+    rng = np.random.default_rng(1)
+    Wr = np.asarray(enc_h.w_rel, np.float64)
+    W1 = np.asarray(enc_h.w_bi1, np.float64)
+    h = 1e-4
+    for biaffine in (False, True):
+        W0 = W1 if biaffine else Wr
+        D = rng.standard_normal(W0.shape)
+        D /= np.linalg.norm(D)
+        _, g = loss_and_grads(Wr, W1, biaffine)
+        if biaffine:
+            lp = loss_and_grads(Wr, W1 + h * D, True)[0]
+            lm = loss_and_grads(Wr, W1 - h * D, True)[0]
+        else:
+            lp = loss_and_grads(Wr + h * D, W1, False)[0]
+            lm = loss_and_grads(Wr - h * D, W1, False)[0]
+        numeric = (lp - lm) / (2 * h)
+        analytic = float((g * D).sum())
+        assert np.isclose(numeric, analytic, rtol=1e-3, atol=1e-8), (
+            biaffine, numeric, analytic,
+        )
 
 
 def test_running_mean_20_reference_quirk():
