@@ -1,12 +1,17 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode step itself is STUBBED (no image/audio
-libraries in this container): ``decode_image`` raises ``NotImplementedError``
-unless PIL is importable, and the feature extractor falls back to a clearly
-marked deterministic fake (md5-seeded vector) — the Spark-side plumbing
-(schema, partitioning, UDF signature, Arrow batch shape) is real and tested.
+``mapInPandas`` stages.
+
+The decode step is REAL for the self-contained uncompressed formats —
+binary PPM (P6) and 24-bit BMP — implemented in pure numpy (header parse +
+``frombuffer``), so the whole decode -> resize -> feature path runs without
+PIL/opencv. Compressed codecs (JPEG/PNG/...) remain an integration point:
+``decode_image`` raises ``NotImplementedError`` for them (plug PIL/opencv in
+one place); the surrounding Spark plumbing is format-agnostic either way.
+Video is modeled as a stack of fixed-size PPM frames in one payload;
+``frame_sample`` slices real frame bytes.
 """
 
 from __future__ import annotations
@@ -16,13 +21,6 @@ import hashlib
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:
-    _HAS_PIL = False
-
 MEDIA_SCHEMA = (
     "media_id bigint, content binary, "
     "meta struct<format:string, width:int, height:int, n_frames:int>"
@@ -30,40 +28,212 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 32
 
+# --- pure-numpy codecs (PPM P6 encode/decode, 24-bit BMP decode) -------------
 
-def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic fake media table from a text table: payload bytes are
-    the utf-8 text (stand-in for encoded pixels), metadata derived from
-    content length. Lets the pipeline run end-to-end without real codecs."""
-    return df.select(
-        F.col(id_col).alias("media_id"),
-        F.encode(F.col(text_col), "utf-8").alias("content"),
-        F.struct(
-            F.lit("fake/raw").alias("format"),
-            (F.length(text_col) % 640 + 16).cast("int").alias("width"),
-            (F.length(text_col) % 480 + 16).cast("int").alias("height"),
-            (F.length(text_col) % 30 + 1).cast("int").alias("n_frames"),
-        ).alias("meta"),
+
+def encode_image_ppm(arr: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as binary PPM (P6)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8. Handles whitespace/comment headers."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval (comments start '#')
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(content[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp24(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> HxWx3 uint8 (RGB). Rows are 4-byte padded
+    and stored bottom-up (negative height = top-down), pixels BGR."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    comp = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(content: bytes, fmt: str) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 uint8 array.
+
+    REAL for the uncompressed self-contained formats (image/ppm,
+    image/bmp — pure numpy, no external codec). Compressed formats are the
+    documented integration point: plug PIL/opencv here; everything around
+    this function (schemas, Arrow batching, resize, features) is
+    format-agnostic."""
+    f = (fmt or "").lower()
+    if f in ("image/ppm", "ppm"):
+        return _decode_ppm(content)
+    if f in ("image/bmp", "bmp"):
+        return _decode_bmp24(content)
+    raise NotImplementedError(
+        f"no built-in decoder for {fmt!r}: compressed codecs (jpeg/png/...) "
+        "need PIL/opencv — integrate them in decode_image; ppm/bmp decode "
+        "natively"
     )
 
 
-def decode_image(content: bytes, fmt: str) -> "np.ndarray":
-    """Decode an encoded image payload to an HxWx3 array.
+def resize_image(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index map) -> height x width x C."""
+    h, w = arr.shape[:2]
+    ri = (np.arange(height) * h // height).clip(0, h - 1)
+    ci = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[ri][:, ci]
 
-    STUB: real decoding needs PIL/opencv, absent from this runtime.
-    """
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not available in this runtime); "
-            "plug a real decoder in here — the surrounding Spark plumbing is "
-            "format-agnostic"
-        )
-    raise NotImplementedError("real decoder integration point")
+
+def image_features(arr: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic REAL features from decoded pixels: per-channel
+    mean/std/min/max (12) + a 4x5 grayscale thumbnail (20) = 32 dims."""
+    a = arr.astype(np.float32)
+    stats = np.concatenate(
+        [
+            a.mean(axis=(0, 1)),
+            a.std(axis=(0, 1)),
+            a.min(axis=(0, 1)),
+            a.max(axis=(0, 1)),
+        ]
+    )
+    gray = a.mean(axis=2)
+    thumb = resize_image(gray[:, :, None], 5, 4)[:, :, 0].reshape(-1)
+    out = np.concatenate([stats, thumb]).astype(np.float32)
+    assert out.shape[0] == dim
+    return out
+
+
+# --- synthetic media source ---------------------------------------------------
+
+
+def _synth_pixels(seed_bytes: bytes, w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.md5(seed_bytes).digest()[:8], "little")
+    )
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic media table from a text table: payload bytes are a REAL
+    binary-PPM image (md5-seeded pixels, dims derived from text length), so
+    the decode -> resize -> feature path runs on genuine encoded images."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "content": [],
+                "format": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+            }
+            for text in pdf["text"]:
+                t = (text or "").encode("utf-8")
+                w, h = len(t) % 24 + 4, len(t) % 16 + 4
+                out["content"].append(encode_image_ppm(_synth_pixels(t, w, h)))
+                out["format"].append("image/ppm")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(1)
+            yield pd.DataFrame(out)
+
+    flat = df.select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        gen,
+        schema="media_id bigint, content binary, format string, width int, "
+        "height int, n_frames int",
+    )
+    return flat.select(
+        "media_id",
+        "content",
+        F.struct("format", "width", "height", "n_frames").alias("meta"),
+    )
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str, text_col: str, n_frames: int = 6,
+    width: int = 8, height: int = 6,
+) -> DataFrame:
+    """Fixed-size video payloads: ``n_frames`` concatenated PPM frames in one
+    binary column (every frame the same byte size, so slicing is exact)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"], "content": [],
+                    "format": [], "width": [], "height": [], "n_frames": []}
+            for text in pdf["text"]:
+                t = (text or "").encode("utf-8")
+                frames = b"".join(
+                    encode_image_ppm(
+                        _synth_pixels(t + bytes([k]), width, height)
+                    )
+                    for k in range(n_frames)
+                )
+                rows["content"].append(frames)
+                rows["format"].append("video/ppm-stack")
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["n_frames"].append(n_frames)
+            yield pd.DataFrame(rows)
+
+    flat = df.select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        gen,
+        schema="media_id bigint, content binary, format string, width int, "
+        "height int, n_frames int",
+    )
+    return flat.select(
+        "media_id",
+        "content",
+        F.struct("format", "width", "height", "n_frames").alias("meta"),
+    )
+
+
+# --- distributed stages --------------------------------------------------------
 
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in feature vector (md5-seeded); replaces the
-    decode->model path so batch shapes and schemas are exercised."""
+    """Deterministic stand-in feature vector (md5-seeded) for payloads whose
+    format has no built-in decoder — keeps the pipeline total."""
     h = hashlib.md5(content or b"").digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
     return rng.standard_normal(dim).astype(np.float32)
@@ -72,28 +242,32 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def extract_features(media: DataFrame, batch_note: bool = False) -> DataFrame:
     """media -> (media_id, width, height, n_bytes, features array<float>).
 
-    Arrow-batched mapInPandas: the UDF sees pandas Series of raw bytes and
-    the flattened metadata; output is a dense feature column ready for the
-    similarity operators. Swap _fake_features for a real decode+model.
-    """
+    Arrow-batched mapInPandas: decodable payloads (ppm/bmp) go through the
+    REAL decode -> image_features path; undecodable formats fall back to the
+    clearly-marked deterministic fake so the pipeline stays total."""
     import pandas as pd
 
     schema = (
         "media_id bigint, width int, height int, n_bytes int, "
-        f"features array<float>"
+        "features array<float>"
     )
 
     def run(batches):
         for pdf in batches:
-            feats = [
-                _fake_features(c).tolist() for c in pdf["content"]
-            ]
+            feats = []
+            for c, fmt in zip(pdf["content"], pdf["format"]):
+                try:
+                    feats.append(image_features(decode_image(c, fmt)).tolist())
+                except (NotImplementedError, ValueError):
+                    feats.append(_fake_features(c).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": pdf["width"],
                     "height": pdf["height"],
-                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "n_bytes": [
+                        len(c) if c is not None else 0 for c in pdf["content"]
+                    ],
                     "features": feats,
                 }
             )
@@ -101,6 +275,7 @@ def extract_features(media: DataFrame, batch_note: bool = False) -> DataFrame:
     flat = media.select(
         "media_id",
         "content",
+        F.col("meta.format").alias("format"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
@@ -108,12 +283,46 @@ def extract_features(media: DataFrame, batch_note: bool = False) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 5) -> DataFrame:
-    """Explode fake frame indices (0, every_n, 2*every_n, ...) per media row
-    — the video frame-sampling plumbing (real decoders slot into the UDF
-    that would materialize each frame's bytes)."""
+    """(media_id, frame_idx) for frames 0, every_n, 2*every_n, ... — the
+    index-only sampling plan (no payload movement until frames are needed)."""
     return media.select(
         "media_id",
         F.explode(
             F.expr(f"sequence(0, meta.n_frames - 1, {every_n})")
         ).alias("frame_idx"),
+    )
+
+
+def frame_extract(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Materialize REAL sampled frame bytes from stacked-PPM video payloads:
+    (media_id, frame_idx, frame binary). Every frame has identical byte size
+    (fixed dims), so the slice offsets are exact arithmetic."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, c, fmt, w, h, n in zip(
+                pdf["media_id"], pdf["content"], pdf["format"],
+                pdf["width"], pdf["height"], pdf["n_frames"],
+            ):
+                if fmt != "video/ppm-stack" or not n:
+                    continue
+                fsize = len(c) // int(n)
+                for k in range(0, int(n), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["frame"].append(c[k * fsize : (k + 1) * fsize])
+            yield pd.DataFrame(out)
+
+    flat = media.select(
+        "media_id",
+        "content",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return flat.mapInPandas(
+        run, schema="media_id bigint, frame_idx int, frame binary"
     )

@@ -534,6 +534,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path through the driver (rows-only: numpy decode is not
+    SQL-expressible): documents -> real binary-PPM payloads -> decode ->
+    per-channel stats + thumbnail features (functions/multimodal.py)."""
+    from ..functions.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("n_bytes").cast("long"),
+        F.round(F.element_at("features", 1), 4).alias("mean_r"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: 3 smallest md5s of word-5-gram
     shingles per document."""
@@ -1042,6 +1059,7 @@ def queries() -> dict:
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
             "embedding_near_dup": q_embedding_near_dup,
+            "media_features": q_media_features,
             "doc_fingerprint": q_doc_fingerprint,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,

@@ -149,14 +149,77 @@ def test_multimodal_plumbing(spark):
     assert frames.count() >= 2
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_real_ppm_bmp_roundtrip():
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions import multimodal
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    # PPM encode -> decode roundtrip is exact
+    back = multimodal.decode_image(multimodal.encode_image_ppm(img), "image/ppm")
+    assert (back == img).all()
+    # PPM with a comment header line still parses
+    commented = b"P6\n# a comment\n9 6\n255\n" + img.tobytes()
+    assert (multimodal.decode_image(commented, "ppm") == img).all()
+    # hand-built 24-bit BMP (bottom-up, BGR, 4-byte padded rows)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in img[::-1]:
+        raster += row[:, ::-1].tobytes() + b"\0" * (stride - w * 3)
+    header = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    assert (multimodal.decode_image(header + raster, "image/bmp") == img).all()
+
+
+def test_decode_image_compressed_formats_still_integration_point():
     import pytest as _pytest
 
     from nlp_series_relation_extraction_spark.functions import multimodal
 
-    if not multimodal._HAS_PIL:
-        with _pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"xx", "png")
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...", "image/png")
+
+
+def test_resize_and_real_feature_path():
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions import multimodal
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = multimodal.resize_image(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    feats = multimodal.image_features(img)
+    assert feats.shape == (32,)
+    # real stats, not a hash fake: channel means are the actual pixel means
+    assert np.allclose(feats[:3], img.astype(np.float32).mean(axis=(0, 1)))
+
+
+def test_video_frame_extract_real_bytes(spark):
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "clip zero"), (1, "clip one")], "doc_id long, text string"
+    )
+    vids = multimodal.synthesize_video(docs, "doc_id", "text", n_frames=6)
+    frames = multimodal.frame_extract(vids, every_n=2).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in frames) == [
+        (0, 0), (0, 2), (0, 4), (1, 0), (1, 2), (1, 4),
+    ]
+    # every extracted frame is a genuine decodable PPM of the declared dims
+    for r in frames:
+        arr = multimodal.decode_image(bytes(r.frame), "image/ppm")
+        assert arr.shape == (6, 8, 3) and arr.dtype == np.uint8
 
 
 def test_streaming_matches_batch(spark, tmp_path):

@@ -16,7 +16,8 @@ def test_every_oracle_has_a_query():
     # everything SQL-expressible — incl. LSH ANN and the full linking
     # pipeline — carries a DuckDB oracle
     rows_only = set(qs) - set(osql)
-    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train", "kg_selfeval")
+    allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train",
+               "kg_selfeval", "media_")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
