@@ -68,19 +68,17 @@ def fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the k lexicographically
     smallest md5 digests of word n-gram shingles, concatenated. Robust to
-    local edits; deterministic across engines."""
+    local edits; deterministic across engines.
+
+    One aggregation (slice of the sorted per-doc hash list) instead of a
+    window row_number pass — same single shuffle on id but no global
+    per-partition sort of every shingle row, and no second aggregation."""
     from .dedup import word_shingles
 
     sh = word_shingles(df, id_col, text_col, n=n)
     hashed = sh.select("id", F.md5("shingle").alias("h"))
-    w = Window.partitionBy("id").orderBy("h")
-    return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .groupBy("id")
-        .agg(
-            F.concat_ws("|", F.array_sort(F.collect_list("h"))).alias(
-                "fingerprint"
-            )
-        )
+    return hashed.groupBy("id").agg(
+        F.concat_ws(
+            "|", F.slice(F.array_sort(F.collect_list("h")), 1, k)
+        ).alias("fingerprint")
     )

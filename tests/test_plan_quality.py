@@ -58,3 +58,47 @@ def test_aggregation_is_partial_plus_final(spark):
 def test_eval_join_is_semi(spark):
     plan = _plan(Q.q_kg_eval_prf(spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_fingerprint_is_single_aggregation_no_window(spark):
+    """doc_fingerprint must stay the one-shuffle agg plan (slice of the
+    sorted per-doc hash list), not a window row_number pass — the window
+    variant fully sorts every shingle row per partition."""
+    plan = _plan(Q.q_doc_fingerprint(spark, SF))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_jaccard_query_reads_materialized_shingles(spark):
+    """The capped jaccard query materializes the shingle stage once: all
+    four consumers (sizes, df cap, both join sides) must read the
+    checkpointed RDD, not re-evaluate the split/slice/explode expression."""
+    plan = _plan(Q.q_dedup_jaccard(spark, SF))
+    # localCheckpoint shows up as ExistingRDD scans; the parquet scan and
+    # the shingle expression must NOT appear in the final plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    # hot-shingle cap join is a broadcast LEFT ANTI (no shuffle of the
+    # shingle table against the tiny hot list)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_linking_block_cap_is_broadcast_anti(spark):
+    """candidate_pairs drops oversized blocks via a broadcast left-anti
+    join against the (tiny) oversized-block list — never a shuffled join
+    of the full block table."""
+    from nlp_series_relation_extraction_spark.operators.linking import (
+        candidate_pairs,
+        distinct_mentions,
+        normalize_mentions,
+    )
+    from pyspark.sql import functions as F
+
+    m = spark.createDataFrame(
+        [("c", 0, f"mention{i}") for i in range(30)],
+        "conv_id string, turn_idx int, mention string",
+    )
+    dm = distinct_mentions(normalize_mentions(m))
+    plan = _plan(candidate_pairs(dm))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
