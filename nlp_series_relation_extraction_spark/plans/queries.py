@@ -896,6 +896,71 @@ def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "epoch int, mean_masked_bce double")
 
 
+def q_kg_graph_edges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization driver-checked: canonical_triples (alias
+    joins, null for unlinked mentions) + edge_table (evidence counts +
+    earliest-provenance struct-min) over lineitem-derived triples with a
+    SQL-expressible alias table (entity_id = the numeric mention; ~6/7 of
+    mentions linked so the null-drop path is exercised)."""
+    from ..operators.graph import canonical_triples, edge_table
+
+    trip = _derived_triples(spark, sf_dir, 2)
+    mentions = (
+        trip.select(F.col("subject").alias("m"))
+        .unionByName(trip.select(F.element_at("object", "@value").alias("m")))
+        .distinct()
+    )
+    aliases = mentions.where(
+        F.expr("cast(m as bigint) % 7 != 0")
+    ).select(
+        F.col("m").alias("mention_norm"),
+        F.expr("cast(m as bigint)").alias("entity_id"),
+    )
+    edges = edge_table(canonical_triples(trip, aliases))
+    return edges.select(
+        "subj_entity_id",
+        "predicate",
+        "obj_entity_id",
+        F.col("n_evidence").cast("long"),
+        "first_conv_id",
+        "first_turn_idx",
+    ).orderBy("subj_entity_id", "predicate", "obj_entity_id")
+
+
+_GRAPH_EDGES_SQL = """
+WITH trip AS (
+  SELECT cast(l_orderkey % 1000 AS VARCHAR) AS conv_id,
+         cast(l_orderkey // 1000 AS INT) AS turn_idx,
+         'supplies' AS predicate,
+         cast(l_suppkey AS VARCHAR) AS subject,
+         cast(l_partkey AS VARCHAR) AS object_val
+  FROM lineitem WHERE l_linenumber <= 2
+), linked AS (
+  SELECT conv_id, turn_idx, predicate,
+         cast(subject AS BIGINT) AS subj_entity_id,
+         cast(object_val AS BIGINT) AS obj_entity_id
+  FROM trip
+  WHERE cast(subject AS BIGINT) % 7 != 0
+    AND cast(object_val AS BIGINT) % 7 != 0
+), ranked AS (
+  SELECT subj_entity_id, predicate, obj_entity_id, conv_id, turn_idx,
+         row_number() OVER (
+           PARTITION BY subj_entity_id, predicate, obj_entity_id
+           ORDER BY conv_id ASC, turn_idx ASC
+         ) AS rn,
+         count(*) OVER (
+           PARTITION BY subj_entity_id, predicate, obj_entity_id
+         ) AS n_evidence
+  FROM linked
+)
+SELECT subj_entity_id, predicate, obj_entity_id,
+       cast(n_evidence AS BIGINT) AS n_evidence,
+       conv_id AS first_conv_id, turn_idx AS first_turn_idx
+FROM ranked WHERE rn = 1
+ORDER BY subj_entity_id, predicate, obj_entity_id
+"""
+
+
 def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL linking pipeline (operators/linking.py: normalize -> skew
     firewall dedup -> 2-gram blocking with the max_block cap -> jaccard
@@ -1065,6 +1130,7 @@ def queries() -> dict:
             "filter_pushdown_agg": q_filter_pushdown_agg,
             "kg_entities": q_kg_entities,
             "kg_linking_entities": q_kg_linking_entities,
+            "kg_graph_edges_oracle": q_kg_graph_edges_oracle,
             "kg_graph_edges": q_kg_graph_edges,
             "kg_train_bio": q_kg_train_bio,
             "kg_train_mpn": q_kg_train_mpn,
@@ -1118,6 +1184,7 @@ def oracle_sql() -> dict:
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,
+        "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],
