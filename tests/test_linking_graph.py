@@ -89,6 +89,44 @@ def test_salted_join_correctness(spark):
     assert {(r.k, r.attr) for r in out} == {("k1", "a"), ("k2", "b")}
 
 
+def test_salted_join_spreads_hot_key_across_partitions(spark):
+    """Skew evidence, not just correctness: with broadcast disabled (the
+    >threshold dimension case salting exists for), a key holding ~97% of
+    fact rows must spread across multiple shuffle partitions instead of
+    pinning one straggler task."""
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [("cold", i) for i in range(50)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "a"), ("cold", "b")], "k string, attr string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE would coalesce this KB-sized test shuffle into one partition and
+    # mask the spread; at real scale the partitions are far above the
+    # coalesce target and survive
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = salted_join(facts, dim, key="k", salt=16)
+        pids = (
+            out.where(F.col("k") == "hot")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert pids > 1, "hot key still lands in a single shuffle partition"
+        assert out.count() == 2050
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce
+        )
+
+
 def test_graph_edges(spark):
     triples = spark.createDataFrame(
         [

@@ -111,6 +111,56 @@ def test_mhs_object_labels_plant_even_when_subject_out_of_bounds():
     assert cube.sum() == 0  # but no pair survives
 
 
+def test_truncation_fuzz_spans_always_in_bounds():
+    """Property fuzz: for random mixed-script texts and random max_len,
+    every head decodes without error in BOTH hash and planted mode, and
+    every decoded mention is a substring of the (normalized) text — no
+    span may reference tokens past the truncation boundary."""
+    from hypothesis import given, settings, strategies as st
+
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        normalize_text,
+    )
+
+    cjk_word = st.text(
+        alphabet=[chr(0x4E00 + i) for i in range(80)], min_size=2, max_size=5
+    )
+    ascii_word = st.from_regex(r"[a-z]{1,9}", fullmatch=True)
+    digits = st.from_regex(r"[0-9]{1,8}", fullmatch=True)
+    piece = st.one_of(cjk_word, ascii_word, digits)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        pieces=st.lists(piece, min_size=4, max_size=40),
+        max_len=st.integers(min_value=8, max_value=64),
+        si=st.integers(min_value=0, max_value=10**6),
+        oi=st.integers(min_value=0, max_value=10**6),
+    )
+    def check(pieces, max_len, si, oi):
+        subj = pieces[si % len(pieces)]
+        obj = pieces[oi % len(pieces)]
+        text = "，".join(pieces)
+        gold = [
+            {
+                "predicate": "作者",
+                "subject": subj,
+                "subject_type": "图书作品",
+                "object": {"@value": obj},
+                "object_type": {"@value": "人物"},
+            }
+        ]
+        for head in HEADS:
+            for gj in (None, json.dumps(gold, ensure_ascii=False)):
+                res = extract_row(head, text, gj, max_len=max_len)
+                norm = normalize_text(text)
+                for s in res["spo_list"]:
+                    assert s["subject"] in norm
+                    for v in s["object"].values():
+                        assert v in norm
+
+    check()
+
+
 def test_spark_truncation_matches_row_oracle(spark):
     """The Arrow-batched Spark path and the per-row oracle agree on long
     texts through the truncation boundary (all four heads)."""
