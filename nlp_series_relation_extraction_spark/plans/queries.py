@@ -1137,6 +1137,8 @@ def queries() -> dict:
             "kg_train_mhs": q_kg_train_mhs,
             "kg_selfeval_prf_mpn": _kg_selfeval("mpn"),
             "kg_selfeval_prf_bio": _kg_selfeval("bio"),
+            "kg_selfeval_prf_mhs": _kg_selfeval("mhs"),
+            "kg_selfeval_prf_biaffine": _kg_selfeval("biaffine"),
             "kg_selfeval_entity_em": q_kg_selfeval_entity_em,
             "kg_extract_mpn_twostage": q_kg_extract_mpn_twostage,
         }

@@ -304,6 +304,44 @@ def test_windowed_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join (user turns x same-conv tool
+    turns within a bounded lag) drained with availableNow must equal the
+    batch interval join over the same rows."""
+    from nlp_series_relation_extraction_spark.streaming.incremental import (
+        read_transcripts_stream,
+    )
+    from nlp_series_relation_extraction_spark.streaming.join import (
+        user_turns_with_tool_results,
+    )
+
+    src = str(tmp_path / "jsrc")
+    t = synth_transcripts(spark, 120, seed=6, partitions=3)
+    t.drop("gold_json").write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    out_path = str(tmp_path / "jout")
+    q = (
+        user_turns_with_tool_results(read_transcripts_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def key(r):
+        return (r.conv_id, r.turn_idx, r.tool_turn_idx, r.tool, str(r.tool_ts))
+
+    got = sorted(key(r) for r in spark.read.parquet(out_path).collect())
+    want = sorted(
+        key(r) for r in user_turns_with_tool_results(batch_df).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_stateful_first_seen_mentions(spark, tmp_path):
     from nlp_series_relation_extraction_spark.streaming.incremental import (
         read_transcripts_stream,
