@@ -282,6 +282,23 @@ def save_encoder(encoder: HashEncoder, path: str) -> None:
     np.savez(path, **arrays)
 
 
+def encoder_with_weights(seed: int = 42, **overrides: np.ndarray) -> HashEncoder:
+    """Clone the seed-derived encoder with trained layers swapped in (the
+    state_dict-update step of the reference lifecycle: train a head's
+    layers, keep the frozen trunk). Pass e.g. ``w_bio=...`` or
+    ``w_sub=..., w_po=...`` from operators.train results."""
+    enc = HashEncoder(seed)
+    for k, v in overrides.items():
+        if k not in WEIGHT_KEYS and k not in BIAS_KEYS:
+            raise KeyError(f"unknown encoder parameter {k!r}")
+        cur = getattr(enc, k)
+        v = np.asarray(v, dtype=np.float32)
+        if np.shape(cur) != v.shape:
+            raise ValueError(f"{k}: shape {v.shape} != {np.shape(cur)}")
+        setattr(enc, k, v)
+    return enc
+
+
 def load_encoder(path: str) -> HashEncoder:
     """Restore an encoder from a weights file without re-deriving biases."""
     if not path.endswith(".npz"):

@@ -45,16 +45,28 @@ HEADS = ("bio", "mpn", "mhs", "biaffine")
 # the reference's --max_len default (utils/finetuning_argparse.py:9)
 DEFAULT_MAX_LEN = 512
 
-_hash_encoder_cache: dict[int, HashEncoder] = {}
+_hash_encoder_cache: dict[tuple[int, str | None], HashEncoder] = {}
 _planted_encoder = PlantedEncoder()
 
 
-def get_hash_encoder(seed: int = 42) -> HashEncoder:
-    """Per-process lazy singleton, like the reference's per-worker model."""
-    enc = _hash_encoder_cache.get(seed)
+def get_hash_encoder(seed: int = 42, weights_path: str | None = None) -> HashEncoder:
+    """Per-process lazy singleton, like the reference's per-worker model.
+
+    ``weights_path`` loads a trained checkpoint (npz from
+    ``core.encoders.save_encoder`` — the torch.load analogue of reference
+    run_baseline.py:215-222) instead of deriving weights from the seed; the
+    path must be worker-visible (local FS here; ``SparkFiles.get`` after
+    ``spark-submit --files`` on a cluster)."""
+    key = (seed, weights_path)
+    enc = _hash_encoder_cache.get(key)
     if enc is None:
-        enc = HashEncoder(seed)
-        _hash_encoder_cache[seed] = enc
+        if weights_path:
+            from .encoders import load_encoder
+
+            enc = load_encoder(weights_path)
+        else:
+            enc = HashEncoder(seed)
+        _hash_encoder_cache[key] = enc
     return enc
 
 
@@ -67,6 +79,7 @@ def extract_bio_row(
     planted_gold: list[dict] | None = None,
     seed: int = 42,
     max_len: int = DEFAULT_MAX_LEN,
+    weights_path: str | None = None,
 ) -> dict[str, Any]:
     text = normalize_text(text)
     if planted_gold is not None:
@@ -81,7 +94,7 @@ def extract_bio_row(
         tokens, offsets = tokenize_for_bio(text)
         tokens = _truncate(tokens, max_len)
         offsets = offsets[: len(tokens)]
-        probs = get_hash_encoder(seed).bio_probs(tokens)
+        probs = get_hash_encoder(seed, weights_path).bio_probs(tokens)
     return decode_bio_sentence(text, probs, offsets)
 
 
@@ -90,6 +103,7 @@ def extract_mpn_row(
     planted_gold: list[dict] | None = None,
     seed: int = 42,
     max_len: int = DEFAULT_MAX_LEN,
+    weights_path: str | None = None,
 ) -> dict[str, Any]:
     text = normalize_text(text)
     if planted_gold is not None:
@@ -103,7 +117,7 @@ def extract_mpn_row(
     else:
         tokens, tok_start, tok_end = tokenize_framed(text)
         tokens = _truncate(tokens, max_len)
-        encoder = get_hash_encoder(seed)
+        encoder = get_hash_encoder(seed, weights_path)
         sub_probs = encoder.subject_probs(tokens)
         subjects = decode_subject_spans(sub_probs, len(tokens))
         po = (
@@ -123,6 +137,7 @@ def extract_mhs_row(
     seed: int = 42,
     max_len: int = DEFAULT_MAX_LEN,
     biaffine: bool = False,
+    weights_path: str | None = None,
 ) -> dict[str, Any]:
     text = normalize_text(text)
     if planted_gold is not None:
@@ -134,7 +149,7 @@ def extract_mhs_row(
     else:
         tokens, tok_start, tok_end = tokenize_framed(text)
         tokens = _truncate(tokens, max_len)
-        encoder = get_hash_encoder(seed)
+        encoder = get_hash_encoder(seed, weights_path)
         start, end = encoder.typed_span_probs(tokens)
         cube = (
             encoder.pair_cube_biaffine(tokens)
@@ -147,7 +162,10 @@ def extract_mhs_row(
 
 
 def extract_bio_rows_batch(
-    texts: list[str], seed: int = 42, max_len: int = DEFAULT_MAX_LEN
+    texts: list[str],
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+    weights_path: str | None = None,
 ) -> list[dict[str, Any]]:
     """Batched hash-mode BIO extraction: one padded encoder forward for the
     whole Arrow batch (the reference's collate+batched-forward shape), then
@@ -156,7 +174,7 @@ def extract_bio_rows_batch(
     normed = [normalize_text(t) for t in texts]
     toks_offs = [tokenize_for_bio(t) for t in normed]
     toks = [_truncate(t, max_len) for t, _ in toks_offs]
-    probs, lens = get_hash_encoder(seed).bio_probs_batch(toks)
+    probs, lens = get_hash_encoder(seed, weights_path).bio_probs_batch(toks)
     out = []
     for i, text in enumerate(normed):
         offsets = toks_offs[i][1][: lens[i]]
@@ -170,16 +188,20 @@ def extract_row(
     gold_json: str | None = None,
     seed: int = 42,
     max_len: int = DEFAULT_MAX_LEN,
+    weights_path: str | None = None,
 ) -> dict[str, Any]:
     """Dispatch one turn through a head. ``gold_json`` (JSON-encoded
-    spo_list) switches on planted mode."""
+    spo_list) switches on planted mode; ``weights_path`` runs the hash
+    branch with a trained checkpoint instead of seed-derived weights."""
     planted = json.loads(gold_json) if gold_json else None
     if head == "bio":
-        return extract_bio_row(text, planted, seed, max_len)
+        return extract_bio_row(text, planted, seed, max_len, weights_path)
     if head == "mpn":
-        return extract_mpn_row(text, planted, seed, max_len)
+        return extract_mpn_row(text, planted, seed, max_len, weights_path)
     if head == "mhs":
-        return extract_mhs_row(text, planted, seed, max_len)
+        return extract_mhs_row(text, planted, seed, max_len, weights_path=weights_path)
     if head == "biaffine":
-        return extract_mhs_row(text, planted, seed, max_len, biaffine=True)
+        return extract_mhs_row(
+            text, planted, seed, max_len, biaffine=True, weights_path=weights_path
+        )
     raise ValueError(f"unknown head: {head!r}")

@@ -47,7 +47,7 @@ TRIPLE_COLUMNS = [
 ]
 
 
-def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False, keep_text: bool = False):
+def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False, keep_text: bool = False, weights_path: str | None = None):
     def run(batches):
         for pdf in batches:
             out = {
@@ -64,7 +64,8 @@ def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: 
             # so it stays the default. Flip here when plugging a real model.
             if head == "bio" and not planted and batch_forward:
                 results = extract_bio_rows_batch(
-                    pdf["text"].tolist(), seed=seed, max_len=max_len
+                    pdf["text"].tolist(), seed=seed, max_len=max_len,
+                    weights_path=weights_path,
                 )
             else:
                 results = None
@@ -81,6 +82,7 @@ def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: 
                         gold_json=(golds.iloc[i] if planted else None),
                         seed=seed,
                         max_len=max_len,
+                        weights_path=weights_path,
                     )
                 out["entities"].append(res["entity_list"])
                 out["triples"].append(
@@ -114,6 +116,7 @@ def extract_turn_results(
     batch_forward: bool = False,
     pre_partitioned: bool = False,
     keep_text: bool = False,
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Per-turn extraction results (entities + triples arrays).
     ``keep_text=True`` carries the (normalized) turn text through — needed
@@ -146,7 +149,8 @@ def extract_turn_results(
         # batch max-len, dataset_baseline.py:180-184 — SURVEY §4 micro-opt)
         df = df.sortWithinPartitions(F.length("text"))
     return df.mapInPandas(
-        _make_udf(head, planted, seed, max_len, batch_forward, keep_text),
+        _make_udf(head, planted, seed, max_len, batch_forward, keep_text,
+                  weights_path),
         schema=TURN_RESULT_SCHEMA_WITH_TEXT if keep_text else TURN_RESULT_SCHEMA,
     )
 
@@ -159,11 +163,12 @@ def extract_triples(
     max_len: int = DEFAULT_MAX_LEN,
     num_partitions: int | None = None,
     pre_partitioned: bool = False,
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Flat triple table: one row per extracted SPO."""
     turns = extract_turn_results(
         transcripts, head, planted, seed, max_len, num_partitions,
-        pre_partitioned=pre_partitioned,
+        pre_partitioned=pre_partitioned, weights_path=weights_path,
     )
     return turns.select(
         "conv_id", "turn_idx", F.explode("triples").alias("spo")

@@ -31,6 +31,37 @@ def _zip_package(dest: str) -> str:
                     z.write(full, os.path.relpath(full, REPO))
     return zpath
 
+def test_run_head_lifecycle_cli(tmp_path):
+    """The per-head train->checkpoint->predict->score CLI (the reference's
+    run_X.py equivalent) runs end to end and reports a decreasing loss,
+    a saved checkpoint, and reference-format predictions."""
+    import sys
+
+    wd = str(tmp_path / "head_run")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_head.py"),
+         "--head", "mpn", "--synthetic", "80", "--epochs", "2",
+         "--workdir", wd],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    summary = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    h = summary["loss_history"]
+    assert len(h) == 2 and h[1] < h[0]
+    assert os.path.exists(summary["weights"])
+    pred_files = [
+        f for f in os.listdir(summary["predictions"]) if f.startswith("part-")
+    ]
+    assert pred_files
+    with open(os.path.join(summary["predictions"], pred_files[0]),
+              encoding="utf-8") as f:
+        first = json.loads(next(l for l in f if l.strip()))
+    assert set(first) == {"text", "spo_list"}
+    assert summary["eval"]["tp"] + summary["eval"]["fp"] >= 0
+
+
 def test_spark_submit_py_files_pipeline(tmp_path):
     zpath = _zip_package(str(tmp_path))
     # copy the entry script OUT of the repo: its sys.path bootstrap then

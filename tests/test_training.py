@@ -255,6 +255,45 @@ def test_mhs_gradient_matches_finite_difference():
         )
 
 
+def test_trained_weights_feed_distributed_extraction(spark, tmp_path):
+    """The train -> save_encoder -> weights_path loop: distributed
+    extraction with a trained checkpoint must (a) differ from seed-weight
+    extraction and (b) exactly equal the per-row oracle loading the same
+    checkpoint — the reference's train/torch.save/eval lifecycle."""
+    from nlp_series_relation_extraction_spark.core.encoders import (
+        encoder_with_weights,
+        save_encoder,
+    )
+    from nlp_series_relation_extraction_spark.core.heads import extract_row
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_triples,
+    )
+
+    t = synth_transcripts(spark, 60, seed=42, partitions=3).localCheckpoint(
+        eager=True
+    )
+    res = train_bio_head(t, epochs=5, lr=3.0)  # aggressive: move weights far
+    path = str(tmp_path / "bio_trained.npz")
+    save_encoder(encoder_with_weights(42, w_bio=res["weights"]), path)
+
+    def rows(df):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.predicate, r.subject)
+            for r in df.select(
+                "conv_id", "turn_idx", "predicate", "subject"
+            ).collect()
+        )
+
+    with_w = rows(extract_triples(t, head="bio", weights_path=path))
+    base = rows(extract_triples(t, head="bio"))
+    assert with_w != base, "trained checkpoint did not change extraction"
+    oracle = []
+    for r in t.select("conv_id", "turn_idx", "text").collect():
+        for s in extract_row("bio", r.text, weights_path=path)["spo_list"]:
+            oracle.append((r.conv_id, r.turn_idx, s["predicate"], s["subject"]))
+    assert with_w == sorted(oracle)
+
+
 def test_running_mean_20_reference_quirk():
     # run_mpn.py:60-64 divides by 20 even before 20 values exist
     assert running_mean_20([1.0]) == [1.0 / 20]
