@@ -1,0 +1,80 @@
+"""Training-data curation: the standard quality -> dedup funnel, composed
+from this package's operators into one DataFrame pipeline.
+
+    documents
+      -> language filter (keep target lang, functions.textstats.lang_id)
+      -> quality filter  (min words, max punctuation ratio)
+      -> exact dedup     (md5 canonical: keep the min doc id per content)
+      -> near-dup drop   (word-shingle jaccard pairs on the SURVIVORS;
+                          the higher id of every pair is dropped)
+
+Every stage is pure Catalyst + integer arithmetic, so the whole funnel is
+cross-engine deterministic and carries a DuckDB oracle in plans/queries.py.
+Scale shape: two aggregations (lang/quality are per-row), one md5 group-by,
+and the capped inverted-index join — no all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_words: int = 10,
+    max_punct_pct: int = 10,
+    jaccard_pct: int = 30,
+    shingle_n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """(doc_id, n_words, reason='kept') for every surviving document.
+
+    Filters are integer-exact: punctuation threshold is
+    ``100 * n_punct <= max_punct_pct * n_chars``.
+    """
+    from .dedup import exact_dedup, jaccard_pairs, word_shingles
+    from .textstats import lang_id, quality_stats
+
+    ids = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    lang_keep = (
+        lang_id(docs, id_col, text_col)
+        .where(F.col("lang_pred") == lang)
+        .select(F.col("id").alias("doc_id"))
+    )
+    q = quality_stats(docs, id_col, text_col)
+    quality_keep = q.where(
+        (F.col("n_words") >= min_words)
+        & (100 * F.col("n_punct") <= max_punct_pct * F.col("n_chars_actual"))
+    ).select(F.col("id").alias("doc_id"), "n_words")
+
+    # exact dedup: only the canonical (min id) row of each content hash
+    canon = exact_dedup(docs, id_col, text_col).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+
+    survivors = (
+        ids.join(lang_keep, "doc_id")
+        .join(quality_keep, "doc_id")
+        .join(canon, "doc_id")
+    )
+
+    # near-dup removal among survivors: higher id of every jaccard pair out.
+    # Shingles materialized once (sizes + df cap + both join sides consume
+    # them — the persisted-shingle-stage pattern).
+    sh = word_shingles(survivors, "doc_id", "text", n=shingle_n).localCheckpoint(
+        eager=True
+    )
+    dupes = (
+        jaccard_pairs(sh, threshold_pct=jaccard_pct, max_df=max_df)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        survivors.join(dupes, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_words").cast("long"), F.lit("kept").alias("reason"))
+        .orderBy("doc_id")
+    )

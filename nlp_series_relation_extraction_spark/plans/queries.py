@@ -534,6 +534,64 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation funnel (language filter ->
+    quality filter -> exact dedup -> capped-jaccard near-dup drop) from
+    functions/curation.py, oracle-checked end to end."""
+    from ..functions.curation import curate_documents
+
+    return curate_documents(t(spark, sf_dir, "documents"))
+
+
+_CURATE_SQL = f"""
+WITH lang_keep AS (
+  SELECT doc_id FROM documents
+  WHERE length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 10
+        >= length(text) * 9
+), quality AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), quality_keep AS (
+  SELECT doc_id, n_words FROM quality
+  WHERE n_words >= 10 AND 100 * n_punct <= 10 * n_chars
+), canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), survivors AS (
+  SELECT d.doc_id, d.text, q.n_words
+  FROM documents d
+  JOIN lang_keep USING (doc_id)
+  JOIN quality_keep q USING (doc_id)
+  JOIN canon USING (doc_id)
+), sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         ))) AS shingle
+  FROM survivors
+), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+sh2 AS (SELECT sh.id, sh.shingle FROM sh JOIN sdf USING (shingle)
+        WHERE sdf.df <= {JACCARD_MAX_DF}),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), dupes AS (
+  SELECT DISTINCT i.b_id AS doc_id
+  FROM inter i JOIN sizes sa ON i.a_id = sa.id JOIN sizes sb ON i.b_id = sb.id
+  WHERE 100 * i.inter >= 30 * (sa.sz + sb.sz - i.inter)
+)
+SELECT s.doc_id, cast(s.n_words AS BIGINT) AS n_words, 'kept' AS reason
+FROM survivors s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dupes)
+ORDER BY s.doc_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path through the driver (rows-only: numpy decode is not
     SQL-expressible): documents -> real binary-PPM payloads -> decode ->
@@ -1125,6 +1183,7 @@ def queries() -> dict:
             "ann_topk_lsh": q_ann_topk_lsh,
             "embedding_near_dup": q_embedding_near_dup,
             "media_features": q_media_features,
+            "curate_documents": q_curate_documents,
             "doc_fingerprint": q_doc_fingerprint,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
@@ -1187,6 +1246,7 @@ def oracle_sql() -> dict:
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
+        "curate_documents": _CURATE_SQL,
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],
