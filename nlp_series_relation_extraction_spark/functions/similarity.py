@@ -289,6 +289,125 @@ SELECT query_id, rank, neighbor_id, qdot FROM (
 """
 
 
+def _kmeans_fit(
+    V: "np.ndarray", n_clusters: int, n_iter: int = 10
+) -> "np.ndarray":
+    """Deterministic Lloyd's k-means: init = the first n_clusters training
+    vectors, fixed iteration count, float64. Driver-sized model fit (the
+    coarse quantizer trains on a bounded sample, like any ANN index)."""
+    import numpy as np
+
+    C = V[:n_clusters].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_clusters):
+            members = V[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    n_train: int = 256,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside the LSH one: k-means centroids partition the corpus;
+    each query scans only its ``n_probe`` nearest clusters
+    (~ n_probe/n_clusters of the corpus instead of all of it).
+
+    Determinism: centroids come from a seeded driver-side k-means over the
+    first ``n_train`` vector ids (a bounded collect — the index-training
+    step, not a data-path collect); assignment runs as one Arrow-batched
+    matmul per worker with the centroid matrix in the closure. Output
+    schema matches brute_force_topk (quantized integer dots, exact ranks).
+
+    The default n_probe=8/16 scans ~half the corpus because the synthetic
+    test embeddings are near-isotropic — the worst case for a coarse
+    quantizer (recall@5 0.88-0.96 across SFs, floor 0.85 pinned in tests).
+    Real embedding corpora cluster, and n_probe/n_clusters directly sets
+    the scanned fraction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    train = (
+        embeddings.where(F.col(id_col) < n_train)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    V = np.asarray([r.v for r in train], dtype=np.float64)
+    C = _kmeans_fit(V, n_clusters)  # [n_clusters, dim]
+
+    qv = quantized(embeddings, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray(pdf["qvec"].tolist(), dtype=np.float64) / QUANT
+            d2 = (
+                (X**2).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C**2).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "qvec": pdf["qvec"],
+                    "cluster": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = qv.select("id", "qvec").mapInPandas(
+        assign, schema="id long, qvec array<bigint>, cluster int"
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.asarray(pdf["qvec"].tolist(), dtype=np.float64) / QUANT
+            d2 = (
+                (X**2).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C**2).sum(axis=1)[None, :]
+            )
+            near = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["id"],
+                    "q_qvec": pdf["qvec"],
+                    "cluster": list(near),
+                }
+            )
+
+    queries = (
+        qv.where(F.col("id").isin(query_ids))
+        .select(F.col("id"), "qvec")
+        .mapInPandas(
+            probe,
+            schema="query_id long, q_qvec array<bigint>, cluster array<int>",
+        )
+        .select("query_id", "q_qvec", F.explode("cluster").alias("cluster"))
+    )
+    cands = (
+        assigned.join(F.broadcast(queries), "cluster")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("qdot", _dot("qvec", "q_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"), "qdot")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str,

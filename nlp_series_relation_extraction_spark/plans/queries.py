@@ -521,6 +521,18 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (rows-only: the k-means coarse quantizer is
+    not SQL-expressible; recall@5 >= 0.85 vs brute force pinned in
+    tests/test_functions.py)."""
+    from ..functions.similarity import ivf_topk
+
+    return ivf_topk(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_ids=list(range(10)), k=5,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed (one shuffle on the
     bucket id, no all-pairs), decimal-exact integer threshold test. The
@@ -1181,6 +1193,7 @@ def queries() -> dict:
             "dedup_simhash": q_dedup_simhash,
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
+            "ann_topk_ivf": q_ann_topk_ivf,
             "embedding_near_dup": q_embedding_near_dup,
             "media_features": q_media_features,
             "curate_documents": q_curate_documents,

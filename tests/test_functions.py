@@ -136,6 +136,39 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall} below pinned floor"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF coarse-quantizer path: recall@5 >= 0.85 vs brute force on the
+    near-isotropic (worst-case) test embeddings at the n_probe=8 default;
+    fully deterministic across runs (seeded k-means, fixed init)."""
+    import os
+
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):  # pragma: no cover
+        import pytest
+
+        pytest.skip("driver test data not present")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qids = list(range(10))
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, "vec_id", "embedding", qids, k=5).collect()
+    }
+    a = ivf_topk(emb, "vec_id", "embedding", qids, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in a.collect()}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.85, f"IVF recall {recall} below pinned floor"
+    got2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, "vec_id", "embedding", qids, k=5).collect()
+    }
+    assert got == got2
+
+
 def test_lang_id_classes(spark):
     df = spark.createDataFrame(
         [(0, "this is plain english text"), (1, "这是一段中文文本内容"), (2, "1234 !!! ???")],

@@ -17,7 +17,7 @@ def test_every_oracle_has_a_query():
     # pipeline — carries a DuckDB oracle
     rows_only = set(qs) - set(osql)
     allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train",
-               "kg_selfeval", "media_")
+               "kg_selfeval", "media_", "ann_topk_ivf")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
