@@ -51,6 +51,11 @@ RELATIONAL = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    "curate_documents",
+    "kg_linking_entities",
+    "kg_graph_edges_oracle",
     "events_sessionize",
     "events_asof_next",
     "events_rollup",
