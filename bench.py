@@ -54,6 +54,7 @@ RELATIONAL = [
     "ann_topk_ivf",
     "embedding_near_dup",
     "curate_documents",
+    "bpe_merges",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",

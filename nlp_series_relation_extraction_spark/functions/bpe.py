@@ -1,0 +1,182 @@
+"""Distributed BPE vocabulary induction (tokenizer training) over a corpus.
+
+Classic byte-pair-encoding merge learning, Spark-first:
+
+* word counts — one aggregation over the corpus (the skew firewall: every
+  later stage works on DISTINCT words weighted by count, so a 100TB corpus
+  collapses to its vocabulary before any per-word work);
+* per step: adjacent-pair counts (JVM ``transform`` + explode, weighted),
+  global argmax (count desc, then (a, b) asc — deterministic tie-break),
+  then one pass merging that pair in every word via an ``F.aggregate``
+  fold (greedy left-to-right: in a run of identical tokens, the 1st+2nd
+  merge, 3rd+4th merge, ... — the standard BPE semantics);
+* the driver collects ONE row per step (the argmax — index training, like
+  the trainers' gradient rows), embeds the pair in the next step's plan,
+  and localCheckpoints the word table so plans stay flat.
+
+The merge table (step, a, b, pair_count) is the learned tokenizer
+artifact; plans/queries.py carries a DuckDB oracle that re-derives every
+step in SQL (windowed gaps-and-islands reproduce the greedy fold exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _char_tokens(col: str):
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+    )
+
+
+def _merge_fold(tokens_col, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a||b via an array
+    fold. Token values are compared with Column literals (no SQL-string
+    quoting of corpus content)."""
+    merged = F.concat(F.lit(a), F.lit(b))
+
+    def step(acc, t):
+        can_merge = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b))
+        )
+        return F.when(
+            can_merge,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(t)))
+
+    return F.aggregate(
+        tokens_col, F.expr("cast(array() as array<string>)"), step
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> dict:
+    """Learn ``n_merges`` BPE merges. Returns ``{"merges": [(step, a, b,
+    pair_count), ...], "words": final tokenized word DataFrame}``. Stops
+    early when no adjacent pair remains."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select("word", "cnt", _char_tokens("word").alias("tokens"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for step_i in range(n_merges):
+        pair_col = F.expr(
+            "transform(sequence(1, size(tokens) - 1),"
+            " i -> struct(element_at(tokens, i) as a,"
+            "            element_at(tokens, i + 1) as b))"
+        )
+        best = (
+            cur.where(F.size("tokens") >= 2)
+            .select("cnt", F.explode(pair_col).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, int(best[0].pair_count)
+        merges.append((step_i, a, b, c))
+        cur = cur.select(
+            "word", "cnt", _merge_fold(F.col("tokens"), a, b).alias("tokens")
+        ).localCheckpoint(eager=True)
+    return {"merges": merges, "words": cur}
+
+
+def bpe_merges_df(
+    docs: DataFrame, id_col: str, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    (step int, a string, b string, pair_count bigint)."""
+    res = train_bpe(docs, id_col, text_col, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        res["merges"], "step int, a string, b string, pair_count long"
+    )
+
+
+def bpe_merges_sql(table: str, text_col: str, n_merges: int = 8) -> str:
+    """DuckDB oracle re-deriving the same merge table: each step computes
+    weighted adjacent-pair counts, takes the same deterministically
+    tie-broken argmax, and applies the greedy fold via gaps-and-islands
+    windows (consecutive overlapping matches — only possible when a == b —
+    merge at even run ranks, exactly the left-to-right fold)."""
+    parts = [
+        f"""
+tok0 AS MATERIALIZED (
+  SELECT word, cnt, pos, token FROM (
+    SELECT word, cnt,
+           generate_subscripts(string_split_regex(word, ''), 1) AS pos,
+           unnest(string_split_regex(word, '')) AS token
+    FROM (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}
+      ) WHERE length(word) > 0 GROUP BY word
+    )
+  )
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""
+pairs{i} AS MATERIALIZED (
+  SELECT t.token AS a,
+         lead(t.token) OVER (PARTITION BY t.word ORDER BY t.pos) AS b,
+         t.cnt
+  FROM tok{i} t
+), best{i} AS MATERIALIZED (
+  SELECT a, b, cast(sum(cnt) AS BIGINT) AS pair_count
+  FROM pairs{i} WHERE b IS NOT NULL
+  GROUP BY a, b ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+), m{i} AS MATERIALIZED (
+  SELECT t.*, CASE WHEN t.token = (SELECT a FROM best{i})
+                    AND lead(t.token) OVER (PARTITION BY t.word ORDER BY t.pos)
+                        = (SELECT b FROM best{i})
+              THEN 1 ELSE 0 END AS is_m
+  FROM tok{i} t
+), runs{i} AS MATERIALIZED (
+  SELECT word, pos,
+         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM m{i} WHERE is_m = 1
+), mp{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1 AS r
+    FROM runs{i}
+  ) WHERE r % 2 = 0
+), out{i} AS (
+  -- the merged partner comes from a positional self-join, NOT lead():
+  -- window functions evaluate after WHERE, so lead over the filtered rows
+  -- would skip past the consumed token
+  SELECT m.word, m.cnt,
+         row_number() OVER (PARTITION BY m.word ORDER BY m.pos) AS pos,
+         CASE WHEN me.pos IS NOT NULL THEN m.token || nxt.token
+              ELSE m.token END AS token
+  FROM m{i} m
+  LEFT JOIN mp{i} me ON me.word = m.word AND me.pos = m.pos
+  LEFT JOIN m{i} nxt ON nxt.word = m.word AND nxt.pos = m.pos + 1
+  LEFT JOIN mp{i} prev ON prev.word = m.word AND prev.pos = m.pos - 1
+  WHERE prev.pos IS NULL
+), tok{i + 1} AS MATERIALIZED (SELECT word, cnt, pos, token FROM out{i})""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, pair_count FROM best{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"\nSELECT * FROM ({selects}) ORDER BY step"
+    )

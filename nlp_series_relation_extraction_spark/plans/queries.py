@@ -546,6 +546,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus: the
+    learned merge table (step, a, b, pair_count) for 8 merges, derived
+    identically by the DuckDB oracle (per-step argmax + gaps-and-islands
+    greedy merge twin)."""
+    from ..functions.bpe import bpe_merges_df
+
+    return bpe_merges_df(t(spark, sf_dir, "documents"), "doc_id", "text", 8)
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation funnel (language filter ->
     quality filter -> exact dedup -> capped-jaccard near-dup drop) from
@@ -1197,6 +1207,7 @@ def queries() -> dict:
             "embedding_near_dup": q_embedding_near_dup,
             "media_features": q_media_features,
             "curate_documents": q_curate_documents,
+            "bpe_merges": q_bpe_merges,
             "doc_fingerprint": q_doc_fingerprint,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
@@ -1260,6 +1271,10 @@ def oracle_sql() -> dict:
         "kg_linking_entities": _LINKING_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
+        "bpe_merges": __import__(
+            "nlp_series_relation_extraction_spark.functions.bpe",
+            fromlist=["bpe_merges_sql"],
+        ).bpe_merges_sql("documents", "text", 8),
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],

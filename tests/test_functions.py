@@ -106,6 +106,61 @@ def test_embedding_near_dup_pairs_planted(spark):
     assert (0, 3) not in pairs  # opposite direction excluded by sign guard
 
 
+def test_bpe_matches_pure_python_reference(spark):
+    """Distributed BPE == a from-first-principles python BPE on a corpus
+    crafted to hit the greedy-overlap case (runs of identical tokens merge
+    1st+2nd, 3rd+4th, ...)."""
+    from collections import Counter
+
+    from nlp_series_relation_extraction_spark.functions.bpe import bpe_merges_df
+
+    def ref_bpe(wc, n_merges):
+        words = {w: (list(w), c) for w, c in wc.items()}
+        merges = []
+        for step in range(n_merges):
+            pc = Counter()
+            for w, (toks, c) in words.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += c
+            if not pc:
+                break
+            (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((step, a, b, cnt))
+            for w, (toks, c) in words.items():
+                out = []
+                for t in toks:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(t)
+                words[w] = (out, c)
+        return merges
+
+    texts = ["aaaa bb aab aaaa", "banana bandana aaaa", "aaab abab bb"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    want = ref_bpe(dict(wc), 6)
+    got = [
+        (r.step, r.a, r.b, r.pair_count)
+        for r in bpe_merges_df(docs, "doc_id", "text", 6).collect()
+    ]
+    assert got == want
+    # the overlap case actually fired: a doubled-token merge was learned
+    assert any(a == b for _, a, b, _ in want)
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
+
+    docs = spark.createDataFrame([(0, "ab ab a b")], "doc_id long, text string")
+    res = train_bpe(docs, "doc_id", "text", n_merges=10)
+    # only one mergeable pair exists ('a','b'); after it, every word is a
+    # single token and training stops early
+    assert [(m[1], m[2]) for m in res["merges"]] == [("a", "b")]
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     """Pin the LSH recall claim: at the default (bits=4, tables=24, seed
     family 7+101t) the approximate top-5 recovers >= 0.9 of the exact
