@@ -6,10 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
 {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
 
 Scaling mode (``python bench.py --scaling``): runs the same KG-extraction
-job at two parallelism levels (N=2 vs 4N=8 cores, standing in for N vs 4N
-executors per BASELINE.md; a 32-core point is also recorded) on identical
-pre-partitioned input, reports turns/sec at each level plus scaling
-efficiency, and writes BENCH/BASELINE.md.
+job at two parallelism levels (N=1 vs 4N=4 cores, standing in for N vs 4N
+executors per BASELINE.md; 16- and 32-core points are also recorded) on
+identical pre-partitioned input, reports turns/sec at each level plus
+scaling efficiency, and rewrites the scaling section of BENCH/BASELINE.md
+(the headline section is preserved — the file is composed from both).
 """
 
 from __future__ import annotations

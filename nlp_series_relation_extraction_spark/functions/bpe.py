@@ -111,6 +111,40 @@ def bpe_merges_df(
     )
 
 
+def apply_bpe(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple],
+) -> DataFrame:
+    """Tokenize with learned merges -> (id, n_bpe_tokens, n_words).
+
+    The inference side of the tokenizer: the merge rules fold over the
+    DISTINCT word table (vocabulary-sized), producing a word -> token-count
+    dimension that broadcast-joins back to the exploded corpus — per-word
+    work never scales with corpus size, only with vocabulary."""
+    word_occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.length("word") > 0)
+    tokens_col = _char_tokens("word")
+    for m in merges:
+        a, b = m[1], m[2]
+        tokens_col = _merge_fold(tokens_col, a, b)
+    word_dim = (
+        word_occ.select("word").distinct()
+        .select("word", F.size(tokens_col).alias("word_tokens"))
+    )
+    return (
+        word_occ.join(F.broadcast(word_dim), "word")
+        .groupBy("id")
+        .agg(
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+            F.count("*").alias("n_words"),
+        )
+    )
+
+
 def bpe_merges_sql(table: str, text_col: str, n_merges: int = 8) -> str:
     """DuckDB oracle re-deriving the same merge table: each step computes
     weighted adjacent-pair counts, takes the same deterministically
@@ -180,3 +214,26 @@ pairs{i} AS MATERIALIZED (
     return (
         "WITH " + ",".join(parts) + f"\nSELECT * FROM ({selects}) ORDER BY step"
     )
+
+
+def bpe_token_counts_sql(
+    table: str, id_col: str, text_col: str, n_merges: int = 8
+) -> str:
+    """DuckDB oracle for apply_bpe: reuse the merge-learning CTE chain, then
+    per-word token counts from the final token table joined back to the
+    exploded corpus."""
+    learn = bpe_merges_sql(table, text_col, n_merges)
+    with_block = learn[: learn.rindex("\nSELECT")]
+    return f"""{with_block},
+word_tokens AS (
+  SELECT word, count(*) AS wt FROM tok{n_merges} GROUP BY word
+), docs_words AS (
+  SELECT {id_col} AS id, unnest(string_split({text_col}, ' ')) AS word
+  FROM {table}
+)
+SELECT id, cast(sum(wt) AS BIGINT) AS n_bpe_tokens,
+       count(*) AS n_words
+FROM docs_words JOIN word_tokens USING (word)
+WHERE length(word) > 0
+GROUP BY id ORDER BY id
+"""

@@ -556,6 +556,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(t(spark, sf_dir, "documents"), "doc_id", "text", 8)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference with the learned BPE merges: per-document token
+    counts via the vocabulary-sized word dimension (broadcast join back to
+    the corpus); oracle reuses the merge-learning CTE chain."""
+    from ..functions.bpe import apply_bpe, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "doc_id", "text", 8)["merges"]
+    return (
+        apply_bpe(docs, "doc_id", "text", merges)
+        .select("id", F.col("n_bpe_tokens").cast("long"), "n_words")
+        .orderBy("id")
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation funnel (language filter ->
     quality filter -> exact dedup -> capped-jaccard near-dup drop) from
@@ -1208,6 +1223,7 @@ def queries() -> dict:
             "media_features": q_media_features,
             "curate_documents": q_curate_documents,
             "bpe_merges": q_bpe_merges,
+            "bpe_token_counts": q_bpe_token_counts,
             "doc_fingerprint": q_doc_fingerprint,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
@@ -1275,6 +1291,10 @@ def oracle_sql() -> dict:
             "nlp_series_relation_extraction_spark.functions.bpe",
             fromlist=["bpe_merges_sql"],
         ).bpe_merges_sql("documents", "text", 8),
+        "bpe_token_counts": __import__(
+            "nlp_series_relation_extraction_spark.functions.bpe",
+            fromlist=["bpe_token_counts_sql"],
+        ).bpe_token_counts_sql("documents", "doc_id", "text", 8),
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],

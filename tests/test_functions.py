@@ -151,6 +151,41 @@ def test_bpe_matches_pure_python_reference(spark):
     assert any(a == b for _, a, b, _ in want)
 
 
+def test_apply_bpe_counts_match_python_tokenizer(spark):
+    from nlp_series_relation_extraction_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    texts = ["banana band bans", "banana aaaa ana", "dana band banana"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res = train_bpe(docs, "doc_id", "text", n_merges=4)
+    merges = res["merges"]
+
+    def tokenize(word):
+        toks = list(word)
+        for _, a, b, _ in merges:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    got = {
+        r.id: (r.n_bpe_tokens, r.n_words)
+        for r in apply_bpe(docs, "doc_id", "text", merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        want = (sum(len(tokenize(w)) for w in words), len(words))
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_bpe_stops_when_no_pairs_remain(spark):
     from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
 
