@@ -74,6 +74,41 @@ def edge_table(canonical: DataFrame) -> DataFrame:
     )
 
 
+def merge_edge_increment(
+    existing: DataFrame, increment: DataFrame
+) -> DataFrame:
+    """Incremental edge-table maintenance: fold a new batch of canonical
+    edges into the existing table (the daily-increment upsert every
+    continuously-updated KG needs).
+
+    Semantics per (subj, predicate, obj): evidence counts ADD, earliest
+    provenance is the struct-min across both sides. Implemented as
+    union + re-aggregate over only the touched keys' rows — with Iceberg
+    this becomes MERGE INTO; over parquet the union-agg rewrites the
+    affected partitions. One shuffle on the edge key; the increment is
+    typically tiny relative to the table, so AQE broadcast-joins it."""
+    cols = [
+        "subj_entity_id", "predicate", "obj_entity_id",
+        "n_evidence", "first_conv_id", "first_turn_idx",
+    ]
+    u = existing.select(*cols).unionByName(increment.select(*cols))
+    return (
+        u.groupBy("subj_entity_id", "predicate", "obj_entity_id")
+        .agg(
+            F.sum("n_evidence").alias("n_evidence"),
+            F.min(F.struct("first_conv_id", "first_turn_idx")).alias("_first"),
+        )
+        .select(
+            "subj_entity_id",
+            "predicate",
+            "obj_entity_id",
+            "n_evidence",
+            F.col("_first.first_conv_id").alias("first_conv_id"),
+            F.col("_first.first_turn_idx").alias("first_turn_idx"),
+        )
+    )
+
+
 def write_graph(
     nodes: DataFrame,
     edges: DataFrame,

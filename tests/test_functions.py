@@ -186,6 +186,31 @@ def test_apply_bpe_counts_match_python_tokenizer(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_new_operators_survive_degenerate_inputs(spark):
+    """Empty / tiny corpora must not crash the round-2 operators."""
+    from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        curate_documents,
+    )
+    from nlp_series_relation_extraction_spark.functions.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert curate_documents(empty).count() == 0
+    assert train_bpe(empty, "doc_id", "text", 3)["merges"] == []
+
+    # corpus smaller than n_clusters and n_train: k-means degrades
+    # gracefully and results stay exact (every cluster probed)
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(6)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ivf_topk(emb, "vec_id", "embedding", [0, 1], k=2,
+                   n_clusters=16, n_probe=16, n_train=256)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    assert len(got) == 4  # 2 queries x top-2, all clusters probed
+
+
 def test_bpe_stops_when_no_pairs_remain(spark):
     from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
 

@@ -89,6 +89,48 @@ def test_salted_join_correctness(spark):
     assert {(r.k, r.attr) for r in out} == {("k1", "a"), ("k2", "b")}
 
 
+def test_incremental_edge_merge_equals_batch(spark):
+    """The daily-increment invariant: folding per-batch edge tables into an
+    existing table must equal the edge table computed over all evidence at
+    once (counts add, earliest provenance survives)."""
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        canonical_triples,
+        edge_table,
+        merge_edge_increment,
+    )
+
+    rows = [
+        ("c1", 0, "作者", "甲书", {"@value": "张三"}),
+        ("c0", 5, "作者", "甲书", {"@value": "张三"}),  # earlier conv in batch 1
+        ("c2", 1, "作者", "甲书", {"@value": "张三"}),
+        ("c3", 0, "作者", "乙书", {"@value": "张三"}),  # new edge in batch 2
+        ("c0", 1, "作者", "甲书", {"@value": "张三"}),  # batch 2 holds the min
+    ]
+    schema = (
+        "conv_id string, turn_idx int, predicate string, subject string, "
+        "object map<string,string>"
+    )
+    aliases = spark.createDataFrame(
+        [("甲书", 11), ("乙书", 12), ("张三", 99)],
+        "mention_norm string, entity_id long",
+    )
+    full = spark.createDataFrame(rows, schema)
+    b1 = spark.createDataFrame(rows[:3], schema)
+    b2 = spark.createDataFrame(rows[3:], schema)
+
+    def edges(df):
+        return edge_table(canonical_triples(df, aliases))
+
+    want = sorted(map(tuple, edges(full).collect()))
+    got = sorted(
+        map(tuple, merge_edge_increment(edges(b1), edges(b2)).collect())
+    )
+    assert got == want
+    # provenance check: the earliest (conv, turn) lives in batch 2
+    row = [r for r in got if r[2] == 99 and r[0] == 11][0]
+    assert (row[4], row[5]) == ("c0", 1)
+
+
 def test_salted_join_spreads_hot_key_across_partitions(spark):
     """Skew evidence, not just correctness: with broadcast disabled (the
     >threshold dimension case salting exists for), a key holding ~97% of
