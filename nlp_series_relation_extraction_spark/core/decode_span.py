@@ -114,22 +114,29 @@ def decode_po_for_subject(
 
 
 def decode_pair_cube(
-    cube: np.ndarray, end_list: list[int], spans: list[tuple[int, int]]
+    cube: np.ndarray,
+    end_list: list[int],
+    spans: list[tuple[int, int]],
+    is_subcube: bool = False,
 ) -> dict[tuple[int, int], list[tuple[int, int, int]]]:
-    """mhs/biaffine triple decode: [L, L, R] score cube > 0.5 at positions
+    """mhs/biaffine triple decode: score cube > 0.5 at positions
     (s_end, o_end, pred) where both ends are known span ends. Returns
-    spoes[(s_start, s_end)] -> [(o_start, o_end, pred)]."""
+    spoes[(s_start, s_end)] -> [(o_start, o_end, pred)].
+
+    ``cube`` is either the full [L, L, R] tensor, or (``is_subcube=True``)
+    the [E, E, R] restriction to sorted-unique span ends as produced by
+    ``HashEncoder.pair_cube_at`` — the hash path computes only that
+    restriction since nothing else is ever read."""
     spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
     if not end_list:
         return spoes
-    # prefilter the [L,L,R] cube to known span-end rows/cols before the
-    # Python loop: only a handful of positions are ends, but the full
-    # nonzero scan yielded tens of thousands of interpreted iterations per
+    # only span-end rows/cols participate: a handful of positions, vs the
+    # full nonzero scan's tens of thousands of interpreted iterations per
     # sentence at L=200. ``ends`` is sorted-unique; the FIRST span carrying
     # each end wins, matching end_list.index() (reference convert_spo_contour2).
     ends = sorted(set(end_list))
     first_span = {e: spans[end_list.index(e)] for e in ends}
-    sub = cube[np.ix_(ends, ends)]  # [E, E, R], row-major order preserved
+    sub = cube if is_subcube else cube[np.ix_(ends, ends)]
     for si, oi, predicate in zip(*np.nonzero(sub > PAIR_SCORE_THRESHOLD)):
         s = first_span[ends[int(si)]]
         o = first_span[ends[int(oi)]]

@@ -240,6 +240,38 @@ class HashEncoder:
         inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)  # [L, L, 32]
         return _sigmoid(np.float32(2.0) * (inter @ self.w_rel) + np.float32(self.b_rel))
 
+    def pair_cube_at(
+        self,
+        tokens: Sequence[str],
+        positions: Sequence[int],
+        biaffine: bool = False,
+    ) -> np.ndarray:
+        """[E, E, R] pair scores restricted to the given token positions —
+        decode only reads the cube at typed-span END pairs, so computing
+        the full [L, L, R] cube is O(L^2/E^2) wasted work (L ~ 40-500,
+        E ~ a handful). Entries equal the full cube's at those positions:
+        the restriction is a row subset of every matmul/elementwise op."""
+        C = self.encode(tokens)[list(positions)]
+        f1, f2 = self.head_tail_features(C)
+        E = f1.shape[0]
+        if not biaffine:
+            inter = np.maximum(f1[:, None, :] + f2[None, :, :], 0.0)
+            return _sigmoid(
+                np.float32(2.0) * (inter @ self.w_rel) + np.float32(self.b_rel)
+            )
+        z1 = np.einsum(
+            "xoj,yj->xyo", np.einsum("xi,ioj->xoj", f1, self.w_bi1), f2
+        )
+        pair = np.concatenate(
+            [
+                np.broadcast_to(f1[:, None, :], (E, E, 32)),
+                np.broadcast_to(f2[None, :, :], (E, E, 32)),
+                np.ones((E, E, 1), dtype=np.float32),
+            ],
+            axis=-1,
+        )
+        return _sigmoid(z1 + pair @ self.w_bi2 + np.float32(self.b_bi))
+
     def pair_cube_biaffine(self, tokens: Sequence[str]) -> np.ndarray:
         """[L, L, R] biaffine scores: x^T W1 y + [x;y;1] W2 (reference
         models/model_mhs_biaffine.py:10-28, einsum form)."""

@@ -146,18 +146,21 @@ def extract_mhs_row(
         )
         tokens = enc["tokens"]
         tok_start, tok_end = enc["tok_to_orig_start"], enc["tok_to_orig_end"]
+        spans, end_list, _ = decode_typed_spans(start, end, n_tokens=len(tokens))
+        spoes = decode_pair_cube(cube, end_list, spans)
     else:
         tokens, tok_start, tok_end = tokenize_framed(text)
         tokens = _truncate(tokens, max_len)
         encoder = get_hash_encoder(seed, weights_path)
         start, end = encoder.typed_span_probs(tokens)
-        cube = (
-            encoder.pair_cube_biaffine(tokens)
-            if biaffine
-            else encoder.pair_cube(tokens)
-        )
-    spans, end_list, _ = decode_typed_spans(start, end, n_tokens=len(tokens))
-    spoes = decode_pair_cube(cube, end_list, spans)
+        # spans first, then score ONLY the span-end pair restriction of the
+        # cube: decode never reads anything else, and the full [L,L,R] cube
+        # is the dominant cost of this head (O(L^2 R) vs O(E^2 R), E ~ a
+        # handful of span ends)
+        spans, end_list, _ = decode_typed_spans(start, end, n_tokens=len(tokens))
+        ends = sorted(set(end_list))
+        sub = encoder.pair_cube_at(tokens, ends, biaffine=biaffine)
+        spoes = decode_pair_cube(sub, end_list, spans, is_subcube=True)
     return decode_span_sentence(text, spoes, tok_start, tok_end, spans)
 
 

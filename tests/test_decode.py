@@ -185,3 +185,49 @@ def test_po_sorted_by_predicate_id():
     spoes = {(1, 1): [(3, 3, 40), (2, 2, 5)]}
     out = convert_spoes_to_result(context, spoes, tok_start, tok_end)
     assert [s["predicate"] for s in out] == ["主演", "董事长"]
+
+
+def test_pair_subcube_path_equals_full_cube_path():
+    """The hash-mode mhs/biaffine fast path (score only the span-end
+    restriction of the pair cube) must decode EXACTLY like the full
+    [L,L,R] cube — the restriction is a row subset of every op."""
+    import json as _json
+
+    from nlp_series_relation_extraction_spark.core.decode_span import (
+        decode_pair_cube,
+        decode_span_sentence,
+        decode_typed_spans,
+    )
+    from nlp_series_relation_extraction_spark.core.heads import (
+        _truncate,
+        extract_mhs_row,
+        get_hash_encoder,
+    )
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        normalize_text,
+        tokenize_framed,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import synth_pandas
+
+    enc = get_hash_encoder(42)
+
+    def full_cube_path(text, biaffine):
+        text = normalize_text(text)
+        tokens, ts, te = tokenize_framed(text)
+        tokens = _truncate(tokens, 512)
+        start, end = enc.typed_span_probs(tokens)
+        cube = (
+            enc.pair_cube_biaffine(tokens) if biaffine else enc.pair_cube(tokens)
+        )
+        spans, end_list, _ = decode_typed_spans(start, end, n_tokens=len(tokens))
+        return decode_span_sentence(
+            text, decode_pair_cube(cube, end_list, spans), ts, te, spans
+        )
+
+    for text in synth_pandas(60, seed=9)["text"]:
+        for biaffine in (False, True):
+            new = extract_mhs_row(text, None, 42, 512, biaffine=biaffine)
+            old = full_cube_path(text, biaffine)
+            assert _json.dumps(new, sort_keys=True) == _json.dumps(
+                old, sort_keys=True
+            )
