@@ -79,6 +79,8 @@ def train_bio_head(
     seed: int = 42,
     num_partitions: int | None = None,
     max_len: int = 512,
+    optimizer: str = "sgd",
+    warmup: float = 0.1,
 ) -> dict:
     """Synchronous data-parallel SGD on the BIO output layer.
 
@@ -97,6 +99,10 @@ def train_bio_head(
     # every epoch is a fresh action over the same rows: materialize once
     df = df.localCheckpoint(eager=True)
 
+    opt = (
+        BertAdamState(lr, t_total=epochs, warmup=warmup)
+        if optimizer == "bert_adam" else None
+    )
     history: list[float] = []
     best = (np.inf, W.copy())
     for _ in range(epochs):
@@ -116,7 +122,10 @@ def train_bio_head(
         history.append(mean_loss)
         if mean_loss < best[0]:
             best = (mean_loss, W.copy())
-        W = W - lr * (gsum / max(n, 1))
+        if opt is not None:
+            W = opt.update({"w_bio": W}, {"w_bio": gsum / max(n, 1)})["w_bio"]
+        else:
+            W = W - lr * (gsum / max(n, 1))
     return {
         "weights": best[1].astype(np.float32),
         "bias": b,
@@ -124,6 +133,77 @@ def train_bio_head(
         "loss_sliding20": running_mean_20(history),
         "best_loss": best[0],
     }
+
+
+def warmup_linear(progress: float, warmup: float) -> float:
+    """The reference's warmup_linear schedule
+    (utils/bert_optimizaation.py:170-179): ramp 0 -> 1 over the first
+    ``warmup`` fraction of steps, then linear decay 1 -> 0."""
+    if progress < warmup:
+        return progress / warmup
+    return max((progress - 1.0) / (warmup - 1.0), 0.0)
+
+
+class BertAdamState:
+    """Driver-side BertAdam (reference utils/bert_optimizaation.py:191-279
+    semantics): Adam WITHOUT bias correction (the 'BERT version'),
+    decoupled weight decay added to the update, per-tensor gradient-norm
+    clipping, and the warmup_linear lr schedule. State (m, v, step) lives
+    on the driver — exactly where the synchronous data-parallel update
+    happens — so executors stay stateless."""
+
+    def __init__(
+        self,
+        lr: float,
+        t_total: int,
+        warmup: float = 0.1,
+        b1: float = 0.9,
+        b2: float = 0.999,
+        e: float = 1e-6,
+        weight_decay: float = 0.01,
+        max_grad_norm: float = 1.0,
+    ):
+        self.lr = lr
+        self.t_total = max(t_total, 1)
+        self.warmup = warmup
+        self.b1, self.b2, self.e = b1, b2, e
+        self.weight_decay = weight_decay
+        self.max_grad_norm = max_grad_norm
+        # per-EPOCH stepping starts at 1: the reference's per-batch counter
+        # makes step 0 (lr exactly 0) negligible among tens of thousands of
+        # batches, but per-epoch it would zero out the whole first epoch
+        self.step_n = 1
+        self._m: dict[str, np.ndarray] = {}
+        self._v: dict[str, np.ndarray] = {}
+
+    def lr_scheduled(self) -> float:
+        return self.lr * warmup_linear(self.step_n / self.t_total, self.warmup)
+
+    def update(self, params: dict, grads: dict) -> dict:
+        out = {}
+        lr_t = self.lr * warmup_linear(
+            self.step_n / self.t_total, self.warmup
+        )
+        for k, p in params.items():
+            g = np.asarray(grads[k], dtype=np.float64)
+            if self.max_grad_norm > 0:
+                norm = float(np.linalg.norm(g))
+                if norm > self.max_grad_norm:
+                    g = g * (self.max_grad_norm / norm)
+            m = self._m.get(k)
+            v = self._v.get(k)
+            if m is None:
+                m = np.zeros_like(p)
+                v = np.zeros_like(p)
+            m = self.b1 * m + (1.0 - self.b1) * g
+            v = self.b2 * v + (1.0 - self.b2) * (g * g)
+            self._m[k], self._v[k] = m, v
+            upd = m / (np.sqrt(v) + self.e)
+            if self.weight_decay > 0:
+                upd = upd + self.weight_decay * p
+            out[k] = p - lr_t * upd
+        self.step_n += 1
+        return out
 
 
 def running_mean_20(history: list[float]) -> list[float]:
@@ -242,6 +322,8 @@ def train_mpn_head(
     seed: int = 42,
     num_partitions: int | None = None,
     max_len: int = 512,
+    optimizer: str = "sgd",
+    warmup: float = 0.1,
 ) -> dict:
     """Synchronous data-parallel SGD on the mpn subject + po output layers
     (the reference's joint loss, run_mpn.py:165-179 lifecycle). Same
@@ -260,6 +342,10 @@ def train_mpn_head(
         df = df.repartition(num_partitions)
     df = df.localCheckpoint(eager=True)
 
+    opt = (
+        BertAdamState(lr, t_total=epochs, warmup=warmup)
+        if optimizer == "bert_adam" else None
+    )
     history: list[float] = []
     sub_hist: list[float] = []
     po_hist: list[float] = []
@@ -286,8 +372,15 @@ def train_mpn_head(
         po_hist.append(pl / n)
         if loss < best[0]:
             best = (loss, Ws.copy(), Wp.copy())
-        Ws = Ws - lr * (g_sub / n)
-        Wp = Wp - lr * (g_po / n)
+        if opt is not None:
+            upd = opt.update(
+                {"w_sub": Ws, "w_po": Wp},
+                {"w_sub": g_sub / n, "w_po": g_po / n},
+            )
+            Ws, Wp = upd["w_sub"], upd["w_po"]
+        else:
+            Ws = Ws - lr * (g_sub / n)
+            Wp = Wp - lr * (g_po / n)
     return {
         "w_sub": best[1].astype(np.float32),
         "w_po": best[2].astype(np.float32),
@@ -416,6 +509,8 @@ def train_mhs_head(
     num_partitions: int | None = None,
     max_len: int = 512,
     biaffine: bool = False,
+    optimizer: str = "sgd",
+    warmup: float = 0.1,
 ) -> dict:
     """Synchronous data-parallel SGD on the mhs (or biaffine) output
     layers: typed-span start/end projections plus the pair scorer
@@ -434,6 +529,10 @@ def train_mhs_head(
         df = df.repartition(num_partitions)
     df = df.localCheckpoint(eager=True)
 
+    opt = (
+        BertAdamState(lr, t_total=epochs, warmup=warmup)
+        if optimizer == "bert_adam" else None
+    )
     history: list[float] = []
     sub_hist: list[float] = []
     rel_hist: list[float] = []
@@ -462,8 +561,11 @@ def train_mhs_head(
         rel_hist.append(rl / n)
         if loss < best[0]:
             best = (loss, {k: v.copy() for k, v in W.items()})
-        for k in W:
-            W[k] = W[k] - lr * (g[k] / n)
+        if opt is not None:
+            W = opt.update(W, {k: g[k] / n for k in W})
+        else:
+            for k in W:
+                W[k] = W[k] - lr * (g[k] / n)
     return {
         "weights": {k: v.astype(np.float32) for k, v in best[1].items()},
         "loss_history": history,

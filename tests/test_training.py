@@ -294,6 +294,64 @@ def test_trained_weights_feed_distributed_extraction(spark, tmp_path):
     assert with_w == sorted(oracle)
 
 
+def test_warmup_linear_reference_schedule():
+    from nlp_series_relation_extraction_spark.operators.train import (
+        warmup_linear,
+    )
+
+    # ramp 0 -> 1 over the warmup fraction
+    assert warmup_linear(0.0, 0.1) == 0.0
+    assert warmup_linear(0.05, 0.1) == 0.5
+    # linear decay 1 -> 0 afterwards: max((p-1)/(w-1), 0)
+    assert abs(warmup_linear(0.1, 0.1) - 1.0) < 1e-12
+    assert abs(warmup_linear(0.55, 0.1) - 0.5) < 1e-12
+    assert warmup_linear(1.0, 0.1) == 0.0
+
+
+def test_bert_adam_optimizer_converges_and_is_deterministic(spark):
+    """The reference's BertAdam (no bias correction, decoupled weight
+    decay, per-tensor clipping, warmup_linear) as the driver-side update:
+    loss decreases and runs are bit-reproducible."""
+    t = synth_transcripts(spark, 160, seed=42, partitions=4)
+    res = train_bio_head(t, epochs=4, lr=0.05, optimizer="bert_adam")
+    h = res["loss_history"]
+    assert h[-1] < h[0]
+    res2 = train_bio_head(t, epochs=4, lr=0.05, optimizer="bert_adam")
+    assert res2["loss_history"] == h
+    resm = train_mpn_head(t, epochs=4, lr=0.05, optimizer="bert_adam")
+    assert resm["loss_history"][-1] < resm["loss_history"][0]
+
+
+def test_bert_adam_update_math():
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.operators.train import (
+        BertAdamState,
+    )
+
+    opt = BertAdamState(lr=0.1, t_total=2, warmup=0.1, weight_decay=0.01,
+                        max_grad_norm=-1)
+    p = np.array([1.0, -2.0])
+    g = np.array([0.5, 0.5])
+    out = opt.update({"w": p}, {"w": g})["w"]
+    # step 1 of 2 -> progress 0.5 -> decay branch lr factor 5/9
+    lr_t = 0.1 * max((0.5 - 1.0) / (0.1 - 1.0), 0.0)
+    m = 0.1 * g          # (1-b1)*g
+    v = 0.001 * g * g    # (1-b2)*g^2
+    want = p - lr_t * (m / (np.sqrt(v) + 1e-6) + 0.01 * p)
+    assert np.allclose(out, want, rtol=0, atol=1e-12)
+    # per-tensor clipping rescales to max_grad_norm
+    opt2 = BertAdamState(lr=0.1, t_total=2, warmup=0.1, max_grad_norm=0.1,
+                         weight_decay=0.0)
+    big = np.array([3.0, 4.0])  # norm 5 -> scaled to 0.1
+    out2 = opt2.update({"w": np.zeros(2)}, {"w": big})["w"]
+    g2 = big * (0.1 / 5.0)
+    m2 = 0.1 * g2
+    v2 = 0.001 * g2 * g2
+    want2 = -lr_t * (m2 / (np.sqrt(v2) + 1e-6))
+    assert np.allclose(out2, want2, rtol=0, atol=1e-12)
+
+
 def test_running_mean_20_reference_quirk():
     # run_mpn.py:60-64 divides by 20 even before 20 values exist
     assert running_mean_20([1.0]) == [1.0 / 20]
