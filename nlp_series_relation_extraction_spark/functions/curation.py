@@ -19,6 +19,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def deterministic_sample(
+    df: DataFrame, key_col: str, keep_of_256: int
+) -> DataFrame:
+    """Hash-based deterministic sampling: keep rows whose md5(key)'s first
+    two hex chars, read as 0..255, fall below ``keep_of_256`` (fraction =
+    keep_of_256/256). A pure string comparison — identical in any engine
+    with md5, reproducible across runs and cluster layouts, and
+    join-stable: the same key always samples the same way, so sampled
+    fact/dim tables stay mutually consistent (unlike rand()-based
+    sampling)."""
+    cutoff = format(keep_of_256, "02x")
+    return df.where(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 2) < F.lit(cutoff)
+    )
+
+
 def curate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

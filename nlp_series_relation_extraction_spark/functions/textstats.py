@@ -63,6 +63,34 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII patterns in the Java-regex/RE2 COMMON subset (no lookarounds, no
+# backrefs) so Spark and the DuckDB oracle behave identically
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("phone", "\\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted, n_email, n_url, n_phone): mask emails, URLs and
+    phone-like digit runs with typed placeholder tokens (the standard
+    pre-training privacy scrub). Patterns apply IN ORDER and each pattern
+    counts matches on the text state BEFORE its own replacement (so digits
+    inside an already-masked email never double-count as a phone). Pure
+    Catalyst, no UDFs."""
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        F.col(id_col).alias("id"),
+        cur.alias("redacted"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, k: int = 3
 ) -> DataFrame:

@@ -546,6 +546,73 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def q_redact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + deterministic sampling over synthesized contact strings
+    (the documents corpus has no PII, so contact text is constructed from
+    the customer table — emails, phones and URLs per row — making the
+    redaction check non-vacuous): keep a deterministic md5-sampled quarter
+    of customers, mask all three pattern classes, count matches."""
+    from ..functions.curation import deterministic_sample
+    from ..functions.textstats import redact_pii
+
+    c = t(spark, sf_dir, "customer")
+    contacts = c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <c"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com> call +86 138 "),
+            F.col("c_custkey").cast("string"),
+            F.lit(" 99 or visit https://ex.example/c/"),
+            F.col("c_custkey").cast("string"),
+        ).alias("contact"),
+    )
+    sampled = deterministic_sample(contacts, "c_custkey", 64)  # 25%
+    out = redact_pii(sampled, "c_custkey", "contact")
+    return out.select(
+        "id",
+        "redacted",
+        F.col("n_email").cast("long"),
+        F.col("n_url").cast("long"),
+        F.col("n_phone").cast("long"),
+    ).orderBy("id")
+
+
+def _redact_sample_sql() -> str:
+    from ..functions.textstats import PII_PATTERNS
+
+    (_, email, etok), (_, url, utok), (_, phone, ptok) = PII_PATTERNS
+    return f"""
+WITH contacts AS (
+  SELECT c_custkey AS id,
+         c_name || ' <c' || cast(c_custkey AS VARCHAR)
+         || '@example.com> call +86 138 ' || cast(c_custkey AS VARCHAR)
+         || ' 99 or visit https://ex.example/c/' || cast(c_custkey AS VARCHAR)
+         AS contact
+  FROM customer
+  WHERE substring(md5(cast(c_custkey AS VARCHAR)), 1, 2) < '40'
+), s0 AS (
+  SELECT id, contact AS t0,
+         len(regexp_extract_all(contact, '{email}')) AS n_email
+  FROM contacts
+), s1 AS (
+  SELECT id, n_email, regexp_replace(t0, '{email}', '{etok}', 'g') AS t1
+  FROM s0
+), s2 AS (
+  SELECT id, n_email,
+         len(regexp_extract_all(t1, '{url}')) AS n_url,
+         regexp_replace(t1, '{url}', '{utok}', 'g') AS t2
+  FROM s1
+)
+SELECT id,
+       regexp_replace(t2, '{phone}', '{ptok}', 'g') AS redacted,
+       n_email, n_url,
+       len(regexp_extract_all(t2, '{phone}')) AS n_phone
+FROM s2 ORDER BY id
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus: the
     learned merge table (step, a, b, pair_count) for 8 merges, derived
@@ -1224,6 +1291,7 @@ def queries() -> dict:
             "curate_documents": q_curate_documents,
             "bpe_merges": q_bpe_merges,
             "bpe_token_counts": q_bpe_token_counts,
+            "redact_sample": q_redact_sample,
             "doc_fingerprint": q_doc_fingerprint,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
@@ -1295,6 +1363,7 @@ def oracle_sql() -> dict:
             "nlp_series_relation_extraction_spark.functions.bpe",
             fromlist=["bpe_token_counts_sql"],
         ).bpe_token_counts_sql("documents", "doc_id", "text", 8),
+        "redact_sample": _redact_sample_sql(),
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],

@@ -306,6 +306,49 @@ def test_quality_and_token_counts(spark):
     assert t.n_bpe_tokens == 6  # the|cat|,|the|hat|!
 
 
+def test_redact_pii_semantics(spark):
+    from nlp_series_relation_extraction_spark.functions.textstats import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-ample.org or visit https://x.io/p?q=1 now"),
+            (1, "call +86 138 0013 8000 twice: 010-6552-9988"),
+            (2, "no pii here at all"),
+            (3, "email inside url https://x.io/a@b.com stays one URL"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[0].redacted == "mail <EMAIL> or visit <URL> now"
+    assert (out[0].n_email, out[0].n_url, out[0].n_phone) == (1, 1, 0)
+    assert out[1].redacted == "call <PHONE> twice: <PHONE>"
+    assert out[1].n_phone == 2
+    assert out[2].redacted == "no pii here at all"
+    assert (out[2].n_email, out[2].n_url, out[2].n_phone) == (0, 0, 0)
+    # email matched (and masked) first; the remaining url fragment is
+    # masked as URL — ordering is part of the contract
+    assert out[3].n_email == 1 and "<URL>" in out[3].redacted
+
+
+def test_deterministic_sample_fraction_and_stability(spark):
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    a = {r.doc_id for r in deterministic_sample(df, "doc_id", 64).collect()}
+    b = {r.doc_id for r in deterministic_sample(df, "doc_id", 64).collect()}
+    assert a == b  # reproducible
+    assert 0.20 < len(a) / 4000 < 0.30  # ~25%
+    # monotone: a larger keep threshold strictly contains the smaller sample
+    c = {r.doc_id for r in deterministic_sample(df, "doc_id", 128).collect()}
+    assert a <= c and len(c) > len(a)
+
+
 def test_fingerprints_stable_under_local_edit(spark):
     docs = _docs(spark)
     fp = {r.id: r.fingerprint for r in fingerprints(docs, "doc_id", "text").collect()}
