@@ -56,6 +56,7 @@ RELATIONAL = [
     "embedding_near_dup",
     "curate_documents",
     "bpe_merges",
+    "redact_sample",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",
