@@ -56,14 +56,13 @@ def _merge_fold(tokens_col, a: str, b: str):
 
 def train_bpe(
     docs: DataFrame,
-    id_col: str,
-    text_col: str,
+    text_col: str = "text",
     n_merges: int = 8,
 ) -> dict:
     """Learn ``n_merges`` BPE merges. Returns ``{"merges": [(step, a, b,
     pair_count), ...], "words": final tokenized word DataFrame}``. Stops
-    early when no adjacent pair remains."""
-    spark = docs.sparkSession
+    early when no adjacent pair remains. Corpus-level: no per-document id
+    is involved (apply_bpe is the per-document side)."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.length("word") > 0)
@@ -100,11 +99,11 @@ def train_bpe(
 
 
 def bpe_merges_df(
-    docs: DataFrame, id_col: str, text_col: str, n_merges: int = 8
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
 ) -> DataFrame:
     """The learned merge table as a DataFrame:
     (step int, a string, b string, pair_count bigint)."""
-    res = train_bpe(docs, id_col, text_col, n_merges)
+    res = train_bpe(docs, text_col, n_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(
         res["merges"], "step int, a string, b string, pair_count long"

@@ -29,6 +29,11 @@ def deterministic_sample(
     join-stable: the same key always samples the same way, so sampled
     fact/dim tables stay mutually consistent (unlike rand()-based
     sampling)."""
+    if not 0 <= keep_of_256 <= 256:
+        raise ValueError(f"keep_of_256 must be in [0, 256], got {keep_of_256}")
+    if keep_of_256 == 256:
+        return df  # keep-everything endpoint: a 3-char '100' cutoff would
+        # compare lexicographically against the 2-char prefix and keep ~1/16
     cutoff = format(keep_of_256, "02x")
     return df.where(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 2) < F.lit(cutoff)

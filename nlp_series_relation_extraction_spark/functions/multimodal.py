@@ -256,6 +256,9 @@ def extract_features(media: DataFrame, batch_note: bool = False) -> DataFrame:
         for pdf in batches:
             feats = []
             for c, fmt in zip(pdf["content"], pdf["format"]):
+                if c is None:
+                    feats.append(_fake_features(c).tolist())
+                    continue
                 try:
                     feats.append(image_features(decode_image(c, fmt)).tolist())
                 except (NotImplementedError, ValueError):

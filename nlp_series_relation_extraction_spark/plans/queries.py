@@ -620,7 +620,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy merge twin)."""
     from ..functions.bpe import bpe_merges_df
 
-    return bpe_merges_df(t(spark, sf_dir, "documents"), "doc_id", "text", 8)
+    return bpe_merges_df(t(spark, sf_dir, "documents"), "text", 8)
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,7 +630,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.bpe import apply_bpe, train_bpe
 
     docs = t(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "doc_id", "text", 8)["merges"]
+    merges = train_bpe(docs, "text", 8)["merges"]
     return (
         apply_bpe(docs, "doc_id", "text", merges)
         .select("id", F.col("n_bpe_tokens").cast("long"), "n_words")
@@ -1136,13 +1136,18 @@ def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     w = "split(text, ' ')"
+    # single-word docs emit no bigram: an unguarded sequence(1, size-1)
+    # evaluates sequence(1,0) as the DESCENDING [1,0] and slice(w,0,2)
+    # throws (the word_shingles trap, functions/dedup.py:28-37)
     mentions = d.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         F.explode(
             F.expr(
+                f"case when size({w}) >= 2 then "
                 f"transform(sequence(1, size({w}) - 1),"
-                f" i -> concat_ws(' ', slice({w}, i, 2)))"
+                f" i -> concat_ws(' ', slice({w}, i, 2))) "
+                f"else array() end"
             )
         ).alias("mention"),
     )

@@ -144,7 +144,7 @@ def test_bpe_matches_pure_python_reference(spark):
     want = ref_bpe(dict(wc), 6)
     got = [
         (r.step, r.a, r.b, r.pair_count)
-        for r in bpe_merges_df(docs, "doc_id", "text", 6).collect()
+        for r in bpe_merges_df(docs, "text", 6).collect()
     ]
     assert got == want
     # the overlap case actually fired: a doubled-token merge was learned
@@ -161,7 +161,7 @@ def test_apply_bpe_counts_match_python_tokenizer(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    res = train_bpe(docs, "doc_id", "text", n_merges=4)
+    res = train_bpe(docs, "text", n_merges=4)
     merges = res["merges"]
 
     def tokenize(word):
@@ -196,7 +196,23 @@ def test_new_operators_survive_degenerate_inputs(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert curate_documents(empty).count() == 0
-    assert train_bpe(empty, "doc_id", "text", 3)["merges"] == []
+    assert train_bpe(empty, "text", 3)["merges"] == []
+
+    # single-word / empty-text docs: the bigram-mention linking query must
+    # not hit Spark's sequence(1,0)->[1,0] descending-slice crash
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        q_kg_linking_entities,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, "oneword"), (1, ""), (2, "two words here")],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        ents = q_kg_linking_entities(spark, d).collect()
+        assert {r.canonical_name for r in ents} == {"two words", "words here"}
 
     # corpus smaller than n_clusters and n_train: k-means degrades
     # gracefully and results stay exact (every cluster probed)
@@ -215,7 +231,7 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
 
     docs = spark.createDataFrame([(0, "ab ab a b")], "doc_id long, text string")
-    res = train_bpe(docs, "doc_id", "text", n_merges=10)
+    res = train_bpe(docs, "text", n_merges=10)
     # only one mergeable pair exists ('a','b'); after it, every word is a
     # single token and training stops early
     assert [(m[1], m[2]) for m in res["merges"]] == [("a", "b")]
@@ -333,6 +349,8 @@ def test_redact_pii_semantics(spark):
 
 
 def test_deterministic_sample_fraction_and_stability(spark):
+    import pytest
+
     from nlp_series_relation_extraction_spark.functions.curation import (
         deterministic_sample,
     )
@@ -347,6 +365,12 @@ def test_deterministic_sample_fraction_and_stability(spark):
     # monotone: a larger keep threshold strictly contains the smaller sample
     c = {r.doc_id for r in deterministic_sample(df, "doc_id", 128).collect()}
     assert a <= c and len(c) > len(a)
+    # endpoints: 256 keeps EVERYTHING (the 3-char-'100' lexicographic trap),
+    # 0 keeps nothing, out-of-range raises
+    assert deterministic_sample(df, "doc_id", 256).count() == 4000
+    assert deterministic_sample(df, "doc_id", 0).count() == 0
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", 300)
 
 
 def test_fingerprints_stable_under_local_edit(spark):

@@ -147,6 +147,16 @@ def test_multimodal_plumbing(spark):
     ]
     frames = frame_sample(media, every_n=5)
     assert frames.count() >= 2
+    # NULL content with a decodable format must fall back to the fake
+    # features, not crash the decoder inside the UDF
+    import pyspark.sql.functions as _F
+
+    null_media = media.withColumn(
+        "content", _F.lit(None).cast("binary")
+    )
+    nf = extract_features(null_media).collect()
+    assert len(nf) == 2 and all(len(r.features) == 32 for r in nf)
+    assert all(r.n_bytes == 0 for r in nf)
 
 
 def test_decode_image_real_ppm_bmp_roundtrip():
