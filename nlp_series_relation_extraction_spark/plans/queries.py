@@ -534,16 +534,48 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed (one shuffle on the
-    bucket id, no all-pairs), decimal-exact integer threshold test. The
-    threshold (cos >= 0.43, bits=2) sits below the synthetic corpus's max
-    cosine (~0.51) so the check is non-vacuous at every SF."""
+    """Embedding-cosine near-dup pairs at a realistic threshold (0.95) via
+    multi-table OR-amplified hyperplane LSH with corpus-sized bucket depth
+    (candidates grow ~linearly with corpus size — the subquadratic scale
+    path replacing round 2's bits=2 within-bucket self-join), then the
+    decimal-exact integer cosine test on candidates.
+
+    The synthetic embeddings are near-isotropic (max natural cosine ~0.51),
+    so true near-dups are PLANTED deterministically: every vec_id % 5 == 0
+    vector gets a copy at vec_id + 1e6 shifted by +0.03 per element
+    (cosine ~0.971-0.979 against its source — above threshold). The oracle
+    plants identically (float64 arithmetic in both engines, exact)."""
     from ..functions.similarity import embedding_near_dup_pairs
 
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x + cast(0.03 as double))"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
     return embedding_near_dup_pairs(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        min_cos_e6=430_000, bits=2,
+        corpus, "vec_id", "embedding", min_cos_e6=950_000,
     ).orderBy("a_id", "b_id")
+
+
+# the oracle's planted-copy twin of q_embedding_near_dup's corpus union
+_NEAR_DUP_SRC = """(
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> cast(x AS DOUBLE) + cast(0.03 AS DOUBLE))
+           AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+)"""
 
 
 def q_redact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,7 +1405,7 @@ def oracle_sql() -> dict:
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],
         ).embedding_near_dup_sql(
-            "embeddings", "vec_id", "embedding",
-            min_cos_e6=430_000, bits=2, dim=64,
+            _NEAR_DUP_SRC, "vec_id", "embedding",
+            min_cos_e6=950_000, dim=64,
         ),
     }

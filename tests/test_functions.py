@@ -106,6 +106,33 @@ def test_embedding_near_dup_pairs_planted(spark):
     assert (0, 3) not in pairs  # opposite direction excluded by sign guard
 
 
+def test_near_dup_candidates_subquadratic(spark):
+    """The VERDICT round-2 scale gate: candidate generation must grow
+    subquadratically with corpus size. 4x vectors -> < 8x candidates
+    (quadratic would be ~16x); corpus-sized bits (near_dup_bits) is what
+    keeps random within-bucket collisions ~linear."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        near_dup_bits,
+        near_dup_candidate_pairs,
+    )
+
+    counts = {}
+    for n in (400, 1600):
+        rng = np.random.default_rng(1)
+        V = rng.standard_normal((n, 64)).astype("float32")
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in V[i]]) for i in range(n)],
+            "id long, vec array<float>",
+        )
+        counts[n] = near_dup_candidate_pairs(df, "id", "vec").count()
+    assert near_dup_bits(1600) > near_dup_bits(400)  # depth tracks corpus
+    assert counts[400] > 0  # non-vacuous
+    assert counts[1600] < 8 * counts[400], counts
+
+
 def test_bpe_matches_pure_python_reference(spark):
     """Distributed BPE == a from-first-principles python BPE on a corpus
     crafted to hit the greedy-overlap case (runs of identical tokens merge
