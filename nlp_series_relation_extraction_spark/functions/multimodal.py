@@ -309,7 +309,11 @@ def frame_extract(media: DataFrame, every_n: int = 2) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["format"],
                 pdf["width"], pdf["height"], pdf["n_frames"],
             ):
-                if fmt != "video/ppm-stack" or not n:
+                # NULL-media hardening (mirrors extract_features): a None
+                # payload or a null/NaN frame count row yields no frames
+                if c is None or fmt != "video/ppm-stack":
+                    continue
+                if n is None or pd.isna(n) or int(n) <= 0:
                     continue
                 fsize = len(c) // int(n)
                 for k in range(0, int(n), every_n):

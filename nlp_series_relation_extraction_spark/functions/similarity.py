@@ -345,6 +345,17 @@ def ivf_topk(
         .collect()
     )
     V = np.asarray([r.v for r in train], dtype=np.float64)
+    if len(V) < n_clusters:
+        # small-corpus degradation is silent otherwise: fewer training
+        # vectors than centroids leaves duplicate/empty clusters (and an
+        # empty V crashes argmin) — clamp with a clear contract instead
+        if len(V) == 0:
+            raise ValueError(
+                f"ivf_topk: no training vectors ({id_col} < n_train="
+                f"{n_train} matched nothing) — raise n_train or check ids"
+            )
+        n_clusters = len(V)
+    n_probe = min(n_probe, n_clusters)
     C = _kmeans_fit(V, n_clusters)  # [n_clusters, dim]
 
     qv = quantized(embeddings, id_col, vec_col)

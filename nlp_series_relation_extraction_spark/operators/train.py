@@ -100,7 +100,7 @@ def train_bio_head(
     df = df.localCheckpoint(eager=True)
 
     opt = (
-        BertAdamState(lr, t_total=epochs, warmup=warmup)
+        BertAdamState(lr, t_total=epochs + 1, warmup=warmup)
         if optimizer == "bert_adam" else None
     )
     history: list[float] = []
@@ -169,9 +169,13 @@ class BertAdamState:
         self.b1, self.b2, self.e = b1, b2, e
         self.weight_decay = weight_decay
         self.max_grad_norm = max_grad_norm
-        # per-EPOCH stepping starts at 1: the reference's per-batch counter
-        # makes step 0 (lr exactly 0) negligible among tens of thousands of
-        # batches, but per-epoch it would zero out the whole first epoch
+        # per-EPOCH stepping starts at 1 AND callers pass t_total=epochs+1:
+        # the reference's per-batch counter makes the schedule's zero
+        # endpoints (progress 0 -> lr 0 on the ramp, progress 1 -> lr 0 on
+        # the decay) negligible among tens of thousands of batches, but
+        # per-epoch either endpoint discards a full epoch of distributed
+        # gradients. Progress here runs 1/(E+1) .. E/(E+1): every epoch's
+        # scheduled lr is strictly positive (pinned in tests/test_train.py)
         self.step_n = 1
         self._m: dict[str, np.ndarray] = {}
         self._v: dict[str, np.ndarray] = {}
@@ -343,7 +347,7 @@ def train_mpn_head(
     df = df.localCheckpoint(eager=True)
 
     opt = (
-        BertAdamState(lr, t_total=epochs, warmup=warmup)
+        BertAdamState(lr, t_total=epochs + 1, warmup=warmup)
         if optimizer == "bert_adam" else None
     )
     history: list[float] = []
@@ -530,7 +534,7 @@ def train_mhs_head(
     df = df.localCheckpoint(eager=True)
 
     opt = (
-        BertAdamState(lr, t_total=epochs, warmup=warmup)
+        BertAdamState(lr, t_total=epochs + 1, warmup=warmup)
         if optimizer == "bert_adam" else None
     )
     history: list[float] = []

@@ -514,3 +514,28 @@ def test_rollup_buckets(spark):
     assert rows[(base, "a")] == (2, 325)
     assert rows[(base + 900, "a")] == (1, 400)
     assert rows[(base, "b")] == (1, 800)
+
+
+def test_ivf_small_corpus_clamps_instead_of_crashing(spark):
+    """ADVICE r2: fewer training vectors than n_clusters used to yield an
+    empty-axis argmin crash (or silent degradation); now clamps with a
+    clear contract, and an empty training set raises a pointed error."""
+    import pytest as _pytest
+
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    df = _emb(spark)  # 5 vectors, ids 0..4
+    out = ivf_topk(
+        df, "vec_id", "embedding", [0], k=4, n_clusters=16, n_probe=16,
+        n_train=256,
+    )
+    # with n_clusters clamped to 5 and full probing, IVF == brute force
+    brute = brute_force_topk(df, "vec_id", "embedding", [0], k=4)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+    with _pytest.raises(ValueError, match="no training vectors"):
+        ivf_topk(df, "vec_id", "embedding", [0], n_train=0).collect()

@@ -232,6 +232,26 @@ def test_video_frame_extract_real_bytes(spark):
         assert arr.shape == (6, 8, 3) and arr.dtype == np.uint8
 
 
+def test_frame_extract_null_media_rows_skipped(spark):
+    """ADVICE r2: a NULL payload (or null meta -> NaN n_frames after Arrow
+    conversion) must be skipped like extract_features' fallback, not crash
+    on len(None)/int(NaN)."""
+    from nlp_series_relation_extraction_spark.functions import multimodal
+
+    docs = spark.createDataFrame([(0, "clip zero")], "doc_id long, text string")
+    good = multimodal.synthesize_video(docs, "doc_id", "text", n_frames=4)
+    nulls = spark.createDataFrame(
+        [
+            (100, None, ("video/ppm-stack", 8, 6, 4)),  # null payload
+            (101, b"P6 not really", None),  # null meta -> null n_frames
+            (102, b"", ("video/ppm-stack", 8, 6, None)),  # null n only
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.frame_extract(good.unionByName(nulls), every_n=2).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in out) == [(0, 0), (0, 2)]
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     from nlp_series_relation_extraction_spark.operators.extract import extract_triples
     from nlp_series_relation_extraction_spark.streaming.incremental import (

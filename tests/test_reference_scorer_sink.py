@@ -32,18 +32,41 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+# sha256 of the exact calculate_metric source segment this test is allowed
+# to execute: /root/reference is declared UNTRUSTED content, so the exec
+# below is gated on the function body being byte-identical to what was
+# reviewed (reference run_evaluation.py:222-255). On mismatch the test
+# FAILS with a pointer here instead of running unreviewed code.
+_CALC_METRIC_SHA256 = (
+    "4d0e8c7684f2f6225c56eba81d331515b8e1755f839c9ef6dd93cd9636b90fbc"
+)
+
+
 def _load_reference_calculate_metric():
     """Extract run_evaluation.calculate_metric (pure, dependency-free) from
-    the reference source without importing its torch-dependent module."""
+    the reference source without importing its torch-dependent module; the
+    extracted source must match the pinned checksum before exec."""
+    import hashlib
+
     with open(REF_EVAL, encoding="utf-8") as f:
-        tree = ast.parse(f.read())
+        src = f.read()
+    tree = ast.parse(src)
     fn = next(
         n
         for n in tree.body
         if isinstance(n, ast.FunctionDef) and n.name == "calculate_metric"
     )
+    seg = ast.get_source_segment(src, fn)
+    digest = hashlib.sha256(seg.encode("utf-8")).hexdigest()
+    if digest != _CALC_METRIC_SHA256:
+        pytest.fail(
+            "reference calculate_metric source changed (sha256 "
+            f"{digest} != pinned {_CALC_METRIC_SHA256}); refusing to exec "
+            "unreviewed untrusted code — re-review run_evaluation.py and "
+            "update _CALC_METRIC_SHA256 if the change is legitimate"
+        )
     ns: dict = {}
-    exec(  # noqa: S102 - loading the reference's own scorer for parity
+    exec(  # noqa: S102 - checksum-pinned reference scorer, reviewed above
         compile(ast.Module(body=[fn], type_ignores=[]), REF_EVAL, "exec"), ns
     )
     return ns["calculate_metric"]

@@ -368,3 +368,49 @@ def test_long_text_truncation_bounds_work():
     for head in HEADS:
         res = extract_row(head, long_text, max_len=120)
         assert isinstance(res["spo_list"], list)  # bounded, no crash
+
+
+def test_bert_adam_every_epoch_gets_nonzero_lr():
+    """ADVICE r2: with t_total=epochs the final epoch ran at
+    lr=warmup_linear(1.0)=0 — a full epoch of distributed gradients
+    discarded. Trainers pass t_total=epochs+1 so progress runs
+    1/(E+1)..E/(E+1): strictly positive lr at EVERY epoch, and the warmup
+    ramp is actually exercised when E is large enough."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.operators.train import (
+        BertAdamState,
+    )
+
+    for epochs in (1, 2, 3, 20):
+        opt = BertAdamState(lr=0.1, t_total=epochs + 1, warmup=0.1)
+        lrs = []
+        for _ in range(epochs):
+            lrs.append(opt.lr_scheduled())
+            opt.update({"w": np.zeros(2)}, {"w": np.ones(2)})
+        assert all(lr > 0 for lr in lrs), (epochs, lrs)
+    # warmup ramp exercised at 20 epochs: first two steps are on the ramp
+    # (1/21 and 2/21 < 0.1) and increasing
+    opt = BertAdamState(lr=0.1, t_total=21, warmup=0.1)
+    l1 = opt.lr_scheduled()
+    opt.update({"w": np.zeros(2)}, {"w": np.ones(2)})
+    l2 = opt.lr_scheduled()
+    assert 0 < l1 < l2
+
+
+def test_trainers_final_epoch_moves_weights():
+    """End-to-end pin of the same ADVICE finding: the LAST epoch's update
+    must change the weights under optimizer='bert_adam'."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.operators.train import (
+        BertAdamState,
+    )
+
+    epochs = 3
+    opt = BertAdamState(lr=0.1, t_total=epochs + 1, warmup=0.1)
+    w = np.zeros(4)
+    for _ in range(epochs):
+        prev = w.copy()
+        w = opt.update({"w": w}, {"w": np.ones(4)})["w"]
+    assert not np.allclose(w, prev)  # final epoch applied a real update
