@@ -57,6 +57,7 @@ RELATIONAL = [
     "curate_documents",
     "bpe_merges",
     "redact_sample",
+    "media_meta",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",

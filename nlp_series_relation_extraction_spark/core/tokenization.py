@@ -121,18 +121,66 @@ def segment_units(text: str) -> list[str]:
 # data_utils.py:98-112), continuation pieces prefixed '##' like BERT.
 MAX_WORDPIECE_CHARS = 4
 
+# Optional trained sub-word vocabulary (set of pieces, continuations
+# '##'-prefixed). When set, tokenize_unit segments by greedy longest-match
+# against it — the reference's real wordpiece semantics
+# (data_utils.py:98-112 via tokenizer.tokenize) — instead of fixed-width
+# chunking. Train one with functions/bpe.py (wordpiece_vocab) and activate
+# via set_wordpiece_vocab / the use_wordpiece_vocab context manager; Spark
+# UDFs re-activate it inside each worker process from their closure
+# (operators/extract.py), so driver-side module state never needs to
+# propagate implicitly.
+_ACTIVE_WORDPIECE_VOCAB: frozenset[str] | None = None
 
-def tokenize_unit(unit: str) -> list[str]:
-    """Deterministic wordpiece stand-in (reference data_utils.py:104 calls
+
+def set_wordpiece_vocab(pieces) -> None:
+    """Activate (or with None, deactivate) a trained sub-word vocabulary
+    for tokenize_unit in THIS process."""
+    global _ACTIVE_WORDPIECE_VOCAB
+    _ACTIVE_WORDPIECE_VOCAB = frozenset(pieces) if pieces is not None else None
+
+
+def get_wordpiece_vocab() -> frozenset[str] | None:
+    return _ACTIVE_WORDPIECE_VOCAB
+
+
+class use_wordpiece_vocab:
+    """Context manager scoping an active vocab (tests / driver-side use)."""
+
+    def __init__(self, pieces):
+        self.pieces = pieces
+
+    def __enter__(self):
+        self.prev = _ACTIVE_WORDPIECE_VOCAB
+        set_wordpiece_vocab(self.pieces)
+        return self
+
+    def __exit__(self, *exc):
+        set_wordpiece_vocab(self.prev)
+        return False
+
+
+def tokenize_unit(unit: str, vocab: frozenset[str] | None = None) -> list[str]:
+    """Deterministic wordpiece (reference data_utils.py:104 calls
     ``tokenizer.tokenize(token)`` which may emit SEVERAL sub-tokens).
 
     * ``' '`` and other whitespace-only units produce no token;
-    * units of <= MAX_WORDPIECE_CHARS chars produce one lowercased token
-      (every CJK char is its own unit, so CJK stays one token per char);
-    * longer units (English words, digit runs) split into fixed-width
-      chunks, continuation chunks carrying the ``##`` wordpiece prefix —
-      deterministic and context-free per unit, so an entity string always
-      tokenizes to the same sub-token sequence as its in-text occurrence.
+    * with a trained vocabulary active (``vocab`` arg or
+      set_wordpiece_vocab), units segment by GREEDY LONGEST-MATCH against
+      it — continuation pieces looked up with the ``##`` prefix, exactly
+      BERT's WordpieceTokenizer walk. Where no piece matches, one char is
+      consumed as its own piece (char fallback) instead of BERT's whole-word
+      [UNK]: span bookkeeping needs every unit to produce >= 1 token, and
+      all sub-tokens of a unit share the unit's char span either way;
+    * without a vocabulary: units of <= MAX_WORDPIECE_CHARS chars produce
+      one lowercased token (every CJK char is its own unit, so CJK stays
+      one token per char); longer units (English words, digit runs) split
+      into fixed-width chunks, continuation chunks carrying the ``##``
+      prefix.
+
+    Both modes are deterministic and context-free per unit, so an entity
+    string always tokenizes to the same sub-token sequence as its in-text
+    occurrence — the property the span-matching heads rely on.
     """
     if unit == " ":
         return []
@@ -140,6 +188,27 @@ def tokenize_unit(unit: str) -> list[str]:
     if unit.isspace():
         return []
     low = unit.lower()
+    if vocab is None:
+        vocab = _ACTIVE_WORDPIECE_VOCAB
+    if vocab is not None:
+        pieces: list[str] = []
+        start = 0
+        while start < len(low):
+            end = len(low)
+            cur = None
+            while end > start:
+                sub = low[start:end]
+                cand = ("##" + sub) if start else sub
+                if cand in vocab:
+                    cur = cand
+                    break
+                end -= 1
+            if cur is None:  # char fallback (see docstring)
+                cur = ("##" + low[start]) if start else low[start]
+                end = start + 1
+            pieces.append(cur)
+            start = end
+        return pieces
     if len(low) <= MAX_WORDPIECE_CHARS:
         return [low]
     pieces = [low[:MAX_WORDPIECE_CHARS]]

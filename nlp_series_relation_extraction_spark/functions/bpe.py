@@ -58,11 +58,31 @@ def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    merges_per_pass: int = 1,
 ) -> dict:
     """Learn ``n_merges`` BPE merges. Returns ``{"merges": [(step, a, b,
     pair_count), ...], "words": final tokenized word DataFrame}``. Stops
     early when no adjacent pair remains. Corpus-level: no per-document id
-    is involved (apply_bpe is the per-document side)."""
+    is involved (apply_bpe is the per-document side).
+
+    ``merges_per_pass`` folds up to k TOKEN-DISJOINT merges per Spark pass
+    (one pair-count aggregation + one driver collect per pass instead of
+    per merge — a 32k-vocab build becomes ~thousands of jobs, not 32k).
+    Within a pass the top candidates are accepted in rank order, skipping
+    any pair sharing a token (as input or as the produced token) with an
+    already-accepted pair; disjoint merges cannot create or destroy each
+    other's adjacencies, so each accepted pair's recorded count equals the
+    sequential one.
+
+    INVARIANT (when batched == sequential): batched training reproduces
+    k=1 training exactly iff, within every pass, no merge CREATED by an
+    earlier accepted pair (a pair involving its merged token, e.g. (x, ab)
+    after merging (a, b)) would outrank a later accepted pair in the
+    sequential ordering. That holds whenever accepted counts are separated
+    from created-pair counts (typical for natural-language tails); when it
+    does not, batched training is still a valid BPE (deterministic,
+    monotone counts) but may order merges differently — pin k=1 where
+    byte-exact sequential parity matters (the driver oracle does)."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.length("word") > 0)
@@ -73,27 +93,42 @@ def train_bpe(
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words
-    for step_i in range(n_merges):
+    while len(merges) < n_merges:
+        k = min(max(merges_per_pass, 1), n_merges - len(merges))
         pair_col = F.expr(
             "transform(sequence(1, size(tokens) - 1),"
             " i -> struct(element_at(tokens, i) as a,"
             "            element_at(tokens, i + 1) as b))"
         )
-        best = (
+        # headroom over k: skipped overlapping candidates still leave
+        # enough accepted pairs in most passes
+        top = (
             cur.where(F.size("tokens") >= 2)
             .select("cnt", F.explode(pair_col).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(max(4 * k, k))
             .collect()
         )
-        if not best:
+        if not top:
             break
-        a, b, c = best[0].a, best[0].b, int(best[0].pair_count)
-        merges.append((step_i, a, b, c))
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(accepted) == k:
+                break
+            if r.a in used or r.b in used:
+                continue
+            accepted.append((r.a, r.b, int(r.pair_count)))
+            used.update((r.a, r.b, r.a + r.b))
+        # rank-1 never overlaps (used starts empty) -> progress guaranteed
+        tokens_col = F.col("tokens")
+        for a, b, c in accepted:
+            merges.append((len(merges), a, b, c))
+            tokens_col = _merge_fold(tokens_col, a, b)
         cur = cur.select(
-            "word", "cnt", _merge_fold(F.col("tokens"), a, b).alias("tokens")
+            "word", "cnt", tokens_col.alias("tokens")
         ).localCheckpoint(eager=True)
     return {"merges": merges, "words": cur}
 
@@ -142,6 +177,27 @@ def apply_bpe(
             F.count("*").alias("n_words"),
         )
     )
+
+
+def wordpiece_vocab(words: DataFrame) -> list[str]:
+    """Turn a trained BPE word table (train_bpe's ``words``: word, cnt,
+    tokens) into a wordpiece vocabulary for core.tokenization.tokenize_unit:
+    the first piece of each word kept plain, continuation pieces
+    ``##``-prefixed (BERT's convention), all lowercased. Driver-sized
+    collect — this is the tokenizer ARTIFACT (like the merges table), not a
+    data-path collect; ship it to executors in the UDF closure."""
+    pieces = (
+        words.select(F.posexplode("tokens").alias("i", "tok"))
+        .select(
+            F.when(F.col("i") == 0, F.lower("tok"))
+            .otherwise(F.concat(F.lit("##"), F.lower("tok")))
+            .alias("piece")
+        )
+        .distinct()
+        .orderBy("piece")
+        .collect()
+    )
+    return [r.piece for r in pieces]
 
 
 def bpe_merges_sql(table: str, text_col: str, n_merges: int = 8) -> str:

@@ -40,6 +40,38 @@ def encode_image_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+def encode_image_bmp24(arr: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as an uncompressed 24-bit BMP
+    (bottom-up, BGR, 4-byte-padded rows — the layout _decode_bmp24 reads)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + dib + data
+
+
 def _decode_ppm(content: bytes) -> np.ndarray:
     """Binary PPM (P6) -> HxWx3 uint8. Handles whitespace/comment headers."""
     if content[:2] != b"P6":
@@ -93,20 +125,25 @@ def _decode_bmp24(content: bytes) -> np.ndarray:
 def decode_image(content: bytes, fmt: str) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
-    REAL for the uncompressed self-contained formats (image/ppm,
-    image/bmp — pure numpy, no external codec). Compressed formats are the
-    documented integration point: plug PIL/opencv here; everything around
-    this function (schemas, Arrow batching, resize, features) is
-    format-agnostic."""
+    REAL, pure numpy, no external codec: uncompressed PPM (P6) and 24-bit
+    BMP, plus BASELINE JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 /
+    4:2:2 / 4:2:0, grayscale or YCbCr, restart markers). PNG and
+    progressive/arithmetic JPEG remain the documented integration point
+    (plug PIL/opencv here); everything around this function (schemas,
+    Arrow batching, resize, features) is format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
         return _decode_ppm(content)
     if f in ("image/bmp", "bmp"):
         return _decode_bmp24(content)
+    if f in ("image/jpeg", "image/jpg", "jpeg", "jpg"):
+        from .jpeg import decode_image_jpeg
+
+        return decode_image_jpeg(content)
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: compressed codecs (jpeg/png/...) "
-        "need PIL/opencv — integrate them in decode_image; ppm/bmp decode "
-        "natively"
+        f"no built-in decoder for {fmt!r}: png / progressive jpeg need "
+        "PIL/opencv — integrate them in decode_image; ppm/bmp/baseline-jpeg "
+        "decode natively"
     )
 
 
@@ -147,13 +184,31 @@ def _synth_pixels(seed_bytes: bytes, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic media table from a text table: payload bytes are a REAL
-    binary-PPM image (md5-seeded pixels, dims derived from text length), so
-    the decode -> resize -> feature path runs on genuine encoded images."""
+def synthesize_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    formats: tuple[str, ...] = ("image/ppm",),
+) -> DataFrame:
+    """Deterministic media table from a text table: payload bytes are REAL
+    encoded images (md5-seeded pixels, dims derived from text length), so
+    the decode -> resize -> feature path runs on genuine encoded bytes.
+
+    ``formats`` cycles per media_id across the built-in codecs
+    ('image/ppm', 'image/bmp', 'image/jpeg') — pass all three for a
+    mixed-codec corpus exercising every decoder."""
     import pandas as pd
 
     def gen(batches):
+        from .jpeg import encode_image_jpeg
+
+        encoders = {
+            "image/ppm": encode_image_ppm,
+            "image/bmp": encode_image_bmp24,
+            "image/jpeg": lambda a: encode_image_jpeg(
+                a, quality=90, subsampling="420"
+            ),
+        }
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
@@ -163,11 +218,12 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 "height": [],
                 "n_frames": [],
             }
-            for text in pdf["text"]:
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
                 t = (text or "").encode("utf-8")
                 w, h = len(t) % 24 + 4, len(t) % 16 + 4
-                out["content"].append(encode_image_ppm(_synth_pixels(t, w, h)))
-                out["format"].append("image/ppm")
+                fmt = formats[int(mid) % len(formats)]
+                out["content"].append(encoders[fmt](_synth_pixels(t, w, h)))
+                out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_frames"].append(1)

@@ -457,11 +457,19 @@ def near_dup_candidate_pairs(
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
     qv = quantized(embeddings, id_col, vec_col)
-    bucketed = _bucket_all_tables(qv, dim, bits, tables).select("id", "tbucket")
+    # materialize the bucketed table ONCE before the self-join (repo-wide
+    # fan-out rule): both join sides consume it, and without the checkpoint
+    # the bucketize UDF re-executes per side (broadcast case) or relies on
+    # AQE exchange reuse (SMJ case). (id, tbucket) is ~24 short rows per
+    # vector — far smaller than the embeddings themselves; at cluster scale
+    # this is a persisted stage table.
+    bucketed = (
+        _bucket_all_tables(qv, dim, bits, tables)
+        .select("id", "tbucket")
+        .localCheckpoint(eager=True)
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    # self-join on (table, bucket): both sides shuffle on the identical key,
-    # so the exchange (and the bucketing UDF) is computed once and reused
     return (
         a.join(b, "tbucket")
         .where(F.col("a.id") < F.col("b.id"))

@@ -47,8 +47,15 @@ TRIPLE_COLUMNS = [
 ]
 
 
-def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False, keep_text: bool = False, weights_path: str | None = None):
+def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False, keep_text: bool = False, weights_path: str | None = None, vocab: list[str] | None = None):
     def run(batches):
+        if vocab is not None:
+            # activate the trained sub-word vocabulary in THIS worker
+            # process (module state never crosses the driver/executor
+            # boundary implicitly; the closure carries the artifact)
+            from ..core.tokenization import set_wordpiece_vocab
+
+            set_wordpiece_vocab(vocab)
         for pdf in batches:
             out = {
                 "conv_id": pdf["conv_id"].tolist(),
@@ -117,6 +124,7 @@ def extract_turn_results(
     pre_partitioned: bool = False,
     keep_text: bool = False,
     weights_path: str | None = None,
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Per-turn extraction results (entities + triples arrays).
     ``keep_text=True`` carries the (normalized) turn text through — needed
@@ -126,6 +134,10 @@ def extract_turn_results(
     reproduces gold exactly; otherwise the deterministic HashEncoder runs.
     ``batch_forward=True`` switches the BIO head to one padded batched
     forward per Arrow batch (real-model integration shape).
+    ``vocab`` activates a trained sub-word vocabulary (functions/bpe.py
+    wordpiece_vocab) for greedy longest-match wordpiece segmentation —
+    the reference's real tokenizer semantics (data_utils.py:98-112) —
+    instead of the fixed-width stand-in.
     """
     cols = ["conv_id", "turn_idx", "text"] + (["gold_json"] if planted else [])
     df = transcripts.select(*cols).withColumn(
@@ -150,7 +162,7 @@ def extract_turn_results(
         df = df.sortWithinPartitions(F.length("text"))
     return df.mapInPandas(
         _make_udf(head, planted, seed, max_len, batch_forward, keep_text,
-                  weights_path),
+                  weights_path, vocab),
         schema=TURN_RESULT_SCHEMA_WITH_TEXT if keep_text else TURN_RESULT_SCHEMA,
     )
 
@@ -164,11 +176,13 @@ def extract_triples(
     num_partitions: int | None = None,
     pre_partitioned: bool = False,
     weights_path: str | None = None,
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Flat triple table: one row per extracted SPO."""
     turns = extract_turn_results(
         transcripts, head, planted, seed, max_len, num_partitions,
         pre_partitioned=pre_partitioned, weights_path=weights_path,
+        vocab=vocab,
     )
     return turns.select(
         "conv_id", "turn_idx", F.explode("triples").alias("spo")

@@ -138,11 +138,48 @@ def candidate_pairs(
     return scored.select("a_id", "b_id", "a_mention", "b_mention", "jaccard")
 
 
+def propagate_neighbor_min(
+    und: DataFrame, labels: DataFrame, salt: int = 8
+) -> DataFrame:
+    """One label-propagation round: per vertex, the min component label
+    among its neighbors — (a_id, nbr_min).
+
+    The skew point of min-label propagation is the edges->labels join: its
+    shuffle key is the neighbor vertex id, so a HUB vertex (the center of a
+    viral near-dup mega-component holding a large share of all edges) lands
+    its entire adjacency on one reducer. ``salt > 1`` spreads it: each edge
+    row gets a deterministic pseudo-random sub-key (xxhash64 of its OTHER
+    endpoint — hub-neighbor edges differ there, so they scatter) and the
+    label side is replicated once per sub-key, making the shuffle key
+    (neighbor, salt). The label table is vertex-sized (not edge-sized), so
+    the x``salt`` replication is the cheap side — the classic skew-join
+    trade. The groupBy below needs no salting: Catalyst's partial (map-side)
+    hash aggregation already combines each hub's rows before the exchange.
+    Output is identical for any salt (pinned in tests)."""
+    if salt <= 1:
+        joined = und.join(labels, und["b_id"] == labels["mention_id"])
+    else:
+        und_s = und.withColumn(
+            "_salt", F.pmod(F.xxhash64("a_id"), F.lit(salt))
+        )
+        lab_s = labels.select(
+            F.col("mention_id").alias("_b"), "component_id"
+        ).withColumn(
+            "_salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+        )
+        joined = und_s.join(
+            lab_s,
+            (und_s["b_id"] == lab_s["_b"]) & (und_s["_salt"] == lab_s["_salt"]),
+        )
+    return joined.groupBy("a_id").agg(F.min("component_id").alias("nbr_min"))
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 15,
     num_partitions: int | None = None,
+    salt: int = 8,
 ) -> DataFrame:
     """Min-label propagation: (mention_id, component_id).
 
@@ -184,11 +221,7 @@ def connected_components(
     )
     und = und.repartition(num_partitions, "b_id").localCheckpoint(eager=True)
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.b_id == labels.mention_id)
-            .groupBy("a_id")
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
+        neighbor_min = propagate_neighbor_min(und, labels, salt=salt)
         new_labels = (
             labels.join(
                 neighbor_min, labels.mention_id == neighbor_min.a_id, "left"

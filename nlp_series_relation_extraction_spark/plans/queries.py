@@ -730,11 +730,17 @@ ORDER BY s.doc_id
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path through the driver (rows-only: numpy decode is not
-    SQL-expressible): documents -> real binary-PPM payloads -> decode ->
-    per-channel stats + thumbnail features (functions/multimodal.py)."""
+    SQL-expressible): documents -> real MIXED-codec payloads (PPM, 24-bit
+    BMP and baseline JPEG cycling by id — every built-in decoder incl.
+    functions/jpeg.py runs) -> decode -> per-channel stats + thumbnail
+    features (functions/multimodal.py). The SQL-expressible metadata slice
+    is hash-checked separately (media_meta)."""
     from ..functions.multimodal import extract_features, synthesize_media
 
-    media = synthesize_media(t(spark, sf_dir, "documents"), "doc_id", "text")
+    media = synthesize_media(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        formats=("image/ppm", "image/bmp", "image/jpeg"),
+    )
     out = extract_features(media)
     return out.select(
         "media_id",
@@ -743,6 +749,42 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long"),
         F.round(F.element_at("features", 1), 4).alias("mean_r"),
     )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible slice of the multimodal path, hash-checked: the
+    synthesized payloads' typed metadata AND actual byte sizes are
+    md5-free functions of the source text (dims = utf-8 byte length mod
+    24/16 + 4; n_bytes = PPM header + w*h*3), so DuckDB derives them
+    exactly — flipping the media metadata from rows-only to a green
+    hash-match row. Pixel-dependent stats stay in media_features."""
+    from ..functions.multimodal import synthesize_media
+
+    media = synthesize_media(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    ).orderBy("media_id")
+
+
+_MEDIA_META_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         cast(strlen(coalesce(text, '')) % 24 + 4 AS INT) AS width,
+         cast(strlen(coalesce(text, '')) % 16 + 4 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, 'image/ppm' AS format, width, height,
+       cast(1 AS INT) AS n_frames,
+       -- 'P6\\n' + w + ' ' + h + '\\n255\\n' header, then the raster
+       cast(9 + length(cast(width AS VARCHAR)) + length(cast(height AS VARCHAR))
+              + width * height * 3 AS BIGINT) AS n_bytes
+FROM m ORDER BY media_id
+"""
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,6 +1338,34 @@ def q_kg_train_mhs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_train_biaffine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed biaffine-head training (rows-only): the reference trains
+    deep biaffine as a first-class run script (run_mhs_biaffine.py:203-206),
+    so the driver exposes it alongside kg_train_mhs — same synchronous
+    data-parallel SGD, scoring through the biaffine form
+    x^T W1 y + [x;y;1] W2 (core/encoders.py) instead of the mhs pair MLP."""
+    from ..operators.train import train_mhs_head
+
+    n = min(_kg_turns(spark, sf_dir), 400)  # cube math is the heavy head
+    t_df = synth_transcripts(spark, n, seed=42)
+    res = train_mhs_head(t_df, epochs=3, lr=0.2, biaffine=True)
+    rows = [
+        (i, round(float(l), 6), round(float(sl), 6), round(float(rl), 6))
+        for i, (l, sl, rl) in enumerate(
+            zip(
+                res["loss_history"],
+                res["sub_loss_history"],
+                res["rel_loss_history"],
+            )
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "epoch int, weighted_bce double, mean_sub_bce double, "
+        "mean_rel_bce double",
+    )
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -1325,6 +1395,7 @@ def queries() -> dict:
             "ann_topk_ivf": q_ann_topk_ivf,
             "embedding_near_dup": q_embedding_near_dup,
             "media_features": q_media_features,
+            "media_meta": q_media_meta,
             "curate_documents": q_curate_documents,
             "bpe_merges": q_bpe_merges,
             "bpe_token_counts": q_bpe_token_counts,
@@ -1339,6 +1410,7 @@ def queries() -> dict:
             "kg_train_bio": q_kg_train_bio,
             "kg_train_mpn": q_kg_train_mpn,
             "kg_train_mhs": q_kg_train_mhs,
+            "kg_train_biaffine": q_kg_train_biaffine,
             "kg_selfeval_prf_mpn": _kg_selfeval("mpn"),
             "kg_selfeval_prf_bio": _kg_selfeval("bio"),
             "kg_selfeval_prf_mhs": _kg_selfeval("mhs"),
@@ -1401,6 +1473,7 @@ def oracle_sql() -> dict:
             fromlist=["bpe_token_counts_sql"],
         ).bpe_token_counts_sql("documents", "doc_id", "text", 8),
         "redact_sample": _redact_sample_sql(),
+        "media_meta": _MEDIA_META_SQL,
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],

@@ -539,3 +539,34 @@ def test_ivf_small_corpus_clamps_instead_of_crashing(spark):
     )
     with _pytest.raises(ValueError, match="no training vectors"):
         ivf_topk(df, "vec_id", "embedding", [0], n_train=0).collect()
+
+
+def test_bpe_batched_passes_match_sequential_when_disjoint(spark):
+    """merges_per_pass=4 == sequential (k=1) on a corpus whose top merges
+    share no tokens (disjoint 2-char words: merging one cannot create or
+    destroy another's adjacencies). The interaction caveat is documented on
+    train_bpe; the driver oracle pins k=1."""
+    from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
+
+    texts = [" ".join(["ab"] * 10 + ["cd"] * 9 + ["ef"] * 8 + ["gh"] * 7)]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    seq = train_bpe(docs, "text", n_merges=4, merges_per_pass=1)["merges"]
+    bat = train_bpe(docs, "text", n_merges=4, merges_per_pass=4)["merges"]
+    assert bat == seq
+    assert [m[1] + m[2] for m in bat] == ["ab", "cd", "ef", "gh"]
+
+
+def test_bpe_batched_skips_overlapping_candidates(spark):
+    """Within one pass, a candidate sharing a token with an accepted pair
+    is deferred to a later pass (token-disjointness guard), keeping every
+    recorded pair_count equal to its sequential value."""
+    from nlp_series_relation_extraction_spark.functions.bpe import train_bpe
+
+    # 'aaa' x10: top pair (a,a)=20; the created pair (aa,a) must NOT be
+    # taken in the same pass (shares 'a'); 'bc' x5 is disjoint -> accepted
+    docs = spark.createDataFrame(
+        [(0, " ".join(["aaa"] * 10 + ["bc"] * 5))], "doc_id long, text string"
+    )
+    bat = train_bpe(docs, "text", n_merges=2, merges_per_pass=2)["merges"]
+    assert bat[0][1:] == ("a", "a", 20)
+    assert bat[1][1:] == ("b", "c", 5)

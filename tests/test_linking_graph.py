@@ -189,3 +189,95 @@ def test_graph_edges(spark):
     assert by_subj[(11, 99)].n_evidence == 2
     assert by_subj[(11, 99)].first_conv_id == "c1"
     assert by_subj[(12, 99)].n_evidence == 1
+
+
+def test_cc_salted_propagation_same_labels_any_salt(spark):
+    """connected_components output is salt-invariant (the salt only moves
+    shuffle placement): random-ish graph, salt 1 vs 8 identical labels."""
+    from nlp_series_relation_extraction_spark.operators.linking import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)]  # 10 two-vertex components
+        + [(100, 101), (101, 102), (102, 103)],  # one chain
+        "a_id long, b_id long",
+    )
+    verts = edges.select(F.col("a_id").alias("mention_id")).unionByName(
+        edges.select(F.col("b_id").alias("mention_id"))
+    ).distinct()
+    lab1 = {
+        (r.mention_id, r.component_id)
+        for r in connected_components(verts, edges, salt=1).collect()
+    }
+    lab8 = {
+        (r.mention_id, r.component_id)
+        for r in connected_components(verts, edges, salt=8).collect()
+    }
+    assert lab1 == lab8
+    assert (103, 100) in lab8  # chain collapsed to min label
+
+
+def test_cc_propagation_spreads_mega_component_hub(spark):
+    """VERDICT r2 ask #7: a mega-component hub (one vertex on 50% of all
+    edges) must not land its whole adjacency on one reducer. With salt the
+    propagation join's shuffle key is (neighbor, salt): the hub's rows
+    spread across partitions; unsalted they pin exactly one."""
+    from nlp_series_relation_extraction_spark.operators.linking import (
+        propagate_neighbor_min,
+    )
+
+    hub_edges = [(i, 0) for i in range(1, 401)]  # 400 edges into hub 0
+    chain = [(1000 + i, 1001 + i) for i in range(400)]  # 400 spread edges
+    und = spark.createDataFrame(hub_edges + chain, "a_id long, b_id long")
+    labels = und.selectExpr("a_id as mention_id").unionByName(
+        und.selectExpr("b_id as mention_id")
+    ).distinct().selectExpr("mention_id", "mention_id as component_id")
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        def hub_partition_spread(salt):
+            if salt <= 1:
+                joined = und.join(labels, und["b_id"] == labels["mention_id"])
+            else:
+                und_s = und.withColumn(
+                    "_salt", F.pmod(F.xxhash64("a_id"), F.lit(salt))
+                )
+                lab_s = labels.selectExpr(
+                    "mention_id as _b", "component_id"
+                ).withColumn(
+                    "_salt",
+                    F.explode(F.array([F.lit(i) for i in range(salt)])),
+                )
+                joined = und_s.join(
+                    lab_s,
+                    (und_s["b_id"] == lab_s["_b"])
+                    & (und_s["_salt"] == lab_s["_salt"]),
+                )
+            return (
+                joined.where(F.col("b_id") == 0)
+                .select(F.spark_partition_id().alias("pid"))
+                .distinct()
+                .count()
+            )
+
+        assert hub_partition_spread(1) == 1  # the straggler being fixed
+        assert hub_partition_spread(8) > 1  # hub adjacency spread
+        # and the aggregation result is unchanged by the spread
+        m1 = {
+            (r.a_id, r.nbr_min)
+            for r in propagate_neighbor_min(und, labels, salt=1).collect()
+        }
+        m8 = {
+            (r.a_id, r.nbr_min)
+            for r in propagate_neighbor_min(und, labels, salt=8).collect()
+        }
+        assert m1 == m8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_co
+        )

@@ -102,3 +102,21 @@ def test_linking_block_cap_is_broadcast_anti(spark):
     plan = _plan(candidate_pairs(dm))
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_dup_self_join_reads_materialized_buckets(spark):
+    """embedding_near_dup's candidate self-join must consume the
+    checkpointed bucket table on BOTH sides (ExistingRDD scans, zero
+    MapInPandas in the join plan): the bucketize UDF runs once, not per
+    join side — the round-3 subquadratic rewrite's fan-out rule."""
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, "vec_id", "embedding", bits=10)
+    plan = _plan(out)
+    assert "ExistingRDD" in plan  # checkpointed bucket table
+    # candidate generation runs no Python: the only Arrow stage (bucketize)
+    # already materialized; the exact-threshold join is pure Catalyst
+    assert plan.count("MapInPandas") == 0, plan

@@ -21,6 +21,26 @@ def test_every_oracle_has_a_query():
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
+def test_rows_only_queries_documented_in_coverage():
+    """COVERAGE.md's 'Rows-only driver queries -> their pytest oracles'
+    table must list EXACTLY the queries() entries without an oracle_sql()
+    twin — a new rows-only query without a documented pytest oracle (or a
+    stale row for a query that gained a SQL oracle) fails here."""
+    import os
+    import re
+
+    rows_only = set(Q.queries()) - set(Q.oracle_sql())
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    section = text.split("## Rows-only driver queries")[1]
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
+    assert documented == rows_only, (
+        f"undocumented rows-only queries: {sorted(rows_only - documented)}; "
+        f"stale COVERAGE.md rows: {sorted(documented - rows_only)}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(Q.queries().keys()))
 def test_query_smoke_sf0001(spark, name):
     df = Q.queries()[name](spark, SF)

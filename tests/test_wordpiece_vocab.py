@@ -1,0 +1,138 @@
+"""Vocab-driven wordpiece (round-3 VERDICT ask #3).
+
+The reference segments units by greedy longest-match against a TRAINED
+wordpiece vocabulary (dataset/data_utils.py:98-112 via tokenizer.tokenize);
+rounds 1-2 stood that in with fixed 4-char chunking. These tests exercise
+the real semantics: a vocabulary trained by the repo's own distributed BPE
+(functions/bpe.py) drives tokenize_unit, units split at vocab-determined
+(non-4-char) boundaries, and the planted-gold P/R=1.0 and reference-demo
+parity invariants hold with the vocab tokenizer enabled — including through
+the Spark extraction UDF, where the vocab ships in the closure and is
+re-activated inside each worker process.
+"""
+
+import json
+import os
+
+import pytest
+
+from nlp_series_relation_extraction_spark.core.tokenization import (
+    get_wordpiece_vocab,
+    tokenize_unit,
+    tokenize_with_orig_index,
+    use_wordpiece_vocab,
+)
+
+DEMO = "/root/reference/data/duie_demon.json"
+
+
+def test_unit_splits_at_non_4char_boundary():
+    """Greedy longest-match: 'bananas' with vocab {banana, ##s} splits at
+    char 6 — impossible under the fixed-width 4-char stand-in."""
+    vocab = {"banana", "##s", "ban", "##ana"}
+    with use_wordpiece_vocab(vocab):
+        assert tokenize_unit("bananas") == ["banana", "##s"]
+        # longest match wins over the shorter prefix 'ban'
+        assert tokenize_unit("banana") == ["banana"]
+        # continuation lookup uses the ## form: 'banana' + '##ana' fails at
+        # 'nas' -> char fallback keeps totality, one char at a time
+        assert tokenize_unit("bananana") == ["banana", "##n", "##a"]
+    assert get_wordpiece_vocab() is None  # context manager restored
+
+
+def test_vocab_tokens_share_unit_span():
+    """All sub-tokens of a unit still share the unit's char span
+    (reference data_utils.py:104-108) under vocab segmentation."""
+    with use_wordpiece_vocab({"banana", "##s"}):
+        t = tokenize_with_orig_index("吃bananas了")
+    assert t.tokens == ["吃", "banana", "##s", "了"]
+    assert t.tok_to_orig_start == [0, 1, 1, 8]
+    assert t.tok_to_orig_end == [0, 7, 7, 8]
+
+
+def test_entity_tokenization_context_free_under_vocab():
+    """An entity string must tokenize identically standalone and in-text —
+    the span-matching invariant every head relies on."""
+    vocab = {"trans", "##former", "##s", "model"}
+    with use_wordpiece_vocab(vocab):
+        standalone = tokenize_with_orig_index("transformers").tokens
+        in_text = tokenize_with_orig_index("the transformers model").tokens
+    assert standalone == ["trans", "##former", "##s"]
+    assert all(tok in in_text for tok in standalone)
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO), reason="reference demo absent")
+def test_demo_parity_holds_with_bpe_trained_vocab(spark):
+    """Span heads stay EXACT on the reference demo data with a real
+    BPE-trained vocabulary active (trained on the demo corpus itself by the
+    repo's distributed BPE)."""
+    from nlp_series_relation_extraction_spark.core.heads import extract_row
+    from nlp_series_relation_extraction_spark.functions.bpe import (
+        train_bpe,
+        wordpiece_vocab,
+    )
+
+    with open(DEMO, encoding="utf-8") as f:
+        recs = [json.loads(line) for line in f]
+    docs = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(recs)],
+        "doc_id long, text string",
+    )
+    pieces = wordpiece_vocab(train_bpe(docs, "text", n_merges=12)["words"])
+    assert pieces  # trained something
+
+    def canon(s):
+        return (
+            s["predicate"],
+            s["subject"],
+            json.dumps(s["object"], sort_keys=True, ensure_ascii=False),
+        )
+
+    with use_wordpiece_vocab(pieces):
+        for head in ("mpn", "mhs", "biaffine"):
+            for rec in recs:
+                gold = rec.get("spo_list", [])
+                pred = extract_row(
+                    head,
+                    rec["text"],
+                    gold_json=json.dumps(gold, ensure_ascii=False),
+                )["spo_list"]
+                assert sorted(map(canon, pred)) == sorted(map(canon, gold)), head
+
+
+def test_spark_planted_roundtrip_with_vocab(spark):
+    """P/R = 1.0 through the Spark extraction UDF with the vocab threaded
+    via the operator's ``vocab`` parameter — proves worker-process
+    activation (module state does NOT cross the driver/executor boundary;
+    the closure must carry it)."""
+    from nlp_series_relation_extraction_spark.functions.bpe import (
+        train_bpe,
+        wordpiece_vocab,
+    )
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        synth_transcripts,
+    )
+
+    t = synth_transcripts(spark, 60, seed=11)
+    pieces = wordpiece_vocab(
+        train_bpe(t.select(t.text.alias("text")), "text", n_merges=10)["words"]
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.predicate, r.subject,
+         json.dumps(dict(r.object), sort_keys=True, ensure_ascii=False))
+        for r in extract_triples(
+            t, head="mpn", planted=True, vocab=pieces
+        ).collect()
+    }
+    want = set()
+    for row in t.select("conv_id", "turn_idx", "gold_json").collect():
+        for s in json.loads(row.gold_json):
+            want.add(
+                (row.conv_id, row.turn_idx, s["predicate"], s["subject"],
+                 json.dumps(s["object"], sort_keys=True, ensure_ascii=False))
+            )
+    assert got == want  # P = R = 1.0
+    assert get_wordpiece_vocab() is None  # driver-side state untouched
