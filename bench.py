@@ -58,6 +58,8 @@ RELATIONAL = [
     "bpe_merges",
     "redact_sample",
     "media_meta",
+    "decontaminate",
+    "repetition_stats",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",

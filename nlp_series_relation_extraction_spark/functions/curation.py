@@ -40,6 +40,61 @@ def deterministic_sample(
     )
 
 
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """(doc_id, n_hit_ngrams): per document, how many of its DISTINCT word
+    n-grams appear anywhere in the benchmark/eval corpus — the standard
+    train/test decontamination signal (n=13 word-grams is the GPT-3/LLaMA
+    convention; pass a smaller n for short documents).
+
+    Scale shape: the benchmark side collapses to its distinct n-gram SET
+    (eval suites are tiny next to a 100TB corpus) and BROADCASTS into the
+    corpus-side n-gram stream — one map-side semi-join per corpus n-gram,
+    one aggregation on doc id; the corpus is never shuffled on content."""
+    from .dedup import word_shingles
+
+    doc_grams = word_shingles(docs, id_col, text_col, n=n)
+    bench_grams = (
+        word_shingles(
+            benchmark.select(F.col(bench_text_col).alias("text")).withColumn(
+                "bid", F.lit(0)
+            ),
+            "bid",
+            "text",
+            n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Drop every document sharing at least one word n-gram with the
+    benchmark corpus (broadcast anti-join against contamination_hits)."""
+    hits = contamination_hits(
+        docs, benchmark, id_col, text_col, bench_text_col, n
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(hits, id_col, "left_anti")
+
+
 def curate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -4,12 +4,13 @@ Images/audio/video are carried as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is REAL for the self-contained uncompressed formats —
-binary PPM (P6) and 24-bit BMP — implemented in pure numpy (header parse +
-``frombuffer``), so the whole decode -> resize -> feature path runs without
-PIL/opencv. Compressed codecs (JPEG/PNG/...) remain an integration point:
-``decode_image`` raises ``NotImplementedError`` for them (plug PIL/opencv in
-one place); the surrounding Spark plumbing is format-agnostic either way.
+The decode step is REAL and pure-numpy for PPM (P6), 24-bit BMP, baseline
+JPEG (functions/jpeg.py) and 8-bit PNG (functions/png.py) — the whole
+decode -> resize -> feature path runs without PIL/opencv, including the
+compressed codecs. Exotic formats (webp/tiff/progressive JPEG) remain the
+one integration point: ``decode_image`` raises ``NotImplementedError`` for
+them (plug PIL/opencv in one place); the surrounding Spark plumbing is
+format-agnostic either way.
 Video is modeled as a stack of fixed-size PPM frames in one payload;
 ``frame_sample`` slices real frame bytes.
 """
@@ -126,11 +127,14 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
     REAL, pure numpy, no external codec: uncompressed PPM (P6) and 24-bit
-    BMP, plus BASELINE JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 /
-    4:2:2 / 4:2:0, grayscale or YCbCr, restart markers). PNG and
-    progressive/arithmetic JPEG remain the documented integration point
-    (plug PIL/opencv here); everything around this function (schemas,
-    Arrow batching, resize, features) is format-agnostic."""
+    BMP, BASELINE JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 / 4:2:2 /
+    4:2:0, grayscale or YCbCr, restart markers) and 8-bit PNG
+    (functions/png.py — stdlib zlib inflate + all five scanline filters,
+    grey/truecolor/indexed/alpha). Exotic formats (webp, tiff,
+    progressive/arithmetic JPEG, 16-bit/interlaced PNG) remain the
+    documented integration point (plug PIL/opencv here); everything around
+    this function (schemas, Arrow batching, resize, features) is
+    format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
         return _decode_ppm(content)
@@ -140,10 +144,14 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .jpeg import decode_image_jpeg
 
         return decode_image_jpeg(content)
+    if f in ("image/png", "png"):
+        from .png import decode_image_png
+
+        return decode_image_png(content)
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: png / progressive jpeg need "
-        "PIL/opencv — integrate them in decode_image; ppm/bmp/baseline-jpeg "
-        "decode natively"
+        f"no built-in decoder for {fmt!r}: exotic formats (webp/tiff/"
+        "progressive jpeg/...) need PIL/opencv — integrate them here; "
+        "ppm/bmp/baseline-jpeg/png decode natively"
     )
 
 
@@ -195,12 +203,14 @@ def synthesize_media(
     the decode -> resize -> feature path runs on genuine encoded bytes.
 
     ``formats`` cycles per media_id across the built-in codecs
-    ('image/ppm', 'image/bmp', 'image/jpeg') — pass all three for a
-    mixed-codec corpus exercising every decoder."""
+    ('image/ppm', 'image/bmp', 'image/jpeg', 'image/png') — pass several
+    for a mixed-codec corpus exercising every decoder."""
     import pandas as pd
 
     def gen(batches):
         from .jpeg import encode_image_jpeg
+
+        from .png import encode_image_png
 
         encoders = {
             "image/ppm": encode_image_ppm,
@@ -208,6 +218,7 @@ def synthesize_media(
             "image/jpeg": lambda a: encode_image_jpeg(
                 a, quality=90, subsampling="420"
             ),
+            "image/png": encode_image_png,
         }
         for pdf in batches:
             out = {

@@ -1,0 +1,147 @@
+"""Pure-numpy PNG codec (zlib is stdlib — no external imaging library).
+
+Together with functions/jpeg.py this closes the compressed-codec gap: the
+multimodal path decodes PPM, BMP, baseline JPEG and PNG natively. Scope:
+8-bit greyscale (0), truecolor (2), indexed (3), grey+alpha (4) and RGBA
+(6) at bit depth 8, all five scanline filters, single IDAT stream (split
+IDAT chunks are concatenated per the spec). Interlaced (Adam7) and 16-bit
+images raise ``NotImplementedError`` with a pointed message.
+
+The encoder writes non-interlaced 8-bit RGB with per-row filter 0 (None) —
+deliberately the simplest valid stream; decode is the hardened side since
+real corpora arrive encoded by arbitrary writers (hence full filter and
+color-type support there).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        len(payload).to_bytes(4, "big")
+        + tag
+        + payload
+        + zlib.crc32(tag + payload).to_bytes(4, "big")
+    )
+
+
+def encode_image_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as 8-bit truecolor PNG."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * 3)], axis=1
+    ).tobytes()  # filter byte 0 per row
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering -> [h, w*bpp] uint8."""
+    stride = w * bpp
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub — sequential in x, per-pixel loop over bytes
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur.astype(np.int32) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG: unknown filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def decode_image_png(content: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8 RGB (alpha dropped, grey replicated, palette
+    expanded)."""
+    data = bytes(content)
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    palette = None
+    while pos < len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG (8-bit only)")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG")
+            if comp or filt:
+                raise ValueError("invalid PNG: unknown compression/filter")
+            ihdr = (w, h, color)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("invalid PNG: missing IHDR/IDAT")
+    w, h, color = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG: color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    px = _unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if color == 2:
+        return px.copy()
+    if color == 6:
+        return px[..., :3].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    if palette is None:
+        raise ValueError("invalid PNG: indexed image without PLTE")
+    return palette[px[..., 0]]

@@ -110,3 +110,43 @@ def fingerprints(
             "|", F.slice(F.array_sort(F.collect_list("h")), 1, k)
         ).alias("fingerprint")
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, integer-exact:
+    (id, n_words, n_ngrams, n_dup_ngram_occurrences, top_ngram_count).
+
+    * ``n_ngrams`` — total word n-gram OCCURRENCES (not distinct);
+    * ``n_dup_ngram_occurrences`` — occurrences belonging to an n-gram that
+      appears more than once in the document (the "duplicate n-gram
+      fraction" numerator, denominator n_ngrams);
+    * ``top_ngram_count`` — occurrences of the most frequent n-gram (the
+      "top n-gram share" numerator).
+
+    Filtering on these ratios is the standard repeated-boilerplate /
+    degenerate-text drop in LLM data curation. Two aggregations: one on
+    (id, ngram), one on id — no self-join, no window."""
+    w = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"case when size({w}) >= {n} then "
+        f"transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({w}, i, {n}))) "
+        f"else array() end"
+    )
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+        F.explode_outer(grams).alias("ngram"),
+    )
+    per_gram = occ.groupBy("id", "n_words", "ngram").agg(
+        F.count("ngram").alias("cnt")
+    )
+    return per_gram.groupBy("id", "n_words").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+        ).alias("n_dup_ngram_occurrences"),
+        F.coalesce(F.max("cnt"), F.lit(0)).alias("top_ngram_count"),
+    )

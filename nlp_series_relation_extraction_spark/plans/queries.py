@@ -731,15 +731,16 @@ ORDER BY s.doc_id
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path through the driver (rows-only: numpy decode is not
     SQL-expressible): documents -> real MIXED-codec payloads (PPM, 24-bit
-    BMP and baseline JPEG cycling by id — every built-in decoder incl.
-    functions/jpeg.py runs) -> decode -> per-channel stats + thumbnail
-    features (functions/multimodal.py). The SQL-expressible metadata slice
-    is hash-checked separately (media_meta)."""
+    BMP, baseline JPEG and PNG cycling by id — every built-in decoder incl.
+    functions/jpeg.py and functions/png.py runs) -> decode -> per-channel
+    stats + thumbnail features (functions/multimodal.py). The
+    SQL-expressible metadata slice is hash-checked separately
+    (media_meta)."""
     from ..functions.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(
         t(spark, sf_dir, "documents"), "doc_id", "text",
-        formats=("image/ppm", "image/bmp", "image/jpeg"),
+        formats=("image/ppm", "image/bmp", "image/jpeg", "image/png"),
     )
     out = extract_features(media)
     return out.select(
@@ -749,6 +750,84 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long"),
         F.round(F.element_at("features", 1), 4).alias("mean_r"),
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination signal (train/test n-gram overlap — the
+    GPT-3/LLaMA 13-gram convention, n=5 here for the short synthetic docs):
+    per-document count of distinct word 5-grams shared with a benchmark
+    corpus (every doc_id % 17 == 0 document stands in for the eval suite).
+    Non-vacuous: benchmark docs hit themselves and the corpus's planted
+    exact/near duplicates hit their benchmark twins. The benchmark n-gram
+    set broadcasts — the corpus is never shuffled on content."""
+    from ..functions.curation import contamination_hits
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_hits(docs, bench, n=5).orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = """
+WITH bg AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+    ))) AS shingle
+    FROM documents WHERE doc_id % 17 = 0
+  )
+), dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+  ))) AS shingle
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_hit_ngrams
+FROM dg JOIN bg USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (duplicate-2-gram and
+    top-2-gram numerators, integer-exact): the standard repeated-boilerplate
+    / degenerate-text quality gates in LLM data curation."""
+    from ..functions.textstats import repetition_stats
+
+    return repetition_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    ).orderBy("id")
+
+
+_REPETITION_SQL = """
+WITH occ AS (
+  SELECT doc_id AS id,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+         )) AS ngram
+  FROM documents
+), per_gram AS (
+  SELECT id, n_words, ngram, count(*) AS cnt
+  FROM occ GROUP BY id, n_words, ngram
+), agg AS (
+  SELECT id, n_words,
+         cast(sum(cnt) AS BIGINT) AS n_ngrams,
+         cast(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT)
+           AS n_dup_ngram_occurrences,
+         cast(max(cnt) AS BIGINT) AS top_ngram_count
+  FROM per_gram GROUP BY id, n_words
+)
+SELECT d.doc_id AS id,
+       cast(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.n_dup_ngram_occurrences, 0) AS n_dup_ngram_occurrences,
+       coalesce(a.top_ngram_count, 0) AS top_ngram_count
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+ORDER BY id
+"""
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,6 +1476,8 @@ def queries() -> dict:
             "media_features": q_media_features,
             "media_meta": q_media_meta,
             "curate_documents": q_curate_documents,
+            "decontaminate": q_decontaminate,
+            "repetition_stats": q_repetition_stats,
             "bpe_merges": q_bpe_merges,
             "bpe_token_counts": q_bpe_token_counts,
             "redact_sample": q_redact_sample,
@@ -1464,6 +1545,8 @@ def oracle_sql() -> dict:
         "kg_linking_entities": _LINKING_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "bpe_merges": __import__(
             "nlp_series_relation_extraction_spark.functions.bpe",
             fromlist=["bpe_merges_sql"],

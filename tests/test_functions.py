@@ -570,3 +570,52 @@ def test_bpe_batched_skips_overlapping_candidates(spark):
     bat = train_bpe(docs, "text", n_merges=2, merges_per_pass=2)["merges"]
     assert bat[0][1:] == ("a", "a", 20)
     assert bat[1][1:] == ("b", "c", 5)
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    """Planted ground truth: doc 0 == a benchmark text (fully contaminated),
+    doc 1 shares one 3-gram window, doc 2 is clean."""
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps high"),
+            (1, "unrelated start then quick brown fox appears"),
+            (2, "completely different words only in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps high",)], "text string"
+    )
+    hits = {
+        r.doc_id: r.n_hit_ngrams
+        for r in contamination_hits(docs, bench, n=3).collect()
+    }
+    assert hits[0] == 4  # all four 3-grams of a 6-word doc
+    assert hits[1] == 1  # 'quick brown fox'
+    assert 2 not in hits
+    clean = sorted(r.doc_id for r in decontaminate(docs, bench, n=3).collect())
+    assert clean == [2]
+
+
+def test_repetition_stats_planted(spark):
+    """'a b a b a b' -> 5 bigrams, all duplicated; top bigram 'a b' x3.
+    A doc below n words still yields a (zeros) row."""
+    from nlp_series_relation_extraction_spark.functions.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "all unique words here now"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert (out[0].n_ngrams, out[0].n_dup_ngram_occurrences,
+            out[0].top_ngram_count) == (5, 5, 3)
+    assert (out[1].n_ngrams, out[1].n_dup_ngram_occurrences,
+            out[1].top_ngram_count) == (4, 0, 1)
+    assert (out[2].n_words, out[2].n_ngrams, out[2].top_ngram_count) == (1, 0, 0)

@@ -80,7 +80,7 @@ def test_decode_image_dispatches_jpeg():
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_image_jpeg(sof2)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...", "image/png")
+        decode_image(b"RIFF....WEBP", "image/webp")
 
 
 def test_bmp_encoder_roundtrips_through_decoder():
@@ -106,7 +106,7 @@ def test_media_features_real_across_mixed_codecs(spark):
          for i in range(12)],
         "doc_id long, text string",
     )
-    formats = ("image/ppm", "image/bmp", "image/jpeg")
+    formats = ("image/ppm", "image/bmp", "image/jpeg", "image/png")
     media = synthesize_media(docs, "doc_id", "text", formats=formats)
     got = {
         r.media_id: (r.width, r.height, np.asarray(r.features))

@@ -190,13 +190,13 @@ def test_decode_image_real_ppm_bmp_roundtrip():
     assert (multimodal.decode_image(header + raster, "image/bmp") == img).all()
 
 
-def test_decode_image_compressed_formats_still_integration_point():
+def test_decode_image_exotic_formats_still_integration_point():
     import pytest as _pytest
 
     from nlp_series_relation_extraction_spark.functions import multimodal
 
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...", "image/png")
+        multimodal.decode_image(b"RIFF....WEBP", "image/webp")
 
 
 def test_resize_and_real_feature_path():

@@ -1,0 +1,137 @@
+"""Pure-numpy PNG codec (functions/png.py): lossless roundtrips, all five
+scanline filters, the non-truecolor color types, and the documented
+NotImplementedError boundaries."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from nlp_series_relation_extraction_spark.functions.png import (
+    _chunk,
+    _SIG,
+    decode_image_png,
+    encode_image_png,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 7 + 3) % 256, (xx * 5 + 90) % 256, ((xx * yy) + 11) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_png_roundtrip_lossless():
+    for shape in ((6, 9), (1, 1), (13, 17)):
+        img = _gradient(*shape)
+        assert (decode_image_png(encode_image_png(img)) == img).all()
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert (decode_image_png(encode_image_png(noise)) == noise).all()
+
+
+def _make_png(img, color, filters, extra_chunks=b"", split_idat=False):
+    """Hand-build a PNG with a chosen filter per scanline (the encoder only
+    writes filter 0 — the decoder must handle arbitrary writers)."""
+    h, w, ch = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(bytes(raw))
+    if split_idat:
+        mid = len(comp) // 2
+        idat = _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
+    else:
+        idat = _chunk(b"IDAT", comp)
+    return _SIG + _chunk(b"IHDR", ihdr) + extra_chunks + idat + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_decodes(filt):
+    img = _gradient(9, 6)
+    assert (decode_image_png(_make_png(img, 2, [filt])) == img).all()
+
+
+def test_png_mixed_filters_and_split_idat():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 5, 3), dtype=np.uint8)
+    data = _make_png(img, 2, [0, 1, 2, 3, 4], split_idat=True)
+    assert (decode_image_png(data) == img).all()
+
+
+def test_png_grayscale_and_alpha_color_types():
+    rng = np.random.default_rng(4)
+    grey = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    out = decode_image_png(_make_png(grey, 0, [2]))
+    assert (out == np.repeat(grey, 3, axis=2)).all()
+    ga = rng.integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
+    out = decode_image_png(_make_png(ga, 4, [4]))
+    assert (out == np.repeat(ga[..., :1], 3, axis=2)).all()
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    out = decode_image_png(_make_png(rgba, 6, [1]))
+    assert (out == rgba[..., :3]).all()
+
+
+def test_png_indexed_palette():
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4, 1) % 5
+    palette = np.arange(15, dtype=np.uint8).reshape(5, 3) * 13
+    plte = _chunk(b"PLTE", palette.tobytes())
+    out = decode_image_png(_make_png(idx, 3, [0], extra_chunks=plte))
+    assert (out == palette[idx[..., 0]]).all()
+
+
+def test_png_unsupported_variants_raise_pointedly():
+    img = _gradient(4, 4)
+    good = encode_image_png(img)
+    # 16-bit depth
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 8] = 16  # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image_png(bytes(bad))
+    # Adam7 interlace
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_image_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode_image_png(b"not a png")
+
+
+def test_png_through_decode_image_and_features():
+    from nlp_series_relation_extraction_spark.functions.multimodal import (
+        decode_image,
+        image_features,
+    )
+
+    img = _gradient(7, 11)
+    dec = decode_image(encode_image_png(img), "image/png")
+    assert (dec == img).all()
+    feats = image_features(dec)
+    assert np.allclose(feats[:3], img.astype(np.float32).mean(axis=(0, 1)))
