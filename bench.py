@@ -58,6 +58,8 @@ RELATIONAL = [
     "bpe_merges",
     "redact_sample",
     "media_meta",
+    "audio_meta",
+    "audio_features",
     "decontaminate",
     "repetition_stats",
     "kg_linking_entities",

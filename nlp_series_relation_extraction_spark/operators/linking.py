@@ -179,7 +179,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 15,
     num_partitions: int | None = None,
-    salt: int = 8,
+    salt: int | None = None,
 ) -> DataFrame:
     """Min-label propagation: (mention_id, component_id).
 
@@ -191,6 +191,12 @@ def connected_components(
     still changing a warning is emitted (a split component would otherwise
     be silent). Lineage is broken every round (localCheckpoint) so plans
     stay flat — at cluster scale this would be a persisted table per round.
+
+    ``salt`` spreads hub-vertex adjacency in the propagation join
+    (propagate_neighbor_min); output is salt-invariant. ``None`` auto-sizes
+    from the edge count: 1 below the scale where a straggler can exist
+    (the xsalt label replication is pure overhead on tiny graphs), 8 once
+    a single vertex's adjacency could dominate a reducer.
     """
     # iterate ONLY over vertices that touch an edge — isolated mentions (the
     # overwhelming majority of a deduped mention table) keep their own label
@@ -213,9 +219,14 @@ def connected_components(
     # not the session default — each round is several jobs, and 32-partition
     # shuffles over a few thousand edges are pure scheduling latency. At real
     # scale pass num_partitions explicitly (or leave the session default).
-    if num_partitions is None:
+    if num_partitions is None or salt is None:
         n_edges = und.count()
-        num_partitions = max(1, min(32, n_edges // 50_000 + 1))
+        if num_partitions is None:
+            num_partitions = max(1, min(32, n_edges // 50_000 + 1))
+        if salt is None:
+            # below ~500k directed edge rows even a worst-case star fits one
+            # reducer comfortably; above it, hub adjacency is a straggler
+            salt = 1 if n_edges < 500_000 else 8
     labels = labels.repartition(num_partitions, "mention_id").localCheckpoint(
         eager=True
     )

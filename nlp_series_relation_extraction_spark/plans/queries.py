@@ -866,6 +866,54 @@ FROM m ORDER BY media_id
 """
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality's SQL-expressible slice, hash-checked: synthesized
+    PCM-WAV payload metadata and byte sizes are pure functions of the
+    source text (n_samples = strlen*32 + 256, n_bytes = 44-byte RIFF/fmt/
+    data header + n_samples*2), so DuckDB derives them exactly. The
+    signal-dependent features are audio_features (rows-only)."""
+    from ..functions.audio import synthesize_audio
+
+    audio = synthesize_audio(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return audio.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.n_channels").alias("n_channels"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    ).orderBy("media_id")
+
+
+_AUDIO_META_SQL = """
+SELECT doc_id AS media_id, 'audio/wav' AS format,
+       cast(16000 AS INT) AS sample_rate,
+       cast(strlen(coalesce(text, '')) * 32 + 256 AS INT) AS n_samples,
+       cast(1 AS INT) AS n_channels,
+       cast(44 + (strlen(coalesce(text, '')) * 32 + 256) * 2 AS BIGINT)
+         AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode -> signal features through the driver (rows-only: FFT
+    band energies are not SQL-expressible; Spark==local-decode equality is
+    pinned in tests/test_audio.py): documents -> real PCM-WAV clips ->
+    RMS / peak / zero-crossings / dominant-Hz / 8-band spectrum."""
+    from ..functions.audio import extract_audio_features, synthesize_audio
+
+    audio = synthesize_audio(t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = extract_audio_features(audio)
+    return out.select(
+        "media_id",
+        "n_samples",
+        F.col("n_bytes").cast("long"),
+        F.round(F.element_at("features", 1), 4).alias("rms"),
+        F.round(F.element_at("features", 4), 1).alias("dominant_hz"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: 3 smallest md5s of word-5-gram
     shingles per document."""
@@ -1475,6 +1523,8 @@ def queries() -> dict:
             "embedding_near_dup": q_embedding_near_dup,
             "media_features": q_media_features,
             "media_meta": q_media_meta,
+            "audio_meta": q_audio_meta,
+            "audio_features": q_audio_features,
             "curate_documents": q_curate_documents,
             "decontaminate": q_decontaminate,
             "repetition_stats": q_repetition_stats,
@@ -1557,6 +1607,7 @@ def oracle_sql() -> dict:
         ).bpe_token_counts_sql("documents", "doc_id", "text", 8),
         "redact_sample": _redact_sample_sql(),
         "media_meta": _MEDIA_META_SQL,
+        "audio_meta": _AUDIO_META_SQL,
         "embedding_near_dup": __import__(
             "nlp_series_relation_extraction_spark.functions.similarity",
             fromlist=["embedding_near_dup_sql"],
