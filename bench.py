@@ -62,6 +62,7 @@ RELATIONAL = [
     "audio_features",
     "decontaminate",
     "repetition_stats",
+    "pack_sequences",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",

@@ -95,6 +95,72 @@ def decontaminate(
     return docs.join(hits, id_col, "left_anti")
 
 
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing assignment:
+    documents concatenate in deterministic doc_id order into one token
+    stream cut into fixed ``seq_len`` windows. Returns
+    (doc_id, n_tokens, start_offset, first_seq, last_seq) — which training
+    sequences each document lands in (documents straddle boundaries, the
+    standard causal-LM packing).
+
+    Scale shape — a DISTRIBUTED prefix sum, not a global window:
+    repartitionByRange(doc_id) keeps ranges ordered by partition id, the
+    running offset is a per-partition window cumsum plus a broadcast base
+    from the (num-partitions-sized) per-partition totals. No single-
+    partition global sort anywhere; the one collect is partition-count
+    rows. Token count = whitespace tokens (swap in apply_bpe's counts for
+    a trained tokenizer)."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, "doc_id")
+    else:
+        d = d.repartitionByRange("doc_id")
+    d = d.withColumn("pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).localCheckpoint(eager=True)  # pids are physical: pin them before the
+    # two consumers (totals + join) can replan the upstream differently
+    totals = d.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    base, acc = [], 0
+    for r in sorted(totals, key=lambda r: r.pid):
+        base.append((r.pid, acc))
+        acc += int(r.tot)
+    base_df = d.sparkSession.createDataFrame(base, "pid int, base long")
+    out = d.join(F.broadcast(base_df), "pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("base") + F.col("local_off")).alias("start_offset"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+        F.floor(
+            (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / seq_len
+        ).alias("last_seq"),
+    )
+
+
 def curate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

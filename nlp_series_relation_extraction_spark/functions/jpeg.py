@@ -222,10 +222,19 @@ class _BitWriter:
             self.nbits -= 8
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align and write a bare marker (RSTn) into the scan."""
+        self.byte_align()
+        self.out.append(0xFF)
+        self.out.append(marker)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -270,11 +279,18 @@ def _encode_block(
 
 
 def encode_image_jpeg(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "420"
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an HxWx3 uint8 RGB array as baseline JFIF JPEG.
 
-    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 box)."""
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 box).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictors reset) — the feature real
+    encoders use for error resilience/parallel decode; exercising it keeps
+    the decoder's restart path honest."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
@@ -303,8 +319,15 @@ def encode_image_jpeg(
     preds = [0, 0, 0]
     n_mcu_y = ph // mcu_h
     n_mcu_x = pw // mcu_w
+    mcu = 0
+    rst = 0
     for my in range(n_mcu_y):
         for mx in range(n_mcu_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            mcu += 1
             for by in range(vs):
                 for bx in range(hs):
                     preds[0] = _encode_block(
@@ -347,11 +370,17 @@ def encode_image_jpeg(
         + bytes([0, 63, 0]),  # Ss, Se, Ah/Al (baseline full scan)
     )
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + app0
         + dqt(0, qt_l)
         + dqt(1, qt_c)
+        + dri
         + sof
         + dht(0, 0, DC_LUMA_SPEC)
         + dht(1, 0, AC_LUMA_SPEC)

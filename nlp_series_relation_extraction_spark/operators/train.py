@@ -81,6 +81,7 @@ def train_bio_head(
     max_len: int = 512,
     optimizer: str = "sgd",
     warmup: float = 0.1,
+    early_stop: int | None = None,
 ) -> dict:
     """Synchronous data-parallel SGD on the BIO output layer.
 
@@ -105,6 +106,7 @@ def train_bio_head(
     )
     history: list[float] = []
     best = (np.inf, W.copy())
+    patience = 0
     for _ in range(epochs):
         parts = df.mapInPandas(
             _epoch_udf(W, b, seed, max_len), schema=_GRAD_SCHEMA
@@ -120,8 +122,15 @@ def train_bio_head(
             n += r.n_tokens
         mean_loss = loss / max(n, 1)
         history.append(mean_loss)
-        if mean_loss < best[0]:
+        # '<=' mirrors the reference's '>=' on dev F1 (run_mpn.py:192):
+        # a tie refreshes both the kept weights and the early-stop patience
+        if mean_loss <= best[0]:
             best = (mean_loss, W.copy())
+            patience = 0
+        else:
+            patience += 1
+            if early_stop is not None and patience == early_stop:
+                break
         if opt is not None:
             W = opt.update({"w_bio": W}, {"w_bio": gsum / max(n, 1)})["w_bio"]
         else:
@@ -328,6 +337,7 @@ def train_mpn_head(
     max_len: int = 512,
     optimizer: str = "sgd",
     warmup: float = 0.1,
+    early_stop: int | None = None,
 ) -> dict:
     """Synchronous data-parallel SGD on the mpn subject + po output layers
     (the reference's joint loss, run_mpn.py:165-179 lifecycle). Same
@@ -354,6 +364,7 @@ def train_mpn_head(
     sub_hist: list[float] = []
     po_hist: list[float] = []
     best = (np.inf, Ws.copy(), Wp.copy())
+    patience = 0
     for epoch in range(epochs):
         parts = df.mapInPandas(
             _mpn_epoch_udf(Ws, Wp, bs, bp, seed, max_len, epoch),
@@ -374,8 +385,13 @@ def train_mpn_head(
         history.append(loss)
         sub_hist.append(sl / n)
         po_hist.append(pl / n)
-        if loss < best[0]:
+        if loss <= best[0]:  # ties refresh, mirroring run_mpn.py:192
             best = (loss, Ws.copy(), Wp.copy())
+            patience = 0
+        else:
+            patience += 1
+            if early_stop is not None and patience == early_stop:
+                break
         if opt is not None:
             upd = opt.update(
                 {"w_sub": Ws, "w_po": Wp},
@@ -515,6 +531,7 @@ def train_mhs_head(
     biaffine: bool = False,
     optimizer: str = "sgd",
     warmup: float = 0.1,
+    early_stop: int | None = None,
 ) -> dict:
     """Synchronous data-parallel SGD on the mhs (or biaffine) output
     layers: typed-span start/end projections plus the pair scorer
@@ -541,6 +558,7 @@ def train_mhs_head(
     sub_hist: list[float] = []
     rel_hist: list[float] = []
     best = (np.inf, {k: v.copy() for k, v in W.items()})
+    patience = 0
     for _ in range(epochs):
         parts = df.mapInPandas(
             _mhs_epoch_udf(W, seed, max_len, biaffine), schema=_MHS_GRAD_SCHEMA
@@ -563,8 +581,13 @@ def train_mhs_head(
         history.append(loss)
         sub_hist.append(sl / n)
         rel_hist.append(rl / n)
-        if loss < best[0]:
+        if loss <= best[0]:  # ties refresh, mirroring run_mpn.py:192
             best = (loss, {k: v.copy() for k, v in W.items()})
+            patience = 0
+        else:
+            patience += 1
+            if early_stop is not None and patience == early_stop:
+                break
         if opt is not None:
             W = opt.update(W, {k: g[k] / n for k in W})
         else:

@@ -789,6 +789,39 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM sequence packing assignment (concat-and-chunk at 256
+    whitespace tokens): distributed prefix sum (range partitioning +
+    per-partition window + broadcast bases — no global sort), checked
+    against DuckDB's global-window twin."""
+    from ..functions.curation import pack_sequences
+
+    return pack_sequences(
+        t(spark, sf_dir, "documents"), "doc_id", "text", seq_len=256
+    ).orderBy("doc_id")
+
+
+_PACK_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         cast(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), off AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       cast(floor(start_offset / 256.0) AS BIGINT) AS first_seq,
+       cast(floor((start_offset + greatest(n_tokens, 1) - 1) / 256.0)
+            AS BIGINT) AS last_seq
+FROM off ORDER BY doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (duplicate-2-gram and
     top-2-gram numerators, integer-exact): the standard repeated-boilerplate
@@ -1528,6 +1561,7 @@ def queries() -> dict:
             "curate_documents": q_curate_documents,
             "decontaminate": q_decontaminate,
             "repetition_stats": q_repetition_stats,
+            "pack_sequences": q_pack_sequences,
             "bpe_merges": q_bpe_merges,
             "bpe_token_counts": q_bpe_token_counts,
             "redact_sample": q_redact_sample,
@@ -1597,6 +1631,7 @@ def oracle_sql() -> dict:
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "pack_sequences": _PACK_SQL,
         "bpe_merges": __import__(
             "nlp_series_relation_extraction_spark.functions.bpe",
             fromlist=["bpe_merges_sql"],

@@ -38,6 +38,9 @@ def main() -> None:
                     help="DuIE-style {text, spo_list} JSONL training file")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--early-stop", type=int, default=None,
+                    help="stop after N consecutive non-improving epochs "
+                         "(reference finetuning_argparse.py --early_stop)")
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
@@ -82,18 +85,21 @@ def main() -> None:
     # --- train (output layers over the frozen trunk; best epoch kept) -----
     if args.head == "bio":
         res = train_bio_head(
-            data, epochs=args.epochs, lr=args.lr or 0.08, seed=args.seed
+            data, epochs=args.epochs, lr=args.lr or 0.08, seed=args.seed,
+            early_stop=args.early_stop,
         )
         trained = {"w_bio": res["weights"]}
     elif args.head == "mpn":
         res = train_mpn_head(
-            data, epochs=args.epochs, lr=args.lr or 0.4, seed=args.seed
+            data, epochs=args.epochs, lr=args.lr or 0.4, seed=args.seed,
+            early_stop=args.early_stop,
         )
         trained = {"w_sub": res["w_sub"], "w_po": res["w_po"]}
     else:
         res = train_mhs_head(
             data, epochs=args.epochs, lr=args.lr or 0.2, seed=args.seed,
             biaffine=(args.head == "biaffine"),
+            early_stop=args.early_stop,
         )
         trained = dict(res["weights"])
 

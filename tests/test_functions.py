@@ -619,3 +619,28 @@ def test_repetition_stats_planted(spark):
     assert (out[1].n_ngrams, out[1].n_dup_ngram_occurrences,
             out[1].top_ngram_count) == (4, 0, 1)
     assert (out[2].n_words, out[2].n_ngrams, out[2].top_ngram_count) == (1, 0, 0)
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """The distributed prefix sum (range partitions + broadcast bases)
+    must equal the sequential fold, with multiple partitions forced so
+    cross-partition bases really matter; documents straddle boundaries."""
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        pack_sequences,
+    )
+
+    texts = [(i, "tok " * (i % 7 + 1) + "end") for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in pack_sequences(
+            docs, seq_len=10, num_partitions=8
+        ).collect()
+    }
+    off = 0
+    for i, text in texts:
+        n = len(text.split(" "))
+        assert out[i] == (n, off, off // 10, (off + n - 1) // 10), i
+        off += n
+    # at least one document straddles a sequence boundary
+    assert any(fs != ls for _, _, fs, ls in out.values())

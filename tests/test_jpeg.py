@@ -128,3 +128,16 @@ def test_media_features_real_across_mixed_codecs(spark):
         assert np.allclose(
             feats[:3], src.astype(np.float32).mean(axis=(0, 1)), atol=tol
         ), fmts[mid]
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jpeg_restart_markers_roundtrip(sub):
+    """DRI/RSTn: restart-encoded streams must decode to EXACTLY the same
+    pixels as the plain encoding (byte-aligned markers, DC predictors
+    reset on both sides), across interval sizes incl. RST-index wrap."""
+    img = _gradient(40, 56)  # 12 MCUs at 4:2:0 -> rst index wraps past 7
+    plain = decode_image_jpeg(encode_image_jpeg(img, 90, sub))
+    for ri in (1, 2, 3, 7):
+        enc = encode_image_jpeg(img, 90, sub, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert (decode_image_jpeg(enc) == plain).all(), (sub, ri)

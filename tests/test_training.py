@@ -414,3 +414,24 @@ def test_trainers_final_epoch_moves_weights():
         prev = w.copy()
         w = opt.update({"w": w}, {"w": np.ones(4)})["w"]
     assert not np.allclose(w, prev)  # final epoch applied a real update
+
+
+def test_early_stop_halts_after_patience(spark):
+    """Reference lifecycle parity (run_mpn.py:183-204, --early_stop):
+    training stops after N consecutive non-improving epochs; the kept
+    weights stay the best epoch's. A divergent lr makes loss rise
+    immediately, so history is cut at 1 + patience epochs."""
+    from nlp_series_relation_extraction_spark.operators.train import (
+        train_bio_head,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        synth_transcripts,
+    )
+
+    data = synth_transcripts(spark, 40, seed=3)
+    div = train_bio_head(data, epochs=10, lr=500.0, early_stop=2)
+    assert len(div["loss_history"]) < 10  # stopped early
+    assert div["best_loss"] == min(div["loss_history"])
+    # patience resets on improvement: a converging run uses all epochs
+    conv = train_bio_head(data, epochs=4, lr=0.05, early_stop=2)
+    assert len(conv["loss_history"]) == 4
