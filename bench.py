@@ -63,6 +63,11 @@ RELATIONAL = [
     "decontaminate",
     "repetition_stats",
     "pack_sequences",
+    "dedup_cluster_keep",
+    "balanced_sample",
+    "lm_quality",
+    "kg_degree_stats",
+    "kg_pagerank",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",

@@ -40,6 +40,50 @@ def deterministic_sample(
     )
 
 
+def balanced_sample(
+    df: DataFrame, group_col: str, key_col: str, cap_per_group: int
+) -> DataFrame:
+    """Per-group deterministic downsampling to ~``cap_per_group`` rows —
+    the data-mixing / language-rebalancing step of a pretraining pipeline
+    (cap the dominant language or source, keep the tails whole).
+
+    Each group's keep-rate (in 256ths) is ``min(256, (256*cap) div n_g)``
+    and rows keep when their md5(key) 2-hex prefix sorts below the group's
+    cutoff — the same join-stable hash sampling as deterministic_sample,
+    so re-runs, different cluster layouts, and downstream joins all see
+    the same rows. Expected kept size per group is cap (binomial, exact
+    only in expectation — this is rate-based sampling, not a top-k).
+
+    Scale shape: the group-count aggregation produces one row per group
+    (languages/sources — broadcast-sized by construction) and broadcasts
+    back onto the corpus scan; the data rows are never shuffled. All
+    arithmetic is integer (``div``), so a DuckDB oracle is bit-identical.
+    """
+    if cap_per_group < 0:
+        raise ValueError(f"cap_per_group must be >= 0, got {cap_per_group}")
+    rates = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n_g"))
+        .select(
+            group_col,
+            F.expr(f"least(256L, (256 * {cap_per_group}) div _n_g)").alias(
+                "_rate"
+            ),
+        )
+    )
+    out = df.join(F.broadcast(rates), group_col)
+    # rate == 256 must short-circuit: hex(256) = '100' compares
+    # lexicographically BELOW 2-hex prefixes >= '10' (the keep-everything
+    # trap documented on deterministic_sample)
+    return out.where(
+        (F.col("_rate") >= 256)
+        | (
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+            < F.lpad(F.lower(F.hex(F.col("_rate"))), 2, "0")
+        )
+    ).drop("_rate", "_n_g")
+
+
 def contamination_hits(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -102,6 +102,63 @@ def lsh_candidate_pairs(
     )
 
 
+# --- cluster canonicalization ------------------------------------------------
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_iter: int = 15,
+) -> DataFrame:
+    """(doc_id, cluster_id): transitive near-dup clusters — minhash-LSH
+    candidate pairs as edges, connected components (min-label propagation)
+    as the cluster assignment. cluster_id is the min doc id reachable, so
+    A~B, B~C collapses all three even when A and C share no band (the
+    transitivity real dedup pipelines need: near-dup chains are common in
+    mirrored / templated web text).
+
+    Scale shape: the edge set is the banded-LSH self-join (near-linear in
+    corpus size for fixed bands), and the component loop is
+    O(cluster diameter) rounds over ONLY the docs that touch an edge —
+    the overwhelming singleton majority never enters the iteration
+    (operators/linking.py:connected_components, incl. hub salting)."""
+    from ..operators.linking import connected_components
+
+    sh = word_shingles(docs, id_col, text_col, n=n)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes), bands, rows_per_band
+    )
+    labels = connected_components(
+        docs.select(F.col(id_col).alias("mention_id")),
+        pairs.select("a_id", "b_id"),
+        max_iter=max_iter,
+    )
+    return labels.select(
+        F.col("mention_id").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+    )
+
+
+def near_dedup_keep(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
+) -> DataFrame:
+    """Keep-one-per-cluster canonicalization: the min doc id of every
+    near-dup cluster survives (singletons survive trivially); all other
+    cluster members are dropped. Left-semi join keeps the full original
+    rows without reshuffling the corpus on content."""
+    keep = (
+        near_dup_clusters(docs, id_col, text_col, **kw)
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 # --- n-gram jaccard ----------------------------------------------------------
 
 

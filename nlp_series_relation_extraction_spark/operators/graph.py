@@ -109,6 +109,119 @@ def merge_edge_increment(
     )
 
 
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-entity degree/evidence profile over the canonical edge table:
+    (entity_id, out_degree, in_degree, out_evidence, in_evidence) — the
+    hub/authority screen every KG build runs (hot entities found here are
+    the ones that need skew salting downstream, cf. linking's block cap).
+
+    Scale shape: two hash aggregations over the (already evidence-
+    aggregated) edge table — map-side partials bound hub skew — and one
+    full outer join on entity_id. No pass over the occurrence-level
+    triples."""
+    outd = edges.groupBy(
+        F.col("subj_entity_id").alias("entity_id")
+    ).agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum("n_evidence").cast("long").alias("out_evidence"),
+    )
+    ind = edges.groupBy(
+        F.col("obj_entity_id").alias("entity_id")
+    ).agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.sum("n_evidence").cast("long").alias("in_evidence"),
+    )
+    z = F.lit(0).cast("long")
+    return outd.join(ind, "entity_id", "full").select(
+        "entity_id",
+        F.coalesce("out_degree", z).alias("out_degree"),
+        F.coalesce("in_degree", z).alias("in_degree"),
+        F.coalesce("out_evidence", z).alias("out_evidence"),
+        F.coalesce("in_evidence", z).alias("in_evidence"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Entity importance over the canonical edge table: standard PageRank
+    power iteration on the DISTINCT (subj -> obj) graph, with uniform
+    teleport and dangling-mass redistribution —
+    rank = (1-d)/N + d * (sum_in rank/outdeg + dangling_mass/N).
+
+    Fixed ``iters`` rounds (no float convergence test — deterministic
+    job count), each round: one join of the (static, checkpointed) link
+    table with the rank vector keyed on src, one aggregation keyed on
+    dst. Hub skew: the agg side has map-side partial combine; the join's
+    build side is one row per node, so an oversized probe partition is
+    exactly AQE skew-join's case. The per-round dangling-mass collect is
+    a single scalar. Lineage is broken every round (localCheckpoint) so
+    plans stay flat; at cluster scale persist the rank table per round."""
+    e = (
+        edges.select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if num_partitions:
+        nodes = nodes.repartition(num_partitions, "id")
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("id").alias("entity_id"), F.lit(0.0).alias("rank")
+        )
+    outd = e.groupBy("src").agg(F.count("*").alias("outd"))
+    links = e.join(outd, "src")
+    if num_partitions:
+        links = links.repartition(num_partitions, "src")
+    links = links.localCheckpoint(eager=True)
+    dangling = nodes.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        dang = (
+            ranks.join(dangling, "id", "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            links.join(ranks, links["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outd")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("entity_id"), "rank")
+
+
 def write_graph(
     nodes: DataFrame,
     edges: DataFrame,

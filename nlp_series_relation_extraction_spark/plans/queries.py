@@ -426,8 +426,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(sh, 8)).orderBy("a_id", "b_id")
 
 
-_MINHASH_SQL = f"""
-WITH sh AS ({_SHINGLE3_SQL}),
+# shared CTE chain: shingles -> signatures -> bands -> candidate pairs
+# (consumed by both the pair query and the cluster-canonicalization query)
+_MINHASH_CTES = f"""sh AS ({_SHINGLE3_SQL}),
 sig AS (
   SELECT id,
     {", ".join(f"min(md5('{i}#' || shingle)) AS mh{i}" for i in range(8))}
@@ -437,10 +438,67 @@ sig AS (
     f"SELECT id, {b} AS band, mh{2 * b} || '|' || mh{2 * b + 1} AS sig FROM sig"
     for b in range(4)
   )}
+), pairs AS MATERIALIZED (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared_bands
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+  GROUP BY a.id, b.id
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id
+"""
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: minhash-LSH candidate pairs as
+    edges -> connected components (transitive closure: A~B, B~C collapses
+    even when A,C share no band) -> keep = min doc id per cluster. Output
+    is every doc in a cluster of size > 1 with its cluster assignment and
+    survivor flag; the DuckDB oracle is recursive-CTE reachability over
+    the SAME pair SQL, so the whole edge+fixpoint pipeline is
+    driver-checked (cf. kg_linking_entities)."""
+    from ..functions.dedup import near_dup_clusters
+
+    cl = near_dup_clusters(t(spark, sf_dir, "documents"), "doc_id", "text")
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        cl.join(sizes, "cluster_id")
+        .where(F.col("cluster_size") > 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+eu AS MATERIALIZED (
+  SELECT a_id AS x, b_id AS y FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+verts AS (SELECT DISTINCT x AS v FROM eu),
+reach AS (
+  SELECT v AS root, v AS node FROM verts
+  UNION
+  SELECT r.root, eu.y FROM reach r JOIN eu ON r.node = eu.x
+),
+comp AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 )
-SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared_bands
-FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-GROUP BY a.id, b.id ORDER BY a_id, b_id
+SELECT doc_id, cluster_id,
+       cast(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp ORDER BY doc_id
 """
 
 
@@ -820,6 +878,46 @@ SELECT doc_id, n_tokens, start_offset,
             AS BIGINT) AS last_seq
 FROM off ORDER BY doc_id
 """
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language balanced downsampling of documents (cap ~70 per lang):
+    the data-mixing step that caps a dominant language and keeps tails
+    whole. Deterministic hash sampling per group; the cap=70 choice makes
+    the sf test corpus exercise all three branches — real sampling (en),
+    the exact rate==256 boundary (de at 70 docs), and keep-everything
+    (fr)."""
+    from ..functions.curation import balanced_sample
+
+    return (
+        balanced_sample(t(spark, sf_dir, "documents"), "lang", "doc_id", 70)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_BALANCED_SQL = """
+WITH rates AS (
+  SELECT lang, least(256, (256 * 70) // count(*)) AS rate
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE r.rate >= 256
+   OR substring(md5(cast(d.doc_id AS VARCHAR)), 1, 2)
+        < lpad(lower(hex(r.rate)), 2, '0')
+ORDER BY d.doc_id
+"""
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM statistical quality scores per document (the CCNet-style
+    perplexity gate, integer-ppm quantized): train the add-one-smoothed
+    word-bigram LM on the corpus, score every document's bigram events.
+    Bit-identical DuckDB oracle (functions/lm.py:lm_sql)."""
+    from ..functions.lm import lm_score_self
+
+    return lm_score_self(t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,12 +1390,10 @@ def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "epoch int, mean_masked_bce double")
 
 
-def q_kg_graph_edges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph materialization driver-checked: canonical_triples (alias
-    joins, null for unlinked mentions) + edge_table (evidence counts +
-    earliest-provenance struct-min) over lineitem-derived triples with a
-    SQL-expressible alias table (entity_id = the numeric mention; ~6/7 of
-    mentions linked so the null-drop path is exercised)."""
+def _derived_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-derivable canonical edge table shared by the graph
+    driver queries: lineitem-derived triples + numeric-mention aliases
+    (~6/7 linked, exercising the null-drop path) -> edge_table."""
     from ..operators.graph import canonical_triples, edge_table
 
     trip = _derived_triples(spark, sf_dir, 2)
@@ -1312,7 +1408,16 @@ def q_kg_graph_edges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("mention_norm"),
         F.expr("cast(m as bigint)").alias("entity_id"),
     )
-    edges = edge_table(canonical_triples(trip, aliases))
+    return edge_table(canonical_triples(trip, aliases))
+
+
+def q_kg_graph_edges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization driver-checked: canonical_triples (alias
+    joins, null for unlinked mentions) + edge_table (evidence counts +
+    earliest-provenance struct-min) over lineitem-derived triples with a
+    SQL-expressible alias table (entity_id = the numeric mention; ~6/7 of
+    mentions linked so the null-drop path is exercised)."""
+    edges = _derived_edge_table(spark, sf_dir)
     return edges.select(
         "subj_entity_id",
         "predicate",
@@ -1323,8 +1428,8 @@ def q_kg_graph_edges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj_entity_id", "predicate", "obj_entity_id")
 
 
-_GRAPH_EDGES_SQL = """
-WITH trip AS (
+# shared trip/linked CTE bodies for the graph-over-lineitem oracles
+_DERIVED_LINKED_CTES = """trip AS (
   SELECT cast(l_orderkey % 1000 AS VARCHAR) AS conv_id,
          cast(l_orderkey // 1000 AS INT) AS turn_idx,
          'supplies' AS predicate,
@@ -1338,7 +1443,10 @@ WITH trip AS (
   FROM trip
   WHERE cast(subject AS BIGINT) % 7 != 0
     AND cast(object_val AS BIGINT) % 7 != 0
-), ranked AS (
+)"""
+
+_GRAPH_EDGES_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, ranked AS (
   SELECT subj_entity_id, predicate, obj_entity_id, conv_id, turn_idx,
          row_number() OVER (
            PARTITION BY subj_entity_id, predicate, obj_entity_id
@@ -1355,6 +1463,59 @@ SELECT subj_entity_id, predicate, obj_entity_id,
 FROM ranked WHERE rn = 1
 ORDER BY subj_entity_id, predicate, obj_entity_id
 """
+
+
+def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity degree/evidence profile over the canonical edge table
+    (operators/graph.py:degree_stats) — the hub screen that tells a KG
+    build which entities need skew handling. Full-outer join of the
+    out/in aggregations; bit-identical DuckDB oracle."""
+    from ..operators.graph import degree_stats
+
+    return degree_stats(_derived_edge_table(spark, sf_dir)).orderBy(
+        "entity_id"
+    )
+
+
+_DEGREE_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, e AS (
+  SELECT subj_entity_id, predicate, obj_entity_id, count(*) AS n_evidence
+  FROM linked GROUP BY 1, 2, 3
+), outd AS (
+  SELECT subj_entity_id AS entity_id,
+         cast(count(*) AS BIGINT) AS out_degree,
+         cast(sum(n_evidence) AS BIGINT) AS out_evidence
+  FROM e GROUP BY 1
+), ind AS (
+  SELECT obj_entity_id AS entity_id,
+         cast(count(*) AS BIGINT) AS in_degree,
+         cast(sum(n_evidence) AS BIGINT) AS in_evidence
+  FROM e GROUP BY 1
+)
+SELECT coalesce(o.entity_id, i.entity_id) AS entity_id,
+       cast(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+       cast(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+       cast(coalesce(o.out_evidence, 0) AS BIGINT) AS out_evidence,
+       cast(coalesce(i.in_evidence, 0) AS BIGINT) AS in_evidence
+FROM outd o FULL OUTER JOIN ind i ON o.entity_id = i.entity_id
+ORDER BY entity_id
+"""
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance: PageRank power iteration (8 fixed rounds,
+    damping 0.85, dangling-mass redistribution) over the canonical edge
+    table, top-50. Rows-only: float ranks aren't cross-engine
+    bit-stable; exactness is pinned against a numpy power-iteration twin
+    (tests/test_graph_analytics.py), incl. rank-sum == 1."""
+    from ..operators.graph import pagerank
+
+    pr = pagerank(_derived_edge_table(spark, sf_dir), iters=8)
+    return (
+        pr.select("entity_id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "entity_id")
+        .limit(50)
+    )
 
 
 def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,8 +1709,13 @@ def queries() -> dict:
     q.update(
         {
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
+            "dedup_cluster_keep": q_dedup_cluster_keep,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_simhash": q_dedup_simhash,
+            "balanced_sample": q_balanced_sample,
+            "lm_quality": q_lm_quality,
+            "kg_degree_stats": q_kg_degree_stats,
+            "kg_pagerank": q_kg_pagerank,
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
             "ann_topk_ivf": q_ann_topk_ivf,
@@ -1608,7 +1774,14 @@ def oracle_sql() -> dict:
         "users_without_errors": _USERS_NO_ERR_SQL,
         "vocab_spo_tag": _vocab_spo_tag_sql(),
         "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_cluster_keep": _CLUSTER_SQL,
         "dedup_jaccard": _JACCARD_SQL,
+        "balanced_sample": _BALANCED_SQL,
+        "lm_quality": __import__(
+            "nlp_series_relation_extraction_spark.functions.lm",
+            fromlist=["lm_sql"],
+        ).lm_sql("documents"),
+        "kg_degree_stats": _DEGREE_SQL,
         "dedup_simhash": __import__(
             "nlp_series_relation_extraction_spark.functions.dedup",
             fromlist=["simhash_sql"],

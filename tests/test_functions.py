@@ -1,5 +1,6 @@
 """Dedup / similarity / textstats operators: planted ground-truth checks."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from nlp_series_relation_extraction_spark.functions.dedup import (
@@ -644,3 +645,125 @@ def test_pack_sequences_distributed_prefix_sum(spark):
         off += n
     # at least one document straddles a sequence boundary
     assert any(fs != ls for _, _, fs, ls in out.values())
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C near-dups must collapse into ONE cluster even if A and
+    C share no LSH band (connected components, not pairwise grouping);
+    unrelated docs stay singletons; keep-one survivors = min ids."""
+    from nlp_series_relation_extraction_spark.functions.dedup import (
+        near_dedup_keep,
+        near_dup_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 4 + "alpha beta gamma delta"),
+            (2, base * 4 + "alpha beta gamma epsilon"),  # ~1
+            (3, base * 4 + "alpha beta zeta epsilon"),  # ~2, farther from 1
+            (10, "completely different content about spark catalyst plans "
+                 "and shuffle partitions at terabyte scale " * 3),
+            (11, "yet another unrelated document mentioning biaffine heads "
+                 "and pointer networks for relation extraction " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    cl = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, "doc_id", "text").collect()
+    }
+    assert cl[1] == cl[2] == cl[3] == 1  # transitive collapse to min id
+    assert cl[10] == 10 and cl[11] == 11  # singletons keep their own id
+    kept = sorted(
+        r.doc_id for r in near_dedup_keep(docs, "doc_id", "text").collect()
+    )
+    assert kept == [1, 10, 11]
+
+
+def test_balanced_sample_caps_dominant_group(spark):
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        balanced_sample,
+    )
+
+    rows = [(i, "en" if i < 400 else ("fr" if i < 440 else "zh"))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_sample(df, "lang", "doc_id", 50)
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en (400 docs) downsampled to ~50 (binomial: generous bounds);
+    # fr (40) and zh (60 -> rate 213) behave per their rates
+    assert 25 <= by_lang["en"] <= 80
+    assert by_lang["fr"] == 40  # rate 256*50//40 = 320 -> keep ALL
+    assert 30 <= by_lang["zh"] <= 60
+    # deterministic: same rows every run, and a subset of the input ids
+    again = balanced_sample(df, "lang", "doc_id", 50)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    assert out.schema.fieldNames() == ["lang", "doc_id"]  # helpers dropped
+    # cap 0 keeps nothing; negative cap raises
+    assert balanced_sample(df, "lang", "doc_id", 0).count() == 0
+    with pytest.raises(ValueError):
+        balanced_sample(df, "lang", "doc_id", -1)
+
+
+def test_lm_scores_fluent_vs_junk(spark):
+    """Documents made of the corpus's dominant bigrams must outscore a
+    document of one-off junk transitions (the CCNet perplexity-gate
+    semantics), and every quantized q must match the hand formula."""
+    from nlp_series_relation_extraction_spark.functions.lm import (
+        lm_score_self,
+        train_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(5)] + [(100, "zxq wvu tsr qpo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in lm_score_self(docs).collect()}
+    # vocab: the,cat,sat,on,mat,zxq,wvu,tsr,qpo = 9 distinct tokens
+    lm = train_bigram_lm(docs)
+    assert lm["vocab_size"] == 9
+    # 'the cat': c2=5, c1('the')=10 (5x'the cat' + 5x'the mat')
+    #   q = 1000000*(5+1) // (10+9) = 315789
+    assert out[0]["min_q_ppm"] == 315789
+    assert out[0]["n_known"] == out[0]["n_bigrams"] == 5
+    # junk bigrams: c2=1, c1=1 -> q = 2000000 // 10 = 200000
+    assert out[100]["min_q_ppm"] == 200000
+    assert out[100]["sum_q_ppm"] == 3 * 200000
+    # per-event average: fluent > junk
+    assert (out[0]["sum_q_ppm"] / out[0]["n_bigrams"]
+            > out[100]["sum_q_ppm"] / out[100]["n_bigrams"])
+
+
+def test_lm_heldout_unseen_fallback_and_pruning(spark):
+    from nlp_series_relation_extraction_spark.functions.lm import (
+        lm_doc_scores,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "a b c d") for i in range(4)], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(train)  # V = 4, c1(a)=4, c2(a,b)=4
+    held = spark.createDataFrame(
+        [(1, "a b"), (2, "q r"), (3, "a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.asDict() for r in lm_doc_scores(held, lm).collect()}
+    assert out[1]["n_known"] == 1
+    assert out[1]["sum_q_ppm"] == 1000000 * 5 // 8  # (4+1)/(4+4)
+    # fully unseen context: q = 1000000 * 1 // (0 + V) = 250000
+    assert out[2] == {"doc_id": 2, "n_bigrams": 1, "n_known": 0,
+                      "sum_q_ppm": 250000, "min_q_ppm": 250000}
+    assert 3 not in out  # single-token doc: no bigram events, no row
+    # min_count pruning moves tail pairs onto the smoothing floor but
+    # keeps denominators exact
+    lm2 = train_bigram_lm(train, min_count=5)
+    out2 = {r.doc_id: r.asDict() for r in lm_doc_scores(held, lm2).collect()}
+    assert out2[1]["n_known"] == 0
+    assert out2[1]["sum_q_ppm"] == 1000000 * 1 // 8  # c2 pruned, c1 kept

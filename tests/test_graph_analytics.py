@@ -1,0 +1,101 @@
+"""Graph analytics over the canonical edge table: degree stats (relational,
+also driver-oracled) and PageRank (iterative — pinned here against a numpy
+power-iteration twin, since float ranks carry no SQL oracle)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_series_relation_extraction_spark.operators.graph import (
+    degree_stats,
+    pagerank,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [(s, "p", o, n, "c0", 0) for s, o, n in rows],
+        "subj_entity_id long, predicate string, obj_entity_id long, "
+        "n_evidence long, first_conv_id string, first_turn_idx int",
+    )
+
+
+def test_degree_stats_full_outer_zeros(spark):
+    # 1 -> 2 (3 evidence), 1 -> 3 (1), 2 -> 3 (2): 3 is sink, 1 is source
+    out = {
+        r.entity_id: (r.out_degree, r.in_degree, r.out_evidence, r.in_evidence)
+        for r in degree_stats(
+            _edges(spark, [(1, 2, 3), (1, 3, 1), (2, 3, 2)])
+        ).collect()
+    }
+    assert out[1] == (2, 0, 4, 0)  # pure source: in side zero-filled
+    assert out[2] == (1, 1, 2, 3)
+    assert out[3] == (0, 2, 0, 3)  # pure sink: out side zero-filled
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=10):
+    nodes = sorted({s for s, _ in edges} | {o for _, o in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _ in set(edges):
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        contrib = np.zeros(n)
+        for s, o in set(edges):
+            contrib[idx[o]] += r[idx[s]] / out[s]
+        r = (1.0 - damping) / n + damping * (contrib + dang / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "edge_list",
+    [
+        # chain + hub: 4 receives from everyone, 5 dangles
+        [(1, 4), (2, 4), (3, 4), (4, 5), (1, 2), (2, 3)],
+        # cycle with a dangling spur
+        [(1, 2), (2, 3), (3, 1), (3, 4)],
+    ],
+)
+def test_pagerank_matches_numpy_twin(spark, edge_list):
+    got = {
+        r.entity_id: r.rank
+        for r in pagerank(
+            _edges(spark, [(s, o, 1) for s, o in edge_list]), iters=10
+        ).collect()
+    }
+    want = _numpy_pagerank(edge_list, iters=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    # teleport + dangling redistribution conserve total mass
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    star = [(s, 9, 1) for s in range(1, 9)]  # everyone links to 9
+    got = {
+        r.entity_id: r.rank for r in pagerank(_edges(spark, star)).collect()
+    }
+    assert got[9] == max(got.values())
+    assert got[9] > 5 * got[1]
+
+
+def test_pagerank_duplicate_predicate_edges_collapse(spark):
+    # the same (s, o) via two predicates must count once (distinct graph)
+    e = spark.createDataFrame(
+        [(1, "a", 2, 1, "c", 0), (1, "b", 2, 1, "c", 0), (2, "a", 1, 1, "c", 0)],
+        "subj_entity_id long, predicate string, obj_entity_id long, "
+        "n_evidence long, first_conv_id string, first_turn_idx int",
+    )
+    got = {r.entity_id: r.rank for r in pagerank(e, iters=10).collect()}
+    want = _numpy_pagerank([(1, 2), (2, 1)], iters=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    empty = _edges(spark, []).where(F.lit(False))
+    assert pagerank(empty).count() == 0
