@@ -120,3 +120,44 @@ def test_near_dup_self_join_reads_materialized_buckets(spark):
     # candidate generation runs no Python: the only Arrow stage (bucketize)
     # already materialized; the exact-threshold join is pure Catalyst
     assert plan.count("MapInPandas") == 0, plan
+
+
+def test_balanced_sample_rates_broadcast_and_pruned_scan(spark):
+    """balanced_sample's per-group rate dim must broadcast onto the corpus
+    (the data rows are never shuffled) and the corpus scan must prune to
+    exactly the projected columns + group key."""
+    plan = _plan(Q.q_balanced_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    widest = max(
+        ({c.split(":")[0] for c in g.split(",")} for g in m), key=len
+    )
+    assert widest == {"doc_id", "lang", "source"}, widest
+
+
+def test_lm_scoring_scans_prune_to_text(spark):
+    """lm_quality touches documents three times (counts, vocab, scoring
+    probe) — every scan must prune to (doc_id,text) or narrower, and the
+    count aggregations must be partial+final (map-side combine is the hot
+    -stopword-bigram skew bound)."""
+    plan = _plan(Q.q_lm_quality(spark, SF))
+    for g in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in g.split(",")}
+        assert cols <= {"doc_id", "text"}, cols
+    assert plan.count("HashAggregate") >= 4  # partial+final on both counts
+
+
+def test_cluster_keep_component_loop_reads_materialized_pairs(spark):
+    """near_dup_clusters materializes the LSH pair edges once: the
+    connected-components consumers must read the checkpointed RDD, not
+    re-run the shingle->minhash->band self-join (measured 3x at sf0.1)."""
+    from nlp_series_relation_extraction_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(near_dup_clusters(docs, "doc_id", "text"))
+    assert "ExistingRDD" in plan
+    # the band self-join must be gone from the final labels plan
+    assert "md5" not in plan.lower()
