@@ -64,9 +64,13 @@ RELATIONAL = [
     "repetition_stats",
     "pack_sequences",
     "dedup_cluster_keep",
+    "dedup_incremental",
     "balanced_sample",
+    "doc_chunks",
     "lm_quality",
     "kg_degree_stats",
+    "kg_two_hop",
+    "kg_triangles",
     "kg_pagerank",
     "kg_linking_entities",
     "kg_graph_edges_oracle",

@@ -205,6 +205,49 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """RAG/serving-style chunking: sliding whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens of context between adjacent
+    chunks (step = chunk_tokens - overlap). Returns
+    (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_text); every
+    document emits >= 1 chunk (short docs emit themselves).
+
+    Chunk count is exact integer arithmetic —
+    1 + ceil_div(n - chunk_tokens, step) when n > chunk_tokens — so a
+    DuckDB oracle is bit-identical. Pure Catalyst (transform + explode):
+    no shuffle at all, chunking is embarrassingly row-parallel and
+    pipelines into whatever consumes it (embedding UDF, sink)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    w = f"split({text_col}, ' ')"
+    n = f"size({w})"
+    k = (
+        f"case when {n} <= {chunk_tokens} then 1 "
+        f"else ({n} - {chunk_tokens} + {step - 1}) div {step} + 1 end"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {k} - 1), k -> struct("
+        f"  cast(k as int) as chunk_idx,"
+        f"  cast(1 + k * {step} as int) as start_token,"
+        f"  cast(least({chunk_tokens}, {n} - k * {step}) as int)"
+        f"    as n_chunk_tokens,"
+        f"  concat_ws(' ', slice({w}, 1 + k * {step}, {chunk_tokens}))"
+        f"    as chunk_text))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select("doc_id", "c.*")
+
+
 def curate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -76,11 +76,13 @@ def minhash_signatures(
     return shingled.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """Banded LSH: ids sharing any band signature become a candidate pair.
-    Returns (a_id, b_id, n_shared_bands)."""
+    """(id, band, sig) rows from minhash signatures — the LSH bucket keys.
+    This is the table a production dedup pipeline PERSISTS as its index:
+    incremental batches join against it instead of re-pairing the corpus
+    (see incremental_near_dup)."""
     band_rows = []
     for b in range(bands):
         cols = [
@@ -89,9 +91,17 @@ def lsh_candidate_pairs(
         band_rows.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig"))
         )
-    banded = signatures.select(
+    return signatures.select(
         "id", F.explode(F.array(*band_rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: ids sharing any band signature become a candidate pair.
+    Returns (a_id, b_id, n_shared_bands)."""
+    banded = band_signatures(signatures, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -167,6 +177,93 @@ def near_dedup_keep(
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(keep, id_col, "left_semi")
+
+
+# --- incremental (batch-vs-corpus) -------------------------------------------
+
+
+def doc_band_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """documents -> (id, band, sig) LSH index rows (shingle -> minhash ->
+    band), the persisted state of the incremental dedup pipeline."""
+    return band_signatures(
+        minhash_signatures(word_shingles(docs, id_col, text_col, n), num_hashes),
+        bands,
+        rows_per_band,
+    )
+
+
+def incremental_near_dup(
+    index: DataFrame, new_bands: DataFrame
+) -> DataFrame:
+    """Deduplicate a NEW batch against an existing corpus without ever
+    re-pairing the corpus with itself — the daily-increment path every
+    production dedup runs (the corpus-side cost of the batch variant grows
+    with total corpus size; this grows with batch size x collision rate).
+
+    ``index``: the persisted (id, band, sig) table of previously KEPT
+    docs (doc_band_signatures output). ``new_bands``: same for the
+    incoming batch. Returns (doc_id, status) for every new doc:
+
+    * ``dup_of_corpus`` — shares an LSH band with any indexed doc;
+    * ``dup_in_batch``  — survives the corpus check but shares a band
+      with a LOWER-id surviving batch doc (greedy pair-drop, matching
+      the curation funnel's near-dup stage);
+    * ``kept``          — append these docs' band rows to the index.
+
+    Survivor-only indexing means a batch doc dropped as dup_of_corpus
+    never shadows later batches — exactly the batch pipeline's semantics
+    when the near-dup relation is closed under pairing (identical docs);
+    for chain-shaped near-dups the greedy order is the batch arrival
+    order, which is the standard (and documented) incremental trade.
+
+    Scale shape: one shuffle join of the (small) batch band table against
+    the index on (band, sig) — with the index bucketed/partitioned on
+    (band, sig) this is a co-located probe; hot bands (boilerplate
+    shingles) are index-side rows that AQE skew-splitting spreads. The
+    within-batch self-join touches only the batch."""
+    ids = new_bands.select("id").distinct()
+    cross = (
+        new_bands.alias("n")
+        .join(
+            index.alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.sig") == F.col("e.sig")),
+        )
+        .select(F.col("n.id").alias("id"))
+        .distinct()
+    )
+    remaining = new_bands.join(cross, "id", "left_anti")
+    a = remaining.alias("a")
+    b = remaining.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        ids.join(cross.withColumn("_c", F.lit(1)), "id", "left")
+        .join(within.withColumn("_w", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("_c") == 1, F.lit("dup_of_corpus"))
+            .when(F.col("_w") == 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
 
 
 # --- n-gram jaccard ----------------------------------------------------------

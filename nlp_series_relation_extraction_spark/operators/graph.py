@@ -222,6 +222,83 @@ def pagerank(
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 
 
+def two_hop_paths(edges: DataFrame) -> DataFrame:
+    """(a, p1, b, p2, c): all length-2 directed predicate paths through the
+    canonical edge table — the join KG reasoning/feature pipelines run
+    (relation composition, path features for link prediction).
+
+    One self-join keyed on the mid vertex. The skew point is a hub mid
+    vertex (in_deg x out_deg pairs emitted): the edge table is
+    evidence-aggregated so the hub's rows are distinct neighbors, and
+    AQE skew-splitting spreads the probe side; for a true mega-hub,
+    pre-filter with degree_stats (the documented screen)."""
+    a = edges.select(
+        F.col("subj_entity_id").alias("a"),
+        F.col("predicate").alias("p1"),
+        F.col("obj_entity_id").alias("b"),
+    )
+    b = edges.select(
+        F.col("subj_entity_id").alias("b"),
+        F.col("predicate").alias("p2"),
+        F.col("obj_entity_id").alias("c"),
+    )
+    return a.join(b, "b").select("a", "p1", "b", "p2", "c")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over the UNDIRECTED distinct entity graph:
+    one row (n_triangles).
+
+    Uses the degree-ordered orientation: every undirected edge is kept
+    once, directed from the (degree, id)-smaller endpoint to the larger.
+    Each vertex's oriented out-degree is then O(sqrt(|E|)) on any graph,
+    so the wedge join (the quadratic step) emits sum deg_o^2 ~ |E|^1.5
+    wedges instead of a hub's deg^2 — the standard bound that makes
+    triangle counting feasible on power-law KGs. Two shuffles: the wedge
+    self-join on the oriented source, the closing semi-join on the wedge
+    endpoints."""
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").where(F.col("t1") < F.col("t2"))
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    ).unionByName(
+        oriented.select(F.col("t").alias("t1"), F.col("s").alias("t2"))
+    ).where(F.col("t1") < F.col("t2")).distinct()
+    tri = wedges.join(closing, ["t1", "t2"], "left_semi")
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
 def write_graph(
     nodes: DataFrame,
     edges: DataFrame,

@@ -426,9 +426,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(sh, 8)).orderBy("a_id", "b_id")
 
 
-# shared CTE chain: shingles -> signatures -> bands -> candidate pairs
-# (consumed by both the pair query and the cluster-canonicalization query)
-_MINHASH_CTES = f"""sh AS ({_SHINGLE3_SQL}),
+# shared CTE chains: shingles -> signatures -> bands (-> candidate pairs)
+# consumed by the pair, cluster-canonicalization and incremental queries
+_BANDED_CTES = f"""sh AS ({_SHINGLE3_SQL}),
 sig AS (
   SELECT id,
     {", ".join(f"min(md5('{i}#' || shingle)) AS mh{i}" for i in range(8))}
@@ -438,7 +438,9 @@ sig AS (
     f"SELECT id, {b} AS band, mh{2 * b} || '|' || mh{2 * b + 1} AS sig FROM sig"
     for b in range(4)
   )}
-), pairs AS MATERIALIZED (
+)"""
+
+_MINHASH_CTES = f"""{_BANDED_CTES}, pairs AS MATERIALIZED (
   SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared_bands
   FROM banded a
   JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
@@ -499,6 +501,43 @@ SELECT doc_id, cluster_id,
          AS cluster_size,
        doc_id = cluster_id AS keep
 FROM comp ORDER BY doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the doc_id%3==0 slice arrives as a NEW batch
+    against the persisted LSH band index of the rest of the corpus —
+    (doc_id, status in kept/dup_of_corpus/dup_in_batch) without ever
+    re-pairing the corpus with itself (functions/dedup.py:
+    incremental_near_dup)."""
+    from ..functions.dedup import doc_band_signatures, incremental_near_dup
+
+    d = t(spark, sf_dir, "documents")
+    index = doc_band_signatures(d.where("doc_id % 3 != 0"), "doc_id", "text")
+    newb = doc_band_signatures(d.where("doc_id % 3 = 0"), "doc_id", "text")
+    return incremental_near_dup(index, newb).orderBy("doc_id")
+
+
+_INCREMENTAL_SQL = f"""
+WITH {_BANDED_CTES},
+existing AS (SELECT * FROM banded WHERE id % 3 != 0),
+newb AS MATERIALIZED (SELECT * FROM banded WHERE id % 3 = 0),
+crossdrop AS MATERIALIZED (
+  SELECT DISTINCT n.id FROM newb n
+  JOIN existing e ON n.band = e.band AND n.sig = e.sig
+),
+remaining AS MATERIALIZED (
+  SELECT * FROM newb WHERE id NOT IN (SELECT id FROM crossdrop)
+),
+withindrop AS (
+  SELECT DISTINCT b.id FROM remaining a
+  JOIN remaining b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+)
+SELECT id AS doc_id,
+       CASE WHEN id IN (SELECT id FROM crossdrop) THEN 'dup_of_corpus'
+            WHEN id IN (SELECT id FROM withindrop) THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM (SELECT DISTINCT id FROM newb) ORDER BY doc_id
 """
 
 
@@ -877,6 +916,38 @@ SELECT doc_id, n_tokens, start_offset,
        cast(floor((start_offset + greatest(n_tokens, 1) - 1) / 256.0)
             AS BIGINT) AS last_seq
 FROM off ORDER BY doc_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (64-token chunks, 16-token
+    overlap) over documents — exact integer chunk math, no shuffle
+    (functions/curation.py:chunk_documents)."""
+    from ..functions.curation import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNKS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), k AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) <= 64 THEN 1
+              ELSE (len(ws) - 64 + 47) // 48 + 1 END AS nk
+  FROM toks
+), idx AS (
+  SELECT doc_id, ws, n, unnest(generate_series(0, nk - 1)) AS i FROM k
+)
+SELECT doc_id,
+       cast(i AS INT) AS chunk_idx,
+       cast(1 + i * 48 AS INT) AS start_token,
+       cast(least(64, n - i * 48) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, 1 + i * 48, i * 48 + 64), ' ')
+         AS chunk_text
+FROM idx ORDER BY doc_id, chunk_idx
 """
 
 
@@ -1502,6 +1573,50 @@ ORDER BY entity_id
 """
 
 
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 predicate paths (relation composition / link-prediction
+    features) through the canonical edge table: one self-join on the mid
+    vertex (operators/graph.py:two_hop_paths)."""
+    from ..operators.graph import two_hop_paths
+
+    return two_hop_paths(_derived_edge_table(spark, sf_dir)).orderBy(
+        "a", "b", "c"
+    )
+
+
+_TWO_HOP_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, e AS (
+  SELECT DISTINCT subj_entity_id, predicate, obj_entity_id FROM linked
+)
+SELECT x.subj_entity_id AS a, x.predicate AS p1, x.obj_entity_id AS b,
+       y.predicate AS p2, y.obj_entity_id AS c
+FROM e x JOIN e y ON x.obj_entity_id = y.subj_entity_id
+ORDER BY a, b, c
+"""
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the undirected entity graph via
+    degree-ordered orientation (wedge fan-out bounded by ~sqrt(|E|) per
+    vertex — the power-law-safe plan; operators/graph.py:triangle_count).
+    Oracle: brute-force ordered 3-join in DuckDB."""
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_derived_edge_table(spark, sf_dir))
+
+
+_TRIANGLES_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, und AS (
+  SELECT DISTINCT least(subj_entity_id, obj_entity_id) AS u,
+                  greatest(subj_entity_id, obj_entity_id) AS v
+  FROM linked WHERE subj_entity_id != obj_entity_id
+)
+SELECT cast(count(*) AS BIGINT) AS n_triangles
+FROM und a JOIN und b ON a.v = b.u
+JOIN und c ON c.u = a.u AND c.v = b.v
+"""
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity importance: PageRank power iteration (8 fixed rounds,
     damping 0.85, dangling-mass redistribution) over the canonical edge
@@ -1710,11 +1825,15 @@ def queries() -> dict:
         {
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_cluster_keep": q_dedup_cluster_keep,
+            "dedup_incremental": q_dedup_incremental,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_simhash": q_dedup_simhash,
             "balanced_sample": q_balanced_sample,
+            "doc_chunks": q_doc_chunks,
             "lm_quality": q_lm_quality,
             "kg_degree_stats": q_kg_degree_stats,
+            "kg_two_hop": q_kg_two_hop,
+            "kg_triangles": q_kg_triangles,
             "kg_pagerank": q_kg_pagerank,
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
@@ -1775,13 +1894,17 @@ def oracle_sql() -> dict:
         "vocab_spo_tag": _vocab_spo_tag_sql(),
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_cluster_keep": _CLUSTER_SQL,
+        "dedup_incremental": _INCREMENTAL_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "balanced_sample": _BALANCED_SQL,
+        "doc_chunks": _CHUNKS_SQL,
         "lm_quality": __import__(
             "nlp_series_relation_extraction_spark.functions.lm",
             fromlist=["lm_sql"],
         ).lm_sql("documents"),
         "kg_degree_stats": _DEGREE_SQL,
+        "kg_two_hop": _TWO_HOP_SQL,
+        "kg_triangles": _TRIANGLES_SQL,
         "dedup_simhash": __import__(
             "nlp_series_relation_extraction_spark.functions.dedup",
             fromlist=["simhash_sql"],

@@ -767,3 +767,99 @@ def test_lm_heldout_unseen_fallback_and_pruning(spark):
     out2 = {r.doc_id: r.asDict() for r in lm_doc_scores(held, lm2).collect()}
     assert out2[1]["n_known"] == 0
     assert out2[1]["sum_q_ppm"] == 1000000 * 1 // 8  # c2 pruned, c1 kept
+
+
+def test_incremental_near_dup_statuses(spark):
+    """Batch-vs-corpus semantics: corpus collisions win over in-batch
+    collisions; in-batch greedy drops the higher id; novel docs keep."""
+    from nlp_series_relation_extraction_spark.functions.dedup import (
+        doc_band_signatures,
+        incremental_near_dup,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog once more "
+    corpus = spark.createDataFrame(
+        [(1, boiler * 3 + "corpus tail one"),
+         (2, "an entirely different indexed document about query planning "
+             "and adaptive execution in distributed engines " * 2)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, boiler * 3 + "corpus tail one"),        # == doc 1
+         (11, "fresh unseen content with its own vocabulary entirely "
+              "unlike anything indexed so far in this corpus " * 2),
+         (12, "fresh unseen content with its own vocabulary entirely "
+              "unlike anything indexed so far in this corpus " * 2),  # == 11
+         (13, "a b")],                                # < 3 words: no shingles
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status
+        for r in incremental_near_dup(
+            doc_band_signatures(corpus), doc_band_signatures(batch)
+        ).collect()
+    }
+    assert out == {10: "dup_of_corpus", 11: "kept", 12: "dup_in_batch"}
+    assert 13 not in out  # shingle-less docs never enter the index
+
+
+def test_incremental_two_batches_equal_one_batch_on_closed_dups(spark):
+    """When the near-dup relation is closed under pairing (identical
+    texts), feeding two increments through survivor-only indexing keeps
+    EXACTLY the docs the single-batch run keeps."""
+    from nlp_series_relation_extraction_spark.functions.dedup import (
+        doc_band_signatures,
+        incremental_near_dup,
+    )
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+             "one two three four five six seven eight nine ten",
+             "red orange yellow green blue indigo violet ultraviolet and more"]
+    rows = [(i, texts[i % 3] + " " + texts[(i + 1) % 3]) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    empty = doc_band_signatures(docs.where("false"))
+
+    single = incremental_near_dup(empty, doc_band_signatures(docs))
+    kept_single = {r.doc_id for r in single.where("status = 'kept'").collect()}
+
+    b1 = docs.where("doc_id < 6")
+    b2 = docs.where("doc_id >= 6")
+    r1 = incremental_near_dup(empty, doc_band_signatures(b1))
+    kept1 = r1.where("status = 'kept'").select(F.col("doc_id").alias("doc_id"))
+    index = doc_band_signatures(
+        b1.join(kept1, "doc_id", "left_semi")
+    )
+    r2 = incremental_near_dup(index, doc_band_signatures(b2))
+    kept2 = {r.doc_id for r in r2.where("status = 'kept'").collect()}
+    kept_incr = {r.doc_id for r in r1.where("status = 'kept'").collect()} | kept2
+    assert kept_incr == kept_single == {0, 1, 2}
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(1, 11)]  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            docs, chunk_tokens=4, overlap=1
+        ).collect()
+    )
+    # step 3: starts 1,4,7 — full coverage, last window clamped to the tail
+    assert out == [
+        (1, 0, 1, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, 4, "t4 t5 t6 t7"),
+        (1, 2, 7, 4, "t7 t8 t9 t10"),
+        (2, 0, 1, 2, "a b"),        # short doc: one chunk of itself
+        (3, 0, 1, 1, ""),           # empty text -> one empty-token chunk
+    ]
+    # adjacent chunks share exactly `overlap` tokens
+    assert out[0][4].split(" ")[-1:] == out[1][4].split(" ")[:1]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -99,3 +99,75 @@ def test_pagerank_duplicate_predicate_edges_collapse(spark):
 def test_pagerank_empty_graph(spark):
     empty = _edges(spark, []).where(F.lit(False))
     assert pagerank(empty).count() == 0
+
+
+def test_two_hop_paths_planted(spark):
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        two_hop_paths,
+    )
+
+    e = spark.createDataFrame(
+        [(1, "p", 2, 1, "c", 0), (2, "q", 3, 1, "c", 0), (2, "q", 4, 1, "c", 0),
+         (5, "r", 6, 1, "c", 0)],
+        "subj_entity_id long, predicate string, obj_entity_id long, "
+        "n_evidence long, first_conv_id string, first_turn_idx int",
+    )
+    got = sorted(
+        (r.a, r.p1, r.b, r.p2, r.c) for r in two_hop_paths(e).collect()
+    )
+    assert got == [(1, "p", 2, "q", 3), (1, "p", 2, "q", 4)]
+
+
+def _tri_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(u, "p", v, 1, "c", 0) for u, v in pairs],
+        "subj_entity_id long, predicate string, obj_entity_id long, "
+        "n_evidence long, first_conv_id string, first_turn_idx int",
+    )
+
+
+def test_triangle_count_planted(spark):
+    from itertools import combinations
+
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = list(combinations(range(4), 2))  # complete graph on 4: C(4,3)=4
+    assert triangle_count(_tri_edges(spark, k4)).collect()[0].n_triangles == 4
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]  # cycle, no chord
+    assert (
+        triangle_count(_tri_edges(spark, square)).collect()[0].n_triangles
+        == 0
+    )
+    # direction / duplicates / self-loops must not change the count
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    assert (
+        triangle_count(_tri_edges(spark, messy)).collect()[0].n_triangles
+        == 1
+    )
+
+
+def test_triangle_count_matches_brute_force_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 30
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(160, 2))
+        if a != b
+    }
+    und = {(min(a, b), max(a, b)) for a, b in pairs}
+    brute = sum(
+        1
+        for u, v in und
+        for w in range(n)
+        if w > v and (v, w) in und and (u, w) in und
+    )
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        triangle_count,
+    )
+
+    got = triangle_count(_tri_edges(spark, sorted(pairs)))
+    assert got.collect()[0].n_triangles == brute
