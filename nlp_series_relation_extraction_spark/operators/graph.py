@@ -185,18 +185,27 @@ def pagerank(
     if num_partitions:
         links = links.repartition(num_partitions, "src")
     links = links.localCheckpoint(eager=True)
+    # dangling flag is carried IN the rank vector (joined once, here) so
+    # each round's dangling-mass sum is a scan of the already-checkpointed
+    # ranks, folded into the round's single job as a broadcast 1-row
+    # aggregate — no separate per-round driver collect (was 2 jobs/round).
     dangling = nodes.join(
         e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-    ).localCheckpoint(eager=True)
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
+    ).withColumn("_dang", F.lit(True))
+    ranks = (
+        nodes.join(dangling, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce(F.col("_dang"), F.lit(False)).alias("_dang"),
+        )
+        .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        dang = (
-            ranks.join(dangling, "id", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        dang_mass = F.broadcast(
+            ranks.where("_dang").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
         )
         contribs = (
             links.join(ranks, links["src"] == ranks["id"])
@@ -208,14 +217,20 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
+            ranks.select("id", "_dang")
+            .join(contribs, "id", "left")
+            .crossJoin(dang_mass)
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + damping
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
+                "_dang",
             )
             .localCheckpoint(eager=True)
         )

@@ -233,26 +233,49 @@ def connected_components(
     und = und.repartition(num_partitions, "b_id").localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = propagate_neighbor_min(und, labels, salt=salt)
+        stepped = labels.join(
+            neighbor_min, labels.mention_id == neighbor_min.a_id, "left"
+        ).select(
+            "mention_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("nbr_min"), F.col("component_id")),
+            ).alias("component_id"),
+            F.col("component_id").alias("_old"),
+        )
+        # path halving (pointer jumping): follow the label one more hop —
+        # component_id := label(component_id). The label a vertex points at
+        # is always itself a connected vertex (labels start as own ids and
+        # only ever move to a neighbor's label), so the self-join is total.
+        # This turns convergence from O(component diameter) rounds into
+        # O(log diameter): a 1000-link near-dup chain resolves in ~10
+        # rounds, not 1000. Each round stays monotone-decreasing and
+        # bounded below by the component min, so the fixpoint (and the
+        # min-reachable-id contract the oracles check) is unchanged.
+        hop = stepped.select(
+            F.col("mention_id").alias("_hm"),
+            F.col("component_id").alias("_hc"),
+        )
         new_labels = (
-            labels.join(
-                neighbor_min, labels.mention_id == neighbor_min.a_id, "left"
-            )
+            stepped.join(hop, stepped.component_id == hop._hm, "left")
             .select(
                 "mention_id",
                 F.least(
                     F.col("component_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                    F.coalesce(F.col("_hc"), F.col("component_id")),
                 ).alias("component_id"),
+                F.col("_old"),
             )
+            # fused change detection: labels only ever decrease, so
+            # "changed" is knowable in-row (new < old) — counting it on the
+            # checkpointed result replaces the old-vs-new shuffle join with
+            # a scan of already-materialized partitions.
+            .withColumn("_changed", F.col("component_id") < F.col("_old"))
+            .drop("_old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mention_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:

@@ -65,6 +65,28 @@ def test_connected_components_chain(spark):
     assert comps[9] == 9
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # a 200-link path graph (diameter 200) must fully collapse within the
+    # DEFAULT max_iter=15: pointer-jumping (path halving) gives O(log d)
+    # convergence, so 15 rounds cover diameters up to ~2^14. Plain
+    # min-label propagation moves the min one hop per round and would need
+    # 200 rounds — this is the regression pin for the halving step.
+    n = 201
+    v = spark.createDataFrame([(i,) for i in range(n)], "mention_id long")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # max_iter warning would fail here
+        comps = {
+            r.mention_id: r.component_id
+            for r in connected_components(v, e, max_iter=15).collect()
+        }
+    assert set(comps.values()) == {0}
+
+
 def test_link_mentions_end_to_end(spark):
     out = link_mentions(_occurrences(spark), threshold=0.4)
     ents = out["entities"].collect()
