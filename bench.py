@@ -68,6 +68,9 @@ RELATIONAL = [
     "balanced_sample",
     "doc_chunks",
     "lm_quality",
+    "hll_distinct_users",
+    "hll_distinct_shingles",
+    "cm_heavy_hitters",
     "kg_degree_stats",
     "kg_two_hop",
     "kg_triangles",

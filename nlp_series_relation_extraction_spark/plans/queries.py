@@ -1116,6 +1116,45 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct via HyperLogLog (p=12, md5-derived
+    registers): one row of register stats + the estimate. At 100 TB this
+    replaces the full-key shuffle of COUNT(DISTINCT): each partition emits
+    <= 4096 (idx, rho) rows. user_id cardinality sits in the
+    linear-counting regime; hll_distinct_shingles exercises the raw-HLL
+    branch. Bit-exact DuckDB oracle (integer register math, one shared
+    float division — functions/sketch.py:hll_sql)."""
+    from ..functions.sketch import hll_distinct
+
+    return hll_distinct(t(spark, sf_dir, "events"), "user_id")
+
+
+def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL over word-3-gram shingles of the documents table — cardinality
+    >> 2.5m, so this pins the raw alpha*m^2/sum(2^-M) estimator branch
+    (the regime a real corpus-statistics job runs in)."""
+    from ..functions.dedup import word_shingles
+    from ..functions.sketch import hll_distinct
+
+    sh = word_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return hll_distinct(sh, "shingle")
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection via a count-min sketch (4 x 512 md5 cells): words
+    holding >= 2% of all document word occurrences (the Zipf-head tokens a
+    tokenizer/stopword pipeline wants), estimated from the constant-size
+    sketch with the exact count alongside (est >= exact always — CM never
+    under-counts, so no true heavy hitter is missed). The sketch build is
+    one sketch-sized shuffle; the probe join broadcasts the sketch."""
+    from ..functions.sketch import cm_heavy_hitters
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return cm_heavy_hitters(words, "word", fraction_ppm=20_000).orderBy("word")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: 3 smallest md5s of word-5-gram
     shingles per document."""
@@ -1851,6 +1890,9 @@ def queries() -> dict:
             "bpe_token_counts": q_bpe_token_counts,
             "redact_sample": q_redact_sample,
             "doc_fingerprint": q_doc_fingerprint,
+            "hll_distinct_users": q_hll_distinct_users,
+            "hll_distinct_shingles": q_hll_distinct_shingles,
+            "cm_heavy_hitters": q_cm_heavy_hitters,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
             "kg_entities": q_kg_entities,
@@ -1872,6 +1914,26 @@ def queries() -> dict:
     for head in ("bio", "mpn", "mhs", "biaffine"):
         q[f"kg_extract_{head}"] = _kg_extract(head)
     return q
+
+
+def _sketch_sqls():
+    from ..functions.sketch import cm_heavy_hitters_sql, hll_sql
+
+    users = hll_sql("events", "user_id")
+    shingles = hll_sql(f"({_SHINGLE3_SQL}) AS sh_tbl", "shingle")
+    hh = (
+        cm_heavy_hitters_sql(
+            "(SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents) AS w",
+            "word",
+            fraction_ppm=20_000,
+        )
+        + " ORDER BY word"
+    )
+    return users, shingles, hh
+
+
+_HLL_USERS_SQL, _HLL_SHINGLES_SQL, _CM_HH_SQL = _sketch_sqls()
 
 
 def oracle_sql() -> dict:
@@ -1920,6 +1982,9 @@ def oracle_sql() -> dict:
             "embeddings", "vec_id", "embedding", list(range(10)), k=5, dim=64
         ),
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "hll_distinct_users": _HLL_USERS_SQL,
+        "hll_distinct_shingles": _HLL_SHINGLES_SQL,
+        "cm_heavy_hitters": _CM_HH_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,

@@ -1,0 +1,141 @@
+"""Sketch operators: HyperLogLog count-distinct and count-min heavy hitters.
+
+Pins the three properties that make a sketch usable at corpus scale:
+bounded size (register/cell count never exceeds the design constant),
+mergeability (sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the algebra
+partial aggregation relies on), and the accuracy contract (HLL relative
+error within the theoretical band; CM never under-estimates)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nlp_series_relation_extraction_spark.functions.sketch import (
+    CM_DEPTH,
+    CM_WIDTH,
+    HLL_M,
+    cm_estimate,
+    cm_heavy_hitters,
+    cm_sketch,
+    hll_distinct,
+    hll_registers,
+)
+
+
+def _ids(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("k")
+    )
+
+
+def test_hll_register_count_bounded(spark):
+    regs = hll_registers(_ids(spark, 50_000), "k")
+    assert regs.count() <= HLL_M
+
+
+def test_hll_raw_estimate_within_error_band(spark):
+    # 50k distinct >> 2.5m = 10240 -> raw HLL regime; with m = 4096 the
+    # standard error is 1.04/sqrt(m) ~ 1.6%, so 8% is a 5-sigma pin.
+    row = hll_distinct(_ids(spark, 50_000), "k").collect()[0]
+    assert abs(row.est - 50_000) / 50_000 < 0.08
+    assert row.est == row.est_hll  # raw branch chosen
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    # 200 distinct -> almost-empty registers -> linear counting branch,
+    # which is near-exact at this fill rate.
+    row = hll_distinct(_ids(spark, 200), "k").collect()[0]
+    assert row.est == row.est_linear
+    assert abs(row.est - 200) / 200 < 0.02
+
+
+def test_hll_merge_is_register_max(spark):
+    # the map-side-combine algebra: registers of the union == elementwise
+    # max of the halves' registers (duplicated ids between halves included
+    # — HLL is insensitive to duplication by construction).
+    a, b = _ids(spark, 3_000), _ids(spark, 3_000, offset=2_000)
+    ra = hll_registers(a, "k")
+    rb = hll_registers(b, "k")
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("idx")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    full = hll_registers(a.unionByName(b), "k")
+    sym_diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    once = hll_distinct(_ids(spark, 5_000), "k").collect()[0]
+    tripled = hll_distinct(
+        _ids(spark, 5_000).crossJoin(spark.range(3)).select("k"), "k"
+    ).collect()[0]
+    assert once == tripled
+
+
+def _zipf_words(spark):
+    # 'w0' x 400, 'w1' x 200, 'w2' x 133, ... — a Zipf head over 40 words
+    return spark.range(40).select(
+        F.explode(
+            F.expr("transform(sequence(1, cast(400 / (id + 1) as int)),"
+                   " x -> concat('w', id))")
+        ).alias("word")
+    )
+
+
+def test_cm_cell_count_bounded(spark):
+    cells = cm_sketch(_zipf_words(spark), "word")
+    assert cells.count() <= CM_DEPTH * CM_WIDTH
+
+
+def test_cm_never_underestimates(spark):
+    words = _zipf_words(spark)
+    sk = cm_sketch(words, "word")
+    est = cm_estimate(sk, words.distinct(), "word")
+    exact = words.groupBy("word").agg(F.count("*").alias("exact"))
+    bad = (
+        est.join(exact, "word")
+        .where(F.col("est") < F.col("exact"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cm_merge_is_cell_sum(spark):
+    a, b = _zipf_words(spark), _ids(spark, 500).select(
+        F.concat(F.lit("x"), (F.col("k") % 7).cast("string")).alias("word")
+    )
+    merged = (
+        cm_sketch(a, "word")
+        .unionByName(cm_sketch(b, "word"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    full = cm_sketch(a.unionByName(b), "word")
+    sym_diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_cm_heavy_hitters_superset_of_true(spark):
+    words = _zipf_words(spark)
+    total = words.count()
+    hh = cm_heavy_hitters(words, "word", fraction_ppm=50_000)
+    got = {r.word for r in hh.collect()}
+    true_hh = {
+        r.word
+        for r in words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") * 1_000_000 >= total * 50_000)
+        .collect()
+    }
+    assert true_hh <= got  # no false negatives, ever
+    for r in hh.collect():
+        assert r.est >= r.exact
+
+
+def test_hll_single_shuffle_plan(spark):
+    # the whole register build must be scan -> partial agg -> ONE exchange
+    # -> final agg: a second exchange would mean the sketch is shuffling
+    # more than register rows.
+    plan = hll_registers(_ids(spark, 1_000), "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
