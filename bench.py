@@ -71,6 +71,7 @@ RELATIONAL = [
     "hll_distinct_users",
     "hll_distinct_shingles",
     "cm_heavy_hitters",
+    "bm25_topk",
     "kg_degree_stats",
     "kg_two_hop",
     "kg_triangles",

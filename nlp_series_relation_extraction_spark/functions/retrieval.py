@@ -1,0 +1,214 @@
+"""Distributed BM25 retrieval over chunked documents (the RAG index path).
+
+Completes the chunking story (functions/curation.py:chunk_documents): build
+an inverted index over the chunk corpus, score a query set with BM25
+(Robertson/Sparck Jones idf in the Lucene "+1" form, k1 = 1.2, b = 0.75),
+return the top-k chunks per query.
+
+Determinism discipline (the repo's oracle convention, cf. functions/lm.py):
+the ONLY implementation-defined operation in BM25 is the idf logarithm —
+everything else is integer counts and single-expression IEEE float math
+that Spark and DuckDB evaluate bit-identically. So idf is quantized to an
+integer ppm immediately after the ln, each matched term's score is
+quantized to integer milli-points, and the final score is a SUM OF
+INTEGERS — order-insensitive, bit-exact cross-engine, hash-matchable.
+
+Scale shape (100 TB chunk corpus):
+* index build = one shuffle: explode terms, hash-aggregate (chunk, term)
+  tf with map-side combine; df aggregates the (already compressed) posting
+  table, not the corpus.
+* scoring joins the posting table against the query-term table — the query
+  side is tiny and BROADCAST, so the corpus-sized side never shuffles for
+  the join; the only corpus-sized exchange is the per-(query, chunk) score
+  aggregation, keyed by (query_id, doc_id, chunk_idx) — naturally spread.
+* hot stopword terms both skew the join AND carry near-zero idf;
+  ``max_df_ratio`` prunes terms present in more than that fraction of
+  chunks (KenLM/stopword practice), bounding the posting fan-out a single
+  query term can trigger.
+* top-k per query is a window over each query's candidate set — partitioned
+  by query_id, so parallelism = number of queries; candidate sets are
+  already score-aggregated (small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def chunk_postings(chunks: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, term, tf, dl): the inverted-index posting table.
+    One shuffle (partial-agg combined)."""
+    toks = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.split("chunk_text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ws").alias("dl"),
+        F.explode("ws").alias("term"),
+    )
+    return toks.groupBy("doc_id", "chunk_idx", "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def bm25_topk(
+    chunks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Top-k BM25 chunks per query.
+
+    ``chunks``: (doc_id, chunk_idx, chunk_text); ``queries``:
+    (query_id, query_text). Returns (query_id, rank, doc_id, chunk_idx,
+    score_milli) with rank 1..k, ties broken by (doc_id, chunk_idx)."""
+    post = chunk_postings(chunks)
+    n_chunks = chunks.count()
+    stats = post.select("doc_id", "chunk_idx", "dl").distinct()
+    avgdl = float(
+        stats.agg(F.sum("dl").cast("double") / F.lit(float(n_chunks))).collect()[0][0]
+    )
+    df = post.groupBy("term").agg(
+        F.countDistinct("doc_id", "chunk_idx").cast("long").alias("df")
+    )
+    # idf quantized to ppm right after the one implementation-defined op
+    # (ln); everything downstream is integer or single-expression IEEE.
+    idf = df.where(
+        F.col("df").cast("double") <= F.lit(float(max_df_ratio)) * F.lit(float(n_chunks))
+    ).select(
+        "term",
+        F.round(
+            F.log(
+                (
+                    (F.lit(float(n_chunks)) - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("long")
+        .alias("idf_ppm"),
+    )
+    qterms = (
+        queries.select(
+            "query_id", F.explode(F.split("query_text", " ")).alias("term")
+        )
+        .distinct()
+    )
+    # query side is tiny -> broadcast; the posting table never moves for
+    # this join.
+    matched = post.join(F.broadcast(qterms), "term").join(
+        F.broadcast(idf), "term"
+    )
+    term_score = matched.select(
+        "query_id",
+        "doc_id",
+        "chunk_idx",
+        F.round(
+            F.col("idf_ppm").cast("double")
+            / F.lit(1_000_000.0)
+            * (
+                F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
+                    )
+                )
+            )
+            * F.lit(1_000.0),
+            0,
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    scored = term_score.groupBy("query_id", "doc_id", "chunk_idx").agg(
+        F.sum("s_milli").cast("long").alias("score_milli")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "chunk_idx", "score_milli")
+    )
+
+
+def bm25_sql(
+    chunks_cte: str,
+    queries_cte: str,
+    k: int = 5,
+    max_df_ratio: float = 0.5,
+) -> str:
+    """DuckDB twin of bm25_topk. ``chunks_cte`` must yield
+    (doc_id, chunk_idx, chunk_text); ``queries_cte`` (query_id, query_text).
+    Same quantization points -> bit-identical score_milli."""
+    return f"""
+WITH chunks AS ({chunks_cte}),
+qs AS ({queries_cte}),
+toks AS (
+  SELECT doc_id, chunk_idx,
+         len(string_split(chunk_text, ' ')) AS dl,
+         unnest(string_split(chunk_text, ' ')) AS term
+  FROM chunks
+),
+post AS (
+  SELECT doc_id, chunk_idx, dl, term, cast(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, chunk_idx, dl, term
+),
+nstat AS (SELECT cast(count(*) AS BIGINT) AS n FROM chunks),
+avgstat AS (
+  SELECT sum(dl)::DOUBLE / (SELECT n FROM nstat)::DOUBLE AS avgdl
+  FROM (SELECT DISTINCT doc_id, chunk_idx, dl FROM post)
+),
+dft AS (
+  SELECT term, cast(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT term, doc_id, chunk_idx FROM post) GROUP BY term
+),
+idf AS (
+  SELECT term,
+         cast(round(ln(((SELECT n FROM nstat)::DOUBLE - df::DOUBLE + 0.5::DOUBLE)
+                       / (df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)
+                    * 1000000.0::DOUBLE) AS BIGINT) AS idf_ppm
+  FROM dft
+  WHERE df::DOUBLE <= {max_df_ratio!r}::DOUBLE * (SELECT n FROM nstat)::DOUBLE
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term
+  FROM qs
+),
+term_score AS (
+  SELECT q.query_id, p.doc_id, p.chunk_idx,
+         cast(round(i.idf_ppm::DOUBLE / 1000000.0::DOUBLE
+             * (p.tf::DOUBLE * {BM25_K1 + 1.0!r}::DOUBLE
+                / (p.tf::DOUBLE + {BM25_K1!r}::DOUBLE
+                   * ({1.0 - BM25_B!r}::DOUBLE
+                      + {BM25_B!r}::DOUBLE * p.dl::DOUBLE
+                        / (SELECT avgdl FROM avgstat))))
+             * 1000.0::DOUBLE) AS BIGINT) AS s_milli
+  FROM post p JOIN qterms q ON p.term = q.term JOIN idf i ON p.term = i.term
+),
+scored AS (
+  SELECT query_id, doc_id, chunk_idx,
+         cast(sum(s_milli) AS BIGINT) AS score_milli
+  FROM term_score GROUP BY query_id, doc_id, chunk_idx
+),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_milli DESC, doc_id, chunk_idx) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, chunk_idx, score_milli
+FROM ranked WHERE rank <= {k}
+"""

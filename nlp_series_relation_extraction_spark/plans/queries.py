@@ -930,7 +930,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
-_CHUNKS_SQL = """
+_CHUNKS_CORE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), k AS (
@@ -947,8 +947,53 @@ SELECT doc_id,
        cast(least(64, n - i * 48) AS INT) AS n_chunk_tokens,
        array_to_string(list_slice(ws, 1 + i * 48, i * 48 + 64), ' ')
          AS chunk_text
-FROM idx ORDER BY doc_id, chunk_idx
+FROM idx
 """
+
+_CHUNKS_SQL = _CHUNKS_CORE + " ORDER BY doc_id, chunk_idx"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval: BM25 top-5 chunks per query over the 64/16 sliding
+    chunk corpus; queries are the first 5 words of every 97th document
+    (deterministic, non-vacuous — the source doc's own chunk must surface).
+    Integer-milli scores (functions/retrieval.py quantization discipline)
+    make the DuckDB oracle bit-exact; the query-term and idf tables are
+    broadcast so the posting table never shuffles for the join."""
+    from ..functions.curation import chunk_documents
+    from ..functions.retrieval import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    qs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias(
+            "query_text"
+        ),
+    )
+    # the synthetic corpus has a ~31-word vocabulary where almost every
+    # term exceeds the default 0.5 df cap — keep every term here so the
+    # scoring/ranking path is exercised; real corpora use the default
+    # (the pruning semantics are pinned in tests/test_retrieval.py).
+    return bm25_topk(chunks, qs, k=5, max_df_ratio=1.0).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _bm25_sql() -> str:
+    from ..functions.retrieval import bm25_sql
+
+    return (
+        bm25_sql(
+            _CHUNKS_CORE,
+            "SELECT doc_id AS query_id, "
+            "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')"
+            " AS query_text FROM documents WHERE doc_id % 97 = 0",
+            k=5,
+            max_df_ratio=1.0,
+        )
+        + " ORDER BY query_id, rank"
+    )
 
 
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1891,6 +1936,7 @@ def queries() -> dict:
             "redact_sample": q_redact_sample,
             "doc_fingerprint": q_doc_fingerprint,
             "hll_distinct_users": q_hll_distinct_users,
+            "bm25_topk": q_bm25_topk,
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
             "entity_em_eval": q_entity_em,
@@ -1983,6 +2029,7 @@ def oracle_sql() -> dict:
         ),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "hll_distinct_users": _HLL_USERS_SQL,
+        "bm25_topk": _bm25_sql(),
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
