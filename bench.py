@@ -72,6 +72,7 @@ RELATIONAL = [
     "hll_distinct_shingles",
     "cm_heavy_hitters",
     "bm25_topk",
+    "kg_fact_intervals",
     "kg_degree_stats",
     "kg_two_hop",
     "kg_triangles",

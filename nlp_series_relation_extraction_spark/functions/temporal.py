@@ -95,3 +95,71 @@ def rollup_time_buckets(
             ).alias("value_cents"),
         )
     )
+
+
+def scd2_intervals(
+    facts: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temporal-KG fact versioning (SCD-2 / gaps-and-islands): collapse a
+    timestamped fact stream into validity intervals per key.
+
+    For each key (e.g. (subject, predicate)), consecutive observations of
+    the SAME value merge into one interval [valid_from, valid_to); a new
+    value CLOSES the previous interval at its first observation and opens
+    its own. The latest interval per key has valid_to NULL and
+    is_current = true — the "current state of the world" slice a KG serves
+    queries from, while the closed intervals are its history (how the
+    reference's eval-time triple set would evolve across re-ingested
+    transcript batches).
+
+    Mechanics: lag(value) over (key ORDER BY ts, order_cols) marks change
+    points, a running sum of change flags numbers the islands, the island
+    groupBy takes min(ts) = valid_from + an evidence count, and
+    lead(valid_from) closes each interval. All three passes share ONE
+    shuffle on the key columns (the window and the groupBy use the same
+    partitioning, which Catalyst reuses); values and timestamps stay
+    integer/timestamp-typed, so the DuckDB oracle is bit-exact.
+
+    ``order_cols`` breaks timestamp ties deterministically (pass the event
+    id); at 100 TB the per-key window is the scale shape to watch — keys
+    are (entity, predicate) pairs, so parallelism is the number of facts
+    being versioned, and a single hot key degrades to one task only if one
+    entity-predicate pair dominates the corpus (add the key's salt-window
+    variant before that point).
+    """
+    order_cols = order_cols or []
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.when(
+        F.lag(F.col(value_col)).over(wk).isNull()
+        | (F.lag(F.col(value_col)).over(wk) != F.col(value_col)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = facts.select(
+        *key_cols,
+        value_col,
+        ts_col,
+        F.sum(changed).over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    grouped = islands.groupBy(*key_cols, "island").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("last_seen"),
+        F.first(value_col).alias(value_col),
+        F.count("*").cast("long").alias("n_evidence"),
+    )
+    wi = Window.partitionBy(*key_cols).orderBy("valid_from", "island")
+    return grouped.select(
+        *key_cols,
+        value_col,
+        "valid_from",
+        F.lead("valid_from").over(wi).alias("valid_to"),
+        "last_seen",
+        "n_evidence",
+        F.lead("valid_from").over(wi).isNull().alias("is_current"),
+    )

@@ -1393,6 +1393,80 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG fact versioning: the events stream read as timestamped
+    (subject=user, predicate=event_type, object=k%4) facts, collapsed to
+    SCD-2 validity intervals — a new object value closes the previous
+    interval; the open interval per key is the KG's current state
+    (functions/temporal.py:scd2_intervals). Bit-exact window-twin oracle."""
+    from ..functions.temporal import scd2_intervals
+
+    facts = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.regexp_extract("props", '"k": (\\d+)', 1).cast("int") % 4
+        ).alias("obj"),
+        "ts",
+        "event_id",
+    )
+    out = scd2_intervals(
+        facts, ["user_id", "event_type"], "obj", "ts", ["event_id"]
+    )
+    # interval bounds as epoch micros: timestamp columns land in pandas as
+    # ns-vs-us dtypes across engines; integers compare exactly
+    def us(c: str):  # TIMESTAMP_NTZ -> epoch micros, timezone-free
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        ).cast("long")
+
+    return out.select(
+        "user_id",
+        "event_type",
+        "obj",
+        us("valid_from").alias("valid_from_us"),
+        us("valid_to").alias("valid_to_us"),
+        us("last_seen").alias("last_seen_us"),
+        "n_evidence",
+        "is_current",
+    ).orderBy("user_id", "event_type", "valid_from_us")
+
+
+_FACT_INTERVALS_SQL = r"""
+WITH facts AS (
+  SELECT user_id, event_type,
+         cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         ts, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                   OR lag(obj) OVER w != obj THEN 1 ELSE 0 END AS chg
+  FROM facts
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), g AS (
+  SELECT user_id, event_type, island,
+         min(ts) AS valid_from, max(ts) AS last_seen, min(obj) AS obj,
+         cast(count(*) AS BIGINT) AS n_evidence
+  FROM isl GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type, obj,
+       epoch_us(valid_from) AS valid_from_us,
+       epoch_us(lead(valid_from) OVER wi) AS valid_to_us,
+       epoch_us(last_seen) AS last_seen_us,
+       n_evidence,
+       lead(valid_from) OVER wi IS NULL AS is_current
+FROM g
+WINDOW wi AS (PARTITION BY user_id, event_type ORDER BY valid_from, island)
+ORDER BY user_id, event_type, valid_from_us
+"""
+
+
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation per group (count_distinct shuffle shape)."""
     e = t(spark, sf_dir, "events")
@@ -1937,6 +2011,7 @@ def queries() -> dict:
             "doc_fingerprint": q_doc_fingerprint,
             "hll_distinct_users": q_hll_distinct_users,
             "bm25_topk": q_bm25_topk,
+            "kg_fact_intervals": q_kg_fact_intervals,
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
             "entity_em_eval": q_entity_em,
@@ -2030,6 +2105,7 @@ def oracle_sql() -> dict:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "hll_distinct_users": _HLL_USERS_SQL,
         "bm25_topk": _bm25_sql(),
+        "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,

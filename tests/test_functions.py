@@ -863,3 +863,60 @@ def test_chunk_documents_sliding_windows(spark):
     assert out[0][4].split(" ")[-1:] == out[1][4].split(" ")[:1]
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_scd2_intervals_run_collapse_and_closing(spark):
+    from datetime import datetime
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        scd2_intervals,
+    )
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    facts = spark.createDataFrame(
+        [
+            ("s", "p", "A", ts(1), 1),
+            ("s", "p", "A", ts(2), 2),  # same value -> same interval
+            ("s", "p", "B", ts(3), 3),  # closes A at day 3
+            ("s", "p", "A", ts(5), 4),  # A again -> NEW interval, not merged
+            ("t", "p", "X", ts(4), 5),  # other key untouched
+        ],
+        "subj string, pred string, obj string, ts timestamp, fid long",
+    )
+    out = scd2_intervals(
+        facts, ["subj", "pred"], "obj", "ts", ["fid"]
+    ).collect()
+    sp = sorted(
+        [r for r in out if r.subj == "s"], key=lambda r: r.valid_from
+    )
+    assert [r.obj for r in sp] == ["A", "B", "A"]
+    assert [r.n_evidence for r in sp] == [2, 1, 1]
+    # each interval closes exactly where the next opens; last is open
+    assert sp[0].valid_to == sp[1].valid_from == ts(3)
+    assert sp[1].valid_to == sp[2].valid_from == ts(5)
+    assert sp[2].valid_to is None and sp[2].is_current
+    assert not sp[0].is_current and not sp[1].is_current
+    assert sp[0].last_seen == ts(2)
+    (tx,) = [r for r in out if r.subj == "t"]
+    assert tx.is_current and tx.n_evidence == 1
+
+
+def test_scd2_intervals_equal_ts_tiebreak(spark):
+    from datetime import datetime
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        scd2_intervals,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [("s", "A", t0, 2), ("s", "B", t0, 1)],
+        "subj string, obj string, ts timestamp, fid long",
+    )
+    out = sorted(
+        scd2_intervals(facts, ["subj"], "obj", "ts", ["fid"]).collect(),
+        key=lambda r: (r.valid_from, r.obj),
+    )
+    # fid breaks the tie: B (fid 1) opens first, A (fid 2) is current
+    assert [r.obj for r in out] == ["A", "B"]
+    assert [r.is_current for r in out] == [True, False]
