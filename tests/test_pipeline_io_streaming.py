@@ -520,3 +520,103 @@ def test_linking_deterministic_across_runs(spark):
         )
 
     assert run() == run()
+
+
+def test_streaming_hll_stream_equals_batch_and_resumes(spark, tmp_path):
+    """The HLL register state after draining a stream equals the batch
+    sketch; adding files and resuming from the checkpoint folds ONLY the
+    new data in, and the state still equals the full-corpus batch sketch
+    (the incremental-maintenance contract of a mergeable sketch)."""
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        hll_registers,
+    )
+    from nlp_series_relation_extraction_spark.streaming.sketches import (
+        hll_registers_stream,
+    )
+
+    src = str(tmp_path / "hsrc")
+    spark.range(0, 3_000).selectExpr("id as k").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            hll_registers_stream(stream, "k")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "hckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.idx, r.max_rho)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    got1 = drain("hll_s1")
+    want1 = {
+        (r.idx, r.max_rho)
+        for r in hll_registers(
+            spark.range(0, 3_000).selectExpr("id as k"), "k"
+        ).collect()
+    }
+    assert got1 == want1 and len(got1) > 0
+
+    # new data arrives; the SAME checkpoint resumes and folds it in
+    spark.range(3_000, 5_000).selectExpr("id as k").write.mode(
+        "append"
+    ).parquet(src)
+    got2 = drain("hll_s2")
+    want2 = {
+        (r.idx, r.max_rho)
+        for r in hll_registers(
+            spark.range(0, 5_000).selectExpr("id as k"), "k"
+        ).collect()
+    }
+    assert got2 == want2
+    assert got2 != got1  # the increment actually changed the state
+
+
+def test_streaming_cm_sketch_equals_batch(spark, tmp_path):
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        cm_sketch,
+    )
+    from nlp_series_relation_extraction_spark.streaming.sketches import (
+        cm_sketch_stream,
+    )
+
+    src = str(tmp_path / "csrc")
+    words = spark.range(0, 2_000).selectExpr(
+        "concat('w', cast(id % 37 as string)) as word"
+    )
+    words.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("word string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        cm_sketch_stream(stream, "word")
+        .writeStream.format("memory")
+        .queryName("cm_s")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.j, r.bucket, r.cnt)
+        for r in spark.sql("select * from cm_s").collect()
+    }
+    want = {
+        (r.j, r.bucket, r.cnt) for r in cm_sketch(words, "word").collect()
+    }
+    assert got == want and len(got) > 0
