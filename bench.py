@@ -73,6 +73,7 @@ RELATIONAL = [
     "cm_heavy_hitters",
     "bm25_topk",
     "kg_fact_intervals",
+    "skew_report",
     "kg_degree_stats",
     "kg_two_hop",
     "kg_triangles",

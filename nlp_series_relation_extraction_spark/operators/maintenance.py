@@ -1,0 +1,131 @@
+"""Table maintenance for long-lived pipeline sinks: small-file compaction
+and skew diagnostics.
+
+An incrementally-maintained triple/edge table (operators/graph.py:
+merge_edge_increment, streaming sinks) accretes one file set per batch; at
+trillion-turn scale that is millions of KB-sized files, and scan planning
+— not scanning — becomes the bottleneck (every query pays file-listing +
+footer reads per file). Iceberg calls the fix "rewrite_data_files"; this
+is the engine-level equivalent for the repo's parquet/Iceberg-shaped
+sinks: rewrite a table directory into size-targeted files, preserving
+rows exactly and (optionally) clustering on sort keys so downstream
+range/merge scans prune.
+
+Skew diagnostics answer the question every shuffle-heavy stage asks
+BEFORE it runs at 100 TB: is this key safe to shuffle on? The report is
+two tiny aggregations (top-k hot keys with their share, plus the exact
+row count a perfectly-hashed reducer would get), so the pipeline can
+decide salt factors (cf. operators/linking.py salting) from data, not
+folklore.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Inspect a parquet table directory: file count/bytes and the number
+    of size-targeted output files a rewrite should produce. Driver-side
+    file listing only (the same listing any scan plan performs)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    files = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            files.append(int(f.getLen()))
+    total = sum(files)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "avg_bytes": total // max(len(files), 1),
+        "target_files": max(1, math.ceil(total / target_bytes)),
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite ``src_path`` into ``dst_path`` with size-targeted files.
+
+    ``sort_cols`` switches from plain coalesce-style packing to
+    ``repartitionByRange`` + within-partition sort — range-clustered files
+    whose min/max column stats let downstream scans prune (the Iceberg
+    sort-compaction strategy). Without it, ``repartition(n)`` round-robins
+    rows for evenly-sized files. Returns before/after stats; row-count
+    preservation is asserted here (a compaction that loses rows must never
+    return)."""
+    before = plan_compaction(spark, src_path, target_bytes)
+    df = spark.read.parquet(src_path)
+    n_out = before["target_files"]
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    after = plan_compaction(spark, dst_path, target_bytes)
+    n_src = df.count()
+    n_dst = spark.read.parquet(dst_path).count()
+    if n_src != n_dst:
+        raise AssertionError(
+            f"compaction row-count mismatch: {n_src} -> {n_dst}"
+        )
+    return {"before": before, "after": after, "rows": n_dst}
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """(rank, key, n_rows, share_ppm, skew_x): the top-k hottest shuffle
+    keys, each with its corpus share and its multiple of the mean per-key
+    load (skew_x = n_rows * n_distinct_keys / n_total, integer-rounded).
+    skew_x is the straggler factor a shuffle on these keys would see: a
+    key at 400x the mean needs salting (or AQE skew-join) before the
+    stage is safe. Two aggregations, both map-side combined; the totals
+    ride along via a broadcast 1-row cross join — no driver collect."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_rows").cast("long").alias("n_total"),
+            F.count("*").cast("long").alias("n_keys"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, driver merge of k-row heads) — NOT a global window,
+    # which would funnel the whole per-key count table through one task.
+    # The row_number window then runs over k rows only.
+    top = (
+        counts.crossJoin(totals)
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_rows"), "key")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div n_total").alias("share_ppm"),
+            F.expr("(n_rows * n_keys) div n_total").alias("skew_x"),
+        )
+    )

@@ -1393,6 +1393,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-safety diagnostics: the top-10 hottest join/agg keys of the
+    lineitem fact table by l_suppkey, with corpus share (ppm) and the
+    straggler factor skew_x = multiple of the mean per-key load — the
+    number the pipeline reads to size salts BEFORE shuffling at 100 TB
+    (operators/maintenance.py:skew_report; global top-k is
+    TakeOrderedAndProject, never a one-task window)."""
+    from ..operators.maintenance import skew_report
+
+    return skew_report(
+        t(spark, sf_dir, "lineitem"), ["l_suppkey"], top_k=10
+    ).orderBy("rank")
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT cast(l_suppkey AS VARCHAR) AS key,
+         cast(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT cast(sum(n_rows) AS BIGINT) AS n_total,
+         cast(count(*) AS BIGINT) AS n_keys
+  FROM counts
+), ranked AS (
+  SELECT cast(row_number() OVER (ORDER BY n_rows DESC, key) AS INT) AS rank,
+         key, n_rows,
+         (n_rows * 1000000) // n_total AS share_ppm,
+         (n_rows * n_keys) // n_total AS skew_x
+  FROM counts CROSS JOIN tot
+)
+SELECT rank, key, n_rows, share_ppm, skew_x
+FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-KG fact versioning: the events stream read as timestamped
     (subject=user, predicate=event_type, object=k%4) facts, collapsed to
@@ -2012,6 +2047,7 @@ def queries() -> dict:
             "hll_distinct_users": q_hll_distinct_users,
             "bm25_topk": q_bm25_topk,
             "kg_fact_intervals": q_kg_fact_intervals,
+            "skew_report": q_skew_report,
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
             "entity_em_eval": q_entity_em,
@@ -2106,6 +2142,7 @@ def oracle_sql() -> dict:
         "hll_distinct_users": _HLL_USERS_SQL,
         "bm25_topk": _bm25_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
+        "skew_report": _SKEW_REPORT_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
