@@ -74,6 +74,8 @@ RELATIONAL = [
     "bm25_topk",
     "kg_fact_intervals",
     "skew_report",
+    "kg_predicate_schema",
+    "kg_negative_samples",
     "kg_degree_stats",
     "kg_two_hop",
     "kg_triangles",

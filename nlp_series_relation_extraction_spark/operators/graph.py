@@ -332,3 +332,124 @@ def write_graph(
         edges.write.mode("overwrite").partitionBy("predicate").parquet(
             f"{base_path}/edges"
         )
+
+
+def predicate_schema(edges: DataFrame) -> DataFrame:
+    """Schema induction over the canonical edge table: per predicate, the
+    cardinality statistics a KG pipeline derives its ontology (and its
+    entity-resolution weights) from —
+
+      n_triples, n_subjects, n_objects,
+      functionality_ppm         = n_subjects*1e6 div n_triples
+      inverse_functionality_ppm = n_objects*1e6  div n_triples
+
+    A predicate with functionality ~1e6 is one-triple-per-subject
+    (born_in-like, key-ish: a strong entity-resolution signal — two
+    mentions sharing a highly-functional predicate's object are likely the
+    same entity); low functionality marks multi-valued predicates.
+    Integer-ppm division keeps the DuckDB oracle bit-exact. One
+    aggregation pass: countDistinct subj/obj expand to Catalyst's
+    two-phase partial-distinct plan, no extra job."""
+    return edges.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("subj_entity_id").cast("long").alias("n_subjects"),
+        F.countDistinct("obj_entity_id").cast("long").alias("n_objects"),
+        F.expr(
+            "(count(distinct subj_entity_id) * 1000000)"
+            " div count(*)"
+        ).alias("functionality_ppm"),
+        F.expr(
+            "(count(distinct obj_entity_id) * 1000000)"
+            " div count(*)"
+        ).alias("inverse_functionality_ppm"),
+    )
+
+
+def dense_index(
+    df: DataFrame, col: str, num_partitions: int = 8
+) -> DataFrame:
+    """(col, ent_idx): dense 0..N-1 index = each row's rank in the global
+    sort order of ``col`` — WITHOUT a one-task global window (the repo's
+    no-global-Window rule). Range-partition on the column, row_number
+    within each partition (distributed — partitions sort independently),
+    then add per-partition offsets computed from a collected partition-
+    count table (num_partitions rows — driver-sized by construction).
+    Range partitioning makes partition order == value order, so the final
+    index is the global sorted rank, independent of partition boundaries
+    (what the DuckDB oracle's row_number reproduces)."""
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(num_partitions, F.col(col))
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(
+        (r._pid, r.cnt)
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    return with_pid.select(
+        col,
+        (
+            F.row_number().over(w).cast("long")
+            - 1
+            + F.element_at(off, F.col("_pid"))
+        ).alias("ent_idx"),
+    )
+
+
+def corrupt_triples(
+    edges: DataFrame, n_neg: int = 2
+) -> DataFrame:
+    """Negative sampling for KG-embedding training (TransE/DistMult prep):
+    for every positive edge, ``n_neg`` corrupted copies whose OBJECT is
+    replaced by a pseudo-random entity drawn md5-deterministically from
+    the graph's own entity set.
+
+    Mechanics: entities get a dense 0..E-1 index (row_number over sorted
+    id — one tiny shuffle of the vertex set); each (edge, neg_i) pair
+    hashes to an index via md5(subj|pred|obj|i) and joins the index table.
+    The join key is uniform by construction — no skew — and the entity
+    index broadcasts while vertex sets fit (beyond that it is a balanced
+    shuffle join). Corruptions that collide with the true object are kept
+    and FLAGGED (is_false_negative) rather than resampled, so the row
+    count is exactly n_pos * n_neg and the oracle stays closed-form."""
+
+    ents = (
+        edges.select(F.col("subj_entity_id").alias("eid"))
+        .unionByName(edges.select(F.col("obj_entity_id").alias("eid")))
+        .distinct()
+    )
+    n_ents = ents.count()
+    idx = dense_index(ents, "eid")
+    exploded = edges.select(
+        "subj_entity_id",
+        "predicate",
+        "obj_entity_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_neg)])).alias("neg_i"),
+    ).withColumn(
+        "ent_idx",
+        F.expr(
+            "cast(conv(substring(md5(concat_ws('|', subj_entity_id,"
+            " predicate, obj_entity_id, neg_i)), 1, 7), 16, 10) as bigint)"
+        )
+        % F.lit(n_ents),
+    )
+    return (
+        exploded.join(F.broadcast(idx), "ent_idx")
+        .select(
+            "subj_entity_id",
+            "predicate",
+            F.col("obj_entity_id").alias("true_obj"),
+            "neg_i",
+            F.col("eid").alias("neg_obj"),
+            (F.col("eid") == F.col("obj_entity_id")).alias(
+                "is_false_negative"
+            ),
+        )
+    )

@@ -1675,6 +1675,103 @@ def _derived_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_table(canonical_triples(trip, aliases))
 
 
+def _schema_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-predicate derived edge table for schema induction / negative
+    sampling: lineitem facts as (suppkey, rel_<returnflag>, partkey)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.groupBy(
+        F.col("l_suppkey").cast("long").alias("subj_entity_id"),
+        F.concat(F.lit("rel_"), F.col("l_returnflag")).alias("predicate"),
+        F.col("l_partkey").cast("long").alias("obj_entity_id"),
+    ).agg(F.count("*").cast("long").alias("n_evidence"))
+
+
+_SCHEMA_EDGES_CTE = """edges AS (
+  SELECT cast(l_suppkey AS BIGINT) AS subj_entity_id,
+         concat('rel_', l_returnflag) AS predicate,
+         cast(l_partkey AS BIGINT) AS obj_entity_id,
+         cast(count(*) AS BIGINT) AS n_evidence
+  FROM lineitem WHERE l_linenumber <= 2
+  GROUP BY 1, 2, 3
+)"""
+
+
+def q_kg_predicate_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology/schema induction: per-predicate cardinality profile
+    (functionality & inverse functionality in integer ppm) over a
+    multi-predicate edge table — the stats a KG derives key-ness and
+    entity-resolution weights from (operators/graph.py:predicate_schema)."""
+    from ..operators.graph import predicate_schema
+
+    return predicate_schema(_schema_edges(spark, sf_dir)).orderBy(
+        "predicate"
+    )
+
+
+_PREDICATE_SCHEMA_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE}
+SELECT predicate,
+       cast(count(*) AS BIGINT) AS n_triples,
+       cast(count(DISTINCT subj_entity_id) AS BIGINT) AS n_subjects,
+       cast(count(DISTINCT obj_entity_id) AS BIGINT) AS n_objects,
+       (count(DISTINCT subj_entity_id) * 1000000) // count(*)
+         AS functionality_ppm,
+       (count(DISTINCT obj_entity_id) * 1000000) // count(*)
+         AS inverse_functionality_ppm
+FROM edges GROUP BY predicate ORDER BY predicate
+"""
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training prep: md5-deterministic negative sampling —
+    every positive edge yields n_neg=2 corrupted copies whose object is a
+    pseudo-random entity from the graph's own vertex set (dense-indexed
+    WITHOUT a global window: range partitions + per-partition row_number
+    + collected offsets). Collisions with the true object are flagged,
+    not resampled, so row count is exactly 2x the edges and the DuckDB
+    twin is closed-form."""
+    from ..operators.graph import corrupt_triples
+
+    out = corrupt_triples(_schema_edges(spark, sf_dir), n_neg=2)
+    return out.orderBy("subj_entity_id", "predicate", "true_obj", "neg_i")
+
+
+_NEGATIVE_SAMPLES_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+ents AS (
+  SELECT DISTINCT eid FROM (
+    SELECT subj_entity_id AS eid FROM edges
+    UNION ALL SELECT obj_entity_id FROM edges
+  )
+),
+n AS (SELECT cast(count(*) AS BIGINT) AS n_ents FROM ents),
+idx AS (
+  SELECT eid,
+         cast(row_number() OVER (ORDER BY eid) - 1 AS BIGINT) AS ent_idx
+  FROM ents
+),
+exploded AS (
+  SELECT subj_entity_id, predicate, obj_entity_id,
+         unnest(generate_series(0, 1)) AS neg_i
+  FROM edges
+),
+hashed AS (
+  SELECT *,
+         cast(concat('0x', substr(md5(concat_ws('|', subj_entity_id,
+           predicate, obj_entity_id, neg_i)), 1, 7)) AS BIGINT)
+           % (SELECT n_ents FROM n) AS ent_idx
+  FROM exploded
+)
+SELECT h.subj_entity_id, h.predicate,
+       h.obj_entity_id AS true_obj,
+       cast(h.neg_i AS INT) AS neg_i,
+       i.eid AS neg_obj,
+       i.eid = h.obj_entity_id AS is_false_negative
+FROM hashed h JOIN idx i USING (ent_idx)
+ORDER BY subj_entity_id, predicate, true_obj, neg_i
+"""
+
+
 def q_kg_graph_edges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization driver-checked: canonical_triples (alias
     joins, null for unlinked mentions) + edge_table (evidence counts +
@@ -2048,6 +2145,8 @@ def queries() -> dict:
             "bm25_topk": q_bm25_topk,
             "kg_fact_intervals": q_kg_fact_intervals,
             "skew_report": q_skew_report,
+            "kg_predicate_schema": q_kg_predicate_schema,
+            "kg_negative_samples": q_kg_negative_samples,
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
             "entity_em_eval": q_entity_em,
@@ -2143,6 +2242,8 @@ def oracle_sql() -> dict:
         "bm25_topk": _bm25_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "skew_report": _SKEW_REPORT_SQL,
+        "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
+        "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,

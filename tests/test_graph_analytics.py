@@ -171,3 +171,67 @@ def test_triangle_count_matches_brute_force_random(spark):
 
     got = triangle_count(_tri_edges(spark, sorted(pairs)))
     assert got.collect()[0].n_triangles == brute
+
+
+def test_dense_index_is_global_sorted_rank_any_partitioning(spark):
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        dense_index,
+    )
+
+    vals = [9, 3, 77, 41, 5, 100, 2, 64, 8, 13]
+    df = spark.createDataFrame([(v,) for v in vals], "eid long")
+    want = {v: i for i, v in enumerate(sorted(vals))}
+    for nparts in (1, 3, 8):
+        got = {
+            r.eid: r.ent_idx
+            for r in dense_index(df, "eid", num_partitions=nparts).collect()
+        }
+        assert got == want  # independent of partition boundaries
+
+
+def test_predicate_schema_functionality(spark):
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        predicate_schema,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # born_in: one object per subject -> functionality 1e6
+            (1, "born_in", 10, 1),
+            (2, "born_in", 11, 1),
+            (3, "born_in", 10, 1),
+            # works_for: subject 1 has two employers
+            (1, "works_for", 20, 1),
+            (1, "works_for", 21, 1),
+        ],
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " n_evidence long",
+    )
+    got = {r.predicate: r for r in predicate_schema(edges).collect()}
+    b = got["born_in"]
+    assert (b.n_triples, b.n_subjects, b.n_objects) == (3, 3, 2)
+    assert b.functionality_ppm == 1_000_000
+    assert b.inverse_functionality_ppm == 666_666
+    w = got["works_for"]
+    assert w.functionality_ppm == 500_000
+
+
+def test_corrupt_triples_shape_and_determinism(spark):
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        corrupt_triples,
+    )
+
+    edges = spark.createDataFrame(
+        [(s, "p", o, 1) for s, o in [(1, 2), (1, 3), (4, 2), (5, 6)]],
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " n_evidence long",
+    )
+    out = corrupt_triples(edges, n_neg=3)
+    rows = out.collect()
+    assert len(rows) == 4 * 3  # exactly n_pos * n_neg, collisions kept
+    ents = {1, 2, 3, 4, 5, 6}
+    for r in rows:
+        assert r.neg_obj in ents
+        assert r.is_false_negative == (r.neg_obj == r.true_obj)
+    again = corrupt_triples(edges, n_neg=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
