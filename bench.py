@@ -73,6 +73,7 @@ RELATIONAL = [
     "cm_heavy_hitters",
     "bm25_topk",
     "kg_fact_intervals",
+    "conversation_context",
     "skew_report",
     "kg_predicate_schema",
     "kg_negative_samples",

@@ -1428,6 +1428,52 @@ FROM ranked WHERE rank <= 10 ORDER BY rank
 """
 
 
+def q_conversation_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context assembly for context-aware extraction: every turn joined
+    with its previous k=2 turns ("role: text", oldest first) — one window
+    pass on the transcript's native conv_id partitioning, never a driver
+    collect (operators/conversation.py:turns_with_context). Documents are
+    folded 8-to-a-conversation so the oracle sees the same table."""
+    from ..operators.conversation import turns_with_context
+
+    turns = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    return (
+        turns_with_context(turns, k=2)
+        .select(
+            "conv_id", "turn_idx", "role", "context_text", "n_context_turns"
+        )
+        .orderBy(F.col("conv_id").cast("long"), "turn_idx")
+    )
+
+
+_CONV_CONTEXT_SQL = """
+WITH turns AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents
+), ctx AS (
+  SELECT conv_id, turn_idx, role,
+         list(concat(role, ': ', text)) OVER w AS ctx_list
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, role,
+       coalesce(array_to_string(ctx_list, ' [CTX] '), '') AS context_text,
+       cast(coalesce(len(ctx_list), 0) AS INT) AS n_context_turns
+FROM ctx ORDER BY cast(conv_id AS BIGINT), turn_idx
+"""
+
+
 def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-KG fact versioning: the events stream read as timestamped
     (subject=user, predicate=event_type, object=k%4) facts, collapsed to
@@ -2146,6 +2192,7 @@ def queries() -> dict:
             "kg_fact_intervals": q_kg_fact_intervals,
             "skew_report": q_skew_report,
             "kg_predicate_schema": q_kg_predicate_schema,
+            "conversation_context": q_conversation_context,
             "kg_negative_samples": q_kg_negative_samples,
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
@@ -2243,6 +2290,7 @@ def oracle_sql() -> dict:
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "skew_report": _SKEW_REPORT_SQL,
         "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
+        "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,

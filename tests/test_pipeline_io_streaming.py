@@ -620,3 +620,30 @@ def test_streaming_cm_sketch_equals_batch(spark, tmp_path):
         (r.j, r.bucket, r.cnt) for r in cm_sketch(words, "word").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_turns_with_context_window_and_order(spark):
+    from nlp_series_relation_extraction_spark.operators.conversation import (
+        turns_with_context,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "hi"),
+            ("c1", 2, "user", "who won"),
+            ("c1", 3, "assistant", "spain"),
+            ("c2", 0, "user", "solo"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.context_text, r.n_context_turns)
+        for r in turns_with_context(t, k=2).collect()
+    }
+    assert got[("c1", 0)] == ("", 0)
+    assert got[("c1", 1)] == ("user: hello", 1)
+    # oldest-first, capped at k=2
+    assert got[("c1", 2)] == ("user: hello [CTX] assistant: hi", 2)
+    assert got[("c1", 3)] == ("assistant: hi [CTX] user: who won", 2)
+    assert got[("c2", 0)] == ("", 0)  # conversations never leak context
