@@ -69,6 +69,12 @@ def bm25_topk(
     score_milli) with rank 1..k, ties broken by (doc_id, chunk_idx)."""
     post = chunk_postings(chunks)
     n_chunks = chunks.count()
+    if n_chunks == 0:  # empty corpus: no index, no matches
+        return chunks.sparkSession.createDataFrame(
+            [],
+            "query_id long, rank int, doc_id long, chunk_idx int,"
+            " score_milli long",
+        )
     stats = post.select("doc_id", "chunk_idx", "dl").distinct()
     avgdl = float(
         stats.agg(F.sum("dl").cast("double") / F.lit(float(n_chunks))).collect()[0][0]

@@ -117,3 +117,14 @@ def test_query_join_is_broadcast(spark):
     # the two small sides (query terms, idf table) broadcast; the posting
     # table must NOT be exchanged for those joins
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_empty_corpus_returns_empty(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, chunk_idx int, chunk_text string"
+    )
+    out = bm25_topk(empty, _queries(spark, ["anything"]), k=5)
+    assert out.count() == 0
+    assert out.columns == [
+        "query_id", "rank", "doc_id", "chunk_idx", "score_milli",
+    ]
