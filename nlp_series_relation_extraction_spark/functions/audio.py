@@ -220,3 +220,57 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
         F.col("meta.n_samples").alias("n_samples"),
     )
     return flat.mapInPandas(run, schema=schema)
+
+
+def synthesize_audio_features(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 16_000
+) -> DataFrame:
+    """Fused synth -> decode -> features in ONE Arrow pass.
+
+    The staged path (synthesize_audio |> extract_audio_features) ships the
+    ~20KB-per-row WAV payload JVM->Python->JVM->Python: two adjacent
+    mapInPandas stages cannot be fused by Catalyst, so the binary column
+    crosses the Arrow boundary three times. When stages are adjacent and
+    the intermediate is only consumed by the next stage, compose the pure
+    per-row functions inside one UDF instead — the payload never leaves
+    the Python worker. Output is pinned byte-identical to the staged path
+    (tests/test_audio.py); a pipeline that needs the WAV column
+    materialized still uses the staged operators."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"],
+                "sample_rate": [],
+                "n_samples": [],
+                "n_bytes": [],
+                "features": [],
+            }
+            for text in pdf["text"]:
+                t = (text or "").encode("utf-8")
+                n = len(t) * 32 + 256
+                seed = int.from_bytes(hashlib.md5(t).digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                freq = 100.0 + (seed % 4000)
+                k = np.arange(n, dtype=np.float64)
+                tone = 0.5 * np.sin(2 * np.pi * freq * k / sample_rate)
+                noise = 0.05 * rng.standard_normal(n)
+                pcm = np.clip((tone + noise) * 32767, -32768, 32767).astype(
+                    np.int16
+                )
+                wav = encode_audio_wav(pcm, sample_rate)
+                samples, r = decode_audio_wav(wav)
+                rows["sample_rate"].append(sample_rate)
+                rows["n_samples"].append(n)
+                rows["n_bytes"].append(len(wav))
+                rows["features"].append(audio_features(samples, r).tolist())
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        run,
+        schema="media_id bigint, sample_rate int, n_samples int,"
+        " n_bytes long, features array<float>",
+    )

@@ -1147,11 +1147,16 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode -> signal features through the driver (rows-only: FFT
     band energies are not SQL-expressible; Spark==local-decode equality is
     pinned in tests/test_audio.py): documents -> real PCM-WAV clips ->
-    RMS / peak / zero-crossings / dominant-Hz / 8-band spectrum."""
-    from ..functions.audio import extract_audio_features, synthesize_audio
+    RMS / peak / zero-crossings / dominant-Hz / 8-band spectrum. Runs the
+    FUSED synth->decode->features pass (one Arrow crossing instead of
+    three for the ~20KB/row payload; fused==staged pinned in
+    tests/test_audio.py) — the staged operators remain for pipelines that
+    materialize the WAV column."""
+    from ..functions.audio import synthesize_audio_features
 
-    audio = synthesize_audio(t(spark, sf_dir, "documents"), "doc_id", "text")
-    out = extract_audio_features(audio)
+    out = synthesize_audio_features(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
     return out.select(
         "media_id",
         "n_samples",

@@ -104,3 +104,23 @@ def test_spark_audio_features_equal_local_decode(spark):
     nulls = audio.withColumn("content", F.lit(None).cast("binary"))
     nf = extract_audio_features(nulls).collect()
     assert all(sum(r.features) == 0 and r.n_bytes == 0 for r in nf)
+
+
+def test_fused_equals_staged(spark):
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        extract_audio_features,
+        synthesize_audio,
+        synthesize_audio_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a much longer utterance here")],
+        "doc_id long, text string",
+    )
+    staged = extract_audio_features(
+        synthesize_audio(docs, "doc_id", "text")
+    ).collect()
+    fused = synthesize_audio_features(docs, "doc_id", "text").collect()
+    s = {r.media_id: (r.n_samples, r.n_bytes, r.features) for r in staged}
+    f = {r.media_id: (r.n_samples, r.n_bytes, r.features) for r in fused}
+    assert s == f  # byte-identical synthesis -> identical features
