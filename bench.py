@@ -71,6 +71,7 @@ RELATIONAL = [
     "hll_distinct_users",
     "hll_distinct_shingles",
     "cm_heavy_hitters",
+    "hdr_percentiles",
     "bm25_topk",
     "kg_fact_intervals",
     "conversation_context",

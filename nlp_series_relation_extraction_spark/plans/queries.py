@@ -1166,6 +1166,21 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-distribution percentiles (p50/p95/p99 of lineitem extended
+    price in cents) read from a log-binned HDR-style histogram — the
+    constant-size mergeable percentile sketch (<9.1% bin width). The
+    corpus shuffle is bin-sized; the percentile scan runs on the tiny
+    histogram. Bit-exact DuckDB twin (integer bin edges + integer
+    cross-multiplied percentile test)."""
+    from ..functions.sketch import hdr_histogram, hdr_percentiles
+
+    cents = t(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents")
+    )
+    return hdr_percentiles(hdr_histogram(cents, "cents")).orderBy("p")
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct via HyperLogLog (p=12, md5-derived
     registers): one row of register stats + the estimate. At 100 TB this
@@ -2201,6 +2216,7 @@ def queries() -> dict:
             "kg_negative_samples": q_kg_negative_samples,
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
+            "hdr_percentiles": q_hdr_percentiles,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
             "kg_entities": q_kg_entities,
@@ -2229,6 +2245,11 @@ def _sketch_sqls():
 
     users = hll_sql("events", "user_id")
     shingles = hll_sql(f"({_SHINGLE3_SQL}) AS sh_tbl", "shingle")
+    from ..functions.sketch import hdr_percentiles_sql
+
+    hdr = hdr_percentiles_sql(
+        "lineitem", "cast(round(l_extendedprice * 100) AS BIGINT)"
+    )
     hh = (
         cm_heavy_hitters_sql(
             "(SELECT unnest(string_split(text, ' ')) AS word "
@@ -2238,10 +2259,10 @@ def _sketch_sqls():
         )
         + " ORDER BY word"
     )
-    return users, shingles, hh
+    return users, shingles, hh, hdr
 
 
-_HLL_USERS_SQL, _HLL_SHINGLES_SQL, _CM_HH_SQL = _sketch_sqls()
+(_HLL_USERS_SQL, _HLL_SHINGLES_SQL, _CM_HH_SQL, _HDR_PCT_SQL) = _sketch_sqls()
 
 
 def oracle_sql() -> dict:
@@ -2299,6 +2320,7 @@ def oracle_sql() -> dict:
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
+        "hdr_percentiles": _HDR_PCT_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,

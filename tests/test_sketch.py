@@ -139,3 +139,50 @@ def test_hll_single_shuffle_plan(spark):
     # more than register rows.
     plan = hll_registers(_ids(spark, 1_000), "k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_hdr_histogram_bounded_size_and_merge(spark):
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        hdr_histogram,
+    )
+
+    a = spark.range(1, 50_000).selectExpr("id * 7 as v")
+    b = spark.range(1, 20_000).selectExpr("id * 13 as v")
+    ha, hb = hdr_histogram(a, "v"), hdr_histogram(b, "v")
+    assert ha.count() <= 8 * 43  # constant-size whatever the input
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    full = hdr_histogram(a.unionByName(b), "v")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_hdr_percentiles_relative_error_bound(spark):
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        hdr_histogram,
+        hdr_percentiles,
+    )
+
+    vals = spark.range(1, 100_001).selectExpr("id as v")  # 1..100000
+    got = {
+        r.p: r.lo
+        for r in hdr_percentiles(hdr_histogram(vals, "v")).collect()
+    }
+    for p, true in [(50, 50_000), (95, 95_000), (99, 99_000)]:
+        # lo is the bin's lower edge: within one bin width (<9.1%) below,
+        # never above the true percentile by more than a bin
+        assert true * (1 - 0.091) <= got[p] <= true * (1 + 0.091)
+
+
+def test_hdr_nonpositive_values_land_in_bin_zero(spark):
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        hdr_histogram,
+    )
+
+    df = spark.createDataFrame([(0,), (-5,), (1,), (2,)], "v long")
+    got = {r.bin: r.cnt for r in hdr_histogram(df, "v").collect()}
+    assert got[0] == 3  # 0, -5, and 1 (first bin spans [1, 2^(1/8)))
+    assert sum(got.values()) == 4
