@@ -67,18 +67,22 @@ def bm25_topk(
     ``chunks``: (doc_id, chunk_idx, chunk_text); ``queries``:
     (query_id, query_text). Returns (query_id, rank, doc_id, chunk_idx,
     score_milli) with rank 1..k, ties broken by (doc_id, chunk_idx)."""
-    post = chunk_postings(chunks)
+    # materialize the posting table ONCE: it feeds the avgdl collect, the
+    # df/idf branch, AND the match branch — uncached, the explode+groupBy
+    # (the corpus-scale shuffle) would re-run for each.
+    post = chunk_postings(chunks).localCheckpoint(eager=True)
     n_chunks = chunks.count()
-    if n_chunks == 0:  # empty corpus: no index, no matches
+    stats = post.select("doc_id", "chunk_idx", "dl").distinct()
+    dl_sum = stats.agg(F.sum("dl")).collect()[0][0]
+    if n_chunks == 0 or dl_sum is None:
+        # empty corpus, or no indexable text at all (every chunk_text
+        # NULL explodes to zero postings): no index, no matches
         return chunks.sparkSession.createDataFrame(
             [],
             "query_id long, rank int, doc_id long, chunk_idx int,"
             " score_milli long",
         )
-    stats = post.select("doc_id", "chunk_idx", "dl").distinct()
-    avgdl = float(
-        stats.agg(F.sum("dl").cast("double") / F.lit(float(n_chunks))).collect()[0][0]
-    )
+    avgdl = float(int(dl_sum)) / float(n_chunks)
     df = post.groupBy("term").agg(
         F.countDistinct("doc_id", "chunk_idx").cast("long").alias("df")
     )

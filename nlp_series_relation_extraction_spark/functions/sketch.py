@@ -218,10 +218,19 @@ def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
             )
         ).alias("c"),
     ).select(key_col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    # LEFT join + coalesce(0): a probed (j, bucket) with no cell row means
+    # NOTHING hashed there — its count is 0, and the min over the d cells
+    # must see it. An inner join would silently drop empty cells, turning
+    # a never-seen key's estimate into min-over-nonzero-cells (arbitrarily
+    # wrong) or dropping the key from the output entirely.
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+                "est"
+            )
+        )
     )
 
 
@@ -359,22 +368,26 @@ def hdr_percentiles(hist: DataFrame, percentiles=(50, 95, 99)) -> DataFrame:
         + _HDR_RATIO_ARRAY
         + f", cast(bin % 8 + 1 as int))) div {HDR_SCALE} as bigint) end"
     )
-    out = None
-    for p in percentiles:
-        hit = (
-            cum.where(F.col("cum") * 100 >= F.col("total") * p)
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(int(p)).cast("int").alias("p"),
-                "bin",
-                lo.alias("lo"),
-                "cum",
-                "total",
-            )
+    # ONE evaluation of the histogram subtree: explode the percentile list
+    # against the cumulative table and min_by the first qualifying bin per
+    # p — a per-percentile where/limit(1) branch would embed the (corpus-
+    # scale) aggregation once per requested percentile.
+    pcts = F.array(*[F.lit(int(p)) for p in percentiles])
+    return (
+        cum.select(
+            F.explode(pcts).alias("p"), "bin", lo.alias("lo"), "cum", "total"
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        .where(F.col("cum") * 100 >= F.col("total") * F.col("p"))
+        .groupBy("p")
+        .agg(F.min(F.struct("bin", "lo", "cum", "total")).alias("h"))
+        .select(
+            F.col("p").cast("int").alias("p"),
+            F.col("h.bin").alias("bin"),
+            F.col("h.lo").alias("lo"),
+            F.col("h.cum").alias("cum"),
+            F.col("h.total").alias("total"),
+        )
+    )
 
 
 def hdr_percentiles_sql(

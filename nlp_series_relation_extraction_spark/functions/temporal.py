@@ -134,9 +134,14 @@ def scd2_intervals(
     order_cols = order_cols or []
     order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
     wk = Window.partitionBy(*key_cols).orderBy(*order)
+    # NULL-safe change detection (<=>): a NULL observation is a real state
+    # ("value unknown") — it CLOSES the previous interval and consecutive
+    # NULLs merge into one island, exactly like any other value. A plain
+    # lag != value comparison would evaluate NULL (not true) against a
+    # NULL current value and silently extend the previous interval with a
+    # mixed-value island.
     changed = F.when(
-        F.lag(F.col(value_col)).over(wk).isNull()
-        | (F.lag(F.col(value_col)).over(wk) != F.col(value_col)),
+        ~F.lag(F.col(value_col)).over(wk).eqNullSafe(F.col(value_col)),
         F.lit(1),
     ).otherwise(F.lit(0))
     islands = facts.select(

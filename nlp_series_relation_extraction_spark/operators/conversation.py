@@ -38,11 +38,13 @@ def turns_with_context(
         .orderBy("turn_idx")
         .rowsBetween(-k, -1)
     )
-    turn = (
-        F.concat(F.col("role"), F.lit(": "), F.col("text"))
-        if roles
-        else F.col("text")
-    )
+    # coalesce: a NULL text/role must still occupy its context slot (as
+    # ''), matching engines where concat skips NULL args (DuckDB twin) —
+    # plain concat would be NULL and collect_list silently drops NULLs,
+    # shifting every later window and undercounting n_context_turns.
+    role_c = F.coalesce(F.col("role"), F.lit(""))
+    text_c = F.coalesce(F.col("text"), F.lit(""))
+    turn = F.concat(role_c, F.lit(": "), text_c) if roles else text_c
     ctx = F.collect_list(turn).over(w)
     return transcripts.select(
         "*",

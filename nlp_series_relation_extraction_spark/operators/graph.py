@@ -376,11 +376,20 @@ def dense_index(
     count table (num_partitions rows — driver-sized by construction).
     Range partitioning makes partition order == value order, so the final
     index is the global sorted rank, independent of partition boundaries
-    (what the DuckDB oracle's row_number reproduces)."""
+    (what the DuckDB oracle's row_number reproduces).
+
+    The partitioned frame is materialized (localCheckpoint) BEFORE the
+    count collect: the offsets are only valid for the exact partition
+    boundaries they were counted on, and an uncached repartitionByRange
+    re-samples boundaries on every action — the counts job and the final
+    window job could otherwise disagree, mis-assigning (or nulling)
+    indices."""
     from pyspark.sql import Window
 
     parts = df.repartitionByRange(num_partitions, F.col(col))
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    with_pid = parts.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = sorted(
         (r._pid, r.cnt)
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

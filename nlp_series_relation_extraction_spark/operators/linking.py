@@ -252,7 +252,14 @@ def connected_components(
         # rounds, not 1000. Each round stays monotone-decreasing and
         # bounded below by the component min, so the fixpoint (and the
         # min-reachable-id contract the oracles check) is unchanged.
-        hop = stepped.select(
+        # The hop table is the PREVIOUS round's checkpointed labels, not
+        # `stepped`: joining stepped against itself would re-derive the
+        # whole propagate join on both sides of the self-join (doubling
+        # the round's dominant shuffle), while the label lookup in the
+        # already-materialized table is a cheap scan — and following a
+        # one-round-stale pointer is still a monotone contraction with
+        # the same fixpoint.
+        hop = labels.select(
             F.col("mention_id").alias("_hm"),
             F.col("component_id").alias("_hc"),
         )

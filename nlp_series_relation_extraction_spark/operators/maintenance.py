@@ -97,9 +97,23 @@ def skew_report(
     key at 400x the mean needs salting (or AQE skew-join) before the
     stage is safe. Two aggregations, both map-side combined; the totals
     ride along via a broadcast 1-row cross join — no driver collect."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    counts = df.select(key.alias("key")).groupBy("key").agg(
-        F.count("*").cast("long").alias("n_rows")
+    # group on the RAW columns — concat_ws folds NULL to '' (merging NULL
+    # keys with empty-string keys) and lets ('a|b','c') collide with
+    # ('a','b|c'); the joined string below is only the report's display
+    # label, built after the counts are already correct.
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                    for c in key_cols
+                ],
+            ).alias("key"),
+            "n_rows",
+        )
     )
     totals = F.broadcast(
         counts.agg(

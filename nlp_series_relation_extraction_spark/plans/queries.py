@@ -1505,8 +1505,15 @@ def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
+        # try_cast: a props row without a "k" match extracts '' — that must
+        # become a NULL observation (closing the previous interval), not an
+        # ANSI cast error; the DuckDB twin mirrors with TRY_CAST
         (
-            F.regexp_extract("props", '"k": (\\d+)', 1).cast("int") % 4
+            F.expr(
+                "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1)"
+                " as int)"
+            )
+            % 4
         ).alias("obj"),
         "ts",
         "event_id",
@@ -1537,12 +1544,12 @@ def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FACT_INTERVALS_SQL = r"""
 WITH facts AS (
   SELECT user_id, event_type,
-         cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
          ts, event_id
   FROM events
 ), flagged AS (
-  SELECT *, CASE WHEN lag(obj) OVER w IS NULL
-                   OR lag(obj) OVER w != obj THEN 1 ELSE 0 END AS chg
+  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
+                 THEN 1 ELSE 0 END AS chg
   FROM facts
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 ), isl AS (

@@ -920,3 +920,31 @@ def test_scd2_intervals_equal_ts_tiebreak(spark):
     # fid breaks the tie: B (fid 1) opens first, A (fid 2) is current
     assert [r.obj for r in out] == ["A", "B"]
     assert [r.is_current for r in out] == [True, False]
+
+
+def test_scd2_intervals_null_observations_close_and_merge(spark):
+    from datetime import datetime
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        scd2_intervals,
+    )
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    facts = spark.createDataFrame(
+        [
+            ("s", "A", ts(1), 1),
+            ("s", None, ts(2), 2),  # NULL closes A (value became unknown)
+            ("s", None, ts(3), 3),  # consecutive NULLs merge into ONE island
+            ("s", "B", ts(4), 4),
+        ],
+        "subj string, obj string, ts timestamp, fid long",
+    )
+    out = sorted(
+        scd2_intervals(facts, ["subj"], "obj", "ts", ["fid"]).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.obj for r in out] == ["A", None, "B"]
+    assert [r.n_evidence for r in out] == [1, 2, 1]
+    assert out[0].valid_to == ts(2)  # A closed by the NULL observation
+    assert out[1].valid_to == ts(4)
+    assert out[2].is_current

@@ -647,3 +647,20 @@ def test_turns_with_context_window_and_order(spark):
     assert got[("c1", 2)] == ("user: hello [CTX] assistant: hi", 2)
     assert got[("c1", 3)] == ("assistant: hi [CTX] user: who won", 2)
     assert got[("c2", 0)] == ("", 0)  # conversations never leak context
+
+
+def test_turns_with_context_null_text_keeps_slot(spark):
+    from nlp_series_relation_extraction_spark.operators.conversation import (
+        turns_with_context,
+    )
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", None), ("c", 1, "assistant", "hi")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {
+        r.turn_idx: (r.context_text, r.n_context_turns)
+        for r in turns_with_context(t, k=2).collect()
+    }
+    # the NULL-text turn still occupies its context slot (as 'user: ')
+    assert got[1] == ("user: ", 1)

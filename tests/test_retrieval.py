@@ -128,3 +128,11 @@ def test_empty_corpus_returns_empty(spark):
     assert out.columns == [
         "query_id", "rank", "doc_id", "chunk_idx", "score_milli",
     ]
+
+
+def test_all_null_text_returns_empty(spark):
+    chunks = spark.createDataFrame(
+        [(1, 0, None), (2, 0, None)],
+        "doc_id long, chunk_idx int, chunk_text string",
+    )
+    assert bm25_topk(chunks, _queries(spark, ["anything"]), k=5).count() == 0

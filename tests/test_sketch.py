@@ -186,3 +186,23 @@ def test_hdr_nonpositive_values_land_in_bin_zero(spark):
     got = {r.bin: r.cnt for r in hdr_histogram(df, "v").collect()}
     assert got[0] == 3  # 0, -5, and 1 (first bin spans [1, 2^(1/8)))
     assert sum(got.values()) == 4
+
+
+def test_cm_estimate_unseen_key_is_zero(spark):
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    stream = _zipf_words(spark)
+    sk = cm_sketch(stream, "word")
+    probes = spark.createDataFrame(
+        [("w0",), ("never-seen-key-xyz",)], "word string"
+    )
+    got = {r.word: r.est for r in cm_estimate(sk, probes, "word").collect()}
+    # the unseen key must be PRESENT with estimate 0 unless all 4 of its
+    # buckets collide with real traffic (w=512, 40 distinct words: at
+    # least one empty bucket is overwhelmingly certain and deterministic
+    # for this fixed corpus)
+    assert got["never-seen-key-xyz"] == 0
+    assert got["w0"] >= 400
