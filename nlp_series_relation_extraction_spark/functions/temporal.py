@@ -168,3 +168,18 @@ def scd2_intervals(
         "n_evidence",
         F.lead("valid_from").over(wi).isNull().alias("is_current"),
     )
+
+
+def facts_as_of(intervals: DataFrame, ts, value_col: str) -> DataFrame:
+    """Time-travel over SCD-2 intervals: the fact set valid AT ``ts`` —
+    rows where valid_from <= ts < valid_to (open intervals extend to
+    infinity). This is the KG's snapshot read: pair it with a ts-derived
+    partition column on the interval table and the filter becomes
+    partition pruning. A NULL-valued interval means "value unknown during
+    this span" and is excluded (there is no fact to serve)."""
+    t = F.lit(ts)
+    return intervals.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        & F.col(value_col).isNotNull()
+    )

@@ -948,3 +948,30 @@ def test_scd2_intervals_null_observations_close_and_merge(spark):
     assert out[0].valid_to == ts(2)  # A closed by the NULL observation
     assert out[1].valid_to == ts(4)
     assert out[2].is_current
+
+
+def test_facts_as_of_snapshot(spark):
+    from datetime import datetime
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        facts_as_of,
+        scd2_intervals,
+    )
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    facts = spark.createDataFrame(
+        [
+            ("s", "A", ts(1), 1),
+            ("s", "B", ts(5), 2),
+            ("t", None, ts(2), 3),  # unknown during its span -> no fact
+            ("t", "X", ts(6), 4),
+        ],
+        "subj string, obj string, ts timestamp, fid long",
+    )
+    iv = scd2_intervals(facts, ["subj"], "obj", "ts", ["fid"])
+    at3 = {r.subj: r.obj for r in facts_as_of(iv, ts(3), "obj").collect()}
+    assert at3 == {"s": "A"}  # t's value is unknown at day 3
+    at7 = {r.subj: r.obj for r in facts_as_of(iv, ts(7), "obj").collect()}
+    assert at7 == {"s": "B", "t": "X"}
+    # before any observation: empty world
+    assert facts_as_of(iv, datetime(2023, 12, 31), "obj").count() == 0
