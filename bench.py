@@ -75,6 +75,7 @@ RELATIONAL = [
     "bm25_topk",
     "kg_fact_intervals",
     "conversation_context",
+    "kg_facts_as_of",
     "skew_report",
     "kg_predicate_schema",
     "kg_negative_samples",

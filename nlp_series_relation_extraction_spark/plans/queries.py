@@ -1575,6 +1575,73 @@ ORDER BY user_id, event_type, valid_from_us
 """
 
 
+def q_kg_facts_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel: the (user, event_type) fact set as of 2024-01-10 —
+    facts_as_of over the SCD-2 intervals (valid_from <= T < valid_to,
+    NULL-valued spans excluded). The oracle wraps the interval twin in the
+    same filter."""
+    from datetime import datetime
+
+    from ..functions.temporal import facts_as_of, scd2_intervals
+
+    facts = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.expr(
+                "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1)"
+                " as int)"
+            )
+            % 4
+        ).alias("obj"),
+        "ts",
+        "event_id",
+    )
+    iv = scd2_intervals(
+        facts, ["user_id", "event_type"], "obj", "ts", ["event_id"]
+    )
+    snap = facts_as_of(iv, datetime(2024, 1, 10), "obj")
+    return snap.select(
+        "user_id", "event_type", "obj", "n_evidence"
+    ).orderBy("user_id", "event_type")
+
+
+_FACTS_AS_OF_SQL = r"""
+WITH facts AS (
+  SELECT user_id, event_type,
+         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         ts, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
+                 THEN 1 ELSE 0 END AS chg
+  FROM facts
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), g AS (
+  SELECT user_id, event_type, island,
+         min(ts) AS valid_from, min(obj) AS obj,
+         cast(count(*) AS BIGINT) AS n_evidence
+  FROM isl GROUP BY user_id, event_type, island
+), iv AS (
+  SELECT user_id, event_type, obj, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id, event_type
+                                ORDER BY valid_from, island) AS valid_to,
+         n_evidence
+  FROM g
+)
+SELECT user_id, event_type, obj, n_evidence FROM iv
+WHERE valid_from <= TIMESTAMP '2024-01-10'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10')
+  AND obj IS NOT NULL
+ORDER BY user_id, event_type
+"""
+
+
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation per group (count_distinct shuffle shape)."""
     e = t(spark, sf_dir, "events")
@@ -2217,6 +2284,7 @@ def queries() -> dict:
             "hll_distinct_users": q_hll_distinct_users,
             "bm25_topk": q_bm25_topk,
             "kg_fact_intervals": q_kg_fact_intervals,
+            "kg_facts_as_of": q_kg_facts_as_of,
             "skew_report": q_skew_report,
             "kg_predicate_schema": q_kg_predicate_schema,
             "conversation_context": q_conversation_context,
@@ -2321,6 +2389,7 @@ def oracle_sql() -> dict:
         "hll_distinct_users": _HLL_USERS_SQL,
         "bm25_topk": _bm25_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
+        "kg_facts_as_of": _FACTS_AS_OF_SQL,
         "skew_report": _SKEW_REPORT_SQL,
         "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
