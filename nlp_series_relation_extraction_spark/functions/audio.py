@@ -162,8 +162,10 @@ def synthesize_audio(
                 out["n_channels"].append(1)
             yield pd.DataFrame(out)
 
-    flat = df.select(
-        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    flat = _spread(
+        df.select(
+            F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+        )
     ).mapInPandas(
         gen,
         schema="media_id bigint, content binary, format string, "
@@ -267,10 +269,15 @@ def synthesize_audio_features(
                 rows["features"].append(audio_features(samples, r).tolist())
             yield pd.DataFrame(rows)
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    return _spread(
+        df.select(
+            F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+        )
     ).mapInPandas(
         run,
         schema="media_id bigint, sample_rate int, n_samples int,"
         " n_bytes long, features array<float>",
     )
+
+
+from .partitioning import ensure_parallelism as _spread  # noqa: E402

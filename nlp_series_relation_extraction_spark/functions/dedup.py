@@ -46,7 +46,13 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
                 f"else array() end"
             )
         )
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    from .partitioning import ensure_parallelism
+
+    # the explode multiplies rows ~50x BEFORE the first shuffle: make sure
+    # it isn't running on a single small-file input split (no-op at scale)
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    )
 
 
 # --- exact -------------------------------------------------------------------

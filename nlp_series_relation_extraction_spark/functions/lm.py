@@ -133,6 +133,14 @@ def lm_score_self(
     """Train on the corpus and score the same corpus (the in-domain
     calibration run; for the real CCNet gate, train on a clean reference
     corpus and pass held-out docs to lm_doc_scores)."""
+    # a small parquet corpus arrives as ONE split; every pass (bigram
+    # count, vocab count, scoring probe) would explode bigrams on a single
+    # core before its first shuffle. Round-robin the rows up to the
+    # session's core count first (no-op at real scale, where the input has
+    # many splits; results are partitioning-invariant).
+    from .partitioning import ensure_parallelism as _spread
+
+    docs = _spread(docs)
     lm = train_bigram_lm(docs, id_col, text_col, min_count=min_count)
     return lm_doc_scores(docs, lm, id_col, text_col)
 

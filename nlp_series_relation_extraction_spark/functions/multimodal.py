@@ -240,8 +240,12 @@ def synthesize_media(
                 out["n_frames"].append(1)
             yield pd.DataFrame(out)
 
-    flat = df.select(
-        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    from .partitioning import ensure_parallelism as _spread
+
+    flat = _spread(
+        df.select(
+            F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+        )
     ).mapInPandas(
         gen,
         schema="media_id bigint, content binary, format string, width int, "
@@ -281,8 +285,12 @@ def synthesize_video(
                 rows["n_frames"].append(n_frames)
             yield pd.DataFrame(rows)
 
-    flat = df.select(
-        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    from .partitioning import ensure_parallelism as _spread
+
+    flat = _spread(
+        df.select(
+            F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+        )
     ).mapInPandas(
         gen,
         schema="media_id bigint, content binary, format string, width int, "
