@@ -135,7 +135,9 @@ def repetition_stats(
         f" i -> concat_ws(' ', slice({w}, i, {n}))) "
         f"else array() end"
     )
-    occ = df.select(
+    from .partitioning import ensure_parallelism
+
+    occ = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
         F.explode_outer(grams).alias("ngram"),
