@@ -83,6 +83,7 @@ RELATIONAL = [
     "kg_two_hop",
     "kg_triangles",
     "kg_pagerank",
+    "kg_communities",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
     "events_sessionize",

@@ -2063,6 +2063,27 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity communities via deterministic synchronous label propagation
+    (5 rounds, most-frequent neighbor label, min-label ties) over the
+    canonical edge table — density clustering, not reachability: bridges
+    between dense groups do not merge them. Rows-only (iterative);
+    exactness is pinned against an exact python twin + partitioning-
+    invariance in tests/test_graph_analytics.py. Output: community sizes
+    (top 50 by size)."""
+    from ..operators.graph import label_propagation_communities
+
+    comm = label_propagation_communities(
+        _derived_edge_table(spark, sf_dir), rounds=5
+    )
+    return (
+        comm.groupBy("community_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community_id")
+        .limit(50)
+    )
+
+
 def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL linking pipeline (operators/linking.py: normalize -> skew
     firewall dedup -> 2-gram blocking with the max_block cap -> jaccard
@@ -2265,6 +2286,7 @@ def queries() -> dict:
             "kg_two_hop": q_kg_two_hop,
             "kg_triangles": q_kg_triangles,
             "kg_pagerank": q_kg_pagerank,
+            "kg_communities": q_kg_communities,
             "ann_cosine_topk": q_ann_cosine_topk,
             "ann_topk_lsh": q_ann_topk_lsh,
             "ann_topk_ivf": q_ann_topk_ivf,

@@ -235,3 +235,81 @@ def test_corrupt_triples_shape_and_determinism(spark):
         assert r.is_false_negative == (r.neg_obj == r.true_obj)
     again = corrupt_triples(edges, n_neg=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def _lpa_twin(edge_list, rounds=5):
+    # exact python twin of label_propagation_communities: synchronous,
+    # most-frequent neighbor label, ties -> smallest label
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            c = Counter(labels[n] for n in adj[v])
+            top = max(c.values())
+            new[v] = min(l for l, k in c.items() if k == top)
+        labels = new
+    return labels
+
+
+def _two_cluster_edges():
+    # two 5-cliques joined by a single bridge edge
+    left = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    right = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    return left + right + [(4, 10)]
+
+
+def test_lpa_matches_python_twin_and_splits_clusters(spark):
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = _two_cluster_edges()
+    df = spark.createDataFrame(
+        [(a, "p", b, 1) for a, b in edges],
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " n_evidence long",
+    )
+    got = {
+        r.entity_id: r.community_id
+        for r in label_propagation_communities(df, rounds=5).collect()
+    }
+    assert got == _lpa_twin(edges, rounds=5)
+    # density clustering: the bridge does NOT merge the cliques (connected
+    # components would assign one id to all 10 vertices)
+    left_labels = {got[v] for v in range(5)}
+    right_labels = {got[v] for v in range(10, 15)}
+    assert len(left_labels) == 1 and len(right_labels) == 1
+    assert left_labels != right_labels
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = _two_cluster_edges()
+    base = [(a, "p", b, 1) for a, b in edges]
+    schema = (
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " n_evidence long"
+    )
+    one = {
+        (r.entity_id, r.community_id)
+        for r in label_propagation_communities(
+            spark.createDataFrame(base, schema).repartition(1), rounds=4
+        ).collect()
+    }
+    many = {
+        (r.entity_id, r.community_id)
+        for r in label_propagation_communities(
+            spark.createDataFrame(base, schema).repartition(16), rounds=4
+        ).collect()
+    }
+    assert one == many
