@@ -112,11 +112,13 @@ def bm25_topk(
         )
         .distinct()
     )
-    # query side is tiny -> broadcast; the posting table never moves for
-    # this join.
-    matched = post.join(F.broadcast(qterms), "term").join(
-        F.broadcast(idf), "term"
-    )
+    # restrict the vocab-sized idf table to the query terms FIRST (qterms
+    # broadcasts into the idf scan, map-side), then broadcast the
+    # query-term-sized result into the postings join: the posting table
+    # never moves, and nothing vocab-sized is ever force-broadcast (a web
+    # corpus vocabulary wouldn't fit).
+    q_idf = idf.join(F.broadcast(qterms), "term")
+    matched = post.join(F.broadcast(q_idf), "term")
     term_score = matched.select(
         "query_id",
         "doc_id",

@@ -449,8 +449,13 @@ def corrupt_triples(
         )
         % F.lit(n_ents),
     )
+    # no broadcast hint: under autoBroadcastJoinThreshold Catalyst
+    # broadcasts the vertex-sized index on its own; beyond it (billions of
+    # entities) this must degrade to a shuffle join on ent_idx — which is
+    # uniform by construction, so it stays balanced. Forcing broadcast
+    # here would OOM exactly when the graph gets big.
     return (
-        exploded.join(F.broadcast(idx), "ent_idx")
+        exploded.join(idx, "ent_idx")
         .select(
             "subj_entity_id",
             "predicate",
