@@ -76,6 +76,7 @@ RELATIONAL = [
     "kg_fact_intervals",
     "conversation_context",
     "kg_facts_as_of",
+    "kg_facts_diff",
     "skew_report",
     "kg_predicate_schema",
     "kg_negative_samples",

@@ -1642,6 +1642,105 @@ ORDER BY user_id, event_type
 """
 
 
+def q_kg_facts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG change feed: which (user, event_type) facts were added, removed,
+    or changed value between the 2024-01-10 and 2024-01-20 snapshots —
+    a full-outer join of two facts_as_of slices of the SAME interval
+    table (one interval build, two prunable filters; no second pass over
+    the fact stream). The "what changed this week" query every
+    continuously-ingested KG serves."""
+    from datetime import datetime
+
+    from ..functions.temporal import facts_as_of, scd2_intervals
+
+    facts = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.expr(
+                "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1)"
+                " as int)"
+            )
+            % 4
+        ).alias("obj"),
+        "ts",
+        "event_id",
+    )
+    iv = scd2_intervals(
+        facts, ["user_id", "event_type"], "obj", "ts", ["event_id"]
+    ).localCheckpoint(eager=True)
+    t1 = facts_as_of(iv, datetime(2024, 1, 10), "obj").select(
+        "user_id", "event_type", F.col("obj").alias("obj_before")
+    )
+    t2 = facts_as_of(iv, datetime(2024, 1, 20), "obj").select(
+        "user_id", "event_type", F.col("obj").alias("obj_after")
+    )
+    d = t1.join(t2, ["user_id", "event_type"], "full")
+    return (
+        d.select(
+            "user_id",
+            "event_type",
+            "obj_before",
+            "obj_after",
+            F.when(F.col("obj_before").isNull(), F.lit("added"))
+            .when(F.col("obj_after").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+        .where(~F.col("obj_before").eqNullSafe(F.col("obj_after")))
+        .orderBy("user_id", "event_type")
+    )
+
+
+_FACTS_DIFF_SQL = r"""
+WITH facts AS (
+  SELECT user_id, event_type,
+         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         ts, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
+                 THEN 1 ELSE 0 END AS chg
+  FROM facts
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), g AS (
+  SELECT user_id, event_type, island,
+         min(ts) AS valid_from, min(obj) AS obj
+  FROM isl GROUP BY user_id, event_type, island
+), iv AS (
+  SELECT user_id, event_type, obj, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id, event_type
+                                ORDER BY valid_from, island) AS valid_to
+  FROM g
+), t1 AS (
+  SELECT user_id, event_type, obj AS obj_before FROM iv
+  WHERE valid_from <= TIMESTAMP '2024-01-10'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10')
+    AND obj IS NOT NULL
+), t2 AS (
+  SELECT user_id, event_type, obj AS obj_after FROM iv
+  WHERE valid_from <= TIMESTAMP '2024-01-20'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20')
+    AND obj IS NOT NULL
+)
+SELECT coalesce(t1.user_id, t2.user_id) AS user_id,
+       coalesce(t1.event_type, t2.event_type) AS event_type,
+       obj_before, obj_after,
+       CASE WHEN obj_before IS NULL THEN 'added'
+            WHEN obj_after IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM t1 FULL OUTER JOIN t2
+  ON t1.user_id = t2.user_id AND t1.event_type = t2.event_type
+WHERE obj_before IS DISTINCT FROM obj_after
+ORDER BY user_id, event_type
+"""
+
+
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation per group (count_distinct shuffle shape)."""
     e = t(spark, sf_dir, "events")
@@ -2307,6 +2406,7 @@ def queries() -> dict:
             "bm25_topk": q_bm25_topk,
             "kg_fact_intervals": q_kg_fact_intervals,
             "kg_facts_as_of": q_kg_facts_as_of,
+            "kg_facts_diff": q_kg_facts_diff,
             "skew_report": q_skew_report,
             "kg_predicate_schema": q_kg_predicate_schema,
             "conversation_context": q_conversation_context,
@@ -2412,6 +2512,7 @@ def oracle_sql() -> dict:
         "bm25_topk": _bm25_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
+        "kg_facts_diff": _FACTS_DIFF_SQL,
         "skew_report": _SKEW_REPORT_SQL,
         "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
