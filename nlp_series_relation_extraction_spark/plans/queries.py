@@ -2103,24 +2103,39 @@ ORDER BY entity_id
 
 
 def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-2 predicate paths (relation composition / link-prediction
-    features) through the canonical edge table: one self-join on the mid
-    vertex (operators/graph.py:two_hop_paths)."""
+    """Relation-composition statistics: per (p1, p2) predicate pair, how
+    many length-2 paths compose them and between how many distinct
+    endpoint pairs — the link-prediction / rule-mining features a KG
+    actually serves (a driver-side enumeration of every path — ~1M rows
+    at sf0.1 — is neither: the full path table is two_hop_paths, unit-
+    tested, and feeds downstream joins without ever hitting the driver).
+    One self-join on the mid vertex + one aggregation."""
     from ..operators.graph import two_hop_paths
 
-    return two_hop_paths(_derived_edge_table(spark, sf_dir)).orderBy(
-        "a", "b", "c"
+    paths = two_hop_paths(_schema_edges(spark, sf_dir))
+    return (
+        paths.groupBy("p1", "p2")
+        .agg(
+            F.count("*").cast("long").alias("n_paths"),
+            F.countDistinct("a", "c").cast("long").alias("n_endpoint_pairs"),
+            F.countDistinct("b").cast("long").alias("n_mid_vertices"),
+        )
+        .orderBy("p1", "p2")
     )
 
 
 _TWO_HOP_SQL = f"""
-WITH {_DERIVED_LINKED_CTES}, e AS (
-  SELECT DISTINCT subj_entity_id, predicate, obj_entity_id FROM linked
+WITH {_SCHEMA_EDGES_CTE}, e AS (
+  SELECT DISTINCT subj_entity_id, predicate, obj_entity_id FROM edges
+), paths AS (
+  SELECT x.subj_entity_id AS a, x.predicate AS p1, x.obj_entity_id AS b,
+         y.predicate AS p2, y.obj_entity_id AS c
+  FROM e x JOIN e y ON x.obj_entity_id = y.subj_entity_id
 )
-SELECT x.subj_entity_id AS a, x.predicate AS p1, x.obj_entity_id AS b,
-       y.predicate AS p2, y.obj_entity_id AS c
-FROM e x JOIN e y ON x.obj_entity_id = y.subj_entity_id
-ORDER BY a, b, c
+SELECT p1, p2, cast(count(*) AS BIGINT) AS n_paths,
+       cast(count(DISTINCT (a, c)) AS BIGINT) AS n_endpoint_pairs,
+       cast(count(DISTINCT b) AS BIGINT) AS n_mid_vertices
+FROM paths GROUP BY p1, p2 ORDER BY p1, p2
 """
 
 
