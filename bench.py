@@ -72,6 +72,7 @@ RELATIONAL = [
     "hll_distinct_shingles",
     "cm_heavy_hitters",
     "hdr_percentiles",
+    "hdr_percentiles_by_type",
     "bm25_topk",
     "kg_fact_intervals",
     "conversation_context",

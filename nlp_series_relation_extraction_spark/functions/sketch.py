@@ -430,3 +430,130 @@ FROM (
   FROM pcts JOIN cum ON cum * 100 >= total * p
 ) WHERE rn = 1 ORDER BY p
 """
+
+
+def hdr_histogram_grouped(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group..., bin, cnt): one log-binned histogram PER GROUP — the
+    per-tenant / per-event-type percentile sketch. Same integer bin math
+    as hdr_histogram; the shuffle carries at most (groups x bins) rows,
+    and the grouped windows below parallelize across groups (no global
+    window — partitions are the group keys)."""
+    subs = " + ".join(
+        f"(case when _v * {HDR_SCALE} >="
+        f" shiftleft(1L, _oct) * {r}L then 1 else 0 end)"
+        for r in HDR_RATIOS
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).cast("bigint").alias("_v"))
+        .withColumn("_oct", F.expr("cast(length(bin(_v)) - 1 as int)"))
+        .select(
+            *group_cols,
+            F.expr(
+                "case when _v < 1 then 0L"
+                f" else cast(_oct as bigint) * 8 + ({subs}) - 1 end"
+            ).alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_percentiles_grouped(
+    hist: DataFrame, group_cols: list[str], percentiles=(50, 95, 99)
+) -> DataFrame:
+    """(group..., p, bin, lo, cum, total): each group's percentile bins,
+    read off its own histogram slice. Windows partition on the group key
+    — parallelism is the number of groups, each group's frame is <= a few
+    hundred bins."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total_w = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(total_w).alias("total"),
+    )
+    lo = F.expr(
+        "case when bin = 0 then 0L else cast((shiftleft(1L,"
+        " cast(bin div 8 as int)) * element_at("
+        + _HDR_RATIO_ARRAY
+        + f", cast(bin % 8 + 1 as int))) div {HDR_SCALE} as bigint) end"
+    )
+    pcts = F.array(*[F.lit(int(p)) for p in percentiles])
+    return (
+        cum.select(
+            *group_cols,
+            F.explode(pcts).alias("p"),
+            "bin",
+            lo.alias("lo"),
+            "cum",
+            "total",
+        )
+        .where(F.col("cum") * 100 >= F.col("total") * F.col("p"))
+        .groupBy(*group_cols, "p")
+        .agg(F.min(F.struct("bin", "lo", "cum", "total")).alias("h"))
+        .select(
+            *group_cols,
+            F.col("p").cast("int").alias("p"),
+            F.col("h.bin").alias("bin"),
+            F.col("h.lo").alias("lo"),
+            F.col("h.cum").alias("cum"),
+            F.col("h.total").alias("total"),
+        )
+    )
+
+
+def hdr_percentiles_grouped_sql(
+    table: str, group_expr: str, value_expr: str, percentiles=(50, 95, 99)
+) -> str:
+    """DuckDB twin of the grouped histogram + percentile read (bit-exact).
+    ``group_expr`` is a single SQL expression aliased as ``grp``."""
+    ratio_list = ",".join(str(r) for r in HDR_RATIOS)
+    subs = " + ".join(
+        f"(CASE WHEN v * {HDR_SCALE} >= (1::BIGINT << oct) * {r}"
+        " THEN 1 ELSE 0 END)"
+        for r in HDR_RATIOS
+    )
+    pct_rows = " UNION ALL ".join(f"SELECT {int(p)} AS p" for p in percentiles)
+    return f"""
+WITH vals AS (
+  SELECT {group_expr} AS grp, cast({value_expr} AS BIGINT) AS v
+  FROM {table} WHERE {value_expr} IS NOT NULL
+), binned AS (
+  SELECT grp, CASE WHEN v < 1 THEN 0
+         ELSE (length(bin(v)) - 1)::BIGINT * 8 + ({subs}) - 1 END AS bin
+  FROM (SELECT grp, v, (length(bin(v)) - 1) AS oct FROM vals)
+), hist AS (
+  SELECT grp, bin, cast(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY grp, bin
+), cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY grp)::BIGINT AS total
+  FROM hist
+), pcts AS ({pct_rows})
+SELECT grp, p, bin,
+       CASE WHEN bin = 0 THEN 0::BIGINT
+            ELSE ((1::BIGINT << cast(bin // 8 AS INT))
+                  * ([{ratio_list}])[cast(bin % 8 + 1 AS INT)])
+                 // {HDR_SCALE} END AS lo,
+       cum, total
+FROM (
+  SELECT grp, p, bin, cum, total,
+         row_number() OVER (PARTITION BY grp, p ORDER BY bin) AS rn
+  FROM pcts JOIN cum ON cum * 100 >= total * p
+) WHERE rn = 1 ORDER BY grp, p
+"""

@@ -1181,6 +1181,24 @@ def q_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_percentiles(hdr_histogram(cents, "cents")).orderBy("p")
 
 
+def q_hdr_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key SLO percentiles: p50/p95/p99 of event value (cents) PER
+    event_type, read from one log-binned histogram per key — the grouped
+    sketch (groups x ~350 bins shuffled, windows partitioned on the key,
+    never global). Bit-exact DuckDB twin."""
+    from ..functions.sketch import (
+        hdr_histogram_grouped,
+        hdr_percentiles_grouped,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    hist = hdr_histogram_grouped(ev, ["grp"], "cents")
+    return hdr_percentiles_grouped(hist, ["grp"]).orderBy("grp", "p")
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct via HyperLogLog (p=12, md5-derived
     registers): one row of register stats + the estimate. At 100 TB this
@@ -2429,6 +2447,7 @@ def queries() -> dict:
             "hll_distinct_shingles": q_hll_distinct_shingles,
             "cm_heavy_hitters": q_cm_heavy_hitters,
             "hdr_percentiles": q_hdr_percentiles,
+            "hdr_percentiles_by_type": q_hdr_percentiles_by_type,
             "entity_em_eval": q_entity_em,
             "filter_pushdown_agg": q_filter_pushdown_agg,
             "kg_entities": q_kg_entities,
@@ -2462,6 +2481,11 @@ def _sketch_sqls():
     hdr = hdr_percentiles_sql(
         "lineitem", "cast(round(l_extendedprice * 100) AS BIGINT)"
     )
+    from ..functions.sketch import hdr_percentiles_grouped_sql
+
+    hdrg = hdr_percentiles_grouped_sql(
+        "events", "event_type", "cast(round(value * 100) AS BIGINT)"
+    )
     hh = (
         cm_heavy_hitters_sql(
             "(SELECT unnest(string_split(text, ' ')) AS word "
@@ -2471,10 +2495,11 @@ def _sketch_sqls():
         )
         + " ORDER BY word"
     )
-    return users, shingles, hh, hdr
+    return users, shingles, hh, hdr, hdrg
 
 
-(_HLL_USERS_SQL, _HLL_SHINGLES_SQL, _CM_HH_SQL, _HDR_PCT_SQL) = _sketch_sqls()
+(_HLL_USERS_SQL, _HLL_SHINGLES_SQL, _CM_HH_SQL, _HDR_PCT_SQL,
+ _HDR_PCT_GRP_SQL) = _sketch_sqls()
 
 
 def oracle_sql() -> dict:
@@ -2535,6 +2560,7 @@ def oracle_sql() -> dict:
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
         "cm_heavy_hitters": _CM_HH_SQL,
         "hdr_percentiles": _HDR_PCT_SQL,
+        "hdr_percentiles_by_type": _HDR_PCT_GRP_SQL,
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,

@@ -206,3 +206,25 @@ def test_cm_estimate_unseen_key_is_zero(spark):
     # for this fixed corpus)
     assert got["never-seen-key-xyz"] == 0
     assert got["w0"] >= 400
+
+
+def test_hdr_grouped_isolates_groups(spark):
+    from nlp_series_relation_extraction_spark.functions.sketch import (
+        hdr_histogram_grouped,
+        hdr_percentiles_grouped,
+    )
+
+    # group 'small': values ~100; group 'big': values ~100000 — each
+    # group's percentiles must reflect ONLY its own distribution
+    df = spark.range(1, 1001).selectExpr(
+        "case when id % 2 = 0 then 'small' else 'big' end as grp",
+        "case when id % 2 = 0 then 100 + id % 7 else 100000 + id end as v",
+    )
+    hist = hdr_histogram_grouped(df, ["grp"], "v")
+    got = {
+        (r.grp, r.p): r.lo
+        for r in hdr_percentiles_grouped(hist, ["grp"]).collect()
+    }
+    assert 90 <= got[("small", 50)] <= 110
+    assert 90_000 <= got[("big", 50)] <= 110_000
+    assert got[("big", 99)] >= got[("big", 50)]
