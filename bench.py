@@ -50,6 +50,7 @@ RELATIONAL = [
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_simhash",
+    "dup_span_stats",
     "ann_cosine_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",

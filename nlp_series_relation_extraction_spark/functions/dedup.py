@@ -366,3 +366,56 @@ WITH shingled AS (
 )
 SELECT id, cast({bit_expr} AS BIGINT) AS simhash FROM per_doc
 """
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10
+) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_span_ppm): per document, how many of
+    its word n-gram spans also occur ELSEWHERE in the corpus (other
+    documents, or repeated within this one) — the exact-substring
+    deduplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), where training spans duplicated across
+    the corpus are dropped or down-weighted. A true suffix array finds
+    maximal spans; fixed-n span hashing is the distributed approximation
+    production pipelines run (n=10..50 words), and the span POSITIONS are
+    recoverable by keeping the (id, pos) explode below.
+
+    Plan: positional (not distinct) n-gram explode -> md5 span keys ->
+    corpus-wide span-count aggregation (map-side combined; hot boilerplate
+    spans collapse per mapper) -> join back span occurrences against the
+    duplicated-key set -> per-doc counts. Two shuffles; the join's build
+    side is only the DUPLICATED keys (corpus-dependent but far smaller
+    than the span stream; for web boilerplate it is the long tail that
+    vanishes, not the head). Integer ppm output — bit-exact oracle."""
+    w = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"case when size({w}) >= {n} then "
+        f"transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({w}, i, {n}))) "
+        f"else array() end"
+    )
+    from .partitioning import ensure_parallelism
+
+    occ = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode_outer(grams).alias("g")
+    ).select("id", F.md5("g").alias("h"))
+    counts = occ.groupBy("h").agg(F.count("*").alias("c"))
+    dup_keys = counts.where(F.col("c") > 1).select("h")
+    dup_occ = occ.join(dup_keys, "h", "left_semi").groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_dup_spans")
+    )
+    totals = occ.groupBy("id").agg(
+        F.count("h").cast("bigint").alias("n_spans")
+    )
+    return totals.join(dup_occ, "id", "left").select(
+        "id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias(
+            "n_dup_spans"
+        ),
+        F.expr(
+            "case when n_spans = 0 then 0L else"
+            " (coalesce(n_dup_spans, 0L) * 1000000) div n_spans end"
+        ).alias("dup_span_ppm"),
+    )

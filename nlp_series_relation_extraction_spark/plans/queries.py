@@ -585,6 +585,45 @@ ORDER BY a_id, b_id
 """
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): per document, the
+    fraction (ppm) of its word-10-gram spans that occur elsewhere in the
+    corpus — the spans a span-level dedup pass would drop/down-weight
+    (functions/dedup.py:duplicate_span_stats). Integer-exact oracle."""
+    from ..functions.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=10
+    ).orderBy("id")
+
+
+_DUP_SPANS_SQL = """
+WITH ws AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT id, md5(unnest(list_transform(
+           generate_series(1, greatest(len(w) - 9, 0)),
+           i -> array_to_string(list_slice(w, i, i + 9), ' ')
+         ))) AS h
+  FROM ws
+), counts AS (
+  SELECT h, count(*) AS c FROM occ GROUP BY h
+), dup_occ AS (
+  SELECT o.id, cast(count(*) AS BIGINT) AS n_dup_spans
+  FROM occ o JOIN counts c ON o.h = c.h AND c.c > 1
+  GROUP BY o.id
+)
+SELECT ws.id,
+       cast(greatest(len(ws.w) - 9, 0) AS BIGINT) AS n_spans,
+       coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN greatest(len(ws.w) - 9, 0) = 0 THEN 0
+            ELSE (coalesce(d.n_dup_spans, 0) * 1000000)
+                 // greatest(len(ws.w) - 9, 0) END AS dup_span_ppm
+FROM ws LEFT JOIN dup_occ d ON ws.id = d.id
+ORDER BY ws.id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit simhash fingerprints over word shingles."""
     from ..functions.dedup import simhash16, word_shingles
@@ -2411,6 +2450,7 @@ def queries() -> dict:
             "dedup_incremental": q_dedup_incremental,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_simhash": q_dedup_simhash,
+            "dup_span_stats": q_dup_span_stats,
             "balanced_sample": q_balanced_sample,
             "doc_chunks": q_doc_chunks,
             "lm_quality": q_lm_quality,
@@ -2533,6 +2573,7 @@ def oracle_sql() -> dict:
         "kg_degree_stats": _DEGREE_SQL,
         "kg_two_hop": _TWO_HOP_SQL,
         "kg_triangles": _TRIANGLES_SQL,
+        "dup_span_stats": _DUP_SPANS_SQL,
         "dedup_simhash": __import__(
             "nlp_series_relation_extraction_spark.functions.dedup",
             fromlist=["simhash_sql"],

@@ -975,3 +975,30 @@ def test_facts_as_of_snapshot(spark):
     assert at7 == {"s": "B", "t": "X"}
     # before any observation: empty world
     assert facts_as_of(iv, datetime(2023, 12, 31), "obj").count() == 0
+
+
+def test_duplicate_span_stats_cross_doc_and_short_docs(spark):
+    from nlp_series_relation_extraction_spark.functions.dedup import (
+        duplicate_span_stats,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one alpha beta gamma delta eps zeta"),
+            (2, boiler + " other ending two eta theta iota kappa lam mu"),
+            (3, "entirely different text with no shared ten gram span x y"),
+            (4, "short"),  # < n words -> zero spans
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_spans, r.n_dup_spans, r.dup_span_ppm)
+        for r in duplicate_span_stats(docs, "doc_id", "text", n=10).collect()
+    }
+    # docs 1 and 2 share exactly the boilerplate 10-gram (their first span)
+    assert got[1][0] == 10 and got[2][0] == 10
+    assert got[1][1] == 1 and got[2][1] == 1
+    assert got[1][2] == 100_000  # 1/10 in ppm
+    assert got[3] == (2, 0, 0)  # 11 words -> 2 spans
+    assert got[4] == (0, 0, 0)  # present, not dropped
