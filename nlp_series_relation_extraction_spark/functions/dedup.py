@@ -400,13 +400,33 @@ def duplicate_span_stats(
     occ = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode_outer(grams).alias("g")
     ).select("id", F.md5("g").alias("h"))
-    counts = occ.groupBy("h").agg(F.count("*").alias("c"))
-    dup_keys = counts.where(F.col("c") > 1).select("h")
-    dup_occ = occ.join(dup_keys, "h", "left_semi").groupBy("id").agg(
-        F.count("*").cast("bigint").alias("n_dup_spans")
+    # collapse the (corpus-sized) span stream to per-(id, h) counts ONCE
+    # and materialize: totals, the corpus-wide key counts, and the dup
+    # probe all derive from this far smaller table — without the
+    # checkpoint, each consumer would re-run the explode+md5 pass over
+    # the full corpus (Catalyst does not dedupe common subtrees).
+    pg = (
+        occ.groupBy("id", "h")
+        .agg(F.count("h").cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
     )
-    totals = occ.groupBy("id").agg(
-        F.count("h").cast("bigint").alias("n_spans")
+    dup_keys = (
+        pg.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.sum("k").alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    dup_occ = pg.join(dup_keys, "h", "left_semi").groupBy("id").agg(
+        F.sum("k").cast("bigint").alias("n_dup_spans")
+    )
+    totals = pg.groupBy("id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("h").isNotNull(), F.col("k"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_spans")
     )
     return totals.join(dup_occ, "id", "left").select(
         "id",

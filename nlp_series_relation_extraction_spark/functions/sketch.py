@@ -307,130 +307,28 @@ _HDR_RATIO_ARRAY = "array(" + ",".join(f"{r}L" for r in HDR_RATIOS) + ")"
 
 
 def hdr_histogram(df: DataFrame, value_col: str) -> DataFrame:
-    """(bin, cnt): log-binned histogram of a positive integer column
-    (quantize money/latency to cents/micros first) — the constant-size
-    mergeable percentile sketch of the HdrHistogram/DDSketch family:
-    8 bins per octave => every bin spans < 9.1% relative width, so any
-    percentile read off the sketch has bounded relative error.
-
-    The bin index is ALL-INTEGER: v in [2^k, 2^(k+1)) splits at
-    thresholds t_i = 2^k * r_i / 2^20 via the overflow-free equivalent
-    compare v * 2^20 >= 2^k * r_i (exact for v < 2^43 — beyond cents of
-    any revenue column; values < 1 land in bin 0). Both engines compare
-    identical bigints, so the DuckDB oracle is bit-exact — the repo's
-    approximate-with-exact-gate discipline (cf. HLL above).
-
-    Partial aggregation bounds each partition's output at the bin count
-    (8 per octave x <= 43 octaves), so the shuffle is sketch-sized at any
-    input size — the same scale shape as hll_registers/cm_sketch."""
-    subs = " + ".join(
-        f"(case when _v * {HDR_SCALE} >="
-        f" shiftleft(1L, _oct) * {r}L then 1 else 0 end)"
-        for r in HDR_RATIOS
-    )
-    return (
-        df.where(F.col(value_col).isNotNull())
-        .select(F.col(value_col).cast("bigint").alias("_v"))
-        .withColumn("_oct", F.expr("cast(length(bin(_v)) - 1 as int)"))
-        .select(
-            F.expr(
-                "case when _v < 1 then 0L"
-                f" else cast(_oct as bigint) * 8 + ({subs}) - 1 end"
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-    )
+    """(bin, cnt): log-binned histogram of a positive integer column —
+    the ungrouped (single-histogram) case of hdr_histogram_grouped; see
+    that function for the bin math, determinism, and scale notes."""
+    return hdr_histogram_grouped(df, [], value_col)
 
 
 def hdr_percentiles(hist: DataFrame, percentiles=(50, 95, 99)) -> DataFrame:
-    """(p, bin, lo, cum, total): for each requested percentile, the first
-    bin whose cumulative count reaches it (integer cross-multiplied:
-    cum * 100 >= total * p — no float ceil), with the bin's integer lower
-    bound ``lo`` (the percentile estimate; true value is < 9.1% above).
-    Runs entirely on the tiny histogram — the ordered cumulative window
-    spans <= a few hundred bins, so one task is the CORRECT plan here."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    total_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(total_w).alias("total"),
-    )
-    lo = F.expr(
-        "case when bin = 0 then 0L else cast((shiftleft(1L,"
-        " cast(bin div 8 as int)) * element_at("
-        + _HDR_RATIO_ARRAY
-        + f", cast(bin % 8 + 1 as int))) div {HDR_SCALE} as bigint) end"
-    )
-    # ONE evaluation of the histogram subtree: explode the percentile list
-    # against the cumulative table and min_by the first qualifying bin per
-    # p — a per-percentile where/limit(1) branch would embed the (corpus-
-    # scale) aggregation once per requested percentile.
-    pcts = F.array(*[F.lit(int(p)) for p in percentiles])
-    return (
-        cum.select(
-            F.explode(pcts).alias("p"), "bin", lo.alias("lo"), "cum", "total"
-        )
-        .where(F.col("cum") * 100 >= F.col("total") * F.col("p"))
-        .groupBy("p")
-        .agg(F.min(F.struct("bin", "lo", "cum", "total")).alias("h"))
-        .select(
-            F.col("p").cast("int").alias("p"),
-            F.col("h.bin").alias("bin"),
-            F.col("h.lo").alias("lo"),
-            F.col("h.cum").alias("cum"),
-            F.col("h.total").alias("total"),
-        )
-    )
+    """(p, bin, lo, cum, total): percentile bins off one histogram — the
+    ungrouped case of hdr_percentiles_grouped (its windows degenerate to
+    the whole ≤ few-hundred-bin table, where one task is the correct
+    plan)."""
+    return hdr_percentiles_grouped(hist, [], percentiles)
 
 
 def hdr_percentiles_sql(
     table: str, value_expr: str, percentiles=(50, 95, 99)
 ) -> str:
-    """DuckDB twin of hdr_histogram |> hdr_percentiles (bit-exact)."""
-    ratio_list = ",".join(str(r) for r in HDR_RATIOS)
-    subs = " + ".join(
-        f"(CASE WHEN v * {HDR_SCALE} >= (1::BIGINT << oct) * {r}"
-        " THEN 1 ELSE 0 END)"
-        for r in HDR_RATIOS
-    )
-    pct_rows = " UNION ALL ".join(f"SELECT {int(p)} AS p" for p in percentiles)
-    return f"""
-WITH vals AS (
-  SELECT cast({value_expr} AS BIGINT) AS v FROM {table}
-  WHERE {value_expr} IS NOT NULL
-), binned AS (
-  SELECT CASE WHEN v < 1 THEN 0
-         ELSE (length(bin(v)) - 1)::BIGINT * 8 + ({subs}) - 1 END AS bin
-  FROM (SELECT v, (length(bin(v)) - 1) AS oct FROM vals)
-), hist AS (
-  SELECT bin, cast(count(*) AS BIGINT) AS cnt FROM binned GROUP BY bin
-), cum AS (
-  SELECT bin, cnt,
-         sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT
-           AS cum,
-         sum(cnt) OVER ()::BIGINT AS total
-  FROM hist
-), pcts AS ({pct_rows})
-SELECT p, bin,
-       CASE WHEN bin = 0 THEN 0::BIGINT
-            ELSE ((1::BIGINT << cast(bin // 8 AS INT))
-                  * ([{ratio_list}])[cast(bin % 8 + 1 AS INT)])
-                 // {HDR_SCALE} END AS lo,
-       cum, total
-FROM (
-  SELECT p, bin, cum, total,
-         row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
-  FROM pcts JOIN cum ON cum * 100 >= total * p
-) WHERE rn = 1 ORDER BY p
-"""
-
+    """DuckDB twin of hdr_histogram |> hdr_percentiles (bit-exact):
+    the grouped template with a constant group key, projected away — ONE
+    copy of the bin math serves both paths."""
+    grouped = hdr_percentiles_grouped_sql(table, "0", value_expr, percentiles)
+    return f"SELECT p, bin, lo, cum, total FROM ({grouped}) sub ORDER BY p"
 
 def hdr_histogram_grouped(
     df: DataFrame, group_cols: list[str], value_col: str

@@ -1551,20 +1551,15 @@ FROM ctx ORDER BY cast(conv_id AS BIGINT), turn_idx
 """
 
 
-def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal-KG fact versioning: the events stream read as timestamped
-    (subject=user, predicate=event_type, object=k%4) facts, collapsed to
-    SCD-2 validity intervals — a new object value closes the previous
-    interval; the open interval per key is the KG's current state
-    (functions/temporal.py:scd2_intervals). Bit-exact window-twin oracle."""
-    from ..functions.temporal import scd2_intervals
-
-    facts = t(spark, sf_dir, "events").select(
+def _event_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream read as timestamped (user, event_type, obj) facts
+    — the SINGLE definition shared by the three temporal queries (oracle
+    twin: _EVENT_IV_CTES). try_cast: a props row without a "k" match
+    extracts '' — that must become a NULL observation (closing the
+    previous interval), not an ANSI cast error."""
+    return t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        # try_cast: a props row without a "k" match extracts '' — that must
-        # become a NULL observation (closing the previous interval), not an
-        # ANSI cast error; the DuckDB twin mirrors with TRY_CAST
         (
             F.expr(
                 "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1)"
@@ -1575,9 +1570,69 @@ def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    out = scd2_intervals(
-        facts, ["user_id", "event_type"], "obj", "ts", ["event_id"]
+
+
+def _event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.temporal import scd2_intervals
+
+    return scd2_intervals(
+        _event_facts(spark, sf_dir),
+        ["user_id", "event_type"],
+        "obj",
+        "ts",
+        ["event_id"],
     )
+
+
+# shared SCD-2 CTE chain (facts -> change flags -> islands -> intervals),
+# consumed by the three temporal oracles below — one copy of the interval
+# math, mirroring the single _event_facts/_event_intervals on the Spark side
+_EVENT_IV_CTES = r"""facts AS (
+  SELECT user_id, event_type,
+         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         ts, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
+                 THEN 1 ELSE 0 END AS chg
+  FROM facts
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), g AS (
+  SELECT user_id, event_type, island,
+         min(ts) AS valid_from, max(ts) AS last_seen, min(obj) AS obj,
+         cast(count(*) AS BIGINT) AS n_evidence
+  FROM isl GROUP BY user_id, event_type, island
+), iv AS (
+  SELECT user_id, event_type, obj, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id, event_type
+                                ORDER BY valid_from, island) AS valid_to,
+         last_seen, n_evidence, island
+  FROM g
+)"""
+
+
+def _as_of_cte(name: str, ts: str, value_alias: str) -> str:
+    return f"""{name} AS (
+  SELECT user_id, event_type, obj AS {value_alias} FROM iv
+  WHERE valid_from <= TIMESTAMP '{ts}'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '{ts}')
+    AND obj IS NOT NULL
+)"""
+
+
+def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG fact versioning: the events stream read as timestamped
+    (subject=user, predicate=event_type, object=k%4) facts, collapsed to
+    SCD-2 validity intervals — a new object value closes the previous
+    interval; the open interval per key is the KG's current state
+    (functions/temporal.py:scd2_intervals). Bit-exact window-twin oracle."""
+    out = _event_intervals(spark, sf_dir)
+
     # interval bounds as epoch micros: timestamp columns land in pandas as
     # ns-vs-us dtypes across engines; integers compare exactly
     def us(c: str):  # TIMESTAMP_NTZ -> epoch micros, timezone-free
@@ -1598,36 +1653,15 @@ def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type", "valid_from_us")
 
 
-_FACT_INTERVALS_SQL = r"""
-WITH facts AS (
-  SELECT user_id, event_type,
-         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
-         ts, event_id
-  FROM events
-), flagged AS (
-  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
-                 THEN 1 ELSE 0 END AS chg
-  FROM facts
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-), isl AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged
-), g AS (
-  SELECT user_id, event_type, island,
-         min(ts) AS valid_from, max(ts) AS last_seen, min(obj) AS obj,
-         cast(count(*) AS BIGINT) AS n_evidence
-  FROM isl GROUP BY user_id, event_type, island
-)
+_FACT_INTERVALS_SQL = f"""
+WITH {_EVENT_IV_CTES}
 SELECT user_id, event_type, obj,
        epoch_us(valid_from) AS valid_from_us,
-       epoch_us(lead(valid_from) OVER wi) AS valid_to_us,
+       epoch_us(valid_to) AS valid_to_us,
        epoch_us(last_seen) AS last_seen_us,
        n_evidence,
-       lead(valid_from) OVER wi IS NULL AS is_current
-FROM g
-WINDOW wi AS (PARTITION BY user_id, event_type ORDER BY valid_from, island)
+       valid_to IS NULL AS is_current
+FROM iv
 ORDER BY user_id, event_type, valid_from_us
 """
 
@@ -1639,63 +1673,23 @@ def q_kg_facts_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     same filter."""
     from datetime import datetime
 
-    from ..functions.temporal import facts_as_of, scd2_intervals
+    from ..functions.temporal import facts_as_of
 
-    facts = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        (
-            F.expr(
-                "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1)"
-                " as int)"
-            )
-            % 4
-        ).alias("obj"),
-        "ts",
-        "event_id",
-    )
-    iv = scd2_intervals(
-        facts, ["user_id", "event_type"], "obj", "ts", ["event_id"]
-    )
+    iv = _event_intervals(spark, sf_dir)
     snap = facts_as_of(iv, datetime(2024, 1, 10), "obj")
     return snap.select(
         "user_id", "event_type", "obj", "n_evidence"
     ).orderBy("user_id", "event_type")
 
 
-_FACTS_AS_OF_SQL = r"""
-WITH facts AS (
-  SELECT user_id, event_type,
-         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
-         ts, event_id
-  FROM events
-), flagged AS (
-  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
-                 THEN 1 ELSE 0 END AS chg
-  FROM facts
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-), isl AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged
-), g AS (
-  SELECT user_id, event_type, island,
-         min(ts) AS valid_from, min(obj) AS obj,
-         cast(count(*) AS BIGINT) AS n_evidence
-  FROM isl GROUP BY user_id, event_type, island
-), iv AS (
-  SELECT user_id, event_type, obj, valid_from,
-         lead(valid_from) OVER (PARTITION BY user_id, event_type
-                                ORDER BY valid_from, island) AS valid_to,
-         n_evidence
-  FROM g
-)
-SELECT user_id, event_type, obj, n_evidence FROM iv
-WHERE valid_from <= TIMESTAMP '2024-01-10'
-  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10')
-  AND obj IS NOT NULL
-ORDER BY user_id, event_type
+_FACTS_AS_OF_SQL = f"""
+WITH {_EVENT_IV_CTES}, {_as_of_cte("snap", "2024-01-10", "obj")}
+SELECT s.user_id, s.event_type, s.obj, i.n_evidence
+FROM snap s JOIN iv i
+  ON s.user_id = i.user_id AND s.event_type = i.event_type
+ AND i.valid_from <= TIMESTAMP '2024-01-10'
+ AND (i.valid_to IS NULL OR i.valid_to > TIMESTAMP '2024-01-10')
+ORDER BY s.user_id, s.event_type
 """
 
 
@@ -1708,24 +1702,9 @@ def q_kg_facts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously-ingested KG serves."""
     from datetime import datetime
 
-    from ..functions.temporal import facts_as_of, scd2_intervals
+    from ..functions.temporal import facts_as_of
 
-    facts = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        (
-            F.expr(
-                "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1)"
-                " as int)"
-            )
-            % 4
-        ).alias("obj"),
-        "ts",
-        "event_id",
-    )
-    iv = scd2_intervals(
-        facts, ["user_id", "event_type"], "obj", "ts", ["event_id"]
-    ).localCheckpoint(eager=True)
+    iv = _event_intervals(spark, sf_dir).localCheckpoint(eager=True)
     t1 = facts_as_of(iv, datetime(2024, 1, 10), "obj").select(
         "user_id", "event_type", F.col("obj").alias("obj_before")
     )
@@ -1749,42 +1728,10 @@ def q_kg_facts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FACTS_DIFF_SQL = r"""
-WITH facts AS (
-  SELECT user_id, event_type,
-         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
-         ts, event_id
-  FROM events
-), flagged AS (
-  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
-                 THEN 1 ELSE 0 END AS chg
-  FROM facts
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-), isl AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS island
-  FROM flagged
-), g AS (
-  SELECT user_id, event_type, island,
-         min(ts) AS valid_from, min(obj) AS obj
-  FROM isl GROUP BY user_id, event_type, island
-), iv AS (
-  SELECT user_id, event_type, obj, valid_from,
-         lead(valid_from) OVER (PARTITION BY user_id, event_type
-                                ORDER BY valid_from, island) AS valid_to
-  FROM g
-), t1 AS (
-  SELECT user_id, event_type, obj AS obj_before FROM iv
-  WHERE valid_from <= TIMESTAMP '2024-01-10'
-    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10')
-    AND obj IS NOT NULL
-), t2 AS (
-  SELECT user_id, event_type, obj AS obj_after FROM iv
-  WHERE valid_from <= TIMESTAMP '2024-01-20'
-    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20')
-    AND obj IS NOT NULL
-)
+_FACTS_DIFF_SQL = f"""
+WITH {_EVENT_IV_CTES},
+{_as_of_cte("t1", "2024-01-10", "obj_before")},
+{_as_of_cte("t2", "2024-01-20", "obj_after")}
 SELECT coalesce(t1.user_id, t2.user_id) AS user_id,
        coalesce(t1.event_type, t2.event_type) AS event_type,
        obj_before, obj_after,

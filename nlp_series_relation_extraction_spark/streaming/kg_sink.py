@@ -51,16 +51,50 @@ def upsert_edge_batch(
     path: str, batch_id: int,
 ) -> None:
     """One foreachBatch body: canonicalize -> edge-aggregate -> merge with
-    the current table -> commit as a new version."""
+    the current table -> commit as a new version.
+
+    Idempotent under foreachBatch's at-least-once replay: versions are
+    named by batch_id (zero-padded, so string compare == numeric compare),
+    and a batch whose version is already committed — the crash-between-
+    manifest-flip-and-checkpoint window — is a no-op instead of
+    double-counting its evidence into the table. After a commit, versions
+    older than the previous one are pruned (the previous stays for
+    in-flight readers — the parquet stand-in for Iceberg snapshot
+    expiry), bounding disk at ~2x table size."""
+    version = f"v{batch_id:06d}"
+    manifest = os.path.join(path, _MANIFEST)
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as f:
+            committed = f.read().strip()
+        if committed >= version:  # replayed batch: already folded in
+            return
     inc = edge_table(canonical_triples(batch_triples, aliases))
     current = read_current_edges(spark, path)
     merged = inc if current is None else merge_edge_increment(current, inc)
-    version = f"v{batch_id:06d}"
     merged.write.mode("overwrite").parquet(os.path.join(path, version))
     tmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(version)
     os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic flip
+    _expire_versions(path)
+
+
+def _expire_versions(path: str, retain: int = 2) -> None:
+    """Drop all but the newest ``retain`` version directories (zero-padded
+    names sort chronologically); batch ids may skip, so this keys off
+    what actually exists rather than arithmetic on the current id."""
+    import shutil
+
+    versions = sorted(
+        (
+            n
+            for n in os.listdir(path)
+            if n.startswith("v") and not n.startswith(_MANIFEST)
+        ),
+        reverse=True,
+    )
+    for name in versions[retain:]:
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def stream_edges_into(

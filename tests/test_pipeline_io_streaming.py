@@ -769,9 +769,8 @@ def test_streaming_kg_edge_table_equals_batch(spark, tmp_path):
     # folds only them in, and the table equals the fresh batch build again
     write_batch(60, seed=23)
     tr3 = extract_triples(spark.read.parquet(src), head="mpn", planted=False)
-    aliases3 = aliases_for(tr3).localCheckpoint(eager=True)
-    # note: the alias SNAPSHOT is static per drain (production re-links on
-    # its own cadence); reuse the old snapshot for increment + batch twin
+    # the alias SNAPSHOT is static per drain (production re-links on its
+    # own cadence); reuse the old snapshot for increment + batch twin
     stream = extract_triples_stream(
         read_transcripts_stream(spark, src).drop("gold_json"), head="mpn"
     )
@@ -799,3 +798,44 @@ def test_streaming_kg_edge_table_equals_batch(spark, tmp_path):
     }
     assert got2 == want2
     assert got2 != got  # the increment actually changed the table
+
+
+def test_kg_sink_replay_is_idempotent_and_versions_expire(spark, tmp_path):
+    """foreachBatch delivers at-least-once: re-running a batch whose
+    version was already committed (crash between manifest flip and
+    checkpoint advance) must be a no-op, not a double-count; and old
+    version directories are pruned to the newest two."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        read_current_edges,
+        upsert_edge_batch,
+    )
+
+    table = str(tmp_path / "redges")
+    os.makedirs(table)
+    triples = spark.createDataFrame(
+        [("c1", 0, "p", "alpha beta", {"@value": "gamma delta"})],
+        "conv_id string, turn_idx int, predicate string, subject string,"
+        " object map<string,string>",
+    )
+    aliases = spark.createDataFrame(
+        [("alpha beta", 1), ("gamma delta", 2)],
+        "mention_norm string, entity_id long",
+    )
+    for b in range(4):
+        upsert_edge_batch(spark, triples, aliases, table, b)
+    once = {tuple(r) for r in read_current_edges(spark, table).collect()}
+    assert {r[3] for r in once} == {4}  # n_evidence = one per batch
+    # replay an OLD batch: committed version is newer -> no-op
+    upsert_edge_batch(spark, triples, aliases, table, 2)
+    # replay the LATEST batch (the actual crash window) -> no-op too
+    upsert_edge_batch(spark, triples, aliases, table, 3)
+    again = {tuple(r) for r in read_current_edges(spark, table).collect()}
+    assert again == once
+    versions = [
+        n for n in os.listdir(table) if n.startswith("v") and "." not in n
+    ]
+    assert len(versions) == 2  # newest two retained, older expired
