@@ -1002,3 +1002,43 @@ def test_duplicate_span_stats_cross_doc_and_short_docs(spark):
     assert got[1][2] == 100_000  # 1/10 in ppm
     assert got[3] == (2, 0, 0)  # 11 words -> 2 spans
     assert got[4] == (0, 0, 0)  # present, not dropped
+
+
+def test_scd2_intervals_randomized_invariants(spark):
+    """Seeded-random fact stream: the intervals must tile each key's
+    timeline exactly — contiguous (valid_to == next valid_from), open at
+    the end, value-alternating under null-safe compare, and conserving
+    the fact count in n_evidence."""
+    import random
+    from datetime import datetime, timedelta
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        scd2_intervals,
+    )
+
+    rng = random.Random(1234)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for fid in range(500):
+        key = f"k{rng.randrange(20)}"
+        val = rng.choice(["A", "B", "C", None])
+        ts = base + timedelta(minutes=rng.randrange(10_000))
+        rows.append((key, val, ts, fid))
+    facts = spark.createDataFrame(
+        rows, "subj string, obj string, ts timestamp, fid long"
+    )
+    out = scd2_intervals(facts, ["subj"], "obj", "ts", ["fid"]).collect()
+    assert sum(r.n_evidence for r in out) == 500
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.subj, []).append(r)
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous tiling
+            assert a.obj != b.obj or (
+                a.obj is None) != (b.obj is None)  # value changed
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        for r in ivs[:-1]:
+            assert not r.is_current
+            assert r.valid_from <= r.last_seen <= r.valid_to  # equal-ts ties allowed
