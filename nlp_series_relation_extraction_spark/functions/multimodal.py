@@ -128,11 +128,12 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
 
     REAL, pure numpy, no external codec: uncompressed PPM (P6) and 24-bit
     BMP, BASELINE JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 / 4:2:2 /
-    4:2:0, grayscale or YCbCr, restart markers) and 8-bit PNG
+    4:2:0, grayscale or YCbCr, restart markers), 8-bit PNG
     (functions/png.py — stdlib zlib inflate + all five scanline filters,
-    grey/truecolor/indexed/alpha). Exotic formats (webp, tiff,
-    progressive/arithmetic JPEG, 16-bit/interlaced PNG) remain the
-    documented integration point (plug PIL/opencv here); everything around
+    grey/truecolor/indexed/alpha), and uncompressed 8-bit TIFF
+    (functions/tiff.py — both byte orders, strip-based). Exotic formats
+    (webp, LZW/deflate TIFF, progressive/arithmetic JPEG, 16-bit/
+    interlaced PNG) remain the documented integration point (plug PIL/opencv here); everything around
     this function (schemas, Arrow batching, resize, features) is
     format-agnostic."""
     f = (fmt or "").lower()
@@ -148,10 +149,14 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .png import decode_image_png
 
         return decode_image_png(content)
+    if f in ("image/tiff", "image/tif", "tiff", "tif"):
+        from .tiff import decode_image_tiff
+
+        return decode_image_tiff(content)
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: exotic formats (webp/tiff/"
-        "progressive jpeg/...) need PIL/opencv — integrate them here; "
-        "ppm/bmp/baseline-jpeg/png decode natively"
+        f"no built-in decoder for {fmt!r}: exotic formats (webp/"
+        "progressive jpeg/LZW-tiff/...) need PIL/opencv — integrate them "
+        "here; ppm/bmp/baseline-jpeg/png/uncompressed-tiff decode natively"
     )
 
 
@@ -212,6 +217,8 @@ def synthesize_media(
 
         from .png import encode_image_png
 
+        from .tiff import encode_image_tiff
+
         encoders = {
             "image/ppm": encode_image_ppm,
             "image/bmp": encode_image_bmp24,
@@ -219,6 +226,7 @@ def synthesize_media(
                 a, quality=90, subsampling="420"
             ),
             "image/png": encode_image_png,
+            "image/tiff": encode_image_tiff,
         }
         for pdf in batches:
             out = {

@@ -106,7 +106,8 @@ def test_media_features_real_across_mixed_codecs(spark):
          for i in range(12)],
         "doc_id long, text string",
     )
-    formats = ("image/ppm", "image/bmp", "image/jpeg", "image/png")
+    formats = ("image/ppm", "image/bmp", "image/jpeg", "image/png",
+               "image/tiff")
     media = synthesize_media(docs, "doc_id", "text", formats=formats)
     got = {
         r.media_id: (r.width, r.height, np.asarray(r.features))
