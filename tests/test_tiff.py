@@ -27,14 +27,35 @@ def test_roundtrip_both_endians_and_strip_layouts(byte_order, rows_per_strip):
 
 
 def test_grayscale_replicates_channels():
-    # hand-build a grayscale (spp=1) file by re-encoding a single channel
-    a = _img(6, 5)[:, :, :1]
-    rgb = np.repeat(a, 3, axis=2)
-    enc = encode_image_tiff(rgb, byte_order="II")
-    # decode path for spp=3 covers RGB; grayscale goes through decode's
-    # spp=1 branch via a manual strip rewrite is overkill — assert the
-    # RGB roundtrip here and the spp guard below instead
-    assert (decode_image_tiff(enc) == rgb).all()
+    # hand-build a minimal grayscale (spp=1) file: header + 7-tag IFD +
+    # one strip of raw luma bytes; the decoder must replicate to 3 chans
+    import struct
+
+    h, w = 4, 6
+    gray = _img(h, w)[:, :, 0]
+    n_tags = 7
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_tags * 12 + 4
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + value
+
+    L = lambda v: struct.pack("<I", v)  # noqa: E731
+    S = lambda v: struct.pack("<H", v) + b"\x00\x00"  # noqa: E731
+    buf = b"II" + struct.pack("<HI", 42, ifd_off)
+    buf += struct.pack("<H", n_tags)
+    buf += entry(256, 4, 1, L(w))          # width
+    buf += entry(257, 4, 1, L(h))          # height
+    buf += entry(258, 3, 1, S(8))          # bits
+    buf += entry(259, 3, 1, S(1))          # no compression
+    buf += entry(273, 4, 1, L(data_off))   # strip offset
+    buf += entry(277, 3, 1, S(1))          # spp = 1 (grayscale)
+    buf += entry(279, 4, 1, L(h * w))      # strip byte count
+    buf += struct.pack("<I", 0)
+    buf += gray.tobytes()
+    out = decode_image_tiff(buf)
+    assert out.shape == (h, w, 3)
+    assert (out == np.repeat(gray[:, :, None], 3, axis=2)).all()
 
 
 def test_dispatch_through_decode_image():
