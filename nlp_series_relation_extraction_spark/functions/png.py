@@ -3,9 +3,9 @@
 Together with functions/jpeg.py this closes the compressed-codec gap: the
 multimodal path decodes PPM, BMP, baseline JPEG and PNG natively. Scope:
 8-bit greyscale (0), truecolor (2), indexed (3), grey+alpha (4) and RGBA
-(6) at bit depth 8, all five scanline filters, single IDAT stream (split
+(6) at bit depth 8 or 16 (16-bit downsamples to the high byte), all five scanline filters, single IDAT stream (split
 IDAT chunks are concatenated per the spec). Interlaced (Adam7) and 16-bit
-images raise ``NotImplementedError`` with a pointed message.
+images raise ``NotImplementedError`` with a pointed message (sub-byte depths, Adam7).
 
 The encoder writes non-interlaced 8-bit RGB with per-row filter 0 (None) —
 deliberately the simplest valid stream; decode is the hardened side since
@@ -113,13 +113,15 @@ def decode_image_png(content: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise NotImplementedError(f"{depth}-bit PNG (8-bit only)")
+            if depth not in (8, 16):
+                raise NotImplementedError(
+                    f"{depth}-bit PNG (8- and 16-bit only)"
+                )
             if interlace:
                 raise NotImplementedError("Adam7-interlaced PNG")
             if comp or filt:
                 raise ValueError("invalid PNG: unknown compression/filter")
-            ihdr = (w, h, color)
+            ihdr = (w, h, color, depth)
         elif tag == b"PLTE":
             palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -128,12 +130,22 @@ def decode_image_png(content: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise ValueError("invalid PNG: missing IHDR/IDAT")
-    w, h, color = ihdr
+    w, h, color, depth = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"invalid PNG: color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("invalid PNG: indexed images cannot be 16-bit")
     raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, h, w, channels).reshape(h, w, channels)
+    # PNG filters operate BYTEWISE with the pixel offset in bytes, so the
+    # same unfilter handles 16-bit — bpp doubles, and the 16->8 downsample
+    # keeps the big-endian high byte (the spec's sample-depth rescale)
+    sample_bytes = depth // 8
+    px = _unfilter(raw, h, w, channels * sample_bytes)
+    if depth == 16:
+        px = px.reshape(h, w, channels, 2)[..., 0]
+    else:
+        px = px.reshape(h, w, channels)
     if color == 2:
         return px.copy()
     if color == 6:

@@ -110,10 +110,10 @@ def test_png_indexed_palette():
 def test_png_unsupported_variants_raise_pointedly():
     img = _gradient(4, 4)
     good = encode_image_png(img)
-    # 16-bit depth
+    # sub-byte depth (16-bit is now supported; 1/2/4 are not)
     bad = bytearray(good)
-    bad[8 + 4 + 4 + 8] = 16  # IHDR bit-depth byte
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    bad[8 + 4 + 4 + 8] = 4  # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError, match="bit"):
         decode_image_png(bytes(bad))
     # Adam7 interlace
     bad = bytearray(good)
@@ -135,3 +135,72 @@ def test_png_through_decode_image_and_features():
     assert (dec == img).all()
     feats = image_features(dec)
     assert np.allclose(feats[:3], img.astype(np.float32).mean(axis=(0, 1)))
+
+
+def _chunk(tag, payload):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_16bit_truecolor_downsamples_high_byte():
+    import struct
+    import zlib
+
+    h, w = 5, 4
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    samples = np.stack([hi, lo], axis=-1).reshape(h, w * 6)
+    raw = b"".join(b"\x00" + samples[y].tobytes() for y in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_image_png(png) == hi).all()
+
+
+def test_16bit_filtered_scanlines_roundtrip():
+    # filter 2 (Up) over 16-bit rows: bytewise filtering must still undo
+    import struct
+    import zlib
+
+    h, w = 3, 2
+    hi = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    samples = np.stack(
+        [hi, np.zeros_like(hi)], axis=-1
+    ).reshape(h, w * 6)
+    rows = [b"\x00" + samples[0].tobytes()]
+    for y in range(1, h):
+        diff = (
+            samples[y].astype(np.int16) - samples[y - 1].astype(np.int16)
+        ) % 256
+        rows.append(b"\x02" + diff.astype(np.uint8).tobytes())
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_image_png(png) == hi).all()
+
+
+def test_sub_byte_depth_still_raises():
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + _chunk(b"IDAT", b"x")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image_png(png)
