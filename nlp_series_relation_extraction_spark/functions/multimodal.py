@@ -5,10 +5,11 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
 The decode step is REAL and pure-numpy for PPM (P6), 24-bit BMP, baseline
-JPEG (functions/jpeg.py) and 8-bit PNG (functions/png.py) — the whole
-decode -> resize -> feature path runs without PIL/opencv, including the
-compressed codecs. Exotic formats (webp/tiff/progressive JPEG) remain the
-one integration point: ``decode_image`` raises ``NotImplementedError`` for
+JPEG (functions/jpeg.py), 8/16-bit PNG (functions/png.py) and
+uncompressed/LZW TIFF (functions/tiff.py) — the whole decode -> resize ->
+feature path runs without PIL/opencv, including the compressed codecs.
+Exotic formats (webp/deflate-TIFF/progressive JPEG) remain the one
+integration point: ``decode_image`` raises ``NotImplementedError`` for
 them (plug PIL/opencv in one place); the surrounding Spark plumbing is
 format-agnostic either way.
 Video is modeled as a stack of fixed-size PPM frames in one payload;
@@ -130,12 +131,12 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     BMP, BASELINE JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 / 4:2:2 /
     4:2:0, grayscale or YCbCr, restart markers), 8-bit PNG
     (functions/png.py — stdlib zlib inflate + all five scanline filters,
-    grey/truecolor/indexed/alpha), and uncompressed 8-bit TIFF
-    (functions/tiff.py — both byte orders, strip-based). Exotic formats
-    (webp, LZW/deflate TIFF, progressive/arithmetic JPEG, 16-bit/
-    interlaced PNG) remain the documented integration point (plug PIL/opencv here); everything around
-    this function (schemas, Arrow batching, resize, features) is
-    format-agnostic."""
+    grey/truecolor/indexed/alpha), and uncompressed or LZW 8-bit TIFF
+    (functions/tiff.py — both byte orders, strip-based, horizontal
+    predictor). Exotic formats (webp, deflate/PackBits TIFF, progressive/
+    arithmetic JPEG, interlaced PNG) remain the documented integration
+    point (plug PIL/opencv here); everything around this function
+    (schemas, Arrow batching, resize, features) is format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
         return _decode_ppm(content)
@@ -149,14 +150,14 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .png import decode_image_png
 
         return decode_image_png(content)
-    if f in ("image/tiff", "image/tif", "tiff", "tif"):
+    if f in ("image/tiff", "image/tif", "tiff", "tif", "image/tiff-lzw"):
         from .tiff import decode_image_tiff
 
         return decode_image_tiff(content)
     raise NotImplementedError(
         f"no built-in decoder for {fmt!r}: exotic formats (webp/"
-        "progressive jpeg/LZW-tiff/...) need PIL/opencv — integrate them "
-        "here; ppm/bmp/baseline-jpeg/png/uncompressed-tiff decode natively"
+        "progressive jpeg/deflate-tiff/...) need PIL/opencv — integrate "
+        "them here; ppm/bmp/baseline-jpeg/png/tiff(+lzw) decode natively"
     )
 
 
@@ -227,6 +228,11 @@ def synthesize_media(
             ),
             "image/png": encode_image_png,
             "image/tiff": encode_image_tiff,
+            # LZW-compressed TIFF with horizontal predictor — the variant
+            # real scanner/libtiff corpora actually contain
+            "image/tiff-lzw": lambda a: encode_image_tiff(
+                a, compression="lzw", predictor=2
+            ),
         }
         for pdf in batches:
             out = {

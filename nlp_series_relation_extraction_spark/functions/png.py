@@ -2,10 +2,11 @@
 
 Together with functions/jpeg.py this closes the compressed-codec gap: the
 multimodal path decodes PPM, BMP, baseline JPEG and PNG natively. Scope:
-8-bit greyscale (0), truecolor (2), indexed (3), grey+alpha (4) and RGBA
-(6) at bit depth 8 or 16 (16-bit downsamples to the high byte), all five scanline filters, single IDAT stream (split
-IDAT chunks are concatenated per the spec). Interlaced (Adam7) and 16-bit
-images raise ``NotImplementedError`` with a pointed message (sub-byte depths, Adam7).
+greyscale (0), truecolor (2), indexed (3), grey+alpha (4) and RGBA (6) at
+bit depth 8 or 16 (16-bit downsamples to the high byte), all five
+scanline filters, single IDAT stream (split IDAT chunks are concatenated
+per the spec). Sub-byte depths (1/2/4-bit) and Adam7 interlacing raise
+``NotImplementedError`` with a pointed message.
 
 The encoder writes non-interlaced 8-bit RGB with per-row filter 0 (None) —
 deliberately the simplest valid stream; decode is the hardened side since

@@ -1,10 +1,12 @@
-"""Pure-numpy baseline TIFF codec (uncompressed RGB8 / grayscale-8).
+"""Pure-numpy baseline TIFF codec (uncompressed or LZW RGB8/grayscale-8).
 
 TIFF 6.0 subset every scanner/export pipeline emits as its lossless
-option: classic (non-Big) TIFF, either byte order, compression=1 (none),
-8 bits per sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky
-planar config, strip-based layout (any RowsPerStrip, incl. one strip).
-LZW/deflate/tiled/BigTIFF remain with the other compressed exotics at the
+option: classic (non-Big) TIFF, either byte order, compression=1 (none)
+or 5 (LZW, the most common lossless TIFF variant, with the spec's
+early-change code widths and optional horizontal predictor), 8 bits per
+sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky planar config,
+strip-based layout (any RowsPerStrip, incl. one strip). Deflate/PackBits/
+tiled/BigTIFF remain with the other compressed exotics at the
 decode_image integration point.
 
 Layout refresher: an 8-byte header (II*\0 / MM\0*) points at the first
@@ -29,6 +31,110 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9->12-bit codes with the
+    spec's "early change" (width bumps when the NEXT code to assign is
+    2^w - 1, i.e. at 511/1023/2047, one code earlier than plain LZW).
+    TIFF 6.0 §13; same scheme every libtiff writer emits."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    buf = nbuf = pos = 0
+    n = len(data)
+    while True:
+        while nbuf < width:
+            if pos >= n:  # stream ended without EOI: tolerate (libtiff does)
+                return bytes(out)
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbuf += 8
+        code = (buf >> (nbuf - width)) & ((1 << width) - 1)
+        nbuf -= width
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if code == _LZW_EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt LZW stream: non-literal after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the encoder defines code k when
+        # emitting, the decoder when reading the NEXT code), so it must
+        # widen one entry earlier still — at 510/1022/2046.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Mirror of _lzw_decode (early-change widths, clear at table-full)."""
+    out = bytearray()
+    buf = nbuf = 0
+
+    def emit(code: int, w: int):
+        nonlocal buf, nbuf
+        buf = (buf << w) | code
+        nbuf += w
+        while nbuf >= 8:
+            out.append((buf >> (nbuf - 8)) & 0xFF)
+            nbuf -= 8
+        buf &= (1 << nbuf) - 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code, width = 258, 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: clear, like libtiff
+            emit(_LZW_CLEAR, width)
+            table = fresh()
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I"}
@@ -77,9 +183,9 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
 
     w, h = vals(_TAG_WIDTH)[0], vals(_TAG_HEIGHT)[0]
     comp = vals(_TAG_COMPRESSION, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (only 1 = none)"
+            f"TIFF compression {comp} unsupported (only 1 = none, 5 = LZW)"
         )
     spp = vals(_TAG_SPP, [1])[0]
     bits = vals(_TAG_BITS, [8] * spp)
@@ -87,34 +193,81 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"only 8-bit gray/RGB TIFF supported (bits={bits}, spp={spp})"
         )
+    planar = vals(_TAG_PLANAR, [1])[0]
+    if planar != 1:
+        raise NotImplementedError(
+            f"TIFF planar configuration {planar} unsupported (only 1 = "
+            "chunky): decoding planar layout as chunky would interleave "
+            "whole color planes into garbage pixels"
+        )
+    # photometric 0 = WhiteIsZero (min-is-white grayscale — invert), 1 =
+    # BlackIsZero, 2 = RGB. Anything else (palette, CMYK, YCbCr) would
+    # decode to silently wrong colors, so raise like other unsupported
+    # variants instead of guessing.
+    photometric = vals(_TAG_PHOTOMETRIC, [1 if spp == 1 else 2])[0]
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric interpretation {photometric} unsupported "
+            "(only 0/1 grayscale, 2 RGB)"
+        )
+    if photometric == 2 and spp != 3 or photometric in (0, 1) and spp != 1:
+        raise ValueError(
+            f"TIFF photometric {photometric} inconsistent with spp {spp}"
+        )
+    predictor = vals(_TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} unsupported (only 1 = none, "
+            "2 = horizontal differencing)"
+        )
     offsets = vals(_TAG_STRIP_OFFSETS)
     counts = vals(_TAG_STRIP_COUNTS)
-    data = b"".join(
-        content[off : off + cnt] for off, cnt in zip(offsets, counts)
-    )
+    strips = [content[off : off + cnt] for off, cnt in zip(offsets, counts)]
+    if comp == 5:  # each strip is an independent LZW stream (TIFF 6.0 §13)
+        strips = [_lzw_decode(s) for s in strips]
+    data = b"".join(strips)
     need = w * h * spp
     if len(data) < need:
         raise ValueError(f"TIFF strip data truncated: {len(data)} < {need}")
     arr = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing stores per-row deltas per channel;
+        # undo with a mod-256 cumulative sum along the width axis.
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    if photometric == 0:
+        arr = 255 - arr
     if spp == 1:
         arr = np.repeat(arr, 3, axis=2)
-    return arr.copy()
+    return np.ascontiguousarray(arr)
 
 
 def encode_image_tiff(
-    arr: np.ndarray, byte_order: str = "II", rows_per_strip: int | None = None
+    arr: np.ndarray,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    compression: str = "none",
+    predictor: int = 1,
 ) -> bytes:
-    """HxWx3 uint8 -> uncompressed classic TIFF (strip-based; default one
-    strip, pass rows_per_strip to exercise multi-strip layout)."""
+    """HxWx3 uint8 -> classic TIFF (strip-based; default one strip, pass
+    rows_per_strip to exercise multi-strip layout; compression='lzw'
+    writes TIFF-LZW strips, predictor=2 adds horizontal differencing)."""
     h, w, _ = arr.shape
     e = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or h
-    strips = [
-        arr[r : r + rps].tobytes() for r in range(0, h, rps)
-    ]
-    # header(8) + IFD: count(2) + 10 tags * 12 + next(4), then bits array,
+    a = arr
+    if predictor == 2:
+        a = np.empty_like(arr)
+        a[:, 0] = arr[:, 0]
+        a[:, 1:] = (
+            arr[:, 1:].astype(np.int16) - arr[:, :-1].astype(np.int16)
+        ).astype(np.uint8)
+    comp_id = {"none": 1, "lzw": 5}[compression]
+    strips = [a[r : r + rps].tobytes() for r in range(0, h, rps)]
+    if comp_id == 5:
+        strips = [_lzw_encode(s) for s in strips]
+    # header(8) + IFD: count(2) + n tags * 12 + next(4), then bits array,
     # then strip offset/count arrays (if > 1 strip), then pixel strips
-    n_tags = 10
+    n_tags = 10 + (1 if predictor == 2 else 0)
     ifd_off = 8
     after_ifd = ifd_off + 2 + n_tags * 12 + 4
     bits_off = after_ifd
@@ -145,7 +298,7 @@ def encode_image_tiff(
         entry(_TAG_WIDTH, 4, 1, long_val(w)),
         entry(_TAG_HEIGHT, 4, 1, long_val(h)),
         entry(_TAG_BITS, 3, 3, long_val(bits_off)),
-        entry(_TAG_COMPRESSION, 3, 1, short_val(1)),
+        entry(_TAG_COMPRESSION, 3, 1, short_val(comp_id)),
         entry(_TAG_PHOTOMETRIC, 3, 1, short_val(2)),  # RGB
         entry(
             _TAG_STRIP_OFFSETS,
@@ -162,8 +315,10 @@ def encode_image_tiff(
             long_val(len(strips[0]) if n_strips == 1 else sc_off),
         ),
         # PlanarConfiguration = 1 (chunky)
-        entry(284, 3, 1, short_val(1)),
+        entry(_TAG_PLANAR, 3, 1, short_val(1)),
     ]
+    if predictor == 2:
+        entries.append(entry(_TAG_PREDICTOR, 3, 1, short_val(2)))
     out = bytearray()
     out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
     out += struct.pack(e + "H", n_tags)

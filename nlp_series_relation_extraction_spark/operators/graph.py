@@ -504,8 +504,14 @@ def label_propagation_communities(
     if num_partitions:
         und = und.repartition(num_partitions, "b")
     und = und.localCheckpoint(eager=True)
+    # vertex set from ALL distinct subj/obj ids — not from the self-loop-
+    # filtered undirected list — so an entity whose only edges are
+    # self-loops still gets a community row (its own id), consistent with
+    # pagerank/connected_components covering every vertex in the edge
+    # table.
     labels = (
-        und.select(F.col("a").alias("id"))
+        edges.select(F.col("subj_entity_id").alias("id"))
+        .union(edges.select(F.col("obj_entity_id").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)

@@ -68,6 +68,15 @@ def compact_table(
     rows for evenly-sized files. Returns before/after stats; row-count
     preservation is asserted here (a compaction that loses rows must never
     return)."""
+    import os
+
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+        # mode('overwrite') deletes dst before the lazy src read
+        # materializes — an in-place call would destroy the table.
+        raise ValueError(
+            "compact_table requires dst_path != src_path (write to a new "
+            "directory, then atomically swap, as the streaming kg_sink does)"
+        )
     before = plan_compaction(spark, src_path, target_bytes)
     df = spark.read.parquet(src_path)
     n_out = before["target_files"]

@@ -867,9 +867,9 @@ ORDER BY s.doc_id
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path through the driver (rows-only: numpy decode is not
     SQL-expressible): documents -> real MIXED-codec payloads (PPM, 24-bit
-    BMP, baseline JPEG, PNG and uncompressed TIFF cycling by id — every
-    built-in decoder incl. functions/jpeg.py, functions/png.py and
-    functions/tiff.py runs) -> decode -> per-channel
+    BMP, baseline JPEG, PNG, uncompressed TIFF and LZW+predictor TIFF
+    cycling by id — every built-in decoder incl. functions/jpeg.py,
+    functions/png.py and functions/tiff.py runs) -> decode -> per-channel
     stats + thumbnail features (functions/multimodal.py). The
     SQL-expressible metadata slice is hash-checked separately
     (media_meta)."""
@@ -878,7 +878,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(
         t(spark, sf_dir, "documents"), "doc_id", "text",
         formats=("image/ppm", "image/bmp", "image/jpeg", "image/png",
-                 "image/tiff"),
+                 "image/tiff", "image/tiff-lzw"),
     )
     out = extract_features(media)
     return out.select(

@@ -66,7 +66,10 @@ def upsert_edge_batch(
     if os.path.exists(manifest):
         with open(manifest, encoding="utf-8") as f:
             committed = f.read().strip()
-        if committed >= version:  # replayed batch: already folded in
+        # compare NUMERIC batch ids, not version strings: past batch
+        # 999999 the zero-padding overflows and 'v1000000' < 'v999999'
+        # lexicographically, which would skip every new batch as a replay.
+        if int(committed[1:]) >= batch_id:  # replayed: already folded in
             return
     inc = edge_table(canonical_triples(batch_triples, aliases))
     current = read_current_edges(spark, path)
@@ -80,9 +83,10 @@ def upsert_edge_batch(
 
 
 def _expire_versions(path: str, retain: int = 2) -> None:
-    """Drop all but the newest ``retain`` version directories (zero-padded
-    names sort chronologically); batch ids may skip, so this keys off
-    what actually exists rather than arithmetic on the current id."""
+    """Drop all but the newest ``retain`` version directories (sorted by
+    NUMERIC batch id — lexicographic order breaks once ids outgrow the
+    zero-padding); batch ids may skip, so this keys off what actually
+    exists rather than arithmetic on the current id."""
     import shutil
 
     versions = sorted(
@@ -91,6 +95,7 @@ def _expire_versions(path: str, retain: int = 2) -> None:
             for n in os.listdir(path)
             if n.startswith("v") and not n.startswith(_MANIFEST)
         ),
+        key=lambda n: int(n[1:]),
         reverse=True,
     )
     for name in versions[retain:]:

@@ -289,6 +289,30 @@ def test_lpa_matches_python_twin_and_splits_clusters(spark):
     assert left_labels != right_labels
 
 
+def test_lpa_covers_self_loop_only_vertices(spark):
+    # a vertex whose only edges are self-loops must still get a community
+    # row (its own id), consistent with pagerank/connected_components
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = _two_cluster_edges()
+    rows = [(a, "p", b, 1) for a, b in edges] + [(99, "p", 99, 1)]
+    df = spark.createDataFrame(
+        rows,
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " n_evidence long",
+    )
+    got = {
+        r.entity_id: r.community_id
+        for r in label_propagation_communities(df, rounds=3).collect()
+    }
+    assert got[99] == 99
+    # connected vertices unchanged by the lone self-loop vertex
+    expected = _lpa_twin(edges, rounds=3)
+    assert {v: got[v] for v in expected} == expected
+
+
 def test_lpa_deterministic_across_partitionings(spark):
     from nlp_series_relation_extraction_spark.operators.graph import (
         label_propagation_communities,

@@ -109,3 +109,19 @@ def test_skew_report_topk_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    """mode('overwrite') deletes dst before the lazy src scan runs — an
+    in-place compact would destroy the table, so it must raise upfront
+    (and leave the source intact)."""
+    import pytest
+
+    src = str(tmp_path / "frag")
+    _fragmented_table(spark, src)
+    with pytest.raises(ValueError, match="dst_path"):
+        compact_table(spark, src, src)
+    # symlink-equivalent path spelled differently is still in-place
+    with pytest.raises(ValueError, match="dst_path"):
+        compact_table(spark, src, src + "/../frag")
+    assert spark.read.parquet(src).count() == 4_000

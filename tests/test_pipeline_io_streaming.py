@@ -839,3 +839,37 @@ def test_kg_sink_replay_is_idempotent_and_versions_expire(spark, tmp_path):
         n for n in os.listdir(table) if n.startswith("v") and "." not in n
     ]
     assert len(versions) == 2  # newest two retained, older expired
+
+
+def test_kg_sink_batch_ids_beyond_zero_padding(spark, tmp_path):
+    """Batch ids past 999999 overflow the 6-digit zero padding; the
+    replay check and version expiry must compare NUMERIC ids ('v1000000'
+    sorts before 'v999999' lexicographically — a string compare would
+    treat every new batch as a replay and expire the newest version)."""
+    import os
+
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        read_current_edges,
+        upsert_edge_batch,
+    )
+
+    table = str(tmp_path / "bigids")
+    os.makedirs(table)
+    triples = spark.createDataFrame(
+        [("c1", 0, "p", "alpha beta", {"@value": "gamma delta"})],
+        "conv_id string, turn_idx int, predicate string, subject string,"
+        " object map<string,string>",
+    )
+    aliases = spark.createDataFrame(
+        [("alpha beta", 1), ("gamma delta", 2)],
+        "mention_norm string, entity_id long",
+    )
+    upsert_edge_batch(spark, triples, aliases, table, 999_999)
+    upsert_edge_batch(spark, triples, aliases, table, 1_000_000)
+    cur = read_current_edges(spark, table).collect()
+    assert {r[3] for r in cur} == {2}  # both batches folded in
+    with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+        assert int(f.read().strip()[1:]) == 1_000_000
+    # replaying the newest big id is still a no-op
+    upsert_edge_batch(spark, triples, aliases, table, 1_000_000)
+    assert {r[3] for r in read_current_edges(spark, table).collect()} == {2}
