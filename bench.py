@@ -139,10 +139,183 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     transcripts.unpersist()
 
+    # two-stage mpn (distributed subject fan-out) at 1x and 10x — the
+    # adopt-or-retire datapoint for the headline path (round-4 ask #6):
+    # if the fan-out's extra shuffles amortize by 10x it becomes entry()'s
+    # plan; the ratio vs single-stage at each scale decides.
+    from nlp_series_relation_extraction_spark.operators.extract_mpn_twostage import (
+        extract_triples_mpn_twostage,
+    )
+
+    for label, nts in (("_1x", BENCH_TURNS["mpn"]), ("_10x", n10)):
+        transcripts = synth_transcripts(spark, nts, seed=42).localCheckpoint(
+            eager=True
+        )
+        t0 = time.time()
+        extract_triples_mpn_twostage(transcripts).count()
+        dt = time.time() - t0
+        timings[f"kg_extract_mpn_twostage{label}"] = round(dt, 3)
+        extras[f"turns_per_sec_mpn_twostage{label.lstrip('_')}"] = round(
+            nts / dt, 1
+        )
+        transcripts.unpersist()
+
+    # attention-encoder extraction (round-4 ask #3): the REAL 2-layer
+    # transformer trunk (core/attention.py) through the padded batched
+    # forward + npz weight shipping — turns/sec under realistic encoder
+    # cost, the Arrow-batch-sizing validation datapoint.
+    from pyspark.sql import functions as F
+
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_turn_results,
+    )
+
+    n_attn = 20_000
+    transcripts = synth_transcripts(spark, n_attn, seed=42).localCheckpoint(
+        eager=True
+    )
+    wp = Q.attn_weights_path()
+    t0 = time.time()
+    n = (
+        extract_turn_results(
+            transcripts, head="bio", planted=False, batch_forward=True,
+            weights_path=wp,
+        )
+        .select(F.explode("triples"))
+        .count()
+    )
+    dt = time.time() - t0
+    timings["kg_extract_bio_attn"] = round(dt, 3)
+    extras["turns_per_sec_bio_attn"] = round(n_attn / dt, 1)
+    extras["triples_bio_attn"] = n
+    transcripts.unpersist()
+
     for name in RELATIONAL:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # 10x scale rehearsals for the relational heavies (round-4 ask #4):
+    # linking and near-dup cluster canonicalization at 10x the documents,
+    # built as 10 TAGGED copies (per-copy word prefixes keep copies
+    # disjoint in shingle/blocking space, so per-copy cluster structure
+    # matches 1x and the measured growth isolates scale — a hidden
+    # quadratic would show as a ratio far beyond ~12x of the 1x entry).
+    docs10 = (
+        Q.t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.expr("sequence(0, 9)")).alias("cp"),
+        )
+        .select(
+            (F.col("doc_id") * 10 + F.col("cp")).alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform(split(text, ' '),"
+                " w -> concat('c', cast(cp as string), w)))"
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from nlp_series_relation_extraction_spark.functions.dedup import (
+        near_dup_clusters,
+    )
+    from nlp_series_relation_extraction_spark.operators.linking import (
+        link_mentions,
+    )
+
+    t0 = time.time()
+    cl = near_dup_clusters(docs10, "doc_id", "text")
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    cl.join(sizes, "cluster_id").where(F.col("cluster_size") > 1).count()
+    timings["dedup_cluster_keep_10x"] = round(time.time() - t0, 3)
+    extras["cluster_keep_10x_ratio"] = round(
+        timings["dedup_cluster_keep_10x"]
+        / max(timings["dedup_cluster_keep"], 1e-9),
+        2,
+    )
+
+    w10 = "split(text, ' ')"
+    mentions10 = docs10.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.explode(
+            F.expr(
+                f"case when size({w10}) >= 2 then "
+                f"transform(sequence(1, size({w10}) - 1),"
+                f" i -> concat_ws(' ', slice({w10}, i, 2))) "
+                f"else array() end"
+            )
+        ).alias("mention"),
+    )
+    t0 = time.time()
+    link_mentions(mentions10, threshold=0.5, max_block=200)["entities"].count()
+    timings["kg_linking_10x"] = round(time.time() - t0, 3)
+    extras["linking_10x_ratio"] = round(
+        timings["kg_linking_10x"]
+        / max(timings["kg_linking_entities"], 1e-9),
+        2,
+    )
+    docs10.unpersist()
+
+    # streaming rate/latency datapoint (round-4 ask #7): continuous KG
+    # edge-table sink over micro-batched triples — sustained turns/sec and
+    # per-batch p95 commit latency.
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        upsert_edge_batch,
+    )
+
+    import shutil as _sh
+    import tempfile as _tf
+
+    sink_dir = _tf.mkdtemp(prefix="nre_bench_kgsink_")
+    try:
+        n_stream_turns = 8_000
+        n_batches = 20
+        stream_t = synth_transcripts(
+            spark, n_stream_turns, seed=42
+        ).localCheckpoint(eager=True)
+        trip_all = (
+            extract_triples(stream_t, head="mpn", planted=True)
+            .withColumn(
+                "_b", F.abs(F.xxhash64("conv_id")) % F.lit(n_batches)
+            )
+            .localCheckpoint(eager=True)
+        )
+        aliases = (
+            trip_all.select(F.col("subject").alias("m"))
+            .unionByName(
+                trip_all.select(F.element_at("object", "@value").alias("m"))
+            )
+            .distinct()
+            .select(
+                F.lower(F.trim("m")).alias("mention_norm"),
+                F.xxhash64(F.lower(F.trim("m"))).alias("entity_id"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        lat = []
+        t_all = time.time()
+        for b in range(n_batches):
+            batch = trip_all.where(F.col("_b") == b).drop("_b")
+            tb = time.time()
+            upsert_edge_batch(spark, batch, aliases, sink_dir, b)
+            lat.append(time.time() - tb)
+        total_stream = time.time() - t_all
+        lat.sort()
+        timings["streaming_kg_sink_20b"] = round(total_stream, 3)
+        extras["streaming_turns_per_sec"] = round(
+            n_stream_turns / total_stream, 1
+        )
+        extras["streaming_batch_p50_sec"] = round(lat[len(lat) // 2], 3)
+        extras["streaming_batch_p95_sec"] = round(
+            lat[min(int(len(lat) * 0.95), len(lat) - 1)], 3
+        )
+        stream_t.unpersist()
+        trip_all.unpersist()
+    finally:
+        _sh.rmtree(sink_dir, ignore_errors=True)
 
     # end-to-end pipeline (extract -> link -> canonicalize -> graph), fresh
     # workdir so nothing resumes
@@ -355,6 +528,40 @@ def _headline_section(out: dict) -> str:
             BENCH_TURNS["mpn"] * 10,
             out.get("turns_per_sec_mpn_10x", "?"),
             out.get("scale_10x_throughput_ratio", float("nan")),
+        ),
+        "| two-stage mpn fan-out 1x / 10x (%d / %d turns) | %s / %s turns/sec"
+        " vs single-stage %s / %s — the adopt-or-retire datapoint for the"
+        " headline plan |"
+        % (
+            BENCH_TURNS["mpn"],
+            BENCH_TURNS["mpn"] * 10,
+            out.get("turns_per_sec_mpn_twostage1x", "?"),
+            out.get("turns_per_sec_mpn_twostage10x", "?"),
+            out.get("turns_per_sec_mpn", "?"),
+            out.get("turns_per_sec_mpn_10x", "?"),
+        ),
+        "| attention-encoder extraction (REAL 2-layer transformer, 20k turns) |"
+        " %s turns/sec, %s triples — padded batched forward + npz weight"
+        " shipping under realistic encoder cost |"
+        % (
+            out.get("turns_per_sec_bio_attn", "?"),
+            out.get("triples_bio_attn", "?"),
+        ),
+        "| 10x relational heavies (tagged-copy corpus) | cluster_keep %ss"
+        " (ratio %s of 1x), linking %ss (ratio %s of 1x) — ratios near ~10x"
+        " = linear growth, no hidden quadratic |"
+        % (
+            q.get("dedup_cluster_keep_10x", "?"),
+            out.get("cluster_keep_10x_ratio", "?"),
+            q.get("kg_linking_10x", "?"),
+            out.get("linking_10x_ratio", "?"),
+        ),
+        "| continuous KG sink (20 micro-batches, 8k turns) | %s turns/sec"
+        " sustained, per-batch commit p50 %ss / p95 %ss |"
+        % (
+            out.get("streaming_turns_per_sec", "?"),
+            out.get("streaming_batch_p50_sec", "?"),
+            out.get("streaming_batch_p95_sec", "?"),
         ),
         "| full pipeline e2e 10k turns (extract->link->canonicalize->graph) |"
         " %ss, %s edges |"

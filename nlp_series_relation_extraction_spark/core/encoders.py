@@ -306,11 +306,17 @@ BIAS_KEYS = ("b_bio", "b_sub", "b_po", "b_typed", "b_rel", "b_bi")
 def save_encoder(encoder: HashEncoder, path: str) -> None:
     """Checkpoint encoder weights (the torch.save(state_dict) analogue,
     reference run_baseline.py:215-217). Ship the file to executors with
-    ``spark-submit --files`` and load via SparkFiles.get + load_encoder."""
+    ``spark-submit --files`` and load via SparkFiles.get + load_encoder.
+    AttnEncoder checkpoints carry the transformer trunk too; load_encoder
+    dispatches on the marker key."""
     if not path.endswith(".npz"):
         path += ".npz"  # np.savez appends it silently; keep load symmetric
     arrays = {k: getattr(encoder, k) for k in WEIGHT_KEYS}
     arrays.update({k: np.float64(getattr(encoder, k)) for k in BIAS_KEYS})
+    from .attention import AttnEncoder, attn_arrays
+
+    if isinstance(encoder, AttnEncoder):
+        arrays.update(attn_arrays(encoder))
     np.savez(path, **arrays)
 
 
@@ -332,12 +338,19 @@ def encoder_with_weights(seed: int = 42, **overrides: np.ndarray) -> HashEncoder
 
 
 def load_encoder(path: str) -> HashEncoder:
-    """Restore an encoder from a weights file without re-deriving biases."""
+    """Restore an encoder from a weights file without re-deriving biases.
+    Dispatches on the checkpoint contents: an ``attn_meta`` key means the
+    file holds an AttnEncoder (multi-layer transformer trunk)."""
     if not path.endswith(".npz"):
         path += ".npz"
     data = np.load(path)
-    enc = HashEncoder.__new__(HashEncoder)
-    enc.emb = _EmbeddingCache(_HIDDEN)
+    if "attn_meta" in data:
+        from .attention import load_attn
+
+        enc = load_attn(data)
+    else:
+        enc = HashEncoder.__new__(HashEncoder)
+        enc.emb = _EmbeddingCache(_HIDDEN)
     for k in WEIGHT_KEYS:
         setattr(enc, k, data[k])
     for k in BIAS_KEYS:

@@ -5,13 +5,13 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
 The decode step is REAL and pure-numpy for PPM (P6), 24-bit BMP, baseline
-JPEG (functions/jpeg.py), 8/16-bit PNG (functions/png.py) and
-uncompressed/LZW TIFF (functions/tiff.py) — the whole decode -> resize ->
-feature path runs without PIL/opencv, including the compressed codecs.
-Exotic formats (webp/deflate-TIFF/progressive JPEG) remain the one
-integration point: ``decode_image`` raises ``NotImplementedError`` for
-them (plug PIL/opencv in one place); the surrounding Spark plumbing is
-format-agnostic either way.
+JPEG (functions/jpeg.py), 8/16-bit PNG (functions/png.py) and TIFF in all
+four common compressions — none/LZW/deflate/PackBits (functions/tiff.py)
+— the whole decode -> resize -> feature path runs without PIL/opencv,
+including the compressed codecs. Exotic formats (webp/progressive
+JPEG/JPEG-in-TIFF) remain the one integration point: ``decode_image``
+raises ``NotImplementedError`` for them (plug PIL/opencv in one place);
+the surrounding Spark plumbing is format-agnostic either way.
 Video is modeled as a stack of fixed-size PPM frames in one payload;
 ``frame_sample`` slices real frame bytes.
 """
@@ -150,14 +150,18 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .png import decode_image_png
 
         return decode_image_png(content)
-    if f in ("image/tiff", "image/tif", "tiff", "tif", "image/tiff-lzw"):
+    if f in (
+        "image/tiff", "image/tif", "tiff", "tif",
+        "image/tiff-lzw", "image/tiff-deflate", "image/tiff-packbits",
+    ):
         from .tiff import decode_image_tiff
 
         return decode_image_tiff(content)
     raise NotImplementedError(
         f"no built-in decoder for {fmt!r}: exotic formats (webp/"
-        "progressive jpeg/deflate-tiff/...) need PIL/opencv — integrate "
-        "them here; ppm/bmp/baseline-jpeg/png/tiff(+lzw) decode natively"
+        "progressive jpeg/jpeg-in-tiff/...) need PIL/opencv — integrate "
+        "them here; ppm/bmp/baseline-jpeg/png/tiff(none+lzw+deflate+"
+        "packbits) decode natively"
     )
 
 
@@ -228,10 +232,16 @@ def synthesize_media(
             ),
             "image/png": encode_image_png,
             "image/tiff": encode_image_tiff,
-            # LZW-compressed TIFF with horizontal predictor — the variant
-            # real scanner/libtiff corpora actually contain
+            # compressed TIFF variants real scanner/libtiff corpora
+            # actually contain: LZW+predictor, zlib deflate, PackBits RLE
             "image/tiff-lzw": lambda a: encode_image_tiff(
                 a, compression="lzw", predictor=2
+            ),
+            "image/tiff-deflate": lambda a: encode_image_tiff(
+                a, compression="deflate", predictor=2
+            ),
+            "image/tiff-packbits": lambda a: encode_image_tiff(
+                a, compression="packbits"
             ),
         }
         for pdf in batches:

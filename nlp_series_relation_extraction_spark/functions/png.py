@@ -4,14 +4,15 @@ Together with functions/jpeg.py this closes the compressed-codec gap: the
 multimodal path decodes PPM, BMP, baseline JPEG and PNG natively. Scope:
 greyscale (0), truecolor (2), indexed (3), grey+alpha (4) and RGBA (6) at
 bit depth 8 or 16 (16-bit downsamples to the high byte), all five
-scanline filters, single IDAT stream (split IDAT chunks are concatenated
-per the spec). Sub-byte depths (1/2/4-bit) and Adam7 interlacing raise
-``NotImplementedError`` with a pointed message.
+scanline filters, Adam7 interlacing (seven independently-filtered reduced
+images scattered back to the full grid), split IDAT chunks concatenated
+per the spec. Sub-byte depths (1/2/4-bit) raise ``NotImplementedError``
+with a pointed message.
 
-The encoder writes non-interlaced 8-bit RGB with per-row filter 0 (None) —
-deliberately the simplest valid stream; decode is the hardened side since
-real corpora arrive encoded by arbitrary writers (hence full filter and
-color-type support there).
+The encoder writes 8-bit RGB with per-row filter 0 (None), optionally
+Adam7-interlaced — deliberately the simplest valid stream; decode is the
+hardened side since real corpora arrive encoded by arbitrary writers
+(hence full filter and color-type support there).
 """
 
 from __future__ import annotations
@@ -33,16 +34,41 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_image_png(arr: np.ndarray, level: int = 6) -> bytes:
-    """Encode an HxWx3 uint8 RGB array as 8-bit truecolor PNG."""
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_image_png(
+    arr: np.ndarray, level: int = 6, interlace: bool = False
+) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as 8-bit truecolor PNG
+    (optionally Adam7-interlaced; per-row filter 0 either way)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
     h, w = a.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), a.reshape(h, w * 3)], axis=1
-    ).tobytes()  # filter byte 0 per row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), np.uint8), sub.reshape(ph, pw * 3)],
+                    axis=1,
+                ).tobytes()
+            )
+        raw = b"".join(parts)
+    else:
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), a.reshape(h, w * 3)], axis=1
+        ).tobytes()  # filter byte 0 per row
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -118,11 +144,11 @@ def decode_image_png(content: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"{depth}-bit PNG (8- and 16-bit only)"
                 )
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG: interlace {interlace}")
             if comp or filt:
                 raise ValueError("invalid PNG: unknown compression/filter")
-            ihdr = (w, h, color, depth)
+            ihdr = (w, h, color, depth, interlace)
         elif tag == b"PLTE":
             palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -131,7 +157,7 @@ def decode_image_png(content: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise ValueError("invalid PNG: missing IHDR/IDAT")
-    w, h, color, depth = ihdr
+    w, h, color, depth, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"invalid PNG: color type {color}")
@@ -142,7 +168,26 @@ def decode_image_png(content: bytes) -> np.ndarray:
     # same unfilter handles 16-bit — bpp doubles, and the 16->8 downsample
     # keeps the big-endian high byte (the spec's sample-depth rescale)
     sample_bytes = depth // 8
-    px = _unfilter(raw, h, w, channels * sample_bytes)
+    bpp = channels * sample_bytes
+    if interlace:
+        # Adam7: seven sequential reduced images, each filtered
+        # independently with its own scanline geometry; unfilter each pass
+        # and scatter into the full-resolution grid (PNG spec §8.2)
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (pw * bpp + 1)
+            full[y0::dy, x0::dx] = _unfilter(
+                raw[off : off + n], ph, pw, bpp
+            ).reshape(ph, pw, bpp)
+            off += n
+        px = full.reshape(h, w * bpp)
+    else:
+        px = _unfilter(raw, h, w, bpp)
     if depth == 16:
         px = px.reshape(h, w, channels, 2)[..., 0]
     else:

@@ -1,13 +1,15 @@
-"""Pure-numpy baseline TIFF codec (uncompressed or LZW RGB8/grayscale-8).
+"""Pure-numpy baseline TIFF codec (uncompressed/LZW/deflate/PackBits,
+RGB8 or grayscale-8).
 
 TIFF 6.0 subset every scanner/export pipeline emits as its lossless
-option: classic (non-Big) TIFF, either byte order, compression=1 (none)
-or 5 (LZW, the most common lossless TIFF variant, with the spec's
-early-change code widths and optional horizontal predictor), 8 bits per
-sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky planar config,
-strip-based layout (any RowsPerStrip, incl. one strip). Deflate/PackBits/
-tiled/BigTIFF remain with the other compressed exotics at the
-decode_image integration point.
+option: classic (non-Big) TIFF, either byte order, compression 1 (none),
+5 (LZW, the most common lossless TIFF variant, with the spec's
+early-change code widths and optional horizontal predictor), 8/32946
+(zlib deflate — Adobe and legacy tags) or 32773 (PackBits RLE, the
+fax/scanner staple), 8 bits per sample, 1 (grayscale) or 3 (RGB) samples
+per pixel, chunky planar config, strip-based layout (any RowsPerStrip,
+incl. one strip). JPEG-in-TIFF/tiled/BigTIFF remain with the other
+compressed exotics at the decode_image integration point.
 
 Layout refresher: an 8-byte header (II*\0 / MM\0*) points at the first
 IFD — a count followed by 12-byte tag entries (tag, type, count, value/
@@ -153,6 +155,52 @@ def _read_values(buf, e, typ, count, value_field):
     return list(struct.unpack(e + _TYPE_FMT[typ] * count, raw))
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): control byte n in [0,127] copies the
+    next n+1 literals; n in [129,255] repeats the next byte 257-n times;
+    128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i < n:
+                out += data[i : i + 1] * (257 - c)
+                i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >= 3 identical bytes become repeat packets
+    (max 128), everything else literal packets (max 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
 def decode_image_tiff(content: bytes) -> np.ndarray:
     """Uncompressed 8-bit TIFF -> HxWx3 uint8 (grayscale replicated)."""
     if len(content) < 8:
@@ -183,9 +231,10 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
 
     w, h = vals(_TAG_WIDTH)[0], vals(_TAG_HEIGHT)[0]
     comp = vals(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 5):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (only 1 = none, 5 = LZW)"
+            f"TIFF compression {comp} unsupported (1 = none, 5 = LZW, "
+            "8/32946 = deflate, 32773 = PackBits)"
         )
     spp = vals(_TAG_SPP, [1])[0]
     bits = vals(_TAG_BITS, [8] * spp)
@@ -223,8 +272,15 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
     offsets = vals(_TAG_STRIP_OFFSETS)
     counts = vals(_TAG_STRIP_COUNTS)
     strips = [content[off : off + cnt] for off, cnt in zip(offsets, counts)]
-    if comp == 5:  # each strip is an independent LZW stream (TIFF 6.0 §13)
+    # each strip is an independently compressed stream (TIFF 6.0 §13/§9)
+    if comp == 5:
         strips = [_lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):
+        import zlib
+
+        strips = [zlib.decompress(s) for s in strips]
+    elif comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
     data = b"".join(strips)
     need = w * h * spp
     if len(data) < need:
@@ -249,8 +305,9 @@ def encode_image_tiff(
     predictor: int = 1,
 ) -> bytes:
     """HxWx3 uint8 -> classic TIFF (strip-based; default one strip, pass
-    rows_per_strip to exercise multi-strip layout; compression='lzw'
-    writes TIFF-LZW strips, predictor=2 adds horizontal differencing)."""
+    rows_per_strip to exercise multi-strip layout; compression in
+    {'none','lzw','deflate','packbits'}; predictor=2 adds horizontal
+    differencing)."""
     h, w, _ = arr.shape
     e = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or h
@@ -261,10 +318,18 @@ def encode_image_tiff(
         a[:, 1:] = (
             arr[:, 1:].astype(np.int16) - arr[:, :-1].astype(np.int16)
         ).astype(np.uint8)
-    comp_id = {"none": 1, "lzw": 5}[compression]
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
+        compression
+    ]
     strips = [a[r : r + rps].tobytes() for r in range(0, h, rps)]
     if comp_id == 5:
         strips = [_lzw_encode(s) for s in strips]
+    elif comp_id == 8:
+        import zlib
+
+        strips = [zlib.compress(s, 6) for s in strips]
+    elif comp_id == 32773:
+        strips = [_packbits_encode(s) for s in strips]
     # header(8) + IFD: count(2) + n tags * 12 + next(4), then bits array,
     # then strip offset/count arrays (if > 1 strip), then pixel strips
     n_tags = 10 + (1 if predictor == 2 else 0)

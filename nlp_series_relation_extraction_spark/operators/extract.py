@@ -49,13 +49,15 @@ TRIPLE_COLUMNS = [
 
 def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: bool = False, keep_text: bool = False, weights_path: str | None = None, vocab: list[str] | None = None):
     def run(batches):
-        if vocab is not None:
-            # activate the trained sub-word vocabulary in THIS worker
-            # process (module state never crosses the driver/executor
-            # boundary implicitly; the closure carries the artifact)
-            from ..core.tokenization import set_wordpiece_vocab
+        # activate (or with None, RESET) the trained sub-word vocabulary in
+        # THIS worker process: module state never crosses the driver/
+        # executor boundary implicitly — the closure carries the artifact —
+        # and Spark REUSES python workers across queries, so a stale vocab
+        # from an earlier vocab-bearing query would otherwise leak into a
+        # later no-vocab extraction in the same worker.
+        from ..core.tokenization import set_wordpiece_vocab
 
-            set_wordpiece_vocab(vocab)
+        set_wordpiece_vocab(vocab)
         for pdf in batches:
             out = {
                 "conv_id": pdf["conv_id"].tolist(),

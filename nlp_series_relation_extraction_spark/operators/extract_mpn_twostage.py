@@ -50,9 +50,12 @@ def extract_triples_mpn_twostage(
     seed: int = 42,
     max_len: int = 512,
     num_partitions: int | None = None,
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Distributed-fan-out mpn extraction; output equals the single-stage
-    ``extract_triples(head='mpn', planted=False)`` triple table."""
+    ``extract_triples(head='mpn', planted=False)`` triple table (with the
+    same ``vocab``: every stage pins the worker-process tokenizer state,
+    so reused workers can't leak a vocabulary between queries)."""
 
     df = transcripts.select("conv_id", "turn_idx", "text").withColumn(
         "text", F.regexp_replace("text", "[®◆]", "")
@@ -61,6 +64,9 @@ def extract_triples_mpn_twostage(
         df = df.repartition(num_partitions, "conv_id")
 
     def stage1(batches):
+        from ..core.tokenization import set_wordpiece_vocab
+
+        set_wordpiece_vocab(vocab)
         for pdf in batches:
             yield decode_subjects_rows(pdf, seed, max_len)
 
@@ -81,6 +87,9 @@ def extract_triples_mpn_twostage(
         fanout = fanout.repartition(num_partitions)
 
     def stage2(batches):
+        from ..core.tokenization import set_wordpiece_vocab
+
+        set_wordpiece_vocab(vocab)
         for pdf in batches:
             yield decode_po_rows(pdf, seed, max_len)
 
@@ -95,8 +104,9 @@ def extract_triples_mpn_twostage(
 
     def assemble(batches):
         from ..core.decode_span import convert_spoes_to_result
-        from ..core.tokenization import tokenize_framed
+        from ..core.tokenization import set_wordpiece_vocab, tokenize_framed
 
+        set_wordpiece_vocab(vocab)
         for pdf in batches:
             out = {c: [] for c in (
                 "conv_id", "turn_idx", "predicate", "subject", "subject_type",

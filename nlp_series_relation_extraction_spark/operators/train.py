@@ -39,6 +39,12 @@ def _epoch_udf(weights: np.ndarray, bias: float, seed: int, max_len: int):
     """Per-partition gradient/loss sums for the masked-BCE objective."""
 
     def run(batches):
+        from ..core.tokenization import set_wordpiece_vocab
+
+        # pin the tokenizer to the stand-in (workers are reused across
+        # queries; a vocab left active by an earlier extraction query
+        # would silently change training labels)
+        set_wordpiece_vocab(None)
         encoder = get_hash_encoder(seed)
         H, O = weights.shape
         gsum = np.zeros((H, O), dtype=np.float64)
@@ -260,7 +266,9 @@ def _mpn_epoch_udf(
         import json
 
         from ..core.encoders import PlantedEncoder
+        from ..core.tokenization import set_wordpiece_vocab
 
+        set_wordpiece_vocab(None)  # pin vs worker-reuse vocab leak
         encoder = get_hash_encoder(seed)
         planted = PlantedEncoder()
         H = w_sub.shape[0]
@@ -439,7 +447,9 @@ def _mhs_epoch_udf(weights: dict, seed: int, max_len: int, biaffine: bool):
         import json
 
         from ..core.encoders import PlantedEncoder
+        from ..core.tokenization import set_wordpiece_vocab
 
+        set_wordpiece_vocab(None)  # pin vs worker-reuse vocab leak
         encoder = get_hash_encoder(seed)
         planted = PlantedEncoder()
         w32 = {k: v.astype(np.float32) for k, v in weights.items()}

@@ -115,10 +115,17 @@ def test_png_unsupported_variants_raise_pointedly():
     bad[8 + 4 + 4 + 8] = 4  # IHDR bit-depth byte
     with pytest.raises(NotImplementedError, match="bit"):
         decode_image_png(bytes(bad))
-    # Adam7 interlace
+    # Adam7 is SUPPORTED now — but flipping the interlace bit on a stream
+    # whose IDAT is plain makes the pass geometry lie about scanline
+    # boundaries; the misread filter bytes must raise, not garble
     bad = bytearray(good)
     bad[8 + 4 + 4 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="filter"):
+        decode_image_png(bytes(bad))
+    # invalid interlace method id
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
         decode_image_png(bytes(bad))
     with pytest.raises(ValueError, match="signature"):
         decode_image_png(b"not a png")
@@ -204,3 +211,47 @@ def test_sub_byte_depth_still_raises():
     )
     with pytest.raises(NotImplementedError):
         decode_image_png(png)
+
+
+def _rand_img(h, w, seed=9):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("hw", [(17, 11), (7, 5), (1, 1), (8, 8), (3, 16)])
+def test_adam7_interlaced_roundtrip(hw):
+    """Adam7 decode: the seven-pass deinterlace reassembles the exact
+    source pixels at sizes that exercise empty and partial passes."""
+    h, w = hw
+    a = _rand_img(h, w)
+    b = encode_image_png(a, interlace=True)
+    assert (decode_image_png(b) == a).all()
+    # interlaced and plain streams decode identically
+    assert (decode_image_png(b) == decode_image_png(encode_image_png(a))).all()
+
+
+def test_adam7_stream_is_actually_interlaced():
+    """The interlaced encoding is a different byte stream (pass-ordered),
+    not a flag on the same raster — guards against a fake interlace bit."""
+    import zlib as _z
+
+    a = _rand_img(16, 16)
+    plain = encode_image_png(a)
+    inter = encode_image_png(a, interlace=True)
+    assert plain != inter
+
+    def idat(buf):
+        pos = 8
+        out = bytearray()
+        while pos < len(buf):
+            ln = int.from_bytes(buf[pos : pos + 4], "big")
+            tag = buf[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                out += buf[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        return _z.decompress(bytes(out))
+
+    # same pixel payload, but one filter byte per PASS scanline: the seven
+    # 16x16 passes have 2+2+2+4+4+8+8 = 30 scanlines vs 16 plain
+    assert len(idat(inter)) == len(idat(plain)) + (30 - 16)

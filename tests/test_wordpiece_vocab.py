@@ -136,3 +136,121 @@ def test_spark_planted_roundtrip_with_vocab(spark):
             )
     assert got == want  # P = R = 1.0
     assert get_wordpiece_vocab() is None  # driver-side state untouched
+
+
+def test_driver_default_vocab_is_deterministic_and_cached(spark):
+    """plans/queries.py default_wordpiece_vocab: same artifact on repeat
+    call (process cache) and deterministic content (fixed seed/sample)."""
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        default_wordpiece_vocab,
+    )
+
+    v1 = default_wordpiece_vocab(spark)
+    v2 = default_wordpiece_vocab(spark)
+    assert v1 is v2  # cached artifact, not retrained
+    assert len(v1) > 50  # learned a real vocabulary
+    # multi-char pieces exist: BPE actually merged something
+    assert any(len(p.lstrip("#")) > 1 for p in v1)
+
+
+def test_driver_default_path_splits_at_non_fixed_width_boundary(spark):
+    """Round-3 VERDICT ask #1 pin: with the DRIVER-DEFAULT vocab active,
+    at least one corpus unit splits into multiple pieces at a boundary the
+    fixed 4-char stand-in could never produce — i.e. the default
+    kg_extract_* path runs real trained-vocab wordpiece semantics."""
+    from nlp_series_relation_extraction_spark.core.tokenization import (
+        segment_units,
+    )
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        default_wordpiece_vocab,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        synth_pandas,
+    )
+
+    vocab = default_wordpiece_vocab(spark)
+    corpus_units = set()
+    for text in synth_pandas(512, seed=42)["text"]:
+        corpus_units.update(
+            u for u in segment_units(text) if not u.isspace()
+        )
+    found_nonfixed = False
+    with use_wordpiece_vocab(vocab):
+        for u in sorted(corpus_units):
+            pieces = tokenize_unit(u)
+            if len(pieces) > 1 and any(
+                len(p.lstrip("#")) != 4 for p in pieces
+            ):
+                found_nonfixed = True
+                break
+    assert found_nonfixed, "default vocab never split a unit off-4-char"
+
+
+def test_driver_kg_extract_default_roundtrip_is_gold(spark):
+    """queries()['kg_extract_mpn'] (the entry() path) with its DEFAULT
+    tokenizer — the trained vocab — still reproduces planted gold exactly
+    (P = R = 1.0) at sf0.001."""
+    import json as _json
+
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        _kg_turns,
+        queries,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        synth_pandas,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.conv_id, r.turn_idx, r.predicate, r.subject, r.object_json)
+        for r in queries()["kg_extract_mpn"](spark, sf).collect()
+    }
+    want = set()
+    for _, row in synth_pandas(_kg_turns(spark, sf), seed=42).iterrows():
+        for s in _json.loads(row.gold_json):
+            want.add(
+                (
+                    row.conv_id,
+                    row.turn_idx,
+                    s["predicate"],
+                    s["subject"],
+                    _json.dumps(
+                        s["object"],
+                        sort_keys=True,
+                        ensure_ascii=False,
+                        separators=(",", ":"),
+                    ),
+                )
+            )
+    assert got == want
+
+
+def test_no_vocab_extraction_unaffected_by_prior_vocab_query(spark):
+    """Worker-process reuse regression: Spark reuses python workers across
+    queries, so a vocab activated by one extraction UDF must NOT leak into
+    a later no-vocab extraction — every UDF pins the tokenizer state
+    (set_wordpiece_vocab(vocab-or-None)) on entry."""
+    import json as _json
+
+    from nlp_series_relation_extraction_spark.operators.extract import (
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        synth_transcripts,
+    )
+
+    t = synth_transcripts(spark, 80, seed=3)
+
+    def snap(**kw):
+        return {
+            (r.conv_id, r.turn_idx, r.predicate, r.subject,
+             _json.dumps(dict(r.object), sort_keys=True))
+            for r in extract_triples(t, head="mpn", planted=False, **kw)
+            .collect()
+        }
+
+    before = snap()
+    # poison every reused worker with a vocab-bearing query
+    snap(vocab=["foo", "##bar", "banana", "##s"])
+    after = snap()
+    assert after == before
