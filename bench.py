@@ -108,6 +108,13 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     extras: dict[str, float] = {}
     qs = Q.queries()
 
+    # warm the python workers once (process spawn + imports + per-process
+    # encoder singleton) so the FIRST timed head doesn't absorb startup —
+    # long-lived executors are warm in production
+    extract_triples(
+        synth_transcripts(spark, 2_000, seed=42), head="bio", planted=False
+    ).count()
+
     for head, n_turns in BENCH_TURNS.items():
         # materialize the synthetic input BEFORE the timer so the reported
         # throughput is extraction, not generation+extraction
@@ -275,11 +282,15 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         stream_t = synth_transcripts(
             spark, n_stream_turns, seed=42
         ).localCheckpoint(eager=True)
+        # 4 partitions models the stream source (a Kafka topic's partition
+        # count) — a 400-turn micro-batch arriving as 32 splits would pay
+        # pure task-launch overhead per batch job
         trip_all = (
             extract_triples(stream_t, head="mpn", planted=True)
             .withColumn(
                 "_b", F.abs(F.xxhash64("conv_id")) % F.lit(n_batches)
             )
+            .repartition(4)
             .localCheckpoint(eager=True)
         )
         aliases = (

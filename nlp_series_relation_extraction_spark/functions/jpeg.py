@@ -1,18 +1,24 @@
-"""Pure-numpy baseline JPEG (JFIF) codec.
+"""Pure-numpy JPEG (JFIF) codec: baseline sequential AND progressive.
 
-Removes the last multimodal NotImplementedError (round-3 VERDICT ask #5):
-``decode_image`` can now read real compressed payloads without PIL/opencv.
-Scope is BASELINE SEQUENTIAL JPEG (SOF0, Huffman, 8-bit), 1- or
-3-component, any sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
-restart markers supported; progressive (SOF2), arithmetic coding and
-12-bit remain out of scope and raise ``NotImplementedError`` with a
+Scope is Huffman 8-bit JPEG, 1- or 3-component, any sampling factors up
+to 2x2 (4:4:4, 4:2:2, 4:2:0): baseline (SOF0/1, restart markers
+supported) and PROGRESSIVE (SOF2 — spectral selection + successive
+approximation: interleaved DC first/refinement scans, per-component AC
+first/refinement scans with general EOBn end-of-band runs, coefficients
+accumulated across scans and reconstructed once at EOI). Arithmetic
+coding, 12-bit, hierarchical, and restart markers inside progressive
+scans remain out of scope and raise ``NotImplementedError`` with a
 pointed message.
 
-The encoder exists so tests exercise the decoder on genuine self-produced
-streams (and so ``synthesize_media`` can emit mixed-codec corpora): JFIF
-headers, libjpeg-style quality scaling of the Annex K quantization tables,
-the Annex K Huffman tables, 2x2 box-filter chroma subsampling, interleaved
-MCU scan with byte stuffing.
+The encoders exist so tests exercise the decoder on genuine
+self-produced streams (and so ``synthesize_media`` can emit mixed-codec
+corpora): JFIF headers, libjpeg-style quality scaling of the Annex K
+quantization tables, the Annex K Huffman tables, 2x2 box-filter chroma
+subsampling, interleaved MCU scan with byte stuffing. The progressive
+encoder emits a 2+2N-scan script (DC first Al=1, DC refine, per-comp AC
+first Al=1, per-comp AC refine) over the same quantized coefficients as
+the baseline encoder, so progressive decode must reproduce baseline
+decode EXACTLY — the equality test that pins both sides.
 
 Everything numeric is float64 matrix math (the DCT is an 8x8 orthonormal
 basis product); only the entropy coding walks bits in Python — fine at
@@ -496,6 +502,7 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    prog_state = None
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -530,7 +537,7 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                 values = list(payload[i + 17 : i + 17 + n])
                 htables[(cls, tid)] = _huffman_decoder(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = payload[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -545,12 +552,18 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                      "qt": payload[8 + 3 * c]}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                prog_state = _prog_init(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) is supported, got "
-                f"SOF marker 0x{marker:02X} (progressive/arithmetic)"
+                "only baseline (SOF0/1) and progressive Huffman (SOF2) "
+                f"JPEG are supported, got SOF marker 0x{marker:02X} "
+                "(arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
@@ -566,11 +579,26 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                 scan_comps.append(
                     {**comp, "dc": tt >> 4, "ac": tt & 0x0F}
                 )
+            if frame.get("progressive"):
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart markers inside progressive scans"
+                    )
+                ss = payload[1 + 2 * ns]
+                se = payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    data, pos + 2 + ln, frame, scan_comps, htables,
+                    prog_state, ss, se, ahal >> 4, ahal & 0x0F,
+                )
+                continue
             return _decode_scan(
                 data, pos + 2 + ln, frame, scan_comps, qtables, htables,
                 restart_interval,
             )
         pos += 2 + ln
+    if frame is not None and frame.get("progressive"):
+        return _prog_reconstruct(frame, prog_state, qtables)
     raise ValueError("invalid JPEG: no scan data")
 
 
@@ -632,6 +660,458 @@ def _decode_scan(
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(full) == 3:
+        return _ycbcr_to_rgb(full[0], full[1], full[2])
+    raise NotImplementedError(f"{len(full)}-component JPEG")
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+
+
+def _comp_coef_arrays(arr: np.ndarray, quality: int, subsampling: str):
+    """Quantized zigzag coefficient arrays per component, [bh, bw, 64]
+    int64 over the MCU-padded grid — the same coefficients the baseline
+    encoder would write, computed vectorized."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    ycc = _rgb_to_ycbcr(a)
+    qt_l, qt_c = _quality_tables(quality)
+    hs, vs = (2, 2) if subsampling == "420" else (1, 1)
+    mcu_h, mcu_w = 8 * vs, 8 * hs
+    ph = -(-h // mcu_h) * mcu_h
+    pw = -(-w // mcu_w) * mcu_w
+    y = _pad_to(ycc[..., 0], ph, pw)
+    cb = _pad_to(ycc[..., 1], ph, pw)
+    cr = _pad_to(ycc[..., 2], ph, pw)
+    if subsampling == "420":
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    out = []
+    for plane, qt in ((y, qt_l), (cb, qt_c), (cr, qt_c)):
+        B = _blocks(plane) - 128.0  # [bh, bw, 8, 8]
+        coef = np.einsum("ab,ijbc,cd->ijad", _T, B, _T.T)
+        q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+        out.append(q.reshape(q.shape[0], q.shape[1], 64)[:, :, ZIGZAG])
+    return out, (h, w, hs, vs, qt_l, qt_c)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al rounding TOWARD ZERO (T.81
+    G.1.2.2); DC uses plain arithmetic shift instead."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_dc_scan(zz_list, hs, vs, n_mcu_x, n_mcu_y, al, refine, bw):
+    """Interleaved DC scan over the full MCU grid. First scan (refine
+    False): Huffman-coded diffs of dc >> al. Refinement: one raw bit."""
+    dc_l = _huffman_codes(DC_LUMA_SPEC)
+    dc_c = _huffman_codes(DC_CHROMA_SPEC)
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    preds = [0, 0, 0]
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for ci, zz in enumerate(zz_list):
+                ch, cv = samp[ci]
+                codes = dc_l if ci == 0 else dc_c
+                for by in range(cv):
+                    for bx in range(ch):
+                        d = int(zz[my * cv + by, mx * ch + bx, 0])
+                        if refine:
+                            bw.write((d >> al) & 1, 1)
+                            continue
+                        v = d >> al  # DC: arithmetic shift (G.1.2.1)
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _bit_size(diff)
+                        code, length = codes[s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+
+
+def _enc_ac_first(zz, bw_c, bh_c, al, ac_codes, bw):
+    """Non-interleaved AC first scan, band 1..63. EOBs are emitted as
+    EOB0 per block (run length 1) so the Annex K sequential AC tables —
+    which lack the EOBn symbols 0x10..0xE0 — stay sufficient; the decoder
+    handles general EOBn from other encoders."""
+    for byi in range(bh_c):
+        for bxi in range(bw_c):
+            band = [_pt_ac(int(v), al) for v in zz[byi, bxi, 1:64]]
+            nz = [k for k, v in enumerate(band) if v]
+            if not nz:
+                code, length = ac_codes[0x00]
+                bw.write(code, length)
+                continue
+            last = nz[-1]
+            run = 0
+            for k, v in enumerate(band):
+                if k > last:
+                    break
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        run = 0
+                    continue
+                s = _bit_size(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 62:  # trailing zeros -> end-of-band
+                code, length = ac_codes[0x00]
+                bw.write(code, length)
+
+
+def _enc_ac_refine(zz, bw_c, bh_c, ah, al, ac_codes, bw):
+    """Non-interleaved AC refinement scan (T.81 G.1.2.3): correction bits
+    for history-nonzero coefficients, (run, 1)+sign for newly-nonzero
+    ones, EOB0 + trailing corrections per block."""
+    for byi in range(bh_c):
+        for bxi in range(bw_c):
+            band = [int(v) for v in zz[byi, bxi, 1:64]]
+            hist = [_pt_ac(v, ah) for v in band]  # what earlier scans sent
+            cur = [_pt_ac(v, al) for v in band]
+            run = 0
+            pending: list[int] = []
+            emitted_any_to = -1  # last band index consumed by a symbol
+            for k in range(63):
+                if hist[k] != 0:
+                    pending.append(abs(cur[k]) & 1)
+                    continue
+                if cur[k] == 0:
+                    run += 1
+                    if run == 16:
+                        # ZRL: 16 zero-history zeros skipped; corrections
+                        # for nonzero-history coefficients passed ride
+                        # along after the symbol
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        run = 0
+                        emitted_any_to = k
+                    continue
+                # newly nonzero: magnitude must be exactly 1 at this scan
+                code, length = ac_codes[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if cur[k] > 0 else 0, 1)  # sign bit
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                run = 0
+                emitted_any_to = k
+            if run > 0 or pending:
+                # block ends before Se with zero-history zeros and/or
+                # unsent corrections -> EOB0 then the corrections
+                code, length = ac_codes[0x00]
+                bw.write(code, length)
+                for b in pending:
+                    bw.write(b, 1)
+            del emitted_any_to
+
+
+def encode_image_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "420"
+) -> bytes:
+    """HxWx3 uint8 RGB -> progressive (SOF2) JFIF JPEG.
+
+    Scan script: interleaved DC first (Al=1), interleaved DC refinement,
+    then per component AC first (Ss=1..63, Al=1) and AC refinement
+    (Ah=1, Al=0). Same quantized coefficients as the baseline encoder at
+    the same (quality, subsampling), so both decode to identical pixels.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    zz_list, (h, w, hs, vs, qt_l, qt_c) = _comp_coef_arrays(
+        a, quality, subsampling
+    )
+    n_mcu_x = -(-w // (8 * hs))
+    n_mcu_y = -(-h // (8 * vs))
+    ac_l = _huffman_codes(AC_LUMA_SPEC)
+    ac_c = _huffman_codes(AC_CHROMA_SPEC)
+    samp = [(hs, vs), (1, 1), (1, 1)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        z = table.reshape(-1)[ZIGZAG].astype(np.uint8)
+        return seg(0xDB, bytes([tid]) + z.tobytes())
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, values = spec
+        return seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
+        )
+
+    def sos(comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for cid, dc_t, ac_t in comps:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qt_l) + dqt(1, qt_c)
+    out += seg(
+        0xC2,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += dht(0, 0, DC_LUMA_SPEC) + dht(0, 1, DC_CHROMA_SPEC)
+    out += dht(1, 0, AC_LUMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    _enc_dc_scan(zz_list, hs, vs, n_mcu_x, n_mcu_y, 1, False, bw)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + bw.flush()
+    # scan 2: DC refinement to full precision (Ah=1, Al=0; no Huffman)
+    bw = _BitWriter()
+    _enc_dc_scan(zz_list, hs, vs, n_mcu_x, n_mcu_y, 0, True, bw)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + bw.flush()
+    # per-component AC scans over the COMPONENT block grid (ceil of the
+    # scaled sample dims — NOT the MCU grid; padding blocks are DC-only,
+    # exactly like libjpeg emits)
+    for ci, zz in enumerate(zz_list):
+        ch, cv = samp[ci]
+        cw = -(-(w * ch) // hs)
+        chh = -(-(h * cv) // vs)
+        bw_c, bh_c = -(-cw // 8), -(-chh // 8)
+        ac_codes = ac_l if ci == 0 else ac_c
+        ac_t = 0 if ci == 0 else 1
+        cid = ci + 1
+        b = _BitWriter()
+        _enc_ac_first(zz, bw_c, bh_c, 1, ac_codes, b)
+        out += sos([(cid, 0, ac_t)], 1, 63, 0, 1) + b.flush()
+        b = _BitWriter()
+        _enc_ac_refine(zz, bw_c, bh_c, 1, 0, ac_codes, b)
+        out += sos([(cid, 0, ac_t)], 1, 63, 1, 0) + b.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive decode ------------------------------------------------------
+
+
+def _prog_init(frame) -> dict:
+    """Per-component integer coefficient accumulators over the MCU grid
+    (zigzag order), plus per-scan EOB-run state."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    n_mcu_x = -(-frame["w"] // (8 * hmax))
+    n_mcu_y = -(-frame["h"] // (8 * vmax))
+    coef = {}
+    for c in frame["comps"]:
+        coef[c["id"]] = np.zeros(
+            (n_mcu_y * c["v"], n_mcu_x * c["h"], 64), dtype=np.int64
+        )
+    return {
+        "coef": coef,
+        "hmax": hmax,
+        "vmax": vmax,
+        "n_mcu_x": n_mcu_x,
+        "n_mcu_y": n_mcu_y,
+    }
+
+
+def _comp_block_dims(frame, comp, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved scan geometry (T.81 A.2.2): blocks cover the
+    component's OWN sample grid, ceil'd to 8 — not the MCU grid."""
+    cw = -(-(frame["w"] * comp["h"]) // hmax)
+    ch = -(-(frame["h"] * comp["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First non-stuffed marker at/after pos (skips FF fill bytes)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
+
+
+def _refine_one(br: _BitReader, band: np.ndarray, k: int, al: int) -> None:
+    """Correction bit for an already-nonzero coefficient (G.2)."""
+    if br.read(1):
+        band[k] += (1 << al) if band[k] > 0 else -(1 << al)
+
+
+def _decode_prog_scan(
+    data, pos, frame, comps, htables, state, ss, se, ah, al
+) -> int:
+    """One progressive scan into the coefficient accumulators; returns the
+    position of the next marker after the entropy-coded data."""
+    br = _BitReader(data, pos)
+    coef = state["coef"]
+    try:
+        if ss == 0:  # DC scan (must be Se == 0)
+            if se != 0:
+                raise ValueError("invalid JPEG: DC scan with Se != 0")
+            preds = {c["id"]: 0 for c in comps}
+            if len(comps) > 1:  # interleaved over the full MCU grid
+                order = []
+                for my in range(state["n_mcu_y"]):
+                    for mx in range(state["n_mcu_x"]):
+                        for c in comps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    order.append(
+                                        (c, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+                                    )
+            else:
+                c = comps[0]
+                bw_c, bh_c = _comp_block_dims(
+                    frame, c, state["hmax"], state["vmax"]
+                )
+                order = [
+                    (c, byi, bxi)
+                    for byi in range(bh_c)
+                    for bxi in range(bw_c)
+                ]
+            for c, byi, bxi in order:
+                band = coef[c["id"]][byi, bxi]
+                if ah == 0:  # first DC scan: Huffman diffs at Al precision
+                    s = _decode_huff(br, htables[(0, c["dc"])])
+                    diff = _extend(br.read(s), s) if s else 0
+                    preds[c["id"]] += diff
+                    band[0] = preds[c["id"]] << al
+                else:  # refinement: one raw bit
+                    band[0] |= br.read(1) << al
+        else:  # AC scan: exactly one component (T.81 B.2.3)
+            if len(comps) != 1:
+                raise ValueError("invalid JPEG: interleaved AC scan")
+            c = comps[0]
+            ac_tab = htables[(1, c["ac"])]
+            bw_c, bh_c = _comp_block_dims(
+                frame, c, state["hmax"], state["vmax"]
+            )
+            eobrun = 0
+            for byi in range(bh_c):
+                for bxi in range(bw_c):
+                    band = coef[c["id"]][byi, bxi]
+                    if ah == 0:  # ---- AC first scan
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _decode_huff(br, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r < 15:  # EOBn
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "invalid JPEG: AC index overrun"
+                                )
+                            band[k] = _extend(br.read(s), s) << al
+                            k += 1
+                    else:  # ---- AC refinement scan (G.2)
+                        if eobrun:
+                            for k in range(ss, se + 1):
+                                if band[k]:
+                                    _refine_one(br, band, k, al)
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _decode_huff(br, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0 and r < 15:  # EOBn: refine remainder
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read(r)
+                                while k <= se:
+                                    if band[k]:
+                                        _refine_one(br, band, k, al)
+                                    k += 1
+                                break
+                            if s == 0:  # ZRL: pass 16 zero-history coeffs
+                                zeros = 0
+                                while k <= se and zeros < 16:
+                                    if band[k]:
+                                        _refine_one(br, band, k, al)
+                                    else:
+                                        zeros += 1
+                                    k += 1
+                                continue
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid JPEG: refinement magnitude "
+                                    f"{s} != 1"
+                                )
+                            newv = (1 << al) if br.read(1) else -(1 << al)
+                            zeros_needed = r
+                            while k <= se:
+                                if band[k]:
+                                    _refine_one(br, band, k, al)
+                                    k += 1
+                                elif zeros_needed:
+                                    zeros_needed -= 1
+                                    k += 1
+                                else:
+                                    break
+                            if k > se:
+                                raise ValueError(
+                                    "invalid JPEG: refinement overrun"
+                                )
+                            band[k] = newv
+                            k += 1
+    except (_RestartHit, _ScanEnd) as exc:
+        raise ValueError(
+            "invalid JPEG: truncated/restart-marked progressive scan"
+        ) from exc
+    return _next_marker_pos(data, br.pos)
+
+
+def _prog_reconstruct(frame, state, qtables) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block, assemble planes,
+    upsample, color-convert — identical math to the baseline path."""
+    full = []
+    fh, fw = frame["h"], frame["w"]
+    for c in frame["comps"]:
+        zz = state["coef"][c["id"]].astype(np.float64)
+        qt = qtables[c["qt"]]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz * qt[ZIGZAG]
+        B = nat.reshape(zz.shape[0], zz.shape[1], 8, 8)
+        px = np.einsum("ab,ijbc,cd->ijad", _T.T, B, _T) + 128.0
+        plane = px.swapaxes(1, 2).reshape(zz.shape[0] * 8, zz.shape[1] * 8)
+        ry = state["vmax"] // c["v"]
+        rx = state["hmax"] // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:fh, :fw])
     if len(full) == 1:
         g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)

@@ -142,7 +142,9 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         return _decode_ppm(content)
     if f in ("image/bmp", "bmp"):
         return _decode_bmp24(content)
-    if f in ("image/jpeg", "image/jpg", "jpeg", "jpg"):
+    if f in ("image/jpeg", "image/jpg", "jpeg", "jpg",
+             "image/jpeg-progressive"):
+        # one decoder: it sniffs SOF0/1 vs SOF2 from the stream itself
         from .jpeg import decode_image_jpeg
 
         return decode_image_jpeg(content)
@@ -218,7 +220,7 @@ def synthesize_media(
     import pandas as pd
 
     def gen(batches):
-        from .jpeg import encode_image_jpeg
+        from .jpeg import encode_image_jpeg, encode_image_jpeg_progressive
 
         from .png import encode_image_png
 
@@ -228,6 +230,9 @@ def synthesize_media(
             "image/ppm": encode_image_ppm,
             "image/bmp": encode_image_bmp24,
             "image/jpeg": lambda a: encode_image_jpeg(
+                a, quality=90, subsampling="420"
+            ),
+            "image/jpeg-progressive": lambda a: encode_image_jpeg_progressive(
                 a, quality=90, subsampling="420"
             ),
             "image/png": encode_image_png,

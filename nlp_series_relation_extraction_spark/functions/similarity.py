@@ -333,7 +333,11 @@ def ivf_topk(
     test embeddings are near-isotropic — the worst case for a coarse
     quantizer (recall@5 0.88-0.96 across SFs, floor 0.85 pinned in tests).
     Real embedding corpora cluster, and n_probe/n_clusters directly sets
-    the scanned fraction.
+    the scanned fraction — pinned observably on clustered vectors in
+    tests/test_functions.py::
+    test_ivf_n_probe_controls_scanned_clusters_on_clustered_data (a
+    straddling query misses the adjacent cluster at n_probe=1, recovers
+    it exactly at n_probe=2, and full probing == brute force).
     """
     import numpy as np
     import pandas as pd

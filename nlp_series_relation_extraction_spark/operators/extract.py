@@ -156,7 +156,17 @@ def extract_turn_results(
     elif num_partitions:
         df = df.repartition(num_partitions, "conv_id")
     else:
-        df = df.repartition("conv_id")
+        # PIN the partition count (round-4 find): a bare
+        # repartition("conv_id") lets AQE coalesce the exchange by BYTE
+        # size, and transcript rows are tiny while the UDF per-row cost is
+        # large — at sf0.1 AQE folded 40k turns into ONE task and the
+        # whole extraction ran on one core (8.6s vs 1.6s measured). An
+        # explicit count is user-pinned, AQE leaves it alone; compute-
+        # parallel UDF stages must size partitions by CORES, not bytes.
+        df = df.repartition(
+            transcripts.sparkSession.sparkContext.defaultParallelism,
+            "conv_id",
+        )
     if batch_forward:
         # length bucketing: sorting turns by length within partitions keeps
         # the batched forward's dynamic padding dense (the reference pads to

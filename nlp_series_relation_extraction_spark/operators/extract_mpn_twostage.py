@@ -55,7 +55,14 @@ def extract_triples_mpn_twostage(
     """Distributed-fan-out mpn extraction; output equals the single-stage
     ``extract_triples(head='mpn', planted=False)`` triple table (with the
     same ``vocab``: every stage pins the worker-process tokenizer state,
-    so reused workers can't leak a vocabulary between queries)."""
+    so reused workers can't leak a vocabulary between queries).
+
+    NOT the headline plan (round-4 decision, PLANS.md): measured after
+    the exchange-pinning fix, single-stage wins at 1x AND 10x (the
+    stage-2 re-tokenize/re-encode plus two shuffles cost more than the
+    bounded per-turn subject fan-out they rebalance). Kept as the escape
+    hatch for corpora with pathological per-row fan-out, where per-row
+    cost variance — not throughput — is the straggler risk."""
 
     df = transcripts.select("conv_id", "turn_idx", "text").withColumn(
         "text", F.regexp_replace("text", "[®◆]", "")

@@ -997,9 +997,9 @@ ORDER BY s.doc_id
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path through the driver (rows-only: numpy decode is not
     SQL-expressible): documents -> real MIXED-codec payloads (PPM, 24-bit
-    BMP, baseline JPEG, PNG, and TIFF in all four compressions — none,
-    LZW+predictor, deflate+predictor, PackBits — cycling by id; every
-    built-in decoder incl. functions/jpeg.py,
+    BMP, baseline AND progressive JPEG, PNG, and TIFF in all four
+    compressions — none, LZW+predictor, deflate+predictor, PackBits —
+    cycling by id; every built-in decoder incl. functions/jpeg.py,
     functions/png.py and functions/tiff.py runs) -> decode -> per-channel
     stats + thumbnail features (functions/multimodal.py). The
     SQL-expressible metadata slice is hash-checked separately
@@ -1008,8 +1008,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(
         t(spark, sf_dir, "documents"), "doc_id", "text",
-        formats=("image/ppm", "image/bmp", "image/jpeg", "image/png",
-                 "image/tiff", "image/tiff-lzw", "image/tiff-deflate",
+        formats=("image/ppm", "image/bmp", "image/jpeg",
+                 "image/jpeg-progressive", "image/png", "image/tiff",
+                 "image/tiff-lzw", "image/tiff-deflate",
                  "image/tiff-packbits"),
     )
     out = extract_features(media)

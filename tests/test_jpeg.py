@@ -75,10 +75,11 @@ def test_decode_image_dispatches_jpeg():
     enc = encode_image_jpeg(img, 95, "444")
     dec = decode_image(enc, "image/jpeg")
     assert _psnr(img, dec) > 30.0
-    # progressive JPEG stays a documented integration point
-    sof2 = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_image_jpeg(sof2)
+    # progressive (SOF2) is SUPPORTED now; arithmetic coding (SOF9) stays
+    # the documented integration point
+    sof9 = enc.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_image_jpeg(sof9)
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF....WEBP", "image/webp")
 
@@ -142,3 +143,131 @@ def test_jpeg_restart_markers_roundtrip(sub):
         enc = encode_image_jpeg(img, 90, sub, restart_interval=ri)
         assert b"\xff\xdd" in enc  # DRI segment present
         assert (decode_image_jpeg(enc) == plain).all(), (sub, ri)
+
+
+# --- progressive (SOF2) -------------------------------------------------------
+
+
+def test_progressive_decode_equals_baseline_exactly():
+    """The pin for BOTH sides: the progressive encoder writes the SAME
+    quantized coefficients as the baseline encoder, so progressive decode
+    must reproduce baseline decode bit-for-bit — across subsampling,
+    quality, and non-MCU-aligned dims (partial AC block grids)."""
+    from nlp_series_relation_extraction_spark.functions.jpeg import (
+        encode_image_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ((16, 16), "444", 85), ((17, 23), "444", 85), ((24, 40), "420", 90),
+        ((19, 21), "420", 75), ((8, 8), "444", 95), ((33, 15), "420", 85),
+        ((1, 1), "444", 85), ((9, 25), "420", 50),
+    ]
+    for (h, w), sub, q in cases:
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_image_jpeg(encode_image_jpeg(a, q, sub))
+        prog = decode_image_jpeg(
+            encode_image_jpeg_progressive(a, quality=q, subsampling=sub)
+        )
+        assert (base == prog).all(), ((h, w), sub, q)
+
+
+def test_progressive_stream_is_really_multi_scan():
+    from nlp_series_relation_extraction_spark.functions.jpeg import (
+        encode_image_jpeg_progressive,
+    )
+
+    enc = encode_image_jpeg_progressive(_gradient(24, 24))
+    assert b"\xff\xc2" in enc  # SOF2, not SOF0
+    assert enc.count(b"\xff\xda") == 8  # DCx2 + (AC first + refine) x 3
+
+
+def test_progressive_eobn_runs_decode():
+    """General EOBn end-of-band runs (which OUR encoder never emits — it
+    caps at EOB0 to stay within the Annex K tables): hand-build a
+    1-component progressive stream whose AC scan uses EOB2 with extra
+    bits to skip three all-zero blocks, and check exact pixels."""
+    import struct
+
+    from nlp_series_relation_extraction_spark.functions.jpeg import (
+        _BitWriter,
+        _T,
+        _huffman_codes,
+    )
+
+    # 8x32 grayscale: 4 blocks. DC = [8, 16, 24, 32]; block0 also has
+    # AC coefficient +1 at zigzag index 1; blocks 1-3 are AC-empty.
+    dc_spec = ([0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], [0, 4, 5, 6])
+    ac_spec = ([0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               [0x01, 0x20])  # (run 0, size 1) and EOB2
+    dc_codes = _huffman_codes(dc_spec)
+    ac_codes = _huffman_codes(ac_spec)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    qt = bytes([0]) + bytes([1] * 64)  # table 0, all ones
+    sof = seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big")
+              + bytes([1]) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    # DC first scan (Ss=0, Se=0, Ah=0, Al=0): diffs 8, 8, 8, 8 (s=4 each)
+    bw = _BitWriter()
+    for _ in range(4):
+        code, ln = dc_codes[4]
+        bw.write(code, ln)
+        bw.write(8, 4)  # positive 8 -> raw 4 bits
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.flush()
+    # AC scan (Ss=1, Se=63, Ah=0, Al=0): block0 emits (0,1)+bit then EOB2
+    # (eobrun covers block0's remainder + blocks 1-3 via 2 extra bits 01)
+    bw = _BitWriter()
+    code, ln = ac_codes[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)  # +1
+    code, ln = ac_codes[0x20]
+    bw.write(code, ln)
+    bw.write(1, 2)  # eobrun = (1<<2)-1 + 1 = 4 -> this block + 3 more
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.flush()
+    stream = (b"\xff\xd8" + seg(0xDB, qt) + sof + dht_dc + dht_ac
+              + sos_dc + sos_ac + b"\xff\xd9")
+    out = decode_image_jpeg(stream)
+    assert out.shape == (8, 32, 3)
+    # expected: per block, IDCT of coef matrix with [0,0]=dc, block0 also
+    # [0,1]=1 (zigzag index 1 = natural position (0,1))
+    for b, dc in enumerate([8, 16, 24, 32]):
+        C = np.zeros((8, 8))
+        C[0, 0] = dc
+        if b == 0:
+            C[0, 1] = 1.0
+        want = np.clip((_T.T @ C @ _T + 128.0).round(), 0, 255).astype(np.uint8)
+        got = out[:, b * 8 : (b + 1) * 8, 0]
+        assert (got == want).all(), b
+
+
+def test_progressive_with_dri_raises_pointedly():
+    import struct
+
+    from nlp_series_relation_extraction_spark.functions.jpeg import (
+        encode_image_jpeg_progressive,
+    )
+
+    enc = bytearray(encode_image_jpeg_progressive(_gradient(16, 16)))
+    # inject a DRI segment right after SOI
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04]) + (2).to_bytes(2, "big")
+    enc[2:2] = dri
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_image_jpeg(bytes(enc))
+
+
+def test_progressive_dispatches_through_decode_image(spark):
+    from nlp_series_relation_extraction_spark.functions.jpeg import (
+        encode_image_jpeg_progressive,
+    )
+    from nlp_series_relation_extraction_spark.functions.multimodal import (
+        decode_image,
+    )
+
+    a = _gradient(12, 20)
+    enc = encode_image_jpeg_progressive(a)
+    got = decode_image(enc, "image/jpeg")  # SOF sniffing, same mime
+    assert (got == decode_image_jpeg(enc)).all()

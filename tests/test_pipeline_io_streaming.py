@@ -121,12 +121,14 @@ def test_duie_jsonl_roundtrip(spark, tmp_path):
     by_text = {x["conv_id"]: x for x in lines}
     extracted = [x for x in lines if x["spo_list"]]
     assert extracted and extracted[0]["spo_list"][0]["predicate"] == "作者"
-    # non-ASCII preserved verbatim (ensure_ascii=False semantics)
-    raw = open(
-        os.path.join(out_dir, [f for f in os.listdir(out_dir) if f.startswith("part-")][0]),
-        encoding="utf-8",
-    ).read()
-    assert "作者" in raw or "没有" in raw
+    # non-ASCII preserved verbatim (ensure_ascii=False semantics) — read
+    # ALL part files: the sink writes one per partition
+    raw = "".join(
+        open(os.path.join(out_dir, f), encoding="utf-8").read()
+        for f in os.listdir(out_dir)
+        if f.startswith("part-")
+    )
+    assert "作者" in raw
 
 
 def test_multimodal_plumbing(spark):

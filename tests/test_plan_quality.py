@@ -161,3 +161,18 @@ def test_cluster_keep_component_loop_reads_materialized_pairs(spark):
     assert "ExistingRDD" in plan
     # the band self-join must be gone from the final labels plan
     assert "md5" not in plan.lower()
+
+
+def test_extraction_exchange_partition_count_is_pinned(spark, tmp_path):
+    """Round-4 scale fix: the pre-UDF repartition(conv_id) must carry an
+    EXPLICIT partition count (REPARTITION_BY_NUM). A bare column
+    repartition is AQE-coalescible BY BYTES, and transcript rows are tiny
+    while per-row UDF cost is large — at sf0.1 AQE folded the whole
+    extraction into one task (measured 8.6s -> 1.6s on 32 cores when
+    pinned). Compute-parallel stages size partitions by cores, not bytes."""
+    p = str(tmp_path / "t.parquet")
+    synth_transcripts(spark, 50, seed=1, partitions=2).write.parquet(p)
+    plan = _plan(extract_triples(spark.read.parquet(p), head="mpn"))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    dp = spark.sparkContext.defaultParallelism
+    assert re.search(rf"hashpartitioning\(conv_id#\d+, {dp}\)", plan), plan
