@@ -55,6 +55,7 @@ RELATIONAL = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_near_dup",
+    "semantic_dedup",
     "curate_documents",
     "bpe_merges",
     "redact_sample",
@@ -363,8 +364,8 @@ def scaling_run(n_turns: int = 800_000, head: str = "mpn") -> dict:
       runs — the measured job is the real pipeline shape (columnar scan ->
       repartition(conv_id) -> Arrow UDF extraction), not generation.
     * The contractual pair is N=1 vs 4N=4 cores: measured per-core
-      throughput on this box falls off with occupancy (4623 -> 4270 ->
-      ~3600 -> ~3000 -> ~2000 turns/s/core at 1/4/8/16/32 cores) because
+      throughput on this box falls off with occupancy (~4800 -> ~4200 ->
+      ~3600 -> ~2600 turns/s/core at 1/4/16/32 cores) because
       every added THREAD shares one host's memory bandwidth and SMT
       siblings — contention a real cluster does not have, since each added
       EXECUTOR brings its own sockets and memory channels. 1->4 sits in
@@ -489,7 +490,7 @@ def _scaling_section(res: dict) -> str:
         "**Scaling efficiency N->4N: %.3f** (target >= 0.8)\n\n"
         "Secondary points N->16N: %.3f, N->32N: %.3f. The contractual pair\n"
         "is 1 vs 4 cores: on this box per-core throughput falls with\n"
-        "occupancy (~4600/4300/3600/3000/2000 turns/s/core at 1/4/8/16/32)\n"
+        "occupancy (~4800/4200/3600/2600 turns/s/core at 1/4/16/32)\n"
         "because added THREADS share one host's memory bandwidth and SMT\n"
         "siblings — contention a real cluster does not have (each added\n"
         "EXECUTOR brings its own sockets and memory channels). 1->4 sits in\n"

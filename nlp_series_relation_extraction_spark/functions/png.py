@@ -3,11 +3,11 @@
 Together with functions/jpeg.py this closes the compressed-codec gap: the
 multimodal path decodes PPM, BMP, baseline JPEG and PNG natively. Scope:
 greyscale (0), truecolor (2), indexed (3), grey+alpha (4) and RGBA (6) at
-bit depth 8 or 16 (16-bit downsamples to the high byte), all five
-scanline filters, Adam7 interlacing (seven independently-filtered reduced
-images scattered back to the full grid), split IDAT chunks concatenated
-per the spec. Sub-byte depths (1/2/4-bit) raise ``NotImplementedError``
-with a pointed message.
+every legal bit depth — 1/2/4-bit (MSB-first packed greyscale/indexed,
+exact 255/(2^d-1) rescale), 8-bit, and 16-bit (downsamples to the high
+byte) — all five scanline filters, Adam7 interlacing (seven
+independently-filtered reduced images scattered back to the full grid),
+split IDAT chunks concatenated per the spec.
 
 The encoder writes 8-bit RGB with per-row filter 0 (None), optionally
 Adam7-interlaced — deliberately the simplest valid stream; decode is the
@@ -140,10 +140,8 @@ def decode_image_png(content: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth not in (8, 16):
-                raise NotImplementedError(
-                    f"{depth}-bit PNG (8- and 16-bit only)"
-                )
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"invalid PNG: bit depth {depth}")
             if interlace not in (0, 1):
                 raise ValueError(f"invalid PNG: interlace {interlace}")
             if comp or filt:
@@ -163,35 +161,58 @@ def decode_image_png(content: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG: color type {color}")
     if depth == 16 and color == 3:
         raise ValueError("invalid PNG: indexed images cannot be 16-bit")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"invalid PNG: sub-byte depth {depth} with color type {color}"
+        )
     raw = zlib.decompress(bytes(idat))
-    # PNG filters operate BYTEWISE with the pixel offset in bytes, so the
-    # same unfilter handles 16-bit — bpp doubles, and the 16->8 downsample
-    # keeps the big-endian high byte (the spec's sample-depth rescale)
-    sample_bytes = depth // 8
-    bpp = channels * sample_bytes
+
+    def unfilter_samples(buf: bytes, ph: int, pw: int) -> np.ndarray:
+        """One (sub)image's filtered scanlines -> [ph, pw, channels]
+        8-bit SAMPLES. PNG filters operate BYTEWISE with the pixel offset
+        in bytes, so one unfilter handles every depth: 16-bit doubles bpp
+        (the 16->8 downsample keeps the big-endian high byte, the spec's
+        sample-depth rescale); sub-byte depths filter with bpp=1 over
+        ceil(pw*depth/8)-byte scanlines, then unpack MSB-first."""
+        if depth >= 8:
+            sb = depth // 8
+            px = _unfilter(buf, ph, pw, channels * sb)
+            if sb == 2:
+                return px.reshape(ph, pw, channels, 2)[..., 0]
+            return px.reshape(ph, pw, channels)
+        stride = -(-(pw * depth) // 8)
+        rows = _unfilter(buf, ph, stride, 1)  # stride bytes, bpp = 1
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(
+            axis=2, dtype=np.uint16
+        )
+        return vals.astype(np.uint8)[..., None]
+
+    def scan_bytes(pw: int) -> int:
+        return -(-(pw * depth * channels) // 8)
+
     if interlace:
         # Adam7: seven sequential reduced images, each filtered
         # independently with its own scanline geometry; unfilter each pass
         # and scatter into the full-resolution grid (PNG spec §8.2)
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        px = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            n = ph * (pw * bpp + 1)
-            full[y0::dy, x0::dx] = _unfilter(
-                raw[off : off + n], ph, pw, bpp
-            ).reshape(ph, pw, bpp)
+            n = ph * (scan_bytes(pw) + 1)
+            px[y0::dy, x0::dx] = unfilter_samples(raw[off : off + n], ph, pw)
             off += n
-        px = full.reshape(h, w * bpp)
     else:
-        px = _unfilter(raw, h, w, bpp)
-    if depth == 16:
-        px = px.reshape(h, w, channels, 2)[..., 0]
-    else:
-        px = px.reshape(h, w, channels)
+        px = unfilter_samples(raw, h, w)
+    if color == 0 and depth < 8:
+        # exact sample rescale: 255 / (2^d - 1) is integral for d=1/2/4
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if color == 2:
         return px.copy()
     if color == 6:

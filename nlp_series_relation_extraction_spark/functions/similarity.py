@@ -616,3 +616,118 @@ WHERE d.qdot > 0
       >= cast({m} AS HUGEINT) * {m} * na.qnorm2 * nb.qnorm2
 ORDER BY a_id, b_id
 """
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    n_train: int = 256,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding corpus, find
+    cosine-near-duplicate GROUPS within each cluster (transitive, via
+    connected components), keep one exemplar per group — the member
+    FARTHEST from its cluster centroid (the paper's keep rule: the least
+    typical exemplar preserves diversity), ties broken by smallest id.
+
+    Returns (id, cluster, group_id, group_size, keep) for every vector;
+    singletons keep trivially.
+
+    Scale shape: the centroids come from the same bounded-sample driver
+    k-means as ivf_topk (index training, not a data-path collect);
+    assignment is one Arrow-batched matmul with the centroid matrix in
+    the closure; the candidate join is WITHIN-cluster only — n_clusters
+    is the knob that bounds the quadratic (SemDeDup's own design: the
+    paper runs ~100k clusters at corpus scale so cluster sizes stay in
+    the thousands); the component loop touches only vectors in >= 1 pair.
+    Rows-only driver check (iterative k-means is not SQL-expressible);
+    exactness is pinned by the numpy twin in tests/test_functions.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    train = (
+        embeddings.where(F.col(id_col) < n_train)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    V = np.asarray([r.v for r in train], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError("semantic_dedup: no training vectors")
+    n_clusters = min(n_clusters, len(V))
+    C = _kmeans_fit(V, n_clusters)
+
+    qv = quantized(embeddings, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray(pdf["qvec"].tolist(), dtype=np.float64) / QUANT
+            d2 = (
+                (X**2).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C**2).sum(axis=1)[None, :]
+            )
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "qvec": pdf["qvec"],
+                    "qnorm2": pdf["qnorm2"],
+                    "cluster": cl.astype("int32"),
+                    "d2c": d2[np.arange(len(cl)), cl],
+                }
+            )
+
+    assigned = qv.mapInPandas(
+        assign,
+        schema="id long, qvec array<bigint>, qnorm2 long, cluster int,"
+        " d2c double",
+    ).localCheckpoint(eager=True)  # consumed by pair join + cc + keep rule
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.cluster") == F.col("b.cluster"),
+                      F.col("a.id") < F.col("b.id")])
+        .withColumn("qdot", _dot("a.qvec", "b.qvec"))
+        .where(
+            (F.col("qdot") > 0)
+            & (
+                F.col("qdot")
+                / F.sqrt(
+                    F.col("a.qnorm2").cast("double")
+                    * F.col("b.qnorm2").cast("double")
+                )
+                >= F.lit(float(threshold))
+            )
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .localCheckpoint(eager=True)
+    )
+    from ..operators.linking import connected_components
+
+    comp = connected_components(
+        assigned.select(F.col("id").alias("mention_id")),
+        pairs,
+        max_iter=max_iter,
+    ).select(F.col("mention_id").alias("id"), F.col("component_id").alias("group_id"))
+    grouped = assigned.select("id", "cluster", "d2c").join(comp, "id")
+    sizes = grouped.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("group_size"),
+        # paper keep rule: farthest from centroid; ties -> smallest id
+        F.expr("max_by(id, struct(d2c, -id))").alias("keep_id"),
+    )
+    return (
+        grouped.join(sizes, "group_id")
+        .select(
+            "id",
+            "cluster",
+            "group_id",
+            "group_size",
+            (F.col("id") == F.col("keep_id")).alias("keep"),
+        )
+    )

@@ -773,6 +773,38 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (rows-only: iterative k-means is not
+    SQL-expressible; exactness is pinned by the numpy twin in
+    tests/test_functions.py). Corpus = embeddings plus the same planted
+    perturbed copies q_embedding_near_dup uses (every 5th vector shifted
+    +0.03, cosine ~0.97 to its source), so groups actually form and the
+    keep rule is exercised non-vacuously. Kept exemplar:
+    farthest-from-centroid, ties min id; groups transitive within
+    clusters."""
+    from ..functions.similarity import semantic_dedup
+
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    planted = base.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x + cast(0.03 as double))"
+        ).alias("embedding"),
+    )
+    return (
+        semantic_dedup(
+            base.unionByName(planted), "vec_id", "embedding",
+            n_clusters=8, threshold=0.95, n_train=256,
+        )
+        .orderBy("id")
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-5 (scale path of
     q_ann_cosine_topk; recall@5 >= 0.9 vs brute force at the default
@@ -2545,6 +2577,7 @@ def queries() -> dict:
             "ann_topk_lsh": q_ann_topk_lsh,
             "ann_topk_ivf": q_ann_topk_ivf,
             "embedding_near_dup": q_embedding_near_dup,
+            "semantic_dedup": q_semantic_dedup,
             "media_features": q_media_features,
             "media_meta": q_media_meta,
             "audio_meta": q_audio_meta,
@@ -2647,6 +2680,7 @@ _ATTEST_FIRST = [
     "audio_features",
     # round-4 additions
     "kg_extract_bio_attn",
+    "semantic_dedup",
 ]
 
 

@@ -1089,3 +1089,78 @@ def test_ivf_n_probe_controls_scanned_clusters_on_clustered_data(spark):
     assert len(got1 & brute) < len(brute)
     # n_probe=2 (= n_clusters): scans everything -> exact
     assert got2 == brute
+
+
+def test_semantic_dedup_matches_numpy_twin(spark):
+    """SemDeDup-style semantic dedup: exact equality with a plain-numpy
+    twin (same seeded k-means, same quantized cosine, same transitive
+    grouping, same farthest-from-centroid keep rule)."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        QUANT,
+        _kmeans_fit,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n = 8, 60
+    # planted near-dup pairs: every 10th vector gets a tiny-perturbation
+    # copy appended (ids 100+)
+    base = rng.normal(0, 1, (n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for j, i in enumerate(range(0, n, 10)):
+        rows.append((100 + j, (base[i] * 1.001 + 1e-4).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.id: (r.cluster, r.group_id, r.group_size, r.keep)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=4, threshold=0.95,
+            n_train=256,
+        ).collect()
+    }
+    assert len(got) == len(rows)
+
+    # ---- numpy twin ----
+    ids = np.asarray([r[0] for r in rows])
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    train = V[np.argsort(ids)][np.sort(ids) < 256]  # all rows, id order
+    C = _kmeans_fit(train, 4)
+    Q = np.floor(V * QUANT)
+    d2 = ((V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :])
+    cl = d2.argmin(1)
+    d2c = d2[np.arange(len(V)), cl]
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] >= ids[j] or cl[i] != cl[j]:
+                continue
+            qdot = float((Q[i] * Q[j]).sum())
+            na, nb = float((Q[i] ** 2).sum()), float((Q[j] ** 2).sum())
+            if qdot > 0 and qdot / np.sqrt(na * nb) >= 0.95:
+                a, b = find(int(ids[i])), find(int(ids[j]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    groups = {}
+    for x, i in zip(ids, range(len(ids))):
+        groups.setdefault(find(int(x)), []).append(i)
+    want = {}
+    for gid, members in groups.items():
+        keep_i = max(members, key=lambda i: (d2c[i], -int(ids[i])))
+        for i in members:
+            want[int(ids[i])] = (
+                int(cl[i]), gid, len(members), i == keep_i
+            )
+    assert got == want
+    # the planted duplicates actually grouped (non-vacuous)
+    assert any(sz > 1 for _, _, sz, _ in got.values())
+    # exactly one keeper per group
+    for gid in {g for _, g, _, _ in got.values()}:
+        assert sum(1 for _, g, _, k in got.values() if g == gid and k) == 1

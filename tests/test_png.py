@@ -110,10 +110,15 @@ def test_png_indexed_palette():
 def test_png_unsupported_variants_raise_pointedly():
     img = _gradient(4, 4)
     good = encode_image_png(img)
-    # sub-byte depth (16-bit is now supported; 1/2/4 are not)
+    # every legal depth decodes now, but sub-byte is only valid for
+    # grayscale/indexed: flipping an RGB stream's IHDR depth to 4 is a
+    # spec violation and must raise, not garble
     bad = bytearray(good)
     bad[8 + 4 + 4 + 8] = 4  # IHDR bit-depth byte
-    with pytest.raises(NotImplementedError, match="bit"):
+    with pytest.raises(ValueError, match="color type"):
+        decode_image_png(bytes(bad))
+    bad[8 + 4 + 4 + 8] = 3  # not a legal PNG depth at all
+    with pytest.raises(ValueError, match="depth"):
         decode_image_png(bytes(bad))
     # Adam7 is SUPPORTED now — but flipping the interlace bit on a stream
     # whose IDAT is plain makes the pass geometry lie about scanline
@@ -200,17 +205,21 @@ def test_16bit_filtered_scanlines_roundtrip():
     assert (decode_image_png(png) == hi).all()
 
 
-def test_sub_byte_depth_still_raises():
+def test_sub_byte_minimal_stream_decodes():
+    # 2x2 4-bit grayscale (was the unsupported-depth probe; sub-byte
+    # decodes now): samples [[15, 0], [3, 12]] pack to one byte per row
     import struct
+    import zlib as _z
 
+    raw = b"\x00\xf0" + b"\x00\x3c"
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-        + _chunk(b"IDAT", b"x")
+        + _chunk(b"IDAT", _z.compress(raw))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        decode_image_png(png)
+    out = decode_image_png(png)
+    assert (out[:, :, 0] == np.array([[255, 0], [51, 204]])).all()
 
 
 def _rand_img(h, w, seed=9):
@@ -255,3 +264,69 @@ def test_adam7_stream_is_actually_interlaced():
     # same pixel payload, but one filter byte per PASS scanline: the seven
     # 16x16 passes have 2+2+2+4+4+8+8 = 30 scanlines vs 16 plain
     assert len(idat(inter)) == len(idat(plain)) + (30 - 16)
+
+
+def _build_png(w, h, depth, color, rows: bytes, palette=None):
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", _z.compress(rows)) + _chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_grayscale_decodes_exactly(depth):
+    """1/2/4-bit grayscale: MSB-first packed samples, per-row filter byte,
+    exact 255/(2^d - 1) rescale — including a width that leaves unused
+    trailing bits in the last scanline byte."""
+    h, w = 5, 11
+    maxv = (1 << depth) - 1
+    rng = np.random.default_rng(depth)
+    samples = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+    rows = bytearray()
+    for y in range(h):
+        bits = np.unpackbits(
+            samples[y][:, None], axis=1, count=8, bitorder="big"
+        )[:, 8 - depth :].reshape(-1)
+        packed = np.packbits(bits)  # pads trailing bits with 0 per spec
+        rows += b"\x00" + packed.tobytes()
+    out = decode_image_png(_build_png(w, h, depth, 0, bytes(rows)))
+    want = (samples.astype(np.uint16) * (255 // maxv)).astype(np.uint8)
+    assert out.shape == (h, w, 3)
+    assert (out == np.repeat(want[:, :, None], 3, axis=2)).all()
+
+
+def test_subbyte_indexed_palette_lookup():
+    """4-bit indexed: packed palette indices resolve through PLTE."""
+    h, w = 3, 5
+    palette = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array(
+        [[0, 1, 2, 3, 0], [3, 3, 1, 0, 2], [2, 0, 3, 1, 1]], dtype=np.uint8
+    )
+    rows = bytearray()
+    for y in range(h):
+        bits = np.unpackbits(idx[y][:, None], axis=1)[:, 4:].reshape(-1)
+        rows += b"\x00" + np.packbits(bits).tobytes()
+    out = decode_image_png(_build_png(w, h, 4, 3, bytes(rows), palette))
+    assert (out == palette[idx]).all()
+
+
+def test_subbyte_with_up_filter():
+    """Sub-byte scanlines still run the byte-wise filters (bpp=1): a row
+    filtered with Up(2) must reconstruct against the packed bytes of the
+    previous row, not its unpacked samples."""
+    h, w, depth = 2, 8, 1
+    row0 = np.array([1, 0, 1, 1, 0, 0, 1, 0], dtype=np.uint8)
+    row1 = np.array([1, 1, 1, 0, 0, 1, 1, 1], dtype=np.uint8)
+    p0 = np.packbits(row0)
+    p1 = np.packbits(row1)
+    delta = (p1.astype(np.int16) - p0.astype(np.int16)) % 256
+    rows = b"\x00" + p0.tobytes() + b"\x02" + delta.astype(np.uint8).tobytes()
+    out = decode_image_png(_build_png(w, h, depth, 0, rows))
+    want = np.stack([row0, row1]) * 255
+    assert (out[:, :, 0] == want).all()
