@@ -35,6 +35,12 @@ from .encoders import HashEncoder, _EmbeddingCache, _HIDDEN
 
 _NEG_INF = np.float32(-1e9)
 
+# Checkpoint layout version: bump whenever ATTN_LAYER_KEYS, the default
+# architecture, or the npz key scheme changes, so cached weight files
+# from older code revisions are never silently loaded (plans/queries.py
+# attn_weights_path embeds this in the cache filename).
+ATTN_FORMAT = 1
+
 # per-layer parameter names (all float32 ndarrays)
 ATTN_LAYER_KEYS = (
     "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",

@@ -284,6 +284,28 @@ def _encode_block(
     return int(zz[0])
 
 
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    """A marker segment with its big-endian length (shared by both
+    encoders — the progressive==baseline equality pin depends on the
+    header bytes coming from ONE implementation)."""
+    return (
+        bytes([0xFF, marker])
+        + (len(payload) + 2).to_bytes(2, "big")
+        + payload
+    )
+
+
+def _dqt_seg(tid: int, table: np.ndarray) -> bytes:
+    zz = table.reshape(-1)[ZIGZAG].astype(np.uint8)
+    return _seg(0xDB, bytes([tid]) + zz.tobytes())
+
+
+def _dht_seg(cls: int, tid: int, spec) -> bytes:
+    bits, values = spec
+    return _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
+
+
 def encode_image_jpeg(
     arr: np.ndarray,
     quality: int = 85,
@@ -344,18 +366,7 @@ def encode_image_jpeg(
             preds[2] = _encode_block(crb[my, mx], qt_c, dc_c, ac_c, preds[2], bw)
     scan = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    def dqt(tid: int, table: np.ndarray) -> bytes:
-        zz = table.reshape(-1)[ZIGZAG].astype(np.uint8)
-        return seg(0xDB, bytes([tid]) + zz.tobytes())
-
-    def dht(cls: int, tid: int, spec) -> bytes:
-        bits, values = spec
-        return seg(
-            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
-        )
+    seg, dqt, dht = _seg, _dqt_seg, _dht_seg
 
     sof = seg(
         0xC0,
@@ -535,9 +546,13 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                 bits = list(payload[i + 1 : i + 17])
                 n = sum(bits)
                 values = list(payload[i + 17 : i + 17 + n])
+                if len(bits) < 16 or len(values) < n:
+                    raise ValueError("invalid JPEG: truncated DHT segment")
                 htables[(cls, tid)] = _huffman_decoder(bits, values)
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(payload) < 6 or len(payload) < 6 + 3 * payload[5]:
+                raise ValueError("invalid JPEG: truncated SOF segment")
             precision = payload[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -570,6 +585,8 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 raise ValueError("invalid JPEG: SOS before SOF")
+            if len(payload) < 1 or len(payload) < 4 + 2 * payload[0]:
+                raise ValueError("invalid JPEG: truncated SOS header")
             ns = payload[0]
             scan_comps = []
             for c in range(ns):
@@ -592,10 +609,13 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                     prog_state, ss, se, ahal >> 4, ahal & 0x0F,
                 )
                 continue
-            return _decode_scan(
-                data, pos + 2 + ln, frame, scan_comps, qtables, htables,
-                restart_interval,
-            )
+            try:
+                return _decode_scan(
+                    data, pos + 2 + ln, frame, scan_comps, qtables,
+                    htables, restart_interval,
+                )
+            except IndexError as exc:  # truncated entropy-coded data
+                raise ValueError("invalid JPEG: truncated scan") from exc
         pos += 2 + ln
     if frame is not None and frame.get("progressive"):
         return _prog_reconstruct(frame, prog_state, qtables)
@@ -780,7 +800,6 @@ def _enc_ac_refine(zz, bw_c, bh_c, ah, al, ac_codes, bw):
             cur = [_pt_ac(v, al) for v in band]
             run = 0
             pending: list[int] = []
-            emitted_any_to = -1  # last band index consumed by a symbol
             for k in range(63):
                 if hist[k] != 0:
                     pending.append(abs(cur[k]) & 1)
@@ -797,7 +816,6 @@ def _enc_ac_refine(zz, bw_c, bh_c, ah, al, ac_codes, bw):
                             bw.write(b, 1)
                         pending = []
                         run = 0
-                        emitted_any_to = k
                     continue
                 # newly nonzero: magnitude must be exactly 1 at this scan
                 code, length = ac_codes[(run << 4) | 1]
@@ -807,7 +825,6 @@ def _enc_ac_refine(zz, bw_c, bh_c, ah, al, ac_codes, bw):
                     bw.write(b, 1)
                 pending = []
                 run = 0
-                emitted_any_to = k
             if run > 0 or pending:
                 # block ends before Se with zero-history zeros and/or
                 # unsent corrections -> EOB0 then the corrections
@@ -815,7 +832,6 @@ def _enc_ac_refine(zz, bw_c, bh_c, ah, al, ac_codes, bw):
                 bw.write(code, length)
                 for b in pending:
                     bw.write(b, 1)
-            del emitted_any_to
 
 
 def encode_image_jpeg_progressive(
@@ -842,22 +858,7 @@ def encode_image_jpeg_progressive(
     ac_c = _huffman_codes(AC_CHROMA_SPEC)
     samp = [(hs, vs), (1, 1), (1, 1)]
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return (
-            bytes([0xFF, marker])
-            + (len(payload) + 2).to_bytes(2, "big")
-            + payload
-        )
-
-    def dqt(tid: int, table: np.ndarray) -> bytes:
-        z = table.reshape(-1)[ZIGZAG].astype(np.uint8)
-        return seg(0xDB, bytes([tid]) + z.tobytes())
-
-    def dht(cls: int, tid: int, spec) -> bytes:
-        bits, values = spec
-        return seg(
-            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
-        )
+    seg, dqt, dht = _seg, _dqt_seg, _dht_seg
 
     def sos(comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
         body = bytes([len(comps)])
@@ -1087,7 +1088,10 @@ def _decode_prog_scan(
                                 )
                             band[k] = newv
                             k += 1
-    except (_RestartHit, _ScanEnd) as exc:
+    except (_RestartHit, _ScanEnd, IndexError) as exc:
+        # IndexError = _BitReader ran off the end of a truncated payload;
+        # keep the decoder's ValueError contract so corrupt corpus
+        # payloads hit extract_features' fallback, not a task failure
         raise ValueError(
             "invalid JPEG: truncated/restart-marked progressive scan"
         ) from exc

@@ -128,15 +128,16 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
     REAL, pure numpy, no external codec: uncompressed PPM (P6) and 24-bit
-    BMP, BASELINE JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 / 4:2:2 /
-    4:2:0, grayscale or YCbCr, restart markers), 8-bit PNG
-    (functions/png.py — stdlib zlib inflate + all five scanline filters,
-    grey/truecolor/indexed/alpha), and uncompressed or LZW 8-bit TIFF
-    (functions/tiff.py — both byte orders, strip-based, horizontal
-    predictor). Exotic formats (webp, deflate/PackBits TIFF, progressive/
-    arithmetic JPEG, interlaced PNG) remain the documented integration
-    point (plug PIL/opencv here); everything around this function
-    (schemas, Arrow batching, resize, features) is format-agnostic."""
+    BMP; JPEG (functions/jpeg.py — Huffman + DCT, 4:4:4 / 4:2:2 / 4:2:0,
+    grayscale or YCbCr, restart markers, baseline AND progressive SOF2,
+    sniffed from the stream); PNG (functions/png.py — stdlib zlib inflate,
+    all five scanline filters, every legal bit depth, Adam7 interlacing,
+    grey/truecolor/indexed/alpha); TIFF (functions/tiff.py — both byte
+    orders, strip-based, compressions none/LZW/deflate/PackBits,
+    horizontal predictor). Remaining exotics (webp, arithmetic-coded
+    JPEG, JPEG-in-TIFF) are the one documented integration point (plug
+    PIL/opencv here); everything around this function (schemas, Arrow
+    batching, resize, features) is format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
         return _decode_ppm(content)

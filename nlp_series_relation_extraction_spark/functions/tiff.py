@@ -202,7 +202,8 @@ def _packbits_encode(data: bytes) -> bytes:
 
 
 def decode_image_tiff(content: bytes) -> np.ndarray:
-    """Uncompressed 8-bit TIFF -> HxWx3 uint8 (grayscale replicated)."""
+    """8-bit TIFF (compression none/LZW/deflate/PackBits) -> HxWx3 uint8
+    (grayscale replicated, WhiteIsZero inverted)."""
     if len(content) < 8:
         raise ValueError("not a TIFF: too short")
     order = content[:2]
@@ -278,7 +279,13 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
     elif comp in (8, 32946):
         import zlib
 
-        strips = [zlib.decompress(s) for s in strips]
+        try:
+            strips = [zlib.decompress(s) for s in strips]
+        except zlib.error as exc:
+            # keep the decoder's error contract: corrupt payloads raise
+            # ValueError so extract_features' fallback catches them
+            # instead of the zlib.error killing the whole Spark task
+            raise ValueError(f"invalid TIFF: bad deflate strip ({exc})")
     elif comp == 32773:
         strips = [_packbits_decode(s) for s in strips]
     data = b"".join(strips)
@@ -294,7 +301,13 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
         arr = 255 - arr
     if spp == 1:
         arr = np.repeat(arr, 3, axis=2)
-    return np.ascontiguousarray(arr)
+    out = np.ascontiguousarray(arr)
+    if out.base is not None or not out.flags.writeable:
+        # the common path (chunky RGB, no predictor) is still the
+        # read-only np.frombuffer view pinning the whole source buffer —
+        # return a fresh writable array like the other decoders do
+        out = out.copy()
+    return out
 
 
 def encode_image_tiff(

@@ -117,14 +117,23 @@ def attn_weights_path(seed: int = 42) -> str:
     import os
     import tempfile
 
+    from ..core.attention import ATTN_FORMAT
+
+    # filename carries the checkpoint-format version (stale files from
+    # older code revisions never load) and the uid (no cross-user /tmp
+    # collisions); the write is tmp+rename so a concurrent first run
+    # can never observe a partially-written npz
     path = os.path.join(
-        tempfile.gettempdir(), f"nlp_srre_attn_seed{seed}.npz"
+        tempfile.gettempdir(),
+        f"nlp_srre_attn_v{ATTN_FORMAT}_seed{seed}_u{os.getuid()}.npz",
     )
     if not os.path.exists(path):
         from ..core.attention import AttnEncoder
         from ..core.encoders import save_encoder
 
-        save_encoder(AttnEncoder(seed=seed), path)
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        save_encoder(AttnEncoder(seed=seed), tmp)
+        os.replace(tmp, path)
     return path
 
 
@@ -796,10 +805,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> x + cast(0.03 as double))"
         ).alias("embedding"),
     )
+    # n_clusters sets the within-cluster pair bound (SemDeDup's own knob:
+    # the paper runs ~100k clusters at corpus scale so cluster sizes stay
+    # small); 64 keeps sf0.1 clusters at ~100 vectors
     return (
         semantic_dedup(
             base.unionByName(planted), "vec_id", "embedding",
-            n_clusters=8, threshold=0.95, n_train=256,
+            n_clusters=64, threshold=0.95, n_train=256,
         )
         .orderBy("id")
     )

@@ -54,10 +54,11 @@ def upsert_edge_batch(
     the current table -> commit as a new version.
 
     Idempotent under foreachBatch's at-least-once replay: versions are
-    named by batch_id (zero-padded, so string compare == numeric compare),
-    and a batch whose version is already committed — the crash-between-
-    manifest-flip-and-checkpoint window — is a no-op instead of
-    double-counting its evidence into the table. After a commit, versions
+    named by batch_id (compared NUMERICALLY — the zero-padding is only
+    cosmetic and overflows past 999999), and a batch whose version is
+    already committed — the crash-between-manifest-flip-and-checkpoint
+    window — is a no-op instead of double-counting its evidence into the
+    table. After a commit, versions
     older than the previous one are pruned (the previous stays for
     in-flight readers — the parquet stand-in for Iceberg snapshot
     expiry), bounding disk at ~2x table size."""

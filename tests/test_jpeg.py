@@ -271,3 +271,24 @@ def test_progressive_dispatches_through_decode_image(spark):
     enc = encode_image_jpeg_progressive(a)
     got = decode_image(enc, "image/jpeg")  # SOF sniffing, same mime
     assert (got == decode_image_jpeg(enc)).all()
+
+
+def test_corrupt_payloads_raise_valueerror_not_crash():
+    """Decoder error contract: truncated/corrupt streams raise ValueError
+    (which extract_features' fallback catches), never IndexError/zlib
+    errors that would kill a Spark task."""
+    from nlp_series_relation_extraction_spark.functions.jpeg import (
+        encode_image_jpeg_progressive,
+    )
+
+    img = _gradient(16, 16)
+    prog = encode_image_jpeg_progressive(img)
+    base = encode_image_jpeg(img)
+    for enc in (prog, base):
+        for cut in (len(enc) // 3, len(enc) // 2, len(enc) - 3):
+            try:
+                decode_image_jpeg(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+            # silently succeeding on a prefix that still contains full
+            # scan data is fine; any OTHER exception type fails the test

@@ -232,3 +232,23 @@ def test_media_features_cover_tiff(spark, fmt):
     for r in rows:
         want = image_features(decode_image(payload[r.media_id], fmt))
         assert np.allclose(r.features, want)
+
+
+def test_corrupt_deflate_strip_raises_valueerror():
+    """zlib errors from corrupt deflate strips convert to ValueError so
+    the multimodal fallback catches them (pipeline stays total)."""
+    a = _img(8, 8)
+    enc = bytearray(encode_image_tiff(a, compression="deflate"))
+    enc[-10] ^= 0xFF  # corrupt inside the strip data
+    with pytest.raises(ValueError, match="deflate"):
+        decode_image_tiff(bytes(enc))
+
+
+def test_decoded_array_is_fresh_and_writable():
+    """decode_image_tiff must hand back a writable array that does not
+    pin the source buffer (parity with the png/jpeg decoders)."""
+    for kw in ({}, {"compression": "lzw"}, {"compression": "packbits"}):
+        out = decode_image_tiff(encode_image_tiff(_img(6, 7), **kw))
+        assert out.flags.writeable
+        assert out.base is None
+        out[0, 0, 0] = 1  # in-place math must not raise
