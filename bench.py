@@ -54,6 +54,7 @@ RELATIONAL = [
     "ann_cosine_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "embedding_near_dup",
     "semantic_dedup",
     "curate_documents",

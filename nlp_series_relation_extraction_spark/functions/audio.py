@@ -8,9 +8,11 @@ deterministically from text so the SQL-expressible metadata slice
 (sample rate, n_samples, byte size) carries a DuckDB oracle while the
 signal-dependent features are pinned by Spark==local-decode tests.
 
-Scope: 16-bit PCM mono/stereo WAV (the interchange format raw audio
-pipelines actually move); compressed codecs (mp3/ogg/flac) are the
-documented integration point, exactly like exotic image formats.
+Scope: WAV in the four formats telephony/interchange pipelines actually
+move — 16-bit PCM (tag 1) mono/stereo, G.711 mu-law (tag 7) and A-law
+(tag 6) companding, and IMA ADPCM (tag 0x11, block-based 4-bit) mono.
+Perceptual-codec formats (mp3/ogg/flac) are the documented integration
+point, exactly like exotic image formats.
 """
 
 from __future__ import annotations
@@ -30,60 +32,137 @@ AUDIO_FEATURE_DIM = 12
 
 
 def encode_audio_wav(
-    samples: np.ndarray, sample_rate: int = 16_000
+    samples: np.ndarray, sample_rate: int = 16_000, codec: str = "pcm"
 ) -> bytes:
-    """Encode int16 samples ([n] mono or [n, ch]) as a PCM WAV payload."""
+    """Encode int16 samples ([n] mono or [n, ch]) as a WAV payload.
+
+    ``codec``: 'pcm' (tag 1, 16-bit), 'ulaw' (tag 7) / 'alaw' (tag 6)
+    G.711 companding, or 'ima' (tag 0x11, mono IMA ADPCM with 505
+    samples per 256-byte block and a fact chunk)."""
     a = np.asarray(samples, dtype=np.int16)
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
-    data = a.reshape(-1).tobytes()  # interleaved frames
-    byte_rate = sample_rate * ch * 2
-    hdr = (
-        b"RIFF"
-        + (36 + len(data)).to_bytes(4, "little")
-        + b"WAVE"
-        + b"fmt "
-        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
-        + b"data"
-        + len(data).to_bytes(4, "little")
-    )
-    return hdr + data
+
+    def riff(fmt_payload: bytes, chunks: bytes) -> bytes:
+        body = b"fmt " + len(fmt_payload).to_bytes(4, "little") + fmt_payload
+        body += chunks
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    def data_chunk(data: bytes) -> bytes:
+        return (
+            b"data"
+            + len(data).to_bytes(4, "little")
+            + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+
+    if codec == "pcm":
+        data = a.reshape(-1).tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+        )
+        return riff(fmt, data_chunk(data))
+    if codec in ("ulaw", "alaw"):
+        enc = ulaw_encode if codec == "ulaw" else alaw_encode
+        data = enc(a.reshape(-1)).tobytes()
+        tag = 7 if codec == "ulaw" else 6
+        fmt = struct.pack(
+            "<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8
+        )
+        return riff(fmt, data_chunk(data))
+    if codec == "ima":
+        if ch != 1:
+            raise ValueError("IMA ADPCM encoder is mono-only")
+        mono = a[:, 0]
+        block_align = 256  # 4-byte header + 252 nibble bytes
+        spb = 1 + (block_align - 4) * 2  # 505 samples per block
+        blocks = []
+        # seed the quantizer from the signal's typical slope instead of
+        # index 0 (step 7): from silence the index needs ~40 samples to
+        # adapt up to a loud tone — a slope-overload transient real
+        # encoders avoid exactly this way (the index is per-block header
+        # state, so any seed is decodable)
+        if len(mono) > 1:
+            typical = int(np.mean(np.abs(np.diff(mono[: spb].astype(np.int64)))))
+            idx = int(np.clip(np.searchsorted(_IMA_STEPS, max(typical, 7)), 0, 88))
+        else:
+            idx = 0
+        for i in range(0, len(mono), spb):
+            blk = mono[i : i + spb]
+            if len(blk) == 0:
+                break
+            block, idx = ima_adpcm_encode_block(blk, index=idx)
+            blocks.append(block)
+        data = b"".join(blocks)
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, sample_rate,
+            (sample_rate * block_align) // spb, block_align, 4, 2, spb,
+        )
+        fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+        return riff(fmt, fact + data_chunk(data))
+    raise ValueError(f"unknown WAV codec {codec!r}")
 
 
 def decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV -> (float32 samples in [-1, 1] shaped [n, ch], sample_rate).
-    Walks RIFF chunks (extra chunks like LIST are skipped); 16-bit PCM
-    only — compressed codecs raise NotImplementedError pointedly."""
+    """WAV -> (float32 samples in [-1, 1] shaped [n, ch], sample_rate).
+
+    Walks RIFF chunks (extra chunks like LIST are skipped). Formats: PCM
+    16-bit (tag 1), G.711 mu-law (7) / A-law (6), and mono IMA ADPCM
+    (0x11, block-decoded, trimmed to the fact-chunk sample count).
+    Perceptual codecs raise NotImplementedError pointedly."""
     data = bytes(content)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     pcm = None
+    fact_n = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
         payload = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
-            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack(
+            audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 6, 7, 0x11):
                 raise NotImplementedError(
-                    f"WAV audio format {audio_fmt} (compressed) — only PCM "
-                    "decodes natively; plug soundfile/ffmpeg here"
+                    f"WAV audio format {audio_fmt} — PCM/G.711/IMA-ADPCM "
+                    "decode natively; plug soundfile/ffmpeg here for "
+                    "perceptual codecs"
                 )
-            if bits != 16:
-                raise NotImplementedError(f"{bits}-bit WAV (16-bit PCM only)")
-            fmt = (ch, rate)
+            if audio_fmt == 1 and bits != 16:
+                raise NotImplementedError(f"{bits}-bit PCM WAV (16-bit only)")
+            fmt = (audio_fmt, ch, rate, block_align)
         elif tag == b"data":
             pcm = payload
+        elif tag == b"fact":
+            fact_n = int.from_bytes(payload[:4], "little")
     if fmt is None or pcm is None:
         raise ValueError("invalid WAV: missing fmt/data chunk")
-    ch, rate = fmt
-    samples = np.frombuffer(pcm, dtype="<i2")
+    audio_fmt, ch, rate, block_align = fmt
+    if audio_fmt == 1:
+        samples = np.frombuffer(pcm, dtype="<i2")
+    elif audio_fmt in (6, 7):
+        dec = ulaw_decode if audio_fmt == 7 else alaw_decode
+        samples = dec(np.frombuffer(pcm, dtype=np.uint8))
+    else:  # IMA ADPCM, mono blocks
+        if ch != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM")
+        if block_align < 5:
+            raise ValueError("invalid WAV: bad IMA block align")
+        parts = [
+            ima_adpcm_decode_block(pcm[i : i + block_align])
+            for i in range(0, len(pcm), block_align)
+            if len(pcm[i : i + block_align]) >= 4
+        ]
+        samples = (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+        )
+        if fact_n is not None:
+            samples = samples[:fact_n]
     n = len(samples) // ch
     return (
         samples[: n * ch].reshape(n, ch).astype(np.float32) / 32768.0,
@@ -281,3 +360,132 @@ def synthesize_audio_features(
 
 
 from .partitioning import ensure_parallelism as _spread  # noqa: E402
+
+
+# --- G.711 companding (mu-law tag 7 / A-law tag 6) ---------------------------
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> mu-law bytes (G.711, bias 0x84), vectorized."""
+    x = np.asarray(x, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(b: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16, vectorized (exact G.711 expansion)."""
+    u = ~np.asarray(b, dtype=np.int64) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    v = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -v, v).astype(np.int16)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> A-law bytes (G.711, 0x55 toggle), vectorized."""
+    x = np.asarray(x, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+    exp = np.maximum(
+        (np.floor(np.log2(np.maximum(mag, 1))) - 4).astype(np.int32), 0
+    )
+    # exp >= 1: magnitude sits in [16 << exp, 32 << exp) so (mag >> exp)
+    # is 16..31 and the low 4 bits are the mantissa; exp == 0 is linear
+    mant = np.where(exp > 0, (mag >> exp) & 0x0F, (mag >> 1) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(b: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16, vectorized (exact G.711 expansion)."""
+    a = (np.asarray(b, dtype=np.int64) ^ 0x55) & 0xFF
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    v = np.where(
+        exp > 0, ((mant << 4) + 0x108) << (exp - 1), (mant << 4) + 8
+    )
+    return np.where(sign != 0, v, -v).astype(np.int16)
+
+
+# --- IMA ADPCM (tag 0x11, mono) ----------------------------------------------
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode update (shared by encode — the encoder tracks
+    the decoder's state so both stay in sync)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return pred, index
+
+
+def ima_adpcm_encode_block(
+    samples: np.ndarray, index: int = 0
+) -> tuple[bytes, int]:
+    """One mono IMA block: 4-byte header (predictor int16, step index,
+    reserved) + packed nibbles (low nibble first). samples[0] seeds the
+    predictor; samples[1:] encode as nibbles. Returns (block_bytes,
+    final_step_index) — callers carry the index into the NEXT block's
+    header so the quantizer stays adapted across block boundaries (the
+    behavior real IMA encoders have; resetting to 0 each block costs
+    ~6 dB of SNR re-adapting at every boundary)."""
+    s = np.asarray(samples, dtype=np.int64)
+    pred = int(s[0])
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibs = []
+    for x in s[1:]:
+        step = int(_IMA_STEPS[index])
+        delta = int(x) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        temp = step
+        for bit in (4, 2, 1):
+            if delta >= temp:
+                nib |= bit
+                delta -= temp
+            temp >>= 1
+        pred, index = _ima_step(pred, index, nib)
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)
+    for lo, hi in zip(nibs[0::2], nibs[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), index
+
+
+def ima_adpcm_decode_block(block: bytes) -> np.ndarray:
+    """One mono IMA block -> int16 samples (header sample + nibbles)."""
+    pred, index, _ = struct.unpack("<hBB", block[:4])
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            pred, index = _ima_step(pred, index, nib)
+            out.append(pred)
+    return np.asarray(out, dtype=np.int16)

@@ -731,3 +731,126 @@ def semantic_dedup(
             (F.col("id") == F.col("keep_id")).alias("keep"),
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    n_train: int = 256,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the 100-TB embedding
+    COMPRESSION path: the corpus is stored as ``m`` one-byte codes per
+    vector (dim x 4 bytes -> m bytes, 32x at dim=64/m=8), and queries
+    score against codes with asymmetric distance computation (ADC): the
+    inner product decomposes exactly over subspaces, so
+    dot(q, x_hat) = sum_j table_j[code_j] with per-query lookup tables of
+    shape [m, ks] built once on the driver.
+
+    Scale shape: codebook training is the same bounded-sample driver
+    k-means as ivf_topk (per subspace — index training, not a data-path
+    collect); encoding is one Arrow-batched argmin per subspace; scoring
+    is table lookups + a window top-k — no full-precision vector ever
+    moves after encoding. Composes with ivf_topk's coarse quantizer for
+    scanned-fraction control (IVF-PQ, the FAISS default at billion
+    scale). Rows-only driver check; exactness of the distributed ADC is
+    pinned against a numpy twin and recall floors vs brute force in
+    tests/test_functions.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    train = (
+        embeddings.where(F.col(id_col) < n_train)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    V = np.asarray([r.v for r in train], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError("pq_topk: no training vectors")
+    ks = min(ks, len(V))
+    codebooks = np.stack(
+        [
+            _kmeans_fit(V[:, j * dsub : (j + 1) * dsub], ks)
+            for j in range(m)
+        ]
+    )  # [m, ks, dsub]
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                C = codebooks[j]
+                d2 = (
+                    (sub**2).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ C.T)
+                    + (C**2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "codes": [c.tolist() for c in codes]}
+            )
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    encoded = base.mapInPandas(encode, schema="id long, codes array<int>")
+
+    # per-query ADC tables [Q, m, ks] — driver-built from the raw query
+    # vectors (queries stay full precision; only the corpus is coded)
+    qrows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    q_ids = np.asarray([r.id for r in qrows], dtype=np.int64)
+    Qv = np.asarray([r.v for r in qrows], dtype=np.float64)
+    tables = np.einsum(
+        "qjd,jkd->qjk", Qv.reshape(len(q_ids), m, dsub), codebooks
+    )  # [Q, m, ks]
+
+    def adc(batches):
+        for pdf in batches:
+            codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            n = len(codes)
+            ids = pdf["id"].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                s = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                keep = ids != q_ids[qi]
+                out_q.append(np.full(keep.sum(), q_ids[qi]))
+                out_id.append(ids[keep])
+                out_s.append(s[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_id) if out_id else [],
+                    "pq_dot": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, pq_dot double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_dot")
+    )

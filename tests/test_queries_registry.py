@@ -18,8 +18,8 @@ def test_every_oracle_has_a_query():
     rows_only = set(qs) - set(osql)
     allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train",
                "kg_selfeval", "media_features", "audio_features",
-               "ann_topk_ivf", "kg_pagerank", "kg_communities",
-               "semantic_dedup")
+               "ann_topk_ivf", "ann_topk_pq", "kg_pagerank",
+               "kg_communities", "semantic_dedup")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
