@@ -55,6 +55,7 @@ RELATIONAL = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "embedding_near_dup",
     "semantic_dedup",
     "curate_documents",

@@ -798,6 +798,21 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (rows-only): coarse quantizer restricts
+    the scan to n_probe/n_clusters of the corpus, residual PQ codes score
+    it at 16 bytes/vector — the FAISS billion-scale composition.
+    Distributed == numpy twin and the probe restriction are pinned in
+    tests/test_functions.py."""
+    from ..functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_ids=list(range(10)), k=5, n_clusters=16, n_probe=8,
+        m=16, ks=256, n_train=256,
+    ).orderBy("query_id", "rank")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (rows-only: iterative k-means is not
     SQL-expressible; exactness is pinned by the numpy twin in
@@ -2607,6 +2622,7 @@ def queries() -> dict:
             "embedding_near_dup": q_embedding_near_dup,
             "semantic_dedup": q_semantic_dedup,
             "ann_topk_pq": q_ann_topk_pq,
+            "ann_topk_ivfpq": q_ann_topk_ivfpq,
             "media_features": q_media_features,
             "media_meta": q_media_meta,
             "audio_meta": q_audio_meta,
@@ -2711,6 +2727,7 @@ _ATTEST_FIRST = [
     "kg_extract_bio_attn",
     "semantic_dedup",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
 ]
 
 

@@ -1314,3 +1314,89 @@ def test_pq_topk_rejects_bad_subspace_split(spark):
     df = _emb(spark)
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(df, "vec_id", "embedding", [0], m=7)
+
+
+def test_ivfpq_matches_numpy_twin_and_respects_probe(spark):
+    """IVF-PQ: distributed residual-coded ADC equals the numpy twin
+    exactly; n_probe restricts the scanned clusters (a query returns
+    only probed-cluster neighbors); and full probing with 8-bit residual
+    codebooks recovers brute-force recall on clustered data."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        _kmeans_fit,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(41)
+    dim, per = 16, 50
+    centers = rng.normal(0, 1, (4, dim)) * 8
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            rows.append(
+                (c * per + i, (centers[c] + rng.normal(0, 0.5, dim)).tolist())
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 50, 100, 150]
+    kw = dict(n_clusters=4, m=8, ks=256, n_train=256)
+
+    # --- twin (same training data, same seeded k-means) ---
+    ids = np.asarray([r[0] for r in rows])
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    V = X[ids < 256]
+    C = _kmeans_fit(V, 4)
+    assign = ((V[:, None, :] - C[None]) ** 2).sum(2).argmin(1)
+    R = V - C[assign]
+    dsub = dim // 8
+    books = np.stack(
+        [_kmeans_fit(R[:, j * dsub : (j + 1) * dsub], min(256, len(V)))
+         for j in range(8)]
+    )
+    cl = ((X[:, None, :] - C[None]) ** 2).sum(2).argmin(1)
+    res = X - C[cl]
+    codes = np.stack(
+        [((res[:, j * dsub : (j + 1) * dsub][:, None, :] - books[j][None]) ** 2)
+         .sum(2).argmin(1) for j in range(8)],
+        axis=1,
+    )
+
+    got = {}
+    for r in ivfpq_topk(
+        df, "vec_id", "embedding", qids, k=5, n_probe=4, **kw
+    ).collect():
+        got[(r.query_id, r.rank)] = (r.neighbor_id, r.pq_dot)
+    for q in qids:
+        qv = X[ids == q][0]
+        table = np.einsum("jd,jkd->jk", qv.reshape(8, dsub), books)
+        s = table[np.arange(8)[None, :], codes].sum(1) + (C @ qv)[cl]
+        mask = ids != q
+        cand = sorted(zip(ids[mask], s[mask]), key=lambda t: (-t[1], t[0]))[:5]
+        for rank, (nid, sc) in enumerate(cand, 1):
+            assert got[(q, rank)][0] == nid, (q, rank)
+            assert abs(got[(q, rank)][1] - sc) < 1e-9
+
+    # --- n_probe=1 restriction: only own-cluster neighbors come back ---
+    one = {}
+    for r in ivfpq_topk(
+        df, "vec_id", "embedding", qids, k=5, n_probe=1, **kw
+    ).collect():
+        one.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q, ns in one.items():
+        for n in ns:
+            assert n // per == q // per, (q, n)
+
+    # --- recall vs brute at full probing (residual codes are fine
+    # enough to rank within clusters) ---
+    brute = {}
+    for r in brute_force_topk(df, "vec_id", "embedding", qids, k=5).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    full = {q: set(ns) for q, ns in (
+        (q, [n for (qq, _), (n, _) in sorted(got.items()) if qq == q])
+        for q in qids
+    )}
+    recall = np.mean([len(full[q] & brute[q]) / 5 for q in qids])
+    assert recall >= 0.9, recall
