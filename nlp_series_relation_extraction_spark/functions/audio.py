@@ -89,10 +89,7 @@ def encode_audio_wav(
         else:
             idx = 0
         for i in range(0, len(mono), spb):
-            blk = mono[i : i + spb]
-            if len(blk) == 0:
-                break
-            block, idx = ima_adpcm_encode_block(blk, index=idx)
+            block, idx = ima_adpcm_encode_block(mono[i : i + spb], index=idx)
             blocks.append(block)
         data = b"".join(blocks)
         fmt = struct.pack(
@@ -135,6 +132,13 @@ def decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
                 )
             if audio_fmt == 1 and bits != 16:
                 raise NotImplementedError(f"{bits}-bit PCM WAV (16-bit only)")
+            if audio_fmt in (6, 7) and bits != 8:
+                # a mislabeled payload would byte-decode 16-bit samples as
+                # G.711 codewords into plausible garbage — raise instead
+                raise ValueError(
+                    f"invalid WAV: G.711 format {audio_fmt} with "
+                    f"{bits}-bit samples (must be 8)"
+                )
             fmt = (audio_fmt, ch, rate, block_align)
         elif tag == b"data":
             pcm = payload
@@ -366,13 +370,20 @@ from .partitioning import ensure_parallelism as _spread  # noqa: E402
 
 
 def ulaw_encode(x: np.ndarray) -> np.ndarray:
-    """int16 -> mu-law bytes (G.711, bias 0x84), vectorized."""
-    x = np.asarray(x, dtype=np.int32)
-    sign = np.where(x < 0, 0x80, 0)
-    mag = np.minimum(np.abs(x), 32635) + 0x84
-    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
-    mant = (mag >> (exp + 3)) & 0x0F
-    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+    """int16 -> mu-law bytes, vectorized — the canonical Sun g711.c
+    linear2ulaw in its exact 14-bit domain (arithmetic >>2 BEFORE
+    negation, clip 8159, bias 33), so codewords match reference encoders
+    bit-for-bit including the negative segment boundaries."""
+    x14 = np.asarray(x, dtype=np.int32) >> 2  # arithmetic shift
+    neg = x14 < 0
+    mag = np.minimum(np.where(neg, -x14, x14), 8159) + 33
+    seg = np.maximum(
+        np.floor(np.log2(mag)).astype(np.int32) - 5, 0
+    )  # bit_length - 6, mag >= 33
+    mant = (mag >> (seg + 1)) & 0x0F
+    uval = np.where(seg >= 8, 0x7F, (seg << 4) | mant)
+    mask = np.where(neg, 0x7F, 0xFF)
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
 
 
 def ulaw_decode(b: np.ndarray) -> np.ndarray:
@@ -386,10 +397,13 @@ def ulaw_decode(b: np.ndarray) -> np.ndarray:
 
 
 def alaw_encode(x: np.ndarray) -> np.ndarray:
-    """int16 -> A-law bytes (G.711, 0x55 toggle), vectorized."""
-    x = np.asarray(x, dtype=np.int32)
-    sign = np.where(x >= 0, 0x80, 0)
-    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+    """int16 -> A-law bytes (G.711, 0x55 toggle), vectorized. Negative
+    magnitudes use the canonical one's-complement form (-x13 - 1, Sun
+    g711.c linear2alaw) so codewords match reference encoders bit-for-bit
+    at segment boundaries too."""
+    x13 = np.asarray(x, dtype=np.int32) >> 3  # arithmetic shift, 13-bit
+    sign = np.where(x13 >= 0, 0x80, 0)
+    mag = np.where(x13 >= 0, x13, -x13 - 1)
     exp = np.maximum(
         (np.floor(np.log2(np.maximum(mag, 1))) - 4).astype(np.int32), 0
     )

@@ -289,6 +289,38 @@ SELECT query_id, rank, neighbor_id, qdot FROM (
 """
 
 
+def _sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """[n, k] pairwise squared distances — the expansion every
+    assignment/probe step uses; one definition instead of seven copies."""
+    return (
+        (X**2).sum(axis=1, keepdims=True)
+        - 2.0 * (X @ C.T)
+        + (C**2).sum(axis=1)[None, :]
+    )
+
+
+def _collect_train(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_train: int, op: str
+) -> "np.ndarray":
+    """Bounded, deterministic training sample (id < n_train, id order) for
+    the driver-side index fits; raises the shared empty-input contract."""
+    import numpy as np
+
+    rows = (
+        embeddings.where(F.col(id_col) < n_train)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    V = np.asarray([r.v for r in rows], dtype=np.float64)
+    if len(V) == 0:
+        raise ValueError(
+            f"{op}: no training vectors ({id_col} < n_train={n_train} "
+            "matched nothing) — raise n_train or check ids"
+        )
+    return V
+
+
 def _kmeans_fit(
     V: "np.ndarray", n_clusters: int, n_iter: int = 10
 ) -> "np.ndarray":
@@ -362,16 +394,16 @@ def ivf_topk(
     n_probe = min(n_probe, n_clusters)
     C = _kmeans_fit(V, n_clusters)  # [n_clusters, dim]
 
-    qv = quantized(embeddings, id_col, vec_col)
+    from .partitioning import ensure_parallelism
+
+    qv = ensure_parallelism(  # single-split guard, cf. pq_topk
+        quantized(embeddings, id_col, vec_col)
+    )
 
     def assign(batches):
         for pdf in batches:
             X = np.asarray(pdf["qvec"].tolist(), dtype=np.float64) / QUANT
-            d2 = (
-                (X**2).sum(axis=1, keepdims=True)
-                - 2.0 * (X @ C.T)
-                + (C**2).sum(axis=1)[None, :]
-            )
+            d2 = _sq_dists(X, C)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -387,11 +419,7 @@ def ivf_topk(
     def probe(batches):
         for pdf in batches:
             X = np.asarray(pdf["qvec"].tolist(), dtype=np.float64) / QUANT
-            d2 = (
-                (X**2).sum(axis=1, keepdims=True)
-                - 2.0 * (X @ C.T)
-                + (C**2).sum(axis=1)[None, :]
-            )
+            d2 = _sq_dists(X, C)
             near = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
             yield pd.DataFrame(
                 {
@@ -667,11 +695,7 @@ def semantic_dedup(
     def assign(batches):
         for pdf in batches:
             X = np.asarray(pdf["qvec"].tolist(), dtype=np.float64) / QUANT
-            d2 = (
-                (X**2).sum(axis=1, keepdims=True)
-                - 2.0 * (X @ C.T)
-                + (C**2).sum(axis=1)[None, :]
-            )
+            d2 = _sq_dists(X, C)
             cl = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -765,21 +789,11 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    V = _collect_train(embeddings, id_col, vec_col, n_train, "pq_topk")
+    dim = V.shape[1]
     if dim % m:
         raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
     dsub = dim // m
-
-    train = (
-        embeddings.where(F.col(id_col) < n_train)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .collect()
-    )
-    V = np.asarray([r.v for r in train], dtype=np.float64)
-    if len(V) == 0:
-        raise ValueError("pq_topk: no training vectors")
     ks = min(ks, len(V))
     codebooks = np.stack(
         [
@@ -794,19 +808,17 @@ def pq_topk(
             codes = np.empty((len(X), m), dtype=np.int64)
             for j in range(m):
                 sub = X[:, j * dsub : (j + 1) * dsub]
-                C = codebooks[j]
-                d2 = (
-                    (sub**2).sum(axis=1, keepdims=True)
-                    - 2.0 * (sub @ C.T)
-                    + (C**2).sum(axis=1)[None, :]
-                )
-                codes[:, j] = d2.argmin(axis=1)
+                codes[:, j] = _sq_dists(sub, codebooks[j]).argmin(axis=1)
             yield pd.DataFrame(
                 {"id": pdf["id"], "codes": [c.tolist() for c in codes]}
             )
 
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    from .partitioning import ensure_parallelism
+
+    # single-split guard (project memory: a one-file parquet table
+    # serializes every pre-shuffle UDF stage onto one core)
+    base = ensure_parallelism(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     encoded = base.mapInPandas(encode, schema="id long, codes array<int>")
 
@@ -826,7 +838,6 @@ def pq_topk(
     def adc(batches):
         for pdf in batches:
             codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
-            n = len(codes)
             ids = pdf["id"].to_numpy()
             out_q, out_id, out_s = [], [], []
             for qi in range(len(q_ids)):
@@ -887,31 +898,16 @@ def ivfpq_topk(
     import numpy as np
     import pandas as pd
 
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    V = _collect_train(embeddings, id_col, vec_col, n_train, "ivfpq_topk")
+    dim = V.shape[1]
     if dim % m:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     dsub = dim // m
-
-    train = (
-        embeddings.where(F.col(id_col) < n_train)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .collect()
-    )
-    V = np.asarray([r.v for r in train], dtype=np.float64)
-    if len(V) == 0:
-        raise ValueError("ivfpq_topk: no training vectors")
     n_clusters = min(n_clusters, len(V))
     n_probe = min(n_probe, n_clusters)
     ks = min(ks, len(V))
     C = _kmeans_fit(V, n_clusters)
-    d2 = (
-        (V**2).sum(axis=1, keepdims=True)
-        - 2.0 * (V @ C.T)
-        + (C**2).sum(axis=1)[None, :]
-    )
-    Rres = V - C[d2.argmin(axis=1)]
+    Rres = V - C[_sq_dists(V, C).argmin(axis=1)]
     codebooks = np.stack(
         [
             _kmeans_fit(Rres[:, j * dsub : (j + 1) * dsub], ks)
@@ -922,23 +918,12 @@ def ivfpq_topk(
     def encode(batches):
         for pdf in batches:
             X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            dd = (
-                (X**2).sum(axis=1, keepdims=True)
-                - 2.0 * (X @ C.T)
-                + (C**2).sum(axis=1)[None, :]
-            )
-            cl = dd.argmin(axis=1)
+            cl = _sq_dists(X, C).argmin(axis=1)
             R = X - C[cl]
             codes = np.empty((len(X), m), dtype=np.int64)
             for j in range(m):
                 sub = R[:, j * dsub : (j + 1) * dsub]
-                B = codebooks[j]
-                e = (
-                    (sub**2).sum(axis=1, keepdims=True)
-                    - 2.0 * (sub @ B.T)
-                    + (B**2).sum(axis=1)[None, :]
-                )
-                codes[:, j] = e.argmin(axis=1)
+                codes[:, j] = _sq_dists(sub, codebooks[j]).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -947,8 +932,10 @@ def ivfpq_topk(
                 }
             )
 
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    from .partitioning import ensure_parallelism
+
+    base = ensure_parallelism(  # single-split guard, cf. pq_topk
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     encoded = base.mapInPandas(
         encode, schema="id long, cluster int, codes array<int>"
@@ -961,12 +948,7 @@ def ivfpq_topk(
     )
     q_ids = np.asarray([r.id for r in qrows], dtype=np.int64)
     Qv = np.asarray([r.v for r in qrows], dtype=np.float64)
-    qd2 = (
-        (Qv**2).sum(axis=1, keepdims=True)
-        - 2.0 * (Qv @ C.T)
-        + (C**2).sum(axis=1)[None, :]
-    )
-    probes = np.argsort(qd2, axis=1)[:, :n_probe]  # [Q, n_probe]
+    probes = np.argsort(_sq_dists(Qv, C), axis=1)[:, :n_probe]  # [Q, n_probe]
     offsets = Qv @ C.T  # [Q, n_clusters] centroid dot terms
     tables = np.einsum(
         "qjd,jkd->qjk", Qv.reshape(len(q_ids), m, dsub), codebooks

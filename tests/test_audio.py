@@ -219,3 +219,56 @@ def test_compressed_wav_through_feature_extraction(spark):
     row = extract_audio_features(df).collect()[0]
     dom_hz = row.features[3]
     assert abs(dom_hz - freq) < rate / n + 1  # FFT-bin accuracy
+
+
+def test_g711_matches_stdlib_audioop_bit_for_bit():
+    """Cross-check against CPython's audioop (the canonical Sun g711.c
+    port): encoder codewords and decoder expansions match bit-for-bit.
+    Skipped where audioop is absent (removed in 3.13) — the involution
+    test above still pins self-consistency there."""
+    audioop = pytest.importorskip("audioop")
+
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    x = np.arange(-32768, 32768, 7, dtype=np.int16)
+    assert (
+        alaw_encode(x)
+        == np.frombuffer(audioop.lin2alaw(x.tobytes(), 2), np.uint8)
+    ).all()
+    assert (
+        ulaw_encode(x)
+        == np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), np.uint8)
+    ).all()
+    b = np.arange(256, dtype=np.uint8).tobytes()
+    assert (
+        alaw_decode(np.frombuffer(b, np.uint8))
+        == np.frombuffer(audioop.alaw2lin(b, 2), "<i2")
+    ).all()
+    assert (
+        ulaw_decode(np.frombuffer(b, np.uint8))
+        == np.frombuffer(audioop.ulaw2lin(b, 2), "<i2")
+    ).all()
+
+
+def test_g711_mislabeled_bits_raise():
+    """A G.711 fmt tag with 16-bit samples is a spec violation that would
+    decode plausible garbage — must raise (ValueError: caught by the
+    feature-extraction fallback)."""
+    import struct as _struct
+
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        decode_audio_wav,
+        encode_audio_wav,
+    )
+
+    wav = bytearray(encode_audio_wav(np.zeros(64, np.int16), codec="ulaw"))
+    # bits-per-sample field: last H of the fmt payload at offset 20+14
+    assert _struct.unpack("<H", wav[34:36])[0] == 8
+    wav[34:36] = _struct.pack("<H", 16)
+    with pytest.raises(ValueError, match="G.711"):
+        decode_audio_wav(bytes(wav))
