@@ -99,11 +99,19 @@ def write_prediction_jsonl(turn_results: DataFrame, path: str) -> None:
 
 
 def write_prediction_jsonl_reference_format(
-    turn_results_with_text: DataFrame, path: str
+    turn_results_with_text: DataFrame, path: str, single_file: bool = True
 ) -> None:
     """Reference-shaped prediction sink: one ``{"text": ..., "spo_list":
     [...]}`` object per line (utils/utils.py:275-282 + run_mpn.py
-    formatted_outputs), UTF-8 verbatim, sorted within files."""
+    formatted_outputs), UTF-8 verbatim, sorted within files.
+
+    The reference emits ONE output file; ``single_file=True`` (default)
+    matches that via ``coalesce(1)`` — appropriate because this sink is a
+    human/scorer-facing artifact, not a data-path table. Pass
+    ``single_file=False`` for large corpora to keep the upstream
+    partitioning (many part files)."""
+    if single_file:
+        turn_results_with_text = turn_results_with_text.coalesce(1)
     (
         turn_results_with_text.sortWithinPartitions("conv_id", "turn_idx")
         .select(

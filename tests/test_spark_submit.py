@@ -55,9 +55,15 @@ def test_run_head_lifecycle_cli(tmp_path):
         f for f in os.listdir(summary["predictions"]) if f.startswith("part-")
     ]
     assert pred_files
-    with open(os.path.join(summary["predictions"], pred_files[0]),
-              encoding="utf-8") as f:
-        first = json.loads(next(l for l in f if l.strip()))
+    # Concatenate ALL part files: robust regardless of how many partitions
+    # the sink wrote and of os.listdir ordering (empty parts are fine).
+    lines = []
+    for fn in sorted(pred_files):
+        with open(os.path.join(summary["predictions"], fn),
+                  encoding="utf-8") as f:
+            lines.extend(l for l in f if l.strip())
+    assert lines, "prediction sink wrote no records"
+    first = json.loads(lines[0])
     assert set(first) == {"text", "spo_list"}
     assert summary["eval"]["tp"] + summary["eval"]["fp"] >= 0
 
