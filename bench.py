@@ -331,6 +331,76 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     finally:
         _sh.rmtree(sink_dir, ignore_errors=True)
 
+    # bucket-pruned sink growth (round-5 ask #2): identical single-subject
+    # increments against a 1x and a 10x edge table, with buckets sized to
+    # constant per-bucket rows (exactly how production sizes them at 100 TB:
+    # bucket count grows with the table, bucket size stays fixed). Because
+    # the merge reads and rewrites ONLY the touched bucket, per-batch
+    # latency must stay roughly flat as the table grows 10x — the old
+    # full-table-rewrite sink scaled this linearly with table size.
+    dir_a = _tf.mkdtemp(prefix="nre_bench_sink1x_")
+    dir_b = _tf.mkdtemp(prefix="nre_bench_sink10x_")
+    try:
+        probe_subj = "growth probe subject"
+        probe_pairs = [(probe_subj, f"growth probe object {i}") for i in range(20)]
+        probe_mentions = [probe_subj] + [o for _, o in probe_pairs]
+
+        def _sink_aliases(tr):
+            base = (
+                tr.select(F.col("subject").alias("m"))
+                .unionByName(
+                    tr.select(F.element_at("object", "@value").alias("m"))
+                )
+                .distinct()
+            )
+            probe = spark.createDataFrame(
+                [(m,) for m in probe_mentions], "m string"
+            )
+            return (
+                base.unionByName(probe)
+                .select(
+                    F.lower(F.trim("m")).alias("mention_norm"),
+                    F.xxhash64(F.lower(F.trim("m"))).alias("entity_id"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+
+        def _probe_batch(b):
+            return spark.createDataFrame(
+                [
+                    (f"probe{b}", i, "p", s, {"@value": o})
+                    for i, (s, o) in enumerate(probe_pairs)
+                ],
+                "conv_id string, turn_idx int, predicate string,"
+                " subject string, object map<string,string>",
+            )
+
+        def _seed_and_probe(d, n_turns, n_buckets):
+            tr = extract_triples(
+                synth_transcripts(spark, n_turns, seed=7),
+                head="mpn", planted=True,
+            ).localCheckpoint(eager=True)
+            aliases = _sink_aliases(tr)
+            upsert_edge_batch(spark, tr, aliases, d, 0, n_buckets=n_buckets)
+            lat = []
+            for b in range(1, 6):
+                tb = time.time()
+                upsert_edge_batch(spark, _probe_batch(b), aliases, d, b)
+                lat.append(time.time() - tb)
+            tr.unpersist()
+            lat.sort()
+            return lat[min(int(len(lat) * 0.95), len(lat) - 1)]
+
+        p95_1x = _seed_and_probe(dir_a, 8_000, 8)
+        p95_10x = _seed_and_probe(dir_b, 80_000, 80)
+        extras["sink_growth_p95_1x_sec"] = round(p95_1x, 3)
+        extras["sink_growth_p95_10x_sec"] = round(p95_10x, 3)
+        extras["sink_growth_p95_ratio"] = round(p95_10x / max(p95_1x, 1e-9), 2)
+    finally:
+        _sh.rmtree(dir_a, ignore_errors=True)
+        _sh.rmtree(dir_b, ignore_errors=True)
+
     # end-to-end pipeline (extract -> link -> canonicalize -> graph), fresh
     # workdir so nothing resumes
     import shutil

@@ -837,8 +837,14 @@ def test_kg_sink_replay_is_idempotent_and_versions_expire(spark, tmp_path):
     upsert_edge_batch(spark, triples, aliases, table, 3)
     again = {tuple(r) for r in read_current_edges(spark, table).collect()}
     assert again == once
+    # one subject entity -> every batch touches exactly one bucket; within
+    # that bucket the newest two versions are retained, older expired
+    bdirs = [n for n in os.listdir(table) if n.startswith("b")]
+    assert len(bdirs) == 1
     versions = [
-        n for n in os.listdir(table) if n.startswith("v") and "." not in n
+        n
+        for n in os.listdir(os.path.join(table, bdirs[0]))
+        if n.startswith("v")
     ]
     assert len(versions) == 2  # newest two retained, older expired
 
@@ -871,7 +877,89 @@ def test_kg_sink_batch_ids_beyond_zero_padding(spark, tmp_path):
     cur = read_current_edges(spark, table).collect()
     assert {r[3] for r in cur} == {2}  # both batches folded in
     with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
-        assert int(f.read().strip()[1:]) == 1_000_000
+        assert json.loads(f.read())["batch_id"] == 1_000_000
     # replaying the newest big id is still a no-op
     upsert_edge_batch(spark, triples, aliases, table, 1_000_000)
     assert {r[3] for r in read_current_edges(spark, table).collect()} == {2}
+
+
+def test_kg_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-pruned upsert: a batch whose increment touches a strict
+    subset of buckets must leave every other bucket's committed files
+    BYTE-IDENTICAL on disk (not rewritten) — per-batch I/O is O(touched
+    buckets + increment), the parquet expression of Iceberg MERGE INTO
+    partition pruning."""
+    import hashlib
+
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        read_current_edges,
+        upsert_edge_batch,
+    )
+
+    table = str(tmp_path / "bedges")
+    os.makedirs(table)
+    mentions = [f"entity number {i}" for i in range(40)]
+    aliases = spark.createDataFrame(
+        [(m, i + 1) for i, m in enumerate(mentions)],
+        "mention_norm string, entity_id long",
+    )
+
+    def triples_for(pairs):
+        return spark.createDataFrame(
+            [
+                ("c1", i, "p", s, {"@value": o})
+                for i, (s, o) in enumerate(pairs)
+            ],
+            "conv_id string, turn_idx int, predicate string,"
+            " subject string, object map<string,string>",
+        )
+
+    # batch 0: 40 distinct subjects -> populates most of the 8 buckets
+    upsert_edge_batch(
+        spark,
+        triples_for([(mentions[i], mentions[(i + 1) % 40]) for i in range(40)]),
+        aliases, table, 0, n_buckets=8,
+    )
+    with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+        state0 = json.load(f)
+    assert state0["n_buckets"] == 8 and len(state0["buckets"]) > 2
+
+    def snapshot():
+        with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+            st = json.load(f)
+        out = {}
+        for b, v in st["buckets"].items():
+            d = os.path.join(table, f"b{int(b):04d}", v)
+            for fn in sorted(os.listdir(d)):
+                p = os.path.join(d, fn)
+                if os.path.isfile(p):
+                    with open(p, "rb") as fh:
+                        out[(b, v, fn)] = hashlib.sha256(
+                            fh.read()
+                        ).hexdigest()
+        return st, out
+
+    _, before = snapshot()
+    # batch 1: ONE subject -> touches exactly one bucket
+    upsert_edge_batch(
+        spark, triples_for([(mentions[0], mentions[1])]), aliases, table, 1,
+    )
+    state1, after = snapshot()
+    changed = {
+        b
+        for b in state1["buckets"]
+        if state0["buckets"].get(b) != state1["buckets"][b]
+    }
+    assert len(changed) == 1  # exactly one bucket advanced a version
+    (touched,) = changed
+    untouched_keys = [k for k in before if k[0] != touched]
+    assert untouched_keys  # the subset is strict
+    for key in untouched_keys:
+        assert after[key] == before[key]  # byte-identical, never rewritten
+    # and the merged table is still correct
+    rows = {
+        (r.subj_entity_id, r.obj_entity_id): r.n_evidence
+        for r in read_current_edges(spark, table).collect()
+    }
+    assert rows[(1, 2)] == 2  # the repeated edge accumulated evidence
+    assert len(rows) == 40 and set(rows.values()) == {1, 2}
