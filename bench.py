@@ -185,19 +185,20 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         eager=True
     )
     wp = Q.attn_weights_path()
-    t0 = time.time()
-    n = (
-        extract_turn_results(
-            transcripts, head="bio", planted=False, batch_forward=True,
-            weights_path=wp,
+    for attn_head in ("bio", "mpn", "mhs", "biaffine"):
+        t0 = time.time()
+        n = (
+            extract_turn_results(
+                transcripts, head=attn_head, planted=False,
+                batch_forward=True, weights_path=wp,
+            )
+            .select(F.explode("triples"))
+            .count()
         )
-        .select(F.explode("triples"))
-        .count()
-    )
-    dt = time.time() - t0
-    timings["kg_extract_bio_attn"] = round(dt, 3)
-    extras["turns_per_sec_bio_attn"] = round(n_attn / dt, 1)
-    extras["triples_bio_attn"] = n
+        dt = time.time() - t0
+        timings[f"kg_extract_{attn_head}_attn"] = round(dt, 3)
+        extras[f"turns_per_sec_{attn_head}_attn"] = round(n_attn / dt, 1)
+        extras[f"triples_{attn_head}_attn"] = n
     transcripts.unpersist()
 
     for name in RELATIONAL:

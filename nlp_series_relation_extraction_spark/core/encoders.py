@@ -173,9 +173,14 @@ class HashEncoder:
         return np.tanh(E + np.float32(0.5) * mixed), lens
 
     # --- BIO head ------------------------------------------------------
-    def bio_probs(self, tokens: Sequence[str]) -> np.ndarray:
-        C = self.encode(tokens)
+    def bio_probs_from(self, C: np.ndarray) -> np.ndarray:
+        """BIO probs from a precomputed [L, H] context (the from-context
+        twins let one batched trunk forward feed every head — the
+        reference's model(x)->heads split, model_baseline.py:6-24)."""
         return _sigmoid(np.float32(2.0) * (C @ self.w_bio) + np.float32(self.b_bio))
+
+    def bio_probs(self, tokens: Sequence[str]) -> np.ndarray:
+        return self.bio_probs_from(self.encode(tokens))
 
     def bio_probs_batch(
         self, tokens_batch: list[Sequence[str]]
@@ -187,9 +192,11 @@ class HashEncoder:
         return _sigmoid(np.float32(2.0) * logits + np.float32(self.b_bio)), lens
 
     # --- mpn head -------------------------------------------------------
-    def subject_probs(self, tokens: Sequence[str]) -> np.ndarray:
-        C = self.encode(tokens)
+    def subject_probs_from(self, C: np.ndarray) -> np.ndarray:
         return _sigmoid(np.float32(2.0) * (C @ self.w_sub) + np.float32(self.b_sub))
+
+    def subject_probs(self, tokens: Sequence[str]) -> np.ndarray:
+        return self.subject_probs_from(self.encode(tokens))
 
     def cond_encode(
         self, C: np.ndarray, span: tuple[int, int]
@@ -207,7 +214,11 @@ class HashEncoder:
         self, tokens: Sequence[str], subject_spans: list[tuple[int, int]]
     ) -> np.ndarray:
         """[S, L, R, 2] conditional object pointers, one slab per subject."""
-        C = self.encode(tokens)
+        return self.po_probs_from(self.encode(tokens), subject_spans)
+
+    def po_probs_from(
+        self, C: np.ndarray, subject_spans: list[tuple[int, int]]
+    ) -> np.ndarray:
         L = C.shape[0]
         out = np.empty((len(subject_spans), L, R_NUM, 2), dtype=np.float32)
         for k, span in enumerate(subject_spans):
@@ -217,14 +228,18 @@ class HashEncoder:
         return _sigmoid(out)
 
     # --- mhs / biaffine heads -------------------------------------------
-    def typed_span_probs(
-        self, tokens: Sequence[str]
+    def typed_span_probs_from(
+        self, C: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        C = self.encode(tokens)
         return (
             _sigmoid(np.float32(2.0) * (C @ self.w_start) + np.float32(self.b_typed)),
             _sigmoid(np.float32(2.0) * (C @ self.w_end) + np.float32(self.b_typed)),
         )
+
+    def typed_span_probs(
+        self, tokens: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.typed_span_probs_from(self.encode(tokens))
 
     def head_tail_features(self, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Frozen (f1, f2) head/tail projections [L, 32] — the inner layers
@@ -251,7 +266,14 @@ class HashEncoder:
         the full [L, L, R] cube is O(L^2/E^2) wasted work (L ~ 40-500,
         E ~ a handful). Entries equal the full cube's at those positions:
         the restriction is a row subset of every matmul/elementwise op."""
-        C = self.encode(tokens)[list(positions)]
+        return self.pair_cube_at_from(
+            self.encode(tokens)[list(positions)], biaffine=biaffine
+        )
+
+    def pair_cube_at_from(
+        self, C: np.ndarray, biaffine: bool = False
+    ) -> np.ndarray:
+        """pair_cube_at from an already position-sliced [E, H] context."""
         f1, f2 = self.head_tail_features(C)
         E = f1.shape[0]
         if not biaffine:

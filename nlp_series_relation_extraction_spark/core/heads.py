@@ -164,25 +164,122 @@ def extract_mhs_row(
     return decode_span_sentence(text, spoes, tok_start, tok_end, spans)
 
 
+# Memory bound for the padded batched trunk forward: the dominant tensor
+# under the attention trunk is the per-layer score tensor [B, n_heads, Lm,
+# Lm] — B*Lm^2 "attention cells" times n_heads*4 bytes. 2^23 cells with 4
+# heads is ~134 MB per chunk, independent of the Arrow batch size (4096
+# rows at Lm=512 unchunked would be ~17 GB). The reference hits the same
+# wall and answers with batch sizes 15-25 for the [L,L,55] heads
+# (run_mhs_biaffine.py); here the cube is end-restricted so attention is
+# what needs bounding. Chunks follow the length-sorted row order
+# (sortWithinPartitions in operators/extract.py), so dynamic padding
+# within a chunk stays dense.
+ATTN_CELL_BUDGET = 1 << 23
+
+
+def _encode_rows_chunked(
+    encoder, toks_list: list[list[str]], cell_budget: int | None = None
+) -> list[np.ndarray]:
+    """One padded batched trunk forward per memory-bounded chunk; returns
+    the valid [L_i, H] context slice per row. Valid positions equal the
+    per-row forward (exactly for HashEncoder; to f32 rounding for
+    AttnEncoder — pinned in tests). The budget is read at CALL time so
+    tests can shrink it to force chunk boundaries."""
+    if cell_budget is None:
+        cell_budget = ATTN_CELL_BUDGET
+    out: list[np.ndarray | None] = [None] * len(toks_list)
+    i, n = 0, len(toks_list)
+    while i < n:
+        j = i + 1
+        mx = max(len(toks_list[i]), 1)
+        while j < n:
+            m2 = max(mx, len(toks_list[j]))
+            if (j - i + 1) * m2 * m2 > cell_budget:
+                break
+            mx = m2
+            j += 1
+        C, lens = encoder.encode_batch(toks_list[i:j])
+        for k in range(i, j):
+            out[k] = C[k - i, : lens[k - i]].copy()
+        i = j
+    return out  # type: ignore[return-value]
+
+
+def extract_rows_batch(
+    head: str,
+    texts: list[str],
+    seed: int = 42,
+    max_len: int = DEFAULT_MAX_LEN,
+    weights_path: str | None = None,
+) -> list[dict[str, Any]]:
+    """Batched extraction for ANY head: ONE padded trunk forward per
+    memory-bounded chunk (the reference's collate+batched-forward shape,
+    dataset_baseline.py:180-184) feeds the per-row head projections and
+    threshold decode via the from-context twins. This is how the span
+    heads (mpn/mhs/biaffine — the reference's best, model_mhs_biaffine.py:
+    94-143) run under a realistic-cost encoder: trunk cost is batched,
+    the [.,.,R] scoring stays end-restricted per row. Used by BOTH the
+    Spark UDF and the pytest oracle."""
+    encoder = get_hash_encoder(seed, weights_path)
+    normed = [normalize_text(t) for t in texts]
+    if head == "bio":
+        toks_offs = [tokenize_for_bio(t) for t in normed]
+        toks = [_truncate(t, max_len) for t, _ in toks_offs]
+        ctxs = _encode_rows_chunked(encoder, toks)
+        out = []
+        for i, text in enumerate(normed):
+            L = len(toks[i])
+            probs = encoder.bio_probs_from(ctxs[i])
+            out.append(decode_bio_sentence(text, probs, toks_offs[i][1][:L]))
+        return out
+    framed = [tokenize_framed(t) for t in normed]
+    toks = [_truncate(t, max_len) for t, _, _ in framed]
+    ctxs = _encode_rows_chunked(encoder, toks)
+    out = []
+    for i, text in enumerate(normed):
+        Ci = ctxs[i]
+        L = Ci.shape[0]
+        tok_start, tok_end = framed[i][1], framed[i][2]
+        if head == "mpn":
+            sub_probs = encoder.subject_probs_from(Ci)
+            subjects = decode_subject_spans(sub_probs, L)
+            po = (
+                encoder.po_probs_from(Ci, subjects)
+                if subjects
+                else np.zeros((0, L, 1, 2), dtype=np.float32)
+            )
+            spoes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+            for k, s in enumerate(subjects):
+                spoes.setdefault(s, []).extend(decode_po_for_subject(po[k], L))
+            out.append(
+                decode_span_sentence(text, spoes, tok_start, tok_end, subjects)
+            )
+        elif head in ("mhs", "biaffine"):
+            start, end = encoder.typed_span_probs_from(Ci)
+            spans, end_list, _ = decode_typed_spans(start, end, n_tokens=L)
+            ends = sorted(set(end_list))
+            sub = encoder.pair_cube_at_from(
+                Ci[list(ends)], biaffine=(head == "biaffine")
+            )
+            spoes2 = decode_pair_cube(sub, end_list, spans, is_subcube=True)
+            out.append(
+                decode_span_sentence(text, spoes2, tok_start, tok_end, spans)
+            )
+        else:
+            raise ValueError(f"unknown head: {head!r}")
+    return out
+
+
 def extract_bio_rows_batch(
     texts: list[str],
     seed: int = 42,
     max_len: int = DEFAULT_MAX_LEN,
     weights_path: str | None = None,
 ) -> list[dict[str, Any]]:
-    """Batched hash-mode BIO extraction: one padded encoder forward for the
-    whole Arrow batch (the reference's collate+batched-forward shape), then
-    per-row threshold decode. Valid-position probs equal the per-row path;
-    used by BOTH the Spark UDF and the pytest oracle."""
-    normed = [normalize_text(t) for t in texts]
-    toks_offs = [tokenize_for_bio(t) for t in normed]
-    toks = [_truncate(t, max_len) for t, _ in toks_offs]
-    probs, lens = get_hash_encoder(seed, weights_path).bio_probs_batch(toks)
-    out = []
-    for i, text in enumerate(normed):
-        offsets = toks_offs[i][1][: lens[i]]
-        out.append(decode_bio_sentence(text, probs[i, : lens[i]], offsets))
-    return out
+    """Batched hash-mode BIO extraction (see extract_rows_batch)."""
+    return extract_rows_batch(
+        "bio", texts, seed=seed, max_len=max_len, weights_path=weights_path
+    )
 
 
 def extract_row(

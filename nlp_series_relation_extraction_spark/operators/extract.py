@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..core.heads import DEFAULT_MAX_LEN, extract_bio_rows_batch, extract_row
+from ..core.heads import DEFAULT_MAX_LEN, extract_row, extract_rows_batch
 
 # array<struct> of SPO dicts + entity mentions, one row per turn
 TURN_RESULT_SCHEMA = (
@@ -66,14 +66,15 @@ def _make_udf(head: str, planted: bool, seed: int, max_len: int, batch_forward: 
                 "triples": [],
             }
             golds = pdf["gold_json"] if planted else None
-            # extract_bio_rows_batch (one padded forward per Arrow batch) is
-            # the integration shape for a real batched model; with the tiny
-            # hash encoder the per-token Python work dominates and the
-            # per-row path measured equal-or-better with far less variance,
-            # so it stays the default. Flip here when plugging a real model.
-            if head == "bio" and not planted and batch_forward:
-                results = extract_bio_rows_batch(
-                    pdf["text"].tolist(), seed=seed, max_len=max_len,
+            # extract_rows_batch (one padded, memory-bounded trunk forward
+            # per chunk) is the integration shape for a real batched model
+            # — all four heads; with the tiny hash encoder the per-token
+            # Python work dominates and the per-row path measured
+            # equal-or-better with far less variance, so it stays the
+            # default. Flip here when plugging a real model.
+            if not planted and batch_forward:
+                results = extract_rows_batch(
+                    head, pdf["text"].tolist(), seed=seed, max_len=max_len,
                     weights_path=weights_path,
                 )
             else:

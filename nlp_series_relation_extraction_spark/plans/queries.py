@@ -137,36 +137,46 @@ def attn_weights_path(seed: int = 42) -> str:
     return path
 
 
-def q_kg_extract_bio_attn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BIO extraction under the REAL multi-layer attention encoder
-    (rows-only: the forward is not SQL-expressible). Exercises the whole
+def _kg_extract_attn(head: str):
+    """Extraction under the REAL multi-layer attention encoder (rows-only:
+    the forward is not SQL-expressible) for ANY head. Exercises the whole
     realistic-compute integration: npz weight shipping, per-executor lazy
     singleton (core/heads.py get_hash_encoder), batch_forward=True padded
-    batched forward with length bucketing, threshold decode. Distributed
-    == per-row-local parity is pytest-pinned (tests/test_attention.py)."""
-    from ..evaluation.metrics import with_object_json
-    from ..operators.extract import TRIPLE_COLUMNS, extract_turn_results
+    batched forward with length bucketing and memory-bounded chunking
+    (core/heads.py ATTN_CELL_BUDGET — the [L,L,R]-class memory risk the
+    reference answers with batch sizes 15-25, run_mhs_biaffine.py).
+    Distributed == per-row-local parity is pytest-pinned for all four
+    heads (tests/test_attention.py)."""
 
-    n = _kg_turns(spark, sf_dir)
-    transcripts = synth_transcripts(spark, n, seed=42)
-    turns = extract_turn_results(
-        transcripts,
-        head="bio",
-        planted=False,
-        batch_forward=True,
-        weights_path=attn_weights_path(),
-    )
-    trip = turns.select(
-        "conv_id", "turn_idx", F.explode("triples").alias("spo")
-    ).select(*TRIPLE_COLUMNS[:2], "spo.*")
-    return with_object_json(trip).select(
-        "conv_id",
-        "turn_idx",
-        "predicate",
-        "subject",
-        "subject_type",
-        F.col("object_json"),
-    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..evaluation.metrics import with_object_json
+        from ..operators.extract import TRIPLE_COLUMNS, extract_turn_results
+
+        n = _kg_turns(spark, sf_dir)
+        transcripts = synth_transcripts(spark, n, seed=42)
+        turns = extract_turn_results(
+            transcripts,
+            head=head,
+            planted=False,
+            batch_forward=True,
+            weights_path=attn_weights_path(),
+        )
+        trip = turns.select(
+            "conv_id", "turn_idx", F.explode("triples").alias("spo")
+        ).select(*TRIPLE_COLUMNS[:2], "spo.*")
+        return with_object_json(trip).select(
+            "conv_id",
+            "turn_idx",
+            "predicate",
+            "subject",
+            "subject_type",
+            F.col("object_json"),
+        )
+
+    return q
+
+
+q_kg_extract_bio_attn = _kg_extract_attn("bio")
 
 
 def _kg_extract(head: str):
@@ -2669,6 +2679,10 @@ def queries() -> dict:
     for head in ("bio", "mpn", "mhs", "biaffine"):
         q[f"kg_extract_{head}"] = _kg_extract(head)
     q["kg_extract_bio_attn"] = q_kg_extract_bio_attn
+    # span heads under the attention trunk (round-4 ask #3): mhs carries
+    # the selection-cube memory risk, biaffine the reference's best head
+    q["kg_extract_mhs_attn"] = _kg_extract_attn("mhs")
+    q["kg_extract_biaffine_attn"] = _kg_extract_attn("biaffine")
     # The grading driver's CORRECTNESS artifact records the FIRST ~50
     # entries only, while the registry is larger — so attestation rotates:
     # queries whose oracle/rows check has never appeared in a driver
@@ -2728,6 +2742,9 @@ _ATTEST_FIRST = [
     "semantic_dedup",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    # round-5 additions
+    "kg_extract_mhs_attn",
+    "kg_extract_biaffine_attn",
 ]
 
 

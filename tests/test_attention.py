@@ -73,10 +73,13 @@ def test_calibrated_fire_rate_is_realistic():
     assert 0.0005 < rate < 0.05
 
 
-def test_distributed_extraction_equals_per_row_local(spark, tmp_path):
-    """The ask's pin: kg-extraction through Spark (Arrow batches, padded
-    batch_forward, length bucketing, npz shipping, executor singletons)
-    yields EXACTLY the per-row local forward's triples."""
+@pytest.mark.parametrize("head", ["bio", "mpn", "mhs", "biaffine"])
+def test_distributed_extraction_equals_per_row_local(spark, tmp_path, head):
+    """The ask's pin, for ALL FOUR heads (round-4 ask #3 extended the
+    batched trunk forward past BIO to the span heads): kg-extraction
+    through Spark (Arrow batches, padded+chunked batch_forward, length
+    bucketing, npz shipping, executor singletons) yields EXACTLY the
+    per-row local forward's triples."""
     from nlp_series_relation_extraction_spark.core.heads import extract_row
     from nlp_series_relation_extraction_spark.operators.extract import (
         extract_turn_results,
@@ -91,7 +94,7 @@ def test_distributed_extraction_equals_per_row_local(spark, tmp_path):
     n = 120
     turns = extract_turn_results(
         synth_transcripts(spark, n, seed=42),
-        head="bio",
+        head=head,
         planted=False,
         batch_forward=True,
         weights_path=p,
@@ -110,7 +113,7 @@ def test_distributed_extraction_equals_per_row_local(spark, tmp_path):
     want = {}
     n_triples = 0
     for _, row in synth_pandas(n, seed=42).iterrows():
-        res = extract_row("bio", row.text, seed=42, weights_path=p)
+        res = extract_row(head, row.text, seed=42, weights_path=p)
         want[(row.conv_id, row.turn_idx)] = sorted(
             (
                 s["predicate"],
@@ -124,15 +127,20 @@ def test_distributed_extraction_equals_per_row_local(spark, tmp_path):
     assert n_triples > 0  # the forward actually fires
 
 
-def test_driver_query_smoke(spark):
-    """kg_extract_bio_attn runs end-to-end at sf0.001 with rows >= 0 and a
-    stable schema; the weights artifact is created on demand."""
+@pytest.mark.parametrize(
+    "name",
+    ["kg_extract_bio_attn", "kg_extract_mhs_attn", "kg_extract_biaffine_attn"],
+)
+def test_driver_query_smoke(spark, name):
+    """The attention-trunk extraction queries run end-to-end at sf0.001
+    with rows > 0 and a stable schema; the weights artifact is created on
+    demand."""
     from nlp_series_relation_extraction_spark.plans.queries import (
         attn_weights_path,
         queries,
     )
 
-    df = queries()["kg_extract_bio_attn"](spark, "/root/testdata/sf0.001")
+    df = queries()[name](spark, "/root/testdata/sf0.001")
     rows = df.collect()
     assert df.columns == [
         "conv_id", "turn_idx", "predicate", "subject", "subject_type",
@@ -140,3 +148,37 @@ def test_driver_query_smoke(spark):
     ]
     assert len(rows) > 0
     assert os.path.exists(attn_weights_path())
+
+
+@pytest.mark.parametrize("head", ["mpn", "mhs", "biaffine"])
+def test_chunked_batch_forward_is_chunk_boundary_invariant(head, tmp_path):
+    """The memory-bounded chunking of the batched trunk forward
+    (core/heads.py ATTN_CELL_BUDGET) must not change results: a budget so
+    small every row is its own chunk decodes identically to one big
+    chunk, and both equal the per-row path — under BOTH trunks (the
+    attention trunk is where padding masks could leak across rows)."""
+    from nlp_series_relation_extraction_spark.core import heads as H
+    from nlp_series_relation_extraction_spark.core.heads import (
+        extract_row,
+        extract_rows_batch,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        synth_pandas,
+    )
+
+    p = str(tmp_path / "attn.npz")
+    save_encoder(AttnEncoder(seed=42), p)
+    texts = synth_pandas(40, seed=11).text.tolist()
+    for wp in (None, p):
+        big = extract_rows_batch(head, texts, seed=42, weights_path=wp)
+        old = H.ATTN_CELL_BUDGET
+        try:
+            H.ATTN_CELL_BUDGET = 1  # degenerate: one row per chunk
+            tiny = extract_rows_batch(head, texts, seed=42, weights_path=wp)
+        finally:
+            H.ATTN_CELL_BUDGET = old
+        assert big == tiny
+        perrow = [
+            extract_row(head, t, seed=42, weights_path=wp) for t in texts
+        ]
+        assert big == perrow
