@@ -91,6 +91,11 @@ def encode_audio_wav(
         for i in range(0, len(mono), spb):
             block, idx = ima_adpcm_encode_block(mono[i : i + spb], index=idx)
             blocks.append(block)
+        # pad the final short block to nBlockAlign: strict decoders iterate
+        # by block_align and check chunk-size divisibility; the fact chunk
+        # already trims the zero-nibble tail samples on decode
+        if blocks and len(blocks[-1]) < block_align:
+            blocks[-1] += b"\x00" * (block_align - len(blocks[-1]))
         data = b"".join(blocks)
         fmt = struct.pack(
             "<HHIIHHHH", 0x11, 1, sample_rate,

@@ -678,19 +678,15 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    train = (
-        embeddings.where(F.col(id_col) < n_train)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .collect()
-    )
-    V = np.asarray([r.v for r in train], dtype=np.float64)
-    if len(V) == 0:
-        raise ValueError("semantic_dedup: no training vectors")
+    V = _collect_train(embeddings, id_col, vec_col, n_train, "semantic_dedup")
     n_clusters = min(n_clusters, len(V))
     C = _kmeans_fit(V, n_clusters)
 
-    qv = quantized(embeddings, id_col, vec_col)
+    from .partitioning import ensure_parallelism
+
+    qv = ensure_parallelism(  # single-split guard, cf. ivf_topk/pq_topk
+        quantized(embeddings, id_col, vec_col)
+    )
 
     def assign(batches):
         for pdf in batches:

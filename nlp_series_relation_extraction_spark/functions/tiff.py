@@ -342,7 +342,18 @@ def encode_image_tiff(
 
         strips = [zlib.compress(s, 6) for s in strips]
     elif comp_id == 32773:
-        strips = [_packbits_encode(s) for s in strips]
+        # TIFF 6.0 §9: each ROW is compressed independently even when a
+        # strip holds several rows — packets must not span row boundaries
+        # (strict row-at-a-time readers rely on it; our own decoder is
+        # byte-stream tolerant either way). Encode per row, concatenate.
+        row_bytes = w * 3
+        strips = [
+            b"".join(
+                _packbits_encode(s[r : r + row_bytes])
+                for r in range(0, len(s), row_bytes)
+            )
+            for s in strips
+        ]
     # header(8) + IFD: count(2) + n tags * 12 + next(4), then bits array,
     # then strip offset/count arrays (if > 1 strip), then pixel strips
     n_tags = 10 + (1 if predictor == 2 else 0)

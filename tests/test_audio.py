@@ -272,3 +272,37 @@ def test_g711_mislabeled_bits_raise():
     wav[34:36] = _struct.pack("<H", 16)
     with pytest.raises(ValueError, match="G.711"):
         decode_audio_wav(bytes(wav))
+
+
+def test_ima_data_chunk_is_block_aligned():
+    """ADVICE fix: the IMA writer pads the final short block to
+    nBlockAlign, so the data chunk size divides evenly (strict decoders
+    iterate by block and validate divisibility); the fact chunk still
+    trims decode to the true sample count."""
+    import struct
+
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        decode_audio_wav,
+        encode_audio_wav,
+    )
+
+    n = 700  # 505 samples/block -> second block is short pre-padding
+    t = np.arange(n, dtype=np.float64)
+    x = (0.4 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.float32)
+    wav = encode_audio_wav(x[:, None], 8000, codec="ima")
+    # walk chunks: find fmt block_align and data size
+    pos, block_align, data_len = 12, None, None
+    while pos + 8 <= len(wav):
+        tag = wav[pos : pos + 4]
+        ln = int.from_bytes(wav[pos + 4 : pos + 8], "little")
+        if tag == b"fmt ":
+            block_align = struct.unpack("<H", wav[pos + 20 : pos + 22])[0]
+        if tag == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)
+    assert block_align == 256 and data_len is not None
+    assert data_len % block_align == 0  # padded final block
+    dec, rate = decode_audio_wav(wav)
+    assert rate == 8000 and dec.shape[0] == n  # fact chunk trims the pad

@@ -252,3 +252,59 @@ def test_decoded_array_is_fresh_and_writable():
         assert out.flags.writeable
         assert out.base is None
         out[0, 0, 0] = 1  # in-place math must not raise
+
+
+def test_packbits_packets_never_span_row_boundaries():
+    """TIFF 6.0 §9: with RowsPerStrip > 1 each row is compressed
+    independently — a strict row-at-a-time reader must be able to decode
+    exactly row_bytes and land on a packet boundary. A solid-color image
+    (maximal runs) would tempt a whole-strip encoder to emit one run
+    packet spanning all rows."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions.tiff import (
+        decode_image_tiff,
+        encode_image_tiff,
+    )
+
+    a = np.full((8, 9, 3), 200, dtype=np.uint8)  # uniform: worst case
+    a[3, 4] = (1, 2, 3)
+    b = encode_image_tiff(a, rows_per_strip=4, compression="packbits")
+    assert (decode_image_tiff(b) == a).all()
+
+    # strict per-row walk over each strip's packet stream
+    import struct
+
+    e = "<"
+    # locate strip offsets/counts from the IFD (tags 273/279)
+    n_tags = struct.unpack_from(e + "H", b, 8)[0]
+    tags = {}
+    for i in range(n_tags):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, 10 + i * 12)
+        val = struct.unpack_from(e + "I", b, 10 + i * 12 + 8)[0]
+        tags[tag] = (typ, cnt, val)
+    _, n_strips, so = tags[273]
+    _, _, sc = tags[279]
+    offs = [struct.unpack_from(e + "I", b, so + 4 * k)[0] for k in range(n_strips)]
+    cnts = [struct.unpack_from(e + "I", b, sc + 4 * k)[0] for k in range(n_strips)]
+    row_bytes = 9 * 3
+    # replaying the packet stream row by row, every row's decode must end
+    # exactly on a packet boundary (no packet crosses a row)
+    for off, cnt in zip(offs, cnts):
+        strip = b[off : off + cnt]
+        pos = 0
+        while pos < len(strip):
+            row_left = row_bytes
+            while row_left > 0:
+                ctrl = strip[pos]
+                if ctrl < 128:
+                    take = ctrl + 1
+                    pos += 1 + take
+                elif ctrl > 128:
+                    take = 257 - ctrl
+                    pos += 2
+                else:
+                    pos += 1
+                    continue
+                assert take <= row_left, "packet spans a row boundary"
+                row_left -= take
