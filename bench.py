@@ -106,6 +106,36 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+# Min-of-3 warm timings (round-4 VERDICT "what's wrong" #3): single-shot
+# numbers on this box vary up to 1.5x on small queries, masking real
+# regressions. Queries whose FIRST run is under this bound are re-run and
+# the minimum reported (the project's stated practice for scaling runs);
+# expensive entries stay single-shot so the suite's wall time stays
+# bounded — their duration already dominates their own variance.
+_MIN_OF_N = 3
+_REPEAT_BOUND_SEC = 4.0
+
+
+def _timed_min(
+    fn, repeats: int = _MIN_OF_N, first_dt: float | None = None
+) -> float:
+    """min-of-N wall time of fn(); re-runs only while the first run is
+    under _REPEAT_BOUND_SEC. ``first_dt`` lets a caller count an
+    already-timed execution as run #1."""
+    best = first_dt
+    start = 0 if first_dt is None else 1
+    if first_dt is not None and first_dt >= _REPEAT_BOUND_SEC:
+        return first_dt
+    for i in range(start, repeats):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+        if i == 0 and dt >= _REPEAT_BOUND_SEC:
+            break
+    return best
+
+
 def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -124,9 +154,10 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         transcripts = synth_transcripts(spark, n_turns, seed=42).localCheckpoint(
             eager=True
         )
+        ex = extract_triples(transcripts, head=head, planted=False)
         t0 = time.time()
-        n = extract_triples(transcripts, head=head, planted=False).count()
-        dt = time.time() - t0
+        n = ex.count()
+        dt = _timed_min(ex.count, first_dt=time.time() - t0)
         timings[f"kg_extract_{head}"] = round(dt, 3)
         extras[f"turns_per_sec_{head}"] = round(n_turns / dt, 1)
         extras[f"triples_{head}"] = n
@@ -186,25 +217,60 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     wp = Q.attn_weights_path()
     for attn_head in ("bio", "mpn", "mhs", "biaffine"):
-        t0 = time.time()
-        n = (
+        ex = (
             extract_turn_results(
                 transcripts, head=attn_head, planted=False,
                 batch_forward=True, weights_path=wp,
             )
             .select(F.explode("triples"))
-            .count()
         )
-        dt = time.time() - t0
+        t0 = time.time()
+        n = ex.count()
+        dt = _timed_min(ex.count, first_dt=time.time() - t0)
         timings[f"kg_extract_{attn_head}_attn"] = round(dt, 3)
         extras[f"turns_per_sec_{attn_head}_attn"] = round(n_attn / dt, 1)
         extras[f"triples_{attn_head}_attn"] = n
     transcripts.unpersist()
 
+    # realistic-vocab tokenizer cost (round-5 ask #4): the driver-default
+    # wordpiece artifact (~1k corpus merges padded to 24.6k pieces,
+    # max-piece-length-windowed longest match) vs the old 32-merge one on
+    # identical planted extraction — the ratio must stay ~1 (cost is
+    # probe-bounded, not vocab-size-bounded).
+    n_v = BENCH_TURNS["mpn"]
+    transcripts = synth_transcripts(spark, n_v, seed=42).localCheckpoint(
+        eager=True
+    )
+    vocab_default = Q.default_wordpiece_vocab(spark)
+    vocab_32 = Q.default_wordpiece_vocab(
+        spark, n_merges=32, sample_turns=2048, target_pieces=0
+    )
+    for label, voc in (("vocab_default", vocab_default), ("vocab32", vocab_32)):
+        ex = extract_triples(transcripts, head="mpn", planted=True, vocab=voc)
+        t0 = time.time()
+        ex.count()
+        dt = _timed_min(ex.count, first_dt=time.time() - t0)
+        timings[f"kg_extract_mpn_{label}"] = round(dt, 3)
+        extras[f"turns_per_sec_mpn_{label}"] = round(n_v / dt, 1)
+    extras["vocab_default_pieces"] = len(vocab_default)
+    extras["vocab_default_vs_32_ratio"] = round(
+        extras["turns_per_sec_mpn_vocab32"]
+        / extras["turns_per_sec_mpn_vocab_default"],
+        2,
+    )
+    transcripts.unpersist()
+
     for name in RELATIONAL:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        first = time.time() - t0
+        timings[name] = round(
+            _timed_min(
+                lambda name=name: qs[name](spark, sf_dir).collect(),
+                first_dt=first,
+            ),
+            3,
+        )
 
     # 10x scale rehearsals for the relational heavies (round-4 ask #4):
     # linking and near-dup cluster canonicalization at 10x the documents,

@@ -130,17 +130,54 @@ MAX_WORDPIECE_CHARS = 4
 # UDFs re-activate it inside each worker process from their closure
 # (operators/extract.py), so driver-side module state never needs to
 # propagate implicitly.
-_ACTIVE_WORDPIECE_VOCAB: frozenset[str] | None = None
+_ACTIVE_WORDPIECE_VOCAB: "WordpieceVocab | None" = None
+
+
+class WordpieceVocab:
+    """A piece set plus its max-piece-length window bounds.
+
+    Greedy longest-match is O(unit_len * max_piece_len) hash probes per
+    unit and INDEPENDENT of vocabulary size — BERT's own
+    WordpieceTokenizer bounds the candidate window the same way
+    (max_input_chars_per_word + vocab dict). Without the window a 30k-
+    entry vocab pays len(unit)^2 probes on long units for matches that
+    cannot exist; with it, cost is fixed by the longest piece actually in
+    the vocab (realistic vocabs: <= ~20 chars)."""
+
+    __slots__ = ("pieces", "max_first", "max_cont")
+
+    def __init__(self, pieces):
+        self.pieces = frozenset(pieces)
+        self.max_first = max(
+            (len(p) for p in self.pieces if not p.startswith("##")), default=0
+        )
+        self.max_cont = max(
+            (len(p) - 2 for p in self.pieces if p.startswith("##")), default=0
+        )
+
+    def __contains__(self, piece: str) -> bool:
+        return piece in self.pieces
+
+    def __len__(self) -> int:
+        return len(self.pieces)
+
+    def __iter__(self):
+        return iter(self.pieces)
 
 
 def set_wordpiece_vocab(pieces) -> None:
     """Activate (or with None, deactivate) a trained sub-word vocabulary
     for tokenize_unit in THIS process."""
     global _ACTIVE_WORDPIECE_VOCAB
-    _ACTIVE_WORDPIECE_VOCAB = frozenset(pieces) if pieces is not None else None
+    if pieces is None:
+        _ACTIVE_WORDPIECE_VOCAB = None
+    elif isinstance(pieces, WordpieceVocab):
+        _ACTIVE_WORDPIECE_VOCAB = pieces
+    else:
+        _ACTIVE_WORDPIECE_VOCAB = WordpieceVocab(pieces)
 
 
-def get_wordpiece_vocab() -> frozenset[str] | None:
+def get_wordpiece_vocab() -> "WordpieceVocab | None":
     return _ACTIVE_WORDPIECE_VOCAB
 
 
@@ -191,10 +228,17 @@ def tokenize_unit(unit: str, vocab: frozenset[str] | None = None) -> list[str]:
     if vocab is None:
         vocab = _ACTIVE_WORDPIECE_VOCAB
     if vocab is not None:
+        if not isinstance(vocab, WordpieceVocab):
+            vocab = WordpieceVocab(vocab)  # ad-hoc sets in tests/callers
         pieces: list[str] = []
         start = 0
         while start < len(low):
-            end = len(low)
+            # window capped at the longest piece that exists in the vocab
+            # (first-piece vs ##-continuation tracked separately): probes
+            # per position are bounded by the vocab's own piece lengths,
+            # never by unit length — BERT's candidate-length cap.
+            width = vocab.max_first if start == 0 else vocab.max_cont
+            end = min(len(low), start + width)
             cur = None
             while end > start:
                 sub = low[start:end]
