@@ -3,10 +3,11 @@
     transcripts -> extract (per head) -> mentions -> linking ->
     canonical entities -> canonical triples -> graph (nodes/edges) -> eval
 
-Every stage materializes to a table under ``workdir`` and is skipped on
-re-run when its success marker exists — the Iceberg-snapshot-style
-idempotent-resume contract from the north rule, implemented over parquet
-(the same layer works over an Iceberg catalog by swapping the writer).
+Every stage materializes to a versioned table under ``workdir`` and is
+skipped on re-run when its manifest names a committed version built
+under the same parameters — the Iceberg-snapshot-style idempotent-resume
+contract from the north rule, implemented over parquet (the same layer
+works over an Iceberg catalog by swapping the writer).
 A ``metrics`` table records per-stage row counts, wall seconds and
 partition counts; ``lineage`` records input->output edges with parameters,
 so any stage's provenance is queryable.
@@ -16,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -27,7 +29,24 @@ from ..evaluation.metrics import triple_prf
 
 
 class StageStore:
-    """Parquet-backed stage checkpoint store with success markers."""
+    """Parquet-backed stage checkpoint store with versioned-manifest
+    commits (the same snapshot contract as streaming/kg_sink.py).
+
+    Each stage lives under ``workdir/<name>/`` as immutable version
+    directories ``v000001/, v000002/, ...``; one JSON manifest
+    (``_CURRENT``, flipped with an atomic os.replace) names the committed
+    version AND the parameters it was built under. A new materialization
+    writes a FRESH version directory and flips the manifest only after
+    the parquet job fully succeeds, so a driver killed mid-write can
+    never make a half-materialized stage readable — crucially, a rerun
+    under CHANGED parameters that dies mid-write leaves the previous
+    committed version intact and readable (the old mode("overwrite")
+    layout destroyed it before the new write was durable). After a
+    commit, versions older than the immediately-previous one are expired
+    (the previous stays for in-flight readers — Iceberg snapshot expiry
+    over plain parquet), bounding disk at ~2x stage size."""
+
+    _MANIFEST = "_CURRENT"
 
     def __init__(self, spark: SparkSession, workdir: str):
         self.spark = spark
@@ -36,32 +55,59 @@ class StageStore:
         self._metrics: list[dict] = []
         self._lineage: list[dict] = []
 
-    def path(self, name: str) -> str:
+    def _stage_dir(self, name: str) -> str:
         return os.path.join(self.workdir, name)
 
-    def _params_path(self, name: str) -> str:
-        return os.path.join(self.workdir, f"{name}._params.json")
+    def _manifest(self, name: str) -> dict | None:
+        p = os.path.join(self._stage_dir(name), self._MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+
+    def path(self, name: str) -> str:
+        """The committed version directory (read path) of a stage; for a
+        never-committed stage, the stage directory itself."""
+        st = self._manifest(name)
+        if st is None:
+            return self._stage_dir(name)
+        return os.path.join(self._stage_dir(name), st["version"])
 
     def done(self, name: str, params: dict | None = None) -> bool:
-        """Complete = success marker present AND recorded params match.
+        """Complete = manifest names a fully-written version AND the
+        manifest-recorded params match.
 
         Resuming a checkpoint produced under different parameters (another
         head, threshold, ...) would silently return stale results labeled
         with the new parameters — a param mismatch forces recompute instead.
+        Params live IN the manifest, so commit (data + params) is one
+        atomic flip — there is no window where a success marker exists
+        with missing or stale params.
         """
-        if not os.path.exists(os.path.join(self.path(name), "_SUCCESS")):
+        st = self._manifest(name)
+        if st is None:
             return False
-        if params is None:
-            return True
-        try:
-            with open(self._params_path(name)) as f:
-                recorded = json.load(f)
-        except FileNotFoundError:
-            recorded = {}
-        return recorded == params
+        vdir = os.path.join(self._stage_dir(name), st["version"])
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            return False
+        return params is None or st.get("params", {}) == params
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
+
+    def _commit(self, name: str, version: str, n: int, params: dict) -> None:
+        stage = self._stage_dir(name)
+        tmp = os.path.join(stage, self._MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version, "n": n, "params": params}, f)
+        os.replace(tmp, os.path.join(stage, self._MANIFEST))  # atomic flip
+
+    def _expire(self, name: str, keep: set[str]) -> None:
+        stage = self._stage_dir(name)
+        for d in os.listdir(stage):
+            full = os.path.join(stage, d)
+            if d.startswith("v") and os.path.isdir(full) and d not in keep:
+                shutil.rmtree(full, ignore_errors=True)
 
     def run_stage(
         self,
@@ -74,13 +120,24 @@ class StageStore:
         """Build + materialize a stage unless already complete (resume)."""
         t0 = time.time()
         if not self.done(name, params or {}):
+            st = self._manifest(name)
+            n = (st["n"] + 1) if st is not None else 1
+            version = f"v{n:06d}"
+            stage = self._stage_dir(name)
+            os.makedirs(stage, exist_ok=True)
+            vdir = os.path.join(stage, version)
+            if os.path.exists(vdir):  # orphan of a crashed prior write
+                shutil.rmtree(vdir)
             df = builder()
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            writer.parquet(self.path(name))
-            with open(self._params_path(name), "w") as f:
-                json.dump(params or {}, f)
+            writer.parquet(vdir)
+            self._commit(name, version, n, params or {})
+            keep = {version}
+            if st is not None:
+                keep.add(st["version"])  # previous stays for readers
+            self._expire(name, keep)
             status = "computed"
         else:
             status = "resumed"

@@ -478,6 +478,84 @@ def test_param_change_invalidates_downstream_stages(spark, tmp_path):
         assert got == want, f"stage {stage} resumed stale-threshold data"
 
 
+def test_stage_kill_at_manifest_flip_boundary(spark, tmp_path):
+    """A driver killed mid-write can never make a half-materialized stage
+    readable: StageStore commits are versioned directories flipped live by
+    one atomic manifest write. Simulates the crash window — a new version
+    directory partially written, manifest not yet flipped — and asserts
+    the previous committed version stays the read path, a resume cleans
+    the orphan and recomputes, and snapshot expiry keeps exactly
+    {current, previous}."""
+    from nlp_series_relation_extraction_spark.plans.pipeline import StageStore
+
+    wd = str(tmp_path / "stages")
+    store = StageStore(spark, wd)
+    df_a = spark.range(10).withColumnRenamed("id", "x")
+    store.run_stage("s", lambda: df_a, inputs=[], params={"p": "a"})
+    assert store.done("s", {"p": "a"})
+    assert sorted(r.x for r in store.read("s").collect()) == list(range(10))
+    v1 = os.path.basename(store.path("s"))
+    assert v1 == "v000001"
+
+    # crash window: rerun under params b died after writing SOME parquet
+    # into the next version dir but BEFORE the manifest flip
+    orphan = os.path.join(wd, "s", "v000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn")  # no _SUCCESS, not even valid parquet
+    # old version remains committed + readable; new params not done
+    assert store.done("s", {"p": "a"})
+    assert not store.done("s", {"p": "b"})
+    assert os.path.basename(store.path("s")) == "v000001"
+    assert sorted(r.x for r in store.read("s").collect()) == list(range(10))
+
+    # resume under params b: orphan replaced, clean recompute, atomic flip
+    df_b = spark.range(5).withColumnRenamed("id", "x")
+    store.run_stage("s", lambda: df_b, inputs=[], params={"p": "b"})
+    assert store.done("s", {"p": "b"}) and not store.done("s", {"p": "a"})
+    assert os.path.basename(store.path("s")) == "v000002"
+    assert sorted(r.x for r in store.read("s").collect()) == list(range(5))
+    assert not os.path.exists(os.path.join(orphan, "part-00000.parquet"))
+    # previous version is retained for in-flight readers...
+    assert os.path.exists(os.path.join(wd, "s", "v000001", "_SUCCESS"))
+
+    # ...and a third commit expires it: exactly {previous, current} remain
+    df_c = spark.range(3).withColumnRenamed("id", "x")
+    store.run_stage("s", lambda: df_c, inputs=[], params={"p": "c"})
+    versions = sorted(
+        d for d in os.listdir(os.path.join(wd, "s")) if d.startswith("v")
+    )
+    assert versions == ["v000002", "v000003"]
+    assert sorted(r.x for r in store.read("s").collect()) == list(range(3))
+
+
+def test_stage_manifest_commit_is_params_atomic(spark, tmp_path):
+    """Params live IN the manifest: there is no state where a success
+    marker exists but params are missing/stale (the old layout wrote
+    <name>._params.json AFTER the parquet _SUCCESS). A version dir with
+    _SUCCESS but no manifest is NOT done — the commit point is the flip."""
+    from nlp_series_relation_extraction_spark.plans.pipeline import StageStore
+
+    wd = str(tmp_path / "stages2")
+    store = StageStore(spark, wd)
+    # crash AFTER the parquet job fully succeeded (with _SUCCESS) but
+    # BEFORE the manifest flip: stage must read as not-done
+    vdir = os.path.join(wd, "t", "v000001")
+    spark.range(4).write.parquet(vdir)
+    assert os.path.exists(os.path.join(vdir, "_SUCCESS"))
+    assert not store.done("t")
+    assert not store.done("t", {"p": 1})
+    # resume recomputes into v000001 (replacing the uncommitted orphan)
+    store.run_stage(
+        "t",
+        lambda: spark.range(7).withColumnRenamed("id", "x"),
+        inputs=[],
+        params={"p": 1},
+    )
+    assert store.done("t", {"p": 1})
+    assert store.read("t").count() == 7
+
+
 def test_reference_format_prediction_sink(spark, tmp_path):
     from nlp_series_relation_extraction_spark.operators.extract import (
         extract_turn_results,
