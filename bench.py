@@ -335,6 +335,61 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     )
     docs10.unpersist()
 
+    # ANN 10x rehearsal (round-5 ask #7): dedup/linking have scale-growth
+    # datapoints; this gives candidate generation one too. 10 tagged
+    # copies of the embeddings corpus (ids offset per copy, components
+    # jittered by a tiny per-copy constant so no two rows are identical),
+    # queries from copy 0 (unperturbed). IVF-PQ time ratio vs the 1x
+    # entry must stay ~linear (encode pass is O(n), probe scan is
+    # O(n_probe/n_clusters * n)); recall@5 vs brute force ON THE SAME 10x
+    # corpus re-asserts quality at scale — the floor matches the pinned
+    # 1x test floor for the same near-isotropic synthetic vectors.
+    from nlp_series_relation_extraction_spark.functions.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = Q.t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_emb = emb.count()
+    emb10 = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.expr("sequence(0, 9)")).alias("cp"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("cp") * n_emb).alias("vec_id"),
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(x + 0.001d * cp as double))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qids = list(range(10))
+    t0 = time.time()
+    approx10 = ivfpq_topk(
+        emb10, "vec_id", "embedding", query_ids=qids, k=5,
+        n_clusters=16, n_probe=8, m=16, ks=256, n_train=256,
+    ).collect()
+    timings["ann_topk_ivfpq_10x"] = round(time.time() - t0, 3)
+    extras["ann_ivfpq_10x_ratio"] = round(
+        timings["ann_topk_ivfpq_10x"]
+        / max(timings["ann_topk_ivfpq"], 1e-9),
+        2,
+    )
+    brute10 = brute_force_topk(
+        emb10, "vec_id", "embedding", query_ids=qids, k=5
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx10}
+    want = {(r.query_id, r.neighbor_id) for r in brute10}
+    recall10 = len(got & want) / max(len(want), 1)
+    extras["ann_ivfpq_10x_recall_at_5"] = round(recall10, 3)
+    assert recall10 >= 0.5, (
+        f"IVF-PQ recall@5 collapsed at 10x corpus: {recall10}"
+    )
+    emb10.unpersist()
+
     # streaming rate/latency datapoint (round-4 ask #7): continuous KG
     # edge-table sink over micro-batched triples — sustained turns/sec and
     # per-batch p95 commit latency.
