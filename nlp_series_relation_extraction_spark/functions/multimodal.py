@@ -134,8 +134,10 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     all five scanline filters, every legal bit depth, Adam7 interlacing,
     grey/truecolor/indexed/alpha); TIFF (functions/tiff.py — both byte
     orders, strip-based, compressions none/LZW/deflate/PackBits,
-    horizontal predictor). Remaining exotics (webp, arithmetic-coded
-    JPEG, JPEG-in-TIFF) are the one documented integration point (plug
+    horizontal predictor); lossy WebP (functions/vp8.py — full RFC 6386
+    VP8 keyframe decode, bit-exact vs libwebp incl. both loop filters).
+    Remaining exotics (WebP-lossless VP8L, arithmetic-coded JPEG,
+    JPEG-in-TIFF) are the one documented integration point (plug
     PIL/opencv here); everything around this function (schemas, Arrow
     batching, resize, features) is format-agnostic."""
     f = (fmt or "").lower()
@@ -160,11 +162,15 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .tiff import decode_image_tiff
 
         return decode_image_tiff(content)
+    if f in ("image/webp", "webp"):
+        from .vp8 import decode_image_webp
+
+        return decode_image_webp(content)
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: exotic formats (webp/"
-        "progressive jpeg/jpeg-in-tiff/...) need PIL/opencv — integrate "
-        "them here; ppm/bmp/baseline-jpeg/png/tiff(none+lzw+deflate+"
-        "packbits) decode natively"
+        f"no built-in decoder for {fmt!r}: exotic formats (webp-lossless/"
+        "arithmetic jpeg/jpeg-in-tiff/...) need PIL/opencv — integrate "
+        "them here; ppm/bmp/jpeg(baseline+progressive)/png/tiff(none+lzw+"
+        "deflate+packbits)/webp-lossy decode natively"
     )
 
 

@@ -197,8 +197,14 @@ def test_decode_image_exotic_formats_still_integration_point():
 
     from nlp_series_relation_extraction_spark.functions import multimodal
 
+    # lossy webp decodes natively now (functions/vp8.py); the remaining
+    # integration point is webp-lossless (VP8L)
+    vp8l = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + (8).to_bytes(4, "little") + b"\x2f" * 8
+    )
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"RIFF....WEBP", "image/webp")
+        multimodal.decode_image(vp8l, "image/webp")
 
 
 def test_resize_and_real_feature_path():
