@@ -233,6 +233,8 @@ def synthesize_media(
 
         from .tiff import encode_image_tiff
 
+        from .vp8 import encode_image_webp
+
         encoders = {
             "image/ppm": encode_image_ppm,
             "image/bmp": encode_image_bmp24,
@@ -255,6 +257,7 @@ def synthesize_media(
             "image/tiff-packbits": lambda a: encode_image_tiff(
                 a, compression="packbits"
             ),
+            "image/webp": lambda a: encode_image_webp(a, quality=90.0),
         }
         for pdf in batches:
             out = {

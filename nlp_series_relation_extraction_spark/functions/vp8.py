@@ -1268,3 +1268,408 @@ def decode_image_webp(content: bytes) -> np.ndarray:
     """Lossy WebP -> HxWx3 uint8 RGB (pure numpy VP8 keyframe decode)."""
     Y, U, V = decode_webp_yuv(content)
     return _yuv420_to_rgb(Y, U, V)
+
+
+# ---------------------------------------------------------------------------
+# encoder — spec-valid VP8 keyframes (lossy WebP writer)
+# ---------------------------------------------------------------------------
+#
+# Design: one segment, default token probabilities, loop filter level 0
+# (so the decoder's output IS the encoder's reconstruction — the
+# exactness contract tests pin against libwebp), one token partition,
+# per-MB mode decision over DC/V/H/TM for luma and chroma by SAD against
+# the in-loop reconstruction. Quantized levels are chosen by nearest
+# rounding against the RFC dequantization factors; reconstruction runs
+# the decoder's own exact integer transforms so encoder and any
+# conforming decoder agree bit-for-bit.
+
+
+def _rgb_to_yuv420(arr: np.ndarray):
+    """BT.601 limited-range RGB -> Y + 2x2-box-averaged U/V (the same
+    colorspace libwebp's simple encode API uses; exact coefficients
+    differ slightly, which only shifts pixel values pre-quantization)."""
+    a = arr.astype(np.int64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    h, w = y.shape
+    # pad to even before 2x2 box averaging
+    ue = np.pad(u, ((0, h & 1), (0, w & 1)), mode="edge")
+    ve = np.pad(v, ((0, h & 1), (0, w & 1)), mode="edge")
+    u4 = (
+        ue[0::2, 0::2] + ue[0::2, 1::2] + ue[1::2, 0::2] + ue[1::2, 1::2] + 2
+    ) >> 2
+    v4 = (
+        ve[0::2, 0::2] + ve[0::2, 1::2] + ve[1::2, 0::2] + ve[1::2, 1::2] + 2
+    ) >> 2
+    clip = lambda p: np.clip(p, 0, 255).astype(np.int64)
+    return clip(y), clip(u4), clip(v4)
+
+
+def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _quantize_block(coeffs: np.ndarray, qdc: int, qac: int, first: int) -> np.ndarray:
+    """Nearest-round quantized levels in ZIGZAG order (16,), clamped to
+    the token alphabet's maximum (CAT6 base + 11 extra bits)."""
+    out = np.zeros(16, dtype=np.int64)
+    flat = coeffs.flatten()
+    for i in range(first, 16):
+        c = int(flat[_ZIG[i]])
+        q = qdc if i == 0 else qac
+        v = int(np.rint(c / q))
+        lim = CAT_BASE[5] + (1 << 11) - 1
+        out[i] = max(-lim, min(lim, v))
+    return out
+
+
+def _dequant_block(levels: np.ndarray, qdc: int, qac: int, first: int) -> np.ndarray:
+    co = np.zeros(16, dtype=np.int64)
+    for i in range(first, 16):
+        co[_ZIG[i]] = levels[i] * (qdc if i == 0 else qac)
+    return co.reshape(4, 4)
+
+
+def _encode_block_coeffs(be: BoolEncoder, probs, plane, ctx, first, levels):
+    """Mirror of _decode_block_coeffs: emit the token stream for one
+    block's ZIGZAG-order levels; returns the nz flag (context value)."""
+    p_all = probs[plane]
+    last = -1
+    for i in range(first, 16):
+        if levels[i]:
+            last = i
+    skip_eob = False
+    i = first
+    while i <= (last if last >= 0 else first - 1):
+        p = p_all[COEFF_BANDS[i]][ctx]
+        if not skip_eob:
+            be.put(int(p[0]), 1)  # not EOB
+        v = int(levels[i])
+        if v == 0:
+            be.put(int(p[1]), 0)
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        skip_eob = False
+        be.put(int(p[1]), 1)
+        a = abs(v)
+        if a == 1:
+            be.put(int(p[2]), 0)
+            ctx = 1
+        else:
+            ctx = 2
+            be.put(int(p[2]), 1)
+            if a <= 4:
+                be.put(int(p[3]), 0)
+                if a == 2:
+                    be.put(int(p[4]), 0)
+                else:
+                    be.put(int(p[4]), 1)
+                    be.put(int(p[5]), a - 3)
+            else:
+                be.put(int(p[3]), 1)
+                cat = 5
+                for c in range(5):
+                    if a < CAT_BASE[c + 1]:
+                        cat = c
+                        break
+                if cat == 0:
+                    be.put(int(p[6]), 0)
+                    be.put(int(p[7]), 0)
+                elif cat == 1:
+                    be.put(int(p[6]), 0)
+                    be.put(int(p[7]), 1)
+                elif cat == 2:
+                    be.put(int(p[6]), 1)
+                    be.put(int(p[8]), 0)
+                    be.put(int(p[9]), 0)
+                elif cat == 3:
+                    be.put(int(p[6]), 1)
+                    be.put(int(p[8]), 0)
+                    be.put(int(p[9]), 1)
+                elif cat == 4:
+                    be.put(int(p[6]), 1)
+                    be.put(int(p[8]), 1)
+                    be.put(int(p[10]), 0)
+                else:
+                    be.put(int(p[6]), 1)
+                    be.put(int(p[8]), 1)
+                    be.put(int(p[10]), 1)
+                extra = a - CAT_BASE[cat]
+                cps = CAT_PROBS[cat]
+                for k, cp in enumerate(cps):
+                    be.put(cp, (extra >> (len(cps) - 1 - k)) & 1)
+        be.put(128, 1 if v < 0 else 0)
+        i += 1
+    if last < 15:
+        # EOB is legal here: it always follows a nonzero token (or opens
+        # the block), never a zero token
+        i_eob = last + 1 if last >= 0 else first
+        p = p_all[COEFF_BANDS[i_eob]][ctx]
+        be.put(int(p[0]), 0)
+    return 1 if last >= 0 else 0
+
+
+def _sad(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a - b).sum())
+
+
+def quality_to_qi(quality: float) -> int:
+    """Map a 0-100 quality to a VP8 quantizer index (0 = best)."""
+    return max(0, min(127, int(round(127 - quality * 1.2))))
+
+
+def encode_image_webp(arr: np.ndarray, quality: float = 75.0) -> bytes:
+    """Encode HxWx3 uint8 RGB as a lossy WebP (VP8 keyframe in a RIFF
+    container). Spec-valid output: decodes in libwebp bit-exactly to
+    this encoder's own in-loop reconstruction (loop filter level 0)."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    H0, W0 = arr.shape[:2]
+    if H0 == 0 or W0 == 0 or H0 >= (1 << 14) or W0 >= (1 << 14):
+        raise ValueError(f"unsupported WebP dimensions {W0}x{H0}")
+    qi = quality_to_qi(quality)
+    y, u, v = _rgb_to_yuv420(arr)
+    mb_w, mb_h = (W0 + 15) >> 4, (H0 + 15) >> 4
+    W, H = mb_w * 16, mb_h * 16
+    Y = _pad_to(y, H, W)
+    U = _pad_to(u, H >> 1, W >> 1)
+    V = _pad_to(v, H >> 1, W >> 1)
+    RY = np.zeros((H, W), dtype=np.int64)
+    RU = np.zeros((H >> 1, W >> 1), dtype=np.int64)
+    RV = np.zeros((H >> 1, W >> 1), dtype=np.int64)
+    q = quant_factors(qi, {})
+    probs = COEFF_PROBS0
+
+    mode_bits = []  # (ymode, uvmode, skip) per MB
+    be_tok = BoolEncoder()
+    above_y = np.zeros((mb_w, 4), dtype=np.int64)
+    above_u = np.zeros((mb_w, 2), dtype=np.int64)
+    above_v = np.zeros((mb_w, 2), dtype=np.int64)
+    above_y2 = np.zeros(mb_w, dtype=np.int64)
+    # the skip flag is decided from the quantized levels BEFORE token
+    # emission, so skipped MBs simply emit no tokens (partition 2) while
+    # their mode bits still go to partition 1
+    for my in range(mb_h):
+        left_y = np.zeros(4, dtype=np.int64)
+        left_u = np.zeros(2, dtype=np.int64)
+        left_v = np.zeros(2, dtype=np.int64)
+        left_y2 = 0
+        for mx in range(mb_w):
+            x0, y0 = mx * 16, my * 16
+            cx0, cy0 = mx * 8, my * 8
+            have_a, have_l = my > 0, mx > 0
+            src = Y[y0 : y0 + 16, x0 : x0 + 16]
+
+            above = (
+                RY[y0 - 1, x0 : x0 + 16]
+                if have_a
+                else np.full(16, 127, dtype=np.int64)
+            )
+            left = (
+                RY[y0 : y0 + 16, x0 - 1]
+                if have_l
+                else np.full(16, 129, dtype=np.int64)
+            )
+            al = (
+                RY[y0 - 1, x0 - 1]
+                if (have_a and have_l)
+                else (129 if have_a else 127)
+            )
+            cands = {DC_PRED: _pred16_dc(above, left, have_a, have_l)}
+            for m in (V_PRED, H_PRED, TM_PRED):
+                cands[m] = _pred_block(m, 16, above, left, int(al))
+            ymode = min(cands, key=lambda m: _sad(cands[m], src))
+            pred = cands[ymode]
+            res = src - pred
+
+            # transform: 16 fdcts, DCs through the WHT (all MBs have Y2)
+            blocks = []
+            dcs = np.zeros((4, 4), dtype=np.int64)
+            for sy in range(4):
+                for sx in range(4):
+                    co = fdct4x4(res[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4])
+                    dcs[sy, sx] = co[0, 0]
+                    blocks.append(co.astype(np.int64))
+            y2_levels = _quantize_block(
+                fwht4x4(dcs).astype(np.int64), q["y2"][0], q["y2"][1], 0
+            )
+            y2_deq = _dequant_block(y2_levels, q["y2"][0], q["y2"][1], 0)
+            y2_out = iwht4x4(y2_deq)
+            ylevels = [
+                _quantize_block(b, q["y1"][0], q["y1"][1], 1) for b in blocks
+            ]
+
+            # chroma
+            def chroma_mb(plane, rec):
+                csrc = plane[cy0 : cy0 + 8, cx0 : cx0 + 8]
+                cab = (
+                    rec[cy0 - 1, cx0 : cx0 + 8]
+                    if have_a
+                    else np.full(8, 127, dtype=np.int64)
+                )
+                clf = (
+                    rec[cy0 : cy0 + 8, cx0 - 1]
+                    if have_l
+                    else np.full(8, 129, dtype=np.int64)
+                )
+                cal = (
+                    rec[cy0 - 1, cx0 - 1]
+                    if (have_a and have_l)
+                    else (129 if have_a else 127)
+                )
+                return csrc, cab, clf, int(cal)
+
+            usrc, uab, ulf, ual = chroma_mb(U, RU)
+            vsrc, vab, vlf, val = chroma_mb(V, RV)
+            ucands = {DC_PRED: _pred8_dc(uab, ulf, have_a, have_l)}
+            vcands = {DC_PRED: _pred8_dc(vab, vlf, have_a, have_l)}
+            for m in (V_PRED, H_PRED, TM_PRED):
+                ucands[m] = _pred_block(m, 8, uab, ulf, ual)
+                vcands[m] = _pred_block(m, 8, vab, vlf, val)
+            uvmode = min(
+                ucands,
+                key=lambda m: _sad(ucands[m], usrc) + _sad(vcands[m], vsrc),
+            )
+            upred, vpred = ucands[uvmode], vcands[uvmode]
+            ulevels, vlevels = [], []
+            for csrc, cpred, store in (
+                (usrc, upred, ulevels),
+                (vsrc, vpred, vlevels),
+            ):
+                cres = csrc - cpred
+                for sy in range(2):
+                    for sx in range(2):
+                        co = fdct4x4(
+                            cres[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4]
+                        )
+                        store.append(
+                            _quantize_block(co, q["uv"][0], q["uv"][1], 0)
+                        )
+
+            skip = (
+                not y2_out.any()
+                and not any(l.any() for l in ylevels)
+                and not any(l.any() for l in ulevels)
+                and not any(l.any() for l in vlevels)
+                # a nonzero y2 token stream must be sent even if the DCs
+                # inverse-transform to zero: skip drops the tokens
+                and not y2_levels.any()
+            )
+            mode_bits.append((ymode, uvmode, skip))
+
+            # reconstruct (exactly as the decoder will)
+            yblk = pred.copy()
+            for sy in range(4):
+                for sx in range(4):
+                    deq = _dequant_block(
+                        ylevels[sy * 4 + sx], q["y1"][0], q["y1"][1], 1
+                    )
+                    deq[0, 0] = y2_out[sy, sx]
+                    yblk[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] += idct4x4(
+                        deq
+                    )
+            RY[y0 : y0 + 16, x0 : x0 + 16] = np.clip(yblk, 0, 255)
+            for pred_c, levels_c, rec in (
+                (upred, ulevels, RU),
+                (vpred, vlevels, RV),
+            ):
+                cblk = pred_c.copy()
+                for sy in range(2):
+                    for sx in range(2):
+                        deq = _dequant_block(
+                            levels_c[sy * 2 + sx], q["uv"][0], q["uv"][1], 0
+                        )
+                        cblk[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] += (
+                            idct4x4(deq)
+                        )
+                rec[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(cblk, 0, 255)
+
+            # token emission with decoder-mirrored contexts
+            if skip:
+                left_y[:] = 0
+                left_u[:] = 0
+                left_v[:] = 0
+                above_y[mx, :] = 0
+                above_u[mx, :] = 0
+                above_v[mx, :] = 0
+                left_y2 = 0
+                above_y2[mx] = 0
+            else:
+                ctx = int(above_y2[mx] + left_y2)
+                nz2 = _encode_block_coeffs(be_tok, probs, 1, ctx, 0, y2_levels)
+                above_y2[mx] = left_y2 = nz2
+                for sy in range(4):
+                    for sx in range(4):
+                        ctx = int(above_y[mx, sx] + left_y[sy])
+                        nzb = _encode_block_coeffs(
+                            be_tok, probs, 0, ctx, 1, ylevels[sy * 4 + sx]
+                        )
+                        above_y[mx, sx] = left_y[sy] = nzb
+                for levels_c, above_c, left_c in (
+                    (ulevels, above_u, left_u),
+                    (vlevels, above_v, left_v),
+                ):
+                    for sy in range(2):
+                        for sx in range(2):
+                            ctx = int(above_c[mx, sx] + left_c[sy])
+                            nzb = _encode_block_coeffs(
+                                be_tok, probs, 2, ctx, 0,
+                                levels_c[sy * 2 + sx],
+                            )
+                            above_c[mx, sx] = left_c[sy] = nzb
+
+    # ---- partition 1: frame header + per-MB modes ----
+    be = BoolEncoder()
+    be.flag(0)  # color space
+    be.flag(0)  # clamping
+    be.flag(0)  # segmentation disabled
+    be.flag(0)  # filter type (ignored at level 0, write simple)
+    be.literal(6, 0)  # filter level 0: no loop filtering
+    be.literal(3, 0)  # sharpness
+    be.flag(0)  # lf_delta disabled
+    be.literal(2, 0)  # log2(token partitions) = 0 -> 1 partition
+    be.literal(7, qi)
+    for _ in range(5):
+        be.flag(0)  # no quantizer deltas
+    be.flag(1)  # refresh entropy probs (moot for a still)
+    up = COEFF_UPDATE_PROBS
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    be.put(int(up[t, b, c, p]), 0)  # keep default probs
+    be.flag(1)  # mb_no_skip_coeff: transmit per-MB skip flags
+    be.literal(8, 128)  # P(skip) = 128
+    for ymode, uvmode, skip in mode_bits:
+        be.flag(1 if skip else 0)
+        be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+        be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
+    part1 = be.finish()
+    part2 = be_tok.finish()
+
+    tag = (len(part1) << 5) | (1 << 4) | 0  # keyframe, version 0, shown
+    frame = (
+        bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", W0, H0)
+        + part1
+        + part2
+    )
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return riff
+
+
+def encoder_reconstruction(arr: np.ndarray, quality: float = 75.0):
+    """The encoder's in-loop (Y, U, V) reconstruction for an input —
+    what any conforming decoder must reproduce bit-exactly (used by the
+    conformance tests; recomputed via decode of the encoded stream)."""
+    data = encode_image_webp(arr, quality)
+    return decode_webp_yuv(data)

@@ -1161,10 +1161,11 @@ ORDER BY s.doc_id
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path through the driver (rows-only: numpy decode is not
     SQL-expressible): documents -> real MIXED-codec payloads (PPM, 24-bit
-    BMP, baseline AND progressive JPEG, PNG, and TIFF in all four
+    BMP, baseline AND progressive JPEG, PNG, TIFF in all four
     compressions — none, LZW+predictor, deflate+predictor, PackBits —
-    cycling by id; every built-in decoder incl. functions/jpeg.py,
-    functions/png.py and functions/tiff.py runs) -> decode -> per-channel
+    and lossy WebP (VP8 keyframe), cycling by id; every built-in decoder
+    incl. functions/jpeg.py, functions/png.py, functions/tiff.py and
+    functions/vp8.py runs) -> decode -> per-channel
     stats + thumbnail features (functions/multimodal.py). The
     SQL-expressible metadata slice is hash-checked separately
     (media_meta)."""
@@ -1175,7 +1176,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         formats=("image/ppm", "image/bmp", "image/jpeg",
                  "image/jpeg-progressive", "image/png", "image/tiff",
                  "image/tiff-lzw", "image/tiff-deflate",
-                 "image/tiff-packbits"),
+                 "image/tiff-packbits", "image/webp"),
     )
     out = extract_features(media)
     return out.select(

@@ -114,7 +114,7 @@ def test_media_features_real_across_mixed_codecs(spark):
         "doc_id long, text string",
     )
     formats = ("image/ppm", "image/bmp", "image/jpeg", "image/png",
-               "image/tiff")
+               "image/tiff", "image/webp")
     media = synthesize_media(docs, "doc_id", "text", formats=formats)
     got = {
         r.media_id: (r.width, r.height, np.asarray(r.features))
@@ -132,7 +132,8 @@ def test_media_features_real_across_mixed_codecs(spark):
         # (exact for ppm/bmp, within JPEG loss for jpeg)
         t = (row.text or "").encode("utf-8")
         src = _synth_pixels(t, len(t) % 24 + 4, len(t) % 16 + 4)
-        tol = 12.0 if fmts[mid] == "image/jpeg" else 0.51
+        # lossy codecs: jpeg quantization / webp 4:2:0 + BT.601 roundtrip
+        tol = 12.0 if fmts[mid] in ("image/jpeg", "image/webp") else 0.51
         assert np.allclose(
             feats[:3], src.astype(np.float32).mean(axis=(0, 1)), atol=tol
         ), fmts[mid]

@@ -176,3 +176,49 @@ def test_multimodal_dispatch_webp():
     data = webp_ref.encode_rgb(img, 80.0)
     out = decode_image(data, "webp")
     assert out.shape == (32, 32, 3)
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def test_encoder_decoder_roundtrip_close():
+    """Self-contained (no libwebp): encode -> own decode tracks the
+    source within lossy tolerance."""
+    img = _mkimg(48, 40, "photo")
+    data = vp8.encode_image_webp(img, quality=92.0)
+    out = vp8.decode_image_webp(data)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 10
+
+
+def test_encoder_quality_monotone_size():
+    img = _mkimg(64, 64, "photo")
+    sizes = [len(vp8.encode_image_webp(img, q)) for q in (20.0, 60.0, 95.0)]
+    assert sizes == sorted(sizes)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("kind", ["grad", "noise", "flat", "photo"])
+def test_encoder_streams_decode_in_libwebp_bitexact(kind):
+    """The encoder's output is a SPEC-VALID stream: libwebp decodes it,
+    and to exactly the planes our decoder produces (= the encoder's
+    in-loop reconstruction, since filter level is 0)."""
+    for shape, q in [((33, 47), 30.0), ((64, 64), 75.0), ((5, 17), 95.0)]:
+        img = _mkimg(*shape, kind)
+        data = vp8.encode_image_webp(img, q)
+        Yr, Ur, Vr = webp_ref.decode_yuv(data)
+        Ym, Um, Vm = vp8.decode_webp_yuv(data)
+        assert (Yr == Ym).all() and (Ur == Um).all() and (Vr == Vm).all()
+
+
+@needs_libwebp
+def test_encoder_quality_competitive_with_libwebp():
+    """On a hard case (tiny extreme gradient) the reconstruction error
+    must be in libwebp's own ballpark — guards against a silently
+    degenerate mode decision or quantizer."""
+    img = _mkimg(4, 4, "grad")
+    mine = vp8.decode_image_webp(vp8.encode_image_webp(img, 95.0))
+    ref = vp8.decode_image_webp(webp_ref.encode_rgb(img, 95.0))
+    e_mine = np.abs(mine.astype(int) - img.astype(int)).mean()
+    e_ref = np.abs(ref.astype(int) - img.astype(int)).mean()
+    assert e_mine <= e_ref * 1.25 + 1.0
