@@ -1219,27 +1219,43 @@ def _loop_filter(h: _FrameHeader, mbs, Y, U, V) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _find_vp8_chunk(content: bytes) -> bytes:
-    """Walk the RIFF/WEBP chunk list and return the 'VP8 ' payload."""
+def _find_image_chunk(content: bytes):
+    """Walk the RIFF/WEBP chunk list; return (fourcc, body) of the still
+    image chunk ('VP8 ' lossy or 'VP8L' lossless)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) payload")
     pos = 12
     end = min(len(content), 8 + struct.unpack("<I", content[4:8])[0])
+    animated = False
     while pos + 8 <= end:
         fourcc = content[pos : pos + 4]
         size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
         body = content[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8 ":
-            return body
-        if fourcc == b"VP8L":
-            raise NotImplementedError(
-                "WebP lossless (VP8L) is not supported; lossy VP8 decodes "
-                "natively"
-            )
-        # VP8X / ALPH / ICCP / EXIF / XMP: skip — the still image, if
-        # lossy, is carried in a later 'VP8 ' chunk
+        if fourcc in (b"VP8 ", b"VP8L"):
+            return fourcc, body
+        if fourcc in (b"ANIM", b"ANMF"):
+            animated = True
+        # VP8X / ALPH / ICCP / EXIF / XMP: skip — the still image is
+        # carried in a later image chunk
         pos += 8 + size + (size & 1)
-    raise ValueError("WebP container has no 'VP8 ' chunk")
+    if animated:
+        raise NotImplementedError(
+            "animated WebP is not supported; still lossy (VP8) and "
+            "lossless (VP8L) decode natively"
+        )
+    raise ValueError("WebP container has no image chunk")
+
+
+def _find_vp8_chunk(content: bytes) -> bytes:
+    """The lossy 'VP8 ' payload (decode_webp_yuv's native-plane contract
+    only exists for lossy streams)."""
+    fourcc, body = _find_image_chunk(content)
+    if fourcc != b"VP8 ":
+        raise ValueError(
+            "stream is lossless (VP8L) — it has no YUV planes; use "
+            "decode_image_webp / functions.vp8l"
+        )
+    return body
 
 
 def decode_webp_yuv(content: bytes):
@@ -1265,8 +1281,15 @@ def _yuv420_to_rgb(Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> np.ndarray:
 
 
 def decode_image_webp(content: bytes) -> np.ndarray:
-    """Lossy WebP -> HxWx3 uint8 RGB (pure numpy VP8 keyframe decode)."""
-    Y, U, V = decode_webp_yuv(content)
+    """WebP -> HxWx3 uint8 RGB: lossy VP8 keyframes decode here (4:2:0
+    planes + BT.601 upconvert), lossless VP8L via functions/vp8l.py
+    (exact pixels). Sniffed from the container."""
+    fourcc, body = _find_image_chunk(content)
+    if fourcc == b"VP8L":
+        from .vp8l import decode_image_webp_lossless
+
+        return decode_image_webp_lossless(content)
+    Y, U, V, _h = _decode_webp_vp8_frame(body)
     return _yuv420_to_rgb(Y, U, V)
 
 

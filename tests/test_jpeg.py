@@ -80,14 +80,14 @@ def test_decode_image_dispatches_jpeg():
     sof9 = enc.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_image_jpeg(sof9)
-    # lossy webp is SUPPORTED now (functions/vp8.py); lossless VP8L stays
-    # the documented integration point
-    vp8l = (
-        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
-        + b"VP8L" + (8).to_bytes(4, "little") + b"\x2f" * 8
+    # lossy AND lossless webp are SUPPORTED now (vp8.py / vp8l.py);
+    # animated webp stays the documented integration point
+    anim = (
+        b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
+        + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="lossless"):
-        decode_image(vp8l, "image/webp")
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_image(anim, "image/webp")
 
 
 def test_bmp_encoder_roundtrips_through_decoder():

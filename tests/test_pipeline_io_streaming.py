@@ -197,14 +197,14 @@ def test_decode_image_exotic_formats_still_integration_point():
 
     from nlp_series_relation_extraction_spark.functions import multimodal
 
-    # lossy webp decodes natively now (functions/vp8.py); the remaining
-    # integration point is webp-lossless (VP8L)
-    vp8l = (
-        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
-        + b"VP8L" + (8).to_bytes(4, "little") + b"\x2f" * 8
+    # lossy AND lossless webp decode natively now (vp8.py / vp8l.py);
+    # the remaining integration point is animated webp
+    anim = (
+        b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
+        + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     )
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(vp8l, "image/webp")
+        multimodal.decode_image(anim, "image/webp")
 
 
 def test_resize_and_real_feature_path():

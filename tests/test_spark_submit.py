@@ -100,6 +100,12 @@ def test_spark_submit_py_files_pipeline(tmp_path):
     for stage in ("triples", "mentions", "entities", "aliases",
                   "triples_canonical", "edges"):
         assert summary["rows"].get(stage, 0) > 0, (stage, summary)
-    # checkpoints landed and are resumable artifacts
-    assert os.path.exists(os.path.join(wd, "triples", "_SUCCESS"))
+    # checkpoints landed and are resumable artifacts (versioned-manifest
+    # layout: <stage>/_CURRENT names a committed vNNNNNN directory)
+    manifest_path = os.path.join(wd, "triples", "_CURRENT")
+    assert os.path.exists(manifest_path)
+    manifest = json.loads(open(manifest_path).read())
+    assert os.path.exists(
+        os.path.join(wd, "triples", manifest["version"], "_SUCCESS")
+    )
     assert os.path.exists(os.path.join(wd, "metrics.jsonl"))

@@ -108,11 +108,22 @@ def test_container_rejects_non_webp():
         vp8.decode_image_webp(b"\x89PNG" + b"\x00" * 16)
 
 
-def test_container_vp8l_documented_unsupported():
+def test_container_animated_documented_unsupported():
+    # still lossy AND lossless decode natively (vp8.py / vp8l.py);
+    # animation is the remaining documented gap
+    anim = (
+        b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
+        + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
+    )
+    with pytest.raises(NotImplementedError, match="animated"):
+        vp8.decode_image_webp(anim)
+
+
+def test_vp8l_stream_has_no_yuv_planes():
     payload = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
     payload += b"VP8L" + (8).to_bytes(4, "little") + b"\x2f" * 8
-    with pytest.raises(NotImplementedError, match="lossless"):
-        vp8.decode_image_webp(payload)
+    with pytest.raises(ValueError, match="lossless"):
+        vp8.decode_webp_yuv(payload)
 
 
 def test_interframe_rejected():

@@ -29,6 +29,16 @@ def load_libwebp():
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
     lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.WebPDecodeYUV.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t,
@@ -53,6 +63,34 @@ def encode_rgb(arr: np.ndarray, quality: float) -> bytes:
     )
     if n == 0:
         raise RuntimeError("WebPEncodeRGB failed")
+    data = ctypes.string_at(out, n)
+    LIB.WebPFree(out)
+    return data
+
+
+def encode_lossless_rgb(arr: np.ndarray) -> bytes:
+    """Lossless-encode an HxWx3 RGB array (produces a VP8L stream)."""
+    h, w, _ = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = LIB.WebPEncodeLosslessRGB(
+        np.ascontiguousarray(arr).tobytes(), w, h, w * 3, ctypes.byref(out)
+    )
+    if n == 0:
+        raise RuntimeError("WebPEncodeLosslessRGB failed")
+    data = ctypes.string_at(out, n)
+    LIB.WebPFree(out)
+    return data
+
+
+def encode_lossless_rgba(arr: np.ndarray) -> bytes:
+    """Lossless-encode an HxWx4 RGBA array (exercises real alpha)."""
+    h, w, _ = arr.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = LIB.WebPEncodeLosslessRGBA(
+        np.ascontiguousarray(arr).tobytes(), w, h, w * 4, ctypes.byref(out)
+    )
+    if n == 0:
+        raise RuntimeError("WebPEncodeLosslessRGBA failed")
     data = ctypes.string_at(out, n)
     LIB.WebPFree(out)
     return data
