@@ -4,12 +4,13 @@ Images/audio/video are carried as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is REAL and pure-numpy for PPM (P6), 24-bit BMP, baseline
-JPEG (functions/jpeg.py), 8/16-bit PNG (functions/png.py) and TIFF in all
-four common compressions — none/LZW/deflate/PackBits (functions/tiff.py)
+The decode step is REAL and pure-numpy for PPM (P6), 24-bit BMP, JPEG
+incl. progressive (functions/jpeg.py), PNG (functions/png.py), TIFF in
+none/LZW/deflate/PackBits AND new-style JPEG-in-TIFF (functions/tiff.py),
+and WebP both lossy and lossless (functions/vp8.py, functions/vp8l.py)
 — the whole decode -> resize -> feature path runs without PIL/opencv,
-including the compressed codecs. Exotic formats (webp/progressive
-JPEG/JPEG-in-TIFF) remain the one integration point: ``decode_image``
+including the compressed codecs. Remaining exotics (animated WebP,
+arithmetic-coded JPEG) are the one integration point: ``decode_image``
 raises ``NotImplementedError`` for them (plug PIL/opencv in one place);
 the surrounding Spark plumbing is format-agnostic either way.
 Video is modeled as a stack of fixed-size PPM frames in one payload;
@@ -134,12 +135,14 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     all five scanline filters, every legal bit depth, Adam7 interlacing,
     grey/truecolor/indexed/alpha); TIFF (functions/tiff.py — both byte
     orders, strip-based, compressions none/LZW/deflate/PackBits,
-    horizontal predictor); lossy WebP (functions/vp8.py — full RFC 6386
-    VP8 keyframe decode, bit-exact vs libwebp incl. both loop filters).
-    Remaining exotics (WebP-lossless VP8L, arithmetic-coded JPEG,
-    JPEG-in-TIFF) are the one documented integration point (plug
-    PIL/opencv here); everything around this function (schemas, Arrow
-    batching, resize, features) is format-agnostic."""
+    horizontal predictor, and new-style JPEG-in-TIFF with shared
+    JPEGTables); WebP lossy (functions/vp8.py — full RFC 6386 VP8
+    keyframe decode, bit-exact vs libwebp incl. both loop filters) and
+    lossless (functions/vp8l.py — full VP8L bitstream, byte-exact).
+    Remaining exotics (animated WebP, arithmetic-coded JPEG) are the one
+    documented integration point (plug PIL/opencv here); everything
+    around this function (schemas, Arrow batching, resize, features) is
+    format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
         return _decode_ppm(content)
@@ -158,6 +161,7 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     if f in (
         "image/tiff", "image/tif", "tiff", "tif",
         "image/tiff-lzw", "image/tiff-deflate", "image/tiff-packbits",
+        "image/tiff-jpeg",
     ):
         from .tiff import decode_image_tiff
 
@@ -167,10 +171,10 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
 
         return decode_image_webp(content)
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: exotic formats (webp-lossless/"
-        "arithmetic jpeg/jpeg-in-tiff/...) need PIL/opencv — integrate "
-        "them here; ppm/bmp/jpeg(baseline+progressive)/png/tiff(none+lzw+"
-        "deflate+packbits)/webp-lossy decode natively"
+        f"no built-in decoder for {fmt!r}: exotic formats (animated webp/"
+        "arithmetic jpeg/...) need PIL/opencv — integrate them here; "
+        "ppm/bmp/jpeg(baseline+progressive)/png/tiff(none+lzw+deflate+"
+        "packbits+jpeg)/webp(lossy+lossless) decode natively"
     )
 
 
@@ -231,7 +235,7 @@ def synthesize_media(
 
         from .png import encode_image_png
 
-        from .tiff import encode_image_tiff
+        from .tiff import encode_image_tiff, encode_image_tiff_jpeg
 
         from .vp8 import encode_image_webp
 
@@ -258,6 +262,11 @@ def synthesize_media(
                 a, compression="packbits"
             ),
             "image/webp": lambda a: encode_image_webp(a, quality=90.0),
+            # lossy TIFF as scanners/exports emit it: new-style JPEG
+            # strips + shared JPEGTables (TTN2)
+            "image/tiff-jpeg": lambda a: encode_image_tiff_jpeg(
+                a, quality=90
+            ),
         }
         for pdf in batches:
             out = {

@@ -8,8 +8,10 @@ early-change code widths and optional horizontal predictor), 8/32946
 (zlib deflate — Adobe and legacy tags) or 32773 (PackBits RLE, the
 fax/scanner staple), 8 bits per sample, 1 (grayscale) or 3 (RGB) samples
 per pixel, chunky planar config, strip-based layout (any RowsPerStrip,
-incl. one strip). JPEG-in-TIFF/tiled/BigTIFF remain with the other
-compressed exotics at the decode_image integration point.
+incl. one strip) — plus new-style JPEG-in-TIFF (TTN2 compression 7,
+abbreviated strips against a shared JPEGTables tag, cross-checked both
+ways against libtiff). Tiled layout and BigTIFF remain with the other
+exotics at the decode_image integration point.
 
 Layout refresher: an 8-byte header (II*\0 / MM\0*) points at the first
 IFD — a count followed by 12-byte tag entries (tag, type, count, value/
@@ -35,6 +37,7 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
+_TAG_JPEG_TABLES = 347
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -138,8 +141,8 @@ def _lzw_encode(data: bytes) -> bytes:
         out.append((buf << (8 - nbuf)) & 0xFF)
     return bytes(out)
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B"}
 
 
 def _read_values(buf, e, typ, count, value_field):
@@ -202,8 +205,8 @@ def _packbits_encode(data: bytes) -> bytes:
 
 
 def decode_image_tiff(content: bytes) -> np.ndarray:
-    """8-bit TIFF (compression none/LZW/deflate/PackBits) -> HxWx3 uint8
-    (grayscale replicated, WhiteIsZero inverted)."""
+    """8-bit TIFF (compression none/LZW/deflate/PackBits/JPEG) ->
+    HxWx3 uint8 (grayscale replicated, WhiteIsZero inverted)."""
     if len(content) < 8:
         raise ValueError("not a TIFF: too short")
     order = content[:2]
@@ -232,10 +235,14 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
 
     w, h = vals(_TAG_WIDTH)[0], vals(_TAG_HEIGHT)[0]
     comp = vals(_TAG_COMPRESSION, [1])[0]
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TTN2): strips are JPEG streams,
+        # optionally abbreviated against a shared JPEGTables (tag 347)
+        return _decode_jpeg_in_tiff(content, tags, vals, w, h)
     if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (1 = none, 5 = LZW, "
-            "8/32946 = deflate, 32773 = PackBits)"
+            "8/32946 = deflate, 32773 = PackBits, 7 = JPEG)"
         )
     spp = vals(_TAG_SPP, [1])[0]
     bits = vals(_TAG_BITS, [8] * spp)
@@ -420,6 +427,178 @@ def encode_image_tiff(
             out += struct.pack(e + "I", o)
         for s in strips:
             out += struct.pack(e + "I", len(s))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# new-style JPEG-in-TIFF (TIFF Technical Note 2 / compression 7)
+# ---------------------------------------------------------------------------
+
+
+_SOI, _EOI, _SOS = b"\xff\xd8", b"\xff\xd9", 0xDA
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Split a complete JPEG stream into (tables_stream, abbreviated
+    strip stream): DQT/DHT segments move to an SOI..EOI tables stream
+    (the JPEGTables tag payload, TTN2), the rest keeps its own SOI and
+    entropy data."""
+    if stream[:2] != _SOI:
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    rest = bytearray()
+    i = 2
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("bad JPEG marker segment")
+        marker = stream[i + 1]
+        if marker == _SOS:
+            rest += stream[i:]  # SOS through EOI, verbatim
+            break
+        seglen = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + seglen
+    return _SOI + bytes(tables) + _EOI, _SOI + bytes(rest)
+
+
+def _merge_jpeg_tables(tables: bytes | None, strip: bytes) -> bytes:
+    """Splice a JPEGTables payload (SOI..EOI) into an abbreviated strip
+    stream right after its SOI; pass-through when there are no tables."""
+    if strip[:2] != _SOI:
+        raise ValueError("TIFF JPEG strip does not start with SOI")
+    if not tables or len(tables) <= 4:
+        return strip
+    interior = tables[2:]
+    if interior[-2:] == _EOI:
+        interior = interior[:-2]
+    return _SOI + interior + strip[2:]
+
+
+def _decode_jpeg_in_tiff(content, tags, vals, w, h):
+    from .jpeg import decode_image_jpeg
+
+    photometric = vals(_TAG_PHOTOMETRIC, [6])[0]
+    if photometric not in (1, 2, 6):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF photometric {photometric} unsupported "
+            "(1 grayscale, 2 RGB, 6 YCbCr; the JPEG stream itself "
+            "determines the color decode)"
+        )
+    rps = vals(_TAG_ROWS_PER_STRIP, [h])[0]
+    offsets = vals(_TAG_STRIP_OFFSETS)
+    counts = vals(_TAG_STRIP_COUNTS)
+    tables = None
+    if _TAG_JPEG_TABLES in tags:
+        tbl = vals(_TAG_JPEG_TABLES)
+        tables = bytes(tbl)
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = content[off : off + cnt]
+        img = decode_image_jpeg(_merge_jpeg_tables(tables, strip))
+        want_h = min(rps, h - si * rps)
+        if img.shape[0] < want_h or img.shape[1] < w:
+            raise ValueError(
+                f"JPEG-in-TIFF strip {si} decodes to {img.shape[:2]}, "
+                f"need at least ({want_h}, {w})"
+            )
+        rows.append(img[:want_h, :w])
+    out = np.concatenate(rows, axis=0)
+    if out.shape[0] != h:
+        raise ValueError(f"JPEG-in-TIFF strips cover {out.shape[0]} of {h} rows")
+    return np.ascontiguousarray(out)
+
+
+def encode_image_tiff_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    rows_per_strip: int | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """HxWx3 uint8 -> classic TIFF with new-style JPEG compression
+    (TTN2): per-strip abbreviated JPEG streams + one shared JPEGTables
+    tag (347), photometric 6 (YCbCr), the layout libtiff/scanners emit
+    for lossy TIFF."""
+    from .jpeg import encode_image_jpeg
+
+    h, w, _ = arr.shape
+    e = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or h
+    strips = []
+    tables = None
+    for r in range(0, h, rps):
+        full = encode_image_jpeg(arr[r : r + rps], quality=quality,
+                                 subsampling="420")
+        tbl, abbrev = _split_jpeg_tables(full)
+        if tables is None:
+            tables = tbl  # same quality => identical tables each strip
+        strips.append(abbrev)
+    n_strips = len(strips)
+
+    n_tags = 11
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + n_tags * 12 + 4
+    bits_off = after_ifd
+    pos = bits_off + 6
+    if n_strips > 1:
+        so_off = pos
+        sc_off = so_off + 4 * n_strips
+        pos = sc_off + 4 * n_strips
+    else:
+        so_off = sc_off = 0
+    tbl_off = pos
+    pos += len(tables)
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, count, value):
+        return struct.pack(e + "HHI", tag, typ, count) + value
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    def short_val(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    entries = [
+        entry(_TAG_WIDTH, 4, 1, long_val(w)),
+        entry(_TAG_HEIGHT, 4, 1, long_val(h)),
+        entry(_TAG_BITS, 3, 3, long_val(bits_off)),
+        entry(_TAG_COMPRESSION, 3, 1, short_val(7)),
+        entry(_TAG_PHOTOMETRIC, 3, 1, short_val(6)),  # YCbCr
+        entry(
+            _TAG_STRIP_OFFSETS, 4, n_strips,
+            long_val(offs[0] if n_strips == 1 else so_off),
+        ),
+        entry(_TAG_SPP, 3, 1, short_val(3)),
+        entry(_TAG_ROWS_PER_STRIP, 4, 1, long_val(rps)),
+        entry(
+            _TAG_STRIP_COUNTS, 4, n_strips,
+            long_val(len(strips[0]) if n_strips == 1 else sc_off),
+        ),
+        entry(_TAG_PLANAR, 3, 1, short_val(1)),
+        entry(_TAG_JPEG_TABLES, 7, len(tables), long_val(tbl_off)),
+    ]
+    out = bytearray()
+    out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n_tags)
+    for ent in sorted(entries, key=lambda s: struct.unpack(e + "H", s[:2])[0]):
+        out += ent
+    out += struct.pack(e + "I", 0)  # next IFD
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    if n_strips > 1:
+        for o in offs:
+            out += struct.pack(e + "I", o)
+        for s in strips:
+            out += struct.pack(e + "I", len(s))
+    out += tables
     for s in strips:
         out += s
     return bytes(out)

@@ -67,13 +67,13 @@ def test_rejects_compressed_and_garbage():
     with pytest.raises(ValueError):
         decode_image_tiff(b"nottiff")
     a = encode_image_tiff(_img(4, 4))
-    # flip the compression tag value (type SHORT at its entry) to
-    # 7 (JPEG-in-TIFF) — still unsupported (LZW/deflate/PackBits decode
-    # natively now)
+    # flip the compression tag value (type SHORT at its entry) to 3
+    # (CCITT Group 3 fax) — still unsupported (LZW/deflate/PackBits AND
+    # JPEG-in-TIFF decode natively now)
     import struct
 
     idx = a.index(struct.pack("<HHI", 259, 3, 1))
-    bad = a[: idx + 8] + struct.pack("<H", 7) + a[idx + 10 :]
+    bad = a[: idx + 8] + struct.pack("<H", 3) + a[idx + 10 :]
     with pytest.raises(NotImplementedError):
         decode_image_tiff(bad)
 
