@@ -1,12 +1,14 @@
 """Pure-numpy JPEG (JFIF) codec: baseline sequential AND progressive.
 
-Scope is Huffman 8-bit JPEG, 1- or 3-component, any sampling factors up
+Scope is 8-bit JPEG, 1- or 3-component, any sampling factors up
 to 2x2 (4:4:4, 4:2:2, 4:2:0): baseline (SOF0/1, restart markers
-supported) and PROGRESSIVE (SOF2 — spectral selection + successive
+supported), PROGRESSIVE (SOF2 — spectral selection + successive
 approximation: interleaved DC first/refinement scans, per-component AC
 first/refinement scans with general EOBn end-of-band runs, coefficients
-accumulated across scans and reconstructed once at EOI). Arithmetic
-coding, 12-bit, hierarchical, and restart markers inside progressive
+accumulated across scans and reconstructed once at EOI), and sequential
+ARITHMETIC coding (SOF9 + DAC — QM coder and statistical models in
+functions/jpeg_arith.py, decode and encode). Progressive-arithmetic
+(SOF10), 12-bit, hierarchical, and restart markers inside progressive
 scans remain out of scope and raise ``NotImplementedError`` with a
 pointed message.
 
@@ -512,6 +514,7 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
+    arith_cond: dict = {}
     frame = None
     prog_state = None
     restart_interval = 0
@@ -550,7 +553,8 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                     raise ValueError("invalid JPEG: truncated DHT segment")
                 htables[(cls, tid)] = _huffman_decoder(bits, values)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
             if len(payload) < 6 or len(payload) < 6 + 3 * payload[5]:
                 raise ValueError("invalid JPEG: truncated SOF segment")
             precision = payload[0]
@@ -570,15 +574,27 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
             frame = {
                 "h": fh, "w": fw, "comps": comps,
                 "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
             }
             if marker == 0xC2:
                 prog_state = _prog_init(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(payload):
+                tc, tb = payload[i] >> 4, payload[i] & 0x0F
+                cs = payload[i + 1]
+                if tc == 0:
+                    arith_cond[("dc", tb)] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    arith_cond[("ac", tb)] = cs  # Kx
+                i += 2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0/1) and progressive Huffman (SOF2) "
-                f"JPEG are supported, got SOF marker 0x{marker:02X} "
-                "(arithmetic/lossless/hierarchical)"
+                "only baseline (SOF0/1), progressive Huffman (SOF2) and "
+                "sequential arithmetic (SOF9) JPEG are supported, got SOF "
+                f"marker 0x{marker:02X} (progressive-arithmetic/lossless/"
+                "hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
@@ -609,6 +625,18 @@ def decode_image_jpeg(content: bytes) -> np.ndarray:
                     prog_state, ss, se, ahal >> 4, ahal & 0x0F,
                 )
                 continue
+            if frame.get("arith"):
+                from .jpeg_arith import decode_arith_scan
+
+                planes = decode_arith_scan(
+                    data, pos + 2 + ln, frame, scan_comps, qtables,
+                    restart_interval, arith_cond,
+                )
+                hmax = max(c["h"] for c in scan_comps)
+                vmax = max(c["v"] for c in scan_comps)
+                return _planes_to_image(
+                    frame, scan_comps, planes, hmax, vmax
+                )
             try:
                 return _decode_scan(
                     data, pos + 2 + ln, frame, scan_comps, qtables,
@@ -672,7 +700,14 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    # upsample each component to full MCU-grid resolution, crop, convert
+    return _planes_to_image(frame, comps, planes, hmax, vmax)
+
+
+def _planes_to_image(frame, comps, planes, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full MCU-grid resolution, crop
+    to frame dims, convert to RGB (shared by the Huffman and arithmetic
+    sequential paths)."""
+    fh, fw = frame["h"], frame["w"]
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]

@@ -5,12 +5,13 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
 The decode step is REAL and pure-numpy for PPM (P6), 24-bit BMP, JPEG
-incl. progressive (functions/jpeg.py), PNG (functions/png.py), TIFF in
+incl. progressive and arithmetic-coded (functions/jpeg.py,
+functions/jpeg_arith.py), PNG (functions/png.py), TIFF in
 none/LZW/deflate/PackBits AND new-style JPEG-in-TIFF (functions/tiff.py),
 and WebP both lossy and lossless (functions/vp8.py, functions/vp8l.py)
 — the whole decode -> resize -> feature path runs without PIL/opencv,
-including the compressed codecs. Remaining exotics (animated WebP,
-arithmetic-coded JPEG) are the one integration point: ``decode_image``
+including the compressed codecs. The remaining exotic (animated WebP)
+is the one integration point: ``decode_image``
 raises ``NotImplementedError`` for them (plug PIL/opencv in one place);
 the surrounding Spark plumbing is format-agnostic either way.
 Video is modeled as a stack of fixed-size PPM frames in one payload;
@@ -139,9 +140,9 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     JPEGTables); WebP lossy (functions/vp8.py — full RFC 6386 VP8
     keyframe decode, bit-exact vs libwebp incl. both loop filters) and
     lossless (functions/vp8l.py — full VP8L bitstream, byte-exact).
-    Remaining exotics (animated WebP, arithmetic-coded JPEG) are the one
-    documented integration point (plug PIL/opencv here); everything
-    around this function (schemas, Arrow batching, resize, features) is
+    The remaining exotic (animated WebP) is the one documented
+    integration point (plug PIL/opencv here); everything around this
+    function (schemas, Arrow batching, resize, features) is
     format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
@@ -149,8 +150,8 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     if f in ("image/bmp", "bmp"):
         return _decode_bmp24(content)
     if f in ("image/jpeg", "image/jpg", "jpeg", "jpg",
-             "image/jpeg-progressive"):
-        # one decoder: it sniffs SOF0/1 vs SOF2 from the stream itself
+             "image/jpeg-progressive", "image/jpeg-arithmetic"):
+        # one decoder: it sniffs SOF0/1 vs SOF2 vs SOF9 from the stream
         from .jpeg import decode_image_jpeg
 
         return decode_image_jpeg(content)
@@ -171,9 +172,9 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
 
         return decode_image_webp(content)
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: exotic formats (animated webp/"
-        "arithmetic jpeg/...) need PIL/opencv — integrate them here; "
-        "ppm/bmp/jpeg(baseline+progressive)/png/tiff(none+lzw+deflate+"
+        f"no built-in decoder for {fmt!r}: exotic formats (animated "
+        "webp/...) need PIL/opencv — integrate them here; ppm/bmp/"
+        "jpeg(baseline+progressive+arithmetic)/png/tiff(none+lzw+deflate+"
         "packbits+jpeg)/webp(lossy+lossless) decode natively"
     )
 
@@ -237,6 +238,8 @@ def synthesize_media(
 
         from .tiff import encode_image_tiff, encode_image_tiff_jpeg
 
+        from .jpeg_arith import encode_image_jpeg_arith
+
         from .vp8 import encode_image_webp
 
         encoders = {
@@ -266,6 +269,9 @@ def synthesize_media(
             # strips + shared JPEGTables (TTN2)
             "image/tiff-jpeg": lambda a: encode_image_tiff_jpeg(
                 a, quality=90
+            ),
+            "image/jpeg-arithmetic": lambda a: encode_image_jpeg_arith(
+                a, quality=90, subsampling="420"
             ),
         }
         for pdf in batches:

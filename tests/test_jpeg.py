@@ -75,11 +75,12 @@ def test_decode_image_dispatches_jpeg():
     enc = encode_image_jpeg(img, 95, "444")
     dec = decode_image(enc, "image/jpeg")
     assert _psnr(img, dec) > 30.0
-    # progressive (SOF2) is SUPPORTED now; arithmetic coding (SOF9) stays
+    # progressive (SOF2) AND sequential arithmetic (SOF9) are SUPPORTED
+    # now (functions/jpeg_arith.py); progressive-arithmetic (SOF10) stays
     # the documented integration point
-    sof9 = enc.replace(b"\xff\xc0", b"\xff\xc9", 1)
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        decode_image_jpeg(sof9)
+    sof10 = enc.replace(b"\xff\xc0", b"\xff\xca", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_image_jpeg(sof10)
     # lossy AND lossless webp are SUPPORTED now (vp8.py / vp8l.py);
     # animated webp stays the documented integration point
     anim = (
