@@ -10,10 +10,11 @@ functions/jpeg_arith.py), PNG (functions/png.py), TIFF in
 none/LZW/deflate/PackBits AND new-style JPEG-in-TIFF (functions/tiff.py),
 and WebP both lossy and lossless (functions/vp8.py, functions/vp8l.py)
 — the whole decode -> resize -> feature path runs without PIL/opencv,
-including the compressed codecs. The remaining exotic (animated WebP)
-is the one integration point: ``decode_image``
-raises ``NotImplementedError`` for them (plug PIL/opencv in one place);
-the surrounding Spark plumbing is format-agnostic either way.
+including the compressed codecs — and animated WebP (VP8X/ANIM/ANMF
+compositing, frame_extract). ``decode_image`` raises
+``NotImplementedError`` only for genuinely unknown formats (the one
+place to plug PIL/opencv for them); the surrounding Spark plumbing is
+format-agnostic either way.
 Video is modeled as a stack of fixed-size PPM frames in one payload;
 ``frame_sample`` slices real frame bytes.
 """
@@ -140,9 +141,10 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     JPEGTables); WebP lossy (functions/vp8.py — full RFC 6386 VP8
     keyframe decode, bit-exact vs libwebp incl. both loop filters) and
     lossless (functions/vp8l.py — full VP8L bitstream, byte-exact).
-    The remaining exotic (animated WebP) is the one documented
-    integration point (plug PIL/opencv here); everything around this
-    function (schemas, Arrow batching, resize, features) is
+    Animated WebP composites through decode_webp_animation (first frame
+    here, every frame in frame_extract). Unknown formats are the one
+    documented integration point (plug PIL/opencv here); everything
+    around this function (schemas, Arrow batching, resize, features) is
     format-agnostic."""
     f = (fmt or "").lower()
     if f in ("image/ppm", "ppm"):
@@ -171,11 +173,15 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .vp8 import decode_image_webp
 
         return decode_image_webp(content)
+    if f in ("video/webp-anim", "image/webp-anim"):
+        from .vp8 import decode_webp_animation
+
+        return decode_webp_animation(content)[0][0][..., :3].copy()
     raise NotImplementedError(
-        f"no built-in decoder for {fmt!r}: exotic formats (animated "
-        "webp/...) need PIL/opencv — integrate them here; ppm/bmp/"
-        "jpeg(baseline+progressive+arithmetic)/png/tiff(none+lzw+deflate+"
-        "packbits+jpeg)/webp(lossy+lossless) decode natively"
+        f"no built-in decoder for {fmt!r} — integrate PIL/opencv here; "
+        "ppm/bmp/jpeg(baseline+progressive+arithmetic)/png/tiff(none+lzw+"
+        "deflate+packbits+jpeg)/webp(lossy+lossless+animated) decode "
+        "natively"
     )
 
 
@@ -314,26 +320,36 @@ def synthesize_media(
 
 def synthesize_video(
     df: DataFrame, id_col: str, text_col: str, n_frames: int = 6,
-    width: int = 8, height: int = 6,
+    width: int = 8, height: int = 6, container: str = "ppm-stack",
 ) -> DataFrame:
-    """Fixed-size video payloads: ``n_frames`` concatenated PPM frames in one
-    binary column (every frame the same byte size, so slicing is exact)."""
+    """Video payloads: ``n_frames`` frames in one binary column — either
+    concatenated PPM frames ("ppm-stack", every frame the same byte size
+    so slicing is exact) or a REAL animated WebP ("webp-anim": VP8X/ANIM/
+    ANMF container, lossy VP8 frames, functions/vp8.py)."""
     import pandas as pd
 
     def gen(batches):
+        from .vp8 import encode_webp_animation
+
         for pdf in batches:
             rows = {"media_id": pdf["media_id"], "content": [],
                     "format": [], "width": [], "height": [], "n_frames": []}
             for text in pdf["text"]:
                 t = (text or "").encode("utf-8")
-                frames = b"".join(
-                    encode_image_ppm(
-                        _synth_pixels(t + bytes([k]), width, height)
-                    )
+                pix = [
+                    _synth_pixels(t + bytes([k]), width, height)
                     for k in range(n_frames)
-                )
-                rows["content"].append(frames)
-                rows["format"].append("video/ppm-stack")
+                ]
+                if container == "webp-anim":
+                    payload = encode_webp_animation(
+                        pix, [100] * n_frames, quality=90.0
+                    )
+                    fmt = "video/webp-anim"
+                else:
+                    payload = b"".join(encode_image_ppm(p) for p in pix)
+                    fmt = "video/ppm-stack"
+                rows["content"].append(payload)
+                rows["format"].append(fmt)
                 rows["width"].append(width)
                 rows["height"].append(height)
                 rows["n_frames"].append(n_frames)
@@ -440,9 +456,24 @@ def frame_extract(media: DataFrame, every_n: int = 2) -> DataFrame:
             ):
                 # NULL-media hardening (mirrors extract_features): a None
                 # payload or a null/NaN frame count row yields no frames
-                if c is None or fmt != "video/ppm-stack":
+                if c is None or fmt not in (
+                    "video/ppm-stack", "video/webp-anim"
+                ):
                     continue
                 if n is None or pd.isna(n) or int(n) <= 0:
+                    continue
+                if fmt == "video/webp-anim":
+                    # decode + composite once, emit sampled frames as PPM
+                    # so downstream consumers see one frame format
+                    from .vp8 import decode_webp_animation
+
+                    frames, _durs = decode_webp_animation(bytes(c))
+                    for k in range(0, min(int(n), len(frames)), every_n):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k)
+                        out["frame"].append(
+                            encode_image_ppm(frames[k][..., :3])
+                        )
                     continue
                 fsize = len(c) // int(n)
                 for k in range(0, int(n), every_n):

@@ -1240,8 +1240,8 @@ def _find_image_chunk(content: bytes):
         pos += 8 + size + (size & 1)
     if animated:
         raise NotImplementedError(
-            "animated WebP is not supported; still lossy (VP8) and "
-            "lossless (VP8L) decode natively"
+            "container is animated (ANIM/ANMF) — decode it with "
+            "decode_webp_animation; stills (VP8/VP8L) decode here"
         )
     raise ValueError("WebP container has no image chunk")
 
@@ -1283,8 +1283,14 @@ def _yuv420_to_rgb(Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> np.ndarray:
 def decode_image_webp(content: bytes) -> np.ndarray:
     """WebP -> HxWx3 uint8 RGB: lossy VP8 keyframes decode here (4:2:0
     planes + BT.601 upconvert), lossless VP8L via functions/vp8l.py
-    (exact pixels). Sniffed from the container."""
-    fourcc, body = _find_image_chunk(content)
+    (exact pixels), animated containers as their first composited frame.
+    Sniffed from the container."""
+    try:
+        fourcc, body = _find_image_chunk(content)
+    except NotImplementedError:
+        # animated container: return the first composited frame
+        frames, _durs = decode_webp_animation(content)
+        return frames[0][..., :3].copy()
     if fourcc == b"VP8L":
         from .vp8l import decode_image_webp_lossless
 
@@ -1696,3 +1702,258 @@ def encoder_reconstruction(arr: np.ndarray, quality: float = 75.0):
     conformance tests; recomputed via decode of the encoded stream)."""
     data = encode_image_webp(arr, quality)
     return decode_webp_yuv(data)
+
+
+# ---------------------------------------------------------------------------
+# ALPH chunk (alpha plane for lossy frames), RGBA stills, animation
+# ---------------------------------------------------------------------------
+#
+# Container spec layout. ALPH header byte (MSB->LSB): reserved(2),
+# preprocessing(2), filtering(2), compression(2). Compression 0 = raw
+# bytes, 1 = a header-less VP8L image stream whose green channel is the
+# plane (functions/vp8l.py decodes it). Filters predict each pixel from
+# already-decoded neighbors; the first pixel of a row predicts from the
+# pixel above it, the first row from the left.
+
+
+def _alpha_unfilter(plane: np.ndarray, method: int) -> np.ndarray:
+    h, w = plane.shape
+    if method == 0:
+        return plane
+    out = plane.astype(np.int64)
+    if method == 1:  # horizontal
+        for y in range(h):
+            pred = out[y - 1, 0] if y else 0
+            for x in range(w):
+                pred = (pred + out[y, x]) & 0xFF
+                out[y, x] = pred
+    elif method == 2:  # vertical (first row horizontal from 0)
+        pred = 0
+        for x in range(w):
+            pred = (pred + out[0, x]) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            out[y] = (out[y] + out[y - 1]) & 0xFF
+    elif method == 3:  # gradient
+        pred = 0
+        for x in range(w):
+            pred = (pred + out[0, x]) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            left = out[y - 1, 0]
+            top_left = left
+            for x in range(w):
+                top = out[y - 1, x]
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (out[y, x] + g) & 0xFF
+                top_left = top
+                out[y, x] = left
+    else:
+        raise ValueError(f"ALPH: bad filter method {method}")
+    return out.astype(np.uint8)
+
+
+def decode_alph_chunk(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH payload -> (h, w) uint8 alpha plane."""
+    if not body:
+        raise ValueError("ALPH: empty chunk")
+    hdr = body[0]
+    comp = hdr & 0x3
+    filt = (hdr >> 2) & 0x3
+    pre = (hdr >> 4) & 0x3
+    if pre not in (0, 1):
+        raise ValueError(f"ALPH: bad preprocessing {pre}")
+    # pre == 1 (level reduction) needs no inverse; libwebp optionally
+    # smooths the quantized plane, a decoder-side cosmetic we skip
+    if comp == 0:
+        raw = np.frombuffer(body, dtype=np.uint8, count=w * h, offset=1)
+        plane = raw.reshape(h, w).copy()
+    elif comp == 1:
+        from .vp8l import decode_vp8l_alpha
+
+        plane = decode_vp8l_alpha(body[1:], w, h)
+    else:
+        raise ValueError(f"ALPH: bad compression method {comp}")
+    return _alpha_unfilter(plane, filt)
+
+
+def _walk_chunks(content: bytes):
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    pos = 12
+    end = min(len(content), 8 + struct.unpack("<I", content[4:8])[0])
+    while pos + 8 <= end:
+        fourcc = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        yield fourcc, content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _decode_still_rgba(chunks) -> np.ndarray:
+    """Compose ALPH + VP8 / VP8L chunks into HxWx4 RGBA."""
+    alph = None
+    for fourcc, body in chunks:
+        if fourcc == b"ALPH":
+            alph = body
+        elif fourcc == b"VP8L":
+            from .vp8l import decode_vp8l_argb
+
+            argb, w, h = decode_vp8l_argb(body)
+            a = (argb >> 24).astype(np.uint8)
+            r = ((argb >> 16) & 0xFF).astype(np.uint8)
+            g = ((argb >> 8) & 0xFF).astype(np.uint8)
+            b = (argb & 0xFF).astype(np.uint8)
+            return np.stack([r, g, b, a], axis=-1).reshape(h, w, 4)
+        elif fourcc == b"VP8 ":
+            Y, U, V, _h = _decode_webp_vp8_frame(body)
+            rgb = _yuv420_to_rgb(Y, U, V)
+            h, w = rgb.shape[:2]
+            if alph is not None:
+                alpha = decode_alph_chunk(alph, w, h)
+            else:
+                alpha = np.full((h, w), 255, np.uint8)
+            return np.dstack([rgb, alpha])
+    raise ValueError("WebP payload has no image chunk")
+
+
+def decode_webp_rgba(content: bytes) -> np.ndarray:
+    """Still WebP (lossy incl. ALPH alpha plane, or lossless) ->
+    HxWx4 uint8 RGBA."""
+    return _decode_still_rgba(list(_walk_chunks(content)))
+
+
+# --- animation (VP8X/ANIM/ANMF) ---------------------------------------------
+
+
+def _sub_chunks(body: bytes):
+    pos = 0
+    while pos + 8 <= len(body):
+        fourcc = body[pos : pos + 4]
+        size = struct.unpack("<I", body[pos + 4 : pos + 8])[0]
+        yield fourcc, body[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def decode_webp_animation(content: bytes):
+    """Animated WebP -> (frames uint8 [n, ch, cw, 4], durations_ms).
+
+    Compositing per the container spec: canvas starts fully transparent;
+    each ANMF frame either overwrites its rect (blend bit set = no
+    blend) or alpha-blends onto it (straight, non-premultiplied); the
+    dispose-to-background method clears the frame's rect to transparent
+    before the NEXT frame. Frame x/y offsets are stored halved."""
+    canvas_w = canvas_h = None
+    frames = []
+    durations = []
+    canvas = None
+    for fourcc, body in _walk_chunks(content):
+        if fourcc == b"VP8X":
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+            canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X in animated WebP")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            rgba = _decode_still_rgba(list(_sub_chunks(body[16:])))
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError(
+                    f"ANMF frame decodes to {rgba.shape[:2]}, header says "
+                    f"({fh}, {fw})"
+                )
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                region[:] = rgba
+            else:
+                sa = rgba[..., 3:4].astype(np.int64)
+                da = region[..., 3:4].astype(np.int64)
+                oa = sa + da * (255 - sa) // 255
+                num = (
+                    rgba[..., :3].astype(np.int64) * sa
+                    + region[..., :3].astype(np.int64) * da * (255 - sa) // 255
+                )
+                safe = np.maximum(oa, 1)
+                region[..., :3] = (num // safe).astype(np.uint8)
+                region[..., 3:4] = oa.astype(np.uint8)
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        # VP8 /VP8L at top level would be a still; ignore here
+    if not frames:
+        raise ValueError("WebP container has no ANMF frames")
+    return np.stack(frames), durations
+
+
+def encode_webp_animation(
+    frames,
+    durations,
+    quality: float = 90.0,
+    offsets=None,
+    no_blend=None,
+    dispose_bg=None,
+    loop_count: int = 0,
+) -> bytes:
+    """Mux an animated WebP from RGB(A) frames: VP8X + ANIM + one ANMF
+    per frame. Frames are encoded lossy (functions/vp8.py); an alpha
+    channel, if present, rides as a RAW-compression ALPH chunk. Frames
+    may be smaller than the canvas via ``offsets`` [(x, y), ...] (even
+    values, per the halved storage); canvas = frame 0's bounding size
+    unless offsets demand more."""
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    no_blend = no_blend if no_blend is not None else [True] * n
+    dispose_bg = dispose_bg if dispose_bg is not None else [False] * n
+    cw = max(o[0] + f.shape[1] for o, f in zip(offsets, frames))
+    ch = max(o[1] + f.shape[0] for o, f in zip(offsets, frames))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    out = bytearray()
+    # VP8X: flag bit 1 = animation (byte0 bit 0x02), alpha bit 0x10
+    has_alpha = any(f.shape[-1] == 4 for f in frames)
+    flags = 0x02 | (0x10 if has_alpha else 0)
+    vp8x = bytes([flags, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (
+        ch - 1
+    ).to_bytes(3, "little")
+    out += chunk(b"VP8X", vp8x)
+    out += chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, loop_count))
+    for f, (x, y), dur, nb, db in zip(
+        frames, offsets, durations, no_blend, dispose_bg
+    ):
+        if x & 1 or y & 1:
+            raise ValueError("ANMF offsets must be even (stored halved)")
+        fh, fw = f.shape[:2]
+        rgb = f[..., :3]
+        payload = bytearray()
+        if f.shape[-1] == 4:
+            alph = bytes([0]) + np.ascontiguousarray(f[..., 3]).tobytes()
+            payload += chunk(b"ALPH", alph)
+        still = encode_image_webp(rgb, quality)
+        for fourcc, body in _walk_chunks(still):
+            if fourcc == b"VP8 ":
+                payload += chunk(b"VP8 ", body)
+                break
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([(0x02 if nb else 0) | (0x01 if db else 0)])
+        )
+        out += chunk(b"ANMF", bytes(head) + bytes(payload))
+    riff = b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + bytes(out)
+    return riff

@@ -486,7 +486,20 @@ def decode_vp8l_argb(payload: bytes):
     version = br.read(3)
     if version != 0:
         raise ValueError(f"VP8L: unsupported version {version}")
+    return _decode_argb_body(br, w, h), w, h
 
+
+def decode_vp8l_alpha(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk's lossless-compressed payload: a header-less
+    VP8L image stream of KNOWN dimensions whose green channel carries
+    the alpha plane (WebP container spec §Alpha; libwebp encodes these
+    with transforms allowed, so the full level-0 path runs)."""
+    br = _BitReader(data)
+    argb = _decode_argb_body(br, w, h)
+    return ((argb >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+
+
+def _decode_argb_body(br: _BitReader, w: int, h: int) -> np.ndarray:
     # transforms (top-level image only, each type at most once)
     transforms = []
     coded_w = w
@@ -537,7 +550,7 @@ def decode_vp8l_argb(payload: bytes):
             _apply_inverse_predictor(argb, cur_w, h, timg, bits)
         else:
             _apply_inverse_color_transform(argb, cur_w, h, timg, bits)
-    return argb, w, h
+    return argb
 
 
 def _find_vp8l_chunk(content: bytes) -> bytes:

@@ -81,14 +81,17 @@ def test_decode_image_dispatches_jpeg():
     sof10 = enc.replace(b"\xff\xc0", b"\xff\xca", 1)
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_image_jpeg(sof10)
-    # lossy AND lossless webp are SUPPORTED now (vp8.py / vp8l.py);
-    # animated webp stays the documented integration point
+    # every webp variant decodes natively now (lossy/lossless/animated);
+    # a degenerate animation with no frames is invalid, not unsupported
     anim = (
         b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
         + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="ANMF"):
         decode_image(anim, "image/webp")
+    # genuinely unknown formats are the NotImplementedError contract
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 8, "image/avif")
 
 
 def test_bmp_encoder_roundtrips_through_decoder():

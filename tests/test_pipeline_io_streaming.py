@@ -197,14 +197,10 @@ def test_decode_image_exotic_formats_still_integration_point():
 
     from nlp_series_relation_extraction_spark.functions import multimodal
 
-    # lossy AND lossless webp decode natively now (vp8.py / vp8l.py);
-    # the remaining integration point is animated webp
-    anim = (
-        b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
-        + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
-    )
+    # every built-in format decodes natively now; the integration-point
+    # contract remains for genuinely unknown formats
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(anim, "image/webp")
+        multimodal.decode_image(b"\x00" * 8, "image/avif")
 
 
 def test_resize_and_real_feature_path():

@@ -108,14 +108,15 @@ def test_container_rejects_non_webp():
         vp8.decode_image_webp(b"\x89PNG" + b"\x00" * 16)
 
 
-def test_container_animated_documented_unsupported():
-    # still lossy AND lossless decode natively (vp8.py / vp8l.py);
-    # animation is the remaining documented gap
+def test_degenerate_animation_without_frames_rejected():
+    # an animated container with an ANIM header but no ANMF frames has
+    # nothing to decode; real animations decode via decode_webp_animation
+    # (and through decode_image_webp as their first composited frame)
     anim = (
         b"RIFF" + (18).to_bytes(4, "little") + b"WEBP"
         + b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="ANMF"):
         vp8.decode_image_webp(anim)
 
 
