@@ -173,6 +173,10 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .vp8 import decode_image_webp
 
         return decode_image_webp(content)
+    if f in ("image/gif", "gif"):
+        from .gif import decode_image_gif
+
+        return decode_image_gif(content)
     if f in ("video/webp-anim", "image/webp-anim"):
         from .vp8 import decode_webp_animation
 
@@ -180,8 +184,8 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(
         f"no built-in decoder for {fmt!r} — integrate PIL/opencv here; "
         "ppm/bmp/jpeg(baseline+progressive+arithmetic)/png/tiff(none+lzw+"
-        "deflate+packbits+jpeg)/webp(lossy+lossless+animated) decode "
-        "natively"
+        "deflate+packbits+jpeg)/webp(lossy+lossless+animated)/gif(static+"
+        "animated) decode natively"
     )
 
 
@@ -244,6 +248,8 @@ def synthesize_media(
 
         from .tiff import encode_image_tiff, encode_image_tiff_jpeg
 
+        from .gif import encode_image_gif
+
         from .jpeg_arith import encode_image_jpeg_arith
 
         from .vp8 import encode_image_webp
@@ -279,6 +285,7 @@ def synthesize_media(
             "image/jpeg-arithmetic": lambda a: encode_image_jpeg_arith(
                 a, quality=90, subsampling="420"
             ),
+            "image/gif": encode_image_gif,
         }
         for pdf in batches:
             out = {

@@ -1163,8 +1163,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible): documents -> real MIXED-codec payloads (PPM, 24-bit
     BMP, baseline AND progressive JPEG, PNG, TIFF in all four
     compressions — none, LZW+predictor, deflate+predictor, PackBits —
-    lossy WebP (VP8 keyframe), JPEG-in-TIFF (TTN2), and arithmetic-coded
-    JPEG (SOF9), cycling by id; every built-in decoder
+    lossy WebP (VP8 keyframe), JPEG-in-TIFF (TTN2), arithmetic-coded
+    JPEG (SOF9), and GIF, cycling by id; every built-in decoder
     incl. functions/jpeg.py, functions/png.py, functions/tiff.py and
     functions/vp8.py runs) -> decode -> per-channel
     stats + thumbnail features (functions/multimodal.py). The
@@ -1178,7 +1178,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "image/jpeg-progressive", "image/png", "image/tiff",
                  "image/tiff-lzw", "image/tiff-deflate",
                  "image/tiff-packbits", "image/webp", "image/tiff-jpeg",
-                 "image/jpeg-arithmetic"),
+                 "image/jpeg-arithmetic", "image/gif"),
     )
     out = extract_features(media)
     return out.select(
