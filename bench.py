@@ -62,6 +62,7 @@ RELATIONAL = [
     "bpe_merges",
     "redact_sample",
     "media_meta",
+    "media_features",
     "audio_meta",
     "audio_features",
     "decontaminate",

@@ -329,10 +329,11 @@ def synthesize_video(
     df: DataFrame, id_col: str, text_col: str, n_frames: int = 6,
     width: int = 8, height: int = 6, container: str = "ppm-stack",
 ) -> DataFrame:
-    """Video payloads: ``n_frames`` frames in one binary column — either
+    """Video payloads: ``n_frames`` frames in one binary column —
     concatenated PPM frames ("ppm-stack", every frame the same byte size
-    so slicing is exact) or a REAL animated WebP ("webp-anim": VP8X/ANIM/
-    ANMF container, lossy VP8 frames, functions/vp8.py)."""
+    so slicing is exact), a REAL animated WebP ("webp-anim": VP8X/ANIM/
+    ANMF container, lossy VP8 frames, functions/vp8.py), or a REAL
+    animated GIF ("gif-anim", functions/gif.py)."""
     import pandas as pd
 
     def gen(batches):
@@ -352,6 +353,11 @@ def synthesize_video(
                         pix, [100] * n_frames, quality=90.0
                     )
                     fmt = "video/webp-anim"
+                elif container == "gif-anim":
+                    from .gif import encode_gif_animation
+
+                    payload = encode_gif_animation(pix, [100] * n_frames)
+                    fmt = "video/gif-anim"
                 else:
                     payload = b"".join(encode_image_ppm(p) for p in pix)
                     fmt = "video/ppm-stack"
@@ -464,17 +470,20 @@ def frame_extract(media: DataFrame, every_n: int = 2) -> DataFrame:
                 # NULL-media hardening (mirrors extract_features): a None
                 # payload or a null/NaN frame count row yields no frames
                 if c is None or fmt not in (
-                    "video/ppm-stack", "video/webp-anim"
+                    "video/ppm-stack", "video/webp-anim", "video/gif-anim"
                 ):
                     continue
                 if n is None or pd.isna(n) or int(n) <= 0:
                     continue
-                if fmt == "video/webp-anim":
+                if fmt in ("video/webp-anim", "video/gif-anim"):
                     # decode + composite once, emit sampled frames as PPM
                     # so downstream consumers see one frame format
-                    from .vp8 import decode_webp_animation
+                    if fmt == "video/webp-anim":
+                        from .vp8 import decode_webp_animation as dec_anim
+                    else:
+                        from .gif import decode_gif_animation as dec_anim
 
-                    frames, _durs = decode_webp_animation(bytes(c))
+                    frames, _durs = dec_anim(bytes(c))
                     for k in range(0, min(int(n), len(frames)), every_n):
                         out["media_id"].append(mid)
                         out["frame_idx"].append(k)

@@ -155,3 +155,25 @@ def test_multimodal_dispatch_gif():
     pal = _RNG.integers(0, 256, (32, 3), dtype=np.uint8)
     img = pal[_RNG.integers(0, 32, (12, 15))]
     assert (decode_image(G.encode_image_gif(img), "image/gif") == img).all()
+
+
+def test_frame_extract_animated_gif(spark):
+    from nlp_series_relation_extraction_spark.functions.multimodal import (
+        decode_image,
+        frame_extract,
+        synthesize_video,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "first doc"), (1, "second doc")], "doc_id long, text string"
+    )
+    media = synthesize_video(
+        docs, "doc_id", "text", n_frames=4, container="gif-anim"
+    )
+    rows = frame_extract(media, every_n=2).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in rows) == [
+        (0, 0), (0, 2), (1, 0), (1, 2),
+    ]
+    for r in rows:
+        img = decode_image(bytes(r.frame), "image/ppm")
+        assert img.shape == (6, 8, 3)
