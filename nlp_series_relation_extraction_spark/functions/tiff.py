@@ -7,11 +7,13 @@ option: classic (non-Big) TIFF, either byte order, compression 1 (none),
 early-change code widths and optional horizontal predictor), 8/32946
 (zlib deflate — Adobe and legacy tags) or 32773 (PackBits RLE, the
 fax/scanner staple), 8 bits per sample, 1 (grayscale) or 3 (RGB) samples
-per pixel, chunky planar config, strip-based layout (any RowsPerStrip,
-incl. one strip) — plus new-style JPEG-in-TIFF (TTN2 compression 7,
-abbreviated strips against a shared JPEGTables tag, cross-checked both
-ways against libtiff). Tiled layout and BigTIFF remain with the other
-exotics at the decode_image integration point.
+per pixel, chunky planar config, strip-based AND tiled layout (TIFF 6.0
+§15, per-tile compression and predictor), classic AND BigTIFF headers
+(magic 43: 8-byte offsets, 20-byte IFD entries, LONG8/SLONG8/IFD8 tag
+types) — plus new-style JPEG-in-TIFF (TTN2 compression 7, abbreviated
+strips against a shared JPEGTables tag). Conformance is cross-checked
+both ways against libtiff, including the LZW early-change width
+boundaries at 511/1023/2047 that only large images reach.
 
 Layout refresher: an 8-byte header (II*\0 / MM\0*) points at the first
 IFD — a count followed by 12-byte tag entries (tag, type, count, value/
@@ -37,6 +39,10 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_JPEG_TABLES = 347
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
@@ -44,9 +50,9 @@ _LZW_CLEAR, _LZW_EOI = 256, 257
 
 def _lzw_decode(data: bytes) -> bytes:
     """TIFF-variant LZW: MSB-first bit packing, 9->12-bit codes with the
-    spec's "early change" (width bumps when the NEXT code to assign is
-    2^w - 1, i.e. at 511/1023/2047, one code earlier than plain LZW).
-    TIFF 6.0 §13; same scheme every libtiff writer emits."""
+    spec's "early change" (widths bump one code earlier than plain LZW).
+    TIFF 6.0 §13; boundary placement pinned empirically against libtiff
+    streams in tests/test_tiff.py."""
     out = bytearray()
     table: list[bytes] = []
     width = 9
@@ -89,11 +95,12 @@ def _lzw_decode(data: bytes) -> bytes:
             raise ValueError("corrupt LZW stream: code beyond table")
         out += entry
         prev = entry
-        # early change, decoder side: the decoder's table lags the
-        # encoder's by exactly one entry (the encoder defines code k when
-        # emitting, the decoder when reading the NEXT code), so it must
-        # widen one entry earlier still — at 510/1022/2046.
-        if len(table) == (1 << width) - 2 and width < 12:
+        # early change, decoder side: widen after defining entry
+        # 2^w - 1 (511/1023/2047) — exactly libtiff's
+        # free_entp > maxcodep schedule. (A -2 variant decoded our own
+        # old streams but NOT libtiff's: real libtiff LZW past 253 table
+        # entries failed until this was pinned against its output.)
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
 
 
@@ -127,9 +134,12 @@ def _lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[wc] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        # early change, encoder side: first 10-bit emit is the one AFTER
+        # defining code 511 (libtiff: free_ent > MAXCODE(nbits)); still
+        # one code earlier than plain LZW
+        if next_code == (1 << width) and width < 12:
             width += 1
-        if next_code >= 4094:  # table nearly full: clear, like libtiff
+        if next_code >= 4095:  # table full: clear, like libtiff
             emit(_LZW_CLEAR, width)
             table = fresh()
             next_code, width = 258, 9
@@ -141,19 +151,23 @@ def _lzw_encode(data: bytes) -> bytes:
         out.append((buf << (8 - nbuf)) & 0xFF)
     return bytes(out)
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _read_values(buf, e, typ, count, value_field):
+def _read_values(buf, e, typ, count, value_field, big=False):
+    """Tag values, inline when they fit the value field (4 bytes classic,
+    8 bytes BigTIFF) else via the offset stored there. Types 16/17/18
+    (LONG8/SLONG8/IFD8) are BigTIFF's 8-byte additions."""
     size = _TYPE_SIZES.get(typ)
     if size is None or typ not in _TYPE_FMT:
         raise ValueError(f"unsupported TIFF tag type {typ}")
     total = size * count
-    if total <= 4:
+    inline = 8 if big else 4
+    if total <= inline:
         raw = value_field[:total]
     else:
-        (off,) = struct.unpack(e + "I", value_field)
+        (off,) = struct.unpack(e + ("Q" if big else "I"), value_field)
         raw = buf[off : off + total]
     return list(struct.unpack(e + _TYPE_FMT[typ] * count, raw))
 
@@ -216,22 +230,42 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
         e = ">"
     else:
         raise ValueError("not a TIFF: bad byte order mark")
-    magic, ifd_off = struct.unpack(e + "HI", content[2:8])
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    (n_tags,) = struct.unpack(e + "H", content[ifd_off : ifd_off + 2])
+    (magic,) = struct.unpack(e + "H", content[2:4])
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack(e + "I", content[4:8])
+    elif magic == 43:  # BigTIFF
+        big = True
+        off_size, pad = struct.unpack(e + "HH", content[4:8])
+        if off_size != 8 or pad != 0:
+            raise ValueError(
+                f"invalid BigTIFF header (offset size {off_size}, pad {pad})"
+            )
+        (ifd_off,) = struct.unpack(e + "Q", content[8:16])
+    else:
+        raise ValueError(f"not a TIFF (magic {magic}, expected 42 or 43)")
+    if big:
+        (n_tags,) = struct.unpack(e + "Q", content[ifd_off : ifd_off + 8])
+        base, esize, vsize = ifd_off + 8, 20, 8
+    else:
+        (n_tags,) = struct.unpack(e + "H", content[ifd_off : ifd_off + 2])
+        base, esize, vsize = ifd_off + 2, 12, 4
     tags = {}
     for i in range(n_tags):
-        o = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack(e + "HHI", content[o : o + 8])
-        tags[tag] = (typ, count, content[o + 8 : o + 12])
+        o = base + esize * i
+        tag, typ = struct.unpack(e + "HH", content[o : o + 4])
+        if big:
+            (count,) = struct.unpack(e + "Q", content[o + 4 : o + 12])
+        else:
+            (count,) = struct.unpack(e + "I", content[o + 4 : o + 8])
+        tags[tag] = (typ, count, content[o + esize - vsize : o + esize])
     def vals(tag, default=None):
         if tag not in tags:
             if default is not None:
                 return default
             raise ValueError(f"TIFF missing required tag {tag}")
         typ, count, vf = tags[tag]
-        return _read_values(content, e, typ, count, vf)
+        return _read_values(content, e, typ, count, vf, big)
 
     w, h = vals(_TAG_WIDTH)[0], vals(_TAG_HEIGHT)[0]
     comp = vals(_TAG_COMPRESSION, [1])[0]
@@ -276,6 +310,10 @@ def decode_image_tiff(content: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF predictor {predictor} unsupported (only 1 = none, "
             "2 = horizontal differencing)"
+        )
+    if _TAG_TILE_WIDTH in tags:
+        return _decode_tiled(
+            content, vals, w, h, spp, comp, predictor, photometric
         )
     offsets = vals(_TAG_STRIP_OFFSETS)
     counts = vals(_TAG_STRIP_COUNTS)
@@ -602,3 +640,53 @@ def encode_image_tiff_jpeg(
     for s in strips:
         out += s
     return bytes(out)
+
+
+def _decode_tiled(content, vals, w, h, spp, comp, predictor, photometric):
+    """Tiled layout (TIFF 6.0 §15): the image is a grid of fixed-size
+    tiles, each an independently compressed tw x tl block (edge tiles
+    padded to full size); the predictor restarts on every tile row."""
+    tw = vals(_TAG_TILE_WIDTH)[0]
+    tl = vals(_TAG_TILE_LENGTH)[0]
+    if tw % 16 or tl % 16:
+        raise ValueError(f"TIFF tile size {tw}x{tl} not multiples of 16")
+    offsets = vals(_TAG_TILE_OFFSETS)
+    counts = vals(_TAG_TILE_COUNTS)
+    ntx = -(-w // tw)
+    nty = -(-h // tl)
+    if len(offsets) < ntx * nty:
+        raise ValueError(
+            f"TIFF tiled: {len(offsets)} tiles for a {ntx}x{nty} grid"
+        )
+    canvas = np.zeros((nty * tl, ntx * tw, spp), np.uint8)
+    for i in range(ntx * nty):
+        data = content[offsets[i] : offsets[i] + counts[i]]
+        if comp == 5:
+            data = _lzw_decode(data)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"invalid TIFF: bad deflate tile ({exc})"
+                )
+        elif comp == 32773:
+            data = _packbits_decode(data)
+        need = tw * tl * spp
+        if len(data) < need:
+            raise ValueError(
+                f"TIFF tile {i} truncated: {len(data)} < {need}"
+            )
+        tile = np.frombuffer(data, np.uint8, count=need).reshape(tl, tw, spp)
+        if predictor == 2:
+            tile = np.cumsum(tile.astype(np.uint32), axis=1).astype(np.uint8)
+        ty, tx = divmod(i, ntx)
+        canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+    arr = canvas[:h, :w]
+    if photometric == 0:
+        arr = 255 - arr
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return np.ascontiguousarray(arr)

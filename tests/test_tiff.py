@@ -308,3 +308,116 @@ def test_packbits_packets_never_span_row_boundaries():
                     continue
                 assert take <= row_left, "packet spans a row boundary"
                 row_left -= take
+
+
+# --- tiled layout + BigTIFF ---------------------------------------------------
+
+
+def _libtiff_ref():
+    try:
+        from tests import tiff_ref
+    except ImportError:
+        import tiff_ref
+    return tiff_ref if tiff_ref.LIB is not None else None
+
+
+def test_bigtiff_handcrafted_uncompressed():
+    """Hand-built minimal BigTIFF (magic 43, 8-byte offsets, 20-byte IFD
+    entries, LONG8 tag values) decodes exactly."""
+    import struct
+
+    img = _img(5, 7)
+    e = "<"
+    raster = img.tobytes()
+    # header(16) + IFD: count(8) + 8 entries * 20 + next(8)
+    n_tags = 8
+    ifd_off = 16
+    data_off = ifd_off + 8 + n_tags * 20 + 8
+    bits_off = data_off + len(raster)
+
+    def entry(tag, typ, count, value):
+        return struct.pack(e + "HHQ", tag, typ, count) + value
+
+    def v8(v):
+        return struct.pack(e + "Q", v)
+
+    entries = [
+        entry(256, 16, 1, v8(7)),            # width (LONG8)
+        entry(257, 16, 1, v8(5)),            # height
+        entry(258, 3, 3, struct.pack(e + "HHH", 8, 8, 8) + b"\0\0"),
+        entry(259, 3, 1, struct.pack(e + "H", 1) + b"\0" * 6),
+        entry(262, 3, 1, struct.pack(e + "H", 2) + b"\0" * 6),
+        entry(273, 16, 1, v8(data_off)),     # strip offset
+        entry(277, 3, 1, struct.pack(e + "H", 3) + b"\0" * 6),
+        entry(279, 16, 1, v8(len(raster))),  # strip byte count
+    ]
+    out = b"II" + struct.pack(e + "HHH", 43, 8, 0) + struct.pack(e + "Q", 16)
+    out += struct.pack(e + "Q", n_tags)
+    for ent in entries:
+        out += ent
+    out += struct.pack(e + "Q", 0)
+    out += raster
+    assert (decode_image_tiff(out) == img).all()
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate", "packbits"])
+def test_tiled_tiff_from_libtiff(compression):
+    ref = _libtiff_ref()
+    if ref is None:
+        pytest.skip("system libtiff not available")
+    img = _img(40, 56, seed=5)
+    data = ref.write_tiff(img, compression=compression, tiled=(16, 16))
+    assert (decode_image_tiff(data) == img).all(), compression
+
+
+def test_tiled_lzw_predictor_from_libtiff():
+    ref = _libtiff_ref()
+    if ref is None:
+        pytest.skip("system libtiff not available")
+    img = _img(33, 47, seed=6)  # non-multiple of the tile grid
+    data = ref.write_tiff(img, compression="lzw", predictor=2, tiled=(16, 32))
+    assert (decode_image_tiff(data) == img).all()
+
+
+def test_bigtiff_from_libtiff():
+    ref = _libtiff_ref()
+    if ref is None:
+        pytest.skip("system libtiff not available")
+    img = _img(21, 34, seed=7)
+    data = ref.write_tiff(img, compression="lzw", bigtiff=True)
+    assert data[2:4] == b"\x2b\x00"  # magic 43
+    assert (decode_image_tiff(data) == img).all()
+
+
+def test_bigtiff_tiled_combined():
+    ref = _libtiff_ref()
+    if ref is None:
+        pytest.skip("system libtiff not available")
+    img = _img(40, 40, seed=8)
+    data = ref.write_tiff(
+        img, compression="deflate", predictor=2, tiled=(16, 16), bigtiff=True
+    )
+    assert (decode_image_tiff(data) == img).all()
+
+
+def test_lzw_width_boundaries_interop_with_libtiff():
+    """The early-change width schedule must match libtiff EXACTLY past
+    the 511/1023/2047 table boundaries (a self-consistent off-by-one
+    here decoded our own files but not the world's): a large noise image
+    crosses all three boundaries; both directions must be pixel-exact."""
+    ref = _libtiff_ref()
+    if ref is None:
+        pytest.skip("system libtiff not available")
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    # libtiff writes (single big strips force long LZW streams) -> we read
+    data = ref.write_tiff(img, compression="lzw")
+    assert (decode_image_tiff(data) == img).all()
+    # we write -> libtiff reads
+    mine = encode_image_tiff(img, compression="lzw")
+    assert (ref.read_rgb(mine, 120, 80) == img).all()
+    # and with the horizontal predictor on both sides
+    data2 = ref.write_tiff(img, compression="lzw", predictor=2)
+    assert (decode_image_tiff(data2) == img).all()
+    mine2 = encode_image_tiff(img, compression="lzw", predictor=2)
+    assert (ref.read_rgb(mine2, 120, 80) == img).all()

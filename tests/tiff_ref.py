@@ -14,8 +14,11 @@ import numpy as np
 _TAGS = dict(
     IMAGEWIDTH=256, IMAGELENGTH=257, BITSPERSAMPLE=258, COMPRESSION=259,
     PHOTOMETRIC=262, SAMPLESPERPIXEL=277, ROWSPERSTRIP=278,
-    PLANARCONFIG=284, JPEGQUALITY=65537, JPEGCOLORMODE=65538,
+    PLANARCONFIG=284, PREDICTOR=317, TILEWIDTH=322, TILELENGTH=323,
+    JPEGQUALITY=65537, JPEGCOLORMODE=65538,
 )
+
+_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
 def load_libtiff():
@@ -38,6 +41,10 @@ def load_libtiff():
     lib.TIFFWriteScanline.restype = ctypes.c_int
     lib.TIFFWriteScanline.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16
+    ]
+    lib.TIFFWriteEncodedTile.restype = ctypes.c_ssize_t
+    lib.TIFFWriteEncodedTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_ssize_t
     ]
     lib.TIFFClose.argtypes = [ctypes.c_void_p]
     lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
@@ -115,5 +122,61 @@ def read_rgb(data: bytes, w: int, h: int) -> np.ndarray:
             .reshape(h, w, 3)
             .astype(np.uint8)
         )
+    finally:
+        os.unlink(path)
+
+
+def write_tiff(arr: np.ndarray, compression: str = "lzw", predictor: int = 1,
+               tiled: tuple | None = None, bigtiff: bool = False) -> bytes:
+    """libtiff writes an HxWx3 RGB array: strip- or tile-based, classic
+    or BigTIFF, any of the basic compressions."""
+    h, w, _ = arr.shape
+    path = tempfile.mktemp(suffix=".tif")
+    tif = LIB.TIFFOpen(path.encode(), b"w8" if bigtiff else b"w")
+    if not tif:
+        raise RuntimeError("TIFFOpen(w) failed")
+    try:
+        fields = [
+            ("IMAGEWIDTH", w), ("IMAGELENGTH", h), ("BITSPERSAMPLE", 8),
+            ("SAMPLESPERPIXEL", 3), ("COMPRESSION", _COMP_IDS[compression]),
+            ("PHOTOMETRIC", 2), ("PLANARCONFIG", 1),
+        ]
+        if predictor != 1:
+            fields.append(("PREDICTOR", predictor))
+        if tiled:
+            tw, tl = tiled
+            fields += [("TILEWIDTH", tw), ("TILELENGTH", tl)]
+        else:
+            fields.append(("ROWSPERSTRIP", 16))
+        for key, v in fields:
+            if _setf(LIB, tif, _TAGS[key], v) != 1:
+                raise RuntimeError(f"TIFFSetField({key}) failed")
+        # MUST be a private copy: libtiff's predictor encode differences
+        # the caller's buffer IN PLACE (PredictorEncodeRow)
+        buf = np.array(arr, dtype=np.uint8, copy=True)
+        if tiled:
+            tw, tl = tiled
+            ntx, nty = -(-w // tw), -(-h // tl)
+            tile_no = 0
+            for ty in range(nty):
+                for tx in range(ntx):
+                    tile = np.zeros((tl, tw, 3), np.uint8)
+                    ys, xs = ty * tl, tx * tw
+                    sub = buf[ys : ys + tl, xs : xs + tw]
+                    tile[: sub.shape[0], : sub.shape[1]] = sub
+                    tile = np.ascontiguousarray(tile)
+                    if LIB.TIFFWriteEncodedTile(
+                        tif, tile_no, tile.ctypes.data, tile.nbytes
+                    ) < 0:
+                        raise RuntimeError(f"WriteEncodedTile {tile_no}")
+                    tile_no += 1
+        else:
+            for r in range(h):
+                if LIB.TIFFWriteScanline(tif, buf[r].ctypes.data, r, 0) != 1:
+                    raise RuntimeError(f"TIFFWriteScanline row {r} failed")
+    finally:
+        LIB.TIFFClose(tif)
+    try:
+        return open(path, "rb").read()
     finally:
         os.unlink(path)
