@@ -1696,13 +1696,6 @@ def encode_image_webp(arr: np.ndarray, quality: float = 75.0) -> bytes:
     return riff
 
 
-def encoder_reconstruction(arr: np.ndarray, quality: float = 75.0):
-    """The encoder's in-loop (Y, U, V) reconstruction for an input —
-    what any conforming decoder must reproduce bit-exactly (used by the
-    conformance tests; recomputed via decode of the encoded stream)."""
-    data = encode_image_webp(arr, quality)
-    return decode_webp_yuv(data)
-
 
 # ---------------------------------------------------------------------------
 # ALPH chunk (alpha plane for lossy frames), RGBA stills, animation
