@@ -349,6 +349,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 8,
     n_train: int = 256,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path alongside the LSH one: k-means centroids partition the corpus;
@@ -374,25 +375,31 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    train = (
-        embeddings.where(F.col(id_col) < n_train)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .collect()
-    )
-    V = np.asarray([r.v for r in train], dtype=np.float64)
-    if len(V) < n_clusters:
-        # small-corpus degradation is silent otherwise: fewer training
-        # vectors than centroids leaves duplicate/empty clusters (and an
-        # empty V crashes argmin) — clamp with a clear contract instead
-        if len(V) == 0:
-            raise ValueError(
-                f"ivf_topk: no training vectors ({id_col} < n_train="
-                f"{n_train} matched nothing) — raise n_train or check ids"
-            )
-        n_clusters = len(V)
+    if centroids is not None:
+        # full-corpus trainer path: distml.kmeans_fit's [k, d] matrix
+        # (or any caller-built coarse quantizer) skips the sample fit
+        C = np.asarray(centroids, dtype=np.float64)
+        n_clusters = len(C)
+    else:
+        train = (
+            embeddings.where(F.col(id_col) < n_train)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy("id")
+            .collect()
+        )
+        V = np.asarray([r.v for r in train], dtype=np.float64)
+        if len(V) < n_clusters:
+            # small-corpus degradation is silent otherwise: fewer training
+            # vectors than centroids leaves duplicate/empty clusters (and an
+            # empty V crashes argmin) — clamp with a clear contract instead
+            if len(V) == 0:
+                raise ValueError(
+                    f"ivf_topk: no training vectors ({id_col} < n_train="
+                    f"{n_train} matched nothing) — raise n_train or check ids"
+                )
+            n_clusters = len(V)
+        C = _kmeans_fit(V, n_clusters)  # [n_clusters, dim]
     n_probe = min(n_probe, n_clusters)
-    C = _kmeans_fit(V, n_clusters)  # [n_clusters, dim]
 
     from .partitioning import ensure_parallelism
 
@@ -654,6 +661,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_train: int = 256,
     max_iter: int = 10,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding corpus, find
@@ -678,9 +686,14 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    V = _collect_train(embeddings, id_col, vec_col, n_train, "semantic_dedup")
-    n_clusters = min(n_clusters, len(V))
-    C = _kmeans_fit(V, n_clusters)
+    if centroids is not None:
+        # full-corpus trainer path (distml.kmeans_fit), cf. ivf_topk
+        C = np.asarray(centroids, dtype=np.float64)
+        n_clusters = len(C)
+    else:
+        V = _collect_train(embeddings, id_col, vec_col, n_train, "semantic_dedup")
+        n_clusters = min(n_clusters, len(V))
+        C = _kmeans_fit(V, n_clusters)
 
     from .partitioning import ensure_parallelism
 

@@ -1,0 +1,246 @@
+"""Distributed model fits (functions/distml.py) vs their numpy twins.
+
+The twins run the IDENTICAL recursion over the flat matrix; the
+distributed fits differ only in summation order, so centroids/weights
+match to float tolerance and hard assignments/predictions match exactly
+on non-degenerate data.
+"""
+
+import numpy as np
+import pytest
+
+from nlp_series_relation_extraction_spark.functions.distml import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_fit_numpy,
+    logreg_fit,
+    logreg_fit_numpy,
+    logreg_predict,
+    pca_fit,
+    pca_fit_numpy,
+    pca_transform,
+)
+
+
+def _clustered(n=240, d=8, k=4, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 6.0
+    V = centers[np.arange(n) % k] + rng.normal(size=(n, d))
+    return V
+
+
+def _vec_df(spark, V, n_parts=None):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(V)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.repartition(n_parts) if n_parts else df
+
+
+class TestKMeans:
+    def test_matches_numpy_twin(self, spark):
+        V = _clustered()
+        C_s, inertia_s = kmeans_fit(
+            _vec_df(spark, V, 7), "vec_id", "embedding", k=4, n_iter=6
+        )
+        C_n, inertia_n = kmeans_fit_numpy(V, 4, n_iter=6)
+        np.testing.assert_allclose(C_s, C_n, rtol=1e-9, atol=1e-9)
+        assert inertia_s == pytest.approx(inertia_n, rel=1e-9)
+
+    def test_partitioning_invariant(self, spark):
+        V = _clustered(seed=11)
+        C_a, _ = kmeans_fit(_vec_df(spark, V, 3), "vec_id", "embedding", 4, n_iter=4)
+        C_b, _ = kmeans_fit(_vec_df(spark, V, 17), "vec_id", "embedding", 4, n_iter=4)
+        np.testing.assert_allclose(C_a, C_b, rtol=1e-9, atol=1e-12)
+
+    def test_assign_matches_twin_exactly(self, spark):
+        V = _clustered(seed=3)
+        C, _ = kmeans_fit_numpy(V, 4, n_iter=6)
+        got = {
+            r.id: r.cluster
+            for r in kmeans_assign(
+                _vec_df(spark, V, 5), "vec_id", "embedding", C
+            ).collect()
+        }
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        want = d2.argmin(axis=1)
+        assert got == {i: int(want[i]) for i in range(len(V))}
+
+    def test_empty_input_contract(self, spark):
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty input"):
+            kmeans_fit(df, "vec_id", "embedding", 4)
+
+    def test_fewer_rows_than_k_clamps(self, spark):
+        V = _clustered(n=3, k=2)
+        C, _ = kmeans_fit(_vec_df(spark, V), "vec_id", "embedding", k=8, n_iter=2)
+        assert C.shape == (3, V.shape[1])
+
+    def test_inertia_decreases(self, spark):
+        V = _clustered(seed=21)
+        df = _vec_df(spark, V, 6)
+        _, i1 = kmeans_fit(df, "vec_id", "embedding", 4, n_iter=1)
+        _, i6 = kmeans_fit(df, "vec_id", "embedding", 4, n_iter=6)
+        assert i6 <= i1
+
+
+class TestPCA:
+    def test_matches_numpy_twin(self, spark):
+        V = _clustered(n=200, d=10, seed=5)
+        got = pca_fit(_vec_df(spark, V, 9), "vec_id", "embedding", 4)
+        want = pca_fit_numpy(V, 4)
+        np.testing.assert_allclose(got["mean"], want["mean"], atol=1e-9)
+        np.testing.assert_allclose(got["components"], want["components"], atol=1e-8)
+        np.testing.assert_allclose(
+            got["explained_variance"], want["explained_variance"], rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            got["explained_variance_ratio"],
+            want["explained_variance_ratio"],
+            rtol=1e-9,
+        )
+
+    def test_twin_matches_covariance_eig(self):
+        # the twin itself against first principles: components diagonalize
+        # the sample covariance and are orthonormal
+        V = _clustered(n=150, d=6, seed=9)
+        m = pca_fit_numpy(V, 6)
+        W = m["components"]
+        np.testing.assert_allclose(W @ W.T, np.eye(6), atol=1e-10)
+        cov = np.cov(V, rowvar=False, ddof=1)
+        np.testing.assert_allclose(
+            np.diag(W @ cov @ W.T), m["explained_variance"], rtol=1e-9
+        )
+
+    def test_transform_matches_twin(self, spark):
+        V = _clustered(n=120, d=8, seed=13)
+        m = pca_fit_numpy(V, 3)
+        got = (
+            pca_transform(
+                _vec_df(spark, V, 4), "vec_id", "embedding", m["mean"], m["components"]
+            )
+            .orderBy("id")
+            .collect()
+        )
+        want = (V - m["mean"]) @ m["components"].T
+        P = np.asarray([r.proj for r in got])
+        np.testing.assert_allclose(P, want, atol=1e-10)
+
+    def test_variance_ratio_sums_below_one(self, spark):
+        V = _clustered(n=100, d=8, seed=17)
+        m = pca_fit(_vec_df(spark, V), "vec_id", "embedding", 3)
+        assert 0.0 < m["explained_variance_ratio"].sum() <= 1.0 + 1e-12
+
+
+def _labeled(n=300, d=4, seed=23):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)) * [1.0, 10.0, 0.3, 5.0]  # mixed scales
+    w_true = np.array([2.0, -0.3, 4.0, 0.6])
+    y = ((X @ w_true + rng.normal(size=n) * 0.5) > 0).astype(int)
+    return X, y
+
+
+def _feat_df(spark, X, y, n_parts=None):
+    rows = [
+        (i, *(float(v) for v in X[i]), int(y[i])) for i in range(len(X))
+    ]
+    cols = "doc_id long, " + ", ".join(
+        f"x{j} double" for j in range(X.shape[1])
+    ) + ", label int"
+    df = spark.createDataFrame(rows, cols)
+    return df.repartition(n_parts) if n_parts else df
+
+
+class TestLogReg:
+    FEATS = ["x0", "x1", "x2", "x3"]
+
+    def test_matches_numpy_twin(self, spark):
+        X, y = _labeled()
+        got = logreg_fit(
+            _feat_df(spark, X, y, 8), "doc_id", self.FEATS, "label", n_iter=60
+        )
+        want = logreg_fit_numpy(X, y, n_iter=60)
+        np.testing.assert_allclose(got["w"], want["w"], atol=1e-8)
+        assert got["b"] == pytest.approx(want["b"], abs=1e-8)
+        np.testing.assert_allclose(got["mean"], want["mean"], atol=1e-9)
+        np.testing.assert_allclose(got["std"], want["std"], atol=1e-9)
+
+    def test_predictions_match_twin_and_separate(self, spark):
+        X, y = _labeled(seed=29)
+        df = _feat_df(spark, X, y, 5)
+        model = logreg_fit(df, "doc_id", self.FEATS, "label", n_iter=80)
+        got = {
+            r.id: (r.prob, r.pred)
+            for r in logreg_predict(df, "doc_id", self.FEATS, model).collect()
+        }
+        t = logreg_fit_numpy(X, y, n_iter=80)
+        Z = (X - t["mean"]) / t["std"]
+        p = 1.0 / (1.0 + np.exp(-(Z @ t["w"] + t["b"])))
+        acc = 0
+        for i in range(len(X)):
+            assert got[i][0] == pytest.approx(p[i], abs=1e-9)
+            assert got[i][1] == int(p[i] >= 0.5)
+            acc += got[i][1] == y[i]
+        assert acc / len(X) > 0.9  # learnable signal actually learned
+
+    def test_constant_feature_is_harmless(self, spark):
+        X, y = _labeled(n=120, seed=31)
+        X = np.hstack([X, np.ones((len(X), 1))])
+        df = _feat_df(spark, X, y, 4)
+        model = logreg_fit(
+            df, "doc_id", self.FEATS + ["x4"], "label", n_iter=30
+        )
+        twin = logreg_fit_numpy(X, y, n_iter=30)
+        np.testing.assert_allclose(model["w"], twin["w"], atol=1e-8)
+
+    def test_empty_input_contract(self, spark):
+        df = spark.createDataFrame([], "doc_id long, x0 double, label int")
+        with pytest.raises(ValueError, match="empty input"):
+            logreg_fit(df, "doc_id", ["x0"], "label")
+
+
+class TestIntegration:
+    def test_distributed_centroids_drive_ivf(self, spark):
+        """ivf_topk with full-corpus distributed centroids == ivf_topk whose
+        bounded sample happens to cover the full corpus — the two trainers
+        agree whenever they see the same data."""
+        from nlp_series_relation_extraction_spark.functions.similarity import (
+            ivf_topk,
+        )
+
+        from pyspark.sql import functions as F
+
+        V = _clustered(n=96, d=8, k=4, seed=37)
+        df = _vec_df(spark, V, 6).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        C, _ = kmeans_fit(df, "vec_id", "embedding", k=4, n_iter=10)
+        a = ivf_topk(
+            df, "vec_id", "embedding", query_ids=[0, 5, 9], k=3,
+            n_clusters=4, n_probe=4, centroids=C,
+        )
+        b = ivf_topk(
+            df, "vec_id", "embedding", query_ids=[0, 5, 9], k=3,
+            n_clusters=4, n_probe=4, n_train=96,
+        )
+        rows_a = sorted(map(tuple, a.collect()))
+        rows_b = sorted(map(tuple, b.collect()))
+        # full-probe IVF is exact regardless of centroids, so this pins
+        # both the plumbing and the result
+        assert rows_a == rows_b
+
+    def test_distributed_centroids_drive_semantic_dedup(self, spark):
+        from nlp_series_relation_extraction_spark.functions.similarity import (
+            semantic_dedup,
+        )
+
+        V = _clustered(n=80, d=8, k=4, seed=41)
+        V[40] = V[10] * 1.0001  # a planted near-duplicate pair
+        df = _vec_df(spark, V, 5)
+        C, _ = kmeans_fit(df, "vec_id", "embedding", k=4, n_iter=10)
+        out = semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=4, threshold=0.98,
+            n_train=80, centroids=C,
+        ).collect()
+        by_id = {r.id: r for r in out}
+        assert by_id[10].group_id == by_id[40].group_id
+        assert by_id[10].keep != by_id[40].keep
+        assert sum(1 for r in out if r.keep) == len({r.group_id for r in out})
