@@ -75,6 +75,9 @@ RELATIONAL = [
     "lm_quality",
     "hll_distinct_users",
     "hll_distinct_shingles",
+    "kmeans_embeddings",
+    "pca_embeddings",
+    "quality_classifier",
     "cm_heavy_hitters",
     "hdr_percentiles",
     "hdr_percentiles_by_type",

@@ -2673,6 +2673,101 @@ def q_kg_train_biaffine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means over the embedding table (rows-only:
+    an iterative multi-job fit is not SQL-expressible; exactness is pinned
+    by the numpy twin in tests/test_distml.py). Unlike the bounded-sample
+    quantizer fits inside ivf/semantic_dedup, this trains on EVERY vector
+    via broadcast-centroid partial sums — the constant-shuffle shape that
+    holds at 100 TB. Returns per-cluster member counts joined with rounded
+    centroid norms so the geometry, not just the grouping, is attested."""
+    import numpy as np
+
+    from ..functions.distml import kmeans_assign, kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    C, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=5)
+    sizes = (
+        kmeans_assign(emb, "vec_id", "embedding", C)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+    )
+    norms = spark.createDataFrame(
+        [(c, round(float(np.linalg.norm(C[c])), 6)) for c in range(len(C))],
+        "cluster int, centroid_norm double",
+    )
+    return sizes.join(F.broadcast(norms), "cluster").orderBy("cluster")
+
+
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus PCA over the embedding table (rows-only: eigh of the
+    distributed Gram matrix is not SQL; twin-pinned in tests/test_distml.py).
+    One Arrow pass of (count, sum, X^T X) partials, one O(d^2) shuffle,
+    d x d eigendecomposition on the driver. Returns the top-8 components'
+    explained-variance ratios (rounded) — the spectrum is the attestable
+    artifact; projections are exercised in pytest."""
+    from ..functions.distml import pca_fit
+
+    m = pca_fit(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 8)
+    rows = [
+        (i, round(float(r), 6))
+        for i, r in enumerate(m["explained_variance_ratio"])
+    ]
+    return spark.createDataFrame(
+        rows, "component int, explained_variance_ratio double"
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality gate over documents (rows-only: iterative GD is not
+    SQL; the fit is twin-pinned in tests/test_distml.py). The heuristic
+    quality_stats columns become FEATURES of a logistic regression trained
+    against a planted linear label (stopword-density rule), then the model
+    scores every document — the fasttext-style 'train a cheap classifier
+    on heuristic labels, filter the corpus with it' pipeline stage (CCNet/
+    GPT-3 data work), with broadcast-weights gradient partials instead of
+    a driver-side fit. Returns per-source document counts, predicted-keep
+    counts, and agreement with the planted rule."""
+    from ..functions.distml import logreg_fit, logreg_predict
+    from ..functions.textstats import quality_stats
+
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_stats(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    # planted rule: stopword density >= 1/16 — the corpus median is ~0.061,
+    # so labels split near 50/50 and the fit is non-vacuous
+    labeled = feats.withColumn(
+        "label",
+        (F.col("n_stopwords") * 16 >= F.col("n_words")).cast("int"),
+    ).localCheckpoint(eager=False)
+    feat_cols = [
+        "n_chars_actual",
+        "n_words",
+        "n_stopwords",
+        "n_punct",
+        "n_distinct_words",
+    ]
+    # 12 iterations at lr 1.5: each GD step is one Spark job, and at toy
+    # scale per-job scheduler overhead dominates — at real scale the same
+    # 12 jobs amortize over the full corpus (gradient partials stay d+1
+    # doubles per partition regardless of rows)
+    model = logreg_fit(labeled, "id", feat_cols, "label", n_iter=12, lr=1.5)
+    preds = logreg_predict(labeled, "id", feat_cols, model)
+    joined = preds.join(labeled.select("id", "source", "label"), "id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pred").alias("n_pred_keep"),
+            F.sum((F.col("pred") == F.col("label")).cast("long")).alias(
+                "n_agree_planted"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -2756,6 +2851,9 @@ def queries() -> dict:
             "kg_selfeval_prf_biaffine": _kg_selfeval("biaffine"),
             "kg_selfeval_entity_em": q_kg_selfeval_entity_em,
             "kg_extract_mpn_twostage": q_kg_extract_mpn_twostage,
+            "kmeans_embeddings": q_kmeans_embeddings,
+            "pca_embeddings": q_pca_embeddings,
+            "quality_classifier": q_quality_classifier,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
