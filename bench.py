@@ -75,6 +75,7 @@ RELATIONAL = [
     "lm_quality",
     "hll_distinct_users",
     "hll_distinct_shingles",
+    "tfidf_top_terms",
     "kmeans_embeddings",
     "pca_embeddings",
     "quality_classifier",

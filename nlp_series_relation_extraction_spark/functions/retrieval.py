@@ -224,3 +224,90 @@ ranked AS (
 SELECT query_id, rank, doc_id, chunk_idx, score_milli
 FROM ranked WHERE rank <= {k}
 """
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """(doc_id, rank, term, tfidf_ppm): each document's top-n keywords by
+    TF-IDF — the classic corpus-keyword / document-signature stage (and
+    the feature map a TF-IDF + k-means topic-clustering pipeline feeds).
+
+    Same determinism discipline as bm25_topk: idf = ln((N+1)/(df+1)) is
+    the only libm call, quantized to integer ppm immediately; the score
+    is tf * idf_ppm — pure BIGINT, hash-matchable against the DuckDB twin
+    (tfidf_sql). Ties break by term ascending, so ranks are total.
+
+    Scale shape: token explode -> one hash-aggregate to (doc, term, tf)
+    with map-side combine; df aggregates the compressed posting table;
+    the tf-df join keys on term across two already-aggregated tables; the
+    top-n window partitions by doc_id (parallelism = documents). N is a
+    one-scalar count (broadcast into the expression, not a data collect).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(
+        (F.length("term") >= min_term_len) & F.col("term").rlike("^[a-z]+$")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # one-scalar stat
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * F.floor(
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                * 1_000_000.0
+            ).cast("long")
+        ).alias("tfidf_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_ppm").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", "tfidf_ppm")
+    )
+
+
+def tfidf_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    top_n: int = 3,
+    min_term_len: int = 3,
+) -> str:
+    """DuckDB twin of tfidf_top_terms over the same token/idf/rank rules."""
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM docs
+),
+ft AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) >= {min_term_len} AND regexp_matches(term, '^[a-z]+$')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM ft GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+scored AS (
+  SELECT f.doc_id, f.term,
+         f.tf * CAST(floor(ln((n.n_docs + 1.0) / (d.df + 1.0))
+                           * 1000000.0) AS BIGINT) AS tfidf_ppm
+  FROM ft f JOIN dfreq d ON f.term = d.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_ppm,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf_ppm FROM ranked WHERE rank <= {top_n}
+"""

@@ -1337,6 +1337,24 @@ def _bm25_sql() -> str:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (ORACLE: integer-ppm idf makes
+    the score a bigint, hash-matchable against DuckDB — same discipline
+    as bm25_topk). The keyword/document-signature stage of a curation
+    pipeline; also the feature map a TF-IDF clustering pass feeds."""
+    from ..functions.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "doc_id", "text", top_n=3
+    ).orderBy("doc_id", "rank")
+
+
+def _tfidf_sql() -> str:
+    from ..functions.retrieval import tfidf_sql
+
+    return tfidf_sql() + " ORDER BY doc_id, rank"
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language balanced downsampling of documents (cap ~70 per lang):
     the data-mixing step that caps a dominant language and keeps tails
@@ -2851,6 +2869,7 @@ def queries() -> dict:
             "kg_selfeval_prf_biaffine": _kg_selfeval("biaffine"),
             "kg_selfeval_entity_em": q_kg_selfeval_entity_em,
             "kg_extract_mpn_twostage": q_kg_extract_mpn_twostage,
+            "tfidf_top_terms": q_tfidf_top_terms,
             "kmeans_embeddings": q_kmeans_embeddings,
             "pca_embeddings": q_pca_embeddings,
             "quality_classifier": q_quality_classifier,
@@ -2988,6 +3007,7 @@ def oracle_sql() -> dict:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "hll_distinct_users": _HLL_USERS_SQL,
         "bm25_topk": _bm25_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
         "kg_facts_diff": _FACTS_DIFF_SQL,
