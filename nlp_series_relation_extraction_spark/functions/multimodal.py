@@ -181,11 +181,15 @@ def decode_image(content: bytes, fmt: str) -> np.ndarray:
         from .vp8 import decode_webp_animation
 
         return decode_webp_animation(content)[0][0][..., :3].copy()
+    if f in ("video/avi-mjpeg", "avi"):
+        from .avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(content, frame_indices=[0])[0][0]
     raise NotImplementedError(
         f"no built-in decoder for {fmt!r} — integrate PIL/opencv here; "
         "ppm/bmp/jpeg(baseline+progressive+arithmetic)/png/tiff(none+lzw+"
         "deflate+packbits+jpeg)/webp(lossy+lossless+animated)/gif(static+"
-        "animated) decode natively"
+        "animated)/avi-mjpeg decode natively"
     )
 
 
@@ -358,6 +362,11 @@ def synthesize_video(
 
                     payload = encode_gif_animation(pix, [100] * n_frames)
                     fmt = "video/gif-anim"
+                elif container == "avi-mjpeg":
+                    from .avi import encode_video_avi_mjpeg
+
+                    payload = encode_video_avi_mjpeg(pix, fps=10, quality=90)
+                    fmt = "video/avi-mjpeg"
                 else:
                     payload = b"".join(encode_image_ppm(p) for p in pix)
                     fmt = "video/ppm-stack"
@@ -470,10 +479,24 @@ def frame_extract(media: DataFrame, every_n: int = 2) -> DataFrame:
                 # NULL-media hardening (mirrors extract_features): a None
                 # payload or a null/NaN frame count row yields no frames
                 if c is None or fmt not in (
-                    "video/ppm-stack", "video/webp-anim", "video/gif-anim"
+                    "video/ppm-stack", "video/webp-anim", "video/gif-anim",
+                    "video/avi-mjpeg",
                 ):
                     continue
                 if n is None or pd.isna(n) or int(n) <= 0:
+                    continue
+                if fmt == "video/avi-mjpeg":
+                    # container demux decodes ONLY the sampled frames —
+                    # the chunk walk is header arithmetic, the codec runs
+                    # len(sampled)/n of the time (functions/avi.py)
+                    from .avi import decode_avi_mjpeg
+
+                    wanted = list(range(0, int(n), every_n))
+                    frames, _fps, _info = decode_avi_mjpeg(bytes(c), wanted)
+                    for k, fr in zip(wanted, frames):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k)
+                        out["frame"].append(encode_image_ppm(fr))
                     continue
                 if fmt in ("video/webp-anim", "video/gif-anim"):
                     # decode + composite once, emit sampled frames as PPM
