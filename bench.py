@@ -63,6 +63,7 @@ RELATIONAL = [
     "redact_sample",
     "media_meta",
     "media_features",
+    "video_frames",
     "audio_meta",
     "audio_features",
     "decontaminate",

@@ -1190,6 +1190,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video path through the driver (rows-only: container demux + numpy
+    codecs are not SQL): documents -> real video payloads cycling three
+    containers by id (AVI/MJPEG via functions/avi.py, animated GIF via
+    functions/gif.py, stacked PPM) -> every-2nd frame sampling
+    (frame_extract decodes ONLY sampled chunks for AVI — demux is header
+    arithmetic) -> per-frame red-channel mean over the decoded pixels.
+    Exactness is pinned by tests/test_avi.py (container byte-equal to
+    standalone JPEG decode; Spark == local selective decode) and
+    tests/test_gif.py (giflib cross-checks)."""
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        _decode_ppm,
+        frame_extract,
+        synthesize_video,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [
+        synthesize_video(
+            docs.where(F.col("doc_id") % 3 == i), "doc_id", "text",
+            n_frames=6, width=16, height=12, container=cont,
+        )
+        for i, cont in enumerate(("avi-mjpeg", "gif-anim", "ppm-stack"))
+    ]
+    media = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    frames = frame_extract(media, every_n=2)
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "mean_r": []}
+            for mid, k, fr in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                a = _decode_ppm(bytes(fr))
+                out["media_id"].append(mid)
+                out["frame_idx"].append(k)
+                out["mean_r"].append(round(float(a[..., 0].mean()), 4))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        stats, schema="media_id long, frame_idx int, mean_r double"
+    ).orderBy("media_id", "frame_idx")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination signal (train/test n-gram overlap — the
     GPT-3/LLaMA 13-gram convention, n=5 here for the short synthetic docs):
@@ -2830,6 +2876,7 @@ def queries() -> dict:
             "ann_topk_ivfpq": q_ann_topk_ivfpq,
             "media_features": q_media_features,
             "media_meta": q_media_meta,
+            "video_frames": q_video_frames,
             "audio_meta": q_audio_meta,
             "audio_features": q_audio_features,
             "curate_documents": q_curate_documents,
