@@ -197,6 +197,27 @@ class TestLogReg:
             logreg_fit(df, "doc_id", ["x0"], "label")
 
 
+class TestPlanShape:
+    def test_single_split_input_is_spread_before_udf(self, spark):
+        """The round-4 lesson (AQE byte-coalescing / one-file inputs
+        serializing UDF stages): a 1-partition vector table must be
+        round-robined up to defaultParallelism before the Arrow partials
+        stage, and the repartition is count-pinned (not AQE-coalescible)."""
+        from nlp_series_relation_extraction_spark.functions.distml import (
+            _vectors,
+        )
+
+        V = _clustered(n=64)
+        one = _vec_df(spark, V).coalesce(1)
+        assert one.rdd.getNumPartitions() == 1
+        spread = _vectors(one, "vec_id", "embedding")
+        assert (
+            spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        assert "REPARTITION_BY_NUM" in spread._jdf.queryExecution().toString()
+
+
 class TestIntegration:
     def test_distributed_centroids_drive_ivf(self, spark):
         """ivf_topk with full-corpus distributed centroids == ivf_topk whose
