@@ -66,6 +66,7 @@ RELATIONAL = [
     "video_frames",
     "audio_meta",
     "audio_features",
+    "audio_flac_features",
     "decontaminate",
     "repetition_stats",
     "pack_sequences",

@@ -287,7 +287,7 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
                     feats.append([0.0] * AUDIO_FEATURE_DIM)
                     continue
                 try:
-                    samples, r = decode_audio_wav(c)
+                    samples, r = decode_audio(c)
                     feats.append(audio_features(samples, r).tolist())
                 except (NotImplementedError, ValueError):
                     feats.append([0.0] * AUDIO_FEATURE_DIM)
@@ -312,8 +312,25 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema=schema)
 
 
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Container-sniffing decode: RIFF/WAVE -> decode_audio_wav, fLaC ->
+    functions/flac.py (lossless, int samples scaled to the same float32
+    [-1, 1] convention). The one audio entry point pipeline stages need."""
+    data = bytes(content)
+    if data[:4] == b"fLaC":
+        from .flac import decode_audio_flac
+
+        samples, rate = decode_audio_flac(data)
+        return (samples.astype(np.float32) / 32768.0), rate
+    return decode_audio_wav(data)
+
+
 def synthesize_audio_features(
-    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 16_000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_rate: int = 16_000,
+    transport: str = "wav",
 ) -> DataFrame:
     """Fused synth -> decode -> features in ONE Arrow pass.
 
@@ -325,8 +342,16 @@ def synthesize_audio_features(
     per-row functions inside one UDF instead — the payload never leaves
     the Python worker. Output is pinned byte-identical to the staged path
     (tests/test_audio.py); a pipeline that needs the WAV column
-    materialized still uses the staged operators."""
+    materialized still uses the staged operators.
+
+    ``transport='flac'`` carries the same clips FLAC-compressed
+    (functions/flac.py) — the features are IDENTICAL to the WAV path
+    because FLAC is lossless (pinned in tests/test_flac.py); only
+    n_bytes changes (the compressed payload size)."""
     import pandas as pd
+
+    if transport not in ("wav", "flac"):
+        raise ValueError(f"unknown audio transport {transport!r}")
 
     def run(batches):
         for pdf in batches:
@@ -349,11 +374,16 @@ def synthesize_audio_features(
                 pcm = np.clip((tone + noise) * 32767, -32768, 32767).astype(
                     np.int16
                 )
-                wav = encode_audio_wav(pcm, sample_rate)
-                samples, r = decode_audio_wav(wav)
+                if transport == "flac":
+                    from .flac import encode_audio_flac
+
+                    payload = encode_audio_flac(pcm, sample_rate)
+                else:
+                    payload = encode_audio_wav(pcm, sample_rate)
+                samples, r = decode_audio(payload)
                 rows["sample_rate"].append(sample_rate)
                 rows["n_samples"].append(n)
-                rows["n_bytes"].append(len(wav))
+                rows["n_bytes"].append(len(payload))
                 rows["features"].append(audio_features(samples, r).tolist())
             yield pd.DataFrame(rows)
 

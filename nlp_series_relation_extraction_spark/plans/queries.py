@@ -1571,6 +1571,26 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio_features clips carried FLAC-compressed (rows-only: codec
+    work is not SQL). FLAC is lossless, so rms/dominant_hz are IDENTICAL
+    to audio_features row for row — that equality is the attestation
+    (pinned in tests/test_flac.py along with the codec's spec vectors);
+    n_bytes reports the compressed transport size instead."""
+    from ..functions.audio import synthesize_audio_features
+
+    out = synthesize_audio_features(
+        t(spark, sf_dir, "documents"), "doc_id", "text", transport="flac"
+    )
+    return out.select(
+        "media_id",
+        "n_samples",
+        F.col("n_bytes").cast("long"),
+        F.round(F.element_at("features", 1), 4).alias("rms"),
+        F.round(F.element_at("features", 4), 1).alias("dominant_hz"),
+    )
+
+
 def q_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price-distribution percentiles (p50/p95/p99 of lineitem extended
     price in cents) read from a log-binned HDR-style histogram — the
@@ -2879,6 +2899,7 @@ def queries() -> dict:
             "video_frames": q_video_frames,
             "audio_meta": q_audio_meta,
             "audio_features": q_audio_features,
+            "audio_flac_features": q_audio_flac_features,
             "curate_documents": q_curate_documents,
             "decontaminate": q_decontaminate,
             "repetition_stats": q_repetition_stats,

@@ -18,6 +18,7 @@ def test_every_oracle_has_a_query():
     rows_only = set(qs) - set(osql)
     allowed = ("kg_extract_", "kg_entities", "kg_graph", "kg_train",
                "kg_selfeval", "media_features", "audio_features",
+               "audio_flac_features",
                "ann_topk_ivf", "ann_topk_pq", "kg_pagerank",
                "kg_communities", "semantic_dedup", "video_frames",
                # distributed model fits: iterative multi-job recursions,
