@@ -217,6 +217,93 @@ def kmeans_assign(
     )
 
 
+def pq_codebooks_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ks: int,
+    n_iter: int = 10,
+) -> "np.ndarray":
+    """Full-corpus product-quantization codebooks: [m, ks, dsub].
+
+    All m subspace k-means fits run FUSED — one Arrow pass per iteration
+    emits partials for every (subspace, cluster) pair (slot = j*ks + c),
+    so the job count is n_iter, not m*n_iter. Same init/update recursion
+    as similarity._kmeans_fit per subspace (first-ks rows by id, mean
+    update, empty keeps previous), so the bounded-sample and full-corpus
+    trainers agree whenever they see the same data. Feed the result to
+    similarity.pq_topk(codebooks=...).
+    """
+    import numpy as np
+    import pandas as pd
+
+    vec = _vectors(df, id_col, vec_col).localCheckpoint(eager=False)
+    V0 = _first_k_vectors(vec, ks, "pq_codebooks_fit")
+    dim = V0.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ks_eff = len(V0)
+    C = np.stack(
+        [V0[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )  # [m, ks_eff, dsub]
+
+    for _ in range(n_iter):
+        Cb = C
+
+        def partials(batches):
+            sums = np.zeros((m, ks_eff, dsub), dtype=np.float64)
+            cnts = np.zeros((m, ks_eff), dtype=np.float64)
+            for pdf in batches:
+                X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                if len(X) == 0:
+                    continue
+                for j in range(m):
+                    sub = X[:, j * dsub : (j + 1) * dsub]
+                    d2 = (
+                        (sub**2).sum(axis=1, keepdims=True)
+                        - 2.0 * (sub @ Cb[j].T)
+                        + (Cb[j] ** 2).sum(axis=1)[None, :]
+                    )
+                    a = d2.argmin(axis=1)
+                    for c in np.unique(a):
+                        sel = a == c
+                        cnts[j, c] += float(sel.sum())
+                        sums[j, c] += sub[sel].sum(axis=0)
+            out = {"slot": [], "pos": [], "val": []}
+            for j in range(m):
+                for c in range(ks_eff):
+                    if cnts[j, c] == 0.0:
+                        continue
+                    slot = j * ks_eff + c
+                    out["slot"].append(slot)
+                    out["pos"].append(-1)
+                    out["val"].append(cnts[j, c])
+                    for t in range(dsub):
+                        out["slot"].append(slot)
+                        out["pos"].append(t)
+                        out["val"].append(sums[j, c, t])
+            yield pd.DataFrame(out)
+
+        acc = _reduce_partials(vec.mapInPandas(partials, _PARTIAL_SCHEMA))
+        C_new = C.copy()
+        for j in range(m):
+            for c in range(ks_eff):
+                slot = j * ks_eff + c
+                n_c = acc.get((slot, -1), 0.0)
+                if n_c > 0.0:
+                    C_new[j, c] = (
+                        np.array(
+                            [acc[(slot, t)] for t in range(dsub)],
+                            dtype=np.float64,
+                        )
+                        / n_c
+                    )
+        C = C_new
+    return C
+
+
 # ---------------------------------------------------------------------------
 # PCA (Gram-matrix partial sums)
 # ---------------------------------------------------------------------------

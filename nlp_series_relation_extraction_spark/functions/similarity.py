@@ -775,6 +775,7 @@ def pq_topk(
     m: int = 8,
     ks: int = 16,
     n_train: int = 256,
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search") — the 100-TB embedding
@@ -798,18 +799,24 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    V = _collect_train(embeddings, id_col, vec_col, n_train, "pq_topk")
-    dim = V.shape[1]
-    if dim % m:
-        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    ks = min(ks, len(V))
-    codebooks = np.stack(
-        [
-            _kmeans_fit(V[:, j * dsub : (j + 1) * dsub], ks)
-            for j in range(m)
-        ]
-    )  # [m, ks, dsub]
+    if codebooks is not None:
+        # full-corpus trainer path: an [m, ks, dsub] codebook stack built
+        # by the caller (e.g. distml.kmeans_fit per subspace), cf. ivf_topk
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+        m, ks, dsub = codebooks.shape
+    else:
+        V = _collect_train(embeddings, id_col, vec_col, n_train, "pq_topk")
+        dim = V.shape[1]
+        if dim % m:
+            raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        ks = min(ks, len(V))
+        codebooks = np.stack(
+            [
+                _kmeans_fit(V[:, j * dsub : (j + 1) * dsub], ks)
+                for j in range(m)
+            ]
+        )  # [m, ks, dsub]
 
     def encode(batches):
         for pdf in batches:

@@ -248,6 +248,48 @@ class TestIntegration:
         # both the plumbing and the result
         assert rows_a == rows_b
 
+    def test_pq_codebooks_match_per_subspace_twins(self, spark):
+        from nlp_series_relation_extraction_spark.functions.distml import (
+            pq_codebooks_fit,
+        )
+
+        V = _clustered(n=128, d=8, k=4, seed=43)
+        C = pq_codebooks_fit(
+            _vec_df(spark, V, 6), "vec_id", "embedding", m=2, ks=8, n_iter=6
+        )
+        assert C.shape == (2, 8, 4)
+        for j in range(2):
+            want, _ = kmeans_fit_numpy(V[:, j * 4 : (j + 1) * 4], 8, n_iter=6)
+            np.testing.assert_allclose(C[j], want, rtol=1e-9, atol=1e-9)
+
+    def test_distributed_codebooks_drive_pq(self, spark):
+        from nlp_series_relation_extraction_spark.functions.distml import (
+            pq_codebooks_fit,
+        )
+        from nlp_series_relation_extraction_spark.functions.similarity import (
+            brute_force_topk,
+            pq_topk,
+        )
+
+        V = _clustered(n=96, d=8, k=4, seed=53)
+        df = _vec_df(spark, V, 5)
+        C = pq_codebooks_fit(df, "vec_id", "embedding", m=2, ks=16, n_iter=10)
+        got = pq_topk(df, "vec_id", "embedding", query_ids=[0, 7], k=5,
+                      codebooks=C)
+        rows = got.collect()
+        assert {r.query_id for r in rows} == {0, 7}
+        assert len(rows) == 10
+        # loose recall floor vs brute force: at m=2 subspaces the within-
+        # cluster neighbors collapse to shared codes (ranking inside a
+        # cluster is tie-broken, not distance-ranked), so ~0.5 is the
+        # honest level here — codebook EXACTNESS is pinned by
+        # test_pq_codebooks_match_per_subspace_twins and ADC exactness by
+        # the pq_topk twin suite in test_functions.py
+        brute = brute_force_topk(df, "vec_id", "embedding", [0, 7], k=5)
+        want = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+        hits = sum((r.query_id, r.neighbor_id) in want for r in rows)
+        assert hits / len(want) >= 0.4
+
     def test_distributed_centroids_drive_semantic_dedup(self, spark):
         from nlp_series_relation_extraction_spark.functions.similarity import (
             semantic_dedup,
