@@ -463,6 +463,77 @@ def frame_sample(media: DataFrame, every_n: int = 5) -> DataFrame:
     )
 
 
+def synthesize_video_frame_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_frames: int = 6,
+    width: int = 16,
+    height: int = 12,
+    every_n: int = 2,
+    containers: tuple[str, ...] = ("avi-mjpeg", "gif-anim", "ppm-stack"),
+) -> DataFrame:
+    """Fused synth -> encode -> selective-decode -> per-frame stats in ONE
+    Arrow pass: (media_id, container, frame_idx, mean_r).
+
+    Same fusion rationale as audio.synthesize_audio_features: the staged
+    path (synthesize_video |> frame_extract |> stats) chains THREE
+    mapInPandas stages, i.e. three piped python workers PER TASK — the
+    multi-KB payload crosses the Arrow boundary at every hop and a long
+    session carries ~3x the worker pool (measured: the staged driver
+    query ran 4-7x slower inside the full bench session than standalone,
+    pure worker/pipe overhead). Container cycles by id over
+    ``containers``; AVI decodes ONLY the sampled chunk indices.
+    Fused == staged is pinned in tests/test_avi.py.
+    """
+    import pandas as pd
+
+    def run(batches):
+        from .avi import decode_avi_mjpeg, encode_video_avi_mjpeg
+        from .gif import decode_gif_animation, encode_gif_animation
+
+        for pdf in batches:
+            out = {"media_id": [], "container": [], "frame_idx": [],
+                   "mean_r": []}
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                t = (text or "").encode("utf-8")
+                pix = [
+                    _synth_pixels(t + bytes([k]), width, height)
+                    for k in range(n_frames)
+                ]
+                cont = containers[int(mid) % len(containers)]
+                wanted = list(range(0, n_frames, every_n))
+                if cont == "avi-mjpeg":
+                    payload = encode_video_avi_mjpeg(pix, fps=10, quality=90)
+                    frames = decode_avi_mjpeg(payload, wanted)[0]
+                elif cont == "gif-anim":
+                    payload = encode_gif_animation(pix, [100] * n_frames)
+                    full, _durs = decode_gif_animation(payload)
+                    frames = [full[k] for k in wanted]
+                else:
+                    frames = [pix[k] for k in wanted]
+                for k, fr in zip(wanted, frames):
+                    out["media_id"].append(mid)
+                    out["container"].append(cont)
+                    out["frame_idx"].append(k)
+                    out["mean_r"].append(
+                        round(float(np.asarray(fr)[..., 0].mean()), 4)
+                    )
+            yield pd.DataFrame(out)
+
+    from .partitioning import ensure_parallelism as _spread_local
+
+    return _spread_local(
+        df.select(
+            F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+        )
+    ).mapInPandas(
+        run,
+        schema="media_id bigint, container string, frame_idx int,"
+        " mean_r double",
+    )
+
+
 def frame_extract(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Materialize REAL sampled frame bytes from stacked-PPM video payloads:
     (media_id, frame_idx, frame binary). Every frame has identical byte size

@@ -1198,41 +1198,18 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frame_extract decodes ONLY sampled chunks for AVI — demux is header
     arithmetic) -> per-frame red-channel mean over the decoded pixels.
     Exactness is pinned by tests/test_avi.py (container byte-equal to
-    standalone JPEG decode; Spark == local selective decode) and
-    tests/test_gif.py (giflib cross-checks)."""
-    import pandas as pd
+    standalone JPEG decode; Spark == local selective decode; fused ==
+    staged) and tests/test_gif.py (giflib cross-checks).
 
-    from ..functions.multimodal import (
-        _decode_ppm,
-        frame_extract,
-        synthesize_video,
-    )
+    Runs the FUSED synth->encode->selective-decode->stats pass (ONE
+    Arrow stage; the staged synthesize_video |> frame_extract chain is
+    three piped python workers per task and measured 4-7x slower inside
+    a long bench session — same lesson as audio_features)."""
+    from ..functions.multimodal import synthesize_video_frame_stats
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    parts = [
-        synthesize_video(
-            docs.where(F.col("doc_id") % 3 == i), "doc_id", "text",
-            n_frames=6, width=16, height=12, container=cont,
-        )
-        for i, cont in enumerate(("avi-mjpeg", "gif-anim", "ppm-stack"))
-    ]
-    media = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    frames = frame_extract(media, every_n=2)
-
-    def stats(batches):
-        for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "mean_r": []}
-            for mid, k, fr in zip(
-                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
-            ):
-                a = _decode_ppm(bytes(fr))
-                out["media_id"].append(mid)
-                out["frame_idx"].append(k)
-                out["mean_r"].append(round(float(a[..., 0].mean()), 4))
-            yield pd.DataFrame(out)
-
-    return frames.mapInPandas(
-        stats, schema="media_id long, frame_idx int, mean_r double"
+    return synthesize_video_frame_stats(
+        docs, "doc_id", "text", n_frames=6, width=16, height=12, every_n=2
     ).orderBy("media_id", "frame_idx")
 
 

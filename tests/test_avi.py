@@ -165,6 +165,47 @@ class TestFrames:
             A.encode_video_avi_mjpeg([])
 
 
+class TestFusedVideoStats:
+    def test_fused_equals_staged(self, spark):
+        """The one-Arrow-pass driver path must reproduce the staged
+        synthesize_video |> frame_extract |> decode-stats chain exactly
+        for every container (AVI lossy-decode pixels included)."""
+        import numpy as np
+
+        from nlp_series_relation_extraction_spark.functions.multimodal import (
+            _decode_ppm,
+            frame_extract,
+            synthesize_video,
+            synthesize_video_frame_stats,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"video clip {i}") for i in range(9)],
+            "doc_id long, text string",
+        )
+        fused = {
+            (r.media_id, r.frame_idx): (r.container, r.mean_r)
+            for r in synthesize_video_frame_stats(
+                docs, "doc_id", "text", n_frames=6, width=16, height=12,
+                every_n=2,
+            ).collect()
+        }
+        staged = {}
+        for i, cont in enumerate(("avi-mjpeg", "gif-anim", "ppm-stack")):
+            media = synthesize_video(
+                docs.where(F.col("doc_id") % 3 == i), "doc_id", "text",
+                n_frames=6, width=16, height=12, container=cont,
+            )
+            for r in frame_extract(media, every_n=2).collect():
+                a = _decode_ppm(bytes(r.frame))
+                staged[(r.media_id, r.frame_idx)] = (
+                    cont, round(float(a[..., 0].mean()), 4)
+                )
+        assert fused == staged
+        assert len(fused) == 9 * 3
+
+
 class TestSparkPath:
     def test_synthesize_and_sample_avi(self, spark):
         from nlp_series_relation_extraction_spark.functions.multimodal import (
