@@ -176,6 +176,133 @@ class TestValidation:
             FL.decode_audio_flac(b"RIFFxxxxWAVE")
 
 
+def _build_stream(subframe_writers, bs, n_ch, chan_code, expected):
+    """Assemble a one-frame FLAC stream from raw subframe writers — used
+    to pin decoder branches the repo's encoder never emits (LPC,
+    left/side, right/side). ``expected`` [bs, n_ch] int is only used for
+    the STREAMINFO MD5 so decode verification stays end-to-end."""
+    import hashlib
+    import struct
+
+    si = FL._BitWriter()
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(16000, 20)
+    si.write(n_ch - 1, 3)
+    si.write(15, 5)  # 16 bps
+    si.write(bs, 36)
+    md5 = hashlib.md5(
+        np.asarray(expected, dtype="<i2").tobytes()
+    ).digest()
+    header = (
+        FL.FLAC_MAGIC + bytes([0x80]) + struct.pack(">I", 34)[1:]
+        + si.bytes() + md5
+    )
+    bw = FL._BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)               # 16-bit blocksize-1 follows
+    bw.write(0, 4)               # rate from streaminfo
+    bw.write(chan_code, 4)
+    bw.write(0b100, 3)           # 16 bps
+    bw.write(0, 1)
+    bw.write(0, 8)               # frame number 0
+    bw.write(bs - 1, 16)
+    bw.align()
+    bw.write(FL.crc8(bytes(bw.out)), 8)
+    for writer in subframe_writers:
+        writer(bw)
+    bw.align()
+    body = bw.bytes()
+    return header + body + struct.pack(">H", FL.crc16(body))
+
+
+class TestConstructedStreams:
+    """Decoder branches the in-repo encoder never emits, pinned via
+    hand-assembled streams + per-sample twins."""
+
+    def test_lpc_subframe(self):
+        # order-2 LPC, shift 10, coefs (1.5, -0.5) in Q10: the decoder
+        # must reproduce x when residuals are built with the spec
+        # recurrence res[i] = x[i] - ((c0*x[i-1] + c1*x[i-2]) >> shift)
+        rng = np.random.default_rng(3)
+        n = 512
+        x = np.round(
+            2000 * np.sin(2 * np.pi * 7 * np.arange(n) / n)
+        ).astype(np.int64) + rng.integers(-20, 20, n)
+        coefs = [1536, -512]
+        shift = 10
+        order = 2
+        res = np.array([
+            x[i] - ((coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift)
+            for i in range(order, n)
+        ])
+
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(32 + order - 1, 6)   # LPC, order 2
+            bw.write(0, 1)                # no wasted bits
+            for v in x[:order]:
+                bw.write(int(v) & 0xFFFF, 16)
+            bw.write(12 - 1, 4)           # precision 12
+            bw.write(shift, 5)
+            for c in coefs:
+                bw.write(c & 0xFFF, 12)
+            bw.write(0, 2)                # rice method 0
+            bw.write(0, 4)                # partition order 0
+            FL._write_rice_partition(bw, res, FL._rice_param(res), None)
+
+        data = _build_stream([sub], n, 1, 0, x[:, None])
+        out, sr = FL.decode_audio_flac(data)
+        assert sr == 16000
+        np.testing.assert_array_equal(out[:, 0], x)
+
+    @pytest.mark.parametrize("chan_code", [8, 9])
+    def test_left_side_and_right_side(self, chan_code):
+        rng = np.random.default_rng(chan_code)
+        n = 256
+        l = rng.integers(-3000, 3000, n).astype(np.int64)
+        r = l + rng.integers(-40, 40, n)  # correlated: side is small
+        side = l - r
+
+        def mk(vals, bps):
+            def sub(bw):
+                FL._encode_subframe(bw, np.asarray(vals), bps)
+            return sub
+
+        if chan_code == 8:    # left/side
+            subs = [mk(l, 16), mk(side, 17)]
+        else:                 # right/side
+            subs = [mk(side, 17), mk(r, 16)]
+        expected = np.stack([l, r], axis=1)
+        data = _build_stream(subs, n, 2, chan_code, expected)
+        out, _ = FL.decode_audio_flac(data)
+        np.testing.assert_array_equal(out, expected)
+
+    def test_rice2_method_partitions(self):
+        # residual method 1 (5-bit rice2 params) — the decoder's other
+        # residual path; the encoder always writes method 0
+        rng = np.random.default_rng(9)
+        n = 128
+        x = rng.integers(-500, 500, n).astype(np.int64)
+
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(8, 6)   # FIXED order 0 -> residual == x
+            bw.write(0, 1)
+            bw.write(1, 2)   # rice2
+            bw.write(0, 4)   # partition order 0
+            p = FL._rice_param(x)
+            bw.write(p, 5)   # 5-bit parameter
+            bw.write_rice_array(FL._zigzag(x), p)
+
+        data = _build_stream([sub], n, 1, 0, x[:, None])
+        out, _ = FL.decode_audio_flac(data)
+        np.testing.assert_array_equal(out[:, 0], x)
+
+
 class TestAudioIntegration:
     def test_decode_audio_sniffs_flac_equals_wav(self):
         from nlp_series_relation_extraction_spark.functions.audio import (
