@@ -44,13 +44,16 @@ _PARTIAL_SCHEMA = "slot int, pos int, val double"
 
 
 def _vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, v array<double>) in float64, parallelism-guarded."""
-    return ensure_parallelism(
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
+    """(id, v array<double>) in float64, parallelism-guarded (batch only:
+    the guard inspects .rdd partition counts, which streaming plans
+    forbid — a stream's micro-batches inherit the source's file splits)."""
+    out = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if df.isStreaming:
+        return out
+    return ensure_parallelism(out)
 
 
 def _reduce_partials(partials: DataFrame) -> dict:
@@ -214,6 +217,72 @@ def kmeans_assign(
 
     return _vectors(df, id_col, vec_col).mapInPandas(
         assign, schema="id long, cluster int"
+    )
+
+
+def kmeans_census(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray",
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-cluster census against FROZEN centroids: (cluster, pos, s)
+    where pos = -1 carries the member count and pos = j the per-dimension
+    sum of floor(x*quant) — INTEGER sums, so the result is summation-
+    order-free and bit-stable across partitionings and across streaming
+    micro-batch folds (the same determinism trick as similarity.quantized).
+
+    The algebra is associative+commutative SUM over a bounded key space
+    (k*(d+1) rows), i.e. exactly what Structured Streaming's state store
+    maintains incrementally — streaming/kmeans.py runs this same plan on
+    a stream to keep a live cluster census / drift monitor against a
+    trained model. Running mean of cluster c = s[c, :] / (quant * n_c);
+    drift = distance of that mean from centroids[c].
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, d = C.shape
+    q = float(quant)
+
+    def partials(batches):
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            d2 = (
+                (X**2).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C**2).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            Xq = np.floor(X * q).astype(np.int64)
+            for c in np.unique(a):
+                sel = a == c
+                cnts[c] += int(sel.sum())
+                sums[c] += Xq[sel].sum(axis=0)
+        out = {"cluster": [], "pos": [], "s": []}
+        for c in range(k):
+            if cnts[c] == 0:
+                continue
+            out["cluster"].append(c)
+            out["pos"].append(-1)
+            out["s"].append(int(cnts[c]))
+            for j in range(d):
+                out["cluster"].append(c)
+                out["pos"].append(j)
+                out["s"].append(int(sums[c, j]))
+        yield pd.DataFrame(out)
+
+    return (
+        _vectors(df, id_col, vec_col)
+        .mapInPandas(partials, schema="cluster int, pos int, s long")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"))
     )
 
 

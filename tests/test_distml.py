@@ -197,6 +197,56 @@ class TestLogReg:
             logreg_fit(df, "doc_id", ["x0"], "label")
 
 
+class TestKMeansCensus:
+    def test_matches_numpy_twin_exactly(self, spark):
+        from nlp_series_relation_extraction_spark.functions.distml import (
+            kmeans_census,
+        )
+
+        V = _clustered(n=150, d=6, k=3, seed=61)
+        C, _ = kmeans_fit_numpy(V, 3, n_iter=5)
+        got = {
+            (r.cluster, r.pos): r.s
+            for r in kmeans_census(
+                _vec_df(spark, V, 7), "vec_id", "embedding", C
+            ).collect()
+        }
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        Vq = np.floor(V * 1000).astype(np.int64)
+        want = {}
+        for c in range(3):
+            sel = a == c
+            if not sel.any():
+                continue
+            want[(c, -1)] = int(sel.sum())
+            for j in range(V.shape[1]):
+                want[(c, j)] = int(Vq[sel, j].sum())
+        assert got == want
+
+    def test_partitioning_invariant_bit_exact(self, spark):
+        from nlp_series_relation_extraction_spark.functions.distml import (
+            kmeans_census,
+        )
+
+        V = _clustered(n=120, d=6, k=3, seed=67)
+        C, _ = kmeans_fit_numpy(V, 3, n_iter=5)
+        a = {
+            (r.cluster, r.pos, r.s)
+            for r in kmeans_census(
+                _vec_df(spark, V, 2), "vec_id", "embedding", C
+            ).collect()
+        }
+        b = {
+            (r.cluster, r.pos, r.s)
+            for r in kmeans_census(
+                _vec_df(spark, V, 13), "vec_id", "embedding", C
+            ).collect()
+        }
+        # INTEGER sums: equality is exact, not approximate
+        assert a == b
+
+
 class TestPlanShape:
     def test_single_split_input_is_spread_before_udf(self, spark):
         """The round-4 lesson (AQE byte-coalescing / one-file inputs

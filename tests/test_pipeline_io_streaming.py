@@ -604,6 +604,77 @@ def test_linking_deterministic_across_runs(spark):
     assert run() == run()
 
 
+def test_streaming_kmeans_census_equals_batch_and_resumes(spark, tmp_path):
+    """The live cluster census (frozen centroids, integer quantized sums)
+    after draining a stream equals the batch census; appending files and
+    resuming from the checkpoint folds only the new vectors in and still
+    equals the full-corpus batch census — the same mergeable-state
+    contract as the HLL test below, for the drift-monitor use."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_spark.functions.distml import (
+        kmeans_census,
+        kmeans_fit_numpy,
+    )
+    from nlp_series_relation_extraction_spark.streaming.kmeans import (
+        kmeans_census_stream,
+    )
+
+    rng = np.random.default_rng(71)
+    centers = rng.normal(size=(3, 4)) * 5.0
+    V1 = centers[np.arange(200) % 3] + rng.normal(size=(200, 4))
+    V2 = centers[np.arange(120) % 3] + rng.normal(size=(120, 4))
+    C, _ = kmeans_fit_numpy(V1, 3, n_iter=5)
+
+    src = str(tmp_path / "ksrc")
+
+    def write(V, off, mode):
+        rows = [(off + i, [float(x) for x in v]) for i, v in enumerate(V)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.mode(mode).parquet(src)
+
+    write(V1, 0, "overwrite")
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            kmeans_census_stream(stream, "vec_id", "embedding", C)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "kckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.cluster, r.pos, r.s)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    def batch(V):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(V)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return {
+            (r.cluster, r.pos, r.s)
+            for r in kmeans_census(df, "vec_id", "embedding", C).collect()
+        }
+
+    got1 = drain("kcs1")
+    assert got1 == batch(V1) and len(got1) == 3 * 5  # k*(d+1) rows
+
+    write(V2, 200, "append")
+    got2 = drain("kcs2")
+    assert got2 == batch(np.vstack([V1, V2]))
+
+
 def test_streaming_hll_stream_equals_batch_and_resumes(spark, tmp_path):
     """The HLL register state after draining a stream equals the batch
     sketch; adding files and resuming from the checkpoint folds ONLY the
