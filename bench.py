@@ -115,32 +115,38 @@ def _sf_label(sf_dir: str) -> float:
 
 # Min-of-3 warm timings (round-4 VERDICT "what's wrong" #3): single-shot
 # numbers on this box vary up to 1.5x on small queries, masking real
-# regressions. Queries whose FIRST run is under this bound are re-run and
-# the minimum reported (the project's stated practice for scaling runs);
-# expensive entries stay single-shot so the suite's wall time stays
-# bounded — their duration already dominates their own variance.
+# regressions. Queries whose best time so far is under _REPEAT_BOUND_SEC
+# keep re-running to min-of-3 (the project's stated practice for scaling
+# runs). A first run in the [_REPEAT_BOUND, _COLD_BOUND) band still gets
+# ONE warm retry: run #1 pays parquet footer caching + codegen + JIT,
+# and cutting off on it alone reports cold cost as steady-state
+# (measured: kg_negative_samples 11.0s cold vs 2.6s warm standalone).
+# Genuinely expensive entries (first run >= _COLD_BOUND_SEC) stay
+# single-shot so suite wall time stays bounded — their duration already
+# dominates their own variance.
 _MIN_OF_N = 3
 _REPEAT_BOUND_SEC = 4.0
+_COLD_BOUND_SEC = 15.0
 
 
 def _timed_min(
     fn, repeats: int = _MIN_OF_N, first_dt: float | None = None
 ) -> float:
-    """min-of-N wall time of fn(); re-runs only while the first run is
-    under _REPEAT_BOUND_SEC. ``first_dt`` lets a caller count an
-    already-timed execution as run #1."""
-    best = first_dt
-    start = 0 if first_dt is None else 1
-    if first_dt is not None and first_dt >= _REPEAT_BOUND_SEC:
-        return first_dt
-    for i in range(start, repeats):
+    """min-of-N wall time of fn(); see the band policy above.
+    ``first_dt`` lets a caller count an already-timed execution as
+    run #1."""
+    times = [] if first_dt is None else [first_dt]
+    while len(times) < repeats:
+        if times:
+            best = min(times)
+            if best >= _COLD_BOUND_SEC:
+                break
+            if best >= _REPEAT_BOUND_SEC and len(times) >= 2:
+                break
         t0 = time.time()
         fn()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-        if i == 0 and dt >= _REPEAT_BOUND_SEC:
-            break
-    return best
+        times.append(time.time() - t0)
+    return min(times)
 
 
 def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
@@ -554,6 +560,35 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         extras["sink_growth_p95_1x_sec"] = round(p95_1x, 3)
         extras["sink_growth_p95_10x_sec"] = round(p95_10x, 3)
         extras["sink_growth_p95_ratio"] = round(p95_10x / max(p95_1x, 1e-9), 2)
+
+        # alias-replay latency on the 10x table: merge 20 entities into 20
+        # others (a small linking delta) — cost must track the TOUCHED
+        # bucket fraction, not the table (the probe is a 2-column scan;
+        # the rewrite is bucket-pruned like the upsert itself).
+        from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+            read_current_edges,
+            replay_alias_remap,
+        )
+
+        subj_ids = [
+            r[0]
+            for r in read_current_edges(spark, dir_b)
+            .select("subj_entity_id")
+            .distinct()
+            .orderBy("subj_entity_id")
+            .limit(40)
+            .collect()
+        ]
+        remap_df = spark.createDataFrame(
+            list(zip(subj_ids[:20], subj_ids[20:40])),
+            "old_id long, new_id long",
+        )
+        tb = time.time()
+        relink_stats = replay_alias_remap(spark, dir_b, remap_df)
+        extras["sink_relink_sec"] = round(time.time() - tb, 3)
+        extras["sink_relink_touched_frac"] = round(
+            len(relink_stats["touched"]) / relink_stats["n_buckets"], 3
+        )
     finally:
         _sh.rmtree(dir_a, ignore_errors=True)
         _sh.rmtree(dir_b, ignore_errors=True)
@@ -803,6 +838,20 @@ def _headline_section(out: dict) -> str:
             out.get("streaming_turns_per_sec", "?"),
             out.get("streaming_batch_p50_sec", "?"),
             out.get("streaming_batch_p95_sec", "?"),
+        ),
+        "| sink growth 1x->10x table (single-subject increments) | p95 %ss ->"
+        " %ss, ratio %s (bucket-pruned merge: flat as the table grows) |"
+        % (
+            out.get("sink_growth_p95_1x_sec", "?"),
+            out.get("sink_growth_p95_10x_sec", "?"),
+            out.get("sink_growth_p95_ratio", "?"),
+        ),
+        "| alias-replay on 10x table (20-entity linking delta) | %ss,"
+        " touched %s of buckets (probe = 2-column scan; rewrite is"
+        " bucket-pruned) |"
+        % (
+            out.get("sink_relink_sec", "?"),
+            out.get("sink_relink_touched_frac", "?"),
         ),
         "| full pipeline e2e 10k turns (extract->link->canonicalize->graph) |"
         " %ss, %s edges |"

@@ -51,6 +51,16 @@ _BUCKET = "__edge_bucket"
 DEFAULT_N_BUCKETS = 32  # sandbox default; size to ~tens of GB/bucket at scale
 
 
+def _version_key(name: str) -> tuple[int, int]:
+    """Sort key for version dir names: ``vNNNNNN`` (batch commit) and
+    ``vNNNNNN.rK`` (alias-replay epoch K after batch NNNNNN, which must
+    sort AFTER the batch version it rewrote). Numeric parse on both
+    parts — lexicographic order breaks once ids outgrow the padding."""
+    body = name[1:]
+    main, _, suffix = body.partition(".r")
+    return (int(main), int(suffix) if suffix else 0)
+
+
 def _bucket_expr(n_buckets: int):
     """Deterministic bucket of a canonical subject id (xxhash64 is seeded
     Murmur-free and stable across sessions/JVMs, so bucket placement never
@@ -119,6 +129,7 @@ def upsert_edge_batch(
         if state["batch_id"] >= batch_id:  # replayed: already folded in
             return
         n_buckets = state["n_buckets"]
+    epoch = int(state.get("relink_epoch", 0)) if state is not None else 0
     version = f"v{batch_id:06d}"
 
     inc = edge_table(canonical_triples(batch_triples, aliases)).withColumn(
@@ -132,7 +143,12 @@ def upsert_edge_batch(
     if not touched:  # empty batch: advance the committed id only
         _write_manifest(
             path,
-            {"batch_id": batch_id, "n_buckets": n_buckets, "buckets": buckets},
+            {
+                "batch_id": batch_id,
+                "n_buckets": n_buckets,
+                "buckets": buckets,
+                "relink_epoch": epoch,
+            },
         )
         return
 
@@ -175,9 +191,183 @@ def upsert_edge_batch(
     shutil.rmtree(stage, ignore_errors=True)
     _write_manifest(
         path,
-        {"batch_id": batch_id, "n_buckets": n_buckets, "buckets": buckets},
+        {
+            "batch_id": batch_id,
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            "relink_epoch": epoch,
+        },
     )
     _expire_versions(path, touched)
+
+
+def replay_alias_remap(
+    spark: SparkSession, path: str, remap: DataFrame
+) -> dict:
+    """Periodic re-linking replay: fold an entity-id remap into the
+    committed edge table, rewriting ONLY the buckets that hold an
+    affected row or receive a moved one.
+
+    Entity linking is periodic (module docstring): a fresh linking run
+    publishes its delta as ``remap(old_id, new_id)`` — the clusters it
+    merged or re-keyed. This operator makes the "replay affected keys"
+    promise real, in two phases mirroring the batch upsert:
+
+    1. PROBE — a column-pruned scan of (subj_entity_id, obj_entity_id)
+       over the committed buckets, joined against the broadcast remap, to
+       find buckets holding an old id at either endpoint. The probe reads
+       two BIGINT columns of the table (with Iceberg, bloom filters /
+       zone maps prune it further); the rewrite it gates is the expensive
+       part. Destination buckets of moved subjects are computed from the
+       remap rows the probe matched (bucket placement is a pure hash of
+       subj id — no data read needed).
+    2. REWRITE — read ONLY the touched buckets in full, map both endpoint
+       ids through the remap (identity where absent), re-aggregate on the
+       canonical key (merging two entities can collapse previously
+       distinct edges: evidence ADDS, earliest provenance wins — the same
+       fold as merge_edge_increment), stage, move per-bucket version
+       dirs, flip the manifest once.
+
+    Pruning is sound because every merge partner of a remapped edge
+    shares its (new) subject id and therefore its bucket: object remaps
+    leave rows in place (fold partners already co-bucketed), and subject
+    remaps land in a destination bucket that is touched by construction.
+    Untouched buckets' files are never rewritten. A bucket whose rows all
+    move away drops out of the manifest (its old version stays on disk
+    for in-flight readers until a later touch expires it).
+
+    Replay versions are named ``v{batch:06d}.r{epoch}`` so they sort
+    after the batch commit they rewrote and before the next batch; the
+    manifest's committed batch id is unchanged, so the streaming loop's
+    replay-idempotence window is unaffected. The remap must be fully
+    resolved (old_id -> FINAL canonical id; no new_id may itself appear
+    as an old_id) — linking's connected-components output already is.
+
+    Returns {"touched": [...], "moved_src": [...], "epoch": k,
+    "n_buckets": N}; no-op ({"touched": []}) when the table is empty or
+    no committed row references an old id.
+    """
+    state = _read_manifest(path)
+    if state is None or not state["buckets"]:
+        return {"touched": [], "moved_src": [], "epoch": 0, "n_buckets": 0}
+    n_buckets = state["n_buckets"]
+    buckets = dict(state["buckets"])
+    epoch = int(state.get("relink_epoch", 0)) + 1
+    version = f"v{state['batch_id']:06d}.r{epoch}"
+
+    remap = remap.select(
+        F.col("old_id").cast("long").alias("old_id"),
+        F.col("new_id").cast("long").alias("new_id"),
+    )
+    all_paths = [
+        os.path.join(path, _bucket_dir(int(b)), v) for b, v in buckets.items()
+    ]
+    probe = (
+        spark.read.parquet(*all_paths)
+        .select("subj_entity_id", "obj_entity_id")
+        .withColumn(_BUCKET, _bucket_expr(n_buckets))
+    )
+    subj_hits = probe.join(
+        F.broadcast(remap), probe.subj_entity_id == remap.old_id
+    ).select(
+        F.col(_BUCKET).alias("src"),
+        F.pmod(F.xxhash64("new_id"), F.lit(n_buckets))
+        .cast("int")
+        .alias("dst"),
+    )
+    obj_hits = probe.join(
+        F.broadcast(remap), probe.obj_entity_id == remap.old_id
+    ).select(F.col(_BUCKET).alias("src"), F.col(_BUCKET).alias("dst"))
+    hits = subj_hits.unionByName(obj_hits)
+    # bounded collect: at most n_buckets distinct values per side
+    pairs = hits.select("src", "dst").distinct().collect()
+    touched = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    if not touched:
+        return {
+            "touched": [], "moved_src": [], "epoch": epoch - 1,
+            "n_buckets": n_buckets,
+        }
+
+    cur_paths = [
+        os.path.join(path, _bucket_dir(b), buckets[str(b)])
+        for b in touched
+        if str(b) in buckets
+    ]
+    cur = spark.read.parquet(*cur_paths)
+    s_map = remap.select(
+        F.col("old_id").alias("subj_entity_id"),
+        F.col("new_id").alias("_subj_new"),
+    )
+    o_map = remap.select(
+        F.col("old_id").alias("obj_entity_id"),
+        F.col("new_id").alias("_obj_new"),
+    )
+    merged = (
+        cur.join(F.broadcast(s_map), "subj_entity_id", "left")
+        .join(F.broadcast(o_map), "obj_entity_id", "left")
+        .select(
+            F.coalesce("_subj_new", "subj_entity_id").alias("subj_entity_id"),
+            "predicate",
+            F.coalesce("_obj_new", "obj_entity_id").alias("obj_entity_id"),
+            "n_evidence",
+            "first_conv_id",
+            "first_turn_idx",
+        )
+        .groupBy("subj_entity_id", "predicate", "obj_entity_id")
+        .agg(
+            F.sum("n_evidence").alias("n_evidence"),
+            F.min(F.struct("first_conv_id", "first_turn_idx")).alias("_f"),
+        )
+        .select(
+            "subj_entity_id",
+            "predicate",
+            "obj_entity_id",
+            F.col("n_evidence").cast("long").alias("n_evidence"),
+            F.col("_f.first_conv_id").alias("first_conv_id"),
+            F.col("_f.first_turn_idx").alias("first_turn_idx"),
+        )
+        .withColumn(_BUCKET, _bucket_expr(n_buckets))
+    )
+    stage = os.path.join(path, f"_stage_{version}")
+    if os.path.exists(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+    (
+        merged.repartition(max(len(touched), 1), F.col(_BUCKET))
+        .write.partitionBy(_BUCKET)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    moved_src = []
+    for b in touched:
+        src = os.path.join(stage, f"{_BUCKET}={b}")
+        dest_dir = os.path.join(path, _bucket_dir(b))
+        if not os.path.exists(src):
+            # every row moved out of this bucket: drop it from the
+            # manifest (unlike the batch upsert, replay can empty one)
+            if buckets.pop(str(b), None) is not None:
+                moved_src.append(b)
+            continue
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, version)
+        if os.path.exists(dest):
+            shutil.rmtree(dest, ignore_errors=True)
+        os.replace(src, dest)
+        buckets[str(b)] = version
+    shutil.rmtree(stage, ignore_errors=True)
+    _write_manifest(
+        path,
+        {
+            "batch_id": state["batch_id"],
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            "relink_epoch": epoch,
+        },
+    )
+    _expire_versions(path, [b for b in touched if str(b) in buckets])
+    return {
+        "touched": touched, "moved_src": moved_src, "epoch": epoch,
+        "n_buckets": n_buckets,
+    }
 
 
 def _expire_versions(path: str, touched_buckets, retain: int = 2) -> None:
@@ -191,7 +381,7 @@ def _expire_versions(path: str, touched_buckets, retain: int = 2) -> None:
             continue
         versions = sorted(
             (n for n in os.listdir(bdir) if n.startswith("v")),
-            key=lambda n: int(n[1:]),
+            key=_version_key,
             reverse=True,
         )
         for name in versions[retain:]:

@@ -1114,3 +1114,184 @@ def test_kg_sink_rewrites_only_touched_buckets(spark, tmp_path):
     }
     assert rows[(1, 2)] == 2  # the repeated edge accumulated evidence
     assert len(rows) == 40 and set(rows.values()) == {1, 2}
+
+
+def test_kg_sink_alias_replay_remaps_and_prunes(spark, tmp_path):
+    """replay_alias_remap: folding a linking delta (old_id -> new_id)
+    into the committed edge table must (a) equal a python twin applying
+    the same remap + merge fold, (b) rewrite ONLY buckets holding an
+    affected endpoint or receiving a moved subject — all other buckets'
+    files stay byte-identical, (c) be a no-op on a second application
+    (the old ids are gone), and (d) fold collapsed edges' evidence."""
+    import hashlib
+
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        read_current_edges,
+        replay_alias_remap,
+        upsert_edge_batch,
+    )
+
+    table = str(tmp_path / "redges")
+    os.makedirs(table)
+    mentions = [f"entity number {i}" for i in range(40)]
+    aliases = spark.createDataFrame(
+        [(m, i + 1) for i, m in enumerate(mentions)],
+        "mention_norm string, entity_id long",
+    )
+    pairs = [(mentions[i], mentions[(i + 1) % 40]) for i in range(40)]
+    pairs.append((mentions[6], mentions[5]))  # (7,6): fold target of (5,6)
+    triples = spark.createDataFrame(
+        [("c1", i, "p", s, {"@value": o}) for i, (s, o) in enumerate(pairs)],
+        "conv_id string, turn_idx int, predicate string,"
+        " subject string, object map<string,string>",
+    )
+    upsert_edge_batch(spark, triples, aliases, table, 0, n_buckets=8)
+
+    def snapshot():
+        with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+            st = json.load(f)
+        out = {}
+        for b, v in st["buckets"].items():
+            d = os.path.join(table, f"b{int(b):04d}", v)
+            for fn in sorted(os.listdir(d)):
+                p = os.path.join(d, fn)
+                if os.path.isfile(p):
+                    with open(p, "rb") as fh:
+                        out[(b, v, fn)] = hashlib.sha256(fh.read()).hexdigest()
+        return st, out
+
+    before_rows = {
+        (r.subj_entity_id, r.predicate, r.obj_entity_id): (
+            r.n_evidence, r.first_conv_id, r.first_turn_idx,
+        )
+        for r in read_current_edges(spark, table).collect()
+    }
+    _, before = snapshot()
+
+    # linking delta: entity 5 was merged into entity 7
+    remap_rows = {5: 7}
+    remap = spark.createDataFrame(
+        list(remap_rows.items()), "old_id long, new_id long"
+    )
+    stats = replay_alias_remap(spark, table, remap)
+    assert stats["epoch"] == 1 and stats["touched"]
+    assert len(stats["touched"]) < 8  # strict subset: pruning is real
+
+    # (a) python twin: identical remap + fold semantics
+    expected = {}
+    for (s, p, o), (n, cid, tix) in before_rows.items():
+        key = (remap_rows.get(s, s), p, remap_rows.get(o, o))
+        if key in expected:
+            en, ecid, etix = expected[key]
+            expected[key] = (en + n, *min((ecid, etix), (cid, tix)))
+        else:
+            expected[key] = (n, cid, tix)
+    after_rows = {
+        (r.subj_entity_id, r.predicate, r.obj_entity_id): (
+            r.n_evidence, r.first_conv_id, r.first_turn_idx,
+        )
+        for r in read_current_edges(spark, table).collect()
+    }
+    assert after_rows == expected
+    # (d) the collapsed edge's evidence added: (5,p,6)+(7,p,6) -> n=2
+    assert after_rows[(7, "p", 6)][0] == 2
+    assert (5, "p", 6) not in after_rows and (4, "p", 5) not in after_rows
+    assert after_rows[(4, "p", 7)][0] == 1  # object endpoint remapped
+
+    # (b) untouched buckets byte-identical
+    st1, after = snapshot()
+    touched_set = {str(b) for b in stats["touched"]}
+    untouched_keys = [k for k in before if k[0] not in touched_set]
+    assert untouched_keys  # strict subset
+    for key in untouched_keys:
+        assert after[key] == before[key]
+    # version names sort after the batch version they rewrote
+    for b in touched_set & set(st1["buckets"]):
+        assert st1["buckets"][b].startswith("v000000.r1")
+
+    # (c) idempotent re-application: no rows reference old id 5 anymore
+    stats2 = replay_alias_remap(spark, table, remap)
+    assert stats2["touched"] == []
+    st2, after2 = snapshot()
+    assert after2 == after and st2["buckets"] == st1["buckets"]
+
+    # a later batch commit still works and preserves the relink epoch
+    upsert_edge_batch(
+        spark,
+        spark.createDataFrame(
+            [("c2", 0, "p", mentions[0], {"@value": mentions[1]})],
+            "conv_id string, turn_idx int, predicate string,"
+            " subject string, object map<string,string>",
+        ),
+        aliases, table, 1,
+    )
+    with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+        st3 = json.load(f)
+    assert st3["batch_id"] == 1 and st3["relink_epoch"] == 1
+
+
+def test_kg_sink_alias_replay_moves_rows_and_empties_bucket(spark, tmp_path):
+    """A subject remap moves its rows to the destination id's bucket; a
+    source bucket left with zero rows drops out of the manifest so
+    readers never resurrect its pre-replay contents."""
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        _bucket_expr,
+        read_current_edges,
+        replay_alias_remap,
+        upsert_edge_batch,
+    )
+
+    table = str(tmp_path / "medges")
+    os.makedirs(table)
+    # find two entity ids in different buckets of 4
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1, 30)], "subj_entity_id long"
+    ).withColumn("b", _bucket_expr(4))
+    by_bucket = {}
+    for r in ids.collect():
+        by_bucket.setdefault(r.b, []).append(r.subj_entity_id)
+    buckets_with = [b for b, v in by_bucket.items() if v]
+    assert len(buckets_with) >= 2
+    b_src, b_dst = buckets_with[0], buckets_with[1]
+    src_id, dst_id = by_bucket[b_src][0], by_bucket[b_dst][0]
+
+    mentions = {src_id: f"m {src_id}", dst_id: f"m {dst_id}", 999: "m 999"}
+    aliases = spark.createDataFrame(
+        [(m, i) for i, m in mentions.items()], "mention_norm string, entity_id long"
+    )
+    # one edge whose subject sits alone in bucket b_src
+    triples = spark.createDataFrame(
+        [("c1", 0, "p", mentions[src_id], {"@value": mentions[999]})],
+        "conv_id string, turn_idx int, predicate string,"
+        " subject string, object map<string,string>",
+    )
+    upsert_edge_batch(spark, triples, aliases, table, 0, n_buckets=4)
+    with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+        st0 = json.load(f)
+    assert str(b_src) in st0["buckets"]
+
+    remap = spark.createDataFrame(
+        [(src_id, dst_id)], "old_id long, new_id long"
+    )
+    stats = replay_alias_remap(spark, table, remap)
+    assert set(stats["touched"]) == {b_src, b_dst}
+    assert stats["moved_src"] == [b_src]
+    with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+        st1 = json.load(f)
+    assert str(b_src) not in st1["buckets"]  # emptied source dropped
+    assert str(b_dst) in st1["buckets"]
+    rows = read_current_edges(spark, table).collect()
+    assert len(rows) == 1 and rows[0].subj_entity_id == dst_id
+
+
+def test_kg_sink_version_key_orders_replays_between_batches():
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        _version_key,
+    )
+
+    names = ["v000002", "v000001.r2", "v000001", "v000001.r10"]
+    assert sorted(names, key=_version_key) == [
+        "v000001", "v000001.r2", "v000001.r10", "v000002",
+    ]
+    # beyond the zero padding, numeric order still holds
+    assert _version_key("v1000000") > _version_key("v999999.r3")
