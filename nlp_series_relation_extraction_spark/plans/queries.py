@@ -2760,6 +2760,55 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(F.broadcast(norms), "cluster").orderBy("cluster")
 
 
+def _hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured KG for embedding training: the TPC-H membership
+    hierarchy (customer -in_nation-> nation -in_region-> region,
+    supplier -in_nation-> nation) as a typed edge table. Entity ids are
+    type-offset (key*4 + type tag) so keys from different tables never
+    collide. Unlike the random bipartite lineitem facts, these relations
+    have translation structure a TransE fit can actually learn."""
+    cust = t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey").cast("long") * 4).alias("subj_entity_id"),
+        F.lit("cust_in_nation").alias("predicate"),
+        (F.col("c_nationkey").cast("long") * 4 + 2).alias("obj_entity_id"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") * 4 + 1).alias("subj_entity_id"),
+        F.lit("supp_in_nation").alias("predicate"),
+        (F.col("s_nationkey").cast("long") * 4 + 2).alias("obj_entity_id"),
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") * 4 + 2).alias("subj_entity_id"),
+        F.lit("in_region").alias("predicate"),
+        (F.col("n_regionkey").cast("long") * 4 + 3).alias("obj_entity_id"),
+    )
+    return (
+        cust.unionByName(supp)
+        .unionByName(nat)
+        .withColumn("n_evidence", F.lit(1).cast("long"))
+        .withColumn("first_conv_id", F.lit("tpch"))
+        .withColumn("first_turn_idx", F.lit(0))
+    )
+
+
+def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TransE KG-embedding fit + per-predicate link-prediction
+    eval over the TPC-H hierarchy edge table (rows-only: an iterative
+    multi-job embedding fit is not SQL-expressible; exactness is pinned
+    by the identical-recursion numpy twin + partitioning invariance in
+    tests/test_kge.py). Entity embeddings never visit the driver —
+    gradients flow as entity-keyed sparse partials through joins keyed on
+    entity_id; relation vectors ride the distml partial-sum channel.
+    Returns (predicate, n_pairs, n_pos_better, acc_ppm) — margin-ranking
+    quality of the learned translation vectors against md5-deterministic
+    corruptions."""
+    from ..operators.kge import transe_fit, transe_margin_eval
+
+    edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
+    model = transe_fit(edges, dim=8, n_epochs=6, lr=0.5)
+    return transe_margin_eval(model, edges).orderBy("predicate")
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus PCA over the embedding table (rows-only: eigh of the
     distributed Gram matrix is not SQL; twin-pinned in tests/test_distml.py).
@@ -2918,6 +2967,7 @@ def queries() -> dict:
             "kmeans_embeddings": q_kmeans_embeddings,
             "pca_embeddings": q_pca_embeddings,
             "quality_classifier": q_quality_classifier,
+            "kg_transe_eval": q_kg_transe_eval,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

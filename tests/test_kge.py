@@ -1,0 +1,145 @@
+"""Distributed TransE (operators/kge.py): twin parity, partitioning
+invariance, learning signal, deterministic init."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_series_relation_extraction_spark.operators.kge import (
+    _hash_init,
+    transe_fit,
+    transe_fit_numpy,
+    transe_margin_eval,
+)
+
+
+def _toy_edges():
+    """Two 10-entity cliques under 'likes' + a cross-cluster 'knows' fan:
+    enough structure that translation vectors are learnable."""
+    edges = []
+    for c in range(2):
+        base = c * 50
+        for i in range(10):
+            for j in range(10):
+                if i != j:
+                    edges.append((base + i, "likes", base + j))
+    for i in range(10):
+        edges.append((i, "knows", 100 + i))
+    return edges
+
+
+def _edges_df(spark, edges, partitions=None):
+    df = spark.createDataFrame(
+        [(s, p, o, 1, "c", 0) for s, p, o in edges],
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " n_evidence long, first_conv_id string, first_turn_idx int",
+    )
+    return df.repartition(partitions) if partitions else df
+
+
+def test_transe_matches_numpy_twin(spark):
+    """The distributed run and the flat twin execute the IDENTICAL
+    recursion (same hash init, same md5 negatives, same full-batch GD);
+    only float summation order differs."""
+    edges = _toy_edges()
+    m = transe_fit(_edges_df(spark, edges), dim=8, n_epochs=5, lr=0.5)
+    t = transe_fit_numpy(edges, dim=8, n_epochs=5, lr=0.5)
+    assert m["rel_index"] == t["rel_index"]
+    assert np.allclose(m["loss"], t["loss"], rtol=1e-9, atol=1e-12)
+    assert np.allclose(m["relations"], t["relations"], atol=1e-12)
+    E = {r.entity_id: np.array(r.vec) for r in m["entities"].collect()}
+    assert set(E) == set(t["entities"])
+    for e, v in t["entities"].items():
+        assert np.allclose(E[e], v, atol=1e-12)
+    # entity rows are renormalized every epoch
+    for v in E.values():
+        assert abs(float(np.sqrt(v @ v)) - 1.0) < 1e-9
+
+
+def test_transe_partitioning_invariant(spark):
+    """Full-batch gradients are sums — the input split must not change
+    the trajectory beyond summation-order noise."""
+    edges = _toy_edges()
+    m1 = transe_fit(_edges_df(spark, edges, partitions=2), dim=8, n_epochs=3)
+    m17 = transe_fit(_edges_df(spark, edges, partitions=17), dim=8, n_epochs=3)
+    assert np.allclose(m1["loss"], m17["loss"], rtol=1e-9)
+    assert np.allclose(m1["relations"], m17["relations"], atol=1e-12)
+    e1 = {r.entity_id: np.array(r.vec) for r in m1["entities"].collect()}
+    e17 = {r.entity_id: np.array(r.vec) for r in m17["entities"].collect()}
+    for e in e1:
+        assert np.allclose(e1[e], e17[e], atol=1e-12)
+
+
+def test_transe_multi_partition_gradients_sum_not_concat(spark):
+    """With AQE coalescing disabled, an entity's gradient partials arrive
+    from MANY shuffle partitions; they must be SUMMED per (entity, pos)
+    before regrouping to a vector — a bare collect_list would concatenate
+    them into a ragged array (regression: masked at toy scale because AQE
+    coalesced the pair shuffle to one partition, crashed at sf0.1)."""
+    edges = _toy_edges()
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        m = transe_fit(_edges_df(spark, edges, partitions=8), dim=8, n_epochs=3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    t = transe_fit_numpy(edges, dim=8, n_epochs=3)
+    assert np.allclose(m["loss"], t["loss"], rtol=1e-9, atol=1e-12)
+    E = {r.entity_id: np.array(r.vec) for r in m["entities"].collect()}
+    for e, v in t["entities"].items():
+        assert np.allclose(E[e], v, atol=1e-12)
+
+
+def test_transe_learns_margin_ranking(spark):
+    """Training must beat the untrained init on margin ranking, and
+    reach a solid accuracy on the structured toy graph — the smoke that
+    gradients flow in the right direction through the whole distributed
+    loop."""
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    init = transe_fit(df, dim=8, n_epochs=0)
+    assert init["loss"] == []
+    base = transe_margin_eval(init, df)
+    base_acc = _micro_acc(base)
+    trained = transe_fit(df, dim=8, n_epochs=25, lr=0.5)
+    acc = _micro_acc(transe_margin_eval(trained, df))
+    # loss decreases monotonically under full-batch GD at this lr
+    assert all(
+        b <= a + 1e-12 for a, b in zip(trained["loss"], trained["loss"][1:])
+    )
+    assert acc > base_acc
+    assert acc >= 0.8
+
+
+def _micro_acc(ev_df):
+    rows = ev_df.collect()
+    return sum(r.n_pos_better for r in rows) / sum(r.n_pairs for r in rows)
+
+
+def test_transe_eval_schema_and_ppm(spark):
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    m = transe_fit(df, dim=4, n_epochs=1)
+    ev = transe_margin_eval(m, df)
+    assert ev.columns == ["predicate", "n_pairs", "n_pos_better", "acc_ppm"]
+    for r in ev.collect():
+        assert 0 <= r.n_pos_better <= r.n_pairs
+        assert r.acc_ppm == r.n_pos_better * 1000000 // r.n_pairs
+
+
+def test_transe_empty_input_raises(spark):
+    df = _edges_df(spark, []).where(F.lit(False))
+    with pytest.raises(Exception):
+        transe_fit(df, dim=4, n_epochs=1)
+
+
+def test_hash_init_deterministic_and_bounded():
+    ids = np.array([-5, 0, 3, 2**62], dtype=np.int64)
+    a = _hash_init(ids, 16, np.uint64(0xE17E5A17))
+    b = _hash_init(ids, 16, np.uint64(0xE17E5A17))
+    assert np.array_equal(a, b)
+    # rows are unit-normalized
+    assert np.allclose(np.sqrt((a * a).sum(axis=1)), 1.0)
+    # different salts decorrelate
+    c = _hash_init(ids, 16, np.uint64(0x4E1A7105))
+    assert not np.allclose(a, c)

@@ -23,7 +23,9 @@ def test_every_oracle_has_a_query():
                "kg_communities", "semantic_dedup", "video_frames",
                # distributed model fits: iterative multi-job recursions,
                # twin-pinned in tests/test_distml.py
-               "kmeans_embeddings", "pca_embeddings", "quality_classifier")
+               "kmeans_embeddings", "pca_embeddings", "quality_classifier",
+               # KG embedding fit: iterative, twin-pinned in tests/test_kge.py
+               "kg_transe_eval")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
