@@ -99,6 +99,8 @@ RELATIONAL = [
     "kg_communities",
     "kg_linking_entities",
     "kg_graph_edges_oracle",
+    "kg_transe_eval",
+    "kg_link_prediction",
     "events_sessionize",
     "events_asof_next",
     "events_rollup",

@@ -1,11 +1,15 @@
-"""Distributed KG-embedding training (TransE) over the canonical edge
-table.
+"""Distributed KG-embedding training (TransE / DistMult) + filtered
+link-prediction ranking over the canonical edge table.
 
 This is the consumer the negative-sampling operator (graph.py:
 corrupt_triples) exists for: learn entity/relation vectors such that
-e_subj + w_rel is close to e_obj for observed triples and far for
-corrupted ones (Bordes et al. 2013, "Translating Embeddings for
-Modeling Multi-relational Data" — public NeurIPS paper).
+observed triples score above corrupted ones. Two public scorers:
+
+* TransE (Bordes et al. 2013, "Translating Embeddings for Modeling
+  Multi-relational Data"): score(s,r,o) = -||e_s + w_r - e_o||^2.
+* DistMult (Yang et al. 2015, "Embedding Entities and Relations for
+  Learning and Inference in Knowledge Bases"): the trilinear product
+  score(s,r,o) = sum_d e_s[d] * w_r[d] * e_o[d].
 
 Scale shape — the part that matters at 10^12 turns:
 
@@ -32,16 +36,28 @@ Scale shape — the part that matters at 10^12 turns:
   deterministic end-to-end, which is what lets the numpy twin pin the
   distributed run (production resamples per epoch by salting the hash;
   determinism per epoch is preserved).
+* RANKING eval (the standard filtered MRR / Hits@k protocol, Bordes
+  2013 §4) scores each test triple against EVERY entity. That is
+  inherently O(n_test x E x dim) compute; the implementation makes it a
+  blocked matrix product with no all-pairs ROW explosion: entities are
+  split into fixed-size chunks (dense_index // chunk), test triples are
+  replicated once per chunk id (n_test x E/chunk slim rows), and a
+  cogroup on chunk_id scores each chunk's [C, dim] matrix against the
+  group's test rows in one vectorized Arrow pass, emitting only
+  per-(triple, chunk) better-than-true COUNTS. Counts are decomposable,
+  so rank = 1 + sum over chunks — a plain groupBy. The filtered
+  correction (known true objects don't count against the rank) is one
+  equi-join on (subj, predicate) scored the same way and subtracted.
 
 Init is splitmix64-hash-based — a pure function of (id, component), so
 the Spark workers and the numpy twin derive bit-identical starting
 points with no RNG state to ship. Entity rows are L2-normalized at init
-and after every update; relation rows at init only (the paper's
+and after every update; relation rows at init only (both papers'
 normalization schedule).
 
 No counterpart in the reference repo (it stops at triple extraction);
-this is the downstream "KG embedding" stage a production KG build runs
-on the edge table this pipeline materializes.
+this is the downstream "KG embedding + link prediction" stage a
+production KG build runs on the edge table this pipeline materializes.
 """
 
 from __future__ import annotations
@@ -52,9 +68,11 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.partitioning import ensure_parallelism
-from .graph import corrupt_triples
+from .graph import corrupt_triples, dense_index
 
 _GRAD_SCHEMA = "kind int, key_id long, pos int, val double"
+
+_SCORERS = ("transe", "distmult")
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
@@ -83,13 +101,64 @@ def _hash_init(keys: np.ndarray, dim: int, salt: np.uint64) -> np.ndarray:
     return v / np.maximum(n, 1e-12)
 
 
+def _score_rows(
+    scorer: str, ES: np.ndarray, WR: np.ndarray, EO: np.ndarray
+) -> np.ndarray:
+    """Row-wise triple scores ([n,dim] x3 -> [n]); HIGHER is better for
+    both scorers (TransE distances are negated)."""
+    if scorer == "transe":
+        X = ES + WR - EO
+        return -(X * X).sum(1)
+    return (ES * WR * EO).sum(1)
+
+
+def _score_candidates(
+    scorer: str, ES: np.ndarray, WR: np.ndarray, C: np.ndarray
+) -> np.ndarray:
+    """[n, m] score matrix of n (subject, relation) contexts against m
+    candidate objects — the blocked-matmul kernel of the ranking eval.
+    TransE expands -||t - c||^2 = -(||t||^2 - 2 t.c + ||c||^2) so the
+    inner loop is a single GEMM either way."""
+    if scorer == "transe":
+        T = ES + WR
+        return -(
+            (T * T).sum(1)[:, None]
+            - 2.0 * (T @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+    return (ES * WR) @ C.T
+
+
+def _margin_grads(
+    scorer: str,
+    ES: np.ndarray,
+    EO: np.ndarray,
+    EN: np.ndarray,
+    WR: np.ndarray,
+    margin: float,
+):
+    """Margin-ranking hinge and its per-endpoint gradients (pre-mask):
+    hinge = margin - score(s,r,o) + score(s,r,n). Returns
+    (hinge [n], gS, gO, gN, gW — each [n,dim])."""
+    if scorer == "transe":
+        Xp = ES + WR - EO
+        Xn = ES + WR - EN
+        hinge = margin + (Xp * Xp).sum(1) - (Xn * Xn).sum(1)
+        gS = 2.0 * (Xp - Xn)
+        return hinge, gS, -2.0 * Xp, 2.0 * Xn, gS
+    sw = ES * WR
+    hinge = margin - (sw * EO).sum(1) + (sw * EN).sum(1)
+    gS = WR * (EN - EO)
+    return hinge, gS, -sw, sw, ES * (EN - EO)
+
+
 def _rel_index(edges: DataFrame) -> list[str]:
     """Sorted distinct predicates — the relation vocabulary (bounded
     collect: predicate vocabularies are schema-sized, not data-sized)."""
     return [r[0] for r in edges.select("predicate").distinct().orderBy("predicate").collect()]
 
 
-def transe_pairs(edges: DataFrame, n_neg: int = 1) -> DataFrame:
+def kge_pairs(edges: DataFrame, n_neg: int = 1) -> DataFrame:
     """(subj_entity_id, predicate, true_obj, neg_obj) training pairs:
     corrupt_triples output with flagged false negatives dropped (a
     corruption that equals the true object carries no ranking signal)."""
@@ -99,6 +168,9 @@ def transe_pairs(edges: DataFrame, n_neg: int = 1) -> DataFrame:
         .select("subj_entity_id", "predicate", "true_obj", "neg_i", "neg_obj")
     )
 
+
+# kept under the original name for callers/tests written against TransE
+transe_pairs = kge_pairs
 
 _PAIR_KEY = ["subj_entity_id", "predicate", "true_obj", "neg_i", "neg_obj"]
 
@@ -155,43 +227,16 @@ def _packed_pairs(long_joined: DataFrame) -> DataFrame:
     )
 
 
-def transe_fit(
-    edges: DataFrame,
-    dim: int = 16,
-    n_epochs: int = 10,
-    lr: float = 0.5,
-    margin: float = 1.0,
-    n_neg: int = 1,
-) -> dict:
-    """Full-batch deterministic TransE over the edge table.
-
-    Returns {"entities": DataFrame(entity_id, vec), "relations":
-    np.ndarray [r, dim], "rel_index": [predicate...], "loss": [...],
-    "dim": dim}. Loss is the epoch-mean margin loss over all pairs.
-
-    Per epoch: one equi-join (pairs x embeddings, long format), one
-    Arrow gradient pass with per-partition pre-combine, one model-sized
-    groupBy, one update join — every shuffle is keyed on entity_id and
-    sized by the model, not the corpus.
-    """
-    spark = edges.sparkSession
-    rels = _rel_index(edges)
-    r_map = {p: i for i, p in enumerate(rels)}
-    W = _hash_init(np.arange(len(rels)), dim, _REL_SALT)
-
-    pairs = transe_pairs(edges, n_neg=n_neg)
-    long = ensure_parallelism(
-        _pairs_long(pairs, r_map)
-    ).localCheckpoint(eager=True)
-    n_pairs = long.count() // 3
-    if n_pairs == 0:
-        raise ValueError("transe_fit: no training pairs")
-
-    ents = (
+def _entity_ids(edges: DataFrame) -> DataFrame:
+    return (
         edges.select(F.col("subj_entity_id").alias("entity_id"))
         .unionByName(edges.select(F.col("obj_entity_id").alias("entity_id")))
         .distinct()
     )
+
+
+def _init_entity_embeddings(edges: DataFrame, dim: int) -> DataFrame:
+    """(entity_id, vec) hash-initialized embedding table, checkpointed."""
 
     def init_rows(batches):
         import pandas as pd
@@ -203,9 +248,50 @@ def transe_fit(
             V = _hash_init(ids, dim, _ENT_SALT)
             yield pd.DataFrame({"entity_id": ids, "vec": list(V)})
 
-    emb = ensure_parallelism(ents).mapInPandas(
-        init_rows, "entity_id long, vec array<double>"
-    ).repartition("entity_id").localCheckpoint(eager=True)
+    return (
+        ensure_parallelism(_entity_ids(edges))
+        .mapInPandas(init_rows, "entity_id long, vec array<double>")
+        .repartition("entity_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+def kge_fit(
+    edges: DataFrame,
+    scorer: str = "transe",
+    dim: int = 16,
+    n_epochs: int = 10,
+    lr: float = 0.5,
+    margin: float = 1.0,
+    n_neg: int = 1,
+) -> dict:
+    """Full-batch deterministic margin-ranking fit over the edge table.
+
+    Returns {"scorer": str, "entities": DataFrame(entity_id, vec),
+    "relations": np.ndarray [r, dim], "rel_index": [predicate...],
+    "loss": [...], "dim": dim}. Loss is the epoch-mean margin loss over
+    all pairs.
+
+    Per epoch: one equi-join (pairs x embeddings, long format), one
+    Arrow gradient pass with per-partition pre-combine, one model-sized
+    groupBy, one update join — every shuffle is keyed on entity_id and
+    sized by the model, not the corpus.
+    """
+    if scorer not in _SCORERS:
+        raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
+    rels = _rel_index(edges)
+    r_map = {p: i for i, p in enumerate(rels)}
+    W = _hash_init(np.arange(len(rels)), dim, _REL_SALT)
+
+    pairs = kge_pairs(edges, n_neg=n_neg)
+    long = ensure_parallelism(
+        _pairs_long(pairs, r_map)
+    ).localCheckpoint(eager=True)
+    n_pairs = long.count() // 3
+    if n_pairs == 0:
+        raise ValueError("kge_fit: no training pairs")
+
+    emb = _init_entity_embeddings(edges, dim)
 
     losses: list[float] = []
     for _ in range(n_epochs):
@@ -224,28 +310,25 @@ def transe_fit(
                 ES = np.stack([np.asarray(v[0]["vec"]) for v in pdf["rv"]])
                 EO = np.stack([np.asarray(v[1]["vec"]) for v in pdf["rv"]])
                 EN = np.stack([np.asarray(v[2]["vec"]) for v in pdf["rv"]])
-                Xp = ES + Wb[R] - EO
-                Xn = ES + Wb[R] - EN
-                hinge = margin + (Xp * Xp).sum(1) - (Xn * Xn).sum(1)
+                hinge, gS, gO, gN, gW = _margin_grads(
+                    scorer, ES, EO, EN, Wb[R], margin
+                )
                 act = np.where(hinge > 0.0)[0]
                 if len(act) == 0:
                     continue
                 loss_sum += float(hinge[act].sum())
-                GS = 2.0 * (Xp[act] - Xn[act])
                 S = pdf["subj_entity_id"].to_numpy(dtype=np.int64)[act]
                 O = pdf["true_obj"].to_numpy(dtype=np.int64)[act]
                 N = pdf["neg_obj"].to_numpy(dtype=np.int64)[act]
                 ids = np.concatenate([S, O, N])
-                G = np.concatenate(
-                    [GS, -2.0 * Xp[act], 2.0 * Xn[act]], axis=0
-                )
+                G = np.concatenate([gS[act], gO[act], gN[act]], axis=0)
                 uid, inv = np.unique(ids, return_inverse=True)
-                M = np.zeros((len(uid), GS.shape[1]))
+                M = np.zeros((len(uid), G.shape[1]))
                 np.add.at(M, inv, G)
                 for eid, gv in zip(uid, M):  # local pre-combine per batch
                     prev = ent_acc.get(int(eid))
                     ent_acc[int(eid)] = gv if prev is None else prev + gv
-                np.add.at(rel_acc, R[act], GS)
+                np.add.at(rel_acc, R[act], gW[act])
             kinds, keys, poss, vals = [], [], [], []
             for eid, gv in ent_acc.items():
                 kinds += [0] * dim
@@ -335,6 +418,7 @@ def transe_fit(
         )
 
     return {
+        "scorer": scorer,
         "entities": emb,
         "relations": W,
         "rel_index": rels,
@@ -343,18 +427,31 @@ def transe_fit(
     }
 
 
-def transe_fit_numpy(
+def transe_fit(edges: DataFrame, **kw) -> dict:
+    """TransE fit (see kge_fit)."""
+    return kge_fit(edges, scorer="transe", **kw)
+
+
+def distmult_fit(edges: DataFrame, **kw) -> dict:
+    """DistMult fit (see kge_fit)."""
+    return kge_fit(edges, scorer="distmult", **kw)
+
+
+def kge_fit_numpy(
     edge_list: list[tuple[int, str, int]],
+    scorer: str = "transe",
     dim: int = 16,
     n_epochs: int = 10,
     lr: float = 0.5,
     margin: float = 1.0,
     n_neg: int = 1,
 ) -> dict:
-    """Flat twin of transe_fit: identical init, identical md5 negative
+    """Flat twin of kge_fit: identical init, identical md5 negative
     draw (re-deriving corrupt_triples' arithmetic in plain Python),
     identical full-batch recursion. Only float summation ORDER differs
     from the distributed run."""
+    if scorer not in _SCORERS:
+        raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
     ent_ids = sorted({s for s, _, _ in edge_list} | {o for _, _, o in edge_list})
     n_ents = len(ent_ids)
     eid_by_rank = list(ent_ids)  # dense_index = row_number over sorted id
@@ -373,7 +470,7 @@ def transe_fit_numpy(
             if neg != o:
                 pairs.append((s, p, o, neg))
     if not pairs:
-        raise ValueError("transe_fit_numpy: no training pairs")
+        raise ValueError("kge_fit_numpy: no training pairs")
     n_pairs = len(pairs)
 
     losses = []
@@ -383,23 +480,28 @@ def transe_fit_numpy(
         loss_sum = 0.0
         for s, p, o, n in pairs:
             r = r_map[p]
-            x_pos = E[s] + W[r] - E[o]
-            x_neg = E[s] + W[r] - E[n]
-            hinge = margin + float(x_pos @ x_pos) - float(x_neg @ x_neg)
-            if hinge <= 0.0:
+            hinge, gs, go, gn, gwr = _margin_grads(
+                scorer,
+                E[s][None, :],
+                E[o][None, :],
+                E[n][None, :],
+                W[r][None, :],
+                margin,
+            )
+            if float(hinge[0]) <= 0.0:
                 continue
-            loss_sum += hinge
-            gs = 2.0 * (x_pos - x_neg)
-            ge[s] = ge.get(s, 0.0) + gs
-            ge[o] = ge.get(o, 0.0) - 2.0 * x_pos
-            ge[n] = ge.get(n, 0.0) + 2.0 * x_neg
-            gw[r] += gs
+            loss_sum += float(hinge[0])
+            ge[s] = ge.get(s, 0.0) + gs[0]
+            ge[o] = ge.get(o, 0.0) + go[0]
+            ge[n] = ge.get(n, 0.0) + gn[0]
+            gw[r] += gwr[0]
         losses.append(loss_sum / n_pairs)
         W -= lr * gw / n_pairs
         for e in ent_ids:
             v = E[e] - lr * np.asarray(ge.get(e, np.zeros(dim))) / n_pairs
             E[e] = v / max(float(np.sqrt(v @ v)), 1e-12)
     return {
+        "scorer": scorer,
         "entities": E,
         "relations": W,
         "rel_index": rels,
@@ -408,12 +510,16 @@ def transe_fit_numpy(
     }
 
 
-def transe_margin_eval(
+def transe_fit_numpy(edge_list, **kw) -> dict:
+    return kge_fit_numpy(edge_list, scorer="transe", **kw)
+
+
+def kge_margin_eval(
     model: dict, edges: DataFrame, n_neg: int = 1
 ) -> DataFrame:
     """Per-predicate ranking quality of a trained model: over the SAME
     deterministic (pos, neg) pairs, how often the true object scores
-    closer than the corruption. Returns (predicate, n_pairs,
+    better than the corruption. Returns (predicate, n_pairs,
     n_pos_better, acc_ppm) — the link-prediction smoke a KG-embedding
     run is judged by before any downstream use.
 
@@ -422,8 +528,9 @@ def transe_margin_eval(
     collected."""
     emb = model["entities"]
     W = model["relations"]
+    scorer = model.get("scorer", "transe")
     r_map = {p: i for i, p in enumerate(model["rel_index"])}
-    pairs = transe_pairs(edges, n_neg=n_neg)
+    pairs = kge_pairs(edges, n_neg=n_neg)
     long = _pairs_long(pairs, r_map)
 
     def score_rows(batches):
@@ -436,9 +543,10 @@ def transe_margin_eval(
             ES = np.stack([np.asarray(v[0]["vec"]) for v in pdf["rv"]])
             EO = np.stack([np.asarray(v[1]["vec"]) for v in pdf["rv"]])
             EN = np.stack([np.asarray(v[2]["vec"]) for v in pdf["rv"]])
-            Xp = ES + W[R] - EO
-            Xn = ES + W[R] - EN
-            ok = ((Xp * Xp).sum(1) < (Xn * Xn).sum(1)).astype(np.int32)
+            ok = (
+                _score_rows(scorer, ES, W[R], EO)
+                > _score_rows(scorer, ES, W[R], EN)
+            ).astype(np.int32)
             yield pd.DataFrame({"predicate": pdf["predicate"], "ok": ok})
 
     scored = _packed_pairs(long.join(emb, "entity_id")).mapInPandas(
@@ -458,4 +566,308 @@ def transe_margin_eval(
             .cast("long")
             .alias("acc_ppm"),
         )
+    )
+
+
+transe_margin_eval = kge_margin_eval
+
+
+# --- filtered link-prediction ranking (MRR / Hits@k) -------------------
+
+_HASH_DENOM = float(16**7)  # md5 7-hex-digit prefix -> uniform [0, 1)
+
+_TEST_FRAC_EXPR = (
+    "cast(conv(substring(md5(concat_ws('|', subj_entity_id, predicate,"
+    " obj_entity_id, 'test')), 1, 7), 16, 10) as double) / 268435456.0"
+)
+
+
+def _test_triples(edges: DataFrame, max_test: int) -> DataFrame:
+    """Deterministic md5-thresholded sample of ~max_test test triples.
+    Ranking is inherently O(n_test x E), so the TEST SET is the knob
+    that bounds cost — the standard protocol evaluates a fixed held-out
+    set, not the whole graph."""
+    n = edges.count()
+    if n == 0:
+        raise ValueError("kge_rank_eval: empty edge table")
+    p = min(1.0, max_test / n)
+    return edges.select(
+        "subj_entity_id", "predicate", "obj_entity_id"
+    ).where(F.expr(_TEST_FRAC_EXPR) < F.lit(p))
+
+
+def kge_rank_eval(
+    model: dict,
+    edges: DataFrame,
+    max_test: int = 2000,
+    chunk: int = 1024,
+    filtered: bool = True,
+) -> DataFrame:
+    """Filtered object-ranking of test triples against ALL entities.
+
+    Returns (subj_entity_id, predicate, obj_entity_id, rank) where
+    rank = 1 + #{candidate entities scoring STRICTLY better than the
+    true object}, minus (if ``filtered``) candidates that are
+    themselves true objects of the same (subj, predicate) in ``edges``
+    (Bordes 2013's filtered protocol; strictly-better ties give the
+    optimistic rank, and the numpy twin applies the identical rule).
+
+    Plan shape (see module docstring): true scores via one entity join;
+    candidate scan via dense-index chunking + cogroup-on-chunk_id Arrow
+    GEMM emitting decomposable counts; filtered correction via one
+    (subj, predicate) equi-join. No crossJoin row explosion, no
+    data-sized collect (the chunk-id frame is E/chunk rows)."""
+    emb = model["entities"]
+    W = model["relations"]
+    scorer = model.get("scorer", "transe")
+    r_map = {p: i for i, p in enumerate(model["rel_index"])}
+    rel_col = F.create_map(
+        *[x for p, i in r_map.items() for x in (F.lit(p), F.lit(i))]
+    )[F.col("predicate")]
+
+    test = _test_triples(edges, max_test).withColumn(
+        "r_idx", rel_col.cast("int")
+    )
+
+    # true score + subject vector, one row per test triple
+    joined = (
+        test.join(
+            emb.select(
+                F.col("entity_id").alias("subj_entity_id"),
+                F.col("vec").alias("es"),
+            ),
+            "subj_entity_id",
+        )
+        .join(
+            emb.select(
+                F.col("entity_id").alias("obj_entity_id"),
+                F.col("vec").alias("eo"),
+            ),
+            "obj_entity_id",
+        )
+    )
+
+    def true_scores(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = pdf["r_idx"].to_numpy(dtype=np.int64)
+            ES = np.stack([np.asarray(v) for v in pdf["es"]])
+            EO = np.stack([np.asarray(v) for v in pdf["eo"]])
+            out = pdf[
+                ["subj_entity_id", "predicate", "obj_entity_id", "r_idx", "es"]
+            ].copy()
+            out["true_score"] = _score_rows(scorer, ES, W[R], EO)
+            yield out
+
+    scored_test = ensure_parallelism(joined).mapInPandas(
+        true_scores,
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " r_idx int, es array<double>, true_score double",
+    ).localCheckpoint(eager=True)
+
+    # candidate chunks: dense entity rank // chunk is deterministic and
+    # balanced; the replicated test frame is slim (key + dim doubles)
+    ents = _entity_ids(edges).select(F.col("entity_id").alias("eid"))
+    n_ents = ents.count()
+    n_chunks = (n_ents + chunk - 1) // chunk
+    idx = dense_index(ents, "eid").withColumn(
+        "chunk_id", (F.col("ent_idx") / F.lit(chunk)).cast("long")
+    )
+    chunk_long = idx.join(
+        emb.select(F.col("entity_id").alias("eid"), "vec"), "eid"
+    ).select("chunk_id", "eid", "vec")
+    # fresh-lineage chunk-id frame (a distinct() over idx would make the
+    # cogroup an ambiguous self-join); n_chunks rows — driver-sized
+    chunk_ids = (
+        edges.sparkSession.range(n_chunks)
+        .select(F.col("id").alias("chunk_id"))
+    )
+    test_repl = scored_test.crossJoin(F.broadcast(chunk_ids))
+
+    def score_chunk(left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "subj_entity_id": pd.Series([], dtype="int64"),
+                    "predicate": pd.Series([], dtype="object"),
+                    "obj_entity_id": pd.Series([], dtype="int64"),
+                    "n_better": pd.Series([], dtype="int64"),
+                }
+            )
+        C = np.stack([np.asarray(v) for v in right["vec"]])
+        cids = right["eid"].to_numpy(dtype=np.int64)
+        R = left["r_idx"].to_numpy(dtype=np.int64)
+        ES = np.stack([np.asarray(v) for v in left["es"]])
+        S = _score_candidates(scorer, ES, W[R], C)
+        # the true object is excluded by ID, not by float equality: its
+        # chunk score comes from the GEMM expansion while true_score
+        # comes from the row kernel, and those may differ in the last ulp
+        obj = left["obj_entity_id"].to_numpy(dtype=np.int64)
+        n_better = (
+            (S > left["true_score"].to_numpy()[:, None])
+            & (cids[None, :] != obj[:, None])
+        ).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "subj_entity_id": left["subj_entity_id"],
+                "predicate": left["predicate"],
+                "obj_entity_id": left["obj_entity_id"],
+                "n_better": n_better.astype(np.int64),
+            }
+        )
+
+    raw = (
+        test_repl.groupBy("chunk_id")
+        .cogroup(chunk_long.groupBy("chunk_id"))
+        .applyInPandas(
+            score_chunk,
+            "subj_entity_id long, predicate string, obj_entity_id long,"
+            " n_better long",
+        )
+        .groupBy("subj_entity_id", "predicate", "obj_entity_id")
+        .agg(F.sum("n_better").alias("raw_better"))
+    )
+
+    key = ["subj_entity_id", "predicate", "obj_entity_id"]
+    if not filtered:
+        return scored_test.select(*key).join(raw, key).select(
+            *key, (F.lit(1) + F.col("raw_better")).cast("long").alias("rank")
+        )
+
+    # filtered correction: known-true objects of the same (s, p) that
+    # outscored the test object should not count against its rank
+    known = edges.select(
+        "subj_entity_id",
+        "predicate",
+        F.col("obj_entity_id").alias("other_obj"),
+    ).distinct()
+    fpairs = (
+        scored_test.join(known, ["subj_entity_id", "predicate"])
+        .join(
+            emb.select(
+                F.col("entity_id").alias("other_obj"),
+                F.col("vec").alias("ev"),
+            ),
+            "other_obj",
+        )
+    )
+
+    def filt_counts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = pdf["r_idx"].to_numpy(dtype=np.int64)
+            ES = np.stack([np.asarray(v) for v in pdf["es"]])
+            EV = np.stack([np.asarray(v) for v in pdf["ev"]])
+            better = (
+                _score_rows(scorer, ES, W[R], EV)
+                > pdf["true_score"].to_numpy()
+            ) & (
+                pdf["other_obj"].to_numpy() != pdf["obj_entity_id"].to_numpy()
+            )
+            out = pdf[
+                ["subj_entity_id", "predicate", "obj_entity_id"]
+            ].copy()
+            out["f"] = better.astype(np.int64)
+            yield out
+
+    filt = (
+        fpairs.mapInPandas(
+            filt_counts,
+            "subj_entity_id long, predicate string, obj_entity_id long,"
+            " f long",
+        )
+        .groupBy(*key)
+        .agg(F.sum("f").alias("filt_better"))
+    )
+    return (
+        raw.join(filt, key, "left")
+        .select(
+            *key,
+            (
+                F.lit(1)
+                + F.col("raw_better")
+                - F.coalesce(F.col("filt_better"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def kge_rank_eval_numpy(
+    edge_list: list[tuple[int, str, int]],
+    model: dict,
+    max_test: int = 2000,
+    filtered: bool = True,
+) -> dict:
+    """Flat twin of kge_rank_eval over a kge_fit_numpy model: identical
+    md5 test-sample rule, identical strictly-better counting, identical
+    filtered correction. Returns {(s, p, o): rank}."""
+    scorer = model.get("scorer", "transe")
+    E = model["entities"]
+    W = model["relations"]
+    r_map = {p: i for i, p in enumerate(model["rel_index"])}
+    ent_ids = sorted(E)
+    C = np.stack([E[e] for e in ent_ids])
+    p_keep = min(1.0, max_test / len(edge_list))
+    known: dict[tuple[int, str], set[int]] = {}
+    for s, p, o in edge_list:
+        known.setdefault((s, p), set()).add(o)
+    ranks = {}
+    for s, p, o in edge_list:
+        h = hashlib.md5(f"{s}|{p}|{o}|test".encode()).hexdigest()[:7]
+        if int(h, 16) / _HASH_DENOM >= p_keep:
+            continue
+        wr = W[r_map[p]]
+        true = float(
+            _score_rows(scorer, E[s][None, :], wr[None, :], E[o][None, :])[0]
+        )
+        scores = _score_candidates(scorer, E[s][None, :], wr[None, :], C)[0]
+        ids = np.asarray(ent_ids, dtype=np.int64)
+        n_better = int(((scores > true) & (ids != o)).sum())
+        if filtered:
+            for other in known[(s, p)]:
+                if other != o and float(
+                    _score_rows(
+                        scorer, E[s][None, :], wr[None, :], E[other][None, :]
+                    )[0]
+                ) > true:
+                    n_better -= 1
+        ranks[(s, p, o)] = 1 + n_better
+    return ranks
+
+
+def link_prediction_metrics(ranks: DataFrame) -> DataFrame:
+    """(predicate, n_test, mrr_ppm, hits1_ppm, hits3_ppm, hits10_ppm)
+    per predicate plus an '__all__' micro row — the standard KGE
+    leaderboard numbers, ppm-scaled longs for stable comparison."""
+
+    def agg(df, pred_col):
+        return df.groupBy(pred_col.alias("predicate")).agg(
+            F.count("*").cast("long").alias("n_test"),
+            (F.avg(F.lit(1.0) / F.col("rank")) * 1000000)
+            .cast("long")
+            .alias("mrr_ppm"),
+            *[
+                (
+                    F.sum((F.col("rank") <= k).cast("long"))
+                    * 1000000
+                    / F.count("*")
+                )
+                .cast("long")
+                .alias(f"hits{k}_ppm")
+                for k in (1, 3, 10)
+            ],
+        )
+
+    return agg(ranks, F.col("predicate")).unionByName(
+        agg(ranks, F.lit("__all__"))
     )

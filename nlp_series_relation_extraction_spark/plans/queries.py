@@ -2809,6 +2809,39 @@ def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_margin_eval(model, edges).orderBy("predicate")
 
 
+def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link-prediction leaderboard (MRR / Hits@1/3/10, Bordes
+    2013's filtered protocol) for BOTH KGE scorers — TransE and DistMult
+    — fitted on the TPC-H hierarchy edge table (rows-only: iterative
+    fits + blocked ranking are not SQL; ranks are pinned EXACTLY against
+    the numpy twin in tests/test_kge.py, chunk-invariance asserted).
+    The candidate scan is the cogroup-on-chunk_id blocked GEMM of
+    operators/kge.py — no crossJoin row explosion; the md5 test sample
+    bounds cost at any scale factor. Returns (scorer, predicate, n_test,
+    mrr_ppm, hits1_ppm, hits3_ppm, hits10_ppm)."""
+    from ..operators.kge import (
+        kge_fit,
+        kge_rank_eval,
+        link_prediction_metrics,
+    )
+
+    edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    # DistMult needs the hotter schedule (twin-measured in test_kge.py)
+    for scorer, lr in (("transe", 0.5), ("distmult", 2.0)):
+        ranks = kge_rank_eval(
+            kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr),
+            edges,
+            max_test=800,
+            chunk=1024,
+        )
+        m = link_prediction_metrics(ranks).withColumn(
+            "scorer", F.lit(scorer)
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("scorer", "predicate")
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus PCA over the embedding table (rows-only: eigh of the
     distributed Gram matrix is not SQL; twin-pinned in tests/test_distml.py).
@@ -2968,6 +3001,7 @@ def queries() -> dict:
             "pca_embeddings": q_pca_embeddings,
             "quality_classifier": q_quality_classifier,
             "kg_transe_eval": q_kg_transe_eval,
+            "kg_link_prediction": q_kg_link_prediction,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -143,3 +143,123 @@ def test_hash_init_deterministic_and_bounded():
     # different salts decorrelate
     c = _hash_init(ids, 16, np.uint64(0x4E1A7105))
     assert not np.allclose(a, c)
+
+
+# --- DistMult + filtered link-prediction ranking -----------------------
+
+from nlp_series_relation_extraction_spark.operators.kge import (  # noqa: E402
+    distmult_fit,
+    kge_fit_numpy,
+    kge_margin_eval,
+    kge_rank_eval,
+    kge_rank_eval_numpy,
+    link_prediction_metrics,
+)
+
+
+def test_distmult_matches_numpy_twin(spark):
+    """Same identical-recursion pin as TransE, trilinear scorer: the
+    gradient algebra (gS = w*(en-eo), gO = -w*es, gN = w*es,
+    gW = es*(en-eo)) must agree between the Arrow pass and the twin."""
+    edges = _toy_edges()
+    m = distmult_fit(_edges_df(spark, edges), dim=8, n_epochs=5, lr=0.5)
+    t = kge_fit_numpy(edges, scorer="distmult", dim=8, n_epochs=5, lr=0.5)
+    assert m["scorer"] == "distmult"
+    assert np.allclose(m["loss"], t["loss"], rtol=1e-9, atol=1e-12)
+    assert np.allclose(m["relations"], t["relations"], atol=1e-12)
+    E = {r.entity_id: np.array(r.vec) for r in m["entities"].collect()}
+    for e, v in t["entities"].items():
+        assert np.allclose(E[e], v, atol=1e-12)
+
+
+def test_distmult_learns_margin_ranking(spark):
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    init = distmult_fit(df, dim=8, n_epochs=0)
+    base_acc = _micro_acc(kge_margin_eval(init, df))
+    # DistMult needs a hotter schedule than TransE here: the trilinear
+    # score moves slowly under unit-norm entities (twin-measured: 0.62
+    # at lr=0.5/25ep, 0.93 at lr=2.0/25ep)
+    trained = distmult_fit(df, dim=8, n_epochs=25, lr=2.0)
+    acc = _micro_acc(kge_margin_eval(trained, df))
+    assert acc > base_acc
+    assert acc >= 0.8
+
+
+def test_kge_fit_rejects_unknown_scorer(spark):
+    df = _edges_df(spark, _toy_edges())
+    with pytest.raises(ValueError, match="unknown scorer"):
+        from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+        kge_fit(df, scorer="rotate")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        kge_fit_numpy(_toy_edges(), scorer="rotate")
+
+
+def _rank_df_to_dict(df):
+    return {
+        (r.subj_entity_id, r.predicate, r.obj_entity_id): r.rank
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("scorer", ["transe", "distmult"])
+def test_rank_eval_matches_numpy_twin(spark, scorer):
+    """Distributed filtered ranks == twin ranks EXACTLY (integers): same
+    md5 test sample, same strictly-better rule, same by-ID self-
+    exclusion, same filtered correction."""
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+    m = kge_fit(df, scorer=scorer, dim=8, n_epochs=4, lr=0.5)
+    t = kge_fit_numpy(edges, scorer=scorer, dim=8, n_epochs=4, lr=0.5)
+    got = _rank_df_to_dict(kge_rank_eval(m, df, max_test=120, chunk=16))
+    want = kge_rank_eval_numpy(edges, t, max_test=120)
+    assert got == want
+    assert got, "md5 sample selected no test triples"
+    n_ents = len({s for s, _, _ in edges} | {o for _, _, o in edges})
+    assert all(1 <= r <= n_ents for r in got.values())
+
+
+def test_rank_eval_chunk_invariant(spark):
+    """Counts are decomposable over chunks — the chunk size must not
+    change any rank."""
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    m = transe_fit(df, dim=8, n_epochs=2)
+    a = _rank_df_to_dict(kge_rank_eval(m, df, max_test=60, chunk=7))
+    b = _rank_df_to_dict(kge_rank_eval(m, df, max_test=60, chunk=10_000))
+    assert a == b and a
+
+
+def test_rank_eval_filtered_leq_raw(spark):
+    """Filtering removes known-true competitors, so filtered rank <= raw
+    rank everywhere; on the clique graph (9 true objects per (s, likes))
+    it must strictly help somewhere."""
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    m = transe_fit(df, dim=8, n_epochs=8, lr=0.5)
+    filt = _rank_df_to_dict(kge_rank_eval(m, df, max_test=120, filtered=True))
+    raw = _rank_df_to_dict(kge_rank_eval(m, df, max_test=120, filtered=False))
+    assert set(filt) == set(raw)
+    assert all(filt[k] <= raw[k] for k in filt)
+    assert any(filt[k] < raw[k] for k in filt)
+
+
+def test_link_prediction_metrics_math(spark):
+    ranks = spark.createDataFrame(
+        [(1, "p", 2, 1), (1, "p", 3, 4), (2, "q", 3, 12)],
+        "subj_entity_id long, predicate string, obj_entity_id long,"
+        " rank long",
+    )
+    rows = {r.predicate: r for r in link_prediction_metrics(ranks).collect()}
+    assert rows["p"].n_test == 2
+    assert rows["p"].mrr_ppm == int((1.0 + 0.25) / 2 * 1e6)
+    assert rows["p"].hits1_ppm == 500000
+    assert rows["p"].hits3_ppm == 500000
+    assert rows["p"].hits10_ppm == 1000000
+    assert rows["q"].hits10_ppm == 0
+    allr = rows["__all__"]
+    assert allr.n_test == 3
+    assert allr.mrr_ppm == int((1.0 + 0.25 + 1 / 12) / 3 * 1e6)

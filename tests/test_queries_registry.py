@@ -24,8 +24,9 @@ def test_every_oracle_has_a_query():
                # distributed model fits: iterative multi-job recursions,
                # twin-pinned in tests/test_distml.py
                "kmeans_embeddings", "pca_embeddings", "quality_classifier",
-               # KG embedding fit: iterative, twin-pinned in tests/test_kge.py
-               "kg_transe_eval")
+               # KG embedding fits + ranking: iterative, twin-pinned in
+               # tests/test_kge.py
+               "kg_transe_eval", "kg_link_prediction")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
