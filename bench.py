@@ -91,6 +91,7 @@ RELATIONAL = [
     "kg_facts_diff",
     "skew_report",
     "kg_predicate_schema",
+    "kg_constraint_violations",
     "kg_negative_samples",
     "kg_degree_stats",
     "kg_two_hop",

@@ -540,3 +540,71 @@ def label_propagation_communities(
     return labels.select(
         F.col("id").alias("entity_id"), F.col("label").alias("community_id")
     )
+
+
+def constraint_violations(typed_edges: DataFrame) -> DataFrame:
+    """Ontology domain/range validation over a TYPED edge table
+    (subj_entity_id, subj_type, predicate, obj_entity_id, obj_type):
+    induce each predicate's domain and range as the MODAL subject/object
+    type (ties broken by type name, so induction is deterministic and
+    engine-portable), then count edges whose types deviate — the
+    consistency gate a KG build runs before publishing an ontology
+    (W3C RDFS domain/range semantics, checked statistically the way
+    open-IE pipelines must since no ontology is given a priori).
+
+    Returns (predicate, domain_type, range_type, n_triples,
+    n_domain_violations, n_range_violations, domain_violation_ppm,
+    range_violation_ppm), integer-ppm so the DuckDB oracle is bit-exact.
+
+    Scale shape: two (predicate, type) count aggregations — map-side
+    combined, output is schema-sized (#predicates x #types rows) — a
+    max_by per predicate (no window over data rows), and ONE broadcast
+    join of the induced schema back onto the fact-side aggregate. The
+    edge table is touched twice, both times in full-scan aggregations
+    that reduce to schema-sized frames; nothing data-sized shuffles."""
+
+    def modal(type_col: str, out: str) -> DataFrame:
+        return (
+            typed_edges.groupBy("predicate", type_col)
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("predicate")
+            .agg(
+                # max-cnt type; ties -> lexicographically SMALLEST type.
+                # struct orders by cnt then negated... strings can't
+                # negate, so order by (cnt, reverse-rank) via min_by on
+                # (-cnt, type): smallest (-cnt) = largest cnt, then
+                # smallest type.
+                F.expr(
+                    f"min_by({type_col}, struct(-cnt, {type_col}))"
+                ).alias(out)
+            )
+        )
+
+    schema = modal("subj_type", "domain_type").join(
+        modal("obj_type", "range_type"), "predicate"
+    )
+    counted = typed_edges.join(F.broadcast(schema), "predicate").groupBy(
+        "predicate", "domain_type", "range_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.sum(
+            (F.col("subj_type") != F.col("domain_type")).cast("long")
+        ).alias("n_domain_violations"),
+        F.sum(
+            (F.col("obj_type") != F.col("range_type")).cast("long")
+        ).alias("n_range_violations"),
+    )
+    return counted.select(
+        "predicate",
+        "domain_type",
+        "range_type",
+        "n_triples",
+        "n_domain_violations",
+        "n_range_violations",
+        F.expr("n_domain_violations * 1000000 div n_triples").alias(
+            "domain_violation_ppm"
+        ),
+        F.expr("n_range_violations * 1000000 div n_triples").alias(
+            "range_violation_ppm"
+        ),
+    )

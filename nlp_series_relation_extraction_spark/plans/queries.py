@@ -2328,6 +2328,81 @@ FROM edges GROUP BY predicate ORDER BY predicate
 """
 
 
+def _typed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed edge table for ontology validation, with PLANTED type noise
+    (~7.7% of suppliers read 'vendor', ~10% of parts read 'component')
+    so domain/range induction has real violations to count — and the
+    modal type is still unambiguous at every scale factor."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        F.col("l_suppkey").cast("long").alias("subj_entity_id"),
+        F.when(F.col("l_suppkey") % 13 == 0, "vendor")
+        .otherwise("supplier")
+        .alias("subj_type"),
+        F.concat(F.lit("supplies_"), F.col("l_returnflag")).alias(
+            "predicate"
+        ),
+        F.col("l_partkey").cast("long").alias("obj_entity_id"),
+        F.when(F.col("l_partkey") % 10 == 0, "component")
+        .otherwise("part")
+        .alias("obj_type"),
+    )
+
+
+def q_kg_constraint_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ontology domain/range validation: induce each predicate's modal
+    subject/object type, then count deviating edges (integer ppm) — the
+    consistency gate before publishing an induced ontology
+    (operators/graph.py:constraint_violations). Schema induction and the
+    violation scan both reduce to schema-sized frames; the induced
+    schema broadcasts back onto the fact aggregation."""
+    from ..operators.graph import constraint_violations
+
+    return constraint_violations(_typed_edges(spark, sf_dir)).orderBy(
+        "predicate"
+    )
+
+
+_CONSTRAINT_VIOLATIONS_SQL = """
+WITH typed AS (
+  SELECT cast(l_suppkey AS BIGINT) AS subj_entity_id,
+         CASE WHEN l_suppkey % 13 = 0 THEN 'vendor' ELSE 'supplier' END
+           AS subj_type,
+         concat('supplies_', l_returnflag) AS predicate,
+         cast(l_partkey AS BIGINT) AS obj_entity_id,
+         CASE WHEN l_partkey % 10 = 0 THEN 'component' ELSE 'part' END
+           AS obj_type
+  FROM lineitem WHERE l_linenumber = 1
+), dom AS (
+  SELECT predicate, subj_type AS domain_type,
+         row_number() OVER (PARTITION BY predicate
+                            ORDER BY count(*) DESC, subj_type) AS rn
+  FROM typed GROUP BY predicate, subj_type
+), rng AS (
+  SELECT predicate, obj_type AS range_type,
+         row_number() OVER (PARTITION BY predicate
+                            ORDER BY count(*) DESC, obj_type) AS rn
+  FROM typed GROUP BY predicate, obj_type
+)
+SELECT t.predicate, d.domain_type, r.range_type,
+       cast(count(*) AS BIGINT) AS n_triples,
+       cast(sum(CASE WHEN t.subj_type <> d.domain_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_domain_violations,
+       cast(sum(CASE WHEN t.obj_type <> r.range_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_range_violations,
+       cast(sum(CASE WHEN t.subj_type <> d.domain_type THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS domain_violation_ppm,
+       cast(sum(CASE WHEN t.obj_type <> r.range_type THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS range_violation_ppm
+FROM typed t
+JOIN dom d ON t.predicate = d.predicate AND d.rn = 1
+JOIN rng r ON t.predicate = r.predicate AND r.rn = 1
+GROUP BY 1, 2, 3 ORDER BY t.predicate
+"""
+
+
 def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-embedding training prep: md5-deterministic negative sampling —
     every positive edge yields n_neg=2 corrupted copies whose object is a
@@ -2974,6 +3049,7 @@ def queries() -> dict:
             "kg_facts_diff": q_kg_facts_diff,
             "skew_report": q_skew_report,
             "kg_predicate_schema": q_kg_predicate_schema,
+            "kg_constraint_violations": q_kg_constraint_violations,
             "conversation_context": q_conversation_context,
             "kg_negative_samples": q_kg_negative_samples,
             "hll_distinct_shingles": q_hll_distinct_shingles,
@@ -3142,6 +3218,7 @@ def oracle_sql() -> dict:
         "kg_facts_diff": _FACTS_DIFF_SQL,
         "skew_report": _SKEW_REPORT_SQL,
         "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
+        "kg_constraint_violations": _CONSTRAINT_VIOLATIONS_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

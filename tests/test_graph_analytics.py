@@ -337,3 +337,57 @@ def test_lpa_deterministic_across_partitionings(spark):
         ).collect()
     }
     assert one == many
+
+
+class TestConstraintViolations:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "subj_entity_id long, subj_type string, predicate string,"
+            " obj_entity_id long, obj_type string",
+        )
+
+    def test_modal_induction_and_counts(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            constraint_violations,
+        )
+
+        rows = (
+            # 'born_in': 3 person subjects, 1 org (violation); ranges
+            # 3 city, 1 country (violation)
+            [(1, "person", "born_in", 10, "city"),
+             (2, "person", "born_in", 11, "city"),
+             (3, "person", "born_in", 12, "city"),
+             (4, "org", "born_in", 13, "country")]
+            # 'owns': clean — zero violations
+            + [(5, "org", "owns", 20, "asset"),
+               (6, "org", "owns", 21, "asset")]
+        )
+        out = {
+            r.predicate: r
+            for r in constraint_violations(self._df(spark, rows)).collect()
+        }
+        b = out["born_in"]
+        assert (b.domain_type, b.range_type) == ("person", "city")
+        assert (b.n_triples, b.n_domain_violations, b.n_range_violations) == (
+            4, 1, 1,
+        )
+        assert b.domain_violation_ppm == 250000
+        o = out["owns"]
+        assert (o.n_domain_violations, o.n_range_violations) == (0, 0)
+        assert o.domain_violation_ppm == 0 and o.range_violation_ppm == 0
+
+    def test_modal_tie_breaks_lexicographic(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            constraint_violations,
+        )
+
+        rows = [
+            (1, "b_type", "p", 10, "z_type"),
+            (2, "a_type", "p", 11, "y_type"),
+        ]
+        r = constraint_violations(self._df(spark, rows)).collect()[0]
+        # 1-1 tie on both sides -> lexicographically smallest type wins
+        assert r.domain_type == "a_type"
+        assert r.range_type == "y_type"
+        assert r.n_domain_violations == 1 and r.n_range_violations == 1
