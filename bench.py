@@ -102,6 +102,7 @@ RELATIONAL = [
     "kg_graph_edges_oracle",
     "kg_transe_eval",
     "kg_link_prediction",
+    "kg_rdf_ntriples",
     "events_sessionize",
     "events_asof_next",
     "events_rollup",

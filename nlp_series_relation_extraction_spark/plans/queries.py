@@ -2884,6 +2884,66 @@ def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_margin_eval(model, edges).orderBy("predicate")
 
 
+def q_kg_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG publication format: the hierarchy edge table + nation labels
+    (with PLANTED quote/backslash/newline characters so the spec ECHAR
+    escaping is actually exercised) exported as W3C N-Triples lines
+    (sources/rdf.py). Line building is whole-stage-codegen JVM concat —
+    plan-asserted in tests/test_rdf.py — so the dump is a pure map
+    stage; the oracle twin rebuilds every line with SQL concat/replace."""
+    from ..sources.rdf import edges_to_ntriples, labels_to_ntriples
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    labels = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") * 4 + 2).alias("entity_id"),
+        F.concat(
+            F.col("n_name"), F.lit(' "q'), F.lit("\\"), F.lit("\n")
+        ).alias("canonical_name"),
+    )
+    return (
+        edges_to_ntriples(edges)
+        .unionByName(labels_to_ntriples(labels))
+        .orderBy("line")
+    )
+
+
+_RDF_NTRIPLES_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s,
+         'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+), lbl AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS s,
+         concat(n_name, ' "q', chr(92), chr(10)) AS name
+  FROM nation
+)
+SELECT line FROM (
+  SELECT concat('<http://kg.example/e/', s, '> <http://kg.example/p/',
+                p, '> <http://kg.example/e/', o, '> .') AS line
+  FROM e
+  UNION ALL
+  SELECT concat('<http://kg.example/e/', s,
+                '> <http://www.w3.org/2000/01/rdf-schema#label> "',
+                replace(replace(replace(replace(name,
+                    chr(92), chr(92) || chr(92)),
+                    '"', chr(92) || '"'),
+                    chr(10), chr(92) || 'n'),
+                    chr(13), chr(92) || 'r'),
+                '" .') AS line
+  FROM lbl
+) ORDER BY line
+"""
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered link-prediction leaderboard (MRR / Hits@1/3/10, Bordes
     2013's filtered protocol) for BOTH KGE scorers — TransE and DistMult
@@ -3078,6 +3138,7 @@ def queries() -> dict:
             "quality_classifier": q_quality_classifier,
             "kg_transe_eval": q_kg_transe_eval,
             "kg_link_prediction": q_kg_link_prediction,
+            "kg_rdf_ntriples": q_kg_rdf_ntriples,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3219,6 +3280,7 @@ def oracle_sql() -> dict:
         "skew_report": _SKEW_REPORT_SQL,
         "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
         "kg_constraint_violations": _CONSTRAINT_VIOLATIONS_SQL,
+        "kg_rdf_ntriples": _RDF_NTRIPLES_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,
