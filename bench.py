@@ -73,6 +73,7 @@ RELATIONAL = [
     "dedup_cluster_keep",
     "dedup_incremental",
     "balanced_sample",
+    "group_split_summary",
     "doc_chunks",
     "lm_quality",
     "hll_distinct_users",
@@ -95,6 +96,8 @@ RELATIONAL = [
     "kg_negative_samples",
     "kg_degree_stats",
     "kg_two_hop",
+    "kg_bfs_distances",
+    "kg_kcore",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",

@@ -307,3 +307,42 @@ def curate_documents(
         .select("doc_id", F.col("n_words").cast("long"), F.lit("kept").alias("reason"))
         .orderBy("doc_id")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    val_ppm: int = 50_000,
+    test_ppm: int = 50_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    integer function of the GROUP key's md5, so every row of a group
+    (conversation, domain, author...) lands in the same split — the
+    guard against the eval-contamination mode where near-duplicate rows
+    of one source straddle train and test (the reason Lee 2022-style
+    dedup papers insist on grouped splits). Adds a ``split`` column.
+
+    Mechanics: frac_ppm = (first-7-hex-digits of md5(group|salt) as an
+    integer) * 1e6 div 16^7 — a uniform integer in [0, 1e6) — then
+    test if frac_ppm < test_ppm, val if < test_ppm + val_ppm, else
+    train. All integer arithmetic, so any md5-capable engine agrees
+    bit-for-bit; changing ``salt`` redraws the entire assignment. Pure
+    map stage — no shuffle, no per-group state."""
+    if val_ppm < 0 or test_ppm < 0 or val_ppm + test_ppm > 1_000_000:
+        raise ValueError(
+            f"bad split fractions: val_ppm={val_ppm} test_ppm={test_ppm}"
+        )
+    frac = F.expr(
+        "cast(conv(substring(md5(concat(cast("
+        + group_col
+        + " as string), '|', '"
+        + salt
+        + "')), 1, 7), 16, 10) as bigint) * 1000000 div 268435456"
+    )
+    return df.withColumn(
+        "split",
+        F.when(frac < F.lit(test_ppm), "test")
+        .when(frac < F.lit(test_ppm + val_ppm), "val")
+        .otherwise("train"),
+    )

@@ -608,3 +608,120 @@ def constraint_violations(typed_edges: DataFrame) -> DataFrame:
             "range_violation_ppm"
         ),
     )
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Distinct bidirectional (a, b) pairs, self-loops dropped — the
+    shared preprocessing of the undirected analytics (LPA, k-core, BFS)."""
+    und = (
+        edges.select(
+            F.col("subj_entity_id").alias("a"),
+            F.col("obj_entity_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """The k-core of the undirected entity graph: the maximal subgraph
+    where every vertex keeps degree >= k (Seidman 1983, "Network
+    structure and minimum degree") — the standard KG PRUNING pass that
+    strips weakly-attested periphery entities before embedding/serving.
+
+    Iterative peeling: each round aggregates degrees over the current
+    induced subgraph and drops vertices under k; removal can drop
+    neighbors below k, so iterate to fixpoint. Returns (entity_id,
+    degree) — the surviving vertices with their degree INSIDE the core.
+
+    Scale shape per round: one map-side-combined degree aggregation +
+    two semi-joins to induce the subgraph (keyed on vertex id — skew on
+    hubs is bounded because hubs are precisely the vertices peeling
+    never removes), lineage cut per round. Round count is the graph's
+    degeneracy ordering depth, small in practice; max_rounds guards
+    pathological chains."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _undirected(edges).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        deg = und.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
+        keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=True)
+        n = keep.count()
+        if n == 0:
+            return keep.select(
+                F.col("a").alias("entity_id"), "degree"
+            )
+        if prev is not None and n == prev:
+            break
+        prev = n
+        kept_ids = keep.select("a")
+        und = (
+            und.join(kept_ids, "a", "left_semi")
+            .join(
+                kept_ids.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy("a")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("a").alias("entity_id"), "degree")
+    )
+
+
+def k_core_python(edge_list: list[tuple[int, int]], k: int) -> dict:
+    """Flat twin of k_core: identical peeling recursion over an
+    adjacency dict. Returns {entity_id: core_degree}."""
+    adj: dict[int, set] = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Multi-source BFS over the undirected entity graph: (entity_id,
+    dist) = hop distance to the nearest seed, up to ``max_depth`` — the
+    neighborhood-expansion primitive behind KG locality sampling and
+    "context subgraph" retrieval. ``seeds``: DataFrame(entity_id).
+
+    Frontier algorithm: per level, one frontier x edges join + one
+    anti-join against the visited set, both keyed on vertex id; the
+    frontier only shrinks relative to the reachable set, and visited
+    rows never reshuffle (the anti-join streams them). Unreachable
+    vertices are absent from the output (not infinity rows — at
+    100-TB graph scale materializing the complement is the bug)."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col("entity_id"), F.lit(0).cast("int").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist.select("entity_id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["entity_id"] == und["a"])
+            .select(F.col("b").alias("entity_id"))
+            .distinct()
+            .join(dist.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("entity_id")
+    return dist

@@ -2884,6 +2884,129 @@ def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_margin_eval(model, edges).orderBy("predicate")
 
 
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-part bipartite edge table with TYPE-TAGGED ids (suppkey*2
+    / partkey*2+1 — raw keys from the two tables would collide into one
+    vertex) for the undirected graph analytics (BFS, k-core)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.select(
+        (F.col("l_suppkey").cast("long") * 2).alias("subj_entity_id"),
+        F.lit("supplies").alias("predicate"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("obj_entity_id"),
+    )
+
+
+def q_kg_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS neighborhood expansion (operators/graph.py:
+    bfs_distances): hop distance from every-7th supplier to each
+    reachable vertex of the supplier-part graph, capped at 3 hops —
+    checked against a DuckDB RECURSIVE CTE (UNION-deduped walk with a
+    depth guard, then min-dist), the same oracle pattern as
+    kg_linking_entities' reachability."""
+    from ..operators.graph import bfs_distances
+
+    edges = _bipartite_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("subj_entity_id").alias("entity_id"))
+        .where(F.col("entity_id") % 14 == 0)
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_depth=3).orderBy("entity_id")
+
+
+_BFS_DISTANCES_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT cast(l_suppkey AS BIGINT) * 2 AS a,
+                  cast(l_partkey AS BIGINT) * 2 + 1 AS b
+  FROM lineitem WHERE l_linenumber <= 2
+), und AS (
+  SELECT a, b FROM base UNION SELECT b, a FROM base
+), seeds AS (
+  SELECT DISTINCT a AS entity_id FROM base WHERE a % 14 = 0
+), walk(entity_id, dist) AS (
+  SELECT entity_id, 0 FROM seeds
+  UNION
+  SELECT u.b, w.dist + 1
+  FROM walk w JOIN und u ON u.a = w.entity_id
+  WHERE w.dist < 3
+)
+SELECT entity_id, cast(min(dist) AS INT) AS dist
+FROM walk GROUP BY entity_id ORDER BY entity_id
+"""
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core pruning profile of the supplier-part graph (operators/
+    graph.py:k_core; rows-only: iterative peeling to fixpoint is not
+    SQL — the peeling recursion is pinned exactly against the python
+    twin in tests/test_graph_analytics.py). One summary row per k —
+    how much graph survives each pruning strength."""
+    from ..operators.graph import k_core
+
+    edges = _bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    for k in (2, 4, 8):
+        core = k_core(edges, k)
+        row = core.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count("*").cast("long").alias("n_vertices"),
+            F.coalesce(F.sum("degree"), F.lit(0))
+            .cast("long")
+            .alias("sum_degree"),
+            F.coalesce(F.max("degree"), F.lit(0))
+            .cast("long")
+            .alias("max_degree"),
+            F.coalesce(F.min("degree"), F.lit(0))
+            .cast("long")
+            .alias("min_degree"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+def q_group_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment grouped by document
+    SOURCE (functions/curation.py:group_split): every row of a source
+    lands in one split — md5-of-group integer arithmetic, so the DuckDB
+    twin is bit-exact and the split survives any repartitioning. The
+    summary proves disjointness (n_groups sums to the distinct-source
+    total) and shows the realized sizes."""
+    from ..functions.curation import group_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        group_split(docs, "source", val_ppm=150_000, test_ppm=150_000)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_GROUP_SPLIT_SQL = """
+WITH s AS (
+  SELECT *,
+         cast(concat('0x', substring(md5(concat(source, '|', 'split')),
+              1, 7)) AS BIGINT) AS h
+  FROM documents
+), tagged AS (
+  SELECT *,
+         CASE WHEN h * 1000000 // 268435456 < 150000 THEN 'test'
+              WHEN h * 1000000 // 268435456 < 300000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM s
+)
+SELECT split,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(count(DISTINCT source) AS BIGINT) AS n_groups,
+       cast(sum(n_chars) AS BIGINT) AS sum_chars
+FROM tagged GROUP BY split ORDER BY split
+"""
+
+
 def q_kg_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG publication format: the hierarchy edge table + nation labels
     (with PLANTED quote/backslash/newline characters so the spec ECHAR
@@ -3139,6 +3262,9 @@ def queries() -> dict:
             "kg_transe_eval": q_kg_transe_eval,
             "kg_link_prediction": q_kg_link_prediction,
             "kg_rdf_ntriples": q_kg_rdf_ntriples,
+            "group_split_summary": q_group_split_summary,
+            "kg_bfs_distances": q_kg_bfs_distances,
+            "kg_kcore": q_kg_kcore,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3281,6 +3407,8 @@ def oracle_sql() -> dict:
         "kg_predicate_schema": _PREDICATE_SCHEMA_SQL,
         "kg_constraint_violations": _CONSTRAINT_VIOLATIONS_SQL,
         "kg_rdf_ntriples": _RDF_NTRIPLES_SQL,
+        "group_split_summary": _GROUP_SPLIT_SQL,
+        "kg_bfs_distances": _BFS_DISTANCES_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

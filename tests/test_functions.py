@@ -1400,3 +1400,67 @@ def test_ivfpq_matches_numpy_twin_and_respects_probe(spark):
     )}
     recall = np.mean([len(full[q] & brute[q]) / 5 for q in qids])
     assert recall >= 0.9, recall
+
+
+def test_group_split_no_group_straddles(spark):
+    """The leakage invariant: a group's rows all land in ONE split,
+    regardless of row content or partitioning."""
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        group_split,
+    )
+
+    rows = [(f"g{i % 40}", j) for i in range(40) for j in range(25)]
+    df = spark.createDataFrame(rows, "grp string, payload long").repartition(13)
+    out = group_split(df, "grp", val_ppm=200_000, test_ppm=200_000)
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_group)
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}  # 40 groups at 20/20/60
+
+
+def test_group_split_fractions_and_salt(spark):
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        group_split,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(4000)], "grp string"
+    )
+    out = group_split(df, "grp", val_ppm=100_000, test_ppm=100_000)
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+        F.count("*").alias("cnt")).collect()}
+    # md5 is uniform: 10% +- 2.5% absolute at n=4000
+    assert abs(counts["test"] / 4000 - 0.10) < 0.025
+    assert abs(counts["val"] / 4000 - 0.10) < 0.025
+    # a different salt redraws the assignment
+    redraw = group_split(df, "grp", val_ppm=100_000, test_ppm=100_000,
+                         salt="v2")
+    moved = out.withColumnRenamed("split", "a").join(
+        redraw.withColumnRenamed("split", "b"), "grp"
+    ).where(F.col("a") != F.col("b")).count()
+    assert moved > 0
+    # determinism: same call twice is identical
+    again = group_split(df, "grp", val_ppm=100_000, test_ppm=100_000)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_group_split_validation_and_purity(spark):
+    from nlp_series_relation_extraction_spark.functions.curation import (
+        group_split,
+    )
+
+    df = spark.createDataFrame([("a",)], "grp string")
+    with pytest.raises(ValueError, match="bad split fractions"):
+        group_split(df, "grp", val_ppm=600_000, test_ppm=600_000)
+    # pure map stage: no shuffle, no Python in the plan
+    plan = (
+        group_split(df, "grp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

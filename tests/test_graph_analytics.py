@@ -391,3 +391,92 @@ class TestConstraintViolations:
         assert r.domain_type == "a_type"
         assert r.range_type == "y_type"
         assert r.n_domain_violations == 1 and r.n_range_violations == 1
+
+
+class TestKCoreAndBFS:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, "r", b) for a, b in pairs],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    # a 5-clique (core deg 4), a 4-cycle hanging off it (deg 2), and a
+    # pendant chain (deg 1) — three distinct peeling depths
+    PAIRS = (
+        [(i, j) for i in range(5) for j in range(5) if i < j]
+        + [(4, 10), (10, 11), (11, 12), (12, 4)]
+        + [(0, 20), (20, 21), (21, 22)]
+    )
+
+    def test_k_core_matches_python_twin(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            k_core,
+            k_core_python,
+        )
+
+        df = self._edges(spark, self.PAIRS)
+        for k in (1, 2, 3, 4, 5):
+            got = {
+                r.entity_id: r.degree for r in k_core(df, k).collect()
+            }
+            assert got == k_core_python(self.PAIRS, k), f"k={k}"
+        # semantic spot checks: 3-core is exactly the clique; 5-core empty
+        core3 = k_core_python(self.PAIRS, 3)
+        assert set(core3) == {0, 1, 2, 3, 4}
+        assert all(d == 4 for d in core3.values())
+        assert k_core_python(self.PAIRS, 5) == {}
+        # 2-core keeps clique + cycle, drops the pendant chain
+        assert set(k_core_python(self.PAIRS, 2)) == {0, 1, 2, 3, 4, 10, 11, 12}
+
+    def test_k_core_cascading_peel(self, spark):
+        """A chain peels one layer per round — the iterative part must
+        actually iterate (a single degree filter would keep 1-2-3)."""
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            k_core,
+            k_core_python,
+        )
+
+        chain = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        assert k_core_python(chain, 2) == {}
+        assert k_core(self._edges(spark, chain), 2).count() == 0
+
+    def test_k_core_rejects_bad_k(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            k_core,
+        )
+
+        with _pytest.raises(ValueError, match="k must be"):
+            k_core(self._edges(spark, self.PAIRS), 0)
+
+    def test_bfs_distances(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            bfs_distances,
+        )
+
+        df = self._edges(spark, self.PAIRS)
+        seeds = spark.createDataFrame([(22,)], "entity_id long")
+        got = {
+            r.entity_id: r.dist
+            for r in bfs_distances(df, seeds, max_depth=3).collect()
+        }
+        # 22-21-20-0, then depth cap: clique members beyond 0 are cut
+        assert got == {22: 0, 21: 1, 20: 2, 0: 3}
+        # deeper cap reaches the whole connected component
+        far = bfs_distances(df, seeds, max_depth=10)
+        verts = {v for p in self.PAIRS for v in p}
+        assert {r.entity_id for r in far.collect()} == verts
+
+    def test_bfs_multi_source_takes_min(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            bfs_distances,
+        )
+
+        df = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        seeds = spark.createDataFrame([(0,), (4,)], "entity_id long")
+        got = {
+            r.entity_id: r.dist
+            for r in bfs_distances(df, seeds, max_depth=4).collect()
+        }
+        assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}

@@ -26,7 +26,10 @@ def test_every_oracle_has_a_query():
                "kmeans_embeddings", "pca_embeddings", "quality_classifier",
                # KG embedding fits + ranking: iterative, twin-pinned in
                # tests/test_kge.py
-               "kg_transe_eval", "kg_link_prediction")
+               "kg_transe_eval", "kg_link_prediction",
+               # iterative peeling to fixpoint, python-twin-pinned in
+               # tests/test_graph_analytics.py
+               "kg_kcore")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
