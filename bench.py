@@ -98,6 +98,7 @@ RELATIONAL = [
     "kg_two_hop",
     "kg_bfs_distances",
     "kg_kcore",
+    "kg_random_walks",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",

@@ -725,3 +725,87 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("entity_id")
     return dist
+
+
+def indexed_adjacency(edges: DataFrame) -> DataFrame:
+    """(a, idx, b, degree): each vertex's neighbors with a dense
+    0..deg-1 rank (sorted by neighbor id) — the lookup table that turns
+    'pick the h-th neighbor' into an equi-join. The window partitions
+    BY VERTEX (never global); a mega-hub's partition is its neighbor
+    list, the same rows any adjacency representation must hold."""
+    from pyspark.sql import Window
+
+    und = _undirected(edges)
+    w = Window.partitionBy("a").orderBy("b")
+    return und.select(
+        "a",
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        "b",
+        F.count("*").over(Window.partitionBy("a")).cast("long").alias(
+            "degree"
+        ),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic 'random' walk corpus over the undirected entity
+    graph — the sequence-generation stage of DeepWalk/node2vec (Perozzi
+    2014): every vertex starts ``n_walks`` walks of ``walk_len`` steps;
+    step t of walk w at vertex v moves to neighbor number
+    md5(walk_id|t|v|salt) mod degree(v). Hash-driven choice instead of
+    RNG state makes the corpus reproducible across engines, runs, and
+    partitionings — and SQL-expressible, so the DuckDB oracle replays
+    the identical walks.
+
+    Returns LONG format (walk_id, step, vertex), step 0 = start vertex.
+    Per step: one equi-join of the frontier against the indexed
+    adjacency on (vertex, idx) — the hash spreads uniformly over each
+    vertex's neighbor ranks, so the join is skew-bounded by true hub
+    degree, and walk state never leaves the cluster."""
+    if walk_len < 0 or n_walks < 1:
+        raise ValueError(f"bad walk shape: len={walk_len} n={n_walks}")
+    adj = indexed_adjacency(edges).localCheckpoint(eager=True)
+    starts = adj.select(F.col("a").alias("vertex")).distinct()
+    cur = starts.select(
+        F.explode(
+            F.array(*[F.lit(w) for w in range(n_walks)])
+        ).alias("w"),
+        "vertex",
+    ).select(
+        F.concat_ws("_", F.col("vertex"), F.col("w")).alias("walk_id"),
+        F.lit(0).cast("int").alias("step"),
+        "vertex",
+    )
+    deg = adj.select(F.col("a").alias("vertex"), "degree").distinct()
+    nbr = adj.select(F.col("a").alias("vertex"), "idx", "b")
+    out = cur
+    for t in range(1, walk_len + 1):
+        # degree join FIRST, so the neighbor lookup is an exact-match
+        # (vertex, idx) equi-join — joining the frontier straight onto
+        # the adjacency and filtering would fan every hub visit out to
+        # its full neighbor list before discarding all but one row
+        hop = (
+            cur.join(deg, "vertex")
+            .withColumn(
+                "idx",
+                F.expr(
+                    "cast(conv(substring(md5(concat_ws('|', walk_id,"
+                    f" {t}, vertex, '{salt}')), 1, 7), 16, 10) as bigint)"
+                    " % degree"
+                ),
+            )
+            .join(nbr, ["vertex", "idx"])
+            .select(
+                "walk_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("b").alias("vertex"),
+            )
+        )
+        cur = hop.localCheckpoint(eager=True)
+        out = out.unionByName(cur)
+    return out

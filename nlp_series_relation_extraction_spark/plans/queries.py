@@ -2964,6 +2964,68 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("k")
 
 
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus (operators/graph.py:
+    random_walks): 2 hash-deterministic walks of 3 steps from every
+    vertex of the supplier-part graph. Neighbor choice is
+    md5(walk_id|step|vertex) mod degree against a rank-indexed
+    adjacency, so the DuckDB oracle replays the IDENTICAL corpus with
+    chained per-step CTEs — an end-to-end determinism proof for the
+    embedding-prep stage."""
+    from ..operators.graph import random_walks
+
+    edges = _bipartite_edges(spark, sf_dir)
+    return random_walks(edges, walk_len=3, n_walks=2).orderBy(
+        "walk_id", "step"
+    )
+
+
+def _walks_sql(n_steps: int = 3, n_walks: int = 2, salt: str = "walk") -> str:
+    """Chained-CTE DuckDB twin of random_walks (fixed depth unrolls to
+    one join pair per step)."""
+    steps = []
+    prev = "s0"
+    for t in range(1, n_steps + 1):
+        steps.append(
+            f""", s{t} AS (
+  SELECT s.walk_id, j.b AS vertex
+  FROM {prev} s
+  JOIN deg d ON d.vertex = s.vertex
+  JOIN adj j ON j.a = s.vertex
+   AND j.idx = cast(concat('0x', substring(md5(concat_ws('|',
+       s.walk_id, {t}, s.vertex, '{salt}')), 1, 7)) AS BIGINT) % d.degree
+)"""
+        )
+        prev = f"s{t}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, cast({t} AS INT) AS step, vertex FROM s{t}"
+        for t in range(n_steps + 1)
+    )
+    walks = ", ".join(str(w) for w in range(n_walks))
+    return f"""
+WITH base AS (
+  SELECT DISTINCT cast(l_suppkey AS BIGINT) * 2 AS a,
+                  cast(l_partkey AS BIGINT) * 2 + 1 AS b
+  FROM lineitem WHERE l_linenumber <= 2
+), und AS (
+  SELECT a, b FROM base UNION SELECT b, a FROM base
+), adj AS (
+  SELECT a, b,
+         cast(row_number() OVER (PARTITION BY a ORDER BY b) - 1
+              AS BIGINT) AS idx,
+         cast(count(*) OVER (PARTITION BY a) AS BIGINT) AS degree
+  FROM und
+), deg AS (
+  SELECT DISTINCT a AS vertex, degree FROM adj
+), s0 AS (
+  SELECT concat(v.a, '_', w.w) AS walk_id, v.a AS vertex
+  FROM (SELECT DISTINCT a FROM und) v,
+       (SELECT unnest([{walks}]) AS w) w
+){''.join(steps)}
+SELECT * FROM ({union}) ORDER BY walk_id, step
+"""
+
+
 def q_group_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment grouped by document
     SOURCE (functions/curation.py:group_split): every row of a source
@@ -3265,6 +3327,7 @@ def queries() -> dict:
             "group_split_summary": q_group_split_summary,
             "kg_bfs_distances": q_kg_bfs_distances,
             "kg_kcore": q_kg_kcore,
+            "kg_random_walks": q_kg_random_walks,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3409,6 +3472,7 @@ def oracle_sql() -> dict:
         "kg_rdf_ntriples": _RDF_NTRIPLES_SQL,
         "group_split_summary": _GROUP_SPLIT_SQL,
         "kg_bfs_distances": _BFS_DISTANCES_SQL,
+        "kg_random_walks": _walks_sql(),
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

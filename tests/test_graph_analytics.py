@@ -480,3 +480,61 @@ class TestKCoreAndBFS:
             for r in bfs_distances(df, seeds, max_depth=4).collect()
         }
         assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+class TestRandomWalks:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, "r", b) for a, b in pairs],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    PAIRS = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (2, 7)]
+
+    def test_walks_are_valid_paths(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            random_walks,
+        )
+
+        df = self._edges(spark, self.PAIRS)
+        out = random_walks(df, walk_len=4, n_walks=3).collect()
+        und = {(a, b) for a, b in self.PAIRS} | {
+            (b, a) for a, b in self.PAIRS
+        }
+        walks: dict = {}
+        for r in out:
+            walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        verts = {v for p in self.PAIRS for v in p}
+        assert len(walks) == len(verts) * 3
+        for wid, path in walks.items():
+            assert sorted(path) == list(range(5)), wid
+            start = int(wid.split("_")[0])
+            assert path[0] == start
+            for t in range(4):
+                assert (path[t], path[t + 1]) in und, (wid, t)
+
+    def test_walks_deterministic_and_partition_invariant(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            random_walks,
+        )
+
+        df1 = self._edges(spark, self.PAIRS)
+        df2 = self._edges(spark, self.PAIRS).repartition(17)
+        a = sorted(map(tuple, random_walks(df1, 3, 2).collect()))
+        b = sorted(map(tuple, random_walks(df2, 3, 2).collect()))
+        assert a == b
+        # salt redraws the corpus
+        c = sorted(map(tuple, random_walks(df1, 3, 2, salt="v2").collect()))
+        assert a != c
+
+    def test_walk_shape_validation(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            random_walks,
+        )
+
+        with _pytest.raises(ValueError, match="bad walk shape"):
+            random_walks(self._edges(spark, self.PAIRS), -1, 1)
+        with _pytest.raises(ValueError, match="bad walk shape"):
+            random_walks(self._edges(spark, self.PAIRS), 3, 0)
