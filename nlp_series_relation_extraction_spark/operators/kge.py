@@ -40,7 +40,7 @@ Scale shape — the part that matters at 10^12 turns:
   2013 §4) scores each test triple against EVERY entity. That is
   inherently O(n_test x E x dim) compute; the implementation makes it a
   blocked matrix product with no all-pairs ROW explosion: entities are
-  split into fixed-size chunks (dense_index // chunk), test triples are
+  split into balanced chunks (pmod of the id), test triples are
   replicated once per chunk id (n_test x E/chunk slim rows), and a
   cogroup on chunk_id scores each chunk's [C, dim] matrix against the
   group's test rows in one vectorized Arrow pass, emitting only
@@ -68,7 +68,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.partitioning import ensure_parallelism
-from .graph import corrupt_triples, dense_index
+from .graph import corrupt_triples
 
 _GRAD_SCHEMA = "kind int, key_id long, pos int, val double"
 
@@ -264,6 +264,7 @@ def kge_fit(
     lr: float = 0.5,
     margin: float = 1.0,
     n_neg: int = 1,
+    pairs: DataFrame | None = None,
 ) -> dict:
     """Full-batch deterministic margin-ranking fit over the edge table.
 
@@ -276,6 +277,11 @@ def kge_fit(
     Arrow gradient pass with per-partition pre-combine, one model-sized
     groupBy, one update join — every shuffle is keyed on entity_id and
     sized by the model, not the corpus.
+
+    ``pairs``: precomputed kge_pairs(edges, n_neg) — pass it when
+    fitting several scorers (or fitting + evaluating) on the same
+    edges, so the negative-sampling prep (dense index + md5 join) runs
+    once instead of per call.
     """
     if scorer not in _SCORERS:
         raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
@@ -283,7 +289,8 @@ def kge_fit(
     r_map = {p: i for i, p in enumerate(rels)}
     W = _hash_init(np.arange(len(rels)), dim, _REL_SALT)
 
-    pairs = kge_pairs(edges, n_neg=n_neg)
+    if pairs is None:
+        pairs = kge_pairs(edges, n_neg=n_neg)
     long = ensure_parallelism(
         _pairs_long(pairs, r_map)
     ).localCheckpoint(eager=True)
@@ -410,10 +417,12 @@ def kge_fit(
                     {"entity_id": pdf["entity_id"], "vec": list(V)}
                 )
 
+        # the update join already hash-partitions its output on
+        # entity_id — re-repartitioning here would add a full shuffle
+        # stage per epoch for nothing
         emb = (
             emb.join(grads, "entity_id", "left")
             .mapInPandas(apply_update, "entity_id long, vec array<double>")
-            .repartition("entity_id")
             .localCheckpoint(eager=True)
         )
 
@@ -515,7 +524,10 @@ def transe_fit_numpy(edge_list, **kw) -> dict:
 
 
 def kge_margin_eval(
-    model: dict, edges: DataFrame, n_neg: int = 1
+    model: dict,
+    edges: DataFrame,
+    n_neg: int = 1,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-predicate ranking quality of a trained model: over the SAME
     deterministic (pos, neg) pairs, how often the true object scores
@@ -530,7 +542,8 @@ def kge_margin_eval(
     W = model["relations"]
     scorer = model.get("scorer", "transe")
     r_map = {p: i for i, p in enumerate(model["rel_index"])}
-    pairs = kge_pairs(edges, n_neg=n_neg)
+    if pairs is None:
+        pairs = kge_pairs(edges, n_neg=n_neg)
     long = _pairs_long(pairs, r_map)
 
     def score_rows(batches):
@@ -613,7 +626,7 @@ def kge_rank_eval(
     optimistic rank, and the numpy twin applies the identical rule).
 
     Plan shape (see module docstring): true scores via one entity join;
-    candidate scan via dense-index chunking + cogroup-on-chunk_id Arrow
+    candidate scan via pmod-hash chunking + cogroup-on-chunk_id Arrow
     GEMM emitting decomposable counts; filtered correction via one
     (subj, predicate) equi-join. No crossJoin row explosion, no
     data-sized collect (the chunk-id frame is E/chunk rows)."""
@@ -668,19 +681,20 @@ def kge_rank_eval(
         " r_idx int, es array<double>, true_score double",
     ).localCheckpoint(eager=True)
 
-    # candidate chunks: dense entity rank // chunk is deterministic and
-    # balanced; the replicated test frame is slim (key + dim doubles)
+    # candidate chunks: chunk_id = pmod(id, n_chunks) — uniform enough
+    # for balance, zero extra jobs (a dense-rank chunking would cost a
+    # range shuffle + checkpoint + offset collect per eval), and counts
+    # are chunking-invariant so the twin needs no chunk notion at all
     ents = _entity_ids(edges).select(F.col("entity_id").alias("eid"))
     n_ents = ents.count()
-    n_chunks = (n_ents + chunk - 1) // chunk
-    idx = dense_index(ents, "eid").withColumn(
-        "chunk_id", (F.col("ent_idx") / F.lit(chunk)).cast("long")
-    )
-    chunk_long = idx.join(
+    n_chunks = max(1, (n_ents + chunk - 1) // chunk)
+    chunk_long = ents.join(
         emb.select(F.col("entity_id").alias("eid"), "vec"), "eid"
-    ).select("chunk_id", "eid", "vec")
-    # fresh-lineage chunk-id frame (a distinct() over idx would make the
-    # cogroup an ambiguous self-join); n_chunks rows — driver-sized
+    ).select(
+        F.pmod(F.col("eid"), F.lit(n_chunks)).cast("long").alias("chunk_id"),
+        "eid",
+        "vec",
+    )
     chunk_ids = (
         edges.sparkSession.range(n_chunks)
         .select(F.col("id").alias("chunk_id"))

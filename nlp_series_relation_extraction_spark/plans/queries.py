@@ -2877,11 +2877,14 @@ def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (predicate, n_pairs, n_pos_better, acc_ppm) — margin-ranking
     quality of the learned translation vectors against md5-deterministic
     corruptions."""
-    from ..operators.kge import transe_fit, transe_margin_eval
+    from ..operators.kge import kge_pairs, transe_fit, transe_margin_eval
 
     edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
-    model = transe_fit(edges, dim=8, n_epochs=6, lr=0.5)
-    return transe_margin_eval(model, edges).orderBy("predicate")
+    # negative sampling runs ONCE (checkpointed) and feeds both the fit
+    # and the eval — corrupt_triples' dense index is the setup heavy
+    pairs = kge_pairs(edges).localCheckpoint(eager=True)
+    model = transe_fit(edges, dim=8, n_epochs=6, lr=0.5, pairs=pairs)
+    return transe_margin_eval(model, edges, pairs=pairs).orderBy("predicate")
 
 
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3141,16 +3144,20 @@ def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     mrr_ppm, hits1_ppm, hits3_ppm, hits10_ppm)."""
     from ..operators.kge import (
         kge_fit,
+        kge_pairs,
         kge_rank_eval,
         link_prediction_metrics,
     )
 
     edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # training pairs are scorer-independent: sample once, fit twice
+    pairs = kge_pairs(edges).localCheckpoint(eager=True)
     out = None
     # DistMult needs the hotter schedule (twin-measured in test_kge.py)
     for scorer, lr in (("transe", 0.5), ("distmult", 2.0)):
         ranks = kge_rank_eval(
-            kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr),
+            kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr,
+                    pairs=pairs),
             edges,
             max_test=800,
             chunk=1024,
