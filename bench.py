@@ -99,6 +99,7 @@ RELATIONAL = [
     "kg_bfs_distances",
     "kg_kcore",
     "kg_random_walks",
+    "kg_bgp_match",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",

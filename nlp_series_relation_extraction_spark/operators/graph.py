@@ -809,3 +809,101 @@ def random_walks(
         cur = hop.localCheckpoint(eager=True)
         out = out.unionByName(cur)
     return out
+
+
+def match_bgp(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Basic-graph-pattern matching — the SPARQL BGP core (W3C SPARQL
+    1.1 §5.1) re-expressed as Catalyst joins: each pattern is a
+    (subject, predicate, object) triple of terms; a term starting '?'
+    is a variable, anything else a constant (predicates compare as
+    strings, entity positions as longs). Returns one column per
+    distinct variable, one row per solution binding.
+
+    Example — customers and suppliers co-located in a nation's region:
+      match_bgp(edges, [("?c", "cust_in_nation", "?n"),
+                        ("?s", "supp_in_nation", "?n"),
+                        ("?n", "in_region",      "?r")])
+
+    Plan shape: one filtered scan of the edge table per pattern (the
+    predicate/constant filters push into the parquet scan), folded with
+    natural equi-joins on shared variables — which is exactly the form
+    Catalyst reorders and AQE re-plans; there is no interpretation
+    overhead at run time. A repeated variable inside one pattern
+    becomes a same-row filter. Cartesian patterns (no shared variable
+    with what's been folded so far) are rejected — at KG scale an
+    accidental cross product is the bug, and SPARQL engines flag it
+    too.
+
+    ``optional`` patterns fold AFTER the required group as LEFT joins —
+    SPARQL OPTIONAL semantics (§6): bindings survive with nulls for the
+    optional variables when no match exists, and multiply when several
+    do. Each optional pattern must share a variable with the required
+    group (same cross-product rule)."""
+    if not patterns:
+        raise ValueError("match_bgp: empty pattern list")
+
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    frames = []
+    for s, p, o in list(patterns) + list(optional or []):
+        df = edges.select("subj_entity_id", "predicate", "obj_entity_id")
+        if not is_var(p):
+            df = df.where(F.col("predicate") == p)
+        if not is_var(s):
+            df = df.where(F.col("subj_entity_id") == int(s))
+        if not is_var(o):
+            df = df.where(F.col("obj_entity_id") == int(o))
+        if is_var(s) and is_var(o) and s == o:
+            df = df.where(F.col("subj_entity_id") == F.col("obj_entity_id"))
+        cols = []
+        if is_var(s):
+            cols.append(F.col("subj_entity_id").alias(s[1:]))
+        if is_var(o) and o != s:
+            cols.append(F.col("obj_entity_id").alias(o[1:]))
+        if is_var(p):
+            if p in (s, o):
+                raise ValueError(
+                    f"predicate variable {p} reused in entity position"
+                )
+            cols.append(F.col("predicate").alias(p[1:]))
+        if not cols:
+            # all-constant pattern: an existence assertion — keep a
+            # constant column so the fold can cross it in (1 row or 0)
+            df = df.limit(1).select(F.lit(1).alias("_exists"))
+            frames.append((df, set()))
+            continue
+        frames.append(
+            (df.select(*cols), {x[1:] for x in (s, o, p) if is_var(x)})
+        )
+
+    n_req = len(patterns)
+    out, bound = frames[0]
+    for i, (df, vars_i) in enumerate(frames[1:], start=1):
+        shared = sorted(bound & vars_i)
+        req = i < n_req
+        if not shared and not req:
+            raise ValueError(
+                "match_bgp: optional pattern shares no variable with "
+                "the required group"
+            )
+        if bound and vars_i and not shared:
+            raise ValueError(
+                "match_bgp: pattern introduces a cross product (no "
+                f"shared variable with {sorted(bound)})"
+            )
+        if shared:
+            out = out.join(df, shared, "inner" if req else "left")
+        elif not bound:
+            # the folded side so far is an existence assertion (<= 1
+            # row): IT is the broadcast side, not the new pattern scan
+            out = df.crossJoin(F.broadcast(out))
+        else:
+            # existence-assertion fold: <= 1 row, broadcast it
+            out = out.crossJoin(F.broadcast(df))
+        bound |= vars_i
+    return out.drop("_exists")

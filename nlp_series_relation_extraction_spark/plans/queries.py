@@ -2967,6 +2967,58 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("k")
 
 
+def q_kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query (operators/graph.py:
+    match_bgp): customers and suppliers co-located in a nation, with
+    the nation's region — three triple patterns folded into natural
+    equi-joins on shared variables (Catalyst reorders; the predicate
+    filters push into the scan). Aggregated per (nation, region) so the
+    result attests binding counts without shipping ~1M binding rows."""
+    from ..operators.graph import match_bgp
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    bindings = match_bgp(
+        edges,
+        [
+            ("?c", "cust_in_nation", "?n"),
+            ("?s", "supp_in_nation", "?n"),
+            ("?n", "in_region", "?r"),
+        ],
+    )
+    return (
+        bindings.groupBy("n", "r")
+        .agg(
+            F.count("*").cast("long").alias("n_bindings"),
+            F.countDistinct("c").cast("long").alias("n_customers"),
+            F.countDistinct("s").cast("long").alias("n_suppliers"),
+        )
+        .orderBy("n")
+    )
+
+
+_BGP_MATCH_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS c,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM customer
+), supp AS (
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1 AS s,
+         cast(s_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM supplier
+), reg AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS n,
+         cast(n_regionkey AS BIGINT) * 4 + 3 AS r
+  FROM nation
+)
+SELECT cust.n, reg.r,
+       cast(count(*) AS BIGINT) AS n_bindings,
+       cast(count(DISTINCT cust.c) AS BIGINT) AS n_customers,
+       cast(count(DISTINCT supp.s) AS BIGINT) AS n_suppliers
+FROM cust JOIN supp ON cust.n = supp.n JOIN reg ON cust.n = reg.n
+GROUP BY cust.n, reg.r ORDER BY cust.n
+"""
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style walk corpus (operators/graph.py:
     random_walks): 2 hash-deterministic walks of 3 steps from every
@@ -3335,6 +3387,7 @@ def queries() -> dict:
             "kg_bfs_distances": q_kg_bfs_distances,
             "kg_kcore": q_kg_kcore,
             "kg_random_walks": q_kg_random_walks,
+            "kg_bgp_match": q_kg_bgp_match,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3480,6 +3533,7 @@ def oracle_sql() -> dict:
         "group_split_summary": _GROUP_SPLIT_SQL,
         "kg_bfs_distances": _BFS_DISTANCES_SQL,
         "kg_random_walks": _walks_sql(),
+        "kg_bgp_match": _BGP_MATCH_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

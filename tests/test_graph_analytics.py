@@ -538,3 +538,119 @@ class TestRandomWalks:
             random_walks(self._edges(spark, self.PAIRS), -1, 1)
         with _pytest.raises(ValueError, match="bad walk shape"):
             random_walks(self._edges(spark, self.PAIRS), 3, 0)
+
+
+class TestMatchBGP:
+    EDGES = [
+        (1, "likes", 2), (1, "likes", 3), (2, "likes", 3),
+        (1, "in", 10), (2, "in", 10), (3, "in", 11),
+        (10, "part_of", 100), (11, "part_of", 100),
+        (7, "self", 7), (8, "self", 9),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_chain_and_constants(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        # ?x likes ?y . ?x in 10 . ?y in ?w
+        out = match_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y"), ("?x", "in", "10"), ("?y", "in", "?w")],
+        )
+        assert sorted(out.columns) == ["w", "x", "y"]
+        got = {(r.x, r.y, r.w) for r in out.collect()}
+        assert got == {(1, 2, 10), (1, 3, 11), (2, 3, 11)}
+
+    def test_predicate_variable(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(self._df(spark), [("1", "?p", "?y")])
+        got = {(r.p, r.y) for r in out.collect()}
+        assert got == {("likes", 2), ("likes", 3), ("in", 10)}
+
+    def test_repeated_variable_in_one_pattern(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(self._df(spark), [("?x", "self", "?x")])
+        assert {r.x for r in out.collect()} == {7}
+
+    def test_existence_assertion_gates_results(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        hit = match_bgp(
+            self._df(spark), [("10", "part_of", "100"), ("?x", "in", "10")]
+        )
+        assert {r.x for r in hit.collect()} == {1, 2}
+        miss = match_bgp(
+            self._df(spark), [("10", "part_of", "999"), ("?x", "in", "10")]
+        )
+        assert miss.count() == 0
+
+    def test_cross_product_rejected(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        with _pytest.raises(ValueError, match="cross product"):
+            match_bgp(
+                self._df(spark),
+                [("?x", "likes", "?y"), ("?a", "in", "?b")],
+            )
+        with _pytest.raises(ValueError, match="empty pattern"):
+            match_bgp(self._df(spark), [])
+
+    def test_predicate_filter_pushed_to_scan(self, spark, tmp_path):
+        """The per-pattern constant must reach the parquet scan as a
+        pushed filter — BGP matching costs |patterns| filtered scans,
+        not |patterns| full scans."""
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        p = str(tmp_path / "edges")
+        self._df(spark).write.mode("overwrite").parquet(p)
+        edges = spark.read.parquet(p)
+        plan = (
+            match_bgp(edges, [("?x", "likes", "?y"), ("?y", "in", "?w")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(predicate), EqualTo(predicate,likes)" in plan
+
+    def test_optional_left_join_semantics(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        # every ?x in a place, OPTIONAL who ?x likes: 3 has no likes
+        out = match_bgp(
+            self._df(spark),
+            [("?x", "in", "?place")],
+            optional=[("?x", "likes", "?fr")],
+        )
+        got = {(r.x, r.place, r.fr) for r in out.collect()}
+        assert got == {
+            (1, 10, 2), (1, 10, 3), (2, 10, 3), (3, 11, None),
+        }
+        with pytest.raises(ValueError, match="shares no variable"):
+            match_bgp(
+                self._df(spark),
+                [("?x", "in", "?place")],
+                optional=[("?a", "likes", "?b")],
+            )
