@@ -100,6 +100,7 @@ RELATIONAL = [
     "kg_kcore",
     "kg_random_walks",
     "kg_bgp_match",
+    "kg_property_paths",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",

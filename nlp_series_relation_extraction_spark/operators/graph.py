@@ -907,3 +907,57 @@ def match_bgp(
             out = out.crossJoin(F.broadcast(df))
         bound |= vars_i
     return out.drop("_exists")
+
+
+def match_path(
+    edges: DataFrame,
+    predicate: str,
+    max_hops: int,
+    min_hops: int = 1,
+) -> DataFrame:
+    """SPARQL property-path p{min,max} (SPARQL 1.1 §9): DIRECTED
+    reachability via 1..max_hops chains of ``predicate``. Returns
+    (src, dst, hops) with hops = the MINIMAL chain length — the
+    subsumption/part-of closure query every ontology-backed KG serves.
+
+    Frontier semi-naive evaluation: level k joins the level-(k-1)
+    frontier with the single-predicate step table and anti-joins pairs
+    already found (so each pair materializes once, at its minimal
+    depth — the anti-join is also what keeps cyclic graphs from looping
+    forever). Early-exits when a level adds nothing.
+
+    Scale contract: transitive closure is O(V^2) pairs in the worst
+    case — max_hops is the explicit cap (SPARQL engines bound or
+    refuse unbounded '+' over large graphs for the same reason), and
+    each level is one equi-join + one anti-join, both keyed on vertex
+    ids."""
+    if max_hops < 1 or min_hops < 1 or min_hops > max_hops:
+        raise ValueError(
+            f"bad hop bounds: min={min_hops} max={max_hops}"
+        )
+    step = (
+        edges.where(F.col("predicate") == predicate)
+        .select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    found = step.withColumn("hops", F.lit(1).cast("int"))
+    frontier = step
+    for k in range(2, max_hops + 1):
+        nxt = (
+            frontier.select("src", F.col("dst").alias("mid"))
+            .join(step.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .distinct()
+            .join(found.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(k).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        found = found.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return found.where(F.col("hops") >= min_hops)

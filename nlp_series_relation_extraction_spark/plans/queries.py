@@ -3019,6 +3019,71 @@ GROUP BY cust.n, reg.r ORDER BY cust.n
 """
 
 
+def _assembly_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'contains' assembly DAG over parts: partkey k -> 2k and 2k+1
+    (bounded by the max key) — a deterministic binary tree ~log2(|part|)
+    deep, so property paths have real multi-hop structure at every sf."""
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    mx = part.agg(F.max("k")).collect()[0][0]
+    child = part.select(
+        F.col("k").alias("subj_entity_id"),
+        F.explode(
+            F.array(F.col("k") * 2, F.col("k") * 2 + 1)
+        ).alias("obj_entity_id"),
+    ).where(F.col("obj_entity_id") <= mx)
+    return child.withColumn("predicate", F.lit("contains"))
+
+
+def q_kg_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path contains{1,4} (operators/graph.py:
+    match_path): minimal-hop transitive containment over the part
+    assembly tree — semi-naive frontier evaluation with an anti-join
+    against found pairs (each pair materializes once, cycles cannot
+    loop). Checked against a DuckDB RECURSIVE CTE min-hop walk.
+    Aggregated per (hops) x (src mod 16) so the attested result is
+    stable-size while still fingerprinting the full pair set."""
+    from ..operators.graph import match_path
+
+    pairs = match_path(_assembly_edges(spark, sf_dir), "contains", 4)
+    return (
+        pairs.groupBy(
+            "hops", F.pmod(F.col("src"), F.lit(16)).alias("src_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("dst").cast("long").alias("sum_dst"),
+        )
+        .orderBy("hops", "src_bucket")
+    )
+
+
+_PROPERTY_PATHS_SQL = """
+WITH RECURSIVE mx AS (
+  SELECT max(cast(p_partkey AS BIGINT)) AS m FROM part
+), step AS (
+  SELECT cast(p_partkey AS BIGINT) AS src, c.dst
+  FROM part, LATERAL (VALUES (cast(p_partkey AS BIGINT) * 2),
+                             (cast(p_partkey AS BIGINT) * 2 + 1)) c(dst)
+  WHERE c.dst <= (SELECT m FROM mx)
+), walk(src, dst, hops) AS (
+  SELECT src, dst, 1 FROM step
+  UNION
+  SELECT w.src, s.dst, w.hops + 1
+  FROM walk w JOIN step s ON s.src = w.dst
+  WHERE w.hops < 4
+), minimal AS (
+  SELECT src, dst, cast(min(hops) AS INT) AS hops
+  FROM walk GROUP BY src, dst
+)
+SELECT hops, src % 16 AS src_bucket,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast(sum(dst) AS BIGINT) AS sum_dst
+FROM minimal GROUP BY hops, src_bucket ORDER BY hops, src_bucket
+"""
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style walk corpus (operators/graph.py:
     random_walks): 2 hash-deterministic walks of 3 steps from every
@@ -3388,6 +3453,7 @@ def queries() -> dict:
             "kg_kcore": q_kg_kcore,
             "kg_random_walks": q_kg_random_walks,
             "kg_bgp_match": q_kg_bgp_match,
+            "kg_property_paths": q_kg_property_paths,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3534,6 +3600,7 @@ def oracle_sql() -> dict:
         "kg_bfs_distances": _BFS_DISTANCES_SQL,
         "kg_random_walks": _walks_sql(),
         "kg_bgp_match": _BGP_MATCH_SQL,
+        "kg_property_paths": _PROPERTY_PATHS_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

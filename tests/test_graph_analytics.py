@@ -654,3 +654,57 @@ class TestMatchBGP:
                 [("?x", "in", "?place")],
                 optional=[("?a", "likes", "?b")],
             )
+
+
+class TestMatchPath:
+    # a 6-chain, a 3-cycle, and a decoy predicate
+    EDGES = (
+        [(i, "next", i + 1) for i in range(6)]
+        + [(10, "next", 11), (11, "next", 12), (12, "next", 10)]
+        + [(0, "other", 99)]
+    )
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.EDGES,
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_minimal_hops_on_chain(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path,
+        )
+
+        out = match_path(self._df(spark), "next", max_hops=3)
+        got = {(r.src, r.dst): r.hops for r in out.collect()}
+        for s in range(6):
+            for h in range(1, 4):
+                if s + h <= 6:
+                    assert got[(s, s + h)] == h
+        assert (0, 4) not in got  # beyond max_hops
+        assert (0, 99) not in got  # other predicate filtered
+
+    def test_cycle_terminates_and_min_hop_wins(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path,
+        )
+
+        out = match_path(self._df(spark), "next", max_hops=10)
+        got = {(r.src, r.dst): r.hops for r in out.collect()}
+        # 3-cycle closure: every ordered pair (incl. self at hop 3)
+        assert got[(10, 11)] == 1 and got[(10, 12)] == 2
+        assert got[(10, 10)] == 3 and got[(11, 11)] == 3
+        # chain pairs found at their MINIMAL depth even with high cap
+        assert got[(0, 1)] == 1 and got[(0, 6)] == 6
+
+    def test_min_hops_filter_and_validation(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path,
+        )
+
+        out = match_path(self._df(spark), "next", max_hops=3, min_hops=2)
+        assert all(r.hops >= 2 for r in out.collect())
+        with pytest.raises(ValueError, match="bad hop bounds"):
+            match_path(self._df(spark), "next", max_hops=0)
+        with pytest.raises(ValueError, match="bad hop bounds"):
+            match_path(self._df(spark), "next", max_hops=2, min_hops=3)
