@@ -101,6 +101,7 @@ RELATIONAL = [
     "kg_random_walks",
     "kg_bgp_match",
     "kg_property_paths",
+    "kg_rule_mining",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",

@@ -961,3 +961,70 @@ def match_path(
         found = found.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return found.where(F.col("hops") >= min_hops)
+
+
+def mine_composition_rules(
+    edges: DataFrame,
+    min_support: int = 2,
+    min_confidence_ppm: int = 100_000,
+) -> DataFrame:
+    """AMIE-style mining of composition rules p1(x,y) ^ p2(y,z) =>
+    p3(x,z) over the edge table (Galárraga et al. 2013, "AMIE:
+    Association Rule Mining under Incomplete Evidence" — the classic
+    KG-completion rule miner, restricted to the length-2 closed rules
+    that dominate its output). Returns (p1, p2, p3, n_body,
+    support, confidence_ppm):
+
+      n_body         = #distinct (x,z) pairs connected by p1 then p2
+      support        = #those pairs where p3(x,z) also holds
+      confidence_ppm = support * 1e6 div n_body   (PCA-free std conf)
+
+    Scale shape: one self-join on the mid vertex (the same hub-skew
+    point as two_hop_paths — AQE skew-split applies), deduped to
+    distinct (p1, p2, x, z) BEFORE the head join so support counts
+    pairs, not paths; the head join keys on (x, z) — uniform, not
+    hub-keyed; both aggregates are schema-sized (predicates^2 rows
+    out). Entirely relational, so the DuckDB twin is bit-exact."""
+    if min_support < 1 or not 0 <= min_confidence_ppm <= 1_000_000:
+        raise ValueError(
+            f"bad thresholds: support={min_support} "
+            f"conf_ppm={min_confidence_ppm}"
+        )
+    a = edges.select(
+        F.col("subj_entity_id").alias("x"),
+        F.col("predicate").alias("p1"),
+        F.col("obj_entity_id").alias("mid"),
+    )
+    b = edges.select(
+        F.col("subj_entity_id").alias("mid"),
+        F.col("predicate").alias("p2"),
+        F.col("obj_entity_id").alias("z"),
+    )
+    body = a.join(b, "mid").select("p1", "p2", "x", "z").distinct()
+    heads = edges.select(
+        F.col("subj_entity_id").alias("x"),
+        F.col("predicate").alias("p3"),
+        F.col("obj_entity_id").alias("z"),
+    )
+    n_body = body.groupBy("p1", "p2").agg(
+        F.count("*").cast("long").alias("n_body")
+    )
+    support = (
+        body.join(heads, ["x", "z"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return (
+        support.join(F.broadcast(n_body), ["p1", "p2"])
+        .withColumn(
+            "confidence_ppm",
+            F.expr("support * 1000000 div n_body"),
+        )
+        .where(
+            (F.col("support") >= min_support)
+            & (F.col("confidence_ppm") >= min_confidence_ppm)
+        )
+        .select(
+            "p1", "p2", "p3", "n_body", "support", "confidence_ppm"
+        )
+    )

@@ -3084,6 +3084,77 @@ FROM minimal GROUP BY hops, src_bucket ORDER BY hops, src_bucket
 """
 
 
+def q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style composition-rule mining (operators/graph.py:
+    mine_composition_rules) over the hierarchy graph plus a PLANTED
+    90%-noisy head relation (cust_in_region materialized for custkey %
+    10 != 0 only): the miner must surface cust_in_nation ^ in_region =>
+    cust_in_region at confidence ~900000 ppm — the KG-completion signal
+    rule miners exist for — while the supplier chain (no head) stays
+    below threshold. Entirely relational; the DuckDB twin is bit-exact."""
+    from ..operators.graph import mine_composition_rules
+
+    head = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("c_custkey") % 10 != 0)
+        .select(
+            (F.col("c_custkey").cast("long") * 4).alias("subj_entity_id"),
+            F.lit("cust_in_region").alias("predicate"),
+            (F.col("n_regionkey").cast("long") * 4 + 3).alias(
+                "obj_entity_id"
+            ),
+            F.lit(1).cast("long").alias("n_evidence"),
+            F.lit("tpch").alias("first_conv_id"),
+            F.lit(0).alias("first_turn_idx"),
+        )
+    )
+    edges = _hierarchy_edges(spark, sf_dir).unionByName(head)
+    return mine_composition_rules(
+        edges, min_support=2, min_confidence_ppm=100_000
+    ).orderBy("p1", "p2", "p3")
+
+
+_RULE_MINING_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2 FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3 FROM nation
+  UNION ALL
+  SELECT cast(c_custkey AS BIGINT) * 4, 'cust_in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 10 <> 0
+), body AS (
+  SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS z
+  FROM e a JOIN e b ON a.o = b.s
+), nb AS (
+  SELECT p1, p2, cast(count(*) AS BIGINT) AS n_body
+  FROM body GROUP BY p1, p2
+), sup AS (
+  SELECT body.p1, body.p2, e.p AS p3,
+         cast(count(*) AS BIGINT) AS support
+  FROM body JOIN e ON e.s = body.x AND e.o = body.z
+  GROUP BY body.p1, body.p2, e.p
+)
+SELECT sup.p1, sup.p2, sup.p3, nb.n_body, sup.support,
+       cast(sup.support * 1000000 // nb.n_body AS BIGINT)
+         AS confidence_ppm
+FROM sup JOIN nb ON sup.p1 = nb.p1 AND sup.p2 = nb.p2
+WHERE sup.support >= 2
+  AND sup.support * 1000000 // nb.n_body >= 100000
+ORDER BY sup.p1, sup.p2, sup.p3
+"""
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style walk corpus (operators/graph.py:
     random_walks): 2 hash-deterministic walks of 3 steps from every
@@ -3454,6 +3525,7 @@ def queries() -> dict:
             "kg_random_walks": q_kg_random_walks,
             "kg_bgp_match": q_kg_bgp_match,
             "kg_property_paths": q_kg_property_paths,
+            "kg_rule_mining": q_kg_rule_mining,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3601,6 +3673,7 @@ def oracle_sql() -> dict:
         "kg_random_walks": _walks_sql(),
         "kg_bgp_match": _BGP_MATCH_SQL,
         "kg_property_paths": _PROPERTY_PATHS_SQL,
+        "kg_rule_mining": _RULE_MINING_SQL,
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

@@ -708,3 +708,65 @@ class TestMatchPath:
             match_path(self._df(spark), "next", max_hops=0)
         with pytest.raises(ValueError, match="bad hop bounds"):
             match_path(self._df(spark), "next", max_hops=2, min_hops=3)
+
+
+class TestRuleMining:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_planted_rule_confidence(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            mine_composition_rules,
+        )
+
+        # in(x, y) ^ part_of(y, z); head located_in(x, z) holds for
+        # 3 of 4 body pairs -> confidence 750000 ppm
+        rows = (
+            [(i, "in", 100 + i % 2) for i in range(4)]
+            + [(100, "part_of", 200), (101, "part_of", 200)]
+            + [(i, "located_in", 200) for i in range(3)]
+        )
+        out = mine_composition_rules(
+            self._df(spark, rows), min_support=2, min_confidence_ppm=1
+        ).collect()
+        rules = {(r.p1, r.p2, r.p3): r for r in out}
+        r = rules[("in", "part_of", "located_in")]
+        assert r.n_body == 4 and r.support == 3
+        assert r.confidence_ppm == 750000
+
+    def test_pairs_not_paths(self, spark):
+        """Two distinct mid-vertices connecting the same (x, z) count as
+        ONE body pair — support is over pairs, per AMIE."""
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            mine_composition_rules,
+        )
+
+        rows = [
+            (1, "a", 10), (1, "a", 11),
+            (10, "b", 5), (11, "b", 5),
+            (1, "c", 5),
+        ]
+        out = mine_composition_rules(
+            self._df(spark, rows), min_support=1, min_confidence_ppm=1
+        ).collect()
+        r = {(x.p1, x.p2, x.p3): x for x in out}[("a", "b", "c")]
+        assert r.n_body == 1 and r.support == 1
+        assert r.confidence_ppm == 1000000
+
+    def test_thresholds_filter_and_validate(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            mine_composition_rules,
+        )
+
+        rows = [(1, "a", 2), (2, "b", 3), (1, "c", 3)]
+        high = mine_composition_rules(
+            self._df(spark, rows), min_support=2, min_confidence_ppm=1
+        )
+        assert high.count() == 0  # support 1 < 2
+        with _pytest.raises(ValueError, match="bad thresholds"):
+            mine_composition_rules(self._df(spark, rows), min_support=0)
