@@ -615,6 +615,7 @@ def kge_rank_eval(
     max_test: int = 2000,
     chunk: int = 1024,
     filtered: bool = True,
+    test_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Filtered object-ranking of test triples against ALL entities.
 
@@ -629,7 +630,14 @@ def kge_rank_eval(
     candidate scan via pmod-hash chunking + cogroup-on-chunk_id Arrow
     GEMM emitting decomposable counts; filtered correction via one
     (subj, predicate) equi-join. No crossJoin row explosion, no
-    data-sized collect (the chunk-id frame is E/chunk rows)."""
+    data-sized collect (the chunk-id frame is E/chunk rows).
+
+    ``test_edges``: where the test sample is drawn from (default: the
+    training ``edges`` — in-sample smoke). Pass a HELD-OUT split for
+    the honest protocol; ``edges`` still supplies the candidate entity
+    set and the filtered-correction known-true set, so test triples
+    whose endpoints never appeared in training are dropped by the
+    embedding join (standard transductive-KGE behavior)."""
     emb = model["entities"]
     W = model["relations"]
     scorer = model.get("scorer", "transe")
@@ -638,8 +646,12 @@ def kge_rank_eval(
         *[x for p, i in r_map.items() for x in (F.lit(p), F.lit(i))]
     )[F.col("predicate")]
 
-    test = _test_triples(edges, max_test).withColumn(
-        "r_idx", rel_col.cast("int")
+    test = (
+        _test_triples(edges if test_edges is None else test_edges, max_test)
+        .withColumn("r_idx", rel_col.cast("int"))
+        # a relation seen only in the held-out split has no trained
+        # vector — drop, like unseen entities (transductive contract)
+        .where(F.col("r_idx").isNotNull())
     )
 
     # true score + subject vector, one row per test triple
@@ -821,22 +833,27 @@ def kge_rank_eval_numpy(
     model: dict,
     max_test: int = 2000,
     filtered: bool = True,
+    test_list: list[tuple[int, str, int]] | None = None,
 ) -> dict:
     """Flat twin of kge_rank_eval over a kge_fit_numpy model: identical
     md5 test-sample rule, identical strictly-better counting, identical
-    filtered correction. Returns {(s, p, o): rank}."""
+    filtered correction, identical unseen-endpoint/relation drops.
+    Returns {(s, p, o): rank}."""
     scorer = model.get("scorer", "transe")
     E = model["entities"]
     W = model["relations"]
     r_map = {p: i for i, p in enumerate(model["rel_index"])}
     ent_ids = sorted(E)
     C = np.stack([E[e] for e in ent_ids])
-    p_keep = min(1.0, max_test / len(edge_list))
+    pool = edge_list if test_list is None else test_list
+    p_keep = min(1.0, max_test / len(pool))
     known: dict[tuple[int, str], set[int]] = {}
     for s, p, o in edge_list:
         known.setdefault((s, p), set()).add(o)
     ranks = {}
-    for s, p, o in edge_list:
+    for s, p, o in pool:
+        if s not in E or o not in E or p not in r_map:
+            continue
         h = hashlib.md5(f"{s}|{p}|{o}|test".encode()).hexdigest()[:7]
         if int(h, 16) / _HASH_DENOM >= p_keep:
             continue
@@ -848,7 +865,7 @@ def kge_rank_eval_numpy(
         ids = np.asarray(ent_ids, dtype=np.int64)
         n_better = int(((scores > true) & (ids != o)).sum())
         if filtered:
-            for other in known[(s, p)]:
+            for other in known.get((s, p), ()):
                 if other != o and float(
                     _score_rows(
                         scorer, E[s][None, :], wr[None, :], E[other][None, :]

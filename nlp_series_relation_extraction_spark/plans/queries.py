@@ -3260,6 +3260,41 @@ FROM tagged GROUP BY split ORDER BY split
 """
 
 
+_HOLDOUT_FRAC = (
+    "cast(conv(substring(md5(concat_ws('|', subj_entity_id, predicate,"
+    " obj_entity_id, 'holdout')), 1, 7), 16, 10) as bigint) % 100"
+)
+
+
+def q_kg_link_prediction_holdout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HONEST link-prediction protocol: md5-split the edge table
+    85/15, fit TransE on the train split only, rank HELD-OUT test
+    triples against the full entity set (train edges supply candidates
+    and the filtered-correction known set; held-out triples with unseen
+    endpoints drop — the transductive contract, twin-pinned in
+    tests/test_kge.py). In-sample ranking (kg_link_prediction) shows
+    the plumbing; this shows generalization."""
+    from ..operators.kge import (
+        kge_fit,
+        kge_pairs,
+        kge_rank_eval,
+        link_prediction_metrics,
+    )
+
+    edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
+    frac = F.expr(_HOLDOUT_FRAC)
+    test = edges.where(frac < 15)
+    train = edges.where(frac >= 15).localCheckpoint(eager=True)
+    pairs = kge_pairs(train).localCheckpoint(eager=True)
+    model = kge_fit(train, dim=8, n_epochs=3, lr=0.5, pairs=pairs)
+    ranks = kge_rank_eval(
+        model, train, max_test=800, chunk=1024, test_edges=test
+    )
+    return link_prediction_metrics(ranks).orderBy("predicate")
+
+
 def q_kg_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG publication format: the hierarchy edge table + nation labels
     (with PLANTED quote/backslash/newline characters so the spec ECHAR
@@ -3518,6 +3553,7 @@ def queries() -> dict:
             "quality_classifier": q_quality_classifier,
             "kg_transe_eval": q_kg_transe_eval,
             "kg_link_prediction": q_kg_link_prediction,
+            "kg_link_prediction_holdout": q_kg_link_prediction_holdout,
             "kg_rdf_ntriples": q_kg_rdf_ntriples,
             "group_split_summary": q_group_split_summary,
             "kg_bfs_distances": q_kg_bfs_distances,

@@ -263,3 +263,33 @@ def test_link_prediction_metrics_math(spark):
     allr = rows["__all__"]
     assert allr.n_test == 3
     assert allr.mrr_ppm == int((1.0 + 0.25 + 1 / 12) / 3 * 1e6)
+
+
+def test_rank_eval_holdout_matches_twin_and_drops_unseen(spark):
+    """Held-out protocol: fit on a train split, rank test triples; the
+    distributed run must equal the twin EXACTLY, including dropping
+    test triples with entities/relations the fit never saw."""
+    from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+    edges = _toy_edges()
+    train = [e for i, e in enumerate(edges) if i % 5 != 0]
+    test = [e for i, e in enumerate(edges) if i % 5 == 0]
+    # plant an unseen entity and an unseen relation in the test split
+    test += [(999, "likes", 0), (0, "unseen_rel", 1)]
+    m = transe_fit(_edges_df(spark, train), dim=8, n_epochs=3)
+    t = kge_fit_numpy(train, scorer="transe", dim=8, n_epochs=3)
+    got = _rank_df_to_dict(
+        kge_rank_eval(
+            m,
+            _edges_df(spark, train),
+            max_test=10_000,
+            chunk=16,
+            test_edges=_edges_df(spark, test),
+        )
+    )
+    want = kge_rank_eval_numpy(train, t, max_test=10_000, test_list=test)
+    assert got == want and got
+    assert (999, "likes", 0) not in got
+    assert (0, "unseen_rel", 1) not in got
+    # every surviving key is a held-out triple, none from train
+    assert set(got) <= set(test)
