@@ -102,6 +102,7 @@ RELATIONAL = [
     "kg_bgp_match",
     "kg_property_paths",
     "kg_rule_mining",
+    "kg_link_prediction_holdout",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",
