@@ -72,7 +72,13 @@ from .graph import corrupt_triples
 
 _GRAD_SCHEMA = "kind int, key_id long, pos int, val double"
 
-_SCORERS = ("transe", "distmult")
+_SCORERS = ("transe", "distmult", "rotate")
+
+# RotatE's rotations preserve entity norms; projecting entities back to
+# the unit sphere every epoch (the TransE/DistMult schedule) would fight
+# the geometry, so it keeps raw entity vectors (Sun 2019 trains without
+# the norm constraint). The twin follows the same table.
+_NORMALIZE_ENTITIES = {"transe": True, "distmult": True, "rotate": False}
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
@@ -101,13 +107,41 @@ def _hash_init(keys: np.ndarray, dim: int, salt: np.uint64) -> np.ndarray:
     return v / np.maximum(n, 1e-12)
 
 
+def _phase_init(keys: np.ndarray, dim: int) -> np.ndarray:
+    """[len(keys), dim] RotatE relation init: phases uniform in
+    [-pi, pi) in the first dim//2 slots, zeros after (phases live in
+    half the width; the flat [r, dim] storage keeps one relation-table
+    shape across scorers)."""
+    k = keys.astype(np.int64).view(np.uint64)
+    d2 = dim // 2
+    grid = k[:, None] * np.uint64(d2) + np.arange(d2, dtype=np.uint64)[None, :]
+    u = _splitmix64(grid ^ _REL_SALT).astype(np.float64) / np.float64(2**64)
+    out = np.zeros((len(keys), dim))
+    out[:, :d2] = (u * 2.0 - 1.0) * np.pi
+    return out
+
+
+def _rotate(ES: np.ndarray, WR: np.ndarray) -> np.ndarray:
+    """Element-wise complex rotation s o r for RotatE: entity vectors
+    are (re | im) half-stacked, relations carry phases in the first
+    half. Complex L2 on (re, im) equals real L2 on the stacked layout,
+    so downstream distance kernels are scorer-agnostic."""
+    d2 = ES.shape[1] // 2
+    a, b = ES[:, :d2], ES[:, d2:]
+    c, s = np.cos(WR[:, :d2]), np.sin(WR[:, :d2])
+    return np.concatenate([a * c - b * s, a * s + b * c], axis=1)
+
+
 def _score_rows(
     scorer: str, ES: np.ndarray, WR: np.ndarray, EO: np.ndarray
 ) -> np.ndarray:
     """Row-wise triple scores ([n,dim] x3 -> [n]); HIGHER is better for
-    both scorers (TransE distances are negated)."""
+    every scorer (distances are negated)."""
     if scorer == "transe":
         X = ES + WR - EO
+        return -(X * X).sum(1)
+    if scorer == "rotate":
+        X = _rotate(ES, WR) - EO
         return -(X * X).sum(1)
     return (ES * WR * EO).sum(1)
 
@@ -119,8 +153,8 @@ def _score_candidates(
     candidate objects — the blocked-matmul kernel of the ranking eval.
     TransE expands -||t - c||^2 = -(||t||^2 - 2 t.c + ||c||^2) so the
     inner loop is a single GEMM either way."""
-    if scorer == "transe":
-        T = ES + WR
+    if scorer in ("transe", "rotate"):
+        T = ES + WR if scorer == "transe" else _rotate(ES, WR)
         return -(
             (T * T).sum(1)[:, None]
             - 2.0 * (T @ C.T)
@@ -146,6 +180,22 @@ def _margin_grads(
         hinge = margin + (Xp * Xp).sum(1) - (Xn * Xn).sum(1)
         gS = 2.0 * (Xp - Xn)
         return hinge, gS, -2.0 * Xp, 2.0 * Xn, gS
+    if scorer == "rotate":
+        # X = rot(s, theta) - o; d|X|^2/ds is 2X rotated back by -theta,
+        # d|X|^2/dtheta_j = 2(X_im SR_re - X_re SR_im)_j (SR = rot(s,
+        # theta)); phase grads occupy the first half of the [n, dim] gW
+        d2 = ES.shape[1] // 2
+        c, s = np.cos(WR[:, :d2]), np.sin(WR[:, :d2])
+        SR = _rotate(ES, WR)
+        Xp = SR - EO
+        Xn = SR - EN
+        hinge = margin + (Xp * Xp).sum(1) - (Xn * Xn).sum(1)
+        D = 2.0 * (Xp - Xn)
+        Dre, Dim = D[:, :d2], D[:, d2:]
+        gS = np.concatenate([Dre * c + Dim * s, -Dre * s + Dim * c], axis=1)
+        gtheta = Dim * SR[:, :d2] - Dre * SR[:, d2:]
+        gW = np.concatenate([gtheta, np.zeros_like(gtheta)], axis=1)
+        return hinge, gS, -2.0 * Xp, 2.0 * Xn, gW
     sw = ES * WR
     hinge = margin - (sw * EO).sum(1) + (sw * EN).sum(1)
     gS = WR * (EN - EO)
@@ -285,9 +335,15 @@ def kge_fit(
     """
     if scorer not in _SCORERS:
         raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
+    if scorer == "rotate" and dim % 2:
+        raise ValueError(f"rotate needs an even dim, got {dim}")
     rels = _rel_index(edges)
     r_map = {p: i for i, p in enumerate(rels)}
-    W = _hash_init(np.arange(len(rels)), dim, _REL_SALT)
+    W = (
+        _phase_init(np.arange(len(rels)), dim)
+        if scorer == "rotate"
+        else _hash_init(np.arange(len(rels)), dim, _REL_SALT)
+    )
 
     if pairs is None:
         pairs = kge_pairs(edges, n_neg=n_neg)
@@ -393,7 +449,9 @@ def kge_fit(
             )
         )
 
-        def apply_update(batches, n_pairs=n_pairs):
+        renorm = _NORMALIZE_ENTITIES[scorer]
+
+        def apply_update(batches, n_pairs=n_pairs, renorm=renorm):
             import pandas as pd
 
             for pdf in batches:
@@ -411,8 +469,9 @@ def kge_fit(
                         f"gradient width {G.shape[1]} != dim {dim}"
                     )
                 V = V - lr * G / n_pairs
-                n = np.sqrt((V * V).sum(axis=1, keepdims=True))
-                V = V / np.maximum(n, 1e-12)
+                if renorm:
+                    n = np.sqrt((V * V).sum(axis=1, keepdims=True))
+                    V = V / np.maximum(n, 1e-12)
                 yield pd.DataFrame(
                     {"entity_id": pdf["entity_id"], "vec": list(V)}
                 )
@@ -461,12 +520,18 @@ def kge_fit_numpy(
     from the distributed run."""
     if scorer not in _SCORERS:
         raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
+    if scorer == "rotate" and dim % 2:
+        raise ValueError(f"rotate needs an even dim, got {dim}")
     ent_ids = sorted({s for s, _, _ in edge_list} | {o for _, _, o in edge_list})
     n_ents = len(ent_ids)
     eid_by_rank = list(ent_ids)  # dense_index = row_number over sorted id
     rels = sorted({p for _, p, _ in edge_list})
     r_map = {p: i for i, p in enumerate(rels)}
-    W = _hash_init(np.arange(len(rels)), dim, _REL_SALT)
+    W = (
+        _phase_init(np.arange(len(rels)), dim)
+        if scorer == "rotate"
+        else _hash_init(np.arange(len(rels)), dim, _REL_SALT)
+    )
     E = {
         e: _hash_init(np.array([e]), dim, _ENT_SALT)[0] for e in ent_ids
     }
@@ -506,9 +571,12 @@ def kge_fit_numpy(
             gw[r] += gwr[0]
         losses.append(loss_sum / n_pairs)
         W -= lr * gw / n_pairs
+        renorm = _NORMALIZE_ENTITIES[scorer]
         for e in ent_ids:
             v = E[e] - lr * np.asarray(ge.get(e, np.zeros(dim))) / n_pairs
-            E[e] = v / max(float(np.sqrt(v @ v)), 1e-12)
+            E[e] = (
+                v / max(float(np.sqrt(v @ v)), 1e-12) if renorm else v
+            )
     return {
         "scorer": scorer,
         "entities": E,

@@ -3357,8 +3357,9 @@ SELECT line FROM (
 
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered link-prediction leaderboard (MRR / Hits@1/3/10, Bordes
-    2013's filtered protocol) for BOTH KGE scorers — TransE and DistMult
-    — fitted on the TPC-H hierarchy edge table (rows-only: iterative
+    2013's filtered protocol) for the three classic KGE scorers —
+    TransE, DistMult, RotatE — fitted on the TPC-H hierarchy edge
+    table (rows-only: iterative
     fits + blocked ranking are not SQL; ranks are pinned EXACTLY against
     the numpy twin in tests/test_kge.py, chunk-invariance asserted).
     The candidate scan is the cogroup-on-chunk_id blocked GEMM of
@@ -3377,7 +3378,7 @@ def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = kge_pairs(edges).localCheckpoint(eager=True)
     out = None
     # DistMult needs the hotter schedule (twin-measured in test_kge.py)
-    for scorer, lr in (("transe", 0.5), ("distmult", 2.0)):
+    for scorer, lr in (("transe", 0.5), ("distmult", 2.0), ("rotate", 0.5)):
         ranks = kge_rank_eval(
             kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr,
                     pairs=pairs),

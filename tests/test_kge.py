@@ -203,7 +203,7 @@ def _rank_df_to_dict(df):
     }
 
 
-@pytest.mark.parametrize("scorer", ["transe", "distmult"])
+@pytest.mark.parametrize("scorer", ["transe", "distmult", "rotate"])
 def test_rank_eval_matches_numpy_twin(spark, scorer):
     """Distributed filtered ranks == twin ranks EXACTLY (integers): same
     md5 test sample, same strictly-better rule, same by-ID self-
@@ -293,3 +293,81 @@ def test_rank_eval_holdout_matches_twin_and_drops_unseen(spark):
     assert (0, "unseen_rel", 1) not in got
     # every surviving key is a held-out triple, none from train
     assert set(got) <= set(test)
+
+
+# --- RotatE -------------------------------------------------------------
+
+
+def test_rotate_matches_numpy_twin(spark):
+    """Complex-rotation scorer (Sun 2019): phase-relation init, rotation
+    gradients, and the no-entity-renorm schedule must all agree with the
+    twin recursion."""
+    from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+    edges = _toy_edges()
+    m = kge_fit(_edges_df(spark, edges), scorer="rotate", dim=8,
+                n_epochs=4, lr=0.5)
+    t = kge_fit_numpy(edges, scorer="rotate", dim=8, n_epochs=4, lr=0.5)
+    assert np.allclose(m["loss"], t["loss"], rtol=1e-9, atol=1e-12)
+    assert np.allclose(m["relations"], t["relations"], atol=1e-12)
+    E = {r.entity_id: np.array(r.vec) for r in m["entities"].collect()}
+    for e, v in t["entities"].items():
+        assert np.allclose(E[e], v, atol=1e-12)
+    # rotate does NOT renormalize entities — norms drift off 1.0
+    assert any(abs(float(np.sqrt(v @ v)) - 1.0) > 1e-9 for v in E.values())
+
+
+def test_rotate_gradients_finite_difference():
+    """Pure-numpy FD check of the rotation gradient algebra (hinge wrt
+    subject/object/negative/phases) at 1e-5."""
+    from nlp_series_relation_extraction_spark.operators.kge import (
+        _margin_grads,
+        _score_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 4
+    ES, EO, EN = rng.normal(size=(3, n, dim))
+    WR = np.zeros((n, dim))
+    WR[:, : dim // 2] = rng.uniform(-np.pi, np.pi, (n, dim // 2))
+
+    def hinge(ES, EO, EN, WR):
+        return (
+            1.0
+            - _score_rows("rotate", ES, WR, EO)
+            + _score_rows("rotate", ES, WR, EN)
+        )
+
+    h, gS, gO, gN, gW = _margin_grads("rotate", ES, EO, EN, WR, 1.0)
+    assert np.allclose(h, hinge(ES, EO, EN, WR))
+    eps = 1e-6
+    for which, X, G in (("S", ES, gS), ("O", EO, gO), ("N", EN, gN),
+                        ("W", WR, gW)):
+        num = np.zeros_like(X)
+        for i in range(n):
+            for j in range(dim):
+                up, dn = X.copy(), X.copy()
+                up[i, j] += eps
+                dn[i, j] -= eps
+                a = {"S": (up, EO, EN, WR), "O": (ES, up, EN, WR),
+                     "N": (ES, EO, up, WR), "W": (ES, EO, EN, up)}[which]
+                b = {"S": (dn, EO, EN, WR), "O": (ES, dn, EN, WR),
+                     "N": (ES, EO, dn, WR), "W": (ES, EO, EN, dn)}[which]
+                num[i, j] = (hinge(*a)[i] - hinge(*b)[i]) / (2 * eps)
+        assert np.allclose(num, G, atol=1e-5), which
+
+
+def test_rotate_learns_and_rejects_odd_dim(spark):
+    from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    init = kge_fit(df, scorer="rotate", dim=8, n_epochs=0)
+    base = _micro_acc(kge_margin_eval(init, df))
+    trained = kge_fit(df, scorer="rotate", dim=8, n_epochs=25, lr=0.5)
+    acc = _micro_acc(kge_margin_eval(trained, df))
+    assert acc > base and acc >= 0.8
+    with pytest.raises(ValueError, match="even dim"):
+        kge_fit(df, scorer="rotate", dim=7)
+    with pytest.raises(ValueError, match="even dim"):
+        kge_fit_numpy(edges, scorer="rotate", dim=7)
