@@ -191,9 +191,9 @@ def test_kge_fit_rejects_unknown_scorer(spark):
     with pytest.raises(ValueError, match="unknown scorer"):
         from nlp_series_relation_extraction_spark.operators.kge import kge_fit
 
-        kge_fit(df, scorer="rotate")
+        kge_fit(df, scorer="complex")
     with pytest.raises(ValueError, match="unknown scorer"):
-        kge_fit_numpy(_toy_edges(), scorer="rotate")
+        kge_fit_numpy(_toy_edges(), scorer="complex")
 
 
 def _rank_df_to_dict(df):
