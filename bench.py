@@ -103,6 +103,8 @@ RELATIONAL = [
     "kg_property_paths",
     "kg_rule_mining",
     "kg_link_prediction_holdout",
+    "kg_walk_skipgrams",
+    "kg_deepwalk_embeddings",
     "kg_triangles",
     "kg_pagerank",
     "kg_communities",

@@ -1028,3 +1028,34 @@ def mine_composition_rules(
             "p1", "p2", "p3", "n_body", "support", "confidence_ppm"
         )
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (the DeepWalk/
+    node2vec -> word2vec handoff, Perozzi 2014 §4.2): for every walk,
+    every ordered (center, context) vertex pair within ``window`` steps,
+    aggregated to (src, dst, cnt). ``walks``: long format
+    (walk_id, step, vertex) as produced by random_walks.
+
+    One self-join keyed on walk_id (walks are short and uniform — the
+    join fans out len*window per walk, bounded by construction) + one
+    count aggregation with map-side combine. No driver-side windowing."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("vertex").alias("src")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("vertex").alias("dst")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -2967,6 +2967,62 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("k")
 
 
+def q_kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction from the walk corpus
+    (operators/graph.py:skipgram_pairs) — the DeepWalk -> word2vec
+    handoff. The pairs derive from the SAME md5-deterministic walks the
+    oracle replays, so the whole walks -> windows -> counts chain is
+    cross-engine byte-stable."""
+    from ..operators.graph import random_walks, skipgram_pairs
+
+    edges = _bipartite_edges(spark, sf_dir)
+    walks = random_walks(edges, walk_len=3, n_walks=2)
+    return skipgram_pairs(walks, window=2).orderBy("src", "dst")
+
+
+def _walk_skipgrams_sql() -> str:
+    return f"""
+WITH walks AS ({_walks_subquery_sql()}),
+a AS (SELECT walk_id, step AS i, vertex AS src FROM walks),
+b AS (SELECT walk_id, step AS j, vertex AS dst FROM walks)
+SELECT a.src, b.dst, cast(count(*) AS BIGINT) AS cnt
+FROM a JOIN b ON a.walk_id = b.walk_id
+WHERE a.i <> b.j AND abs(a.i - b.j) <= 2
+GROUP BY a.src, b.dst ORDER BY a.src, b.dst
+"""
+
+
+def q_kg_deepwalk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DeepWalk end-to-end: walks -> skip-gram co-occurrence edges ->
+    DistMult embedding fit -> margin-ranking eval (rows-only: the fit
+    is iterative; every stage is individually twin-pinned — walks and
+    pairs by DuckDB replay, the fit by the 1e-12 numpy twin, and the
+    clique-semantics claim in tests/test_kge.py). The structural-
+    similarity embedding a KG derives from pure topology, no labels."""
+    from ..operators.graph import random_walks, skipgram_pairs
+    from ..operators.kge import kge_fit, kge_margin_eval, kge_pairs
+
+    walks = random_walks(
+        _bipartite_edges(spark, sf_dir), walk_len=3, n_walks=2
+    )
+    cooc = (
+        skipgram_pairs(walks, window=2)
+        .where(F.col("src") < F.col("dst"))  # one direction; fit corrupts objects
+        .select(
+            F.col("src").alias("subj_entity_id"),
+            F.lit("cooccur").alias("predicate"),
+            F.col("dst").alias("obj_entity_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = kge_pairs(cooc).localCheckpoint(eager=True)
+    model = kge_fit(cooc, scorer="distmult", dim=8, n_epochs=3, lr=2.0,
+                    pairs=pairs)
+    return kge_margin_eval(model, cooc, pairs=pairs).orderBy("predicate")
+
+
 def q_kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style basic-graph-pattern query (operators/graph.py:
     match_bgp): customers and suppliers co-located in a nation, with
@@ -3172,8 +3228,17 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _walks_sql(n_steps: int = 3, n_walks: int = 2, salt: str = "walk") -> str:
+    return (
+        _walks_subquery_sql(n_steps, n_walks, salt)
+        + "\nORDER BY walk_id, step"
+    )
+
+
+def _walks_subquery_sql(
+    n_steps: int = 3, n_walks: int = 2, salt: str = "walk"
+) -> str:
     """Chained-CTE DuckDB twin of random_walks (fixed depth unrolls to
-    one join pair per step)."""
+    one join pair per step); unordered so it can nest as a subquery."""
     steps = []
     prev = "s0"
     for t in range(1, n_steps + 1):
@@ -3213,7 +3278,7 @@ WITH base AS (
   FROM (SELECT DISTINCT a FROM und) v,
        (SELECT unnest([{walks}]) AS w) w
 ){''.join(steps)}
-SELECT * FROM ({union}) ORDER BY walk_id, step
+SELECT * FROM ({union})
 """
 
 
@@ -3563,6 +3628,8 @@ def queries() -> dict:
             "kg_bgp_match": q_kg_bgp_match,
             "kg_property_paths": q_kg_property_paths,
             "kg_rule_mining": q_kg_rule_mining,
+            "kg_walk_skipgrams": q_kg_walk_skipgrams,
+            "kg_deepwalk_embeddings": q_kg_deepwalk_embeddings,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -3711,6 +3778,7 @@ def oracle_sql() -> dict:
         "kg_bgp_match": _BGP_MATCH_SQL,
         "kg_property_paths": _PROPERTY_PATHS_SQL,
         "kg_rule_mining": _RULE_MINING_SQL,
+        "kg_walk_skipgrams": _walk_skipgrams_sql(),
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "hll_distinct_shingles": _HLL_SHINGLES_SQL,

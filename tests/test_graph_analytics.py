@@ -770,3 +770,35 @@ class TestRuleMining:
         assert high.count() == 0  # support 1 < 2
         with _pytest.raises(ValueError, match="bad thresholds"):
             mine_composition_rules(self._df(spark, rows), min_support=0)
+
+
+class TestSkipgrams:
+    def test_window_pairs_hand_computed(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            skipgram_pairs,
+        )
+
+        walks = spark.createDataFrame(
+            [("w0", 0, 10), ("w0", 1, 20), ("w0", 2, 10), ("w0", 3, 30),
+             ("w1", 0, 20), ("w1", 1, 10)],
+            "walk_id string, step int, vertex long",
+        )
+        got = {
+            (r.src, r.dst): r.cnt
+            for r in skipgram_pairs(walks, window=1).collect()
+        }
+        # w0 adjacent: (10,20),(20,10),(20,10),(10,20),(10,30),(30,10)
+        # w1 adjacent: (20,10),(10,20)
+        assert got == {
+            (10, 20): 3, (20, 10): 3, (10, 30): 1, (30, 10): 1,
+        }
+        wide = {
+            (r.src, r.dst): r.cnt
+            for r in skipgram_pairs(walks, window=3).collect()
+        }
+        assert wide[(10, 10)] == 2  # step 0 <-> step 2 in w0, both orders
+        assert wide[(20, 30)] == 1 and wide[(30, 20)] == 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="window must be"):
+            skipgram_pairs(walks, window=0)

@@ -29,7 +29,9 @@ def test_every_oracle_has_a_query():
                "kg_transe_eval", "kg_link_prediction",
                # iterative peeling to fixpoint, python-twin-pinned in
                # tests/test_graph_analytics.py
-               "kg_kcore")
+               "kg_kcore",
+               # walks->pairs->fit composition; every stage twin-pinned
+               "kg_deepwalk_embeddings")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
