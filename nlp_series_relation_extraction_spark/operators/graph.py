@@ -583,6 +583,18 @@ def constraint_violations(typed_edges: DataFrame) -> DataFrame:
     schema = modal("subj_type", "domain_type").join(
         modal("obj_type", "range_type"), "predicate"
     )
+    return violations_against_schema(typed_edges, schema)
+
+
+def violations_against_schema(
+    typed_edges: DataFrame, schema: DataFrame
+) -> DataFrame:
+    """Violation counting against a FIXED (predicate, domain_type,
+    range_type) schema — the second half of constraint_violations,
+    separated so a STREAM can monitor against a frozen induced schema
+    (streaming/constraints.py): the counts are SUM-mergeable per
+    predicate, exactly the algebra the streaming state store maintains.
+    One broadcast join + one map-side-combined aggregation."""
     counted = typed_edges.join(F.broadcast(schema), "predicate").groupBy(
         "predicate", "domain_type", "range_type"
     ).agg(

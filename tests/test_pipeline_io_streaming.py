@@ -1295,3 +1295,76 @@ def test_kg_sink_version_key_orders_replays_between_batches():
     ]
     # beyond the zero padding, numeric order still holds
     assert _version_key("v1000000") > _version_key("v999999.r3")
+
+
+def test_streaming_violation_monitor_equals_batch_and_resumes(spark, tmp_path):
+    """The live ontology-violation monitor (frozen induced schema, SUM
+    counts per predicate) after draining a typed edge stream equals the
+    batch count; appending files and resuming from the checkpoint folds
+    only the new edges and still equals the full batch — the drift-watch
+    contract for a continuously-built KG."""
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        violations_against_schema,
+    )
+    from nlp_series_relation_extraction_spark.streaming.constraints import (
+        violation_monitor_stream,
+    )
+
+    sch = "subj_entity_id long, subj_type string, predicate string," \
+          " obj_entity_id long, obj_type string"
+
+    def rows(n, off):
+        # ~1/7 domain violations ('org'), ~1/5 range violations ('town')
+        return [
+            (
+                off + i,
+                "org" if i % 7 == 0 else "person",
+                "born_in" if i % 2 == 0 else "works_at",
+                1000 + i,
+                "town" if i % 5 == 0 else ("city" if i % 2 == 0 else "company"),
+            )
+            for i in range(n)
+        ]
+
+    schema = spark.createDataFrame(
+        [("born_in", "person", "city"), ("works_at", "person", "company")],
+        "predicate string, domain_type string, range_type string",
+    )
+    src = str(tmp_path / "vsrc")
+    spark.createDataFrame(rows(140, 0), sch).write.mode("overwrite").parquet(src)
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            violation_monitor_stream(stream, schema)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "vckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+
+    def batch(all_rows):
+        df = spark.createDataFrame(all_rows, sch)
+        return {
+            tuple(r)
+            for r in violations_against_schema(df, schema).collect()
+        }
+
+    got1 = drain("viol1")
+    assert got1 == batch(rows(140, 0)) and len(got1) == 2
+    # non-vacuous: planted noise must register
+    by_pred = {t[0]: t for t in got1}
+    assert by_pred["born_in"][4] > 0 and by_pred["born_in"][5] > 0
+
+    extra = rows(90, 140)
+    spark.createDataFrame(extra, sch).write.mode("append").parquet(src)
+    got2 = drain("viol2")
+    assert got2 == batch(rows(140, 0) + extra)
