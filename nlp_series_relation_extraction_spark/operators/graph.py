@@ -764,6 +764,7 @@ def random_walks(
     walk_len: int = 4,
     n_walks: int = 2,
     salt: str = "walk",
+    starts: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic 'random' walk corpus over the undirected entity
     graph — the sequence-generation stage of DeepWalk/node2vec (Perozzi
@@ -778,11 +779,19 @@ def random_walks(
     Per step: one equi-join of the frontier against the indexed
     adjacency on (vertex, idx) — the hash spreads uniformly over each
     vertex's neighbor ranks, so the join is skew-bounded by true hub
-    degree, and walk state never leaves the cluster."""
+    degree, and walk state never leaves the cluster.
+
+    ``starts``: DataFrame(vertex) of start vertices (default: every
+    vertex). DeepWalk's own cost knob — corpus size scales with the
+    start batch, not the graph; start vertices without neighbors
+    contribute a step-0 row and stop."""
     if walk_len < 0 or n_walks < 1:
         raise ValueError(f"bad walk shape: len={walk_len} n={n_walks}")
     adj = indexed_adjacency(edges).localCheckpoint(eager=True)
-    starts = adj.select(F.col("a").alias("vertex")).distinct()
+    if starts is None:
+        starts = adj.select(F.col("a").alias("vertex")).distinct()
+    else:
+        starts = starts.select("vertex").distinct()
     cur = starts.select(
         F.explode(
             F.array(*[F.lit(w) for w in range(n_walks)])

@@ -3004,9 +3004,14 @@ def q_kg_deepwalk_embeddings(
     from ..operators.graph import random_walks, skipgram_pairs
     from ..operators.kge import kge_fit, kge_margin_eval, kge_pairs
 
-    walks = random_walks(
-        _bipartite_edges(spark, sf_dir), walk_len=3, n_walks=2
+    edges = _bipartite_edges(spark, sf_dir)
+    # DeepWalk's cost knob: start walks from the supplier side only
+    # (even-tagged ids) — corpus scales with the start batch, not the
+    # graph, which is how walk-based embedding runs bound themselves
+    starts = (
+        edges.select(F.col("subj_entity_id").alias("vertex")).distinct()
     )
+    walks = random_walks(edges, walk_len=3, n_walks=2, starts=starts)
     cooc = (
         skipgram_pairs(walks, window=2)
         .where(F.col("src") < F.col("dst"))  # one direction; fit corrupts objects

@@ -802,3 +802,18 @@ class TestSkipgrams:
 
         with _pytest.raises(ValueError, match="window must be"):
             skipgram_pairs(walks, window=0)
+
+    def test_walks_restricted_to_given_starts(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            random_walks,
+        )
+
+        df = spark.createDataFrame(
+            [(a, "r", b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+        starts = spark.createDataFrame([(0,), (2,)], "vertex long")
+        out = random_walks(df, 3, 2, starts=starts).collect()
+        step0 = {r.vertex for r in out if r.step == 0}
+        assert step0 == {0, 2}
+        assert {int(r.walk_id.split("_")[0]) for r in out} == {0, 2}
