@@ -99,6 +99,13 @@ RELATIONAL = [
     "kg_bfs_distances",
     "kg_kcore",
     "kg_random_walks",
+    "kg_node2vec_walks",
+    "kg_entity_pmi",
+    "kg_entity_similarity",
+    "kg_shortest_paths",
+    "kg_hits",
+    "role_transitions",
+    "event_sequence_ngrams",
     "kg_bgp_match",
     "kg_property_paths",
     "kg_rule_mining",

@@ -51,3 +51,81 @@ def turns_with_context(
         F.array_join(ctx, sep).alias("context_text"),
         F.size(ctx).cast("int").alias("n_context_turns"),
     )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Dialogue-act transition matrix: for every adjacent turn pair of a
+    conversation, count (from_role -> to_role) and its conditional
+    probability P(to | from). The Markov fingerprint of a transcript
+    corpus — agent-loop detection (assistant->tool->assistant cycles),
+    protocol drift between corpus snapshots, and a sanity gate before
+    training on scraped dialogues (a corpus whose user->user mass is high
+    is mis-threaded).
+
+    Plan: one window pass on the transcript's native conv_id partitioning
+    (lead(role) — no self-join), then a transition-matrix-sized groupBy
+    with map-side combine; the probability normalizer is a window over
+    the AGGREGATED matrix (|roles|^2 rows), never the data. prob is one
+    integer->double division, so cross-engine comparison is bit-exact."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = transcripts.select(
+        F.col("role").alias("from_role"),
+        F.lead("role").over(w).alias("to_role"),
+    ).where(F.col("to_role").isNotNull())
+    counts = pairs.groupBy("from_role", "to_role").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_from = Window.partitionBy("from_role")
+    return counts.select(
+        "from_role",
+        "to_role",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_from).cast("double")
+        ).alias("prob"),
+    )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequent contiguous n-grams over per-key ordered token sequences —
+    tool-call pattern mining on agent transcripts (which tool chains do
+    agents actually run?), event-funnel discovery on clickstreams. Gapped
+    sequential patterns (PrefixSpan) are a different operator; contiguous
+    n-grams are the 100-TB-cheap screen that usually answers the question.
+
+    Plan: ONE window pass per extra gram position (lead(token, i) over
+    the key's native ordering — Catalyst folds the leads into a single
+    Window node), then a groupBy whose output is vocabulary-sized, with
+    map-side combine. No self-joins, no explode; rows never leave their
+    key's partition before aggregation."""
+    if n < 2:
+        raise ValueError(f"n-gram length must be >= 2, got {n}")
+    # null tokens (a transcript's tool column is null on non-tool turns)
+    # drop out BEFORE the window: grams are contiguous over the key's
+    # non-null token subsequence — the tool-chain reading of "adjacent"
+    df = df.where(F.col(token_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    grams = df.select(
+        F.col(token_col).alias("g0"),
+        *[
+            F.lead(token_col, i).over(w).alias(f"g{i}")
+            for i in range(1, n)
+        ],
+    ).where(F.col(f"g{n - 1}").isNotNull())
+    out = (
+        grams.groupBy(*[f"g{i}" for i in range(n)])
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return out.select(
+        F.concat_ws(" -> ", *[f"g{i}" for i in range(n)]).alias("ngram"),
+        "n_occurrences",
+    )

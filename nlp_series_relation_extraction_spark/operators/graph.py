@@ -832,6 +832,137 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    w_ret: int = 1,
+    w_stay: int = 2,
+    w_far: int = 4,
+    salt: str = "n2v",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order biased walk corpus — node2vec (Grover & Leskovec
+    2016, §3.2) with the search bias expressed as INTEGER weights so the
+    weighted choice is exact integer arithmetic and the DuckDB oracle
+    replays the identical corpus. The paper's alpha_pq(prev, cand) is
+    1/p when cand == prev (return), 1 when cand is adjacent to prev
+    (BFS-ish stay), 1/q otherwise (DFS-ish explore); the defaults
+    (1, 2, 4) encode p=2, q=1/2 scaled by 2 — any integer triple works.
+
+    Step t >= 2 of walk w at vertex v with predecessor u: fan v's
+    rank-indexed neighbor list out, weight each candidate by the triple,
+    and pick the candidate whose cumulative-weight interval contains
+    md5(walk_id|t|v|u|salt) mod total_weight. Step 1 has no predecessor
+    and is the unbiased first-order choice (same rule as random_walks).
+
+    Plan shape per step: the frontier joins the adjacency on the CURRENT
+    vertex (this materializes deg(v) candidate rows per walk — inherent
+    to node2vec, every implementation scans the neighbor list to weight
+    it; the fan-out is bounded by true hub degree), one LEFT join of the
+    candidates against the undirected edge set on (prev, cand) marks the
+    distance-1 class, and one walk_id-partitioned window (uniform keys,
+    at most deg(v) rows per partition) does the cumulative-weight pick.
+    Walk state never leaves the cluster; nothing collects. At 100 TB the
+    alternative — precomputing per-(u,v) alias tables — is O(sum of
+    deg(u)*deg(v)) memory and is exactly what the scan avoids.
+
+    Returns LONG format (walk_id, step, vertex), step 0 = start vertex;
+    walks stop early at sink vertices (inner join drops them)."""
+    if walk_len < 0 or n_walks < 1:
+        raise ValueError(f"bad walk shape: len={walk_len} n={n_walks}")
+    if min(w_ret, w_stay, w_far) < 1:
+        raise ValueError("node2vec weights must be positive integers")
+    from pyspark.sql import Window
+
+    adj = indexed_adjacency(edges).localCheckpoint(eager=True)
+    nbr = adj.select(F.col("a").alias("vertex"), "idx", "b")
+    deg = adj.select(F.col("a").alias("vertex"), "degree").distinct()
+    und = adj.select(F.col("a").alias("pv"), F.col("b").alias("cand"))
+    if starts is None:
+        starts = adj.select(F.col("a").alias("vertex")).distinct()
+    else:
+        starts = starts.select("vertex").distinct()
+    cur = starts.select(
+        F.explode(F.array(*[F.lit(w) for w in range(n_walks)])).alias("w"),
+        "vertex",
+    ).select(
+        F.concat_ws("_", F.col("vertex"), F.col("w")).alias("walk_id"),
+        "vertex",
+    )
+    out = cur.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), "vertex"
+    )
+    if walk_len == 0:
+        return out
+
+    def _hash(t: int, extra: str) -> str:
+        return (
+            "cast(conv(substring(md5(concat_ws('|', walk_id,"
+            f" {t}, vertex{extra}, '{salt}')), 1, 7), 16, 10) as bigint)"
+        )
+
+    # step 1: no predecessor yet — unbiased degree-mod choice
+    frontier = (
+        cur.join(deg, "vertex")
+        .withColumn("idx", F.expr(_hash(1, "") + " % degree"))
+        .join(nbr, ["vertex", "idx"])
+        .select(
+            "walk_id",
+            F.col("vertex").alias("prev"),
+            F.col("b").alias("vertex"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionByName(
+        frontier.select(
+            "walk_id", F.lit(1).cast("int").alias("step"), "vertex"
+        )
+    )
+    w_cum = (
+        Window.partitionBy("walk_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("walk_id")
+    for t in range(2, walk_len + 1):
+        cand = (
+            frontier.join(nbr, "vertex")
+            .join(und, (F.col("prev") == F.col("pv"))
+                  & (F.col("b") == F.col("cand")), "left")
+            .withColumn(
+                "wt",
+                F.when(F.col("b") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("pv").isNotNull(), F.lit(w_stay))
+                .otherwise(F.lit(w_far))
+                .cast("long"),
+            )
+            .withColumn("cum", F.sum("wt").over(w_cum))
+            .withColumn("total", F.sum("wt").over(w_tot))
+            .withColumn(
+                "r", F.expr(_hash(t, ", prev") + " % total")
+            )
+        )
+        frontier = (
+            cand.where(
+                (F.col("r") >= F.col("cum") - F.col("wt"))
+                & (F.col("r") < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                F.col("vertex").alias("prev"),
+                F.col("b").alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), "vertex"
+            )
+        )
+    return out
+
+
 def match_bgp(
     edges: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -1079,4 +1210,322 @@ def skipgram_pairs(
         )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def entity_cooccurrence_pmi(
+    conv_entities: DataFrame,
+    max_entities_per_conv: int | None = None,
+) -> DataFrame:
+    """PMI-weighted entity co-occurrence — the classic distributional
+    edge type a KG build adds NEXT TO extracted relations: two entities
+    that keep appearing in the same conversations are related even when
+    no extractor fires between them (and a high-PMI pair with no KG edge
+    is a recall probe for the extraction heads).
+
+    Input: (conv_id, entity_id) mention occurrences (duplicates fine —
+    deduped here). Output per unordered pair seen together:
+    pmi = ln(n_joint * n_convs / (n_a * n_b)) over conversation-level
+    presence counts, plus the raw counts so downstream thresholds don't
+    re-derive them.
+
+    Plan: dedup to conversation-level presence (one shuffle), per-entity
+    counts via map-side combine, then the within-conversation pair join
+    — quadratic ONLY in each conversation's distinct-entity count, which
+    ``max_entities_per_conv`` caps explicitly (a 10k-entity megathread
+    would emit 50M pairs; capped conversations are DROPPED, not sampled,
+    so the statistic stays exact over the kept population). n_convs is a
+    one-scalar count; pmi is computed with one expression shape so the
+    DuckDB twin is bit-exact."""
+    ce = conv_entities.select("conv_id", "entity_id").distinct()
+    if max_entities_per_conv is not None:
+        sizes = ce.groupBy("conv_id").agg(
+            F.count("*").alias("_n_ents")
+        ).where(F.col("_n_ents") <= max_entities_per_conv)
+        ce = ce.join(sizes.select("conv_id"), "conv_id")
+    ce = ce.localCheckpoint(eager=True)  # reused 3x: counts + both join sides
+    n_convs = ce.select("conv_id").distinct().count()
+    ent_counts = ce.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_solo")
+    )
+    a = ce.select("conv_id", F.col("entity_id").alias("entity_a"))
+    b = ce.select("conv_id", F.col("entity_id").alias("entity_b"))
+    joint = (
+        a.join(b, "conv_id")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").cast("long").alias("n_joint"))
+    )
+    return (
+        joint.join(
+            ent_counts.select(
+                F.col("entity_id").alias("entity_a"),
+                F.col("n_solo").alias("n_a"),
+            ),
+            "entity_a",
+        )
+        .join(
+            ent_counts.select(
+                F.col("entity_id").alias("entity_b"),
+                F.col("n_solo").alias("n_b"),
+            ),
+            "entity_b",
+        )
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_joint",
+            "n_a",
+            "n_b",
+            F.lit(n_convs).cast("long").alias("n_convs"),
+            F.log(
+                F.col("n_joint").cast("double")
+                * F.lit(n_convs).cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+def neighborhood_similarity(
+    edges: DataFrame,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Structural entity similarity over the undirected KG: for every
+    vertex pair sharing >= 1 neighbor, the Jaccard and overlap
+    coefficients of their neighbor sets plus the Adamic-Adar score —
+    the standard candidate generator for KG entity resolution (two
+    canonicalized entities whose neighborhoods coincide are link-
+    prediction duplicates) and for missing-edge suggestion.
+
+    Plan: wedge enumeration — the adjacency self-joined on the PIVOT
+    (common neighbor) with x < y, aggregated to pair counts. A pivot of
+    degree d emits d*(d-1)/2 wedges, so hubs dominate cost;
+    ``max_pivot_degree`` excludes pivots above the cap (the usual
+    analytics contract: a 10^6-degree hub contributes ~0 Adamic-Adar
+    weight per wedge yet 10^12 wedges — capped pivots change scores only
+    by that near-zero mass, and the cap is visible in the signature, not
+    silent). Degree joins are aggregation-sized. Jaccard/overlap are one
+    integer->double division each (bit-exact cross-engine); Adamic-Adar
+    sums 1/ln(degree) doubles, whose addition ORDER is partition-
+    dependent — it ships in the operator output but belongs OUT of
+    hash-compared oracles (pin it with a python twin instead)."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
+    pivots = deg.withColumnRenamed("a", "pivot").withColumnRenamed(
+        "degree", "pivot_degree"
+    )
+    if max_pivot_degree is not None:
+        pivots = pivots.where(F.col("pivot_degree") <= max_pivot_degree)
+    wedges = (
+        und.select(F.col("a").alias("pivot"), F.col("b").alias("x"))
+        .join(
+            und.select(F.col("a").alias("pivot"), F.col("b").alias("y")),
+            "pivot",
+        )
+        .where(F.col("x") < F.col("y"))
+        .join(pivots, "pivot")
+    )
+    pair_stats = wedges.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(
+            F.lit(1.0) / F.log(F.col("pivot_degree").cast("double"))
+        ).alias("adamic_adar"),
+    )
+    return (
+        pair_stats.join(
+            deg.select(F.col("a").alias("x"), F.col("degree").alias("deg_x")),
+            "x",
+        )
+        .join(
+            deg.select(F.col("a").alias("y"), F.col("degree").alias("deg_y")),
+            "y",
+        )
+        .select(
+            F.col("x").alias("entity_a"),
+            F.col("y").alias("entity_b"),
+            "n_common",
+            F.col("deg_x").alias("degree_a"),
+            F.col("deg_y").alias("degree_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("n_common"))
+                .cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("deg_x", "deg_y").cast("double")
+            ).alias("overlap"),
+            "adamic_adar",
+        )
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight: str | None = None,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source weighted shortest paths over the undirected entity
+    graph — Bellman-Ford rounds with a semi-naive frontier: (entity_id,
+    cost) = minimal total edge cost from the nearest seed over paths of
+    at most ``max_hops`` edges. The weighted sibling of bfs_distances
+    (evidence-weighted KG proximity, trust-decay propagation).
+
+    ``weight``: integer column of ``edges`` (each undirected direction
+    inherits its edge row's value; ties across parallel rows take the
+    MIN weight). Integer costs keep min() exact across engines — the
+    DuckDB twin is a depth-guarded recursive CTE, bit-equal. None =
+    every edge costs 1 (then this is bfs_distances with costs).
+
+    Per round: frontier x adjacency join, min-agg on the destination,
+    and an improvement join against the running best — rows that didn't
+    improve never reshuffle; the frontier carries ONLY improved
+    vertices, so rounds shrink toward fixpoint and terminate early when
+    no cost improves (Bellman-Ford's invariant: round k has settled all
+    <=k-hop optimal paths). Unreachable vertices are absent, never
+    materialized as infinity rows."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    w_col = (
+        F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col("subj_entity_id").alias("a"),
+        F.col("obj_entity_id").alias("b"),
+        w_col.alias("w"),
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        seeds.select("entity_id")
+        .distinct()
+        .select("entity_id", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(und, frontier["entity_id"] == und["a"])
+            .select(
+                F.col("b").alias("entity_id"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .groupBy("entity_id")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            cand.join(
+                best.select(
+                    "entity_id", F.col("cost").alias("_cur")
+                ),
+                "entity_id",
+                "left",
+            )
+            .where(F.col("_cur").isNull() | (F.col("cost") < F.col("_cur")))
+            .select("entity_id", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.join(improved.select("entity_id"), "entity_id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best
+
+
+def hits(
+    edges: DataFrame, iters: int = 8
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    distinct edge graph: authority(v) = sum of hub scores pointing at v,
+    hub(v) = sum of authority scores v points at, L2-normalized each
+    half-step. The classic complement to PageRank for KGs whose
+    predicates are citation-shaped (a good 'source' entity is one whose
+    objects are themselves authoritative).
+
+    Fixed ``iters`` rounds, each: two join+agg passes over the
+    (static, checkpointed) edge list keyed on src/dst with map-side
+    combine. Normalization is deferred to ONE final pass — scalar
+    scaling commutes with the linear update, so per-half-step L2
+    normalizing (textbook form) only changes magnitudes the final
+    normalize restores, and skipping it removes two blocking one-scalar
+    collects per round (the round-5 job-count lesson: count jobs per
+    iteration before bytes). Unnormalized scores grow ~lambda^(2k)
+    (lambda = top eigenvalue of A^T A <= max in-degree * max out-degree
+    bound), so double overflow needs lambda^(2*iters) > 1e308 — far
+    beyond any sane iters; normalize mid-loop if you ever push there.
+    Float scores are NOT cross-engine bit-stable — rows-only driver
+    checks; exactness is pinned against a numpy twin in tests."""
+    e = (
+        edges.select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.isEmpty():
+        return nodes.select(
+            F.col("id").alias("entity_id"),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    score = nodes.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        auth = (
+            e.join(
+                score.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        hub = (
+            e.join(
+                auth.select(F.col("id").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        score = (
+            nodes.join(hub, "id", "left")
+            .join(auth, "id", "left")
+            .select(
+                "id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    norms = score.agg(
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("h"),
+        F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("a"),
+    ).collect()[0]
+    h_norm = norms["h"] or 1.0
+    a_norm = norms["a"] or 1.0
+    return score.select(
+        F.col("id").alias("entity_id"),
+        (F.col("hub") / F.lit(h_norm)).alias("hub"),
+        (F.col("authority") / F.lit(a_norm)).alias("authority"),
     )

@@ -3287,6 +3287,367 @@ SELECT * FROM ({union})
 """
 
 
+def q_kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walk corpus — node2vec (operators/graph.py:
+    node2vec_walks) with integer search-bias weights (1, 2, 4 = return /
+    stay / explore, i.e. p=2 q=1/2 scaled by 2) so the weighted choice
+    is exact integer arithmetic and the DuckDB twin replays the
+    IDENTICAL corpus: per step, candidates fan out from the rank-indexed
+    adjacency, a LEFT join against the edge set classifies each
+    candidate's distance to the predecessor, and a cumulative-weight
+    window picks md5 mod total-weight. Walks start from every 5th vertex
+    of the lineitem-derived entity graph (non-bipartite: the stay branch
+    fires on its triangles)."""
+    from ..operators.graph import node2vec_walks
+
+    edges = _derived_edge_table(spark, sf_dir)
+    nonloop = edges.where(
+        F.col("subj_entity_id") != F.col("obj_entity_id")
+    )
+    starts = (
+        nonloop.select(F.col("subj_entity_id").alias("vertex"))
+        .unionByName(nonloop.select(F.col("obj_entity_id").alias("vertex")))
+        .distinct()
+        .where(F.col("vertex") % 5 == 0)
+    )
+    return node2vec_walks(
+        edges, walk_len=3, n_walks=2, starts=starts
+    ).orderBy("walk_id", "step")
+
+
+def _node2vec_sql(
+    n_steps: int = 3,
+    n_walks: int = 2,
+    w_ret: int = 1,
+    w_stay: int = 2,
+    w_far: int = 4,
+    salt: str = "n2v",
+    start_mod: int = 5,
+) -> str:
+    """Chained-CTE DuckDB twin of node2vec_walks: step 1 is the unbiased
+    degree-mod pick; each later step nests candidate fan-out + LEFT join
+    distance classification + cumulative-integer-weight windows, filtered
+    to the row whose [cum-wt, cum) interval contains the hash draw."""
+    steps = []
+    for t in range(2, n_steps + 1):
+        steps.append(
+            f""", s{t} AS (
+  SELECT walk_id, prev, vertex FROM (
+    SELECT *,
+           sum(wt) OVER (PARTITION BY walk_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(wt) OVER (PARTITION BY walk_id) AS total
+    FROM (
+      SELECT s.walk_id, s.vertex AS prev, j.b AS vertex, j.idx,
+             cast(CASE WHEN j.b = s.prev THEN {w_ret}
+                       WHEN e.a IS NOT NULL THEN {w_stay}
+                       ELSE {w_far} END AS BIGINT) AS wt,
+             cast(concat('0x', substring(md5(concat_ws('|', s.walk_id,
+               {t}, s.vertex, s.prev, '{salt}')), 1, 7)) AS BIGINT) AS h
+      FROM s{t - 1} s
+      JOIN adj j ON j.a = s.vertex
+      LEFT JOIN und e ON e.a = s.prev AND e.b = j.b
+    )
+  ) WHERE h % total >= cum - wt AND h % total < cum
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, cast({t} AS INT) AS step, vertex FROM s{t}"
+        for t in range(n_steps + 1)
+    )
+    walks = ", ".join(str(w) for w in range(n_walks))
+    return f"""
+WITH {_DERIVED_LINKED_CTES}, pairs AS (
+  SELECT DISTINCT subj_entity_id AS a, obj_entity_id AS b
+  FROM linked WHERE subj_entity_id != obj_entity_id
+), und AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), adj AS (
+  SELECT a, b,
+         cast(row_number() OVER (PARTITION BY a ORDER BY b) - 1
+              AS BIGINT) AS idx,
+         cast(count(*) OVER (PARTITION BY a) AS BIGINT) AS degree
+  FROM und
+), deg AS (
+  SELECT DISTINCT a AS vertex, degree FROM adj
+), s0 AS (
+  SELECT concat(v.a, '_', w.w) AS walk_id, v.a AS vertex
+  FROM (SELECT DISTINCT a FROM und WHERE a % {start_mod} = 0) v,
+       (SELECT unnest([{walks}]) AS w) w
+), s1 AS (
+  SELECT s.walk_id, s.vertex AS prev, j.b AS vertex
+  FROM s0 s
+  JOIN deg d ON d.vertex = s.vertex
+  JOIN adj j ON j.a = s.vertex
+   AND j.idx = cast(concat('0x', substring(md5(concat_ws('|',
+       s.walk_id, 1, s.vertex, '{salt}')), 1, 7)) AS BIGINT) % d.degree
+){''.join(steps)}
+SELECT * FROM (
+{union}
+) ORDER BY walk_id, step
+"""
+
+
+def q_kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-weighted entity co-occurrence (operators/graph.py:
+    entity_cooccurrence_pmi) over per-order conversations of type-tagged
+    supplier/part entities — the distributional edge type a KG adds next
+    to extracted relations. Kept to recurring pairs (n_joint >= 2); pmi
+    is one ln of integer ratios, computed with the same expression shape
+    in DuckDB, so the driver hash-compare is bit-exact."""
+    from ..operators.graph import entity_cooccurrence_pmi
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    ce = li.select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        (F.col("l_suppkey").cast("long") * 2).alias("entity_id"),
+    ).unionByName(
+        li.select(
+            F.col("l_orderkey").cast("string").alias("conv_id"),
+            (F.col("l_partkey").cast("long") * 2 + 1).alias("entity_id"),
+        )
+    )
+    return (
+        entity_cooccurrence_pmi(ce)
+        .where(F.col("n_joint") >= 2)
+        .orderBy("entity_a", "entity_b")
+    )
+
+
+_ENTITY_PMI_SQL = """
+WITH ce AS (
+  SELECT DISTINCT conv_id, entity_id FROM (
+    SELECT cast(l_orderkey AS VARCHAR) AS conv_id,
+           cast(l_suppkey AS BIGINT) * 2 AS entity_id
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT cast(l_orderkey AS VARCHAR),
+           cast(l_partkey AS BIGINT) * 2 + 1
+    FROM lineitem WHERE l_linenumber <= 2
+  )
+), n AS (
+  SELECT cast(count(DISTINCT conv_id) AS BIGINT) AS n_convs FROM ce
+), cnt AS (
+  SELECT entity_id, cast(count(*) AS BIGINT) AS n_solo
+  FROM ce GROUP BY entity_id
+), joint AS (
+  SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+         cast(count(*) AS BIGINT) AS n_joint
+  FROM ce a JOIN ce b USING (conv_id)
+  WHERE a.entity_id < b.entity_id
+  GROUP BY 1, 2
+)
+SELECT j.entity_a, j.entity_b, j.n_joint,
+       ca.n_solo AS n_a, cb.n_solo AS n_b,
+       (SELECT n_convs FROM n) AS n_convs,
+       ln(cast(j.n_joint AS DOUBLE) * cast((SELECT n_convs FROM n) AS DOUBLE)
+          / (cast(ca.n_solo AS DOUBLE) * cast(cb.n_solo AS DOUBLE))) AS pmi
+FROM joint j
+JOIN cnt ca ON ca.entity_id = j.entity_a
+JOIN cnt cb ON cb.entity_id = j.entity_b
+WHERE j.n_joint >= 2
+ORDER BY entity_a, entity_b
+"""
+
+
+def q_kg_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural entity similarity (operators/graph.py:
+    neighborhood_similarity): Jaccard + overlap of neighbor sets for
+    vertex pairs of the lineitem entity graph sharing >= 2 neighbors,
+    wedge pivots capped at degree 32 (the hub-exclusion contract; the
+    cap is replicated in the oracle). adamic_adar is EXCLUDED from the
+    driver projection — its float sum order is partition-dependent — and
+    pinned by a python twin in tests instead."""
+    from ..operators.graph import neighborhood_similarity
+
+    sim = neighborhood_similarity(
+        _derived_edge_table(spark, sf_dir), max_pivot_degree=32
+    )
+    return (
+        sim.where(F.col("n_common") >= 2)
+        .select(
+            "entity_a", "entity_b", "n_common",
+            "degree_a", "degree_b", "jaccard", "overlap",
+        )
+        .orderBy("entity_a", "entity_b")
+    )
+
+
+_ENTITY_SIMILARITY_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, epairs AS (
+  SELECT DISTINCT subj_entity_id AS a, obj_entity_id AS b
+  FROM linked WHERE subj_entity_id != obj_entity_id
+), und AS (
+  SELECT a, b FROM epairs UNION SELECT b AS a, a AS b FROM epairs
+), deg AS (
+  SELECT a, cast(count(*) AS BIGINT) AS degree FROM und GROUP BY a
+), piv AS (
+  SELECT a FROM deg WHERE degree <= 32
+), pair_stats AS (
+  SELECT u1.b AS x, u2.b AS y, cast(count(*) AS BIGINT) AS n_common
+  FROM und u1
+  JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+  JOIN piv p ON p.a = u1.a
+  GROUP BY 1, 2
+)
+SELECT s.x AS entity_a, s.y AS entity_b, s.n_common,
+       dx.degree AS degree_a, dy.degree AS degree_b,
+       cast(s.n_common AS DOUBLE)
+         / cast(dx.degree + dy.degree - s.n_common AS DOUBLE) AS jaccard,
+       cast(s.n_common AS DOUBLE)
+         / cast(least(dx.degree, dy.degree) AS DOUBLE) AS overlap
+FROM pair_stats s
+JOIN deg dx ON dx.a = s.x
+JOIN deg dy ON dy.a = s.y
+WHERE s.n_common >= 2
+ORDER BY entity_a, entity_b
+"""
+
+
+def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths (operators/graph.py:
+    shortest_paths): minimal toll from every 20th entity over <=3-hop
+    paths of the lineitem entity graph, toll = (subj+obj) % 7 + 1 —
+    integer costs, so the Bellman-Ford fixpoint equals the DuckDB
+    depth-guarded RECURSIVE CTE bit-for-bit."""
+    from ..operators.graph import shortest_paths
+
+    edges = _derived_edge_table(spark, sf_dir).withColumn(
+        "toll",
+        F.pmod(F.col("subj_entity_id") + F.col("obj_entity_id"), F.lit(7))
+        + F.lit(1),
+    )
+    nonloop = edges.where(F.col("subj_entity_id") != F.col("obj_entity_id"))
+    seeds = (
+        nonloop.select(F.col("subj_entity_id").alias("entity_id"))
+        .unionByName(nonloop.select(F.col("obj_entity_id").alias("entity_id")))
+        .distinct()
+        .where(F.col("entity_id") % 20 == 0)
+    )
+    return shortest_paths(
+        edges, seeds, weight="toll", max_hops=3
+    ).orderBy("entity_id")
+
+
+_SHORTEST_PATHS_SQL = f"""
+WITH RECURSIVE {_DERIVED_LINKED_CTES}, epairs AS (
+  SELECT subj_entity_id AS a, obj_entity_id AS b,
+         cast((subj_entity_id + obj_entity_id) % 7 + 1 AS BIGINT) AS w
+  FROM (SELECT DISTINCT subj_entity_id, obj_entity_id FROM linked
+        WHERE subj_entity_id != obj_entity_id)
+), und AS (
+  SELECT a, b, min(w) AS w FROM (
+    SELECT a, b, w FROM epairs
+    UNION ALL SELECT b AS a, a AS b, w FROM epairs
+  ) GROUP BY a, b
+), seeds AS (
+  SELECT DISTINCT a AS v FROM und WHERE a % 20 = 0
+), walk(v, cost, depth) AS (
+  SELECT v, cast(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT u.b, walk.cost + u.w, walk.depth + 1
+  FROM walk JOIN und u ON u.a = walk.v
+  WHERE walk.depth < 3
+)
+SELECT v AS entity_id, min(cost) AS cost
+FROM walk GROUP BY v ORDER BY entity_id
+"""
+
+
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py:hits, 8 rounds,
+    deferred normalization) over the directed lineitem entity graph —
+    top 50 by authority. Rows-only: float scores aren't cross-engine
+    bit-stable; exactness is pinned against the numpy twin
+    (tests/test_graph_analytics.py::TestHITS)."""
+    from ..operators.graph import hits
+
+    h = hits(_derived_edge_table(spark, sf_dir), iters=8)
+    return (
+        h.select(
+            "entity_id",
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "entity_id")
+        .limit(50)
+    )
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-act transition matrix (operators/conversation.py:
+    role_transitions) over documents folded 8-to-a-conversation with a
+    3-way role rotation — the Markov fingerprint that catches
+    mis-threaded corpora before training. prob is one integer->double
+    division; bit-exact twin."""
+    from ..operators.conversation import role_transitions
+
+    turns = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        # (doc_id % 7) % 3: the 7-cycle beats against the 8-turn fold, so
+        # all 9 transition cells (incl. same-role) get mass
+        F.when((F.col("doc_id") % 7) % 3 == 0, F.lit("user"))
+        .when((F.col("doc_id") % 7) % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+    )
+    return role_transitions(turns).orderBy("from_role", "to_role")
+
+
+_ROLE_TRANSITIONS_SQL = """
+WITH turns AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         CASE WHEN (doc_id % 7) % 3 = 0 THEN 'user'
+              WHEN (doc_id % 7) % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role
+  FROM documents
+), pairs AS (
+  SELECT role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+  FROM turns
+), counts AS (
+  SELECT from_role, to_role, cast(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_role IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_role, to_role, n,
+       cast(n AS DOUBLE)
+         / cast(sum(n) OVER (PARTITION BY from_role) AS DOUBLE) AS prob
+FROM counts ORDER BY from_role, to_role
+"""
+
+
+def q_event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous behavior-sequence trigram mining (operators/
+    conversation.py:sequence_ngrams) over per-user event streams ordered
+    by (ts, event_id) — the tool-chain / event-funnel screen. One window
+    pass + vocabulary-sized groupBy; no self-joins."""
+    from ..operators.conversation import sequence_ngrams
+
+    ev = t(spark, sf_dir, "events")
+    return sequence_ngrams(
+        ev, "user_id", ["ts", "event_id"], "event_type", n=3, min_count=2
+    ).orderBy("ngram")
+
+
+_EVENT_NGRAMS_SQL = """
+WITH g AS (
+  SELECT event_type AS g0,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS g1,
+         lead(event_type, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS g2
+  FROM events WHERE event_type IS NOT NULL
+), counts AS (
+  SELECT g0, g1, g2, cast(count(*) AS BIGINT) AS n_occurrences
+  FROM g WHERE g2 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT concat_ws(' -> ', g0, g1, g2) AS ngram, n_occurrences
+FROM counts WHERE n_occurrences >= 2 ORDER BY ngram
+"""
+
+
 def q_group_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment grouped by document
     SOURCE (functions/curation.py:group_split): every row of a source
@@ -3630,6 +3991,13 @@ def queries() -> dict:
             "kg_bfs_distances": q_kg_bfs_distances,
             "kg_kcore": q_kg_kcore,
             "kg_random_walks": q_kg_random_walks,
+            "kg_node2vec_walks": q_kg_node2vec_walks,
+            "kg_entity_pmi": q_kg_entity_pmi,
+            "kg_entity_similarity": q_kg_entity_similarity,
+            "kg_shortest_paths": q_kg_shortest_paths,
+            "kg_hits": q_kg_hits,
+            "role_transitions": q_role_transitions,
+            "event_sequence_ngrams": q_event_sequence_ngrams,
             "kg_bgp_match": q_kg_bgp_match,
             "kg_property_paths": q_kg_property_paths,
             "kg_rule_mining": q_kg_rule_mining,
@@ -3780,6 +4148,12 @@ def oracle_sql() -> dict:
         "group_split_summary": _GROUP_SPLIT_SQL,
         "kg_bfs_distances": _BFS_DISTANCES_SQL,
         "kg_random_walks": _walks_sql(),
+        "kg_node2vec_walks": _node2vec_sql(),
+        "kg_entity_pmi": _ENTITY_PMI_SQL,
+        "kg_entity_similarity": _ENTITY_SIMILARITY_SQL,
+        "kg_shortest_paths": _SHORTEST_PATHS_SQL,
+        "role_transitions": _ROLE_TRANSITIONS_SQL,
+        "event_sequence_ngrams": _EVENT_NGRAMS_SQL,
         "kg_bgp_match": _BGP_MATCH_SQL,
         "kg_property_paths": _PROPERTY_PATHS_SQL,
         "kg_rule_mining": _RULE_MINING_SQL,

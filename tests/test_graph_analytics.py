@@ -540,6 +540,112 @@ class TestRandomWalks:
             random_walks(self._edges(spark, self.PAIRS), 3, 0)
 
 
+class TestNode2VecWalks:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, "r", b) for a, b in pairs],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    # triangle 0-1-2 with tails 2-3 and 1-4: has both distance-1
+    # (stay) and distance-2 (explore) candidates at step >= 2
+    PAIRS = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 4)]
+
+    def test_walks_are_valid_paths_from_every_vertex(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            node2vec_walks,
+        )
+
+        df = self._edges(spark, self.PAIRS)
+        out = node2vec_walks(df, walk_len=4, n_walks=2).collect()
+        und = {(a, b) for a, b in self.PAIRS} | {
+            (b, a) for a, b in self.PAIRS
+        }
+        walks: dict = {}
+        for r in out:
+            walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        assert len(walks) == 5 * 2
+        for wid, path in walks.items():
+            assert sorted(path) == list(range(5)), wid
+            assert path[0] == int(wid.split("_")[0])
+            for t in range(4):
+                assert (path[t], path[t + 1]) in und, (wid, t)
+
+    def test_deterministic_partition_invariant_and_salted(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            node2vec_walks,
+        )
+
+        a = sorted(map(tuple, node2vec_walks(
+            self._edges(spark, self.PAIRS), 3, 2).collect()))
+        b = sorted(map(tuple, node2vec_walks(
+            self._edges(spark, self.PAIRS).repartition(17), 3, 2
+        ).collect()))
+        assert a == b
+        c = sorted(map(tuple, node2vec_walks(
+            self._edges(spark, self.PAIRS), 3, 2, salt="v2").collect()))
+        assert a != c
+
+    def test_return_bias_dominates_on_extreme_weights(self, spark):
+        # w_ret >> others: from any step-2 position the walk must bounce
+        # straight back to its predecessor whenever the predecessor is a
+        # candidate (it always is on an undirected graph) — total weight
+        # is w_ret + (deg-1)*small, and the hash draw can only escape the
+        # return interval with probability (deg-1)*small/total. With
+        # w_ret=10^6 and small=1 on degree<=3 vertices, escape needs a
+        # draw in a <3/10^6 sliver; the fixed salt's draws never hit it.
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            node2vec_walks,
+        )
+
+        df = self._edges(spark, self.PAIRS)
+        out = node2vec_walks(
+            df, walk_len=4, n_walks=2, w_ret=1_000_000, w_stay=1, w_far=1
+        ).collect()
+        walks: dict = {}
+        for r in out:
+            walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        for wid, path in walks.items():
+            for t in range(2, 5):
+                assert path[t] == path[t - 2], (wid, t, path)
+
+    def test_explore_bias_never_returns_when_escape_exists(self, spark):
+        # w_far >> w_ret on the path graph 0-1-2-3-4: at every interior
+        # vertex the distance-2 candidate exists (stay never does on a
+        # path), so the walk must always move AWAY from the predecessor.
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            node2vec_walks,
+        )
+
+        df = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        out = node2vec_walks(
+            df, walk_len=3, n_walks=2, w_ret=1, w_stay=1, w_far=1_000_000
+        ).collect()
+        walks: dict = {}
+        for r in out:
+            walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        for wid, path in walks.items():
+            for t in range(2, 4):
+                if t not in path:  # walked off the path's end
+                    continue
+                # returning is only forced at the path's endpoints
+                if path[t] == path[t - 2]:
+                    assert path[t - 1] in (0, 4), (wid, path)
+
+    def test_weight_and_shape_validation(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            node2vec_walks,
+        )
+
+        df = self._edges(spark, self.PAIRS)
+        with _pytest.raises(ValueError, match="bad walk shape"):
+            node2vec_walks(df, -1, 1)
+        with _pytest.raises(ValueError, match="positive integers"):
+            node2vec_walks(df, 3, 1, w_ret=0)
+
+
 class TestMatchBGP:
     EDGES = [
         (1, "likes", 2), (1, "likes", 3), (2, "likes", 3),
@@ -817,3 +923,279 @@ class TestSkipgrams:
         step0 = {r.vertex for r in out if r.step == 0}
         assert step0 == {0, 2}
         assert {int(r.walk_id.split("_")[0]) for r in out} == {0, 2}
+
+
+class TestEntityCooccurrencePMI:
+    def _ce(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, entity_id long"
+        )
+
+    def test_counts_and_pmi_match_hand_math(self, spark):
+        import math
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            entity_cooccurrence_pmi,
+        )
+
+        # 4 convs: {1,2} together twice, {1,3} once, 2 alone once
+        rows = [
+            ("c1", 1), ("c1", 2),
+            ("c2", 1), ("c2", 2), ("c2", 2),  # dup mention dedupes
+            ("c3", 1), ("c3", 3),
+            ("c4", 2),
+        ]
+        got = {
+            (r.entity_a, r.entity_b): r
+            for r in entity_cooccurrence_pmi(self._ce(spark, rows)).collect()
+        }
+        assert set(got) == {(1, 2), (1, 3)}
+        r12 = got[(1, 2)]
+        assert (r12.n_joint, r12.n_a, r12.n_b, r12.n_convs) == (2, 3, 3, 4)
+        assert abs(r12.pmi - math.log(2 * 4 / (3 * 3))) < 1e-12
+        assert got[(1, 3)].n_joint == 1
+
+    def test_conv_cap_drops_whole_conversations(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            entity_cooccurrence_pmi,
+        )
+
+        rows = [("big", e) for e in range(10)] + [("small", 1), ("small", 2)]
+        out = entity_cooccurrence_pmi(
+            self._ce(spark, rows), max_entities_per_conv=5
+        ).collect()
+        # the 10-entity conv is dropped entirely: only the small pair
+        # remains, and n_convs counts only KEPT conversations
+        assert len(out) == 1
+        assert (out[0].entity_a, out[0].entity_b, out[0].n_convs) == (1, 2, 1)
+
+
+class TestNeighborhoodSimilarity:
+    EDGES = [
+        # star: 0 connects 1,2,3; plus 1-2 edge -> pairs share neighbors
+        (0, 1), (0, 2), (0, 3), (1, 2),
+    ]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(
+            [(a, "r", b) for a, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_matches_python_twin_including_adamic_adar(self, spark):
+        import math
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            neighborhood_similarity,
+        )
+
+        nbrs: dict = {}
+        for a, b in self.EDGES:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        want = {}
+        verts = sorted(nbrs)
+        for i, x in enumerate(verts):
+            for y in verts[i + 1:]:
+                common = nbrs[x] & nbrs[y]
+                if not common:
+                    continue
+                n = len(common)
+                want[(x, y)] = (
+                    n,
+                    len(nbrs[x]),
+                    len(nbrs[y]),
+                    n / (len(nbrs[x]) + len(nbrs[y]) - n),
+                    n / min(len(nbrs[x]), len(nbrs[y])),
+                    sum(1 / math.log(len(nbrs[c])) for c in common),
+                )
+        got = {
+            (r.entity_a, r.entity_b): (
+                r.n_common, r.degree_a, r.degree_b,
+                r.jaccard, r.overlap, r.adamic_adar,
+            )
+            for r in neighborhood_similarity(self._edges(spark)).collect()
+        }
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            assert g[:3] == w[:3], k
+            for gv, wv in zip(g[3:], w[3:]):
+                assert abs(gv - wv) < 1e-12, k
+
+    def test_pivot_cap_excludes_hub_wedges(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            neighborhood_similarity,
+        )
+
+        # capping at degree 2 excludes vertex 0 (degree 3) as a pivot:
+        # only wedges through 1 and 2 remain
+        got = {
+            (r.entity_a, r.entity_b): r.n_common
+            for r in neighborhood_similarity(
+                self._edges(spark), max_pivot_degree=2
+            ).collect()
+        }
+        assert (1, 2) not in got or got[(1, 2)] == 1  # 0-pivot wedge gone
+        assert (0, 2) in got and (0, 1) in got
+
+
+class TestShortestPaths:
+    def _edges(self, spark, rows):
+        # rows: (a, b, w)
+        return spark.createDataFrame(
+            [(a, "r", b, w) for a, b, w in rows],
+            "subj_entity_id long, predicate string, obj_entity_id long,"
+            " toll long",
+        )
+
+    def _seeds(self, spark, ids):
+        return spark.createDataFrame(
+            [(i,) for i in ids], "entity_id long"
+        )
+
+    def _twin(self, rows, seeds, max_hops):
+        und: dict = {}
+        for a, b, w in rows:
+            if a == b:
+                continue
+            und[(a, b)] = min(und.get((a, b), w), w)
+            und[(b, a)] = min(und.get((b, a), w), w)
+        best = {s: 0 for s in seeds}
+        frontier = dict(best)
+        for _ in range(max_hops):
+            cand: dict = {}
+            for v, c in frontier.items():
+                for (x, y), w in und.items():
+                    if x == v:
+                        nc = c + w
+                        if nc < cand.get(y, nc + 1):
+                            cand[y] = nc
+            frontier = {
+                v: c for v, c in cand.items()
+                if c < best.get(v, c + 1)
+            }
+            if not frontier:
+                break
+            best.update(frontier)
+        return best
+
+    def test_matches_python_twin_weighted(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            shortest_paths,
+        )
+
+        # weighted diamond: direct edge costs MORE than the 2-hop detour
+        rows = [
+            (1, 2, 10), (1, 3, 1), (3, 2, 1),  # 1->2 best via 3 (cost 2)
+            (2, 4, 5), (4, 5, 1), (1, 1, 99),  # self-loop ignored
+            (7, 8, 2),  # island unreachable from seed 1
+        ]
+        got = {
+            r.entity_id: r.cost
+            for r in shortest_paths(
+                self._edges(spark, rows),
+                self._seeds(spark, [1]),
+                weight="toll",
+                max_hops=4,
+            ).collect()
+        }
+        want = self._twin(rows, [1], 4)
+        assert got == want
+        assert got[2] == 2 and 7 not in got and 8 not in got
+
+    def test_hop_cap_and_multi_source_min(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            shortest_paths,
+        )
+
+        rows = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)]
+        for hops in (1, 2, 3):
+            got = {
+                r.entity_id: r.cost
+                for r in shortest_paths(
+                    self._edges(spark, rows),
+                    self._seeds(spark, [1, 5]),
+                    weight="toll",
+                    max_hops=hops,
+                ).collect()
+            }
+            assert got == self._twin(rows, [1, 5], hops), hops
+
+    def test_unit_weights_equal_bfs(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            bfs_distances,
+            shortest_paths,
+        )
+
+        rows = [(1, 2, 9), (2, 3, 9), (1, 3, 9), (3, 4, 9)]
+        e = self._edges(spark, rows)
+        seeds = self._seeds(spark, [1])
+        sp = {
+            r.entity_id: r.cost
+            for r in shortest_paths(e, seeds, weight=None, max_hops=3).collect()
+        }
+        bfs = {
+            r.entity_id: r.dist
+            for r in bfs_distances(e, seeds, max_depth=3).collect()
+        }
+        assert sp == bfs
+
+
+class TestHITS:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, "r", b) for a, b in pairs],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def _twin(self, pairs, iters):
+        import numpy as np
+
+        pairs = sorted(set(pairs))
+        nodes = sorted({v for p in pairs for v in p})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n))
+        for s, o in pairs:
+            A[idx[s], idx[o]] = 1.0
+        h = np.ones(n)
+        a = np.ones(n)
+        for _ in range(iters):
+            a = A.T @ h
+            h = A @ a
+        h = h / np.linalg.norm(h)
+        a = a / np.linalg.norm(a)
+        return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+    def test_matches_numpy_twin(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import hits
+
+        pairs = [
+            (1, 10), (2, 10), (3, 10),  # 10 is the authority
+            (1, 11), (2, 11),
+            (10, 1),  # a back edge so hubs/auths mix
+            (4, 12),
+        ]
+        got = {
+            r.entity_id: (r.hub, r.authority)
+            for r in hits(self._edges(spark, pairs), iters=8).collect()
+        }
+        want = self._twin(pairs, 8)
+        assert set(got) == set(want)
+        for v, (wh, wa) in want.items():
+            assert got[v][0] == pytest.approx(wh, abs=1e-9), v
+            assert got[v][1] == pytest.approx(wa, abs=1e-9), v
+
+    def test_pure_authority_has_zero_hub(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import hits
+
+        got = {
+            r.entity_id: (r.hub, r.authority)
+            for r in hits(
+                self._edges(spark, [(1, 9), (2, 9)]), iters=4
+            ).collect()
+        }
+        assert got[9][0] == 0.0  # no out-edges -> zero hub
+        assert got[9][1] == pytest.approx(1.0)  # the only authority
+        assert got[1][1] == 0.0

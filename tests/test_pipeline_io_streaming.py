@@ -1368,3 +1368,53 @@ def test_streaming_violation_monitor_equals_batch_and_resumes(spark, tmp_path):
     spark.createDataFrame(extra, sch).write.mode("append").parquet(src)
     got2 = drain("viol2")
     assert got2 == batch(rows(140, 0) + extra)
+
+
+def test_role_transitions_counts_and_probs(spark):
+    from nlp_series_relation_extraction_spark.operators.conversation import (
+        role_transitions,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+            ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "tool"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    got = {
+        (r.from_role, r.to_role): (r.n, r.prob)
+        for r in role_transitions(t).collect()
+    }
+    assert got[("user", "assistant")] == (2, 1.0)
+    assert got[("assistant", "user")] == (1, 0.5)
+    assert got[("assistant", "tool")] == (1, 0.5)
+    # no cross-conversation pair: c1 turn 2 -> c2 turn 0 must not appear
+    assert ("user", "user") not in got
+
+
+def test_sequence_ngrams_contiguous_over_nonnull_tokens(spark):
+    from nlp_series_relation_extraction_spark.operators.conversation import (
+        sequence_ngrams,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("u1", 0, "search"), ("u1", 1, None), ("u1", 2, "kb"),
+            ("u1", 3, "search"), ("u1", 4, "kb"),
+            ("u2", 0, "search"), ("u2", 1, "kb"), ("u2", 2, "search"),
+        ],
+        "key string, pos int, tok string",
+    )
+    got = {
+        r.ngram: r.n_occurrences
+        for r in sequence_ngrams(t, "key", ["pos"], "tok", n=2).collect()
+    }
+    # u1's null at pos 1 drops out: search->kb counted at (0,2)
+    assert got["search -> kb"] == 3
+    assert got["kb -> search"] == 2
+    assert "kb -> kb" not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        sequence_ngrams(t, "key", ["pos"], "tok", n=1)
