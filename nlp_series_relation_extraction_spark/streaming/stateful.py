@@ -36,7 +36,11 @@ def first_seen_mentions_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: Any
 ) -> Iterable[pd.DataFrame]:
     """applyInPandasWithState update function."""
-    seen = set(state.get()[0]) if state.exists else set()
+    # GroupState.get is a PROPERTY in PySpark 4 — calling it raises
+    # TypeError the first time a key RE-ENTERS with existing state (a
+    # conversation spanning micro-batches), which a single-batch drain
+    # never exercises
+    seen = set(state.get[0]) if state.exists else set()
     rows: dict[str, list] = {"conv_id": [], "turn_idx": [], "mention": []}
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
