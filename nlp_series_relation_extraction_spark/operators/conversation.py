@@ -129,3 +129,50 @@ def sequence_ngrams(
         F.concat_ws(" -> ", *[f"g{i}" for i in range(n)]).alias("ngram"),
         "n_occurrences",
     )
+
+
+def gapped_pair_support(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Sequential pattern support at length 2 with ARBITRARY gaps —
+    PrefixSpan's first level (Pei 2001): support(a -> b) = how many
+    sequences contain token a somewhere before token b (EXISTS
+    semantics — multiplicity inside one sequence doesn't inflate the
+    count). The gapped complement of sequence_ngrams' contiguous
+    counts: "users who search eventually purchase", whatever lies
+    between.
+
+    Plan: the quadratic term is defused BEFORE any join — each key
+    reduces to one row per DISTINCT token (min_pos, max_pos) via a
+    map-side-combined aggregation, so the per-key self-join fans out by
+    per-key VOCABULARY size, not sequence length (a 10^6-turn
+    conversation with 40 tool names is 40x40, not 10^12). a -> b holds
+    iff min_pos(a) < max_pos(b); a -> a iff the token repeats. Support
+    counting is a second vocabulary-sized aggregation."""
+    pos = F.struct(*[F.col(c) for c in order_cols])
+    per_token = (
+        df.where(F.col(token_col).isNotNull())
+        .groupBy(key_col, token_col)
+        .agg(F.min(pos).alias("min_pos"), F.max(pos).alias("max_pos"))
+    )
+    a = per_token.select(
+        F.col(key_col).alias("_k"),
+        F.col(token_col).alias("token_a"),
+        "min_pos",
+    )
+    b = per_token.select(
+        F.col(key_col).alias("_k"),
+        F.col(token_col).alias("token_b"),
+        "max_pos",
+    )
+    return (
+        a.join(b, "_k")
+        .where(F.col("min_pos") < F.col("max_pos"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )

@@ -237,6 +237,106 @@ def pagerank(
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: importance RELATIVE TO a seed set — the
+    teleport (and dangling mass) returns to the seeds instead of
+    everywhere, so rank is proximity to the seeds weighted by graph
+    structure. The KG uses: entity relevance for a query's seed
+    entities, locality-aware candidate ranking, seed-expanded topic
+    subgraphs. rank = (1-d)*reset(v) + d*(sum_in rank/outdeg +
+    dangling_mass*reset(v)), reset = uniform over seeds.
+
+    Same plan as pagerank (one link-join + one dst-agg per round, the
+    dangling sum folded in as a broadcast 1-row aggregate; per-round
+    localCheckpoint) with the reset vector carried as a column — seeds
+    outside the graph's vertex set are ignored. Rows-only driver checks
+    (float ranks); numpy twin pins exactness. Mass conservation: ranks
+    sum to 1 every round (teleport + dangling both return to seeds)."""
+    e = (
+        edges.select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_ids = (
+        seeds.select(F.col("entity_id").alias("id"))
+        .distinct()
+        .join(nodes, "id")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        return nodes.where(F.lit(False)).select(
+            F.col("id").alias("entity_id"), F.lit(0.0).alias("rank")
+        )
+    outd = e.groupBy("src").agg(F.count("*").alias("outd"))
+    links = e.join(outd, "src").localCheckpoint(eager=True)
+    dangling = nodes.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).withColumn("_dang", F.lit(True))
+    reset = 1.0 / n_seeds
+    ranks = (
+        nodes.join(seed_ids.withColumn("_seed", F.lit(True)), "id", "left")
+        .join(dangling, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_seed"), F.lit(reset)).otherwise(
+                F.lit(0.0)
+            ).alias("_reset"),
+            F.coalesce(F.col("_dang"), F.lit(False)).alias("_dang"),
+        )
+        .withColumn("rank", F.col("_reset"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        dang_mass = F.broadcast(
+            ranks.where("_dang").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+        )
+        contribs = (
+            links.join(ranks, links["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outd")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            ranks.select("id", "_reset", "_dang")
+            .join(contribs, "id", "left")
+            .crossJoin(dang_mass)
+            .select(
+                "id",
+                "_reset",
+                "_dang",
+                (
+                    F.lit(1.0 - damping) * F.col("_reset")
+                    + damping
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dm") * F.col("_reset")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("entity_id"), "rank")
+
+
 def two_hop_paths(edges: DataFrame) -> DataFrame:
     """(a, p1, b, p2, c): all length-2 directed predicate paths through the
     canonical edge table — the join KG reasoning/feature pipelines run

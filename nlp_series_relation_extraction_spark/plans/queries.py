@@ -3574,6 +3574,58 @@ def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:personalized_pagerank,
+    8 rounds) seeded on every 50th entity of the lineitem graph — top 50
+    by rank. Rows-only: float ranks; numpy twin + mass-conservation +
+    locality pinned in TestPersonalizedPageRank."""
+    from ..operators.graph import personalized_pagerank
+
+    edges = _derived_edge_table(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("subj_entity_id").alias("entity_id"))
+        .distinct()
+        .where(F.col("entity_id") % 50 == 0)
+    )
+    pr = personalized_pagerank(edges, seeds, iters=8)
+    return (
+        pr.select("entity_id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "entity_id")
+        .limit(50)
+    )
+
+
+def q_gapped_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixSpan-level-1 sequential pattern support (operators/
+    conversation.py:gapped_pair_support): users whose event stream has
+    type a somewhere before type b, any gap, EXISTS semantics. The
+    per-key (min_pos, max_pos) reduction happens BEFORE the quadratic
+    join, so fan-out is per-user vocabulary, not stream length."""
+    from ..operators.conversation import gapped_pair_support
+
+    ev = t(spark, sf_dir, "events")
+    return gapped_pair_support(
+        ev, "user_id", ["ts", "event_id"], "event_type", min_support=2
+    ).orderBy("token_a", "token_b")
+
+
+_GAPPED_SUPPORT_SQL = """
+WITH per_token AS (
+  SELECT user_id, event_type,
+         min(struct_pack(ts := ts, event_id := event_id)) AS min_pos,
+         max(struct_pack(ts := ts, event_id := event_id)) AS max_pos
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+)
+SELECT a.event_type AS token_a, b.event_type AS token_b,
+       cast(count(*) AS BIGINT) AS support
+FROM per_token a JOIN per_token b USING (user_id)
+WHERE a.min_pos < b.max_pos
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY token_a, token_b
+"""
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialogue-act transition matrix (operators/conversation.py:
     role_transitions) over documents folded 8-to-a-conversation with a
@@ -3996,6 +4048,8 @@ def queries() -> dict:
             "kg_entity_similarity": q_kg_entity_similarity,
             "kg_shortest_paths": q_kg_shortest_paths,
             "kg_hits": q_kg_hits,
+            "kg_personalized_pagerank": q_kg_personalized_pagerank,
+            "gapped_pair_support": q_gapped_pair_support,
             "role_transitions": q_role_transitions,
             "event_sequence_ngrams": q_event_sequence_ngrams,
             "kg_bgp_match": q_kg_bgp_match,
@@ -4152,6 +4206,7 @@ def oracle_sql() -> dict:
         "kg_entity_pmi": _ENTITY_PMI_SQL,
         "kg_entity_similarity": _ENTITY_SIMILARITY_SQL,
         "kg_shortest_paths": _SHORTEST_PATHS_SQL,
+        "gapped_pair_support": _GAPPED_SUPPORT_SQL,
         "role_transitions": _ROLE_TRANSITIONS_SQL,
         "event_sequence_ngrams": _EVENT_NGRAMS_SQL,
         "kg_bgp_match": _BGP_MATCH_SQL,

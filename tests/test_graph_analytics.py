@@ -1199,3 +1199,110 @@ class TestHITS:
         assert got[9][0] == 0.0  # no out-edges -> zero hub
         assert got[9][1] == pytest.approx(1.0)  # the only authority
         assert got[1][1] == 0.0
+
+
+class TestPersonalizedPageRank:
+    def _twin(self, edge_list, seeds, damping=0.85, iters=10):
+        nodes = sorted({v for p in edge_list for v in p})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        seeds = [s for s in seeds if s in idx]
+        reset = np.zeros(n)
+        for s in seeds:
+            reset[idx[s]] = 1.0 / len(seeds)
+        out = {v: 0 for v in nodes}
+        for s, _ in set(edge_list):
+            out[s] += 1
+        r = reset.copy()
+        for _ in range(iters):
+            dang = sum(r[idx[v]] for v in nodes if out[v] == 0)
+            contrib = np.zeros(n)
+            for s, o in set(edge_list):
+                contrib[idx[o]] += r[idx[s]] / out[s]
+            r = (1 - damping) * reset + damping * (contrib + dang * reset)
+        return {v: r[idx[v]] for v in nodes}
+
+    def test_matches_numpy_twin_and_conserves_mass(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edge_list = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)]
+        seeds = spark.createDataFrame([(1,), (99,)], "entity_id long")
+        got = {
+            r.entity_id: r.rank
+            for r in personalized_pagerank(
+                _edges(spark, [(s, o, 1) for s, o in edge_list]),
+                seeds,
+                iters=10,
+            ).collect()
+        }
+        want = self._twin(edge_list, [1, 99], iters=10)  # 99 not in graph
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_locality_seeded_side_outranks_far_side(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        # two symmetric BIDIRECTIONAL 3-cycles bridged both ways; seed
+        # in cycle A (a one-way bridge would make B a rank trap — mass
+        # drains in and only teleport leaves, inverting locality)
+        a = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]
+        b = [(11, 12), (12, 13), (13, 11), (12, 11), (13, 12), (11, 13)]
+        bridge = [(3, 11), (11, 3)]
+        seeds = spark.createDataFrame([(1,)], "entity_id long")
+        got = {
+            r.entity_id: r.rank
+            for r in personalized_pagerank(
+                _edges(spark, [(s, o, 1) for s, o in a + b + bridge]),
+                seeds,
+                iters=12,
+            ).collect()
+        }
+        assert min(got[v] for v in (1, 2, 3)) > max(got[v] for v in (11, 12, 13))
+
+    def test_empty_seed_set(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        seeds = spark.createDataFrame([], "entity_id long")
+        assert (
+            personalized_pagerank(
+                _edges(spark, [(1, 2, 1)]), seeds
+            ).count()
+            == 0
+        )
+
+
+def test_gapped_pair_support_exists_semantics(spark):
+    from nlp_series_relation_extraction_spark.operators.conversation import (
+        gapped_pair_support,
+    )
+
+    t = spark.createDataFrame(
+        [
+            # u1: search .. kb .. search  (search->kb, kb->search,
+            #     search->search via repeat)
+            ("u1", 0, "search"), ("u1", 1, "kb"), ("u1", 2, "search"),
+            # u2: search then MUCH later kb (gap) — still counts once
+            ("u2", 0, "search"), ("u2", 1, "x"), ("u2", 2, "x"),
+            ("u2", 3, "kb"),
+            # u3: kb only
+            ("u3", 0, "kb"),
+        ],
+        "key string, pos int, tok string",
+    )
+    got = {
+        (r.token_a, r.token_b): r.support
+        for r in gapped_pair_support(t, "key", ["pos"], "tok").collect()
+    }
+    assert got[("search", "kb")] == 2  # u1 and u2 (gapped)
+    assert got[("kb", "search")] == 1  # u1 only
+    assert got[("search", "search")] == 1  # repeat in u1
+    assert ("kb", "kb") not in got  # never repeats
+    assert got[("x", "kb")] == 1 and got[("x", "x")] == 1

@@ -176,3 +176,46 @@ def test_extraction_exchange_partition_count_is_pinned(spark, tmp_path):
     assert "REPARTITION_BY_NUM" in plan, plan
     dp = spark.sparkContext.defaultParallelism
     assert re.search(rf"hashpartitioning\(conv_id#\d+, {dp}\)", plan), plan
+
+
+def test_sequence_ngrams_single_window_node(spark):
+    # all lead(token, i) positions must fold into ONE Window node — a
+    # per-position window would shuffle the stream n-1 times
+    plan = _plan(Q.q_event_sequence_ngrams(spark, SF))
+    # formatted plans list each node twice (tree + detail): count the
+    # detail headers
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    # and the gram aggregation keeps map-side partials
+    assert "partial_count" in plan
+
+
+def test_role_transitions_normalizer_windows_aggregated_matrix(spark):
+    # lead() window over turns + normalizer window over the AGGREGATED
+    # matrix = exactly two Window nodes, with the count aggregation
+    # (partial+final) between them
+    plan = _plan(Q.q_role_transitions(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+    assert "partial_count" in plan
+
+
+def test_entity_pmi_joint_counts_have_map_side_combine(spark):
+    plan = _plan(Q.q_kg_entity_pmi(spark, SF))
+    # pair aggregation and entity-count aggregation both partial+final
+    assert plan.count("partial_count") >= 2, plan
+
+
+def test_node2vec_candidate_weighting_no_cartesian(spark):
+    # the candidate fan-out is an equi-join on the current vertex and
+    # the stay-classification is an equi-left-join on (prev, cand):
+    # no BroadcastNestedLoopJoin / CartesianProduct may appear
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        node2vec_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, "r", 2), (2, "r", 3), (1, "r", 3)],
+        "subj_entity_id long, predicate string, obj_entity_id long",
+    )
+    plan = _plan(node2vec_walks(edges, walk_len=2, n_walks=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -31,7 +31,13 @@ def test_every_oracle_has_a_query():
                # tests/test_graph_analytics.py
                "kg_kcore",
                # walks->pairs->fit composition; every stage twin-pinned
-               "kg_deepwalk_embeddings")
+               "kg_deepwalk_embeddings",
+               # seeded power iteration, numpy-twin-pinned in
+               # tests/test_graph_analytics.py::TestPersonalizedPageRank
+               "kg_personalized_pagerank",
+               # iterative hub/authority power iteration, numpy-twin-
+               # pinned in tests/test_graph_analytics.py::TestHITS
+               "kg_hits")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
