@@ -109,6 +109,10 @@ RELATIONAL = [
     "kg_bgp_match",
     "kg_property_paths",
     "kg_rule_mining",
+    "kg_construct",
+    "kg_forward_chain",
+    "kg_personalized_pagerank",
+    "gapped_pair_support",
     "kg_link_prediction_holdout",
     "kg_walk_skipgrams",
     "kg_deepwalk_embeddings",

@@ -1067,6 +1067,7 @@ def match_bgp(
     edges: DataFrame,
     patterns: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
+    sources: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Basic-graph-pattern matching — the SPARQL BGP core (W3C SPARQL
     1.1 §5.1) re-expressed as Catalyst joins: each pattern is a
@@ -1094,16 +1095,32 @@ def match_bgp(
     SPARQL OPTIONAL semantics (§6): bindings survive with nulls for the
     optional variables when no match exists, and multiply when several
     do. Each optional pattern must share a variable with the required
-    group (same cross-product rule)."""
+    group (same cross-product rule).
+
+    ``sources`` (optional, same length as ``patterns``) evaluates each
+    REQUIRED pattern against its own triple DataFrame instead of
+    ``edges`` — the hook semi-naive forward chaining uses to bind one
+    body atom to the round's delta while the rest scan the full fact
+    set. Optional patterns always scan ``edges``."""
     if not patterns:
         raise ValueError("match_bgp: empty pattern list")
 
     def is_var(t: str) -> bool:
         return isinstance(t, str) and t.startswith("?")
 
+    if sources is not None and len(sources) != len(patterns):
+        raise ValueError(
+            "match_bgp: sources must match patterns 1:1 "
+            f"({len(sources)} vs {len(patterns)})"
+        )
     frames = []
-    for s, p, o in list(patterns) + list(optional or []):
-        df = edges.select("subj_entity_id", "predicate", "obj_entity_id")
+    for idx, (s, p, o) in enumerate(list(patterns) + list(optional or [])):
+        src = (
+            sources[idx]
+            if sources is not None and idx < len(patterns)
+            else edges
+        )
+        df = src.select("subj_entity_id", "predicate", "obj_entity_id")
         if not is_var(p):
             df = df.where(F.col("predicate") == p)
         if not is_var(s):
@@ -1213,6 +1230,132 @@ def match_path(
         found = found.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return found.where(F.col("hops") >= min_hops)
+
+
+def _head_triples(bindings: DataFrame, template: tuple) -> DataFrame:
+    """Project BGP solution bindings through a CONSTRUCT head template
+    (s_term, p_term, o_term): '?var' terms pull the binding column,
+    anything else is a constant (string predicate / long entity id)."""
+    s, p, o = template
+
+    def term(t, pos: str):
+        c = (
+            F.col(t[1:])
+            if isinstance(t, str) and t.startswith("?")
+            else F.lit(t)
+        )
+        if pos == "p":
+            return c.cast("string").alias("predicate")
+        return c.cast("long").alias(
+            "subj_entity_id" if pos == "s" else "obj_entity_id"
+        )
+
+    return bindings.select(term(s, "s"), term(p, "p"), term(o, "o"))
+
+
+def construct_triples(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: tuple[str, str, str],
+    optional: list[tuple[str, str, str]] | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """SPARQL CONSTRUCT (W3C SPARQL 1.1 §10.2): evaluate a basic graph
+    pattern and materialize NEW triples through a head template — the
+    single-rule application step of KG enrichment (derive co-location,
+    inverse, shortcut edges from existing facts). ``where`` is an
+    optional SQL boolean over the binding columns (SPARQL FILTER).
+
+    Output is DISTINCT (a CONSTRUCT result is an RDF graph — a set),
+    so duplicate bindings collapse before anything downstream joins on
+    the derived edges. Plan shape is match_bgp's (pushed-filter scans
+    folded by equi-joins) plus one projection and one aggregation-free
+    dedup shuffle on the full output key."""
+    b = match_bgp(edges, patterns, optional)
+    if where is not None:
+        b = b.where(where)
+    return _head_triples(b, template).distinct()
+
+
+def forward_chain(
+    edges: DataFrame,
+    rules: list[tuple[list[tuple[str, str, str]], tuple[str, str, str]]],
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Datalog-style forward chaining to fixpoint: repeatedly apply
+    CONSTRUCT rules (body BGP -> head template) and add the derived
+    triples to the fact set until no rule derives anything new — the
+    materialization step of RDFS/OWL-RL-style entailment (transitive
+    predicates, inverses, subproperty shortcuts) a published KG bakes
+    in so query time pays no inference cost.
+
+    SEMI-NAIVE evaluation (the classic Datalog optimization): a rule
+    with k body atoms is evaluated k times per round, each variant
+    binding ONE atom to the PREVIOUS ROUND'S DELTA (via match_bgp's
+    ``sources``) and the rest to the full fact set — every new
+    derivation uses at least one new fact, so a round's work scales
+    with what changed, not with the whole closure. Derived triples
+    anti-join the accumulated set; an empty delta ends the loop (each
+    round's delta is localCheckpointed, keeping lineage flat across
+    rounds). ``max_rounds`` is the explicit cap — closure depth is
+    log-bounded for transitive rules evaluated semi-naively on the
+    accumulated set, so 12 rounds cover chains of ~2^12 hops; hitting
+    the cap returns the partial closure (same contract as match_path's
+    max_hops).
+
+    Returns the MATERIALIZED graph: original ∪ derived triples with
+    ``derived_round`` (0 = asserted, k = first derived in round k) —
+    distinct on (subj, predicate, obj)."""
+    if max_rounds < 1:
+        raise ValueError(f"forward_chain: bad max_rounds {max_rounds}")
+    for body, head in rules:
+        body_vars = {
+            t[1:] for pat in body for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
+        head_vars = {
+            t[1:] for t in head
+            if isinstance(t, str) and t.startswith("?")
+        }
+        if not head_vars <= body_vars:
+            raise ValueError(
+                "forward_chain: head variables "
+                f"{sorted(head_vars - body_vars)} not bound by body {body}"
+            )
+    key = ["subj_entity_id", "predicate", "obj_entity_id"]
+    full = (
+        edges.select(*key)
+        .distinct()
+        .withColumn("derived_round", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    delta = full.select(*key)
+    for rnd in range(1, max_rounds + 1):
+        parts = []
+        for body, head in rules:
+            for i in range(len(body)):
+                srcs = [
+                    delta if j == i else full for j in range(len(body))
+                ]
+                parts.append(
+                    _head_triples(
+                        match_bgp(full, body, sources=srcs), head
+                    )
+                )
+        derived = parts[0]
+        for p in parts[1:]:
+            derived = derived.unionByName(p)
+        delta = (
+            derived.distinct()
+            .join(full.select(*key), key, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if delta.isEmpty():
+            break
+        full = full.unionByName(
+            delta.withColumn("derived_round", F.lit(rnd))
+        ).localCheckpoint(eager=True)
+    return full
 
 
 def mine_composition_rules(

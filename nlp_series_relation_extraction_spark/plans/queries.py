@@ -3216,6 +3216,122 @@ ORDER BY sup.p1, sup.p2, sup.p3
 """
 
 
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (operators/graph.py:construct_triples): derive
+    co-supplier edges — s1 shipped a part under rel_N that s2 shipped
+    under rel_A — from the multi-predicate edge table, with a FILTER
+    dropping self-pairs. One rule application = two pushed-filter scans
+    folded by an equi-join on the shared part, then a set-dedup; the
+    DuckDB twin is the same join, bit-exact."""
+    from ..operators.graph import construct_triples
+
+    return construct_triples(
+        _schema_edges(spark, sf_dir),
+        [("?s1", "rel_N", "?p"), ("?s2", "rel_A", "?p")],
+        ("?s1", "co_part_NA", "?s2"),
+        where="s1 != s2",
+    ).orderBy("subj_entity_id", "obj_entity_id")
+
+
+_CONSTRUCT_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE}
+SELECT DISTINCT a.subj_entity_id AS subj_entity_id,
+       'co_part_NA' AS predicate,
+       b.subj_entity_id AS obj_entity_id
+FROM edges a JOIN edges b ON a.obj_entity_id = b.obj_entity_id
+WHERE a.predicate = 'rel_N' AND b.predicate = 'rel_A'
+  AND a.subj_entity_id != b.subj_entity_id
+ORDER BY subj_entity_id, obj_entity_id
+"""
+
+
+def _hierarchy_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespaced containment facts for entailment materialization:
+    part -within-> supplier (+1e6) -within-> nation (+2e6) -within->
+    region (+3e6) — a depth-3 DAG whose transitive closure is the
+    classic RDFS-style materialization workload."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    part_sup = li.select(
+        F.col("l_partkey").cast("long").alias("subj_entity_id"),
+        F.lit("within").alias("predicate"),
+        (F.col("l_suppkey").cast("long") + 1000000).alias(
+            "obj_entity_id"
+        ),
+    )
+    sup_nat = t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + 1000000).alias(
+            "subj_entity_id"
+        ),
+        F.lit("within").alias("predicate"),
+        (F.col("s_nationkey").cast("long") + 2000000).alias(
+            "obj_entity_id"
+        ),
+    )
+    nat_reg = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + 2000000).alias(
+            "subj_entity_id"
+        ),
+        F.lit("within").alias("predicate"),
+        (F.col("n_regionkey").cast("long") + 3000000).alias(
+            "obj_entity_id"
+        ),
+    )
+    return part_sup.unionByName(sup_nat).unionByName(nat_reg)
+
+
+def q_kg_forward_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog forward chaining to fixpoint (operators/graph.py:
+    forward_chain, semi-naive delta evaluation): materialize the
+    transitive 'within' closure of the part->supplier->nation->region
+    DAG, then roll up containment fan-in per container — how many
+    entities sit (transitively) within each supplier/nation/region,
+    split asserted vs derived, with a sum-of-members fingerprint.
+    Checked against a DuckDB RECURSIVE CTE closure; derived = the pair
+    is absent from the asserted fact set."""
+    from ..operators.graph import forward_chain
+
+    closure = forward_chain(
+        _hierarchy_facts(spark, sf_dir),
+        [([("?a", "within", "?b"), ("?b", "within", "?c")],
+          ("?a", "within", "?c"))],
+    )
+    return (
+        closure.groupBy(
+            "obj_entity_id",
+            (F.col("derived_round") > 0).alias("derived"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_within"),
+            F.sum("subj_entity_id").cast("long").alias("sum_members"),
+        )
+        .orderBy("obj_entity_id", "derived")
+    )
+
+
+_FORWARD_CHAIN_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT cast(l_partkey AS BIGINT) AS s,
+         cast(l_suppkey AS BIGINT) + 1000000 AS o
+  FROM lineitem WHERE l_linenumber = 1
+  UNION
+  SELECT cast(s_suppkey AS BIGINT) + 1000000,
+         cast(s_nationkey AS BIGINT) + 2000000 FROM supplier
+  UNION
+  SELECT cast(n_nationkey AS BIGINT) + 2000000,
+         cast(n_regionkey AS BIGINT) + 3000000 FROM nation
+), reach(s, o) AS (
+  SELECT s, o FROM base
+  UNION
+  SELECT r.s, b.o FROM reach r JOIN base b ON b.s = r.o
+)
+SELECT r.o AS obj_entity_id, (b.s IS NULL) AS derived,
+       cast(count(*) AS BIGINT) AS n_within,
+       cast(sum(r.s) AS BIGINT) AS sum_members
+FROM reach r LEFT JOIN base b ON b.s = r.s AND b.o = r.o
+GROUP BY 1, 2 ORDER BY obj_entity_id, derived
+"""
+
+
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style walk corpus (operators/graph.py:
     random_walks): 2 hash-deterministic walks of 3 steps from every
@@ -4055,6 +4171,8 @@ def queries() -> dict:
             "kg_bgp_match": q_kg_bgp_match,
             "kg_property_paths": q_kg_property_paths,
             "kg_rule_mining": q_kg_rule_mining,
+            "kg_construct": q_kg_construct,
+            "kg_forward_chain": q_kg_forward_chain,
             "kg_walk_skipgrams": q_kg_walk_skipgrams,
             "kg_deepwalk_embeddings": q_kg_deepwalk_embeddings,
         }
@@ -4212,6 +4330,8 @@ def oracle_sql() -> dict:
         "kg_bgp_match": _BGP_MATCH_SQL,
         "kg_property_paths": _PROPERTY_PATHS_SQL,
         "kg_rule_mining": _RULE_MINING_SQL,
+        "kg_construct": _CONSTRUCT_SQL,
+        "kg_forward_chain": _FORWARD_CHAIN_SQL,
         "kg_walk_skipgrams": _walk_skipgrams_sql(),
         "conversation_context": _CONV_CONTEXT_SQL,
         "kg_negative_samples": _NEGATIVE_SAMPLES_SQL,

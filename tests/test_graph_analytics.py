@@ -1306,3 +1306,157 @@ def test_gapped_pair_support_exists_semantics(spark):
     assert got[("search", "search")] == 1  # repeat in u1
     assert ("kb", "kb") not in got  # never repeats
     assert got[("x", "kb")] == 1 and got[("x", "x")] == 1
+
+
+class TestConstructAndForwardChain:
+    def _t(self, spark, triples):
+        return spark.createDataFrame(
+            list(triples),
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_construct_with_filter_and_constants(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            construct_triples,
+        )
+
+        # suppliers 1,2 in nation 10; supplier 3 in nation 11
+        e = self._t(spark, [(1, "in_nation", 10), (2, "in_nation", 10),
+                            (3, "in_nation", 11)])
+        got = {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id)
+            for r in construct_triples(
+                e,
+                [("?a", "in_nation", "?n"), ("?b", "in_nation", "?n")],
+                ("?a", "colocated", "?b"),
+                where="a < b",
+            ).collect()
+        }
+        assert got == {(1, "colocated", 2)}
+        # constant subject + derived-object template, dedup across bindings
+        got2 = {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id)
+            for r in construct_triples(
+                e,
+                [("?a", "in_nation", "?n")],
+                (99, "has_member_nation", "?n"),
+            ).collect()
+        }
+        assert got2 == {(99, "has_member_nation", 10),
+                        (99, "has_member_nation", 11)}
+
+    def _twin_chain(self, facts, rules, max_rounds=12):
+        """Naive-iteration python twin: round r derives from all facts
+        known through round r-1; returns {(s,p,o): first_round}."""
+        def is_var(t):
+            return isinstance(t, str) and t.startswith("?")
+
+        known = {f: 0 for f in facts}
+        for rnd in range(1, max_rounds + 1):
+            new = set()
+            for body, head in rules:
+                bindings = [{}]
+                for s, p, o in body:
+                    nxt = []
+                    for env in bindings:
+                        for fs, fp, fo in known:
+                            e2 = dict(env)
+                            ok = True
+                            for term, val in ((s, fs), (p, fp), (o, fo)):
+                                if is_var(term):
+                                    if term in e2 and e2[term] != val:
+                                        ok = False
+                                    e2[term] = val
+                                elif term != val:
+                                    ok = False
+                            if ok:
+                                nxt.append(e2)
+                    bindings = nxt
+                hs, hp, ho = head
+                for env in bindings:
+                    new.add((
+                        env[hs] if is_var(hs) else hs,
+                        env[hp] if is_var(hp) else hp,
+                        env[ho] if is_var(ho) else ho,
+                    ))
+            delta = {f for f in new if f not in known}
+            if not delta:
+                break
+            for f in delta:
+                known[f] = rnd
+        return known
+
+    def test_transitive_closure_matches_twin_with_rounds(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            forward_chain,
+        )
+
+        # chain 1->2->...->9 plus a side branch: closure has 36+ pairs,
+        # semi-naive doubling finds depth-8 paths in ceil(log2(8)) = 3+
+        # rounds (naive-round semantics: round r joins anything known)
+        facts = [(i, "within", i + 1) for i in range(1, 9)] + [
+            (100, "within", 3)
+        ]
+        rule = ([("?a", "within", "?b"), ("?b", "within", "?c")],
+                ("?a", "within", "?c"))
+        got = {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id):
+                r.derived_round
+            for r in forward_chain(
+                self._t(spark, facts), [rule]
+            ).collect()
+        }
+        want = self._twin_chain(set(facts), [rule])
+        assert got == want
+        assert max(got.values()) >= 2  # genuinely multi-round
+
+    def test_multi_rule_interaction_and_cycles(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            forward_chain,
+        )
+
+        # a 3-cycle under transitivity (must terminate: closure is the
+        # full cycle square) + an inverse rule FEEDING off derived facts
+        facts = [(1, "within", 2), (2, "within", 3), (3, "within", 1)]
+        rules = [
+            ([("?a", "within", "?b"), ("?b", "within", "?c")],
+             ("?a", "within", "?c")),
+            ([("?a", "within", "?b")], ("?b", "contains", "?a")),
+        ]
+        got = {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id):
+                r.derived_round
+            for r in forward_chain(self._t(spark, facts), rules).collect()
+        }
+        want = self._twin_chain(set(facts), rules)
+        assert got == want
+        # every within pair (incl. self-loops from the cycle) has its
+        # inverse — derived-from-derived across rules
+        within = {(s, o) for (s, p, o) in got if p == "within"}
+        contains = {(s, o) for (s, p, o) in got if p == "contains"}
+        assert contains == {(o, s) for (s, o) in within}
+        assert (1, 1) in within  # cycle closure reaches self-loops
+
+    def test_max_rounds_cap_returns_partial_closure(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            forward_chain,
+        )
+
+        facts = [(i, "within", i + 1) for i in range(1, 9)]
+        rule = ([("?a", "within", "?b"), ("?b", "within", "?c")],
+                ("?a", "within", "?c"))
+        capped = forward_chain(self._t(spark, facts), [rule], max_rounds=1)
+        uncapped = forward_chain(self._t(spark, facts), [rule])
+        assert capped.count() == len(facts) + 7  # depth-2 pairs only
+        assert uncapped.count() == 36  # 8+7+...+1
+
+    def test_head_variable_must_be_bound(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            forward_chain,
+        )
+
+        with pytest.raises(ValueError, match="not bound"):
+            forward_chain(
+                self._t(spark, [(1, "p", 2)]),
+                [([("?a", "p", "?b")], ("?a", "q", "?z"))],
+            )
