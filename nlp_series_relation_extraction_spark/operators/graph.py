@@ -722,6 +722,83 @@ def violations_against_schema(
     )
 
 
+def cardinality_profile(
+    facts: DataFrame, functional_ppm: int = 900_000
+) -> DataFrame:
+    """SHACL-style cardinality induction + violation counts per predicate
+    (sh:maxCount 1 on the object side = OWL FunctionalProperty; on the
+    subject side = InverseFunctionalProperty).  No ontology is given a
+    priori in an open-IE KG build, so functionality is INDUCED: a
+    predicate is functional when >= ``functional_ppm`` ppm of its
+    subjects have exactly one distinct object (and symmetrically for
+    inverse-functional), then the minority multi-valued keys are the
+    violation candidates a fusion stage must resolve.
+
+    Input: (subj, predicate, obj).  Asserted facts are deduplicated
+    first, so repeated extraction of the same triple never counts as a
+    violation.  Returns one schema-sized row per predicate:
+    (predicate, n_triples, n_subjects, functional_share_ppm,
+    is_functional, n_violating_subjects, max_objects_per_subject,
+    n_objects, inverse_share_ppm, is_inverse_functional,
+    n_violating_objects, max_subjects_per_object).
+
+    Scale shape: one distinct over (s,p,o) — partial-aggregated — then
+    per side one (predicate, key) count aggregation that immediately
+    re-aggregates to #predicates rows; integer ppm (`div`) keeps the
+    DuckDB oracle bit-exact.  Nothing data-sized shuffles twice, no
+    windows over data rows, output is schema-sized."""
+    triples = facts.select("subj", "predicate", "obj").distinct()
+
+    def side(key: str, other: str, share: str, nviol: str, mx: str,
+             nkeys: str) -> DataFrame:
+        per_key = triples.groupBy("predicate", key).agg(
+            F.count("*").alias("n_other")
+        )
+        return per_key.groupBy("predicate").agg(
+            F.count("*").cast("long").alias(nkeys),
+            F.sum((F.col("n_other") == 1).cast("long")).alias("_single"),
+            F.sum((F.col("n_other") > 1).cast("long")).alias(nviol),
+            F.max("n_other").cast("long").alias(mx),
+        ).select(
+            "predicate",
+            nkeys,
+            F.expr(f"_single * 1000000 div {nkeys}").alias(share),
+            nviol,
+            mx,
+        )
+
+    subj_side = side(
+        "subj", "obj", "functional_share_ppm",
+        "n_violating_subjects", "max_objects_per_subject", "n_subjects",
+    )
+    obj_side = side(
+        "obj", "subj", "inverse_share_ppm",
+        "n_violating_objects", "max_subjects_per_object", "n_objects",
+    )
+    totals = triples.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_triples")
+    )
+    prof = totals.join(subj_side, "predicate").join(obj_side, "predicate")
+    return prof.select(
+        "predicate",
+        "n_triples",
+        "n_subjects",
+        "functional_share_ppm",
+        (F.col("functional_share_ppm") >= F.lit(functional_ppm)).alias(
+            "is_functional"
+        ),
+        "n_violating_subjects",
+        "max_objects_per_subject",
+        "n_objects",
+        "inverse_share_ppm",
+        (F.col("inverse_share_ppm") >= F.lit(functional_ppm)).alias(
+            "is_inverse_functional"
+        ),
+        "n_violating_objects",
+        "max_subjects_per_object",
+    )
+
+
 def _undirected(edges: DataFrame) -> DataFrame:
     """Distinct bidirectional (a, b) pairs, self-loops dropped — the
     shared preprocessing of the undirected analytics (LPA, k-core, BFS)."""

@@ -4061,6 +4061,140 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mention_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join over distinct customer names
+    (functions/stringsim.py): symmetric-delete blocking (complete — a
+    superset of true pairs by the SymSpell deletion property) verified
+    with the exact JVM levenshtein.  TPC-H customer names are dense in
+    edit space (IDs differing in one digit are distance-1 aliases), so
+    the output is a real typo-neighbor table.  Entirely whole-stage
+    codegen: no Python anywhere in the plan (plan-asserted in
+    tests/test_stringsim.py)."""
+    from ..functions.stringsim import edit_distance_join
+
+    names = t(spark, sf_dir, "customer").select(
+        F.lower(F.col("c_name")).alias("mention")
+    )
+    return edit_distance_join(names, "mention", max_dist=1).orderBy(
+        "a", "b"
+    )
+
+
+_MENTION_EDIT_JOIN_SQL = """
+WITH ds AS (SELECT DISTINCT lower(c_name) AS s FROM customer)
+SELECT a.s AS a, b.s AS b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM ds a JOIN ds b
+  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1
+ORDER BY a, b
+"""
+
+
+def _cardinality_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facts table with KNOWN cardinality structure for SHACL-style
+    induction: `placed_by` is functional except a planted ~1% of
+    orders asserting a second customer (orderkey % 97); `has_status`
+    is perfectly functional but wildly non-inverse-functional;
+    `contains` is multi-valued on both sides. Duplicate asserted
+    facts (multi-lineitem same part) exercise the dedup-first rule."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    subj = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    placed = o.select(
+        subj.alias("subj"),
+        F.lit("placed_by").alias("predicate"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    planted = o.where(F.col("o_orderkey") % 97 == 0).select(
+        subj.alias("subj"),
+        F.lit("placed_by").alias("predicate"),
+        F.concat(
+            F.lit("c"), (F.col("o_custkey") + 1).cast("string")
+        ).alias("obj"),
+    )
+    status = o.select(
+        subj.alias("subj"),
+        F.lit("has_status").alias("predicate"),
+        F.col("o_orderstatus").alias("obj"),
+    )
+    contains = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    return placed.unionAll(planted).unionAll(status).unionAll(contains)
+
+
+def q_kg_cardinality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHACL-style cardinality induction (operators/graph.py:
+    cardinality_profile): induce functional / inverse-functional
+    predicates statistically and count the violating keys a fusion
+    stage must resolve. Everything reduces to schema-sized frames;
+    integer ppm keeps the DuckDB oracle bit-exact."""
+    from ..operators.graph import cardinality_profile
+
+    return cardinality_profile(
+        _cardinality_facts(spark, sf_dir), functional_ppm=900_000
+    ).orderBy("predicate")
+
+
+_CARDINALITY_PROFILE_SQL = """
+WITH facts AS (
+  SELECT 'o' || o_orderkey AS subj, 'placed_by' AS predicate,
+         'c' || o_custkey AS obj FROM orders
+  UNION ALL
+  SELECT 'o' || o_orderkey, 'placed_by', 'c' || (o_custkey + 1)
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT 'o' || o_orderkey, 'has_status', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o' || l_orderkey, 'contains', 'p' || l_partkey FROM lineitem
+), t AS (SELECT DISTINCT subj, predicate, obj FROM facts),
+s AS (SELECT predicate, subj, count(*) AS n FROM t GROUP BY 1, 2),
+ss AS (
+  SELECT predicate,
+    CAST(count(*) AS BIGINT) AS n_subjects,
+    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS BIGINT) AS functional_share_ppm,
+    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_violating_subjects,
+    CAST(max(n) AS BIGINT) AS max_objects_per_subject
+  FROM s GROUP BY 1
+), o2 AS (SELECT predicate, obj, count(*) AS n FROM t GROUP BY 1, 2),
+oo AS (
+  SELECT predicate,
+    CAST(count(*) AS BIGINT) AS n_objects,
+    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS BIGINT) AS inverse_share_ppm,
+    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_violating_objects,
+    CAST(max(n) AS BIGINT) AS max_subjects_per_object
+  FROM o2 GROUP BY 1
+), tot AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n_triples
+  FROM t GROUP BY 1
+)
+SELECT tot.predicate, n_triples, n_subjects, functional_share_ppm,
+  functional_share_ppm >= 900000 AS is_functional,
+  n_violating_subjects, max_objects_per_subject,
+  n_objects, inverse_share_ppm,
+  inverse_share_ppm >= 900000 AS is_inverse_functional,
+  n_violating_objects, max_subjects_per_object
+FROM tot JOIN ss ON tot.predicate = ss.predicate
+         JOIN oo ON tot.predicate = oo.predicate
+ORDER BY tot.predicate
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -4175,6 +4309,8 @@ def queries() -> dict:
             "kg_forward_chain": q_kg_forward_chain,
             "kg_walk_skipgrams": q_kg_walk_skipgrams,
             "kg_deepwalk_embeddings": q_kg_deepwalk_embeddings,
+            "mention_edit_join": q_mention_edit_join,
+            "kg_cardinality_profile": q_kg_cardinality_profile,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -4342,6 +4478,8 @@ def oracle_sql() -> dict:
         "entity_em_eval": _ENTITY_EM_SQL,
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,
+        "mention_edit_join": _MENTION_EDIT_JOIN_SQL,
+        "kg_cardinality_profile": _CARDINALITY_PROFILE_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

@@ -1460,3 +1460,84 @@ class TestConstructAndForwardChain:
                 self._t(spark, [(1, "p", 2)]),
                 [([("?a", "p", "?b")], ("?a", "q", "?z"))],
             )
+
+
+class TestCardinalityProfile:
+    """SHACL-style functional / inverse-functional induction
+    (operators/graph.py:cardinality_profile)."""
+
+    def _facts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, predicate string, obj string"
+        )
+
+    def test_hand_computed_profile(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            cardinality_profile,
+        )
+
+        rows = [
+            # functional except s3 (two objects); o1 has two subjects
+            ("s1", "p", "o1"),
+            ("s2", "p", "o1"),
+            ("s3", "p", "o2"),
+            ("s3", "p", "o3"),
+            # duplicate asserted fact must NOT create a violation
+            ("s1", "p", "o1"),
+        ]
+        out = cardinality_profile(
+            self._facts(spark, rows), functional_ppm=600_000
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_triples == 4  # dedup first
+        assert r.n_subjects == 3
+        # 2 of 3 subjects single-valued -> floor(2e6/3)
+        assert r.functional_share_ppm == 666_666
+        assert r.is_functional  # >= 600000
+        assert r.n_violating_subjects == 1
+        assert r.max_objects_per_subject == 2
+        assert r.n_objects == 3
+        # o2,o3 single; o1 has 2 subjects -> floor(2e6/3)
+        assert r.inverse_share_ppm == 666_666
+        assert r.n_violating_objects == 1
+        assert r.max_subjects_per_object == 2
+
+    def test_threshold_boundary_is_inclusive(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            cardinality_profile,
+        )
+
+        rows = [("s1", "p", "o1"), ("s2", "p", "o2"), ("s2", "p", "o3")]
+        # 1 of 2 subjects single -> 500000 ppm exactly
+        got = cardinality_profile(
+            self._facts(spark, rows), functional_ppm=500_000
+        ).collect()[0]
+        assert got.functional_share_ppm == 500_000
+        assert got.is_functional
+        got2 = cardinality_profile(
+            self._facts(spark, rows), functional_ppm=500_001
+        ).collect()[0]
+        assert not got2.is_functional
+
+    def test_multiple_predicates_independent(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            cardinality_profile,
+        )
+
+        rows = [
+            ("s1", "fn", "o1"),
+            ("s2", "fn", "o2"),
+            ("s1", "multi", "o1"),
+            ("s1", "multi", "o2"),
+        ]
+        got = {
+            r.predicate: r
+            for r in cardinality_profile(
+                self._facts(spark, rows)
+            ).collect()
+        }
+        assert got["fn"].is_functional
+        assert got["fn"].n_violating_subjects == 0
+        assert not got["multi"].is_functional
+        assert got["multi"].max_objects_per_subject == 2
