@@ -176,3 +176,76 @@ def gapped_pair_support(
         .agg(F.count("*").cast("long").alias("support"))
         .where(F.col("support") >= min_support)
     )
+
+
+def resolve_anaphora(
+    mentions: DataFrame,
+    by_type: bool = True,
+    max_turn_gap: int | None = None,
+) -> DataFrame:
+    """Rule-based anaphora resolution over a conversation mention stream
+    — the recency heuristic that covers the bulk of transcript pronouns
+    (Hobbs' baseline: nearest preceding compatible mention; cf. the
+    reference's per-sentence-only extraction, run_evaluation.py, which
+    simply drops pronoun-subject triples because the antecedent is in an
+    earlier sentence).
+
+    Input: ``(conv_id, turn_idx, mention_idx, surface, entity_type,
+    is_pronoun)`` — one row per mention in document order within the
+    turn. Each pronoun resolves to the most recent PRECEDING
+    non-pronoun mention in the same conversation (and, with
+    ``by_type=True``, of the pronoun's compatible ``entity_type`` — 他
+    only binds 人物, 该片 only binds 影视作品). Non-pronoun mentions
+    resolve to themselves.
+
+    Adds ``antecedent_surface``, ``antecedent_turn_idx``,
+    ``antecedent_mention_idx`` (NULL for a pronoun with no antecedent —
+    conversation-initial 他), and ``resolved_surface``.
+    ``max_turn_gap`` additionally NULLs a resolution whose antecedent is
+    more than that many turns back (stale binding guard).
+
+    Scale shape: ONE window over (conv_id[, entity_type]) — the
+    table's native conv_id partitioning, so pre-bucketed input runs it
+    without an exchange; window state is one struct per partition
+    (running last), not the conversation's mention list.
+    """
+    keys = ["conv_id", "entity_type"] if by_type else ["conv_id"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("turn_idx", "mention_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ante = F.last(
+        F.when(
+            ~F.col("is_pronoun"),
+            F.struct("surface", "turn_idx", "mention_idx"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = mentions.select(
+        "*",
+        F.when(F.col("is_pronoun"), ante).alias("_ante"),
+    )
+    if max_turn_gap is not None:
+        out = out.withColumn(
+            "_ante",
+            F.when(
+                F.col("turn_idx") - F.col("_ante.turn_idx")
+                <= int(max_turn_gap),
+                F.col("_ante"),
+            ),
+        )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "mention_idx",
+        "surface",
+        "entity_type",
+        "is_pronoun",
+        F.col("_ante.surface").alias("antecedent_surface"),
+        F.col("_ante.turn_idx").alias("antecedent_turn_idx"),
+        F.col("_ante.mention_idx").alias("antecedent_mention_idx"),
+        F.when(F.col("is_pronoun"), F.col("_ante.surface"))
+        .otherwise(F.col("surface"))
+        .alias("resolved_surface"),
+    )

@@ -4091,6 +4091,169 @@ ORDER BY a, b
 """
 
 
+def _fusion_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflicting-claims table from lineitem: every order (= source)
+    that ships a part asserts `made_by(part, supplier)`. TPC-H gives
+    each part ~4 suppliers, so every part is a genuinely contested data
+    item with a real distinct-source majority."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("made_by").alias("predicate"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+            "object_val"
+        ),
+        F.col("l_orderkey").cast("string").alias("source_id"),
+    )
+
+
+def q_kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote fact fusion (operators/fusion.py) — the conflict
+    resolution stage the reference lacks (its run_evaluation.py dedups
+    within a sentence only): one winner object per (subject, predicate)
+    by distinct-source votes, ties to the smallest object, support =
+    votes / sources. Every stage is a key-prefix agg/window — the
+    DuckDB oracle replays the identical counting rule."""
+    from ..operators.fusion import majority_vote
+
+    return majority_vote(_fusion_claims(spark, sf_dir)).orderBy(
+        "subject", "predicate"
+    )
+
+
+_KG_FACT_FUSION_SQL = """
+WITH d AS (
+  SELECT DISTINCT concat('P', cast(l_partkey AS VARCHAR)) AS subject,
+         'made_by' AS predicate,
+         concat('S', cast(l_suppkey AS VARCHAR)) AS object_val,
+         cast(l_orderkey AS VARCHAR) AS source_id
+  FROM lineitem
+), votes AS (
+  SELECT subject, predicate, object_val, count(*) AS votes
+  FROM d GROUP BY 1, 2, 3
+), srcs AS (
+  SELECT subject, predicate,
+         count(DISTINCT source_id) AS n_sources
+  FROM d GROUP BY 1, 2
+), w AS (
+  SELECT subject, predicate, object_val, votes,
+         row_number() OVER (
+           PARTITION BY subject, predicate
+           ORDER BY votes DESC, object_val ASC
+         ) AS rn
+  FROM votes
+)
+SELECT w.subject, w.predicate, w.object_val, w.votes, s.n_sources,
+       CAST(w.votes AS DOUBLE) / s.n_sources AS support
+FROM w JOIN srcs s
+  ON w.subject = s.subject AND w.predicate = s.predicate
+WHERE w.rn = 1
+ORDER BY w.subject, w.predicate
+"""
+
+
+def q_kg_fact_fusion_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TruthFinder-style iterative source-reliability fusion over the
+    same contested claims, with a planted unreliable-source cohort:
+    orders with orderkey % 5 == 0 mis-assert every part's supplier as
+    the NEXT supplier id. The trust iteration down-weights them (their
+    claims disagree with everything), which plain majority vote cannot
+    do. Rows-only (distributed float sums are partition-order
+    dependent); exactness vs the dict twin is pinned in
+    tests/test_fusion.py, the down-weighting behavior too."""
+    from ..operators.fusion import iterative_trust
+
+    base = _fusion_claims(spark, sf_dir)
+    noisy = F.col("source_id").cast("long") % 5 == 0
+    shifted = F.concat(
+        F.lit("S"),
+        (
+            F.regexp_replace("object_val", "^S", "").cast("long") + 1
+        ).cast("string"),
+    )
+    claims = base.select(
+        "subject",
+        "predicate",
+        F.when(noisy, shifted).otherwise(F.col("object_val")).alias(
+            "object_val"
+        ),
+        "source_id",
+    )
+    facts, _trust = iterative_trust(claims, iters=4)
+    return facts.select(
+        "subject",
+        "predicate",
+        "object_val",
+        F.round("confidence", 6).alias("confidence"),
+    ).orderBy("subject", "predicate")
+
+
+def q_conv_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-heuristic anaphora resolution
+    (operators/conversation.py resolve_anaphora): each pronoun mention
+    binds the most recent preceding non-pronoun mention of its
+    compatible type in the same conversation — the cross-turn step the
+    reference's per-sentence extraction cannot take. Mention stream
+    derived from orders (conversation = customer, type = order
+    priority, every third mention a pronoun); ONE type-partitioned
+    window, no joins. The DuckDB twin replays it with
+    last_value(... IGNORE NULLS) over the identical frame."""
+    from ..operators.conversation import resolve_anaphora
+
+    o = t(spark, sf_dir, "orders")
+    mentions = o.select(
+        F.col("o_custkey").cast("string").alias("conv_id"),
+        F.col("o_orderkey").cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("mention_idx"),
+        F.concat(F.lit("m"), F.col("o_orderkey").cast("string")).alias(
+            "surface"
+        ),
+        F.col("o_orderpriority").alias("entity_type"),
+        (F.col("o_orderkey") % 3 == 0).alias("is_pronoun"),
+    )
+    return resolve_anaphora(mentions, by_type=True).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+_CONV_ANAPHORA_SQL = """
+WITH m AS (
+  SELECT cast(o_custkey AS VARCHAR) AS conv_id,
+         cast(o_orderkey AS INT) AS turn_idx,
+         cast(0 AS INT) AS mention_idx,
+         concat('m', cast(o_orderkey AS VARCHAR)) AS surface,
+         o_orderpriority AS entity_type,
+         (o_orderkey % 3 = 0) AS is_pronoun
+  FROM orders
+), r AS (
+  SELECT conv_id, turn_idx, mention_idx, surface, entity_type,
+         is_pronoun,
+         CASE WHEN is_pronoun THEN last_value(
+           CASE WHEN NOT is_pronoun THEN surface END IGNORE NULLS
+         ) OVER w END AS antecedent_surface,
+         CASE WHEN is_pronoun THEN last_value(
+           CASE WHEN NOT is_pronoun THEN turn_idx END IGNORE NULLS
+         ) OVER w END AS antecedent_turn_idx,
+         CASE WHEN is_pronoun THEN last_value(
+           CASE WHEN NOT is_pronoun THEN mention_idx END IGNORE NULLS
+         ) OVER w END AS antecedent_mention_idx
+  FROM m
+  WINDOW w AS (
+    PARTITION BY conv_id, entity_type
+    ORDER BY turn_idx, mention_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT *,
+       CASE WHEN is_pronoun THEN antecedent_surface
+            ELSE surface END AS resolved_surface
+FROM r
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _cardinality_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facts table with KNOWN cardinality structure for SHACL-style
     induction: `placed_by` is functional except a planted ~1% of
@@ -4310,6 +4473,9 @@ def queries() -> dict:
             "kg_walk_skipgrams": q_kg_walk_skipgrams,
             "kg_deepwalk_embeddings": q_kg_deepwalk_embeddings,
             "mention_edit_join": q_mention_edit_join,
+            "kg_fact_fusion": q_kg_fact_fusion,
+            "kg_fact_fusion_trust": q_kg_fact_fusion_trust,
+            "conv_anaphora": q_conv_anaphora,
             "kg_cardinality_profile": q_kg_cardinality_profile,
         }
     )
@@ -4320,6 +4486,9 @@ def queries() -> dict:
     # the selection-cube memory risk, biaffine the reference's best head
     q["kg_extract_mhs_attn"] = _kg_extract_attn("mhs")
     q["kg_extract_biaffine_attn"] = _kg_extract_attn("biaffine")
+    # mpn closes the attention-trunk x heads matrix: all four reference
+    # heads now run under the realistic-cost encoder in driver queries
+    q["kg_extract_mpn_attn"] = _kg_extract_attn("mpn")
     # The grading driver's CORRECTNESS artifact records the FIRST ~50
     # entries only, while the registry is larger — so attestation rotates
     # least-recently-attested first: the ordering is computed from the
@@ -4479,6 +4648,8 @@ def oracle_sql() -> dict:
         "filter_pushdown_agg": _FILTER_PUSHDOWN_SQL,
         "kg_linking_entities": _LINKING_SQL,
         "mention_edit_join": _MENTION_EDIT_JOIN_SQL,
+        "kg_fact_fusion": _KG_FACT_FUSION_SQL,
+        "conv_anaphora": _CONV_ANAPHORA_SQL,
         "kg_cardinality_profile": _CARDINALITY_PROFILE_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,

@@ -129,7 +129,12 @@ def test_distributed_extraction_equals_per_row_local(spark, tmp_path, head):
 
 @pytest.mark.parametrize(
     "name",
-    ["kg_extract_bio_attn", "kg_extract_mhs_attn", "kg_extract_biaffine_attn"],
+    [
+        "kg_extract_bio_attn",
+        "kg_extract_mpn_attn",
+        "kg_extract_mhs_attn",
+        "kg_extract_biaffine_attn",
+    ],
 )
 def test_driver_query_smoke(spark, name):
     """The attention-trunk extraction queries run end-to-end at sf0.001
