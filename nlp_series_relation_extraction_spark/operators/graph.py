@@ -16,6 +16,8 @@ dimension (hot mentions are single dimension rows; see operators/linking.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -1145,6 +1147,8 @@ def match_bgp(
     patterns: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
     sources: list[DataFrame] | None = None,
+    filters: list[str] | None = None,
+    values: tuple[list[str], list[tuple]] | None = None,
 ) -> DataFrame:
     """Basic-graph-pattern matching — the SPARQL BGP core (W3C SPARQL
     1.1 §5.1) re-expressed as Catalyst joins: each pattern is a
@@ -1178,7 +1182,22 @@ def match_bgp(
     REQUIRED pattern against its own triple DataFrame instead of
     ``edges`` — the hook semi-naive forward chaining uses to bind one
     body atom to the round's delta while the rest scan the full fact
-    set. Optional patterns always scan ``edges``."""
+    set. Optional patterns always scan ``edges``.
+
+    ``filters`` (SPARQL FILTER, §17): SQL boolean expressions over
+    variable names (no '?'), e.g. ``"n % 8 = 2"`` or ``"c != s"``. Each
+    is applied at the EARLIEST fold point where all its variables are
+    bound — below every later join, so Catalyst sees it before the
+    expensive exchanges (and pushes single-scan predicates into the
+    parquet read). SPARQL's error-is-false rule falls out of SQL NULL
+    semantics: a filter over an unbound OPTIONAL variable evaluates
+    NULL and the row drops. A filter naming a variable no pattern binds
+    raises.
+
+    ``values`` (SPARQL VALUES, §10.2): ``(varnames, rows)`` — an inline
+    solution table joined into the required group (broadcast: VALUES
+    blocks are query-sized). Shares the cross-product rule; varnames
+    must not carry '?'."""
     if not patterns:
         raise ValueError("match_bgp: empty pattern list")
 
@@ -1228,7 +1247,43 @@ def match_bgp(
         )
 
     n_req = len(patterns)
+    if values is not None:
+        vnames, vrows = values
+        if any(v.startswith("?") for v in vnames):
+            raise ValueError("match_bgp: VALUES varnames carry no '?'")
+        if not vrows or any(len(r) != len(vnames) for r in vrows):
+            raise ValueError("match_bgp: VALUES rows must be non-empty "
+                             "and match varnames arity")
+        vdf = F.broadcast(
+            edges.sparkSession.createDataFrame(
+                [tuple(r) for r in vrows], list(vnames)
+            ).distinct()  # VALUES is a solution SET constraint here
+        )
+        # fold as one more REQUIRED frame: inherits the shared-variable
+        # and cross-product rules
+        frames.insert(n_req, (vdf, set(vnames)))
+        n_req += 1
+
+    all_vars = set().union(*(v for _, v in frames))
+    pending = list(filters or [])
+    _ident = re.compile(r"[A-Za-z_]\w*")
+
+    def _refs(expr: str) -> set:
+        # identifiers that are pattern variables; SQL function names and
+        # keywords fall out of the intersection. A filter naming a column
+        # NO pattern binds fails Spark analysis when applied (its refs
+        # here are empty, so it applies at the first fold point).
+        return set(_ident.findall(expr)) & all_vars
+
+    def _apply_ready(out: DataFrame, bound: set) -> DataFrame:
+        for expr in list(pending):
+            if _refs(expr) <= bound:
+                out = out.where(F.expr(expr))
+                pending.remove(expr)
+        return out
+
     out, bound = frames[0]
+    out = _apply_ready(out, bound)
     for i, (df, vars_i) in enumerate(frames[1:], start=1):
         shared = sorted(bound & vars_i)
         req = i < n_req
@@ -1252,7 +1307,49 @@ def match_bgp(
             # existence-assertion fold: <= 1 row, broadcast it
             out = out.crossJoin(F.broadcast(df))
         bound |= vars_i
+        out = _apply_ready(out, bound)
+    if pending:
+        # a filter referencing variables never jointly bound (can only
+        # happen with refs spanning no frame) — surface it loudly
+        raise ValueError(f"match_bgp: unapplied filters {pending}")
     return out.drop("_exists")
+
+
+def union_bgp(
+    edges: DataFrame,
+    groups: list,
+) -> DataFrame:
+    """SPARQL UNION (§6.2): evaluate each group as its own BGP and
+    concatenate the solution sequences (bag semantics — no dedup, as
+    the spec's UNION without DISTINCT). Variables a branch does not
+    bind come back NULL in its rows, via union-by-name with missing
+    columns allowed.
+
+    Each group is either a plain pattern list or a dict with any of
+    ``patterns`` / ``optional`` / ``sources`` / ``filters`` /
+    ``values`` — the :func:`match_bgp` keywords. A variable bound as an
+    entity (long) in one branch and a predicate (string) in another is
+    a query bug; it's rejected here with the conflicting types rather
+    than letting the union cast silently."""
+    if not groups:
+        raise ValueError("union_bgp: empty group list")
+    outs = []
+    for g in groups:
+        kw = dict(g) if isinstance(g, dict) else {"patterns": g}
+        outs.append(match_bgp(edges, **kw))
+    types: dict[str, str] = {}
+    for o in outs:
+        for name, dtype in o.dtypes:
+            if types.setdefault(name, dtype) != dtype:
+                raise ValueError(
+                    f"union_bgp: variable {name} bound with conflicting "
+                    f"types {types[name]} vs {dtype} across branches"
+                )
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), outs
+    )
 
 
 def match_path(

@@ -3080,6 +3080,65 @@ GROUP BY cust.n, reg.r ORDER BY cust.n
 """
 
 
+def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER + VALUES + UNION composed (operators/graph.py
+    union_bgp / match_bgp extensions): entities affiliated with an
+    even-keyed nation (FILTER ``n % 8 = 2`` — applied at the earliest
+    fold, BELOW the region join) in one of two VALUES-pinned regions,
+    customers UNION suppliers. The filter and the broadcast VALUES join
+    prune each branch before its exchange — the plan a SPARQL engine's
+    own optimizer would emit. Aggregated per region; DuckDB replays it
+    as two filtered joins under UNION ALL."""
+    from ..operators.graph import union_bgp
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    vals = (["r"], [(3,), (7,)])  # regionkeys 0 and 1, type-offset
+    branch = lambda pred: {  # noqa: E731
+        "patterns": [("?e", pred, "?n"), ("?n", "in_region", "?r")],
+        "filters": ["n % 8 = 2"],
+        "values": vals,
+    }
+    u = union_bgp(
+        edges, [branch("cust_in_nation"), branch("supp_in_nation")]
+    )
+    return (
+        u.groupBy("r")
+        .agg(
+            F.count("*").cast("long").alias("n_bindings"),
+            F.countDistinct("e").cast("long").alias("n_entities"),
+            F.countDistinct("n").cast("long").alias("n_nations"),
+        )
+        .orderBy("r")
+    )
+
+
+_KG_SPARQL_UNION_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS e,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM customer
+), supp AS (
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1 AS e,
+         cast(s_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM supplier
+), reg AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS n,
+         cast(n_regionkey AS BIGINT) * 4 + 3 AS r
+  FROM nation
+), u AS (
+  SELECT cust.e, cust.n, reg.r FROM cust JOIN reg ON cust.n = reg.n
+  WHERE cust.n % 8 = 2 AND reg.r IN (3, 7)
+  UNION ALL
+  SELECT supp.e, supp.n, reg.r FROM supp JOIN reg ON supp.n = reg.n
+  WHERE supp.n % 8 = 2 AND reg.r IN (3, 7)
+)
+SELECT r, cast(count(*) AS BIGINT) AS n_bindings,
+       cast(count(DISTINCT e) AS BIGINT) AS n_entities,
+       cast(count(DISTINCT n) AS BIGINT) AS n_nations
+FROM u GROUP BY r ORDER BY r
+"""
+
+
 def _assembly_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'contains' assembly DAG over parts: partkey k -> 2k and 2k+1
     (bounded by the max key) — a deterministic binary tree ~log2(|part|)
@@ -4476,6 +4535,7 @@ def queries() -> dict:
             "kg_fact_fusion": q_kg_fact_fusion,
             "kg_fact_fusion_trust": q_kg_fact_fusion_trust,
             "conv_anaphora": q_conv_anaphora,
+            "kg_sparql_union": q_kg_sparql_union,
             "kg_cardinality_profile": q_kg_cardinality_profile,
         }
     )
@@ -4650,6 +4710,7 @@ def oracle_sql() -> dict:
         "mention_edit_join": _MENTION_EDIT_JOIN_SQL,
         "kg_fact_fusion": _KG_FACT_FUSION_SQL,
         "conv_anaphora": _CONV_ANAPHORA_SQL,
+        "kg_sparql_union": _KG_SPARQL_UNION_SQL,
         "kg_cardinality_profile": _CARDINALITY_PROFILE_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,

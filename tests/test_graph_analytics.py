@@ -1541,3 +1541,185 @@ class TestCardinalityProfile:
         assert got["fn"].n_violating_subjects == 0
         assert not got["multi"].is_functional
         assert got["multi"].max_objects_per_subject == 2
+
+
+class TestSparqlFilterUnionValues:
+    """FILTER / VALUES / UNION over the BGP matcher (SPARQL 1.1 §17,
+    §10.2, §6.2)."""
+
+    EDGES = TestMatchBGP.EDGES
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_filter_on_first_pattern_variable(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(
+            self._df(spark), [("?x", "likes", "?y")], filters=["x = 1"]
+        )
+        assert {(r.x, r.y) for r in out.collect()} == {(1, 2), (1, 3)}
+
+    def test_filter_spanning_two_patterns(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y"), ("?y", "in", "?w")],
+            filters=["x != 2", "w = 11"],
+        )
+        assert {(r.x, r.y, r.w) for r in out.collect()} == {(1, 3, 11)}
+
+    def test_filter_on_unbound_optional_var_is_false(self, spark):
+        # SPARQL error-is-false: w is NULL for the self-pairs (no `in`
+        # edge), so the filter drops every row
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(
+            self._df(spark),
+            [("?x", "self", "?y")],
+            optional=[("?y", "in", "?w")],
+            filters=["w = 10"],
+        )
+        assert out.count() == 0
+
+    def test_values_restricts_bindings(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y")],
+            values=(["x"], [(1,)]),
+        )
+        assert {(r.x, r.y) for r in out.collect()} == {(1, 2), (1, 3)}
+
+    def test_values_can_introduce_new_columns(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y")],
+            values=(["x", "lbl"], [(1, "one"), (2, "two")]),
+        )
+        got = {(r.x, r.y, r.lbl) for r in out.collect()}
+        assert got == {(1, 2, "one"), (1, 3, "one"), (2, 3, "two")}
+
+    def test_values_cross_product_rejected(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        with pytest.raises(ValueError, match="cross product"):
+            match_bgp(
+                self._df(spark),
+                [("?x", "likes", "?y")],
+                values=(["z"], [(1,)]),
+            ).collect()
+
+    def test_values_arg_validation(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        with pytest.raises(ValueError, match="no '\\?'"):
+            match_bgp(
+                self._df(spark), [("?x", "likes", "?y")],
+                values=(["?x"], [(1,)]),
+            )
+        with pytest.raises(ValueError, match="arity"):
+            match_bgp(
+                self._df(spark), [("?x", "likes", "?y")],
+                values=(["x"], [(1, 2)]),
+            )
+
+    def test_union_fills_unbound_vars_with_null(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            union_bgp,
+        )
+
+        out = union_bgp(
+            self._df(spark),
+            [
+                [("?x", "likes", "?y")],
+                [("?x", "in", "?w")],
+            ],
+        )
+        rows = out.collect()
+        assert sorted(out.columns) == ["w", "x", "y"]
+        likes = {(r.x, r.y) for r in rows if r.w is None}
+        ins = {(r.x, r.w) for r in rows if r.y is None}
+        assert likes == {(1, 2), (1, 3), (2, 3)}
+        assert ins == {(1, 10), (2, 10), (3, 11)}
+
+    def test_union_branch_with_filter_dict_form(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            union_bgp,
+        )
+
+        out = union_bgp(
+            self._df(spark),
+            [
+                {"patterns": [("?x", "likes", "?y")],
+                 "filters": ["x = 1"]},
+                {"patterns": [("?x", "in", "?y")],
+                 "values": (["y"], [(11,)])},
+            ],
+        )
+        got = {(r.x, r.y) for r in out.collect()}
+        assert got == {(1, 2), (1, 3), (3, 11)}
+
+    def test_union_keeps_duplicate_solutions(self, spark):
+        # bag semantics: the same binding arriving from both branches
+        # appears twice (SPARQL UNION has no implicit DISTINCT)
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            union_bgp,
+        )
+
+        out = union_bgp(
+            self._df(spark),
+            [[("?x", "likes", "?y")], [("?x", "likes", "?y")]],
+        )
+        assert out.count() == 6
+
+    def test_union_type_conflict_rejected(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            union_bgp,
+        )
+
+        with pytest.raises(ValueError, match="conflicting"):
+            union_bgp(
+                self._df(spark),
+                [
+                    [("?x", "likes", "?v")],   # v: entity (long)
+                    [("?x", "?v", "10")],      # v: predicate (string)
+                ],
+            )
+
+    def test_empty_groups_rejected(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            union_bgp,
+        )
+
+        with pytest.raises(ValueError, match="empty group"):
+            union_bgp(self._df(spark), [])

@@ -37,7 +37,11 @@ def test_every_oracle_has_a_query():
                "kg_personalized_pagerank",
                # iterative hub/authority power iteration, numpy-twin-
                # pinned in tests/test_graph_analytics.py::TestHITS
-               "kg_hits")
+               "kg_hits",
+               # TruthFinder-style trust/confidence fixpoint, dict-twin-
+               # pinned in tests/test_fusion.py (majority vote, the SQL-
+               # expressible fuser, IS oracle-checked as kg_fact_fusion)
+               "kg_fact_fusion_trust")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
