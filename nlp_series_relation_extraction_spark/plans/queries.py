@@ -4013,6 +4013,38 @@ SELECT line FROM (
 """
 
 
+def q_kg_rdf_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-bearing KG dump: the canonical edge table as W3C
+    N-Quads, each triple in a named graph identifying the conversation
+    it was first extracted from (sources/rdf.py edges_to_nquads) —
+    triple-level lineage in a standard interchange format, no
+    reification blow-up. Same pure-JVM concat map stage as the
+    N-Triples export; the oracle rebuilds every line in SQL."""
+    from ..sources.rdf import edges_to_nquads
+
+    return edges_to_nquads(_derived_edge_table(spark, sf_dir)).orderBy(
+        "line"
+    )
+
+
+_RDF_NQUADS_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, ranked AS (
+  SELECT subj_entity_id, predicate, obj_entity_id, conv_id,
+         row_number() OVER (
+           PARTITION BY subj_entity_id, predicate, obj_entity_id
+           ORDER BY conv_id ASC, turn_idx ASC
+         ) AS rn
+  FROM linked
+)
+SELECT concat('<http://kg.example/e/', subj_entity_id,
+              '> <http://kg.example/p/supplies> <http://kg.example/e/',
+              obj_entity_id, '> <http://kg.example/g/', conv_id,
+              '> .') AS line
+FROM ranked WHERE rn = 1
+ORDER BY line
+"""
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered link-prediction leaderboard (MRR / Hits@1/3/10, Bordes
     2013's filtered protocol) for the three classic KGE scorers —
@@ -4536,6 +4568,7 @@ def queries() -> dict:
             "kg_fact_fusion_trust": q_kg_fact_fusion_trust,
             "conv_anaphora": q_conv_anaphora,
             "kg_sparql_union": q_kg_sparql_union,
+            "kg_rdf_nquads": q_kg_rdf_nquads,
             "kg_cardinality_profile": q_kg_cardinality_profile,
         }
     )
@@ -4711,6 +4744,7 @@ def oracle_sql() -> dict:
         "kg_fact_fusion": _KG_FACT_FUSION_SQL,
         "conv_anaphora": _CONV_ANAPHORA_SQL,
         "kg_sparql_union": _KG_SPARQL_UNION_SQL,
+        "kg_rdf_nquads": _RDF_NQUADS_SQL,
         "kg_cardinality_profile": _CARDINALITY_PROFILE_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,

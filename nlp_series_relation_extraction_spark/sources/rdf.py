@@ -255,3 +255,168 @@ def ntriples_to_edges(
     return edges.join(F.broadcast(dim), "pred_enc").select(
         "subj_entity_id", "predicate", "obj_entity_id"
     )
+
+
+# --- N-Quads (provenance-bearing dump; W3C N-Quads 1.1) ------------------
+
+_QLINE_RE = re.compile(
+    r"^\s*"
+    + _TERM.format(n=1)
+    + r"\s+"
+    + _TERM.format(n=2)
+    + r"\s+"
+    + _TERM.format(n=3)
+    # graph label: IRI or blank node only (N-Quads grammar `graphLabel`)
+    + r"(?:\s+(?:<(?P<giri>[^<>\"{}|^`\\\x00-\x20]*)>|_:(?P<gbnode>\S+)))?"
+    + r"\s*\.\s*(?:#.*)?$"
+)
+
+_PARSED_Q_SCHEMA = _PARSED_SCHEMA + ", graph string, graph_kind string"
+
+
+def _graph_iri(col, base: str):
+    """Canonical percent-encoding of a graph id, JVM-side: url_encode
+    form-encodes (space -> '+', '+' -> '%2B'), then '+' -> '%20'
+    restores RFC-style percent encoding — unambiguous both ways, no
+    Python in the plan."""
+    return F.concat(
+        F.lit(f"{base}g/"),
+        F.regexp_replace(F.url_encode(col.cast("string")), r"\+", "%20"),
+    )
+
+
+def edges_to_nquads(
+    edges: DataFrame,
+    base: str = DEFAULT_BASE,
+    graph_col: str = "first_conv_id",
+) -> DataFrame:
+    """Edge table -> one N-Quads line per edge: the triple plus a named
+    graph carrying its PROVENANCE — `<base>g/<conv_id>`, the
+    conversation the edge was first extracted from (edge_table's
+    first_conv_id). The standard way to keep triple-level lineage in an
+    RDF interchange dump without reification blow-up; a consumer can
+    dereference any fact back to its source transcript. Same plan shape
+    as edges_to_ntriples: broadcast predicate dimension + pure JVM
+    concat map stage."""
+    pm = predicate_iri_map(edges, base)
+    return edges.join(F.broadcast(pm), "predicate").select(
+        F.concat(
+            F.lit(f"<{base}e/"),
+            F.col("subj_entity_id").cast("string"),
+            F.lit("> <"),
+            F.col("pred_iri"),
+            F.lit(f"> <{base}e/"),
+            F.col("obj_entity_id").cast("string"),
+            F.lit("> <"),
+            _graph_iri(F.col(graph_col), base),
+            F.lit("> ."),
+        ).alias("line")
+    )
+
+
+def parse_nquads(lines: DataFrame, col: str = "line") -> DataFrame:
+    """N-Quads parse: parse_ntriples' columns plus (graph, graph_kind) —
+    NULL graph = the default graph (a plain N-Triples line is valid
+    N-Quads, per spec §2). Malformed lines raise with the line echoed;
+    a literal in graph position never matches the grammar."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for line in pdf[col]:
+                if (
+                    line is None
+                    or not line.strip()
+                    or line.lstrip().startswith("#")
+                ):
+                    continue
+                m = _QLINE_RE.match(line)
+                if not m:
+                    raise ValueError(f"malformed N-Quads line: {line!r}")
+                g = m.groupdict()
+                if g["lit1"] is not None or g["lit2"] is not None:
+                    raise ValueError(
+                        f"literal in subject/predicate position: {line!r}"
+                    )
+                if g["bnode2"] is not None:
+                    raise ValueError(f"blank-node predicate: {line!r}")
+                out = []
+                for n in (1, 2, 3):
+                    if g[f"iri{n}"] is not None:
+                        out += [_unescape(g[f"iri{n}"]), "iri"]
+                    elif g[f"bnode{n}"] is not None:
+                        out += [g[f"bnode{n}"], "bnode"]
+                    else:
+                        out += [_unescape(g[f"lit{n}"]), "literal"]
+                if g["giri"] is not None:
+                    graph, gkind = _unescape(g["giri"]), "iri"
+                elif g["gbnode"] is not None:
+                    graph, gkind = g["gbnode"], "bnode"
+                else:
+                    graph, gkind = None, None
+                rows.append(
+                    (
+                        out[0], out[1], out[2], out[4], out[5],
+                        g["lang3"], g["dtype3"], graph, gkind,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "subj", "subj_kind", "pred", "obj", "obj_kind",
+                    "lang", "dtype", "graph", "graph_kind",
+                ],
+            )
+
+    return lines.mapInPandas(run, _PARSED_Q_SCHEMA)
+
+
+def nquads_to_edges(
+    lines: DataFrame, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Inverse of edges_to_nquads: base-entity quad lines ->
+    (subj_entity_id, predicate, obj_entity_id, conv_id) with the
+    provenance conversation decoded from the graph IRI. Non-edge lines
+    (labels, foreign IRIs, default-graph triples) are filtered, not
+    errors."""
+    parsed = parse_nquads(lines)
+    e_pref, p_pref, g_pref = f"{base}e/", f"{base}p/", f"{base}g/"
+    quads = parsed.where(
+        (F.col("subj_kind") == "iri")
+        & (F.col("obj_kind") == "iri")
+        & (F.col("graph_kind") == "iri")
+        & F.col("subj").startswith(e_pref)
+        & F.col("obj").startswith(e_pref)
+        & F.col("pred").startswith(p_pref)
+        & F.col("graph").startswith(g_pref)
+    ).select(
+        F.substring(F.col("subj"), len(e_pref) + 1, 2_000_000)
+        .cast("long")
+        .alias("subj_entity_id"),
+        F.substring(F.col("pred"), len(p_pref) + 1, 2_000_000).alias(
+            "pred_enc"
+        ),
+        F.substring(F.col("obj"), len(e_pref) + 1, 2_000_000)
+        .cast("long")
+        .alias("obj_entity_id"),
+        F.substring(F.col("graph"), len(g_pref) + 1, 2_000_000).alias(
+            "graph_enc"
+        ),
+    )
+    # predicate IRIs decode through a bounded distinct dimension
+    # (schema-sized); graph ids decode JVM-side with url_decode (the
+    # export's '+'->'%20' rewrite makes form-decode == percent-decode)
+    encs = [r[0] for r in quads.select("pred_enc").distinct().collect()]
+    spark = lines.sparkSession
+    dim = spark.createDataFrame(
+        [(e, unquote(e)) for e in encs],
+        "pred_enc string, predicate string",
+    )
+    return quads.join(F.broadcast(dim), "pred_enc").select(
+        "subj_entity_id",
+        "predicate",
+        "obj_entity_id",
+        F.url_decode(F.col("graph_enc")).alias("conv_id"),
+    )

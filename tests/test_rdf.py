@@ -157,3 +157,145 @@ def test_write_text_roundtrip(spark, tmp_path):
         (r.subj_entity_id, r.predicate, r.obj_entity_id)
         for r in back.collect()
     ) == sorted(EDGES)
+
+
+# --- N-Quads --------------------------------------------------------------
+
+
+def _quad_edges_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "subj_entity_id long, predicate string, obj_entity_id long, "
+        "first_conv_id string",
+    )
+
+
+QUAD_EDGES = [
+    (1, "likes", 2, "conv-1"),
+    (1, "knows", 3, "conv 2"),       # space in conv id -> %20
+    (2, "作者", 7, "c+d"),           # literal plus -> %2B (decode-safe)
+    (5, "has part", 1, "对话9"),     # non-ASCII conv id
+]
+
+
+def test_nquad_roundtrip_with_provenance(spark):
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        edges_to_nquads,
+        nquads_to_edges,
+    )
+
+    lines = edges_to_nquads(_quad_edges_df(spark, QUAD_EDGES))
+    back = nquads_to_edges(lines)
+    got = sorted(
+        (r.subj_entity_id, r.predicate, r.obj_entity_id, r.conv_id)
+        for r in back.collect()
+    )
+    assert got == sorted(QUAD_EDGES)
+
+
+def test_nquad_lines_are_spec_shaped(spark):
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        edges_to_nquads,
+    )
+
+    lines = [
+        r.line
+        for r in edges_to_nquads(_quad_edges_df(spark, QUAD_EDGES)).collect()
+    ]
+    assert all(l.endswith("> .") for l in lines)
+    # four IRI terms per line, no raw spaces inside any IRI
+    for l in lines:
+        terms = [t for t in l[:-2].split(" ") if t]
+        assert len(terms) == 4, l
+        assert all(t.startswith("<") and t.endswith(">") for t in terms), l
+    assert any("%20" in l for l in lines)      # 'conv 2'
+    assert any("%2B" in l for l in lines)      # 'c+d'
+
+
+def test_parse_nquads_default_graph_and_bnode_graph(spark):
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        parse_nquads,
+    )
+
+    rows = parse_nquads(
+        _lines_df(
+            spark,
+            [
+                "<http://x/a> <http://x/p> <http://x/b> .",  # N-Triples line
+                "<http://x/a> <http://x/p> \"lit\"@en <http://x/g1> .",
+                "_:b1 <http://x/p> <http://x/b> _:g2 .",
+                "  # comment only",
+                "",
+            ],
+        )
+    ).collect()
+    by_subj = {r.subj: r for r in rows}
+    assert by_subj["http://x/a"].graph in (None, "http://x/g1")
+    default = [r for r in rows if r.graph is None]
+    assert len(default) == 1 and default[0].graph_kind is None
+    lit = [r for r in rows if r.obj_kind == "literal"][0]
+    assert (lit.graph, lit.graph_kind, lit.lang) == (
+        "http://x/g1", "iri", "en",
+    )
+    bn = [r for r in rows if r.subj_kind == "bnode"][0]
+    assert (bn.graph, bn.graph_kind) == ("g2", "bnode")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        '<http://x/a> <http://x/p> <http://x/b> "lit-graph" .',  # literal graph
+        "<http://x/a> <http://x/p> <http://x/b> <http://x/g> extra .",
+        "<http://x/a> <http://x/p> .",
+    ],
+)
+def test_parse_nquads_fails_loud(spark, bad):
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        parse_nquads,
+    )
+
+    with pytest.raises(Exception, match="malformed N-Quads"):
+        parse_nquads(_lines_df(spark, [bad])).collect()
+
+
+def test_nquads_export_is_jvm_side(spark):
+    """No Python stage in the export plan: the dump must stay a pure
+    whole-stage-codegen concat (same contract as the N-Triples test)."""
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        edges_to_nquads,
+    )
+
+    plan = edges_to_nquads(
+        _quad_edges_df(spark, QUAD_EDGES)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_nquads_driver_query_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        oracle_sql,
+        queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        queries()["kg_rdf_nquads"](spark, sf)
+        .toPandas()
+        .sort_values("line")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    want = (
+        con.execute(oracle_sql()["kg_rdf_nquads"])
+        .fetchdf()
+        .sort_values("line")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
