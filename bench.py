@@ -107,6 +107,18 @@ RELATIONAL = [
     "role_transitions",
     "event_sequence_ngrams",
     "kg_bgp_match",
+    "kg_sparql_union",
+    "kg_bgp_minus",
+    "kg_cardinality_profile",
+    "mention_edit_join",
+    "kg_fact_fusion",
+    "kg_fact_fusion_trust",
+    "conv_anaphora",
+    "kg_rdf_nquads",
+    "kg_local_clustering",
+    "kg_harmonic_centrality",
+    "kg_entity_summary",
+    "kg_distant_supervision",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -1946,3 +1946,237 @@ def hits(
         (F.col("hub") / F.lit(h_norm)).alias("hub"),
         (F.col("authority") / F.lit(a_norm)).alias("authority"),
     )
+
+
+def minus_bgp(
+    edges: DataFrame,
+    patterns: list,
+    minus: list,
+    filters: list | None = None,
+    minus_filters: list | None = None,
+) -> DataFrame:
+    """SPARQL MINUS (W3C SPARQL 1.1 §8.3): solutions of the required
+    group with every solution removed that agrees with some minus-group
+    solution on their shared variables. Both groups evaluate through
+    :func:`match_bgp` with REQUIRED patterns only (no OPTIONAL in the
+    minus group), so every minus column is bound and SQL anti-join
+    equality IS the spec's compatibility test. When the two groups
+    share no variable, MINUS removes nothing — the spec's
+    disjoint-domain rule (§8.3.2) — and the left solutions return
+    unchanged.
+
+    Plan shape: the minus group projects to the shared variables only
+    before the anti-join, so the anti-join build side carries
+    |shared-var combinations| rows, not full minus bindings; Spark's
+    left_anti never multiplies the probe side, so no pre-distinct
+    shuffle is needed."""
+    left = match_bgp(edges, patterns, filters=filters)
+    right = match_bgp(edges, minus, filters=minus_filters)
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left
+    return left.join(right.select(*shared), shared, "left_anti")
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the UNDIRECTED
+    distinct entity graph (Watts-Strogatz 1998): lcc(v) = triangles
+    through v / (deg(v) choose 2). The per-entity density signal KG
+    curation uses to separate clique-like cores (high lcc) from
+    star-hub spam (high degree, lcc ~ 0).
+
+    Returns (entity_id, degree, n_triangles, lcc_ppm) for every vertex;
+    ``lcc_ppm`` is integer parts-per-million via exact integer floor
+    division — bit-stable cross-engine (float division is not), 0 when
+    degree < 2.
+
+    Plan shape: the triangle ENUMERATION reuses triangle_count's
+    degree-ordered orientation (wedge fan-out bounded ~sqrt(|E|) per
+    vertex on any graph), but keeps the closing join as INNER to get
+    the triangle rows, then explodes each triangle to its 3 corners and
+    counts per corner — one extra map-side-combined aggregation over
+    3x the triangle count, no new skew surface (a corner's row count is
+    its triangle incidence, exactly the output)."""
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").where(F.col("t1") < F.col("t2"))
+    closing = (
+        oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+        .unionByName(
+            oriented.select(F.col("t").alias("t1"), F.col("s").alias("t2"))
+        )
+        .where(F.col("t1") < F.col("t2"))
+        .distinct()
+    )
+    # inner join keeps the triangle rows (each triangle exactly once:
+    # wedges are distinct and closing is deduped)
+    tri = wedges.join(closing, ["t1", "t2"])
+    per_vertex = (
+        tri.select(
+            F.explode(F.array("s", "t1", "t2")).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_vertex, "x", "left")
+        .select(
+            F.col("x").alias("entity_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("d") >= 2,
+                F.expr(
+                    "(2000000 * coalesce(n_triangles, 0)) div (d * (d - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )
+
+
+def labeled_bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Per-source multi-source BFS: (src, entity_id, dist) = hop
+    distance from EACH seed to each vertex it reaches within
+    ``max_depth`` over the undirected entity graph — bfs_distances with
+    the source label kept, the primitive under per-entity centrality
+    and ego-network extraction. ``seeds``: DataFrame(entity_id).
+
+    Same frontier shape as bfs_distances with the key widened to
+    (src, entity_id): one frontier x edges join + one anti-join per
+    level. Work per level is sum over sources of that source's frontier
+    — the labeled frontier IS the output being built, so no
+    amplification beyond the result size."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(
+            F.col("entity_id").alias("src"),
+            F.col("entity_id"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("src", "entity_id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["entity_id"] == und["a"])
+            .select("src", F.col("b").alias("entity_id"))
+            .distinct()
+            .join(
+                dist.select("src", "entity_id"),
+                ["src", "entity_id"],
+                "left_anti",
+            )
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "entity_id")
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Depth-bounded harmonic centrality (Boldi & Vigna 2014) for a
+    BOUNDED source set: h(s) = sum over reached vertices of 1/dist,
+    truncated at ``max_depth`` — the centrality that stays defined on
+    disconnected graphs (unreachable vertices contribute 0, and are
+    never materialized). All-vertex exact centrality is O(V * E) and is
+    NOT this operator; the bounded-seed contract is the scale contract.
+
+    Returns (src, n_reached, harmonic_ppm): the 1/d sum is accumulated
+    as integer ppm (1_000_000 div d summed exactly), so the statistic
+    is bit-stable cross-engine."""
+    lab = labeled_bfs_distances(edges, seeds, max_depth=max_depth)
+    return (
+        lab.where(F.col("dist") >= 1)
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias(
+                "harmonic_ppm"
+            ),
+        )
+    )
+
+
+def entity_fact_summary(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Entity summarization: each subject's top-``k`` facts ranked by
+    predicate RARITY (ascending global predicate frequency — rarest
+    first), the LinkSUM/RELIN-style informativeness heuristic in exact
+    integer form: a fact whose predicate appears on few edges says more
+    about its subject than one every entity carries.
+
+    Returns (subj_entity_id, predicate, obj_entity_id, pred_count,
+    rank) with rank 1..k per subject, deterministic total order
+    (pred_count, predicate, obj) — bit-stable cross-engine, no floats.
+
+    Plan shape: the predicate frequency table is vocabulary-sized and
+    broadcast into the ranking join; the per-subject top-k is one
+    window partitioned by subject (a subject's partition is its own
+    fact list — the same rows any summarizer must inspect)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pc = edges.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("pred_count")
+    )
+    w = Window.partitionBy("subj_entity_id").orderBy(
+        "pred_count", "predicate", "obj_entity_id"
+    )
+    return (
+        edges.select("subj_entity_id", "predicate", "obj_entity_id")
+        .join(F.broadcast(pc), "predicate")
+        .select(
+            "subj_entity_id",
+            "predicate",
+            "obj_entity_id",
+            "pred_count",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -4449,6 +4449,239 @@ ORDER BY tot.predicate
 """
 
 
+def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (operators/graph.py:minus_bgp): customers with
+    their nation+region, MINUS nations that host a suppkey%4==0
+    supplier (the filter keeps the removal partial so the query
+    attests real subtraction, not an empty set). The minus group
+    projects to the one shared variable ?n before the anti-join, so
+    the anti-join build side is nation-sized however many suppliers
+    match. DuckDB replays it as NOT EXISTS."""
+    from ..operators.graph import minus_bgp
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    sol = minus_bgp(
+        edges,
+        [("?c", "cust_in_nation", "?n"), ("?n", "in_region", "?r")],
+        [("?s", "supp_in_nation", "?n")],
+        minus_filters=["s % 16 = 1"],  # suppkey % 4 == 0, type-offset
+    )
+    return (
+        sol.groupBy("n", "r")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("n")
+    )
+
+
+_KG_BGP_MINUS_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS c,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM customer
+), reg AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS n,
+         cast(n_regionkey AS BIGINT) * 4 + 3 AS r
+  FROM nation
+), supp AS (
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1 AS s,
+         cast(s_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM supplier
+), kept AS (
+  SELECT cust.c, cust.n, reg.r
+  FROM cust JOIN reg ON cust.n = reg.n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM supp WHERE supp.n = cust.n AND supp.s % 16 = 1
+  )
+)
+SELECT n, r, cast(count(*) AS BIGINT) AS n_customers
+FROM kept GROUP BY n, r ORDER BY n
+"""
+
+
+def q_kg_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient (operators/graph.py:
+    local_clustering) over the canonical derived edge table — the
+    density screen separating clique-like entity cores from star-hub
+    spam. Integer ppm keeps the DuckDB oracle bit-exact; the triangle
+    enumeration reuses the degree-ordered orientation, so per-vertex
+    wedge fan-out stays ~sqrt(|E|) on power-law graphs."""
+    from ..operators.graph import local_clustering
+
+    return local_clustering(_derived_edge_table(spark, sf_dir)).orderBy(
+        "entity_id"
+    )
+
+
+_KG_LOCAL_CLUSTERING_SQL = f"""
+WITH {_DERIVED_LINKED_CTES}, und AS (
+  SELECT DISTINCT least(subj_entity_id, obj_entity_id) AS u,
+                  greatest(subj_entity_id, obj_entity_id) AS v
+  FROM linked WHERE subj_entity_id != obj_entity_id
+), deg AS (
+  SELECT x, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und
+  ) GROUP BY x
+), tri AS (
+  SELECT a.u AS x1, a.v AS x2, b.v AS x3
+  FROM und a JOIN und b ON a.v = b.u
+  JOIN und c ON c.u = a.u AND c.v = b.v
+), pv AS (
+  SELECT x, cast(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x1 AS x FROM tri UNION ALL SELECT x2 FROM tri
+    UNION ALL SELECT x3 FROM tri
+  ) GROUP BY x
+)
+SELECT deg.x AS entity_id, deg.d AS degree,
+       cast(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+       cast(CASE WHEN deg.d >= 2 THEN
+         (2000000 * coalesce(pv.n_triangles, 0)) // (deg.d * (deg.d - 1))
+       ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM deg LEFT JOIN pv ON deg.x = pv.x
+ORDER BY entity_id
+"""
+
+
+def q_kg_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded harmonic centrality for every-7th supplier over
+    the supplier-part graph (operators/graph.py:harmonic_centrality):
+    per-source labeled BFS to 3 hops, then sum of integer-ppm 1/d —
+    the centrality that stays defined on disconnected graphs. DuckDB
+    replays the labeled walk as a RECURSIVE CTE with the src column
+    carried through, then the same ppm aggregation."""
+    from ..operators.graph import harmonic_centrality
+
+    edges = _bipartite_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("subj_entity_id").alias("entity_id"))
+        .where(F.col("entity_id") % 14 == 0)
+        .distinct()
+    )
+    return harmonic_centrality(edges, seeds, max_depth=3).orderBy("src")
+
+
+_KG_HARMONIC_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT cast(l_suppkey AS BIGINT) * 2 AS a,
+                  cast(l_partkey AS BIGINT) * 2 + 1 AS b
+  FROM lineitem WHERE l_linenumber <= 2
+), und AS (
+  SELECT a, b FROM base UNION SELECT b, a FROM base
+), seeds AS (
+  SELECT DISTINCT a AS src FROM base WHERE a % 14 = 0
+), walk(src, entity_id, dist) AS (
+  SELECT src, src, 0 FROM seeds
+  UNION
+  SELECT walk.src, und.b, walk.dist + 1
+  FROM walk JOIN und ON walk.entity_id = und.a
+  WHERE walk.dist < 3
+), md AS (
+  SELECT src, entity_id, min(dist) AS dist FROM walk
+  GROUP BY src, entity_id
+)
+SELECT src, cast(count(*) AS BIGINT) AS n_reached,
+       cast(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+FROM md WHERE dist >= 1
+GROUP BY src ORDER BY src
+"""
+
+
+def q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization (operators/graph.py:entity_fact_summary):
+    each supplier's top-3 facts from the multi-predicate schema edges,
+    ranked by predicate RARITY (LinkSUM-style informativeness in exact
+    integer form) under a deterministic total order — one broadcast of
+    the vocabulary-sized predicate-frequency table plus one per-subject
+    window. DuckDB replays it with the same row_number window."""
+    from ..operators.graph import entity_fact_summary
+
+    return entity_fact_summary(_schema_edges(spark, sf_dir), k=3).orderBy(
+        "subj_entity_id", "rank"
+    )
+
+
+_KG_ENTITY_SUMMARY_SQL = """
+WITH e AS (
+  SELECT cast(l_suppkey AS BIGINT) AS subj_entity_id,
+         'rel_' || l_returnflag AS predicate,
+         cast(l_partkey AS BIGINT) AS obj_entity_id
+  FROM lineitem WHERE l_linenumber <= 2
+  GROUP BY 1, 2, 3
+), pc AS (
+  SELECT predicate, cast(count(*) AS BIGINT) AS pred_count
+  FROM e GROUP BY predicate
+), ranked AS (
+  SELECT e.subj_entity_id, e.predicate, e.obj_entity_id, pc.pred_count,
+         cast(row_number() OVER (
+           PARTITION BY e.subj_entity_id
+           ORDER BY pc.pred_count, e.predicate, e.obj_entity_id
+         ) AS INT) AS rank
+  FROM e JOIN pc ON e.predicate = pc.predicate
+)
+SELECT subj_entity_id, predicate, obj_entity_id, pred_count, rank
+FROM ranked WHERE rank <= 3
+ORDER BY subj_entity_id, rank
+"""
+
+
+def q_kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant supervision (operators/distant.py:distant_supervision,
+    Mintz 2009): a seed KB of bigram surface pairs — drawn
+    deterministically from every-97th document with >= 5 tokens —
+    projected onto the documents corpus via the token-blocked
+    candidate join (no doc x surface cross product; the KB rides
+    broadcast). Labels carry first-occurrence 1-based positions, so
+    DuckDB replays the whole table bit-exactly with strpos under the
+    same token-anchored containment rule."""
+    from ..operators.distant import distant_supervision
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kb = (
+        docs.where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 5))
+        .select(
+            F.concat(
+                toks.getItem(0), F.lit(" "), toks.getItem(1)
+            ).alias("subj_text"),
+            F.lit("cooccur").alias("predicate"),
+            F.concat(
+                toks.getItem(3), F.lit(" "), toks.getItem(4)
+            ).alias("obj_text"),
+        )
+        .where(F.col("subj_text") != F.col("obj_text"))
+        .distinct()
+    )
+    return distant_supervision(docs, kb).orderBy(
+        "doc_id", "subj_text", "obj_text"
+    )
+
+
+_KG_DISTANT_SQL = """
+WITH kb AS (
+  SELECT DISTINCT
+         split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+           AS subj_text,
+         'cooccur' AS predicate,
+         split_part(text, ' ', 4) || ' ' || split_part(text, ' ', 5)
+           AS obj_text
+  FROM documents
+  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5
+), kbd AS (
+  SELECT subj_text, predicate, obj_text FROM kb
+  WHERE subj_text != obj_text
+)
+SELECT d.doc_id, k.subj_text, k.predicate, k.obj_text,
+       cast(strpos(d.text, k.subj_text) AS INT) AS subj_pos,
+       cast(strpos(d.text, k.obj_text) AS INT) AS obj_pos
+FROM documents d JOIN kbd k
+  ON strpos(d.text, k.subj_text) > 0 AND strpos(d.text, k.obj_text) > 0
+ AND list_contains(string_split(d.text, ' '),
+                   split_part(k.subj_text, ' ', 1))
+ AND list_contains(string_split(d.text, ' '),
+                   split_part(k.obj_text, ' ', 1))
+ORDER BY d.doc_id, k.subj_text, k.obj_text
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -4570,6 +4803,11 @@ def queries() -> dict:
             "kg_sparql_union": q_kg_sparql_union,
             "kg_rdf_nquads": q_kg_rdf_nquads,
             "kg_cardinality_profile": q_kg_cardinality_profile,
+            "kg_bgp_minus": q_kg_bgp_minus,
+            "kg_local_clustering": q_kg_local_clustering,
+            "kg_harmonic_centrality": q_kg_harmonic_centrality,
+            "kg_entity_summary": q_kg_entity_summary,
+            "kg_distant_supervision": q_kg_distant_supervision,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -4746,6 +4984,11 @@ def oracle_sql() -> dict:
         "kg_sparql_union": _KG_SPARQL_UNION_SQL,
         "kg_rdf_nquads": _RDF_NQUADS_SQL,
         "kg_cardinality_profile": _CARDINALITY_PROFILE_SQL,
+        "kg_bgp_minus": _KG_BGP_MINUS_SQL,
+        "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
+        "kg_harmonic_centrality": _KG_HARMONIC_SQL,
+        "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
+        "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

@@ -1723,3 +1723,198 @@ class TestSparqlFilterUnionValues:
 
         with pytest.raises(ValueError, match="empty group"):
             union_bgp(self._df(spark), [])
+
+
+class TestMinusBGP:
+    EDGES = [
+        (1, "likes", 2), (1, "likes", 3), (2, "likes", 3),
+        (1, "in", 10), (2, "in", 10), (3, "in", 11),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_shared_variable_removes_compatible(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            minus_bgp,
+        )
+
+        # every likes-subject is in 10 except x=3 (which never likes)
+        out = minus_bgp(
+            self._df(spark), [("?x", "likes", "?y")], [("?x", "in", "10")]
+        )
+        assert out.count() == 0
+        kept = minus_bgp(
+            self._df(spark), [("?x", "likes", "?y")], [("?x", "in", "11")]
+        )
+        assert {(r.x, r.y) for r in kept.collect()} == {(1, 2), (1, 3), (2, 3)}
+
+    def test_disjoint_domains_remove_nothing(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            minus_bgp,
+        )
+
+        # SPARQL 1.1 §8.3.2: no shared variable -> MINUS is a no-op
+        out = minus_bgp(
+            self._df(spark), [("?x", "likes", "?y")], [("?a", "in", "?b")]
+        )
+        assert out.count() == 3
+
+    def test_minus_filters_prune_minus_group(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            minus_bgp,
+        )
+
+        out = minus_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y")],
+            [("?x", "in", "?n")],
+            minus_filters=["n = 11"],
+        )
+        # only x=3 is in 11, and 3 never likes: nothing removed
+        assert out.count() == 3
+        out2 = minus_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y")],
+            [("?x", "in", "?n")],
+            minus_filters=["n = 10"],
+        )
+        assert out2.count() == 0
+
+
+class TestLocalClustering:
+    def test_triangle_plus_pendant(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            local_clustering,
+        )
+
+        # triangle 1-2-3, pendant 4 hanging off 1 (directions arbitrary:
+        # the operator works on the undirected distinct graph)
+        edges = _edges(spark, [(1, 2, 1), (3, 1, 1), (2, 3, 1), (4, 1, 1)])
+        got = {
+            r.entity_id: (r.degree, r.n_triangles, r.lcc_ppm)
+            for r in local_clustering(edges).collect()
+        }
+        assert got == {
+            1: (3, 1, 333333),   # 2e6 * 1 div (3*2)
+            2: (2, 1, 1000000),
+            3: (2, 1, 1000000),
+            4: (1, 0, 0),        # degree < 2: coefficient undefined -> 0
+        }
+
+    def test_duplicate_and_reverse_edges_collapse(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            local_clustering,
+        )
+
+        # same triangle stated redundantly in both directions
+        edges = _edges(
+            spark,
+            [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1), (1, 3, 1)],
+        )
+        got = {
+            r.entity_id: (r.degree, r.n_triangles)
+            for r in local_clustering(edges).collect()
+        }
+        assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+class TestLabeledBFSAndHarmonic:
+    def _df(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, "p", b) for a, b in pairs],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def _seeds(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "entity_id long")
+
+    def test_path_graph_per_source_distances(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            labeled_bfs_distances,
+        )
+
+        edges = self._df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        got = {
+            (r.src, r.entity_id): r.dist
+            for r in labeled_bfs_distances(
+                edges, self._seeds(spark, [1, 4]), max_depth=2
+            ).collect()
+        }
+        assert got == {
+            (1, 1): 0, (1, 2): 1, (1, 3): 2,
+            (4, 4): 0, (4, 3): 1, (4, 5): 1, (4, 2): 2,
+        }
+
+    def test_harmonic_centrality_integer_ppm(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        edges = self._df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        got = {
+            r.src: (r.n_reached, r.harmonic_ppm)
+            for r in harmonic_centrality(
+                edges, self._seeds(spark, [1, 4]), max_depth=2
+            ).collect()
+        }
+        # src 1 reaches 2@1, 3@2 -> 1e6 + 5e5; src 4 reaches 3@1, 5@1, 2@2
+        assert got == {1: (2, 1500000), 4: (3, 2500000)}
+
+    def test_isolated_seed_contributes_zero(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        edges = self._df(spark, [(1, 2)])
+        out = harmonic_centrality(
+            edges, self._seeds(spark, [1, 99]), max_depth=3
+        ).collect()
+        # seed 99 touches no edge: reaches nothing, so it has NO row
+        # (dist>=1 filter) -- unreachable mass is never materialized
+        assert {r.src: r.n_reached for r in out} == {1: 1}
+
+
+class TestEntityFactSummary:
+    def test_rarity_ranked_topk(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            entity_fact_summary,
+        )
+
+        edges = spark.createDataFrame(
+            [
+                (1, "common", 10), (1, "common", 11), (1, "rare", 12),
+                (2, "common", 10), (2, "mid", 13),
+                (3, "mid", 14),
+            ],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+        got = {
+            (r.subj_entity_id, r.rank): (r.predicate, r.obj_entity_id,
+                                         r.pred_count)
+            for r in entity_fact_summary(edges, k=2).collect()
+        }
+        assert got == {
+            (1, 1): ("rare", 12, 1),
+            (1, 2): ("common", 10, 3),  # tie on pred broken by obj asc
+            (2, 1): ("mid", 13, 2),
+            (2, 2): ("common", 10, 3),
+            (3, 1): ("mid", 14, 2),
+        }
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            entity_fact_summary,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, "p", 2)],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+        with _pytest.raises(ValueError, match="k must be"):
+            entity_fact_summary(edges, k=0)
