@@ -119,6 +119,7 @@ RELATIONAL = [
     "kg_harmonic_centrality",
     "kg_entity_summary",
     "kg_distant_supervision",
+    "kg_fact_conflicts",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -183,3 +183,78 @@ def facts_as_of(intervals: DataFrame, ts, value_col: str) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
         & F.col(value_col).isNotNull()
     )
+
+
+def temporal_conflicts(
+    intervals: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    source_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Cross-source contradiction detection over temporal-KG validity
+    intervals: two sources claim DIFFERENT values for the same
+    functional key over OVERLAPPING spans — the conflict set a fusion
+    stage (operators/fusion.py) must adjudicate before the KG can serve
+    a consistent as-of read.
+
+    ``intervals``: per-source SCD-2 interval tables unioned with a
+    ``source_col`` tag (each typically a :func:`scd2_intervals` output,
+    so within ONE source the intervals of a key are disjoint by
+    construction — cross-source pairs are therefore the COMPLETE
+    conflict set, and the join keeps only ``source_a < source_b``,
+    each unordered pair once). A NULL ``to_col`` is an open interval
+    (extends to infinity); overlap is tested with pure null logic, no
+    sentinel timestamps. NULL values are real "unknown" states and DO
+    conflict with a concurrent known value — a fusion stage must still
+    pick one (NULL-safe inequality, same rationale as scd2_intervals'
+    change detection).
+
+    Returns one row per conflicting pair: (*key_cols, source_a,
+    value_a, from_a, to_a, source_b, value_b, from_b, to_b,
+    overlap_from, overlap_to) with overlap_to NULL when both claims
+    are open-ended.
+
+    Plan shape: one self-equi-join on the key columns — per-key cost is
+    quadratic in that key's interval-version count, which is the output
+    being built (a key's conflicts ARE its cross-source version pairs).
+    Hot keys are entities whose value flaps across many re-ingestions;
+    they surface in skew_report before they hurt, and the standard
+    salt-by-version-range split applies without changing semantics."""
+    left = intervals.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"{c}_a")
+            for c in (source_col, value_col, from_col, to_col)
+        ],
+    )
+    right = intervals.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"{c}_b")
+            for c in (source_col, value_col, from_col, to_col)
+        ],
+    )
+    sa, sb = f"{source_col}_a", f"{source_col}_b"
+    va, vb = f"{value_col}_a", f"{value_col}_b"
+    fa, fb = f"{from_col}_a", f"{from_col}_b"
+    ta, tb = f"{to_col}_a", f"{to_col}_b"
+    joined = left.join(right, key_cols).where(
+        (F.col(sa) < F.col(sb))
+        & ~F.col(va).eqNullSafe(F.col(vb))
+        # [from_a, to_a) overlaps [from_b, to_b), open ends via null
+        & (F.col(ta).isNull() | (F.col(fb) < F.col(ta)))
+        & (F.col(tb).isNull() | (F.col(fa) < F.col(tb)))
+    )
+    overlap_to = (
+        F.when(F.col(ta).isNull(), F.col(tb))
+        .when(F.col(tb).isNull(), F.col(ta))
+        .otherwise(F.least(ta, tb))
+    )
+    return joined.select(
+        *key_cols,
+        sa, va, fa, ta, sb, vb, fb, tb,
+        F.greatest(fa, fb).alias("overlap_from"),
+        overlap_to.alias("overlap_to"),
+    )

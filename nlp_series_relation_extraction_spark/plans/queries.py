@@ -4682,6 +4682,89 @@ ORDER BY d.doc_id, k.subj_text, k.obj_text
 """
 
 
+def q_kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contradiction detection (functions/temporal.py:
+    temporal_conflicts): the events stream split into two synthetic
+    sources (event_id parity), each versioned independently via SCD-2,
+    then every pair of overlapping different-value claims for the same
+    (user, event_type) key surfaced as a conflict — the adjudication
+    queue a fusion stage works through. Interval bounds as epoch
+    micros keep the DuckDB twin bit-exact; a NULL overlap_to means
+    both claims are open-ended."""
+    from ..functions.temporal import scd2_intervals, temporal_conflicts
+
+    facts = _event_facts(spark, sf_dir).withColumn(
+        "src", (F.col("event_id") % 2).cast("int")
+    )
+    iv = scd2_intervals(
+        facts, ["src", "user_id", "event_type"], "obj", "ts", ["event_id"]
+    )
+    conf = temporal_conflicts(iv, ["user_id", "event_type"], "obj", "src")
+
+    def us(c: str):  # TIMESTAMP_NTZ -> epoch micros, timezone-free
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        ).cast("long")
+
+    return conf.select(
+        "user_id",
+        "event_type",
+        "src_a",
+        "obj_a",
+        "src_b",
+        "obj_b",
+        us("valid_from_a").alias("from_a_us"),
+        us("valid_to_a").alias("to_a_us"),
+        us("valid_from_b").alias("from_b_us"),
+        us("valid_to_b").alias("to_b_us"),
+        us("overlap_from").alias("overlap_from_us"),
+        us("overlap_to").alias("overlap_to_us"),
+    ).orderBy("user_id", "event_type", "from_a_us", "from_b_us")
+
+
+_KG_FACT_CONFLICTS_SQL = r"""
+WITH facts AS (
+  SELECT cast(event_id % 2 AS INT) AS src, user_id, event_type,
+         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         ts, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
+                 THEN 1 ELSE 0 END AS chg
+  FROM facts
+  WINDOW w AS (PARTITION BY src, user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY src, user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), g AS (
+  SELECT src, user_id, event_type, island,
+         min(ts) AS valid_from, min(obj) AS obj
+  FROM isl GROUP BY src, user_id, event_type, island
+), iv AS (
+  SELECT src, user_id, event_type, obj, valid_from,
+         lead(valid_from) OVER (PARTITION BY src, user_id, event_type
+                                ORDER BY valid_from, island) AS valid_to
+  FROM g
+)
+SELECT a.user_id, a.event_type,
+       a.src AS src_a, a.obj AS obj_a, b.src AS src_b, b.obj AS obj_b,
+       epoch_us(a.valid_from) AS from_a_us, epoch_us(a.valid_to) AS to_a_us,
+       epoch_us(b.valid_from) AS from_b_us, epoch_us(b.valid_to) AS to_b_us,
+       epoch_us(greatest(a.valid_from, b.valid_from)) AS overlap_from_us,
+       epoch_us(CASE WHEN a.valid_to IS NULL THEN b.valid_to
+                     WHEN b.valid_to IS NULL THEN a.valid_to
+                     ELSE least(a.valid_to, b.valid_to) END) AS overlap_to_us
+FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.src < b.src AND a.obj IS DISTINCT FROM b.obj
+  AND (a.valid_to IS NULL OR b.valid_from < a.valid_to)
+  AND (b.valid_to IS NULL OR a.valid_from < b.valid_to)
+ORDER BY a.user_id, a.event_type, from_a_us, from_b_us
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -4808,6 +4891,7 @@ def queries() -> dict:
             "kg_harmonic_centrality": q_kg_harmonic_centrality,
             "kg_entity_summary": q_kg_entity_summary,
             "kg_distant_supervision": q_kg_distant_supervision,
+            "kg_fact_conflicts": q_kg_fact_conflicts,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -4989,6 +5073,7 @@ def oracle_sql() -> dict:
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
+        "kg_fact_conflicts": _KG_FACT_CONFLICTS_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

@@ -1464,3 +1464,98 @@ def test_group_split_validation_and_purity(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def _iv_df(spark, rows):
+    # (key, source, value, from_day, to_day_or_None)
+    from datetime import datetime
+
+    d = lambda x: None if x is None else datetime(2024, 1, x)  # noqa: E731
+    return spark.createDataFrame(
+        [(k, s, v, d(f), d(t)) for k, s, v, f, t in rows],
+        "subj string, src string, obj string, "
+        "valid_from timestamp, valid_to timestamp",
+    )
+
+
+def test_temporal_conflicts_overlap_and_values(spark):
+    from datetime import datetime
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        temporal_conflicts,
+    )
+
+    rows = [
+        # key a: s1 says A over [1,5), s2 says B over [3,8) -> conflict
+        ("a", "s1", "A", 1, 5),
+        ("a", "s2", "B", 3, 8),
+        # key a: s2 agrees with s1's later A claim -> no conflict
+        ("a", "s1", "A", 8, None),
+        ("a", "s2", "A", 9, None),
+        # key b: different values but DISJOINT spans -> no conflict
+        ("b", "s1", "X", 1, 3),
+        ("b", "s2", "Y", 3, 6),
+    ]
+    out = temporal_conflicts(
+        _iv_df(spark, rows), ["subj"], "obj", "src"
+    ).collect()
+    assert len(out) == 1
+    (c,) = out
+    assert (c.subj, c.src_a, c.obj_a, c.src_b, c.obj_b) == (
+        "a", "s1", "A", "s2", "B",
+    )
+    assert c.overlap_from == datetime(2024, 1, 3)
+    assert c.overlap_to == datetime(2024, 1, 5)
+
+
+def test_temporal_conflicts_open_intervals_and_null_values(spark):
+    from datetime import datetime
+
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        temporal_conflicts,
+    )
+
+    rows = [
+        # both open-ended, different values -> conflict, overlap_to NULL
+        ("k", "s1", "A", 1, None),
+        ("k", "s2", "B", 4, None),
+        # NULL value ("unknown") vs a concurrent known value -> conflict
+        ("m", "s1", None, 1, 9),
+        ("m", "s2", "C", 2, 3),
+        # NULL vs NULL agree (both unknown) -> no conflict
+        ("n", "s1", None, 1, None),
+        ("n", "s2", None, 1, None),
+    ]
+    out = {
+        r.subj: r
+        for r in temporal_conflicts(
+            _iv_df(spark, rows), ["subj"], "obj", "src"
+        ).collect()
+    }
+    assert set(out) == {"k", "m"}
+    assert out["k"].overlap_from == datetime(2024, 1, 4)
+    assert out["k"].overlap_to is None
+    assert out["m"].obj_a is None and out["m"].obj_b == "C"
+    assert out["m"].overlap_to == datetime(2024, 1, 3)
+
+
+def test_temporal_conflicts_pair_dedup_and_same_source_skipped(spark):
+    from nlp_series_relation_extraction_spark.functions.temporal import (
+        temporal_conflicts,
+    )
+
+    rows = [
+        # same source twice (overlapping, different values): NOT a
+        # cross-source conflict -- scd2 inputs can't produce this, and
+        # the operator's contract is source_a < source_b only
+        ("k", "s1", "A", 1, 5),
+        ("k", "s1", "B", 2, 6),
+        # cross-source pair appears exactly ONCE (not also mirrored)
+        ("k", "s2", "C", 1, 9),
+    ]
+    out = temporal_conflicts(
+        _iv_df(spark, rows), ["subj"], "obj", "src"
+    ).collect()
+    pairs = {(r.src_a, r.obj_a, r.src_b, r.obj_b) for r in out}
+    assert pairs == {("s1", "A", "s2", "C"), ("s1", "B", "s2", "C")}
+    assert len(out) == 2
