@@ -34,22 +34,50 @@ def _first_occurrences(
     surfaces: DataFrame,
     id_cols: tuple,
     text_col: str,
+    block: str = "token",
 ) -> DataFrame:
     """(id_cols..., surface, pos): first 1-based position of each KB
-    surface contained in each row's text, via the token-blocked
-    candidate join described in the module docstring. ``surfaces`` must
-    be a single-column DataFrame(surface), pre-deduped by the caller."""
-    toks = docs.select(
-        *id_cols,
-        text_col,
-        F.explode(
-            F.array_distinct(F.split(F.col(text_col), " "))
-        ).alias("tok"),
-    )
-    dim = surfaces.select(
-        "surface",
-        F.split(F.col("surface"), " ").getItem(0).alias("tok"),
-    )
+    surface contained in each row's text, via the blocked candidate
+    join described in the module docstring. ``surfaces`` must be a
+    single-column DataFrame(surface), pre-deduped by the caller.
+
+    ``block='token'`` keys on the surface's first whitespace token —
+    right for space-delimited text. ``block='char'`` keys on the
+    surface's FIRST CHARACTER against the text's distinct characters —
+    the mode for CJK corpora like the reference's DuIE data
+    (dataset/data_utils.py operates on unsegmented Chinese), where a
+    whole utterance is one "token" and token blocking can never fire.
+    Char keys are higher-fanout than token keys (a text has ~|text|
+    distinct chars) but still corpus-linear, and CJK first-chars are
+    high-cardinality, so the equi-join stays selective."""
+    if block == "char":
+        grams = F.expr(
+            f"transform(sequence(1, char_length({text_col})),"
+            f" i -> substring({text_col}, i, 1))"
+        )
+        toks = docs.select(
+            *id_cols,
+            text_col,
+            F.explode(F.array_distinct(grams)).alias("tok"),
+        )
+        dim = surfaces.select(
+            "surface",
+            F.substring(F.col("surface"), 1, 1).alias("tok"),
+        )
+    elif block == "token":
+        toks = docs.select(
+            *id_cols,
+            text_col,
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("tok"),
+        )
+        dim = surfaces.select(
+            "surface",
+            F.split(F.col("surface"), " ").getItem(0).alias("tok"),
+        )
+    else:
+        raise ValueError(f"unknown block mode: {block!r}")
     return (
         toks.join(F.broadcast(dim), "tok")
         .withColumn("pos", F.instr(F.col(text_col), F.col("surface")))
@@ -66,6 +94,7 @@ def distant_supervision(
     kb: DataFrame,
     id_cols: tuple = ("doc_id",),
     text_col: str = "text",
+    block: str = "token",
 ) -> DataFrame:
     """Project a seed KB onto a text corpus: one weak label per
     (row, KB triple) where the row's text contains both surface forms.
@@ -92,7 +121,9 @@ def distant_supervision(
         .unionByName(kb.select(F.col("obj_text").alias("surface")))
         .distinct()
     )
-    mentions = _first_occurrences(docs, surfaces, id_cols, text_col)
+    mentions = _first_occurrences(
+        docs, surfaces, id_cols, text_col, block=block
+    )
     subj_m = mentions.select(
         *id_cols,
         F.col("surface").alias("subj_text"),
@@ -115,3 +146,66 @@ def distant_supervision(
             "obj_pos",
         )
     )
+
+
+def weak_training_set(
+    docs: DataFrame,
+    kb: DataFrame,
+    id_cols: tuple = ("doc_id",),
+    text_col: str = "text",
+    block: str = "token",
+) -> DataFrame:
+    """Distant labels assembled into the trainer's input shape: one row
+    per doc that received >= 1 weak label, with ``gold_json`` holding
+    the spo_list exactly as the reference's hand-labeled JSONL does
+    (dataset/data_utils.py reads {text, spo_list}) — so
+    operators/train.py trains on it unchanged. THIS is the 100-TB
+    bootstrap: seed KB in, training corpus out, no human labels.
+
+    ``kb`` may carry optional ``subject_type`` / ``object_type``
+    columns (DuIE-style schemas have them); they pass through into the
+    spo entries, defaulting to '' — the label builders key on
+    predicate + surface text only (core/labeling.py), so training is
+    type-agnostic either way.
+
+    The per-doc spo array is array_sort-ed, making gold_json
+    byte-deterministic under any partitioning (collect_list order is
+    not)."""
+    id_cols = tuple(id_cols)
+    if "subject_type" not in kb.columns:
+        kb = kb.withColumn("subject_type", F.lit(""))
+    if "object_type" not in kb.columns:
+        kb = kb.withColumn("object_type", F.lit(""))
+    types = kb.select(
+        "subj_text", "predicate", "obj_text", "subject_type", "object_type"
+    ).distinct()
+    labels = distant_supervision(
+        docs, kb, id_cols=id_cols, text_col=text_col, block=block
+    ).join(F.broadcast(types), ["subj_text", "predicate", "obj_text"])
+    # serialize each spo to its JSON object FIRST (structs holding MAP
+    # fields are not orderable, so array_sort over the struct itself is
+    # a type error), then sort the strings — byte-deterministic and the
+    # concatenation is exactly to_json's array form
+    spo_json = F.to_json(
+        F.struct(
+            F.col("predicate"),
+            F.col("subj_text").alias("subject"),
+            F.col("subject_type"),
+            F.create_map(F.lit("@value"), F.col("obj_text")).alias(
+                "object"
+            ),
+            F.create_map(F.lit("@value"), F.col("object_type")).alias(
+                "object_type"
+            ),
+        )
+    )
+    per_doc = labels.groupBy(*id_cols).agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.array_sort(F.collect_list(spo_json)), ","
+            ),
+            F.lit("]"),
+        ).alias("gold_json")
+    )
+    return docs.select(*id_cols, text_col).join(per_doc, list(id_cols))

@@ -105,3 +105,161 @@ def test_custom_id_and_text_columns(spark):
         ).collect()
     }
     assert got == {("c1", 0)}
+
+
+def test_char_blocking_for_cjk_text(spark):
+    # unsegmented Chinese: token blocking can never fire (the whole
+    # utterance is one "token"); char blocking must
+    docs = _docs(
+        spark,
+        [
+            (1, "电影《凤缘山》由马磊丽主演"),
+            (2, "马磊丽获得了最佳女主角"),  # obj only: no label
+        ],
+    )
+    kb = _kb(spark, [("凤缘山", "主演", "马磊丽")])
+    token_out = distant_supervision(docs, kb).count()
+    assert token_out == 0  # the CJK failure mode, pinned
+    got = {
+        (r.doc_id, r.subj_pos, r.obj_pos)
+        for r in distant_supervision(docs, kb, block="char").collect()
+    }
+    assert got == {(1, 4, 9)}  # 1-based char positions
+
+
+def test_char_blocking_is_pure_containment(spark):
+    # unlike token mode, char blocking is COMPLETE for containment:
+    # the first char of a contained surface is always a char of the text
+    docs = _docs(spark, [(1, "the catalog lists dog toys")])
+    kb = _kb(spark, [("cat", "chases", "dog")])
+    got = distant_supervision(docs, kb, block="char").collect()
+    assert len(got) == 1  # "cat" inside "catalog" IS found in char mode
+    assert got[0].subj_pos == 5
+
+
+def test_unknown_block_mode_rejected(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark, [(1, "a b")])
+    kb = _kb(spark, [("a", "r", "b")])
+    with _pytest.raises(ValueError, match="unknown block mode"):
+        distant_supervision(docs, kb, block="bigram").collect()
+
+
+class TestWeakSupervisionEndToEnd:
+    """The 100-TB bootstrap loop: seed KB -> distant labels over the
+    DuIE-style synthetic transcripts -> reference-format training set ->
+    the distributed BIO trainer runs on it unchanged."""
+
+    def _corpus_and_kb(self, spark, n=400):
+        from pyspark.sql import functions as F
+
+        from nlp_series_relation_extraction_spark.sources.synthetic import (
+            gold_triples,
+            synth_transcripts,
+        )
+
+        t_df = synth_transcripts(spark, n, seed=42).localCheckpoint(
+            eager=True
+        )
+        gold = (
+            gold_triples(spark, t_df)
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col("subject").alias("subj_text"),
+                "predicate",
+                F.element_at("object", "@value").alias("obj_text"),
+            )
+            # checkpoint BEFORE deriving kb: gold.join(kb-from-gold)
+            # would otherwise be a self-join with conflicting lineage
+            .localCheckpoint(eager=True)
+        )
+        # seed KB = the triples of every 3rd turn (the "existing KG"
+        # covering part of the world), projected onto ALL turns
+        kb = (
+            gold.where(F.col("turn_idx") % 3 == 0)
+            .select("subj_text", "predicate", "obj_text")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return t_df, gold, kb
+
+    def test_weak_labels_recall_kb_covered_gold(self, spark):
+        from pyspark.sql import functions as F
+
+        from nlp_series_relation_extraction_spark.operators.distant import (
+            distant_supervision,
+        )
+
+        t_df, gold, kb = self._corpus_and_kb(spark)
+        weak = distant_supervision(
+            t_df, kb, id_cols=("conv_id", "turn_idx"),
+            text_col="text", block="char",
+        ).localCheckpoint(eager=True)
+        trip = ["subj_text", "predicate", "obj_text"]
+        # every gold triple whose triple is IN the KB must be re-found:
+        # the planted text always contains both surfaces. Exception by
+        # CONTRACT: self-referential triples (the 改编自 same-name-novel
+        # template plants subject == object) — the operator rejects
+        # those because the two roles would alias one mention
+        covered = gold.join(kb, trip).where(
+            F.col("subj_text") != F.col("obj_text")
+        )
+        missed = covered.join(
+            weak.select("conv_id", "turn_idx", *trip),
+            ["conv_id", "turn_idx", *trip],
+            "left_anti",
+        )
+        assert missed.count() == 0
+        n_weak = weak.count()
+        tp = weak.join(gold, ["conv_id", "turn_idx", *trip]).count()
+        assert n_weak > 0
+        # distant supervision is NOISY by design (co-occurrence is not
+        # assertion), but on planted data most co-occurrences are real
+        assert tp / n_weak >= 0.5, f"precision {tp}/{n_weak}"
+
+    def test_weak_training_set_trains_the_bio_head(self, spark):
+        import json
+
+        from nlp_series_relation_extraction_spark.operators.distant import (
+            weak_training_set,
+        )
+        from nlp_series_relation_extraction_spark.operators.train import (
+            train_bio_head,
+        )
+
+        t_df, _gold, kb = self._corpus_and_kb(spark, n=240)
+        train = weak_training_set(
+            t_df, kb, id_cols=("conv_id", "turn_idx"),
+            text_col="text", block="char",
+        ).localCheckpoint(eager=True)
+        rows = train.collect()
+        assert len(rows) > 0
+        # reference JSONL shape: parseable spo_list with the exact keys
+        spo = json.loads(rows[0].gold_json)[0]
+        assert set(spo) == {
+            "predicate", "subject", "subject_type", "object", "object_type",
+        }
+        assert "@value" in spo["object"]
+        res = train_bio_head(train, epochs=3, lr=0.08)
+        h = res["loss_history"]
+        assert len(h) == 3 and h[-1] < h[0], f"no learning: {h}"
+
+    def test_weak_training_set_gold_json_is_deterministic(self, spark):
+        from nlp_series_relation_extraction_spark.operators.distant import (
+            weak_training_set,
+        )
+
+        t_df, _gold, kb = self._corpus_and_kb(spark, n=120)
+        a = weak_training_set(
+            t_df, kb, id_cols=("conv_id", "turn_idx"),
+            text_col="text", block="char",
+        )
+        b = weak_training_set(
+            t_df.repartition(7), kb, id_cols=("conv_id", "turn_idx"),
+            text_col="text", block="char",
+        )
+        ra = {(r.conv_id, r.turn_idx): r.gold_json for r in a.collect()}
+        rb = {(r.conv_id, r.turn_idx): r.gold_json for r in b.collect()}
+        assert ra == rb  # array_sort pins collect_list's wild order
