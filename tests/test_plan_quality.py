@@ -219,3 +219,36 @@ def test_node2vec_candidate_weighting_no_cartesian(spark):
     plan = _plan(node2vec_walks(edges, walk_len=2, n_walks=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distant_supervision_dims_broadcast_no_cartesian(spark):
+    plan = _plan(Q.q_kg_distant_supervision(spark, SF))
+    # the surface dictionary and the KB are dimensions: broadcast,
+    # never a doc x surface cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minus_bgp_is_anti_join_on_shared_vars(spark):
+    plan = _plan(Q.q_kg_bgp_minus(spark, SF))
+    # SPARQL MINUS must compile to one anti join, not except/distinct
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_entity_summary_pred_counts_broadcast(spark):
+    plan = _plan(Q.q_kg_entity_summary(spark, SF))
+    # the predicate-frequency table is vocabulary-sized: broadcast side
+    assert "BroadcastHashJoin" in plan
+    # exactly one window (the per-subject top-k), not one per column
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_fact_conflicts_no_cartesian_and_partial_agg(spark):
+    plan = _plan(Q.q_kg_fact_conflicts(spark, SF))
+    # the interval self-join is an equi-join on the key columns
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
