@@ -120,6 +120,7 @@ RELATIONAL = [
     "kg_entity_summary",
     "kg_distant_supervision",
     "kg_fact_conflicts",
+    "kg_anf_curve",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -2180,3 +2180,119 @@ def entity_fact_summary(edges: DataFrame, k: int = 3) -> DataFrame:
         )
         .where(F.col("rank") <= k)
     )
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _anf_estimate(counters: DataFrame, m: int) -> DataFrame:
+    """Per-vertex HLL estimate from SPARSE register rows (v, ridx, rho):
+    absent registers are zeros. Returns one row (pairs_est)."""
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    per_v = counters.groupBy("v").agg(
+        F.count("*").cast("long").alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ssum"),
+    )
+    zeros = F.lit(float(m)) - F.col("nz")
+    raw = F.lit(alpha * m * m) / (zeros + F.col("ssum"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_v.select(est.alias("e")).agg(
+        F.sum("e").alias("pairs_est")
+    )
+
+
+def hyper_anf(
+    edges: DataFrame, p: int = 4, max_t: int = 8
+) -> list[tuple[int, float]]:
+    """HyperANF (Boldi, Vigna & Rosa, WWW 2011): the neighborhood
+    function N(t) = number of (source, reachable-within-t) pairs over
+    the undirected entity graph, estimated with one HyperLogLog
+    counter per vertex — THE way to read distance structure (median
+    distance, effective diameter) off a graph too big for per-pair
+    BFS. Exact all-pairs is O(V*E); this is O(t * E * m) register
+    rows with m = 2**p registers, and every step is a relational
+    max-merge.
+
+    Spark shape — sparse HLL as ROWS, not blobs: a counter is the row
+    set (v, ridx, rho); merging neighbor counters is exploded
+    union + groupBy(v, ridx).max(rho), which Spark executes with
+    map-side partial aggregation (max is algebraic), so hub fan-in
+    combines before the shuffle instead of flooding one reducer —
+    the same skew story as pagerank's combine. Registers a ball never
+    touched are never materialized (per-vertex row count <= min(m,
+    |ball|)), so early rounds cost far less than the m-per-vertex
+    worst case. Per-round localCheckpoint cuts the lineage exactly
+    like pagerank (swap for persist + cleanup on a real cluster).
+
+    Register placement is md5-deterministic (same convention as the
+    KGE corruption sampler): h = 60-bit integer from the hex digest,
+    ridx = h mod m, rho = leading-zero rank of the remaining 60-p
+    bits — so the python twin replays the whole computation and the
+    estimate curve is reproducible across engines and runs.
+
+    Returns the collected curve [(t, pairs_est)] for t = 0..max_t,
+    stopping early once the estimate stops improving (all balls
+    saturated). N(0) estimates |V|; N(t)/N(t_max) >= q gives the
+    effective diameter (:func:`effective_diameter`).
+
+    Reference corpus note: distance structure is not something the
+    reference computes (its KG is per-sentence); this operator exists
+    for the 100-TB graph the pipeline BUILDS, where "how many hops
+    until the graph closes" decides traversal depth budgets for the
+    SPARQL path operators (match_path's max_hops)."""
+    if not 1 <= p <= 12:
+        raise ValueError(f"p must be in [1, 12], got {p}")
+    m = 1 << p
+    und = _undirected(edges).localCheckpoint(eager=True)
+    verts = (
+        und.select(F.col("a").alias("v")).distinct().localCheckpoint(
+            eager=True
+        )
+    )
+    hs = "cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)"
+    w_bits = 60 - p
+    counters = verts.select(
+        "v",
+        F.expr(f"cast(pmod({hs}, {m}) as int)").alias("ridx"),
+        F.expr(
+            f"cast(case when shiftrightunsigned({hs}, {p}) = 0"
+            f" then {w_bits + 1}"
+            f" else {w_bits + 1} - length(bin(shiftrightunsigned({hs}, {p})))"
+            f" end as int)"
+        ).alias("rho"),
+    ).localCheckpoint(eager=True)
+    curve = [(0, float(_anf_estimate(counters, m).collect()[0][0]))]
+    for t in range(1, max_t + 1):
+        nbr = (
+            counters.join(und, counters["v"] == und["a"])
+            .select(und["b"].alias("v"), "ridx", "rho")
+        )
+        counters = (
+            counters.unionByName(nbr)
+            .groupBy("v", "ridx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        est = float(_anf_estimate(counters, m).collect()[0][0])
+        curve.append((t, est))
+        if est <= curve[-2][1]:  # saturated: no ball grew
+            break
+    return curve
+
+
+def effective_diameter(
+    curve: list[tuple[int, float]], q: float = 0.9
+) -> int:
+    """Smallest t whose neighborhood estimate reaches a fraction ``q``
+    of the final one — HyperANF's standard readout (interpolation-free
+    integer variant: the value SPARQL depth budgets actually use)."""
+    if not curve:
+        raise ValueError("empty curve")
+    target = q * curve[-1][1]
+    for t, est in curve:
+        if est >= target:
+            return t
+    return curve[-1][0]

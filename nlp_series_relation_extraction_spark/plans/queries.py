@@ -4682,6 +4682,25 @@ ORDER BY d.doc_id, k.subj_text, k.obj_text
 """
 
 
+def q_kg_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function over the supplier-part graph
+    (operators/graph.py:hyper_anf, rows-only: HLL estimates are floats
+    from an iterative multi-job sketch merge; exactness is pinned by
+    the md5-identical python twin in tests/test_graph_analytics.py).
+    One HLL counter per vertex as SPARSE rows, merged per hop with a
+    map-side-combined max — O(t * E * m) register rows, never a BFS.
+    Returns (t, pairs_est) for t = 0..3 plus the effective-diameter
+    readout the SPARQL depth budgets consume."""
+    from ..operators.graph import effective_diameter, hyper_anf
+
+    curve = hyper_anf(_bipartite_edges(spark, sf_dir), p=4, max_t=3)
+    ed = effective_diameter(curve)
+    return spark.createDataFrame(
+        [(t, round(est, 3), ed) for t, est in curve],
+        "t int, pairs_est double, effective_diameter int",
+    )
+
+
 def q_kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contradiction detection (functions/temporal.py:
     temporal_conflicts): the events stream split into two synthetic
@@ -4892,6 +4911,7 @@ def queries() -> dict:
             "kg_entity_summary": q_kg_entity_summary,
             "kg_distant_supervision": q_kg_distant_supervision,
             "kg_fact_conflicts": q_kg_fact_conflicts,
+            "kg_anf_curve": q_kg_anf_curve,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

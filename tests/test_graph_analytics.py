@@ -1918,3 +1918,127 @@ class TestEntityFactSummary:
         )
         with _pytest.raises(ValueError, match="k must be"):
             entity_fact_summary(edges, k=0)
+
+
+class TestHyperANF:
+    """HyperANF neighborhood function: exact python twin (same md5
+    register placement, same sparse max-merge, same HLL estimator) and
+    accuracy/diameter sanity on known graphs."""
+
+    def _df(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, "p", b) for a, b in pairs],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    @staticmethod
+    def _twin(pairs, p, max_t):
+        import hashlib
+        import math
+
+        m = 1 << p
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        verts = sorted(adj)
+        w_bits = 60 - p
+
+        def reg(v):
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            w = h >> p
+            rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+            return h % m, rho
+
+        def estimate(cnts):
+            alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+                m, 0.7213 / (1 + 1.079 / m)
+            )
+            total = 0.0
+            for regs in cnts.values():
+                zeros = float(m - len(regs))
+                ssum = sum(2.0 ** -r for r in regs.values())
+                raw = alpha * m * m / (zeros + ssum)
+                if raw <= 2.5 * m and zeros > 0:
+                    total += m * math.log(m / zeros)
+                else:
+                    total += raw
+            return total
+
+        cnts = {v: dict([reg(v)]) for v in verts}
+        curve = [(0, estimate(cnts))]
+        for t in range(1, max_t + 1):
+            nxt = {v: dict(r) for v, r in cnts.items()}
+            for v in verts:
+                for w in adj[v]:
+                    for ridx, rho in cnts[w].items():
+                        if nxt[v].get(ridx, 0) < rho:
+                            nxt[v][ridx] = rho
+            cnts = nxt
+            est = estimate(cnts)
+            curve.append((t, est))
+            if est <= curve[-2][1]:
+                break
+        return curve
+
+    PAIRS = [(i, i + 1) for i in range(20)] + [(5, 50), (50, 51), (3, 17)]
+
+    def test_spark_curve_equals_python_twin(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            hyper_anf,
+        )
+
+        got = hyper_anf(self._df(spark, self.PAIRS), p=4, max_t=5)
+        want = self._twin(self.PAIRS, p=4, max_t=5)
+        assert [t for t, _ in got] == [t for t, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) <= 1e-9 * max(abs(b), 1.0), (got, want)
+
+    def test_curve_is_monotone_and_t0_estimates_vertices(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            hyper_anf,
+        )
+
+        curve = hyper_anf(self._df(spark, self.PAIRS), p=6, max_t=6)
+        ests = [e for _, e in curve]
+        assert all(b >= a - 1e-9 for a, b in zip(ests, ests[1:]))
+        n_v = len({x for pr in self.PAIRS for x in pr})
+        assert abs(ests[0] - n_v) / n_v < 0.35  # HLL error at m=64
+
+    def test_complete_graph_saturates_at_one_hop(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            effective_diameter,
+            hyper_anf,
+        )
+
+        pairs = [(i, j) for i in range(12) for j in range(i + 1, 12)]
+        curve = hyper_anf(self._df(spark, pairs), p=6, max_t=4)
+        # ball(v, 1) is already everything: the curve stops early
+        assert curve[-1][0] <= 2
+        assert effective_diameter(curve) <= 1
+        # and the saturated estimate is near the true 12*12 pairs
+        assert abs(curve[-1][1] - 144) / 144 < 0.35
+
+    def test_path_graph_effective_diameter_tracks_length(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            effective_diameter,
+            hyper_anf,
+        )
+
+        short = hyper_anf(self._df(spark, [(0, 1), (1, 2)]), p=6, max_t=8)
+        long_ = hyper_anf(
+            self._df(spark, [(i, i + 1) for i in range(9)]), p=6, max_t=12
+        )
+        assert effective_diameter(short) < effective_diameter(long_)
+
+    def test_p_validation(self, spark):
+        import pytest as _pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            hyper_anf,
+        )
+
+        with _pytest.raises(ValueError, match="p must be"):
+            hyper_anf(self._df(spark, [(1, 2)]), p=0)
