@@ -413,6 +413,41 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         / max(timings["kg_linking_entities"], 1e-9),
         2,
     )
+
+    # distant-supervision 10x rehearsal: corpus AND seed KB both grow
+    # 10x, but the copies are tagged-disjoint (per-copy word prefixes),
+    # so a correct token-blocked candidate join scales with the corpus
+    # while a latent cross-product bug would cross-match every copy's
+    # KB against every copy's docs and blow the ratio to ~100x.
+    from nlp_series_relation_extraction_spark.operators.distant import (
+        distant_supervision,
+    )
+
+    tk10 = "split(text, ' ')"
+    kb10 = (
+        docs10.where(
+            (F.col("doc_id") % 97 == 0) & (F.expr(f"size({tk10})") >= 5)
+        )
+        .select(
+            F.expr(f"concat_ws(' ', slice({tk10}, 1, 2))").alias(
+                "subj_text"
+            ),
+            F.lit("cooccur").alias("predicate"),
+            F.expr(f"concat_ws(' ', slice({tk10}, 4, 2))").alias(
+                "obj_text"
+            ),
+        )
+        .where(F.col("subj_text") != F.col("obj_text"))
+        .distinct()
+    )
+    t0 = time.time()
+    distant_supervision(docs10, kb10).count()
+    timings["kg_distant_10x"] = round(time.time() - t0, 3)
+    extras["distant_10x_ratio"] = round(
+        timings["kg_distant_10x"]
+        / max(timings["kg_distant_supervision"], 1e-9),
+        2,
+    )
     docs10.unpersist()
 
     # ANN 10x rehearsal (round-5 ask #7): dedup/linking have scale-growth
@@ -870,6 +905,13 @@ def _headline_section(out: dict) -> str:
             out.get("cluster_keep_10x_ratio", "?"),
             q.get("kg_linking_10x", "?"),
             out.get("linking_10x_ratio", "?"),
+        ),
+        "| distant supervision 10x (corpus AND seed KB both 10x,"
+        " tagged-disjoint) | %ss (ratio %s of 1x) — blocked candidate join"
+        " scales with the corpus; a cross-product bug would read ~100x |"
+        % (
+            q.get("kg_distant_10x", "?"),
+            out.get("distant_10x_ratio", "?"),
         ),
         "| continuous KG sink (20 micro-batches, 8k turns) | %s turns/sec"
         " sustained, per-batch commit p50 %ss / p95 %ss |"
