@@ -121,6 +121,7 @@ RELATIONAL = [
     "kg_distant_supervision",
     "kg_fact_conflicts",
     "kg_anf_curve",
+    "kg_describe",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -2296,3 +2296,54 @@ def effective_diameter(
         if est >= target:
             return t
     return curve[-1][0]
+
+
+def describe_entities(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """SPARQL DESCRIBE (W3C SPARQL 1.1 §16.4) in its symmetric
+    CBD-lite reading: every edge INCIDENT to the seed entity set, with
+    a ``role`` column saying whether the seed is the edge's subject,
+    object, or both — the per-entity export a KG serves when a client
+    asks "tell me everything about X".
+
+    Plan shape: two semi-join-shaped probes expressed as one inner
+    join per side against the DISTINCT seed dimension (broadcast when
+    small, which a DESCRIBE seed set always is), then a full-outer
+    merge on the edge key to fuse the subject-side and object-side
+    hits without scanning the edge table a third time. Cost is
+    O(edges touching seeds) after the broadcast probe — never a
+    full-graph materialization."""
+    s = seeds.select(F.col("entity_id")).distinct()
+    key = ["subj_entity_id", "predicate", "obj_entity_id"]
+    base = edges.select(*key).distinct()
+    as_subj = base.join(
+        F.broadcast(s.withColumnRenamed("entity_id", "subj_entity_id")),
+        "subj_entity_id",
+    ).withColumn("is_subj", F.lit(True))
+    as_obj = base.join(
+        F.broadcast(s.withColumnRenamed("entity_id", "obj_entity_id")),
+        "obj_entity_id",
+    ).withColumn("is_obj", F.lit(True))
+    merged = as_subj.join(as_obj, key, "full_outer")
+    role = (
+        F.when(
+            F.coalesce("is_subj", F.lit(False))
+            & F.coalesce("is_obj", F.lit(False)),
+            F.lit("both"),
+        )
+        .when(F.coalesce("is_subj", F.lit(False)), F.lit("subject"))
+        .otherwise(F.lit("object"))
+    )
+    return merged.select(*key, role.alias("role"))
+
+
+def ask_bgp(
+    edges: DataFrame,
+    patterns: list,
+    filters: list | None = None,
+) -> bool:
+    """SPARQL ASK (§16.3): does at least one solution of the
+    basic graph pattern exist? Evaluated as the BGP fold with an
+    existence probe — ``isEmpty`` stops at the FIRST produced binding
+    (limit-1 semantics), so a satisfiable pattern never materializes
+    its full solution set."""
+    return not match_bgp(edges, patterns, filters=filters).isEmpty()

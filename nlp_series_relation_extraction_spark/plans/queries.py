@@ -4682,6 +4682,58 @@ ORDER BY d.doc_id, k.subj_text, k.obj_text
 """
 
 
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE / concise-bounded-description export
+    (operators/graph.py:describe_entities): every edge incident to the
+    seed set (every 5th nation), with the seed's role on the edge.
+    Two broadcast probes + one full-outer fuse on the edge key — cost
+    is O(edges touching seeds), never a graph scan per seed. DuckDB
+    replays it as IN-subquery flags."""
+    from ..operators.graph import describe_entities
+
+    seeds = (
+        t(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") % 5 == 0)
+        .select(
+            (F.col("n_nationkey").cast("long") * 4 + 2).alias("entity_id")
+        )
+    )
+    return describe_entities(_hierarchy_edges(spark, sf_dir), seeds).orderBy(
+        "subj_entity_id", "predicate", "obj_entity_id"
+    )
+
+
+_KG_DESCRIBE_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS subj_entity_id,
+         'cust_in_nation' AS predicate,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS obj_entity_id
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+), seeds AS (
+  SELECT DISTINCT cast(n_nationkey AS BIGINT) * 4 + 2 AS entity_id
+  FROM nation WHERE n_nationkey % 5 = 0
+), flagged AS (
+  SELECT DISTINCT subj_entity_id, predicate, obj_entity_id,
+         subj_entity_id IN (SELECT entity_id FROM seeds) AS subj_in,
+         obj_entity_id IN (SELECT entity_id FROM seeds) AS obj_in
+  FROM e
+)
+SELECT subj_entity_id, predicate, obj_entity_id,
+       CASE WHEN subj_in AND obj_in THEN 'both'
+            WHEN subj_in THEN 'subject' ELSE 'object' END AS role
+FROM flagged WHERE subj_in OR obj_in
+ORDER BY subj_entity_id, predicate, obj_entity_id
+"""
+
+
 def q_kg_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function over the supplier-part graph
     (operators/graph.py:hyper_anf, rows-only: HLL estimates are floats
@@ -4912,6 +4964,7 @@ def queries() -> dict:
             "kg_distant_supervision": q_kg_distant_supervision,
             "kg_fact_conflicts": q_kg_fact_conflicts,
             "kg_anf_curve": q_kg_anf_curve,
+            "kg_describe": q_kg_describe,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5094,6 +5147,7 @@ def oracle_sql() -> dict:
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_fact_conflicts": _KG_FACT_CONFLICTS_SQL,
+        "kg_describe": _KG_DESCRIBE_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

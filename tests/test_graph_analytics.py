@@ -2042,3 +2042,70 @@ class TestHyperANF:
 
         with _pytest.raises(ValueError, match="p must be"):
             hyper_anf(self._df(spark, [(1, 2)]), p=0)
+
+
+class TestDescribeAndAsk:
+    EDGES = [
+        (1, "likes", 2), (2, "likes", 3), (3, "likes", 1),
+        (1, "in", 10), (4, "in", 10), (2, "self", 2),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def _seeds(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "entity_id long")
+
+    def test_describe_roles(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            describe_entities,
+        )
+
+        out = {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id): r.role
+            for r in describe_entities(
+                self._df(spark), self._seeds(spark, [2])
+            ).collect()
+        }
+        assert out == {
+            (2, "likes", 3): "subject",
+            (1, "likes", 2): "object",
+            (2, "self", 2): "both",
+        }
+
+    def test_describe_multi_seed_dedups_edges(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            describe_entities,
+        )
+
+        # edge (1, likes, 2) is incident to BOTH seeds: one row, role
+        # 'both' (subject seed 1, object seed 2)
+        out = describe_entities(self._df(spark), self._seeds(spark, [1, 2]))
+        rows = {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id): r.role
+            for r in out.collect()
+        }
+        assert rows[(1, "likes", 2)] == "both"
+        assert rows[(1, "in", 10)] == "subject"
+        assert out.count() == len(rows)  # no duplicate edge rows
+
+    def test_ask_existence_and_absence(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            ask_bgp,
+        )
+
+        df = self._df(spark)
+        # a likes-cycle through 3 exists
+        assert ask_bgp(
+            df,
+            [("?x", "likes", "?y"), ("?y", "likes", "?z"),
+             ("?z", "likes", "?x")],
+        )
+        # nothing likes 10
+        assert not ask_bgp(df, [("?x", "likes", "10")])
+        # filters participate
+        assert ask_bgp(df, [("?x", "in", "?n")], filters=["x % 2 = 0"])
+        assert not ask_bgp(df, [("?x", "in", "?n")], filters=["x > 100"])
