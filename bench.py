@@ -122,6 +122,7 @@ RELATIONAL = [
     "kg_fact_conflicts",
     "kg_anf_curve",
     "kg_describe",
+    "kg_predicate_inverses",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -2347,3 +2347,70 @@ def ask_bgp(
     (limit-1 semantics), so a satisfiable pattern never materializes
     its full solution set."""
     return not match_bgp(edges, patterns, filters=filters).isEmpty()
+
+
+def predicate_inverses(
+    edges: DataFrame, min_overlap: int = 1
+) -> DataFrame:
+    """Ontology induction for owl:SymmetricProperty / owl:inverseOf:
+    for every predicate pair (a, b), how many (x, y) fact pairs have
+    BOTH a(x, y) and b(y, x)? A pair with overlap ~= both supports is
+    an inverse pair (or a symmetric predicate when a == b) — the
+    schema fact a fusion stage needs before it can canonicalize
+    reciprocal claims instead of double-counting them.
+
+    Returns (pred_a, pred_b, n_a, n_b, n_overlap, overlap_ppm) with
+    pred_a <= pred_b (unordered pair once; the symmetric case appears
+    as pred_a == pred_b with every mutual pair counted once) and
+    overlap_ppm = 1e6 * n_overlap / min(n_a, n_b), exact integer.
+
+    Plan shape: ONE self-equi-join of the deduped fact table against
+    its (subj, obj)-swapped projection, keyed on the entity pair —
+    pair keys are near-unique, so no skew surface; the per-predicate
+    support table is schema-sized and broadcast into the final
+    projection. Cost is O(matching reciprocal pairs), not
+    O(|predicates|^2 x |facts|)."""
+    t = edges.select(
+        "subj_entity_id", "predicate", "obj_entity_id"
+    ).distinct().localCheckpoint(eager=True)
+    support = t.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    fwd = t.select(
+        F.col("subj_entity_id").alias("x"),
+        F.col("obj_entity_id").alias("y"),
+        F.col("predicate").alias("pa"),
+    )
+    rev = t.select(
+        F.col("obj_entity_id").alias("x"),
+        F.col("subj_entity_id").alias("y"),
+        F.col("predicate").alias("pb"),
+    )
+    pairs = fwd.join(rev, ["x", "y"]).where(F.col("pa") <= F.col("pb"))
+    # the symmetric case (pa == pb) sees each mutual {x,y} pair twice
+    # (once per direction) unless we half-count: keep x < y there.
+    # Self-loops a(x, x) trivially satisfy a(x,x) ^ a(x,x); they carry
+    # no reciprocity evidence and are excluded for pa == pb.
+    pairs = pairs.where(
+        (F.col("pa") != F.col("pb")) | (F.col("x") < F.col("y"))
+    )
+    ov = pairs.groupBy("pa", "pb").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    sa = support.select(F.col("predicate").alias("pa"), F.col("n").alias("n_a"))
+    sb = support.select(F.col("predicate").alias("pb"), F.col("n").alias("n_b"))
+    return (
+        ov.where(F.col("n_overlap") >= min_overlap)
+        .join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            F.col("pa").alias("pred_a"),
+            F.col("pb").alias("pred_b"),
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.expr("(1000000 * n_overlap) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )

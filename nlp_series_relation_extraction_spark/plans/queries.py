@@ -4734,6 +4734,101 @@ ORDER BY subj_entity_id, predicate, obj_entity_id
 """
 
 
+def q_kg_predicate_inverses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:inverseOf / owl:SymmetricProperty induction
+    (operators/graph.py:predicate_inverses) over hierarchy edges plus
+    two planted reciprocity structures: nation_has_cust = reversed
+    cust_in_nation for every 3rd customer (a PARTIAL inverse — the
+    share the operator must measure, not assume), and peer_nation =
+    adjacent same-region nations, forward always, backward for even
+    keys (a partial symmetric). One (subj,obj)-swapped self-join;
+    DuckDB replays it bit-exactly."""
+    from ..operators.graph import predicate_inverses
+
+    e = _hierarchy_edges(spark, sf_dir).select(
+        "subj_entity_id", "predicate", "obj_entity_id"
+    )
+    cust = t(spark, sf_dir, "customer")
+    inv = cust.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_nationkey").cast("long") * 4 + 2).alias("subj_entity_id"),
+        F.lit("nation_has_cust").alias("predicate"),
+        (F.col("c_custkey").cast("long") * 4).alias("obj_entity_id"),
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(
+        F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("r1")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("r2")
+    )
+    peers = a.join(
+        b,
+        (F.col("k2") == F.col("k1") + 5) & (F.col("r1") == F.col("r2")),
+    )
+    fwd = peers.select(
+        (F.col("k1").cast("long") * 4 + 2).alias("subj_entity_id"),
+        F.lit("peer_nation").alias("predicate"),
+        (F.col("k2").cast("long") * 4 + 2).alias("obj_entity_id"),
+    )
+    back = peers.where(F.col("k1") % 2 == 0).select(
+        (F.col("k2").cast("long") * 4 + 2).alias("subj_entity_id"),
+        F.lit("peer_nation").alias("predicate"),
+        (F.col("k1").cast("long") * 4 + 2).alias("obj_entity_id"),
+    )
+    edges = e.unionByName(inv).unionByName(fwd).unionByName(back)
+    return predicate_inverses(edges).orderBy("pred_a", "pred_b")
+
+
+_KG_PREDICATE_INVERSES_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+  UNION ALL
+  SELECT cast(c_nationkey AS BIGINT) * 4 + 2, 'nation_has_cust',
+         cast(c_custkey AS BIGINT) * 4
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT cast(a.n_nationkey AS BIGINT) * 4 + 2, 'peer_nation',
+         cast(b.n_nationkey AS BIGINT) * 4 + 2
+  FROM nation a JOIN nation b
+    ON b.n_nationkey = a.n_nationkey + 5
+   AND a.n_regionkey = b.n_regionkey
+  UNION ALL
+  SELECT cast(b.n_nationkey AS BIGINT) * 4 + 2, 'peer_nation',
+         cast(a.n_nationkey AS BIGINT) * 4 + 2
+  FROM nation a JOIN nation b
+    ON b.n_nationkey = a.n_nationkey + 5
+   AND a.n_regionkey = b.n_regionkey
+  WHERE a.n_nationkey % 2 = 0
+), t AS (SELECT DISTINCT s, p, o FROM e),
+support AS (SELECT p, cast(count(*) AS BIGINT) AS n FROM t GROUP BY p),
+pairs AS (
+  SELECT f.p AS pa, r.p AS pb, f.s AS x, f.o AS y
+  FROM t f JOIN t r ON f.s = r.o AND f.o = r.s
+  WHERE f.p <= r.p AND (f.p != r.p OR f.s < f.o)
+), ov AS (
+  SELECT pa, pb, cast(count(*) AS BIGINT) AS n_overlap
+  FROM pairs GROUP BY pa, pb
+)
+SELECT ov.pa AS pred_a, ov.pb AS pred_b, sa.n AS n_a, sb.n AS n_b,
+       ov.n_overlap,
+       cast((1000000 * ov.n_overlap) // least(sa.n, sb.n) AS BIGINT)
+         AS overlap_ppm
+FROM ov JOIN support sa ON ov.pa = sa.p JOIN support sb ON ov.pb = sb.p
+WHERE ov.n_overlap >= 1
+ORDER BY pred_a, pred_b
+"""
+
+
 def q_kg_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function over the supplier-part graph
     (operators/graph.py:hyper_anf, rows-only: HLL estimates are floats
@@ -4965,6 +5060,7 @@ def queries() -> dict:
             "kg_fact_conflicts": q_kg_fact_conflicts,
             "kg_anf_curve": q_kg_anf_curve,
             "kg_describe": q_kg_describe,
+            "kg_predicate_inverses": q_kg_predicate_inverses,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5148,6 +5244,7 @@ def oracle_sql() -> dict:
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_fact_conflicts": _KG_FACT_CONFLICTS_SQL,
         "kg_describe": _KG_DESCRIBE_SQL,
+        "kg_predicate_inverses": _KG_PREDICATE_INVERSES_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

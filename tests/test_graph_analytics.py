@@ -2109,3 +2109,54 @@ class TestDescribeAndAsk:
         # filters participate
         assert ask_bgp(df, [("?x", "in", "?n")], filters=["x % 2 = 0"])
         assert not ask_bgp(df, [("?x", "in", "?n")], filters=["x > 100"])
+
+
+class TestPredicateInverses:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_inverse_pair_and_symmetric_detection(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            predicate_inverses,
+        )
+
+        rows = [
+            # parent/child: perfect inverses (2 of 2)
+            (1, "parent_of", 2), (3, "parent_of", 4),
+            (2, "child_of", 1), (4, "child_of", 3),
+            # sibling: symmetric, one mutual pair + one one-way claim
+            (5, "sibling", 6), (6, "sibling", 5), (7, "sibling", 8),
+            # likes: unrelated, no reciprocity with anything
+            (1, "likes", 9),
+        ]
+        got = {
+            (r.pred_a, r.pred_b): (r.n_a, r.n_b, r.n_overlap, r.overlap_ppm)
+            for r in predicate_inverses(self._df(spark, rows)).collect()
+        }
+        assert got == {
+            ("child_of", "parent_of"): (2, 2, 2, 1000000),
+            ("sibling", "sibling"): (3, 3, 1, 333333),
+        }
+
+    def test_self_loops_carry_no_symmetry_evidence(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            predicate_inverses,
+        )
+
+        rows = [(1, "same_as", 1), (2, "same_as", 2), (3, "same_as", 4)]
+        assert predicate_inverses(self._df(spark, rows)).count() == 0
+
+    def test_min_overlap_filters(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            predicate_inverses,
+        )
+
+        rows = [(1, "a", 2), (2, "b", 1), (5, "a", 6), (7, "b", 8)]
+        assert predicate_inverses(self._df(spark, rows)).count() == 1
+        assert (
+            predicate_inverses(self._df(spark, rows), min_overlap=2).count()
+            == 0
+        )
