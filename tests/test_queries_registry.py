@@ -41,7 +41,11 @@ def test_every_oracle_has_a_query():
                # TruthFinder-style trust/confidence fixpoint, dict-twin-
                # pinned in tests/test_fusion.py (majority vote, the SQL-
                # expressible fuser, IS oracle-checked as kg_fact_fusion)
-               "kg_fact_fusion_trust")
+               "kg_fact_fusion_trust",
+               # HyperANF: iterative HLL sketch merge (float estimates),
+               # md5-identical python twin at 1e-9 in
+               # tests/test_graph_analytics.py::TestHyperANF
+               "kg_anf_curve")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
