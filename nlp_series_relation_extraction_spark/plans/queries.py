@@ -4829,6 +4829,129 @@ ORDER BY pred_a, pred_b
 """
 
 
+# Planted RDFS ontology for the entailment query: a 3-level property
+# chain (cust_in_nation -> member_of -> affiliated_with), a range
+# declared on the SUPERproperty (member_of range Org — must fire for
+# facts asserted with the subproperty), domain/range on every base
+# predicate, and a class diamond (VIP -> Customer -> Party -> Agent,
+# Org -> Agent, Nation/Region -> Place). One python list feeds BOTH
+# engines so the fixture cannot drift.
+_RDFS_ONTO: list[tuple[str, str, str]] = [
+    ("cust_in_nation", "subPropertyOf", "member_of"),
+    ("supp_in_nation", "subPropertyOf", "member_of"),
+    ("member_of", "subPropertyOf", "affiliated_with"),
+    ("in_region", "subPropertyOf", "located_in"),
+    ("member_of", "range", "Org"),
+    ("cust_in_nation", "domain", "Customer"),
+    ("cust_in_nation", "range", "Nation"),
+    ("supp_in_nation", "domain", "Supplier"),
+    ("supp_in_nation", "range", "Nation"),
+    ("in_region", "domain", "Nation"),
+    ("in_region", "range", "Region"),
+    ("VIP", "subClassOf", "Customer"),
+    ("Customer", "subClassOf", "Party"),
+    ("Supplier", "subClassOf", "Party"),
+    ("Party", "subClassOf", "Agent"),
+    ("Nation", "subClassOf", "Place"),
+    ("Region", "subClassOf", "Place"),
+    ("Org", "subClassOf", "Agent"),
+]
+
+
+def q_kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS entailment materialization (operators/ontology.py) over the
+    TPC-H hierarchy facts plus planted asserted types (every 5th
+    customer is a VIP, exercising rdfs9 on asserted — not just derived —
+    memberships). The ontology closes driver-side (schema-sized) and
+    ships as broadcast join tables; the fact table is scanned once with
+    the final distinct as the plan's only shuffle. DuckDB replays the
+    closure with recursive CTEs bit-exactly."""
+    from ..operators.ontology import rdfs_entailment
+
+    facts = _hierarchy_edges(spark, sf_dir).select(
+        F.col("subj_entity_id").cast("string").alias("subj"),
+        "predicate",
+        F.col("obj_entity_id").cast("string").alias("obj"),
+    )
+    vip = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    ).select(
+        (F.col("c_custkey").cast("long") * 4).cast("string").alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("VIP").alias("obj"),
+    )
+    onto = spark.createDataFrame(_RDFS_ONTO, "s string, p string, o string")
+    return rdfs_entailment(facts.unionByName(vip), onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+def _rdfs_entailment_sql() -> str:
+    values = ",\n  ".join(
+        f"('{s}','{p}','{o}')" for s, p, o in _RDFS_ONTO
+    )
+    return f"""
+WITH RECURSIVE
+f AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS s,
+         'cust_in_nation' AS p,
+         cast(cast(c_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(cast(s_suppkey AS BIGINT) * 4 + 1 AS VARCHAR),
+         'supp_in_nation',
+         cast(cast(s_nationkey AS BIGINT) * 4 + 2 AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR),
+         'in_region',
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR), 'type', 'VIP'
+  FROM customer WHERE c_custkey % 5 = 0
+),
+onto(s, p, o) AS (VALUES
+  {values}),
+subp AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subPropertyOf'
+  UNION
+  SELECT sp.a, o2.o FROM subp sp
+  JOIN onto o2 ON o2.p = 'subPropertyOf' AND o2.s = sp.b
+),
+subc AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subClassOf'
+  UNION
+  SELECT sc.a, o2.o FROM subc sc
+  JOIN onto o2 ON o2.p = 'subClassOf' AND o2.s = sc.b
+),
+g AS (
+  SELECT s, p, o FROM f WHERE p <> 'type'
+  UNION ALL
+  SELECT f.s, sp.b, f.o FROM f JOIN subp sp ON f.p = sp.a
+  WHERE f.p <> 'type'
+),
+traw AS (
+  SELECT s AS e, o AS c FROM f WHERE p = 'type'
+  UNION ALL
+  SELECT g.s, d.o FROM g JOIN onto d ON d.p = 'domain' AND d.s = g.p
+  UNION ALL
+  SELECT g.o, r.o FROM g JOIN onto r ON r.p = 'range' AND r.s = g.p
+),
+tfull AS (
+  SELECT e, c FROM traw
+  UNION ALL
+  SELECT t2.e, sc.b FROM traw t2 JOIN subc sc ON t2.c = sc.a
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, p AS predicate, o AS obj FROM g
+  UNION ALL
+  SELECT e, 'type', c FROM tfull
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def q_kg_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function over the supplier-part graph
     (operators/graph.py:hyper_anf, rows-only: HLL estimates are floats
@@ -5061,6 +5184,7 @@ def queries() -> dict:
             "kg_anf_curve": q_kg_anf_curve,
             "kg_describe": q_kg_describe,
             "kg_predicate_inverses": q_kg_predicate_inverses,
+            "kg_rdfs_entailment": q_kg_rdfs_entailment,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5245,6 +5369,7 @@ def oracle_sql() -> dict:
         "kg_fact_conflicts": _KG_FACT_CONFLICTS_SQL,
         "kg_describe": _KG_DESCRIBE_SQL,
         "kg_predicate_inverses": _KG_PREDICATE_INVERSES_SQL,
+        "kg_rdfs_entailment": _rdfs_entailment_sql(),
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

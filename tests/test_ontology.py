@@ -1,0 +1,105 @@
+"""RDFS entailment materialization (operators/ontology.py): rule
+semantics on hand-built graphs, python-twin exactness, cycle safety,
+and the schema-sized-ontology contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_series_relation_extraction_spark.operators.ontology import (
+    rdfs_entailment,
+    rdfs_entailment_python_twin,
+    transitive_closure,
+)
+
+ONTO = [
+    ("worksFor", "subPropertyOf", "memberOf"),
+    ("memberOf", "subPropertyOf", "affiliatedWith"),
+    ("memberOf", "range", "Org"),
+    ("worksFor", "domain", "Person"),
+    ("Person", "subClassOf", "Agent"),
+    ("Org", "subClassOf", "Agent"),
+    ("Intern", "subClassOf", "Person"),
+]
+FACTS = [
+    ("alice", "worksFor", "acme"),
+    ("bob", "memberOf", "club"),
+    ("carol", "type", "Intern"),
+]
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _run(spark, facts, onto):
+    out = rdfs_entailment(
+        _df(spark, facts, "subj string, predicate string, obj string"),
+        _df(spark, onto, "s string, p string, o string"),
+    )
+    return {(r.subj, r.predicate, r.obj) for r in out.collect()}
+
+
+def test_matches_python_twin_exactly(spark):
+    got = _run(spark, FACTS, ONTO)
+    assert got == rdfs_entailment_python_twin(FACTS, ONTO)
+
+
+def test_rule_semantics(spark):
+    got = _run(spark, FACTS, ONTO)
+    # rdfs7 through a 2-level property chain
+    assert ("alice", "memberOf", "acme") in got
+    assert ("alice", "affiliatedWith", "acme") in got
+    # rdfs3 via a range declared on the SUPERproperty of the asserted one
+    assert ("acme", "type", "Org") in got
+    # rdfs2 + rdfs9: domain type expanded up the class hierarchy
+    assert ("alice", "type", "Person") in got
+    assert ("alice", "type", "Agent") in got
+    # rdfs9 on an ASSERTED membership, two levels up
+    assert ("carol", "type", "Person") in got
+    assert ("carol", "type", "Agent") in got
+    # originals preserved; nothing invents facts for unrelated nodes
+    assert ("bob", "memberOf", "club") in got
+    assert ("bob", "type", "Person") not in got  # domain is on worksFor only
+    assert ("club", "type", "Org") in got
+
+
+def test_unknown_predicates_pass_through(spark):
+    got = _run(spark, [("x", "likes", "y")], ONTO)
+    assert got == {("x", "likes", "y")}
+
+
+def test_cyclic_subclass_is_safe(spark):
+    onto = [("A", "subClassOf", "B"), ("B", "subClassOf", "A")]
+    got = _run(spark, [("e", "type", "A")], onto)
+    assert got == {("e", "type", "A"), ("e", "type", "B")}
+    assert got == rdfs_entailment_python_twin([("e", "type", "A")], onto)
+
+
+def test_transitive_closure_chain_and_cycle():
+    assert set(transitive_closure([("a", "b"), ("b", "c")])) == {
+        ("a", "b"), ("a", "c"), ("b", "c")
+    }
+    cyc = set(transitive_closure([("a", "b"), ("b", "a")]))
+    assert cyc == {("a", "b"), ("a", "a"), ("b", "a"), ("b", "b")}
+
+
+def test_oversized_ontology_rejected(spark):
+    onto = _df(
+        spark,
+        [(f"c{i}", "subClassOf", f"c{i+1}") for i in range(40)],
+        "s string, p string, o string",
+    )
+    facts = _df(spark, FACTS, "subj string, predicate string, obj string")
+    with pytest.raises(ValueError, match="schema-sized"):
+        rdfs_entailment(facts, onto, max_ontology_rows=10)
+
+
+def test_plan_is_broadcast_only_before_final_distinct(spark):
+    """Every join in the entailment plan is a broadcast join: the only
+    exchange allowed is the final distinct's aggregation shuffle."""
+    facts = _df(spark, FACTS, "subj string, predicate string, obj string")
+    onto = _df(spark, ONTO, "s string, p string, o string")
+    plan = rdfs_entailment(facts, onto)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
