@@ -6,21 +6,25 @@ The ontology — ``rdfs:subClassOf`` / ``rdfs:subPropertyOf`` /
 (thousands of rows even for the largest public KGs), so its transitive
 closures are computed driver-side from a bounded collect (same contract
 as tokenizer vocabularies and ANN codebooks: model/schema artifacts may
-visit the driver, data never does) and shipped as broadcast join tables.
+visit the driver, data never does).
 
-The FACT table is touched exactly once, all map-side:
+The four rules are then COMPILED into per-predicate / per-class lookup
+tables embedded as ``map<string, array<string>>`` literal columns:
 
-1. rdfs7  — broadcast-join the subPropertyOf closure to generalize every
-   non-type fact ``(s, p, o)`` to ``(s, q, o)`` for each superproperty q.
-2. rdfs2/3 — broadcast-join domain/range declarations against the
-   GENERALIZED facts (so a domain declared on a superproperty fires for
-   facts asserted with a subproperty, per the W3C rule order) to derive
-   ``(s, type, C)`` / ``(o, type, C)``.
-3. rdfs9  — broadcast-join the subClassOf closure to expand every
-   asserted or derived type up the class hierarchy.
-4. One final ``distinct`` dedups the materialization — the ONLY shuffle
-   in the plan. At 100 TB this is a single scan, map-side fan-out
-   bounded by the closure depth, and one exchange on the output key.
+- ``gen_preds[p]``  — strict superproperties of p (rdfs7);
+- ``subj_types[p]`` — class-closure of the domains of p and all its
+  superproperties (rdfs2 composed with rdfs9, so a domain declared on a
+  superproperty fires for facts asserted with a subproperty, per the
+  W3C rule order);
+- ``obj_types[p]``  — same for ranges (rdfs3 ∘ rdfs9);
+- ``type_exp[c]``   — strict superclasses of c (rdfs9).
+
+The FACT table is scanned exactly ONCE: each row ``explode``s its own
+entailments via ``transform`` over the map lookups — the executed plan
+contains no join at all, and the final ``distinct`` is the plan's only
+exchange. At 100 TB this is a single scan, map-side fan-out bounded by
+the closure depth, and one shuffle on the output key (droppable when
+the result feeds the existing dedup/merge stages).
 
 The reference repo has no ontology layer — this belongs to the
 beyond-reference KG-construction surface (canonicalized triples ->
@@ -58,9 +62,25 @@ def transitive_closure(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
-def _pairs_df(spark, pairs: list[tuple[str, str]], c1: str, c2: str):
-    return spark.createDataFrame(pairs, f"{c1} string, {c2} string") \
-        if pairs else spark.createDataFrame([], f"{c1} string, {c2} string")
+def _map_of_lists(d: dict[str, list[str]]):
+    """A ``map<string, array<string>>`` literal column from a driver-side
+    dict. Returns None for an empty dict (lookup sites substitute an
+    empty array)."""
+    if not d:
+        return None
+    keys = sorted(d)
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.array(*[F.lit(v) for v in d[k]]) for k in keys]),
+    )
+
+
+def _lookup(m, key_col):
+    """``m[key]`` with a missing-key/empty-map default of array<string>()."""
+    empty = F.array().cast("array<string>")
+    if m is None:
+        return empty
+    return F.coalesce(m[key_col], empty)
 
 
 def rdfs_entailment(
@@ -81,7 +101,6 @@ def rdfs_entailment(
     Returns the distinct union of the input facts and every triple the
     four RDFS rules entail, same three columns.
     """
-    spark = facts.sparkSession
     onto = ontology.limit(max_ontology_rows + 1).collect()
     if len(onto) > max_ontology_rows:
         raise ValueError(
@@ -92,49 +111,59 @@ def rdfs_entailment(
     by_kind: dict[str, list[tuple[str, str]]] = defaultdict(list)
     for r in onto:
         by_kind[r[1]].append((r[0], r[2]))
-    subp_cl = transitive_closure(by_kind.get("subPropertyOf", []))
-    subc_cl = transitive_closure(by_kind.get("subClassOf", []))
+    subp = dict_of_sets(transitive_closure(by_kind.get("subPropertyOf", [])))
+    subc = dict_of_sets(transitive_closure(by_kind.get("subClassOf", [])))
+    dom = dict_of_sets(by_kind.get("domain", []))
+    rng = dict_of_sets(by_kind.get("range", []))
 
-    nt = facts.where(F.col("predicate") != type_predicate).select(
-        "subj", "predicate", "obj"
+    # Compose the four rules into three per-PREDICATE lookup tables and
+    # one per-CLASS table, all driver-side, so the big table is scanned
+    # ONCE (a union-of-broadcast-joins tree would rescan it per rule):
+    #   gen_preds[p]  = strict superproperties of p             (rdfs7)
+    #   subj_types[p] = class-closure(domain of p and supers)   (rdfs2+9)
+    #   obj_types[p]  = class-closure(range of p and supers)    (rdfs3+9)
+    #   type_exp[c]   = strict superclasses of c                (rdfs9)
+    def _cls_full(cs: set[str]) -> list[str]:
+        out = set(cs)
+        for c in cs:
+            out |= subc.get(c, set())
+        return sorted(out)
+
+    props = set(subp) | set(dom) | set(rng)
+    gen_preds = {p: sorted(subp.get(p, set()) - {p}) for p in props}
+    subj_types = {}
+    obj_types = {}
+    for p in props:
+        gen = {p} | subp.get(p, set())
+        subj_types[p] = _cls_full(set().union(*(dom.get(q, set()) for q in gen)))
+        obj_types[p] = _cls_full(set().union(*(rng.get(q, set()) for q in gen)))
+    m_gen = _map_of_lists({k: v for k, v in gen_preds.items() if v})
+    m_subj = _map_of_lists({k: v for k, v in subj_types.items() if v})
+    m_obj = _map_of_lists({k: v for k, v in obj_types.items() if v})
+    m_cls = _map_of_lists({k: sorted(v - {k}) for k, v in subc.items() if v - {k}})
+
+    s, p, o = F.col("subj"), F.col("predicate"), F.col("obj")
+    tp = F.lit(type_predicate)
+    trip = lambda su, pr, ob: F.struct(  # noqa: E731
+        su.alias("subj"), pr.alias("predicate"), ob.alias("obj")
     )
-    # rdfs7: original facts pass through; each closure pair fans a fact
-    # out to its superproperty. Broadcast: the closure is driver-built.
-    pc = F.broadcast(_pairs_df(spark, subp_cl, "p_from", "p_to"))
-    g = nt.unionByName(
-        nt.join(pc, nt.predicate == pc.p_from).select(
-            "subj", F.col("p_to").alias("predicate"), "obj"
-        )
-    )
-    # rdfs2 / rdfs3 over the GENERALIZED facts: a domain/range declared
-    # on a superproperty types subjects/objects of subproperty facts.
-    dom = F.broadcast(_pairs_df(spark, by_kind.get("domain", []), "d_p", "d_c"))
-    rng = F.broadcast(_pairs_df(spark, by_kind.get("range", []), "r_p", "r_c"))
-    t_dom = g.join(dom, g.predicate == dom.d_p).select(
-        F.col("subj").alias("entity"), F.col("d_c").alias("cls")
-    )
-    t_rng = g.join(rng, g.predicate == rng.r_p).select(
-        F.col("obj").alias("entity"), F.col("r_c").alias("cls")
-    )
-    t_asserted = facts.where(F.col("predicate") == type_predicate).select(
-        F.col("subj").alias("entity"), F.col("obj").alias("cls")
-    )
-    traw = t_asserted.unionByName(t_dom).unionByName(t_rng)
-    # rdfs9: expand every type up the class hierarchy.
-    cc = F.broadcast(_pairs_df(spark, subc_cl, "c_from", "c_to"))
-    tfull = traw.unionByName(
-        traw.join(cc, traw.cls == cc.c_from).select(
-            "entity", F.col("c_to").alias("cls")
+    fanout = F.when(
+        p == tp,
+        F.concat(
+            F.array(trip(s, tp, o)),
+            F.transform(_lookup(m_cls, o), lambda c: trip(s, tp, c)),
+        ),
+    ).otherwise(
+        F.concat(
+            F.array(trip(s, p, o)),
+            F.transform(_lookup(m_gen, p), lambda q: trip(s, q, o)),
+            F.transform(_lookup(m_subj, p), lambda c: trip(s, tp, c)),
+            F.transform(_lookup(m_obj, p), lambda c: trip(o, tp, c)),
         )
     )
     return (
-        g.unionByName(
-            tfull.select(
-                F.col("entity").alias("subj"),
-                F.lit(type_predicate).alias("predicate"),
-                F.col("cls").alias("obj"),
-            )
-        )
+        facts.select(F.explode(fanout).alias("t"))
+        .select("t.subj", "t.predicate", "t.obj")
         .distinct()
     )
 

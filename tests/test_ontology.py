@@ -94,12 +94,14 @@ def test_oversized_ontology_rejected(spark):
         rdfs_entailment(facts, onto, max_ontology_rows=10)
 
 
-def test_plan_is_broadcast_only_before_final_distinct(spark):
-    """Every join in the entailment plan is a broadcast join: the only
-    exchange allowed is the final distinct's aggregation shuffle."""
+def test_plan_is_single_scan_no_joins(spark):
+    """The entailment plan scans the fact table ONCE and contains no
+    joins at all: the four RDFS rules are compiled into driver-side
+    map literals applied per-row, so the only exchange is the final
+    distinct's aggregation shuffle."""
     facts = _df(spark, FACTS, "subj string, predicate string, obj string")
     onto = _df(spark, ONTO, "s string, p string, o string")
     plan = rdfs_entailment(facts, onto)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("Exchange") == 1  # the distinct's shuffle only
