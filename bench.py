@@ -123,6 +123,9 @@ RELATIONAL = [
     "kg_anf_curve",
     "kg_describe",
     "kg_predicate_inverses",
+    "kg_rdfs_entailment",
+    "kg_sparql_agg",
+    "kg_filter_exists",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

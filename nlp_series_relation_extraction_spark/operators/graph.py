@@ -2414,3 +2414,102 @@ def predicate_inverses(
             .alias("overlap_ppm"),
         )
     )
+
+
+def aggregate_bindings(
+    edges: DataFrame,
+    patterns: list,
+    group_by: list,
+    aggs: dict,
+    having: list | None = None,
+    **bgp_kw,
+) -> DataFrame:
+    """SPARQL aggregates (W3C SPARQL 1.1 §11): GROUP BY over BGP
+    solutions with COUNT / SUM / MIN / MAX / AVG / COUNT(DISTINCT ...)
+    projections and HAVING constraints — the analytical query form
+    (``SELECT ?r (COUNT(?c) AS ?n) WHERE {...} GROUP BY ?r HAVING(...)``)
+    every KG endpoint serves.
+
+    ``group_by``: grouping variables (with or without the '?' — it is
+    stripped); empty means the spec's single implicit group (§11.1:
+    aggregates without GROUP BY see ALL solutions as one group — which
+    is also SQL's global-aggregate rule, so an empty solution sequence
+    yields one row with COUNT = 0, exactly as SPARQL does).
+    ``aggs``: ``{output_alias: sql_aggregate_expr}`` over variable
+    names WITHOUT the '?' (e.g. ``{"n_cust": "count(c)",
+    "n_nations": "count(distinct n)"}``); expressions are Spark SQL,
+    chosen to be the ANSI subset DuckDB parses identically.
+    ``having``: boolean SQL expressions over the aliases and grouping
+    variables, applied AFTER aggregation (§11.3); extra keywords pass
+    through to :func:`match_bgp` (optional / filters / values ...).
+
+    Plan shape: the BGP's join tree is unchanged (filters still fold at
+    their earliest point); the aggregation is one hash aggregate with a
+    map-side partial, so the only added exchange is keyed by the
+    grouping variables — and when solutions are already co-partitioned
+    by a grouping variable (e.g. the last BGP join key) AQE elides it.
+    HAVING runs post-final-agg, the spec's order; Catalyst cannot and
+    must not push it below the aggregate."""
+    sol = match_bgp(edges, patterns, **bgp_kw)
+    keys = [g.lstrip("?") for g in group_by]
+    missing = [k for k in keys if k not in sol.columns]
+    if missing:
+        raise ValueError(
+            f"aggregate_bindings: GROUP BY variables {missing} not bound "
+            f"by the pattern group (bound: {sorted(sol.columns)})"
+        )
+    if not aggs:
+        raise ValueError("aggregate_bindings: at least one aggregate "
+                         "projection is required")
+    out = sol.groupBy(*keys).agg(
+        *[F.expr(e).alias(a) for a, e in aggs.items()]
+    )
+    for h in having or []:
+        out = out.where(F.expr(h))
+    return out
+
+
+def filter_exists_bgp(
+    edges: DataFrame,
+    patterns: list,
+    exists: list | dict | None = None,
+    not_exists: list | dict | None = None,
+    filters: list | None = None,
+) -> DataFrame:
+    """SPARQL FILTER EXISTS / FILTER NOT EXISTS (W3C SPARQL 1.1 §8.1):
+    keep a solution of the required group iff the inner group, with the
+    solution's bindings substituted for its shared variables, has at
+    least one (EXISTS) / no (NOT EXISTS) solution. Each inner group is
+    a pattern list or a dict of :func:`match_bgp` keywords (so inner
+    FILTERs are allowed — referencing INNER-bound variables; an inner
+    filter over an outer-only variable is the correlated form this
+    operator does not support and match_bgp rejects as unbound).
+
+    This is deliberately NOT :func:`minus_bgp`. The two diverge exactly
+    where the spec says they do (§8.3.3): when the groups share no
+    variable, MINUS removes nothing (incompatible-by-definition), while
+    NOT EXISTS still substitutes — trivially — and removes EVERY
+    solution if the inner pattern matches anything at all. Both edges
+    are pinned side-by-side in tests.
+
+    Plan shape: shared variables make this a hash SEMI/ANTI join on
+    those variables — the inner group projects to the shared variables
+    only, and semi/anti joins never multiply the probe side, so no
+    pre-distinct is needed. With no shared variable the inner group
+    reduces to a ``limit(1)`` existence probe broadcast into a
+    nested-loop semi/anti join — one row, no shuffle."""
+    out = match_bgp(edges, patterns, filters=filters)
+    for grp, how in ((exists, "left_semi"), (not_exists, "left_anti")):
+        if grp is None:
+            continue
+        kw = dict(grp) if isinstance(grp, dict) else {"patterns": grp}
+        inner = match_bgp(edges, **kw)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if shared:
+            out = out.join(inner.select(*shared), shared, how)
+        else:
+            probe = F.broadcast(
+                inner.limit(1).select(F.lit(1).alias("_probe"))
+            )
+            out = out.join(probe, F.lit(True), how)
+    return out

@@ -4863,9 +4863,10 @@ def q_kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H hierarchy facts plus planted asserted types (every 5th
     customer is a VIP, exercising rdfs9 on asserted — not just derived —
     memberships). The ontology closes driver-side (schema-sized) and
-    ships as broadcast join tables; the fact table is scanned once with
-    the final distinct as the plan's only shuffle. DuckDB replays the
-    closure with recursive CTEs bit-exactly."""
+    compiles into map-literal lookup tables; the fact table is scanned
+    once — zero joins — with the final distinct as the plan's only
+    shuffle. DuckDB replays the closure with recursive CTEs
+    bit-exactly."""
     from ..operators.ontology import rdfs_entailment
 
     facts = _hierarchy_edges(spark, sf_dir).select(
@@ -4949,6 +4950,103 @@ SELECT DISTINCT subj, predicate, obj FROM (
   SELECT e, 'type', c FROM tfull
 )
 ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates (W3C SPARQL 1.1 §11; operators/graph.py:
+    aggregate_bindings): per-region customer counts with COUNT,
+    COUNT(DISTINCT), MIN/MAX projections and a HAVING constraint that
+    provably drops regions (parity of the customer count — applied
+    AFTER the final aggregate, the spec's evaluation order). The BGP
+    join tree is unchanged; the aggregation adds one exchange keyed on
+    the grouping variable with a map-side partial. DuckDB replays it as
+    GROUP BY ... HAVING over the same type-offset entity ids."""
+    from ..operators.graph import aggregate_bindings
+
+    return aggregate_bindings(
+        _hierarchy_edges(spark, sf_dir),
+        [("?c", "cust_in_nation", "?n"), ("?n", "in_region", "?r")],
+        group_by=["?r"],
+        aggs={
+            "n_customers": "cast(count(c) as long)",
+            "n_nations": "cast(count(distinct n) as long)",
+            "min_cust": "min(c)",
+            "max_cust": "max(c)",
+        },
+        having=["n_customers % 2 = 0"],
+    ).orderBy("r")
+
+
+_KG_SPARQL_AGG_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS c,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM customer
+), reg AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS n,
+         cast(n_regionkey AS BIGINT) * 4 + 3 AS r
+  FROM nation
+)
+SELECT reg.r, cast(count(cust.c) AS BIGINT) AS n_customers,
+       cast(count(DISTINCT cust.n) AS BIGINT) AS n_nations,
+       min(cust.c) AS min_cust, max(cust.c) AS max_cust
+FROM cust JOIN reg ON cust.n = reg.n
+GROUP BY reg.r HAVING cast(count(cust.c) AS BIGINT) % 2 = 0
+ORDER BY reg.r
+"""
+
+
+def q_kg_filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS (W3C SPARQL 1.1 §8.1; operators/graph.py:
+    filter_exists_bgp): customers with nation+region kept iff the
+    nation hosts a suppkey%4==0 supplier — the exact COMPLEMENT of
+    kg_bgp_minus, so the two driver queries cross-validate (their
+    per-nation counts partition the full customer table). Plan shape:
+    a hash LEFT SEMI join on the one shared variable ?n (the inner
+    group projects to ?n first; semi joins never multiply the probe
+    side). The NOT EXISTS / MINUS §8.3.3 divergence on disjoint
+    domains is pinned in tests/test_graph_analytics.py. DuckDB replays
+    it as a correlated EXISTS."""
+    from ..operators.graph import filter_exists_bgp
+
+    sol = filter_exists_bgp(
+        _hierarchy_edges(spark, sf_dir),
+        [("?c", "cust_in_nation", "?n"), ("?n", "in_region", "?r")],
+        exists={
+            "patterns": [("?s", "supp_in_nation", "?n")],
+            "filters": ["s % 16 = 1"],  # suppkey % 4 == 0, type-offset
+        },
+    )
+    return (
+        sol.groupBy("n", "r")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("n")
+    )
+
+
+_KG_FILTER_EXISTS_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS c,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM customer
+), reg AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS n,
+         cast(n_regionkey AS BIGINT) * 4 + 3 AS r
+  FROM nation
+), supp AS (
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1 AS s,
+         cast(s_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM supplier
+), kept AS (
+  SELECT cust.c, cust.n, reg.r
+  FROM cust JOIN reg ON cust.n = reg.n
+  WHERE EXISTS (
+    SELECT 1 FROM supp WHERE supp.n = cust.n AND supp.s % 16 = 1
+  )
+)
+SELECT n, r, cast(count(*) AS BIGINT) AS n_customers
+FROM kept GROUP BY n, r ORDER BY n
 """
 
 
@@ -5185,6 +5283,8 @@ def queries() -> dict:
             "kg_describe": q_kg_describe,
             "kg_predicate_inverses": q_kg_predicate_inverses,
             "kg_rdfs_entailment": q_kg_rdfs_entailment,
+            "kg_sparql_agg": q_kg_sparql_agg,
+            "kg_filter_exists": q_kg_filter_exists,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5362,6 +5462,8 @@ def oracle_sql() -> dict:
         "kg_rdf_nquads": _RDF_NQUADS_SQL,
         "kg_cardinality_profile": _CARDINALITY_PROFILE_SQL,
         "kg_bgp_minus": _KG_BGP_MINUS_SQL,
+        "kg_sparql_agg": _KG_SPARQL_AGG_SQL,
+        "kg_filter_exists": _KG_FILTER_EXISTS_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

@@ -2160,3 +2160,208 @@ class TestPredicateInverses:
             predicate_inverses(self._df(spark, rows), min_overlap=2).count()
             == 0
         )
+
+
+class TestAggregateBindings:
+    EDGES = [
+        (1, "likes", 2), (1, "likes", 3), (2, "likes", 3),
+        (4, "likes", 2),
+        (1, "in", 10), (2, "in", 10), (3, "in", 11), (4, "in", 11),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_group_by_counts(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            aggregate_bindings,
+        )
+
+        # solutions (x, n): (1,10)x2, (2,10), (4,11) -> per-nation counts
+        out = aggregate_bindings(
+            self._df(spark),
+            [("?x", "likes", "?y"), ("?x", "in", "?n")],
+            group_by=["?n"],
+            aggs={"n_links": "count(y)", "n_likers": "count(distinct x)"},
+        )
+        got = {r.n: (r.n_links, r.n_likers) for r in out.collect()}
+        assert got == {10: (3, 2), 11: (1, 1)}
+
+    def test_implicit_single_group_and_empty_solutions(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            aggregate_bindings,
+        )
+
+        out = aggregate_bindings(
+            self._df(spark), [("?x", "likes", "?y")],
+            group_by=[], aggs={"n": "count(x)", "mx": "max(y)"},
+        ).collect()
+        assert len(out) == 1 and out[0].n == 4 and out[0].mx == 3
+        # SPARQL §11.1: aggregates over ZERO solutions still yield one
+        # row (the implicit group), COUNT = 0 — same as SQL global agg
+        empty = aggregate_bindings(
+            self._df(spark), [("?x", "nosuch", "?y")],
+            group_by=[], aggs={"n": "count(x)"},
+        ).collect()
+        assert len(empty) == 1 and empty[0].n == 0
+
+    def test_having_applies_after_aggregation(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            aggregate_bindings,
+        )
+
+        out = aggregate_bindings(
+            self._df(spark),
+            [("?x", "likes", "?y"), ("?x", "in", "?n")],
+            group_by=["n"],  # '?' optional
+            aggs={"n_links": "count(y)"},
+            having=["n_links >= 2"],
+        ).collect()
+        assert [(r.n, r.n_links) for r in out] == [(10, 3)]
+
+    def test_bgp_keywords_pass_through(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            aggregate_bindings,
+        )
+
+        out = aggregate_bindings(
+            self._df(spark),
+            [("?x", "likes", "?y"), ("?x", "in", "?n")],
+            group_by=["n"],
+            aggs={"n_links": "count(y)"},
+            filters=["y != 3"],  # pre-aggregation FILTER, earliest fold
+        ).collect()
+        assert {(r.n, r.n_links) for r in out} == {(10, 1), (11, 1)}
+
+    def test_contract_errors(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            aggregate_bindings,
+        )
+
+        with pytest.raises(ValueError, match="not bound"):
+            aggregate_bindings(
+                self._df(spark), [("?x", "likes", "?y")],
+                group_by=["?zz"], aggs={"n": "count(x)"},
+            )
+        with pytest.raises(ValueError, match="at least one aggregate"):
+            aggregate_bindings(
+                self._df(spark), [("?x", "likes", "?y")],
+                group_by=["?x"], aggs={},
+            )
+
+
+class TestFilterExistsBGP:
+    EDGES = [
+        (1, "likes", 2), (1, "likes", 3), (2, "likes", 3),
+        (1, "in", 10), (2, "in", 10), (3, "in", 11),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_exists_shared_variable(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            filter_exists_bgp,
+        )
+
+        out = filter_exists_bgp(
+            self._df(spark), [("?x", "likes", "?y")],
+            exists=[("?x", "in", "10")],
+        )
+        assert {(r.x, r.y) for r in out.collect()} == {(1, 2), (1, 3), (2, 3)}
+
+    def test_not_exists_is_complement_on_shared_vars(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            filter_exists_bgp,
+        )
+
+        req = [("?x", "likes", "?y")]
+        inner = [("?x", "in", "10")]
+        keep = filter_exists_bgp(self._df(spark), req, exists=inner)
+        drop = filter_exists_bgp(self._df(spark), req, not_exists=inner)
+        all_sol = {(1, 2), (1, 3), (2, 3)}
+        got_keep = {(r.x, r.y) for r in keep.collect()}
+        got_drop = {(r.x, r.y) for r in drop.collect()}
+        assert got_keep | got_drop == all_sol
+        assert got_keep & got_drop == set()
+
+    def test_semi_join_never_multiplies_solutions(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            filter_exists_bgp,
+        )
+
+        # x=1 has TWO inner matches (in 10 via ?n binding both edges):
+        # the solution must still appear exactly once (EXISTS is a
+        # test, not a join)
+        extra = self._df(spark).unionByName(
+            spark.createDataFrame(
+                [(1, "in", 12)],
+                "subj_entity_id long, predicate string, obj_entity_id long",
+            )
+        )
+        out = filter_exists_bgp(
+            extra, [("?x", "likes", "?y")], exists=[("?x", "in", "?n")]
+        )
+        assert out.count() == 3  # not 4+: no multiplication for x=1
+
+    def test_spec_divergence_vs_minus_on_disjoint_domains(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            filter_exists_bgp,
+            minus_bgp,
+        )
+
+        # W3C SPARQL 1.1 §8.3.3: with NO shared variable, MINUS removes
+        # nothing, but NOT EXISTS substitutes trivially and removes
+        # EVERYTHING when the inner pattern matches at all.
+        req = [("?x", "likes", "?y")]
+        disjoint = [("?a", "in", "?b")]
+        assert minus_bgp(self._df(spark), req, disjoint).count() == 3
+        assert filter_exists_bgp(
+            self._df(spark), req, not_exists=disjoint
+        ).count() == 0
+        # and EXISTS keeps everything in that case...
+        assert filter_exists_bgp(
+            self._df(spark), req, exists=disjoint
+        ).count() == 3
+        # ...while an inner pattern matching NOTHING flips both
+        nomatch = [("?a", "nosuch", "?b")]
+        assert filter_exists_bgp(
+            self._df(spark), req, exists=nomatch
+        ).count() == 0
+        assert filter_exists_bgp(
+            self._df(spark), req, not_exists=nomatch
+        ).count() == 3
+
+    def test_inner_group_as_dict_with_filters(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            filter_exists_bgp,
+        )
+
+        out = filter_exists_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y")],
+            exists={"patterns": [("?x", "in", "?n")], "filters": ["n = 11"]},
+        )
+        assert out.count() == 0  # only x=3 is in 11 and 3 never likes
+
+    def test_exists_and_not_exists_compose(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            filter_exists_bgp,
+        )
+
+        out = filter_exists_bgp(
+            self._df(spark),
+            [("?x", "likes", "?y")],
+            exists=[("?x", "in", "?n")],       # x located somewhere
+            not_exists=[("?z", "likes", "?x")],  # nobody likes x back
+        )
+        # solutions: x in {1,2}; x=2 is liked by 1 -> only x=1 survives
+        assert {(r.x, r.y) for r in out.collect()} == {(1, 2), (1, 3)}

@@ -252,3 +252,20 @@ def test_fact_conflicts_no_cartesian_and_partial_agg(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_sparql_agg_partial_final_no_extra_exchange(spark):
+    plan = _plan(Q.q_kg_sparql_agg(spark, SF))
+    # SPARQL GROUP BY compiles to hash aggregation with a map-side
+    # partial (keys + count/count-distinct/min/max), never a window
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_exists_is_semi_join_on_shared_vars(spark):
+    plan = _plan(Q.q_kg_filter_exists(spark, SF))
+    # FILTER EXISTS must compile to one semi join — never an inner join
+    # + distinct (which would multiply then dedup the probe side)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
