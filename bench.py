@@ -126,6 +126,8 @@ RELATIONAL = [
     "kg_rdfs_entailment",
     "kg_sparql_agg",
     "kg_filter_exists",
+    "kg_path_expr",
+    "kg_bgp_as_of",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -1149,6 +1149,7 @@ def match_bgp(
     sources: list[DataFrame] | None = None,
     filters: list[str] | None = None,
     values: tuple[list[str], list[tuple]] | None = None,
+    bind: dict | None = None,
 ) -> DataFrame:
     """Basic-graph-pattern matching — the SPARQL BGP core (W3C SPARQL
     1.1 §5.1) re-expressed as Catalyst joins: each pattern is a
@@ -1197,7 +1198,16 @@ def match_bgp(
     ``values`` (SPARQL VALUES, §10.2): ``(varnames, rows)`` — an inline
     solution table joined into the required group (broadcast: VALUES
     blocks are query-sized). Shares the cross-product rule; varnames
-    must not carry '?'."""
+    must not carry '?'.
+
+    ``bind`` (SPARQL BIND, §10.1): ``{new_var: sql_expr}`` assignment
+    expressions extending each solution AFTER the group fold — pure
+    per-row projections, zero plan cost. Per the spec's in-scope rule
+    the target must be FRESH (an already-bound name raises); later
+    binds may reference earlier ones (dict order). ``filters`` apply
+    at fold points and therefore cannot reference bind targets — a
+    post-BIND constraint is a ``.where`` on the result (or SPARQL's
+    own FILTER-after-BIND, which is the same thing)."""
     if not patterns:
         raise ValueError("match_bgp: empty pattern list")
 
@@ -1312,7 +1322,16 @@ def match_bgp(
         # a filter referencing variables never jointly bound (can only
         # happen with refs spanning no frame) — surface it loudly
         raise ValueError(f"match_bgp: unapplied filters {pending}")
-    return out.drop("_exists")
+    out = out.drop("_exists")
+    for name, expr in (bind or {}).items():
+        tgt = name.lstrip("?")
+        if tgt in out.columns:
+            raise ValueError(
+                f"match_bgp: BIND target {tgt} is already bound "
+                "(SPARQL 1.1 §10.1 requires a fresh variable)"
+            )
+        out = out.withColumn(tgt, F.expr(expr))
+    return out
 
 
 def union_bgp(
@@ -1385,8 +1404,15 @@ def match_path(
             F.col("obj_entity_id").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    return _path_closure(step, max_hops, min_hops)
+
+
+def _path_closure(step: DataFrame, max_hops: int, min_hops: int) -> DataFrame:
+    """Bounded-repetition closure of a compiled (src, dst) step table —
+    the frontier semi-naive loop shared by :func:`match_path` (single
+    predicate) and :func:`match_path_expr` (composite step)."""
+    step = step.localCheckpoint(eager=True)
     found = step.withColumn("hops", F.lit(1).cast("int"))
     frontier = step
     for k in range(2, max_hops + 1):
@@ -1404,6 +1430,110 @@ def match_path(
         found = found.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return found.where(F.col("hops") >= min_hops)
+
+
+def compile_path_step(edges: DataFrame, expr) -> DataFrame:
+    """Compile a SPARQL 1.1 §9 property-path EXPRESSION into one
+    (src, dst) step table. Grammar (nested python tuples):
+
+    - ``"p"``                  — forward step on predicate p;
+    - ``("inv", e)``           — inverse path ``^e`` (src/dst swapped);
+    - ``("alt", e1, e2, ...)`` — alternative ``e1|e2|...`` (union);
+    - ``("seq", e1, e2, ...)`` — sequence ``e1/e2/...`` (relational
+      composition: equi-join each stage's dst to the next's src);
+    - ``("neg", [p1, ...])``   — negated property set ``!(p1|...)``:
+      any FORWARD edge whose predicate is not listed (the spec's
+      NPS is over predicate IRIs, not sub-expressions).
+
+    Plan shape: leaves are filtered scans of the edge table (the
+    predicate equality / NOT-IN pushes into the parquet read), ``alt``
+    is a union (no shuffle of its own), ``seq`` is one equi-join per
+    '/' keyed on the shared vertex, and the final distinct collapses
+    duplicate derivations. No cartesian products can arise: every join
+    this compiler emits is an equi-join on the composition vertex."""
+    if isinstance(expr, str):
+        if expr.startswith("?"):
+            raise ValueError(
+                f"compile_path_step: predicate expected, got variable {expr}"
+            )
+        return edges.where(F.col("predicate") == expr).select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        ).distinct()
+    if not isinstance(expr, tuple) or not expr:
+        raise ValueError(f"compile_path_step: bad expression node {expr!r}")
+    op, *args = expr
+    if op == "inv":
+        if len(args) != 1:
+            raise ValueError("compile_path_step: inv takes one argument")
+        return compile_path_step(edges, args[0]).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    if op == "alt":
+        if len(args) < 2:
+            raise ValueError("compile_path_step: alt takes >= 2 arguments")
+        out = compile_path_step(edges, args[0])
+        for a in args[1:]:
+            out = out.unionByName(compile_path_step(edges, a))
+        return out.distinct()
+    if op == "seq":
+        if len(args) < 2:
+            raise ValueError("compile_path_step: seq takes >= 2 arguments")
+        out = compile_path_step(edges, args[0])
+        for a in args[1:]:
+            nxt = compile_path_step(edges, a)
+            out = (
+                out.select("src", F.col("dst").alias("mid"))
+                .join(nxt.select(F.col("src").alias("mid"), "dst"), "mid")
+                .select("src", "dst")
+            )
+        return out.distinct()
+    if op == "neg":
+        if len(args) != 1 or not isinstance(args[0], (list, tuple, set)) \
+                or not args[0]:
+            raise ValueError(
+                "compile_path_step: neg takes one non-empty predicate list"
+            )
+        preds = sorted(args[0])
+        if any(not isinstance(p, str) or p.startswith("?") for p in preds):
+            raise ValueError(
+                "compile_path_step: negated property sets hold predicate "
+                "IRIs only (SPARQL 1.1 §9.1)"
+            )
+        return edges.where(~F.col("predicate").isin(preds)).select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        ).distinct()
+    raise ValueError(f"compile_path_step: unknown operator {op!r}")
+
+
+def match_path_expr(
+    edges: DataFrame,
+    expr,
+    max_hops: int = 1,
+    min_hops: int = 1,
+) -> DataFrame:
+    """SPARQL 1.1 §9 property-path expressions with bounded repetition:
+    ``expr{min_hops, max_hops}`` where ``expr`` is any
+    :func:`compile_path_step` expression (sequence / alternative /
+    inverse / negated property set). Returns (src, dst, hops) with hops
+    = the minimal number of EXPRESSION repetitions (so for the default
+    1..1 bounds this is just the compiled step itself).
+
+    The expression compiles ONCE into a step table; repetition reuses
+    match_path's frontier semi-naive loop (per level: one equi-join +
+    one anti-join, early exit on an empty delta). The same explicit
+    max_hops cap applies — unbounded ``*``/``+`` over a 100-TB edge
+    table is a refused query, exactly as production SPARQL engines
+    bound it."""
+    if max_hops < 1 or min_hops < 1 or min_hops > max_hops:
+        raise ValueError(
+            f"bad hop bounds: min={min_hops} max={max_hops}"
+        )
+    step = compile_path_step(edges, expr)
+    if max_hops == 1:
+        return step.withColumn("hops", F.lit(1).cast("int"))
+    return _path_closure(step, max_hops, min_hops)
 
 
 def _head_triples(bindings: DataFrame, template: tuple) -> DataFrame:

@@ -2056,6 +2056,47 @@ ORDER BY s.user_id, s.event_type
 """
 
 
+def q_kg_bgp_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel SPARQL: a BGP evaluated against the KG AS OF
+    2024-01-10 — facts_as_of snapshots the SCD-2 interval table, the
+    snapshot is read as a triple table, and match_bgp folds the
+    patterns ``{?u click ?v . ?u view ?v}`` (users whose click state
+    equals their view state at T) over it. "What did the graph believe
+    at time T, queried declaratively" — the composition every temporal
+    KG endpoint serves. Plan: the as-of predicate filters the interval
+    build (with a ts-derived partition column it becomes pruning), then
+    two pattern scans equi-join on (u, v). Aggregated per shared state
+    value; DuckDB replays it as a snapshot-CTE self-join."""
+    from datetime import datetime
+
+    from ..functions.temporal import facts_as_of
+    from ..operators.graph import match_bgp
+
+    iv = _event_intervals(spark, sf_dir).localCheckpoint(eager=True)
+    snap = facts_as_of(iv, datetime(2024, 1, 10), "obj").select(
+        F.col("user_id").alias("subj_entity_id"),
+        F.col("event_type").alias("predicate"),
+        F.col("obj").cast("long").alias("obj_entity_id"),
+    )
+    sol = match_bgp(snap, [("?u", "click", "?v"), ("?u", "view", "?v")])
+    return (
+        sol.groupBy("v")
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+        .orderBy("v")
+    )
+
+
+_KG_BGP_AS_OF_SQL = f"""
+WITH {_EVENT_IV_CTES}, {_as_of_cte("snap", "2024-01-10", "obj")}
+SELECT cast(c.obj AS BIGINT) AS v,
+       cast(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+FROM snap c JOIN snap w
+  ON c.user_id = w.user_id AND c.obj = w.obj
+WHERE c.event_type = 'click' AND w.event_type = 'view'
+GROUP BY c.obj ORDER BY v
+"""
+
+
 def q_kg_facts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG change feed: which (user, event_type) facts were added, removed,
     or changed value between the 2024-01-10 and 2024-01-20 snapshots —
@@ -5050,6 +5091,64 @@ FROM kept GROUP BY n, r ORDER BY n
 """
 
 
+def q_kg_path_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §9 property-path EXPRESSION (operators/graph.py:
+    compile_path_step / match_path_expr): the composite path
+    ``cust_in_nation / !(cust_in_nation|supp_in_nation) / ^in_region``
+    — customers to every nation in their region — exercising sequence,
+    negated-property-set and inverse in one compiled step. Over the
+    hierarchy edge table the NPS leaf's NOT-IN filter hits literal
+    predicate columns, so Catalyst constant-folds the excluded branches
+    away entirely; each '/' is one equi-join on the composition vertex.
+    Aggregated per destination nation; DuckDB replays the same
+    distinct-compose-distinct pipeline."""
+    from ..operators.graph import match_path_expr
+
+    path = match_path_expr(
+        _hierarchy_edges(spark, sf_dir),
+        (
+            "seq",
+            "cust_in_nation",
+            ("neg", ["cust_in_nation", "supp_in_nation"]),
+            ("inv", "in_region"),
+        ),
+    )
+    return (
+        path.groupBy("dst")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("dst")
+    )
+
+
+_KG_PATH_EXPR_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+), s1 AS (
+  SELECT DISTINCT s AS src, o AS dst FROM e WHERE p = 'cust_in_nation'
+), s2 AS (
+  SELECT DISTINCT s AS src, o AS dst FROM e
+  WHERE p NOT IN ('cust_in_nation', 'supp_in_nation')
+), s3 AS (
+  SELECT DISTINCT o AS src, s AS dst FROM e WHERE p = 'in_region'
+), path AS (
+  SELECT DISTINCT s1.src, s3.dst
+  FROM s1 JOIN s2 ON s1.dst = s2.src JOIN s3 ON s2.dst = s3.src
+)
+SELECT dst, cast(count(*) AS BIGINT) AS n_customers
+FROM path GROUP BY dst ORDER BY dst
+"""
+
+
 def q_kg_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function over the supplier-part graph
     (operators/graph.py:hyper_anf, rows-only: HLL estimates are floats
@@ -5285,6 +5384,8 @@ def queries() -> dict:
             "kg_rdfs_entailment": q_kg_rdfs_entailment,
             "kg_sparql_agg": q_kg_sparql_agg,
             "kg_filter_exists": q_kg_filter_exists,
+            "kg_path_expr": q_kg_path_expr,
+            "kg_bgp_as_of": q_kg_bgp_as_of,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5464,6 +5565,8 @@ def oracle_sql() -> dict:
         "kg_bgp_minus": _KG_BGP_MINUS_SQL,
         "kg_sparql_agg": _KG_SPARQL_AGG_SQL,
         "kg_filter_exists": _KG_FILTER_EXISTS_SQL,
+        "kg_path_expr": _KG_PATH_EXPR_SQL,
+        "kg_bgp_as_of": _KG_BGP_AS_OF_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

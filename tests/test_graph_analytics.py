@@ -2365,3 +2365,178 @@ class TestFilterExistsBGP:
         )
         # solutions: x in {1,2}; x=2 is liked by 1 -> only x=1 survives
         assert {(r.x, r.y) for r in out.collect()} == {(1, 2), (1, 3)}
+
+
+class TestPathExpressions:
+    # a two-level org: people -works_in-> teams -part_of-> orgs,
+    # plus a 'knows' social layer and a mgr chain for repetition
+    EDGES = [
+        (1, "works_in", 20), (2, "works_in", 20), (3, "works_in", 21),
+        (20, "part_of", 30), (21, "part_of", 30),
+        (1, "knows", 2), (2, "knows", 3),
+        (40, "mgr", 41), (41, "mgr", 42), (42, "mgr", 43),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def _pairs(self, df):
+        return {(r.src, r.dst) for r in df.collect()}
+
+    def test_sequence_composes(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path_expr,
+        )
+
+        got = self._pairs(
+            match_path_expr(self._df(spark), ("seq", "works_in", "part_of"))
+        )
+        assert got == {(1, 30), (2, 30), (3, 30)}
+
+    def test_inverse_swaps(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path_expr,
+        )
+
+        got = self._pairs(
+            match_path_expr(self._df(spark), ("inv", "works_in"))
+        )
+        assert got == {(20, 1), (20, 2), (21, 3)}
+
+    def test_alternative_unions_and_dedups(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path_expr,
+        )
+
+        got = self._pairs(
+            match_path_expr(self._df(spark), ("alt", "works_in", "knows"))
+        )
+        assert got == {(1, 20), (2, 20), (3, 21), (1, 2), (2, 3)}
+
+    def test_negated_property_set(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path_expr,
+        )
+
+        # !(works_in|part_of|mgr) leaves exactly the knows layer
+        got = self._pairs(
+            match_path_expr(
+                self._df(spark), ("neg", ["works_in", "part_of", "mgr"])
+            )
+        )
+        assert got == {(1, 2), (2, 3)}
+
+    def test_colleagues_via_seq_inv(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path_expr,
+        )
+
+        # works_in/^works_in = same-team pairs (incl. self)
+        got = self._pairs(
+            match_path_expr(
+                self._df(spark), ("seq", "works_in", ("inv", "works_in"))
+            )
+        )
+        assert got == {(1, 1), (1, 2), (2, 1), (2, 2), (3, 3)}
+
+    def test_repetition_of_composite_step(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path_expr,
+        )
+
+        # (mgr|knows){1,3}: chains inside each layer, minimal hops
+        out = match_path_expr(
+            self._df(spark), ("alt", "mgr", "knows"), max_hops=3
+        )
+        got = {(r.src, r.dst): r.hops for r in out.collect()}
+        assert got[(40, 41)] == 1 and got[(40, 42)] == 2
+        assert got[(40, 43)] == 3 and got[(1, 3)] == 2
+        # min_hops trims the short chains
+        trimmed = match_path_expr(
+            self._df(spark), ("alt", "mgr", "knows"),
+            max_hops=3, min_hops=2,
+        )
+        assert all(r.hops >= 2 for r in trimmed.collect())
+
+    def test_single_predicate_expr_equals_match_path(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_path,
+            match_path_expr,
+        )
+
+        a = match_path(self._df(spark), "mgr", max_hops=3)
+        b = match_path_expr(self._df(spark), "mgr", max_hops=3)
+        assert {(r.src, r.dst, r.hops) for r in a.collect()} == {
+            (r.src, r.dst, r.hops) for r in b.collect()
+        }
+
+    def test_contract_errors(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            compile_path_step,
+            match_path_expr,
+        )
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="unknown operator"):
+            compile_path_step(df, ("star", "mgr"))
+        with pytest.raises(ValueError, match="variable"):
+            compile_path_step(df, "?p")
+        with pytest.raises(ValueError, match="non-empty predicate list"):
+            compile_path_step(df, ("neg", []))
+        with pytest.raises(ValueError, match="predicate IRIs only"):
+            compile_path_step(df, ("neg", [("inv", "mgr")]))
+        with pytest.raises(ValueError, match="bad hop bounds"):
+            match_path_expr(df, "mgr", max_hops=0)
+
+
+class TestBind:
+    EDGES = [(1, "likes", 2), (2, "likes", 3), (1, "in", 10)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in self.EDGES],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def test_bind_extends_solutions(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        out = match_bgp(
+            self._df(spark), [("?x", "likes", "?y")],
+            bind={"?total": "x + y", "flag": "total > 4"},
+        )
+        got = {(r.x, r.y, r.total, r.flag) for r in out.collect()}
+        assert got == {(1, 2, 3, False), (2, 3, 5, True)}
+
+    def test_bind_target_must_be_fresh(self, spark):
+        import pytest
+
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            match_bgp,
+        )
+
+        with pytest.raises(ValueError, match="already bound"):
+            match_bgp(
+                self._df(spark), [("?x", "likes", "?y")],
+                bind={"y": "x + 1"},
+            )
+
+    def test_bind_composes_with_aggregates(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            aggregate_bindings,
+        )
+
+        # GROUP BY a BOUND expression: bucket = y % 2
+        out = aggregate_bindings(
+            self._df(spark), [("?x", "likes", "?y")],
+            group_by=["bucket"], aggs={"n": "count(x)"},
+            bind={"bucket": "y % 2"},
+        )
+        assert {(r.bucket, r.n) for r in out.collect()} == {(0, 1), (1, 1)}

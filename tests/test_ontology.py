@@ -105,3 +105,55 @@ def test_plan_is_single_scan_no_joins(spark):
     assert "Join" not in plan
     assert plan.count("Scan ExistingRDD") == 1
     assert plan.count("Exchange") == 1  # the distinct's shuffle only
+
+
+def test_incremental_equals_batch_and_delta_is_disjoint(spark):
+    """entail(A ∪ B) == entail(A) ∪ increment(entail(A), B): the rule
+    set is linear in facts, so streaming maintenance is exact."""
+    from nlp_series_relation_extraction_spark.operators.ontology import (
+        rdfs_entailment_increment,
+    )
+
+    onto = _df(spark, ONTO, "s string, p string, o string")
+    a = _df(spark, FACTS, "subj string, predicate string, obj string")
+    b = _df(
+        spark,
+        [("dave", "worksFor", "initech"), ("erin", "type", "Intern"),
+         ("alice", "worksFor", "acme")],  # overlap with A on purpose
+        "subj string, predicate string, obj string",
+    )
+    from nlp_series_relation_extraction_spark.operators.ontology import (
+        rdfs_entailment,
+    )
+
+    closure_a = rdfs_entailment(a, onto)
+    delta = rdfs_entailment_increment(closure_a, b, onto)
+    batch = {
+        (r.subj, r.predicate, r.obj)
+        for r in rdfs_entailment(a.unionByName(b), onto).collect()
+    }
+    got_a = {(r.subj, r.predicate, r.obj) for r in closure_a.collect()}
+    got_d = {(r.subj, r.predicate, r.obj) for r in delta.collect()}
+    assert got_a | got_d == batch
+    assert got_a & got_d == set()  # disjoint by construction
+    # the overlapping fact (alice worksFor acme) contributed nothing new
+    assert ("alice", "memberOf", "acme") not in got_d
+    # the genuinely new facts entail through the full rule set
+    assert ("dave", "affiliatedWith", "initech") in got_d
+    assert ("erin", "type", "Agent") in got_d
+
+
+def test_increment_on_empty_existing_is_full_closure(spark):
+    from nlp_series_relation_extraction_spark.operators.ontology import (
+        rdfs_entailment,
+        rdfs_entailment_increment,
+    )
+
+    onto = _df(spark, ONTO, "s string, p string, o string")
+    b = _df(spark, FACTS, "subj string, predicate string, obj string")
+    empty = _df(spark, [], "subj string, predicate string, obj string")
+    got = {
+        (r.subj, r.predicate, r.obj)
+        for r in rdfs_entailment_increment(empty, b, onto).collect()
+    }
+    assert got == rdfs_entailment_python_twin(FACTS, ONTO)

@@ -269,3 +269,16 @@ def test_filter_exists_is_semi_join_on_shared_vars(spark):
     # + distinct (which would multiply then dedup the probe side)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_path_expr_nps_prunes_branches_no_cartesian(spark):
+    plan = _plan(Q.q_kg_path_expr(spark, SF))
+    # the negated property set's NOT-IN hits literal predicate columns:
+    # Catalyst must constant-fold the excluded union branches away, so
+    # the supplier scan disappears from the plan entirely
+    assert "supplier.parquet" not in plan
+    assert "customer.parquet" in plan and "nation.parquet" in plan
+    # every '/' composition is an equi-join (broadcast here: the step
+    # sides are nation-sized); never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
