@@ -128,6 +128,7 @@ RELATIONAL = [
     "kg_filter_exists",
     "kg_path_expr",
     "kg_bgp_as_of",
+    "kg_owl_entailment",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -1,5 +1,5 @@
-"""RDFS entailment materialization (rules rdfs2/rdfs3/rdfs7/rdfs9) over a
-large fact table.
+"""RDFS + linear-OWL-RL entailment materialization (rules rdfs2/rdfs3/
+rdfs7/rdfs9 plus prp-inv/prp-symp) over a large fact table.
 
 The ontology — ``rdfs:subClassOf`` / ``rdfs:subPropertyOf`` /
 ``rdfs:domain`` / ``rdfs:range`` statements — is SCHEMA-sized metadata
@@ -11,13 +11,15 @@ visit the driver, data never does).
 The four rules are then COMPILED into per-predicate / per-class lookup
 tables embedded as ``map<string, array<string>>`` literal columns:
 
-- ``gen_preds[p]``  — strict superproperties of p (rdfs7);
-- ``subj_types[p]`` — class-closure of the domains of p and all its
-  superproperties (rdfs2 composed with rdfs9, so a domain declared on a
-  superproperty fires for facts asserted with a subproperty, per the
-  W3C rule order);
-- ``obj_types[p]``  — same for ranges (rdfs3 ∘ rdfs9);
-- ``type_exp[c]``   — strict superclasses of c (rdfs9).
+- ``fwd[p]``  — predicates q with a same-orientation derivation from p
+  (rdfs7 chains, possibly through an EVEN number of inverse flips);
+- ``rev[p]``  — predicates q derived with flipped orientation (an odd
+  number of prp-inv / prp-symp flips): fact (s,p,o) emits (o,q,s);
+- ``subj_types[p]`` / ``obj_types[p]`` — class-closure of the domains/
+  ranges contributed by EVERY derived orientation (rdfs2/3 composed
+  with rdfs9 and the flips, so a domain declared on a superproperty —
+  or on the inverse's superproperty — fires for the asserted fact);
+- ``cls[c]``  — strict superclasses of c (rdfs9).
 
 The FACT table is scanned exactly ONCE: each row ``explode``s its own
 entailments via ``transform`` over the map lookups — the executed plan
@@ -95,11 +97,17 @@ def rdfs_entailment(
     rows with ``predicate == type_predicate`` are asserted class
     memberships (``obj`` is a class name), every other row a plain
     triple. ``ontology``: columns ``(s, p, o)`` with ``p`` in
-    ``{subClassOf, subPropertyOf, domain, range}``; must stay under
-    ``max_ontology_rows`` (it is schema, not data).
+    ``{subClassOf, subPropertyOf, domain, range, inverseOf,
+    symmetricProperty}`` (the last two are the linear OWL-RL property
+    rules prp-inv / prp-symp; for symmetricProperty the object column
+    is ignored); must stay under ``max_ontology_rows`` (it is schema,
+    not data).
 
     Returns the distinct union of the input facts and every triple the
-    four RDFS rules entail, same three columns.
+    compiled rule set entails, same three columns. owl:TransitiveProperty
+    is deliberately NOT here: its rule has two fact premises, so it
+    needs recursion over the data — that is :func:`graph.forward_chain`
+    / :func:`graph.match_path`'s job.
     """
     onto = ontology.limit(max_ontology_rows + 1).collect()
     if len(onto) > max_ontology_rows:
@@ -108,39 +116,13 @@ def rdfs_entailment(
             "schema-sized metadata; a table this large is data and "
             "belongs in the facts input"
         )
-    by_kind: dict[str, list[tuple[str, str]]] = defaultdict(list)
-    for r in onto:
-        by_kind[r[1]].append((r[0], r[2]))
-    subp = dict_of_sets(transitive_closure(by_kind.get("subPropertyOf", [])))
-    subc = dict_of_sets(transitive_closure(by_kind.get("subClassOf", [])))
-    dom = dict_of_sets(by_kind.get("domain", []))
-    rng = dict_of_sets(by_kind.get("range", []))
+    comp = _compile_rules([tuple(r) for r in onto])
 
-    # Compose the four rules into three per-PREDICATE lookup tables and
-    # one per-CLASS table, all driver-side, so the big table is scanned
-    # ONCE (a union-of-broadcast-joins tree would rescan it per rule):
-    #   gen_preds[p]  = strict superproperties of p             (rdfs7)
-    #   subj_types[p] = class-closure(domain of p and supers)   (rdfs2+9)
-    #   obj_types[p]  = class-closure(range of p and supers)    (rdfs3+9)
-    #   type_exp[c]   = strict superclasses of c                (rdfs9)
-    def _cls_full(cs: set[str]) -> list[str]:
-        out = set(cs)
-        for c in cs:
-            out |= subc.get(c, set())
-        return sorted(out)
-
-    props = set(subp) | set(dom) | set(rng)
-    gen_preds = {p: sorted(subp.get(p, set()) - {p}) for p in props}
-    subj_types = {}
-    obj_types = {}
-    for p in props:
-        gen = {p} | subp.get(p, set())
-        subj_types[p] = _cls_full(set().union(*(dom.get(q, set()) for q in gen)))
-        obj_types[p] = _cls_full(set().union(*(rng.get(q, set()) for q in gen)))
-    m_gen = _map_of_lists({k: v for k, v in gen_preds.items() if v})
-    m_subj = _map_of_lists({k: v for k, v in subj_types.items() if v})
-    m_obj = _map_of_lists({k: v for k, v in obj_types.items() if v})
-    m_cls = _map_of_lists({k: sorted(v - {k}) for k, v in subc.items() if v - {k}})
+    m_gen = _map_of_lists(comp["fwd"])
+    m_rev = _map_of_lists(comp["rev"])
+    m_subj = _map_of_lists(comp["subj_types"])
+    m_obj = _map_of_lists(comp["obj_types"])
+    m_cls = _map_of_lists(comp["cls"])
 
     s, p, o = F.col("subj"), F.col("predicate"), F.col("obj")
     tp = F.lit(type_predicate)
@@ -157,6 +139,7 @@ def rdfs_entailment(
         F.concat(
             F.array(trip(s, p, o)),
             F.transform(_lookup(m_gen, p), lambda q: trip(s, q, o)),
+            F.transform(_lookup(m_rev, p), lambda q: trip(o, q, s)),
             F.transform(_lookup(m_subj, p), lambda c: trip(s, tp, c)),
             F.transform(_lookup(m_obj, p), lambda c: trip(o, tp, c)),
         )
@@ -168,38 +151,108 @@ def rdfs_entailment(
     )
 
 
+def _compile_rules(onto: list[tuple[str, str, str]]) -> dict:
+    """Driver-side rule compiler shared by :func:`rdfs_entailment` and
+    its python twin: compose rdfs2/3/7/9 plus the LINEAR OWL-RL
+    property rules prp-inv (``inverseOf``) and prp-symp
+    (``symmetricProperty``) into per-predicate lookup tables.
+
+    The derivation space for a fact with predicate p is a fixpoint over
+    (orientation, predicate) states: ``fwd q`` emits (s, q, o), ``rev
+    q`` emits (o, q, s); subPropertyOf preserves orientation, inverseOf
+    flips it (and symmetricProperty is self-inverse). The fixpoint is
+    over the SCHEMA (≤ 2·|props| states), never the data — the output
+    maps keep the fact-table plan zero-join, and every added rule stays
+    one-fact-premise, so incremental maintenance stays exact."""
+    by_kind: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for s, k, o in onto:
+        by_kind[k].append((s, o))
+    subp = dict_of_sets(by_kind.get("subPropertyOf", []))
+    subc = dict_of_sets(transitive_closure(by_kind.get("subClassOf", [])))
+    dom = dict_of_sets(by_kind.get("domain", []))
+    rng = dict_of_sets(by_kind.get("range", []))
+    inv = dict_of_sets(by_kind.get("inverseOf", []))
+    for a, b in by_kind.get("inverseOf", []):  # inverseOf is symmetric
+        inv[b].add(a)
+    for p_sym, _ in by_kind.get("symmetricProperty", []):
+        inv[p_sym].add(p_sym)  # prp-symp == self-inverse
+
+    def _cls_full(cs: set[str]) -> list[str]:
+        out = set(cs)
+        for c in cs:
+            out |= subc.get(c, set())
+        return sorted(out)
+
+    props = set(subp) | set(dom) | set(rng) | set(inv)
+    fwd: dict[str, list[str]] = {}
+    rev: dict[str, list[str]] = {}
+    subj_types: dict[str, list[str]] = {}
+    obj_types: dict[str, list[str]] = {}
+    for p in props:
+        states = {("f", p)}
+        stack = [("f", p)]
+        while stack:
+            orient, q = stack.pop()
+            flip = "r" if orient == "f" else "f"
+            for r in subp.get(q, ()):  # rdfs7 preserves orientation
+                if (orient, r) not in states:
+                    states.add((orient, r))
+                    stack.append((orient, r))
+            for r in inv.get(q, ()):  # prp-inv / prp-symp flip it
+                if (flip, r) not in states:
+                    states.add((flip, r))
+                    stack.append((flip, r))
+        fwd[p] = sorted(q for ori, q in states if ori == "f" and q != p)
+        rev[p] = sorted(q for ori, q in states if ori == "r")
+        # rdfs2/3 over every derived orientation: a fwd q types s by
+        # domain(q) / o by range(q); a rev q types o by domain(q) / s
+        # by range(q) (the derived fact's subject IS the original obj)
+        st = set().union(
+            *(dom.get(q, set()) for ori, q in states if ori == "f"),
+            *(rng.get(q, set()) for ori, q in states if ori == "r"),
+        )
+        ot = set().union(
+            *(rng.get(q, set()) for ori, q in states if ori == "f"),
+            *(dom.get(q, set()) for ori, q in states if ori == "r"),
+        )
+        subj_types[p] = _cls_full(st)
+        obj_types[p] = _cls_full(ot)
+    return {
+        "fwd": {k: v for k, v in fwd.items() if v},
+        "rev": {k: v for k, v in rev.items() if v},
+        "subj_types": {k: v for k, v in subj_types.items() if v},
+        "obj_types": {k: v for k, v in obj_types.items() if v},
+        "cls": {
+            k: sorted(v - {k}) for k, v in subc.items() if v - {k}
+        },
+    }
+
+
 def rdfs_entailment_python_twin(
     facts: list[tuple[str, str, str]],
     ontology: list[tuple[str, str, str]],
     type_predicate: str = TYPE_PREDICATE,
 ) -> set[tuple[str, str, str]]:
-    """Pure-python twin of :func:`rdfs_entailment` (identical recursion,
-    for exactness tests)."""
-    by_kind: dict[str, list[tuple[str, str]]] = defaultdict(list)
-    for s, p, o in ontology:
-        by_kind[p].append((s, o))
-    subp = dict_of_sets(transitive_closure(by_kind.get("subPropertyOf", [])))
-    subc = dict_of_sets(transitive_closure(by_kind.get("subClassOf", [])))
-    dom = dict_of_sets(by_kind.get("domain", []))
-    rng = dict_of_sets(by_kind.get("range", []))
-    g = set()
-    types = set()
+    """Pure-python twin of :func:`rdfs_entailment`: the SAME compiled
+    maps (shared :func:`_compile_rules`), applied per fact row exactly
+    as the Spark fanout does — for exactness tests."""
+    comp = _compile_rules(list(ontology))
+    out: set[tuple[str, str, str]] = set()
     for s, p, o in facts:
+        out.add((s, p, o))
         if p == type_predicate:
-            types.add((s, o))
+            for c in comp["cls"].get(o, ()):
+                out.add((s, type_predicate, c))
             continue
-        g.add((s, p, o))
-        for q in subp.get(p, ()):
-            g.add((s, q, o))
-    for s, p, o in list(g):
-        for c in dom.get(p, ()):
-            types.add((s, c))
-        for c in rng.get(p, ()):
-            types.add((o, c))
-    for e, c in list(types):
-        for d in subc.get(c, ()):
-            types.add((e, d))
-    return g | {(e, type_predicate, c) for e, c in types}
+        for q in comp["fwd"].get(p, ()):
+            out.add((s, q, o))
+        for q in comp["rev"].get(p, ()):
+            out.add((o, q, s))
+        for c in comp["subj_types"].get(p, ()):
+            out.add((s, type_predicate, c))
+        for c in comp["obj_types"].get(p, ()):
+            out.add((o, type_predicate, c))
+    return out
 
 
 def dict_of_sets(pairs: list[tuple[str, str]]) -> dict[str, set[str]]:

@@ -4898,6 +4898,15 @@ _RDFS_ONTO: list[tuple[str, str, str]] = [
     ("Org", "subClassOf", "Agent"),
 ]
 
+# the linear OWL-RL extension: prp-inv (with a subproperty ABOVE the
+# inverse, so flips and rdfs7 compose) and prp-symp on planted peer facts
+_OWL_ONTO: list[tuple[str, str, str]] = _RDFS_ONTO + [
+    ("cust_in_nation", "inverseOf", "hosts_customer"),
+    ("hosts_customer", "subPropertyOf", "hosts_member"),
+    ("peer_of", "symmetricProperty", "peer_of"),
+    ("peer_of", "domain", "Customer"),
+]
+
 
 def q_kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS entailment materialization (operators/ontology.py) over the
@@ -4971,6 +4980,128 @@ g AS (
   SELECT s, p, o FROM f WHERE p <> 'type'
   UNION ALL
   SELECT f.s, sp.b, f.o FROM f JOIN subp sp ON f.p = sp.a
+  WHERE f.p <> 'type'
+),
+traw AS (
+  SELECT s AS e, o AS c FROM f WHERE p = 'type'
+  UNION ALL
+  SELECT g.s, d.o FROM g JOIN onto d ON d.p = 'domain' AND d.s = g.p
+  UNION ALL
+  SELECT g.o, r.o FROM g JOIN onto r ON r.p = 'range' AND r.s = g.p
+),
+tfull AS (
+  SELECT e, c FROM traw
+  UNION ALL
+  SELECT t2.e, sc.b FROM traw t2 JOIN subc sc ON t2.c = sc.a
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, p AS predicate, o AS obj FROM g
+  UNION ALL
+  SELECT e, 'type', c FROM tfull
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-OWL-RL entailment (operators/ontology.py): the RDFS rule
+    set extended with prp-inv (cust_in_nation has an inverse whose own
+    SUPERPROPERTY must also fire — flips composing with rdfs7) and
+    prp-symp (planted peer_of facts between every 7th customer and its
+    successor; domain typing fires on BOTH ends through the flip). The
+    compiled plan is unchanged: one fact scan, zero joins, final
+    distinct. The DuckDB oracle replays the semantics independently via
+    a recursive (orientation, predicate) state fixpoint — not the
+    compiled maps."""
+    from ..operators.ontology import rdfs_entailment
+
+    facts = _hierarchy_edges(spark, sf_dir).select(
+        F.col("subj_entity_id").cast("string").alias("subj"),
+        "predicate",
+        F.col("obj_entity_id").cast("string").alias("obj"),
+    )
+    cust = t(spark, sf_dir, "customer")
+    vip = cust.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey").cast("long") * 4).cast("string").alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("VIP").alias("obj"),
+    )
+    peers = cust.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey").cast("long") * 4).cast("string").alias("subj"),
+        F.lit("peer_of").alias("predicate"),
+        ((F.col("c_custkey").cast("long") + 1) * 4).cast("string")
+        .alias("obj"),
+    )
+    onto = spark.createDataFrame(_OWL_ONTO, "s string, p string, o string")
+    return rdfs_entailment(
+        facts.unionByName(vip).unionByName(peers), onto
+    ).orderBy("subj", "predicate", "obj")
+
+
+def _owl_entailment_sql() -> str:
+    values = ",\n  ".join(
+        f"('{s}','{p}','{o}')" for s, p, o in _OWL_ONTO
+    )
+    return f"""
+WITH RECURSIVE
+f AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS s,
+         'cust_in_nation' AS p,
+         cast(cast(c_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(cast(s_suppkey AS BIGINT) * 4 + 1 AS VARCHAR),
+         'supp_in_nation',
+         cast(cast(s_nationkey AS BIGINT) * 4 + 2 AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR),
+         'in_region',
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR), 'type', 'VIP'
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR), 'peer_of',
+         cast((cast(c_custkey AS BIGINT) + 1) * 4 AS VARCHAR)
+  FROM customer WHERE c_custkey % 7 = 0
+),
+onto(s, p, o) AS (VALUES
+  {values}),
+ruleedge AS (
+  SELECT s AS a, o AS b, 0 AS flip FROM onto WHERE p = 'subPropertyOf'
+  UNION
+  SELECT s, o, 1 FROM onto WHERE p = 'inverseOf'
+  UNION
+  SELECT o, s, 1 FROM onto WHERE p = 'inverseOf'
+  UNION
+  SELECT s, s, 1 FROM onto WHERE p = 'symmetricProperty'
+),
+states AS (
+  SELECT p AS p0, 'f' AS orient, p AS q
+  FROM (SELECT DISTINCT p FROM f WHERE p <> 'type')
+  UNION
+  SELECT st.p0,
+         CASE WHEN re.flip = 1
+              THEN (CASE st.orient WHEN 'f' THEN 'r' ELSE 'f' END)
+              ELSE st.orient END,
+         re.b
+  FROM states st JOIN ruleedge re ON re.a = st.q
+),
+subc AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subClassOf'
+  UNION
+  SELECT sc.a, o2.o FROM subc sc
+  JOIN onto o2 ON o2.p = 'subClassOf' AND o2.s = sc.b
+),
+g AS (
+  SELECT f.s, st.q AS p, f.o FROM f
+  JOIN states st ON st.p0 = f.p AND st.orient = 'f'
+  WHERE f.p <> 'type'
+  UNION ALL
+  SELECT f.o, st.q, f.s FROM f
+  JOIN states st ON st.p0 = f.p AND st.orient = 'r'
   WHERE f.p <> 'type'
 ),
 traw AS (
@@ -5386,6 +5517,7 @@ def queries() -> dict:
             "kg_filter_exists": q_kg_filter_exists,
             "kg_path_expr": q_kg_path_expr,
             "kg_bgp_as_of": q_kg_bgp_as_of,
+            "kg_owl_entailment": q_kg_owl_entailment,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5567,6 +5699,7 @@ def oracle_sql() -> dict:
         "kg_filter_exists": _KG_FILTER_EXISTS_SQL,
         "kg_path_expr": _KG_PATH_EXPR_SQL,
         "kg_bgp_as_of": _KG_BGP_AS_OF_SQL,
+        "kg_owl_entailment": _owl_entailment_sql(),
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

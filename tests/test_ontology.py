@@ -157,3 +157,62 @@ def test_increment_on_empty_existing_is_full_closure(spark):
         for r in rdfs_entailment_increment(empty, b, onto).collect()
     }
     assert got == rdfs_entailment_python_twin(FACTS, ONTO)
+
+
+class TestOwlLinearRules:
+    ONTO = [
+        ("worksFor", "inverseOf", "employs"),
+        ("employs", "subPropertyOf", "hasAgent"),
+        ("hasAgent", "range", "Person"),
+        ("knows", "symmetricProperty", "knows"),
+    ]
+
+    def test_prp_inv_and_chained_super(self, spark):
+        facts = [("alice", "worksFor", "acme")]
+        got = _run(spark, facts, self.ONTO)
+        assert ("acme", "employs", "alice") in got        # prp-inv
+        assert ("acme", "hasAgent", "alice") in got       # inv then rdfs7
+        # range(hasAgent) types the DERIVED object = original subject
+        assert ("alice", "type", "Person") in got
+        assert got == rdfs_entailment_python_twin(facts, self.ONTO)
+
+    def test_prp_symp(self, spark):
+        facts = [("bob", "knows", "carol")]
+        got = _run(spark, facts, self.ONTO)
+        assert ("carol", "knows", "bob") in got
+        assert got == rdfs_entailment_python_twin(facts, self.ONTO)
+
+    def test_double_flip_lands_forward(self, spark):
+        onto = [("a", "inverseOf", "b"), ("b", "inverseOf", "c")]
+        facts = [("x", "a", "y")]
+        got = _run(spark, facts, onto)
+        assert got == {
+            ("x", "a", "y"), ("y", "b", "x"), ("x", "c", "y")
+        }
+        assert got == rdfs_entailment_python_twin(facts, onto)
+
+    def test_inverse_declared_one_way_fires_both_ways(self, spark):
+        onto = [("worksFor", "inverseOf", "employs")]
+        got = _run(spark, [("acme", "employs", "dana")], onto)
+        assert ("dana", "worksFor", "acme") in got
+
+    def test_increment_stays_exact_with_owl_rules(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            rdfs_entailment,
+            rdfs_entailment_increment,
+        )
+
+        onto = _df(spark, self.ONTO, "s string, p string, o string")
+        a = _df(spark, [("alice", "worksFor", "acme")],
+                "subj string, predicate string, obj string")
+        b = _df(spark, [("bob", "knows", "carol")],
+                "subj string, predicate string, obj string")
+        closure_a = rdfs_entailment(a, onto)
+        delta = rdfs_entailment_increment(closure_a, b, onto)
+        batch = {
+            (r.subj, r.predicate, r.obj)
+            for r in rdfs_entailment(a.unionByName(b), onto).collect()
+        }
+        got_a = {(r.subj, r.predicate, r.obj) for r in closure_a.collect()}
+        got_d = {(r.subj, r.predicate, r.obj) for r in delta.collect()}
+        assert got_a | got_d == batch and not (got_a & got_d)
