@@ -262,6 +262,494 @@ def dict_of_sets(pairs: list[tuple[str, str]]) -> dict[str, set[str]]:
     return d
 
 
+def _transitive_pairs(onto: list[tuple[str, str, str]]) -> list[str]:
+    """Predicates declared ``owl:TransitiveProperty`` in an ontology
+    row list (object column ignored, same convention as prp-symp)."""
+    return sorted({s for s, k, _ in onto if k == "transitiveProperty"})
+
+
+def _transitive_fixpoint(
+    acc: DataFrame, delta: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Predicate-keyed transitive fixpoint shared by the batch and
+    incremental prp-trp operators. ``acc``/``delta`` have columns
+    ``(subj, predicate, obj)``; ``delta ⊆ acc`` and every pair of the
+    true closure missing from ``acc`` must use at least one ``delta``
+    pair (batch seeds acc = delta = the asserted edges; the increment
+    seeds acc = existing ∪ new, delta = new).
+
+    Semi-naive DOUBLING: each round composes the previous round's
+    delta with the FULL accumulated set on BOTH sides —
+    ``new = (delta ∘ acc) ∪ (acc ∘ delta)`` keyed on
+    (predicate, join vertex) — then anti-joins what is already known.
+    Reachable chain length doubles per round, so ``max_rounds`` = 20
+    covers 10^6-hop chains; the anti-join makes cyclic graphs
+    terminate. The price of the log-round count is that a composition
+    may re-derive pairs the anti-join then drops — on deep-and-narrow
+    hierarchies a linear ``delta ∘ base`` loop (graph.match_path's
+    shape) does strictly less join work per pair but needs
+    diameter-many rounds; doubling is the right default when the
+    driver pays per-round job-launch latency, i.e. everywhere short
+    of thousand-hop chains.
+
+    Each round's delta is localCheckpointed (flat lineage) and the
+    empty-delta check is the round's one action. Join keys are
+    (predicate, vertex) — the vertex component keeps hub predicates
+    from collapsing onto single tasks; AQE's skew handling covers hub
+    VERTICES, the same contract as the linking join."""
+    acc = acc.localCheckpoint(eager=True)
+    delta = delta.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        left = delta.select(
+            "subj", "predicate", F.col("obj").alias("mid")
+        ).join(
+            acc.select(
+                F.col("subj").alias("mid"), "predicate", "obj"
+            ),
+            ["predicate", "mid"],
+        )
+        right = acc.select(
+            "subj", "predicate", F.col("obj").alias("mid")
+        ).join(
+            delta.select(
+                F.col("subj").alias("mid"), "predicate", "obj"
+            ),
+            ["predicate", "mid"],
+        )
+        delta = (
+            left.unionByName(right)
+            .select("subj", "predicate", "obj")
+            .distinct()
+            .join(acc, ["subj", "predicate", "obj"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if delta.isEmpty():
+            break
+        acc = acc.unionByName(delta).localCheckpoint(eager=True)
+    return acc
+
+
+def owl_transitive_entailment(
+    facts: DataFrame,
+    ontology: DataFrame,
+    max_rounds: int = 20,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL-RL rule prp-trp: materialize the transitive closure of every
+    predicate the ontology declares ``owl:TransitiveProperty``, in ONE
+    predicate-keyed plan (no per-predicate driver loop).
+
+    This is the rule :func:`rdfs_entailment` deliberately excludes —
+    two fact premises, so it cannot compile into per-row map lookups
+    and must recurse over the data. Facts on undeclared predicates
+    pass through untouched. Returns the distinct union
+    (subj, predicate, obj), same contract as the linear operator.
+
+    ``max_rounds`` caps the doubling loop (2^20-hop chains at the
+    default); like match_path/forward_chain, hitting the cap returns
+    the partial closure. Cycles are safe: the anti-join starves the
+    frontier once every reachable pair is known."""
+    onto = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    trans = _transitive_pairs([tuple(r) for r in onto])
+    base = facts.select("subj", "predicate", "obj").distinct()
+    if not trans:
+        return base
+    tfacts = base.where(F.col("predicate").isin(trans))
+    closed = _transitive_fixpoint(tfacts, tfacts, max_rounds)
+    return base.unionByName(closed).distinct()
+
+
+def owl_transitive_increment(
+    existing: DataFrame,
+    new_facts: DataFrame,
+    ontology: DataFrame,
+    max_rounds: int = 20,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """The DELTA a new batch of facts adds to an existing prp-trp
+    closure — the transitive counterpart of
+    :func:`rdfs_entailment_increment`, but NOT a single-pass rewrite:
+    prp-trp has two fact premises, so the increment must join against
+    the existing closure. Every new closure pair is an alternation of
+    existing-closure segments and new edges, and the doubling loop
+    absorbs one alternation level per round — per-batch cost tracks
+    (new edges × touched closure region), never the full table.
+
+    ``existing`` must already be transitively closed (the previous
+    output); the result is disjoint from it by construction, so
+    appending through the bucket-pruned streaming sink reproduces the
+    batch closure exactly."""
+    onto = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    trans = _transitive_pairs([tuple(r) for r in onto])
+    cols = ["subj", "predicate", "obj"]
+    new = new_facts.select(*cols).distinct().join(
+        existing.select(*cols), cols, "left_anti"
+    )
+    if not trans:
+        return new
+    new = new.localCheckpoint(eager=True)
+    tdelta = new.where(F.col("predicate").isin(trans))
+    tacc = (
+        existing.select(*cols)
+        .where(F.col("predicate").isin(trans))
+        .unionByName(tdelta)
+    )
+    closed = _transitive_fixpoint(tacc, tdelta, max_rounds)
+    return (
+        new.unionByName(closed)
+        .distinct()
+        .join(existing.select(*cols), cols, "left_anti")
+    )
+
+
+def owl_rl_entailment(
+    facts: DataFrame,
+    ontology: DataFrame,
+    max_rounds: int = 20,
+    max_outer: int = 6,
+    type_predicate: str = TYPE_PREDICATE,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """The full supported OWL-RL subset to FIXPOINT: alternate the
+    compiled linear pass (rdfs2/3/7/9 + prp-inv/prp-symp,
+    :func:`rdfs_entailment`) with prp-trp closure
+    (:func:`owl_transitive_entailment`) until neither derives anything
+    new.
+
+    The alternation is required, not cosmetic: a subproperty can FEED
+    a transitive predicate (its pairs must exist before the closure
+    runs), and closure-derived pairs TRIGGER linear rules again
+    (domain/range typing of endpoints only reachable transitively,
+    superproperties of the transitive predicate). Each direction of
+    feeding costs one outer round; real ontologies converge in 2-3
+    (the loop exits the first time the transitive delta is empty).
+    The linear re-pass runs on the transitive DELTA only
+    (:func:`rdfs_entailment_increment` — exact because the linear
+    rules are one-fact-premise), so outer rounds never rescan the
+    accumulated closure."""
+    onto_rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto_rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    trans = _transitive_pairs([tuple(r) for r in onto_rows])
+    closure = rdfs_entailment(
+        facts, ontology, type_predicate, max_ontology_rows
+    ).localCheckpoint(eager=True)
+    if not trans:
+        return closure
+    cols = ["subj", "predicate", "obj"]
+    # frontier = pairs not yet seen by a transitive pass; round 1 is the
+    # whole linear closure (the batch case), later rounds the linear
+    # delta only — every still-missing pair must use one of them.
+    frontier = closure
+    for _ in range(max_outer):
+        tpairs = closure.where(F.col("predicate").isin(trans))
+        closed = _transitive_fixpoint(
+            tpairs,
+            frontier.where(F.col("predicate").isin(trans)),
+            max_rounds,
+        )
+        tdelta = closed.join(
+            closure.select(*cols), cols, "left_anti"
+        ).localCheckpoint(eager=True)
+        if tdelta.isEmpty():
+            break
+        ldelta = rdfs_entailment_increment(
+            closure, tdelta, ontology, type_predicate, max_ontology_rows
+        ).localCheckpoint(eager=True)
+        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        frontier = ldelta
+    return closure
+
+
+def owl_transitive_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+) -> set[tuple[str, str, str]]:
+    """Naive-fixpoint python twin of :func:`owl_transitive_entailment`
+    (independent algorithm: per-predicate BFS, not doubling)."""
+    trans = set(_transitive_pairs(list(ontology)))
+    out = set(facts)
+    adj: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for s, p, o in facts:
+        if p in trans:
+            adj[(p, s)].add(o)
+    for p, s in list(adj):
+        seen: set[str] = set()
+        stack = list(adj[(p, s)])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get((p, n), ()))
+        out |= {(s, p, n) for n in seen}
+    return out
+
+
+def owl_rl_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+    type_predicate: str = TYPE_PREDICATE,
+) -> set[tuple[str, str, str]]:
+    """Naive outer fixpoint of linear-pass ∘ transitive-pass — the
+    independent oracle for :func:`owl_rl_entailment`."""
+    out = rdfs_entailment_python_twin(
+        list(facts), list(ontology), type_predicate
+    )
+    while True:
+        grown = owl_transitive_python_twin(sorted(out), list(ontology))
+        grown = rdfs_entailment_python_twin(
+            sorted(grown), list(ontology), type_predicate
+        )
+        if grown == out:
+            return out
+        out = grown
+
+
+def _declared(onto: list[tuple[str, str, str]], kind: str) -> list[str]:
+    return sorted({s for s, k, _ in onto if k == kind})
+
+
+def _adjacent_value_pairs(
+    facts: DataFrame, key_cols: list[str], val_col: str
+) -> DataFrame:
+    """(a_id, b_id) sameAs candidates: for every key group holding >1
+    distinct value, CHAIN-ADJACENT pairs over the sorted value set —
+    (v1,v2),(v2,v3),... — never the quadratic all-pairs. Chains are
+    enough because the pairs only seed a connected-components closure:
+    a chain and a clique have the same components. Output size is
+    linear in the number of colliding values, so a hub key (one email
+    shared by a million accounts) costs a million rows, not 10^12."""
+    g = (
+        facts.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(val_col)).alias("vals"))
+        .where(F.size("vals") > 1)
+    )
+    return g.select(
+        F.explode(
+            F.expr(
+                "transform(slice(vals, 1, size(vals)-1),"
+                " (v, i) -> struct(v as a_id, vals[i+1] as b_id))"
+            )
+        ).alias("pr")
+    ).select("pr.a_id", "pr.b_id")
+
+
+def same_as_pairs(
+    facts: DataFrame,
+    functional: list[str],
+    inverse_functional: list[str],
+) -> DataFrame:
+    """OWL-RL prp-fp / prp-ifp: the owl:sameAs pairs one round of the
+    equality rules derives from ``facts``.
+
+    prp-fp  (functional p):         (s,p,o1) ∧ (s,p,o2) → o1 sameAs o2
+    prp-ifp (inverse-functional p): (s1,p,o) ∧ (s2,p,o) → s1 sameAs s2
+
+    Each is one predicate-pruned scan + one hash aggregate keyed on
+    (subject, predicate) / (predicate, object); collisions come back as
+    linear adjacent chains (see :func:`_adjacent_value_pairs`)."""
+    parts = []
+    if functional:
+        parts.append(
+            _adjacent_value_pairs(
+                facts.where(F.col("predicate").isin(functional)),
+                ["subj", "predicate"],
+                "obj",
+            )
+        )
+    if inverse_functional:
+        parts.append(
+            _adjacent_value_pairs(
+                facts.where(F.col("predicate").isin(inverse_functional)),
+                ["obj", "predicate"],
+                "subj",
+            )
+        )
+    if not parts:
+        return facts.sparkSession.createDataFrame(
+            [], "a_id string, b_id string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def owl_equality_entailment(
+    facts: DataFrame,
+    ontology: DataFrame,
+    max_outer: int = 8,
+    same_as_predicate: str = "sameAs",
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL-RL equality rules to FIXPOINT: prp-fp / prp-ifp derive
+    owl:sameAs pairs, eq-sym/eq-trans close them into components
+    (min-label canonical representative — the entity-linking CC
+    machinery), and eq-rep rewrites every fact's subject and object to
+    its representative. Rewriting CASCADES: merging two subjects can
+    put two objects under one functional key, deriving new sameAs
+    pairs one level up — the classic equality chain (shared email
+    merges accounts → merged account's functional 'primary city'
+    merges cities → merged city's functional region merges regions).
+    Each outer round pays one derive + one CC + two mapping joins;
+    the loop exits the first time no new pair appears, after at most
+    chain-depth productive rounds.
+
+    ``ontology`` rows: (p, 'functionalProperty', _) /
+    (p, 'inverseFunctionalProperty', _) — schema-sized, like every
+    ontology input here.
+
+    Returns the REWRITTEN fact table (distinct) UNIONed with one
+    ``(x, sameAs, canonical(x))`` triple per merged non-canonical id —
+    the materialized form a downstream query engine wants: facts speak
+    canonical ids only, the sameAs rows preserve the merge lineage.
+    The mapping joins are plain shuffles on the id (the mapping can be
+    table-sized in adversarial inputs, so no broadcast assumption);
+    canonical ids are the component's lexicographic MIN, so the result
+    is deterministic and independent of partitioning."""
+    from .linking import connected_components
+
+    onto = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    rows = [tuple(r) for r in onto]
+    fp = _declared(rows, "functionalProperty")
+    ifp = _declared(rows, "inverseFunctionalProperty")
+
+    cols = ["subj", "predicate", "obj"]
+    cur = facts.select(*cols).distinct().localCheckpoint(eager=True)
+    spark = facts.sparkSession
+    mapping = spark.createDataFrame([], "orig string, canon string")
+    for _ in range(max_outer):
+        pairs = same_as_pairs(cur, fp, ifp).localCheckpoint(eager=True)
+        if pairs.isEmpty():
+            break
+        verts = (
+            pairs.select(F.col("a_id").alias("mention_id"))
+            .unionByName(pairs.select(F.col("b_id").alias("mention_id")))
+            .distinct()
+        )
+        m2 = (
+            connected_components(verts, pairs)
+            .where(F.col("component_id") != F.col("mention_id"))
+            .select(
+                F.col("mention_id").alias("m_id"),
+                F.col("component_id").alias("m_canon"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.join(m2, cur["subj"] == m2["m_id"], "left")
+            .select(
+                F.coalesce("m_canon", "subj").alias("subj"),
+                "predicate",
+                "obj",
+            )
+            .join(m2, F.col("obj") == m2["m_id"], "left")
+            .select(
+                "subj",
+                "predicate",
+                F.coalesce("m_canon", "obj").alias("obj"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # compose the cumulative orig->canonical mapping: existing
+        # targets re-route through m2; m2's own keys (previous-round
+        # canonicals or fresh ids) join in as new orig entries.
+        mapping = (
+            mapping.join(m2, mapping["canon"] == m2["m_id"], "left")
+            .select(
+                "orig", F.coalesce("m_canon", "canon").alias("canon")
+            )
+            .unionByName(
+                m2.select(
+                    F.col("m_id").alias("orig"),
+                    F.col("m_canon").alias("canon"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    same_rows = mapping.select(
+        F.col("orig").alias("subj"),
+        F.lit(same_as_predicate).alias("predicate"),
+        F.col("canon").alias("obj"),
+    )
+    return cur.unionByName(same_rows).distinct()
+
+
+def owl_equality_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+    same_as_predicate: str = "sameAs",
+) -> set[tuple[str, str, str]]:
+    """Independent naive fixpoint (union-find, all-pairs derivation —
+    not chains, not min-label-propagation) for
+    :func:`owl_equality_entailment` exactness tests."""
+    fp = set(_declared(list(ontology), "functionalProperty"))
+    ifp = set(_declared(list(ontology), "inverseFunctionalProperty"))
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        lo, hi = min(ra, rb), max(ra, rb)  # lexicographic canonical
+        parent[hi] = lo
+
+    cur = {tuple(f) for f in facts}
+    while True:
+        groups: dict[tuple, set[str]] = defaultdict(set)
+        for s, p, o in cur:
+            if p in fp:
+                groups[("fp", s, p)].add(o)
+            if p in ifp:
+                groups[("ifp", p, o)].add(s)
+        changed = False
+        for vals in groups.values():
+            vs = sorted(vals)
+            for a, b in zip(vs, vs[1:]):
+                if find(a) != find(b):
+                    union(a, b)
+                    changed = True
+        if not changed:
+            break
+        cur = {(find(s), p, find(o)) for s, p, o in cur}
+    out = set(cur)
+    for x in list(parent):
+        if find(x) != x:
+            out.add((x, same_as_predicate, find(x)))
+    return out
+
+
 def rdfs_entailment_increment(
     existing: DataFrame,
     new_facts: DataFrame,

@@ -5125,6 +5125,306 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL prp-trp (operators/ontology.py:owl_transitive_entailment):
+    one predicate-keyed semi-naive DOUBLING loop closes every declared
+    owl:TransitiveProperty — here a reports_to ancestor TREE (customer
+    c -> c//2, depth ~log2 n) and a planted peer_next RING over every
+    97th customer (the wrap edge makes it cyclic: termination comes
+    from the anti-join, not the data) — while undeclared in_region
+    facts pass through unclosed. Rounds are log2(diameter): the chain
+    length the frontier reaches doubles each round, so the plan pays
+    ~4 join+anti-join rounds at any SF instead of diameter-many.
+    DuckDB replays both closures with a recursive UNION CTE (distinct
+    recursion is its cycle-safety) and the ring successor with the
+    same lead()-with-wrap window."""
+    from pyspark.sql.window import Window
+
+    from ..operators.ontology import owl_transitive_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    reports = cust.where(ck >= 2).select(
+        (ck * 4).cast("string").alias("subj"),
+        F.lit("reports_to").alias("predicate"),
+        (F.floor(ck / 2) * 4).cast("string").alias("obj"),
+    )
+    mult = cust.where(ck % 97 == 0).select(ck.alias("k"))
+    w = Window.orderBy("k")
+    ring = mult.select(
+        (F.col("k") * 4).cast("string").alias("subj"),
+        F.lit("peer_next").alias("predicate"),
+        (
+            F.coalesce(
+                F.lead("k").over(w),
+                F.min("k").over(Window.partitionBy()),
+            )
+            * 4
+        ).cast("string").alias("obj"),
+    )
+    region = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") * 4 + 2)
+        .cast("string").alias("subj"),
+        F.lit("in_region").alias("predicate"),
+        (F.col("n_regionkey").cast("long") * 4 + 3)
+        .cast("string").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [
+            ("reports_to", "transitiveProperty", "reports_to"),
+            ("peer_next", "transitiveProperty", "peer_next"),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_transitive_entailment(
+        reports.unionByName(ring).unionByName(region), onto
+    ).orderBy("subj", "predicate", "obj")
+
+
+_KG_OWL_TRANSITIVE_SQL = """
+WITH RECURSIVE
+reports AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS s,
+         cast((cast(c_custkey AS BIGINT) // 2) * 4 AS VARCHAR) AS o
+  FROM customer WHERE c_custkey >= 2
+),
+mult AS (
+  SELECT cast(c_custkey AS BIGINT) AS k FROM customer
+  WHERE c_custkey % 97 = 0
+),
+ring AS (
+  SELECT cast(k * 4 AS VARCHAR) AS s,
+         cast(coalesce(lead(k) OVER (ORDER BY k),
+                       min(k) OVER ()) * 4 AS VARCHAR) AS o
+  FROM mult
+),
+rtc AS (
+  SELECT s, o FROM reports
+  UNION
+  SELECT rtc.s, r.o FROM rtc JOIN reports r ON r.s = rtc.o
+),
+ptc AS (
+  SELECT s, o FROM ring
+  UNION
+  SELECT ptc.s, r.o FROM ptc JOIN ring r ON r.s = ptc.o
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, 'reports_to' AS predicate, o AS obj FROM rtc
+  UNION ALL
+  SELECT s, 'peer_next', o FROM ptc
+  UNION ALL
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR),
+         'in_region',
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR)
+  FROM nation
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_owl_rl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OWL-RL fixpoint (operators/ontology.py:owl_rl_entailment):
+    the linear<->transitive ALTERNATION on a graph built to need it —
+    manages is a subPROPERTY of the transitive reports_to (rdfs7 must
+    run BEFORE the closure or half the tree edges are missing), and
+    reports_to is itself a subproperty of within_org, so every
+    closure-DERIVED pair must re-enter the linear pass to emit its
+    within_org twin (plus domain/range typing up the class
+    hierarchy). Two outer rounds converge; the transitive re-pass in
+    round 2 sees only the linear delta. The DuckDB oracle composes the
+    same three stages declaratively: map manages in, one recursive
+    closure, then project superproperty + typing off the closed set."""
+    from ..operators.ontology import owl_rl_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    base = cust.where(ck >= 2).select(
+        (ck * 4).cast("string").alias("subj"),
+        F.when(ck % 2 == 0, F.lit("manages"))
+        .otherwise(F.lit("reports_to")).alias("predicate"),
+        (F.floor(ck / 2) * 4).cast("string").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [
+            ("manages", "subPropertyOf", "reports_to"),
+            ("reports_to", "transitiveProperty", "reports_to"),
+            ("reports_to", "subPropertyOf", "within_org"),
+            ("reports_to", "domain", "Employee"),
+            ("within_org", "range", "Colleague"),
+            ("Employee", "subClassOf", "Person"),
+            ("Colleague", "subClassOf", "Person"),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_rl_entailment(base, onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+_KG_OWL_RL_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT cast(c_custkey AS BIGINT) AS c FROM customer WHERE c_custkey >= 2
+),
+asserted AS (
+  SELECT cast(c * 4 AS VARCHAR) AS s,
+         CASE WHEN c % 2 = 0 THEN 'manages' ELSE 'reports_to' END AS p,
+         cast((c // 2) * 4 AS VARCHAR) AS o
+  FROM base
+),
+-- rdfs7: manages feeds reports_to BEFORE the closure
+rt0 AS (SELECT s, o FROM asserted),
+tc AS (
+  SELECT s, o FROM rt0
+  UNION
+  SELECT tc.s, r.o FROM tc JOIN rt0 r ON r.s = tc.o
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, p AS predicate, o AS obj FROM asserted
+  UNION ALL
+  SELECT s, 'reports_to', o FROM tc
+  UNION ALL
+  SELECT s, 'within_org', o FROM tc
+  UNION ALL
+  SELECT s, 'type', 'Employee' FROM tc
+  UNION ALL
+  SELECT s, 'type', 'Person' FROM tc
+  UNION ALL
+  SELECT o, 'type', 'Colleague' FROM tc
+  UNION ALL
+  SELECT o, 'type', 'Person' FROM tc
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_owl_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL equality rules (operators/ontology.py:
+    owl_equality_entailment): prp-ifp on a planted shared-email
+    property (every customer's email is 'email_<custkey mod 97>', so
+    residue classes merge), then the CASCADE the fixpoint exists for —
+    the merged customer's FUNCTIONAL primary_nation now holds every
+    classmate's nation, merging nations (prp-fp), and the merged
+    nation's functional in_region merges regions. Three productive
+    rounds, each one derive + one CC + two mapping joins; canonical =
+    the component's lexicographic MIN id string. The DuckDB oracle
+    replays the cascade STAGED (window-min residue classes, then two
+    recursive reachability closures) — independent of the operator's
+    loop structure."""
+    from ..operators.ontology import owl_equality_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    cid = (ck * 4).cast("string")
+    nid_of_cust = (F.col("c_nationkey").cast("long") * 4 + 2).cast("string")
+    emails = cust.select(
+        cid.alias("subj"),
+        F.lit("registered_email").alias("predicate"),
+        F.concat(F.lit("email_"), (ck % 97).cast("string")).alias("obj"),
+    )
+    prim = cust.select(
+        cid.alias("subj"),
+        F.lit("primary_nation").alias("predicate"),
+        nid_of_cust.alias("obj"),
+    )
+    region = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") * 4 + 2)
+        .cast("string").alias("subj"),
+        F.lit("in_region").alias("predicate"),
+        (F.col("n_regionkey").cast("long") * 4 + 3)
+        .cast("string").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [
+            ("registered_email", "inverseFunctionalProperty", "x"),
+            ("primary_nation", "functionalProperty", "x"),
+            ("in_region", "functionalProperty", "x"),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_equality_entailment(
+        emails.unionByName(prim).unionByName(region), onto
+    ).orderBy("subj", "predicate", "obj")
+
+
+_KG_OWL_SAMEAS_SQL = """
+WITH RECURSIVE
+cid AS (
+  SELECT cast(c_custkey AS BIGINT) AS c,
+         cast(c_nationkey AS BIGINT) AS n,
+         cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS id,
+         cast(c_custkey AS BIGINT) % 97 AS res
+  FROM customer
+),
+c_can AS (
+  SELECT c, n, id, res, min(id) OVER (PARTITION BY res) AS can FROM cid
+),
+nlink AS (
+  SELECT DISTINCT a.n AS n1, b.n AS n2
+  FROM c_can a JOIN c_can b ON a.res = b.res AND a.n <> b.n
+),
+nreach AS (
+  SELECT n1 AS src, n2 AS dst FROM nlink
+  UNION
+  SELECT r.src, l.n2 FROM nreach r JOIN nlink l ON l.n1 = r.dst
+),
+n_all AS (SELECT cast(n_nationkey AS BIGINT) AS n FROM nation),
+n_can AS (
+  SELECT a.n,
+         min(cast(x.dst * 4 + 2 AS VARCHAR)) AS can
+  FROM n_all a
+  JOIN (SELECT src, dst FROM nreach
+        UNION SELECT n, n FROM n_all) x ON x.src = a.n
+  GROUP BY a.n
+),
+rlink AS (
+  SELECT DISTINCT cast(x.n_regionkey AS BIGINT) AS r1,
+                  cast(y.n_regionkey AS BIGINT) AS r2
+  FROM nation x
+  JOIN n_can ncx ON ncx.n = cast(x.n_nationkey AS BIGINT)
+  JOIN n_can ncy ON ncy.can = ncx.can
+  JOIN nation y ON cast(y.n_nationkey AS BIGINT) = ncy.n
+  WHERE x.n_regionkey <> y.n_regionkey
+),
+rreach AS (
+  SELECT r1 AS src, r2 AS dst FROM rlink
+  UNION
+  SELECT r.src, l.r2 FROM rreach r JOIN rlink l ON l.r1 = r.dst
+),
+r_all AS (SELECT DISTINCT cast(n_regionkey AS BIGINT) AS r FROM nation),
+r_can AS (
+  SELECT a.r,
+         min(cast(x.dst * 4 + 3 AS VARCHAR)) AS can
+  FROM r_all a
+  JOIN (SELECT src, dst FROM rreach
+        UNION SELECT r, r FROM r_all) x ON x.src = a.r
+  GROUP BY a.r
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT can AS subj, 'registered_email' AS predicate,
+         'email_' || cast(res AS VARCHAR) AS obj
+  FROM c_can
+  UNION ALL
+  SELECT cc.can, 'primary_nation', nc.can
+  FROM c_can cc JOIN n_can nc ON nc.n = cc.n
+  UNION ALL
+  SELECT nc.can, 'in_region', rc.can
+  FROM nation nn
+  JOIN n_can nc ON nc.n = cast(nn.n_nationkey AS BIGINT)
+  JOIN r_can rc ON rc.r = cast(nn.n_regionkey AS BIGINT)
+  UNION ALL
+  SELECT id, 'sameAs', can FROM c_can WHERE id <> can
+  UNION ALL
+  SELECT cast(n * 4 + 2 AS VARCHAR), 'sameAs', can FROM n_can
+  WHERE cast(n * 4 + 2 AS VARCHAR) <> can
+  UNION ALL
+  SELECT cast(r * 4 + 3 AS VARCHAR), 'sameAs', can FROM r_can
+  WHERE cast(r * 4 + 3 AS VARCHAR) <> can
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregates (W3C SPARQL 1.1 §11; operators/graph.py:
     aggregate_bindings): per-region customer counts with COUNT,
@@ -5518,6 +5818,9 @@ def queries() -> dict:
             "kg_path_expr": q_kg_path_expr,
             "kg_bgp_as_of": q_kg_bgp_as_of,
             "kg_owl_entailment": q_kg_owl_entailment,
+            "kg_owl_transitive": q_kg_owl_transitive,
+            "kg_owl_rl_closure": q_kg_owl_rl_closure,
+            "kg_owl_sameas": q_kg_owl_sameas,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -5700,6 +6003,9 @@ def oracle_sql() -> dict:
         "kg_path_expr": _KG_PATH_EXPR_SQL,
         "kg_bgp_as_of": _KG_BGP_AS_OF_SQL,
         "kg_owl_entailment": _owl_entailment_sql(),
+        "kg_owl_transitive": _KG_OWL_TRANSITIVE_SQL,
+        "kg_owl_rl_closure": _KG_OWL_RL_SQL,
+        "kg_owl_sameas": _KG_OWL_SAMEAS_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

@@ -216,3 +216,226 @@ class TestOwlLinearRules:
         got_a = {(r.subj, r.predicate, r.obj) for r in closure_a.collect()}
         got_d = {(r.subj, r.predicate, r.obj) for r in delta.collect()}
         assert got_a | got_d == batch and not (got_a & got_d)
+
+
+class TestOwlTransitive:
+    """prp-trp (owl:TransitiveProperty) and the full OWL-RL fixpoint."""
+
+    TONTO = [
+        ("partOf", "transitiveProperty", "partOf"),
+        ("next", "transitiveProperty", "next"),
+    ]
+    CHAIN = [
+        ("a", "partOf", "b"),
+        ("b", "partOf", "c"),
+        ("c", "partOf", "d"),
+        ("d", "partOf", "e"),
+        ("x", "locatedIn", "y"),  # undeclared: must pass through unclosed
+        ("y", "locatedIn", "z"),
+    ]
+    RING = [("r1", "next", "r2"), ("r2", "next", "r3"), ("r3", "next", "r1")]
+
+    def _trans(self, spark, facts, onto, **kw):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_transitive_entailment,
+        )
+
+        out = owl_transitive_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+            **kw,
+        )
+        return {(r.subj, r.predicate, r.obj) for r in out.collect()}
+
+    def test_matches_python_twin_and_closes_chain(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_transitive_python_twin,
+        )
+
+        got = self._trans(spark, self.CHAIN, self.TONTO)
+        assert got == owl_transitive_python_twin(self.CHAIN, self.TONTO)
+        assert ("a", "partOf", "e") in got
+        # undeclared predicate passes through but is NOT closed
+        assert ("x", "locatedIn", "z") not in got
+        assert ("x", "locatedIn", "y") in got
+
+    def test_cycle_terminates_with_full_reachability(self, spark):
+        got = self._trans(spark, self.RING, self.TONTO)
+        nodes = {"r1", "r2", "r3"}
+        assert {(s, "next", o) for s in nodes for o in nodes} == got
+
+    def test_predicate_isolation(self, spark):
+        # two transitive predicates over shared vertices never mix
+        facts = [("a", "partOf", "b"), ("b", "next", "c")]
+        got = self._trans(spark, facts, self.TONTO)
+        assert got == set(facts)
+
+    def test_round_cap_returns_partial(self, spark):
+        got = self._trans(spark, self.CHAIN, self.TONTO, max_rounds=1)
+        # one doubling round: chains of length <= 2 only
+        assert ("a", "partOf", "c") in got
+        assert ("a", "partOf", "e") not in got
+
+    def test_no_transitive_declaration_is_distinct_identity(self, spark):
+        got = self._trans(spark, self.CHAIN + self.CHAIN[:1], ONTO)
+        assert got == set(self.CHAIN)
+
+    def test_increment_equals_batch_and_is_disjoint(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_transitive_entailment,
+            owl_transitive_increment,
+        )
+
+        onto = _df(spark, self.TONTO, "s string, p string, o string")
+        sch = "subj string, predicate string, obj string"
+        # existing = closure of the first half; new = the bridging rest
+        first, rest = self.CHAIN[:2], self.CHAIN[2:]
+        existing = owl_transitive_entailment(_df(spark, first, sch), onto)
+        inc = owl_transitive_increment(
+            existing, _df(spark, rest, sch), onto
+        )
+        inc_set = {(r.subj, r.predicate, r.obj) for r in inc.collect()}
+        exi_set = {(r.subj, r.predicate, r.obj) for r in existing.collect()}
+        batch = self._trans(spark, self.CHAIN, self.TONTO)
+        assert exi_set | inc_set == batch
+        assert exi_set & inc_set == set()
+        # the genuinely compositional pair (old segment + new edge)
+        assert ("a", "partOf", "e") in inc_set
+
+    def test_owl_rl_fixpoint_needs_the_alternation(self, spark):
+        """subPropertyOf FEEDS the transitive predicate, and
+        closure-derived pairs trigger typing — both directions of the
+        linear<->transitive alternation in one graph."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_rl_entailment,
+            owl_rl_python_twin,
+            rdfs_entailment_python_twin,
+        )
+
+        onto = [
+            ("manages", "subPropertyOf", "reportsTo"),
+            ("reportsTo", "transitiveProperty", "reportsTo"),
+            ("reportsTo", "domain", "Employee"),
+            ("Employee", "subClassOf", "Person"),
+        ]
+        facts = [
+            ("a", "manages", "b"),
+            ("b", "reportsTo", "c"),
+            ("c", "manages", "d"),
+        ]
+        out = owl_rl_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        got = {(r.subj, r.predicate, r.obj) for r in out.collect()}
+        assert got == owl_rl_python_twin(facts, onto)
+        # transitive pair only derivable AFTER rdfs7 maps manages in
+        assert ("a", "reportsTo", "d") in got
+        # typing fired on a closure endpoint (c only manages -> its
+        # reportsTo facts exist pre-closure, but a's deep pair needed it)
+        assert ("a", "type", "Person") in got
+        # and the linear pass alone would NOT have found the deep pair
+        lin = rdfs_entailment_python_twin(facts, onto)
+        assert ("a", "reportsTo", "d") not in lin
+
+    def test_owl_rl_without_transitive_equals_linear(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_rl_entailment,
+            rdfs_entailment_python_twin,
+        )
+
+        out = owl_rl_entailment(
+            _df(spark, FACTS, "subj string, predicate string, obj string"),
+            _df(spark, ONTO, "s string, p string, o string"),
+        )
+        got = {(r.subj, r.predicate, r.obj) for r in out.collect()}
+        assert got == rdfs_entailment_python_twin(FACTS, ONTO)
+
+
+class TestOwlEquality:
+    """prp-fp / prp-ifp sameAs derivation + eq-rep rewriting fixpoint."""
+
+    EONTO = [
+        ("email", "inverseFunctionalProperty", "email"),
+        ("born_in", "functionalProperty", "born_in"),
+    ]
+
+    def _run(self, spark, facts, onto, **kw):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_entailment,
+        )
+
+        out = owl_equality_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+            **kw,
+        )
+        return {(r.subj, r.predicate, r.obj) for r in out.collect()}
+
+    def test_ifp_merges_subjects_and_matches_twin(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        facts = [
+            ("a", "email", "x@y"),
+            ("b", "email", "x@y"),
+            ("c", "email", "other"),
+            ("b", "likes", "tea"),
+        ]
+        got = self._run(spark, facts, self.EONTO)
+        assert got == owl_equality_python_twin(facts, self.EONTO)
+        assert ("b", "sameAs", "a") in got
+        assert ("a", "likes", "tea") in got  # eq-rep rewrote the subject
+        assert ("b", "likes", "tea") not in got
+        assert ("c", "email", "other") in got  # untouched id stays
+
+    def test_fp_merges_objects(self, spark):
+        facts = [("a", "born_in", "pari"), ("a", "born_in", "paris")]
+        got = self._run(spark, facts, self.EONTO)
+        assert got == {
+            ("a", "born_in", "pari"),
+            ("paris", "sameAs", "pari"),
+        }
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        """shared email merges people -> merged person's functional
+        born_in merges cities -> merged city's functional in_region
+        merges regions: 3 productive rounds, twin-exact."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        onto = self.EONTO + [("in_region", "functionalProperty", "x")]
+        facts = [
+            ("p1", "email", "e1"),
+            ("p2", "email", "e1"),
+            ("p1", "born_in", "c1"),
+            ("p2", "born_in", "c2"),
+            ("c1", "in_region", "r1"),
+            ("c2", "in_region", "r2"),
+        ]
+        got = self._run(spark, facts, onto)
+        assert got == owl_equality_python_twin(facts, onto)
+        assert ("p2", "sameAs", "p1") in got
+        assert ("c2", "sameAs", "c1") in got
+        assert ("r2", "sameAs", "r1") in got
+        assert ("p1", "born_in", "c1") in got
+        assert ("c1", "in_region", "r1") in got
+
+    def test_transitive_same_key_chain_is_one_component(self, spark):
+        facts = [(s, "email", "e") for s in ("a", "b", "c", "d")]
+        got = self._run(spark, facts, self.EONTO)
+        assert {("b", "sameAs", "a"), ("c", "sameAs", "a"),
+                ("d", "sameAs", "a")} <= got
+
+    def test_no_declarations_is_distinct_identity(self, spark):
+        facts = [("a", "likes", "tea"), ("a", "likes", "tea")]
+        got = self._run(spark, facts, [("p", "subClassOf", "q")])
+        assert got == {("a", "likes", "tea")}
+
+    def test_canonical_is_lexicographic_min(self, spark):
+        # "10" < "9" lexicographically: pin the string-min contract
+        facts = [("9", "email", "e"), ("10", "email", "e")]
+        got = self._run(spark, facts, self.EONTO)
+        assert ("9", "sameAs", "10") in got
