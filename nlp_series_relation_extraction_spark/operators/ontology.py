@@ -438,7 +438,16 @@ def owl_rl_entailment(
     The linear re-pass runs on the transitive DELTA only
     (:func:`rdfs_entailment_increment` — exact because the linear
     rules are one-fact-premise), so outer rounds never rescan the
-    accumulated closure."""
+    accumulated closure.
+
+    ``owl:propertyChainAxiom`` declarations (prp-spo2,
+    :func:`owl_chain_entailment`) join the same fixpoint: when chains
+    are present the non-linear pass runs the generalized
+    :func:`_step_fixpoint` over a persistent WORKSET that keeps the
+    reserved-prefix decomposition intermediates alive across outer
+    rounds — dropping aux pairs between rounds would lose compositions
+    whose left prefix is old and whose tail edge arrives from a later
+    linear delta. Aux pairs never enter the returned closure."""
     onto_rows = ontology.limit(max_ontology_rows + 1).collect()
     if len(onto_rows) > max_ontology_rows:
         raise ValueError(
@@ -446,13 +455,20 @@ def owl_rl_entailment(
             "schema-sized metadata; a table this large is data and "
             "belongs in the facts input"
         )
-    trans = _transitive_pairs([tuple(r) for r in onto_rows])
+    rows = [tuple(r) for r in onto_rows]
+    trans = _transitive_pairs(rows)
+    chains = _chain_axioms(rows)
     closure = rdfs_entailment(
         facts, ontology, type_predicate, max_ontology_rows
     ).localCheckpoint(eager=True)
-    if not trans:
+    if not trans and not chains:
         return closure
     cols = ["subj", "predicate", "obj"]
+    if chains:
+        return _owl_rl_with_chains(
+            closure, ontology, chains, trans, max_rounds, max_outer,
+            type_predicate, max_ontology_rows,
+        )
     # frontier = pairs not yet seen by a transitive pass; round 1 is the
     # whole linear closure (the batch case), later rounds the linear
     # delta only — every still-missing pair must use one of them.
@@ -474,6 +490,61 @@ def owl_rl_entailment(
         ).localCheckpoint(eager=True)
         closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
         frontier = ldelta
+    return closure
+
+
+def _owl_rl_with_chains(
+    closure: DataFrame,
+    ontology: DataFrame,
+    chains: list[tuple[str, list[str]]],
+    trans: list[str],
+    max_rounds: int,
+    max_outer: int,
+    type_predicate: str,
+    max_ontology_rows: int,
+) -> DataFrame:
+    """The chain-bearing body of :func:`owl_rl_entailment`: alternate
+    the linear pass with the generalized step fixpoint. ``work`` is the
+    accumulated step-closed set INCLUDING aux intermediates (kept
+    across outer rounds so prefixes survive); each outer round feeds
+    only the linear delta's involved pairs back in as the semi-naive
+    frontier."""
+    cols = ["subj", "predicate", "obj"]
+    if not closure.where(
+        F.col("predicate").startswith(_CHAIN_AUX_PREFIX)
+    ).isEmpty():
+        raise ValueError(
+            f"facts use the reserved predicate prefix "
+            f"{_CHAIN_AUX_PREFIX!r}"
+        )
+    steps = _chain_steps(chains, trans)
+    involved = _step_input_preds(steps)
+    work = closure.where(F.col("predicate").isin(involved))
+    frontier = work
+    for _ in range(max_outer):
+        work = _step_fixpoint(work, frontier, steps, max_rounds)
+        derived = work.where(
+            ~F.col("predicate").startswith(_CHAIN_AUX_PREFIX)
+        )
+        sdelta = derived.join(
+            closure.select(*cols), cols, "left_anti"
+        ).localCheckpoint(eager=True)
+        if sdelta.isEmpty():
+            break
+        ldelta = rdfs_entailment_increment(
+            closure, sdelta, ontology, type_predicate, max_ontology_rows
+        ).localCheckpoint(eager=True)
+        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        # only linear-delta pairs the step plan can consume, and not
+        # already in the workset (sdelta pairs re-entered via ldelta)
+        frontier = (
+            ldelta.where(F.col("predicate").isin(involved))
+            .join(work, cols, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        work = work.unionByName(frontier).localCheckpoint(eager=True)
     return closure
 
 
@@ -507,19 +578,243 @@ def owl_rl_python_twin(
     ontology: list[tuple[str, str, str]],
     type_predicate: str = TYPE_PREDICATE,
 ) -> set[tuple[str, str, str]]:
-    """Naive outer fixpoint of linear-pass ∘ transitive-pass — the
-    independent oracle for :func:`owl_rl_entailment`."""
+    """Naive outer fixpoint of linear-pass ∘ non-linear-pass — the
+    independent oracle for :func:`owl_rl_entailment` (the non-linear
+    pass is the chain twin, whose transitive handling is the (p,p)
+    special case, so declarations of either kind are covered)."""
     out = rdfs_entailment_python_twin(
         list(facts), list(ontology), type_predicate
     )
     while True:
-        grown = owl_transitive_python_twin(sorted(out), list(ontology))
+        grown = owl_chain_python_twin(sorted(out), list(ontology))
         grown = rdfs_entailment_python_twin(
             sorted(grown), list(ontology), type_predicate
         )
         if grown == out:
             return out
         out = grown
+
+
+_CHAIN_AUX_PREFIX = "__chain__"
+
+
+def _chain_axioms(
+    onto: list[tuple[str, str, str]],
+) -> list[tuple[str, list[str]]]:
+    """``owl:propertyChainAxiom`` declarations from an ontology row
+    list. Convention: row ``(q, "propertyChain", "p1/p2/.../pn")``
+    declares p1 ∘ p2 ∘ ... ∘ pn ⊑ q (OWL 2 RL rule prp-spo2; the '/'
+    separator mirrors the property-path syntax in graph.match_path).
+    Transitivity is the special case q = "p/p" with q == p — declare
+    that via ``transitiveProperty`` instead (handled by prp-trp)."""
+    out: list[tuple[str, list[str]]] = []
+    for s, k, o in onto:
+        if k != "propertyChain":
+            continue
+        parts = str(o).split("/")
+        if len(parts) < 2 or any(not p for p in parts):
+            raise ValueError(
+                f"propertyChain for {s!r} must list >=2 '/'-separated "
+                f"non-empty predicates, got {o!r}"
+            )
+        if any(
+            p.startswith(_CHAIN_AUX_PREFIX) for p in parts + [s]
+        ):
+            raise ValueError(
+                f"predicate prefix {_CHAIN_AUX_PREFIX!r} is reserved "
+                "for chain decomposition intermediates"
+            )
+        out.append((s, parts))
+    return sorted(out)
+
+
+def _chain_steps(
+    chains: list[tuple[str, list[str]]], trans: list[str]
+) -> list[tuple[str, str, str]]:
+    """Decompose chain axioms (plus transitive declarations) into
+    BINARY composition steps ``(left_pred, right_pred, out_pred)``.
+    A length-n chain left-folds through n-2 reserved-prefix
+    intermediate predicates (p1∘p2 ⊑ aux1, aux1∘p3 ⊑ aux2, ...,
+    aux∘pn ⊑ q) — the standard OWL 2 structural transformation — so
+    ONE generic binary-composition plan serves every axiom length.
+    A transitive declaration is exactly the step (p, p, p)."""
+    steps: list[tuple[str, str, str]] = [(p, p, p) for p in trans]
+    for i, (q, parts) in enumerate(chains):
+        prev = parts[0]
+        for j in range(1, len(parts)):
+            out = q if j == len(parts) - 1 else (
+                f"{_CHAIN_AUX_PREFIX}{i}_{j}"
+            )
+            steps.append((prev, parts[j], out))
+            prev = out
+    return steps
+
+
+def _step_fixpoint(
+    acc: DataFrame,
+    delta: DataFrame,
+    steps: list[tuple[str, str, str]],
+    max_rounds: int,
+) -> DataFrame:
+    """Generalization of :func:`_transitive_fixpoint` from the single
+    step (p, p, p) to an arbitrary rule table of binary composition
+    steps: each round derives ``(s, op, o)`` from ``(s, lp, m)`` +
+    ``(m, rp, o)`` for every step ``(lp, rp, op)``, composing the
+    previous delta with the full accumulated set on BOTH sides, then
+    anti-joins what is already known.
+
+    The step table is schema-sized, so it rides along as a BROADCAST
+    join pinned to each side's predicate column; the data join stays
+    keyed on (vertex, predicate) — identical shuffle contract to the
+    transitive loop. Semi-naive soundness needs the same invariant:
+    any true-closure pair missing from ``acc`` must use >=1 ``delta``
+    premise (pairs derivable purely from old facts were derived when
+    those facts were themselves the delta). Cyclic rule tables
+    (q ⊑ p∘q, mutual recursion) terminate via the anti-join exactly
+    like transitive cycles; ``max_rounds`` caps pathological depth and
+    hitting it returns the partial closure, same contract as
+    match_path/forward_chain."""
+    spark = acc.sparkSession
+    steps_df = spark.createDataFrame(
+        steps, "lp string, rp string, op string"
+    )
+    acc = acc.localCheckpoint(eager=True)
+    delta = delta.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        left = (
+            delta.join(
+                F.broadcast(steps_df),
+                delta["predicate"] == steps_df["lp"],
+            )
+            .select("subj", F.col("obj").alias("mid"), "rp", "op")
+            .join(
+                acc.select(
+                    F.col("subj").alias("mid"),
+                    F.col("predicate").alias("rp"),
+                    "obj",
+                ),
+                ["mid", "rp"],
+            )
+        )
+        right = (
+            acc.join(
+                F.broadcast(steps_df),
+                acc["predicate"] == steps_df["lp"],
+            )
+            .select("subj", F.col("obj").alias("mid"), "rp", "op")
+            .join(
+                delta.select(
+                    F.col("subj").alias("mid"),
+                    F.col("predicate").alias("rp"),
+                    "obj",
+                ),
+                ["mid", "rp"],
+            )
+        )
+        delta = (
+            left.unionByName(right)
+            .select("subj", F.col("op").alias("predicate"), "obj")
+            .distinct()
+            .join(acc, ["subj", "predicate", "obj"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if delta.isEmpty():
+            break
+        acc = acc.unionByName(delta).localCheckpoint(eager=True)
+    return acc
+
+
+def _step_input_preds(steps: list[tuple[str, str, str]]) -> list[str]:
+    """Every predicate a step plan can CONSUME — left/right inputs plus
+    outputs (an output can feed a later step: cascading axioms)."""
+    return sorted(
+        {lp for lp, _, _ in steps}
+        | {rp for _, rp, _ in steps}
+        | {op for _, _, op in steps}
+    )
+
+
+def owl_chain_entailment(
+    facts: DataFrame,
+    ontology: DataFrame,
+    max_rounds: int = 20,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL-RL rule prp-spo2 (``owl:propertyChainAxiom``), with prp-trp
+    as its built-in special case: materialize every chain-derived fact
+    (u0 p1 u1, ..., u_{n-1} pn un ⟹ u0 q un) for every declared axiom,
+    to fixpoint — axioms may CASCADE (one axiom's output predicate is
+    another's input) and may be cyclically recursive (q ⊑ p∘q
+    generalizes transitivity), both closed by the same semi-naive
+    doubling loop.
+
+    One generic plan serves all axioms: chains decompose into binary
+    steps (:func:`_chain_steps`), the step table broadcasts, and
+    :func:`_step_fixpoint` iterates composition rounds keyed on
+    (vertex, predicate). Reserved-prefix intermediates never appear in
+    the output. Facts on unmentioned predicates pass through
+    untouched; no declarations means plain distinct.
+
+    Input facts using the reserved ``__chain__`` predicate prefix are
+    rejected loudly rather than silently swallowed by the final
+    aux-filter."""
+    onto = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    rows = [tuple(r) for r in onto]
+    chains = _chain_axioms(rows)
+    trans = _transitive_pairs(rows)
+    base = facts.select("subj", "predicate", "obj").distinct()
+    if not chains and not trans:
+        return base
+    if not base.where(
+        F.col("predicate").startswith(_CHAIN_AUX_PREFIX)
+    ).isEmpty():
+        raise ValueError(
+            f"facts use the reserved predicate prefix "
+            f"{_CHAIN_AUX_PREFIX!r}"
+        )
+    steps = _chain_steps(chains, trans)
+    involved = _step_input_preds(steps)
+    work = base.where(F.col("predicate").isin(involved))
+    closed = _step_fixpoint(work, work, steps, max_rounds).where(
+        ~F.col("predicate").startswith(_CHAIN_AUX_PREFIX)
+    )
+    return base.unionByName(closed).distinct()
+
+
+def owl_chain_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+) -> set[tuple[str, str, str]]:
+    """Naive-fixpoint python twin of :func:`owl_chain_entailment` —
+    independent algorithm: each axiom is applied as one n-way relational
+    compose per round (no binary decomposition, no aux predicates,
+    no semi-naive delta), looped until nothing new."""
+    chains = _chain_axioms(list(ontology))
+    chains += [(p, [p, p]) for p in _transitive_pairs(list(ontology))]
+    out = set(facts)
+    while True:
+        new: set[tuple[str, str, str]] = set()
+        for q, parts in chains:
+            cur = {(s, o) for s, p, o in out if p == parts[0]}
+            for pr in parts[1:]:
+                nxt: dict[str, set[str]] = defaultdict(set)
+                for s, p, o in out:
+                    if p == pr:
+                        nxt[s].add(o)
+                cur = {
+                    (s, o2) for s, o in cur for o2 in nxt.get(o, ())
+                }
+            new |= {(s, q, o) for s, o in cur}
+        new -= out
+        if not new:
+            return out
+        out |= new
 
 
 def _declared(onto: list[tuple[str, str, str]], kind: str) -> list[str]:

@@ -5425,6 +5425,85 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_owl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL prp-spo2 property chains (operators/ontology.py:
+    owl_chain_entailment) over the customer binary tree (parent edges
+    c -> c//2), built to exercise every shape the one generic
+    step-fixpoint plan must close: a length-3 axiom
+    (great_grandparent = parent/parent/parent, forcing the reserved-
+    prefix binary decomposition), a CASCADING axiom (clan_elder =
+    great_grandparent/parent — one axiom's OUTPUT is another's input),
+    and a RECURSIVE axiom (ancestor = parent/ancestor, seeded with
+    asserted ancestor twins of the parent edges — the q <= p . q shape
+    whose fixpoint is transitive closure, closed by the same semi-naive
+    delta loop). The DuckDB oracle replays each axiom natively:
+    ancestor as a recursive CTE, the others as plain 2/3/4-way
+    self-joins — independent of the decomposition."""
+    from ..operators.ontology import owl_chain_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    parent = cust.where(ck >= 2).select(
+        (ck * 4).cast("string").alias("subj"),
+        F.lit("parent").alias("predicate"),
+        (F.floor(ck / 2) * 4).cast("string").alias("obj"),
+    )
+    seed = parent.select(
+        "subj", F.lit("ancestor").alias("predicate"), "obj"
+    )
+    onto = spark.createDataFrame(
+        [
+            ("ancestor", "propertyChain", "parent/ancestor"),
+            (
+                "great_grandparent",
+                "propertyChain",
+                "parent/parent/parent",
+            ),
+            ("clan_elder", "propertyChain", "great_grandparent/parent"),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_chain_entailment(parent.unionByName(seed), onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+_KG_OWL_CHAIN_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT cast(c_custkey AS BIGINT) AS c FROM customer WHERE c_custkey >= 2
+),
+parent AS (
+  SELECT cast(c * 4 AS VARCHAR) AS s, cast((c // 2) * 4 AS VARCHAR) AS o
+  FROM base
+),
+anc AS (
+  SELECT s, o FROM parent
+  UNION
+  SELECT p.s, a.o FROM parent p JOIN anc a ON a.s = p.o
+),
+ggp AS (
+  SELECT p1.s, p3.o
+  FROM parent p1
+  JOIN parent p2 ON p2.s = p1.o
+  JOIN parent p3 ON p3.s = p2.o
+),
+elder AS (
+  SELECT g.s, p.o FROM ggp g JOIN parent p ON p.s = g.o
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, 'parent' AS predicate, o AS obj FROM parent
+  UNION ALL
+  SELECT s, 'ancestor', o FROM anc
+  UNION ALL
+  SELECT s, 'great_grandparent', o FROM ggp
+  UNION ALL
+  SELECT s, 'clan_elder', o FROM elder
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregates (W3C SPARQL 1.1 §11; operators/graph.py:
     aggregate_bindings): per-region customer counts with COUNT,
@@ -5821,6 +5900,7 @@ def queries() -> dict:
             "kg_owl_transitive": q_kg_owl_transitive,
             "kg_owl_rl_closure": q_kg_owl_rl_closure,
             "kg_owl_sameas": q_kg_owl_sameas,
+            "kg_owl_chain": q_kg_owl_chain,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6006,6 +6086,7 @@ def oracle_sql() -> dict:
         "kg_owl_transitive": _KG_OWL_TRANSITIVE_SQL,
         "kg_owl_rl_closure": _KG_OWL_RL_SQL,
         "kg_owl_sameas": _KG_OWL_SAMEAS_SQL,
+        "kg_owl_chain": _KG_OWL_CHAIN_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

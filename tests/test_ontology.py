@@ -352,6 +352,206 @@ class TestOwlTransitive:
         assert got == rdfs_entailment_python_twin(FACTS, ONTO)
 
 
+class TestOwlChains:
+    """prp-spo2 (owl:propertyChainAxiom) — the generalized step
+    fixpoint, aux decomposition hygiene, cascade/recursion semantics,
+    and the chain-bearing owl_rl alternation."""
+
+    def _chain(self, spark, facts, onto, **kw):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_chain_entailment,
+        )
+
+        out = owl_chain_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+            **kw,
+        )
+        return {(r.subj, r.predicate, r.obj) for r in out.collect()}
+
+    def test_length2_chain_matches_twin(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_chain_python_twin,
+        )
+
+        onto = [("uncle", "propertyChain", "parent/brother")]
+        facts = [
+            ("ann", "parent", "bob"),
+            ("bob", "brother", "carl"),
+            ("bob", "brother", "dave"),
+            ("x", "parent", "y"),  # no matching tail: derives nothing
+        ]
+        got = self._chain(spark, facts, onto)
+        assert got == owl_chain_python_twin(facts, onto)
+        assert ("ann", "uncle", "carl") in got
+        assert ("ann", "uncle", "dave") in got
+        assert not any(s == "x" and p == "uncle" for s, p, _ in got)
+
+    def test_length3_chain_hides_aux_predicates(self, spark):
+        onto = [("zone", "propertyChain", "in_city/in_country/in_zone")]
+        facts = [
+            ("shop", "in_city", "paris"),
+            ("paris", "in_country", "france"),
+            ("france", "in_zone", "emea"),
+        ]
+        got = self._chain(spark, facts, onto)
+        assert ("shop", "zone", "emea") in got
+        assert not any(p.startswith("__chain__") for _, p, _ in got)
+        # the length-2 PREFIX alone derives nothing visible
+        assert ("shop", "zone", "france") not in got
+
+    def test_cascading_axioms_close_to_fixpoint(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_chain_python_twin,
+        )
+
+        onto = [
+            ("located", "propertyChain", "works_in/based_in"),
+            ("zoned", "propertyChain", "located/in_zone"),
+        ]
+        facts = [
+            ("alice", "works_in", "acme"),
+            ("acme", "based_in", "paris"),
+            ("paris", "in_zone", "emea"),
+        ]
+        got = self._chain(spark, facts, onto)
+        assert got == owl_chain_python_twin(facts, onto)
+        assert ("alice", "located", "paris") in got
+        assert ("alice", "zoned", "emea") in got  # consumed axiom 1's output
+
+    def test_recursive_chain_equals_transitive_operator(self, spark):
+        """q ⊑ p∘p with q == p IS transitivity: the generic step machine
+        and the dedicated prp-trp loop must agree exactly."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_transitive_entailment,
+        )
+
+        facts = [(f"v{i}", "partOf", f"v{i+1}") for i in range(6)]
+        chain_got = self._chain(
+            spark, facts, [("partOf", "propertyChain", "partOf/partOf")]
+        )
+        tdf = owl_transitive_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, [("partOf", "transitiveProperty", "partOf")],
+                "s string, p string, o string"),
+        )
+        assert chain_got == {(r.subj, r.predicate, r.obj) for r in tdf.collect()}
+        assert ("v0", "partOf", "v6") in chain_got
+
+    def test_mixed_trans_and_chain_declarations(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_chain_python_twin,
+        )
+
+        onto = [
+            ("within", "transitiveProperty", "within"),
+            ("sited", "propertyChain", "based_in/within"),
+        ]
+        facts = [
+            ("acme", "based_in", "paris"),
+            ("paris", "within", "france"),
+            ("france", "within", "europe"),
+        ]
+        got = self._chain(spark, facts, onto)
+        assert got == owl_chain_python_twin(facts, onto)
+        # the chain consumes a CLOSED within pair
+        assert ("acme", "sited", "europe") in got
+
+    def test_reserved_prefix_and_bad_declarations_raise(self, spark):
+        import pytest as _pytest
+
+        # a chain COMPONENT using the reserved prefix
+        with _pytest.raises(ValueError, match="reserved"):
+            self._chain(
+                spark,
+                [("a", "__chain__evil", "b"), ("b", "p", "c")],
+                [("q", "propertyChain", "__chain__evil/p")],
+            )
+        # facts carrying the reserved prefix are rejected loudly
+        with _pytest.raises(ValueError, match="reserved"):
+            self._chain(
+                spark,
+                [("a", "__chain__0_1", "b"), ("a", "p", "b"),
+                 ("b", "q", "c")],
+                [("r", "propertyChain", "p/q")],
+            )
+        with _pytest.raises(ValueError, match=">=2"):
+            self._chain(
+                spark, [("a", "p", "b")], [("q", "propertyChain", "p")]
+            )
+
+    def test_no_declarations_is_distinct_identity(self, spark):
+        facts = [("a", "p", "b"), ("a", "p", "b")]
+        assert self._chain(spark, facts, ONTO) == {("a", "p", "b")}
+
+    def test_owl_rl_alternation_through_chains(self, spark):
+        """Linear rules FEED a chain input (rdfs7), the chain output
+        TRIGGERS typing (range) and a transitive predicate consumes a
+        chain-derived pair — all three feedback directions in one
+        graph, pinned against the naive python fixpoint."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_rl_entailment,
+            owl_rl_python_twin,
+            rdfs_entailment_python_twin,
+        )
+
+        onto = [
+            ("manages", "subPropertyOf", "works_in"),
+            ("located", "propertyChain", "works_in/based_in"),
+            ("located", "range", "Place"),
+            ("within", "transitiveProperty", "within"),
+            ("sited", "propertyChain", "located/within"),
+        ]
+        facts = [
+            ("alice", "manages", "acme"),
+            ("acme", "based_in", "paris"),
+            ("paris", "within", "france"),
+            ("france", "within", "europe"),
+        ]
+        out = owl_rl_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        got = {(r.subj, r.predicate, r.obj) for r in out.collect()}
+        assert got == owl_rl_python_twin(facts, onto)
+        assert ("alice", "works_in", "acme") in got      # rdfs7
+        assert ("alice", "located", "paris") in got      # chain on derived
+        assert ("paris", "type", "Place") in got         # typing on chain output
+        assert ("alice", "sited", "europe") in got       # chain on closed within
+        assert not any(p.startswith("__chain__") for _, p, _ in got)
+        lin = rdfs_entailment_python_twin(facts, onto)
+        assert ("alice", "located", "paris") not in lin
+
+    def test_owl_rl_late_tail_edge_uses_old_aux_prefix(self, spark):
+        """The workset keeps aux intermediates alive across outer
+        rounds: a length-3 chain whose TAIL edge only appears via a
+        later linear delta still completes."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_rl_entailment,
+            owl_rl_python_twin,
+        )
+
+        onto = [
+            ("zone", "propertyChain", "in_city/in_country/in_zone"),
+            ("zoneDecl", "subPropertyOf", "in_zone"),
+            # in_zone facts only exist AFTER the chain derives a first
+            # zone pair that types through... keep it simpler: the
+            # tail edge arrives as a subproperty that rdfs7 maps in.
+        ]
+        facts = [
+            ("shop", "in_city", "paris"),
+            ("paris", "in_country", "france"),
+            ("france", "zoneDecl", "emea"),
+        ]
+        out = owl_rl_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        got = {(r.subj, r.predicate, r.obj) for r in out.collect()}
+        assert got == owl_rl_python_twin(facts, onto)
+        assert ("shop", "zone", "emea") in got
+
+
 class TestOwlEquality:
     """prp-fp / prp-ifp sameAs derivation + eq-rep rewriting fixpoint."""
 
