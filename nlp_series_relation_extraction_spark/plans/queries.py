@@ -5504,6 +5504,78 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_owl_rl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-bearing OWL-RL fixpoint (operators/ontology.py:
+    _owl_rl_with_chains via owl_rl_entailment): the linear<->non-linear
+    ALTERNATION where the non-linear pass is a property CHAIN, built so
+    each direction feeds the other — manages is a subPROPERTY of
+    reports_to (rdfs7 must run before the chain or no skip_level pairs
+    exist), the chain reports_to/reports_to => skip_level composes the
+    linear output, and skip_level is itself a subproperty of oversight
+    with domain typing, so every CHAIN-derived pair re-enters the
+    linear pass (outer round 2). The DuckDB oracle stages the same
+    derivation declaratively: map manages in, one 2-way self-join for
+    the chain, then project superproperty + typing off the composed
+    set — acyclic, so no recursion needed, independent of the
+    operator's semi-naive loop."""
+    from ..operators.ontology import owl_rl_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    base = cust.where(ck >= 2).select(
+        (ck * 4).cast("string").alias("subj"),
+        F.when(ck % 2 == 0, F.lit("manages"))
+        .otherwise(F.lit("reports_to")).alias("predicate"),
+        (F.floor(ck / 2) * 4).cast("string").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [
+            ("manages", "subPropertyOf", "reports_to"),
+            ("skip_level", "propertyChain", "reports_to/reports_to"),
+            ("skip_level", "subPropertyOf", "oversight"),
+            ("skip_level", "domain", "Manager"),
+            ("Manager", "subClassOf", "Employee"),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_rl_entailment(base, onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+_KG_OWL_RL_CHAIN_SQL = """
+WITH
+base AS (
+  SELECT cast(c_custkey AS BIGINT) AS c FROM customer WHERE c_custkey >= 2
+),
+asserted AS (
+  SELECT cast(c * 4 AS VARCHAR) AS s,
+         CASE WHEN c % 2 = 0 THEN 'manages' ELSE 'reports_to' END AS p,
+         cast((c // 2) * 4 AS VARCHAR) AS o
+  FROM base
+),
+-- rdfs7 BEFORE the chain: every asserted edge is a reports_to edge
+rt AS (SELECT s, o FROM asserted),
+skip AS (
+  SELECT a.s, b.o FROM rt a JOIN rt b ON b.s = a.o
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, p AS predicate, o AS obj FROM asserted
+  UNION ALL
+  SELECT s, 'reports_to', o FROM asserted WHERE p = 'manages'
+  UNION ALL
+  SELECT s, 'skip_level', o FROM skip
+  UNION ALL
+  SELECT s, 'oversight', o FROM skip
+  UNION ALL
+  SELECT s, 'type', 'Manager' FROM skip
+  UNION ALL
+  SELECT s, 'type', 'Employee' FROM skip
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregates (W3C SPARQL 1.1 §11; operators/graph.py:
     aggregate_bindings): per-region customer counts with COUNT,
@@ -5901,6 +5973,7 @@ def queries() -> dict:
             "kg_owl_rl_closure": q_kg_owl_rl_closure,
             "kg_owl_sameas": q_kg_owl_sameas,
             "kg_owl_chain": q_kg_owl_chain,
+            "kg_owl_rl_chain": q_kg_owl_rl_chain,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6087,6 +6160,7 @@ def oracle_sql() -> dict:
         "kg_owl_rl_closure": _KG_OWL_RL_SQL,
         "kg_owl_sameas": _KG_OWL_SAMEAS_SQL,
         "kg_owl_chain": _KG_OWL_CHAIN_SQL,
+        "kg_owl_rl_chain": _KG_OWL_RL_CHAIN_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
