@@ -1581,6 +1581,64 @@ def construct_triples(
     return _head_triples(b, template).distinct()
 
 
+def sparql_update(
+    edges: DataFrame,
+    where: list[tuple[str, str, str]],
+    delete: list[tuple[str, str, str]] | None = None,
+    insert: list[tuple[str, str, str]] | None = None,
+    optional: list[tuple[str, str, str]] | None = None,
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 Update ``DELETE/INSERT WHERE`` (W3C SPARQL 1.1 Update
+    section 3.1.3) as a pure graph-to-graph transform: evaluate the WHERE
+    group ONCE against the input graph, instantiate the DELETE and
+    INSERT templates from the SAME solution set, and return
+    ``(graph MINUS delete-set) UNION insert-set`` -- the spec's order (both
+    template sets are computed against the pre-update graph, so an
+    inserted triple can never feed its own deletion and vice versa).
+    The KG-maintenance primitive: retire superseded facts and write
+    their replacements in one atomic derivation.
+
+    Templates are CONSTRUCT-style ``(s, p, o)`` terms -- ``?var`` pulls
+    the binding column, anything else is a constant. Per the spec,
+    solutions leaving a template variable unbound (possible via
+    ``optional``) instantiate NO triple for that template -- projected
+    rows with nulls drop. RDF graphs are SETS: the input is
+    set-normalized first, so the result is duplicate-free regardless of
+    input multiplicity.
+
+    Plan shape: match_bgp's folded pushed-filter joins, one left_anti
+    on the full (s, p, o) key for the difference, one union + distinct
+    for the insert -- two key-shuffles total, both on the same key a
+    publish-time dedup already pays; no driver-side state. ``edges``
+    columns beyond the triple key are dropped (an update yields a
+    graph, not an annotated edge table)."""
+    if not delete and not insert:
+        raise ValueError(
+            "sparql_update: at least one of delete/insert templates "
+            "is required"
+        )
+    cols = ["subj_entity_id", "predicate", "obj_entity_id"]
+    bindings = match_bgp(edges, where, optional=optional, filters=filters)
+
+    def template_set(templates):
+        parts = [
+            _head_triples(bindings, t).na.drop(subset=cols)
+            for t in templates
+        ]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct()
+
+    out = edges.select(*cols).distinct()
+    if delete:
+        out = out.join(template_set(delete), cols, "left_anti")
+    if insert:
+        out = out.unionByName(template_set(insert)).distinct()
+    return out
+
+
 def forward_chain(
     edges: DataFrame,
     rules: list[tuple[list[tuple[str, str, str]], tuple[str, str, str]]],

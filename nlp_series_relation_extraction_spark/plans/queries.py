@@ -5504,6 +5504,67 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update DELETE/INSERT WHERE (operators/graph.py:
+    sparql_update) over the TPC-H hierarchy graph: customers whose
+    nation sits in region 3 are re-homed — their cust_in_nation edge is
+    RETIRED and replaced by a cust_in_region shortcut plus a
+    was_in_nation provenance edge (two insert templates from one
+    solution set). Everything else (other regions' customers, supplier
+    and nation edges) passes through untouched. The DuckDB oracle
+    replays the spec order declaratively: matched = the WHERE join,
+    result = edges anti-joined on the delete set UNION the two
+    template projections."""
+    from ..operators.graph import sparql_update
+
+    out = sparql_update(
+        _hierarchy_edges(spark, sf_dir),
+        where=[("?c", "cust_in_nation", "?n"), ("?n", "in_region", "3")],
+        delete=[("?c", "cust_in_nation", "?n")],
+        insert=[
+            ("?c", "cust_in_region", "3"),
+            ("?c", "was_in_nation", "?n"),
+        ],
+    )
+    return out.orderBy("subj_entity_id", "predicate", "obj_entity_id")
+
+
+_KG_SPARQL_UPDATE_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS c,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM customer
+), supp AS (
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1 AS s,
+         cast(s_nationkey AS BIGINT) * 4 + 2 AS n
+  FROM supplier
+), reg AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS n,
+         cast(n_regionkey AS BIGINT) * 4 + 3 AS r
+  FROM nation
+), edges AS (
+  SELECT c AS s, 'cust_in_nation' AS p, n AS o FROM cust
+  UNION ALL
+  SELECT s, 'supp_in_nation', n FROM supp
+  UNION ALL
+  SELECT n, 'in_region', r FROM reg
+), matched AS (
+  SELECT cust.c, cust.n FROM cust JOIN reg ON reg.n = cust.n AND reg.r = 3
+)
+SELECT DISTINCT subj_entity_id, predicate, obj_entity_id FROM (
+  SELECT s AS subj_entity_id, p AS predicate, o AS obj_entity_id
+  FROM edges e
+  WHERE NOT (p = 'cust_in_nation' AND EXISTS (
+    SELECT 1 FROM matched m WHERE m.c = e.s AND m.n = e.o))
+  UNION ALL
+  SELECT c, 'cust_in_region', 3 FROM matched
+  UNION ALL
+  SELECT c, 'was_in_nation', n FROM matched
+)
+ORDER BY subj_entity_id, predicate, obj_entity_id
+"""
+
+
 def q_kg_owl_rl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain-bearing OWL-RL fixpoint (operators/ontology.py:
     _owl_rl_with_chains via owl_rl_entailment): the linear<->non-linear
@@ -5974,6 +6035,7 @@ def queries() -> dict:
             "kg_owl_sameas": q_kg_owl_sameas,
             "kg_owl_chain": q_kg_owl_chain,
             "kg_owl_rl_chain": q_kg_owl_rl_chain,
+            "kg_sparql_update": q_kg_sparql_update,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6161,6 +6223,7 @@ def oracle_sql() -> dict:
         "kg_owl_sameas": _KG_OWL_SAMEAS_SQL,
         "kg_owl_chain": _KG_OWL_CHAIN_SQL,
         "kg_owl_rl_chain": _KG_OWL_RL_CHAIN_SQL,
+        "kg_sparql_update": _KG_SPARQL_UPDATE_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

@@ -2540,3 +2540,126 @@ class TestBind:
             bind={"bucket": "y % 2"},
         )
         assert {(r.bucket, r.n) for r in out.collect()} == {(0, 1), (1, 1)}
+
+
+class TestSparqlUpdate:
+    """sparql_update: DELETE/INSERT WHERE over the triple-key graph.
+    Pinned semantics (W3C SPARQL 1.1 Update section 3.1.3): templates
+    instantiate against ONE pre-update solution set; result =
+    (graph MINUS delete) UNION insert as a SET."""
+
+    EDGES = [
+        (1, "in_nation", 10), (2, "in_nation", 10), (3, "in_nation", 11),
+        (10, "in_region", 100), (11, "in_region", 101),
+        (5, "vip", 1),
+    ]
+
+    def _df(self, spark, edges=None):
+        return spark.createDataFrame(
+            [(a, p, b) for a, p, b in (edges or self.EDGES)],
+            "subj_entity_id long, predicate string, obj_entity_id long",
+        )
+
+    def _run(self, spark, **kw):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            sparql_update,
+        )
+
+        out = sparql_update(self._df(spark, kw.pop("edges", None)), **kw)
+        return {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id)
+            for r in out.collect()
+        }
+
+    def test_delete_insert_rewires_matched_edges_only(self, spark):
+        # customers of region-100 nations move to the region directly
+        got = self._run(
+            spark,
+            where=[("?c", "in_nation", "?n"), ("?n", "in_region", "100")],
+            delete=[("?c", "in_nation", "?n")],
+            insert=[("?c", "in_region_direct", "100")],
+        )
+        assert got == {
+            (3, "in_nation", 11),          # different region: untouched
+            (10, "in_region", 100), (11, "in_region", 101),
+            (5, "vip", 1),
+            (1, "in_region_direct", 100), (2, "in_region_direct", 100),
+        }
+
+    def test_templates_see_pre_update_graph(self, spark):
+        # DELETE the very triples the WHERE matched while INSERT re-derives
+        # from the same solutions: insert still fires for every match.
+        got = self._run(
+            spark,
+            where=[("?n", "in_region", "?r")],
+            delete=[("?n", "in_region", "?r")],
+            insert=[("?r", "has_nation", "?n")],
+        )
+        assert (100, "has_nation", 10) in got
+        assert (101, "has_nation", 11) in got
+        assert not any(p == "in_region" for _, p, _ in got)
+
+    def test_delete_and_reinsert_same_triple_survives(self, spark):
+        got = self._run(
+            spark,
+            where=[("?c", "in_nation", "10")],
+            delete=[("?c", "in_nation", "10")],
+            insert=[("?c", "in_nation", "10")],
+        )
+        assert {(1, "in_nation", 10), (2, "in_nation", 10)} <= got
+
+    def test_unbound_optional_var_instantiates_no_triple(self, spark):
+        # nation 11 has no vip customer: optional leaves ?v unbound, so
+        # the ?v template row drops while the bound one fires.
+        got = self._run(
+            spark,
+            where=[("?n", "in_region", "?r")],
+            optional=[("?v", "vip", "?n")],
+            insert=[("?v", "vip_region", "?r")],
+        )
+        # ids: vip edge is (5, vip, 1) -> nation var must match obj; no
+        # nation is object of vip here, so nothing inserts, nothing lost
+        assert got == set(self.EDGES)
+
+    def test_unbound_optional_partial_binding(self, spark):
+        edges = self.EDGES + [(5, "vip", 10)]
+        got = self._run(
+            spark,
+            edges=edges,
+            where=[("?n", "in_region", "?r")],
+            optional=[("?v", "vip", "?n")],
+            insert=[("?v", "vip_region", "?r")],
+        )
+        assert got == set(edges) | {(5, "vip_region", 100)}
+
+    def test_set_semantics_on_duplicate_input(self, spark):
+        edges = self.EDGES + [(1, "in_nation", 10)] * 3
+        got_rows = self._run(
+            spark,
+            edges=edges,
+            where=[("?c", "vip", "?x")],
+            delete=[("?c", "vip", "?x")],
+        )
+        assert got_rows == set(self.EDGES) - {(5, "vip", 1)}
+
+    def test_requires_some_template(self, spark):
+        with pytest.raises(ValueError, match="delete/insert"):
+            self._run(spark, where=[("?c", "vip", "?x")])
+
+    def test_insert_only_equals_construct_union(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            construct_triples,
+        )
+
+        where = [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")]
+        got = self._run(
+            spark, where=where, insert=[("?c", "cust_region", "?r")]
+        )
+        built = construct_triples(
+            self._df(spark), where, ("?c", "cust_region", "?r")
+        )
+        expect = set(self.EDGES) | {
+            (r.subj_entity_id, r.predicate, r.obj_entity_id)
+            for r in built.collect()
+        }
+        assert got == expect
