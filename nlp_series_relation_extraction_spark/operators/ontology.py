@@ -817,6 +817,286 @@ def owl_chain_python_twin(
         out |= new
 
 
+_RESTRICTION_KINDS = ("hasValue", "someValuesFrom", "allValuesFrom")
+
+
+def _class_restrictions(
+    onto: list[tuple[str, str, str]],
+    type_predicate: str = TYPE_PREDICATE,
+) -> dict[str, list[tuple[str, str, str]]]:
+    """OWL class-restriction declarations from an ontology row list:
+    row ``(C, kind, "p/filler")`` declares the restriction class C over
+    property p with value/class filler (kind in hasValue /
+    someValuesFrom / allValuesFrom; the '/' convention matches
+    propertyChain — p must not contain '/', the filler may). Returns
+    {kind: [(cls, prop, filler), ...]}. Restrictions on the type
+    predicate itself are rejected — the rule pass distinguishes type
+    facts from property facts by that predicate."""
+    out: dict[str, list[tuple[str, str, str]]] = {
+        k: [] for k in _RESTRICTION_KINDS
+    }
+    for s, k, o in onto:
+        if k not in _RESTRICTION_KINDS:
+            continue
+        prop, sep, filler = str(o).partition("/")
+        if not sep or not prop or not filler:
+            raise ValueError(
+                f"{k} for {s!r} must be 'property/filler', got {o!r}"
+            )
+        if prop == type_predicate:
+            raise ValueError(
+                f"{k} for {s!r} restricts the type predicate "
+                f"{type_predicate!r} itself"
+            )
+        out[k].append((s, prop, filler))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _class_rule_pass(
+    acc: DataFrame,
+    delta: DataFrame,
+    hv: DataFrame,
+    svf: DataFrame,
+    avf: DataFrame,
+    type_predicate: str,
+) -> DataFrame:
+    """One semi-naive round of the OWL 2 RL class rules (cls-hv1,
+    cls-hv2, cls-svf1, cls-avf): every derivation with >=1 premise in
+    ``delta``. The one-premise hasValue rules read the delta alone; the
+    two-premise rules run BOTH delta-bound variants against ``acc``
+    (``delta ⊆ acc``, so delta x delta pairs are covered). Restriction
+    tables are schema-sized broadcasts; the two-premise joins key on
+    (entity, property) — the same shuffle contract as the transitive
+    fixpoint."""
+    tp = F.lit(type_predicate)
+    d_types = delta.where(F.col("predicate") == type_predicate)
+    a_types = acc.where(F.col("predicate") == type_predicate).select(
+        F.col("subj").alias("y"), F.col("obj").alias("filler")
+    )
+    a_edges = acc.where(F.col("predicate") != type_predicate).select(
+        F.col("subj").alias("x"),
+        F.col("predicate").alias("prop"),
+        F.col("obj").alias("y"),
+    )
+
+    def triple(su, ob):
+        return [su.alias("subj"), tp.alias("predicate"), ob.alias("obj")]
+
+    # cls-hv1: (x type C) => (x p v)
+    hv1 = d_types.join(F.broadcast(hv), d_types["obj"] == hv["cls"]).select(
+        F.col("subj"),
+        F.col("prop").alias("predicate"),
+        F.col("filler").alias("obj"),
+    )
+    # cls-hv2: (x p v) => (x type C)
+    hv2 = delta.join(
+        F.broadcast(hv),
+        (delta["predicate"] == hv["prop"]) & (delta["obj"] == hv["filler"]),
+    ).select(*triple(delta["subj"], F.col("cls")))
+    # cls-svf1: (x p y) + (y type D) => (x type C)
+    svf_a = (
+        delta.join(F.broadcast(svf), delta["predicate"] == svf["prop"])
+        .select(
+            delta["subj"].alias("x"),
+            delta["obj"].alias("y"),
+            "cls",
+            "filler",
+        )
+        .join(a_types, ["y", "filler"])
+        .select(*triple(F.col("x"), F.col("cls")))
+    )
+    svf_b = (
+        d_types.join(F.broadcast(svf), d_types["obj"] == svf["filler"])
+        .select(d_types["subj"].alias("y"), "prop", "cls")
+        .join(a_edges, ["y", "prop"])
+        .select(*triple(F.col("x"), F.col("cls")))
+    )
+    # cls-avf: (x type C) + (x p y) => (y type D)
+    avf_a = (
+        d_types.join(F.broadcast(avf), d_types["obj"] == avf["cls"])
+        .select(d_types["subj"].alias("x"), "prop", "filler")
+        .join(a_edges, ["x", "prop"])
+        .select(*triple(F.col("y"), F.col("filler")))
+    )
+    avf_b = (
+        delta.join(F.broadcast(avf), delta["predicate"] == avf["prop"])
+        .select(
+            delta["subj"].alias("x"),
+            delta["obj"].alias("yy"),
+            "cls",
+            "filler",
+        )
+        .join(
+            a_types.select(
+                F.col("y").alias("x"), F.col("filler").alias("cls")
+            ),
+            ["x", "cls"],
+        )
+        .select(*triple(F.col("yy"), F.col("filler")))
+    )
+    out = hv1
+    for part in (hv2, svf_a, svf_b, avf_a, avf_b):
+        out = out.unionByName(part)
+    return out
+
+
+def owl_class_entailment(
+    facts: DataFrame,
+    ontology: DataFrame,
+    type_predicate: str = TYPE_PREDICATE,
+    max_rounds: int = 20,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL 2 RL CLASS rules (W3C OWL 2 Profiles section 4.3, the cls-*
+    table) interleaved with the linear RDFS/property pass: hasValue in
+    both directions (cls-hv1 derives the property fact from the type,
+    cls-hv2 the type from the property fact), someValuesFrom
+    (cls-svf1) and allValuesFrom (cls-avf), to fixpoint.
+
+    The alternation mirrors :func:`owl_rl_entailment`: seed with the
+    full linear closure, then each outer round (a) applies the class
+    rules semi-naively (>=1 premise from the previous round's delta),
+    (b) anti-joins what is known, and (c) pushes the genuinely new
+    triples through :func:`rdfs_entailment_increment` so subclass /
+    subproperty / domain / range consequences land before the next
+    class pass — a derived type must climb the class hierarchy before
+    a hasValue or allValuesFrom restriction on the SUPERCLASS can see
+    it. Outer rounds are bounded by the restriction cascade depth
+    (schema-shaped, small); each round's two-premise joins track the
+    delta, never rescan the closure."""
+    onto_rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto_rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    rows = [tuple(r) for r in onto_rows]
+    res = _class_restrictions(rows, type_predicate)
+    closure = rdfs_entailment(
+        facts, ontology, type_predicate, max_ontology_rows
+    ).localCheckpoint(eager=True)
+    if not any(res.values()):
+        return closure
+    spark = facts.sparkSession
+    schema = "cls string, prop string, filler string"
+    hv = spark.createDataFrame(res["hasValue"], schema)
+    svf = spark.createDataFrame(res["someValuesFrom"], schema)
+    avf = spark.createDataFrame(res["allValuesFrom"], schema)
+    cols = ["subj", "predicate", "obj"]
+    delta = closure
+    for _ in range(max_rounds):
+        derived = _class_rule_pass(
+            closure, delta, hv, svf, avf, type_predicate
+        )
+        new = (
+            derived.distinct()
+            .join(closure, cols, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        ldelta = rdfs_entailment_increment(
+            closure, new, ontology, type_predicate, max_ontology_rows
+        ).localCheckpoint(eager=True)
+        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        delta = ldelta
+    return closure
+
+
+def owl_class_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+    type_predicate: str = TYPE_PREDICATE,
+) -> set[tuple[str, str, str]]:
+    """Naive-fixpoint python twin of :func:`owl_class_entailment` —
+    independent algorithm: every class rule applied against the FULL
+    set each round (no deltas, no broadcast tables), alternated with
+    the linear twin, until nothing new."""
+    res = _class_restrictions(list(ontology), type_predicate)
+    out = rdfs_entailment_python_twin(
+        list(facts), list(ontology), type_predicate
+    )
+    while True:
+        new: set[tuple[str, str, str]] = set()
+        for cls, prop, val in res["hasValue"]:
+            for s, p, o in out:
+                if p == type_predicate and o == cls:
+                    new.add((s, prop, val))
+                if p == prop and o == val:
+                    new.add((s, type_predicate, cls))
+        for cls, prop, fil in res["someValuesFrom"]:
+            typed = {
+                s for s, p, o in out if p == type_predicate and o == fil
+            }
+            new |= {
+                (s, type_predicate, cls)
+                for s, p, o in out
+                if p == prop and o in typed
+            }
+        for cls, prop, fil in res["allValuesFrom"]:
+            typed = {
+                s for s, p, o in out if p == type_predicate and o == cls
+            }
+            new |= {
+                (o, type_predicate, fil)
+                for s, p, o in out
+                if p == prop and s in typed
+            }
+        grown = rdfs_entailment_python_twin(
+            sorted(out | new), list(ontology), type_predicate
+        )
+        if grown == out:
+            return out
+        out = grown
+
+
+def disjoint_violations(
+    facts: DataFrame,
+    ontology: DataFrame,
+    type_predicate: str = TYPE_PREDICATE,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL 2 RL consistency rule cax-dw (``owl:disjointWith``): report
+    every entity typed by BOTH classes of a declared-disjoint pair —
+    rows ``(subj, cls_a, cls_b)``, one per violated declaration in its
+    declared orientation. Unlike the entailment operators this derives
+    nothing: disjointness violations mean the DATA is inconsistent, and
+    at KG-publication scale the right move is a report the pipeline
+    gates on, not an exception mid-job. Run it on the materialized
+    closure (violations through inferred types are the ones asserted
+    typing misses). Plan: the type scan joined twice against the
+    broadcast declaration table, keyed on (entity) — one shuffle."""
+    onto_rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto_rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    pairs = sorted(
+        (s, str(o))
+        for s, k, o in (tuple(r) for r in onto_rows)
+        if k == "disjointWith"
+    )
+    spark = facts.sparkSession
+    dw = spark.createDataFrame(pairs, "cls_a string, cls_b string")
+    types = facts.where(F.col("predicate") == type_predicate).select(
+        "subj", F.col("obj").alias("cls_a")
+    )
+    return (
+        types.join(F.broadcast(dw), "cls_a")
+        .join(
+            facts.where(F.col("predicate") == type_predicate).select(
+                "subj", F.col("obj").alias("cls_b")
+            ),
+            ["subj", "cls_b"],
+        )
+        .select("subj", "cls_a", "cls_b")
+        .distinct()
+    )
+
+
 def _declared(onto: list[tuple[str, str, str]], kind: str) -> list[str]:
     return sorted({s for s, k, _ in onto if k == kind})
 

@@ -5504,6 +5504,119 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_owl_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL class rules (operators/ontology.py:
+    owl_class_entailment) over the customer->nation->region hierarchy,
+    a 4-round restriction cascade that exercises every rule and the
+    linear interleave: hasValue types region-15 nations (cls-hv2),
+    someValuesFrom lifts the type to their customers (cls-svf1),
+    subClassOf climbs it to Flagged (rdfs9 via the increment pass),
+    allValuesFrom pushes a NEW Audited type back onto the nations
+    (cls-avf), and a second hasValue emits a property fact from the
+    derived type (cls-hv1). The DuckDB oracle stages the same cascade
+    declaratively — each stage one join off the previous CTE —
+    independent of the operator's fixpoint loop."""
+    from ..operators.ontology import owl_class_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    cedge = cust.select(
+        (F.col("c_custkey").cast("long") * 4).cast("string").alias("subj"),
+        F.lit("in_nation").alias("predicate"),
+        (F.col("c_nationkey").cast("long") * 4 + 2)
+        .cast("string").alias("obj"),
+    )
+    nedge = nat.select(
+        (F.col("n_nationkey").cast("long") * 4 + 2)
+        .cast("string").alias("subj"),
+        F.lit("in_region").alias("predicate"),
+        (F.col("n_regionkey").cast("long") * 4 + 3)
+        .cast("string").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [
+            ("R3Nation", "hasValue", "in_region/15"),
+            ("R3Cust", "someValuesFrom", "in_nation/R3Nation"),
+            ("R3Cust", "subClassOf", "Flagged"),
+            ("Flagged", "allValuesFrom", "in_nation/Audited"),
+            ("Audited", "hasValue", "audit_status/required"),
+        ],
+        "s string, p string, o string",
+    )
+    return owl_class_entailment(cedge.unionByName(nedge), onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+_KG_OWL_CLASS_SQL = """
+WITH cedge AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS c,
+         cast(cast(c_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS n
+  FROM customer
+), nedge AS (
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS n,
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR) AS r
+  FROM nation
+),
+r3n AS (SELECT n FROM nedge WHERE r = '15'),
+r3c AS (SELECT c, cedge.n FROM cedge JOIN r3n USING (n))
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT c AS subj, 'in_nation' AS predicate, n AS obj FROM cedge
+  UNION ALL
+  SELECT n, 'in_region', r FROM nedge
+  UNION ALL
+  SELECT n, 'type', 'R3Nation' FROM r3n
+  UNION ALL
+  SELECT c, 'type', 'R3Cust' FROM r3c
+  UNION ALL
+  SELECT c, 'type', 'Flagged' FROM r3c
+  UNION ALL
+  SELECT n, 'type', 'Audited' FROM r3c
+  UNION ALL
+  SELECT n, 'audit_status', 'required' FROM r3c
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_disjoint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL consistency rule cax-dw (operators/ontology.py:
+    disjoint_violations): nations typed into overlapping zone classes
+    (ZoneLow = regionkey 0-2, ZoneHigh = regionkey 2-4, overlap at 2)
+    with ZoneLow declared disjointWith ZoneHigh — the report lists
+    exactly the overlap nations, in the declared orientation. The
+    oracle replays the typing + intersection as plain SQL."""
+    from ..operators.ontology import disjoint_violations
+
+    nat = t(spark, sf_dir, "nation")
+    nid = (F.col("n_nationkey").cast("long") * 4 + 2).cast("string")
+    rk = F.col("n_regionkey").cast("long")
+    low = nat.where(rk <= 2).select(
+        nid.alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("ZoneLow").alias("obj"),
+    )
+    high = nat.where(rk >= 2).select(
+        nid.alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("ZoneHigh").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [("ZoneLow", "disjointWith", "ZoneHigh")],
+        "s string, p string, o string",
+    )
+    return disjoint_violations(low.unionByName(high), onto).orderBy("subj")
+
+
+_KG_DISJOINT_SQL = """
+SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS subj,
+       'ZoneLow' AS cls_a, 'ZoneHigh' AS cls_b
+FROM nation
+WHERE cast(n_regionkey AS BIGINT) = 2
+ORDER BY subj
+"""
+
+
 def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 Update DELETE/INSERT WHERE (operators/graph.py:
     sparql_update) over the TPC-H hierarchy graph: customers whose
@@ -6036,6 +6149,8 @@ def queries() -> dict:
             "kg_owl_chain": q_kg_owl_chain,
             "kg_owl_rl_chain": q_kg_owl_rl_chain,
             "kg_sparql_update": q_kg_sparql_update,
+            "kg_owl_class": q_kg_owl_class,
+            "kg_disjoint_check": q_kg_disjoint_check,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6224,6 +6339,8 @@ def oracle_sql() -> dict:
         "kg_owl_chain": _KG_OWL_CHAIN_SQL,
         "kg_owl_rl_chain": _KG_OWL_RL_CHAIN_SQL,
         "kg_sparql_update": _KG_SPARQL_UPDATE_SQL,
+        "kg_owl_class": _KG_OWL_CLASS_SQL,
+        "kg_disjoint_check": _KG_DISJOINT_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

@@ -639,3 +639,184 @@ class TestOwlEquality:
         facts = [("9", "email", "e"), ("10", "email", "e")]
         got = self._run(spark, facts, self.EONTO)
         assert ("9", "sameAs", "10") in got
+
+
+class TestOwlClassRules:
+    """OWL 2 RL class rules (cls-hv1/hv2, cls-svf1, cls-avf) + the
+    cax-dw consistency report: twin exactness, cascade depth through
+    the linear interleave, cyclic propagation, and declaration
+    validation."""
+
+    def _run(self, spark, facts, onto, **kw):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_class_entailment,
+        )
+
+        out = owl_class_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+            **kw,
+        )
+        return {(r.subj, r.predicate, r.obj) for r in out.collect()}
+
+    def test_hasvalue_both_directions(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_class_python_twin,
+        )
+
+        facts = [
+            ("alice", "worksFor", "acme"),     # hv2 -> type AcmeStaff
+            ("bob", "type", "AcmeStaff"),      # hv1 -> worksFor acme
+        ]
+        onto = [("AcmeStaff", "hasValue", "worksFor/acme")]
+        got = self._run(spark, facts, onto)
+        assert ("alice", "type", "AcmeStaff") in got
+        assert ("bob", "worksFor", "acme") in got
+        assert got == owl_class_python_twin(facts, onto)
+
+    def test_svf_avf_cascade_through_subclass(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_class_python_twin,
+        )
+
+        # hv2 types the nation; svf lifts it to the customer; rdfs9
+        # climbs to Flagged; avf pushes a NEW type back onto the
+        # nation; a second hv1 emits a property fact from it.
+        facts = [
+            ("c1", "in_nation", "n1"),
+            ("c2", "in_nation", "n2"),
+            ("n1", "in_region", "r3"),
+            ("n2", "in_region", "r9"),
+        ]
+        onto = [
+            ("R3Nation", "hasValue", "in_region/r3"),
+            ("R3Cust", "someValuesFrom", "in_nation/R3Nation"),
+            ("R3Cust", "subClassOf", "Flagged"),
+            ("Flagged", "allValuesFrom", "in_nation/Audited"),
+            ("Audited", "hasValue", "audit_status/required"),
+        ]
+        got = self._run(spark, facts, onto)
+        assert ("n1", "type", "R3Nation") in got
+        assert ("c1", "type", "R3Cust") in got
+        assert ("c1", "type", "Flagged") in got
+        assert ("n1", "type", "Audited") in got
+        assert ("n1", "audit_status", "required") in got
+        assert not any(s == "c2" and p == "type" for s, p, _ in got)
+        assert got == owl_class_python_twin(facts, onto)
+
+    def test_cyclic_svf_walks_back_a_chain(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_class_python_twin,
+        )
+
+        # (C someValuesFrom next/C): one seed type at the chain's end
+        # propagates BACKWARDS hop by hop — multi-round fixpoint.
+        n = 6
+        facts = [
+            (f"v{i}", "next", f"v{i+1}") for i in range(n)
+        ] + [(f"v{n}", "type", "Reaches")]
+        onto = [("Reaches", "someValuesFrom", "next/Reaches")]
+        got = self._run(spark, facts, onto)
+        assert all(
+            (f"v{i}", "type", "Reaches") in got for i in range(n + 1)
+        )
+        assert got == owl_class_python_twin(facts, onto)
+
+    def test_no_restrictions_equals_linear_closure(self, spark):
+        got = self._run(spark, FACTS, ONTO)
+        assert got == rdfs_entailment_python_twin(FACTS, ONTO)
+
+    def test_bad_declaration_formats_raise(self, spark):
+        for bad in ("noslash", "/x", "p/", ""):
+            with pytest.raises(ValueError, match="property/filler"):
+                self._run(
+                    spark,
+                    [("a", "p", "b")],
+                    [("C", "hasValue", bad)],
+                )
+        with pytest.raises(ValueError, match="type predicate"):
+            self._run(
+                spark,
+                [("a", "p", "b")],
+                [("C", "someValuesFrom", "type/D")],
+            )
+
+    def test_filler_may_contain_slash(self, spark):
+        got = self._run(
+            spark,
+            [("a", "url", "http://x/y")],
+            [("Linked", "hasValue", "url/http://x/y")],
+        )
+        assert ("a", "type", "Linked") in got
+
+    def test_disjoint_violations_report(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            disjoint_violations,
+        )
+
+        facts = _df(
+            spark,
+            [
+                ("a", "type", "Cat"), ("a", "type", "Dog"),
+                ("b", "type", "Cat"),
+                ("c", "type", "Dog"), ("c", "type", "Robot"),
+                ("a", "likes", "Dog"),  # non-type rows never match
+            ],
+            "subj string, predicate string, obj string",
+        )
+        onto = _df(
+            spark,
+            [("Cat", "disjointWith", "Dog"), ("X", "subClassOf", "Y")],
+            "s string, p string, o string",
+        )
+        got = {
+            (r.subj, r.cls_a, r.cls_b)
+            for r in disjoint_violations(facts, onto).collect()
+        }
+        assert got == {("a", "Cat", "Dog")}
+
+    def test_disjoint_no_declarations_empty(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            disjoint_violations,
+        )
+
+        facts = _df(
+            spark,
+            [("a", "type", "Cat")],
+            "subj string, predicate string, obj string",
+        )
+        onto = _df(
+            spark, [("X", "subClassOf", "Y")], "s string, p string, o string"
+        )
+        assert disjoint_violations(facts, onto).count() == 0
+
+    def test_randomized_graphs_match_twin(self, spark):
+        import random
+
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_class_python_twin,
+        )
+
+        rng = random.Random(7)
+        ents = [f"e{i}" for i in range(14)]
+        classes = ["A", "B", "C", "D"]
+        props = ["p", "q"]
+        onto = [
+            ("A", "hasValue", "p/e3"),
+            ("B", "someValuesFrom", "q/A"),
+            ("C", "allValuesFrom", "p/D"),
+            ("B", "subClassOf", "C"),
+            ("q", "domain", "D"),
+        ]
+        for trial in range(3):
+            facts = [
+                (
+                    rng.choice(ents),
+                    rng.choice(props + ["type"]),
+                    rng.choice(ents + classes),
+                )
+                for _ in range(25)
+            ]
+            facts = sorted(set(facts))
+            got = self._run(spark, facts, onto)
+            assert got == owl_class_python_twin(facts, onto), trial
