@@ -129,6 +129,14 @@ RELATIONAL = [
     "kg_path_expr",
     "kg_bgp_as_of",
     "kg_owl_entailment",
+    "kg_owl_transitive",
+    "kg_owl_rl_closure",
+    "kg_owl_sameas",
+    "kg_owl_chain",
+    "kg_owl_rl_chain",
+    "kg_owl_class",
+    "kg_disjoint_check",
+    "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",
     "kg_construct",

@@ -681,40 +681,8 @@ def _step_fixpoint(
     acc = acc.localCheckpoint(eager=True)
     delta = delta.localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        left = (
-            delta.join(
-                F.broadcast(steps_df),
-                delta["predicate"] == steps_df["lp"],
-            )
-            .select("subj", F.col("obj").alias("mid"), "rp", "op")
-            .join(
-                acc.select(
-                    F.col("subj").alias("mid"),
-                    F.col("predicate").alias("rp"),
-                    "obj",
-                ),
-                ["mid", "rp"],
-            )
-        )
-        right = (
-            acc.join(
-                F.broadcast(steps_df),
-                acc["predicate"] == steps_df["lp"],
-            )
-            .select("subj", F.col("obj").alias("mid"), "rp", "op")
-            .join(
-                delta.select(
-                    F.col("subj").alias("mid"),
-                    F.col("predicate").alias("rp"),
-                    "obj",
-                ),
-                ["mid", "rp"],
-            )
-        )
         delta = (
-            left.unionByName(right)
-            .select("subj", F.col("op").alias("predicate"), "obj")
-            .distinct()
+            _step_compose(acc, delta, steps_df)
             .join(acc, ["subj", "predicate", "obj"], "left_anti")
             .localCheckpoint(eager=True)
         )
@@ -722,6 +690,49 @@ def _step_fixpoint(
             break
         acc = acc.unionByName(delta).localCheckpoint(eager=True)
     return acc
+
+
+def _step_compose(
+    acc: DataFrame, delta: DataFrame, steps_df: DataFrame
+) -> DataFrame:
+    """One :func:`_step_fixpoint` round's derivation (lazy — also the
+    plan-pin surface): delta composed with acc on both sides through
+    the broadcast step table."""
+    left = (
+        delta.join(
+            F.broadcast(steps_df),
+            delta["predicate"] == steps_df["lp"],
+        )
+        .select("subj", F.col("obj").alias("mid"), "rp", "op")
+        .join(
+            acc.select(
+                F.col("subj").alias("mid"),
+                F.col("predicate").alias("rp"),
+                "obj",
+            ),
+            ["mid", "rp"],
+        )
+    )
+    right = (
+        acc.join(
+            F.broadcast(steps_df),
+            acc["predicate"] == steps_df["lp"],
+        )
+        .select("subj", F.col("obj").alias("mid"), "rp", "op")
+        .join(
+            delta.select(
+                F.col("subj").alias("mid"),
+                F.col("predicate").alias("rp"),
+                "obj",
+            ),
+            ["mid", "rp"],
+        )
+    )
+    return (
+        left.unionByName(right)
+        .select("subj", F.col("op").alias("predicate"), "obj")
+        .distinct()
+    )
 
 
 def _step_input_preds(steps: list[tuple[str, str, str]]) -> list[str]:

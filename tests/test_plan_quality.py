@@ -282,3 +282,52 @@ def test_path_expr_nps_prunes_branches_no_cartesian(spark):
     # sides are nation-sized); never a cartesian
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sparql_update_anti_join_no_cartesian(spark):
+    plan = _plan(Q.q_kg_sparql_update(spark, SF))
+    # the delete set subtracts via one anti join on the triple key —
+    # never except/distinct or a cartesian
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_owl_class_restriction_tables_broadcast(spark):
+    from nlp_series_relation_extraction_spark.operators.ontology import (
+        _class_rule_pass,
+    )
+
+    facts = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "type", "C")],
+        "subj string, predicate string, obj string",
+    )
+    schema = "cls string, prop string, filler string"
+    hv = spark.createDataFrame([("H", "p", "b")], schema)
+    svf = spark.createDataFrame([("S", "p", "C")], schema)
+    avf = spark.createDataFrame([("C", "p", "D")], schema)
+    plan = _plan(_class_rule_pass(facts, facts, hv, svf, avf, "type"))
+    # restriction declarations are schema-sized: every rule joins them
+    # as broadcasts; the only non-broadcast joins key on (entity, prop)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_owl_chain_step_table_broadcast(spark):
+    # the fixpoint loop checkpoints eagerly, so pin the lazy per-round
+    # derivation (_step_compose) the loop executes
+    from nlp_series_relation_extraction_spark.operators.ontology import (
+        _step_compose,
+    )
+
+    facts = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c")],
+        "subj string, predicate string, obj string",
+    )
+    steps_df = spark.createDataFrame(
+        [("p", "q", "r")], "lp string, rp string, op string"
+    )
+    plan = _plan(_step_compose(facts, facts, steps_df))
+    # the step table joins as a broadcast on each side; the data-data
+    # composition keys on (vertex, predicate) — no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
