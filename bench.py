@@ -136,6 +136,8 @@ RELATIONAL = [
     "kg_owl_rl_chain",
     "kg_owl_class",
     "kg_disjoint_check",
+    "kg_haskey_sameas",
+    "kg_rdb_direct_mapping",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

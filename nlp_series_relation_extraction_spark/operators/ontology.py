@@ -1178,6 +1178,134 @@ def same_as_pairs(
     return out
 
 
+def _has_key_axioms(
+    onto: list[tuple[str, str, str]],
+) -> list[tuple[str, tuple[str, ...]]]:
+    """``owl:hasKey`` declarations from an ontology row list.
+    Convention: row ``(C, "hasKey", "p1|p2|...|pn")`` declares that
+    p1..pn jointly key class C (OWL 2 RL rule prp-key; '|' separates
+    because '/' already means composition in propertyChain rows).
+    Order the properties MOST-SELECTIVE FIRST: the first property is
+    the blocking key (see :func:`has_key_pairs`)."""
+    out: list[tuple[str, tuple[str, ...]]] = []
+    for s, k, o in onto:
+        if k != "hasKey":
+            continue
+        parts = tuple(str(o).split("|"))
+        if any(not p for p in parts):
+            raise ValueError(
+                f"hasKey for {s!r} must list '|'-separated non-empty "
+                f"properties, got {o!r}"
+            )
+        out.append((s, parts))
+    return sorted(out)
+
+
+def has_key_pairs(
+    facts: DataFrame,
+    axioms: list[tuple[str, tuple[str, ...]]],
+    type_predicate: str = TYPE_PREDICATE,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """OWL 2 RL prp-key: the ``(a_id, b_id)`` owl:sameAs candidate
+    pairs one round derives from ``facts`` under ``axioms`` (each
+    ``(C, (p1..pn))``): x sameAs y when both are typed C and for EVERY
+    key property pi some value is asserted for both.
+
+    Plan per axiom — the entity-resolution block-then-verify shape:
+
+    1. *Block* on p1 (callers order properties most-selective first):
+       one predicate-pruned scan, one hash aggregate keyed on the
+       value, all-pairs WITHIN each colliding group. Unlike prp-fp/
+       prp-ifp this cannot use adjacent chains — compound keys
+       intersect pair sets across properties, and a chain's missing
+       pairs don't come back at intersection time — so group fan-out
+       is genuinely quadratic, bounded by ``max_block`` (a key value
+       shared by more entities than that is not a key; the guard
+       raises with the offending count rather than silently spending
+       a trillion-row join, mirroring the dedup operators' capped
+       blocking).
+    2. *Restrict* both sides to class C via broadcast-friendly
+       semi-joins on the typed-entity set.
+    3. *Verify* the remaining n-1 properties per candidate pair: join
+       the pair's a-side values for pi, semi-join the b-side on
+       (entity, property, value), and keep pairs matching all n-1 —
+       every join keyed, work linear in candidates × key arity.
+
+    Pairs come back canonicalized a < b, distinct."""
+    spark = facts.sparkSession
+    empty = spark.createDataFrame([], "a_id string, b_id string")
+    parts: list[DataFrame] = []
+    for cls, props in axioms:
+        typed = (
+            facts.where(
+                (F.col("predicate") == type_predicate)
+                & (F.col("obj") == cls)
+            )
+            .select(F.col("subj").alias("ent"))
+            .distinct()
+        )
+        kv = (
+            facts.where(F.col("predicate").isin(list(props)))
+            .select("subj", "predicate", "obj")
+            .join(typed, F.col("subj") == F.col("ent"), "left_semi")
+            .distinct()
+        )
+        blocks = (
+            kv.where(F.col("predicate") == props[0])
+            .groupBy("obj")
+            .agg(F.sort_array(F.collect_set("subj")).alias("ents"))
+            .where(F.size("ents") > 1)
+        )
+        oversize = blocks.where(F.size("ents") > max_block).select(
+            F.max(F.size("ents")).alias("mx")
+        ).first()
+        if oversize and oversize["mx"] is not None:
+            raise ValueError(
+                f"hasKey blocking group for ({cls}, {props[0]}) holds "
+                f"{oversize['mx']} entities (> max_block={max_block}) "
+                "- that value does not behave like a key; clean the "
+                "data or reorder the key properties"
+            )
+        pairs = blocks.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(slice(ents, 1, size(ents)-1),"
+                    " (a, i) -> transform("
+                    "   slice(ents, i + 2, size(ents)),"
+                    "   b -> struct(a as a_id, b as b_id))))"
+                )
+            ).alias("pr")
+        ).select("pr.a_id", "pr.b_id").distinct()
+        for p in props[1:]:
+            kvp = kv.where(F.col("predicate") == p)
+            a_vals = pairs.join(
+                kvp.select(
+                    F.col("subj").alias("a_id"), F.col("obj").alias("v")
+                ),
+                "a_id",
+            )
+            pairs = (
+                a_vals.join(
+                    kvp.select(
+                        F.col("subj").alias("b_id"),
+                        F.col("obj").alias("v"),
+                    ),
+                    ["b_id", "v"],
+                    "left_semi",
+                )
+                .select("a_id", "b_id")
+                .distinct()
+            )
+        parts.append(pairs)
+    if not parts:
+        return empty
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def owl_equality_entailment(
     facts: DataFrame,
     ontology: DataFrame,
@@ -1199,8 +1327,11 @@ def owl_equality_entailment(
     chain-depth productive rounds.
 
     ``ontology`` rows: (p, 'functionalProperty', _) /
-    (p, 'inverseFunctionalProperty', _) — schema-sized, like every
-    ontology input here.
+    (p, 'inverseFunctionalProperty', _) /
+    (C, 'hasKey', 'p1|p2|...') — schema-sized, like every ontology
+    input here. prp-key pairs (:func:`has_key_pairs`) join the same
+    fixpoint and cascade identically: a key-merged subject can pull
+    two objects under one functional property a round later.
 
     Returns the REWRITTEN fact table (distinct) UNIONed with one
     ``(x, sameAs, canonical(x))`` triple per merged non-canonical id —
@@ -1222,13 +1353,17 @@ def owl_equality_entailment(
     rows = [tuple(r) for r in onto]
     fp = _declared(rows, "functionalProperty")
     ifp = _declared(rows, "inverseFunctionalProperty")
+    hk = _has_key_axioms(rows)
 
     cols = ["subj", "predicate", "obj"]
     cur = facts.select(*cols).distinct().localCheckpoint(eager=True)
     spark = facts.sparkSession
     mapping = spark.createDataFrame([], "orig string, canon string")
     for _ in range(max_outer):
-        pairs = same_as_pairs(cur, fp, ifp).localCheckpoint(eager=True)
+        pairs = same_as_pairs(cur, fp, ifp)
+        if hk:
+            pairs = pairs.unionByName(has_key_pairs(cur, hk))
+        pairs = pairs.localCheckpoint(eager=True)
         if pairs.isEmpty():
             break
         verts = (
@@ -1289,12 +1424,14 @@ def owl_equality_python_twin(
     facts: list[tuple[str, str, str]],
     ontology: list[tuple[str, str, str]],
     same_as_predicate: str = "sameAs",
+    type_predicate: str = TYPE_PREDICATE,
 ) -> set[tuple[str, str, str]]:
     """Independent naive fixpoint (union-find, all-pairs derivation —
-    not chains, not min-label-propagation) for
+    not chains, not block-and-verify, not min-label-propagation) for
     :func:`owl_equality_entailment` exactness tests."""
     fp = set(_declared(list(ontology), "functionalProperty"))
     ifp = set(_declared(list(ontology), "inverseFunctionalProperty"))
+    hk = _has_key_axioms(list(ontology))
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -1326,6 +1463,24 @@ def owl_equality_python_twin(
                 if find(a) != find(b):
                     union(a, b)
                     changed = True
+        # prp-key, exact pairwise: x,y typed C sharing SOME value on
+        # EVERY key property
+        for cls, props in hk:
+            typed = sorted(
+                {s for s, p, o in cur
+                 if p == type_predicate and o == cls}
+            )
+            vals_of: dict[tuple[str, str], set[str]] = defaultdict(set)
+            for s, p, o in cur:
+                if p in set(props):
+                    vals_of[(s, p)].add(o)
+            for i, x in enumerate(typed):
+                for y in typed[i + 1:]:
+                    if all(
+                        vals_of[(x, p)] & vals_of[(y, p)] for p in props
+                    ) and find(x) != find(y):
+                        union(x, y)
+                        changed = True
         if not changed:
             break
         cur = {(find(s), p, find(o)) for s, p, o in cur}

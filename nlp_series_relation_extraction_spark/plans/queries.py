@@ -6007,6 +6007,158 @@ ORDER BY a.user_id, a.event_type, from_a_us, from_b_us
 """
 
 
+def q_kg_haskey_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL prp-key (operators/ontology.py: has_key_pairs inside
+    owl_equality_entailment): customers carry a planted COMPOUND key
+    (nation, custkey mod 40) — entities merge only when BOTH key
+    properties collide, so every (nation, bucket) group collapses to
+    its lexicographic-min id and every other collision (same nation,
+    different bucket) is ignored. One productive round: after eq-rep
+    rewriting the group's canonical holds the shared key values alone.
+    The DuckDB oracle replays the grouping as a window-min: with
+    single-valued key properties a compound-key class IS the
+    (kn, kb) equivalence class, independent of the operator's
+    block-then-verify plan."""
+    from ..operators.ontology import owl_equality_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    cid = (ck * 4).cast("string")
+    typed = cust.select(
+        cid.alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("Customer").alias("obj"),
+    )
+    kn = cust.select(
+        cid.alias("subj"),
+        F.lit("key_nation").alias("predicate"),
+        F.concat(
+            F.lit("n"), F.col("c_nationkey").cast("long").cast("string")
+        ).alias("obj"),
+    )
+    kb = cust.select(
+        cid.alias("subj"),
+        F.lit("key_bucket").alias("predicate"),
+        F.concat(F.lit("b"), (ck % 40).cast("string")).alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [("Customer", "hasKey", "key_nation|key_bucket")],
+        "s string, p string, o string",
+    )
+    return owl_equality_entailment(
+        typed.unionByName(kn).unionByName(kb), onto
+    ).orderBy("subj", "predicate", "obj")
+
+
+_KG_HASKEY_SQL = """
+WITH c AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS id,
+         'n' || cast(cast(c_nationkey AS BIGINT) AS VARCHAR) AS kn,
+         'b' || cast(cast(c_custkey AS BIGINT) % 40 AS VARCHAR) AS kb
+  FROM customer
+),
+canon AS (
+  SELECT id, kn, kb, min(id) OVER (PARTITION BY kn, kb) AS can FROM c
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT can AS subj, 'type' AS predicate, 'Customer' AS obj FROM canon
+  UNION ALL
+  SELECT can, 'key_nation', kn FROM canon
+  UNION ALL
+  SELECT can, 'key_bucket', kb FROM canon
+  UNION ALL
+  SELECT id, 'sameAs', can FROM canon WHERE id <> can
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_rdb_direct_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C Direct Mapping (operators/rdb2rdf.py: direct_mapping) over
+    the customer -> nation -> region relational hierarchy: every row
+    becomes a typed node, every non-NULL column a literal triple, and
+    every foreign key a reference triple whose object IRI is COMPUTED
+    from the key value (the plan holds one scan per table and zero
+    joins — pinned by test_fk_reference_needs_no_join). c_acctbal is
+    left out of the mapped projection only because float-to-string
+    formatting differs between engines; the DuckDB oracle replays the
+    mapping as plain UNION ALL column selects."""
+    from ..operators.rdb2rdf import direct_mapping
+
+    out = direct_mapping(
+        {
+            "customer": t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+            ),
+            "nation": t(spark, sf_dir, "nation"),
+            "region": t(spark, sf_dir, "region"),
+        },
+        {
+            "customer": "c_custkey",
+            "nation": "n_nationkey",
+            "region": "r_regionkey",
+        },
+        {
+            "customer": [("c_nationkey", "nation")],
+            "nation": [("n_regionkey", "region")],
+        },
+    )
+    return out.orderBy("subj", "predicate", "obj")
+
+
+_KG_RDB_DM_SQL = """
+WITH cs AS (
+  SELECT 'customer/c_custkey=' || cast(c_custkey AS VARCHAR) AS subj, *
+  FROM customer WHERE c_custkey IS NOT NULL
+),
+ns AS (
+  SELECT 'nation/n_nationkey=' || cast(n_nationkey AS VARCHAR) AS subj, *
+  FROM nation WHERE n_nationkey IS NOT NULL
+),
+rs AS (
+  SELECT 'region/r_regionkey=' || cast(r_regionkey AS VARCHAR) AS subj, *
+  FROM region WHERE r_regionkey IS NOT NULL
+)
+SELECT subj, predicate, obj FROM (
+  SELECT subj, 'rdf:type' AS predicate, 'customer' AS obj FROM cs
+  UNION ALL
+  SELECT subj, 'customer#c_custkey', cast(c_custkey AS VARCHAR) FROM cs
+  UNION ALL
+  SELECT subj, 'customer#c_name', c_name FROM cs WHERE c_name IS NOT NULL
+  UNION ALL
+  SELECT subj, 'customer#c_nationkey', cast(c_nationkey AS VARCHAR)
+  FROM cs WHERE c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT subj, 'customer#c_mktsegment', c_mktsegment
+  FROM cs WHERE c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT subj, 'customer#ref-c_nationkey',
+         'nation/n_nationkey=' || cast(c_nationkey AS VARCHAR)
+  FROM cs WHERE c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT subj, 'rdf:type', 'nation' FROM ns
+  UNION ALL
+  SELECT subj, 'nation#n_nationkey', cast(n_nationkey AS VARCHAR) FROM ns
+  UNION ALL
+  SELECT subj, 'nation#n_name', n_name FROM ns WHERE n_name IS NOT NULL
+  UNION ALL
+  SELECT subj, 'nation#n_regionkey', cast(n_regionkey AS VARCHAR)
+  FROM ns WHERE n_regionkey IS NOT NULL
+  UNION ALL
+  SELECT subj, 'nation#ref-n_regionkey',
+         'region/r_regionkey=' || cast(n_regionkey AS VARCHAR)
+  FROM ns WHERE n_regionkey IS NOT NULL
+  UNION ALL
+  SELECT subj, 'rdf:type', 'region' FROM rs
+  UNION ALL
+  SELECT subj, 'region#r_regionkey', cast(r_regionkey AS VARCHAR) FROM rs
+  UNION ALL
+  SELECT subj, 'region#r_name', r_name FROM rs WHERE r_name IS NOT NULL
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -6151,6 +6303,8 @@ def queries() -> dict:
             "kg_sparql_update": q_kg_sparql_update,
             "kg_owl_class": q_kg_owl_class,
             "kg_disjoint_check": q_kg_disjoint_check,
+            "kg_haskey_sameas": q_kg_haskey_sameas,
+            "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6341,6 +6495,8 @@ def oracle_sql() -> dict:
         "kg_sparql_update": _KG_SPARQL_UPDATE_SQL,
         "kg_owl_class": _KG_OWL_CLASS_SQL,
         "kg_disjoint_check": _KG_DISJOINT_SQL,
+        "kg_haskey_sameas": _KG_HASKEY_SQL,
+        "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

@@ -820,3 +820,166 @@ class TestOwlClassRules:
             facts = sorted(set(facts))
             got = self._run(spark, facts, onto)
             assert got == owl_class_python_twin(facts, onto), trial
+
+
+class TestOwlHasKey:
+    """OWL 2 RL prp-key (owl:hasKey): compound-key identity inference
+    via block-then-verify — exactness vs the all-pairs twin, the
+    intersection case adjacency chains would miss, exists-semantics on
+    multi-valued properties, class gating, cascade into prp-fp, and
+    the blocking guard."""
+
+    HKONTO = [("Person", "hasKey", "ssn|dob")]
+
+    def _run(self, spark, facts, onto, **kw):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_entailment,
+        )
+
+        out = owl_equality_entailment(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+            **kw,
+        )
+        return {(r.subj, r.predicate, r.obj) for r in out.collect()}
+
+    def test_compound_key_requires_all_properties(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        facts = [
+            ("a", "type", "Person"), ("b", "type", "Person"),
+            ("c", "type", "Person"),
+            ("a", "ssn", "s1"), ("b", "ssn", "s1"), ("c", "ssn", "s1"),
+            ("a", "dob", "d1"), ("b", "dob", "d1"), ("c", "dob", "d2"),
+        ]
+        got = self._run(spark, facts, self.HKONTO)
+        assert got == owl_equality_python_twin(facts, self.HKONTO)
+        assert ("b", "sameAs", "a") in got
+        # c matches on ssn only - no merge
+        assert not any(s == "c" and p == "sameAs" for s, p, _ in got)
+
+    def test_intersection_beats_adjacent_chains(self, spark):
+        """p1 blocks {x,y,z} on one shared value but only x,z share a
+        dob: the sorted-adjacent pairs (x,y),(y,z) contain neither
+        endpoint pair - all-pairs blocking must surface (x,z)."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        facts = [
+            ("x", "type", "Person"), ("y", "type", "Person"),
+            ("z", "type", "Person"),
+            ("x", "ssn", "s"), ("y", "ssn", "s"), ("z", "ssn", "s"),
+            ("x", "dob", "d"), ("z", "dob", "d"), ("y", "dob", "other"),
+        ]
+        got = self._run(spark, facts, self.HKONTO)
+        assert got == owl_equality_python_twin(facts, self.HKONTO)
+        assert ("z", "sameAs", "x") in got
+        assert not any(s == "y" and p == "sameAs" for s, p, _ in got)
+
+    def test_multivalued_exists_semantics(self, spark):
+        """A shared value EXISTS per property (OWL prp-key), even when
+        each side also holds non-shared values."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        facts = [
+            ("a", "type", "Person"), ("b", "type", "Person"),
+            ("a", "ssn", "s1"), ("a", "ssn", "s2"),
+            ("b", "ssn", "s2"), ("b", "ssn", "s3"),
+            ("a", "dob", "d1"), ("b", "dob", "d1"),
+        ]
+        got = self._run(spark, facts, self.HKONTO)
+        assert got == owl_equality_python_twin(facts, self.HKONTO)
+        assert ("b", "sameAs", "a") in got
+
+    def test_untyped_entities_never_merge(self, spark):
+        facts = [
+            ("a", "type", "Person"),
+            ("a", "ssn", "s"), ("b", "ssn", "s"),
+            ("a", "dob", "d"), ("b", "dob", "d"),
+        ]
+        got = self._run(spark, facts, self.HKONTO)
+        assert not any(p == "sameAs" for _, p, _ in got)
+
+    def test_key_merge_cascades_into_functional(self, spark):
+        """prp-key merges two people; the merged person's functional
+        employer then merges two orgs a round later - the key rule
+        participates in the same fixpoint as prp-fp."""
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        onto = self.HKONTO + [("employer", "functionalProperty", "x")]
+        facts = [
+            ("p1", "type", "Person"), ("p2", "type", "Person"),
+            ("p1", "ssn", "s"), ("p2", "ssn", "s"),
+            ("p1", "dob", "d"), ("p2", "dob", "d"),
+            ("p1", "employer", "org1"), ("p2", "employer", "org2"),
+        ]
+        got = self._run(spark, facts, onto)
+        assert got == owl_equality_python_twin(facts, onto)
+        assert ("p2", "sameAs", "p1") in got
+        assert ("org2", "sameAs", "org1") in got
+        assert ("p1", "employer", "org1") in got
+
+    def test_single_property_key(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        onto = [("Person", "hasKey", "ssn")]
+        facts = [
+            ("a", "type", "Person"), ("b", "type", "Person"),
+            ("a", "ssn", "s"), ("b", "ssn", "s"),
+        ]
+        got = self._run(spark, facts, onto)
+        assert got == owl_equality_python_twin(facts, onto)
+        assert ("b", "sameAs", "a") in got
+
+    def test_blocking_guard_raises_on_hub_value(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            has_key_pairs,
+        )
+
+        facts = [("e%d" % i, "ssn", "hub") for i in range(5)] + [
+            ("e%d" % i, "type", "Person") for i in range(5)
+        ]
+        df = _df(spark, facts, "subj string, predicate string, obj string")
+        with pytest.raises(ValueError, match="does not behave like a key"):
+            has_key_pairs(df, [("Person", ("ssn",))], max_block=3).count()
+
+    def test_bad_declaration_raises(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            _has_key_axioms,
+        )
+
+        with pytest.raises(ValueError, match="hasKey"):
+            _has_key_axioms([("Person", "hasKey", "ssn||dob")])
+
+    def test_randomized_twin_parity(self, spark):
+        import random
+
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            owl_equality_python_twin,
+        )
+
+        rng = random.Random(11)
+        ents = ["e%d" % i for i in range(8)]
+        onto = self.HKONTO + [("email", "inverseFunctionalProperty", "x")]
+        for trial in range(3):
+            facts = [("e%d" % i, "type", "Person") for i in range(6)]
+            for _ in range(20):
+                facts.append(
+                    (
+                        rng.choice(ents),
+                        rng.choice(["ssn", "dob", "email", "likes"]),
+                        rng.choice(["v1", "v2", "v3", "v4"]),
+                    )
+                )
+            facts = sorted(set(facts))
+            got = self._run(spark, facts, onto)
+            assert got == owl_equality_python_twin(facts, onto), trial

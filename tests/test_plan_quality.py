@@ -331,3 +331,40 @@ def test_owl_chain_step_table_broadcast(spark):
     # composition keys on (vertex, predicate) — no cartesian anywhere
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_haskey_block_verify_no_cartesian(spark):
+    from nlp_series_relation_extraction_spark.operators.ontology import (
+        has_key_pairs,
+    )
+
+    facts = spark.createDataFrame(
+        [("a", "type", "P"), ("b", "type", "P"),
+         ("a", "k1", "v"), ("b", "k1", "v"),
+         ("a", "k2", "w"), ("b", "k2", "w")],
+        "subj string, predicate string, obj string",
+    )
+    plan = _plan(has_key_pairs(facts, [("P", ("k1", "k2"))]))
+    # block on k1 (hash agg), verify k2 via keyed joins; the class
+    # gate is a semi-join — never a cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_direct_mapping_single_scan_per_table_no_join(spark):
+    from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+        direct_mapping,
+    )
+
+    df = direct_mapping(
+        {
+            "nation": spark.read.parquet(SF + "/nation.parquet"),
+            "region": spark.read.parquet(SF + "/region.parquet"),
+        },
+        {"nation": "n_nationkey", "region": "r_regionkey"},
+        {"nation": [("n_regionkey", "region")]},
+    )
+    plan = _plan(df)
+    # FK reference IRIs are concats over the key VALUE: zero joins,
+    # zero exchanges — triples stream out at scan bandwidth
+    assert "Join" not in plan
+    assert "Exchange" not in plan

@@ -1,0 +1,126 @@
+"""W3C Direct Mapping (operators/rdb2rdf.py): twin exactness, NULL
+handling, foreign-key reference triples computed without a join,
+composite keys, and declaration validation."""
+
+import pytest
+
+from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+    direct_mapping,
+    direct_mapping_python_twin,
+)
+
+PEOPLE = [
+    {"id": 1, "name": "ada", "dept_id": 10},
+    {"id": 2, "name": None, "dept_id": 20},
+    {"id": 3, "name": "cy", "dept_id": None},
+]
+DEPTS = [{"d_id": 10, "dname": "eng"}, {"d_id": 20, "dname": "ops"}]
+PKS = {"people": "id", "depts": "d_id"}
+FKS = {"people": [("dept_id", "depts")]}
+
+
+def _spark_tables(spark):
+    return {
+        "people": spark.createDataFrame(
+            [(r["id"], r["name"], r["dept_id"]) for r in PEOPLE],
+            "id int, name string, dept_id int",
+        ),
+        "depts": spark.createDataFrame(
+            [(r["d_id"], r["dname"]) for r in DEPTS],
+            "d_id int, dname string",
+        ),
+    }
+
+
+def _collect(df):
+    return {(r.subj, r.predicate, r.obj) for r in df.collect()}
+
+
+class TestDirectMapping:
+    def test_matches_python_twin(self, spark):
+        got = _collect(
+            direct_mapping(_spark_tables(spark), PKS, FKS)
+        )
+        want = set(
+            direct_mapping_python_twin(
+                {"people": PEOPLE, "depts": DEPTS}, PKS, FKS
+            )
+        )
+        assert got == want
+
+    def test_triple_shapes(self, spark):
+        got = _collect(direct_mapping(_spark_tables(spark), PKS, FKS))
+        assert ("people/id=1", "rdf:type", "people") in got
+        assert ("people/id=1", "people#name", "ada") in got
+        assert ("people/id=1", "people#dept_id", "10") in got
+        assert ("people/id=1", "people#ref-dept_id", "depts/d_id=10") in got
+        assert ("depts/d_id=10", "depts#dname", "eng") in got
+
+    def test_null_column_emits_no_triple(self, spark):
+        got = _collect(direct_mapping(_spark_tables(spark), PKS, FKS))
+        assert not any(
+            s == "people/id=2" and p == "people#name" for s, p, _ in got
+        )
+        # null FK: neither the literal nor the reference triple
+        assert not any(
+            s == "people/id=3" and "dept" in p for s, p, _ in got
+        )
+
+    def test_null_primary_key_row_maps_to_nothing(self, spark):
+        t = {
+            "people": spark.createDataFrame(
+                [(None, "ghost", 10)], "id int, name string, dept_id int"
+            )
+        }
+        assert _collect(direct_mapping(t, {"people": "id"})) == set()
+
+    def test_composite_primary_key(self, spark):
+        t = {
+            "enroll": spark.createDataFrame(
+                [(1, 7, "A")], "sid int, cid int, grade string"
+            )
+        }
+        got = _collect(
+            direct_mapping(t, {"enroll": ["sid", "cid"]})
+        )
+        assert ("enroll/sid=1;cid=7", "enroll#grade", "A") in got
+        want = set(
+            direct_mapping_python_twin(
+                {"enroll": [{"sid": 1, "cid": 7, "grade": "A"}]},
+                {"enroll": ["sid", "cid"]},
+            )
+        )
+        assert got == want
+
+    def test_base_iri_prefixes_everything(self, spark):
+        t = {"depts": _spark_tables(spark)["depts"]}
+        got = _collect(
+            direct_mapping(t, PKS, base="http://kg/")
+        )
+        assert (
+            "http://kg/depts/d_id=10",
+            "rdf:type",
+            "http://kg/depts",
+        ) in got
+        assert all(
+            s.startswith("http://kg/") and p.startswith(("rdf:", "http://kg/"))
+            for s, p, _ in got
+        )
+
+    def test_fk_reference_needs_no_join(self, spark):
+        """The referenced IRI is a concat over the FK VALUE: the plan
+        must contain no join at all (one scan per table, exploded)."""
+        df = direct_mapping(_spark_tables(spark), PKS, FKS)
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in txt
+
+    def test_validation_errors(self, spark):
+        t = _spark_tables(spark)
+        with pytest.raises(ValueError, match="primary key"):
+            direct_mapping({"people": t["people"]}, {"people": "nope"})
+        with pytest.raises(ValueError, match="foreign key"):
+            direct_mapping(
+                t, PKS, {"people": [("nope", "depts")]}
+            )
+        with pytest.raises(ValueError, match="no tables"):
+            direct_mapping({}, {})
