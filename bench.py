@@ -138,6 +138,7 @@ RELATIONAL = [
     "kg_disjoint_check",
     "kg_haskey_sameas",
     "kg_rdb_direct_mapping",
+    "kg_different_from",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -1108,6 +1108,51 @@ def disjoint_violations(
     )
 
 
+def different_from_violations(
+    facts: DataFrame,
+    entailed: DataFrame,
+    same_as_predicate: str = "sameAs",
+    different_predicate: str = "differentFrom",
+) -> DataFrame:
+    """OWL 2 RL consistency rule eq-diff1 (``owl:differentFrom``):
+    report every asserted differentFrom pair whose two entities the
+    equality entailment merged anyway — rows ``(subj, obj, canon)`` in
+    the asserted orientation, ``canon`` the offending component's
+    representative. Like :func:`disjoint_violations` this derives
+    nothing: sameAs ∧ differentFrom means the DATA is inconsistent,
+    and at publication scale the right move is a report the pipeline
+    gates on, not an exception mid-job.
+
+    ``facts`` carries the ORIGINAL assertions (eq-rep inside
+    ``entailed`` rewrites differentFrom triples like any other fact,
+    collapsing a violated pair to a self-loop — correct entailment,
+    useless report); ``entailed`` carries the ``(x, sameAs,
+    canonical)`` lineage rows :func:`owl_equality_entailment` returns.
+    differentFrom pairs are DATA-sized, so both canonicalization joins
+    are plain shuffles keyed on the id — no broadcast assumption,
+    the same contract as eq-rep itself."""
+    mapping = entailed.where(
+        F.col("predicate") == same_as_predicate
+    ).select(F.col("subj").alias("m_id"), F.col("obj").alias("m_canon"))
+    diff = facts.where(
+        F.col("predicate") == different_predicate
+    ).select("subj", "obj").distinct()
+    return (
+        diff.join(mapping, diff["subj"] == mapping["m_id"], "left")
+        .select(
+            "subj", "obj",
+            F.coalesce("m_canon", "subj").alias("canon_a"),
+        )
+        .join(mapping, F.col("obj") == mapping["m_id"], "left")
+        .select(
+            "subj", "obj", "canon_a",
+            F.coalesce("m_canon", "obj").alias("canon_b"),
+        )
+        .where(F.col("canon_a") == F.col("canon_b"))
+        .select("subj", "obj", F.col("canon_a").alias("canon"))
+    )
+
+
 def _declared(onto: list[tuple[str, str, str]], kind: str) -> list[str]:
     return sorted({s for s, k, _ in onto if k == kind})
 

@@ -6073,6 +6073,62 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_different_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL eq-diff1 consistency report (operators/ontology.py:
+    different_from_violations): customers merge into mod-97 residue
+    classes via a planted inverse-functional email; differentFrom is
+    asserted both between true aliases (custkey vs custkey+97 — same
+    residue, every one a violation) and between innocent neighbours
+    (custkey vs custkey+1 — residues can never match, none reported).
+    The DuckDB oracle replays the classes as a window-min and keeps
+    exactly the +97 pairs."""
+    from ..operators.ontology import (
+        different_from_violations,
+        owl_equality_entailment,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    emails = cust.select(
+        (ck * 4).cast("string").alias("subj"),
+        F.lit("registered_email").alias("predicate"),
+        F.concat(F.lit("email_"), (ck % 97).cast("string")).alias("obj"),
+    )
+    a = cust.select(ck.alias("ak"))
+    b = cust.select(ck.alias("bk"))
+
+    def asserts(offset: int) -> DataFrame:
+        return a.join(b, F.col("bk") == F.col("ak") + offset).select(
+            (F.col("ak") * 4).cast("string").alias("subj"),
+            F.lit("differentFrom").alias("predicate"),
+            (F.col("bk") * 4).cast("string").alias("obj"),
+        )
+
+    facts = emails.unionByName(asserts(97)).unionByName(asserts(1))
+    onto = spark.createDataFrame(
+        [("registered_email", "inverseFunctionalProperty", "x")],
+        "s string, p string, o string",
+    )
+    ent = owl_equality_entailment(facts, onto)
+    return different_from_violations(facts, ent).orderBy("subj", "obj")
+
+
+_KG_DIFFERENT_FROM_SQL = """
+WITH c AS (
+  SELECT cast(c_custkey AS BIGINT) AS ck,
+         cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS id,
+         cast(c_custkey AS BIGINT) % 97 AS res
+  FROM customer
+),
+canon AS (
+  SELECT ck, id, res, min(id) OVER (PARTITION BY res) AS can FROM c
+)
+SELECT a.id AS subj, b.id AS obj, a.can AS canon
+FROM canon a JOIN canon b ON b.ck = a.ck + 97
+ORDER BY subj, obj
+"""
+
+
 def q_kg_rdb_direct_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3C Direct Mapping (operators/rdb2rdf.py: direct_mapping) over
     the customer -> nation -> region relational hierarchy: every row
@@ -6305,6 +6361,7 @@ def queries() -> dict:
             "kg_disjoint_check": q_kg_disjoint_check,
             "kg_haskey_sameas": q_kg_haskey_sameas,
             "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
+            "kg_different_from": q_kg_different_from,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6497,6 +6554,7 @@ def oracle_sql() -> dict:
         "kg_disjoint_check": _KG_DISJOINT_SQL,
         "kg_haskey_sameas": _KG_HASKEY_SQL,
         "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
+        "kg_different_from": _KG_DIFFERENT_FROM_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

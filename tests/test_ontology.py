@@ -983,3 +983,59 @@ class TestOwlHasKey:
             facts = sorted(set(facts))
             got = self._run(spark, facts, onto)
             assert got == owl_equality_python_twin(facts, onto), trial
+
+
+class TestDifferentFrom:
+    """OWL 2 RL eq-diff1 consistency report: asserted differentFrom
+    pairs the equality fixpoint merged anyway."""
+
+    ONTO = [("email", "inverseFunctionalProperty", "email")]
+
+    def _run(self, spark, facts):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            different_from_violations,
+            owl_equality_entailment,
+        )
+
+        fdf = _df(spark, facts, "subj string, predicate string, obj string")
+        ent = owl_equality_entailment(
+            fdf, _df(spark, self.ONTO, "s string, p string, o string")
+        )
+        return {
+            (r.subj, r.obj, r.canon)
+            for r in different_from_violations(fdf, ent).collect()
+        }
+
+    def test_merged_pair_is_reported_with_canon(self, spark):
+        facts = [
+            ("a", "email", "e"), ("b", "email", "e"),
+            ("b", "differentFrom", "a"),
+        ]
+        assert self._run(spark, facts) == {("b", "a", "a")}
+
+    def test_unmerged_pair_is_not_reported(self, spark):
+        facts = [
+            ("a", "email", "e1"), ("b", "email", "e2"),
+            ("a", "differentFrom", "b"),
+        ]
+        assert self._run(spark, facts) == set()
+
+    def test_transitively_merged_pair_is_reported(self, spark):
+        """a~b via e1, b~c via e2: a,c never share a key value but land
+        in one component — eq-diff sees through the closure."""
+        facts = [
+            ("a", "email", "e1"), ("b", "email", "e1"),
+            ("b", "email", "e2"), ("c", "email", "e2"),
+            ("a", "differentFrom", "c"),
+        ]
+        assert self._run(spark, facts) == {("a", "c", "a")}
+
+    def test_asserted_orientation_and_self_assertion(self, spark):
+        facts = [
+            ("a", "email", "e"), ("b", "email", "e"),
+            ("a", "differentFrom", "b"),
+            ("b", "differentFrom", "a"),
+            ("c", "differentFrom", "c"),  # x differentFrom x: violated
+        ]
+        got = self._run(spark, facts)
+        assert got == {("a", "b", "a"), ("b", "a", "a"), ("c", "c", "c")}
