@@ -139,6 +139,7 @@ RELATIONAL = [
     "kg_haskey_sameas",
     "kg_rdb_direct_mapping",
     "kg_different_from",
+    "kg_r2rml_mapping",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

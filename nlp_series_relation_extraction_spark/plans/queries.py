@@ -6073,6 +6073,81 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_r2rml_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2RML triples-map core (operators/rdb2rdf.py: r2rml_mapping):
+    customers and nations mapped through customized templates —
+    rr:template subjects, an rr:column literal, a template-valued
+    cross-table reference (zero joins: the object IRI is computed from
+    the FK value), and an rr:constant provenance tag. The DuckDB
+    oracle replays each term map as a '||' concat (NULL-propagating,
+    matching Spark's concat) with per-column NULL guards."""
+    from ..operators.rdb2rdf import r2rml_mapping
+
+    out = r2rml_mapping(
+        {
+            "customer": t(spark, sf_dir, "customer"),
+            "nation": t(spark, sf_dir, "nation"),
+        },
+        [
+            {
+                "table": "customer",
+                "subject": "cust/{c_custkey}",
+                "class": "Customer",
+                "predicate_objects": [
+                    ("hasName", {"column": "c_name"}),
+                    ("inSegment", "seg/{c_mktsegment}"),
+                    ("inNation", "nat/{c_nationkey}"),
+                    ("sourcedBy", {"constant": "tpch"}),
+                ],
+            },
+            {
+                "table": "nation",
+                "subject": "nat/{n_nationkey}",
+                "class": "Nation",
+                "predicate_objects": [
+                    ("hasName", {"column": "n_name"}),
+                    ("inRegion", "reg/{n_regionkey}"),
+                ],
+            },
+        ],
+    )
+    return out.orderBy("subj", "predicate", "obj")
+
+
+_KG_R2RML_SQL = """
+SELECT subj, predicate, obj FROM (
+  SELECT 'cust/' || cast(c_custkey AS VARCHAR) AS subj,
+         'rdf:type' AS predicate, 'Customer' AS obj
+  FROM customer WHERE c_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'cust/' || cast(c_custkey AS VARCHAR), 'hasName', c_name
+  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+  UNION ALL
+  SELECT 'cust/' || cast(c_custkey AS VARCHAR), 'inSegment',
+         'seg/' || c_mktsegment
+  FROM customer WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT 'cust/' || cast(c_custkey AS VARCHAR), 'inNation',
+         'nat/' || cast(c_nationkey AS VARCHAR)
+  FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'cust/' || cast(c_custkey AS VARCHAR), 'sourcedBy', 'tpch'
+  FROM customer WHERE c_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'nat/' || cast(n_nationkey AS VARCHAR), 'rdf:type', 'Nation'
+  FROM nation WHERE n_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'nat/' || cast(n_nationkey AS VARCHAR), 'hasName', n_name
+  FROM nation WHERE n_nationkey IS NOT NULL AND n_name IS NOT NULL
+  UNION ALL
+  SELECT 'nat/' || cast(n_nationkey AS VARCHAR), 'inRegion',
+         'reg/' || cast(n_regionkey AS VARCHAR)
+  FROM nation WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def q_kg_different_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL 2 RL eq-diff1 consistency report (operators/ontology.py:
     different_from_violations): customers merge into mod-97 residue
@@ -6362,6 +6437,7 @@ def queries() -> dict:
             "kg_haskey_sameas": q_kg_haskey_sameas,
             "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
             "kg_different_from": q_kg_different_from,
+            "kg_r2rml_mapping": q_kg_r2rml_mapping,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6555,6 +6631,7 @@ def oracle_sql() -> dict:
         "kg_haskey_sameas": _KG_HASKEY_SQL,
         "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
         "kg_different_from": _KG_DIFFERENT_FROM_SQL,
+        "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

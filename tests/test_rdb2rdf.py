@@ -124,3 +124,179 @@ class TestDirectMapping:
             )
         with pytest.raises(ValueError, match="no tables"):
             direct_mapping({}, {})
+
+
+class TestR2rmlMapping:
+    def _tables(self, spark):
+        return _spark_tables(spark)
+
+    def test_term_map_kinds_and_class(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        got = _collect(
+            r2rml_mapping(
+                self._tables(spark),
+                [
+                    {
+                        "table": "people",
+                        "subject": "p/{id}",
+                        "class": "Person",
+                        "predicate_objects": [
+                            ("hasName", {"column": "name"}),
+                            ("inDept", "d/{dept_id}"),
+                            ("src", {"constant": "hr"}),
+                        ],
+                    }
+                ],
+            )
+        )
+        assert ("p/1", "rdf:type", "Person") in got
+        assert ("p/1", "hasName", "ada") in got
+        assert ("p/1", "inDept", "d/10") in got
+        assert ("p/1", "src", "hr") in got
+
+    def test_null_column_suppresses_one_triple_only(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        got = _collect(
+            r2rml_mapping(
+                self._tables(spark),
+                [
+                    {
+                        "table": "people",
+                        "subject": "p/{id}",
+                        "predicate_objects": [
+                            ("hasName", {"column": "name"}),
+                            ("inDept", "d/{dept_id}"),
+                        ],
+                    }
+                ],
+            )
+        )
+        # row 2: name NULL -> no hasName, dept triple survives
+        assert ("p/2", "inDept", "d/20") in got
+        assert not any(s == "p/2" and p == "hasName" for s, p, _ in got)
+        # row 3: dept NULL -> no inDept, name triple survives
+        assert ("p/3", "hasName", "cy") in got
+        assert not any(s == "p/3" and p == "inDept" for s, p, _ in got)
+
+    def test_null_in_subject_template_suppresses_row(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        got = _collect(
+            r2rml_mapping(
+                self._tables(spark),
+                [
+                    {
+                        "table": "people",
+                        # name is NULL on row 2: that row maps to nothing
+                        "subject": "p/{id}-{name}",
+                        "predicate_objects": [("k", {"constant": "v"})],
+                    }
+                ],
+            )
+        )
+        assert {s for s, _, _ in got} == {"p/1-ada", "p/3-cy"}
+
+    def test_multi_column_template(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        got = _collect(
+            r2rml_mapping(
+                self._tables(spark),
+                [
+                    {
+                        "table": "depts",
+                        "subject": "d/{d_id}",
+                        "predicate_objects": [
+                            ("tag", "dept-{dname}-{d_id}"),
+                        ],
+                    }
+                ],
+            )
+        )
+        assert ("d/10", "tag", "dept-eng-10") in got
+
+    def test_validation_errors(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        t = self._tables(spark)
+        with pytest.raises(ValueError, match="unclosed"):
+            r2rml_mapping(
+                t, [{"table": "depts", "subject": "d/{d_id",
+                     "predicate_objects": [("k", {"constant": "v"})]}]
+            )
+        with pytest.raises(ValueError, match="not in"):
+            r2rml_mapping(
+                t, [{"table": "depts", "subject": "d/{nope}",
+                     "predicate_objects": [("k", {"constant": "v"})]}]
+            )
+        with pytest.raises(ValueError, match="not supported"):
+            r2rml_mapping(
+                t, [{"table": "depts", "subject": "d/{d_id}",
+                     "predicate_objects": [("k", {"inverse": "x"})]}]
+            )
+        with pytest.raises(ValueError, match="emits nothing"):
+            r2rml_mapping(t, [{"table": "depts", "subject": "d/{d_id}"}])
+
+    def test_zero_join_plan(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        df = r2rml_mapping(
+            self._tables(spark),
+            [
+                {
+                    "table": "people",
+                    "subject": "p/{id}",
+                    "class": "Person",
+                    "predicate_objects": [("inDept", "d/{dept_id}")],
+                },
+                {
+                    "table": "depts",
+                    "subject": "d/{d_id}",
+                    "predicate_objects": [("hasName", {"column": "dname"})],
+                },
+            ],
+        )
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in txt
+
+    def test_can_replay_the_direct_mapping(self, spark):
+        """r2rml_mapping configured as the Direct Mapping of depts
+        produces the identical triple set."""
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            direct_mapping,
+            r2rml_mapping,
+        )
+
+        t = {"depts": self._tables(spark)["depts"]}
+        dm = _collect(direct_mapping(t, {"depts": "d_id"}))
+        rr = _collect(
+            r2rml_mapping(
+                t,
+                [
+                    {
+                        "table": "depts",
+                        "subject": "depts/d_id={d_id}",
+                        "class": "depts",
+                        "predicate_objects": [
+                            ("depts#d_id", {"column": "d_id"}),
+                            ("depts#dname", {"column": "dname"}),
+                        ],
+                    }
+                ],
+            )
+        )
+        assert rr == dm
