@@ -140,6 +140,7 @@ RELATIONAL = [
     "kg_rdb_direct_mapping",
     "kg_different_from",
     "kg_r2rml_mapping",
+    "kg_shacl_report",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -1,0 +1,264 @@
+"""SHACL core validation over materialized KG triple tables.
+
+The reference repo emits (subj, pred, obj) triples and scores them
+against a gold standard (``evaluation/`` in this repo mirrors its
+``utils/utils.py`` scorer); a production KG build additionally needs
+DECLARATIVE quality gates on the merged graph — the W3C SHACL core
+constraint components (https://www.w3.org/TR/shacl/). This module
+validates a triple table against driver-declared node shapes and
+returns a validation-report DataFrame (one row per violation, the
+spec's ``sh:ValidationResult`` flattened to columns), never raising:
+the report is something a pipeline gates on, exactly like
+``ontology.different_from_violations``.
+
+Supported constraint components (SHACL core §4):
+
+- ``sh:minCount`` / ``sh:maxCount`` (§4.2) — cardinality per focus
+  node and path, counting DISTINCT asserted values (the triple table
+  is set-semantics; repeated extraction of one fact is one value).
+- ``sh:class`` (§4.1.1) — every value must be an instance of the
+  class per the ``types`` table.
+- ``sh:hasValue`` (§4.5.2) — at least one value equals the constant.
+- ``sh:in`` (§4.5.1) — every value drawn from an enumerated set.
+- ``sh:pattern`` (§4.4.2) — every value matches a regex (Java/Spark
+  syntax = DuckDB ``regexp_matches`` for the oracle-safe subset).
+
+Shapes target instances of ``target_class`` (``sh:targetClass``).
+Shapes are driver-side metadata (a real shapes graph is KB-sized, not
+data-sized), so each property constraint COMPILES into a dedicated
+narrow branch over the facts scan with the predicate pushed down;
+violations union into one report.
+
+Scale shape at 100 TB: one scan per (shape, path) branch with
+``predicate = <path>`` pushed to parquet (predicate is the natural
+partition column of an edge table, so these prune to one partition
+each); cardinality branches aggregate (focus, path) counts —
+map-side-combined, output bounded by #focus-nodes of that class;
+value-test branches (in/pattern/hasValue-miss/class) are pure filters
+plus, for ``sh:class``, one join against the types table keyed on the
+value (broadcastable when the class's instance set is dimension-sized,
+left as a hash join otherwise — Spark/AQE decides from stats). The
+targets frame is computed once and reused across that shape's
+branches. Nothing is quadratic; no windows over data-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_VALID_KEYS = {
+    "path", "min_count", "max_count", "cls", "has_value", "in",
+    "pattern",
+}
+
+
+def _validate_shapes(shapes: list[dict]) -> None:
+    if not shapes:
+        raise ValueError("shacl_validate: no shapes given")
+    for sh in shapes:
+        for req in ("shape", "target_class", "properties"):
+            if req not in sh:
+                raise ValueError(f"shape missing {req!r}: {sh!r}")
+        if not sh["properties"]:
+            raise ValueError(
+                f"shape {sh['shape']!r} declares no property constraints"
+            )
+        for prop in sh["properties"]:
+            if "path" not in prop:
+                raise ValueError(
+                    f"shape {sh['shape']!r}: property constraint "
+                    f"missing 'path': {prop!r}"
+                )
+            unknown = set(prop) - _VALID_KEYS
+            if unknown:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    f"unsupported constraint keys {sorted(unknown)}"
+                )
+            if len(prop) == 1:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    "no constraint component given"
+                )
+
+
+def shacl_validate(
+    facts: DataFrame,
+    types: DataFrame,
+    shapes: list[dict],
+) -> DataFrame:
+    """Validate ``facts`` (subj, predicate, obj) + ``types`` (node, cls)
+    against SHACL node shapes::
+
+        {"shape": "CustomerShape",
+         "target_class": "Customer",          # sh:targetClass
+         "properties": [
+             {"path": "hasName", "min_count": 1, "max_count": 1},
+             {"path": "inNation", "cls": "Nation"},   # sh:class
+             {"path": "inSegment",
+              "in": ["seg/BUILDING", "seg/MACHINERY"]},  # sh:in
+             {"path": "hasName", "pattern": "^Customer#"},  # sh:pattern
+             {"path": "sourcedBy", "has_value": "tpch"},    # sh:hasValue
+         ]}
+
+    Returns the flattened validation report, one row per violation:
+    ``(focus, shape, path, component, detail)`` where ``component``
+    is the component name (``minCount`` / ``maxCount`` / ``class`` /
+    ``in`` / ``pattern`` / ``hasValue``) and ``detail`` is the
+    offending value (value-shaped components) or the observed distinct
+    count as a string (cardinality components). Conforming data
+    yields an empty frame — the report is the gate, never an
+    exception."""
+    _validate_shapes(shapes)
+    reports: list[DataFrame] = []
+
+    def report(df: DataFrame, shape: str, path: str, constraint: str,
+               detail) -> DataFrame:
+        return df.select(
+            F.col("focus"),
+            F.lit(shape).alias("shape"),
+            F.lit(path).alias("path"),
+            F.lit(constraint).alias("component"),
+            detail.cast("string").alias("detail"),
+        )
+
+    for sh in shapes:
+        name, cls = sh["shape"], sh["target_class"]
+        targets = types.where(F.col("cls") == cls).select(
+            F.col("node").alias("focus")
+        ).distinct()
+        for prop in sh["properties"]:
+            path = prop["path"]
+            # Focus-scoped distinct values of this path: one pushed-down
+            # predicate filter, then the target semi-join keeps report
+            # rows scoped to the shape's own focus nodes (SHACL only
+            # validates targets, never the whole graph).
+            vals = (
+                facts.where(F.col("predicate") == path)
+                .select(F.col("subj").alias("focus"),
+                        F.col("obj").alias("value"))
+                .distinct()
+                .join(targets, "focus")
+            )
+            if "min_count" in prop or "max_count" in prop:
+                counts = vals.groupBy("focus").agg(
+                    F.count("*").cast("long").alias("n")
+                )
+                if "min_count" in prop:
+                    mn = int(prop["min_count"])
+                    # left join: a target with NO assertion has count 0
+                    # (the common minCount violation is total absence).
+                    under = (
+                        targets.join(counts, "focus", "left")
+                        .select(
+                            "focus",
+                            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                        )
+                        .where(F.col("n") < mn)
+                    )
+                    reports.append(
+                        report(under, name, path, "minCount", F.col("n"))
+                    )
+                if "max_count" in prop:
+                    mx = int(prop["max_count"])
+                    over = counts.where(F.col("n") > mx)
+                    reports.append(
+                        report(over, name, path, "maxCount", F.col("n"))
+                    )
+            if "cls" in prop:
+                inst = types.where(
+                    F.col("cls") == prop["cls"]
+                ).select(F.col("node").alias("value")).distinct()
+                bad = vals.join(inst, "value", "left_anti")
+                reports.append(
+                    report(bad, name, path, "class", F.col("value"))
+                )
+            if "has_value" in prop:
+                hv = str(prop["has_value"])
+                holders = vals.where(F.col("value") == hv).select(
+                    "focus"
+                ).distinct()
+                missing = targets.join(holders, "focus", "left_anti")
+                reports.append(
+                    report(missing, name, path, "hasValue", F.lit(hv))
+                )
+            if "in" in prop:
+                allowed = [str(v) for v in prop["in"]]
+                if not allowed:
+                    raise ValueError(
+                        f"shape {name!r} path {path!r}: sh:in needs a "
+                        "non-empty value list"
+                    )
+                bad = vals.where(~F.col("value").isin(allowed))
+                reports.append(
+                    report(bad, name, path, "in", F.col("value"))
+                )
+            if "pattern" in prop:
+                pat = str(prop["pattern"])
+                bad = vals.where(~F.col("value").rlike(pat))
+                reports.append(
+                    report(bad, name, path, "pattern", F.col("value"))
+                )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def shacl_validate_python_twin(
+    facts: list[tuple],
+    types: list[tuple],
+    shapes: list[dict],
+) -> set[tuple]:
+    """Plain-Python oracle for randomized twin tests: same inputs as
+    :func:`shacl_validate` with facts as (subj, predicate, obj) tuples
+    and types as (node, cls) tuples; returns the violation set."""
+    import re
+
+    _validate_shapes(shapes)
+    tset = set(types)
+    out: set[tuple] = set()
+    for sh in shapes:
+        name = sh["shape"]
+        targets = {n for n, c in tset if c == sh["target_class"]}
+        for prop in sh["properties"]:
+            path = prop["path"]
+            vals: dict[str, set] = {f: set() for f in targets}
+            for s, p, o in facts:
+                if p == path and s in targets:
+                    vals[s].add(o)
+            if "min_count" in prop:
+                for f in targets:
+                    if len(vals[f]) < int(prop["min_count"]):
+                        out.add(
+                            (f, name, path, "minCount", str(len(vals[f])))
+                        )
+            if "max_count" in prop:
+                for f in targets:
+                    if len(vals[f]) > int(prop["max_count"]):
+                        out.add(
+                            (f, name, path, "maxCount", str(len(vals[f])))
+                        )
+            if "cls" in prop:
+                inst = {n for n, c in tset if c == prop["cls"]}
+                for f in targets:
+                    for v in vals[f] - inst:
+                        out.add((f, name, path, "class", v))
+            if "has_value" in prop:
+                hv = str(prop["has_value"])
+                for f in targets:
+                    if hv not in vals[f]:
+                        out.add((f, name, path, "hasValue", hv))
+            if "in" in prop:
+                allowed = {str(v) for v in prop["in"]}
+                for f in targets:
+                    for v in vals[f] - allowed:
+                        out.add((f, name, path, "in", v))
+            if "pattern" in prop:
+                rx = re.compile(str(prop["pattern"]))
+                for f in targets:
+                    for v in vals[f]:
+                        if not rx.search(v):
+                            out.add((f, name, path, "pattern", v))
+    return out

@@ -6148,6 +6148,153 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL core validation report (operators/shacl.py:
+    shacl_validate): customers mapped to a triple table with PLANTED
+    violations — custkey%37 customers lose their name (sh:minCount),
+    custkey%53 gain a second non-conforming alias (sh:maxCount +
+    sh:pattern), custkey%101 point at a dangling nation node
+    (sh:class), and two of the five market segments fall outside the
+    sh:in enumeration. The DuckDB oracle replays each constraint
+    component as its relational definition (left-join count for
+    cardinality, NOT IN for class/in, regexp for pattern)."""
+    from ..operators.shacl import shacl_validate
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    csub = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    facts = (
+        cust.where(F.col("c_custkey") % 37 != 0)
+        .select(
+            csub.alias("subj"),
+            F.lit("hasName").alias("predicate"),
+            F.col("c_name").alias("obj"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 53 == 0).select(
+                csub.alias("subj"),
+                F.lit("hasName").alias("predicate"),
+                F.concat(
+                    F.lit("alias-"), F.col("c_custkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                csub.alias("subj"),
+                F.lit("inNation").alias("predicate"),
+                F.concat(
+                    F.when(F.col("c_custkey") % 101 == 0, F.lit("x"))
+                    .otherwise(F.lit("n")),
+                    F.col("c_nationkey").cast("string"),
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                csub.alias("subj"),
+                F.lit("inSegment").alias("predicate"),
+                F.concat(F.lit("seg/"), F.col("c_mktsegment")).alias("obj"),
+            )
+        )
+    )
+    types = cust.select(
+        csub.alias("node"), F.lit("Customer").alias("cls")
+    ).unionByName(
+        nat.select(
+            F.concat(
+                F.lit("n"), F.col("n_nationkey").cast("string")
+            ).alias("node"),
+            F.lit("Nation").alias("cls"),
+        )
+    )
+    report = shacl_validate(
+        facts,
+        types,
+        [
+            {
+                "shape": "CustomerShape",
+                "target_class": "Customer",
+                "properties": [
+                    {"path": "hasName", "min_count": 1, "max_count": 1,
+                     "pattern": "^Customer#"},
+                    {"path": "inNation", "cls": "Nation", "min_count": 1},
+                    {"path": "inSegment",
+                     "in": ["seg/BUILDING", "seg/AUTOMOBILE",
+                            "seg/MACHINERY"]},
+                ],
+            }
+        ],
+    )
+    return report.orderBy("focus", "path", "component", "detail")
+
+
+_KG_SHACL_SQL = """
+WITH facts AS (
+  SELECT 'c' || c_custkey AS subj, 'hasName' AS predicate, c_name AS obj
+  FROM customer WHERE c_custkey % 37 <> 0
+  UNION ALL
+  SELECT 'c' || c_custkey, 'hasName', 'alias-' || c_custkey
+  FROM customer WHERE c_custkey % 53 = 0
+  UNION ALL
+  SELECT 'c' || c_custkey, 'inNation',
+         (CASE WHEN c_custkey % 101 = 0 THEN 'x' ELSE 'n' END)
+           || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey, 'inSegment', 'seg/' || c_mktsegment
+  FROM customer
+), targets AS (
+  SELECT DISTINCT 'c' || c_custkey AS focus FROM customer
+), nations AS (
+  SELECT DISTINCT 'n' || n_nationkey AS node FROM nation
+), vals AS (
+  SELECT DISTINCT f.subj AS focus, f.predicate, f.obj AS value
+  FROM facts f JOIN targets t ON f.subj = t.focus
+), name_counts AS (
+  SELECT t.focus, count(v.value) AS n
+  FROM targets t
+  LEFT JOIN (SELECT focus, value FROM vals WHERE predicate = 'hasName') v
+    ON t.focus = v.focus
+  GROUP BY 1
+), nation_counts AS (
+  SELECT t.focus, count(v.value) AS n
+  FROM targets t
+  LEFT JOIN (SELECT focus, value FROM vals WHERE predicate = 'inNation') v
+    ON t.focus = v.focus
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT focus, 'CustomerShape' AS shape, 'hasName' AS path,
+         'minCount' AS component, cast(n AS VARCHAR) AS detail
+  FROM name_counts WHERE n < 1
+  UNION ALL
+  SELECT focus, 'CustomerShape', 'hasName', 'maxCount',
+         cast(n AS VARCHAR)
+  FROM name_counts WHERE n > 1
+  UNION ALL
+  SELECT focus, 'CustomerShape', 'hasName', 'pattern', value
+  FROM vals
+  WHERE predicate = 'hasName' AND NOT regexp_matches(value, '^Customer#')
+  UNION ALL
+  SELECT focus, 'CustomerShape', 'inNation', 'minCount',
+         cast(n AS VARCHAR)
+  FROM nation_counts WHERE n < 1
+  UNION ALL
+  SELECT focus, 'CustomerShape', 'inNation', 'class', value
+  FROM vals
+  WHERE predicate = 'inNation'
+    AND value NOT IN (SELECT node FROM nations)
+  UNION ALL
+  SELECT focus, 'CustomerShape', 'inSegment', 'in', value
+  FROM vals
+  WHERE predicate = 'inSegment'
+    AND value NOT IN ('seg/BUILDING', 'seg/AUTOMOBILE', 'seg/MACHINERY')
+)
+ORDER BY focus, path, component, detail
+"""
+
+
 def q_kg_different_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL 2 RL eq-diff1 consistency report (operators/ontology.py:
     different_from_violations): customers merge into mod-97 residue
@@ -6438,6 +6585,7 @@ def queries() -> dict:
             "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
             "kg_different_from": q_kg_different_from,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
+            "kg_shacl_report": q_kg_shacl_report,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6632,6 +6780,7 @@ def oracle_sql() -> dict:
         "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
         "kg_different_from": _KG_DIFFERENT_FROM_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
+        "kg_shacl_report": _KG_SHACL_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
