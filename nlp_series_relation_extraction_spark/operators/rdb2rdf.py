@@ -135,13 +135,17 @@ def direct_mapping(
     return out
 
 
-def _template_expr(template: str, columns: list[str]):
+def _template_expr(template: str, columns: list[str], resolve=None):
     """Compile an R2RML string template (``rr:template``,
     https://www.w3.org/TR/r2rml/#from-template) — literal text with
     ``{column}`` references — into one concat expression. Any
     referenced column being NULL makes the whole term NULL (the spec's
     term-generation rule: no RDF term, hence no triple). Unbalanced or
-    unknown references fail loudly at compile time, not per-row."""
+    unknown references fail loudly at compile time, not per-row.
+    ``resolve`` maps a logical column name to its physical name
+    (referencing object maps rename parent columns to avoid child
+    collisions); validation always runs against the LOGICAL names."""
+    resolve = resolve or (lambda c: c)
     out = []
     i = 0
     while i < len(template):
@@ -160,31 +164,128 @@ def _template_expr(template: str, columns: list[str]):
                 f"r2rml template {template!r}: column {col!r} not in "
                 f"{columns}"
             )
-        out.append(F.col(col).cast("string"))
+        out.append(F.col(resolve(col)).cast("string"))
         i = k + 1
     if not out:
         raise ValueError("r2rml template is empty")
     return F.concat(*out)  # concat is NULL if ANY part is NULL
 
 
-def _term_expr(term, columns: list[str]):
+def _term_expr(term, columns: list[str], resolve=None):
     """One R2RML term map: ``{"template": ...}`` / ``{"column": c}`` /
     ``{"constant": v}`` (rr:template / rr:column / rr:constant), or a
     bare string as template shorthand."""
+    resolve = resolve or (lambda c: c)
     if isinstance(term, str):
-        return _template_expr(term, columns)
+        return _template_expr(term, columns, resolve)
     if not isinstance(term, dict) or len(term) != 1:
         raise ValueError(f"r2rml term map must be str or 1-key dict: {term!r}")
     (kind, v), = term.items()
     if kind == "template":
-        return _template_expr(v, columns)
+        return _template_expr(v, columns, resolve)
     if kind == "column":
         if v not in columns:
             raise ValueError(f"r2rml column {v!r} not in {columns}")
-        return F.col(v).cast("string")
+        return F.col(resolve(v)).cast("string")
     if kind == "constant":
         return F.lit(str(v))
     raise ValueError(f"r2rml term map kind {kind!r} not supported")
+
+
+def _referenced_columns(term) -> set[str]:
+    """Column names a term map reads (for pre-join column pruning)."""
+    if isinstance(term, dict):
+        if "column" in term:
+            return {term["column"]}
+        if "constant" in term:
+            return set()
+        term = term.get("template", "")
+    refs = set()
+    i = 0
+    while True:
+        j = term.find("{", i)
+        if j < 0:
+            return refs
+        k = term.find("}", j)
+        if k < 0:
+            return refs  # unclosed brace: _template_expr raises later
+        refs.add(term[j + 1:k])
+        i = k + 1
+
+
+def _referencing_part(
+    tables: dict[str, DataFrame],
+    triples_maps: list[dict],
+    child: DataFrame,
+    child_subject,
+    pred: str,
+    spec: dict,
+) -> DataFrame:
+    """One R2RML referencing object map (rr:parentTriplesMap +
+    rr:joinCondition, https://www.w3.org/TR/r2rml/#foreign-key):
+    ``{"ref": {"table": parent, "join": [(child_col, parent_col), ...],
+    "subject": optional override, "broadcast": bool}}``. This is the
+    path for parent keys a template CANNOT address (the parent subject
+    is built from columns other than the join key), so the engine pays
+    the spec's joint query: an inner equi-join — NULL join keys drop per
+    SQL semantics, which is the spec's behavior. The parent side is
+    projected to (join cols + subject-template cols) BEFORE the join so
+    only the needed columns shuffle; ``broadcast=True`` pins a broadcast
+    hash join for dimension-sized parents (else stats/AQE decide)."""
+    for req in ("table", "join"):
+        if req not in spec:
+            raise ValueError(f"r2rml ref map missing {req!r}: {spec!r}")
+    parent_name = spec["table"]
+    if parent_name not in tables:
+        raise ValueError(
+            f"r2rml ref parent table {parent_name!r} not in "
+            f"{sorted(tables)}"
+        )
+    join = list(spec["join"])
+    if not join:
+        raise ValueError("r2rml ref map needs >=1 join condition")
+    if "subject" in spec:
+        parent_subject = spec["subject"]
+    else:
+        cands = [m for m in triples_maps if m["table"] == parent_name]
+        if len(cands) != 1:
+            raise ValueError(
+                f"r2rml ref to {parent_name!r}: {len(cands)} triples maps "
+                "declare that table — give the ref an explicit 'subject'"
+            )
+        parent_subject = cands[0]["subject"]
+    parent = tables[parent_name]
+    pcols = parent.columns
+    ccols = child.columns
+    for cc, pc in join:
+        if cc not in ccols:
+            raise ValueError(f"r2rml ref join child column {cc!r} not in "
+                             f"{ccols}")
+        if pc not in pcols:
+            raise ValueError(f"r2rml ref join parent column {pc!r} not in "
+                             f"{pcols}")
+    prefix = "__r2rml_parent_"
+    obj = _term_expr(parent_subject, pcols, resolve=lambda c: prefix + c)
+    # prune the parent to join keys + subject columns before the join
+    needed = {pc for _, pc in join} | _referenced_columns(parent_subject)
+    renamed = parent.select(
+        *[F.col(c).alias(prefix + c) for c in pcols if c in needed]
+    )
+    if spec.get("broadcast"):
+        renamed = F.broadcast(renamed)
+    cond = None
+    for cc, pc in join:
+        c = F.col(cc) == F.col(prefix + pc)
+        cond = c if cond is None else (cond & c)
+    return (
+        child.join(renamed, cond)
+        .select(
+            child_subject.alias("subj"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+        )
+        .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+    )
 
 
 def r2rml_mapping(
@@ -206,19 +307,26 @@ def r2rml_mapping(
          ]}
 
     Cross-table references keep the Direct Mapping's zero-join
-    property: an object template over the FK column VALUE addresses
-    the referenced subject directly (R2RML's rr:joinCondition exists
-    for keys that genuinely differ — when the template over the local
-    value is the referenced subject IRI, the join is redundant and
-    this engine never pays it). NULL handling per spec: a NULL in any
-    referenced column suppresses that one triple; a NULL subject
-    suppresses the row. Plan: one scan per triples map, row fan-out
-    exploded in the same narrow stage — no shuffle anywhere."""
+    property where a template can address the parent: an object
+    template over the FK column VALUE is the referenced subject IRI,
+    so R2RML's join is redundant and this engine never pays it. When
+    the parent subject is built from columns the child does NOT hold
+    (the case rr:parentTriplesMap + rr:joinCondition exists for), a
+    referencing object map ``("pred", {"ref": {"table": parent,
+    "join": [(child_col, parent_col), ...]}})`` pays the spec's joint
+    query as one pruned equi-join — see :func:`_referencing_part`.
+    NULL handling per spec: a NULL in any referenced column suppresses
+    that one triple; a NULL subject suppresses the row; NULL join keys
+    never match. Plan: one scan per triples map with the row fan-out
+    exploded in the same narrow stage (no shuffle), plus one join per
+    referencing map over a column-pruned (broadcastable) parent."""
     parts: list[DataFrame] = []
     for tm in triples_maps:
         df = tables[tm["table"]]
         cols = df.columns
+        subj_expr = _term_expr(tm["subject"], cols)
         pairs = []
+        refs = []
         if "class" in tm:
             pairs.append(
                 F.struct(
@@ -227,29 +335,46 @@ def r2rml_mapping(
                 )
             )
         for pred, term in tm.get("predicate_objects", []):
+            if isinstance(term, dict) and "ref" in term:
+                if len(term) != 1:
+                    raise ValueError(
+                        f"r2rml ref term map must be exactly "
+                        f"{{'ref': ...}}: {term!r}"
+                    )
+                refs.append((pred, term["ref"]))
+                continue
             pairs.append(
                 F.struct(
                     F.lit(pred).alias("p"),
                     _term_expr(term, cols).alias("o"),
                 )
             )
-        if not pairs:
+        if not pairs and not refs:
             raise ValueError(
                 f"triples map for {tm['table']!r} emits nothing: give it "
                 "a class or at least one predicate-object map"
             )
-        parts.append(
-            df.select(
-                _term_expr(tm["subject"], cols).alias("subj"),
-                F.explode(F.array(*pairs)).alias("po"),
+        if pairs:
+            parts.append(
+                df.select(
+                    subj_expr.alias("subj"),
+                    F.explode(F.array(*pairs)).alias("po"),
+                )
+                .where(
+                    F.col("subj").isNotNull() & F.col("po.o").isNotNull()
+                )
+                .select(
+                    "subj",
+                    F.col("po.p").alias("predicate"),
+                    F.col("po.o").alias("obj"),
+                )
             )
-            .where(F.col("subj").isNotNull() & F.col("po.o").isNotNull())
-            .select(
-                "subj",
-                F.col("po.p").alias("predicate"),
-                F.col("po.o").alias("obj"),
+        for pred, spec in refs:
+            parts.append(
+                _referencing_part(
+                    tables, triples_maps, df, subj_expr, pred, spec
+                )
             )
-        )
     if not parts:
         raise ValueError("r2rml_mapping: no triples maps given")
     out = parts[0]

@@ -6114,6 +6114,65 @@ def q_kg_r2rml_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("subj", "predicate", "obj")
 
 
+def q_kg_r2rml_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2RML referencing object map (operators/rdb2rdf.py:
+    _referencing_part — rr:parentTriplesMap + rr:joinCondition,
+    https://www.w3.org/TR/r2rml/#foreign-key): customers point at a
+    nation subject built from n_name, a column the customer row does
+    NOT hold, so no template over the FK value can address it and the
+    engine must pay the spec's joint query. Plan: one inner equi-join
+    against a column-pruned parent (n_nationkey + n_name only),
+    broadcast-pinned because nation is dimension-sized. The DuckDB
+    oracle is the literal join."""
+    from ..operators.rdb2rdf import r2rml_mapping
+
+    out = r2rml_mapping(
+        {
+            "customer": t(spark, sf_dir, "customer"),
+            "nation": t(spark, sf_dir, "nation"),
+        },
+        [
+            {
+                "table": "customer",
+                "subject": "cust/{c_custkey}",
+                "predicate_objects": [
+                    (
+                        "inNationNamed",
+                        {"ref": {
+                            "table": "nation",
+                            "join": [("c_nationkey", "n_nationkey")],
+                            "broadcast": True,
+                        }},
+                    ),
+                ],
+            },
+            {
+                "table": "nation",
+                "subject": "natname/{n_name}",
+                "predicate_objects": [
+                    ("hasKey", {"column": "n_nationkey"}),
+                ],
+            },
+        ],
+    )
+    return out.orderBy("subj", "predicate", "obj")
+
+
+_KG_R2RML_REF_SQL = """
+SELECT subj, predicate, obj FROM (
+  SELECT 'cust/' || cast(c_custkey AS VARCHAR) AS subj,
+         'inNationNamed' AS predicate,
+         'natname/' || n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey IS NOT NULL AND n_name IS NOT NULL
+  UNION ALL
+  SELECT 'natname/' || n_name, 'hasKey', cast(n_nationkey AS VARCHAR)
+  FROM nation WHERE n_name IS NOT NULL AND n_nationkey IS NOT NULL
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 _KG_R2RML_SQL = """
 SELECT subj, predicate, obj FROM (
   SELECT 'cust/' || cast(c_custkey AS VARCHAR) AS subj,
@@ -6585,6 +6644,7 @@ def queries() -> dict:
             "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
             "kg_different_from": q_kg_different_from,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
+            "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
         }
     )
@@ -6780,6 +6840,7 @@ def oracle_sql() -> dict:
         "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
         "kg_different_from": _KG_DIFFERENT_FROM_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
+        "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,

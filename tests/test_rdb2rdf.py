@@ -3,6 +3,7 @@ handling, foreign-key reference triples computed without a join,
 composite keys, and declaration validation."""
 
 import pytest
+from pyspark.sql.functions import lit as F_lit
 
 from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
     direct_mapping,
@@ -300,3 +301,204 @@ class TestR2rmlMapping:
             )
         )
         assert rr == dm
+
+
+class TestR2rmlReferencingObjectMap:
+    """rr:parentTriplesMap + rr:joinCondition — the join path for
+    parent subjects a child-side template cannot address."""
+
+    def _tables(self, spark):
+        return _spark_tables(spark)
+
+    def test_ref_joins_to_parent_subject(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        # parent subject is built from dname, which people does NOT
+        # hold: a template over dept_id cannot produce it.
+        got = _collect(
+            r2rml_mapping(
+                self._tables(spark),
+                [
+                    {
+                        "table": "people",
+                        "subject": "p/{id}",
+                        "predicate_objects": [
+                            (
+                                "worksIn",
+                                {"ref": {
+                                    "table": "depts",
+                                    "join": [("dept_id", "d_id")],
+                                }},
+                            ),
+                        ],
+                    },
+                    {
+                        "table": "depts",
+                        "subject": "dept/{dname}",
+                        "predicate_objects": [
+                            ("hasId", {"column": "d_id"}),
+                        ],
+                    },
+                ],
+            )
+        )
+        assert ("p/1", "worksIn", "dept/eng") in got
+        assert ("p/2", "worksIn", "dept/ops") in got
+        # row 3 has NULL dept_id: inner-join semantics drop it
+        assert not any(s == "p/3" and p == "worksIn" for s, p, _ in got)
+        # the parent map still emits its own triples
+        assert ("dept/eng", "hasId", "10") in got
+
+    def test_explicit_subject_override_and_broadcast_plan(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        df = r2rml_mapping(
+            self._tables(spark),
+            [
+                {
+                    "table": "people",
+                    "subject": "p/{id}",
+                    "predicate_objects": [
+                        (
+                            "worksIn",
+                            {"ref": {
+                                "table": "depts",
+                                "join": [("dept_id", "d_id")],
+                                "subject": "D:{dname}:{d_id}",
+                                "broadcast": True,
+                            }},
+                        ),
+                    ],
+                },
+            ],
+        )
+        got = _collect(df)
+        assert got == {
+            ("p/1", "worksIn", "D:eng:10"),
+            ("p/2", "worksIn", "D:ops:20"),
+        }
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_parent_pruned_before_join(self, spark):
+        """Only join keys + subject-template columns of the parent
+        reach the join: extra parent columns never shuffle."""
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        t = self._tables(spark)
+        t["depts"] = t["depts"].withColumn(
+            "huge_payload", F_lit("x" * 10)
+        )
+        df = r2rml_mapping(
+            t,
+            [
+                {
+                    "table": "people",
+                    "subject": "p/{id}",
+                    "predicate_objects": [
+                        ("worksIn", {"ref": {
+                            "table": "depts",
+                            "join": [("dept_id", "d_id")],
+                            "subject": "dept/{dname}",
+                        }}),
+                    ],
+                },
+            ],
+        )
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "huge_payload" not in txt
+
+    def test_composite_join_condition(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        t = {
+            "child": spark.createDataFrame(
+                [(1, "a", 7), (2, "b", 8), (3, "a", 8)],
+                "cid int, k1 string, k2 int",
+            ),
+            "parent": spark.createDataFrame(
+                [("a", 7, "P1"), ("b", 8, "P2")],
+                "p1 string, p2 int, pname string",
+            ),
+        }
+        got = _collect(
+            r2rml_mapping(
+                t,
+                [
+                    {
+                        "table": "child",
+                        "subject": "c/{cid}",
+                        "predicate_objects": [
+                            ("ref", {"ref": {
+                                "table": "parent",
+                                "join": [("k1", "p1"), ("k2", "p2")],
+                                "subject": "P/{pname}",
+                            }}),
+                        ],
+                    },
+                ],
+            )
+        )
+        # (a,8) matches neither composite key
+        assert got == {("c/1", "ref", "P/P1"), ("c/2", "ref", "P/P2")}
+
+    def test_ref_validation_errors(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+
+        t = self._tables(spark)
+
+        def _one(spec):
+            return [{
+                "table": "people",
+                "subject": "p/{id}",
+                "predicate_objects": [("x", {"ref": spec})],
+            }]
+
+        with pytest.raises(ValueError, match="missing 'table'"):
+            r2rml_mapping(t, _one({"join": [("dept_id", "d_id")]}))
+        with pytest.raises(ValueError, match="not in"):
+            r2rml_mapping(
+                t, _one({"table": "nope", "join": [("dept_id", "d_id")]})
+            )
+        with pytest.raises(ValueError, match=">=1 join"):
+            r2rml_mapping(t, _one({"table": "depts", "join": []}))
+        with pytest.raises(ValueError, match="child column"):
+            r2rml_mapping(
+                t, _one({"table": "depts", "join": [("nope", "d_id")],
+                         "subject": "d/{d_id}"})
+            )
+        with pytest.raises(ValueError, match="parent column"):
+            r2rml_mapping(
+                t, _one({"table": "depts", "join": [("dept_id", "nope")],
+                         "subject": "d/{d_id}"})
+            )
+        # no triples map declares depts -> needs explicit subject
+        with pytest.raises(ValueError, match="explicit 'subject'"):
+            r2rml_mapping(
+                t, _one({"table": "depts", "join": [("dept_id", "d_id")]})
+            )
+        # a ref term map must be exactly {"ref": ...}
+        with pytest.raises(ValueError, match="exactly"):
+            r2rml_mapping(
+                t,
+                [{
+                    "table": "people",
+                    "subject": "p/{id}",
+                    "predicate_objects": [
+                        ("x", {"ref": {"table": "depts",
+                                       "join": [("dept_id", "d_id")],
+                                       "subject": "d/{d_id}"},
+                               "column": "name"}),
+                    ],
+                }],
+            )
