@@ -22,6 +22,20 @@ Supported constraint components (SHACL core §4):
 - ``sh:in`` (§4.5.1) — every value drawn from an enumerated set.
 - ``sh:pattern`` (§4.4.2) — every value matches a regex (Java/Spark
   syntax = DuckDB ``regexp_matches`` for the oracle-safe subset).
+- ``sh:datatype`` (§4.1.2) — lexical-form conformance against the XSD
+  lexical space (string triple store: datatype IS lexical form); the
+  anchored regexes in ``_DATATYPE_LEXICAL`` are shared verbatim by
+  the Spark plan, the SQL oracle, and the Python twin.
+- ``sh:minLength`` / ``sh:maxLength`` (§4.4.1) — string length bounds.
+- ``sh:minInclusive`` / ``sh:maxInclusive`` / ``sh:minExclusive`` /
+  ``sh:maxExclusive`` (§4.3) — numeric range via SPARQL comparison;
+  a value that does not parse as a number is "not comparable" and
+  violates (try_cast NULL caught explicitly).
+- ``sh:equals`` / ``sh:disjoint`` / ``sh:lessThan`` (§4.6) —
+  property-pair constraints over the second path's focus-scoped value
+  set: per-focus symmetric difference (two anti-joins), per-focus
+  intersection (one equi-join), and the all-pairs comparison (a
+  per-focus join — bounded by per-node fan-out, never data-sized).
 
 Shapes target instances of ``target_class`` (``sh:targetClass``).
 Shapes are driver-side metadata (a real shapes graph is KB-sized, not
@@ -48,7 +62,24 @@ from pyspark.sql import DataFrame, functions as F
 
 _VALID_KEYS = {
     "path", "min_count", "max_count", "cls", "has_value", "in",
-    "pattern",
+    "pattern", "datatype", "min_length", "max_length",
+    "min_inclusive", "max_inclusive", "min_exclusive", "max_exclusive",
+    "equals", "disjoint", "less_than",
+}
+
+# XSD 1.1 lexical spaces for sh:datatype (§4.1.2) on a string-typed
+# triple store: datatype conformance IS lexical-form conformance.
+# Anchored regexes shared verbatim by the Spark plan, the DuckDB
+# oracle (regexp_matches) and the Python twin (re.search).
+_DATATYPE_LEXICAL = {
+    "xsd:integer": r"^[+-]?[0-9]+$",
+    "xsd:decimal": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$",
+    "xsd:boolean": r"^(true|false|0|1)$",
+    "xsd:date": r"^-?[0-9]{4}-[0-9]{2}-[0-9]{2}"
+                r"(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    "xsd:dateTime": r"^-?[0-9]{4}-[0-9]{2}-[0-9]{2}"
+                    r"T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?"
+                    r"(Z|[+-][0-9]{2}:[0-9]{2})?$",
 }
 
 
@@ -79,6 +110,13 @@ def _validate_shapes(shapes: list[dict]) -> None:
                 raise ValueError(
                     f"shape {sh['shape']!r} path {prop['path']!r}: "
                     "no constraint component given"
+                )
+            if "datatype" in prop and prop["datatype"] not in \
+                    _DATATYPE_LEXICAL:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    f"sh:datatype {prop['datatype']!r} not supported "
+                    f"(have {sorted(_DATATYPE_LEXICAL)})"
                 )
 
 
@@ -199,6 +237,95 @@ def shacl_validate(
                 reports.append(
                     report(bad, name, path, "pattern", F.col("value"))
                 )
+            if "datatype" in prop:
+                # lexical-form check (§4.1.2): same anchored regex on
+                # the Spark / DuckDB / Python sides
+                rx = _DATATYPE_LEXICAL[prop["datatype"]]
+                bad = vals.where(~F.col("value").rlike(rx))
+                reports.append(
+                    report(bad, name, path, "datatype", F.col("value"))
+                )
+            if "min_length" in prop:
+                n = int(prop["min_length"])
+                bad = vals.where(F.length("value") < n)
+                reports.append(
+                    report(bad, name, path, "minLength", F.col("value"))
+                )
+            if "max_length" in prop:
+                n = int(prop["max_length"])
+                bad = vals.where(F.length("value") > n)
+                reports.append(
+                    report(bad, name, path, "maxLength", F.col("value"))
+                )
+            # value-range components (§4.3): SPARQL comparison over the
+            # numeric interpretation; a value that does not parse as a
+            # number cannot satisfy the comparison -> violation (the
+            # spec's "not comparable" case). try_cast keeps that NULL
+            # under ANSI mode; NULL < x is NULL -> caught explicitly.
+            num = F.col("value").try_cast("double")
+            for key, comp, cname in (
+                ("min_inclusive", lambda b: num < b, "minInclusive"),
+                ("min_exclusive", lambda b: num <= b, "minExclusive"),
+                ("max_inclusive", lambda b: num > b, "maxInclusive"),
+                ("max_exclusive", lambda b: num >= b, "maxExclusive"),
+            ):
+                if key in prop:
+                    bound = float(prop[key])
+                    bad = vals.where(
+                        num.isNull() | comp(F.lit(bound))
+                    )
+                    reports.append(
+                        report(bad, name, path, cname, F.col("value"))
+                    )
+            # property-pair components (§4.6): the second path's
+            # focus-scoped distinct values, computed like `vals`
+            for pair_key in ("equals", "disjoint", "less_than"):
+                if pair_key not in prop:
+                    continue
+                path2 = str(prop[pair_key])
+                vals2 = (
+                    facts.where(F.col("predicate") == path2)
+                    .select(F.col("subj").alias("focus"),
+                            F.col("obj").alias("value"))
+                    .distinct()
+                    .join(targets, "focus")
+                )
+                if pair_key == "equals":
+                    # violation per value in the per-focus symmetric
+                    # difference: two anti-joins on (focus, value)
+                    only1 = vals.join(
+                        vals2, ["focus", "value"], "left_anti"
+                    )
+                    only2 = vals2.join(
+                        vals, ["focus", "value"], "left_anti"
+                    )
+                    bad = only1.unionByName(only2)
+                    reports.append(
+                        report(bad, name, path, "equals", F.col("value"))
+                    )
+                elif pair_key == "disjoint":
+                    shared = vals.join(vals2, ["focus", "value"])
+                    reports.append(
+                        report(shared, name, path, "disjoint",
+                               F.col("value"))
+                    )
+                else:  # less_than: every (v1, v2) pair must compare
+                    pairs = vals.join(
+                        vals2.withColumnRenamed("value", "value2"),
+                        "focus",
+                    )
+                    v1 = F.col("value").try_cast("double")
+                    v2 = F.col("value2").try_cast("double")
+                    bad = pairs.where(
+                        v1.isNull() | v2.isNull() | (v1 >= v2)
+                    )
+                    reports.append(
+                        report(
+                            bad, name, path, "lessThan",
+                            F.concat(F.col("value"), F.lit("!<"),
+                                     F.col("value2")),
+                        )
+                    )
 
     out = reports[0]
     for r in reports[1:]:
@@ -261,4 +388,66 @@ def shacl_validate_python_twin(
                     for v in vals[f]:
                         if not rx.search(v):
                             out.add((f, name, path, "pattern", v))
+            if "datatype" in prop:
+                rx = re.compile(_DATATYPE_LEXICAL[prop["datatype"]])
+                for f in targets:
+                    for v in vals[f]:
+                        if not rx.search(v):
+                            out.add((f, name, path, "datatype", v))
+            if "min_length" in prop:
+                n = int(prop["min_length"])
+                for f in targets:
+                    for v in vals[f]:
+                        if len(v) < n:
+                            out.add((f, name, path, "minLength", v))
+            if "max_length" in prop:
+                n = int(prop["max_length"])
+                for f in targets:
+                    for v in vals[f]:
+                        if len(v) > n:
+                            out.add((f, name, path, "maxLength", v))
+
+            def _num(v):
+                try:
+                    return float(v)
+                except ValueError:
+                    return None
+
+            for key, bad_cmp, cname in (
+                ("min_inclusive", lambda x, b: x < b, "minInclusive"),
+                ("min_exclusive", lambda x, b: x <= b, "minExclusive"),
+                ("max_inclusive", lambda x, b: x > b, "maxInclusive"),
+                ("max_exclusive", lambda x, b: x >= b, "maxExclusive"),
+            ):
+                if key in prop:
+                    bound = float(prop[key])
+                    for f in targets:
+                        for v in vals[f]:
+                            x = _num(v)
+                            if x is None or bad_cmp(x, bound):
+                                out.add((f, name, path, cname, v))
+            for pair_key in ("equals", "disjoint", "less_than"):
+                if pair_key not in prop:
+                    continue
+                path2 = str(prop[pair_key])
+                vals2: dict[str, set] = {f: set() for f in targets}
+                for s, p, o in facts:
+                    if p == path2 and s in targets:
+                        vals2[s].add(o)
+                for f in targets:
+                    if pair_key == "equals":
+                        for v in vals[f] ^ vals2[f]:
+                            out.add((f, name, path, "equals", v))
+                    elif pair_key == "disjoint":
+                        for v in vals[f] & vals2[f]:
+                            out.add((f, name, path, "disjoint", v))
+                    else:
+                        for v1 in vals[f]:
+                            for v2 in vals2[f]:
+                                x1, x2 = _num(v1), _num(v2)
+                                if x1 is None or x2 is None or x1 >= x2:
+                                    out.add((
+                                        f, name, path, "lessThan",
+                                        f"{v1}!<{v2}",
+                                    ))
     return out

@@ -6354,6 +6354,163 @@ ORDER BY focus, path, component, detail
 """
 
 
+def q_kg_shacl_report2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL round-5 components (operators/shacl.py: shacl_validate —
+    sh:datatype §4.1.2, sh:minLength/maxLength §4.4.1, value range
+    §4.3, property pairs §4.6) over customer-derived triples with
+    PLANTED violations: custkey%41 customers carry a non-numeric
+    nation key ('N/A' — datatype + both range components fire, the
+    spec's not-comparable case), nation keys 0 and >=22 fall outside
+    [1, 22), BUILDING (8 chars) breaks minLength 9 and AUTOMOBILE (10)
+    breaks maxLength 9, start=custkey%50 must be lessThan
+    end=custkey%60, ship must equal bill (custkey%71 bill differs),
+    and likes=v{custkey%10} must be disjoint from owns=v{custkey%7}.
+    The DuckDB oracle replays each component as its relational
+    definition (regexp / TRY_CAST range / length / per-focus joins)."""
+    from ..operators.shacl import shacl_validate
+
+    cust = t(spark, sf_dir, "customer")
+    csub = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def _path(pred, obj):
+        return cust.select(
+            csub.alias("subj"), F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+        )
+
+    facts = (
+        _path(
+            "natkey",
+            F.when(F.col("c_custkey") % 41 == 0, F.lit("N/A"))
+            .otherwise(F.col("c_nationkey").cast("string")),
+        )
+        .unionByName(_path("segment", F.col("c_mktsegment")))
+        .unionByName(
+            _path("start", (F.col("c_custkey") % 50).cast("string"))
+        )
+        .unionByName(
+            _path("end", (F.col("c_custkey") % 60).cast("string"))
+        )
+        .unionByName(_path("ship", F.col("c_mktsegment")))
+        .unionByName(
+            _path(
+                "bill",
+                F.when(F.col("c_custkey") % 71 == 0, F.lit("OTHER"))
+                .otherwise(F.col("c_mktsegment")),
+            )
+        )
+        .unionByName(
+            _path(
+                "likes",
+                F.concat(F.lit("v"),
+                         (F.col("c_custkey") % 10).cast("string")),
+            )
+        )
+        .unionByName(
+            _path(
+                "owns",
+                F.concat(F.lit("v"),
+                         (F.col("c_custkey") % 7).cast("string")),
+            )
+        )
+    )
+    types = cust.select(
+        csub.alias("node"), F.lit("Customer").alias("cls")
+    )
+    report = shacl_validate(
+        facts,
+        types,
+        [
+            {
+                "shape": "C2",
+                "target_class": "Customer",
+                "properties": [
+                    {"path": "natkey", "datatype": "xsd:integer",
+                     "min_inclusive": 1, "max_exclusive": 22},
+                    {"path": "segment", "min_length": 9,
+                     "max_length": 9},
+                    {"path": "start", "less_than": "end"},
+                    {"path": "ship", "equals": "bill"},
+                    {"path": "likes", "disjoint": "owns"},
+                ],
+            }
+        ],
+    )
+    return report.orderBy("focus", "path", "component", "detail")
+
+
+_KG_SHACL2_SQL = """
+WITH cust AS (
+  SELECT 'c' || c_custkey AS focus, c_custkey, c_nationkey, c_mktsegment
+  FROM customer
+), natkey_vals AS (
+  SELECT DISTINCT focus,
+         CASE WHEN c_custkey % 41 = 0 THEN 'N/A'
+              ELSE cast(c_nationkey AS VARCHAR) END AS value
+  FROM cust
+), seg_vals AS (
+  SELECT DISTINCT focus, c_mktsegment AS value FROM cust
+), start_vals AS (
+  SELECT DISTINCT focus, cast(c_custkey % 50 AS VARCHAR) AS value
+  FROM cust
+), end_vals AS (
+  SELECT DISTINCT focus, cast(c_custkey % 60 AS VARCHAR) AS value
+  FROM cust
+), ship_vals AS (
+  SELECT DISTINCT focus, c_mktsegment AS value FROM cust
+), bill_vals AS (
+  SELECT DISTINCT focus,
+         CASE WHEN c_custkey % 71 = 0 THEN 'OTHER'
+              ELSE c_mktsegment END AS value
+  FROM cust
+), likes_vals AS (
+  SELECT DISTINCT focus, 'v' || (c_custkey % 10) AS value FROM cust
+), owns_vals AS (
+  SELECT DISTINCT focus, 'v' || (c_custkey % 7) AS value FROM cust
+)
+SELECT focus, shape, path, component, detail FROM (
+  SELECT focus, 'C2' AS shape, 'natkey' AS path,
+         'datatype' AS component, value AS detail
+  FROM natkey_vals WHERE NOT regexp_matches(value, '^[+-]?[0-9]+$')
+  UNION ALL
+  SELECT focus, 'C2', 'natkey', 'minInclusive', value
+  FROM natkey_vals
+  WHERE TRY_CAST(value AS DOUBLE) IS NULL
+     OR TRY_CAST(value AS DOUBLE) < 1
+  UNION ALL
+  SELECT focus, 'C2', 'natkey', 'maxExclusive', value
+  FROM natkey_vals
+  WHERE TRY_CAST(value AS DOUBLE) IS NULL
+     OR TRY_CAST(value AS DOUBLE) >= 22
+  UNION ALL
+  SELECT focus, 'C2', 'segment', 'minLength', value
+  FROM seg_vals WHERE length(value) < 9
+  UNION ALL
+  SELECT focus, 'C2', 'segment', 'maxLength', value
+  FROM seg_vals WHERE length(value) > 9
+  UNION ALL
+  SELECT s.focus, 'C2', 'start', 'lessThan', s.value || '!<' || e.value
+  FROM start_vals s JOIN end_vals e USING (focus)
+  WHERE TRY_CAST(s.value AS DOUBLE) IS NULL
+     OR TRY_CAST(e.value AS DOUBLE) IS NULL
+     OR TRY_CAST(s.value AS DOUBLE) >= TRY_CAST(e.value AS DOUBLE)
+  UNION ALL
+  SELECT focus, 'C2', 'ship', 'equals', value FROM (
+    (SELECT focus, value FROM ship_vals
+     EXCEPT SELECT focus, value FROM bill_vals)
+    UNION
+    (SELECT focus, value FROM bill_vals
+     EXCEPT SELECT focus, value FROM ship_vals)
+  )
+  UNION ALL
+  SELECT l.focus, 'C2', 'likes', 'disjoint', l.value
+  FROM likes_vals l JOIN owns_vals o
+    ON l.focus = o.focus AND l.value = o.value
+)
+ORDER BY focus, path, component, detail
+"""
+
+
 def q_kg_different_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL 2 RL eq-diff1 consistency report (operators/ontology.py:
     different_from_violations): customers merge into mod-97 residue
@@ -6646,6 +6803,7 @@ def queries() -> dict:
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
+            "kg_shacl_report2": q_kg_shacl_report2,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -6842,6 +7000,7 @@ def oracle_sql() -> dict:
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,
+        "kg_shacl_report2": _KG_SHACL2_SQL,
         "kg_local_clustering": _KG_LOCAL_CLUSTERING_SQL,
         "kg_harmonic_centrality": _KG_HARMONIC_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,

@@ -227,3 +227,204 @@ class TestShaclValidate:
         want = shacl_validate_python_twin(facts, types, shapes)
         assert got == want
         assert len(want) > 10  # the random graph genuinely violates
+
+
+class TestShaclRound5Components:
+    """sh:datatype, sh:minLength/maxLength, value-range (§4.3), and
+    property-pair (§4.6) components."""
+
+    def test_datatype_component(self, spark):
+        facts = [
+            ("c1", "age", "42"),
+            ("c2", "age", "-7"),
+            ("c3", "age", "4.5"),      # not xsd:integer
+            ("c4", "age", "forty"),    # not a number at all
+        ]
+        types = [(f"c{i}", "C") for i in range(1, 5)]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, types),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "age", "datatype": "xsd:integer"},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c3", "S", "age", "datatype", "4.5"),
+            ("c4", "S", "age", "datatype", "forty"),
+        }
+
+    def test_datatype_date_and_boolean(self, spark):
+        facts = [
+            ("c1", "born", "1991-05-17"),
+            ("c2", "born", "1991-5-17"),     # not padded: violates
+            ("c1", "ok", "true"),
+            ("c2", "ok", "yes"),             # violates
+        ]
+        types = [("c1", "C"), ("c2", "C")]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, types),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "born", "datatype": "xsd:date"},
+                    {"path": "ok", "datatype": "xsd:boolean"},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c2", "S", "born", "datatype", "1991-5-17"),
+            ("c2", "S", "ok", "datatype", "yes"),
+        }
+
+    def test_length_components(self, spark):
+        facts = [("c1", "code", "ab"), ("c1", "code", "abcdef"),
+                 ("c1", "code", "abcd")]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, [("c1", "C")]),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "code", "min_length": 3, "max_length": 5},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c1", "S", "code", "minLength", "ab"),
+            ("c1", "S", "code", "maxLength", "abcdef"),
+        }
+
+    def test_range_components_and_noncomparable(self, spark):
+        facts = [
+            ("c1", "score", "5"),
+            ("c1", "score", "0"),       # < minInclusive 1
+            ("c1", "score", "10"),      # == maxInclusive: fine
+            ("c1", "score", "11"),      # > maxInclusive
+            ("c1", "score", "NaNish"),  # not comparable: violates both
+        ]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, [("c1", "C")]),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "score", "min_inclusive": 1,
+                     "max_inclusive": 10},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c1", "S", "score", "minInclusive", "0"),
+            ("c1", "S", "score", "maxInclusive", "11"),
+            ("c1", "S", "score", "minInclusive", "NaNish"),
+            ("c1", "S", "score", "maxInclusive", "NaNish"),
+        }
+
+    def test_exclusive_bounds(self, spark):
+        facts = [("c1", "x", "1"), ("c1", "x", "2"), ("c1", "x", "3")]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, [("c1", "C")]),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "x", "min_exclusive": 1, "max_exclusive": 3},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c1", "S", "x", "minExclusive", "1"),
+            ("c1", "S", "x", "maxExclusive", "3"),
+        }
+
+    def test_equals_pair(self, spark):
+        facts = [
+            ("c1", "ship", "NY"), ("c1", "bill", "NY"),   # equal: fine
+            ("c2", "ship", "LA"), ("c2", "bill", "SF"),   # both sides
+            ("c3", "ship", "TX"),                          # one side only
+        ]
+        types = [("c1", "C"), ("c2", "C"), ("c3", "C")]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, types),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "ship", "equals": "bill"},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c2", "S", "ship", "equals", "LA"),
+            ("c2", "S", "ship", "equals", "SF"),
+            ("c3", "S", "ship", "equals", "TX"),
+        }
+
+    def test_disjoint_pair(self, spark):
+        facts = [
+            ("c1", "likes", "a"), ("c1", "owns", "b"),    # disjoint: fine
+            ("c2", "likes", "a"), ("c2", "owns", "a"),    # shared value
+        ]
+        types = [("c1", "C"), ("c2", "C")]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, types),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "likes", "disjoint": "owns"},
+                ]}],
+            )
+        )
+        assert got == {("c2", "S", "likes", "disjoint", "a")}
+
+    def test_less_than_pair(self, spark):
+        facts = [
+            ("c1", "start", "1"), ("c1", "end", "5"),     # fine
+            ("c2", "start", "7"), ("c2", "end", "3"),     # 7 >= 3
+            ("c3", "start", "2"), ("c3", "end", "oops"),  # not comparable
+        ]
+        types = [("c1", "C"), ("c2", "C"), ("c3", "C")]
+        got = _collect(
+            shacl_validate(
+                _facts(spark, facts), _types(spark, types),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "start", "less_than": "end"},
+                ]}],
+            )
+        )
+        assert got == {
+            ("c2", "S", "start", "lessThan", "7!<3"),
+            ("c3", "S", "start", "lessThan", "2!<oops"),
+        }
+
+    def test_unsupported_datatype_raises(self, spark):
+        with pytest.raises(ValueError, match="not supported"):
+            shacl_validate(
+                _facts(spark, [("c1", "p", "v")]),
+                _types(spark, [("c1", "C")]),
+                [{"shape": "S", "target_class": "C", "properties": [
+                    {"path": "p", "datatype": "xsd:duration"},
+                ]}],
+            )
+
+    def test_randomized_twin_equivalence_round5(self, spark):
+        rng = random.Random(11)
+        nodes = [f"e{i}" for i in range(30)]
+        numerics = [str(x) for x in
+                    [0, 1, 2.5, 3, 7, 10, 11, -4, "x", "1991-05-17"]]
+        facts = [
+            (rng.choice(nodes), rng.choice(["a", "b", "c", "d"]),
+             rng.choice(numerics + nodes))
+            for _ in range(400)
+        ]
+        types = list({(n, rng.choice(["T", "U"])) for n in nodes})
+        shapes = [
+            {"shape": "TS", "target_class": "T", "properties": [
+                {"path": "a", "datatype": "xsd:integer"},
+                {"path": "b", "min_inclusive": 0, "max_exclusive": 10},
+                {"path": "c", "min_length": 2, "max_length": 3},
+            ]},
+            {"shape": "US", "target_class": "U", "properties": [
+                {"path": "a", "equals": "b"},
+                {"path": "c", "disjoint": "d"},
+                {"path": "b", "less_than": "c"},
+            ]},
+        ]
+        got = _collect(
+            shacl_validate(_facts(spark, facts), _types(spark, types),
+                           shapes)
+        )
+        want = shacl_validate_python_twin(facts, types, shapes)
+        assert got == want
+        assert len(want) > 20
