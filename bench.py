@@ -140,7 +140,10 @@ RELATIONAL = [
     "kg_rdb_direct_mapping",
     "kg_different_from",
     "kg_r2rml_mapping",
+    "kg_r2rml_ref_join",
     "kg_shacl_report",
+    "kg_shacl_report2",
+    "kg_property_axioms",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

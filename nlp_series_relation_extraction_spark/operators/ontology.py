@@ -1571,3 +1571,128 @@ def rdfs_entailment_increment(
         ["subj", "predicate", "obj"],
         "left_anti",
     )
+
+
+def property_axiom_violations(
+    facts: DataFrame,
+    ontology: DataFrame,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL 2 RL property-axiom consistency rules — the three the
+    profile states as false-constraints over asserted pairs
+    (https://www.w3.org/TR/owl2-profiles/#OWL_2_RL, table 9):
+
+    - **prp-irp** (``owl:IrreflexiveProperty``): ``(x, p, x)`` holds.
+    - **prp-asyp** (``owl:AsymmetricProperty``): ``(x, p, y)`` and
+      ``(y, p, x)`` both hold (a reflexive loop violates once).
+    - **prp-pdw** (``owl:propertyDisjointWith``): ``(x, p, y)`` and
+      ``(x, q, y)`` both hold for a declared-disjoint ``(p, q)``.
+
+    Ontology rows: ``(p, "irreflexive", "")``, ``(p, "asymmetric",
+    "")``, ``(p, "propertyDisjointWith", q)``. Like
+    :func:`disjoint_violations` this derives nothing — it returns the
+    flat report ``(rule, subj, pred_a, pred_b, obj)`` the pipeline
+    gates on (``pred_b = pred_a`` except for prp-pdw, which reports in
+    declared orientation; prp-asyp reports each offending ordered
+    assertion, so a violated pair yields both orientations).
+
+    Plan: predicate pushdown scopes each branch to its declared
+    predicates (on a predicate-partitioned edge table these prune to
+    the named partitions); prp-irp is a pure filter, prp-asyp one
+    self-equi-join on ``(pred, subj, obj)``=``(pred, obj, subj)``,
+    prp-pdw a broadcast of the declaration pairs then one equi-join
+    on ``(subj, obj)`` — nothing quadratic, no windows."""
+    onto_rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto_rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    onto = [(s, k, str(o)) for s, k, o in (tuple(r) for r in onto_rows)]
+    irp = _declared(onto, "irreflexive")
+    asyp = _declared(onto, "asymmetric")
+    pdw = sorted(
+        (s, o) for s, k, o in onto if k == "propertyDisjointWith"
+    )
+    spark = facts.sparkSession
+    reports: list[DataFrame] = []
+
+    def flat(df: DataFrame, rule: str, pred_b=None) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.col("subj"),
+            F.col("predicate").alias("pred_a"),
+            (pred_b if pred_b is not None
+             else F.col("predicate")).alias("pred_b"),
+            F.col("obj"),
+        )
+
+    if irp:
+        loops = facts.where(
+            F.col("predicate").isin(irp) & (F.col("subj") == F.col("obj"))
+        ).distinct()
+        reports.append(flat(loops, "prp-irp"))
+    if asyp:
+        fwd = facts.where(F.col("predicate").isin(asyp)).distinct()
+        rev = fwd.select(
+            F.col("predicate"),
+            F.col("obj").alias("subj"),
+            F.col("subj").alias("obj"),
+        )
+        reports.append(
+            flat(fwd.join(rev, ["predicate", "subj", "obj"]), "prp-asyp")
+        )
+    if pdw:
+        decl = spark.createDataFrame(pdw, "pred_a string, pred_b string")
+        pa = facts.where(
+            F.col("predicate").isin(sorted({p for p, _ in pdw}))
+        ).select(
+            "subj", F.col("predicate").alias("pred_a"), "obj"
+        ).distinct()
+        pb = facts.where(
+            F.col("predicate").isin(sorted({q for _, q in pdw}))
+        ).select(
+            "subj", F.col("predicate").alias("pred_b"), "obj"
+        ).distinct()
+        both = (
+            pa.join(F.broadcast(decl), "pred_a")
+            .join(pb, ["subj", "pred_b", "obj"])
+        )
+        reports.append(
+            both.select(
+                F.lit("prp-pdw").alias("rule"),
+                "subj", "pred_a", "pred_b", "obj",
+            )
+        )
+    if not reports:
+        raise ValueError(
+            "property_axiom_violations: ontology declares no "
+            "irreflexive / asymmetric / propertyDisjointWith axioms"
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def property_axiom_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+) -> set[tuple]:
+    """Plain-Python oracle for :func:`property_axiom_violations`."""
+    fset = set(facts)
+    irp = {s for s, k, _ in ontology if k == "irreflexive"}
+    asyp = {s for s, k, _ in ontology if k == "asymmetric"}
+    pdw = {(s, str(o)) for s, k, o in ontology
+           if k == "propertyDisjointWith"}
+    out: set[tuple] = set()
+    for s, p, o in fset:
+        if p in irp and s == o:
+            out.add(("prp-irp", s, p, p, o))
+        if p in asyp and (o, p, s) in fset:
+            out.add(("prp-asyp", s, p, p, o))
+        for pa, pb in pdw:
+            if p == pa and (s, pb, o) in fset:
+                out.add(("prp-pdw", s, pa, pb, o))
+    return out

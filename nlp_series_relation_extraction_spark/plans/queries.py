@@ -6653,6 +6653,112 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_property_axioms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL property-axiom consistency (operators/ontology.py:
+    property_axiom_violations) over planted customer relations:
+    ``excludes`` is irreflexive but every mod-7 customer excludes
+    itself (prp-irp); ``supervises`` is asymmetric with a forward
+    chain edge per customer plus a planted back-edge at mod-5
+    (prp-asyp fires BOTH orientations of each violated pair); ``owns``
+    is disjoint with ``rents`` and mod-3 customers rent the item they
+    own (prp-pdw in declared orientation). The DuckDB oracle replays
+    each rule as its relational definition — a filter, a reversed
+    self-join, and a pair-join over the same planted facts."""
+    from ..operators.ontology import property_axiom_violations
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    cid = ck.cast("string")
+    excl = cust.select(
+        cid.alias("subj"),
+        F.lit("excludes").alias("predicate"),
+        F.when(ck % 7 == 0, ck).otherwise(ck + 1)
+        .cast("string").alias("obj"),
+    )
+    sup = cust.select(
+        cid.alias("subj"),
+        F.lit("supervises").alias("predicate"),
+        (ck + 1).cast("string").alias("obj"),
+    )
+    sup_rev = cust.where(ck % 5 == 0).select(
+        (ck + 1).cast("string").alias("subj"),
+        F.lit("supervises").alias("predicate"),
+        cid.alias("obj"),
+    )
+    owns = cust.select(
+        cid.alias("subj"),
+        F.lit("owns").alias("predicate"),
+        F.concat(F.lit("i"), (ck % 10).cast("string")).alias("obj"),
+    )
+    rents = cust.select(
+        cid.alias("subj"),
+        F.lit("rents").alias("predicate"),
+        F.concat(
+            F.lit("i"),
+            F.when(ck % 3 == 0, ck % 10).otherwise((ck + 1) % 10)
+            .cast("string"),
+        ).alias("obj"),
+    )
+    facts = (
+        excl.unionByName(sup).unionByName(sup_rev)
+        .unionByName(owns).unionByName(rents)
+    )
+    onto = spark.createDataFrame(
+        [
+            ("excludes", "irreflexive", ""),
+            ("supervises", "asymmetric", ""),
+            ("owns", "propertyDisjointWith", "rents"),
+        ],
+        "s string, p string, o string",
+    )
+    return property_axiom_violations(facts, onto).orderBy(
+        "rule", "subj", "pred_a", "pred_b", "obj"
+    )
+
+
+_KG_PROP_AXIOM_SQL = """
+WITH c AS (SELECT cast(c_custkey AS BIGINT) AS ck FROM customer),
+facts AS (
+  SELECT DISTINCT * FROM (
+    SELECT cast(ck AS VARCHAR) AS s, 'excludes' AS p,
+           cast(CASE WHEN ck % 7 = 0 THEN ck ELSE ck + 1 END
+                AS VARCHAR) AS o
+    FROM c
+    UNION ALL
+    SELECT cast(ck AS VARCHAR), 'supervises', cast(ck + 1 AS VARCHAR)
+    FROM c
+    UNION ALL
+    SELECT cast(ck + 1 AS VARCHAR), 'supervises', cast(ck AS VARCHAR)
+    FROM c WHERE ck % 5 = 0
+    UNION ALL
+    SELECT cast(ck AS VARCHAR), 'owns',
+           'i' || cast(ck % 10 AS VARCHAR)
+    FROM c
+    UNION ALL
+    SELECT cast(ck AS VARCHAR), 'rents',
+           'i' || cast(CASE WHEN ck % 3 = 0 THEN ck % 10
+                            ELSE (ck + 1) % 10 END AS VARCHAR)
+    FROM c
+  )
+)
+SELECT rule, subj, pred_a, pred_b, obj FROM (
+  SELECT 'prp-irp' AS rule, s AS subj, p AS pred_a, p AS pred_b,
+         o AS obj
+  FROM facts WHERE p = 'excludes' AND s = o
+  UNION
+  SELECT 'prp-asyp', f.s, f.p, f.p, f.o
+  FROM facts f JOIN facts r
+    ON r.p = f.p AND r.s = f.o AND r.o = f.s
+  WHERE f.p = 'supervises'
+  UNION
+  SELECT 'prp-pdw', a.s, 'owns', 'rents', a.o
+  FROM facts a JOIN facts b ON b.s = a.s AND b.o = a.o
+  WHERE a.p = 'owns' AND b.p = 'rents'
+)
+ORDER BY rule, subj, pred_a, pred_b, obj
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -6800,6 +6906,7 @@ def queries() -> dict:
             "kg_haskey_sameas": q_kg_haskey_sameas,
             "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
             "kg_different_from": q_kg_different_from,
+            "kg_property_axioms": q_kg_property_axioms,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -6997,6 +7104,7 @@ def oracle_sql() -> dict:
         "kg_haskey_sameas": _KG_HASKEY_SQL,
         "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
         "kg_different_from": _KG_DIFFERENT_FROM_SQL,
+        "kg_property_axioms": _KG_PROP_AXIOM_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

@@ -1039,3 +1039,92 @@ class TestDifferentFrom:
         ]
         got = self._run(spark, facts)
         assert got == {("a", "b", "a"), ("b", "a", "a"), ("c", "c", "c")}
+
+
+class TestPropertyAxioms:
+    """prp-irp / prp-asyp / prp-pdw consistency reports."""
+
+    def _run(self, spark, facts, onto):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import property_axiom_violations
+
+        out = property_axiom_violations(
+            _df(spark, facts,
+                "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def test_irreflexive(self, spark):
+        got = self._run(
+            spark,
+            [("a", "p", "a"), ("a", "p", "b"), ("b", "q", "b")],
+            [("p", "irreflexive", "")],
+        )
+        assert got == {("prp-irp", "a", "p", "p", "a")}
+
+    def test_asymmetric_reports_both_orientations(self, spark):
+        got = self._run(
+            spark,
+            [("a", "p", "b"), ("b", "p", "a"), ("c", "p", "d")],
+            [("p", "asymmetric", "")],
+        )
+        assert got == {
+            ("prp-asyp", "a", "p", "p", "b"),
+            ("prp-asyp", "b", "p", "p", "a"),
+        }
+
+    def test_asymmetric_self_loop_reports_once(self, spark):
+        got = self._run(
+            spark, [("a", "p", "a")], [("p", "asymmetric", "")]
+        )
+        assert got == {("prp-asyp", "a", "p", "p", "a")}
+
+    def test_property_disjoint(self, spark):
+        got = self._run(
+            spark,
+            [("a", "p", "x"), ("a", "q", "x"),      # violation
+             ("b", "p", "x"), ("b", "q", "y")],      # different obj: fine
+            [("p", "propertyDisjointWith", "q")],
+        )
+        assert got == {("prp-pdw", "a", "p", "q", "x")}
+
+    def test_declared_orientation_only(self, spark):
+        """prp-pdw reports in DECLARED orientation — q-then-p pairs
+        are the same violation, not a second row."""
+        got = self._run(
+            spark,
+            [("a", "p", "x"), ("a", "q", "x")],
+            [("p", "propertyDisjointWith", "q")],
+        )
+        assert {r[0] for r in got} == {"prp-pdw"}
+        assert len(got) == 1
+
+    def test_no_axioms_raises(self, spark):
+        with pytest.raises(ValueError, match="declares no"):
+            self._run(spark, [("a", "p", "b")],
+                      [("p", "subPropertyOf", "q")])
+
+    def test_randomized_twin_equivalence(self, spark):
+        import random
+
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import property_axiom_python_twin
+
+        rng = random.Random(3)
+        nodes = [f"n{i}" for i in range(12)]
+        preds = ["p", "q", "r", "s"]
+        facts = list({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(250)
+        })
+        onto = [
+            ("p", "irreflexive", ""),
+            ("q", "asymmetric", ""),
+            ("r", "propertyDisjointWith", "s"),
+            ("p", "propertyDisjointWith", "q"),
+        ]
+        got = self._run(spark, facts, onto)
+        want = property_axiom_python_twin(facts, onto)
+        assert got == want
+        assert len(want) > 10
