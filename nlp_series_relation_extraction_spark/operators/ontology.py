@@ -1676,6 +1676,267 @@ def property_axiom_violations(
     return out
 
 
+def _cardinality_axioms(
+    onto: list[tuple[str, str, str]], kind: str
+) -> list[tuple[str, str, str]]:
+    """``(cls, path, filler)`` rows for one cardinality kind.
+    Conventions: ``(C, "maxCardinality0", p)`` / ``(C,
+    "maxCardinality1", p)`` for the unqualified rules, ``(C,
+    "maxQualifiedCardinality0", "p|D")`` / ``...1`` for the qualified
+    ones ('|' separates path from filler class, same convention as
+    hasKey). Unqualified rows get filler ``""``."""
+    out: list[tuple[str, str, str]] = []
+    for s, k, o in onto:
+        if k != kind:
+            continue
+        o = str(o)
+        if kind.startswith("maxQualified"):
+            parts = o.split("|")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{kind} for {s!r} must be 'path|FillerClass', "
+                    f"got {o!r}"
+                )
+            out.append((s, parts[0], parts[1]))
+        else:
+            if not o:
+                raise ValueError(f"{kind} for {s!r} names no property")
+            out.append((s, o, ""))
+    return sorted(out)
+
+
+def _typed_subjects(
+    facts: DataFrame, type_predicate: str
+) -> DataFrame:
+    return facts.where(F.col("predicate") == type_predicate).select(
+        F.col("subj").alias("t_node"), F.col("obj").alias("t_cls")
+    ).distinct()
+
+
+def max_cardinality_violations(
+    facts: DataFrame,
+    ontology: DataFrame,
+    type_predicate: str = TYPE_PREDICATE,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL 2 RL max-0 cardinality consistency rules
+    (https://www.w3.org/TR/owl2-profiles/#OWL_2_RL, table 6):
+
+    - **cls-maxc1** (``owl:maxCardinality 0`` on p over class C):
+      ``x type C`` and ``(x, p, y)`` hold → violation.
+    - **cls-maxqc1** (``owl:maxQualifiedCardinality 0`` on p with
+      filler D): ``x type C``, ``(x, p, y)`` and ``y type D`` →
+      violation. (cls-maxqc2's owl:Thing filler is the unqualified
+      row.)
+
+    Ontology row conventions in :func:`_cardinality_axioms`. Output:
+    one ``(rule, subj, cls, path, obj)`` row per offending assertion —
+    like :func:`disjoint_violations` this derives nothing; max-0
+    violations mean the data is inconsistent and the pipeline gates on
+    the report. Run it over the materialized closure so inferred types
+    count.
+
+    Plan: facts pruned to the declared paths, one broadcast join onto
+    the declaration table (schema-sized), one equi-join onto the typed
+    subjects keyed ``(subj, cls)``; the qualified branch adds one more
+    typed join on the object. No windows, nothing quadratic."""
+    onto_rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto_rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    onto = [(s, k, str(o)) for s, k, o in (tuple(r) for r in onto_rows)]
+    unq = _cardinality_axioms(onto, "maxCardinality0")
+    qual = _cardinality_axioms(onto, "maxQualifiedCardinality0")
+    if not unq and not qual:
+        raise ValueError(
+            "max_cardinality_violations: ontology declares no "
+            "maxCardinality0 / maxQualifiedCardinality0 restrictions"
+        )
+    spark = facts.sparkSession
+    types = _typed_subjects(facts, type_predicate)
+    reports: list[DataFrame] = []
+
+    def assertions(axioms: list[tuple[str, str, str]]) -> DataFrame:
+        decl = spark.createDataFrame(
+            axioms, "r_cls string, predicate string, filler string"
+        )
+        return (
+            facts.where(
+                F.col("predicate").isin(sorted({p for _, p, _ in axioms}))
+            )
+            .select("subj", "predicate", "obj")
+            .distinct()
+            .join(F.broadcast(decl), "predicate")
+            .join(
+                types,
+                (F.col("subj") == F.col("t_node"))
+                & (F.col("r_cls") == F.col("t_cls")),
+            )
+        )
+
+    def flat(df: DataFrame, rule: str) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.col("subj"),
+            F.col("r_cls").alias("cls"),
+            F.col("predicate").alias("path"),
+            F.col("obj"),
+        )
+
+    if unq:
+        reports.append(flat(assertions(unq), "cls-maxc1"))
+    if qual:
+        base = assertions(qual)
+        obj_types = types.select(
+            F.col("t_node").alias("o_node"), F.col("t_cls").alias("o_cls")
+        )
+        typed = base.join(
+            obj_types,
+            (F.col("obj") == F.col("o_node"))
+            & (F.col("filler") == F.col("o_cls")),
+        )
+        reports.append(flat(typed, "cls-maxqc1"))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.distinct()
+
+
+def max_cardinality_same_as(
+    facts: DataFrame,
+    ontology: DataFrame,
+    type_predicate: str = TYPE_PREDICATE,
+    max_ontology_rows: int = 100_000,
+) -> DataFrame:
+    """OWL 2 RL max-1 cardinality derivation rules — ``owl:sameAs``
+    pairs, feed them to :func:`owl_equality_entailment`'s closure:
+
+    - **cls-maxc2** (``owl:maxCardinality 1`` on p over class C):
+      ``x type C``, ``(x, p, y1)``, ``(x, p, y2)`` → y1 sameAs y2.
+    - **cls-maxqc3** (``owl:maxQualifiedCardinality 1`` with filler
+      D): only values additionally typed D merge. (cls-maxqc4's
+      owl:Thing filler is the unqualified row.)
+
+    This is prp-fp scoped to a class: per restricted focus the
+    distinct value set comes back as CHAIN-ADJACENT pairs, never the
+    quadratic all-pairs (see :func:`_adjacent_value_pairs` — a chain
+    and a clique seed the same connected components). Output
+    ``(a_id, b_id)``, the :func:`same_as_pairs` contract.
+
+    Plan: facts pruned to declared paths + broadcast declaration join
+    + one typed-subject equi-join (qualified adds the object-type
+    join), then ONE hash aggregate keyed (subj, cls, path) — a hub
+    focus with a million values costs a million output rows, not
+    10^12."""
+    onto_rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(onto_rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    onto = [(s, k, str(o)) for s, k, o in (tuple(r) for r in onto_rows)]
+    unq = _cardinality_axioms(onto, "maxCardinality1")
+    qual = _cardinality_axioms(onto, "maxQualifiedCardinality1")
+    if not unq and not qual:
+        raise ValueError(
+            "max_cardinality_same_as: ontology declares no "
+            "maxCardinality1 / maxQualifiedCardinality1 restrictions"
+        )
+    spark = facts.sparkSession
+    types = _typed_subjects(facts, type_predicate)
+    parts: list[DataFrame] = []
+
+    def scoped(axioms: list[tuple[str, str, str]]) -> DataFrame:
+        decl = spark.createDataFrame(
+            axioms, "r_cls string, predicate string, filler string"
+        )
+        return (
+            facts.where(
+                F.col("predicate").isin(sorted({p for _, p, _ in axioms}))
+            )
+            .select("subj", "predicate", "obj")
+            .join(F.broadcast(decl), "predicate")
+            .join(
+                types,
+                (F.col("subj") == F.col("t_node"))
+                & (F.col("r_cls") == F.col("t_cls")),
+            )
+        )
+
+    if unq:
+        parts.append(
+            _adjacent_value_pairs(
+                scoped(unq), ["subj", "r_cls", "predicate"], "obj"
+            )
+        )
+    if qual:
+        obj_types = types.select(
+            F.col("t_node").alias("o_node"), F.col("t_cls").alias("o_cls")
+        )
+        typed = scoped(qual).join(
+            obj_types,
+            (F.col("obj") == F.col("o_node"))
+            & (F.col("filler") == F.col("o_cls")),
+        )
+        parts.append(
+            _adjacent_value_pairs(
+                typed, ["subj", "r_cls", "predicate"], "obj"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def max_cardinality_python_twin(
+    facts: list[tuple[str, str, str]],
+    ontology: list[tuple[str, str, str]],
+    type_predicate: str = TYPE_PREDICATE,
+) -> tuple[set[tuple], set[tuple[str, str]]]:
+    """Plain-Python oracle: (violation rows, sameAs ADJACENT pairs)."""
+    fset = set(facts)
+    types = {(s, o) for s, p, o in fset if p == type_predicate}
+    viols: set[tuple] = set()
+    pairs: set[tuple[str, str]] = set()
+    # the unqualified and qualified max-1 rules chain INDEPENDENTLY
+    # (the Spark plan unions two separate adjacency passes), so keep
+    # one group table per rule
+    groups_u: dict[tuple[str, str, str], set[str]] = {}
+    groups_q: dict[tuple[str, str, str], set[str]] = {}
+
+    def axioms(kind):
+        return _cardinality_axioms(
+            [(s, k, o) for s, k, o in ontology if k == kind], kind
+        )
+
+    for s, p, o in fset:
+        if p == type_predicate:
+            continue
+        for cls, path, _ in axioms("maxCardinality0"):
+            if p == path and (s, cls) in types:
+                viols.add(("cls-maxc1", s, cls, p, o))
+        for cls, path, filler in axioms("maxQualifiedCardinality0"):
+            if p == path and (s, cls) in types and (o, filler) in types:
+                viols.add(("cls-maxqc1", s, cls, p, o))
+        for cls, path, _ in axioms("maxCardinality1"):
+            if p == path and (s, cls) in types:
+                groups_u.setdefault((s, cls, p), set()).add(o)
+        for cls, path, filler in axioms("maxQualifiedCardinality1"):
+            if p == path and (s, cls) in types and (o, filler) in types:
+                groups_q.setdefault((s, cls, p), set()).add(o)
+    for groups in (groups_u, groups_q):
+        for vals in groups.values():
+            sv = sorted(vals)
+            for a, b in zip(sv, sv[1:]):
+                pairs.add((a, b))
+    return viols, pairs
+
+
 def property_axiom_python_twin(
     facts: list[tuple[str, str, str]],
     ontology: list[tuple[str, str, str]],

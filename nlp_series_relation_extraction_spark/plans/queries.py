@@ -6759,6 +6759,185 @@ ORDER BY rule, subj, pred_a, pred_b, obj
 """
 
 
+def q_kg_max_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL max-0 cardinality consistency (operators/ontology.py:
+    max_cardinality_violations): Customers must have NO banned_from
+    (cls-maxc1 — every mod-31 customer carries one) and NO visits to a
+    Restricted nation (cls-maxqc1 — every customer visits nation
+    custkey%25, nations 0-11 are typed Restricted, so only those
+    visits fire; the filler typing is what the qualified rule tests).
+    The DuckDB oracle replays both rules as their relational
+    definitions — a typed-subject join and a typed-object join."""
+    from ..operators.ontology import max_cardinality_violations
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    nsub = F.concat(F.lit("nt"), (ck % 25).cast("string"))
+    ctypes = cust.select(
+        csub.alias("subj"), F.lit("type").alias("predicate"),
+        F.lit("Customer").alias("obj"),
+    )
+    ntypes = t(spark, sf_dir, "nation").where(
+        F.col("n_nationkey") < 12
+    ).select(
+        F.concat(F.lit("nt"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("Restricted").alias("obj"),
+    )
+    banned = cust.where(ck % 31 == 0).select(
+        csub.alias("subj"), F.lit("banned_from").alias("predicate"),
+        nsub.alias("obj"),
+    )
+    visits = cust.select(
+        csub.alias("subj"), F.lit("visits").alias("predicate"),
+        nsub.alias("obj"),
+    )
+    facts = (
+        ctypes.unionByName(ntypes).unionByName(banned)
+        .unionByName(visits)
+    )
+    onto = spark.createDataFrame(
+        [
+            ("Customer", "maxCardinality0", "banned_from"),
+            ("Customer", "maxQualifiedCardinality0", "visits|Restricted"),
+        ],
+        "s string, p string, o string",
+    )
+    return max_cardinality_violations(facts, onto).orderBy(
+        "rule", "subj", "cls", "path", "obj"
+    )
+
+
+_KG_MAXC_SQL = """
+WITH c AS (SELECT cast(c_custkey AS BIGINT) AS ck FROM customer),
+restricted AS (
+  SELECT 'nt' || cast(n_nationkey AS VARCHAR) AS node
+  FROM nation WHERE n_nationkey < 12
+)
+SELECT rule, subj, cls, path, obj FROM (
+  SELECT DISTINCT 'cls-maxc1' AS rule, 'c' || cast(ck AS VARCHAR) AS subj,
+         'Customer' AS cls, 'banned_from' AS path,
+         'nt' || cast(ck % 25 AS VARCHAR) AS obj
+  FROM c WHERE ck % 31 = 0
+  UNION
+  SELECT DISTINCT 'cls-maxqc1', 'c' || cast(ck AS VARCHAR),
+         'Customer', 'visits', 'nt' || cast(ck % 25 AS VARCHAR)
+  FROM c JOIN restricted
+    ON restricted.node = 'nt' || cast(ck % 25 AS VARCHAR)
+)
+ORDER BY rule, subj, cls, path, obj
+"""
+
+
+def q_kg_maxc_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL max-1 cardinality derivation (operators/ontology.py:
+    max_cardinality_same_as): primary_addr is maxCardinality 1 on
+    Customer — every customer has addr a<ck%50>, mod-13 customers a
+    second b<ck%50> and mod-26 a third z<ck%50>, so the 3-value groups
+    exercise the CHAIN adjacency (a-b, b-z), not all-pairs. contact is
+    maxQualifiedCardinality 1 with filler Email — every customer has
+    e<ck%40> plus an untyped ph<ck> (ignored), mod-7 customers a
+    second e<(ck+20)%40> (both typed: merge). The DuckDB oracle
+    replays the chains with lead() over each focus's sorted distinct
+    value set, per rule independently."""
+    from ..operators.ontology import max_cardinality_same_as
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    ctypes = cust.select(
+        csub.alias("subj"), F.lit("type").alias("predicate"),
+        F.lit("Customer").alias("obj"),
+    )
+    etypes = cust.select(
+        F.concat(F.lit("e"), (ck % 40).cast("string")).alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("Email").alias("obj"),
+    )
+
+    def addr(prefix: str, cond) -> DataFrame:
+        src = cust.where(cond) if cond is not None else cust
+        k = F.col("c_custkey").cast("long")
+        return src.select(
+            F.concat(F.lit("c"), k.cast("string")).alias("subj"),
+            F.lit("primary_addr").alias("predicate"),
+            F.concat(F.lit(prefix), (k % 50).cast("string")).alias("obj"),
+        )
+
+    contacts = cust.select(
+        csub.alias("subj"), F.lit("contact").alias("predicate"),
+        F.concat(F.lit("e"), (ck % 40).cast("string")).alias("obj"),
+    ).unionByName(
+        cust.select(
+            csub.alias("subj"), F.lit("contact").alias("predicate"),
+            F.concat(F.lit("ph"), ck.cast("string")).alias("obj"),
+        )
+    ).unionByName(
+        cust.where(ck % 7 == 0).select(
+            csub.alias("subj"), F.lit("contact").alias("predicate"),
+            F.concat(F.lit("e"),
+                     ((ck + 20) % 40).cast("string")).alias("obj"),
+        )
+    )
+    facts = (
+        ctypes.unionByName(etypes)
+        .unionByName(addr("a", None))
+        .unionByName(addr("b", ck % 13 == 0))
+        .unionByName(addr("z", ck % 26 == 0))
+        .unionByName(contacts)
+    )
+    onto = spark.createDataFrame(
+        [
+            ("Customer", "maxCardinality1", "primary_addr"),
+            ("Customer", "maxQualifiedCardinality1", "contact|Email"),
+        ],
+        "s string, p string, o string",
+    )
+    return max_cardinality_same_as(facts, onto).orderBy("a_id", "b_id")
+
+
+_KG_MAXC_SAMEAS_SQL = """
+WITH c AS (SELECT cast(c_custkey AS BIGINT) AS ck FROM customer),
+addr_vals AS (
+  SELECT DISTINCT subj, obj FROM (
+    SELECT 'c' || cast(ck AS VARCHAR) AS subj,
+           'a' || cast(ck % 50 AS VARCHAR) AS obj FROM c
+    UNION ALL
+    SELECT 'c' || cast(ck AS VARCHAR),
+           'b' || cast(ck % 50 AS VARCHAR) FROM c WHERE ck % 13 = 0
+    UNION ALL
+    SELECT 'c' || cast(ck AS VARCHAR),
+           'z' || cast(ck % 50 AS VARCHAR) FROM c WHERE ck % 26 = 0
+  )
+),
+emails AS (SELECT DISTINCT 'e' || cast(ck % 40 AS VARCHAR) AS node FROM c),
+contact_vals AS (
+  SELECT DISTINCT subj, obj FROM (
+    SELECT 'c' || cast(ck AS VARCHAR) AS subj,
+           'e' || cast(ck % 40 AS VARCHAR) AS obj FROM c
+    UNION ALL
+    SELECT 'c' || cast(ck AS VARCHAR),
+           'e' || cast((ck + 20) % 40 AS VARCHAR)
+    FROM c WHERE ck % 7 = 0
+  ) v
+  WHERE obj IN (SELECT node FROM emails)
+),
+adj AS (
+  SELECT obj AS a_id,
+         lead(obj) OVER (PARTITION BY subj ORDER BY obj) AS b_id
+  FROM addr_vals
+  UNION ALL
+  SELECT obj,
+         lead(obj) OVER (PARTITION BY subj ORDER BY obj)
+  FROM contact_vals
+)
+SELECT DISTINCT a_id, b_id FROM adj WHERE b_id IS NOT NULL
+ORDER BY a_id, b_id
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -6907,6 +7086,8 @@ def queries() -> dict:
             "kg_rdb_direct_mapping": q_kg_rdb_direct_mapping,
             "kg_different_from": q_kg_different_from,
             "kg_property_axioms": q_kg_property_axioms,
+            "kg_max_cardinality": q_kg_max_cardinality,
+            "kg_maxc_sameas": q_kg_maxc_sameas,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7105,6 +7286,8 @@ def oracle_sql() -> dict:
         "kg_rdb_direct_mapping": _KG_RDB_DM_SQL,
         "kg_different_from": _KG_DIFFERENT_FROM_SQL,
         "kg_property_axioms": _KG_PROP_AXIOM_SQL,
+        "kg_max_cardinality": _KG_MAXC_SQL,
+        "kg_maxc_sameas": _KG_MAXC_SAMEAS_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

@@ -1128,3 +1128,128 @@ class TestPropertyAxioms:
         want = property_axiom_python_twin(facts, onto)
         assert got == want
         assert len(want) > 10
+
+
+class TestMaxCardinality:
+    """cls-maxc1 / cls-maxqc1 violations, cls-maxc2 / cls-maxqc3 sameAs."""
+
+    def _viol(self, spark, facts, onto):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import max_cardinality_violations
+
+        out = max_cardinality_violations(
+            _df(spark, facts,
+                "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def _pairs(self, spark, facts, onto):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import max_cardinality_same_as
+
+        out = max_cardinality_same_as(
+            _df(spark, facts,
+                "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def test_maxc1_unqualified(self, spark):
+        got = self._viol(
+            spark,
+            [("a", "type", "C"), ("a", "banned", "x"),
+             ("b", "banned", "y"),           # not typed C: fine
+             ("a", "other", "z")],           # different path: fine
+            [("C", "maxCardinality0", "banned")],
+        )
+        assert got == {("cls-maxc1", "a", "C", "banned", "x")}
+
+    def test_maxqc1_filler_typing_respected(self, spark):
+        got = self._viol(
+            spark,
+            [("a", "type", "C"), ("r1", "type", "Restricted"),
+             ("a", "visits", "r1"),          # object typed: violation
+             ("a", "visits", "r2")],         # object untyped: fine
+            [("C", "maxQualifiedCardinality0", "visits|Restricted")],
+        )
+        assert got == {("cls-maxqc1", "a", "C", "visits", "r1")}
+
+    def test_maxc2_adjacent_chain(self, spark):
+        got = self._pairs(
+            spark,
+            [("a", "type", "C"),
+             ("a", "addr", "v1"), ("a", "addr", "v2"),
+             ("a", "addr", "v3"),
+             ("b", "addr", "v1"), ("b", "addr", "v9"),  # b untyped
+             ("c", "type", "C"), ("c", "addr", "v1")],  # single value
+            [("C", "maxCardinality1", "addr")],
+        )
+        assert got == {("v1", "v2"), ("v2", "v3")}
+
+    def test_maxqc3_only_typed_values_merge(self, spark):
+        got = self._pairs(
+            spark,
+            [("a", "type", "C"),
+             ("e1", "type", "Email"), ("e2", "type", "Email"),
+             ("a", "contact", "e1"), ("a", "contact", "e2"),
+             ("a", "contact", "ph1")],       # untyped value ignored
+            [("C", "maxQualifiedCardinality1", "contact|Email")],
+        )
+        assert got == {("e1", "e2")}
+
+    def test_unqualified_and_qualified_chain_independently(self, spark):
+        """A path under BOTH rules unions two separate adjacency
+        chains — the qualified subset contributes its own pair."""
+        got = self._pairs(
+            spark,
+            [("a", "type", "C"),
+             ("v1", "type", "D"), ("v3", "type", "D"),
+             ("a", "p", "v1"), ("a", "p", "v2"), ("a", "p", "v3")],
+            [("C", "maxCardinality1", "p"),
+             ("C", "maxQualifiedCardinality1", "p|D")],
+        )
+        assert got == {("v1", "v2"), ("v2", "v3"), ("v1", "v3")}
+
+    def test_no_axioms_raises(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="declares no"):
+            self._viol(spark, [("a", "type", "C")],
+                       [("C", "maxCardinality1", "p")])
+        with _pytest.raises(ValueError, match="declares no"):
+            self._pairs(spark, [("a", "type", "C")],
+                        [("C", "maxCardinality0", "p")])
+
+    def test_bad_qualified_spec_raises(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="path\\|FillerClass"):
+            self._viol(spark, [("a", "type", "C")],
+                       [("C", "maxQualifiedCardinality0", "nofiller")])
+
+    def test_randomized_twin_equivalence(self, spark):
+        import random
+
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import max_cardinality_python_twin
+
+        rng = random.Random(11)
+        nodes = [f"n{i}" for i in range(10)]
+        classes = ["C", "D", "E"]
+        preds = ["p", "q", "type"]
+        facts = list({
+            (rng.choice(nodes), rng.choice(preds),
+             rng.choice(nodes + classes))
+            for _ in range(300)
+        })
+        onto = [
+            ("C", "maxCardinality0", "p"),
+            ("D", "maxQualifiedCardinality0", "q|E"),
+            ("C", "maxCardinality1", "q"),
+            ("D", "maxQualifiedCardinality1", "p|C"),
+        ]
+        want_viols, want_pairs = max_cardinality_python_twin(facts, onto)
+        got_viols = self._viol(spark, facts, onto)
+        got_pairs = self._pairs(spark, facts, onto)
+        assert got_viols == want_viols
+        assert got_pairs == want_pairs
+        assert len(want_viols) > 5 and len(want_pairs) > 5
