@@ -143,7 +143,11 @@ RELATIONAL = [
     "kg_r2rml_ref_join",
     "kg_shacl_report",
     "kg_shacl_report2",
+    "kg_shacl_closed",
+    "kg_shacl_terms",
     "kg_property_axioms",
+    "kg_max_cardinality",
+    "kg_maxc_sameas",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -36,6 +36,13 @@ Supported constraint components (SHACL core §4):
   set: per-focus symmetric difference (two anti-joins), per-focus
   intersection (one equi-join), and the all-pairs comparison (a
   per-focus join — bounded by per-node fan-out, never data-sized).
+- ``sh:closed`` + ``sh:ignoredProperties`` (§4.8.1, shape-level keys
+  ``closed`` / ``ignored``) — any triple on a target focus outside the
+  declared paths violates; one NOT-IN-filtered scan per shape.
+- ``sh:nodeKind`` / ``sh:uniqueLang`` / ``sh:languageIn`` (§4.1.3 /
+  §4.4.4 / §4.4.3) — these need term metadata a bare string store
+  lacks, so they run in :func:`shacl_validate_terms` over the parsed
+  frame ``sources.rdf.parse_ntriples`` emits (obj_kind + lang cols).
 
 Shapes target instances of ``target_class`` (``sh:targetClass``).
 Shapes are driver-side metadata (a real shapes graph is KB-sized, not
@@ -90,7 +97,20 @@ def _validate_shapes(shapes: list[dict]) -> None:
         for req in ("shape", "target_class", "properties"):
             if req not in sh:
                 raise ValueError(f"shape missing {req!r}: {sh!r}")
-        if not sh["properties"]:
+        unknown_shape = set(sh) - {
+            "shape", "target_class", "properties", "closed", "ignored"
+        }
+        if unknown_shape:
+            raise ValueError(
+                f"shape {sh['shape']!r}: unsupported shape-level keys "
+                f"{sorted(unknown_shape)}"
+            )
+        if "ignored" in sh and not sh.get("closed"):
+            raise ValueError(
+                f"shape {sh['shape']!r}: 'ignored' "
+                "(sh:ignoredProperties) requires 'closed': True"
+            )
+        if not sh["properties"] and not sh.get("closed"):
             raise ValueError(
                 f"shape {sh['shape']!r} declares no property constraints"
             )
@@ -327,9 +347,216 @@ def shacl_validate(
                         )
                     )
 
+        if sh.get("closed"):
+            # sh:closed (§4.8.1): every triple on a target focus whose
+            # predicate is neither a declared property path nor in
+            # sh:ignoredProperties violates. ONE branch per shape: a
+            # NOT-IN filter on the (small, compiled) allowed list, then
+            # the target semi-join — the filter pushes to the scan, so
+            # on a predicate-partitioned edge table this reads only
+            # undeclared partitions.
+            allowed = sorted(
+                {str(p["path"]) for p in sh["properties"]}
+                | {str(i) for i in sh.get("ignored", [])}
+            )
+            rogue = (
+                facts.where(~F.col("predicate").isin(allowed))
+                .select(
+                    F.col("subj").alias("focus"),
+                    F.col("predicate").alias("rogue_path"),
+                    F.col("obj").alias("value"),
+                )
+                .distinct()
+                .join(targets, "focus")
+            )
+            reports.append(
+                rogue.select(
+                    F.col("focus"),
+                    F.lit(name).alias("shape"),
+                    F.col("rogue_path").alias("path"),
+                    F.lit("closed").alias("component"),
+                    F.col("value").cast("string").alias("detail"),
+                )
+            )
+
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
+    return out
+
+
+_NODE_KINDS = {
+    "IRI": ("iri",),
+    "Literal": ("literal",),
+    "BlankNode": ("bnode",),
+    "BlankNodeOrIRI": ("bnode", "iri"),
+    "BlankNodeOrLiteral": ("bnode", "literal"),
+    "IRIOrLiteral": ("iri", "literal"),
+}
+
+_TERM_KEYS = {"path", "node_kind", "unique_lang", "language_in"}
+
+
+def shacl_validate_terms(
+    parsed: DataFrame,
+    types: DataFrame,
+    shapes: list[dict],
+) -> DataFrame:
+    """SHACL components that need TERM metadata a bare string triple
+    store lacks — run them over the parsed-RDF frame
+    :func:`..sources.rdf.parse_ntriples` emits (``subj, predicate,
+    obj, obj_kind, lang, ...`` with ``obj_kind`` in ``iri | bnode |
+    literal`` and ``lang`` the literal's language tag or NULL):
+
+    - ``sh:nodeKind`` (§4.1.3, key ``node_kind``): every value's kind
+      must fall in the named class (all six spec members of
+      ``_NODE_KINDS``). Detail = the offending value.
+    - ``sh:uniqueLang`` (§4.4.4, key ``unique_lang: True``): no two
+      values on one focus may share a language tag. Detail = the
+      duplicated tag; untagged values never conflict.
+    - ``sh:languageIn`` (§4.4.3, key ``language_in: [tags]``): every
+      value must be a literal carrying one of the listed tags — an
+      IRI, blank node, or untagged literal violates. Detail = value.
+
+    Same shape dict / report contract as :func:`shacl_validate`
+    (``target_class`` + per-property constraints, flat ``(focus,
+    shape, path, component, detail)`` output). Plan shape: per (shape,
+    path) one predicate-pushed scan; uniqueLang is one hash aggregate
+    keyed (focus, lang) whose output is bounded by #tagged values —
+    nothing quadratic, no windows."""
+    if not shapes:
+        raise ValueError("shacl_validate_terms: no shapes given")
+    for sh in shapes:
+        for req in ("shape", "target_class", "properties"):
+            if req not in sh:
+                raise ValueError(f"shape missing {req!r}: {sh!r}")
+        if not sh["properties"]:
+            raise ValueError(
+                f"shape {sh['shape']!r} declares no property constraints"
+            )
+        for prop in sh["properties"]:
+            if "path" not in prop:
+                raise ValueError(
+                    f"shape {sh['shape']!r}: property constraint "
+                    f"missing 'path': {prop!r}"
+                )
+            unknown = set(prop) - _TERM_KEYS
+            if unknown:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    f"unsupported constraint keys {sorted(unknown)}"
+                )
+            if len(prop) == 1:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    "no constraint component given"
+                )
+            if "node_kind" in prop and prop["node_kind"] not in \
+                    _NODE_KINDS:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    f"sh:nodeKind {prop['node_kind']!r} not one of "
+                    f"{sorted(_NODE_KINDS)}"
+                )
+            if "language_in" in prop and not prop["language_in"]:
+                raise ValueError(
+                    f"shape {sh['shape']!r} path {prop['path']!r}: "
+                    "sh:languageIn needs a non-empty tag list"
+                )
+    reports: list[DataFrame] = []
+    for sh in shapes:
+        name, cls = sh["shape"], sh["target_class"]
+        targets = types.where(F.col("cls") == cls).select(
+            F.col("node").alias("focus")
+        ).distinct()
+        for prop in sh["properties"]:
+            path = prop["path"]
+            vals = (
+                parsed.where(F.col("predicate") == path)
+                .select(
+                    F.col("subj").alias("focus"),
+                    F.col("obj").alias("value"),
+                    F.col("obj_kind").alias("kind"),
+                    F.col("lang"),
+                )
+                .distinct()
+                .join(targets, "focus")
+            )
+
+            def report(df, constraint, detail):
+                return df.select(
+                    F.col("focus"),
+                    F.lit(name).alias("shape"),
+                    F.lit(path).alias("path"),
+                    F.lit(constraint).alias("component"),
+                    detail.cast("string").alias("detail"),
+                )
+
+            if "node_kind" in prop:
+                ok = list(_NODE_KINDS[prop["node_kind"]])
+                bad = vals.where(~F.col("kind").isin(ok))
+                reports.append(report(bad, "nodeKind", F.col("value")))
+            if prop.get("unique_lang"):
+                dup = (
+                    vals.where(
+                        F.col("lang").isNotNull() & (F.col("lang") != "")
+                    )
+                    .groupBy("focus", "lang")
+                    .agg(F.count("*").alias("n"))
+                    .where(F.col("n") > 1)
+                )
+                reports.append(report(dup, "uniqueLang", F.col("lang")))
+            if "language_in" in prop:
+                tags = [str(t) for t in prop["language_in"]]
+                bad = vals.where(
+                    (F.col("kind") != "literal")
+                    | F.col("lang").isNull()
+                    | ~F.col("lang").isin(tags)
+                )
+                reports.append(report(bad, "languageIn", F.col("value")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def shacl_terms_python_twin(
+    parsed: list[tuple],
+    types: list[tuple],
+    shapes: list[dict],
+) -> set[tuple]:
+    """Plain-Python oracle for :func:`shacl_validate_terms`; parsed
+    rows are (subj, predicate, obj, obj_kind, lang_or_None)."""
+    tset = set(types)
+    out: set[tuple] = set()
+    for sh in shapes:
+        name = sh["shape"]
+        targets = {n for n, c in tset if c == sh["target_class"]}
+        for prop in sh["properties"]:
+            path = prop["path"]
+            rows = {
+                (s, o, k, la)
+                for s, p, o, k, la in parsed
+                if p == path and s in targets
+            }
+            if "node_kind" in prop:
+                ok = set(_NODE_KINDS[prop["node_kind"]])
+                for s, o, k, _ in rows:
+                    if k not in ok:
+                        out.add((s, name, path, "nodeKind", o))
+            if prop.get("unique_lang"):
+                cnt: dict[tuple, int] = {}
+                for s, _o, _k, la in rows:
+                    if la:
+                        cnt[(s, la)] = cnt.get((s, la), 0) + 1
+                for (s, la), n in cnt.items():
+                    if n > 1:
+                        out.add((s, name, path, "uniqueLang", la))
+            if "language_in" in prop:
+                tags = {str(t) for t in prop["language_in"]}
+                for s, o, k, la in rows:
+                    if k != "literal" or not la or la not in tags:
+                        out.add((s, name, path, "languageIn", o))
     return out
 
 
@@ -450,4 +677,11 @@ def shacl_validate_python_twin(
                                         f, name, path, "lessThan",
                                         f"{v1}!<{v2}",
                                     ))
+        if sh.get("closed"):
+            allowed = {str(p["path"]) for p in sh["properties"]} | {
+                str(i) for i in sh.get("ignored", [])
+            }
+            for s, p, o in facts:
+                if s in targets and p not in allowed:
+                    out.add((s, name, p, "closed", o))
     return out

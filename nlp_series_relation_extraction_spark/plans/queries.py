@@ -6938,6 +6938,204 @@ ORDER BY a_id, b_id
 """
 
 
+def q_kg_shacl_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL sh:closed + sh:ignoredProperties (§4.8.1,
+    operators/shacl.py: shacl_validate shape-level keys): customers
+    carry two declared paths (every target conforms, so the
+    cardinality branches emit nothing), mod-23 customers a 'noted'
+    triple (ignored — never reported), and mod-19 customers a rogue
+    'debug_<k%3>' triple — the closed branch reports exactly those.
+    The DuckDB oracle is the NOT-IN filter the branch compiles to."""
+    from ..operators.shacl import shacl_validate
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+
+    def tri(pred, obj):
+        return cust.select(
+            csub.alias("subj"), pred.alias("predicate"), obj.alias("obj")
+        )
+
+    facts = (
+        tri(F.lit("hasSeg"), F.col("c_mktsegment"))
+        .unionByName(
+            tri(F.lit("inNation"), F.col("c_nationkey").cast("string"))
+        )
+        .unionByName(
+            cust.where(ck % 23 == 0).select(
+                csub.alias("subj"), F.lit("noted").alias("predicate"),
+                F.lit("audit").alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.where(ck % 19 == 0).select(
+                csub.alias("subj"),
+                F.concat(F.lit("debug_"),
+                         (ck % 3).cast("string")).alias("predicate"),
+                (ck % 100).cast("string").alias("obj"),
+            )
+        )
+    )
+    types = cust.select(
+        csub.alias("node"), F.lit("Customer").alias("cls")
+    )
+    report = shacl_validate(
+        facts,
+        types,
+        [
+            {
+                "shape": "CC",
+                "target_class": "Customer",
+                "closed": True,
+                "ignored": ["noted"],
+                "properties": [
+                    {"path": "hasSeg", "min_count": 1},
+                    {"path": "inNation", "min_count": 1},
+                ],
+            }
+        ],
+    )
+    return report.orderBy("focus", "path", "component", "detail")
+
+
+_KG_SHACL_CLOSED_SQL = """
+SELECT 'c' || cast(c_custkey AS VARCHAR) AS focus,
+       'CC' AS shape,
+       'debug_' || cast(c_custkey % 3 AS VARCHAR) AS path,
+       'closed' AS component,
+       cast(c_custkey % 100 AS VARCHAR) AS detail
+FROM customer
+WHERE c_custkey % 19 = 0
+ORDER BY focus, path, component, detail
+"""
+
+
+def q_kg_shacl_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL term-metadata components (operators/shacl.py:
+    shacl_validate_terms — sh:nodeKind §4.1.3, sh:uniqueLang §4.4.4,
+    sh:languageIn §4.4.3) over a parsed-RDF-shaped frame planted from
+    customer: every customer has an en (even key) or fr (odd) label,
+    mod-11 customers a SECOND label in the same tag (uniqueLang),
+    mod-9 customers a 'de' label (languageIn), mod-17 customers an
+    IRI in label position (languageIn — wrong kind); the 'ref' path
+    holds IRIs except literals for mod-13 customers (nodeKind). The
+    DuckDB oracle replays each component relationally (a HAVING
+    count>1 per (focus, lang) and two kind/tag filters)."""
+    from ..operators.shacl import shacl_validate_terms
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    base_lang = F.when(ck % 2 == 0, F.lit("en")).otherwise(F.lit("fr"))
+
+    def term(src, pred, obj, kind, lang):
+        return src.select(
+            F.concat(F.lit("c"),
+                     F.col("c_custkey").cast("long").cast("string"))
+            .alias("subj"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+            F.lit(kind).alias("obj_kind") if isinstance(kind, str)
+            else kind.alias("obj_kind"),
+            lang.alias("lang"),
+        )
+
+    labels = (
+        term(cust, "label",
+             F.concat(F.lit("name_"), (ck % 60).cast("string")),
+             "literal", base_lang)
+        .unionByName(
+            term(cust.where(ck % 11 == 0), "label",
+                 F.concat(F.lit("alt_"), (ck % 60).cast("string")),
+                 "literal", base_lang)
+        )
+        .unionByName(
+            term(cust.where(ck % 9 == 0), "label",
+                 F.concat(F.lit("de_"), (ck % 60).cast("string")),
+                 "literal", F.lit("de"))
+        )
+        .unionByName(
+            term(cust.where(ck % 17 == 0), "label",
+                 F.concat(F.lit("http://x/e"), (ck % 60).cast("string")),
+                 "iri", F.lit(None).cast("string"))
+        )
+    )
+    refs = term(
+        cust, "ref",
+        F.concat(F.lit("http://x/n"), (ck % 25).cast("string")),
+        F.when(ck % 13 == 0, F.lit("literal")).otherwise(F.lit("iri")),
+        F.lit(None).cast("string"),
+    )
+    parsed = labels.unionByName(refs)
+    types = cust.select(
+        csub.alias("node"), F.lit("Customer").alias("cls")
+    )
+    report = shacl_validate_terms(
+        parsed,
+        types,
+        [
+            {
+                "shape": "CT",
+                "target_class": "Customer",
+                "properties": [
+                    {"path": "label", "unique_lang": True,
+                     "language_in": ["en", "fr"]},
+                    {"path": "ref", "node_kind": "IRI"},
+                ],
+            }
+        ],
+    )
+    return report.orderBy("focus", "path", "component", "detail")
+
+
+_KG_SHACL_TERMS_SQL = """
+WITH c AS (
+  SELECT cast(c_custkey AS BIGINT) AS ck,
+         'c' || cast(c_custkey AS VARCHAR) AS focus,
+         CASE WHEN c_custkey % 2 = 0 THEN 'en' ELSE 'fr' END AS base_lang
+  FROM customer
+),
+label_vals AS (
+  SELECT DISTINCT focus, obj, kind, lang FROM (
+    SELECT focus, 'name_' || cast(ck % 60 AS VARCHAR) AS obj,
+           'literal' AS kind, base_lang AS lang FROM c
+    UNION ALL
+    SELECT focus, 'alt_' || cast(ck % 60 AS VARCHAR),
+           'literal', base_lang FROM c WHERE ck % 11 = 0
+    UNION ALL
+    SELECT focus, 'de_' || cast(ck % 60 AS VARCHAR),
+           'literal', 'de' FROM c WHERE ck % 9 = 0
+    UNION ALL
+    SELECT focus, 'http://x/e' || cast(ck % 60 AS VARCHAR),
+           'iri', NULL FROM c WHERE ck % 17 = 0
+  )
+),
+ref_vals AS (
+  SELECT DISTINCT focus,
+         'http://x/n' || cast(ck % 25 AS VARCHAR) AS obj,
+         CASE WHEN ck % 13 = 0 THEN 'literal' ELSE 'iri' END AS kind
+  FROM c
+)
+SELECT focus, shape, path, component, detail FROM (
+  SELECT focus, 'CT' AS shape, 'label' AS path,
+         'uniqueLang' AS component, lang AS detail
+  FROM label_vals
+  WHERE lang IS NOT NULL
+  GROUP BY focus, lang
+  HAVING count(*) > 1
+  UNION ALL
+  SELECT focus, 'CT', 'label', 'languageIn', obj
+  FROM label_vals
+  WHERE kind <> 'literal' OR lang IS NULL OR lang NOT IN ('en', 'fr')
+  UNION ALL
+  SELECT focus, 'CT', 'ref', 'nodeKind', obj
+  FROM ref_vals WHERE kind <> 'iri'
+)
+ORDER BY focus, path, component, detail
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7088,6 +7286,8 @@ def queries() -> dict:
             "kg_property_axioms": q_kg_property_axioms,
             "kg_max_cardinality": q_kg_max_cardinality,
             "kg_maxc_sameas": q_kg_maxc_sameas,
+            "kg_shacl_closed": q_kg_shacl_closed,
+            "kg_shacl_terms": q_kg_shacl_terms,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7288,6 +7488,8 @@ def oracle_sql() -> dict:
         "kg_property_axioms": _KG_PROP_AXIOM_SQL,
         "kg_max_cardinality": _KG_MAXC_SQL,
         "kg_maxc_sameas": _KG_MAXC_SAMEAS_SQL,
+        "kg_shacl_closed": _KG_SHACL_CLOSED_SQL,
+        "kg_shacl_terms": _KG_SHACL_TERMS_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

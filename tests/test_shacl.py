@@ -428,3 +428,175 @@ class TestShaclRound5Components:
         want = shacl_validate_python_twin(facts, types, shapes)
         assert got == want
         assert len(want) > 20
+
+
+class TestShaclClosed:
+    """sh:closed + sh:ignoredProperties (§4.8.1)."""
+
+    def _run(self, spark, facts, types, shapes):
+        return _collect(
+            shacl_validate(_facts(spark, facts), _types(spark, types),
+                           shapes)
+        )
+
+    def test_closed_reports_undeclared_paths(self, spark):
+        got = self._run(
+            spark,
+            [("c1", "hasName", "N1"), ("c1", "rogue", "v"),
+             ("c1", "noted", "w"),
+             ("x9", "rogue", "v2")],         # not a target: ignored
+            [("c1", "Customer"), ("x9", "Widget")],
+            [{"shape": "S", "target_class": "Customer",
+              "closed": True, "ignored": ["noted"],
+              "properties": [{"path": "hasName", "min_count": 1}]}],
+        )
+        assert got == {("c1", "S", "rogue", "closed", "v")}
+
+    def test_closed_only_shape(self, spark):
+        """A shape may be pure-closed (no property constraints)."""
+        got = self._run(
+            spark,
+            [("c1", "anything", "v")],
+            [("c1", "Customer")],
+            [{"shape": "S", "target_class": "Customer",
+              "closed": True, "ignored": ["noted"],
+              "properties": []}],
+        )
+        assert got == {("c1", "S", "anything", "closed", "v")}
+
+    def test_ignored_without_closed_raises(self, spark):
+        with pytest.raises(ValueError, match="requires 'closed'"):
+            self._run(spark, [("c1", "p", "v")], [("c1", "Customer")],
+                      [{"shape": "S", "target_class": "Customer",
+                        "ignored": ["noted"],
+                        "properties": [{"path": "p", "min_count": 1}]}])
+
+    def test_randomized_twin_with_closed(self, spark):
+        rng = random.Random(7)
+        nodes = [f"c{i}" for i in range(8)]
+        preds = ["hasName", "inNation", "rogue1", "rogue2", "noted"]
+        facts = list({
+            (rng.choice(nodes), rng.choice(preds), f"v{rng.randrange(6)}")
+            for _ in range(150)
+        })
+        types = [(n, "Customer" if i % 2 == 0 else "Widget")
+                 for i, n in enumerate(nodes)]
+        shapes = [{"shape": "S", "target_class": "Customer",
+                   "closed": True, "ignored": ["noted"],
+                   "properties": [{"path": "hasName", "min_count": 1},
+                                  {"path": "inNation", "max_count": 2}]}]
+        got = self._run(spark, facts, types, shapes)
+        want = shacl_validate_python_twin(facts, types, shapes)
+        assert got == want
+        assert any(r[3] == "closed" for r in want)
+
+
+class TestShaclTerms:
+    """sh:nodeKind / sh:uniqueLang / sh:languageIn over parsed frames."""
+
+    def _run(self, spark, parsed, types, shapes):
+        from nlp_series_relation_extraction_spark.operators.shacl import (
+            shacl_validate_terms,
+        )
+        pf = spark.createDataFrame(
+            parsed,
+            "subj string, predicate string, obj string, "
+            "obj_kind string, lang string",
+        )
+        return _collect(
+            shacl_validate_terms(pf, _types(spark, types), shapes)
+        )
+
+    TYPES = [("c1", "Customer"), ("c2", "Customer"), ("x9", "Widget")]
+
+    def test_node_kind(self, spark):
+        parsed = [
+            ("c1", "knows", "http://x/e1", "iri", None),
+            ("c1", "knows", "_:b0", "bnode", None),
+            ("c1", "knows", "plain", "literal", None),
+            ("x9", "knows", "plain2", "literal", None),  # not a target
+        ]
+        shapes = [{"shape": "S", "target_class": "Customer",
+                   "properties": [{"path": "knows",
+                                   "node_kind": "BlankNodeOrIRI"}]}]
+        got = self._run(spark, parsed, self.TYPES, shapes)
+        assert got == {("c1", "S", "knows", "nodeKind", "plain")}
+
+    def test_unique_lang(self, spark):
+        parsed = [
+            ("c1", "label", "Chair", "literal", "en"),
+            ("c1", "label", "Seat", "literal", "en"),     # dup en
+            ("c1", "label", "Chaise", "literal", "fr"),
+            ("c2", "label", "Table", "literal", "en"),    # singleton
+            ("c2", "label", "plain", "literal", None),    # untagged x2:
+            ("c2", "label", "plain2", "literal", None),   # never conflict
+        ]
+        shapes = [{"shape": "S", "target_class": "Customer",
+                   "properties": [{"path": "label",
+                                   "unique_lang": True}]}]
+        got = self._run(spark, parsed, self.TYPES, shapes)
+        assert got == {("c1", "S", "label", "uniqueLang", "en")}
+
+    def test_language_in(self, spark):
+        parsed = [
+            ("c1", "label", "Chair", "literal", "en"),
+            ("c1", "label", "Stuhl", "literal", "de"),    # not allowed
+            ("c1", "label", "bare", "literal", None),     # untagged
+            ("c1", "label", "http://x/e1", "iri", None),  # IRI
+        ]
+        shapes = [{"shape": "S", "target_class": "Customer",
+                   "properties": [{"path": "label",
+                                   "language_in": ["en", "fr"]}]}]
+        got = self._run(spark, parsed, self.TYPES, shapes)
+        assert got == {
+            ("c1", "S", "label", "languageIn", "Stuhl"),
+            ("c1", "S", "label", "languageIn", "bare"),
+            ("c1", "S", "label", "languageIn", "http://x/e1"),
+        }
+
+    def test_bad_node_kind_raises(self, spark):
+        with pytest.raises(ValueError, match="not one of"):
+            self._run(spark, [("c1", "p", "v", "iri", None)], self.TYPES,
+                      [{"shape": "S", "target_class": "Customer",
+                        "properties": [{"path": "p",
+                                        "node_kind": "Iri"}]}])
+
+    def test_empty_language_in_raises(self, spark):
+        with pytest.raises(ValueError, match="non-empty tag list"):
+            self._run(spark, [("c1", "p", "v", "iri", None)], self.TYPES,
+                      [{"shape": "S", "target_class": "Customer",
+                        "properties": [{"path": "p",
+                                        "language_in": []}]}])
+
+    def test_randomized_twin_equivalence(self, spark):
+        from nlp_series_relation_extraction_spark.operators.shacl import (
+            shacl_terms_python_twin,
+        )
+        rng = random.Random(19)
+        nodes = [f"c{i}" for i in range(8)]
+        kinds = ["iri", "bnode", "literal"]
+        langs = [None, "en", "fr", "de"]
+        parsed = list({
+            (rng.choice(nodes), rng.choice(["label", "knows"]),
+             f"v{rng.randrange(12)}", rng.choice(kinds),
+             rng.choice(langs))
+            for _ in range(250)
+        })
+        # lang only makes sense on literals — mirror the parser contract
+        parsed = [
+            (s, p, o, k, la if k == "literal" else None)
+            for s, p, o, k, la in parsed
+        ]
+        types = [(n, "Customer" if i % 2 == 0 else "Widget")
+                 for i, n in enumerate(nodes)]
+        shapes = [{"shape": "S", "target_class": "Customer",
+                   "properties": [
+                       {"path": "knows", "node_kind": "BlankNodeOrIRI"},
+                       {"path": "label", "unique_lang": True,
+                        "language_in": ["en", "fr"]},
+                   ]}]
+        got = self._run(spark, parsed, types, shapes)
+        want = shacl_terms_python_twin(parsed, types, shapes)
+        assert got == want
+        for comp in ("nodeKind", "uniqueLang", "languageIn"):
+            assert any(r[3] == comp for r in want)
