@@ -148,6 +148,8 @@ RELATIONAL = [
     "kg_property_axioms",
     "kg_max_cardinality",
     "kg_maxc_sameas",
+    "kg_negative_assertions",
+    "kg_complement_check",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

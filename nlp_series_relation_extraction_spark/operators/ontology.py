@@ -1067,6 +1067,7 @@ def disjoint_violations(
     ontology: DataFrame,
     type_predicate: str = TYPE_PREDICATE,
     max_ontology_rows: int = 100_000,
+    kind: str = "disjointWith",
 ) -> DataFrame:
     """OWL 2 RL consistency rule cax-dw (``owl:disjointWith``): report
     every entity typed by BOTH classes of a declared-disjoint pair —
@@ -1077,7 +1078,13 @@ def disjoint_violations(
     gates on, not an exception mid-job. Run it on the materialized
     closure (violations through inferred types are the ones asserted
     typing misses). Plan: the type scan joined twice against the
-    broadcast declaration table, keyed on (entity) — one shuffle."""
+    broadcast declaration table, keyed on (entity) — one shuffle.
+
+    ``kind="complementOf"`` gives rule **cls-com** (table 7): in OWL 2
+    RL, ``owl:complementOf`` is checkable only as the same
+    both-classes-asserted falsehood — the profile derives no negative
+    types, so the plan is identical and only the declaration keyword
+    differs."""
     onto_rows = ontology.limit(max_ontology_rows + 1).collect()
     if len(onto_rows) > max_ontology_rows:
         raise ValueError(
@@ -1088,7 +1095,7 @@ def disjoint_violations(
     pairs = sorted(
         (s, str(o))
         for s, k, o in (tuple(r) for r in onto_rows)
-        if k == "disjointWith"
+        if k == kind
     )
     spark = facts.sparkSession
     dw = spark.createDataFrame(pairs, "cls_a string, cls_b string")
@@ -1106,6 +1113,42 @@ def disjoint_violations(
         .select("subj", "cls_a", "cls_b")
         .distinct()
     )
+
+
+def negative_assertion_violations(
+    facts: DataFrame,
+    negatives: DataFrame,
+) -> DataFrame:
+    """OWL 2 RL consistency rules prp-npa1/prp-npa2
+    (``owl:NegativePropertyAssertion``,
+    https://www.w3.org/TR/owl2-profiles/#OWL_2_RL table 4): a negative
+    assertion states ``(source, property, target)`` must NOT hold;
+    both the object- and data-property rules reduce to the same check
+    on a string triple store — report every negative assertion whose
+    triple is asserted anyway. ``negatives`` rows are ``(subj,
+    predicate, obj)`` like the facts themselves.
+
+    Negative assertions are DATA-sized (one per flagged statement, a
+    crowdsourced KG can carry millions), so this is a plain
+    distributed equi-join on all three columns — no broadcast
+    assumption, no windows, output bounded by |negatives|. Run it on
+    the materialized closure so derived facts violate too."""
+    return (
+        negatives.select("subj", "predicate", "obj")
+        .distinct()
+        .join(
+            facts.select("subj", "predicate", "obj").distinct(),
+            ["subj", "predicate", "obj"],
+        )
+    )
+
+
+def negative_assertion_python_twin(
+    facts: list[tuple[str, str, str]],
+    negatives: list[tuple[str, str, str]],
+) -> set[tuple[str, str, str]]:
+    """Plain-Python oracle for :func:`negative_assertion_violations`."""
+    return set(facts) & set(negatives)
 
 
 def different_from_violations(

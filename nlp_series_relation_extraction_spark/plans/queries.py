@@ -7136,6 +7136,87 @@ ORDER BY focus, path, component, detail
 """
 
 
+def q_kg_negative_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL prp-npa1/npa2 (operators/ontology.py:
+    negative_assertion_violations): every customer dislikes item
+    i<ck%15>; negative assertions forbid exactly that for mod-21
+    customers (violations) and forbid the NEIGHBOUR item i<(ck+1)%15>
+    for mod-10 customers (never asserted — silent). The DuckDB oracle
+    is the three-column intersection the operator's equi-join
+    computes."""
+    from ..operators.ontology import negative_assertion_violations
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    facts = cust.select(
+        csub.alias("subj"), F.lit("dislikes").alias("predicate"),
+        F.concat(F.lit("i"), (ck % 15).cast("string")).alias("obj"),
+    )
+    negatives = cust.where(ck % 21 == 0).select(
+        csub.alias("subj"), F.lit("dislikes").alias("predicate"),
+        F.concat(F.lit("i"), (ck % 15).cast("string")).alias("obj"),
+    ).unionByName(
+        cust.where(ck % 10 == 0).select(
+            csub.alias("subj"), F.lit("dislikes").alias("predicate"),
+            F.concat(F.lit("i"),
+                     ((ck + 1) % 15).cast("string")).alias("obj"),
+        )
+    )
+    return negative_assertion_violations(facts, negatives).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+_KG_NPA_SQL = """
+SELECT 'c' || cast(c_custkey AS VARCHAR) AS subj,
+       'dislikes' AS predicate,
+       'i' || cast(c_custkey % 15 AS VARCHAR) AS obj
+FROM customer
+WHERE c_custkey % 21 = 0
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_complement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL cls-com (operators/ontology.py: disjoint_violations
+    with kind='complementOf' — identical plan to cax-dw, only the
+    declaration keyword differs because RL checks complements as
+    falsehoods, deriving no negative types): even customers are typed
+    Active, mod-3 customers Inactive, so every mod-6 customer carries
+    both complementary types. The DuckDB oracle is the double typed
+    self-join."""
+    from ..operators.ontology import disjoint_violations
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    active = cust.where(ck % 2 == 0).select(
+        csub.alias("subj"), F.lit("type").alias("predicate"),
+        F.lit("Active").alias("obj"),
+    )
+    inactive = cust.where(ck % 3 == 0).select(
+        csub.alias("subj"), F.lit("type").alias("predicate"),
+        F.lit("Inactive").alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        [("Active", "complementOf", "Inactive")],
+        "s string, p string, o string",
+    )
+    return disjoint_violations(
+        active.unionByName(inactive), onto, kind="complementOf"
+    ).orderBy("subj", "cls_a", "cls_b")
+
+
+_KG_COMPLEMENT_SQL = """
+SELECT 'c' || cast(c_custkey AS VARCHAR) AS subj,
+       'Active' AS cls_a, 'Inactive' AS cls_b
+FROM customer
+WHERE c_custkey % 6 = 0
+ORDER BY subj, cls_a, cls_b
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7288,6 +7369,8 @@ def queries() -> dict:
             "kg_maxc_sameas": q_kg_maxc_sameas,
             "kg_shacl_closed": q_kg_shacl_closed,
             "kg_shacl_terms": q_kg_shacl_terms,
+            "kg_negative_assertions": q_kg_negative_assertions,
+            "kg_complement_check": q_kg_complement_check,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7490,6 +7573,8 @@ def oracle_sql() -> dict:
         "kg_maxc_sameas": _KG_MAXC_SAMEAS_SQL,
         "kg_shacl_closed": _KG_SHACL_CLOSED_SQL,
         "kg_shacl_terms": _KG_SHACL_TERMS_SQL,
+        "kg_negative_assertions": _KG_NPA_SQL,
+        "kg_complement_check": _KG_COMPLEMENT_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

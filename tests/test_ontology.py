@@ -1253,3 +1253,82 @@ class TestMaxCardinality:
         assert got_viols == want_viols
         assert got_pairs == want_pairs
         assert len(want_viols) > 5 and len(want_pairs) > 5
+
+
+class TestNegativeAssertions:
+    """prp-npa1/npa2 — asserted negative property assertions."""
+
+    def _run(self, spark, facts, negatives):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import negative_assertion_violations
+
+        out = negative_assertion_violations(
+            _df(spark, facts,
+                "subj string, predicate string, obj string"),
+            _df(spark, negatives,
+                "subj string, predicate string, obj string"),
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def test_only_asserted_negatives_fire(self, spark):
+        got = self._run(
+            spark,
+            [("a", "p", "b"), ("a", "p", "c"), ("b", "q", "a")],
+            [("a", "p", "b"),            # asserted: violation
+             ("a", "p", "z"),            # not asserted: fine
+             ("b", "p", "a")],           # different predicate: fine
+        )
+        assert got == {("a", "p", "b")}
+
+    def test_duplicates_collapse(self, spark):
+        got = self._run(
+            spark,
+            [("a", "p", "b"), ("a", "p", "b")],
+            [("a", "p", "b"), ("a", "p", "b")],
+        )
+        assert got == {("a", "p", "b")}
+
+    def test_randomized_twin_equivalence(self, spark):
+        import random
+
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import negative_assertion_python_twin
+
+        rng = random.Random(23)
+        nodes = [f"n{i}" for i in range(8)]
+        preds = ["p", "q"]
+        mk = lambda n: list({
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(n)
+        })
+        facts, negs = mk(120), mk(60)
+        got = self._run(spark, facts, negs)
+        want = negative_assertion_python_twin(facts, negs)
+        assert got == want
+        assert len(want) > 5
+
+
+class TestComplementOf:
+    """cls-com via disjoint_violations(kind='complementOf')."""
+
+    def test_complement_pairs_fire(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import disjoint_violations
+
+        facts = _df(
+            spark,
+            [("a", "type", "Active"), ("a", "type", "Inactive"),
+             ("b", "type", "Active"),
+             ("c", "type", "Inactive")],
+            "subj string, predicate string, obj string",
+        )
+        onto = _df(
+            spark,
+            [("Active", "complementOf", "Inactive"),
+             ("Active", "disjointWith", "Retired")],  # other kind ignored
+            "s string, p string, o string",
+        )
+        out = disjoint_violations(facts, onto, kind="complementOf")
+        assert {tuple(r) for r in out.collect()} == {
+            ("a", "Active", "Inactive")
+        }
