@@ -150,6 +150,7 @@ RELATIONAL = [
     "kg_maxc_sameas",
     "kg_negative_assertions",
     "kg_complement_check",
+    "kg_r2rml_quads",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -192,6 +192,66 @@ def _term_expr(term, columns: list[str], resolve=None):
     raise ValueError(f"r2rml term map kind {kind!r} not supported")
 
 
+_TERM_META_KEYS = {"term_type", "language", "datatype"}
+_TERM_TYPES = {"IRI": "iri", "Literal": "literal", "BlankNode": "bnode"}
+
+
+def _object_term_parts(term, columns: list[str], resolve=None):
+    """One R2RML OBJECT term map with term metadata
+    (https://www.w3.org/TR/r2rml/#termtype, #language, #datatype) —
+    returns ``(lexical_expr, kind, lang, dtype)`` where kind is the
+    ``iri | literal | bnode`` vocabulary of
+    ``sources.rdf.parse_ntriples`` and lang/dtype are per-map
+    CONSTANTS (R2RML term maps carry one rr:language / rr:datatype
+    each, so these never become row expressions).
+
+    Defaults per spec §7.4.4: column-based maps and any map carrying
+    rr:language / rr:datatype are Literals; template / constant maps
+    in object position are IRIs. rr:language with rr:datatype is
+    ill-formed, as is either on a non-Literal term type."""
+    if isinstance(term, str):
+        return _template_expr(term, columns, resolve), "iri", None, None
+    if not isinstance(term, dict) or not term:
+        raise ValueError(
+            f"r2rml term map must be str or dict: {term!r}"
+        )
+    meta = {k: term[k] for k in _TERM_META_KEYS if k in term}
+    core = {k: v for k, v in term.items() if k not in _TERM_META_KEYS}
+    if len(core) != 1:
+        raise ValueError(
+            "r2rml term map needs exactly one of template/column/"
+            f"constant (plus optional {sorted(_TERM_META_KEYS)}): "
+            f"{term!r}"
+        )
+    expr = _term_expr(core, columns, resolve)
+    lang = meta.get("language")
+    dtype = meta.get("datatype")
+    if lang is not None and dtype is not None:
+        raise ValueError(
+            f"r2rml term map {term!r}: rr:language and rr:datatype "
+            "are mutually exclusive"
+        )
+    tt = meta.get("term_type")
+    if tt is None:
+        kind_key = next(iter(core))
+        tt = (
+            "Literal"
+            if kind_key == "column" or lang is not None
+            or dtype is not None
+            else "IRI"
+        )
+    if tt not in _TERM_TYPES:
+        raise ValueError(
+            f"r2rml term_type {tt!r} not one of {sorted(_TERM_TYPES)}"
+        )
+    if tt != "Literal" and (lang is not None or dtype is not None):
+        raise ValueError(
+            f"r2rml term map {term!r}: rr:language / rr:datatype "
+            "require term type Literal"
+        )
+    return expr, _TERM_TYPES[tt], lang, dtype
+
+
 def _referenced_columns(term) -> set[str]:
     """Column names a term map reads (for pre-join column pruning)."""
     if isinstance(term, dict):
@@ -220,6 +280,7 @@ def _referencing_part(
     child_subject,
     pred: str,
     spec: dict,
+    graph_expr=None,
 ) -> DataFrame:
     """One R2RML referencing object map (rr:parentTriplesMap +
     rr:joinCondition, https://www.w3.org/TR/r2rml/#foreign-key):
@@ -280,18 +341,30 @@ def _referencing_part(
     return (
         child.join(renamed, cond)
         .select(
+            (graph_expr if graph_expr is not None else F.lit(""))
+            .alias("graph"),
             child_subject.alias("subj"),
             F.lit(pred).alias("predicate"),
             obj.alias("obj"),
+            F.lit("iri").alias("obj_kind"),  # a parent subject is an IRI
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
         )
-        .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        .where(
+            F.col("subj").isNotNull() & F.col("obj").isNotNull()
+            & F.col("graph").isNotNull()
+        )
     )
+
+
+_R2RML_OUTPUTS = ("triples", "terms", "quads")
 
 
 def r2rml_mapping(
     tables: dict[str, DataFrame],
     triples_maps: list[dict],
     type_predicate: str = "rdf:type",
+    output: str = "triples",
 ) -> DataFrame:
     """Customizable relational->RDF mapping: the R2RML triples-map
     core (https://www.w3.org/TR/r2rml/) with rr:template /
@@ -319,12 +392,34 @@ def r2rml_mapping(
     that one triple; a NULL subject suppresses the row; NULL join keys
     never match. Plan: one scan per triples map with the row fan-out
     exploded in the same narrow stage (no shuffle), plus one join per
-    referencing map over a column-pruned (broadcastable) parent."""
+    referencing map over a column-pruned (broadcastable) parent.
+
+    ``output`` selects the projection — the plan is identical, columns
+    beyond the requested set are pruned by Catalyst before the scan:
+
+    - ``"triples"`` (default): ``(subj, predicate, obj)``.
+    - ``"terms"``: + ``obj_kind`` / ``lang`` / ``dtype`` carrying each
+      object map's rr:termType / rr:language / rr:datatype (see
+      :func:`_object_term_parts`) in the vocabulary of
+      ``sources.rdf.parse_ntriples`` — feed it straight to
+      ``operators.shacl.shacl_validate_terms``.
+    - ``"quads"``: + leading ``graph`` column from the triples map's
+      ``"graph"`` term map (rr:graphMap — template/column/constant
+      over the SAME logical row, so a per-row graph costs nothing);
+      maps without one emit ``""``, the default graph. A NULL graph
+      term suppresses the quad (spec term-generation rule)."""
+    if output not in _R2RML_OUTPUTS:
+        raise ValueError(
+            f"r2rml_mapping: output {output!r} not in {_R2RML_OUTPUTS}"
+        )
     parts: list[DataFrame] = []
     for tm in triples_maps:
         df = tables[tm["table"]]
         cols = df.columns
         subj_expr = _term_expr(tm["subject"], cols)
+        graph_expr = (
+            _term_expr(tm["graph"], cols) if "graph" in tm else None
+        )
         pairs = []
         refs = []
         if "class" in tm:
@@ -332,6 +427,9 @@ def r2rml_mapping(
                 F.struct(
                     F.lit(type_predicate).alias("p"),
                     F.lit(tm["class"]).alias("o"),
+                    F.lit("iri").alias("k"),
+                    F.lit(None).cast("string").alias("la"),
+                    F.lit(None).cast("string").alias("dt"),
                 )
             )
         for pred, term in tm.get("predicate_objects", []):
@@ -343,10 +441,14 @@ def r2rml_mapping(
                     )
                 refs.append((pred, term["ref"]))
                 continue
+            o_expr, kind, lang, dtype = _object_term_parts(term, cols)
             pairs.append(
                 F.struct(
                     F.lit(pred).alias("p"),
-                    _term_expr(term, cols).alias("o"),
+                    o_expr.alias("o"),
+                    F.lit(kind).alias("k"),
+                    F.lit(lang).cast("string").alias("la"),
+                    F.lit(dtype).cast("string").alias("dt"),
                 )
             )
         if not pairs and not refs:
@@ -357,22 +459,30 @@ def r2rml_mapping(
         if pairs:
             parts.append(
                 df.select(
+                    (graph_expr if graph_expr is not None else F.lit(""))
+                    .alias("graph"),
                     subj_expr.alias("subj"),
                     F.explode(F.array(*pairs)).alias("po"),
                 )
                 .where(
                     F.col("subj").isNotNull() & F.col("po.o").isNotNull()
+                    & F.col("graph").isNotNull()
                 )
                 .select(
+                    "graph",
                     "subj",
                     F.col("po.p").alias("predicate"),
                     F.col("po.o").alias("obj"),
+                    F.col("po.k").alias("obj_kind"),
+                    F.col("po.la").alias("lang"),
+                    F.col("po.dt").alias("dtype"),
                 )
             )
         for pred, spec in refs:
             parts.append(
                 _referencing_part(
-                    tables, triples_maps, df, subj_expr, pred, spec
+                    tables, triples_maps, df, subj_expr, pred, spec,
+                    graph_expr=graph_expr,
                 )
             )
     if not parts:
@@ -380,6 +490,12 @@ def r2rml_mapping(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if output == "triples":
+        return out.select("subj", "predicate", "obj")
+    if output == "terms":
+        return out.select(
+            "subj", "predicate", "obj", "obj_kind", "lang", "dtype"
+        )
     return out
 
 

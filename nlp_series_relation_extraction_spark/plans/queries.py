@@ -7217,6 +7217,89 @@ ORDER BY subj, cls_a, cls_b
 """
 
 
+def q_kg_r2rml_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2RML term metadata + graph maps (operators/rdb2rdf.py:
+    r2rml_mapping output='quads' — rr:graphMap, rr:language,
+    rr:datatype, rr:termType): customers publish into a PER-ROW named
+    graph g/<segment> (a graph template over the same logical row —
+    zero extra cost), their name as an @en literal and nation key as
+    an xsd:integer literal, plus a REFERENCING object map to the
+    nation's name-keyed subject (a template the child cannot address,
+    so the spec's joint query runs as one broadcast equi-join);
+    nations publish into the default graph ''. The DuckDB oracle
+    replays every map as a plain projection and the ref as the same
+    join."""
+    from ..operators.rdb2rdf import r2rml_mapping
+
+    out = r2rml_mapping(
+        {
+            "customer": t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+            ),
+            "nation": t(spark, sf_dir, "nation"),
+        },
+        [
+            {
+                "table": "customer",
+                "subject": "cust/{c_custkey}",
+                "graph": "g/{c_mktsegment}",
+                "class": "Customer",
+                "predicate_objects": [
+                    ("name", {"column": "c_name", "language": "en"}),
+                    ("natkey", {"column": "c_nationkey",
+                                "datatype": "xsd:integer"}),
+                    ("inNation", {"ref": {
+                        "table": "nation",
+                        "join": [("c_nationkey", "n_nationkey")],
+                        "broadcast": True,
+                    }}),
+                ],
+            },
+            {
+                "table": "nation",
+                "subject": "nat/{n_name}",
+                "predicate_objects": [
+                    ("nkey", {"column": "n_nationkey"}),
+                ],
+            },
+        ],
+        output="quads",
+    )
+    return out.orderBy(
+        "graph", "subj", "predicate", "obj", "obj_kind", "lang", "dtype"
+    )
+
+
+_KG_R2RML_QUADS_SQL = """
+SELECT graph, subj, predicate, obj, obj_kind, lang, dtype FROM (
+  SELECT 'g/' || c_mktsegment AS graph,
+         'cust/' || cast(c_custkey AS VARCHAR) AS subj,
+         'rdf:type' AS predicate, 'Customer' AS obj,
+         'iri' AS obj_kind, cast(NULL AS VARCHAR) AS lang,
+         cast(NULL AS VARCHAR) AS dtype
+  FROM customer
+  UNION ALL
+  SELECT 'g/' || c_mktsegment, 'cust/' || cast(c_custkey AS VARCHAR),
+         'name', c_name, 'literal', 'en', NULL
+  FROM customer WHERE c_name IS NOT NULL
+  UNION ALL
+  SELECT 'g/' || c_mktsegment, 'cust/' || cast(c_custkey AS VARCHAR),
+         'natkey', cast(c_nationkey AS VARCHAR), 'literal', NULL,
+         'xsd:integer'
+  FROM customer WHERE c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'g/' || c_mktsegment, 'cust/' || cast(c_custkey AS VARCHAR),
+         'inNation', 'nat/' || n_name, 'iri', NULL, NULL
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  UNION ALL
+  SELECT '', 'nat/' || n_name, 'nkey',
+         cast(n_nationkey AS VARCHAR), 'literal', NULL, NULL
+  FROM nation WHERE n_nationkey IS NOT NULL
+)
+ORDER BY graph, subj, predicate, obj, obj_kind, lang, dtype
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7371,6 +7454,7 @@ def queries() -> dict:
             "kg_shacl_terms": q_kg_shacl_terms,
             "kg_negative_assertions": q_kg_negative_assertions,
             "kg_complement_check": q_kg_complement_check,
+            "kg_r2rml_quads": q_kg_r2rml_quads,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7575,6 +7659,7 @@ def oracle_sql() -> dict:
         "kg_shacl_terms": _KG_SHACL_TERMS_SQL,
         "kg_negative_assertions": _KG_NPA_SQL,
         "kg_complement_check": _KG_COMPLEMENT_SQL,
+        "kg_r2rml_quads": _KG_R2RML_QUADS_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

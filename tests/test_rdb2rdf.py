@@ -502,3 +502,159 @@ class TestR2rmlReferencingObjectMap:
                     ],
                 }],
             )
+
+
+class TestR2rmlTermsAndQuads:
+    """rr:termType / rr:language / rr:datatype / rr:graphMap."""
+
+    def _tables(self, spark):
+        return _spark_tables(spark)
+
+    def test_terms_output_metadata(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        out = r2rml_mapping(
+            self._tables(spark),
+            [{"table": "depts", "subject": "d/{d_id}",
+              "class": "Dept",
+              "predicate_objects": [
+                  ("name", {"column": "dname", "language": "en"}),
+                  ("size", {"constant": "9",
+                            "datatype": "xsd:integer"}),
+                  ("home", {"template": "iri/{d_id}"}),
+                  ("node", {"template": "b{d_id}",
+                            "term_type": "BlankNode"}),
+              ]}],
+            output="terms",
+        )
+        got = {tuple(r) for r in out.collect()}
+        assert ("d/10", "name", "eng", "literal", "en", None) in got
+        assert ("d/10", "size", "9", "literal", None, "xsd:integer") in got
+        assert ("d/10", "home", "iri/10", "iri", None, None) in got
+        assert ("d/10", "node", "b10", "bnode", None, None) in got
+        assert ("d/10", "rdf:type", "Dept", "iri", None, None) in got
+
+    def test_column_defaults_to_literal_template_to_iri(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        out = r2rml_mapping(
+            self._tables(spark),
+            [{"table": "depts", "subject": "d/{d_id}",
+              "predicate_objects": [
+                  ("name", {"column": "dname"}),
+                  ("ref", "x/{d_id}"),
+              ]}],
+            output="terms",
+        )
+        kinds = {(r.predicate, r.obj_kind) for r in out.collect()}
+        assert kinds == {("name", "literal"), ("ref", "iri")}
+
+    def test_language_datatype_exclusive(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            r2rml_mapping(
+                self._tables(spark),
+                [{"table": "depts", "subject": "d/{d_id}",
+                  "predicate_objects": [
+                      ("name", {"column": "dname", "language": "en",
+                                "datatype": "xsd:string"}),
+                  ]}],
+            )
+
+    def test_meta_on_non_literal_raises(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        with pytest.raises(ValueError, match="require term type Literal"):
+            r2rml_mapping(
+                self._tables(spark),
+                [{"table": "depts", "subject": "d/{d_id}",
+                  "predicate_objects": [
+                      ("name", {"column": "dname", "language": "en",
+                                "term_type": "IRI"}),
+                  ]}],
+            )
+
+    def test_quads_graph_template_and_default(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        out = r2rml_mapping(
+            self._tables(spark),
+            [{"table": "depts", "subject": "d/{d_id}",
+              "graph": "g/{dname}",
+              "predicate_objects": [("name", {"column": "dname"})]},
+             {"table": "people", "subject": "p/{id}",
+              "predicate_objects": [("pid", {"column": "id"})]}],
+            output="quads",
+        )
+        got = {(r.graph, r.subj, r.predicate, r.obj)
+               for r in out.collect()}
+        assert ("g/eng", "d/10", "name", "eng") in got
+        assert ("", "p/1", "pid", "1") in got      # no graph map: default
+
+    def test_null_graph_term_suppresses_quad(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        out = r2rml_mapping(
+            self._tables(spark),
+            [{"table": "people", "subject": "p/{id}",
+              "graph": "g/{name}",          # name NULL for id=2
+              "predicate_objects": [("pid", {"column": "id"})]}],
+            output="quads",
+        )
+        subjects = {r.subj for r in out.collect()}
+        assert subjects == {"p/1", "p/3"}
+
+    def test_referencing_map_carries_graph_and_kind(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        out = r2rml_mapping(
+            self._tables(spark),
+            [{"table": "people", "subject": "p/{id}",
+              "graph": {"constant": "gP"},
+              "predicate_objects": [
+                  ("inDept", {"ref": {"table": "depts",
+                                      "join": [("dept_id", "d_id")],
+                                      "broadcast": True}}),
+              ]},
+             {"table": "depts", "subject": "dept/{dname}",
+              "predicate_objects": [("dn", {"column": "dname"})]}],
+            output="quads",
+        )
+        ref_rows = {tuple(r) for r in out.collect()
+                    if r.predicate == "inDept"}
+        assert ref_rows == {
+            ("gP", "p/1", "inDept", "dept/eng", "iri", None, None),
+            ("gP", "p/2", "inDept", "dept/ops", "iri", None, None),
+        }
+
+    def test_triples_output_unchanged_shape(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        out = r2rml_mapping(
+            self._tables(spark),
+            [{"table": "depts", "subject": "d/{d_id}",
+              "predicate_objects": [
+                  ("name", {"column": "dname", "language": "en"})]}],
+        )
+        assert out.columns == ["subj", "predicate", "obj"]
+
+    def test_bad_output_raises(self, spark):
+        from nlp_series_relation_extraction_spark.operators.rdb2rdf import (
+            r2rml_mapping,
+        )
+        with pytest.raises(ValueError, match="output"):
+            r2rml_mapping(
+                self._tables(spark),
+                [{"table": "depts", "subject": "d/{d_id}",
+                  "predicate_objects": [("n", {"column": "dname"})]}],
+                output="ntriples",
+            )
