@@ -151,6 +151,7 @@ RELATIONAL = [
     "kg_negative_assertions",
     "kg_complement_check",
     "kg_r2rml_quads",
+    "kg_rdf_lists",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -7300,6 +7300,68 @@ ORDER BY graph, subj, predicate, obj, obj_kind, lang, dtype
 """
 
 
+def q_kg_rdf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF collection flattening (operators/rdf_lists.py:
+    flatten_rdf_lists — Wyllie pointer-jumping list ranking, O(log n)
+    self-join rounds): one rdf:first/rdf:rest cons chain per nation
+    holding its customers in custkey order (~25 lists, built with one
+    window pass), flattened back to (head, idx, member). The DuckDB
+    oracle skips the cons encoding entirely and reconstructs each
+    position with row_number() — ground truth independent of the
+    ranking algorithm."""
+    from pyspark.sql import Window
+
+    from ..operators.rdf_lists import flatten_rdf_lists
+
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("nk").orderBy("ck")
+    ranked = (
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            F.col("c_custkey").cast("long").alias("ck"),
+        )
+        .withColumn("i", F.row_number().over(w) - 1)
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("nk")))
+    )
+    cell = F.concat(
+        F.lit("cell_"), F.col("nk").cast("string"), F.lit("_"),
+        F.col("i").cast("string"),
+    )
+    firsts = ranked.select(
+        cell.alias("subj"),
+        F.lit("rdf:first").alias("predicate"),
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("obj"),
+    )
+    rests = ranked.select(
+        cell.alias("subj"),
+        F.lit("rdf:rest").alias("predicate"),
+        F.when(
+            F.col("i") + 1 < F.col("cnt"),
+            F.concat(F.lit("cell_"), F.col("nk").cast("string"),
+                     F.lit("_"), (F.col("i") + 1).cast("string")),
+        ).otherwise(F.lit("rdf:nil")).alias("obj"),
+    )
+    return flatten_rdf_lists(firsts.unionByName(rests)).orderBy(
+        "head", "idx", "member"
+    )
+
+
+_KG_RDF_LISTS_SQL = """
+SELECT 'cell_' || cast(nk AS VARCHAR) || '_0' AS head,
+       i AS idx,
+       'c' || cast(ck AS VARCHAR) AS member
+FROM (
+  SELECT cast(c_nationkey AS BIGINT) AS nk,
+         cast(c_custkey AS BIGINT) AS ck,
+         row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY c_custkey
+         ) - 1 AS i
+  FROM customer
+)
+ORDER BY head, idx, member
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7455,6 +7517,7 @@ def queries() -> dict:
             "kg_negative_assertions": q_kg_negative_assertions,
             "kg_complement_check": q_kg_complement_check,
             "kg_r2rml_quads": q_kg_r2rml_quads,
+            "kg_rdf_lists": q_kg_rdf_lists,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7660,6 +7723,7 @@ def oracle_sql() -> dict:
         "kg_negative_assertions": _KG_NPA_SQL,
         "kg_complement_check": _KG_COMPLEMENT_SQL,
         "kg_r2rml_quads": _KG_R2RML_QUADS_SQL,
+        "kg_rdf_lists": _KG_RDF_LISTS_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,
