@@ -152,6 +152,8 @@ RELATIONAL = [
     "kg_complement_check",
     "kg_r2rml_quads",
     "kg_rdf_lists",
+    "kg_all_different",
+    "kg_all_disjoint",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

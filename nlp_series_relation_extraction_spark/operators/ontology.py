@@ -1196,6 +1196,113 @@ def different_from_violations(
     )
 
 
+def all_different_violations(
+    ontology: DataFrame,
+    entailed: DataFrame,
+    same_as_predicate: str = "sameAs",
+    members_predicate: str = "allDifferentMembers",
+) -> DataFrame:
+    """OWL 2 RL consistency rules eq-diff2/eq-diff3
+    (``owl:AllDifferent`` with ``owl:members`` /
+    ``owl:distinctMembers``): an axiom lists entities that must be
+    pairwise distinct; the equality entailment merging ANY two of them
+    is a contradiction. Axioms arrive the way OWL actually serializes
+    them — ``(axiom, allDifferentMembers, list_head)`` rows in
+    ``ontology`` alongside the list's own rdf:first/rdf:rest cons
+    rows; :func:`..rdf_lists.flatten_rdf_lists` recovers the members
+    (the spec's n-ary lists are exactly why that operator exists).
+    ``entailed`` carries the ``(x, sameAs, canonical)`` lineage rows of
+    :func:`owl_equality_entailment`, same contract as
+    :func:`different_from_violations`.
+
+    Output: ``(axiom, canon, member)`` — one row per member of every
+    group of >=2 members sharing a canonical id within one axiom.
+
+    Plan: NEVER the spec's quadratic pairwise differentFrom expansion —
+    members map to canonicals (one join; unmapped = own canonical) and
+    collide via ONE hash aggregate keyed (axiom, canon); the per-group
+    member set is axiom-sized, so collect_set + explode is bounded."""
+    from .rdf_lists import flatten_rdf_lists
+
+    heads = ontology.where(
+        F.col("p") == members_predicate
+    ).select(F.col("s").alias("axiom"), F.col("o").alias("head"))
+    members = (
+        flatten_rdf_lists(
+            ontology.select(
+                F.col("s").alias("subj"),
+                F.col("p").alias("predicate"),
+                F.col("o").alias("obj"),
+            )
+        )
+        .join(heads, "head")
+        .select("axiom", "member")
+    )
+    mapping = entailed.where(
+        F.col("predicate") == same_as_predicate
+    ).select(F.col("subj").alias("m_id"), F.col("obj").alias("m_canon"))
+    canon = (
+        members.join(mapping, members["member"] == mapping["m_id"], "left")
+        .select(
+            "axiom", "member",
+            F.coalesce("m_canon", "member").alias("canon"),
+        )
+    )
+    return (
+        canon.groupBy("axiom", "canon")
+        .agg(F.sort_array(F.collect_set("member")).alias("ms"))
+        .where(F.size("ms") > 1)
+        .select("axiom", "canon", F.explode("ms").alias("member"))
+    )
+
+
+def all_disjoint_classes_violations(
+    facts: DataFrame,
+    ontology: DataFrame,
+    type_predicate: str = TYPE_PREDICATE,
+    members_predicate: str = "allDisjointMembers",
+) -> DataFrame:
+    """OWL 2 RL consistency rule cax-adc (``owl:AllDisjointClasses``):
+    an axiom lists classes that must be pairwise disjoint; any entity
+    typed by >=2 of them violates. Axiom encoding and list recovery as
+    in :func:`all_different_violations`; run over the materialized
+    closure so inferred types count.
+
+    Output: ``(axiom, subj, cls)`` — one row per held class of every
+    entity typed by >=2 member classes of one axiom.
+
+    Plan: the type scan joins the (schema-sized, broadcast) member
+    table on the class, then ONE hash aggregate keyed (axiom, subj) —
+    cax-adc's n*(n-1)/2 pairwise cax-dw expansion never materializes;
+    per-entity held-class sets are bounded by the axiom width."""
+    from .rdf_lists import flatten_rdf_lists
+
+    heads = ontology.where(
+        F.col("p") == members_predicate
+    ).select(F.col("s").alias("axiom"), F.col("o").alias("head"))
+    members = (
+        flatten_rdf_lists(
+            ontology.select(
+                F.col("s").alias("subj"),
+                F.col("p").alias("predicate"),
+                F.col("o").alias("obj"),
+            )
+        )
+        .join(heads, "head")
+        .select("axiom", F.col("member").alias("cls"))
+    )
+    types = facts.where(F.col("predicate") == type_predicate).select(
+        "subj", F.col("obj").alias("cls")
+    ).distinct()
+    return (
+        types.join(F.broadcast(members), "cls")
+        .groupBy("axiom", "subj")
+        .agg(F.sort_array(F.collect_set("cls")).alias("cs"))
+        .where(F.size("cs") > 1)
+        .select("axiom", "subj", F.explode("cs").alias("cls"))
+    )
+
+
 def _declared(onto: list[tuple[str, str, str]], kind: str) -> list[str]:
     return sorted({s for s, k, _ in onto if k == kind})
 

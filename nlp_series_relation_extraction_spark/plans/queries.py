@@ -7362,6 +7362,157 @@ ORDER BY head, idx, member
 """
 
 
+def q_kg_all_different(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL eq-diff2/eq-diff3 (operators/ontology.py:
+    all_different_violations): customers merge into mod-97 residue
+    classes via the planted inverse-functional email; every mod-50
+    customer k declares an owl:AllDifferent axiom over the RDF list
+    [k, k+97, k+1] (ids *4) — the true alias k+97 shares k's residue
+    (violating pair, IF customer k+97 exists), the neighbour k+1 never
+    does. The axiom lists are genuine rdf:first/rdf:rest cons chains
+    recovered by the pointer-jumping flattener. The DuckDB oracle
+    replays canonicals as the window-min residue class and the group
+    check as HAVING count>1 over (axiom, canon)."""
+    from ..operators.ontology import (
+        all_different_violations,
+        owl_equality_entailment,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    emails = cust.select(
+        (ck * 4).cast("string").alias("subj"),
+        F.lit("registered_email").alias("predicate"),
+        F.concat(F.lit("email_"), (ck % 97).cast("string")).alias("obj"),
+    )
+    ent = owl_equality_entailment(
+        emails,
+        spark.createDataFrame(
+            [("registered_email", "inverseFunctionalProperty", "x")],
+            "s string, p string, o string",
+        ),
+    )
+    ax = cust.where(ck % 50 == 0).select(ck.alias("k"))
+    k = F.col("k")
+    lid = F.concat(F.lit("L"), k.cast("string"))
+
+    def row(s, p, o):
+        return ax.select(s.alias("s"), p.alias("p"), o.alias("o"))
+
+    onto = (
+        row(F.concat(F.lit("ax"), k.cast("string")),
+            F.lit("allDifferentMembers"), lid)
+        .unionByName(row(lid, F.lit("rdf:first"),
+                         (k * 4).cast("string")))
+        .unionByName(row(lid, F.lit("rdf:rest"),
+                         F.concat(lid, F.lit("#1"))))
+        .unionByName(row(F.concat(lid, F.lit("#1")), F.lit("rdf:first"),
+                         ((k + 97) * 4).cast("string")))
+        .unionByName(row(F.concat(lid, F.lit("#1")), F.lit("rdf:rest"),
+                         F.concat(lid, F.lit("#2"))))
+        .unionByName(row(F.concat(lid, F.lit("#2")), F.lit("rdf:first"),
+                         ((k + 1) * 4).cast("string")))
+        .unionByName(row(F.concat(lid, F.lit("#2")), F.lit("rdf:rest"),
+                         F.lit("rdf:nil")))
+    )
+    return all_different_violations(onto, ent).orderBy(
+        "axiom", "canon", "member"
+    )
+
+
+_KG_ALL_DIFFERENT_SQL = """
+WITH c AS (SELECT cast(c_custkey AS BIGINT) AS ck FROM customer),
+ids AS (
+  SELECT cast(ck * 4 AS VARCHAR) AS id, ck % 97 AS res FROM c
+),
+canon AS (
+  SELECT id, min(id) OVER (PARTITION BY res) AS can FROM ids
+),
+members AS (
+  SELECT 'ax' || cast(ck AS VARCHAR) AS axiom,
+         cast(ck * 4 AS VARCHAR) AS member
+  FROM c WHERE ck % 50 = 0
+  UNION ALL
+  SELECT 'ax' || cast(ck AS VARCHAR),
+         cast((ck + 97) * 4 AS VARCHAR)
+  FROM c WHERE ck % 50 = 0
+  UNION ALL
+  SELECT 'ax' || cast(ck AS VARCHAR),
+         cast((ck + 1) * 4 AS VARCHAR)
+  FROM c WHERE ck % 50 = 0
+),
+mc AS (
+  SELECT m.axiom, m.member, coalesce(canon.can, m.member) AS can
+  FROM members m LEFT JOIN canon ON canon.id = m.member
+),
+g AS (
+  SELECT axiom, can FROM mc GROUP BY axiom, can HAVING count(*) > 1
+)
+SELECT mc.axiom AS axiom, mc.can AS canon, mc.member AS member
+FROM mc JOIN g ON g.axiom = mc.axiom AND g.can = mc.can
+ORDER BY mc.axiom, canon, member
+"""
+
+
+def q_kg_all_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL cax-adc (operators/ontology.py:
+    all_disjoint_classes_violations): Gold/Silver/Bronze tiers typed
+    at mod 4/6/10, declared pairwise disjoint by ONE
+    owl:AllDisjointClasses axiom whose member list is a genuine
+    rdf cons chain — every customer holding >=2 tiers (mod 12/20/30
+    multiples) is reported once per held tier, and the n^2/2 pairwise
+    cax-dw expansion never materializes. The DuckDB oracle unpivots
+    the tier predicates and groups per customer."""
+    from ..operators.ontology import all_disjoint_classes_violations
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+
+    def typed(cls, mod):
+        return cust.where(ck % mod == 0).select(
+            csub.alias("subj"), F.lit("type").alias("predicate"),
+            F.lit(cls).alias("obj"),
+        )
+
+    facts = (
+        typed("Gold", 4)
+        .unionByName(typed("Silver", 6))
+        .unionByName(typed("Bronze", 10))
+    )
+    onto = spark.createDataFrame(
+        [
+            ("ax1", "allDisjointMembers", "LT"),
+            ("LT", "rdf:first", "Gold"), ("LT", "rdf:rest", "LT#1"),
+            ("LT#1", "rdf:first", "Silver"),
+            ("LT#1", "rdf:rest", "LT#2"),
+            ("LT#2", "rdf:first", "Bronze"),
+            ("LT#2", "rdf:rest", "rdf:nil"),
+        ],
+        "s string, p string, o string",
+    )
+    return all_disjoint_classes_violations(facts, onto).orderBy(
+        "axiom", "subj", "cls"
+    )
+
+
+_KG_ALL_DISJOINT_SQL = """
+WITH c AS (SELECT cast(c_custkey AS BIGINT) AS ck FROM customer),
+held AS (
+  SELECT 'c' || cast(ck AS VARCHAR) AS subj, 'Gold' AS cls
+  FROM c WHERE ck % 4 = 0
+  UNION ALL
+  SELECT 'c' || cast(ck AS VARCHAR), 'Silver' FROM c WHERE ck % 6 = 0
+  UNION ALL
+  SELECT 'c' || cast(ck AS VARCHAR), 'Bronze' FROM c WHERE ck % 10 = 0
+),
+g AS (SELECT subj FROM held GROUP BY subj HAVING count(*) > 1)
+SELECT 'ax1' AS axiom, h.subj AS subj, h.cls AS cls
+FROM held h JOIN g ON g.subj = h.subj
+ORDER BY axiom, h.subj, cls
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7518,6 +7669,8 @@ def queries() -> dict:
             "kg_complement_check": q_kg_complement_check,
             "kg_r2rml_quads": q_kg_r2rml_quads,
             "kg_rdf_lists": q_kg_rdf_lists,
+            "kg_all_different": q_kg_all_different,
+            "kg_all_disjoint": q_kg_all_disjoint,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7724,6 +7877,8 @@ def oracle_sql() -> dict:
         "kg_complement_check": _KG_COMPLEMENT_SQL,
         "kg_r2rml_quads": _KG_R2RML_QUADS_SQL,
         "kg_rdf_lists": _KG_RDF_LISTS_SQL,
+        "kg_all_different": _KG_ALL_DIFFERENT_SQL,
+        "kg_all_disjoint": _KG_ALL_DISJOINT_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

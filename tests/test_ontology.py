@@ -1332,3 +1332,113 @@ class TestComplementOf:
         assert {tuple(r) for r in out.collect()} == {
             ("a", "Active", "Inactive")
         }
+
+
+def _onto_list(head, members):
+    rows = []
+    for i, m in enumerate(members):
+        cell = head if i == 0 else f"{head}#{i}"
+        nxt = f"{head}#{i + 1}" if i + 1 < len(members) else "rdf:nil"
+        rows.append((cell, "rdf:first", m))
+        rows.append((cell, "rdf:rest", nxt))
+    return rows
+
+
+class TestAllDifferent:
+    """eq-diff2/eq-diff3 via RDF-list axioms + canonical grouping."""
+
+    def _run(self, spark, onto, entailed):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import all_different_violations
+
+        out = all_different_violations(
+            _df(spark, onto, "s string, p string, o string"),
+            _df(spark, entailed,
+                "subj string, predicate string, obj string"),
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def test_merged_members_fire_group(self, spark):
+        onto = (
+            [("ax1", "allDifferentMembers", "L1")]
+            + _onto_list("L1", ["a", "b", "c"])
+        )
+        entailed = [("b", "sameAs", "a"), ("z", "sameAs", "a")]
+        got = self._run(spark, onto, entailed)
+        # a and b share canon 'a'; c alone never reported; z not a member
+        assert got == {("ax1", "a", "a"), ("ax1", "a", "b")}
+
+    def test_three_way_merge_reports_all(self, spark):
+        onto = (
+            [("ax1", "allDifferentMembers", "L1")]
+            + _onto_list("L1", ["a", "b", "c", "d"])
+        )
+        entailed = [("b", "sameAs", "a"), ("c", "sameAs", "a")]
+        got = self._run(spark, onto, entailed)
+        assert got == {("ax1", "a", "a"), ("ax1", "a", "b"),
+                       ("ax1", "a", "c")}
+
+    def test_axioms_are_independent(self, spark):
+        onto = (
+            [("ax1", "allDifferentMembers", "L1"),
+             ("ax2", "allDifferentMembers", "L2")]
+            + _onto_list("L1", ["a", "b"])
+            + _onto_list("L2", ["a", "c"])
+        )
+        entailed = [("b", "sameAs", "a")]
+        got = self._run(spark, onto, entailed)
+        assert got == {("ax1", "a", "a"), ("ax1", "a", "b")}
+
+    def test_no_merges_is_empty(self, spark):
+        onto = (
+            [("ax1", "allDifferentMembers", "L1")]
+            + _onto_list("L1", ["a", "b"])
+        )
+        assert self._run(spark, onto, [("x", "other", "y")]) == set()
+
+
+class TestAllDisjointClasses:
+    """cax-adc via RDF-list axioms + per-entity held-class grouping."""
+
+    def _run(self, spark, facts, onto):
+        from nlp_series_relation_extraction_spark.operators.ontology \
+            import all_disjoint_classes_violations
+
+        out = all_disjoint_classes_violations(
+            _df(spark, facts,
+                "subj string, predicate string, obj string"),
+            _df(spark, onto, "s string, p string, o string"),
+        )
+        return {tuple(r) for r in out.collect()}
+
+    def test_doubly_typed_entity_fires(self, spark):
+        onto = (
+            [("ax1", "allDisjointMembers", "L1")]
+            + _onto_list("L1", ["Cat", "Dog", "Fish"])
+        )
+        facts = [
+            ("rex", "type", "Cat"), ("rex", "type", "Dog"),
+            ("tom", "type", "Cat"),
+            ("nem", "type", "Fish"), ("nem", "type", "Plant"),
+        ]
+        got = self._run(spark, facts, onto)
+        assert got == {("ax1", "rex", "Cat"), ("ax1", "rex", "Dog")}
+
+    def test_triple_typed_reports_all_three(self, spark):
+        onto = (
+            [("ax1", "allDisjointMembers", "L1")]
+            + _onto_list("L1", ["A", "B", "C"])
+        )
+        facts = [("x", "type", "A"), ("x", "type", "B"),
+                 ("x", "type", "C")]
+        got = self._run(spark, facts, onto)
+        assert got == {("ax1", "x", "A"), ("ax1", "x", "B"),
+                       ("ax1", "x", "C")}
+
+    def test_classes_outside_axiom_ignored(self, spark):
+        onto = (
+            [("ax1", "allDisjointMembers", "L1")]
+            + _onto_list("L1", ["A", "B"])
+        )
+        facts = [("x", "type", "A"), ("x", "type", "Z")]
+        assert self._run(spark, facts, onto) == set()
