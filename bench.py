@@ -154,6 +154,7 @@ RELATIONAL = [
     "kg_rdf_lists",
     "kg_all_different",
     "kg_all_disjoint",
+    "kg_skos_report",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -7513,6 +7513,111 @@ ORDER BY axiom, h.subj, cls
 """
 
 
+def q_kg_skos_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKOS vocabulary QA (operators/skos.py: skos_report) over a
+    customer->nation->region taxonomy with PLANTED violations: mod-37
+    customers carry two @en prefLabels (S14), mod-71 customers sit in
+    a planted 2-cycle with a synthetic partner (broader-cycle — 4
+    mutual pairs each), mod-61 customers assert skos:related to their
+    own nation (S27 clash only when the customer also has the tree
+    broader edge, i.e. ck%100<50), customers without a broader edge
+    are inScheme orphans, and mod-5 nations are topConceptOf despite
+    having a broader region (false tops). The DuckDB oracle enumerates
+    every planted case directly — the tree part of the taxonomy is
+    acyclic by construction, so no recursive CTE is needed."""
+    from ..operators.skos import skos_report
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    nsub = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+
+    def iri(src, subj, pred, obj):
+        return src.select(
+            subj.alias("subj"), F.lit(pred).alias("predicate"),
+            obj.alias("obj"), F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    def lbl(src, subj, text, lang):
+        return src.select(
+            subj.alias("subj"),
+            F.lit("skos:prefLabel").alias("predicate"),
+            text.alias("obj"), F.lit("literal").alias("obj_kind"),
+            F.lit(lang).alias("lang"),
+        )
+
+    cyc_partner = F.concat(csub, F.lit("x"))
+    parsed = (
+        # tree: half the customers -> nation -> region
+        iri(cust.where(ck % 100 < 50), csub, "skos:broader", nsub)
+        .unionByName(iri(
+            nat,
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+            "skos:broader",
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")),
+        ))
+        .unionByName(iri(cust, csub, "skos:inScheme", F.lit("S")))
+        .unionByName(iri(
+            nat.where(F.col("n_nationkey") % 5 == 0),
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+            "skos:topConceptOf", F.lit("S"),
+        ))
+        # planted 2-cycles
+        .unionByName(iri(cust.where(ck % 71 == 0), csub,
+                         "skos:broader", cyc_partner))
+        .unionByName(iri(cust.where(ck % 71 == 0), cyc_partner,
+                         "skos:broader", csub))
+        # S27 clash candidates
+        .unionByName(iri(cust.where(ck % 61 == 0), csub,
+                         "skos:related", nsub))
+        # labels
+        .unionByName(lbl(cust, csub,
+                         F.concat(F.lit("name"), ck.cast("string")),
+                         "en"))
+        .unionByName(lbl(cust, csub,
+                         F.concat(F.lit("nom"), ck.cast("string")),
+                         "fr"))
+        .unionByName(lbl(cust.where(ck % 37 == 0), csub,
+                         F.concat(F.lit("alt"), ck.cast("string")),
+                         "en"))
+    )
+    return skos_report(parsed).orderBy("rule", "subj", "detail")
+
+
+_KG_SKOS_SQL = """
+WITH c AS (
+  SELECT cast(c_custkey AS BIGINT) AS ck,
+         'c' || cast(c_custkey AS VARCHAR) AS cs,
+         'n' || cast(c_nationkey AS VARCHAR) AS ns
+  FROM customer
+)
+SELECT rule, subj, detail FROM (
+  SELECT 'multi-pref-label' AS rule, cs AS subj, 'en' AS detail
+  FROM c WHERE ck % 37 = 0
+  UNION ALL
+  SELECT 'broader-cycle', cs, cs || 'x' FROM c WHERE ck % 71 = 0
+  UNION ALL
+  SELECT 'broader-cycle', cs || 'x', cs FROM c WHERE ck % 71 = 0
+  UNION ALL
+  SELECT 'broader-cycle', cs, cs FROM c WHERE ck % 71 = 0
+  UNION ALL
+  SELECT 'broader-cycle', cs || 'x', cs || 'x' FROM c WHERE ck % 71 = 0
+  UNION ALL
+  SELECT 'related-broader-clash', cs, ns
+  FROM c WHERE ck % 61 = 0 AND ck % 100 < 50
+  UNION ALL
+  SELECT 'orphan-concept', cs, 'S'
+  FROM c WHERE ck % 100 >= 50 AND ck % 71 <> 0
+  UNION ALL
+  SELECT 'top-with-broader', 'n' || cast(n_nationkey AS VARCHAR), 'S'
+  FROM nation WHERE n_nationkey % 5 = 0
+)
+ORDER BY rule, subj, detail
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7671,6 +7776,7 @@ def queries() -> dict:
             "kg_rdf_lists": q_kg_rdf_lists,
             "kg_all_different": q_kg_all_different,
             "kg_all_disjoint": q_kg_all_disjoint,
+            "kg_skos_report": q_kg_skos_report,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7879,6 +7985,7 @@ def oracle_sql() -> dict:
         "kg_rdf_lists": _KG_RDF_LISTS_SQL,
         "kg_all_different": _KG_ALL_DIFFERENT_SQL,
         "kg_all_disjoint": _KG_ALL_DISJOINT_SQL,
+        "kg_skos_report": _KG_SKOS_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,
