@@ -155,6 +155,7 @@ RELATIONAL = [
     "kg_all_different",
     "kg_all_disjoint",
     "kg_skos_report",
+    "kg_void_description",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

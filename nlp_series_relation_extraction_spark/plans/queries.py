@@ -7618,6 +7618,121 @@ ORDER BY rule, subj, detail
 """
 
 
+def q_kg_void_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID dataset description (operators/void_stats.py:
+    void_description): the W3C dataset-statistics sidecar — global
+    triple/subject/object/property/class counts plus per-property and
+    per-class partitions — emitted AS TRIPLES over a mixed
+    customer+nation edge table. The DuckDB oracle recomputes every
+    count with COUNT(DISTINCT ...) over the same planted facts,
+    pinning the exact census bit-for-bit."""
+    from ..operators.void_stats import void_description
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    nsub_c = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+    nsub = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+
+    def tri(src, s, p, o):
+        return src.select(
+            s.alias("subj"), F.lit(p).alias("predicate"), o.alias("obj")
+        )
+
+    facts = (
+        tri(cust, csub, "inNation", nsub_c)
+        .unionByName(tri(cust, csub, "inSegment",
+                         F.col("c_mktsegment")))
+        .unionByName(tri(cust, csub, "type", F.lit("Customer")))
+        .unionByName(tri(nat, nsub, "type", F.lit("Nation")))
+        .unionByName(tri(
+            nat, nsub, "inRegion",
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")),
+        ))
+    )
+    return void_description(facts).orderBy("subj", "predicate", "obj")
+
+
+_KG_VOID_SQL = """
+WITH facts AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'c' || cast(c_custkey AS VARCHAR) AS s, 'inNation' AS p,
+           'n' || cast(c_nationkey AS VARCHAR) AS o
+    FROM customer
+    UNION ALL
+    SELECT 'c' || cast(c_custkey AS VARCHAR), 'inSegment',
+           c_mktsegment FROM customer
+    UNION ALL
+    SELECT 'c' || cast(c_custkey AS VARCHAR), 'type', 'Customer'
+    FROM customer
+    UNION ALL
+    SELECT 'n' || cast(n_nationkey AS VARCHAR), 'type', 'Nation'
+    FROM nation
+    UNION ALL
+    SELECT 'n' || cast(n_nationkey AS VARCHAR), 'inRegion',
+           'r' || cast(n_regionkey AS VARCHAR)
+    FROM nation
+  )
+),
+g AS (
+  SELECT count(*) AS triples, count(DISTINCT s) AS ds,
+         count(DISTINCT o) AS dob, count(DISTINCT p) AS pr
+  FROM facts
+),
+cls AS (
+  SELECT count(DISTINCT o) AS ncls FROM facts WHERE p = 'type'
+),
+pp AS (
+  SELECT p, count(*) AS t, count(DISTINCT s) AS ds,
+         count(DISTINCT o) AS dob
+  FROM facts GROUP BY p
+),
+cp AS (
+  SELECT o AS cname, count(DISTINCT s) AS ents
+  FROM facts WHERE p = 'type' GROUP BY o
+)
+SELECT subj, predicate, obj FROM (
+  SELECT 'dataset' AS subj, 'void:triples' AS predicate,
+         cast(triples AS VARCHAR) AS obj FROM g
+  UNION ALL
+  SELECT 'dataset', 'void:distinctSubjects', cast(ds AS VARCHAR) FROM g
+  UNION ALL
+  SELECT 'dataset', 'void:distinctObjects', cast(dob AS VARCHAR) FROM g
+  UNION ALL
+  SELECT 'dataset', 'void:properties', cast(pr AS VARCHAR) FROM g
+  UNION ALL
+  SELECT 'dataset', 'void:classes', cast(ncls AS VARCHAR) FROM cls
+  UNION ALL
+  SELECT 'dataset', 'void:propertyPartition', 'dataset/prop/' || p
+  FROM pp
+  UNION ALL
+  SELECT 'dataset/prop/' || p, 'void:property', p FROM pp
+  UNION ALL
+  SELECT 'dataset/prop/' || p, 'void:triples', cast(t AS VARCHAR)
+  FROM pp
+  UNION ALL
+  SELECT 'dataset/prop/' || p, 'void:distinctSubjects',
+         cast(ds AS VARCHAR)
+  FROM pp
+  UNION ALL
+  SELECT 'dataset/prop/' || p, 'void:distinctObjects',
+         cast(dob AS VARCHAR)
+  FROM pp
+  UNION ALL
+  SELECT 'dataset', 'void:classPartition', 'dataset/class/' || cname
+  FROM cp
+  UNION ALL
+  SELECT 'dataset/class/' || cname, 'void:class', cname FROM cp
+  UNION ALL
+  SELECT 'dataset/class/' || cname, 'void:entities',
+         cast(ents AS VARCHAR)
+  FROM cp
+)
+ORDER BY subj, predicate, obj
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7777,6 +7892,7 @@ def queries() -> dict:
             "kg_all_different": q_kg_all_different,
             "kg_all_disjoint": q_kg_all_disjoint,
             "kg_skos_report": q_kg_skos_report,
+            "kg_void_description": q_kg_void_description,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -7986,6 +8102,7 @@ def oracle_sql() -> dict:
         "kg_all_different": _KG_ALL_DIFFERENT_SQL,
         "kg_all_disjoint": _KG_ALL_DISJOINT_SQL,
         "kg_skos_report": _KG_SKOS_SQL,
+        "kg_void_description": _KG_VOID_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,
