@@ -156,6 +156,7 @@ RELATIONAL = [
     "kg_all_disjoint",
     "kg_skos_report",
     "kg_void_description",
+    "kg_skolemize",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

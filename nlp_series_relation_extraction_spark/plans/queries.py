@@ -7733,6 +7733,74 @@ ORDER BY subj, predicate, obj
 """
 
 
+def q_kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF 1.1 skolemization (sources/rdf.py: skolemize): every
+    customer holds an address BLANK NODE (bnode object on hasAddress,
+    bnode subject on the address's inCity row) plus a literal label;
+    skolemization rewrites each bnode — in both positions, to the SAME
+    well-known genid IRI — leaving IRIs and literals untouched. The
+    DuckDB oracle recomputes the genid with its own sha256 over the
+    same labels."""
+    from ..sources.rdf import skolemize
+
+    cust = t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    csub = F.concat(F.lit("c"), ck.cast("string"))
+    bnode = F.concat(F.lit("addr"), ck.cast("string"))
+
+    def row(s, sk, p, o, ok, lang):
+        return cust.select(
+            s.alias("subj"), F.lit(sk).alias("subj_kind"),
+            F.lit(p).alias("pred"), o.alias("obj"),
+            F.lit(ok).alias("obj_kind"),
+            (F.lit(lang) if lang else F.lit(None)).cast("string")
+            .alias("lang"),
+            F.lit(None).cast("string").alias("dtype"),
+        )
+
+    parsed = (
+        row(csub, "iri", "hasAddress", bnode, "bnode", None)
+        .unionByName(row(
+            bnode, "bnode", "inCity",
+            F.concat(F.lit("city"), (ck % 30).cast("string")), "iri",
+            None,
+        ))
+        .unionByName(row(
+            csub, "iri", "label",
+            F.concat(F.lit("name"), ck.cast("string")), "literal", "en",
+        ))
+    )
+    return skolemize(parsed, base="https://kg.example").orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+_KG_SKOLEMIZE_SQL = """
+WITH c AS (
+  SELECT cast(c_custkey AS BIGINT) AS ck,
+         'c' || cast(c_custkey AS VARCHAR) AS cs,
+         'https://kg.example/.well-known/genid/'
+           || sha256('addr' || cast(c_custkey AS VARCHAR)) AS gid
+  FROM customer
+)
+SELECT subj, subj_kind, pred, obj, obj_kind, lang, dtype FROM (
+  SELECT cs AS subj, 'iri' AS subj_kind, 'hasAddress' AS pred,
+         gid AS obj, 'iri' AS obj_kind,
+         cast(NULL AS VARCHAR) AS lang, cast(NULL AS VARCHAR) AS dtype
+  FROM c
+  UNION ALL
+  SELECT gid, 'iri', 'inCity', 'city' || cast(ck % 30 AS VARCHAR),
+         'iri', NULL, NULL
+  FROM c
+  UNION ALL
+  SELECT cs, 'iri', 'label', 'name' || cast(ck AS VARCHAR),
+         'literal', 'en', NULL
+  FROM c
+)
+ORDER BY subj, pred, obj
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7893,6 +7961,7 @@ def queries() -> dict:
             "kg_all_disjoint": q_kg_all_disjoint,
             "kg_skos_report": q_kg_skos_report,
             "kg_void_description": q_kg_void_description,
+            "kg_skolemize": q_kg_skolemize,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -8103,6 +8172,7 @@ def oracle_sql() -> dict:
         "kg_all_disjoint": _KG_ALL_DISJOINT_SQL,
         "kg_skos_report": _KG_SKOS_SQL,
         "kg_void_description": _KG_VOID_SQL,
+        "kg_skolemize": _KG_SKOLEMIZE_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

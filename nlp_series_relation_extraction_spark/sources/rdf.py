@@ -215,6 +215,48 @@ def parse_ntriples(lines: DataFrame, col: str = "line") -> DataFrame:
     return lines.mapInPandas(run, _PARSED_SCHEMA)
 
 
+def skolemize(
+    parsed: DataFrame,
+    base: str = "https://example.org",
+) -> DataFrame:
+    """RDF 1.1 skolemization (§3.5,
+    https://www.w3.org/TR/rdf11-concepts/#section-skolemization):
+    replace every blank node in a parsed frame with the spec's
+    well-known genid IRI ``<base>/.well-known/genid/<sha256(label)>``
+    and flip its kind to ``iri`` — after which the graph can be
+    merged, diffed, and deduplicated by plain string equality (the
+    whole point: blank nodes make graph comparison NP-hard, skolem
+    IRIs make it a join).
+
+    Determinism contract: the IRI is a pure function of the LABEL, so
+    two dumps reusing a label would collide — skolemize one document
+    at a time (labels are document-scoped by the N-Triples grammar)
+    or pre-suffix labels with a document id. Plan: one narrow
+    projection over the scan — two conditional concat+sha2 columns,
+    no shuffle, no UDF."""
+    pref = F.lit(base + "/.well-known/genid/")
+
+    def term(col, kind):
+        return F.when(
+            F.col(kind) == "bnode", F.concat(pref, F.sha2(F.col(col), 256))
+        ).otherwise(F.col(col))
+
+    def kind(col):
+        return F.when(
+            F.col(col) == "bnode", F.lit("iri")
+        ).otherwise(F.col(col))
+
+    return parsed.select(
+        term("subj", "subj_kind").alias("subj"),
+        kind("subj_kind").alias("subj_kind"),
+        F.col("pred"),
+        term("obj", "obj_kind").alias("obj"),
+        kind("obj_kind").alias("obj_kind"),
+        F.col("lang"),
+        F.col("dtype"),
+    )
+
+
 def ntriples_to_edges(
     lines: DataFrame, base: str = DEFAULT_BASE
 ) -> DataFrame:

@@ -299,3 +299,43 @@ def test_nquads_driver_query_matches_duckdb(spark):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_skolemize_replaces_bnodes_deterministically(spark):
+    import hashlib
+
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        parse_ntriples,
+        skolemize,
+    )
+
+    lines = _lines_df(spark, [
+        '_:b0 <http://x/p> "lit"@en .',
+        '<http://x/s> <http://x/p> _:b0 .',
+        '<http://x/s> <http://x/q> <http://x/o> .',
+    ])
+    out = {tuple(r) for r in skolemize(
+        parse_ntriples(lines), base="https://ex.org"
+    ).collect()}
+    gid = ("https://ex.org/.well-known/genid/"
+           + hashlib.sha256(b"b0").hexdigest())
+    assert out == {
+        (gid, "iri", "http://x/p", "lit", "literal", "en", None),
+        ("http://x/s", "iri", "http://x/p", gid, "iri", None, None),
+        ("http://x/s", "iri", "http://x/q", "http://x/o", "iri",
+         None, None),
+    }
+    # same label in subject and object position -> same skolem IRI
+
+
+def test_skolemize_is_identity_without_bnodes(spark):
+    from nlp_series_relation_extraction_spark.sources.rdf import (
+        parse_ntriples,
+        skolemize,
+    )
+
+    lines = _lines_df(spark, ['<http://x/s> <http://x/p> "v" .'])
+    parsed = parse_ntriples(lines)
+    assert {tuple(r) for r in skolemize(parsed).collect()} == {
+        tuple(r) for r in parsed.collect()
+    }
