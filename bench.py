@@ -157,6 +157,8 @@ RELATIONAL = [
     "kg_skos_report",
     "kg_void_description",
     "kg_skolemize",
+    "kg_class_expressions",
+    "kg_wl_fingerprints",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

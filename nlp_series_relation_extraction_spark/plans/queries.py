@@ -7801,6 +7801,187 @@ ORDER BY subj, pred, obj
 """
 
 
+def _cons_rows(
+    head_pred: str, expr: str, members: list[str], tag: str
+) -> list[tuple[str, str, str]]:
+    """(expr, head_pred, cell0) + rdf:first/rdf:rest cons rows — the
+    way OWL serializes boolean class expressions."""
+    rows = [(expr, head_pred, f"_:{tag}0")]
+    for i, m in enumerate(members):
+        rows.append((f"_:{tag}{i}", "rdf:first", m))
+        rows.append(
+            (
+                f"_:{tag}{i}",
+                "rdf:rest",
+                f"_:{tag}{i + 1}" if i + 1 < len(members) else "rdf:nil",
+            )
+        )
+    return rows
+
+
+def q_kg_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL boolean class-expression rules (operators/
+    boolean_classes.py: cls-int1/int2, cls-uni, cls-oo) over customer
+    marketing segments — a 3-round cascade exercising every rule plus
+    the rdfs9 interleave: segments lift into a unionOf Target
+    (cls-uni), BigSpender climbs into Rich (rdfs9), asserted VIP
+    intersection types decompose into Rich+Loyal (cls-int2), and
+    Target∧Rich completes the PrimeTarget intersection (cls-int1 —
+    note Rich arrives by TWO different derivation paths); a oneOf
+    enumeration types three nation constants from schema alone
+    (cls-oo). The DuckDB oracle states each derived class as its
+    closed-form membership predicate over the customer row —
+    independent of the operator's semi-naive fixpoint."""
+    from ..operators.boolean_classes import owl_boolean_class_entailment
+
+    cust = t(spark, sf_dir, "customer")
+    cid = F.concat(
+        F.lit("c"), F.col("c_custkey").cast("long").cast("string")
+    )
+    tp = F.lit("type").alias("predicate")
+    facts = (
+        cust.select(
+            cid.alias("subj"), tp,
+            F.concat(F.lit("Seg_"), F.col("c_mktsegment")).alias("obj"),
+        )
+        .unionByName(
+            cust.where(F.col("c_acctbal") > 5000).select(
+                cid.alias("subj"), tp, F.lit("BigSpender").alias("obj")
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_acctbal") < 0).select(
+                cid.alias("subj"), tp, F.lit("VIP").alias("obj")
+            )
+        )
+    )
+    onto_rows = (
+        _cons_rows(
+            "owl:unionOf", "Target", ["Seg_BUILDING", "Seg_AUTOMOBILE"], "u"
+        )
+        + _cons_rows(
+            "owl:intersectionOf", "PrimeTarget", ["Target", "Rich"], "i"
+        )
+        + _cons_rows("owl:intersectionOf", "VIP", ["Rich", "Loyal"], "j")
+        + _cons_rows("owl:oneOf", "KeyNation", ["nat0", "nat5", "nat10"], "o")
+        + [("BigSpender", "subClassOf", "Rich")]
+    )
+    onto = spark.createDataFrame(onto_rows, "s string, p string, o string")
+    return owl_boolean_class_entailment(facts, onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+_KG_CLASS_EXPR_SQL = """
+WITH cust AS (
+  SELECT 'c' || cast(cast(c_custkey AS BIGINT) AS VARCHAR) AS c,
+         c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT c AS subj, 'type' AS predicate, 'Seg_' || seg AS obj FROM cust
+  UNION ALL SELECT c, 'type', 'BigSpender' FROM cust WHERE bal > 5000
+  UNION ALL SELECT c, 'type', 'VIP' FROM cust WHERE bal < 0
+  UNION ALL SELECT c, 'type', 'Rich' FROM cust
+    WHERE bal > 5000 OR bal < 0
+  UNION ALL SELECT c, 'type', 'Loyal' FROM cust WHERE bal < 0
+  UNION ALL SELECT c, 'type', 'Target' FROM cust
+    WHERE seg IN ('BUILDING', 'AUTOMOBILE')
+  UNION ALL SELECT c, 'type', 'PrimeTarget' FROM cust
+    WHERE seg IN ('BUILDING', 'AUTOMOBILE') AND (bal > 5000 OR bal < 0)
+  UNION ALL SELECT nm, 'type', 'KeyNation'
+    FROM (VALUES ('nat0'), ('nat5'), ('nat10')) AS kn(nm)
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+def q_kg_wl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Leman neighborhood fingerprints (operators/wl.py)
+    over the TPC-H hierarchy graph, 2 rounds, seeded with entity-type
+    labels — the structural blocking key for cross-snapshot entity
+    alignment. Every hash step is JVM md5 over canonical sorted-
+    multiset encodings, so the DuckDB oracle (two unrolled refinement
+    rounds via string_agg ORDER BY) is bit-exact. Customers collapse
+    into one fingerprint per nation (identical radius-2 views);
+    nations separate by region and member counts."""
+    from ..operators.wl import wl_fingerprints
+
+    edges = _hierarchy_edges(spark, sf_dir).select(
+        F.col("subj_entity_id").cast("string").alias("subj"),
+        "predicate",
+        F.col("obj_entity_id").cast("string").alias("obj"),
+    )
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    m = F.col("node").cast("long") % 4
+    labels = nodes.select(
+        "node",
+        F.when(m == 0, "customer")
+        .when(m == 1, "supplier")
+        .when(m == 2, "nation")
+        .otherwise("region")
+        .alias("label"),
+    )
+    return wl_fingerprints(edges, labels=labels, rounds=2).orderBy("node")
+
+
+_KG_WL_SQL = """
+WITH edges AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS s,
+         'cust_in_nation' AS p,
+         cast(cast(c_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(cast(s_suppkey AS BIGINT) * 4 + 1 AS VARCHAR),
+         'supp_in_nation',
+         cast(cast(s_nationkey AS BIGINT) * 4 + 2 AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR),
+         'in_region',
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR)
+  FROM nation
+),
+nodes AS (
+  SELECT DISTINCT n
+  FROM (SELECT s AS n FROM edges UNION ALL SELECT o FROM edges)
+),
+h0 AS (
+  SELECT n, md5(CASE cast(n AS BIGINT) % 4
+                WHEN 0 THEN 'customer' WHEN 1 THEN 'supplier'
+                WHEN 2 THEN 'nation' ELSE 'region' END) AS h
+  FROM nodes
+),
+m1 AS (
+  SELECT e.s AS n, 'out:' || e.p || ':' || h0.h AS msg
+  FROM edges e JOIN h0 ON e.o = h0.n
+  UNION ALL
+  SELECT e.o, 'in:' || e.p || ':' || h0.h
+  FROM edges e JOIN h0 ON e.s = h0.n
+),
+a1 AS (SELECT n, string_agg(msg, ',' ORDER BY msg) AS sig
+       FROM m1 GROUP BY n),
+h1 AS (SELECT h0.n, md5(h0.h || '|' || coalesce(a1.sig, '')) AS h
+       FROM h0 LEFT JOIN a1 ON h0.n = a1.n),
+m2 AS (
+  SELECT e.s AS n, 'out:' || e.p || ':' || h1.h AS msg
+  FROM edges e JOIN h1 ON e.o = h1.n
+  UNION ALL
+  SELECT e.o, 'in:' || e.p || ':' || h1.h
+  FROM edges e JOIN h1 ON e.s = h1.n
+),
+a2 AS (SELECT n, string_agg(msg, ',' ORDER BY msg) AS sig
+       FROM m2 GROUP BY n),
+h2 AS (SELECT h1.n, md5(h1.h || '|' || coalesce(a2.sig, '')) AS h
+       FROM h1 LEFT JOIN a2 ON h1.n = a2.n)
+SELECT n AS node, h AS fingerprint FROM h2 ORDER BY node
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -7962,6 +8143,8 @@ def queries() -> dict:
             "kg_skos_report": q_kg_skos_report,
             "kg_void_description": q_kg_void_description,
             "kg_skolemize": q_kg_skolemize,
+            "kg_class_expressions": q_kg_class_expressions,
+            "kg_wl_fingerprints": q_kg_wl_fingerprints,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -8173,6 +8356,8 @@ def oracle_sql() -> dict:
         "kg_skos_report": _KG_SKOS_SQL,
         "kg_void_description": _KG_VOID_SQL,
         "kg_skolemize": _KG_SKOLEMIZE_SQL,
+        "kg_class_expressions": _KG_CLASS_EXPR_SQL,
+        "kg_wl_fingerprints": _KG_WL_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,
