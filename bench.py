@@ -159,6 +159,7 @@ RELATIONAL = [
     "kg_skolemize",
     "kg_class_expressions",
     "kg_wl_fingerprints",
+    "kg_snapshot_align",
     "kg_sparql_update",
     "kg_property_paths",
     "kg_rule_mining",

@@ -117,6 +117,80 @@ def wl_fingerprints(
     return h.select("node", F.col("h").alias("fingerprint"))
 
 
+def align_by_structure(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    labels_a: DataFrame | None = None,
+    labels_b: DataFrame | None = None,
+    rounds: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "predicate",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Cross-snapshot entity alignment by WL blocking: (node_a,
+    node_b, fingerprint) for every fingerprint that is a SINGLETON on
+    both sides — nodes whose radius-``rounds`` neighborhood is unique
+    within its own snapshot and structurally identical across them.
+
+    This is the sound core of structural entity resolution between two
+    KG versions (a fresh extraction batch vs the canonical graph, or
+    two pipeline runs): singleton-block matches carry a structural
+    proof (1-WL indistinguishability both ways, uniqueness both ways —
+    under a pure rename they recover the rename exactly, which is the
+    oracle), while multi-member blocks are exactly the candidate sets
+    a content verifier (``operators/linking.py``'s string similarity)
+    must adjudicate — the classic block-then-verify split, with WL as
+    the blocking axis.
+
+    Plan: two independent fingerprint computations, one count
+    aggregate per side keyed on the fingerprint, and ONE equi-join of
+    the two singleton sets on the fingerprint — never a cross-snapshot
+    node-pair join. All shuffles are node- or fingerprint-keyed."""
+
+    def _singletons(fps: DataFrame, out_col: str) -> DataFrame:
+        return (
+            fps.groupBy("fingerprint")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("node").alias(out_col),
+            )
+            .where(F.col("n") == 1)
+            .select("fingerprint", out_col)
+        )
+
+    fa = wl_fingerprints(
+        edges_a, labels_a, rounds, subj_col, pred_col, obj_col
+    )
+    fb = wl_fingerprints(
+        edges_b, labels_b, rounds, subj_col, pred_col, obj_col
+    )
+    return (
+        _singletons(fa, "node_a")
+        .join(_singletons(fb, "node_b"), "fingerprint")
+        .select("node_a", "node_b", "fingerprint")
+    )
+
+
+def align_by_structure_python_twin(
+    edges_a: list[tuple[str, str, str]],
+    edges_b: list[tuple[str, str, str]],
+    labels_a: dict[str, str] | None = None,
+    labels_b: dict[str, str] | None = None,
+    rounds: int = 2,
+) -> set[tuple[str, str, str]]:
+    """Plain-python twin of :func:`align_by_structure`."""
+    from collections import Counter
+
+    ha = wl_fingerprints_python_twin(edges_a, labels_a, rounds)
+    hb = wl_fingerprints_python_twin(edges_b, labels_b, rounds)
+    ca, cb = Counter(ha.values()), Counter(hb.values())
+    inv_a = {h: n for n, h in ha.items() if ca[h] == 1}
+    inv_b = {h: n for n, h in hb.items() if cb[h] == 1}
+    return {
+        (inv_a[h], inv_b[h], h) for h in set(inv_a) & set(inv_b)
+    }
+
+
 def wl_fingerprints_python_twin(
     edges: list[tuple[str, str, str]],
     labels: dict[str, str] | None = None,

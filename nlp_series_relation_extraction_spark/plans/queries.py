@@ -7982,6 +7982,112 @@ SELECT n AS node, h AS fingerprint FROM h2 ORDER BY node
 """
 
 
+def q_kg_snapshot_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot entity alignment by WL blocking (operators/
+    wl.py:align_by_structure): snapshot B is the hierarchy graph under
+    a pure entity rename (id + 1,000,000 — the %4 type tags survive),
+    and the operator recovers the rename exactly on every
+    structurally-unique node, excluding ambiguous blocks (customers
+    sharing a nation-and-radius-2 view) both ways. The DuckDB oracle
+    is INDEPENDENT of the two-sided computation: it computes
+    fingerprints once and derives the B side from 1-WL's
+    rename-equivariance (pinned separately in tests/test_wl.py) —
+    singleton blocks under a pure rename ARE the rename."""
+    from ..operators.wl import align_by_structure
+
+    edges_a = _hierarchy_edges(spark, sf_dir).select(
+        F.col("subj_entity_id").cast("string").alias("subj"),
+        "predicate",
+        F.col("obj_entity_id").cast("string").alias("obj"),
+    )
+    edges_b = edges_a.select(
+        (F.col("subj").cast("long") + 1_000_000).cast("string").alias("subj"),
+        "predicate",
+        (F.col("obj").cast("long") + 1_000_000).cast("string").alias("obj"),
+    )
+
+    def _labels(edges: DataFrame) -> DataFrame:
+        nodes = (
+            edges.select(F.col("subj").alias("node"))
+            .unionByName(edges.select(F.col("obj").alias("node")))
+            .distinct()
+        )
+        m = F.col("node").cast("long") % 4
+        return nodes.select(
+            "node",
+            F.when(m == 0, "customer")
+            .when(m == 1, "supplier")
+            .when(m == 2, "nation")
+            .otherwise("region")
+            .alias("label"),
+        )
+
+    return align_by_structure(
+        edges_a, edges_b, _labels(edges_a), _labels(edges_b), rounds=2
+    ).orderBy("node_a")
+
+
+_KG_SNAPSHOT_ALIGN_SQL = """
+WITH edges AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS s,
+         'cust_in_nation' AS p,
+         cast(cast(c_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(cast(s_suppkey AS BIGINT) * 4 + 1 AS VARCHAR),
+         'supp_in_nation',
+         cast(cast(s_nationkey AS BIGINT) * 4 + 2 AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR),
+         'in_region',
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR)
+  FROM nation
+),
+nodes AS (
+  SELECT DISTINCT n
+  FROM (SELECT s AS n FROM edges UNION ALL SELECT o FROM edges)
+),
+h0 AS (
+  SELECT n, md5(CASE cast(n AS BIGINT) % 4
+                WHEN 0 THEN 'customer' WHEN 1 THEN 'supplier'
+                WHEN 2 THEN 'nation' ELSE 'region' END) AS h
+  FROM nodes
+),
+m1 AS (
+  SELECT e.s AS n, 'out:' || e.p || ':' || h0.h AS msg
+  FROM edges e JOIN h0 ON e.o = h0.n
+  UNION ALL
+  SELECT e.o, 'in:' || e.p || ':' || h0.h
+  FROM edges e JOIN h0 ON e.s = h0.n
+),
+a1 AS (SELECT n, string_agg(msg, ',' ORDER BY msg) AS sig
+       FROM m1 GROUP BY n),
+h1 AS (SELECT h0.n, md5(h0.h || '|' || coalesce(a1.sig, '')) AS h
+       FROM h0 LEFT JOIN a1 ON h0.n = a1.n),
+m2 AS (
+  SELECT e.s AS n, 'out:' || e.p || ':' || h1.h AS msg
+  FROM edges e JOIN h1 ON e.o = h1.n
+  UNION ALL
+  SELECT e.o, 'in:' || e.p || ':' || h1.h
+  FROM edges e JOIN h1 ON e.s = h1.n
+),
+a2 AS (SELECT n, string_agg(msg, ',' ORDER BY msg) AS sig
+       FROM m2 GROUP BY n),
+h2 AS (SELECT h1.n, md5(h1.h || '|' || coalesce(a2.sig, '')) AS h
+       FROM h1 LEFT JOIN a2 ON h1.n = a2.n),
+singles AS (
+  SELECT min(n) AS node_a, h AS fingerprint
+  FROM h2 GROUP BY h HAVING count(*) = 1
+)
+SELECT node_a,
+       cast(cast(node_a AS BIGINT) + 1000000 AS VARCHAR) AS node_b,
+       fingerprint
+FROM singles
+ORDER BY node_a
+"""
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8145,6 +8251,7 @@ def queries() -> dict:
             "kg_skolemize": q_kg_skolemize,
             "kg_class_expressions": q_kg_class_expressions,
             "kg_wl_fingerprints": q_kg_wl_fingerprints,
+            "kg_snapshot_align": q_kg_snapshot_align,
             "kg_r2rml_mapping": q_kg_r2rml_mapping,
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
@@ -8358,6 +8465,7 @@ def oracle_sql() -> dict:
         "kg_skolemize": _KG_SKOLEMIZE_SQL,
         "kg_class_expressions": _KG_CLASS_EXPR_SQL,
         "kg_wl_fingerprints": _KG_WL_SQL,
+        "kg_snapshot_align": _KG_SNAPSHOT_ALIGN_SQL,
         "kg_r2rml_mapping": _KG_R2RML_SQL,
         "kg_r2rml_ref_join": _KG_R2RML_REF_SQL,
         "kg_shacl_report": _KG_SHACL_SQL,

@@ -5,6 +5,8 @@ sensitivity, and the blocking-key contract."""
 import pytest
 
 from nlp_series_relation_extraction_spark.operators.wl import (
+    align_by_structure,
+    align_by_structure_python_twin,
     wl_fingerprints,
     wl_fingerprints_python_twin,
 )
@@ -130,3 +132,84 @@ class TestWlFingerprints:
                 ),
                 rounds=-1,
             )
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        edges, "subj string, predicate string, obj string"
+    )
+
+
+class TestAlignByStructure:
+    # a small heterogeneous graph: hub with 2 leaves, a chain, an
+    # isolated-pair — renamed copy must align completely
+    A = [
+        ("hub", "p", "leaf1"),
+        ("hub", "p", "leaf2"),
+        ("c1", "q", "c2"),
+        ("c2", "q", "c3"),
+    ]
+    REN = {
+        "hub": "HUB", "leaf1": "L1", "leaf2": "L2",
+        "c1": "C1", "c2": "C2", "c3": "C3",
+    }
+
+    def _run(self, spark, ea, eb, rounds=2):
+        out = align_by_structure(
+            _edges_df(spark, ea), _edges_df(spark, eb), rounds=rounds
+        )
+        return {(r.node_a, r.node_b, r.fingerprint) for r in out.collect()}
+
+    def test_pure_rename_recovers_mapping(self, spark):
+        b = [(self.REN[s], p, self.REN[o]) for s, p, o in self.A]
+        got = self._run(spark, self.A, b)
+        pairs = {(a, bb) for a, bb, _ in got}
+        # leaves / chain-ends are ambiguous? leaf1 vs leaf2 share a
+        # fingerprint (identical radius-2 views) so they are EXCLUDED;
+        # everything structurally unique aligns exactly
+        assert ("hub", "HUB") in pairs
+        assert ("c2", "C2") in pairs
+        assert ("c1", "C1") in pairs and ("c3", "C3") in pairs
+        assert not any(a.startswith("leaf") for a, _, _ in got)
+        assert got == align_by_structure_python_twin(self.A, b)
+
+    def test_matches_python_twin_on_perturbed_snapshot(self, spark):
+        b = [(self.REN[s], p, self.REN[o]) for s, p, o in self.A]
+        b.append(("HUB", "p", "L3"))  # B-only extra leaf
+        got = self._run(spark, self.A, b)
+        assert got == align_by_structure_python_twin(self.A, b)
+        pairs = {(a, bb) for a, bb, _ in got}
+        # the hub's neighborhood changed -> no hub match ...
+        assert not any(a == "hub" for a, _ in pairs)
+        # ... but the untouched chain still aligns
+        assert ("c2", "C2") in pairs
+
+    def test_ambiguous_blocks_are_excluded_both_ways(self, spark):
+        # two clones in A, one in B: the shared fingerprint is not a
+        # singleton in A, so no (possibly wrong) match is emitted
+        a = [("x1", "p", "y1"), ("x2", "p", "y2")]
+        b = [("X", "p", "Y")]
+        got = self._run(spark, a, b)
+        assert got == set()
+        assert align_by_structure_python_twin(a, b) == set()
+
+    def test_labels_disambiguate(self, spark):
+        # same structure, labels split the clones into singletons
+        a = [("x1", "p", "y1"), ("x2", "p", "y2")]
+        b = [("X1", "p", "Y1"), ("X2", "p", "Y2")]
+        la = {"x1": "red", "x2": "blue"}
+        lb = {"X1": "red", "X2": "blue"}
+        out = align_by_structure(
+            _edges_df(spark, a),
+            _edges_df(spark, b),
+            labels_a=spark.createDataFrame(
+                sorted(la.items()), "node string, label string"
+            ),
+            labels_b=spark.createDataFrame(
+                sorted(lb.items()), "node string, label string"
+            ),
+            rounds=2,
+        )
+        got = {(r.node_a, r.node_b) for r in out.collect()}
+        assert ("x1", "X1") in got and ("x2", "X2") in got
+        assert ("x1", "X2") not in got
