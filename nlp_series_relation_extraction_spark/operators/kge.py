@@ -10,6 +10,14 @@ observed triples score above corrupted ones. Two public scorers:
 * DistMult (Yang et al. 2015, "Embedding Entities and Relations for
   Learning and Inference in Knowledge Bases"): the trilinear product
   score(s,r,o) = sum_d e_s[d] * w_r[d] * e_o[d].
+* RotatE (Sun et al. 2019, "RotatE: Knowledge Graph Embedding by
+  Relational Rotation in Complex Space"): score = -||s o r - o||^2
+  with r a unit complex rotation.
+* ComplEx (Trouillon et al. 2016, "Complex Embeddings for Simple Link
+  Prediction"): score(s,r,o) = Re(<e_s, w_r, conj(e_o)>) — DistMult's
+  trilinear product lifted to C^d, which (unlike DistMult) can model
+  ANTISYMMETRIC relations because conj breaks the s/o exchange
+  symmetry. Same half-stacked (re | im) entity layout as RotatE.
 
 Scale shape — the part that matters at 10^12 turns:
 
@@ -72,13 +80,24 @@ from .graph import corrupt_triples
 
 _GRAD_SCHEMA = "kind int, key_id long, pos int, val double"
 
-_SCORERS = ("transe", "distmult", "rotate")
+_SCORERS = ("transe", "distmult", "rotate", "complex")
 
 # RotatE's rotations preserve entity norms; projecting entities back to
 # the unit sphere every epoch (the TransE/DistMult schedule) would fight
 # the geometry, so it keeps raw entity vectors (Sun 2019 trains without
-# the norm constraint). The twin follows the same table.
-_NORMALIZE_ENTITIES = {"transe": True, "distmult": True, "rotate": False}
+# the norm constraint). ComplEx is multiplicative like DistMult, so it
+# follows DistMult's unit-sphere projection (the paper regularizes with
+# L2 instead; under the margin loss the projection plays that role, and
+# the twin applies the identical schedule). The twin follows this table.
+_NORMALIZE_ENTITIES = {
+    "transe": True,
+    "distmult": True,
+    "rotate": False,
+    "complex": True,
+}
+
+# scorers whose entity/relation vectors are half-stacked complex (re | im)
+_COMPLEX_DIM = ("rotate", "complex")
 
 
 def _splitmix64(z: np.ndarray) -> np.ndarray:
@@ -121,6 +140,15 @@ def _phase_init(keys: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
+def _cprod(X: np.ndarray, Y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Element-wise complex product of two half-stacked (re | im)
+    [n, dim] arrays, returned as (re, im) halves ([n, dim//2] each)."""
+    d2 = X.shape[1] // 2
+    a, b = X[:, :d2], X[:, d2:]
+    c, d = Y[:, :d2], Y[:, d2:]
+    return a * c - b * d, a * d + b * c
+
+
 def _rotate(ES: np.ndarray, WR: np.ndarray) -> np.ndarray:
     """Element-wise complex rotation s o r for RotatE: entity vectors
     are (re | im) half-stacked, relations carry phases in the first
@@ -143,6 +171,12 @@ def _score_rows(
     if scorer == "rotate":
         X = _rotate(ES, WR) - EO
         return -(X * X).sum(1)
+    if scorer == "complex":
+        # Re(<s, r, conj(o)>) = Re(t * conj(o)) with t = s (.) r:
+        # = t_re . o_re + t_im . o_im — a plain dot in the stacked layout
+        d2 = ES.shape[1] // 2
+        tre, tim = _cprod(ES, WR)
+        return (tre * EO[:, :d2] + tim * EO[:, d2:]).sum(1)
     return (ES * WR * EO).sum(1)
 
 
@@ -160,6 +194,10 @@ def _score_candidates(
             - 2.0 * (T @ C.T)
             + (C * C).sum(1)[None, :]
         )
+    if scorer == "complex":
+        # Re(t * conj(c)) over the stacked layout is again one GEMM
+        tre, tim = _cprod(ES, WR)
+        return np.concatenate([tre, tim], axis=1) @ C.T
     return (ES * WR) @ C.T
 
 
@@ -196,6 +234,26 @@ def _margin_grads(
         gtheta = Dim * SR[:, :d2] - Dre * SR[:, d2:]
         gW = np.concatenate([gtheta, np.zeros_like(gtheta)], axis=1)
         return hinge, gS, -2.0 * Xp, 2.0 * Xn, gW
+    if scorer == "complex":
+        # complex-chain-rule mirror of the DistMult grads below: with
+        # t = s (.) r and D = n - o, d(hinge)/do = -t, /dn = +t,
+        # /ds = r (.) conj(D) conj-flipped, /dr = s (.) conj(D) ditto
+        # (for score = Re(x (.) u), d/dx_re = Re(u), d/dx_im = -Im(u))
+        d2 = ES.shape[1] // 2
+        tre, tim = _cprod(ES, WR)
+        hinge = (
+            margin
+            - (tre * EO[:, :d2] + tim * EO[:, d2:]).sum(1)
+            + (tre * EN[:, :d2] + tim * EN[:, d2:]).sum(1)
+        )
+        D = EN - EO
+        dre, dif = D[:, :d2], D[:, d2:]
+        a, b = ES[:, :d2], ES[:, d2:]
+        c, d = WR[:, :d2], WR[:, d2:]
+        gS = np.concatenate([c * dre + d * dif, c * dif - d * dre], axis=1)
+        gW = np.concatenate([a * dre + b * dif, a * dif - b * dre], axis=1)
+        t = np.concatenate([tre, tim], axis=1)
+        return hinge, gS, -t, t, gW
     sw = ES * WR
     hinge = margin - (sw * EO).sum(1) + (sw * EN).sum(1)
     gS = WR * (EN - EO)
@@ -335,8 +393,8 @@ def kge_fit(
     """
     if scorer not in _SCORERS:
         raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
-    if scorer == "rotate" and dim % 2:
-        raise ValueError(f"rotate needs an even dim, got {dim}")
+    if scorer in _COMPLEX_DIM and dim % 2:
+        raise ValueError(f"{scorer} needs an even dim, got {dim}")
     rels = _rel_index(edges)
     r_map = {p: i for i, p in enumerate(rels)}
     W = (
@@ -505,6 +563,11 @@ def distmult_fit(edges: DataFrame, **kw) -> dict:
     return kge_fit(edges, scorer="distmult", **kw)
 
 
+def complex_fit(edges: DataFrame, **kw) -> dict:
+    """ComplEx fit (see kge_fit)."""
+    return kge_fit(edges, scorer="complex", **kw)
+
+
 def kge_fit_numpy(
     edge_list: list[tuple[int, str, int]],
     scorer: str = "transe",
@@ -520,8 +583,8 @@ def kge_fit_numpy(
     from the distributed run."""
     if scorer not in _SCORERS:
         raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
-    if scorer == "rotate" and dim % 2:
-        raise ValueError(f"rotate needs an even dim, got {dim}")
+    if scorer in _COMPLEX_DIM and dim % 2:
+        raise ValueError(f"{scorer} needs an even dim, got {dim}")
     ent_ids = sorted({s for s, _, _ in edge_list} | {o for _, _, o in edge_list})
     n_ents = len(ent_ids)
     eid_by_rank = list(ent_ids)  # dense_index = row_number over sorted id

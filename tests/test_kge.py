@@ -191,9 +191,9 @@ def test_kge_fit_rejects_unknown_scorer(spark):
     with pytest.raises(ValueError, match="unknown scorer"):
         from nlp_series_relation_extraction_spark.operators.kge import kge_fit
 
-        kge_fit(df, scorer="complex")
+        kge_fit(df, scorer="quaternion")
     with pytest.raises(ValueError, match="unknown scorer"):
-        kge_fit_numpy(_toy_edges(), scorer="complex")
+        kge_fit_numpy(_toy_edges(), scorer="quaternion")
 
 
 def _rank_df_to_dict(df):
@@ -203,7 +203,7 @@ def _rank_df_to_dict(df):
     }
 
 
-@pytest.mark.parametrize("scorer", ["transe", "distmult", "rotate"])
+@pytest.mark.parametrize("scorer", ["transe", "distmult", "rotate", "complex"])
 def test_rank_eval_matches_numpy_twin(spark, scorer):
     """Distributed filtered ranks == twin ranks EXACTLY (integers): same
     md5 test sample, same strictly-better rule, same by-ID self-
@@ -371,3 +371,101 @@ def test_rotate_learns_and_rejects_odd_dim(spark):
         kge_fit(df, scorer="rotate", dim=7)
     with pytest.raises(ValueError, match="even dim"):
         kge_fit_numpy(edges, scorer="rotate", dim=7)
+
+
+# --- ComplEx ------------------------------------------------------------
+
+
+def test_complex_matches_numpy_twin(spark):
+    """Trilinear-in-C^d scorer (Trouillon 2016): hash init, complex
+    product gradients, and the DistMult renorm schedule must all agree
+    with the twin recursion."""
+    from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+    edges = _toy_edges()
+    m = kge_fit(_edges_df(spark, edges), scorer="complex", dim=8,
+                n_epochs=4, lr=2.0)
+    t = kge_fit_numpy(edges, scorer="complex", dim=8, n_epochs=4, lr=2.0)
+    assert np.allclose(m["loss"], t["loss"], rtol=1e-9, atol=1e-12)
+    assert np.allclose(m["relations"], t["relations"], atol=1e-12)
+    E = {r.entity_id: np.array(r.vec) for r in m["entities"].collect()}
+    for e, v in t["entities"].items():
+        assert np.allclose(E[e], v, atol=1e-12)
+    # complex DOES renormalize entities (the DistMult schedule)
+    assert all(abs(float(np.sqrt(v @ v)) - 1.0) < 1e-9 for v in E.values())
+
+
+def test_complex_gradients_finite_difference():
+    """Pure-numpy FD check of the complex-product gradient algebra
+    (hinge wrt subject/object/negative/relation) at 1e-5."""
+    from nlp_series_relation_extraction_spark.operators.kge import (
+        _margin_grads,
+        _score_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 8, 4
+    ES, EO, EN, WR = rng.normal(size=(4, n, dim))
+
+    def hinge(ES, EO, EN, WR):
+        return (
+            1.0
+            - _score_rows("complex", ES, WR, EO)
+            + _score_rows("complex", ES, WR, EN)
+        )
+
+    h, gS, gO, gN, gW = _margin_grads("complex", ES, EO, EN, WR, 1.0)
+    assert np.allclose(h, hinge(ES, EO, EN, WR))
+    eps = 1e-6
+    for which, X, G in (("S", ES, gS), ("O", EO, gO), ("N", EN, gN),
+                        ("W", WR, gW)):
+        num = np.zeros_like(X)
+        for i in range(n):
+            for j in range(dim):
+                up, dn = X.copy(), X.copy()
+                up[i, j] += eps
+                dn[i, j] -= eps
+                a = {"S": (up, EO, EN, WR), "O": (ES, up, EN, WR),
+                     "N": (ES, EO, up, WR), "W": (ES, EO, EN, up)}[which]
+                b = {"S": (dn, EO, EN, WR), "O": (ES, dn, EN, WR),
+                     "N": (ES, EO, dn, WR), "W": (ES, EO, EN, dn)}[which]
+                num[i, j] = (hinge(*a)[i] - hinge(*b)[i]) / (2 * eps)
+        assert np.allclose(num, G, atol=1e-5), which
+
+
+def test_complex_scores_antisymmetric_unlike_distmult():
+    """The reason ComplEx exists: DistMult's trilinear product is
+    symmetric in (s, o) — it CANNOT rank (s,r,o) above (o,r,s) — while
+    ComplEx's conj(o) breaks the exchange symmetry. Kernel-level check
+    on random vectors."""
+    from nlp_series_relation_extraction_spark.operators.kge import (
+        _score_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    ES, EO, WR = rng.normal(size=(3, 16, 8))
+    dm_fwd = _score_rows("distmult", ES, WR, EO)
+    dm_rev = _score_rows("distmult", EO, WR, ES)
+    assert np.allclose(dm_fwd, dm_rev)  # DistMult: provably symmetric
+    cx_fwd = _score_rows("complex", ES, WR, EO)
+    cx_rev = _score_rows("complex", EO, WR, ES)
+    assert not np.allclose(cx_fwd, cx_rev)
+    # conj identity: swapping s/o equals conjugating the relation
+    WR_conj = np.concatenate([WR[:, :4], -WR[:, 4:]], axis=1)
+    assert np.allclose(cx_rev, _score_rows("complex", ES, WR_conj, EO))
+
+
+def test_complex_learns_and_rejects_odd_dim(spark):
+    from nlp_series_relation_extraction_spark.operators.kge import kge_fit
+
+    edges = _toy_edges()
+    df = _edges_df(spark, edges)
+    init = kge_fit(df, scorer="complex", dim=8, n_epochs=0)
+    base = _micro_acc(kge_margin_eval(init, df))
+    trained = kge_fit(df, scorer="complex", dim=8, n_epochs=25, lr=2.0)
+    acc = _micro_acc(kge_margin_eval(trained, df))
+    assert acc > base and acc >= 0.8
+    with pytest.raises(ValueError, match="even dim"):
+        kge_fit(df, scorer="complex", dim=7)
+    with pytest.raises(ValueError, match="even dim"):
+        kge_fit_numpy(edges, scorer="complex", dim=7)
