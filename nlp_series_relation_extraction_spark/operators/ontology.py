@@ -97,8 +97,10 @@ def rdfs_entailment(
     rows with ``predicate == type_predicate`` are asserted class
     memberships (``obj`` is a class name), every other row a plain
     triple. ``ontology``: columns ``(s, p, o)`` with ``p`` in
-    ``{subClassOf, subPropertyOf, domain, range, inverseOf,
-    symmetricProperty}`` (the last two are the linear OWL-RL property
+    ``{subClassOf, subPropertyOf, equivalentClass, equivalentProperty,
+    domain, range, inverseOf, symmetricProperty}`` (equivalences are
+    the OWL 2 RL rules cax-eqc1/2 and prp-eqp1/2, compiled as mutual
+    subsumption; inverseOf/symmetricProperty are the linear property
     rules prp-inv / prp-symp; for symmetricProperty the object column
     is ignored); must stay under ``max_ontology_rows`` (it is schema,
     not data).
@@ -167,8 +169,21 @@ def _compile_rules(onto: list[tuple[str, str, str]]) -> dict:
     by_kind: dict[str, list[tuple[str, str]]] = defaultdict(list)
     for s, k, o in onto:
         by_kind[k].append((s, o))
-    subp = dict_of_sets(by_kind.get("subPropertyOf", []))
-    subc = dict_of_sets(transitive_closure(by_kind.get("subClassOf", [])))
+    # OWL 2 RL equivalence axioms are exactly mutual subsumption
+    # (W3C owl2-profiles §4.3: cax-eqc1/cax-eqc2 are the two subClassOf
+    # directions of equivalentClass; prp-eqp1/prp-eqp2 likewise for
+    # equivalentProperty) — expanding them here makes every downstream
+    # consumer (rdfs9/rdfs7 lookups, domain/range typing, the state
+    # fixpoint, incremental maintenance) inherit the rules for free,
+    # and keeps the fact-table plan zero-join.
+    subp_pairs = list(by_kind.get("subPropertyOf", []))
+    for a, b in by_kind.get("equivalentProperty", []):
+        subp_pairs += [(a, b), (b, a)]
+    subc_pairs = list(by_kind.get("subClassOf", []))
+    for a, b in by_kind.get("equivalentClass", []):
+        subc_pairs += [(a, b), (b, a)]
+    subp = dict_of_sets(subp_pairs)
+    subc = dict_of_sets(transitive_closure(subc_pairs))
     dom = dict_of_sets(by_kind.get("domain", []))
     rng = dict_of_sets(by_kind.get("range", []))
     inv = dict_of_sets(by_kind.get("inverseOf", []))
@@ -2107,3 +2122,114 @@ def property_axiom_python_twin(
             if p == pa and (s, pb, o) in fset:
                 out.add(("prp-pdw", s, pa, pb, o))
     return out
+
+
+# --- scm-* schema (TBox) closure ----------------------------------------
+
+_SCM_THING = "owl:Thing"
+_SCM_NOTHING = "owl:Nothing"
+
+
+def schema_closure_python(
+    ontology: list[tuple[str, str, str]],
+) -> set[tuple[str, str, str]]:
+    """OWL 2 RL *schema-vocabulary* closure (the scm-* rules, W3C
+    owl2-profiles §4.3 Table 9) of a TBox given as ``(s, kind, o)``
+    rows — the closure OF THE ONTOLOGY ITSELF, as opposed to the
+    instance-level rules the entailment operators run over facts.
+
+    Supported rules — the class/property-hierarchy subset (the
+    restriction-schema rules scm-hv/svf/avf/int/uni belong to the
+    runtime machinery in boolean_classes.py / owl_class_entailment and
+    are intentionally out of scope here):
+
+    * scm-cls   c type Class -> c subClassOf c, c equivalentClass c,
+                c subClassOf owl:Thing, owl:Nothing subClassOf c
+    * scm-op/dp p type ObjectProperty|DatatypeProperty ->
+                p subPropertyOf p, p equivalentProperty p
+    * scm-sco   subClassOf transitivity
+    * scm-eqc1  equivalentClass -> subClassOf both ways
+    * scm-eqc2  mutual subClassOf -> equivalentClass
+    * scm-spo   subPropertyOf transitivity
+    * scm-eqp1  equivalentProperty -> subPropertyOf both ways
+    * scm-eqp2  mutual subPropertyOf -> equivalentProperty
+    * scm-dom1  domain(p,c1), subClassOf(c1,c2) -> domain(p,c2)
+    * scm-dom2  domain(p2,c), subPropertyOf(p1,p2) -> domain(p1,c)
+    * scm-rng1  range(p,c1),  subClassOf(c1,c2) -> range(p,c2)
+    * scm-rng2  range(p2,c),  subPropertyOf(p1,p2) -> range(p1,c)
+
+    Pure driver-side set fixpoint: a TBox is schema-sized (KBs at any
+    corpus scale — rdfs_entailment enforces max_ontology_rows on the
+    same tables), so closing it distributed would only add shuffles.
+    The closed schema is what the compiled instance rules should be fed
+    so one linear pass covers deep hierarchies.
+    """
+    out: set[tuple[str, str, str]] = set(ontology)
+    changed = True
+    while changed:
+        changed = False
+        sco = {(s, o) for s, k, o in out if k == "subClassOf"}
+        spo = {(s, o) for s, k, o in out if k == "subPropertyOf"}
+        new: set[tuple[str, str, str]] = set()
+        for s, k, o in list(out):
+            if k == TYPE_PREDICATE and o == "Class":
+                new |= {
+                    (s, "subClassOf", s),
+                    (s, "equivalentClass", s),
+                    (s, "subClassOf", _SCM_THING),
+                    (_SCM_NOTHING, "subClassOf", s),
+                }
+            if k == TYPE_PREDICATE and o in (
+                "ObjectProperty",
+                "DatatypeProperty",
+            ):
+                new |= {
+                    (s, "subPropertyOf", s),
+                    (s, "equivalentProperty", s),
+                }
+            if k == "equivalentClass":  # scm-eqc1
+                new |= {(s, "subClassOf", o), (o, "subClassOf", s)}
+            if k == "equivalentProperty":  # scm-eqp1
+                new |= {(s, "subPropertyOf", o), (o, "subPropertyOf", s)}
+            if k == "subClassOf":
+                if (o, s) in sco:  # scm-eqc2
+                    new.add((s, "equivalentClass", o))
+                for a, b in sco:  # scm-sco
+                    if a == o:
+                        new.add((s, "subClassOf", b))
+            if k == "subPropertyOf":
+                if (o, s) in spo:  # scm-eqp2
+                    new.add((s, "equivalentProperty", o))
+                for a, b in spo:  # scm-spo
+                    if a == o:
+                        new.add((s, "subPropertyOf", b))
+            if k in ("domain", "range"):
+                for a, b in sco:  # scm-dom1 / scm-rng1
+                    if a == o:
+                        new.add((s, k, b))
+                for a, b in spo:  # scm-dom2 / scm-rng2
+                    if b == s:
+                        new.add((a, k, o))
+        if not new <= out:
+            out |= new
+            changed = True
+    return out
+
+
+def schema_closure(
+    ontology: DataFrame, max_ontology_rows: int = 100_000
+) -> DataFrame:
+    """DataFrame wrapper of :func:`schema_closure_python`: collect the
+    (schema-sized, bounded) TBox, close it on the driver, return the
+    closed ``(s, p, o)`` table. See the twin for the rule inventory."""
+    rows = ontology.limit(max_ontology_rows + 1).collect()
+    if len(rows) > max_ontology_rows:
+        raise ValueError(
+            f"ontology exceeds {max_ontology_rows} rows - it should be "
+            "schema-sized metadata; a table this large is data and "
+            "belongs in the facts input"
+        )
+    closed = sorted(schema_closure_python([tuple(r) for r in rows]))
+    return ontology.sparkSession.createDataFrame(
+        closed, "s string, p string, o string"
+    )

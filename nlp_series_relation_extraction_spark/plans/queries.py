@@ -4088,8 +4088,8 @@ ORDER BY line
 
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered link-prediction leaderboard (MRR / Hits@1/3/10, Bordes
-    2013's filtered protocol) for the three classic KGE scorers —
-    TransE, DistMult, RotatE — fitted on the TPC-H hierarchy edge
+    2013's filtered protocol) for the four classic KGE scorers —
+    TransE, DistMult, RotatE, ComplEx — fitted on the TPC-H hierarchy edge
     table (rows-only: iterative
     fits + blocked ranking are not SQL; ranks are pinned EXACTLY against
     the numpy twin in tests/test_kge.py, chunk-invariance asserted).
@@ -4105,11 +4105,16 @@ def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
-    # training pairs are scorer-independent: sample once, fit twice
+    # training pairs are scorer-independent: sample once, fit all four
     pairs = kge_pairs(edges).localCheckpoint(eager=True)
     out = None
     # DistMult needs the hotter schedule (twin-measured in test_kge.py)
-    for scorer, lr in (("transe", 0.5), ("distmult", 2.0), ("rotate", 0.5)):
+    for scorer, lr in (
+        ("transe", 0.5),
+        ("distmult", 2.0),
+        ("rotate", 0.5),
+        ("complex", 2.0),
+    ):
         ranks = kge_rank_eval(
             kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr,
                     pairs=pairs),
@@ -8088,6 +8093,236 @@ ORDER BY node_a
 """
 
 
+# --- scm-* schema closure + equivalence entailment (OWL 2 RL) -----------
+
+# literal TBox core for kg_schema_closure; the per-region class
+# declarations are derived from the region table so the query is
+# data-driven at every scale factor
+_SCM_ONTO: list[tuple[str, str, str]] = [
+    ("Region", "type", "Class"),
+    ("Place", "type", "Class"),
+    ("Region", "subClassOf", "Place"),
+    ("Zone", "equivalentClass", "Region"),
+    ("in_region", "type", "ObjectProperty"),
+    ("in_region", "subPropertyOf", "located_in"),
+    ("located_in", "equivalentProperty", "sited_in"),
+    ("sited_in", "domain", "Place"),
+    ("in_region", "range", "Region"),
+]
+
+
+def q_kg_schema_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL scm-* schema-vocabulary closure (operators/ontology.py
+    schema_closure): the TBox ITSELF is closed under scm-cls/op/sco/spo/
+    eqc1/eqc2/eqp1/eqp2/dom1/dom2/rng1/rng2 — reflexives, owl:Thing /
+    owl:Nothing bounds, equivalence<->mutual-subsumption both ways, and
+    domain/range climbing class and property hierarchies. Per-region
+    class declarations come from the region table (R_<name> subClassOf
+    Region), the axiom core is literal; closure runs driver-side (a
+    TBox is schema-sized at ANY corpus scale — distributing it would
+    only add shuffles). DuckDB replays every rule with recursive CTEs
+    bit-exactly."""
+    from ..operators.ontology import schema_closure
+
+    region = t(spark, sf_dir, "region")
+    r_cls = region.select(
+        F.concat(F.lit("R_"), F.col("r_name")).alias("s"),
+        F.lit("type").alias("p"),
+        F.lit("Class").alias("o"),
+    )
+    r_sub = region.select(
+        F.concat(F.lit("R_"), F.col("r_name")).alias("s"),
+        F.lit("subClassOf").alias("p"),
+        F.lit("Region").alias("o"),
+    )
+    onto = (
+        spark.createDataFrame(_SCM_ONTO, "s string, p string, o string")
+        .unionByName(r_cls)
+        .unionByName(r_sub)
+    )
+    return schema_closure(onto).orderBy("s", "p", "o")
+
+
+def _schema_closure_sql() -> str:
+    values = ",\n  ".join(f"('{s}','{p}','{o}')" for s, p, o in _SCM_ONTO)
+    return f"""
+WITH RECURSIVE
+onto(s, p, o) AS (
+  SELECT * FROM (VALUES
+  {values}) v(s, p, o)
+  UNION ALL
+  SELECT concat('R_', r_name), 'type', 'Class' FROM region
+  UNION ALL
+  SELECT concat('R_', r_name), 'subClassOf', 'Region' FROM region
+),
+cls AS (SELECT s FROM onto WHERE p = 'type' AND o = 'Class'),
+prp AS (SELECT s FROM onto
+        WHERE p = 'type' AND o IN ('ObjectProperty', 'DatatypeProperty')),
+sco_base AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subClassOf'
+  UNION SELECT s, o FROM onto WHERE p = 'equivalentClass'
+  UNION SELECT o, s FROM onto WHERE p = 'equivalentClass'
+  UNION SELECT s, s FROM cls
+  UNION SELECT s, 'owl:Thing' FROM cls
+  UNION SELECT 'owl:Nothing', s FROM cls
+),
+sco AS (
+  SELECT a, b FROM sco_base
+  UNION
+  SELECT sc.a, sb.b FROM sco sc JOIN sco_base sb ON sc.b = sb.a
+),
+spo_base AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subPropertyOf'
+  UNION SELECT s, o FROM onto WHERE p = 'equivalentProperty'
+  UNION SELECT o, s FROM onto WHERE p = 'equivalentProperty'
+  UNION SELECT s, s FROM prp
+),
+spo AS (
+  SELECT a, b FROM spo_base
+  UNION
+  SELECT sp.a, sb.b FROM spo sp JOIN spo_base sb ON sp.b = sb.a
+),
+eqc AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'equivalentClass'
+  UNION
+  SELECT s1.a, s1.b FROM sco s1 JOIN sco s2 ON s1.a = s2.b AND s1.b = s2.a
+),
+eqp AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'equivalentProperty'
+  UNION
+  SELECT s1.a, s1.b FROM spo s1 JOIN spo s2 ON s1.a = s2.b AND s1.b = s2.a
+),
+dr AS (SELECT s, p, o FROM onto WHERE p IN ('domain', 'range')),
+drf AS (
+  SELECT s, p, o FROM dr
+  UNION SELECT dr.s, dr.p, sc.b FROM dr JOIN sco sc ON sc.a = dr.o
+  UNION SELECT sp.a, dr.p, dr.o FROM dr JOIN spo sp ON sp.b = dr.s
+  UNION SELECT sp.a, dr.p, sc.b FROM dr
+        JOIN spo sp ON sp.b = dr.s JOIN sco sc ON sc.a = dr.o
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM onto
+  UNION ALL SELECT a, 'subClassOf', b FROM sco
+  UNION ALL SELECT a, 'subPropertyOf', b FROM spo
+  UNION ALL SELECT a, 'equivalentClass', b FROM eqc
+  UNION ALL SELECT a, 'equivalentProperty', b FROM eqp
+  UNION ALL SELECT s, p, o FROM drf
+)
+ORDER BY s, p, o
+"""
+
+
+# equivalence axioms over the RDFS core: prp-eqp on the customer edge
+# predicate, cax-eqc above the planted VIP class
+_EQV_ONTO: list[tuple[str, str, str]] = _RDFS_ONTO + [
+    ("patronizes", "equivalentProperty", "cust_in_nation"),
+    ("Premier", "equivalentClass", "VIP"),
+]
+
+
+def q_kg_eqv_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-level OWL 2 RL equivalence rules (cax-eqc1/2 +
+    prp-eqp1/2, compiled as mutual subsumption in
+    operators/ontology.py:_compile_rules): every cust_in_nation fact
+    also fires the equivalent patronizes predicate (and everything
+    above it via rdfs7), and planted Premier memberships climb through
+    the VIP equivalence into the class hierarchy (Premier -> VIP ->
+    Customer -> Party -> Agent). Plan unchanged: one fact scan, zero
+    joins, final distinct. DuckDB replays it with the equivalences
+    expanded into the subsumption CTE bases."""
+    from ..operators.ontology import rdfs_entailment
+
+    facts = _hierarchy_edges(spark, sf_dir).select(
+        F.col("subj_entity_id").cast("string").alias("subj"),
+        "predicate",
+        F.col("obj_entity_id").cast("string").alias("obj"),
+    )
+    premier = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 9 == 0
+    ).select(
+        (F.col("c_custkey").cast("long") * 4).cast("string").alias("subj"),
+        F.lit("type").alias("predicate"),
+        F.lit("Premier").alias("obj"),
+    )
+    onto = spark.createDataFrame(_EQV_ONTO, "s string, p string, o string")
+    return rdfs_entailment(facts.unionByName(premier), onto).orderBy(
+        "subj", "predicate", "obj"
+    )
+
+
+def _eqv_entailment_sql() -> str:
+    values = ",\n  ".join(f"('{s}','{p}','{o}')" for s, p, o in _EQV_ONTO)
+    return f"""
+WITH RECURSIVE
+f AS (
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR) AS s,
+         'cust_in_nation' AS p,
+         cast(cast(c_nationkey AS BIGINT) * 4 + 2 AS VARCHAR) AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(cast(s_suppkey AS BIGINT) * 4 + 1 AS VARCHAR),
+         'supp_in_nation',
+         cast(cast(s_nationkey AS BIGINT) * 4 + 2 AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT cast(cast(n_nationkey AS BIGINT) * 4 + 2 AS VARCHAR),
+         'in_region',
+         cast(cast(n_regionkey AS BIGINT) * 4 + 3 AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT cast(cast(c_custkey AS BIGINT) * 4 AS VARCHAR), 'type', 'Premier'
+  FROM customer WHERE c_custkey % 9 = 0
+),
+onto(s, p, o) AS (VALUES
+  {values}),
+subp_base AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subPropertyOf'
+  UNION SELECT s, o FROM onto WHERE p = 'equivalentProperty'
+  UNION SELECT o, s FROM onto WHERE p = 'equivalentProperty'
+),
+subp AS (
+  SELECT a, b FROM subp_base
+  UNION
+  SELECT sp.a, o2.b FROM subp sp JOIN subp_base o2 ON o2.a = sp.b
+),
+subc_base AS (
+  SELECT s AS a, o AS b FROM onto WHERE p = 'subClassOf'
+  UNION SELECT s, o FROM onto WHERE p = 'equivalentClass'
+  UNION SELECT o, s FROM onto WHERE p = 'equivalentClass'
+),
+subc AS (
+  SELECT a, b FROM subc_base
+  UNION
+  SELECT sc.a, o2.b FROM subc sc JOIN subc_base o2 ON o2.a = sc.b
+),
+g AS (
+  SELECT s, p, o FROM f WHERE p <> 'type'
+  UNION ALL
+  SELECT f.s, sp.b, f.o FROM f JOIN subp sp ON f.p = sp.a
+  WHERE f.p <> 'type'
+),
+traw AS (
+  SELECT s AS e, o AS c FROM f WHERE p = 'type'
+  UNION ALL
+  SELECT g.s, d.o FROM g JOIN onto d ON d.p = 'domain' AND d.s = g.p
+  UNION ALL
+  SELECT g.o, r.o FROM g JOIN onto r ON r.p = 'range' AND r.s = g.p
+),
+tfull AS (
+  SELECT e, c FROM traw
+  UNION ALL
+  SELECT t2.e, sc.b FROM traw t2 JOIN subc sc ON t2.c = sc.a
+)
+SELECT DISTINCT subj, predicate, obj FROM (
+  SELECT s AS subj, p AS predicate, o AS obj FROM g
+  UNION ALL
+  SELECT e, 'type', c FROM tfull
+)
+ORDER BY subj, predicate, obj
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8256,6 +8491,8 @@ def queries() -> dict:
             "kg_r2rml_ref_join": q_kg_r2rml_ref_join,
             "kg_shacl_report": q_kg_shacl_report,
             "kg_shacl_report2": q_kg_shacl_report2,
+            "kg_schema_closure": q_kg_schema_closure,
+            "kg_eqv_entailment": q_kg_eqv_entailment,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -8478,6 +8715,8 @@ def oracle_sql() -> dict:
         "kg_describe": _KG_DESCRIBE_SQL,
         "kg_predicate_inverses": _KG_PREDICATE_INVERSES_SQL,
         "kg_rdfs_entailment": _rdfs_entailment_sql(),
+        "kg_schema_closure": _schema_closure_sql(),
+        "kg_eqv_entailment": _eqv_entailment_sql(),
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

@@ -1442,3 +1442,128 @@ class TestAllDisjointClasses:
         )
         facts = [("x", "type", "A"), ("x", "type", "Z")]
         assert self._run(spark, facts, onto) == set()
+
+
+# --- OWL 2 RL equivalences (cax-eqc1/2, prp-eqp1/2) ----------------------
+
+
+class TestEquivalences:
+    ONTO_EQ = ONTO + [
+        ("employedBy", "equivalentProperty", "worksFor"),
+        ("Staff", "equivalentClass", "Person"),
+    ]
+
+    def test_equivalent_property_fires_both_ways(self, spark):
+        got = _run(
+            spark,
+            [("d", "employedBy", "acme"), ("e", "worksFor", "beta")],
+            self.ONTO_EQ,
+        )
+        # prp-eqp1: employedBy fact entails the worksFor fact...
+        assert ("d", "worksFor", "acme") in got
+        # ...and composes with rdfs7 and rdfs2/3 above worksFor
+        assert ("d", "memberOf", "acme") in got
+        assert ("d", "type", "Person") in got
+        assert ("acme", "type", "Org") in got
+        # prp-eqp2: the other direction
+        assert ("e", "employedBy", "beta") in got
+
+    def test_equivalent_class_fires_both_ways(self, spark):
+        got = _run(
+            spark,
+            [("s", "type", "Staff"), ("p", "type", "Intern")],
+            self.ONTO_EQ,
+        )
+        # cax-eqc1 + rdfs9 through the equivalence
+        assert ("s", "type", "Person") in got
+        assert ("s", "type", "Agent") in got
+        # cax-eqc2: Person-typed (via Intern) entails Staff
+        assert ("p", "type", "Person") in got
+        assert ("p", "type", "Staff") in got
+
+    def test_twin_parity_with_equivalences(self, spark):
+        facts = FACTS + [("d", "employedBy", "acme"), ("s", "type", "Staff")]
+        assert _run(spark, facts, self.ONTO_EQ) == (
+            rdfs_entailment_python_twin(facts, self.ONTO_EQ)
+        )
+
+
+# --- scm-* schema (TBox) closure -----------------------------------------
+
+
+class TestSchemaClosure:
+    ONTO_SCM = [
+        ("A", "type", "Class"),
+        ("B", "type", "Class"),
+        ("A", "subClassOf", "B"),
+        ("B", "subClassOf", "A"),
+        ("C", "subClassOf", "A"),
+        ("p", "type", "ObjectProperty"),
+        ("p", "equivalentProperty", "q"),
+        ("q", "domain", "B"),
+        ("q", "range", "C"),
+        ("r", "subPropertyOf", "p"),
+    ]
+
+    def _closed(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            schema_closure,
+        )
+
+        df = schema_closure(
+            _df(spark, self.ONTO_SCM, "s string, p string, o string")
+        )
+        return {(r.s, r.p, r.o) for r in df.collect()}
+
+    def test_rule_inventory(self, spark):
+        c = self._closed(spark)
+        # scm-cls reflexives + Thing/Nothing bounds
+        assert ("A", "subClassOf", "A") in c
+        assert ("A", "subClassOf", "owl:Thing") in c
+        assert ("owl:Nothing", "subClassOf", "B") in c
+        # scm-eqc2 from the mutual subsumption
+        assert ("A", "equivalentClass", "B") in c
+        # scm-eqc1 is its inverse direction
+        assert ("B", "subClassOf", "A") in c
+        # scm-sco through the cycle
+        assert ("C", "subClassOf", "B") in c
+        # scm-op + scm-eqp1/2
+        assert ("p", "subPropertyOf", "p") in c
+        assert ("p", "subPropertyOf", "q") in c
+        assert ("q", "equivalentProperty", "p") in c or (
+            "p",
+            "equivalentProperty",
+            "q",
+        ) in c
+        # scm-dom1/dom2 and scm-rng1/rng2 compose through spo and sco
+        assert ("p", "domain", "B") in c
+        assert ("p", "domain", "A") in c  # B subClassOf A
+        assert ("r", "domain", "A") in c  # r subPropertyOf p
+        assert ("r", "range", "C") in c
+        assert ("r", "range", "B") in c  # C subClassOf A ... A sco B
+
+    def test_matches_python_twin_and_contains_input(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            schema_closure_python,
+        )
+
+        c = self._closed(spark)
+        assert c == schema_closure_python(self.ONTO_SCM)
+        assert set(self.ONTO_SCM) <= c
+
+    def test_idempotent(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            schema_closure_python,
+        )
+
+        c = schema_closure_python(self.ONTO_SCM)
+        assert schema_closure_python(sorted(c)) == c
+
+    def test_oversized_rejected(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            schema_closure,
+        )
+
+        big = _df(spark, self.ONTO_SCM, "s string, p string, o string")
+        with pytest.raises(ValueError, match="schema-sized"):
+            schema_closure(big, max_ontology_rows=3)
