@@ -258,3 +258,110 @@ def temporal_conflicts(
         F.greatest(fa, fb).alias("overlap_from"),
         overlap_to.alias("overlap_to"),
     )
+
+
+# Allen's 13 interval relations (Allen 1983, "Maintaining Knowledge
+# about Temporal Intervals"), in the fixed classification order the
+# CASE chain below evaluates. Mutually exclusive and jointly exhaustive
+# for non-empty intervals.
+ALLEN_RELATIONS = (
+    "equals",
+    "before",
+    "meets",
+    "overlaps",
+    "starts",
+    "started_by",
+    "during",
+    "contains",
+    "finishes",
+    "finished_by",
+    "after",
+    "met_by",
+    "overlapped_by",
+)
+
+
+def allen_relations(
+    intervals: DataFrame,
+    key_cols: list[str],
+    source_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Classify every cross-source interval pair of a temporal-KG key
+    into Allen's interval algebra (13 relations) — the qualitative
+    temporal layer over the SCD-2 fact versions: "claim A held DURING
+    claim B", "A's validity MEETS B's", etc. Fusion and conflict
+    stages reason over these relations; :func:`temporal_conflicts` is
+    the special case {overlaps, during, starts, finishes, equals, and
+    inverses} + value inequality.
+
+    Same pairing contract as :func:`temporal_conflicts`: ``intervals``
+    is a union of per-source SCD-2 tables tagged by ``source_col``;
+    pairs are cross-source only (``source_a < source_b``), so within-
+    source disjointness never floods the output with before/after
+    rows. A NULL ``to_col`` is an open interval (extends to +inf):
+    two open ends are EQUAL ends, an open end is strictly after any
+    closed one. ``from_col`` is never NULL in SCD-2 output.
+
+    Returns (*key_cols, source_a, from_a, to_a, source_b, from_b,
+    to_b, relation) — relation of A relative to B.
+
+    Plan shape: the same single key-keyed self-equi-join as
+    temporal_conflicts (per-key quadratic in version count — the
+    output being built); the classification is a pure JVM CASE chain,
+    whole-stage-codegen, no UDFs, and DuckDB replays it bit-exactly.
+    """
+    left = intervals.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"{c}_a")
+            for c in (source_col, from_col, to_col)
+        ],
+    )
+    right = intervals.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"{c}_b")
+            for c in (source_col, from_col, to_col)
+        ],
+    )
+    sa, sb = f"{source_col}_a", f"{source_col}_b"
+    fa, fb = F.col(f"{from_col}_a"), F.col(f"{from_col}_b")
+    ta, tb = F.col(f"{to_col}_a"), F.col(f"{to_col}_b")
+
+    def lt(x, y):  # x < y under NULL = +inf (x finite, y possibly not)
+        return x.isNotNull() & (y.isNull() | (x < y))
+
+    ends_eq = (ta.isNull() & tb.isNull()) | (
+        ta.isNotNull() & tb.isNotNull() & (ta == tb)
+    )
+    rel = (
+        F.when((fa == fb) & ends_eq, "equals")
+        .when(ta.isNotNull() & (ta < fb), "before")
+        .when(ta.isNotNull() & (ta == fb), "meets")
+        .when((fa < fb) & lt(fb, ta) & lt(ta, tb), "overlaps")
+        .when((fa == fb) & lt(ta, tb), "starts")
+        .when((fa == fb) & lt(tb, ta), "started_by")
+        .when((fa > fb) & lt(ta, tb), "during")
+        .when((fa < fb) & lt(tb, ta), "contains")
+        .when((fa > fb) & ends_eq, "finishes")
+        .when((fa < fb) & ends_eq, "finished_by")
+        .when(tb.isNotNull() & (tb < fa), "after")
+        .when(tb.isNotNull() & (tb == fa), "met_by")
+        .otherwise("overlapped_by")
+    )
+    return (
+        left.join(right, key_cols)
+        .where(F.col(sa) < F.col(sb))
+        .select(
+            *key_cols,
+            sa,
+            f"{from_col}_a",
+            f"{to_col}_a",
+            sb,
+            f"{from_col}_b",
+            f"{to_col}_b",
+            rel.alias("relation"),
+        )
+    )

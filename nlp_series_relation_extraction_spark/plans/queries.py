@@ -8323,6 +8323,124 @@ ORDER BY subj, predicate, obj
 
 
 
+def q_kg_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval algebra over temporal-KG fact versions
+    (functions/temporal.py:allen_relations): the events stream split
+    into two synthetic sources (event_id parity), each SCD-2-versioned
+    independently, then every cross-source interval pair of the same
+    (user, event_type) key classified into Allen's 13 qualitative
+    relations — the temporal-reasoning layer above temporal_conflicts
+    (which is the overlapping-relations subset + value inequality).
+    Same single key-keyed self-join plan; the classification is a pure
+    JVM CASE chain DuckDB replays bit-exactly."""
+    from ..functions.temporal import allen_relations, scd2_intervals
+
+    facts = _event_facts(spark, sf_dir).withColumn(
+        "src", (F.col("event_id") % 2).cast("int")
+    )
+    iv = scd2_intervals(
+        facts, ["src", "user_id", "event_type"], "obj", "ts", ["event_id"]
+    )
+    rels = allen_relations(iv, ["user_id", "event_type"], "src")
+
+    def us(c: str):  # TIMESTAMP_NTZ -> epoch micros, timezone-free
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        ).cast("long")
+
+    return rels.select(
+        "user_id",
+        "event_type",
+        "src_a",
+        "src_b",
+        us("valid_from_a").alias("from_a_us"),
+        us("valid_to_a").alias("to_a_us"),
+        us("valid_from_b").alias("from_b_us"),
+        us("valid_to_b").alias("to_b_us"),
+        "relation",
+    ).orderBy("user_id", "event_type", "from_a_us", "from_b_us")
+
+
+_KG_ALLEN_SQL = r"""
+WITH facts AS (
+  SELECT cast(event_id % 2 AS INT) AS src, user_id, event_type,
+         try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 4 AS obj,
+         ts, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(obj) OVER w IS DISTINCT FROM obj
+                 THEN 1 ELSE 0 END AS chg
+  FROM facts
+  WINDOW w AS (PARTITION BY src, user_id, event_type ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY src, user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), g AS (
+  SELECT src, user_id, event_type, island, min(ts) AS valid_from
+  FROM isl GROUP BY src, user_id, event_type, island
+), iv AS (
+  SELECT src, user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY src, user_id, event_type
+                                ORDER BY valid_from, island) AS valid_to
+  FROM g
+)
+SELECT a.user_id, a.event_type, a.src AS src_a, b.src AS src_b,
+       epoch_us(a.valid_from) AS from_a_us, epoch_us(a.valid_to) AS to_a_us,
+       epoch_us(b.valid_from) AS from_b_us, epoch_us(b.valid_to) AS to_b_us,
+       CASE
+         WHEN a.valid_from = b.valid_from
+              AND ((a.valid_to IS NULL AND b.valid_to IS NULL)
+                   OR a.valid_to = b.valid_to)
+           THEN 'equals'
+         WHEN a.valid_to IS NOT NULL AND a.valid_to < b.valid_from
+           THEN 'before'
+         WHEN a.valid_to IS NOT NULL AND a.valid_to = b.valid_from
+           THEN 'meets'
+         WHEN a.valid_from < b.valid_from
+              AND (a.valid_to IS NULL OR b.valid_from < a.valid_to)
+              AND a.valid_to IS NOT NULL
+              AND (b.valid_to IS NULL OR a.valid_to < b.valid_to)
+           THEN 'overlaps'
+         WHEN a.valid_from = b.valid_from
+              AND a.valid_to IS NOT NULL
+              AND (b.valid_to IS NULL OR a.valid_to < b.valid_to)
+           THEN 'starts'
+         WHEN a.valid_from = b.valid_from
+              AND b.valid_to IS NOT NULL
+              AND (a.valid_to IS NULL OR b.valid_to < a.valid_to)
+           THEN 'started_by'
+         WHEN a.valid_from > b.valid_from
+              AND a.valid_to IS NOT NULL
+              AND (b.valid_to IS NULL OR a.valid_to < b.valid_to)
+           THEN 'during'
+         WHEN a.valid_from < b.valid_from
+              AND b.valid_to IS NOT NULL
+              AND (a.valid_to IS NULL OR b.valid_to < a.valid_to)
+           THEN 'contains'
+         WHEN a.valid_from > b.valid_from
+              AND ((a.valid_to IS NULL AND b.valid_to IS NULL)
+                   OR a.valid_to = b.valid_to)
+           THEN 'finishes'
+         WHEN a.valid_from < b.valid_from
+              AND ((a.valid_to IS NULL AND b.valid_to IS NULL)
+                   OR a.valid_to = b.valid_to)
+           THEN 'finished_by'
+         WHEN b.valid_to IS NOT NULL AND b.valid_to < a.valid_from
+           THEN 'after'
+         WHEN b.valid_to IS NOT NULL AND b.valid_to = a.valid_from
+           THEN 'met_by'
+         ELSE 'overlapped_by'
+       END AS relation
+FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.event_type = b.event_type
+WHERE a.src < b.src
+ORDER BY a.user_id, a.event_type, from_a_us, from_b_us
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8493,6 +8611,7 @@ def queries() -> dict:
             "kg_shacl_report2": q_kg_shacl_report2,
             "kg_schema_closure": q_kg_schema_closure,
             "kg_eqv_entailment": q_kg_eqv_entailment,
+            "kg_allen_relations": q_kg_allen_relations,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -8717,6 +8836,7 @@ def oracle_sql() -> dict:
         "kg_rdfs_entailment": _rdfs_entailment_sql(),
         "kg_schema_closure": _schema_closure_sql(),
         "kg_eqv_entailment": _eqv_entailment_sql(),
+        "kg_allen_relations": _KG_ALLEN_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

@@ -1559,3 +1559,112 @@ def test_temporal_conflicts_pair_dedup_and_same_source_skipped(spark):
     pairs = {(r.src_a, r.obj_a, r.src_b, r.obj_b) for r in out}
     assert pairs == {("s1", "A", "s2", "C"), ("s1", "B", "s2", "C")}
     assert len(out) == 2
+
+
+# --- Allen interval algebra ----------------------------------------------
+
+
+class TestAllenRelations:
+    """allen_relations (functions/temporal.py): one fixture interval
+    per source-B anchor, thirteen A intervals hitting every relation,
+    incl. the NULL-end (= +inf) conventions."""
+
+    def _run(self, spark, rows):
+        from datetime import datetime
+
+        from nlp_series_relation_extraction_spark.functions.temporal import (
+            allen_relations,
+        )
+
+        def d(day):
+            return None if day is None else datetime(2024, 1, day)
+
+        df = spark.createDataFrame(
+            [(k, s, d(f), d(t)) for k, s, f, t in rows],
+            "k string, src int, valid_from timestamp_ntz,"
+            " valid_to timestamp_ntz",
+        )
+        out = allen_relations(df, ["k"], "src")
+        return {(r.k, r.src_a, r.src_b): r.relation for r in out.collect()}
+
+    def test_all_thirteen_relations(self, spark):
+        # B (src=1) is [10, 20) except where noted; A (src=0) varies per key
+        rows = [
+            ("equals", 0, 10, 20), ("equals", 1, 10, 20),
+            ("before", 0, 1, 5), ("before", 1, 10, 20),
+            ("meets", 0, 5, 10), ("meets", 1, 10, 20),
+            ("overlaps", 0, 5, 15), ("overlaps", 1, 10, 20),
+            ("starts", 0, 10, 15), ("starts", 1, 10, 20),
+            ("started_by", 0, 10, 25), ("started_by", 1, 10, 20),
+            ("during", 0, 12, 18), ("during", 1, 10, 20),
+            ("contains", 0, 5, 25), ("contains", 1, 10, 20),
+            ("finishes", 0, 15, 20), ("finishes", 1, 10, 20),
+            ("finished_by", 0, 5, 20), ("finished_by", 1, 10, 20),
+            ("after", 0, 25, 28), ("after", 1, 10, 20),
+            ("met_by", 0, 20, 25), ("met_by", 1, 10, 20),
+            ("overlapped_by", 0, 15, 25), ("overlapped_by", 1, 10, 20),
+        ]
+        got = self._run(spark, rows)
+        from nlp_series_relation_extraction_spark.functions.temporal import (
+            ALLEN_RELATIONS,
+        )
+
+        assert got == {(r, 0, 1): r for r in ALLEN_RELATIONS}
+
+    def test_open_end_conventions(self, spark):
+        rows = [
+            # two open ends are EQUAL ends
+            ("eq_open", 0, 10, None), ("eq_open", 1, 10, None),
+            ("fin_open", 0, 15, None), ("fin_open", 1, 10, None),
+            # an open end is strictly after any closed one
+            ("sb_open", 0, 10, None), ("sb_open", 1, 10, 20),
+            ("ct_open", 0, 5, None), ("ct_open", 1, 10, 20),
+            # open A start inside closed B: overlapped_by
+            ("ob_open", 0, 15, None), ("ob_open", 1, 10, 20),
+        ]
+        got = self._run(spark, rows)
+        assert got == {
+            ("eq_open", 0, 1): "equals",
+            ("fin_open", 0, 1): "finishes",
+            ("sb_open", 0, 1): "started_by",
+            ("ct_open", 0, 1): "contains",
+            ("ob_open", 0, 1): "overlapped_by",
+        }
+
+    def _run_multi(self, spark, rows):
+        from datetime import datetime
+
+        from nlp_series_relation_extraction_spark.functions.temporal import (
+            allen_relations,
+        )
+
+        def d(day):
+            return None if day is None else datetime(2024, 1, day)
+
+        df = spark.createDataFrame(
+            [(k, s, d(f), d(t)) for k, s, f, t in rows],
+            "k string, src int, valid_from timestamp_ntz,"
+            " valid_to timestamp_ntz",
+        )
+        out = allen_relations(df, ["k"], "src")
+        return sorted(
+            (r.k, r.src_a, r.src_b, r.relation) for r in out.collect()
+        )
+
+    def test_cross_source_only_and_inverse_consistency(self, spark):
+        # same-source pairs never emitted; mirrored sources flip every
+        # relation to its Allen inverse
+        rows = [
+            ("x", 0, 5, 15), ("x", 0, 20, 25), ("x", 1, 10, 20),
+        ]
+        got = self._run_multi(spark, rows)
+        assert got == [
+            ("x", 0, 1, "met_by"),   # [20,25) met by [10,20)
+            ("x", 0, 1, "overlaps"),  # [5,15) overlaps [10,20)
+        ]
+        mirrored = [("x", 1, 5, 15), ("x", 1, 20, 25), ("x", 0, 10, 20)]
+        got_m = self._run_multi(spark, mirrored)
+        assert got_m == [
+            ("x", 0, 1, "meets"),
+            ("x", 0, 1, "overlapped_by"),
+        ]
