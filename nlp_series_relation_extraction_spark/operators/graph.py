@@ -2701,3 +2701,195 @@ def filter_exists_bgp(
             )
             out = out.join(probe, F.lit(True), how)
     return out
+
+
+def sample_pivots(
+    edges: DataFrame, n_pivots: int, salt: str = "bc"
+) -> list[int]:
+    """Deterministic md5-ranked pivot sample over the vertex set (the
+    Brandes-Pich source sample): the ``n_pivots`` vertices with the
+    smallest md5(salt|id) — a pure function of ids, so the python twin
+    draws the identical set. The collect is pivot-bounded (model-sized),
+    not data-sized."""
+    und = _undirected(edges)
+    verts = und.select(F.col("a").alias("entity_id")).distinct()
+    rows = (
+        verts.withColumn(
+            "h",
+            F.md5(F.concat(F.lit(salt + "|"), F.col("entity_id").cast("string"))),
+        )
+        .orderBy("h", "entity_id")
+        .limit(n_pivots)
+        .collect()
+    )
+    return [r.entity_id for r in rows]
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    n_pivots: int = 32,
+    max_depth: int = 6,
+    salt: str = "bc",
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality over the undirected entity
+    graph: Brandes' dependency accumulation (Brandes 2001, "A Faster
+    Algorithm for Betweenness Centrality") run from a deterministic
+    md5 sample of ``n_pivots`` sources (Brandes & Pich 2007,
+    "Centrality Estimation in Large Networks"), shortest paths
+    truncated at ``max_depth`` hops (k-betweenness; exact when
+    max_depth >= diameter and n_pivots >= |V|).
+
+    Returns (entity_id, delta_sum, bc_est): delta_sum = the summed
+    Brandes dependencies over the pivot set; bc_est = delta_sum *
+    |V| / n_pivots, the unbiased estimator of the classic betweenness
+    count.
+
+    Scale shape: the forward pass is labeled multi-source BFS widened
+    with the path-count column — per level ONE frontier x edges join +
+    one (src, v)-keyed group-sum (sigma's parent sum) + one anti-join;
+    the backward pass replays the levels in reverse with the same join
+    pattern (child contributions group-summed per (src, parent), then
+    scaled by the parent's sigma). Rounds = 2 * max_depth, every
+    shuffle keyed on (src, vertex); per-level state is the labeled
+    frontier itself, localCheckpointed so lineage stays flat. No
+    all-pairs stage exists — the pivot count bounds the work exactly
+    like harmonic_centrality's seed contract."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    pivots = sample_pivots(edges, n_pivots, salt=salt)
+    spark = edges.sparkSession
+    if not pivots:
+        return spark.createDataFrame(
+            [], "entity_id long, delta_sum double, bc_est double"
+        )
+    n_verts = (
+        und.select(F.col("a").alias("entity_id")).distinct().count()
+    )
+    lvl0 = spark.createDataFrame(
+        [(p, p, 1.0) for p in pivots], "src long, v long, sigma double"
+    ).localCheckpoint(eager=True)
+
+    # forward: levels[d] = (src, v, sigma) of vertices FIRST reached at
+    # depth d from src, sigma = number of shortest src->v paths
+    levels = [lvl0]
+    visited = lvl0.select("src", "v").localCheckpoint(eager=True)
+    for _d in range(1, max_depth + 1):
+        frontier = levels[-1]
+        nxt = (
+            frontier.join(und, frontier["v"] == und["a"])
+            .select("src", F.col("b").alias("v"), "sigma")
+            .groupBy("src", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["src", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("src", "v")
+        ).localCheckpoint(eager=True)
+
+    # backward: delta over levels in reverse; a parent at depth d gets
+    # sigma_parent * sum over depth-d+1 neighbors of (1 + delta_w)/sigma_w
+    acc = None
+    delta = levels[-1].withColumn("delta", F.lit(0.0))
+    for d in range(len(levels) - 2, -1, -1):
+        contrib = delta.select(
+            "src",
+            F.col("v").alias("w"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("share"),
+        )
+        parent = levels[d]
+        dsum = (
+            contrib.join(und, contrib["w"] == und["b"])
+            .select("src", F.col("a").alias("v"), "share")
+            .groupBy("src", "v")
+            .agg(F.sum("share").alias("share_sum"))
+        )
+        delta = (
+            parent.join(dsum, ["src", "v"], "left")
+            .select(
+                "src",
+                "v",
+                "sigma",
+                (
+                    F.coalesce(F.col("share_sum"), F.lit(0.0))
+                    * F.col("sigma")
+                ).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        part = delta.where(F.col("v") != F.col("src")).select(
+            "v", "delta"
+        )
+        acc = part if acc is None else acc.unionByName(part)
+        # depth-(d+1) vertices contribute their own delta too
+    # every non-root level's deltas enter the total; the loop above
+    # accumulates levels 0..D-1 as PARENTS — add the deepest level
+    # (delta 0 there, so only the parents' rows matter; roots excluded)
+    if acc is None:
+        acc = spark.createDataFrame([], "v long, delta double")
+    out = acc.groupBy(F.col("v").alias("entity_id")).agg(
+        F.sum("delta").alias("delta_sum")
+    )
+    scale = float(n_verts) / float(len(pivots))
+    return out.select(
+        "entity_id",
+        "delta_sum",
+        (F.col("delta_sum") * F.lit(scale)).alias("bc_est"),
+    )
+
+
+def betweenness_python(
+    edge_list: list[tuple[int, int]],
+    n_pivots: int = 32,
+    max_depth: int = 6,
+    salt: str = "bc",
+) -> dict[int, float]:
+    """Exact flat twin of :func:`betweenness_centrality` (same md5
+    pivot draw, same depth truncation, same dependency recursion) —
+    plain Brandes with a depth cap. Returns entity_id -> delta_sum."""
+    import hashlib
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    ranked = sorted(
+        verts,
+        key=lambda x: (
+            hashlib.md5(f"{salt}|{x}".encode()).hexdigest(),
+            x,
+        ),
+    )
+    pivots = ranked[:n_pivots]
+    delta_sum: dict[int, float] = {}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_depth:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                delta_sum[w] = delta_sum.get(w, 0.0) + delta[w]
+    return delta_sum

@@ -8441,6 +8441,28 @@ ORDER BY a.user_id, a.event_type, from_a_us, from_b_us
 
 
 
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled betweenness centrality (operators/graph.py:
+    betweenness_centrality — Brandes dependency accumulation from a
+    deterministic md5 pivot sample, Brandes & Pich 2007) over the
+    supplier-part graph, 64 pivots, 4-hop truncation (rows-only:
+    iterative sigma/delta recursion with float dependency shares is
+    not SQL; exact parity vs the plain-Brandes twin incl. the sampled
+    and truncated regimes is pinned in
+    tests/test_graph_analytics.py::TestBetweenness). Forward pass =
+    labeled BFS widened with the path-count column; backward pass
+    replays levels in reverse — every shuffle keyed (src, vertex),
+    rounds = 2 * depth."""
+    from ..operators.graph import betweenness_centrality
+
+    edges = _bipartite_edges(spark, sf_dir)
+    out = betweenness_centrality(edges, n_pivots=64, max_depth=4)
+    return out.where(F.col("delta_sum") > 0).orderBy(
+        F.col("delta_sum").desc(), "entity_id"
+    )
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8612,6 +8634,7 @@ def queries() -> dict:
             "kg_schema_closure": q_kg_schema_closure,
             "kg_eqv_entailment": q_kg_eqv_entailment,
             "kg_allen_relations": q_kg_allen_relations,
+            "kg_betweenness": q_kg_betweenness,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

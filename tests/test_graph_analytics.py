@@ -2663,3 +2663,76 @@ class TestSparqlUpdate:
             for r in built.collect()
         }
         assert got == expect
+
+
+# --- betweenness centrality (Brandes, pivot-sampled) ----------------------
+
+
+class TestBetweenness:
+    def _run(self, spark, rows, **kw):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            betweenness_centrality,
+        )
+
+        out = betweenness_centrality(
+            _edges(spark, [(a, b, 1) for a, b in rows]), **kw
+        )
+        return {r.entity_id: (r.delta_sum, r.bc_est) for r in out.collect()}
+
+    def test_path_graph_exact_hand_values(self, spark):
+        # path 1-2-3-4-5, all pivots, no truncation: classic betweenness
+        # (pairs counted twice, once per direction): b(3)=8, b(2)=b(4)=6
+        rows = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        got = self._run(spark, rows, n_pivots=5, max_depth=10)
+        want = {1: 0.0, 2: 6.0, 3: 8.0, 4: 6.0, 5: 0.0}
+        for v, b in want.items():
+            assert abs(got.get(v, (0.0, 0.0))[0] - b) < 1e-9, v
+        # with n_pivots == |V| the estimator scale is 1: bc_est == delta
+        for v, (d, e) in got.items():
+            assert abs(d - e) < 1e-9
+
+    def test_star_and_diamond_multiplicity(self, spark):
+        # star: center carries ALL pairwise dependencies; leaves none.
+        star = [(0, i) for i in range(1, 6)]
+        got = self._run(spark, star, n_pivots=6, max_depth=4)
+        assert abs(got[0][0] - 2 * (5 * 4 / 2)) < 1e-9  # 20 ordered pairs
+        for leaf in range(1, 6):
+            assert abs(got.get(leaf, (0.0, 0.0))[0]) < 1e-9
+        # diamond 1-2-4, 1-3-4: two equal shortest paths split sigma
+        diamond = [(1, 2), (1, 3), (2, 4), (3, 4)]
+        got = self._run(spark, diamond, n_pivots=4, max_depth=4)
+        assert abs(got[2][0] - 1.0) < 1e-9  # half of each 1<->4 pair
+        assert abs(got[3][0] - 1.0) < 1e-9
+
+    def test_matches_python_twin_sampled_and_truncated(self, spark):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            betweenness_python,
+        )
+
+        rng = np.random.default_rng(5)
+        rows = sorted(
+            {
+                (int(a), int(b))
+                for a, b in rng.integers(0, 40, size=(120, 2))
+                if a != b
+            }
+        )
+        for kw in (
+            {"n_pivots": 40, "max_depth": 10},
+            {"n_pivots": 7, "max_depth": 10},
+            {"n_pivots": 40, "max_depth": 2},
+        ):
+            got = self._run(spark, rows, **kw)
+            want = betweenness_python(rows, **kw)
+            keys = set(got) | set(want)
+            for v in keys:
+                g = got.get(v, (0.0, 0.0))[0]
+                w = want.get(v, 0.0)
+                assert abs(g - w) < 1e-9, (kw, v, g, w)
+
+    def test_estimator_scale(self, spark):
+        # k pivots over n vertices: bc_est = delta_sum * n / k
+        rows = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+        got = self._run(spark, rows, n_pivots=3, max_depth=10)
+        for v, (d, e) in got.items():
+            assert abs(e - d * 6.0 / 3.0) < 1e-9

@@ -45,7 +45,11 @@ def test_every_oracle_has_a_query():
                # HyperANF: iterative HLL sketch merge (float estimates),
                # md5-identical python twin at 1e-9 in
                # tests/test_graph_analytics.py::TestHyperANF
-               "kg_anf_curve")
+               "kg_anf_curve",
+               # Brandes sigma/delta recursion (float shares), exact
+               # twin parity in full/sampled/truncated regimes in
+               # tests/test_graph_analytics.py::TestBetweenness
+               "kg_betweenness")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
