@@ -8463,6 +8463,26 @@ def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (functions/unigram.py — SentencePiece's EM
+    model, Kudo 2018): fit a 48-piece vocabulary on the documents table
+    (corpus collapsed to distinct weighted words first; E-step expected
+    counts ride the model-sized mapInPandas partial-sum channel), then
+    Viterbi-segment every document. Returns per-document token
+    accounting (doc_id, n_words, n_tokens, n_unsegmentable) — the
+    budget table a packing stage consumes (rows-only: float EM sums are
+    not cross-engine bit-stable; twin parity + EM monotonicity + Viterbi
+    semantics pinned in tests/test_unigram.py)."""
+    from ..functions.unigram import unigram_fit, unigram_tokenize
+
+    docs = t(spark, sf_dir, "documents")
+    model = unigram_fit(
+        docs, vocab_size=48, seed_size=256, n_iters=3
+    )
+    return unigram_tokenize(docs, model).orderBy("doc_id")
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8635,6 +8655,7 @@ def queries() -> dict:
             "kg_eqv_entailment": q_kg_eqv_entailment,
             "kg_allen_relations": q_kg_allen_relations,
             "kg_betweenness": q_kg_betweenness,
+            "unigram_token_counts": q_unigram_token_counts,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

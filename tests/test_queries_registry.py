@@ -49,7 +49,10 @@ def test_every_oracle_has_a_query():
                # Brandes sigma/delta recursion (float shares), exact
                # twin parity in full/sampled/truncated regimes in
                # tests/test_graph_analytics.py::TestBetweenness
-               "kg_betweenness")
+               "kg_betweenness",
+               # unigram-LM EM fit (float expected-count sums), twin
+               # parity + Viterbi semantics in tests/test_unigram.py
+               "unigram_token_counts")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
