@@ -181,6 +181,12 @@ RELATIONAL = [
     "events_sessionize",
     "events_asof_next",
     "events_rollup",
+    # round-5 session-4 additions
+    "kg_schema_closure",
+    "kg_eqv_entailment",
+    "kg_allen_relations",
+    "kg_betweenness",
+    "unigram_token_counts",
 ]
 
 
