@@ -187,6 +187,7 @@ RELATIONAL = [
     "kg_allen_relations",
     "kg_betweenness",
     "unigram_token_counts",
+    "kg_all_disjoint_props",
 ]
 
 

@@ -2233,3 +2233,50 @@ def schema_closure(
     return ontology.sparkSession.createDataFrame(
         closed, "s string, p string, o string"
     )
+
+
+def all_disjoint_properties_violations(
+    facts: DataFrame,
+    ontology: DataFrame,
+    members_predicate: str = "allDisjointPropertyMembers",
+) -> DataFrame:
+    """OWL 2 RL consistency rule prp-adp (``owl:AllDisjointProperties``):
+    an axiom lists properties that must be pairwise disjoint; any
+    (subj, obj) pair asserted under >=2 of them violates. Axiom
+    encoding and RDF-list recovery exactly as
+    :func:`all_disjoint_classes_violations` (its property-axis mirror
+    — prp-adp generalizes prp-pdw the way cax-adc generalizes cax-dw).
+
+    Output: ``(axiom, subj, obj, predicate)`` — one row per held member
+    property of every (subj, obj) pair asserted under >=2 member
+    properties of one axiom.
+
+    Plan: the fact scan joins the (schema-sized, broadcast) member
+    table on the predicate, then ONE hash aggregate keyed (axiom, subj,
+    obj) — the spec's n*(n-1)/2 pairwise prp-pdw expansion never
+    materializes; per-pair held-property sets are bounded by the axiom
+    width."""
+    from .rdf_lists import flatten_rdf_lists
+
+    heads = ontology.where(
+        F.col("p") == members_predicate
+    ).select(F.col("s").alias("axiom"), F.col("o").alias("head"))
+    members = (
+        flatten_rdf_lists(
+            ontology.select(
+                F.col("s").alias("subj"),
+                F.col("p").alias("predicate"),
+                F.col("o").alias("obj"),
+            )
+        )
+        .join(heads, "head")
+        .select("axiom", F.col("member").alias("predicate"))
+    )
+    pairs = facts.select("subj", "predicate", "obj").distinct()
+    return (
+        pairs.join(F.broadcast(members), "predicate")
+        .groupBy("axiom", "subj", "obj")
+        .agg(F.sort_array(F.collect_set("predicate")).alias("ps"))
+        .where(F.size("ps") > 1)
+        .select("axiom", "subj", "obj", F.explode("ps").alias("predicate"))
+    )

@@ -8483,6 +8483,78 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_kg_all_disjoint_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL prp-adp (operators/ontology.py:
+    all_disjoint_properties_violations): paid/disputed/comped order
+    links asserted at mod 3/5/7, declared pairwise disjoint by ONE
+    owl:AllDisjointProperties axiom over a genuine rdf cons chain —
+    every (customer, order) pair holding >=2 member properties (mod
+    15/21/35 multiples) reports once per held property; a non-member
+    'placed' predicate on every pair pins the member-join filter. The
+    n^2/2 pairwise prp-pdw expansion never materializes. DuckDB
+    unpivots the member predicates and groups per pair."""
+    from ..operators.ontology import all_disjoint_properties_violations
+
+    orders = t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey").cast("long")
+    subj = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    obj = F.concat(F.lit("o"), ok.cast("string"))
+
+    def linked(pred, mod):
+        base = orders if mod == 1 else orders.where(ok % mod == 0)
+        return base.select(
+            subj.alias("subj"), F.lit(pred).alias("predicate"),
+            obj.alias("obj"),
+        )
+
+    facts = (
+        linked("placed", 1)
+        .unionByName(linked("paid", 3))
+        .unionByName(linked("disputed", 5))
+        .unionByName(linked("comped", 7))
+    )
+    onto = spark.createDataFrame(
+        [
+            ("axp", "allDisjointPropertyMembers", "LP"),
+            ("LP", "rdf:first", "paid"), ("LP", "rdf:rest", "LP#1"),
+            ("LP#1", "rdf:first", "disputed"),
+            ("LP#1", "rdf:rest", "LP#2"),
+            ("LP#2", "rdf:first", "comped"),
+            ("LP#2", "rdf:rest", "rdf:nil"),
+        ],
+        "s string, p string, o string",
+    )
+    return all_disjoint_properties_violations(facts, onto).orderBy(
+        "axiom", "subj", "obj", "predicate"
+    )
+
+
+_KG_ALL_DISJOINT_PROPS_SQL = """
+WITH o AS (SELECT cast(o_orderkey AS BIGINT) AS ok,
+                  cast(o_custkey AS BIGINT) AS ck FROM orders),
+held AS (
+  SELECT 'c' || cast(ck AS VARCHAR) AS subj,
+         'o' || cast(ok AS VARCHAR) AS obj, 'paid' AS predicate
+  FROM o WHERE ok % 3 = 0
+  UNION ALL
+  SELECT 'c' || cast(ck AS VARCHAR), 'o' || cast(ok AS VARCHAR),
+         'disputed'
+  FROM o WHERE ok % 5 = 0
+  UNION ALL
+  SELECT 'c' || cast(ck AS VARCHAR), 'o' || cast(ok AS VARCHAR), 'comped'
+  FROM o WHERE ok % 7 = 0
+),
+g AS (
+  SELECT subj, obj FROM held GROUP BY subj, obj HAVING count(*) > 1
+)
+SELECT 'axp' AS axiom, h.subj AS subj, h.obj AS obj,
+       h.predicate AS predicate
+FROM held h JOIN g ON g.subj = h.subj AND g.obj = h.obj
+ORDER BY axiom, h.subj, h.obj, h.predicate
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8656,6 +8728,7 @@ def queries() -> dict:
             "kg_allen_relations": q_kg_allen_relations,
             "kg_betweenness": q_kg_betweenness,
             "unigram_token_counts": q_unigram_token_counts,
+            "kg_all_disjoint_props": q_kg_all_disjoint_props,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -8881,6 +8954,7 @@ def oracle_sql() -> dict:
         "kg_schema_closure": _schema_closure_sql(),
         "kg_eqv_entailment": _eqv_entailment_sql(),
         "kg_allen_relations": _KG_ALLEN_SQL,
+        "kg_all_disjoint_props": _KG_ALL_DISJOINT_PROPS_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

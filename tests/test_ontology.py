@@ -1567,3 +1567,57 @@ class TestSchemaClosure:
         big = _df(spark, self.ONTO_SCM, "s string, p string, o string")
         with pytest.raises(ValueError, match="schema-sized"):
             schema_closure(big, max_ontology_rows=3)
+
+
+class TestAllDisjointProperties:
+    ONTO = [
+        ("axp", "allDisjointPropertyMembers", "L"),
+        ("L", "rdf:first", "paid"), ("L", "rdf:rest", "L1"),
+        ("L1", "rdf:first", "disputed"), ("L1", "rdf:rest", "L2"),
+        ("L2", "rdf:first", "comped"), ("L2", "rdf:rest", "rdf:nil"),
+    ]
+
+    def _run(self, spark, facts):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            all_disjoint_properties_violations,
+        )
+
+        out = all_disjoint_properties_violations(
+            _df(spark, facts, "subj string, predicate string, obj string"),
+            _df(spark, self.ONTO, "s string, p string, o string"),
+        )
+        return sorted(
+            (r.axiom, r.subj, r.obj, r.predicate) for r in out.collect()
+        )
+
+    def test_pairs_with_two_members_report_each_held_property(self, spark):
+        facts = [
+            ("c1", "paid", "o1"), ("c1", "disputed", "o1"),   # violates
+            ("c1", "paid", "o2"),                                # fine
+            ("c2", "paid", "o3"), ("c2", "comped", "o3"),
+            ("c2", "disputed", "o3"),                            # 3-way
+            ("c3", "placed", "o4"), ("c3", "paid", "o4"),       # non-member
+            ("c4", "paid", "o5"), ("c4", "paid", "o5"),         # dup fact
+        ]
+        got = self._run(spark, facts)
+        assert got == [
+            ("axp", "c1", "o1", "disputed"),
+            ("axp", "c1", "o1", "paid"),
+            ("axp", "c2", "o3", "comped"),
+            ("axp", "c2", "o3", "disputed"),
+            ("axp", "c2", "o3", "paid"),
+        ]
+
+    def test_no_axiom_members_no_violations(self, spark):
+        from nlp_series_relation_extraction_spark.operators.ontology import (
+            all_disjoint_properties_violations,
+        )
+
+        facts = _df(
+            spark,
+            [("c1", "paid", "o1"), ("c1", "disputed", "o1")],
+            "subj string, predicate string, obj string",
+        )
+        onto = _df(spark, [("x", "unrelated", "y")],
+                   "s string, p string, o string")
+        assert all_disjoint_properties_violations(facts, onto).count() == 0
