@@ -188,6 +188,7 @@ RELATIONAL = [
     "kg_betweenness",
     "unigram_token_counts",
     "kg_all_disjoint_props",
+    "kg_link_scores",
 ]
 
 

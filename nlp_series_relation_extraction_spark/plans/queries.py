@@ -8555,6 +8555,59 @@ ORDER BY axiom, h.subj, h.obj, h.predicate
 
 
 
+def q_kg_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-heuristic link prediction (operators/graph.py:link_scores)
+    over the supplier-part graph: common-neighbor count, integer-ppm
+    Jaccard, and resource-allocation (Zhou 2009 — the integer-exact
+    Adamic-Adar sibling) for every non-adjacent two-hop pair witnessed
+    by a part (max_hub_degree=50 keeps high-degree suppliers out of
+    the witness role — their RA share is ~0 and their two-hop fan-out
+    is the quadratic that kills naive CN; the oracle applies the same
+    cap). The structural baseline next to the trained KGE rankers.
+    One witness-keyed self-join + one anti-join + one hash aggregate;
+    every statistic is a ppm integer DIV, bit-exact cross-engine."""
+    from ..operators.graph import link_scores
+
+    edges = _bipartite_edges(spark, sf_dir)
+    return link_scores(edges, min_common=3, max_hub_degree=50).orderBy(
+        "entity_a", "entity_b"
+    )
+
+
+_KG_LINK_SCORES_SQL = """
+WITH base AS (
+  SELECT DISTINCT cast(l_suppkey AS BIGINT) * 2 AS a,
+                  cast(l_partkey AS BIGINT) * 2 + 1 AS b
+  FROM lineitem WHERE l_linenumber <= 2
+), und AS (
+  SELECT a, b FROM base UNION SELECT b, a FROM base
+), deg AS (
+  SELECT a, cast(count(*) AS BIGINT) AS deg FROM und GROUP BY a
+), wit AS (
+  SELECT u.a, u.b AS z, d.deg AS deg_z
+  FROM und u JOIN deg d ON d.a = u.b
+  WHERE d.deg <= 50
+), p AS (
+  SELECT w1.a AS a, w2.a AS c,
+         cast(count(*) AS BIGINT) AS cn,
+         cast(sum(1000000 // w1.deg_z) AS BIGINT) AS ra_ppm
+  FROM wit w1 JOIN wit w2 ON w1.z = w2.z AND w1.a < w2.a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und e WHERE e.a = w1.a AND e.b = w2.a
+  )
+  GROUP BY w1.a, w2.a
+  HAVING count(*) >= 3
+)
+SELECT p.a AS entity_a, p.c AS entity_b, p.cn,
+       cast(p.cn * 1000000 // (da.deg + dc.deg - p.cn) AS BIGINT)
+         AS jaccard_ppm,
+       p.ra_ppm
+FROM p JOIN deg da ON da.a = p.a JOIN deg dc ON dc.a = p.c
+ORDER BY entity_a, entity_b
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8729,6 +8782,7 @@ def queries() -> dict:
             "kg_betweenness": q_kg_betweenness,
             "unigram_token_counts": q_unigram_token_counts,
             "kg_all_disjoint_props": q_kg_all_disjoint_props,
+            "kg_link_scores": q_kg_link_scores,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -8955,6 +9009,7 @@ def oracle_sql() -> dict:
         "kg_eqv_entailment": _eqv_entailment_sql(),
         "kg_allen_relations": _KG_ALLEN_SQL,
         "kg_all_disjoint_props": _KG_ALL_DISJOINT_PROPS_SQL,
+        "kg_link_scores": _KG_LINK_SCORES_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

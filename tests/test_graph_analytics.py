@@ -2736,3 +2736,63 @@ class TestBetweenness:
         got = self._run(spark, rows, n_pivots=3, max_depth=10)
         for v, (d, e) in got.items():
             assert abs(e - d * 6.0 / 3.0) < 1e-9
+
+
+# --- graph-heuristic link prediction scores --------------------------------
+
+
+class TestLinkScores:
+    def _run(self, spark, rows, **kw):
+        from nlp_series_relation_extraction_spark.operators.graph import (
+            link_scores,
+        )
+
+        out = link_scores(_edges(spark, [(a, b, 1) for a, b in rows]), **kw)
+        return {
+            (r.entity_a, r.entity_b): (r.cn, r.jaccard_ppm, r.ra_ppm)
+            for r in out.collect()
+        }
+
+    def test_hand_computed_square(self, spark):
+        # square 1-2-3-4-1: each diagonal pair shares exactly its two
+        # adjacent corners; all degrees are 2
+        rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        got = self._run(spark, rows, min_common=2)
+        # (1,3): cn=2 via {2,4}; jaccard = 2/(2+2-2) = 1.0; ra = 2*(1e6//2)
+        assert got == {
+            (1, 3): (2, 1_000_000, 1_000_000),
+            (2, 4): (2, 1_000_000, 1_000_000),
+        }
+
+    def test_existing_edges_excluded_and_min_common(self, spark):
+        # triangle + pendant: every two-hop pair is already an edge
+        rows = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        # via witness 3 (deg 3): ra = 1e6//3; jaccard = 1/(2+1-1) = 1/2
+        assert self._run(spark, rows, min_common=1) == {
+            (1, 4): (1, 500_000, 333_333),
+            (2, 4): (1, 500_000, 333_333),
+        }
+        assert self._run(spark, rows, min_common=2) == {}
+
+    def test_hub_cap_drops_witness_role_only(self, spark):
+        # star center 0 (deg 4) + edge 1-2: pairs through 0 vanish when
+        # the cap excludes it as witness, but 0 still appears as an
+        # ENDPOINT of pairs witnessed by small-degree vertices
+        rows = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+        full = self._run(spark, rows, min_common=1)
+        assert (3, 4) in full and (1, 3) in full
+        # 0 as endpoint: pair (0, ...) witnessed by 1 or 2? 0-1-2 and
+        # 0-2-1 lead back to adjacent (0,2)/(0,1) — excluded as edges
+        # cap at 3 excludes the center (deg 4) as witness; remaining
+        # witnesses 1 and 2 (deg 2) only reach pairs that are already
+        # edges, so nothing survives
+        capped = self._run(spark, rows, min_common=1, max_hub_degree=3)
+        assert capped == {}
+
+    def test_ra_uses_witness_degree(self, spark):
+        # path 1-2-3 plus 2-4: pair (1,3),(1,4),(3,4) via witness 2 (deg 3)
+        rows = [(1, 2), (2, 3), (2, 4)]
+        got = self._run(spark, rows, min_common=1)
+        assert got[(1, 3)] == (1, 1_000_000, 333_333)
+        assert got[(1, 4)] == (1, 1_000_000, 333_333)
+        assert got[(3, 4)] == (1, 1_000_000, 333_333)
