@@ -189,6 +189,7 @@ RELATIONAL = [
     "unigram_token_counts",
     "kg_all_disjoint_props",
     "kg_link_scores",
+    "kg_record_linkage",
 ]
 
 

@@ -8608,6 +8608,66 @@ ORDER BY entity_a, entity_b
 
 
 
+def q_kg_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/record_linkage.py — the Splink model): the customer
+    table paired against a deterministically-perturbed copy of itself
+    (every 5th name, 7th balance, 3rd segment corrupted), blocked on
+    (nation, segment-of-A), binary agreement vectors collapsed to
+    <= 2^3 weighted patterns in ONE aggregate, EM fitted driver-side
+    on the exact integer counts (bit-stable — the twin is EXACTLY
+    equal, not allclose), posteriors joined back as a broadcast map.
+    Returns the fitted pattern table (gamma bits, n_pairs, match_ppm)
+    (rows-only: SQL cannot run the EM recursion; twin bit-equality,
+    planted-mixture recovery and monotonicity pinned in
+    tests/test_record_linkage.py)."""
+    from ..operators.record_linkage import (
+        fellegi_sunter_fit,
+        fellegi_sunter_score,
+    )
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        "c_name",
+        F.round(F.col("c_acctbal"), 0).alias("bal"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("nk"),
+    )
+    dirty = cust.select(
+        F.col("ck").alias("ck_b"),
+        F.when(F.col("ck") % 5 == 0, F.concat(F.col("c_name"), F.lit("~")))
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.when(F.col("ck") % 7 == 0, F.col("bal") + 1000)
+        .otherwise(F.col("bal"))
+        .alias("bal_b"),
+        F.when(F.col("ck") % 3 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        "nk",
+        "c_mktsegment",
+    )
+    pairs = cust.join(dirty, ["nk", "c_mktsegment"]).select(
+        (F.col("c_name") == F.col("name_b")).alias("g_name"),
+        (F.col("bal") == F.col("bal_b")).alias("g_bal"),
+        (F.col("c_mktsegment") == F.col("seg_b")).alias("g_seg"),
+    )
+    fields = ["g_name", "g_bal", "g_seg"]
+    model = fellegi_sunter_fit(pairs, fields, n_iters=25)
+    scored = fellegi_sunter_score(pairs, model)
+    return (
+        scored.groupBy(*fields, "match_ppm")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            *[F.col(c).cast("int").alias(c) for c in fields],
+            "n_pairs",
+            "match_ppm",
+        )
+        .orderBy(*fields)
+    )
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8783,6 +8843,7 @@ def queries() -> dict:
             "unigram_token_counts": q_unigram_token_counts,
             "kg_all_disjoint_props": q_kg_all_disjoint_props,
             "kg_link_scores": q_kg_link_scores,
+            "kg_record_linkage": q_kg_record_linkage,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

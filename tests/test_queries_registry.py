@@ -52,7 +52,10 @@ def test_every_oracle_has_a_query():
                "kg_betweenness",
                # unigram-LM EM fit (float expected-count sums), twin
                # parity + Viterbi semantics in tests/test_unigram.py
-               "unigram_token_counts")
+               "unigram_token_counts",
+               # Fellegi-Sunter EM: SQL cannot run the recursion; twin
+               # BIT-equality pinned in tests/test_record_linkage.py
+               "kg_record_linkage")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
