@@ -190,6 +190,7 @@ RELATIONAL = [
     "kg_all_disjoint_props",
     "kg_link_scores",
     "kg_record_linkage",
+    "kg_turtle_export",
 ]
 
 

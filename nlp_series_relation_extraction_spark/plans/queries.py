@@ -8668,6 +8668,51 @@ def q_kg_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_kg_turtle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle serialization of the KG edge table (sources/turtle.py:
+    edges_to_turtle): one subject-grouped block per entity with a
+    sorted ``;`` predicate list — ONE groupBy(subject) + sort_array +
+    concat_ws, whole-stage codegen, the group shuffle is the plan's
+    only exchange. DuckDB rebuilds every block with string_agg(ORDER
+    BY) bit-exactly. The matching full-grammar PARSER (prefixes, 'a',
+    object/predicate lists, nested bnodes, collections, all literal
+    forms, BASE resolution) is pytest-covered in tests/test_turtle.py
+    incl. an export->parse roundtrip."""
+    from ..sources.turtle import edges_to_turtle
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    return edges_to_turtle(edges).orderBy("line")
+
+
+_KG_TURTLE_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+),
+po AS (
+  SELECT DISTINCT s, 'p:' || p || ' e:' || cast(o AS VARCHAR) AS po
+  FROM e
+),
+b AS (
+  SELECT s, string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po) AS pos
+  FROM po GROUP BY s
+)
+SELECT 'e:' || cast(s AS VARCHAR) || ' ' || pos || ' .' AS line
+FROM b
+ORDER BY line
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -8844,6 +8889,7 @@ def queries() -> dict:
             "kg_all_disjoint_props": q_kg_all_disjoint_props,
             "kg_link_scores": q_kg_link_scores,
             "kg_record_linkage": q_kg_record_linkage,
+            "kg_turtle_export": q_kg_turtle_export,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9071,6 +9117,7 @@ def oracle_sql() -> dict:
         "kg_allen_relations": _KG_ALLEN_SQL,
         "kg_all_disjoint_props": _KG_ALL_DISJOINT_PROPS_SQL,
         "kg_link_scores": _KG_LINK_SCORES_SQL,
+        "kg_turtle_export": _KG_TURTLE_SQL,
         "kg_graph_edges_oracle": _GRAPH_EDGES_SQL,
         "curate_documents": _CURATE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
