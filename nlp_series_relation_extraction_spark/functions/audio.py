@@ -8,11 +8,15 @@ deterministically from text so the SQL-expressible metadata slice
 (sample rate, n_samples, byte size) carries a DuckDB oracle while the
 signal-dependent features are pinned by Spark==local-decode tests.
 
-Scope: WAV in the four formats telephony/interchange pipelines actually
-move — 16-bit PCM (tag 1) mono/stereo, G.711 mu-law (tag 7) and A-law
-(tag 6) companding, and IMA ADPCM (tag 0x11, block-based 4-bit) mono.
-Perceptual-codec formats (mp3/ogg/flac) are the documented integration
-point, exactly like exotic image formats.
+Scope: WAV in the formats telephony/interchange pipelines actually
+move — integer PCM (tag 1) at 8/16/24/32 bits mono/stereo, IEEE float
+PCM (tag 3, 32/64-bit), G.711 mu-law (tag 7) and A-law (tag 6)
+companding, IMA ADPCM (tag 0x11, block-based 4-bit) mono AND stereo,
+MS ADPCM (tag 2, predictor-table 4-bit) mono/stereo, and the
+WAVE_FORMAT_EXTENSIBLE (0xFFFE) container resolving any of the above
+through its SubFormat GUID. Perceptual-codec formats (mp3/ogg) are the
+documented integration point, exactly like exotic image formats
+(lossless compression is covered by functions/flac.py).
 """
 
 from __future__ import annotations
@@ -31,14 +35,28 @@ AUDIO_SCHEMA = (
 AUDIO_FEATURE_DIM = 12
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (KSDATAFORMAT_SUBTYPE_*):
+# the first two bytes of the GUID carry the classic format tag, the
+# remaining 14 are this fixed media-type base (public ksmedia.h value).
+_EXT_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def encode_audio_wav(
-    samples: np.ndarray, sample_rate: int = 16_000, codec: str = "pcm"
+    samples: np.ndarray,
+    sample_rate: int = 16_000,
+    codec: str = "pcm",
+    extensible: bool = False,
 ) -> bytes:
     """Encode int16 samples ([n] mono or [n, ch]) as a WAV payload.
 
-    ``codec``: 'pcm' (tag 1, 16-bit), 'ulaw' (tag 7) / 'alaw' (tag 6)
-    G.711 companding, or 'ima' (tag 0x11, mono IMA ADPCM with 505
-    samples per 256-byte block and a fact chunk)."""
+    ``codec``: 'pcm' (tag 1, 16-bit), 'pcm8'/'pcm24'/'pcm32' (tag 1 at
+    other widths; the int16 input is placed in the high bits), 'float32'
+    / 'float64' (tag 3 IEEE float), 'ulaw' (tag 7) / 'alaw' (tag 6)
+    G.711 companding, 'ima' (tag 0x11, IMA ADPCM, mono or stereo, 256-
+    byte blocks with a fact chunk), or 'msadpcm' (tag 2, MS ADPCM with
+    the standard 7-entry predictor table, mono or stereo).
+    ``extensible=True`` wraps the PCM/float fmt in a WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) header with the real tag in the SubFormat GUID."""
     a = np.asarray(samples, dtype=np.int16)
     if a.ndim == 1:
         a = a[:, None]
@@ -57,12 +75,45 @@ def encode_audio_wav(
             + (b"\x00" if len(data) & 1 else b"")
         )
 
-    if codec == "pcm":
-        data = a.reshape(-1).tobytes()
-        fmt = struct.pack(
-            "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    def fmt16(tag: int, bits: int) -> bytes:
+        bps = ch * (bits // 8)
+        base = struct.pack(
+            "<HHIIHH", tag, ch, sample_rate, sample_rate * bps, bps, bits
         )
-        return riff(fmt, data_chunk(data))
+        if not extensible:
+            return base
+        # 0xFFFE container: same 16-byte core (tag swapped), cbSize=22,
+        # validBits, channelMask (0 = unspecified), SubFormat GUID
+        core = struct.pack(
+            "<HHIIHH", 0xFFFE, ch, sample_rate, sample_rate * bps, bps, bits
+        )
+        return core + struct.pack("<HHI", 22, bits, 0) + struct.pack(
+            "<H", tag
+        ) + _EXT_GUID_TAIL
+
+    if codec == "pcm":
+        return riff(fmt16(1, 16), data_chunk(a.reshape(-1).tobytes()))
+    if codec == "pcm8":
+        data = ((a.reshape(-1).astype(np.int32) >> 8) + 128).astype(
+            np.uint8
+        ).tobytes()
+        return riff(fmt16(1, 8), data_chunk(data))
+    if codec == "pcm24":
+        # int16 into the top 16 of a 24-bit little-endian triple
+        x = (a.reshape(-1).astype(np.int32) << 8).astype("<i4")
+        data = x.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        return riff(fmt16(1, 24), data_chunk(data))
+    if codec == "pcm32":
+        data = (a.reshape(-1).astype(np.int64) << 16).astype("<i4").tobytes()
+        return riff(fmt16(1, 32), data_chunk(data))
+    if codec in ("float32", "float64"):
+        dt = "<f4" if codec == "float32" else "<f8"
+        data = (a.reshape(-1).astype(np.float64) / 32768.0).astype(dt).tobytes()
+        return riff(
+            fmt16(3, 32 if codec == "float32" else 64), data_chunk(data)
+        )
+    if codec == "msadpcm":
+        return _encode_msadpcm(a, sample_rate, riff, data_chunk)
     if codec in ("ulaw", "alaw"):
         enc = ulaw_encode if codec == "ulaw" else alaw_encode
         data = enc(a.reshape(-1)).tobytes()
@@ -72,25 +123,34 @@ def encode_audio_wav(
         )
         return riff(fmt, data_chunk(data))
     if codec == "ima":
-        if ch != 1:
-            raise ValueError("IMA ADPCM encoder is mono-only")
-        mono = a[:, 0]
-        block_align = 256  # 4-byte header + 252 nibble bytes
-        spb = 1 + (block_align - 4) * 2  # 505 samples per block
-        blocks = []
-        # seed the quantizer from the signal's typical slope instead of
-        # index 0 (step 7): from silence the index needs ~40 samples to
-        # adapt up to a loud tone — a slope-overload transient real
-        # encoders avoid exactly this way (the index is per-block header
-        # state, so any seed is decodable)
-        if len(mono) > 1:
-            typical = int(np.mean(np.abs(np.diff(mono[: spb].astype(np.int64)))))
-            idx = int(np.clip(np.searchsorted(_IMA_STEPS, max(typical, 7)), 0, 88))
+        if ch == 1:
+            mono = a[:, 0]
+            block_align = 256  # 4-byte header + 252 nibble bytes
+            spb = 1 + (block_align - 4) * 2  # 505 samples per block
+            blocks = []
+            # seed the quantizer from the signal's typical slope instead of
+            # index 0 (step 7): from silence the index needs ~40 samples to
+            # adapt up to a loud tone — a slope-overload transient real
+            # encoders avoid exactly this way (the index is per-block header
+            # state, so any seed is decodable)
+            idx = _ima_seed_index(mono[:spb])
+            for i in range(0, len(mono), spb):
+                block, idx = ima_adpcm_encode_block(
+                    mono[i : i + spb], index=idx
+                )
+                blocks.append(block)
+        elif ch == 2:
+            block_align = 512  # 2×4-byte headers + 63 4-byte words/channel
+            spb = 1 + (block_align - 4 * ch) * 2 // ch  # 505 per channel
+            blocks = []
+            idx = [_ima_seed_index(a[:spb, c]) for c in range(ch)]
+            for i in range(0, n, spb):
+                block, idx = ima_adpcm_encode_block_stereo(
+                    a[i : i + spb], indices=idx
+                )
+                blocks.append(block)
         else:
-            idx = 0
-        for i in range(0, len(mono), spb):
-            block, idx = ima_adpcm_encode_block(mono[i : i + spb], index=idx)
-            blocks.append(block)
+            raise ValueError("IMA ADPCM encoder supports 1 or 2 channels")
         # pad the final short block to nBlockAlign: strict decoders iterate
         # by block_align and check chunk-size divisibility; the fact chunk
         # already trims the zero-nibble tail samples on decode
@@ -98,26 +158,67 @@ def encode_audio_wav(
             blocks[-1] += b"\x00" * (block_align - len(blocks[-1]))
         data = b"".join(blocks)
         fmt = struct.pack(
-            "<HHIIHHHH", 0x11, 1, sample_rate,
-            (sample_rate * block_align) // spb, block_align, 4, 2, spb,
+            "<HHIIHHHH", 0x11, ch, sample_rate,
+            (sample_rate * ch * block_align) // (spb * ch), block_align,
+            4, 2, spb,
         )
         fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
         return riff(fmt, fact + data_chunk(data))
     raise ValueError(f"unknown WAV codec {codec!r}")
 
 
+def _ima_seed_index(seg: np.ndarray) -> int:
+    """Step-index seed from a segment's typical slope (see the encoder
+    comment above — avoids the slope-overload transient of index 0)."""
+    if len(seg) <= 1:
+        return 0
+    typical = int(np.mean(np.abs(np.diff(np.asarray(seg, dtype=np.int64)))))
+    return int(np.clip(np.searchsorted(_IMA_STEPS, max(typical, 7)), 0, 88))
+
+
+def _encode_msadpcm(a: np.ndarray, sample_rate: int, riff, data_chunk) -> bytes:
+    """MS ADPCM (tag 2) encode: standard 7-coefficient table, per-block
+    per-channel predictor chosen by trial encode (least squared error),
+    256-byte-aligned blocks, fact chunk with the true sample count."""
+    n, ch = a.shape
+    block_align = 256 * ch
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    blocks = [
+        msadpcm_encode_block(a[i : i + spb], block_align)
+        for i in range(0, n, spb)
+    ]
+    # pad the final short block to nBlockAlign (same strict-decoder
+    # contract as the IMA branch; fact trims the tail on decode)
+    if blocks and len(blocks[-1]) < block_align:
+        blocks[-1] += b"\x00" * (block_align - len(blocks[-1]))
+    data = b"".join(blocks)
+    extra = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in _MS_COEFS
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 2, ch, sample_rate,
+        (sample_rate * block_align) // spb, block_align, 4, len(extra),
+    ) + extra
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    return riff(fmt, fact + data_chunk(data))
+
+
 def decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
     """WAV -> (float32 samples in [-1, 1] shaped [n, ch], sample_rate).
 
-    Walks RIFF chunks (extra chunks like LIST are skipped). Formats: PCM
-    16-bit (tag 1), G.711 mu-law (7) / A-law (6), and mono IMA ADPCM
-    (0x11, block-decoded, trimmed to the fact-chunk sample count).
-    Perceptual codecs raise NotImplementedError pointedly."""
+    Walks RIFF chunks (extra chunks like LIST are skipped). Formats:
+    integer PCM at 8/16/24/32 bits (tag 1), IEEE float 32/64 (tag 3),
+    G.711 mu-law (7) / A-law (6), IMA ADPCM (0x11) mono/stereo,
+    MS ADPCM (2) mono/stereo, and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    resolving to any of these via the SubFormat GUID. Block codecs trim
+    to the fact-chunk sample count. Perceptual codecs raise
+    NotImplementedError pointedly."""
     data = bytes(content)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
+    extra = b""
     pcm = None
     fact_n = None
     while pos + 8 <= len(data):
@@ -129,14 +230,25 @@ def decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
             audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
-            if audio_fmt not in (1, 6, 7, 0x11):
+            extra = payload[18:] if len(payload) > 18 else b""
+            if audio_fmt == 0xFFFE:
+                # EXTENSIBLE: real tag is the GUID's first two bytes;
+                # anything else in the remaining 14 is not WAVE-mapped
+                # extra = validBits(2) + channelMask(4) + SubFormat GUID(16)
+                if len(extra) < 22 or extra[8:22] != _EXT_GUID_TAIL:
+                    raise ValueError("invalid WAVE_FORMAT_EXTENSIBLE GUID")
+                audio_fmt = int.from_bytes(extra[6:8], "little")
+                extra = b""
+            if audio_fmt not in (1, 2, 3, 6, 7, 0x11):
                 raise NotImplementedError(
-                    f"WAV audio format {audio_fmt} — PCM/G.711/IMA-ADPCM "
-                    "decode natively; plug soundfile/ffmpeg here for "
-                    "perceptual codecs"
+                    f"WAV audio format {audio_fmt} — PCM/float/G.711/"
+                    "IMA-ADPCM/MS-ADPCM decode natively; plug "
+                    "soundfile/ffmpeg here for perceptual codecs"
                 )
-            if audio_fmt == 1 and bits != 16:
-                raise NotImplementedError(f"{bits}-bit PCM WAV (16-bit only)")
+            if audio_fmt == 1 and bits not in (8, 16, 24, 32):
+                raise NotImplementedError(f"{bits}-bit integer PCM WAV")
+            if audio_fmt == 3 and bits not in (32, 64):
+                raise ValueError(f"invalid WAV: {bits}-bit IEEE float")
             if audio_fmt in (6, 7) and bits != 8:
                 # a mislabeled payload would byte-decode 16-bit samples as
                 # G.711 codewords into plausible garbage — raise instead
@@ -144,37 +256,82 @@ def decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
                     f"invalid WAV: G.711 format {audio_fmt} with "
                     f"{bits}-bit samples (must be 8)"
                 )
-            fmt = (audio_fmt, ch, rate, block_align)
+            fmt = (audio_fmt, ch, rate, block_align, bits)
         elif tag == b"data":
             pcm = payload
         elif tag == b"fact":
             fact_n = int.from_bytes(payload[:4], "little")
     if fmt is None or pcm is None:
         raise ValueError("invalid WAV: missing fmt/data chunk")
-    audio_fmt, ch, rate, block_align = fmt
+    audio_fmt, ch, rate, block_align, bits = fmt
     if audio_fmt == 1:
-        samples = np.frombuffer(pcm, dtype="<i2")
+        if bits == 16:
+            samples = np.frombuffer(pcm, dtype="<i2")
+        elif bits == 8:  # 8-bit PCM is unsigned, midpoint 128
+            samples = (
+                np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+            ) << 8
+        elif bits == 24:
+            b3 = np.frombuffer(
+                pcm[: len(pcm) - len(pcm) % 3], dtype=np.uint8
+            ).reshape(-1, 3)
+            x = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            samples = (np.where(x >= 1 << 23, x - (1 << 24), x)) >> 8
+        else:  # 32-bit
+            samples = np.frombuffer(pcm, dtype="<i4") >> 16
+    elif audio_fmt == 3:
+        f = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        samples = np.clip(
+            np.rint(f.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int64)
     elif audio_fmt in (6, 7):
         dec = ulaw_decode if audio_fmt == 7 else alaw_decode
         samples = dec(np.frombuffer(pcm, dtype=np.uint8))
-    else:  # IMA ADPCM, mono blocks
-        if ch != 1:
-            raise NotImplementedError("multi-channel IMA ADPCM")
-        if block_align < 5:
-            raise ValueError("invalid WAV: bad IMA block align")
+    elif audio_fmt == 2:  # MS ADPCM, interleaved blocks
+        if block_align < 7 * ch + 1 or ch not in (1, 2):
+            raise ValueError("invalid WAV: bad MS ADPCM block align")
         parts = [
-            ima_adpcm_decode_block(pcm[i : i + block_align])
+            msadpcm_decode_block(pcm[i : i + block_align], ch)
             for i in range(0, len(pcm), block_align)
-            if len(pcm[i : i + block_align]) >= 4
+            if len(pcm[i : i + block_align]) >= 7 * ch
+        ]
+        samples = (
+            np.concatenate(parts).reshape(-1)
+            if parts
+            else np.zeros(0, dtype=np.int16)
+        )
+        if fact_n is not None:
+            samples = samples[: fact_n * ch]
+    else:  # IMA ADPCM blocks
+        if ch not in (1, 2):
+            raise NotImplementedError(f"{ch}-channel IMA ADPCM")
+        if block_align < 4 * ch + 1:
+            raise ValueError("invalid WAV: bad IMA block align")
+        dec = (
+            ima_adpcm_decode_block
+            if ch == 1
+            else lambda blk: ima_adpcm_decode_block_stereo(blk).reshape(-1)
+        )
+        parts = [
+            dec(pcm[i : i + block_align])
+            for i in range(0, len(pcm), block_align)
+            if len(pcm[i : i + block_align]) >= 4 * ch
         ]
         samples = (
             np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
         )
         if fact_n is not None:
-            samples = samples[:fact_n]
+            samples = samples[: fact_n * ch]
     n = len(samples) // ch
     return (
-        samples[: n * ch].reshape(n, ch).astype(np.float32) / 32768.0,
+        np.asarray(samples[: n * ch], dtype=np.float64)
+        .reshape(n, ch)
+        .astype(np.float32)
+        / 32768.0,
         rate,
     )
 
@@ -538,3 +695,190 @@ def ima_adpcm_decode_block(block: bytes) -> np.ndarray:
             pred, index = _ima_step(pred, index, nib)
             out.append(pred)
     return np.asarray(out, dtype=np.int16)
+
+
+def ima_adpcm_encode_block_stereo(
+    samples: np.ndarray, indices: list[int] | None = None
+) -> tuple[bytes, list[int]]:
+    """One stereo IMA block from int16 samples shaped [n, 2]: per-channel
+    4-byte headers (left then right), then data as alternating 4-byte
+    words — 8 left nibbles, 8 right nibbles, ... (the standard WAV
+    DVI/IMA interleave). Returns (block_bytes, final_step_indices)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 2 or s.shape[1] != 2:
+        raise ValueError("stereo IMA encoder wants [n, 2] samples")
+    indices = list(indices) if indices is not None else [0, 0]
+    heads = []
+    chans = []
+    for c in (0, 1):
+        block, indices[c] = ima_adpcm_encode_block(s[:, c], index=indices[c])
+        heads.append(block[:4])
+        # pad the per-channel nibble payload to whole 4-byte words
+        body = block[4:]
+        if len(body) % 4:
+            body += b"\x00" * (4 - len(body) % 4)
+        chans.append(body)
+    width = max(len(chans[0]), len(chans[1]))
+    chans = [b.ljust(width, b"\x00") for b in chans]
+    out = bytearray(heads[0] + heads[1])
+    for i in range(0, width, 4):
+        out += chans[0][i : i + 4] + chans[1][i : i + 4]
+    return bytes(out), indices
+
+
+def ima_adpcm_decode_block_stereo(block: bytes) -> np.ndarray:
+    """One stereo IMA block -> int16 samples shaped [n, 2]."""
+    if len(block) < 8:
+        raise ValueError("stereo IMA block shorter than its headers")
+    preds = [0, 0]
+    idxs = [0, 0]
+    outs: list[list[int]] = [[], []]
+    for c in (0, 1):
+        p, ix, _ = struct.unpack_from("<hBB", block, 4 * c)
+        preds[c], idxs[c] = p, ix
+        outs[c].append(p)
+    body = block[8:]
+    for w in range(0, len(body) - len(body) % 8, 8):
+        for c in (0, 1):
+            for byte in body[w + 4 * c : w + 4 * c + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    outs[c].append(preds[c])
+    n = min(len(outs[0]), len(outs[1]))
+    return np.stack(
+        [
+            np.asarray(outs[0][:n], dtype=np.int16),
+            np.asarray(outs[1][:n], dtype=np.int16),
+        ],
+        axis=1,
+    )
+
+
+# --- MS ADPCM (tag 2) ---------------------------------------------------------
+# Public format: Microsoft Multimedia Standards Update / RIFF WAVE spec.
+# Block = per-channel (predictor-index byte, int16 idelta, int16 sample1,
+# int16 sample2) headers, then 4-bit codes, channels interleaved per
+# nibble (stereo: high nibble = left). sample2 PRECEDES sample1 in time.
+
+_MS_COEFS = [
+    (256, 0),
+    (512, -256),
+    (0, 0),
+    (192, 64),
+    (240, 0),
+    (460, -208),
+    (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_clamp16(x: int) -> int:
+    return -32768 if x < -32768 else (32767 if x > 32767 else x)
+
+
+def msadpcm_decode_block(block: bytes, ch: int) -> np.ndarray:
+    """One MS ADPCM block -> int16 samples shaped [n, ch]."""
+    if len(block) < 7 * ch:
+        raise ValueError("MS ADPCM block shorter than its headers")
+    preds = list(block[:ch])
+    if any(p >= len(_MS_COEFS) for p in preds):
+        raise ValueError("MS ADPCM predictor index out of range")
+    off = ch
+    idelta = list(struct.unpack_from(f"<{ch}h", block, off))
+    off += 2 * ch
+    s1 = list(struct.unpack_from(f"<{ch}h", block, off))
+    off += 2 * ch
+    s2 = list(struct.unpack_from(f"<{ch}h", block, off))
+    off += 2 * ch
+    c1 = [_MS_COEFS[p][0] for p in preds]
+    c2 = [_MS_COEFS[p][1] for p in preds]
+    outs: list[list[int]] = [[s2[c], s1[c]] for c in range(ch)]
+    which = 0
+    for byte in block[off:]:
+        for nib in (byte >> 4, byte & 0x0F):
+            c = which % ch
+            signed = nib - 16 if nib >= 8 else nib
+            pred = (outs[c][-1] * c1[c] + outs[c][-2] * c2[c]) >> 8
+            samp = _ms_clamp16(pred + signed * idelta[c])
+            outs[c].append(samp)
+            idelta[c] = max(16, (_MS_ADAPT[nib] * idelta[c]) >> 8)
+            which += 1
+    n = min(len(o) for o in outs)
+    return np.stack(
+        [np.asarray(o[:n], dtype=np.int16) for o in outs], axis=1
+    )
+
+
+def msadpcm_encode_block(samples: np.ndarray, block_align: int) -> bytes:
+    """One MS ADPCM block from int16 samples shaped [n, ch] (n may be
+    short for the final block). Per channel the predictor is chosen by
+    trial-encoding all 7 coefficient sets and keeping the least squared
+    reconstruction error — the strategy reference encoders use."""
+    a = np.asarray(samples, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    if n < 2:  # header alone carries the first two samples
+        a = np.vstack([a, np.zeros((2 - n, ch), dtype=np.int64)])
+        n = 2
+
+    def trial(col: np.ndarray, pidx: int):
+        co1, co2 = _MS_COEFS[pidx]
+        # seed idelta from the early prediction residual (spec suggests
+        # scanning the block; /4 approximates the mean |code| target)
+        prev1, prev2 = int(col[1]), int(col[0])
+        resid = [
+            abs(int(col[i]) - ((int(col[i - 1]) * co1 + int(col[i - 2]) * co2) >> 8))
+            for i in range(2, min(len(col), 18))
+        ]
+        delta = max(16, (sum(resid) // max(len(resid), 1)) // 4)
+        nibs = []
+        err = 0
+        d = delta
+        for i in range(2, len(col)):
+            pred = (prev1 * co1 + prev2 * co2) >> 8
+            diff = int(col[i]) - pred
+            code = diff // d if diff >= 0 else -((-diff) // d)
+            code = -8 if code < -8 else (7 if code > 7 else code)
+            samp = _ms_clamp16(pred + code * d)
+            # nudge the code if rounding the other way reconstructs closer
+            if code < 7:
+                alt = _ms_clamp16(pred + (code + 1) * d)
+                if abs(alt - int(col[i])) < abs(samp - int(col[i])):
+                    code += 1
+                    samp = alt
+            nibs.append(code & 0x0F)
+            err += (samp - int(col[i])) ** 2
+            prev2, prev1 = prev1, samp
+            d = max(16, (_MS_ADAPT[code & 0x0F] * d) >> 8)
+        return err, delta, nibs
+
+    heads_pred = []
+    heads_delta = []
+    nib_streams = []
+    for c in range(ch):
+        best = min(
+            (trial(a[:, c], p) + (p,) for p in range(len(_MS_COEFS))),
+            key=lambda t: t[0],
+        )
+        _, delta, nibs, pidx = best
+        heads_pred.append(pidx)
+        heads_delta.append(delta)
+        # pad the nibble stream so every channel covers spb-2 codes
+        nib_streams.append(nibs + [0] * ((spb - 2) - len(nibs)))
+    out = bytearray(bytes(heads_pred))
+    out += struct.pack(f"<{ch}h", *heads_delta)
+    out += struct.pack(f"<{ch}h", *[int(a[1, c]) for c in range(ch)])
+    out += struct.pack(f"<{ch}h", *[int(a[0, c]) for c in range(ch)])
+    flat = [
+        nib_streams[i % ch][i // ch] for i in range((spb - 2) * ch)
+    ]
+    if len(flat) % 2:
+        flat.append(0)
+    for hi, lo in zip(flat[0::2], flat[1::2]):
+        out.append((hi << 4) | lo)
+    return bytes(out)

@@ -47,12 +47,12 @@ def test_wav_unsupported_variants_raise_pointedly():
     mono = np.zeros(10, dtype=np.int16)
     enc = bytearray(encode_audio_wav(mono, 16000))
     bad = bytearray(enc)
-    struct.pack_into("<H", bad, 20, 3)  # float format tag
-    with pytest.raises(NotImplementedError, match="PCM"):
+    struct.pack_into("<H", bad, 20, 85)  # MPEG Layer-3 format tag
+    with pytest.raises(NotImplementedError, match="perceptual"):
         decode_audio_wav(bytes(bad))
     bad = bytearray(enc)
-    struct.pack_into("<H", bad, 34, 8)  # 8-bit depth
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    struct.pack_into("<H", bad, 34, 12)  # 12-bit depth (not a PCM width)
+    with pytest.raises(NotImplementedError, match="12-bit"):
         decode_audio_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         decode_audio_wav(b"not audio at all")
@@ -306,3 +306,210 @@ def test_ima_data_chunk_is_block_aligned():
     assert data_len % block_align == 0  # padded final block
     dec, rate = decode_audio_wav(wav)
     assert rate == 8000 and dec.shape[0] == n  # fact chunk trims the pad
+
+
+def _tone(n=2000, freq=440, rate=16_000, seed=7, noise=0.05):
+    rng = np.random.default_rng(seed)
+    sig = 0.4 * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+    sig = sig + noise * rng.standard_normal(n)
+    return np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+
+
+def _snr_db(ref_i16, out_f32):
+    ref = ref_i16.astype(np.float64) / 32768.0
+    err = ref - out_f32[: len(ref)].reshape(ref.shape)
+    return 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-300))
+
+
+def test_pcm_width_roundtrips_exact_24_32_lossy_8():
+    """24/32-bit integer PCM round-trip the int16 payload exactly (it
+    rides the high bits); 8-bit is lossy by construction (high byte,
+    unsigned-midpoint 128) with error bounded by one low byte."""
+    pcm = _tone()
+    stereo = np.stack([pcm, np.roll(pcm, 3)], axis=1)
+    for codec in ("pcm24", "pcm32"):
+        for src in (pcm, stereo):
+            out, rate = decode_audio_wav(encode_audio_wav(src, codec=codec))
+            ref = (src.astype(np.float64) / 32768.0).reshape(out.shape)
+            assert rate == 16_000 and np.array_equal(out, ref.astype(np.float32)), codec
+    out, _ = decode_audio_wav(encode_audio_wav(pcm, codec="pcm8"))
+    assert np.abs(out[:, 0] * 32768.0 - pcm).max() <= 256
+
+
+def test_float_pcm_roundtrip_within_half_lsb():
+    """IEEE float WAV (tag 3, 32- and 64-bit): decode re-quantizes to the
+    int16 grid, so error is at most half an LSB."""
+    import struct as _struct
+
+    pcm = _tone()
+    for codec, bits in (("float32", 32), ("float64", 64)):
+        wav = encode_audio_wav(pcm, codec=codec)
+        assert _struct.unpack("<H", wav[20:22])[0] == 3
+        assert _struct.unpack("<H", wav[34:36])[0] == bits
+        out, _ = decode_audio_wav(wav)
+        assert np.abs(out[:, 0] * 32768.0 - pcm).max() <= 0.5 + 1e-6
+
+
+def test_extensible_container_resolves_and_validates_guid():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): decodes identically to the plain
+    tag; a corrupted SubFormat GUID raises rather than guessing."""
+    import struct as _struct
+
+    pcm = _tone()
+    stereo = np.stack([pcm, -pcm], axis=1)
+    plain, _ = decode_audio_wav(encode_audio_wav(stereo, codec="pcm"))
+    wav = encode_audio_wav(stereo, codec="pcm", extensible=True)
+    assert _struct.unpack("<H", wav[20:22])[0] == 0xFFFE
+    ext, _ = decode_audio_wav(wav)
+    assert np.array_equal(plain, ext)
+    # float through the container too
+    f, _ = decode_audio_wav(
+        encode_audio_wav(pcm, codec="float32", extensible=True)
+    )
+    assert np.abs(f[:, 0] * 32768.0 - pcm).max() <= 0.5 + 1e-6
+    # fmt payload starts at 20; GUID = extra[6:22] = bytes 44..59, with
+    # the real tag in 44-45 and the fixed media-type tail in 46..59
+    bad = bytearray(wav)
+    bad[50] ^= 0xFF  # inside the GUID tail
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_audio_wav(bytes(bad))
+
+
+def test_msadpcm_container_roundtrip_mono_and_stereo():
+    """MS ADPCM (tag 2): ~4:1 compression, fact-trimmed length, SNR
+    floor, and a data chunk that divides evenly by nBlockAlign."""
+    import struct as _struct
+
+    pcm = _tone(n=3000)
+    stereo = np.stack([pcm, np.roll(pcm, 5)], axis=1)
+    for src in (pcm, stereo):
+        wav = encode_audio_wav(src, codec="msadpcm")
+        assert _struct.unpack("<H", wav[20:22])[0] == 2
+        assert len(wav) < len(encode_audio_wav(src, codec="pcm")) * 0.35
+        # walk chunks for block alignment of the data payload
+        pos, block_align, data_len = 12, None, None
+        while pos + 8 <= len(wav):
+            tag = wav[pos : pos + 4]
+            ln = int.from_bytes(wav[pos + 4 : pos + 8], "little")
+            if tag == b"fmt ":
+                block_align = _struct.unpack(
+                    "<H", wav[pos + 20 : pos + 22]
+                )[0]
+            if tag == b"data":
+                data_len = ln
+            pos += 8 + ln + (ln & 1)
+        assert data_len % block_align == 0
+        out, rate = decode_audio_wav(wav)
+        n = src.shape[0]
+        assert rate == 16_000 and out.shape[0] == n
+        assert _snr_db(src, out) > 20.0
+
+
+def test_msadpcm_decode_matches_independent_spec_twin():
+    """The vectorized block decoder equals a from-the-spec scalar twin
+    (predictor table, >>8 fixed-point prediction, signed nibbles, idelta
+    adaption floor 16) on real encoder output, mono and stereo."""
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        _MS_ADAPT,
+        _MS_COEFS,
+        msadpcm_decode_block,
+        msadpcm_encode_block,
+    )
+    import struct as _struct
+
+    def twin(block, ch):
+        preds = list(block[:ch])
+        off = ch
+        idelta = list(_struct.unpack_from(f"<{ch}h", block, off)); off += 2 * ch
+        s1 = list(_struct.unpack_from(f"<{ch}h", block, off)); off += 2 * ch
+        s2 = list(_struct.unpack_from(f"<{ch}h", block, off)); off += 2 * ch
+        hist = [[s2[c], s1[c]] for c in range(ch)]
+        k = 0
+        for byte in block[off:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = k % ch
+                sn = nib - 16 if nib >= 8 else nib
+                pred = (
+                    hist[c][-1] * _MS_COEFS[preds[c]][0]
+                    + hist[c][-2] * _MS_COEFS[preds[c]][1]
+                ) >> 8
+                s = max(-32768, min(32767, pred + sn * idelta[c]))
+                hist[c].append(s)
+                idelta[c] = max(16, (_MS_ADAPT[nib] * idelta[c]) >> 8)
+                k += 1
+        n = min(len(h) for h in hist)
+        return np.stack(
+            [np.asarray(h[:n], dtype=np.int16) for h in hist], axis=1
+        )
+
+    pcm = _tone(n=509, seed=11)
+    block = msadpcm_encode_block(pcm, 256)
+    assert np.array_equal(msadpcm_decode_block(block, 1), twin(block, 1))
+    stereo = np.stack([pcm, np.roll(pcm, 2)], axis=1)
+    block2 = msadpcm_encode_block(stereo, 512)
+    assert np.array_equal(msadpcm_decode_block(block2, 2), twin(block2, 2))
+
+
+def test_ima_stereo_block_is_word_interleaved_mono_pair():
+    """The stereo IMA block is exactly two mono nibble streams interleaved
+    as alternating 4-byte words after per-channel headers: de-interleaving
+    by hand and decoding each stream as a mono block reproduces the
+    stereo decode channel-for-channel."""
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        ima_adpcm_decode_block,
+        ima_adpcm_decode_block_stereo,
+        ima_adpcm_encode_block_stereo,
+    )
+
+    pcm = _tone(n=505, seed=3)
+    stereo = np.stack([pcm, np.roll(pcm, 9)], axis=1)
+    block, _ = ima_adpcm_encode_block_stereo(stereo)
+    both = ima_adpcm_decode_block_stereo(block)
+    body = block[8:]
+    for c in (0, 1):
+        words = [body[i + 4 * c : i + 4 * c + 4] for i in range(0, len(body), 8)]
+        mono_block = block[4 * c : 4 * c + 4] + b"".join(words)
+        mono = ima_adpcm_decode_block(mono_block)
+        assert np.array_equal(mono[: both.shape[0]], both[:, c])
+
+
+def test_ima_stereo_container_roundtrip():
+    pcm = _tone(n=1700, seed=19)
+    stereo = np.stack([pcm, np.roll(pcm, 11)], axis=1)
+    wav = encode_audio_wav(stereo, codec="ima")
+    out, rate = decode_audio_wav(wav)
+    assert rate == 16_000 and out.shape == (1700, 2)
+    assert _snr_db(stereo, out) > 20.0
+    assert len(wav) < len(encode_audio_wav(stereo, codec="pcm")) * 0.35
+
+
+def test_new_codecs_through_spark_feature_extraction(spark):
+    """extract_audio_features recovers the planted tone through every new
+    container variant (MS ADPCM, 24-bit PCM, float32, EXTENSIBLE) — the
+    decode really runs inside the Arrow batch, not the zero fallback."""
+    from nlp_series_relation_extraction_spark.functions.audio import (
+        extract_audio_features,
+    )
+
+    n, rate, freq = 4096, 16_000, 1250
+    pcm = (
+        0.5 * np.sin(2 * np.pi * freq * np.arange(n) / rate) * 32767
+    ).astype(np.int16)
+    payloads = [
+        encode_audio_wav(pcm, rate, codec="msadpcm"),
+        encode_audio_wav(pcm, rate, codec="pcm24"),
+        encode_audio_wav(pcm, rate, codec="float32"),
+        encode_audio_wav(pcm, rate, codec="pcm", extensible=True),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(p), ("audio/wav", rate, n, 1))
+            for i, p in enumerate(payloads)
+        ],
+        "media_id long, content binary, meta struct<format:string,"
+        "sample_rate:int, n_samples:int, n_channels:int>",
+    )
+    rows = extract_audio_features(df).collect()
+    assert len(rows) == 4
+    for row in rows:
+        assert abs(row.features[3] - freq) < rate / n + 1
