@@ -95,6 +95,14 @@ def edit_distance_join(
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
+    # Pin the dedup exchange's partition count: with a bare distinct(),
+    # AQE coalesces the ~tens-of-MB candidate shuffle to ONE task at
+    # small SF, and the O(L^2) levenshtein verify that follows runs in
+    # the same stage — single-core (the round-4 extraction lesson:
+    # CPU-bound stages must be sized by cores, not bytes; measured 5.4s
+    # -> ~0.2s on local[32] at sf0.1). repartition(N, keys) satisfies
+    # dropDuplicates' required distribution, so no extra exchange.
+    n_part = strings.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, "k")
         .where(F.col("a.s") < F.col("b.s"))
@@ -103,7 +111,8 @@ def edit_distance_join(
             F.abs(F.length("a.s") - F.length("b.s")) <= F.lit(max_dist)
         )
         .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
-        .distinct()
+        .repartition(n_part, "a", "b")
+        .dropDuplicates(["a", "b"])
         .withColumn("dist", F.levenshtein("a", "b").cast("long"))
         .where(F.col("dist") <= F.lit(max_dist))
     )
