@@ -356,10 +356,16 @@ def _init_entity_embeddings(edges: DataFrame, dim: int) -> DataFrame:
             V = _hash_init(ids, dim, _ENT_SALT)
             yield pd.DataFrame({"entity_id": ids, "vec": list(V)})
 
+    # pin the exchange's partition count: a bare repartition("entity_id")
+    # is AQE-coalescible by BYTES, and the checkpointed table's reported
+    # HashPartitioning then pulls every epoch's gradient join down to the
+    # same (possibly single) partition count (the round-4 extraction
+    # lesson applied to the model table)
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     return (
         ensure_parallelism(_entity_ids(edges))
         .mapInPandas(init_rows, "entity_id long, vec array<double>")
-        .repartition("entity_id")
+        .repartition(n_part, "entity_id")
         .localCheckpoint(eager=True)
     )
 
