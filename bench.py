@@ -113,6 +113,7 @@ RELATIONAL = [
     "mention_edit_join",
     "kg_fact_fusion",
     "kg_fact_fusion_trust",
+    "kg_predicate_canon",
     "conv_anaphora",
     "kg_rdf_nquads",
     "kg_local_clustering",

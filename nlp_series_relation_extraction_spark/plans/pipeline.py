@@ -196,6 +196,8 @@ def run_kg_pipeline(
     link_threshold: float = 0.5,
     gold: DataFrame | None = None,
     link_num_partitions: int | None = None,
+    canonicalize_preds: bool = False,
+    pred_threshold: float = 0.3,
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns dict of stage DataFrames; all stages
     checkpointed under ``workdir`` and resumable.
@@ -256,13 +258,6 @@ def run_kg_pipeline(
         inputs=["triples", "aliases"],
         params=link_fp,
     )
-    edges = store.run_stage(
-        "edges",
-        lambda: edge_table(canon),
-        inputs=["triples_canonical"],
-        params=link_fp,
-        partition_by=["predicate"],
-    )
 
     out = {
         "triples": triples,
@@ -270,8 +265,65 @@ def run_kg_pipeline(
         "entities": entities,
         "aliases": aliases,
         "triples_canonical": canon,
-        "edges": edges,
     }
+
+    # optional open-IE stage: the reference extracts against a CLOSED
+    # 55-predicate schema, so paraphrase surface forms cannot occur and
+    # the stage defaults off; an open-vocabulary upstream turns it on
+    # and edges are built over canonical predicate forms instead
+    edge_input = canon
+    edge_fp = link_fp
+    if canonicalize_preds:
+        from ..operators.predicates import (
+            canonicalize_predicates as _canon_preds,
+        )
+
+        pred_fp = {**link_fp, "pred_threshold": pred_threshold}
+        if not store.done("pred_mapping", pred_fp) or not store.done(
+            "triples_pred_canonical", pred_fp
+        ):
+            res = _canon_preds(
+                canon,
+                subj_col="subj_entity_id",
+                pred_col="predicate",
+                obj_col="obj_entity_id",
+                threshold=pred_threshold,
+            )
+            mapping = store.run_stage(
+                "pred_mapping",
+                lambda: res["mapping"],
+                inputs=["triples_canonical"],
+                params=pred_fp,
+            )
+            edge_input = store.run_stage(
+                "triples_pred_canonical",
+                lambda: res["triples"],
+                inputs=["triples_canonical", "pred_mapping"],
+                params=pred_fp,
+            )
+        else:
+            mapping = store.run_stage(
+                "pred_mapping", None, inputs=["triples_canonical"],
+                params=pred_fp,
+            )
+            edge_input = store.run_stage(
+                "triples_pred_canonical", None,
+                inputs=["triples_canonical", "pred_mapping"],
+                params=pred_fp,
+            )
+        out["pred_mapping"] = mapping
+        out["triples_pred_canonical"] = edge_input
+        edge_fp = pred_fp
+
+    edges = store.run_stage(
+        "edges",
+        lambda: edge_table(edge_input),
+        inputs=["triples_pred_canonical" if canonicalize_preds
+                else "triples_canonical"],
+        params=edge_fp,
+        partition_by=["predicate"],
+    )
+    out["edges"] = edges
     if gold is not None:
         out["eval"] = store.run_stage(
             "eval",

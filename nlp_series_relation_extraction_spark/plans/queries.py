@@ -4327,6 +4327,140 @@ def q_kg_fact_fusion_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject", "predicate")
 
 
+def _variant_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic open-IE-style claims table with planted predicate
+    SURFACE VARIANTS: ships_to/shipsTo/delivers_to all assert the
+    lineitem (supplier, part-group) pairs (variant keyed on
+    l_linenumber % 3; the part-group bucketing keeps each argument pair
+    asserted ~dozens of times so every variant covers nearly the full
+    pair set and the family MERGES — jaccard ~1), has_priority/
+    priority_of both assert (customer, order priority) (keyed on
+    o_orderkey % 2), and located_in (supplier->nation) vs based_in
+    (customer->nation) are the negative control: argument-pair sets
+    disjoint, so they must NOT merge."""
+    li = t(spark, sf_dir, "lineitem")
+    made = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+            "subject"
+        ),
+        F.element_at(
+            F.array(
+                F.lit("ships_to"), F.lit("shipsTo"), F.lit("delivers_to")
+            ),
+            ((F.col("l_linenumber") % 3) + 1).cast("int"),
+        ).alias("predicate"),
+        F.concat(F.lit("G"), (F.col("l_partkey") % 25).cast("string")).alias(
+            "object_val"
+        ),
+    )
+    o = t(spark, sf_dir, "orders")
+    prio = o.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+            "subject"
+        ),
+        F.element_at(
+            F.array(F.lit("has_priority"), F.lit("priority_of")),
+            ((F.col("o_orderkey") % 2) + 1).cast("int"),
+        ).alias("predicate"),
+        F.col("o_orderpriority").alias("object_val"),
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("located_in").alias("predicate"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias(
+            "object_val"
+        ),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("based_in").alias("predicate"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias(
+            "object_val"
+        ),
+    )
+    return made.unionByName(prio).unionByName(sup).unionByName(cust)
+
+
+def q_kg_predicate_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-predicate canonicalization (operators/predicates.py):
+    DIRT/CESI-style paraphrase clustering of predicate surface forms by
+    argument-pair-set Jaccard, with stop-pair removal as the skew
+    firewall and a driver-side union-find over the vocabulary-sized
+    edge list (the schema_closure argument). The DuckDB oracle replays
+    the full chain — distinct claims, promiscuity cap, evidence
+    self-join, integer-ppm Jaccard threshold, recursive-CTE
+    reachability with min-label canonicals. Returns (predicate,
+    canonical_predicate, n_args, cluster_size)."""
+    from ..operators.predicates import canonicalize_predicates
+
+    res = canonicalize_predicates(
+        _variant_claims(spark, sf_dir),
+        min_shared=2,
+        threshold=0.2,
+        max_pair_preds=8,
+    )
+    return res["mapping"].orderBy("predicate")
+
+
+_KG_PREDICATE_CANON_SQL = """
+WITH RECURSIVE claims AS (
+  SELECT concat('S', cast(l_suppkey AS VARCHAR)) AS subj,
+         CASE cast(l_linenumber % 3 AS INT)
+           WHEN 0 THEN 'ships_to' WHEN 1 THEN 'shipsTo'
+           ELSE 'delivers_to' END AS pred,
+         concat('G', cast(l_partkey % 25 AS VARCHAR)) AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT concat('C', cast(o_custkey AS VARCHAR)),
+         CASE cast(o_orderkey % 2 AS INT)
+           WHEN 0 THEN 'has_priority' ELSE 'priority_of' END,
+         o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT concat('S', cast(s_suppkey AS VARCHAR)), 'located_in',
+         concat('N', cast(s_nationkey AS VARCHAR))
+  FROM supplier
+  UNION ALL
+  SELECT concat('C', cast(c_custkey AS VARCHAR)), 'based_in',
+         concat('N', cast(c_nationkey AS VARCHAR))
+  FROM customer
+), d AS (SELECT DISTINCT pred, subj, obj FROM claims),
+raw_sizes AS (SELECT pred, count(*) AS n_args FROM d GROUP BY pred),
+keep AS (SELECT subj, obj FROM d GROUP BY subj, obj HAVING count(*) <= 8),
+dd AS (SELECT d.* FROM d JOIN keep USING (subj, obj)),
+sizes AS (SELECT pred, count(*) AS n FROM dd GROUP BY pred),
+sh AS (
+  SELECT a.pred AS pa, b.pred AS pb, count(*) AS shared
+  FROM dd a JOIN dd b
+    ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa, pb FROM sh
+  JOIN sizes sa ON sh.pa = sa.pred
+  JOIN sizes sb ON sh.pb = sb.pred
+  WHERE shared >= 2
+    AND 1000000 * shared // (sa.n + sb.n - shared) >= 200000
+), eu AS (SELECT pa AS x, pb AS y FROM e UNION ALL SELECT pb, pa FROM e),
+reach AS (
+  SELECT pred AS root, pred AS node FROM raw_sizes
+  UNION
+  SELECT r.root, eu.y FROM reach r JOIN eu ON r.node = eu.x
+), comp AS (SELECT node AS pred, min(root) AS canon FROM reach GROUP BY node),
+cs AS (SELECT canon, count(*) AS cluster_size FROM comp GROUP BY canon)
+SELECT comp.pred AS predicate, comp.canon AS canonical_predicate,
+       cast(raw_sizes.n_args AS BIGINT) AS n_args,
+       cast(cs.cluster_size AS INT) AS cluster_size
+FROM comp
+JOIN raw_sizes ON comp.pred = raw_sizes.pred
+JOIN cs ON comp.canon = cs.canon
+ORDER BY predicate
+"""
+
+
 def q_conv_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-heuristic anaphora resolution
     (operators/conversation.py resolve_anaphora): each pronoun mention
@@ -8830,6 +8964,7 @@ def queries() -> dict:
             "mention_edit_join": q_mention_edit_join,
             "kg_fact_fusion": q_kg_fact_fusion,
             "kg_fact_fusion_trust": q_kg_fact_fusion_trust,
+            "kg_predicate_canon": q_kg_predicate_canon,
             "conv_anaphora": q_conv_anaphora,
             "kg_sparql_union": q_kg_sparql_union,
             "kg_rdf_nquads": q_kg_rdf_nquads,
@@ -9062,6 +9197,7 @@ def oracle_sql() -> dict:
         "kg_linking_entities": _LINKING_SQL,
         "mention_edit_join": _MENTION_EDIT_JOIN_SQL,
         "kg_fact_fusion": _KG_FACT_FUSION_SQL,
+        "kg_predicate_canon": _KG_PREDICATE_CANON_SQL,
         "conv_anaphora": _CONV_ANAPHORA_SQL,
         "kg_sparql_union": _KG_SPARQL_UNION_SQL,
         "kg_rdf_nquads": _RDF_NQUADS_SQL,

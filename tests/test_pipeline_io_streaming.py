@@ -1549,3 +1549,67 @@ def test_streaming_role_transitions_equals_batch_and_resumes(spark, tmp_path):
     # mass is exactly 3 new turns per conv INCLUDING the turn-4 -> 5
     # pair carried through state
     assert sum(got2.values()) - sum(got1.values()) == 6 * 3
+
+
+def test_pipeline_optional_predicate_canonicalization(spark, tmp_path):
+    """canonicalize_preds=True adds the pred_mapping /
+    triples_pred_canonical stages between entity canonicalization and
+    the edge table. The reference's closed 55-predicate schema has no
+    paraphrase surface forms, so the mapping is the identity here
+    (cluster_size 1 everywhere), the edge table matches the default
+    path's, and the stage resumes idempotently; planted paraphrase
+    MERGING is pinned at operator level in tests/test_predicates.py."""
+    t = synth_transcripts(spark, 120, seed=42, partitions=4)
+    base = run_kg_pipeline(
+        spark, t, str(tmp_path / "kg_base"), head="mpn", planted=True
+    )
+    wd = str(tmp_path / "kg_pred")
+    out = run_kg_pipeline(
+        spark, t, wd, head="mpn", planted=True, canonicalize_preds=True
+    )
+    mapping = out["pred_mapping"].collect()
+    assert mapping and all(
+        r.predicate == r.canonical_predicate and r.cluster_size == 1
+        for r in mapping
+    )
+    preds_in_triples = {
+        r.predicate
+        for r in out["triples_canonical"].select("predicate")
+        .distinct().collect()
+    }
+    assert {r.predicate for r in mapping} == preds_in_triples
+
+    def edge_set(dfs):
+        return sorted(
+            (r.subj_entity_id, r.predicate, r.obj_entity_id, r.n_evidence)
+            for r in dfs["edges"].collect()
+        )
+
+    assert edge_set(out) == edge_set(base)  # identity rewrite
+    # resume: all stages (including the two new ones) come back from disk
+    out2 = run_kg_pipeline(
+        spark, t, wd, head="mpn", planted=True, canonicalize_preds=True
+    )
+    assert edge_set(out2) == edge_set(out)
+    metrics = [
+        json.loads(line) for line in open(os.path.join(wd, "metrics.jsonl"))
+    ]
+    by_stage = {}
+    for m in metrics:
+        by_stage.setdefault(m["stage"], []).append(m["status"])
+    assert by_stage["pred_mapping"][-1] == "resumed"
+    assert by_stage["triples_pred_canonical"][-1] == "resumed"
+    # a pred_threshold change invalidates the new stages (fingerprint
+    # rule: any upstream param change recomputes downstream)
+    out3 = run_kg_pipeline(
+        spark, t, wd, head="mpn", planted=True, canonicalize_preds=True,
+        pred_threshold=0.7,
+    )
+    metrics3 = [
+        json.loads(line) for line in open(os.path.join(wd, "metrics.jsonl"))
+    ]
+    assert metrics3[-6:] and any(
+        m["stage"] == "pred_mapping" and m["status"] == "computed"
+        for m in metrics3[len(metrics):]
+    )
+    assert edge_set(out3) == edge_set(out)
