@@ -114,6 +114,7 @@ RELATIONAL = [
     "kg_fact_fusion",
     "kg_fact_fusion_trust",
     "kg_predicate_canon",
+    "kg_clustering_eval",
     "conv_anaphora",
     "kg_rdf_nquads",
     "kg_local_clustering",

@@ -1,0 +1,169 @@
+"""Entity-resolution clustering quality: pairwise P/R/F1 and B-cubed.
+
+The reference scores TRIPLES (run_evaluation.py's exact-match P/R/F1 —
+our evaluation/metrics.py twin); it has no entity-canonicalization
+stage, so it never scores CLUSTERINGS. Our pipeline does (linking.py,
+predicates.py), and the standard ER report is pairwise precision/
+recall/F1 (Menestrina 2010's pairwise merge-distance family) plus
+B-cubed (Bagga & Baldwin 1998) — B³ weights items, not pairs, so one
+giant wrong merge can't dominate the score the way it dominates
+pairwise.
+
+Everything reduces to the pred x gold CONTINGENCY TABLE — never to
+pair enumeration:
+
+* cell (i, j): n_ij = items in pred cluster i and gold cluster j;
+  pairwise tp = sum C(n_ij, 2); predicted pairs = sum_i C(n_i., 2);
+  gold pairs = sum_j C(n_.j, 2).
+* B³: sum of per-item precision = sum_ij n_ij^2 / n_i.; recall
+  likewise over n_.j.
+
+Three hash aggregates over the assignment table — O(cells) rows
+shuffled, zero quadratic anywhere: a trillion-item clustering costs
+the same three shuffles. All statistics are integer ppm (per-cell
+integer division, truncating — bias < 1 ppm per cell), so the numbers
+are bit-stable cross-engine and the DuckDB oracle replays them with
+the same integer ops. When a side has no pairs at all (all-singleton
+clustering) the corresponding pairwise ratio is defined as 1.0 — the
+convention that an empty claim set makes no errors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_PPM = 1_000_000
+
+
+def clustering_eval(
+    assign: DataFrame,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """(item, pred_cluster, gold_cluster) -> ONE row of clustering
+    quality: (n_items, tp_pairs, pred_pairs, gold_pairs,
+    pair_precision_ppm, pair_recall_ppm, pair_f1_ppm, b3_precision_ppm,
+    b3_recall_ppm, b3_f1_ppm). Items are deduplicated on ``item_col``
+    first (an item has exactly one assignment per side)."""
+    a = (
+        assign.select(
+            F.col(item_col).alias("it"),
+            F.col(pred_col).cast("string").alias("pc"),
+            F.col(gold_col).cast("string").alias("gc"),
+        )
+        # deterministic dedup (min per side): an arbitrary-row pick would
+        # be engine-dependent on malformed multi-assignment input
+        .groupBy("it")
+        .agg(F.min("pc").alias("pc"), F.min("gc").alias("gc"))
+    )
+    cells = a.groupBy("pc", "gc").agg(F.count("*").alias("n_ij"))
+    pred_sz = a.groupBy("pc").agg(F.count("*").alias("n_i"))
+    gold_sz = a.groupBy("gc").agg(F.count("*").alias("n_j"))
+    # contingency cells join their row/column totals; both totals tables
+    # are cluster-count-sized (<= cells), broadcastable in practice but
+    # left to Catalyst/AQE — at extreme cluster counts sort-merge with
+    # skew splitting is the right physical plan, not a forced broadcast
+    joined = cells.join(pred_sz, "pc").join(gold_sz, "gc")
+    agg = joined.agg(
+        F.sum(F.expr("n_ij * (n_ij - 1) div 2")).cast("long").alias("tp"),
+        F.sum(
+            F.expr(f"{_PPM} * n_ij * n_ij div n_i")
+        ).cast("long").alias("sum_b3p_ppm"),
+        F.sum(
+            F.expr(f"{_PPM} * n_ij * n_ij div n_j")
+        ).cast("long").alias("sum_b3r_ppm"),
+    )
+    pred_pairs = pred_sz.agg(
+        F.sum(F.expr("n_i * (n_i - 1) div 2")).cast("long").alias("pp")
+    )
+    gold_pairs = gold_sz.agg(
+        F.sum(F.expr("n_j * (n_j - 1) div 2")).cast("long").alias("gp")
+    )
+    n_items = a.agg(F.count("*").cast("long").alias("n"))
+    # four one-row aggregates cross-joined: each side is a single row, so
+    # the "cross join" is a driver-free scalar combine, not a data join
+    row = (
+        agg.crossJoin(pred_pairs).crossJoin(gold_pairs).crossJoin(n_items)
+    )
+    # every ratio is integer `div` in BOTH engines: a float division
+    # would truncate in Spark's cast-to-long but ROUND in DuckDB's, and
+    # a boundary value would hash-mismatch
+    scored = row.select(
+        "n", "tp", "pp", "gp", "sum_b3p_ppm", "sum_b3r_ppm",
+        F.expr(
+            f"CASE WHEN pp = 0 THEN {_PPM} ELSE {_PPM} * tp div pp END"
+        ).cast("long").alias("prec"),
+        F.expr(
+            f"CASE WHEN gp = 0 THEN {_PPM} ELSE {_PPM} * tp div gp END"
+        ).cast("long").alias("rec"),
+        F.expr("sum_b3p_ppm div n").cast("long").alias("b3p"),
+        F.expr("sum_b3r_ppm div n").cast("long").alias("b3r"),
+    )
+    return scored.select(
+        F.col("n").alias("n_items"),
+        F.col("tp").alias("tp_pairs"),
+        F.col("pp").alias("pred_pairs"),
+        F.col("gp").alias("gold_pairs"),
+        F.col("prec").alias("pair_precision_ppm"),
+        F.col("rec").alias("pair_recall_ppm"),
+        F.expr(
+            "CASE WHEN prec + rec = 0 THEN 0"
+            " ELSE 2 * prec * rec div (prec + rec) END"
+        ).cast("long").alias("pair_f1_ppm"),
+        F.col("b3p").alias("b3_precision_ppm"),
+        F.col("b3r").alias("b3_recall_ppm"),
+        F.expr(
+            "CASE WHEN b3p + b3r = 0 THEN 0"
+            " ELSE 2 * b3p * b3r div (b3p + b3r) END"
+        ).cast("long").alias("b3_f1_ppm"),
+    )
+
+
+def clustering_eval_sql(
+    assign_sql: str,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> str:
+    """DuckDB twin of :func:`clustering_eval` over an assignment
+    subquery — identical integer-ppm arithmetic, cell for cell."""
+    return f"""
+WITH a AS (
+  SELECT {item_col} AS it,
+         cast({pred_col} AS VARCHAR) AS pc,
+         cast({gold_col} AS VARCHAR) AS gc
+  FROM ({assign_sql})
+), d AS (SELECT it, min(pc) AS pc, min(gc) AS gc FROM a GROUP BY it),
+cells AS (SELECT pc, gc, count(*) AS n_ij FROM d GROUP BY pc, gc),
+ps AS (SELECT pc, count(*) AS n_i FROM d GROUP BY pc),
+gs AS (SELECT gc, count(*) AS n_j FROM d GROUP BY gc),
+j AS (SELECT c.n_ij, ps.n_i, gs.n_j
+      FROM cells c JOIN ps USING (pc) JOIN gs USING (gc)),
+t AS (
+  SELECT cast(sum(n_ij * (n_ij - 1) // 2) AS BIGINT) AS tp,
+         cast(sum(1000000 * n_ij * n_ij // n_i) AS BIGINT) AS sum_b3p_ppm,
+         cast(sum(1000000 * n_ij * n_ij // n_j) AS BIGINT) AS sum_b3r_ppm
+  FROM j
+), pp_t AS (SELECT cast(sum(n_i * (n_i - 1) // 2) AS BIGINT) AS pp FROM ps),
+gp_t AS (SELECT cast(sum(n_j * (n_j - 1) // 2) AS BIGINT) AS gp FROM gs),
+n_t AS (SELECT cast(count(*) AS BIGINT) AS n FROM d),
+row_t AS (SELECT * FROM t, pp_t, gp_t, n_t),
+scored AS (
+  SELECT n, tp, pp, gp,
+    CASE WHEN pp = 0 THEN 1000000 ELSE 1000000 * tp // pp END AS prec,
+    CASE WHEN gp = 0 THEN 1000000 ELSE 1000000 * tp // gp END AS rec,
+    sum_b3p_ppm // n AS b3p, sum_b3r_ppm // n AS b3r
+  FROM row_t
+)
+SELECT n AS n_items, tp AS tp_pairs, pp AS pred_pairs, gp AS gold_pairs,
+  cast(prec AS BIGINT) AS pair_precision_ppm,
+  cast(rec AS BIGINT) AS pair_recall_ppm,
+  cast(CASE WHEN prec + rec = 0 THEN 0
+       ELSE 2 * prec * rec // (prec + rec) END AS BIGINT) AS pair_f1_ppm,
+  cast(b3p AS BIGINT) AS b3_precision_ppm,
+  cast(b3r AS BIGINT) AS b3_recall_ppm,
+  cast(CASE WHEN b3p + b3r = 0 THEN 0
+       ELSE 2 * b3p * b3r // (b3p + b3r) END AS BIGINT) AS b3_f1_ppm
+FROM scored
+"""

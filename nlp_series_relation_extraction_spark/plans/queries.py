@@ -4461,6 +4461,43 @@ ORDER BY predicate
 """
 
 
+def q_kg_clustering_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clustering quality (evaluation/clustering.py):
+    pairwise P/R/F1 + B-cubed from the pred x gold contingency table —
+    three hash aggregates, no pair enumeration, integer-ppm arithmetic
+    replayed bit-exactly by the DuckDB twin. Assignment: orders cluster
+    by customer (gold); the prediction wrongly merges every 97th order
+    into one 'err' cluster — a planted over-merge that B-cubed penalizes
+    more gently than pairwise (one bad cluster, many items)."""
+    from ..evaluation.clustering import clustering_eval
+
+    o = t(spark, sf_dir, "orders")
+    assign = o.select(
+        F.col("o_orderkey").alias("item_id"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("err"))
+        .otherwise(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        )
+        .alias("pred_cluster"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "gold_cluster"
+        ),
+    )
+    return clustering_eval(assign)
+
+
+def _kg_clustering_eval_sql() -> str:
+    from ..evaluation.clustering import clustering_eval_sql
+
+    return clustering_eval_sql(
+        "SELECT o_orderkey AS item_id, "
+        "CASE WHEN o_orderkey % 97 = 0 THEN 'err' "
+        "ELSE concat('c', cast(o_custkey AS VARCHAR)) END AS pred_cluster, "
+        "concat('c', cast(o_custkey AS VARCHAR)) AS gold_cluster "
+        "FROM orders"
+    )
+
+
 def q_conv_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-heuristic anaphora resolution
     (operators/conversation.py resolve_anaphora): each pronoun mention
@@ -8965,6 +9002,7 @@ def queries() -> dict:
             "kg_fact_fusion": q_kg_fact_fusion,
             "kg_fact_fusion_trust": q_kg_fact_fusion_trust,
             "kg_predicate_canon": q_kg_predicate_canon,
+            "kg_clustering_eval": q_kg_clustering_eval,
             "conv_anaphora": q_conv_anaphora,
             "kg_sparql_union": q_kg_sparql_union,
             "kg_rdf_nquads": q_kg_rdf_nquads,
@@ -9198,6 +9236,7 @@ def oracle_sql() -> dict:
         "mention_edit_join": _MENTION_EDIT_JOIN_SQL,
         "kg_fact_fusion": _KG_FACT_FUSION_SQL,
         "kg_predicate_canon": _KG_PREDICATE_CANON_SQL,
+        "kg_clustering_eval": _kg_clustering_eval_sql(),
         "conv_anaphora": _CONV_ANAPHORA_SQL,
         "kg_sparql_union": _KG_SPARQL_UNION_SQL,
         "kg_rdf_nquads": _RDF_NQUADS_SQL,
