@@ -227,6 +227,8 @@ def decode_audio_wav(content: bytes) -> tuple[np.ndarray, int]:
         payload = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(payload) < 16:  # truncated header: fail closed
+                raise ValueError("invalid WAV: truncated fmt chunk")
             audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
@@ -472,14 +474,26 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Container-sniffing decode: RIFF/WAVE -> decode_audio_wav, fLaC ->
     functions/flac.py (lossless, int samples scaled to the same float32
-    [-1, 1] convention). The one audio entry point pipeline stages need."""
-    data = bytes(content)
-    if data[:4] == b"fLaC":
-        from .flac import decode_audio_flac
+    [-1, 1] convention). The one audio entry point pipeline stages need.
 
-        samples, rate = decode_audio_flac(data)
-        return (samples.astype(np.float32) / 32768.0), rate
-    return decode_audio_wav(data)
+    Same boundary contract as multimodal.decode_image: decode or raise
+    ValueError/NotImplementedError, never a decoder-internal exception —
+    extract_audio_features' fallback catches exactly those two (pinned
+    by tests/test_codec_fuzz.py)."""
+    data = bytes(content)
+    try:
+        if data[:4] == b"fLaC":
+            from .flac import decode_audio_flac
+
+            samples, rate = decode_audio_flac(data)
+            return (samples.astype(np.float32) / 32768.0), rate
+        return decode_audio_wav(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"malformed audio payload: {type(e).__name__}: {e}"
+        ) from e
 
 
 def synthesize_audio_features(

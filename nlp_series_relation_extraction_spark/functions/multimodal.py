@@ -128,6 +128,26 @@ def _decode_bmp24(content: bytes) -> np.ndarray:
 
 
 def decode_image(content: bytes, fmt: str) -> np.ndarray:
+    """Boundary contract for the pipeline: decode or raise ValueError /
+    NotImplementedError, NEVER a decoder-internal exception class. A
+    malformed stream can crash any depth of a pure-numpy codec
+    (IndexError in a Huffman walk, zlib.error in a PNG inflate,
+    struct.error in a truncated header); extract_features' documented
+    fallback catches exactly (ValueError, NotImplementedError), so this
+    single choke point re-raises everything else as ValueError — the
+    per-codec test suites call the format decoders DIRECTLY and stay
+    strict. Pinned by tests/test_codec_fuzz.py."""
+    try:
+        return _decode_image_dispatch(content, fmt)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"malformed {fmt!r} payload: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_image_dispatch(content: bytes, fmt: str) -> np.ndarray:
     """Decode an encoded image payload to an HxWx3 uint8 array.
 
     REAL, pure numpy, no external codec: uncompressed PPM (P6) and 24-bit

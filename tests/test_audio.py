@@ -513,3 +513,41 @@ def test_new_codecs_through_spark_feature_extraction(spark):
     assert len(rows) == 4
     for row in rows:
         assert abs(row.features[3] - freq) < rate / n + 1
+
+
+def test_decoder_fails_closed_on_arbitrary_bytes():
+    """Fuzz the RIFF walker + every codec branch: arbitrary byte strings
+    (including truncated real WAVs and bit-flipped headers) either decode
+    or raise ValueError/NotImplementedError — never IndexError/
+    struct.error/ZeroDivisionError, which would crash the Arrow batch
+    instead of hitting extract_audio_features' documented fallback."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    real = encode_audio_wav(_tone(n=300), codec="msadpcm")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_raw(payload):
+        try:
+            decode_audio_wav(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(0, len(real) - 1),
+        st.integers(0, 255),
+        st.integers(8, len(real)),
+    )
+    def fuzz_mutated(pos, byte, cut):
+        mutated = bytearray(real[:cut])
+        if pos < len(mutated):
+            mutated[pos] = byte
+        try:
+            decode_audio_wav(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass
+
+    fuzz_raw()
+    fuzz_mutated()
