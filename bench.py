@@ -86,6 +86,7 @@ RELATIONAL = [
     "hdr_percentiles",
     "hdr_percentiles_by_type",
     "bm25_topk",
+    "retrieval_ranking_eval",
     "kg_fact_intervals",
     "conversation_context",
     "kg_facts_as_of",

@@ -311,3 +311,193 @@ ranked AS (
 )
 SELECT doc_id, rank, term, tfidf_ppm FROM ranked WHERE rank <= {top_n}
 """
+
+
+# --- ranking-quality evaluation (nDCG@k / MRR / P@k / R@k) ----------------
+
+
+def _discounts_ppm(k: int) -> list[int]:
+    """round(1e6 / log2(rank+1)) for ranks 1..k — the ONE transcendental
+    in nDCG, computed once driver-side and embedded as an integer literal
+    table in BOTH engines, so every downstream value is exact integer
+    math (the repo's oracle discipline, cf. bm25_topk's idf_ppm)."""
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ranking_eval(
+    results: DataFrame, qrels: DataFrame, k: int = 5
+) -> DataFrame:
+    """Per-query retrieval-quality report: trec_eval's core metrics over
+    a ranked run and graded relevance judgments.
+
+    ``results``: (query_id, rank, unit) — one retrieval run, rank 1..n,
+    ``unit`` the retrieval-unit key (a doc id, or doc:chunk composite).
+    ``qrels``: (query_id, unit, grade) — graded judgments, grade >= 0,
+    (query_id, unit) unique (caller contract; grade 0 = judged
+    non-relevant). Returns one row per query THAT HAS >=1 relevant
+    judgment (trec_eval's convention — unjudged queries are excluded,
+    not scored 0):
+
+      (query_id, n_rel, rel_ret, ndcg_ppm, rr_ppm, p_at_k_ppm,
+       recall_ppm)
+
+    * ndcg_ppm: burst-gain DCG@k (gain = 2^grade - 1, discount =
+      1/log2(rank+1) as the precomputed integer-ppm table) over ideal
+      DCG@k (judgments sorted grade desc, ties by unit asc), scaled to
+      ppm with truncating integer division — bit-exact cross-engine.
+    * rr_ppm: 1e6 div (first rank with grade > 0); 0 if none retrieved.
+    * p_at_k_ppm / recall_ppm: relevant-retrieved@k over k / over n_rel.
+
+    Scale shape (100 TB corpus, millions of queries): the run is already
+    top-k-per-query (k rows/query); qrels are sparse. One equi-join on
+    (query_id, unit) aligns run rows with judgments; per-query aggregates
+    hash-shuffle on query_id; the ideal-DCG window partitions by
+    query_id over the judgment rows only (parallelism = queries, rows
+    per query = that query's judgment count, never corpus-sized). The
+    discount table is a k-entry array literal — no join, whole-stage
+    codegen."""
+    disc = _discounts_ppm(k)
+    disc_arr = F.array(*[F.lit(v).cast("long") for v in disc])
+    run = results.where(F.col("rank") <= k).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "unit",
+    )
+    judged = qrels.select(
+        "query_id", "unit", F.col("grade").cast("int").alias("grade")
+    )
+    # run rows with their judgment grade (unjudged retrieved -> grade 0)
+    hits = run.join(judged, ["query_id", "unit"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce(F.col("grade"), F.lit(0)).alias("grade"),
+    )
+    gained = hits.select(
+        "query_id",
+        "rank",
+        "grade",
+        (
+            (F.expr("shiftleft(1L, grade)") - F.lit(1).cast("long"))
+            * F.element_at(disc_arr, F.col("rank"))
+        ).alias("g_ppm"),
+    )
+    per_q = gained.groupBy("query_id").agg(
+        F.sum("g_ppm").cast("long").alias("dcg_ppm"),
+        F.sum(F.when(F.col("grade") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("rel_ret"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+    )
+    # ideal DCG: this query's judgments sorted by grade desc (ties unit
+    # asc for determinism), top k through the same discount table
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("grade"), F.col("unit")
+    )
+    ideal = (
+        judged.where(F.col("grade") > 0)
+        .withColumn("irank", F.row_number().over(iw))
+        .where(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.expr("shiftleft(1L, grade)") - F.lit(1).cast("long"))
+                * F.element_at(disc_arr, F.col("irank"))
+            )
+            .cast("long")
+            .alias("idcg_ppm")
+        )
+    )
+    totals = judged.where(F.col("grade") > 0).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    # inner joins: only queries with >=1 relevant judgment are scored;
+    # per_q is left-joined so a query whose run retrieved NOTHING judged
+    # still reports (rel_ret 0, ndcg 0, rr 0)
+    out = (
+        totals.join(ideal, "query_id")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("rel_ret"), F.lit(0).cast("long")).alias(
+                "rel_ret"
+            ),
+            F.expr(
+                "(coalesce(dcg_ppm, 0L) * 1000000L) div idcg_ppm"
+            ).alias("ndcg_ppm"),
+            F.coalesce(
+                F.expr("1000000L div first_rel_rank").cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("rr_ppm"),
+            F.expr(
+                f"(coalesce(rel_ret, 0L) * 1000000L) div {k}L"
+            ).alias("p_at_k_ppm"),
+            F.expr(
+                "(coalesce(rel_ret, 0L) * 1000000L) div n_rel"
+            ).alias("recall_ppm"),
+        )
+    )
+    return out
+
+
+def ranking_eval_sql(results_cte: str, qrels_cte: str, k: int = 5) -> str:
+    """DuckDB twin of ranking_eval — same integer discount table, same
+    truncating ppm divisions, bit-identical rows."""
+    disc = _discounts_ppm(k)
+    disc_lit = "[" + ", ".join(f"{v}::BIGINT" for v in disc) + "]"
+    return f"""
+WITH run0 AS ({results_cte}),
+jud AS (SELECT query_id, unit, cast(grade AS INT) AS grade
+        FROM ({qrels_cte})),
+run AS (SELECT query_id, cast(rank AS INT) AS rank, unit
+        FROM run0 WHERE rank <= {k}),
+hits AS (
+  SELECT r.query_id, r.rank, coalesce(j.grade, 0) AS grade
+  FROM run r LEFT JOIN jud j
+    ON r.query_id = j.query_id AND r.unit = j.unit
+),
+per_q AS (
+  SELECT query_id,
+         cast(sum(((1::BIGINT << grade) - 1)
+                  * ({disc_lit})[rank]) AS BIGINT) AS dcg_ppm,
+         cast(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rel_ret,
+         min(CASE WHEN grade > 0 THEN rank END) AS first_rel_rank
+  FROM hits GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         cast(sum(((1::BIGINT << grade) - 1)
+                  * ({disc_lit})[irank]) AS BIGINT) AS idcg_ppm
+  FROM (
+    SELECT query_id, grade, unit,
+           cast(row_number() OVER (
+             PARTITION BY query_id ORDER BY grade DESC, unit
+           ) AS INT) AS irank
+    FROM jud WHERE grade > 0
+  ) WHERE irank <= {k} GROUP BY query_id
+),
+totals AS (
+  SELECT query_id, cast(count(*) AS BIGINT) AS n_rel
+  FROM jud WHERE grade > 0 GROUP BY query_id
+)
+SELECT * FROM (
+SELECT t.query_id AS query_id, t.n_rel AS n_rel,
+       coalesce(p.rel_ret, 0::BIGINT) AS rel_ret,
+       cast((coalesce(p.dcg_ppm, 0::BIGINT) * 1000000)
+            // i.idcg_ppm AS BIGINT) AS ndcg_ppm,
+       coalesce(cast(1000000 // p.first_rel_rank AS BIGINT), 0::BIGINT)
+         AS rr_ppm,
+       cast((coalesce(p.rel_ret, 0::BIGINT) * 1000000) // {k} AS BIGINT)
+         AS p_at_k_ppm,
+       cast((coalesce(p.rel_ret, 0::BIGINT) * 1000000) // t.n_rel
+            AS BIGINT) AS recall_ppm
+FROM totals t
+JOIN ideal i ON t.query_id = i.query_id
+LEFT JOIN per_q p ON t.query_id = p.query_id
+)
+"""

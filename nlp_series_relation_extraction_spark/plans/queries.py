@@ -1360,6 +1360,66 @@ def _bm25_sql() -> str:
     )
 
 
+def q_retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report (nDCG@5 / MRR / P@5 / R@5, integer-ppm)
+    for the BM25 run of q_bm25_topk, judged against deterministic graded
+    qrels: every chunk of the query's own source document is relevant
+    (the query IS that document's first 5 words), chunk 0 — the one that
+    contains those words — at grade 2, later chunks grade 1. The
+    trec_eval core loop as two joins + per-query aggregates
+    (functions/retrieval.py:ranking_eval); the log2 discount table is a
+    driver-computed ppm literal so the DuckDB twin is bit-exact."""
+    from ..functions.curation import chunk_documents
+    from ..functions.retrieval import bm25_topk, ranking_eval
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    qs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias(
+            "query_text"
+        ),
+    )
+    run = bm25_topk(chunks, qs, k=5, max_df_ratio=1.0).select(
+        "query_id",
+        "rank",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("unit"),
+    )
+    qrels = chunks.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("unit"),
+        F.when(F.col("chunk_idx") == 0, 2).otherwise(1).alias("grade"),
+    )
+    return ranking_eval(run, qrels, k=5).orderBy("query_id")
+
+
+def _ranking_eval_sql() -> str:
+    from ..functions.retrieval import bm25_sql, ranking_eval_sql
+
+    run_cte = (
+        "SELECT query_id, rank,"
+        " (doc_id::VARCHAR || ':' || chunk_idx::VARCHAR) AS unit FROM ("
+        + bm25_sql(
+            _CHUNKS_CORE,
+            "SELECT doc_id AS query_id, "
+            "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')"
+            " AS query_text FROM documents WHERE doc_id % 97 = 0",
+            k=5,
+            max_df_ratio=1.0,
+        )
+        + ")"
+    )
+    qrels_cte = (
+        "SELECT doc_id AS query_id,"
+        " (doc_id::VARCHAR || ':' || chunk_idx::VARCHAR) AS unit,"
+        " CASE WHEN chunk_idx = 0 THEN 2 ELSE 1 END AS grade"
+        f" FROM ({_CHUNKS_CORE}) WHERE doc_id % 97 = 0"
+    )
+    return (
+        ranking_eval_sql(run_cte, qrels_cte, k=5) + " ORDER BY query_id"
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (ORACLE: integer-ppm idf makes
     the score a bigint, hash-matchable against DuckDB — same discipline
@@ -9063,6 +9123,7 @@ def queries() -> dict:
             "kg_link_scores": q_kg_link_scores,
             "kg_record_linkage": q_kg_record_linkage,
             "kg_turtle_export": q_kg_turtle_export,
+            "retrieval_ranking_eval": q_retrieval_ranking_eval,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9200,6 +9261,7 @@ def oracle_sql() -> dict:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "hll_distinct_users": _HLL_USERS_SQL,
         "bm25_topk": _bm25_sql(),
+        "retrieval_ranking_eval": _ranking_eval_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
