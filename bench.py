@@ -111,6 +111,7 @@ RELATIONAL = [
     "kg_sparql_union",
     "kg_bgp_minus",
     "kg_cardinality_profile",
+    "kg_pra_features",
     "mention_edit_join",
     "kg_fact_fusion",
     "kg_fact_fusion_trust",

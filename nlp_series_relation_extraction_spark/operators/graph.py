@@ -2967,3 +2967,88 @@ def link_scores(
             "ra_ppm",
         )
     )
+
+
+def pra_path_features(
+    edges: DataFrame,
+    candidates: DataFrame,
+    max_step_fanout: int = 10_000,
+) -> DataFrame:
+    """PRA random-walk path features (Lao & Cohen 2010, "Relational
+    retrieval using a combination of path-constrained random walks"):
+    for every candidate entity pair, the probability that a random walk
+    from src following a FIXED predicate sequence (length 1 or 2) ends
+    at dst — the feature map Path-Ranking link predictors train on, and
+    the typed complement to link_scores' untyped topology statistics.
+
+    ``edges``: (subj_entity_id, predicate, obj_entity_id);
+    ``candidates``: (src, dst) pairs (the training/inference examples —
+    PRA is always candidate-conditioned, never all-pairs). Returns
+    (src, dst, path, prob_ppm) with path = 'p' or 'p1/p2' and prob the
+    walk probability in truncating integer ppm: each step's weight is
+    1e6 DIV outdeg(node, pred) (uniform over that predicate's
+    out-edges), a 2-step path sums w1*w2 over mid nodes then divides by
+    1e6 — order-insensitive BIGINT math, bit-exact cross-engine.
+
+    ``max_step_fanout`` drops (node, predicate) steps with more
+    out-edges than the cap from the walk: a super-hub step carries
+    ~zero per-target probability but quadratic join fan-out — the same
+    hub discipline as link_scores/two_hop (standard in PRA
+    implementations; the oracle applies the identical cap).
+
+    Plan shape (100 TB graph, millions of candidates): one (node, pred)
+    groupBy for out-degrees joined back onto edges (AQE broadcasts the
+    degree side per partition stats); length-1 is one equi-join of the
+    weighted edges with the candidate set; length-2 fans out FROM the
+    candidate srcs only (candidates join edges on src, then on
+    (mid, dst)) — the corpus-sized edge table is never self-joined
+    unconditioned. Final aggregate keys on (src, dst, path)."""
+    deg = edges.groupBy("subj_entity_id", "predicate").agg(
+        F.count("*").cast("long").alias("n_out")
+    )
+    w = (
+        edges.join(deg, ["subj_entity_id", "predicate"])
+        .where(F.col("n_out") <= max_step_fanout)
+        .select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("predicate").alias("pred"),
+            F.col("obj_entity_id").alias("dst"),
+            F.expr("1000000L div n_out").alias("w_ppm"),
+        )
+    )
+    cand = candidates.select("src", "dst")
+    l1 = w.join(cand, ["src", "dst"]).select(
+        "src",
+        "dst",
+        F.col("pred").alias("path"),
+        F.col("w_ppm").alias("prob_ppm"),
+    )
+    s1 = cand.join(
+        w.select(
+            "src",
+            F.col("pred").alias("p1"),
+            F.col("dst").alias("mid"),
+            F.col("w_ppm").alias("w1"),
+        ),
+        "src",
+    )
+    s2 = s1.join(
+        w.select(
+            F.col("src").alias("mid"),
+            F.col("pred").alias("p2"),
+            "dst",
+            F.col("w_ppm").alias("w2"),
+        ),
+        ["mid", "dst"],
+    )
+    l2 = (
+        s2.groupBy(
+            "src", "dst", F.concat_ws("/", "p1", "p2").alias("path")
+        )
+        .agg(
+            F.expr("cast(sum(w1 * w2) div 1000000L as bigint)").alias(
+                "prob_ppm"
+            )
+        )
+    )
+    return l1.unionByName(l2)

@@ -8839,6 +8839,98 @@ ORDER BY entity_a, entity_b
 
 
 
+def q_kg_pra_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRA path features (operators/graph.py:pra_path_features, Lao &
+    Cohen 2010) over the TPC-H hierarchy KG plus the inverse
+    nation_has_cust edge: walk probabilities for length-<=2 predicate
+    paths, for two candidate families — (supplier, customer) pairs
+    (reached by supp_in_nation/nation_has_cust with probability
+    1/|customers in that nation| — varies by nation) and (customer,
+    nation) pairs (direct cust_in_nation edges, the length-1 branch).
+    Candidate sets are small deterministic key samples (broadcast
+    cross), the PRA contract — features are always candidate-
+    conditioned, never all-pairs. Integer-ppm step weights make the
+    DuckDB twin bit-exact."""
+    from ..operators.graph import pra_path_features
+
+    edges = _hierarchy_edges(spark, sf_dir).select(
+        "subj_entity_id", "predicate", "obj_entity_id"
+    )
+    cust = t(spark, sf_dir, "customer")
+    inv = cust.select(
+        (F.col("c_nationkey").cast("long") * 4 + 2).alias(
+            "subj_entity_id"
+        ),
+        F.lit("nation_has_cust").alias("predicate"),
+        (F.col("c_custkey").cast("long") * 4).alias("obj_entity_id"),
+    )
+    cs = cust.where(F.col("c_custkey") % 19 == 7).select(
+        (F.col("c_custkey").cast("long") * 4).alias("id")
+    )
+    ss = t(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 10 == 3
+    ).select((F.col("s_suppkey").cast("long") * 4 + 1).alias("id"))
+    nat = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") * 4 + 2).alias("id")
+    )
+    cand = ss.crossJoin(F.broadcast(cs)).select(
+        ss["id"].alias("src"), cs["id"].alias("dst")
+    ).unionByName(
+        cs.crossJoin(F.broadcast(nat)).select(
+            cs["id"].alias("src"), nat["id"].alias("dst")
+        )
+    )
+    return pra_path_features(edges.unionByName(inv), cand).orderBy(
+        "src", "dst", "path"
+    )
+
+
+_KG_PRA_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2 FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3 FROM nation
+  UNION ALL
+  SELECT cast(c_nationkey AS BIGINT) * 4 + 2, 'nation_has_cust',
+         cast(c_custkey AS BIGINT) * 4 FROM customer
+), deg AS (
+  SELECT s, p, cast(count(*) AS BIGINT) AS n_out FROM e GROUP BY s, p
+), w AS (
+  SELECT e.s, e.p, e.o, cast(1000000 // d.n_out AS BIGINT) AS w_ppm
+  FROM e JOIN deg d ON e.s = d.s AND e.p = d.p
+  WHERE d.n_out <= 10000
+), cs AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS id FROM customer
+  WHERE c_custkey % 19 = 7
+), ss AS (
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1 AS id FROM supplier
+  WHERE s_suppkey % 10 = 3
+), nat AS (
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2 AS id FROM nation
+), cand AS (
+  SELECT ss.id AS src, cs.id AS dst FROM ss CROSS JOIN cs
+  UNION ALL
+  SELECT cs.id AS src, nat.id AS dst FROM cs CROSS JOIN nat
+), l1 AS (
+  SELECT c.src, c.dst, w.p AS path, cast(w.w_ppm AS BIGINT) AS prob_ppm
+  FROM w JOIN cand c ON w.s = c.src AND w.o = c.dst
+), l2 AS (
+  SELECT c.src, c.dst, w1.p || '/' || w2.p AS path,
+         cast(sum(w1.w_ppm * w2.w_ppm) // 1000000 AS BIGINT) AS prob_ppm
+  FROM cand c
+  JOIN w w1 ON w1.s = c.src
+  JOIN w w2 ON w2.s = w1.o AND w2.o = c.dst
+  GROUP BY c.src, c.dst, w1.p, w2.p
+)
+SELECT * FROM l1 UNION ALL SELECT * FROM l2 ORDER BY src, dst, path
+"""
+
+
 def q_kg_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage
     (operators/record_linkage.py — the Splink model): the customer
@@ -9124,6 +9216,7 @@ def queries() -> dict:
             "kg_record_linkage": q_kg_record_linkage,
             "kg_turtle_export": q_kg_turtle_export,
             "retrieval_ranking_eval": q_retrieval_ranking_eval,
+            "kg_pra_features": q_kg_pra_features,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9262,6 +9355,7 @@ def oracle_sql() -> dict:
         "hll_distinct_users": _HLL_USERS_SQL,
         "bm25_topk": _bm25_sql(),
         "retrieval_ranking_eval": _ranking_eval_sql(),
+        "kg_pra_features": _KG_PRA_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
