@@ -112,6 +112,7 @@ RELATIONAL = [
     "kg_bgp_minus",
     "kg_cardinality_profile",
     "kg_pra_features",
+    "kg_shape_induction",
     "mention_edit_join",
     "kg_fact_fusion",
     "kg_fact_fusion_trust",

@@ -65,7 +65,7 @@ branches. Nothing is quadratic; no windows over data-sized frames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _VALID_KEYS = {
     "path", "min_count", "max_count", "cls", "has_value", "in",
@@ -684,4 +684,127 @@ def shacl_validate_python_twin(
             for s, p, o in facts:
                 if s in targets and p not in allowed:
                     out.add((s, name, p, "closed", o))
+    return out
+
+
+def induce_shapes(
+    triples: DataFrame,
+    types: DataFrame,
+    min_support_ppm: int = 0,
+) -> DataFrame:
+    """Shape INDUCTION — mine the shapes shacl_validate gates on from
+    the data itself (the sheXer / "Shape Induction from Knowledge
+    Graphs" approach, Fernandez-Alvarez 2022): for every (class,
+    predicate) pair observed on that class's instances, the empirical
+    cardinality and object-class profile a maintainer turns into a
+    declared shape.
+
+    ``triples``: (subj, pred, obj); ``types``: (entity, class) — an
+    entity may have several classes (each contributes independently,
+    the spec's target-class semantics). Returns one row per
+    (cls, pred) with support >= ``min_support_ppm``:
+
+      (cls, pred, n_instances, n_subjects, support_ppm, min_count,
+       max_count, modal_obj_class, modal_obj_share_ppm)
+
+    * support_ppm  = 1e6 * n_subjects DIV n_instances (share of the
+      class's instances asserting the predicate at all);
+    * min_count    = 0 if support < 1e6 else the smallest per-subject
+      DISTINCT-value count (the sh:minCount a validator could enforce
+      today without violations); max_count = the largest (the
+      candidate sh:maxCount);
+    * modal_obj_class / modal_obj_share_ppm = the most common class of
+      the object values (ties broken lexicographically — deterministic
+      cross-engine) and its ppm share of typed object occurrences —
+      the candidate sh:class constraint. NULL/0 when no object is
+      typed (literal-only predicates).
+
+    All ratios are truncating integer ppm — bit-exact vs the DuckDB
+    twin.
+
+    Plan shape (100 TB graph): one (subj, pred) distinct-count
+    aggregate over the triple table; one join to ``types`` keyed on
+    the subject (both corpus-sized — a plain hash join, AQE handles
+    hot classes); one (cls, pred) aggregate; the object-class branch
+    joins triples to ``types`` on obj then aggregates (cls, pred,
+    obj_class) and window-picks the mode per (cls, pred) — window
+    partitions are (class x predicate)-sized, never corpus-sized.
+    Class instance counts are a class-keyed aggregate joined back
+    (schema-sized, broadcast). No driver collect, no all-pairs."""
+    spp = triples.groupBy("subj", "pred").agg(
+        F.countDistinct("obj").cast("long").alias("nvals")
+    )
+    subj_typed = spp.join(
+        types.select(F.col("entity").alias("subj"), "cls"), "subj"
+    )
+    class_n = types.groupBy("cls").agg(
+        F.countDistinct("entity").cast("long").alias("n_instances")
+    )
+    per_cp = subj_typed.groupBy("cls", "pred").agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.min("nvals").cast("long").alias("min_nvals"),
+        F.max("nvals").cast("long").alias("max_count"),
+    )
+    base = per_cp.join(F.broadcast(class_n), "cls").select(
+        "cls",
+        "pred",
+        "n_instances",
+        "n_subjects",
+        F.expr("(n_subjects * 1000000L) div n_instances").alias(
+            "support_ppm"
+        ),
+        F.when(
+            F.col("n_subjects") == F.col("n_instances"), F.col("min_nvals")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("min_count"),
+        "max_count",
+    )
+    # object-class profile: typed object occurrences per (cls, pred)
+    obj_typed = (
+        triples.join(
+            types.select(F.col("entity").alias("subj"), "cls"), "subj"
+        )
+        .join(
+            types.select(
+                F.col("entity").alias("obj"), F.col("cls").alias("ocls")
+            ),
+            "obj",
+        )
+        .groupBy("cls", "pred", "ocls")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    wm = Window.partitionBy("cls", "pred").orderBy(
+        F.desc("n_occ"), F.col("ocls")
+    )
+    tot = Window.partitionBy("cls", "pred")
+    modal = (
+        obj_typed.withColumn("rk", F.row_number().over(wm))
+        .withColumn("n_tot", F.sum("n_occ").over(tot))
+        .where(F.col("rk") == 1)
+        .select(
+            "cls",
+            "pred",
+            F.col("ocls").alias("modal_obj_class"),
+            F.expr("(n_occ * 1000000L) div n_tot").alias(
+                "modal_obj_share_ppm"
+            ),
+        )
+    )
+    out = base.join(modal, ["cls", "pred"], "left").select(
+        "cls",
+        "pred",
+        "n_instances",
+        "n_subjects",
+        "support_ppm",
+        "min_count",
+        "max_count",
+        "modal_obj_class",
+        F.coalesce(F.col("modal_obj_share_ppm"), F.lit(0).cast("long")).alias(
+            "modal_obj_share_ppm"
+        ),
+    )
+    if min_support_ppm > 0:
+        out = out.where(F.col("support_ppm") >= min_support_ppm)
     return out

@@ -8931,6 +8931,148 @@ SELECT * FROM l1 UNION ALL SELECT * FROM l2 ORDER BY src, dst, path
 """
 
 
+def q_kg_shape_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL shape MINING (operators/shacl.py:induce_shapes — the
+    sheXer approach): empirical (class, predicate) cardinality +
+    object-class profiles over the TPC-H hierarchy KG plus a sparse
+    customer-placed-order predicate (only ~2/3 of customers place
+    orders, so support_ppm < 1e6 and min_count = 0 — the non-vacuous
+    branch), mined into the candidate sh:minCount/sh:maxCount/sh:class
+    constraints a maintainer would declare. Integer-ppm shares,
+    bit-exact DuckDB twin."""
+    from ..operators.shacl import induce_shapes
+
+    triples = _hierarchy_edges(spark, sf_dir).select(
+        F.col("subj_entity_id").alias("subj"),
+        F.col("predicate").alias("pred"),
+        F.col("obj_entity_id").alias("obj"),
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        # drop every-7th customer's orders: the mined shape then shows a
+        # support_ppm < 1e6 / min_count 0 predicate (the branch a real
+        # corpus always has; the synthetic one gives every customer
+        # orders, which would leave it untested at driver scale)
+        .where(F.col("o_custkey") % 7 != 0)
+        .select(
+            (F.col("o_custkey").cast("long") * 4).alias("subj"),
+            F.lit("placed").alias("pred"),
+            (F.col("o_orderkey").cast("long") * 4 + 2_000_000_001).alias(
+                "obj"
+            ),
+        )
+    )
+    types = (
+        t(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey").cast("long") * 4).alias("entity"),
+            F.lit("Customer").alias("cls"),
+        )
+        .unionByName(
+            t(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey").cast("long") * 4 + 1).alias("entity"),
+                F.lit("Supplier").alias("cls"),
+            )
+        )
+        .unionByName(
+            t(spark, sf_dir, "nation").select(
+                (F.col("n_nationkey").cast("long") * 4 + 2).alias("entity"),
+                F.lit("Nation").alias("cls"),
+            )
+        )
+        .unionByName(
+            t(spark, sf_dir, "region").select(
+                (F.col("r_regionkey").cast("long") * 4 + 3).alias("entity"),
+                F.lit("Region").alias("cls"),
+            )
+        )
+        .unionByName(
+            t(spark, sf_dir, "orders").select(
+                (F.col("o_orderkey").cast("long") * 4 + 2_000_000_001).alias("entity"),
+                F.lit("Order").alias("cls"),
+            )
+        )
+    )
+    return induce_shapes(triples.unionByName(orders), types).orderBy(
+        "cls", "pred"
+    )
+
+
+_KG_SHAPE_INDUCTION_SQL = """
+WITH triples AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS subj, 'cust_in_nation' AS pred,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS obj FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2 FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3 FROM nation
+  UNION ALL
+  SELECT cast(o_custkey AS BIGINT) * 4, 'placed',
+         cast(o_orderkey AS BIGINT) * 4 + 2000000001 FROM orders
+  WHERE o_custkey % 7 <> 0
+), types AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS entity, 'Customer' AS cls
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'Supplier' FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'Nation' FROM nation
+  UNION ALL
+  SELECT cast(r_regionkey AS BIGINT) * 4 + 3, 'Region' FROM region
+  UNION ALL
+  SELECT cast(o_orderkey AS BIGINT) * 4 + 2000000001, 'Order' FROM orders
+), spp AS (
+  SELECT subj, pred, cast(count(DISTINCT obj) AS BIGINT) AS nvals
+  FROM triples GROUP BY subj, pred
+), class_n AS (
+  SELECT cls, cast(count(DISTINCT entity) AS BIGINT) AS n_instances
+  FROM types GROUP BY cls
+), per_cp AS (
+  SELECT t.cls, s.pred,
+         cast(count(*) AS BIGINT) AS n_subjects,
+         cast(min(s.nvals) AS BIGINT) AS min_nvals,
+         cast(max(s.nvals) AS BIGINT) AS max_count
+  FROM spp s JOIN types t ON s.subj = t.entity
+  GROUP BY t.cls, s.pred
+), base AS (
+  SELECT p.cls, p.pred, c.n_instances, p.n_subjects,
+         cast((p.n_subjects * 1000000) // c.n_instances AS BIGINT)
+           AS support_ppm,
+         cast(CASE WHEN p.n_subjects = c.n_instances THEN p.min_nvals
+                   ELSE 0 END AS BIGINT) AS min_count,
+         p.max_count
+  FROM per_cp p JOIN class_n c ON p.cls = c.cls
+), obj_typed AS (
+  SELECT ts.cls, tr.pred, tob.cls AS ocls,
+         cast(count(*) AS BIGINT) AS n_occ
+  FROM triples tr
+  JOIN types ts ON tr.subj = ts.entity
+  JOIN types tob ON tr.obj = tob.entity
+  GROUP BY ts.cls, tr.pred, tob.cls
+), modal AS (
+  SELECT cls, pred, ocls AS modal_obj_class,
+         cast((n_occ * 1000000) // n_tot AS BIGINT)
+           AS modal_obj_share_ppm
+  FROM (
+    SELECT cls, pred, ocls, n_occ,
+           row_number() OVER (PARTITION BY cls, pred
+                              ORDER BY n_occ DESC, ocls) AS rk,
+           sum(n_occ) OVER (PARTITION BY cls, pred) AS n_tot
+    FROM obj_typed
+  ) WHERE rk = 1
+)
+SELECT b.cls AS cls, b.pred AS pred, b.n_instances, b.n_subjects,
+       b.support_ppm, b.min_count, b.max_count,
+       m.modal_obj_class,
+       coalesce(m.modal_obj_share_ppm, 0::BIGINT) AS modal_obj_share_ppm
+FROM base b
+LEFT JOIN modal m ON b.cls = m.cls AND b.pred = m.pred
+ORDER BY cls, pred
+"""
+
+
 def q_kg_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage
     (operators/record_linkage.py — the Splink model): the customer
@@ -9217,6 +9359,7 @@ def queries() -> dict:
             "kg_turtle_export": q_kg_turtle_export,
             "retrieval_ranking_eval": q_retrieval_ranking_eval,
             "kg_pra_features": q_kg_pra_features,
+            "kg_shape_induction": q_kg_shape_induction,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9356,6 +9499,7 @@ def oracle_sql() -> dict:
         "bm25_topk": _bm25_sql(),
         "retrieval_ranking_eval": _ranking_eval_sql(),
         "kg_pra_features": _KG_PRA_SQL,
+        "kg_shape_induction": _KG_SHAPE_INDUCTION_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
