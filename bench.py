@@ -113,6 +113,7 @@ RELATIONAL = [
     "kg_cardinality_profile",
     "kg_pra_features",
     "kg_shape_induction",
+    "conv_topic_shifts",
     "mention_edit_join",
     "kg_fact_fusion",
     "kg_fact_fusion_trust",

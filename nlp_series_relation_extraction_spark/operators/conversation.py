@@ -249,3 +249,85 @@ def resolve_anaphora(
         .otherwise(F.col("surface"))
         .alias("resolved_surface"),
     )
+
+
+def topic_segments(
+    transcripts: DataFrame,
+    min_jaccard_ppm: int = 200_000,
+) -> DataFrame:
+    """Lexical topic-shift segmentation (the TextTiling idea — Hearst
+    1997 — reduced to its adjacent-turn core): a turn opens a new
+    segment when its token-set Jaccard overlap with the PREVIOUS turn
+    of the same conversation falls below ``min_jaccard_ppm``. The
+    transcript-side twin of functions/curation.py's chunking: context
+    assembly (turns_with_context) wants windows that stop at topic
+    boundaries, and per-segment grouping is what a downstream
+    summarize-per-topic stage keys on.
+
+    Input: (conv_id, turn_idx, text). Returns every input row plus
+
+      (jaccard_prev_ppm, is_boundary, segment_idx)
+
+    * jaccard_prev_ppm — |tokens ∩ prev| * 1e6 DIV |tokens ∪ prev|
+      over DISTINCT lowercased whitespace tokens ('' tokens dropped);
+      NULL on each conversation's first turn; 1e6 when both turns are
+      empty (no evidence of a shift).
+    * is_boundary — first turn of a conversation, or overlap below the
+      threshold.
+    * segment_idx — running count of boundaries so far (1-based), i.e.
+      the turn's topic-segment id within its conversation.
+
+    Scale shape: ONE conv_id shuffle feeding two stacked windows (lag
+    + running sum — same partitioning, one exchange, cf.
+    turns_with_context); token sets are per-row arrays, never
+    exploded, so no corpus-sized blowup. All ratios truncating integer
+    ppm — bit-exact vs the DuckDB twin."""
+    toks = F.array_remove(
+        F.array_distinct(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ),
+        "",
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    with_prev = transcripts.select(
+        "*",
+        toks.alias("_toks"),
+    ).select(
+        "*",
+        F.lag("_toks").over(w).alias("_prev"),
+    )
+    sized = with_prev.select(
+        "*",
+        F.size(F.array_intersect(F.col("_toks"), F.col("_prev")))
+        .cast("long")
+        .alias("_inter"),
+        F.size(F.array_union(F.col("_toks"), F.col("_prev")))
+        .cast("long")
+        .alias("_uni"),
+    )
+    jac = (
+        F.when(F.col("_prev").isNull(), F.lit(None).cast("long"))
+        .when(F.col("_uni") == 0, F.lit(1_000_000).cast("long"))
+        .otherwise(F.expr("(_inter * 1000000L) div _uni"))
+    )
+    scored = sized.select(
+        "*",
+        jac.alias("jaccard_prev_ppm"),
+    ).select(
+        "*",
+        (
+            F.col("_prev").isNull()
+            | (F.col("jaccard_prev_ppm") < min_jaccard_ppm)
+        ).alias("is_boundary"),
+    )
+    seg_w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return scored.select(
+        "*",
+        F.sum(F.col("is_boundary").cast("long"))
+        .over(seg_w)
+        .alias("segment_idx"),
+    ).drop("_toks", "_prev", "_inter", "_uni")

@@ -1974,6 +1974,83 @@ FROM ctx ORDER BY cast(conv_id AS BIGINT), turn_idx
 """
 
 
+def q_conv_topic_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic-shift segmentation of conversations
+    (operators/conversation.py:topic_segments — the TextTiling
+    adjacent-pair core): token-set Jaccard against the previous turn,
+    boundary where overlap < 0.2, running boundary count = topic
+    segment id. Same 8-turns-per-conversation fold as
+    conversation_context so the oracle replays it; one conv_id
+    exchange drives both stacked windows."""
+    from ..operators.conversation import topic_segments
+
+    turns = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return (
+        topic_segments(turns, min_jaccard_ppm=200_000)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "jaccard_prev_ppm",
+            F.col("is_boundary").cast("int").alias("is_boundary"),
+            "segment_idx",
+        )
+        .orderBy(F.col("conv_id").cast("long"), "turn_idx")
+    )
+
+
+_CONV_TOPIC_SHIFTS_SQL = """
+WITH turns AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         text
+  FROM documents
+), tok AS (
+  SELECT conv_id, turn_idx,
+         list_filter(list_distinct(
+           string_split(lower(coalesce(text, '')), ' ')), x -> x <> '')
+           AS toks
+  FROM turns
+), prevd AS (
+  SELECT *, lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         AS prev
+  FROM tok
+), sized AS (
+  SELECT conv_id, turn_idx, prev,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE cast(len(list_intersect(toks, prev)) AS BIGINT)
+         END AS i_,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE cast(len(list_distinct(list_concat(toks, prev)))
+                        AS BIGINT)
+         END AS u_
+  FROM prevd
+), j AS (
+  SELECT conv_id, turn_idx,
+         cast(CASE WHEN prev IS NULL THEN NULL
+                   WHEN u_ = 0 THEN 1000000
+                   ELSE (i_ * 1000000) // u_
+              END AS BIGINT) AS jaccard_prev_ppm,
+         prev IS NULL AS first_turn
+  FROM sized
+), b AS (
+  SELECT conv_id, turn_idx, jaccard_prev_ppm,
+         (first_turn OR jaccard_prev_ppm < 200000) AS bnd
+  FROM j
+)
+SELECT conv_id, turn_idx, jaccard_prev_ppm,
+       cast(bnd AS INT) AS is_boundary,
+       cast(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS segment_idx
+FROM b ORDER BY cast(conv_id AS BIGINT), turn_idx
+"""
+
+
 def _event_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream read as timestamped (user, event_type, obj) facts
     — the SINGLE definition shared by the three temporal queries (oracle
@@ -9360,6 +9437,7 @@ def queries() -> dict:
             "retrieval_ranking_eval": q_retrieval_ranking_eval,
             "kg_pra_features": q_kg_pra_features,
             "kg_shape_induction": q_kg_shape_induction,
+            "conv_topic_shifts": q_conv_topic_shifts,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9500,6 +9578,7 @@ def oracle_sql() -> dict:
         "retrieval_ranking_eval": _ranking_eval_sql(),
         "kg_pra_features": _KG_PRA_SQL,
         "kg_shape_induction": _KG_SHAPE_INDUCTION_SQL,
+        "conv_topic_shifts": _CONV_TOPIC_SHIFTS_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
