@@ -114,6 +114,7 @@ RELATIONAL = [
     "kg_pra_features",
     "kg_shape_induction",
     "conv_topic_shifts",
+    "kg_reified_provenance",
     "mention_edit_join",
     "kg_fact_fusion",
     "kg_fact_fusion_trust",

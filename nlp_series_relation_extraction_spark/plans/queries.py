@@ -4223,6 +4223,62 @@ ORDER BY line
 """
 
 
+def q_kg_reified_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement-level provenance via W3C standard reification
+    (sources/rdf.py:edges_to_reified_ntriples): the multi-predicate
+    evidence-bearing edge table exported as rdf:Statement nodes — 4
+    core reification lines per edge plus a kg:nEvidence typed-literal
+    qualifier. Statement IRIs are md5-skolemized from the triple, so a
+    re-export after a merge reuses the same node (DuckDB replays the
+    md5 bit-exact). The reification sibling of kg_rdf_nquads' named-
+    graph lineage, for consumers that cannot read quads."""
+    from ..sources.rdf import edges_to_reified_ntriples
+
+    return edges_to_reified_ntriples(_schema_edges(spark, sf_dir)).orderBy(
+        "line"
+    )
+
+
+_KG_REIFIED_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+b AS (
+  SELECT concat('<http://kg.example/s/',
+                md5(concat(cast(subj_entity_id AS VARCHAR), '|',
+                           predicate, '|',
+                           cast(obj_entity_id AS VARCHAR))),
+                '>') AS stmt,
+         concat('<http://kg.example/e/',
+                cast(subj_entity_id AS VARCHAR), '>') AS s_iri,
+         concat('<http://kg.example/p/', predicate, '>') AS p_iri,
+         concat('<http://kg.example/e/',
+                cast(obj_entity_id AS VARCHAR), '>') AS o_iri,
+         cast(n_evidence AS VARCHAR) AS nev
+  FROM edges
+)
+SELECT line FROM (
+  SELECT concat(stmt,
+    ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+    ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement> .')
+    AS line FROM b
+  UNION ALL
+  SELECT concat(stmt,
+    ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#subject> ',
+    s_iri, ' .') FROM b
+  UNION ALL
+  SELECT concat(stmt,
+    ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate> ',
+    p_iri, ' .') FROM b
+  UNION ALL
+  SELECT concat(stmt,
+    ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#object> ',
+    o_iri, ' .') FROM b
+  UNION ALL
+  SELECT concat(stmt, ' <http://kg.example/p/nEvidence> "', nev,
+    '"^^<http://www.w3.org/2001/XMLSchema#integer> .') FROM b
+) ORDER BY line
+"""
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered link-prediction leaderboard (MRR / Hits@1/3/10, Bordes
     2013's filtered protocol) for the four classic KGE scorers —
@@ -9438,6 +9494,7 @@ def queries() -> dict:
             "kg_pra_features": q_kg_pra_features,
             "kg_shape_induction": q_kg_shape_induction,
             "conv_topic_shifts": q_conv_topic_shifts,
+            "kg_reified_provenance": q_kg_reified_provenance,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9579,6 +9636,7 @@ def oracle_sql() -> dict:
         "kg_pra_features": _KG_PRA_SQL,
         "kg_shape_induction": _KG_SHAPE_INDUCTION_SQL,
         "conv_topic_shifts": _CONV_TOPIC_SHIFTS_SQL,
+        "kg_reified_provenance": _KG_REIFIED_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,

@@ -107,6 +107,100 @@ def labels_to_ntriples(
     )
 
 
+def edges_to_reified_ntriples(
+    edges: DataFrame, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Edge table -> W3C standard reification (RDF 1.1 Semantics §B?;
+    vocabulary rdf:Statement / rdf:subject / rdf:predicate /
+    rdf:object) with statement-level PROVENANCE qualifiers — the
+    interchange form for triple metadata when the consumer cannot read
+    N-Quads graphs: each edge becomes 4 core reification lines plus
+    one ``kg:nEvidence`` typed-literal line (and one ``kg:firstSeenIn``
+    IRI line when ``first_conv_id`` is present).
+
+    The statement node is a SKOLEM IRI `<base>s/md5(s|p|o)` — a pure
+    function of the triple, so re-exporting after a merge never mints
+    a second node for the same fact (the same md5-determinism contract
+    as skolemize()); DuckDB replays it bit-exact. Pure map stage after
+    the broadcast predicate join: 5-6 output rows per edge, no joins
+    between statement lines."""
+    pm = predicate_iri_map(edges, base)
+    has_conv = "first_conv_id" in edges.columns
+    e = edges.join(F.broadcast(pm), "predicate").select(
+        F.concat(
+            F.lit(f"<{base}s/"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("subj_entity_id").cast("string"),
+                    F.col("predicate"),
+                    F.col("obj_entity_id").cast("string"),
+                )
+            ),
+            F.lit(">"),
+        ).alias("stmt"),
+        F.concat(
+            F.lit(f"<{base}e/"),
+            F.col("subj_entity_id").cast("string"),
+            F.lit(">"),
+        ).alias("s_iri"),
+        F.concat(F.lit("<"), F.col("pred_iri"), F.lit(">")).alias("p_iri"),
+        F.concat(
+            F.lit(f"<{base}e/"),
+            F.col("obj_entity_id").cast("string"),
+            F.lit(">"),
+        ).alias("o_iri"),
+        *(
+            [F.col("n_evidence").cast("string").alias("nev")]
+            if "n_evidence" in edges.columns
+            else []
+        ),
+        *([F.col("first_conv_id").alias("conv")] if has_conv else []),
+    )
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    parts = [
+        F.concat(
+            F.col("stmt"),
+            F.lit(f" <{rdf}type> <{rdf}Statement> ."),
+        ),
+        F.concat(
+            F.col("stmt"), F.lit(f" <{rdf}subject> "), F.col("s_iri"),
+            F.lit(" ."),
+        ),
+        F.concat(
+            F.col("stmt"), F.lit(f" <{rdf}predicate> "), F.col("p_iri"),
+            F.lit(" ."),
+        ),
+        F.concat(
+            F.col("stmt"), F.lit(f" <{rdf}object> "), F.col("o_iri"),
+            F.lit(" ."),
+        ),
+    ]
+    if "n_evidence" in edges.columns:
+        parts.append(
+            F.concat(
+                F.col("stmt"),
+                F.lit(f' <{base}p/nEvidence> "'),
+                F.col("nev"),
+                F.lit(
+                    '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+                ),
+            )
+        )
+    if has_conv:
+        parts.append(
+            F.concat(
+                F.col("stmt"),
+                F.lit(f" <{base}p/firstSeenIn> <{base}g/"),
+                F.col("conv"),
+                F.lit("> ."),
+            )
+        )
+    return e.select(
+        F.explode(F.array(*[p.alias("x") for p in parts])).alias("line")
+    )
+
+
 # --- import -------------------------------------------------------------
 
 _TERM = (
