@@ -115,6 +115,7 @@ RELATIONAL = [
     "kg_shape_induction",
     "conv_topic_shifts",
     "kg_reified_provenance",
+    "kg_embedding_align",
     "mention_edit_join",
     "kg_fact_fusion",
     "kg_fact_fusion_trust",

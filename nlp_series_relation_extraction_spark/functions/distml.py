@@ -655,3 +655,191 @@ def logreg_predict(
             )
 
     return rows.mapInPandas(predict, schema="id long, prob double, pred int")
+
+
+# ---------------------------------------------------------------------------
+# Orthogonal Procrustes embedding-space alignment
+# ---------------------------------------------------------------------------
+
+
+def procrustes_fit(
+    pairs: DataFrame, vec_a: str = "va", vec_b: str = "vb"
+) -> dict:
+    """Orthogonal Procrustes alignment (Schönemann 1966): the rotation
+    W = argmin_{W orthogonal} ||A W - B||_F between two embedding
+    spaces observed on SHARED anchor entities — the standard tool for
+    aligning KGE snapshots after a refit (embedding spaces are only
+    defined up to rotation; a refit scrambles the basis even when the
+    geometry is unchanged) or for cross-lingual/cross-model bridging
+    (Mikolov 2013 exp2). Pure rotation variant — no centering/scale —
+    documented contract; anchors are rows of ``pairs`` with both
+    vectors present.
+
+    ``pairs``: (va array, vb array), one row per anchor. Returns
+    {"W": [d, d], "n": n_anchors} with W = U V^T from the SVD of
+    M = A^T B.
+
+    Scale shape: the same broadcast-model / partial-sum channel as
+    pca_fit — each Arrow batch reduces to a d x d numpy partial of M,
+    one O(d^2) shuffle, driver-side SVD of a d x d matrix (d = width,
+    never corpus-sized). W is unique when M's singular values are
+    distinct (simultaneous U/V sign flips cancel in U V^T), so the
+    distributed fit equals the numpy twin to float tolerance
+    regardless of partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    vec = pairs.select(
+        F.col(vec_a).cast("array<double>").alias("a"),
+        F.col(vec_b).cast("array<double>").alias("b"),
+    )
+    if not vec.isStreaming:
+        vec = ensure_parallelism(vec)
+
+    def partials(batches):
+        M = None
+        n = 0.0
+        d_seen = None
+        for pdf in batches:
+            A = np.asarray(pdf["a"].tolist(), dtype=np.float64)
+            B = np.asarray(pdf["b"].tolist(), dtype=np.float64)
+            if len(A) == 0:
+                continue
+            if M is None:
+                d_seen = A.shape[1]
+                if B.shape[1] != d_seen:
+                    raise ValueError(
+                        "procrustes_fit: vector widths differ "
+                        f"({d_seen} vs {B.shape[1]})"
+                    )
+                M = np.zeros((d_seen, d_seen), dtype=np.float64)
+            M += A.T @ B
+            n += len(A)
+        if M is None:
+            return
+        out = {"slot": [0], "pos": [-1], "val": [n]}
+        flat = M.ravel()
+        for p in range(flat.shape[0]):
+            out["slot"].append(1)
+            out["pos"].append(p)
+            out["val"].append(flat[p])
+        yield pd.DataFrame(out)
+
+    acc = _reduce_partials(vec.mapInPandas(partials, _PARTIAL_SCHEMA))
+    n = acc.get((0, -1), 0.0)
+    if n < 1:
+        raise ValueError("procrustes_fit: no anchor rows")
+    dd = max(p for (slot, p) in acc if slot == 1) + 1
+    d = int(round(dd ** 0.5))
+    M = np.array(
+        [acc[(1, p)] for p in range(d * d)], dtype=np.float64
+    ).reshape(d, d)
+    return {"W": _procrustes_from_m(M), "n": int(n)}
+
+
+def _procrustes_from_m(M) -> "np.ndarray":
+    import numpy as np
+
+    U, _s, Vt = np.linalg.svd(M)
+    return U @ Vt
+
+
+def procrustes_fit_numpy(A, B) -> "np.ndarray":
+    """Flat-matrix twin: identical M accumulation and SVD."""
+    import numpy as np
+
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    return _procrustes_from_m(A.T @ B)
+
+
+def procrustes_apply(
+    df: DataFrame, model: dict, vec_col: str, out_col: str = "v_aligned"
+) -> DataFrame:
+    """Rotate every vector into the target space: one Arrow GEMM pass
+    with the d x d W broadcast in the closure (model-sized, never
+    data-sized); all other columns pass through."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(model["W"], dtype=np.float64)
+    cols = df.columns
+    schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols]
+        + [f"`{out_col}` array<double>"]
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            out = pdf[cols].copy() if len(cols) else pd.DataFrame()
+            out[out_col] = (
+                list(X @ W) if len(X) else pd.Series([], dtype=object)
+            )
+            yield out
+
+    src = df if df.isStreaming else ensure_parallelism(df)
+    return src.mapInPandas(gemm, schema)
+
+
+def procrustes_report(
+    pairs: DataFrame, model: dict, vec_a: str = "va", vec_b: str = "vb"
+) -> DataFrame:
+    """One-row alignment-quality report over the anchor pairs:
+    (n_anchors, mean_cos_before_ppm, mean_cos_after_ppm). Cosines are
+    computed per row JVM-free inside one Arrow pass and averaged with
+    a (sum, count) partial — a single constant-size shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(model["W"], dtype=np.float64)
+
+    def partials(batches):
+        s_before = 0.0
+        s_after = 0.0
+        n = 0.0
+        for pdf in batches:
+            A = np.asarray(pdf["a"].tolist(), dtype=np.float64)
+            B = np.asarray(pdf["b"].tolist(), dtype=np.float64)
+            if len(A) == 0:
+                continue
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            den = np.where(na * nb == 0, 1.0, na * nb)
+            s_before += float(((A * B).sum(axis=1) / den).sum())
+            AW = A @ W
+            naw = np.linalg.norm(AW, axis=1)
+            den2 = np.where(naw * nb == 0, 1.0, naw * nb)
+            s_after += float(((AW * B).sum(axis=1) / den2).sum())
+            n += len(A)
+        if n:
+            yield pd.DataFrame(
+                {"slot": [0, 1, 2], "pos": [-1, -1, -1],
+                 "val": [n, s_before, s_after]}
+            )
+
+    vec = pairs.select(
+        F.col(vec_a).cast("array<double>").alias("a"),
+        F.col(vec_b).cast("array<double>").alias("b"),
+    )
+    if not vec.isStreaming:
+        vec = ensure_parallelism(vec)
+    acc = _reduce_partials(vec.mapInPandas(partials, _PARTIAL_SCHEMA))
+    n = acc.get((0, -1), 0.0)
+    spark = pairs.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_anchors long, mean_cos_before_ppm long,"
+            " mean_cos_after_ppm long",
+        )
+    row = (
+        int(n),
+        int(round(acc[(1, -1)] / n * 1_000_000)),
+        int(round(acc[(2, -1)] / n * 1_000_000)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_anchors long, mean_cos_before_ppm long,"
+        " mean_cos_after_ppm long",
+    )

@@ -4223,6 +4223,37 @@ ORDER BY line
 """
 
 
+def q_kg_embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between two embedding spaces
+    (functions/distml.py:procrustes_fit — Schönemann 1966; the
+    embedding-side sibling of kg_snapshot_align's WL structural
+    alignment): space B is the embeddings table pushed through a
+    DETERMINISTIC planted rotation (seeded Gaussian -> QR, computed
+    driver-side at d x d), the fit must recover it from the anchor
+    pairs, and the one-row report shows mean anchor cosine before vs
+    after applying the fitted W. Rows-only: SVD is not SQL — the fit
+    is twin-pinned and rotation-recovery-tested in
+    tests/test_procrustes.py. Both the fit and the report are single
+    Arrow passes reducing to O(d^2) partial sums."""
+    from ..functions.distml import (
+        procrustes_apply,
+        procrustes_fit,
+        procrustes_report,
+    )
+    import numpy as np
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("va")
+    )
+    d = len(emb.select("va").first()["va"])
+    rng = np.random.default_rng(7)
+    R, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    planted = procrustes_apply(emb, {"W": R}, "va", out_col="vb")
+    pairs = planted.select("va", "vb").localCheckpoint(eager=True)
+    model = procrustes_fit(pairs)
+    return procrustes_report(pairs, model)
+
+
 def q_kg_reified_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statement-level provenance via W3C standard reification
     (sources/rdf.py:edges_to_reified_ntriples): the multi-predicate
@@ -9495,6 +9526,7 @@ def queries() -> dict:
             "kg_shape_induction": q_kg_shape_induction,
             "conv_topic_shifts": q_conv_topic_shifts,
             "kg_reified_provenance": q_kg_reified_provenance,
+            "kg_embedding_align": q_kg_embedding_align,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
