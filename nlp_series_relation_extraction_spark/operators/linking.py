@@ -387,3 +387,93 @@ def link_mentions(
         "aliases": aliases,
         "linked_occurrences": linked,
     }
+
+
+def blocking_quality(
+    blocks: DataFrame, gold_pairs: DataFrame
+) -> DataFrame:
+    """Blocking-scheme quality report (the standard ER diagnostics —
+    Christen 2012 §7.5, the numbers Splink prints before a linkage
+    run): how much comparison work the blocking keys save, and how
+    many true matches they keep reachable. The meta-operator over
+    candidate_pairs' blocking stage: linking quality is bounded by
+    blocking recall, so this report is what a maintainer tunes block
+    keys against.
+
+    ``blocks``: (entity_id, block_key) — an entity may carry several
+    keys (multi-pass blocking). ``gold_pairs``: (id_a, id_b) known
+    true matches (any orientation). Returns ONE row:
+
+      (n_entities, n_blocks, n_comparisons, max_block_size,
+       reduction_ratio_ppm, completeness_ppm, quality_ppm)
+
+    * n_comparisons = sum over blocks of C(size, 2) — comparisons a
+      downstream verifier RUNS (a pair sharing two keys is compared
+      twice; the multiset convention of the reduction-ratio
+      literature, and what the join actually costs).
+    * reduction_ratio_ppm = 1e6 - n_comparisons * 1e6 DIV C(n, 2)
+      (share of the all-pairs work avoided).
+    * completeness_ppm (pairs completeness / blocking recall) = share
+      of gold pairs co-blocked under at least one key.
+    * quality_ppm (pairs quality / precision proxy) = covered gold
+      pairs * 1e6 DIV n_comparisons.
+
+    Plan shape: block sizes are ONE groupBy over the key column —
+    C(size,2) sums never materialize a pair; gold coverage joins the
+    (small) gold table to the block keys of each side and distinct-
+    counts covered pairs — cost scales with gold x keys-per-entity,
+    never with block volume. All ratios truncating integer ppm,
+    bit-exact vs the DuckDB twin."""
+    b = blocks.select(
+        F.col("entity_id").cast("long").alias("e"), F.col("block_key")
+    )
+    sizes = b.groupBy("block_key").agg(F.count("*").cast("long").alias("nb"))
+    stats = sizes.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.expr("nb * (nb - 1L) div 2L")).cast("long").alias(
+            "n_comparisons"
+        ),
+        F.max("nb").cast("long").alias("max_block_size"),
+    )
+    n_ent = b.select("e").distinct().agg(
+        F.count("*").cast("long").alias("n_entities")
+    )
+    g = gold_pairs.select(
+        F.least(F.col("id_a"), F.col("id_b")).cast("long").alias("a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).cast("long").alias("bb"),
+    ).distinct()
+    n_gold = g.agg(F.count("*").cast("long").alias("n_gold"))
+    covered = (
+        g.join(b.select(F.col("e").alias("a"), "block_key"), "a")
+        .join(
+            b.select(F.col("e").alias("bb"), "block_key"),
+            ["bb", "block_key"],
+        )
+        .select("a", "bb")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_covered"))
+    )
+    one = (
+        stats.crossJoin(F.broadcast(n_ent))
+        .crossJoin(F.broadcast(n_gold))
+        .crossJoin(F.broadcast(covered))
+    )
+    return one.select(
+        "n_entities",
+        "n_blocks",
+        "n_comparisons",
+        "max_block_size",
+        F.expr(
+            "1000000L - (n_comparisons * 1000000L)"
+            " div (n_entities * (n_entities - 1L) div 2L)"
+        ).alias("reduction_ratio_ppm"),
+        F.expr(
+            "case when n_gold = 0 then null"
+            " else (n_covered * 1000000L) div n_gold end"
+        ).alias("completeness_ppm"),
+        F.expr(
+            "case when n_comparisons = 0 then null"
+            " else (n_covered * 1000000L) div n_comparisons end"
+        ).alias("quality_ppm"),
+    )
+

@@ -4223,6 +4223,125 @@ ORDER BY line
 """
 
 
+def q_kg_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-scheme diagnostics (operators/linking.py:
+    blocking_quality — Christen 2012's reduction ratio / pairs
+    completeness / pairs quality) for a two-pass blocking over the
+    record-linkage corpus (customer + deterministically-perturbed
+    copy): pass 1 keys on (nation, segment) — the every-3rd corrupted
+    segment breaks it; pass 2 on (nation, account-balance band) — the
+    every-7th corrupted balance breaks that; a gold pair escapes both
+    only when custkey % 21 = 0, so completeness lands near 1 - 1/21.
+    Block sizes aggregate ONCE (C(size,2) summed, pairs never
+    materialized); integer-ppm ratios, bit-exact DuckDB twin."""
+    from ..operators.linking import blocking_quality
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        "c_mktsegment",
+        F.expr(
+            "cast(round(c_acctbal * 100) as bigint) + 100000000"
+        ).alias("cents_off"),
+    )
+    orig = cust.select(
+        (F.col("ck") * 2).alias("entity_id"),
+        "nk",
+        F.col("c_mktsegment").alias("seg"),
+        "cents_off",
+    )
+    dirty = cust.select(
+        (F.col("ck") * 2 + 1).alias("entity_id"),
+        "nk",
+        F.when(F.col("ck") % 3 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("ck") % 7 == 0, F.col("cents_off") + 100_000)
+        .otherwise(F.col("cents_off"))
+        .alias("cents_off"),
+    )
+    ents = orig.unionByName(dirty)
+    blocks = ents.select(
+        "entity_id",
+        F.concat_ws(":", F.lit("seg"), F.col("nk"), F.col("seg")).alias(
+            "block_key"
+        ),
+    ).unionByName(
+        ents.select(
+            "entity_id",
+            F.concat_ws(
+                ":",
+                F.lit("bal"),
+                F.col("nk"),
+                F.expr("cents_off div 100000L"),
+            ).alias("block_key"),
+        )
+    )
+    gold = cust.select(
+        (F.col("ck") * 2).alias("id_a"), (F.col("ck") * 2 + 1).alias("id_b")
+    )
+    return blocking_quality(blocks, gold)
+
+
+_KG_BLOCKING_QUALITY_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) AS ck,
+         cast(c_nationkey AS BIGINT) AS nk,
+         c_mktsegment,
+         cast(round(c_acctbal * 100) AS BIGINT) + 100000000 AS cents_off
+  FROM customer
+), ents AS (
+  SELECT ck * 2 AS entity_id, nk, c_mktsegment AS seg, cents_off FROM cust
+  UNION ALL
+  SELECT ck * 2 + 1, nk,
+         CASE WHEN ck % 3 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END,
+         CASE WHEN ck % 7 = 0 THEN cents_off + 100000 ELSE cents_off END
+  FROM cust
+), blocks AS (
+  SELECT entity_id,
+         concat('seg:', nk, ':', seg) AS block_key FROM ents
+  UNION ALL
+  SELECT entity_id,
+         concat('bal:', nk, ':', cents_off // 100000) FROM ents
+), sizes AS (
+  SELECT block_key, cast(count(*) AS BIGINT) AS nb
+  FROM blocks GROUP BY block_key
+), stats AS (
+  SELECT cast(count(*) AS BIGINT) AS n_blocks,
+         cast(sum(nb * (nb - 1) // 2) AS BIGINT) AS n_comparisons,
+         cast(max(nb) AS BIGINT) AS max_block_size
+  FROM sizes
+), nent AS (
+  SELECT cast(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+  FROM blocks
+), gold AS (
+  SELECT DISTINCT least(ck * 2, ck * 2 + 1) AS a,
+         greatest(ck * 2, ck * 2 + 1) AS bb
+  FROM cust
+), ngold AS (SELECT cast(count(*) AS BIGINT) AS n_gold FROM gold),
+cov AS (
+  SELECT cast(count(*) AS BIGINT) AS n_covered FROM (
+    SELECT DISTINCT g.a, g.bb
+    FROM gold g
+    JOIN blocks b1 ON b1.entity_id = g.a
+    JOIN blocks b2 ON b2.entity_id = g.bb
+     AND b2.block_key = b1.block_key
+  )
+)
+SELECT n_entities, n_blocks, n_comparisons, max_block_size,
+       cast(1000000 - (n_comparisons * 1000000)
+            // (n_entities * (n_entities - 1) // 2) AS BIGINT)
+         AS reduction_ratio_ppm,
+       cast(CASE WHEN n_gold = 0 THEN NULL
+                 ELSE (n_covered * 1000000) // n_gold END AS BIGINT)
+         AS completeness_ppm,
+       cast(CASE WHEN n_comparisons = 0 THEN NULL
+                 ELSE (n_covered * 1000000) // n_comparisons END
+            AS BIGINT) AS quality_ppm
+FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
+"""
+
+
 def q_kg_embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orthogonal Procrustes alignment between two embedding spaces
     (functions/distml.py:procrustes_fit — Schönemann 1966; the
@@ -9527,6 +9646,7 @@ def queries() -> dict:
             "conv_topic_shifts": q_conv_topic_shifts,
             "kg_reified_provenance": q_kg_reified_provenance,
             "kg_embedding_align": q_kg_embedding_align,
+            "kg_blocking_quality": q_kg_blocking_quality,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9669,6 +9789,7 @@ def oracle_sql() -> dict:
         "kg_shape_induction": _KG_SHAPE_INDUCTION_SQL,
         "conv_topic_shifts": _CONV_TOPIC_SHIFTS_SQL,
         "kg_reified_provenance": _KG_REIFIED_SQL,
+        "kg_blocking_quality": _KG_BLOCKING_QUALITY_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
