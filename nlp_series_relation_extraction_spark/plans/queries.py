@@ -4342,6 +4342,82 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_kg_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (operators/linking.py:
+    sorted_neighborhood — Hernandez & Stolfo 1995 merge/purge) over the
+    same perturbed-customer ER corpus as kg_blocking_quality, sorting
+    on a zero-padded-balance-then-segment fuzzy key with window 4. The
+    every-3rd segment corruption leaves its twin pair sort-adjacent
+    (the cents prefix still matches) — the case equality blocking
+    loses and the sliding window recovers; the every-7th balance
+    corruption moves the twin far away in sort order — the case this
+    scheme loses. Global rank is a distributed prefix sum (never a
+    single-partition window); the window is an explode + rank
+    equi-join. Oracle replays rank arithmetic via row_number()."""
+    from ..operators.linking import sorted_neighborhood
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        "c_mktsegment",
+        F.expr(
+            "cast(round(c_acctbal * 100) as bigint) + 100000000"
+        ).alias("cents_off"),
+    )
+    orig = cust.select(
+        (F.col("ck") * 2).alias("entity_id"),
+        F.col("c_mktsegment").alias("seg"),
+        "cents_off",
+    )
+    dirty = cust.select(
+        (F.col("ck") * 2 + 1).alias("entity_id"),
+        F.when(F.col("ck") % 3 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("ck") % 7 == 0, F.col("cents_off") + 100_000)
+        .otherwise(F.col("cents_off"))
+        .alias("cents_off"),
+    )
+    ents = orig.unionByName(dirty).select(
+        "entity_id",
+        F.concat_ws(
+            ":",
+            F.lpad(F.col("cents_off").cast("string"), 12, "0"),
+            F.col("seg"),
+        ).alias("sn_key"),
+    )
+    return sorted_neighborhood(ents, window=4)
+
+
+_KG_SORTED_NEIGHBORHOOD_SQL = """
+WITH cust AS (
+  SELECT cast(c_custkey AS BIGINT) AS ck,
+         c_mktsegment,
+         cast(round(c_acctbal * 100) AS BIGINT) + 100000000 AS cents_off
+  FROM customer
+), ents AS (
+  SELECT ck * 2 AS entity_id, c_mktsegment AS seg, cents_off FROM cust
+  UNION ALL
+  SELECT ck * 2 + 1,
+         CASE WHEN ck % 3 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END,
+         CASE WHEN ck % 7 = 0 THEN cents_off + 100000 ELSE cents_off END
+  FROM cust
+), keyed AS (
+  SELECT entity_id,
+         concat(lpad(cast(cents_off AS VARCHAR), 12, '0'), ':', seg)
+           AS sn_key
+  FROM ents
+), ranked AS (
+  SELECT entity_id,
+         row_number() OVER (ORDER BY sn_key, entity_id) AS rnk
+  FROM keyed
+)
+SELECT a.entity_id AS id_a, b.entity_id AS id_b,
+       cast(b.rnk - a.rnk AS INT) AS sn_offset
+FROM ranked a
+JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 3
+"""
+
+
 def q_kg_embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orthogonal Procrustes alignment between two embedding spaces
     (functions/distml.py:procrustes_fit — Schönemann 1966; the
@@ -9647,6 +9723,7 @@ def queries() -> dict:
             "kg_reified_provenance": q_kg_reified_provenance,
             "kg_embedding_align": q_kg_embedding_align,
             "kg_blocking_quality": q_kg_blocking_quality,
+            "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9790,6 +9867,7 @@ def oracle_sql() -> dict:
         "conv_topic_shifts": _CONV_TOPIC_SHIFTS_SQL,
         "kg_reified_provenance": _KG_REIFIED_SQL,
         "kg_blocking_quality": _KG_BLOCKING_QUALITY_SQL,
+        "kg_sorted_neighborhood": _KG_SORTED_NEIGHBORHOOD_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
