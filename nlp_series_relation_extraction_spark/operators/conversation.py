@@ -331,3 +331,97 @@ def topic_segments(
         .over(seg_w)
         .alias("segment_idx"),
     ).drop("_toks", "_prev", "_inter", "_uni")
+
+
+FIRST_PERSON = ("i", "me", "my", "we", "us", "our", "myself")
+SECOND_PERSON = ("you", "your", "yours", "yourself")
+
+
+def ground_deictic(
+    triples: DataFrame,
+    turns: DataFrame,
+    first_person: tuple = FIRST_PERSON,
+    second_person: tuple = SECOND_PERSON,
+) -> DataFrame:
+    """Deictic subject grounding: rewrite first/second-person triple
+    subjects to the speaking / addressed participant — the step that
+    turns "I deployed the service" (useless as a KG node) into
+    (assistant, deployed, service). The reference's per-sentence heads
+    emit the pronoun surface verbatim (its eval then counts a literal
+    '我' subject, models/model_*.py decode paths); in multi-turn agent
+    transcripts the speaker IS known from ``role``, so this is free
+    signal the single-sentence formulation cannot use.
+
+    ``turns``: (conv_id, turn_idx, role). ``triples``: (conv_id,
+    turn_idx, subj, pred, obj). Rules, case-insensitive on the subject:
+
+    * subject in ``first_person``  -> the turn's own ``role``
+      (grounding = 'first').
+    * subject in ``second_person`` -> the addressee: the role of the
+      most recent PRECEDING turn with a different role; if the run of
+      same-role turns reaches the conversation start, the EARLIEST
+      FOLLOWING different role (grounding = 'second'); a mono-role
+      conversation leaves the subject unchanged ('unresolved').
+    * anything else passes through (grounding = 'none').
+
+    Scale shape: addressee is computed on the TURNS table (small side:
+    one row per turn, no triple fan-out) with two stacked windows over
+    ONE conv_id exchange — forward: last(prev_role where it differs,
+    ignore nulls); backward: the mirror with lead — then coalesced.
+    Triples join that per-turn grounding on (conv_id, turn_idx): the
+    extraction output's native key, co-partitioned with the
+    conv_id-bucketed table layout, so at 100 TB the join is
+    shuffle-free on the triple side of a bucketed store."""
+    fp = [s.lower() for s in first_person]
+    sp = [s.lower() for s in second_person]
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wd = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    cumd = wd.rowsBetween(Window.unboundedPreceding, 0)
+    tt = (
+        turns.select("conv_id", "turn_idx", "role")
+        .withColumn("_prev", F.lag("role").over(w))
+        .withColumn("_next", F.lag("role").over(wd))
+    )
+    tt = tt.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.last(
+            F.when(F.col("_prev") != F.col("role"), F.col("_prev")),
+            ignorenulls=True,
+        )
+        .over(cum)
+        .alias("_addr_prev"),
+        F.last(
+            F.when(F.col("_next") != F.col("role"), F.col("_next")),
+            ignorenulls=True,
+        )
+        .over(cumd)
+        .alias("_addr_next"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce("_addr_prev", "_addr_next").alias("addressee"),
+    )
+    j = triples.join(tt, ["conv_id", "turn_idx"], "left")
+    low = F.lower(F.col("subj"))
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "subj",
+        "pred",
+        "obj",
+        F.when(low.isin(fp), F.coalesce(F.col("role"), F.col("subj")))
+        .when(low.isin(sp), F.coalesce(F.col("addressee"), F.col("subj")))
+        .otherwise(F.col("subj"))
+        .alias("grounded_subj"),
+        F.when(low.isin(fp) & F.col("role").isNotNull(), F.lit("first"))
+        .when(
+            low.isin(sp) & F.col("addressee").isNotNull(), F.lit("second")
+        )
+        .when(low.isin(fp) | low.isin(sp), F.lit("unresolved"))
+        .otherwise(F.lit("none"))
+        .alias("grounding"),
+    )

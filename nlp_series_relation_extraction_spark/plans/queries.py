@@ -4342,6 +4342,110 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_conv_ground_deictic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deictic subject grounding (operators/conversation.py:
+    ground_deictic): 'I'/'you' triple subjects rewritten to the
+    speaking / addressed role — the multi-turn signal the reference's
+    per-sentence heads drop (their decode emits the pronoun surface
+    verbatim). Documents fold 8-to-a-conversation with the 3-way role
+    rotation of role_transitions (the 7-cycle beat guarantees same-role
+    runs, so the backward addressee fallback and the forward chain both
+    fire); subjects cycle i/you/alice/we/service so every grounding
+    class appears. Two stacked windows on the turn table + one
+    (conv_id, turn_idx) join; bit-exact DuckDB window twin."""
+    from ..operators.conversation import ground_deictic
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") % 7) % 3 == 0, F.lit("user"))
+        .when((F.col("doc_id") % 7) % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        F.col("doc_id"),
+    )
+    turns = d.select("conv_id", "turn_idx", "role")
+    subj = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("i"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("You"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("alice"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("we"))
+        .otherwise(F.lit("service"))
+    )
+    triples = d.select(
+        "conv_id",
+        "turn_idx",
+        subj.alias("subj"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 3).cast("string")).alias(
+            "pred"
+        ),
+        F.concat(F.lit("o"), (F.col("doc_id") % 4).cast("string")).alias(
+            "obj"
+        ),
+    )
+    return ground_deictic(triples, turns)
+
+
+_CONV_GROUND_DEICTIC_SQL = """
+WITH d AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         CASE WHEN (doc_id % 7) % 3 = 0 THEN 'user'
+              WHEN (doc_id % 7) % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         doc_id
+  FROM documents
+), turns AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+           AS next_role
+  FROM d
+), addr AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(
+           last_value(CASE WHEN prev_role <> role THEN prev_role END
+                      IGNORE NULLS)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           last_value(CASE WHEN next_role <> role THEN next_role END
+                      IGNORE NULLS)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ) AS addressee
+  FROM turns
+), triples AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN doc_id % 5 = 0 THEN 'i'
+              WHEN doc_id % 5 = 1 THEN 'You'
+              WHEN doc_id % 5 = 2 THEN 'alice'
+              WHEN doc_id % 5 = 3 THEN 'we'
+              ELSE 'service' END AS subj,
+         concat('p', cast(doc_id % 3 AS VARCHAR)) AS pred,
+         concat('o', cast(doc_id % 4 AS VARCHAR)) AS obj
+  FROM d
+)
+SELECT tr.conv_id, tr.turn_idx, tr.subj, tr.pred, tr.obj,
+       CASE WHEN lower(tr.subj) IN ('i','me','my','we','us','our','myself')
+              THEN coalesce(a.role, tr.subj)
+            WHEN lower(tr.subj) IN ('you','your','yours','yourself')
+              THEN coalesce(a.addressee, tr.subj)
+            ELSE tr.subj END AS grounded_subj,
+       CASE WHEN lower(tr.subj) IN ('i','me','my','we','us','our','myself')
+              AND a.role IS NOT NULL THEN 'first'
+            WHEN lower(tr.subj) IN ('you','your','yours','yourself')
+              AND a.addressee IS NOT NULL THEN 'second'
+            WHEN lower(tr.subj) IN ('i','me','my','we','us','our','myself',
+                                    'you','your','yours','yourself')
+              THEN 'unresolved'
+            ELSE 'none' END AS grounding
+FROM triples tr
+LEFT JOIN addr a
+  ON a.conv_id = tr.conv_id AND a.turn_idx = tr.turn_idx
+"""
+
+
 def q_kg_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood candidate generation (operators/linking.py:
     sorted_neighborhood — Hernandez & Stolfo 1995 merge/purge) over the
@@ -9724,6 +9828,7 @@ def queries() -> dict:
             "kg_embedding_align": q_kg_embedding_align,
             "kg_blocking_quality": q_kg_blocking_quality,
             "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
+            "conv_ground_deictic": q_conv_ground_deictic,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9868,6 +9973,7 @@ def oracle_sql() -> dict:
         "kg_reified_provenance": _KG_REIFIED_SQL,
         "kg_blocking_quality": _KG_BLOCKING_QUALITY_SQL,
         "kg_sorted_neighborhood": _KG_SORTED_NEIGHBORHOOD_SQL,
+        "conv_ground_deictic": _CONV_GROUND_DEICTIC_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
