@@ -124,3 +124,77 @@ def entity_em(pred_entities: DataFrame, gold_entities: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("entity_f1"),
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score_ppm",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected-calibration-error decomposition
+    (Naeini et al. 2015's ECE / DeGroot-Fienberg reliability diagram)
+    for a binary scorer — the standard audit for the quality-classifier
+    stage: a corpus filter whose scores are over/under-confident keeps
+    the wrong documents at any threshold even when its ranking (AUC) is
+    fine. The reference never calibrates (its eval is threshold-free
+    P/R/F1, run_evaluation.py); a 100-TB curation pipeline gating on
+    score > t needs this table before picking t.
+
+    Input: one row per example with an integer-ppm score in [0, 1e6]
+    (``score_col``) and a 0/1 ``label_col``. Returns one row per
+    non-empty equal-width bin (bin = score * n_bins div 1e6, capped to
+    the last bin so score = 1e6 lands in bin n_bins - 1):
+
+      (bin, n, n_pos, mean_score_ppm, frac_pos_ppm, gap_ppm,
+       ece_contrib_ppm)
+
+    mean_score_ppm = sum(score) div n; frac_pos_ppm = n_pos * 1e6
+    div n; gap_ppm = |mean_score - frac_pos| (per-bin confidence/
+    accuracy gap, the reliability-diagram deviation); ece_contrib_ppm
+    = n * gap_ppm div N (so sum(ece_contrib_ppm) ~ ECE in ppm, each
+    term truncated). All truncating BIGINT ppm — bit-exact twin.
+
+    Scale shape: ONE groupBy over at most n_bins keys (map-side
+    combined into n_bins partial rows per task), then a broadcast
+    crossJoin of the one-row total for the ECE weights. No per-example
+    state leaves the scan."""
+    if n_bins < 1:
+        raise ValueError("calibration_report: n_bins must be >= 1")
+    s = scored.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    b = s.select(
+        F.least(
+            F.expr(f"s * {int(n_bins)}L div 1000000L"),
+            F.lit(int(n_bins) - 1).cast("long"),
+        )
+        .cast("int")
+        .alias("bin"),
+        "s",
+        "y",
+    )
+    bins = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("s").cast("long").alias("sum_s"),
+    )
+    total = bins.agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        bins.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("sum_s div n").alias("mean_score_ppm"),
+            F.expr("n_pos * 1000000L div n").alias("frac_pos_ppm"),
+            F.expr(
+                "abs(sum_s div n - n_pos * 1000000L div n)"
+            ).alias("gap_ppm"),
+            F.expr(
+                "n * abs(sum_s div n - n_pos * 1000000L div n)"
+                " div n_total"
+            ).alias("ece_contrib_ppm"),
+        )
+    )

@@ -4342,6 +4342,62 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE decomposition (evaluation/metrics.py:
+    calibration_report) for a deterministic stopword-density scorer
+    against the planted keep-rule label over documents — the audit a
+    quality-gate threshold needs before filtering a corpus. The scorer
+    is score_ppm = min(1e6, stopword_density * 8e6-ish), saturating
+    so the planted rule (density >= 1/16) flips exactly at 500k ppm:
+    low bins are provably miscalibrated, the top bin is pure. ONE
+    n_bins-key groupBy + a broadcast one-row total; truncating BIGINT
+    ppm, bit-exact twin of the reliability-diagram arithmetic."""
+    from ..evaluation.metrics import calibration_report
+    from ..functions.textstats import quality_stats
+
+    stats = quality_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+    scored = stats.select(
+        F.expr(
+            "least(1000000L, cast(n_stopwords as bigint) * 16L * 500000L"
+            " div greatest(cast(n_words as bigint), 1L))"
+        ).alias("score_ppm"),
+        (F.col("n_stopwords") * 16 >= F.col("n_words"))
+        .cast("int")
+        .alias("label"),
+    )
+    return calibration_report(scored, n_bins=10).orderBy("bin")
+
+
+_QUALITY_CALIBRATION_SQL = r"""
+WITH stats AS (
+  SELECT len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))
+           AS n_stopwords
+  FROM documents
+), scored AS (
+  SELECT least(1000000, cast(n_stopwords AS BIGINT) * 16 * 500000
+               // greatest(cast(n_words AS BIGINT), 1)) AS s,
+         CASE WHEN n_stopwords * 16 >= n_words THEN 1 ELSE 0 END AS y
+  FROM stats
+), binned AS (
+  SELECT cast(least(s * 10 // 1000000, 9) AS INT) AS bin, s, y FROM scored
+), bins AS (
+  SELECT bin, cast(count(*) AS BIGINT) AS n,
+         cast(sum(y) AS BIGINT) AS n_pos,
+         cast(sum(s) AS BIGINT) AS sum_s
+  FROM binned GROUP BY bin
+), tot AS (SELECT cast(sum(n) AS BIGINT) AS n_total FROM bins)
+SELECT bin, n, n_pos,
+       cast(sum_s // n AS BIGINT) AS mean_score_ppm,
+       cast(n_pos * 1000000 // n AS BIGINT) AS frac_pos_ppm,
+       cast(abs(sum_s // n - n_pos * 1000000 // n) AS BIGINT) AS gap_ppm,
+       cast(n * abs(sum_s // n - n_pos * 1000000 // n) // n_total
+            AS BIGINT) AS ece_contrib_ppm
+FROM bins CROSS JOIN tot
+ORDER BY bin
+"""
+
+
 def q_conv_ground_deictic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deictic subject grounding (operators/conversation.py:
     ground_deictic): 'I'/'you' triple subjects rewritten to the
@@ -9829,6 +9885,7 @@ def queries() -> dict:
             "kg_blocking_quality": q_kg_blocking_quality,
             "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
             "conv_ground_deictic": q_conv_ground_deictic,
+            "quality_calibration": q_quality_calibration,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -9974,6 +10031,7 @@ def oracle_sql() -> dict:
         "kg_blocking_quality": _KG_BLOCKING_QUALITY_SQL,
         "kg_sorted_neighborhood": _KG_SORTED_NEIGHBORHOOD_SQL,
         "conv_ground_deictic": _CONV_GROUND_DEICTIC_SQL,
+        "quality_calibration": _QUALITY_CALIBRATION_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
