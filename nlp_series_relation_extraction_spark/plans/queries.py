@@ -4342,6 +4342,44 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss cohesion profile of the derived entity graph
+    (operators/graph.py:k_truss; rows-only: peeling to fixpoint is
+    iterative — the recursion is pinned exactly against the python twin
+    in tests/test_ktruss.py). One summary row per k: how much of the
+    graph survives each corroboration strength — the dense-cluster
+    keep-filter a noisy extracted KG runs before serving (every edge
+    must share >= k-2 mutual neighbors, so spurious bridges die
+    first). Wedge joins are degree-ordered (power-law-safe)."""
+    from ..operators.graph import k_truss
+
+    edges = _derived_edge_table(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    for k in (3, 4):
+        truss = k_truss(edges, k)
+        row = truss.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count("*").cast("long").alias("n_edges"),
+            F.coalesce(F.sum("support"), F.lit(0))
+            .cast("long")
+            .alias("sum_support"),
+            F.coalesce(F.max("support"), F.lit(0))
+            .cast("long")
+            .alias("max_support"),
+        )
+        verts = (
+            truss.select(F.col("u").alias("x"))
+            .union(truss.select(F.col("v").alias("x")))
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_vertices"))
+        )
+        row = row.crossJoin(F.broadcast(verts))
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "k", "n_vertices", "n_edges", "sum_support", "max_support"
+    ).orderBy("k")
+
+
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability table + ECE decomposition (evaluation/metrics.py:
     calibration_report) for a deterministic stopword-density scorer
@@ -9886,6 +9924,7 @@ def queries() -> dict:
             "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
             "conv_ground_deictic": q_conv_ground_deictic,
             "quality_calibration": q_quality_calibration,
+            "kg_ktruss": q_kg_ktruss,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -30,6 +30,9 @@ def test_every_oracle_has_a_query():
                # iterative peeling to fixpoint, python-twin-pinned in
                # tests/test_graph_analytics.py
                "kg_kcore",
+               # truss peeling to fixpoint, python-twin-pinned in
+               # tests/test_ktruss.py
+               "kg_ktruss",
                # walks->pairs->fit composition; every stage twin-pinned
                "kg_deepwalk_embeddings",
                # seeded power iteration, numpy-twin-pinned in
@@ -55,7 +58,10 @@ def test_every_oracle_has_a_query():
                "unigram_token_counts",
                # Fellegi-Sunter EM: SQL cannot run the recursion; twin
                # BIT-equality pinned in tests/test_record_linkage.py
-               "kg_record_linkage")
+               "kg_record_linkage",
+               # driver-side SVD (Procrustes fit) over Arrow partial
+               # sums, twin-pinned in tests/test_procrustes.py
+               "kg_embedding_align")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
