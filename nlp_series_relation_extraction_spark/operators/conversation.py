@@ -425,3 +425,51 @@ def ground_deictic(
         .otherwise(F.lit("none"))
         .alias("grounding"),
     )
+
+
+def turn_latency_stats(transcripts: DataFrame) -> DataFrame:
+    """Response-latency profile per dialogue transition: for every
+    adjacent turn pair, the gap between the two turns' timestamps,
+    aggregated per (from_role, to_role). The timing companion to
+    role_transitions' count matrix — tool-call round-trips, user think
+    time, and assistant generation latency separate cleanly by role
+    pair, and a latency distribution that shifts between corpus
+    snapshots flags an infrastructure change that would skew any
+    duration-derived training signal.
+
+    Input: (conv_id, turn_idx, role, ts). Returns one row per observed
+    (from_role, to_role):
+
+      (from_role, to_role, n, mean_latency_us, min_latency_us,
+       max_latency_us, n_nonpositive)
+
+    Latency = exact microsecond delta to the NEXT turn's ts in
+    turn_idx order (no per-row division — unix_micros is lossless);
+    mean is the truncating integer division sum div n (== floor for
+    the non-negative gaps of a ts-ordered transcript). n_nonpositive
+    counts gaps <= 0 (clock skew / same-timestamp batching — a
+    data-quality signal in its own right, so they stay in the
+    aggregates rather than being silently dropped).
+
+    Plan: one lead() window on the transcript's native conv_id
+    partitioning, then a role-pair-sized groupBy with map-side
+    combine — identical shuffle shape to role_transitions, so the two
+    reports share an exchange when computed together."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # cast covers TIMESTAMP_NTZ parquet columns; any fixed zone offset the
+    # cast introduces cancels in the delta, so latencies are tz-invariant
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pairs = transcripts.select(
+        F.col("role").alias("from_role"),
+        F.lead("role").over(w).alias("to_role"),
+        (F.lead(us).over(w) - us).cast("long").alias("lat_us"),
+    ).where(F.col("to_role").isNotNull())
+    return pairs.groupBy("from_role", "to_role").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(lat_us) div count(*)").alias("mean_latency_us"),
+        F.min("lat_us").cast("long").alias("min_latency_us"),
+        F.max("lat_us").cast("long").alias("max_latency_us"),
+        F.sum(F.when(F.col("lat_us") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive"),
+    )

@@ -4342,6 +4342,54 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role-pair response-latency profile (operators/conversation.py:
+    turn_latency_stats) over events read as transcripts: user_id is the
+    conversation, event_type the role, turn order the (ts, event_id)
+    row_number. Exact microsecond deltas, truncating-div mean — both
+    engines truncate integral division identically, so the twin is
+    bit-exact. One conv_id window + a role-pair-sized groupBy."""
+    from ..operators.conversation import turn_latency_stats
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        "ts",
+    )
+    return turn_latency_stats(turns).orderBy("from_role", "to_role")
+
+
+_TURN_LATENCY_SQL = """
+WITH turns AS (
+  SELECT cast(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS turn_idx,
+         event_type AS role, ts
+  FROM events
+), pairs AS (
+  SELECT role AS from_role,
+         lead(role) OVER w AS to_role,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS lat_us
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT from_role, to_role,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(lat_us) // count(*) AS BIGINT) AS mean_latency_us,
+       cast(min(lat_us) AS BIGINT) AS min_latency_us,
+       cast(max(lat_us) AS BIGINT) AS max_latency_us,
+       cast(sum(CASE WHEN lat_us <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive
+FROM pairs WHERE to_role IS NOT NULL
+GROUP BY from_role, to_role
+ORDER BY from_role, to_role
+"""
+
+
 def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss cohesion profile of the derived entity graph
     (operators/graph.py:k_truss; rows-only: peeling to fixpoint is
@@ -9925,6 +9973,7 @@ def queries() -> dict:
             "conv_ground_deictic": q_conv_ground_deictic,
             "quality_calibration": q_quality_calibration,
             "kg_ktruss": q_kg_ktruss,
+            "turn_latency": q_turn_latency,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10071,6 +10120,7 @@ def oracle_sql() -> dict:
         "kg_sorted_neighborhood": _KG_SORTED_NEIGHBORHOOD_SQL,
         "conv_ground_deictic": _CONV_GROUND_DEICTIC_SQL,
         "quality_calibration": _QUALITY_CALIBRATION_SQL,
+        "turn_latency": _TURN_LATENCY_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
