@@ -221,3 +221,98 @@ def canonicalize_predicates(
         "triples": rewritten,
         "n_clusters": len(clusters),
     }
+
+
+def align_predicates(
+    kg_a: DataFrame,
+    kg_b: DataFrame,
+    subj_col: str = "subject",
+    pred_col: str = "predicate",
+    obj_col: str = "object_val",
+    min_joint: int = 1,
+    max_pair_preds: int = 8,
+) -> DataFrame:
+    """Instance-based predicate alignment BETWEEN two KGs that share
+    entity identifiers (PARIS, Suchanek et al. VLDB 2012 §5 — the
+    subsumption estimates its relation-alignment stage is built on;
+    also the schema-matching step of any cross-snapshot / cross-model
+    KG merge): predicate r of KG A aligns with r' of KG B to the
+    degree the same (subject, object) pairs are asserted under both.
+
+    Returns one row per co-asserted predicate pair:
+
+      (pred_a, pred_b, n_a, n_b, n_joint, sub_ppm, super_ppm,
+       jaccard_ppm)
+
+    n_a / n_b = distinct argument pairs of the predicate in its own
+    KG; n_joint = distinct pairs asserted under both; sub_ppm =
+    n_joint * 1e6 div n_a estimates P(r'(s,o) | r(s,o)) — near 1e6
+    means r ⊑ r' (A's predicate is subsumed by B's); super_ppm the
+    mirror; jaccard_ppm the symmetric equivalence score. Truncating
+    integer ppm — bit-stable cross-engine.
+
+    Unlike predicate_paraphrase_edges (same-KG paraphrases, pred_a <
+    pred_b on one table), this keeps the two schemas apart: every
+    (pred_a, pred_b) combination across the KGs is scored, including
+    identically-named predicates.
+
+    Plan shape: each side dedupes to distinct claims once; the
+    evidence join is keyed on (subj, obj) AFTER the same stop-pair
+    firewall as paraphrase mining, applied per side with the COMBINED
+    promiscuity cap (a pair's fan-out across the join is #preds_A x
+    #preds_B, so capping each side at max_pair_preds bounds the
+    per-key work at max_pair_preds^2); per-predicate sizes are
+    schema-sized and broadcast back."""
+    if min_joint < 1:
+        raise ValueError(f"min_joint must be >= 1, got {min_joint}")
+    da = _distinct_claims(kg_a, subj_col, pred_col, obj_col)
+    db = _distinct_claims(kg_b, subj_col, pred_col, obj_col)
+
+    def _capped(d: DataFrame) -> DataFrame:
+        keep = (
+            d.groupBy("subj", "obj")
+            .agg(F.count("*").alias("_np"))
+            .where(F.col("_np") <= max_pair_preds)
+            .select("subj", "obj")
+        )
+        return d.join(keep, ["subj", "obj"])
+
+    ca, cb = _capped(da), _capped(db)
+    sizes_a = ca.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_a")
+    )
+    sizes_b = cb.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_b")
+    )
+    joint = (
+        ca.select(F.col("pred").alias("pred_a"), "subj", "obj")
+        .join(
+            cb.select(F.col("pred").alias("pred_b"), "subj", "obj"),
+            ["subj", "obj"],
+        )
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count("*").cast("long").alias("n_joint"))
+        .where(F.col("n_joint") >= min_joint)
+    )
+    return (
+        joint.join(
+            F.broadcast(sizes_a.withColumnRenamed("pred", "pred_a")),
+            "pred_a",
+        )
+        .join(
+            F.broadcast(sizes_b.withColumnRenamed("pred", "pred_b")),
+            "pred_b",
+        )
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_a",
+            "n_b",
+            "n_joint",
+            F.expr("n_joint * 1000000L div n_a").alias("sub_ppm"),
+            F.expr("n_joint * 1000000L div n_b").alias("super_ppm"),
+            F.expr(
+                "n_joint * 1000000L div (n_a + n_b - n_joint)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -4342,6 +4342,94 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_kg_predicate_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-KG predicate alignment (operators/predicates.py:
+    align_predicates — PARIS VLDB 2012 instance-based subsumption) on
+    two deterministically-derived order KGs sharing (custkey,
+    orderkey) pairs: KG A asserts the fine 'prio_<x>' predicate per
+    order; KG B re-asserts a COARSE 'urgent'/'routine' split but only
+    for orderkey % 3 != 0 (so sub_ppm sits near 2/3, super_ppm near
+    the priority's share of its coarse class), plus a 'flagged'
+    predicate on every 5th order crossing both classes. The report
+    recovers the fine⊑coarse hierarchy numerically. One (subj, obj)
+    equi-join after per-side stop-pair capping; schema-sized
+    broadcasts; truncating integer ppm, bit-exact twin."""
+    from ..operators.predicates import align_predicates
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("subject"),
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_orderkey").cast("string").alias("object_val"),
+        "o_orderpriority",
+    )
+    kg_a = o.select(
+        "subject",
+        F.concat(F.lit("prio_"), F.col("o_orderpriority")).alias(
+            "predicate"
+        ),
+        "object_val",
+    )
+    coarse = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.lit("urgent"),
+    ).otherwise(F.lit("routine"))
+    kg_b = (
+        o.where(F.col("ok") % 3 != 0)
+        .select("subject", coarse.alias("predicate"), "object_val")
+        .unionByName(
+            o.where(F.col("ok") % 5 == 0).select(
+                "subject", F.lit("flagged").alias("predicate"), "object_val"
+            )
+        )
+    )
+    return align_predicates(kg_a, kg_b).orderBy("pred_a", "pred_b")
+
+
+_KG_PREDICATE_ALIGN_SQL = """
+WITH o AS (
+  SELECT cast(o_custkey AS VARCHAR) AS subj,
+         o_orderkey AS ok,
+         cast(o_orderkey AS VARCHAR) AS obj,
+         o_orderpriority AS pr
+  FROM orders
+), kg_a AS (
+  SELECT DISTINCT concat('prio_', pr) AS pred, subj, obj FROM o
+), kg_b AS (
+  SELECT DISTINCT pred, subj, obj FROM (
+    SELECT CASE WHEN pr IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                ELSE 'routine' END AS pred, subj, obj
+    FROM o WHERE ok % 3 <> 0
+    UNION ALL
+    SELECT 'flagged', subj, obj FROM o WHERE ok % 5 = 0
+  )
+), keep_a AS (
+  SELECT subj, obj FROM kg_a GROUP BY subj, obj HAVING count(*) <= 8
+), keep_b AS (
+  SELECT subj, obj FROM kg_b GROUP BY subj, obj HAVING count(*) <= 8
+), ca AS (SELECT kg_a.* FROM kg_a JOIN keep_a USING (subj, obj)),
+cb AS (SELECT kg_b.* FROM kg_b JOIN keep_b USING (subj, obj)),
+sizes_a AS (
+  SELECT pred AS pred_a, cast(count(*) AS BIGINT) AS n_a
+  FROM ca GROUP BY pred
+), sizes_b AS (
+  SELECT pred AS pred_b, cast(count(*) AS BIGINT) AS n_b
+  FROM cb GROUP BY pred
+), joint AS (
+  SELECT ca.pred AS pred_a, cb.pred AS pred_b,
+         cast(count(*) AS BIGINT) AS n_joint
+  FROM ca JOIN cb USING (subj, obj)
+  GROUP BY ca.pred, cb.pred
+)
+SELECT pred_a, pred_b, n_a, n_b, n_joint,
+       cast(n_joint * 1000000 // n_a AS BIGINT) AS sub_ppm,
+       cast(n_joint * 1000000 // n_b AS BIGINT) AS super_ppm,
+       cast(n_joint * 1000000 // (n_a + n_b - n_joint) AS BIGINT)
+         AS jaccard_ppm
+FROM joint JOIN sizes_a USING (pred_a) JOIN sizes_b USING (pred_b)
+ORDER BY pred_a, pred_b
+"""
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-role-pair response-latency profile (operators/conversation.py:
     turn_latency_stats) over events read as transcripts: user_id is the
@@ -9974,6 +10062,7 @@ def queries() -> dict:
             "quality_calibration": q_quality_calibration,
             "kg_ktruss": q_kg_ktruss,
             "turn_latency": q_turn_latency,
+            "kg_predicate_align": q_kg_predicate_align,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10121,6 +10210,7 @@ def oracle_sql() -> dict:
         "conv_ground_deictic": _CONV_GROUND_DEICTIC_SQL,
         "quality_calibration": _QUALITY_CALIBRATION_SQL,
         "turn_latency": _TURN_LATENCY_SQL,
+        "kg_predicate_align": _KG_PREDICATE_ALIGN_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
