@@ -1009,3 +1009,182 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "pq_dot")
     )
+
+
+def _augmented(qv: DataFrame, maxn2: int) -> DataFrame:
+    """(id, avec): quantized vector extended with the MIPS augmentation
+    component floor(sqrt(max_corpus_norm2 - norm2)) — integer-valued so
+    both engines compute it bit-identically (IEEE double sqrt + floor)."""
+    return qv.select(
+        "id",
+        F.expr(
+            "concat(qvec, array(cast(floor(sqrt(cast("
+            f"{int(maxn2)}L - qnorm2 as double))) as bigint)))"
+        ).alias("avec"),
+    )
+
+
+def mips_topk_lsh(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 24,
+) -> DataFrame:
+    """Approximate MAXIMUM-INNER-PRODUCT top-k via the asymmetric
+    norm-augmentation reduction (Bachrach et al. RecSys 2014; the
+    simple-LSH variant of Neyshabur & Srebro 2015): corpus vectors get
+    an extra component sqrt(M^2 - |x|^2) (M = max corpus norm), queries
+    get 0 there — augmented inner products equal the original ones
+    while corpus norms equalize at ~M, so hyperplane (angular) LSH
+    buckets become valid for DOT-PRODUCT retrieval. This is the ANN
+    that matrix-factorization / KGE scoring actually needs: cosine LSH
+    (ann_topk_lsh's bucketing geometry) systematically under-retrieves
+    high-norm items, which are exactly the items MIPS must return.
+
+    Candidates = multi-table OR-amplified bucket join on the AUGMENTED
+    vectors (corpus augmented with its component, queries bucketed
+    asymmetrically with 0); scoring = EXACT quantized integer dot of
+    the original vectors; output schema matches brute_force_topk (the
+    exact-MIPS baseline), so recall is directly measurable.
+
+    The augmentation component is floor(sqrt(M^2 - |x|^2)) on the
+    QUANTIZED integers — off by < 1 unit from the real-valued
+    transform (irrelevant to bucket geometry at QUANT=1000) and
+    bit-reproducible in SQL, so the whole operator has a DuckDB twin.
+
+    Scale shape: identical to ann_topk_lsh — one Arrow-batched matmul
+    bucketing pass over the corpus (the max-norm reduce is one scalar
+    collect first), broadcast query buckets, candidate dedup before
+    scoring. ~tables * N / 2^bits candidates per query, never N."""
+    from .partitioning import ensure_parallelism
+
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    qv = ensure_parallelism(
+        quantized(embeddings, id_col, vec_col)
+    ).localCheckpoint(eager=True)
+    maxn2 = int(qv.agg(F.max("qnorm2")).first()[0])
+    corpus_aug = _augmented(qv, maxn2)
+    cb = _bucket_all_tables(
+        corpus_aug.select("id", F.col("avec").alias("qvec")),
+        dim + 1,
+        bits,
+        tables,
+    ).select("id", "tbucket")
+    q_aug = (
+        qv.where(F.col("id").isin(query_ids))
+        .select("id", F.expr("concat(qvec, array(0L))").alias("qvec"))
+    )
+    qb = _bucket_all_tables(q_aug, dim + 1, bits, tables).select(
+        F.col("id").alias("query_id"), F.col("tbucket").alias("q_tbucket")
+    )
+    cand_ids = (
+        cb.join(F.broadcast(qb), F.col("tbucket") == F.col("q_tbucket"))
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+        .distinct()
+    )
+    queries = qv.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    cands = (
+        cand_ids.join(qv.select("id", "qvec"), "id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("qdot", _dot("qvec", "q_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("neighbor_id"), "qdot")
+    )
+
+
+def mips_topk_lsh_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 24,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle mirroring mips_topk_lsh exactly: same md5 sign
+    matrix over dim+1 components, corpus bucketed on the augmented
+    vector, queries bucketed asymmetrically with a 0 last component."""
+    M = _sign_matrix(dim + 1, bits, tables)  # [tables*bits, dim+1]
+
+    def _bucket_exprs(vec: str) -> list[str]:
+        exprs = []
+        for t in range(tables):
+            bit_terms = []
+            for b in range(bits):
+                signs = M[t * bits + b]
+                plane = " + ".join(
+                    f"({'' if s > 0 else '-'}{vec}[{d + 1}])"
+                    for d, s in enumerate(signs)
+                )
+                bit_terms.append(
+                    f"(CASE WHEN ({plane}) > 0 THEN {1 << b} ELSE 0 END)"
+                )
+            exprs.append(
+                f"'{t}:' || cast(({' + '.join(bit_terms)}) AS VARCHAR)"
+            )
+        return exprs
+
+    ids = ",".join(str(i) for i in query_ids)
+    return f"""
+WITH qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+           x -> cast(floor(cast(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qvec
+  FROM {table}
+), qn AS (
+  SELECT id, qvec,
+         cast(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT)
+           AS qnorm2
+  FROM qv
+), mx AS (SELECT max(qnorm2) AS maxn2 FROM qn),
+aug AS (
+  SELECT id, qvec,
+         list_append(qvec,
+           cast(floor(sqrt(cast(maxn2 - qnorm2 AS DOUBLE))) AS BIGINT))
+           AS avec
+  FROM qn CROSS JOIN mx
+), cbuckets AS (
+  SELECT id, unnest([{", ".join(_bucket_exprs("avec"))}]) AS tbucket
+  FROM aug
+), qaug AS (
+  SELECT id, list_append(qvec, cast(0 AS BIGINT)) AS avec
+  FROM qn WHERE id IN ({ids})
+), qbuckets AS (
+  SELECT id AS query_id,
+         unnest([{", ".join(_bucket_exprs("avec"))}]) AS tbucket
+  FROM qaug
+), cand AS (
+  SELECT DISTINCT q.query_id, c.id
+  FROM cbuckets c JOIN qbuckets q ON c.tbucket = q.tbucket
+  WHERE c.id != q.query_id
+), flat AS (
+  SELECT id, unnest(qvec) AS val, generate_subscripts(qvec, 1) AS pos
+  FROM qv
+), dots AS (
+  SELECT cand.query_id, cand.id AS neighbor_id,
+         cast(sum(cv.val * qf.val) AS BIGINT) AS qdot
+  FROM cand
+  JOIN flat cv ON cv.id = cand.id
+  JOIN flat qf ON qf.id = cand.query_id AND qf.pos = cv.pos
+  GROUP BY cand.query_id, cand.id
+)
+SELECT query_id, rank, neighbor_id, qdot FROM (
+  SELECT query_id, neighbor_id, qdot,
+         cast(row_number() OVER (
+           PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+         ) AS INT) AS rank
+  FROM dots
+) WHERE rank <= {k}
+"""

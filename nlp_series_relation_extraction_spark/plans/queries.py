@@ -4342,6 +4342,38 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+_MIPS_SCALED_SUBQUERY = (
+    "(SELECT vec_id, list_transform(embedding, "
+    "x -> cast(x AS DOUBLE) * "
+    "(1.0 + cast(vec_id % 5 AS DOUBLE) / 4.0)) AS embedding "
+    "FROM embeddings) AS scaled"
+)
+
+
+def q_ann_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 via asymmetric norm augmentation
+    (functions/similarity.py:mips_topk_lsh — Bachrach 2014 / simple-LSH):
+    embeddings deterministically rescaled by 1.0-2.0x (vec_id % 5
+    quarters — exactly-representable doubles, so quantization stays
+    bit-identical cross-engine) to create the norm spread that makes
+    MIPS differ from cosine; hyperplane LSH runs on the augmented
+    sphere, scoring is the exact integer dot. The md5 projections are
+    deterministic, so the full bucket -> candidate -> rank pipeline has
+    a DuckDB twin (mips_topk_lsh_sql)."""
+    from ..functions.similarity import mips_topk_lsh
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) * "
+            "(1.0D + cast(vec_id % 5 as double) / 4.0D))"
+        ).alias("embedding"),
+    )
+    return mips_topk_lsh(
+        e, "vec_id", "embedding", query_ids=list(range(10)), k=5
+    )
+
+
 def q_kg_predicate_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-KG predicate alignment (operators/predicates.py:
     align_predicates — PARIS VLDB 2012 instance-based subsumption) on
@@ -10063,6 +10095,7 @@ def queries() -> dict:
             "kg_ktruss": q_kg_ktruss,
             "turn_latency": q_turn_latency,
             "kg_predicate_align": q_kg_predicate_align,
+            "ann_topk_mips": q_ann_topk_mips,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10196,6 +10229,13 @@ def oracle_sql() -> dict:
             fromlist=["ann_topk_lsh_sql"],
         ).ann_topk_lsh_sql(
             "embeddings", "vec_id", "embedding", list(range(10)), k=5, dim=64
+        ),
+        "ann_topk_mips": __import__(
+            "nlp_series_relation_extraction_spark.functions.similarity",
+            fromlist=["mips_topk_lsh_sql"],
+        ).mips_topk_lsh_sql(
+            _MIPS_SCALED_SUBQUERY, "vec_id", "embedding",
+            list(range(10)), k=5, dim=64,
         ),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "hll_distinct_users": _HLL_USERS_SQL,
