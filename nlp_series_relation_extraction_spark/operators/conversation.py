@@ -473,3 +473,73 @@ def turn_latency_stats(transcripts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_nonpositive"),
     )
+
+
+NEGATION_CUES = (
+    "not", "never", "no", "cannot", "can't", "didn't", "doesn't",
+    "don't", "won't", "wouldn't", "couldn't", "shouldn't", "isn't",
+    "wasn't", "aren't", "weren't", "without", "neither", "nor",
+)
+
+
+def flag_negated(
+    triples: DataFrame,
+    turns: DataFrame,
+    window_tokens: int = 4,
+    cues: tuple = NEGATION_CUES,
+) -> DataFrame:
+    """NegEx-lite assertion classification for extracted triples
+    (Chapman et al. 2001's pre-cue window, reduced to its high-
+    precision core): a triple is flagged negated when a negation cue
+    appears within the last ``window_tokens`` whitespace tokens BEFORE
+    the predicate's surface anchor in its source turn. The reference's
+    heads extract "A did not acquire B" and "A acquired B" into the
+    SAME triple (no assertion status anywhere in its decode paths) —
+    at KG-construction scale that single bug class poisons downstream
+    fact fusion, so the filter runs between extraction and the edge
+    table.
+
+    ``triples``: (conv_id, turn_idx, subj, pred, obj) where ``pred``
+    is the predicate's surface form as extracted. ``turns``:
+    (conv_id, turn_idx, text). Adds:
+
+    * ``anchor_pos`` — 1-based char position of the predicate surface
+      in the turn text (0 = not found, e.g. post-normalization drift);
+    * ``is_negated`` — cue within the pre-anchor token window
+      (case-insensitive; tokens stripped to [a-z'] before matching so
+      "did NOT," matches). Unanchored triples are never negated.
+
+    Scale shape: one (conv_id, turn_idx) equi-join against the turns
+    table — the extraction output's native key, shuffle-free on a
+    conv_id-bucketed layout — then pure JVM string expressions (locate
+    / substring / split / slice / arrays_overlap): no UDFs, fully
+    inside whole-stage codegen, and the entire rule replays in SQL."""
+    if window_tokens < 1:
+        raise ValueError("flag_negated: window_tokens must be >= 1")
+    cues_arr = F.array(*[F.lit(c) for c in cues])
+    j = triples.join(
+        turns.select("conv_id", "turn_idx", "text"),
+        ["conv_id", "turn_idx"],
+        "left",
+    )
+    anchor = F.expr("locate(pred, text)")
+    w = int(window_tokens)
+    # last w whitespace tokens of the text before the anchor
+    windowed = F.expr(
+        f"slice(split(trim(substring(text, 1, locate(pred, text) - 1)),"
+        f" '\\\\s+'), greatest(1, size(split(trim(substring(text, 1,"
+        f" locate(pred, text) - 1)), '\\\\s+')) - {w} + 1), {w})"
+    )
+    cleaned = F.transform(
+        windowed, lambda t: F.regexp_replace(F.lower(t), "[^a-z']", "")
+    )
+    return j.select(
+        *[F.col(c) for c in triples.columns],
+        F.coalesce(anchor, F.lit(0)).cast("int").alias("anchor_pos"),
+        F.when(
+            F.coalesce(anchor, F.lit(0)) > 0,
+            F.arrays_overlap(cleaned, cues_arr),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_negated"),
+    )

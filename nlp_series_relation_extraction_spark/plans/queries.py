@@ -4342,6 +4342,93 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_conv_negation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NegEx-lite assertion classification (operators/conversation.py:
+    flag_negated) over synthesized turns: documents fold into
+    conversations, each turn's text is '<prefix> <pred> the service'
+    with a 4-cycle of prefixes ('we did not' / 'we did' / 'they will
+    never' / 'ok and'), so exactly the %4 in {0,2} triples flag
+    negated and the pre-anchor window, token cleaning, and cue set are
+    all exercised. Pure JVM string expressions after one (conv_id,
+    turn_idx) join; the DuckDB twin replays the rule bit-exactly."""
+    from ..operators.conversation import flag_negated
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.col("doc_id"),
+    )
+    pred = F.when(F.col("doc_id") % 2 == 0, F.lit("deploy")).otherwise(
+        F.lit("restart")
+    )
+    prefix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("we did not"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("we did"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("they will never"))
+        .otherwise(F.lit("ok and"))
+    )
+    turns = d.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(prefix, F.lit(" "), pred, F.lit(" the service")).alias(
+            "text"
+        ),
+    )
+    triples = d.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("we").alias("subj"),
+        pred.alias("pred"),
+        F.lit("service").alias("obj"),
+    )
+    return flag_negated(triples, turns)
+
+
+_CONV_NEGATION_SQL = r"""
+WITH d AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         doc_id
+  FROM documents
+), built AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'deploy' ELSE 'restart' END AS pred,
+         CASE WHEN doc_id % 4 = 0 THEN 'we did not'
+              WHEN doc_id % 4 = 1 THEN 'we did'
+              WHEN doc_id % 4 = 2 THEN 'they will never'
+              ELSE 'ok and' END AS prefix
+  FROM d
+), rows_ AS (
+  SELECT conv_id, turn_idx, 'we' AS subj, pred, 'service' AS obj,
+         concat(prefix, ' ', pred, ' the service') AS text
+  FROM built
+), anchored AS (
+  SELECT conv_id, turn_idx, subj, pred, obj,
+         cast(strpos(text, pred) AS INT) AS anchor_pos,
+         string_split_regex(
+           trim(substring(text, 1, strpos(text, pred) - 1)), '\s+'
+         ) AS toks
+  FROM rows_
+), windowed AS (
+  SELECT conv_id, turn_idx, subj, pred, obj, anchor_pos,
+         list_transform(
+           list_slice(toks, greatest(1, len(toks) - 4 + 1), len(toks)),
+           t -> regexp_replace(lower(t), '[^a-z'']', '', 'g')
+         ) AS cleaned
+  FROM anchored
+)
+SELECT conv_id, turn_idx, subj, pred, obj, anchor_pos,
+       CASE WHEN anchor_pos > 0 THEN
+         list_has_any(cleaned,
+           ['not','never','no','cannot','can''t','didn''t','doesn''t',
+            'don''t','won''t','wouldn''t','couldn''t','shouldn''t',
+            'isn''t','wasn''t','aren''t','weren''t','without','neither',
+            'nor'])
+       ELSE false END AS is_negated
+FROM windowed
+"""
+
+
 _MIPS_SCALED_SUBQUERY = (
     "(SELECT vec_id, list_transform(embedding, "
     "x -> cast(x AS DOUBLE) * "
@@ -10096,6 +10183,7 @@ def queries() -> dict:
             "turn_latency": q_turn_latency,
             "kg_predicate_align": q_kg_predicate_align,
             "ann_topk_mips": q_ann_topk_mips,
+            "conv_negation_filter": q_conv_negation_filter,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10251,6 +10339,7 @@ def oracle_sql() -> dict:
         "quality_calibration": _QUALITY_CALIBRATION_SQL,
         "turn_latency": _TURN_LATENCY_SQL,
         "kg_predicate_align": _KG_PREDICATE_ALIGN_SQL,
+        "conv_negation_filter": _CONV_NEGATION_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
