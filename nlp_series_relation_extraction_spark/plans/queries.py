@@ -4342,6 +4342,56 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_kg_jsonld_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD publication format (sources/rdf.py:edges_to_jsonld): the
+    TPC-H membership hierarchy exported as newline-delimited FLATTENED
+    expanded-form JSON-LD — one self-contained node object per subject,
+    predicates sorted by IRI, objects sorted numerically, so the dump
+    is byte-deterministic and diffable. Two map-side-combinable hash
+    aggregations + JVM concat; the DuckDB twin rebuilds every line with
+    two ordered string_aggs. Completes the interchange set next to
+    N-Triples / N-Quads / Turtle / reified provenance."""
+    from ..sources.rdf import edges_to_jsonld
+
+    return edges_to_jsonld(_hierarchy_edges(spark, sf_dir)).orderBy("line")
+
+
+_KG_JSONLD_SQL = """
+WITH edges AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s,
+         'cust_in_nation' AS predicate,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+), iri AS (
+  SELECT s, concat('http://kg.example/p/', predicate) AS pred_iri, o
+  FROM edges
+), per_pred AS (
+  SELECT s, pred_iri,
+         concat('"', pred_iri, '":[',
+                string_agg(
+                  concat('{"@id":"http://kg.example/e/',
+                         cast(o AS VARCHAR), '"}'),
+                  ',' ORDER BY o ASC),
+                ']') AS block
+  FROM (SELECT DISTINCT s, pred_iri, o FROM iri)
+  GROUP BY s, pred_iri
+)
+SELECT concat('{"@id":"http://kg.example/e/', cast(s AS VARCHAR), '",',
+              string_agg(block, ',' ORDER BY pred_iri ASC), '}') AS line
+FROM per_pred
+GROUP BY s
+ORDER BY line
+"""
+
+
 def q_conv_negation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NegEx-lite assertion classification (operators/conversation.py:
     flag_negated) over synthesized turns: documents fold into
@@ -10184,6 +10234,7 @@ def queries() -> dict:
             "kg_predicate_align": q_kg_predicate_align,
             "ann_topk_mips": q_ann_topk_mips,
             "conv_negation_filter": q_conv_negation_filter,
+            "kg_jsonld_export": q_kg_jsonld_export,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10340,6 +10391,7 @@ def oracle_sql() -> dict:
         "turn_latency": _TURN_LATENCY_SQL,
         "kg_predicate_align": _KG_PREDICATE_ALIGN_SQL,
         "conv_negation_filter": _CONV_NEGATION_SQL,
+        "kg_jsonld_export": _KG_JSONLD_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,

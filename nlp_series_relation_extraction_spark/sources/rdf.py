@@ -556,3 +556,83 @@ def nquads_to_edges(
         "obj_entity_id",
         F.url_decode(F.col("graph_enc")).alias("conv_id"),
     )
+
+
+def edges_to_jsonld(
+    edges: DataFrame, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Edge table -> newline-delimited JSON-LD, one FLATTENED node
+    object per subject (column ``line``) in expanded form (JSON-LD 1.1
+    §8/§9: every property value an array of node objects, no @context
+    needed — the interchange shape json-ld processors emit after
+    expand+flatten, and what a streaming loader wants: one self-
+    contained JSON value per line):
+
+      {"@id":"<base>e/7","<pred_iri>":[{"@id":"<base>e/9"}, ...], ...}
+
+    Deterministic bytes: predicates sort lexicographically by IRI
+    inside each node, objects sort numerically inside each predicate
+    array — re-export of the same graph is byte-identical (same
+    contract as the N-Triples/Turtle exporters; diffable dumps).
+
+    Plan shape: the predicate-IRI dimension broadcasts (schema-sized),
+    then TWO hash aggregations — (subj, pred) collects the object
+    array, subj collects the predicate blocks — both map-side
+    combinable; line assembly is JVM concat over sorted arrays (no
+    UDFs, no JSON library on the hot path: the grammar here is closed,
+    ids are numeric and predicate IRIs are percent-encoded, so no
+    JSON-escaping case exists by construction)."""
+    pm = predicate_iri_map(edges, base)
+    e = edges.join(F.broadcast(pm), "predicate").select(
+        F.col("subj_entity_id").cast("long").alias("s"),
+        "pred_iri",
+        F.col("obj_entity_id").cast("long").alias("o"),
+    )
+    per_pred = (
+        e.groupBy("s", "pred_iri")
+        .agg(F.sort_array(F.collect_set("o")).alias("objs"))
+        .select(
+            "s",
+            "pred_iri",
+            F.concat(
+                F.lit('"'),
+                F.col("pred_iri"),
+                F.lit('":['),
+                F.array_join(
+                    F.transform(
+                        "objs",
+                        lambda o: F.concat(
+                            F.lit('{"@id":"' + base + "e/"),
+                            o.cast("string"),
+                            F.lit('"}'),
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+            ).alias("block"),
+        )
+    )
+    return (
+        per_pred.groupBy("s")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pred_iri", "block"))
+                    ),
+                    lambda st: st["block"],
+                ),
+                ",",
+            ).alias("props")
+        )
+        .select(
+            F.concat(
+                F.lit('{"@id":"' + base + "e/"),
+                F.col("s").cast("string"),
+                F.lit('",'),
+                F.col("props"),
+                F.lit("}"),
+            ).alias("line")
+        )
+    )
