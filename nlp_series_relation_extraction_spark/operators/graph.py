@@ -3175,3 +3175,99 @@ def k_truss_python(edge_list: list[tuple[int, int]], k: int) -> dict:
         for u, v in doomed:
             adj[u].discard(v)
             adj[v].discard(u)
+
+
+def induce_entity_types(
+    edges: DataFrame,
+    known_types: DataFrame,
+    min_slot_votes: int = 1,
+) -> DataFrame:
+    """Type induction for UNTYPED entities from predicate usage
+    (SDType's core idea — Paulheim & Bizer ISWC 2013: each (predicate,
+    slot) an entity occupies votes for the type that slot statistically
+    carries; reduced here to the modal-type vote so every number is an
+    exact integer and the twin is bit-stable). The KG-construction gap
+    this fills: extraction emits mentions, typed gazetteers cover the
+    head entities, and the long tail arrives UNTYPED — but a node that
+    keeps appearing as the subject of `employs` is an organization
+    whether or not the gazetteer knows it.
+
+    ``edges``: (subj_entity_id, predicate, obj_entity_id).
+    ``known_types``: (entity_id, type). Returns, for entities with at
+    least one typed-slot occurrence and NO known type:
+
+      (entity_id, induced_type, n_votes, n_slot_occurrences,
+       confidence_ppm)
+
+    where each OCCURRENCE of the entity in a (predicate, slot) whose
+    modal known type is T contributes one vote for T; induced_type =
+    argmax votes (ties: lexicographically smallest type);
+    confidence_ppm = n_votes * 1e6 div n_slot_occurrences.
+
+    Scale shape: the (predicate, slot) -> modal-type profile aggregates
+    over KNOWN entities only and is schema-sized — it broadcasts back
+    onto the corpus-sized occurrence table; votes aggregate per
+    (entity, type) with map-side combine; the argmax is a window over
+    per-entity type counts (bounded by the type vocabulary), and the
+    known-type exclusion is one broadcast-able anti-join."""
+    occ = edges.select(
+        F.col("subj_entity_id").alias("entity_id"),
+        "predicate",
+        F.lit("subj").alias("slot"),
+    ).unionByName(
+        edges.select(
+            F.col("obj_entity_id").alias("entity_id"),
+            "predicate",
+            F.lit("obj").alias("slot"),
+        )
+    )
+    from pyspark.sql import Window
+
+    kt = known_types.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.col("type").cast("string").alias("type"),
+    )
+    slot_types = (
+        occ.join(kt, "entity_id")
+        .groupBy("predicate", "slot", "type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_slot = Window.partitionBy("predicate", "slot").orderBy(
+        F.desc("n"), F.asc("type")
+    )
+    modal = (
+        slot_types.withColumn("rk", F.row_number().over(w_slot))
+        .where((F.col("rk") == 1) & (F.col("n") >= int(min_slot_votes)))
+        .select("predicate", "slot", F.col("type").alias("slot_type"))
+    )
+    untyped = occ.join(kt.select("entity_id"), "entity_id", "left_anti")
+    voted = untyped.join(F.broadcast(modal), ["predicate", "slot"], "left")
+    totals = voted.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_slot_occurrences")
+    )
+    votes = (
+        voted.where(F.col("slot_type").isNotNull())
+        .groupBy("entity_id", "slot_type")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w_ent = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_votes"), F.asc("slot_type")
+    )
+    best = (
+        votes.withColumn("rk", F.row_number().over(w_ent))
+        .where(F.col("rk") == 1)
+        .select(
+            "entity_id",
+            F.col("slot_type").alias("induced_type"),
+            "n_votes",
+        )
+    )
+    return best.join(totals, "entity_id").select(
+        "entity_id",
+        "induced_type",
+        "n_votes",
+        "n_slot_occurrences",
+        F.expr("n_votes * 1000000L div n_slot_occurrences").alias(
+            "confidence_ppm"
+        ),
+    )

@@ -4342,6 +4342,103 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_kg_entity_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDType-style type induction (operators/graph.py:
+    induce_entity_types) on the TPC-H hierarchy KG with a PLANTED
+    coverage gap: entities whose base key % 3 == 0 lose their gazetteer
+    type and must be re-derived from the (predicate, slot) profiles the
+    typed two-thirds establish — every untyped customer/supplier/
+    nation/region recovers its true type at confidence 1e6 (each slot
+    here is type-pure), so the query also doubles as a self-checking
+    invariant. Schema-sized modal profile broadcast onto the occurrence
+    table; one anti-join; windowed argmax over per-entity vote rows."""
+    from ..operators.graph import induce_entity_types
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    all_types = (
+        edges.select(F.col("subj_entity_id").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj_entity_id").alias("entity_id")))
+        .distinct()
+        .select(
+            "entity_id",
+            F.element_at(
+                F.array(
+                    F.lit("customer"), F.lit("supplier"),
+                    F.lit("nation"), F.lit("region"),
+                ),
+                (F.col("entity_id") % 4 + 1).cast("int"),
+            ).alias("type"),
+        )
+    )
+    known = all_types.where((F.col("entity_id") / 4).cast("long") % 3 != 0)
+    return induce_entity_types(edges, known).orderBy("entity_id")
+
+
+_KG_ENTITY_TYPING_SQL = """
+WITH edges AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+), occ AS (
+  SELECT s AS entity_id, p AS predicate, 'subj' AS slot FROM edges
+  UNION ALL
+  SELECT o, p, 'obj' FROM edges
+), ents AS (
+  SELECT DISTINCT entity_id FROM occ
+), typed AS (
+  SELECT entity_id,
+         ['customer','supplier','nation','region'][
+           cast(entity_id % 4 AS INT) + 1] AS type
+  FROM ents WHERE (entity_id // 4) % 3 <> 0
+), slot_types AS (
+  SELECT predicate, slot, type, cast(count(*) AS BIGINT) AS n
+  FROM occ JOIN typed USING (entity_id)
+  GROUP BY predicate, slot, type
+), modal AS (
+  SELECT predicate, slot, type AS slot_type FROM (
+    SELECT predicate, slot, type, n,
+           row_number() OVER (PARTITION BY predicate, slot
+                              ORDER BY n DESC, type ASC) AS rk
+    FROM slot_types
+  ) WHERE rk = 1 AND n >= 1
+), untyped AS (
+  SELECT occ.* FROM occ
+  WHERE entity_id NOT IN (SELECT entity_id FROM typed)
+), voted AS (
+  SELECT u.entity_id, m.slot_type
+  FROM untyped u LEFT JOIN modal m
+    ON m.predicate = u.predicate AND m.slot = u.slot
+), totals AS (
+  SELECT entity_id, cast(count(*) AS BIGINT) AS n_slot_occurrences
+  FROM voted GROUP BY entity_id
+), votes AS (
+  SELECT entity_id, slot_type, cast(count(*) AS BIGINT) AS n_votes
+  FROM voted WHERE slot_type IS NOT NULL
+  GROUP BY entity_id, slot_type
+), best AS (
+  SELECT entity_id, slot_type AS induced_type, n_votes FROM (
+    SELECT entity_id, slot_type, n_votes,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY n_votes DESC, slot_type ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT entity_id, induced_type, n_votes, n_slot_occurrences,
+       cast(n_votes * 1000000 // n_slot_occurrences AS BIGINT)
+         AS confidence_ppm
+FROM best JOIN totals USING (entity_id)
+ORDER BY entity_id
+"""
+
+
 def q_kg_jsonld_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD publication format (sources/rdf.py:edges_to_jsonld): the
     TPC-H membership hierarchy exported as newline-delimited FLATTENED
@@ -10235,6 +10332,7 @@ def queries() -> dict:
             "ann_topk_mips": q_ann_topk_mips,
             "conv_negation_filter": q_conv_negation_filter,
             "kg_jsonld_export": q_kg_jsonld_export,
+            "kg_entity_typing": q_kg_entity_typing,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10392,6 +10490,7 @@ def oracle_sql() -> dict:
         "kg_predicate_align": _KG_PREDICATE_ALIGN_SQL,
         "conv_negation_filter": _CONV_NEGATION_SQL,
         "kg_jsonld_export": _KG_JSONLD_SQL,
+        "kg_entity_typing": _KG_ENTITY_TYPING_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
