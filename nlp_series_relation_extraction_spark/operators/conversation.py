@@ -543,3 +543,80 @@ def flag_negated(
         .otherwise(F.lit(False))
         .alias("is_negated"),
     )
+
+
+def conversation_quality(
+    transcripts: DataFrame,
+    min_turns: int = 2,
+    min_alternation_ppm: int = 250_000,
+    min_mean_chars: int = 10,
+    max_mean_chars: int = 100_000,
+) -> DataFrame:
+    """Conversation-LEVEL curation gate: the per-document quality
+    heuristics (textstats.quality_stats) score turns in isolation, but
+    a transcript corpus fails in conversation-shaped ways — mono-role
+    scrapes (mis-threaded logs), single-turn fragments, degenerate
+    tool-echo loops, truncated or bloated turns. One row per
+    conversation:
+
+      (conv_id, n_turns, n_roles, n_role_changes, alternation_ppm,
+       tool_turn_share_ppm, mean_turn_chars, keep)
+
+    alternation_ppm = role changes * 1e6 div (n_turns - 1) (0 for
+    single-turn conversations — they fail min_turns anyway);
+    tool_turn_share_ppm = turns with role = 'tool' * 1e6 div n_turns;
+    mean_turn_chars = total chars div n_turns (NULL text counts 0).
+    ``keep`` ands the thresholds: enough turns, enough speaker
+    alternation, mean turn length in band. All truncating integer
+    ppm — bit-exact twin.
+
+    Scale shape: one lag() window on the native conv_id partitioning
+    feeding ONE conversation-keyed aggregation with map-side combine;
+    output is conversation-count-sized. The gate composes with
+    curate_documents the way CCNet stacks page-level and corpus-level
+    filters."""
+    if min_turns < 1:
+        raise ValueError("conversation_quality: min_turns must be >= 1")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    marked = transcripts.select(
+        "conv_id",
+        F.col("role"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+        F.when(F.lag("role").over(w).isNull(), F.lit(0))
+        .when(F.lag("role").over(w) != F.col("role"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("changed"),
+    )
+    agg = marked.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct("role").cast("long").alias("n_roles"),
+        F.sum("changed").cast("long").alias("n_role_changes"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+        .cast("long")
+        .alias("_n_tool"),
+        F.sum("n_chars").cast("long").alias("_chars"),
+    )
+    out = agg.select(
+        "conv_id",
+        "n_turns",
+        "n_roles",
+        "n_role_changes",
+        F.expr(
+            "case when n_turns > 1 then"
+            " n_role_changes * 1000000L div (n_turns - 1) else 0L end"
+        ).alias("alternation_ppm"),
+        F.expr("_n_tool * 1000000L div n_turns").alias(
+            "tool_turn_share_ppm"
+        ),
+        F.expr("_chars div n_turns").alias("mean_turn_chars"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_turns") >= int(min_turns))
+        & (F.col("alternation_ppm") >= int(min_alternation_ppm))
+        & (F.col("mean_turn_chars") >= int(min_mean_chars))
+        & (F.col("mean_turn_chars") <= int(max_mean_chars)),
+    )

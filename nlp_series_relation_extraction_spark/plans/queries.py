@@ -4342,6 +4342,72 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level curation gate (operators/conversation.py:
+    conversation_quality) on documents folded 8-to-a-conversation with
+    the 3-way role rotation — the 7-cycle beat makes alternation ratios
+    vary per conversation, and real document texts make the mean-chars
+    band bite. One window + one conversation-keyed aggregation;
+    truncating integer ppm, bit-exact twin."""
+    from ..operators.conversation import conversation_quality
+
+    turns = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") % 7) % 3 == 0, F.lit("user"))
+        .when((F.col("doc_id") % 7) % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        "text",
+    )
+    return conversation_quality(turns).orderBy("conv_id")
+
+
+_CONV_QUALITY_GATE_SQL = """
+WITH turns AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         CASE WHEN (doc_id % 7) % 3 = 0 THEN 'user'
+              WHEN (doc_id % 7) % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text
+  FROM documents
+), marked AS (
+  SELECT conv_id, role,
+         cast(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) IS NULL THEN 0
+              WHEN lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) <> role THEN 1
+              ELSE 0 END AS changed
+  FROM turns
+), agg AS (
+  SELECT conv_id,
+         cast(count(*) AS BIGINT) AS n_turns,
+         cast(count(DISTINCT role) AS BIGINT) AS n_roles,
+         cast(sum(changed) AS BIGINT) AS n_role_changes,
+         cast(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool,
+         cast(sum(n_chars) AS BIGINT) AS chars
+  FROM marked GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_roles, n_role_changes,
+       cast(CASE WHEN n_turns > 1
+                 THEN n_role_changes * 1000000 // (n_turns - 1)
+                 ELSE 0 END AS BIGINT) AS alternation_ppm,
+       cast(n_tool * 1000000 // n_turns AS BIGINT) AS tool_turn_share_ppm,
+       cast(chars // n_turns AS BIGINT) AS mean_turn_chars,
+       (n_turns >= 2
+        AND CASE WHEN n_turns > 1
+                 THEN n_role_changes * 1000000 // (n_turns - 1)
+                 ELSE 0 END >= 250000
+        AND chars // n_turns >= 10
+        AND chars // n_turns <= 100000) AS keep
+FROM agg
+ORDER BY conv_id
+"""
+
+
 def q_kg_entity_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SDType-style type induction (operators/graph.py:
     induce_entity_types) on the TPC-H hierarchy KG with a PLANTED
@@ -10333,6 +10399,7 @@ def queries() -> dict:
             "conv_negation_filter": q_conv_negation_filter,
             "kg_jsonld_export": q_kg_jsonld_export,
             "kg_entity_typing": q_kg_entity_typing,
+            "conv_quality_gate": q_conv_quality_gate,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10491,6 +10558,7 @@ def oracle_sql() -> dict:
         "conv_negation_filter": _CONV_NEGATION_SQL,
         "kg_jsonld_export": _KG_JSONLD_SQL,
         "kg_entity_typing": _KG_ENTITY_TYPING_SQL,
+        "conv_quality_gate": _CONV_QUALITY_GATE_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
