@@ -365,3 +365,65 @@ def allen_relations(
             rel.alias("relation"),
         )
     )
+
+
+def kg_growth_report(
+    facts: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """KG growth / drift report per (predicate, time bucket): how much
+    of each bucket's activity comes from subjects the predicate has
+    NEVER seen before — the operational dashboard row for a continuously
+    constructed KG. A healthy feed shows a steady new-subject share; a
+    share spiking toward 1e6 means an upstream id-space change (every
+    'entity' suddenly new = linking broke), a collapse toward 0 means
+    the extractor stopped discovering (or the feed is replaying).
+
+    Input: one row per fact occurrence with a precomputed time-bucket
+    string (e.g. date_format(ts, 'yyyy-MM') — bucketing stays in the
+    caller so calendar policy is explicit). Returns per (pred, bucket):
+
+      (pred, bucket, n_facts, n_subjects, n_new_subjects,
+       new_subject_share_ppm)
+
+    n_new_subjects counts subjects whose FIRST bucket for this
+    predicate (lexicographic min — ISO buckets sort correctly) is this
+    bucket; share is over the bucket's distinct subjects.
+
+    Scale shape: one (pred, subj, bucket) pre-aggregation collapses
+    fact multiplicity (map-side combine eats the hot subjects), then a
+    (pred, subj) min-bucket aggregation and a final (pred, bucket)
+    rollup — three hash aggregations, each smaller than the last, no
+    windows over data-sized partitions and no self-joins."""
+    psb = (
+        facts.select(
+            F.col(pred_col).cast("string").alias("pred"),
+            F.col(subj_col).cast("string").alias("subj"),
+            F.col(bucket_col).cast("string").alias("bucket"),
+        )
+        .groupBy("pred", "subj", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    first = psb.groupBy("pred", "subj").agg(
+        F.min("bucket").alias("first_bucket")
+    )
+    j = psb.join(first, ["pred", "subj"])
+    return (
+        j.groupBy("pred", "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_facts"),
+            F.count("*").cast("long").alias("n_subjects"),
+            F.sum(
+                F.when(F.col("bucket") == F.col("first_bucket"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new_subjects"),
+        )
+        .withColumn(
+            "new_subject_share_ppm",
+            F.expr("n_new_subjects * 1000000L div n_subjects"),
+        )
+    )

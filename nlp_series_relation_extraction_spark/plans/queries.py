@@ -4342,6 +4342,50 @@ FROM stats CROSS JOIN nent CROSS JOIN ngold CROSS JOIN cov
 """
 
 
+def q_kg_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG growth / drift dashboard (functions/temporal.py:
+    kg_growth_report): orders read as a fact feed — subject = custkey,
+    predicate = order priority, bucket = order YEAR — reporting each
+    bucket's share of predicate-new subjects. Customers order across
+    years, so the share decays from 1e6 toward the organic-new rate
+    exactly as a healthy feed should. Three shrinking hash
+    aggregations, no data-sized windows; truncating ppm twin."""
+    from ..functions.temporal import kg_growth_report
+
+    facts = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("subj"),
+        F.col("o_orderpriority").alias("pred"),
+        F.date_format("o_orderdate", "yyyy").alias("bucket"),
+    )
+    return kg_growth_report(facts).orderBy("pred", "bucket")
+
+
+_KG_GROWTH_REPORT_SQL = """
+WITH facts AS (
+  SELECT cast(o_custkey AS VARCHAR) AS subj,
+         o_orderpriority AS pred,
+         strftime(o_orderdate, '%Y') AS bucket
+  FROM orders
+), psb AS (
+  SELECT pred, subj, bucket, cast(count(*) AS BIGINT) AS n
+  FROM facts GROUP BY pred, subj, bucket
+), first_ AS (
+  SELECT pred, subj, min(bucket) AS first_bucket
+  FROM psb GROUP BY pred, subj
+)
+SELECT pred, bucket,
+       cast(sum(n) AS BIGINT) AS n_facts,
+       cast(count(*) AS BIGINT) AS n_subjects,
+       cast(sum(CASE WHEN bucket = first_bucket THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_subjects,
+       cast(sum(CASE WHEN bucket = first_bucket THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS new_subject_share_ppm
+FROM psb JOIN first_ USING (pred, subj)
+GROUP BY pred, bucket
+ORDER BY pred, bucket
+"""
+
+
 def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level curation gate (operators/conversation.py:
     conversation_quality) on documents folded 8-to-a-conversation with
@@ -10400,6 +10444,7 @@ def queries() -> dict:
             "kg_jsonld_export": q_kg_jsonld_export,
             "kg_entity_typing": q_kg_entity_typing,
             "conv_quality_gate": q_conv_quality_gate,
+            "kg_growth_report": q_kg_growth_report,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10559,6 +10604,7 @@ def oracle_sql() -> dict:
         "kg_jsonld_export": _KG_JSONLD_SQL,
         "kg_entity_typing": _KG_ENTITY_TYPING_SQL,
         "conv_quality_gate": _CONV_QUALITY_GATE_SQL,
+        "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
