@@ -3223,10 +3223,15 @@ def induce_entity_types(
     )
     from pyspark.sql import Window
 
+    # occ and kt each feed two consumers (profile join + anti-join);
+    # without a lineage cut Catalyst clones the whole upstream subtree
+    # per consumer — measured 216 parquet scans on the hierarchy-KG
+    # driver query. Lazy localCheckpoint materializes each once.
+    occ = occ.localCheckpoint(eager=False)
     kt = known_types.select(
         F.col("entity_id").cast("long").alias("entity_id"),
         F.col("type").cast("string").alias("type"),
-    )
+    ).localCheckpoint(eager=False)
     slot_types = (
         occ.join(kt, "entity_id")
         .groupBy("predicate", "slot", "type")

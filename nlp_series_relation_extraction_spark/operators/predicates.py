@@ -277,7 +277,10 @@ def align_predicates(
         )
         return d.join(keep, ["subj", "obj"])
 
-    ca, cb = _capped(da), _capped(db)
+    # each capped side feeds its size agg AND the joint join — cut
+    # lineage so the dedup + firewall subtree materializes once per side
+    ca = _capped(da).localCheckpoint(eager=False)
+    cb = _capped(db).localCheckpoint(eager=False)
     sizes_a = ca.groupBy("pred").agg(
         F.count("*").cast("long").alias("n_a")
     )
