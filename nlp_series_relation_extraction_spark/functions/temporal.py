@@ -405,6 +405,8 @@ def kg_growth_report(
         )
         .groupBy("pred", "subj", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds first-seen AND the final
+        # rollup join: cut lineage so the fact scan + pre-agg run once
     )
     first = psb.groupBy("pred", "subj").agg(
         F.min("bucket").alias("first_bucket")

@@ -426,7 +426,8 @@ def blocking_quality(
     bit-exact vs the DuckDB twin."""
     b = blocks.select(
         F.col("entity_id").cast("long").alias("e"), F.col("block_key")
-    )
+    ).localCheckpoint(eager=False)  # feeds sizes + n_ent + both coverage
+    # legs: cut lineage so the block-key build runs once, not 4x
     sizes = b.groupBy("block_key").agg(F.count("*").cast("long").alias("nb"))
     stats = sizes.agg(
         F.count("*").cast("long").alias("n_blocks"),
