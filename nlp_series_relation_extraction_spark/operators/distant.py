@@ -26,7 +26,7 @@ projection, shaped for Spark:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _first_occurrences(
@@ -209,3 +209,44 @@ def weak_training_set(
         ).alias("gold_json")
     )
     return docs.select(*id_cols, text_col).join(per_doc, list(id_cols))
+
+
+def bag_denoise(
+    weak_labels: DataFrame,
+    score_col: str,
+    id_cols: tuple = ("doc_id",),
+    keep_per_bag: int = 1,
+) -> DataFrame:
+    """Multi-instance denoising of a distant-supervision label table
+    (the at-least-once assumption — Riedel 2010, "Modeling relations
+    and their mentions without labeled text": a KB triple guarantees
+    only that SOME sentence mentioning both entities expresses the
+    relation, so training on every co-mention imports systematic
+    noise). Per bag — all weak labels sharing (subj_text, predicate,
+    obj_text) — keep the ``keep_per_bag`` highest-scoring instances;
+    the caller chooses the score (mention proximity, LM quality, an
+    encoder margin), which stays a column so the selection itself is
+    exact and engine-checkable.
+
+    Adds ``bag_size`` (instances the bag had before selection) and
+    ``sel_rank`` (1 = best). Ties break on (*id_cols) ascending, so
+    selection is deterministic under any partitioning.
+
+    Scale shape: ONE shuffle on the bag key feeding two window
+    computations over the same partitioning (rank + count — Catalyst
+    folds them into one Window node chain, no second exchange). Bags
+    are (pair, predicate) groups, so skew is bounded by the hottest
+    entity pair's mention count — the quantity bag_size exists to
+    audit."""
+    if keep_per_bag < 1:
+        raise ValueError("bag_denoise: keep_per_bag must be >= 1")
+    bag = ["subj_text", "predicate", "obj_text"]
+    w = Window.partitionBy(*bag).orderBy(
+        F.col(score_col).desc(), *[F.col(c).asc() for c in id_cols]
+    )
+    wc = Window.partitionBy(*bag)
+    return (
+        weak_labels.withColumn("sel_rank", F.row_number().over(w))
+        .withColumn("bag_size", F.count("*").over(wc).cast("long"))
+        .where(F.col("sel_rank") <= int(keep_per_bag))
+    )

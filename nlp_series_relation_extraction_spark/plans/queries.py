@@ -6028,6 +6028,83 @@ ORDER BY d.doc_id, k.subj_text, k.obj_text
 """
 
 
+def q_kg_bag_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-instance distant-supervision denoising (operators/
+    distant.py:bag_denoise — Riedel 2010's at-least-once selection)
+    stacked on the kg_distant_supervision label table: per (subject,
+    predicate, object) bag keep the single instance whose mentions sit
+    CLOSEST in the text (score = -|subj_pos - obj_pos|, the classic
+    proximity prior), ties by doc_id. One bag-keyed shuffle, two
+    window computations sharing it; bit-exact window-replay twin."""
+    from ..operators.distant import bag_denoise, distant_supervision
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kb = (
+        docs.where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 5))
+        .select(
+            F.concat(
+                toks.getItem(0), F.lit(" "), toks.getItem(1)
+            ).alias("subj_text"),
+            F.lit("cooccur").alias("predicate"),
+            F.concat(
+                toks.getItem(3), F.lit(" "), toks.getItem(4)
+            ).alias("obj_text"),
+        )
+        .where(F.col("subj_text") != F.col("obj_text"))
+        .distinct()
+    )
+    weak = distant_supervision(docs, kb).withColumn(
+        "score",
+        (-F.abs(F.col("subj_pos") - F.col("obj_pos"))).cast("long"),
+    )
+    return bag_denoise(weak, "score").orderBy(
+        "subj_text", "predicate", "obj_text"
+    )
+
+
+_KG_BAG_DENOISE_SQL = """
+WITH kb AS (
+  SELECT DISTINCT
+         split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+           AS subj_text,
+         'cooccur' AS predicate,
+         split_part(text, ' ', 4) || ' ' || split_part(text, ' ', 5)
+           AS obj_text
+  FROM documents
+  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5
+), kbd AS (
+  SELECT subj_text, predicate, obj_text FROM kb
+  WHERE subj_text != obj_text
+), weak AS (
+  SELECT d.doc_id, k.subj_text, k.predicate, k.obj_text,
+         cast(strpos(d.text, k.subj_text) AS INT) AS subj_pos,
+         cast(strpos(d.text, k.obj_text) AS INT) AS obj_pos,
+         cast(-abs(strpos(d.text, k.subj_text)
+                   - strpos(d.text, k.obj_text)) AS BIGINT) AS score
+  FROM documents d JOIN kbd k
+    ON strpos(d.text, k.subj_text) > 0 AND strpos(d.text, k.obj_text) > 0
+   AND list_contains(string_split(d.text, ' '),
+                     split_part(k.subj_text, ' ', 1))
+   AND list_contains(string_split(d.text, ' '),
+                     split_part(k.obj_text, ' ', 1))
+), ranked AS (
+  SELECT *,
+         cast(row_number() OVER (
+           PARTITION BY subj_text, predicate, obj_text
+           ORDER BY score DESC, doc_id ASC) AS INT) AS sel_rank,
+         cast(count(*) OVER (
+           PARTITION BY subj_text, predicate, obj_text) AS BIGINT)
+           AS bag_size
+  FROM weak
+)
+SELECT doc_id, subj_text, predicate, obj_text, subj_pos, obj_pos,
+       score, sel_rank, bag_size
+FROM ranked WHERE sel_rank <= 1
+ORDER BY subj_text, predicate, obj_text
+"""
+
+
 def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE / concise-bounded-description export
     (operators/graph.py:describe_entities): every edge incident to the
@@ -10445,6 +10522,7 @@ def queries() -> dict:
             "kg_entity_typing": q_kg_entity_typing,
             "conv_quality_gate": q_conv_quality_gate,
             "kg_growth_report": q_kg_growth_report,
+            "kg_bag_denoise": q_kg_bag_denoise,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10605,6 +10683,7 @@ def oracle_sql() -> dict:
         "kg_entity_typing": _KG_ENTITY_TYPING_SQL,
         "conv_quality_gate": _CONV_QUALITY_GATE_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
+        "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
