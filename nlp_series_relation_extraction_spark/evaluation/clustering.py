@@ -167,3 +167,124 @@ SELECT n AS n_items, tp AS tp_pairs, pp AS pred_pairs, gp AS gold_pairs,
        ELSE 2 * b3p * b3r // (b3p + b3r) END AS BIGINT) AS b3_f1_ppm
 FROM scored
 """
+
+
+def muc_eval(
+    assign: DataFrame,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """MUC link-based clustering score (Vilain et al. MUC-6 1995) —
+    the third classic next to pairwise and B³, and the one coreference
+    evaluation reports first. MUC counts the MINIMUM spanning links a
+    clustering implies (|C| - 1 per cluster) and asks how many of the
+    gold links the prediction preserves: recall = Σ_K (|K| - p(K)) /
+    Σ_K (|K| - 1) where p(K) = number of predicted clusters gold
+    cluster K is scattered across; precision is the mirror. Linkwise
+    scoring means singletons contribute NOTHING (their link count is
+    0) — the known MUC blind spot B³ covers, which is why the report
+    family wants all three.
+
+    Returns ONE row: (n_items, pred_links, gold_links,
+    muc_precision_ppm, muc_recall_ppm, muc_f1_ppm). All-singleton
+    sides define their ratio as 1e6 (no links claimed, none wrong) —
+    the same empty-claim convention as pairwise. Truncating integer
+    ppm throughout.
+
+    Scale shape: identical to clustering_eval — everything reduces to
+    the pred x gold contingency cells (three hash aggregates, O(cells)
+    shuffled rows, zero pair enumeration), then one-row combines."""
+    a = (
+        assign.select(
+            F.col(item_col).alias("it"),
+            F.col(pred_col).cast("string").alias("pc"),
+            F.col(gold_col).cast("string").alias("gc"),
+        )
+        .groupBy("it")
+        .agg(F.min("pc").alias("pc"), F.min("gc").alias("gc"))
+    )
+    cells = a.groupBy("pc", "gc").agg(F.count("*").alias("n_ij"))
+    # per gold cluster: size and how many pred clusters it scatters over
+    gold_side = cells.groupBy("gc").agg(
+        F.sum("n_ij").alias("n_j"), F.count("*").alias("parts_j")
+    )
+    pred_side = cells.groupBy("pc").agg(
+        F.sum("n_ij").alias("n_i"), F.count("*").alias("parts_i")
+    )
+    rec_t = gold_side.agg(
+        F.sum(F.expr("n_j - parts_j")).cast("long").alias("rec_num"),
+        F.sum(F.expr("n_j - 1")).cast("long").alias("gold_links"),
+    )
+    prec_t = pred_side.agg(
+        F.sum(F.expr("n_i - parts_i")).cast("long").alias("prec_num"),
+        F.sum(F.expr("n_i - 1")).cast("long").alias("pred_links"),
+    )
+    n_items = a.agg(F.count("*").cast("long").alias("n"))
+    row = rec_t.crossJoin(prec_t).crossJoin(n_items)
+    scored = row.select(
+        "n",
+        "pred_links",
+        "gold_links",
+        F.expr(
+            f"CASE WHEN pred_links = 0 THEN {_PPM}"
+            f" ELSE {_PPM} * prec_num div pred_links END"
+        ).cast("long").alias("prec"),
+        F.expr(
+            f"CASE WHEN gold_links = 0 THEN {_PPM}"
+            f" ELSE {_PPM} * rec_num div gold_links END"
+        ).cast("long").alias("rec"),
+    )
+    return scored.select(
+        F.col("n").alias("n_items"),
+        "pred_links",
+        "gold_links",
+        F.col("prec").alias("muc_precision_ppm"),
+        F.col("rec").alias("muc_recall_ppm"),
+        F.expr(
+            "CASE WHEN prec + rec = 0 THEN 0"
+            " ELSE 2 * prec * rec div (prec + rec) END"
+        ).cast("long").alias("muc_f1_ppm"),
+    )
+
+
+def muc_eval_sql(
+    assign_sql: str,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> str:
+    """DuckDB twin of :func:`muc_eval` — identical contingency-cell
+    arithmetic."""
+    return f"""
+WITH a AS (
+  SELECT {item_col} AS it,
+         cast({pred_col} AS VARCHAR) AS pc,
+         cast({gold_col} AS VARCHAR) AS gc
+  FROM ({assign_sql})
+), d AS (SELECT it, min(pc) AS pc, min(gc) AS gc FROM a GROUP BY it),
+cells AS (SELECT pc, gc, count(*) AS n_ij FROM d GROUP BY pc, gc),
+gside AS (SELECT gc, sum(n_ij) AS n_j, count(*) AS parts_j
+          FROM cells GROUP BY gc),
+pside AS (SELECT pc, sum(n_ij) AS n_i, count(*) AS parts_i
+          FROM cells GROUP BY pc),
+rec_t AS (SELECT cast(sum(n_j - parts_j) AS BIGINT) AS rec_num,
+                 cast(sum(n_j - 1) AS BIGINT) AS gold_links FROM gside),
+prec_t AS (SELECT cast(sum(n_i - parts_i) AS BIGINT) AS prec_num,
+                  cast(sum(n_i - 1) AS BIGINT) AS pred_links FROM pside),
+n_t AS (SELECT cast(count(*) AS BIGINT) AS n FROM d),
+scored AS (
+  SELECT n, pred_links, gold_links,
+    CASE WHEN pred_links = 0 THEN 1000000
+         ELSE 1000000 * prec_num // pred_links END AS prec,
+    CASE WHEN gold_links = 0 THEN 1000000
+         ELSE 1000000 * rec_num // gold_links END AS rec
+  FROM rec_t, prec_t, n_t
+)
+SELECT n AS n_items, pred_links, gold_links,
+  cast(prec AS BIGINT) AS muc_precision_ppm,
+  cast(rec AS BIGINT) AS muc_recall_ppm,
+  cast(CASE WHEN prec + rec = 0 THEN 0
+       ELSE 2 * prec * rec // (prec + rec) END AS BIGINT) AS muc_f1_ppm
+FROM scored
+"""

@@ -5627,6 +5627,44 @@ def _kg_clustering_eval_sql() -> str:
     )
 
 
+def q_kg_muc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUC link-based clustering score (evaluation/clustering.py:
+    muc_eval — Vilain MUC-6 1995) on the SAME planted over-merge
+    assignment as kg_clustering_eval, completing the pairwise / B³ /
+    MUC report trio coreference work expects. Linkwise counting reads
+    the every-97th 'err' merge as lost links on BOTH sides (the err
+    cluster spans many golds; each touched gold scatters in two) —
+    a different magnitude than B³'s itemwise read of the same plant.
+    Contingency-cell aggregates only; truncating ppm twin."""
+    from ..evaluation.clustering import muc_eval
+
+    o = t(spark, sf_dir, "orders")
+    assign = o.select(
+        F.col("o_orderkey").alias("item_id"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("err"))
+        .otherwise(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        )
+        .alias("pred_cluster"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "gold_cluster"
+        ),
+    )
+    return muc_eval(assign)
+
+
+def _kg_muc_eval_sql() -> str:
+    from ..evaluation.clustering import muc_eval_sql
+
+    return muc_eval_sql(
+        "SELECT o_orderkey AS item_id, "
+        "CASE WHEN o_orderkey % 97 = 0 THEN 'err' "
+        "ELSE concat('c', cast(o_custkey AS VARCHAR)) END AS pred_cluster, "
+        "concat('c', cast(o_custkey AS VARCHAR)) AS gold_cluster "
+        "FROM orders"
+    )
+
+
 def q_conv_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-heuristic anaphora resolution
     (operators/conversation.py resolve_anaphora): each pronoun mention
@@ -10523,6 +10561,7 @@ def queries() -> dict:
             "conv_quality_gate": q_conv_quality_gate,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
+            "kg_muc_eval": q_kg_muc_eval,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -10684,6 +10723,7 @@ def oracle_sql() -> dict:
         "conv_quality_gate": _CONV_QUALITY_GATE_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
+        "kg_muc_eval": _kg_muc_eval_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
