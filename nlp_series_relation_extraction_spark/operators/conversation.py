@@ -620,3 +620,125 @@ def conversation_quality(
         & (F.col("mean_turn_chars") >= int(min_mean_chars))
         & (F.col("mean_turn_chars") <= int(max_mean_chars)),
     )
+
+
+DIALOGUE_ACT_RULES = (
+    # (act, regex over the lowercased trimmed turn) — first match wins;
+    # ordered from most to least marked, the classic DAMSL-lite cascade
+    ("question", r"\?\s*$|^(who|what|when|where|why|how|which|is|are|do|does|did|can|could|would|will|should)\b"),
+    ("command", r"^(please|do|don't|run|show|list|give|tell|make|set|add|remove|delete|create|update|stop|start|deploy|restart|find|check|use)\b"),
+    ("agreement", r"^(yes|yeah|yep|ok|okay|sure|agreed|right|correct|exactly|sounds good)\b"),
+    ("rejection", r"^(no|nope|nah|wrong|incorrect|disagree)\b"),
+)
+
+
+def tag_dialogue_acts(
+    transcripts: DataFrame,
+    rules: tuple = DIALOGUE_ACT_RULES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based dialogue-act tagging (the DAMSL-lite cue cascade —
+    Jurafsky & Martin ch. 24's baseline: surface cues assign
+    question / command / agreement / rejection, everything else
+    'statement'). First matching rule wins, evaluated on the
+    lowercased, trimmed turn. Not a classifier — a deterministic
+    bootstrap labeler: at corpus scale these tags stratify sampling
+    (question-heavy conversations train instruction-following),
+    gate curation (zero-question corpora are monologues), and give
+    role_transitions an act-level alphabet.
+
+    Adds ``dialogue_act`` to every row. NULL/empty text tags
+    'statement' (the cascade's fall-through). Pure JVM regexes in one
+    projection — zero UDFs, zero joins, whole-stage codegen; the same
+    cascade replays in SQL as nested CASE WHEN regexp_matches."""
+    low = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    expr = F.lit("statement")
+    for act, pat in reversed(rules):
+        expr = F.when(low.rlike(pat), F.lit(act)).otherwise(expr)
+    return transcripts.withColumn("dialogue_act", expr)
+
+
+def dialogue_act_profile(transcripts: DataFrame) -> DataFrame:
+    """Per-role dialogue-act distribution: tag every turn with
+    tag_dialogue_acts, then count per (role, dialogue_act) and express
+    each act's share of its role's turns in truncating integer ppm
+    (n * 1e6 div role_total — bit-exact twin, no float sums). The
+    corpus-health read: a 'user' role with near-zero questions is a
+    monologue scrape; an 'assistant' role dominated by questions is a
+    mis-threaded corpus — both poison instruction tuning.
+
+    Scale shape: the tagging is one JVM regex projection (no UDFs,
+    no shuffle); the profile is ONE role×act groupBy (cardinality
+    = roles × 5 acts, map-side combine does nearly all the work)
+    plus a window over that tiny aggregate. Output is alphabet-sized
+    regardless of corpus size."""
+    tagged = tag_dialogue_acts(transcripts)
+    counts = tagged.groupBy("role", "dialogue_act").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("role")
+    return counts.select(
+        "role",
+        "dialogue_act",
+        "n",
+        (F.col("n") * F.lit(1_000_000))
+        .cast("long")
+        .alias("_scaled"),
+        F.sum("n").over(w).alias("_role_total"),
+    ).select(
+        "role",
+        "dialogue_act",
+        "n",
+        F.expr("_scaled div _role_total").alias("share_ppm"),
+    )
+
+
+def mine_sft_pairs(
+    transcripts: DataFrame,
+    min_instruction_chars: int = 8,
+    min_response_chars: int = 16,
+    instruction_acts: tuple = ("question", "command"),
+) -> DataFrame:
+    """Instruction-tuning pair mining from raw transcripts: a 'user'
+    turn tagged question/command by the dialogue-act cascade, followed
+    IMMEDIATELY (turn_idx order) by an 'assistant' turn, becomes one
+    (instruction, response) SFT example. Length floors drop fragments
+    ("ok?" -> "yes"); the act gate drops user statements (context, not
+    instructions). This is the standard transcript->SFT harvest: the
+    same adjacency rule OpenAssistant/ShareGPT-style pipelines use,
+    made deterministic.
+
+    Output: (conv_id, turn_idx, instruction_act, instruction,
+    response), one row per kept adjacent pair, turn_idx = the user
+    turn's index.
+
+    Scale shape: tag (pure projection) + ONE lead() window on the
+    native conv_id partitioning + a filter — no joins, no second
+    shuffle; at 100 TB this is a single exchange on conv_id that
+    co-partitions with every other per-conversation pass."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tagged = tag_dialogue_acts(transcripts).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "dialogue_act",
+        F.trim(F.coalesce(F.col("text"), F.lit(""))).alias("_txt"),
+    )
+    paired = tagged.select(
+        "conv_id",
+        "turn_idx",
+        F.col("dialogue_act").alias("instruction_act"),
+        "role",
+        F.col("_txt").alias("instruction"),
+        F.lead("role").over(w).alias("_next_role"),
+        F.lead("_txt").over(w).alias("response"),
+    )
+    return paired.filter(
+        (F.col("role") == "user")
+        & F.col("instruction_act").isin(*instruction_acts)
+        & (F.col("_next_role") == "assistant")
+        & (F.length("instruction") >= int(min_instruction_chars))
+        & (F.length("response") >= int(min_response_chars))
+    ).select(
+        "conv_id", "turn_idx", "instruction_act", "instruction", "response"
+    )

@@ -10362,6 +10362,150 @@ ORDER BY line
 
 
 
+def _dialogue_act_case_sql(col: str) -> str:
+    """DuckDB CASE cascade generated FROM the Spark rule table
+    (operators/conversation.py:DIALOGUE_ACT_RULES) so the twin can
+    never drift from the operator: same patterns, same first-match
+    precedence, same lower(trim(coalesce())) preprocessing. Java
+    rlike and DuckDB regexp_matches are both unanchored searches and
+    the rule regexes stay inside the RE2 ∩ java.util.regex dialect
+    (alternation, \\b, \\s, $)."""
+    from ..operators.conversation import DIALOGUE_ACT_RULES
+
+    whens = "\n  ".join(
+        "WHEN regexp_matches({c}, '{p}') THEN '{a}'".format(
+            c=col, p=pat.replace("'", "''"), a=act
+        )
+        for act, pat in DIALOGUE_ACT_RULES
+    )
+    return "CASE\n  " + whens + "\n  ELSE 'statement'\nEND"
+
+
+_PLANTED_TURNS_SQL = """
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         CASE WHEN (doc_id % 7) % 3 = 0 THEN 'user'
+              WHEN (doc_id % 7) % 3 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN doc_id % 5 = 0 THEN 'what is ' || coalesce(text, '')
+              WHEN doc_id % 5 = 1 THEN 'please check ' || coalesce(text, '')
+              WHEN doc_id % 5 = 2 THEN 'yes, ' || coalesce(text, '')
+              WHEN doc_id % 5 = 3 THEN 'no - ' || coalesce(text, '')
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def _planted_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents folded 8-to-a-conversation with the 3-way role
+    rotation (as role_transitions) plus a 5-way dialogue-act PLANT:
+    doc_id % 5 prefixes the text with a question / command / agreement
+    / rejection cue (raw text for the remainder), so every act class
+    gets deterministic mass while raw texts still exercise the
+    fall-through and the '?'-suffix rule on real content."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return d.select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") % 7) % 3 == 0, F.lit("user"))
+        .when((F.col("doc_id") % 7) % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("what is "), txt))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("please check "), txt))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("yes, "), txt))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("no - "), txt))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_conv_dialogue_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role dialogue-act distribution (operators/conversation.py:
+    dialogue_act_profile — the DAMSL-lite cue cascade, Jurafsky &
+    Martin ch. 24's rule baseline) over planted conversational turns.
+    The corpus-health screen instruction-tuning curation runs before
+    sampling: share_ppm is truncating integer ppm, bit-exact twin.
+    Scale: one regex projection + one alphabet-sized groupBy."""
+    from ..operators.conversation import dialogue_act_profile
+
+    return dialogue_act_profile(_planted_turns(spark, sf_dir)).orderBy(
+        "role", "dialogue_act"
+    )
+
+
+def _conv_dialogue_acts_sql() -> str:
+    case = _dialogue_act_case_sql("lower(trim(coalesce(text, '')))")
+    return """
+WITH turns AS (
+{turns}
+), tagged AS (
+  SELECT role, {case} AS dialogue_act FROM turns
+), counts AS (
+  SELECT role, dialogue_act, cast(count(*) AS BIGINT) AS n
+  FROM tagged GROUP BY 1, 2
+)
+SELECT role, dialogue_act, n,
+       cast(n * 1000000 // sum(n) OVER (PARTITION BY role) AS BIGINT)
+         AS share_ppm
+FROM counts
+ORDER BY role, dialogue_act
+""".format(turns=_PLANTED_TURNS_SQL, case=case.replace("\n", "\n    "))
+
+
+_CONV_DIALOGUE_ACTS_SQL = _conv_dialogue_acts_sql()
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair harvest (operators/conversation.py:
+    mine_sft_pairs): user turns the act cascade tags question/command,
+    adjacent-followed by an assistant turn, with length floors — the
+    deterministic transcript->SFT pipeline step. One lead() window on
+    conv_id, no joins; output rows carry the instruction/response
+    texts verbatim so the twin is byte-exact."""
+    from ..operators.conversation import mine_sft_pairs
+
+    return mine_sft_pairs(_planted_turns(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def _sft_pairs_sql() -> str:
+    case = _dialogue_act_case_sql("lower(trim(coalesce(text, '')))")
+    return """
+WITH turns AS (
+{turns}
+), tagged AS (
+  SELECT conv_id, turn_idx, role,
+         {case} AS dialogue_act,
+         trim(coalesce(text, '')) AS txt
+  FROM turns
+), paired AS (
+  SELECT conv_id, turn_idx, role,
+         dialogue_act AS instruction_act,
+         txt AS instruction,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_role,
+         lead(txt) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS response
+  FROM tagged
+)
+SELECT conv_id, turn_idx, instruction_act, instruction, response
+FROM paired
+WHERE role = 'user'
+  AND instruction_act IN ('question', 'command')
+  AND next_role = 'assistant'
+  AND length(instruction) >= 8
+  AND length(response) >= 16
+ORDER BY conv_id, turn_idx
+""".format(turns=_PLANTED_TURNS_SQL, case=case.replace("\n", "\n         "))
+
+
+_SFT_PAIRS_SQL = _sft_pairs_sql()
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -10559,6 +10703,8 @@ def queries() -> dict:
             "kg_jsonld_export": q_kg_jsonld_export,
             "kg_entity_typing": q_kg_entity_typing,
             "conv_quality_gate": q_conv_quality_gate,
+            "conv_dialogue_acts": q_conv_dialogue_acts,
+            "sft_pairs": q_sft_pairs,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -10721,6 +10867,8 @@ def oracle_sql() -> dict:
         "kg_jsonld_export": _KG_JSONLD_SQL,
         "kg_entity_typing": _KG_ENTITY_TYPING_SQL,
         "conv_quality_gate": _CONV_QUALITY_GATE_SQL,
+        "conv_dialogue_acts": _CONV_DIALOGUE_ACTS_SQL,
+        "sft_pairs": _SFT_PAIRS_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
