@@ -346,3 +346,179 @@ def group_split(
         .when(frac < F.lit(test_ppm + val_ppm), "val")
         .otherwise("train"),
     )
+
+
+def _hashed_bigram_stream(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, bucket): every adjacent whitespace-token pair of every
+    document, hashed into ``n_buckets`` via the first 7 hex digits of
+    md5 (the repo's cross-engine integer-hash idiom, cf. group_split)
+    — DSIR's hashed bag-of-bigrams featurization. Positional events
+    (duplicates kept): the importance weight counts occurrences."""
+    from .lm import bigram_stream
+
+    return bigram_stream(docs, id_col, text_col).select(
+        "id",
+        F.expr(
+            "cast(conv(substring(md5(concat(w1, ' ', w2)), 1, 7), 16, 10)"
+            f" as bigint) % {int(n_buckets)}"
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    min_ratio_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169) — integer-exact variant. Fit two
+    add-one-smoothed hashed-bigram bag models, one on the ``target``
+    domain sample and one on the raw ``docs`` corpus, then score every
+    raw document by its bigram events' importance ratios:
+
+      p_ppb(b)     = (count(b) + 1) * 1e9 div (total + n_buckets)
+      ratio_ppm(b) = p_target_ppb(b) * 1e6 div max(p_raw_ppb(b), 1)
+
+    Output per document: (id, n_events, sum_ratio_ppm, mean_ratio_ppm,
+    selected) where mean is the truncating per-event mean and
+    ``selected`` = mean_ratio_ppm >= min_ratio_ppm (default: events
+    more target-like than raw on average). The paper's multiplicative
+    log-weight orders documents the same way for near-flat ratios; the
+    additive ppm form keeps every quantity BIGINT so any md5-capable
+    engine reproduces it bit-for-bit (repo-wide oracle practice).
+    Documents with < 2 tokens emit no row (no events — same contract
+    as lm_doc_scores).
+
+    Scale shape: two bucket-count aggregations whose outputs are
+    ``n_buckets``-sized (map-side combine collapses the corpus to the
+    feature alphabet), one-row totals broadcast-crossJoined into the
+    ratio table, the ratio table BROADCAST to the event stream (no
+    shuffle on the big side beyond the per-doc groupBy), and one
+    doc-keyed aggregation. No collect on the data path; overflow-safe
+    to ~1e3 events/doc at ratio ceiling 1e15 (documented bound)."""
+    if n_buckets < 2:
+        raise ValueError(f"dsir_weights: n_buckets must be >= 2: {n_buckets}")
+    from pyspark.sql.functions import broadcast
+
+    raw_ev = _hashed_bigram_stream(docs, id_col, text_col, n_buckets)
+    tgt_ev = _hashed_bigram_stream(target, id_col, text_col, n_buckets)
+
+    raw_cnt = raw_ev.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("c_raw")
+    )
+    tgt_cnt = tgt_ev.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("c_tgt")
+    )
+    raw_tot = raw_cnt.agg(F.sum("c_raw").cast("long").alias("n_raw"))
+    tgt_tot = tgt_cnt.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("n_tgt")
+    )
+    # scored events only ever hit buckets present in the raw corpus, so
+    # the raw count table is the ratio table's spine; absent target
+    # buckets smooth to count 0.
+    ratio = (
+        raw_cnt.join(broadcast(tgt_cnt), "bucket", "left")
+        .crossJoin(broadcast(raw_tot))
+        .crossJoin(broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.expr(
+                "(coalesce(c_tgt, 0) + 1) * 1000000000"
+                f" div (n_tgt + {int(n_buckets)})"
+            ).alias("_p_tgt_ppb"),
+            F.expr(
+                f"(c_raw + 1) * 1000000000 div (n_raw + {int(n_buckets)})"
+            ).alias("_p_raw_ppb"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "_p_tgt_ppb * 1000000 div greatest(_p_raw_ppb, 1)"
+            ).alias("ratio_ppm"),
+        )
+    )
+    scored = raw_ev.join(broadcast(ratio), "bucket").groupBy(
+        F.col("id").alias(id_col)
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("ratio_ppm").cast("long").alias("sum_ratio_ppm"),
+    )
+    return scored.select(
+        id_col,
+        "n_events",
+        "sum_ratio_ppm",
+        F.expr("sum_ratio_ppm div n_events").alias("mean_ratio_ppm"),
+        (
+            F.expr("sum_ratio_ppm div n_events") >= F.lit(int(min_ratio_ppm))
+        ).alias("selected"),
+    )
+
+
+def dsir_sql(
+    table: str,
+    target_where: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    min_ratio_ppm: int = 1_000_000,
+) -> str:
+    """DuckDB oracle mirroring dsir_weights bit-for-bit: same md5
+    bucket hash, same ppb/ppm integer quantization, same truncating
+    divisions. ``target_where`` is the SQL predicate that defines the
+    target-domain sample of ``table``."""
+    B = int(n_buckets)
+    bg = f"""
+  SELECT {id_col} AS id,
+         cast(concat('0x', substring(md5(concat(w1, ' ', w2)), 1, 7))
+              AS BIGINT) % {B} AS bucket
+  FROM (
+    SELECT {id_col},
+      unnest(list_transform(
+        generate_series(1, greatest(len(ws) - 1, 0)), i -> ws[i])) AS w1,
+      unnest(list_transform(
+        generate_series(1, greatest(len(ws) - 1, 0)), i -> ws[i + 1])) AS w2
+    FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+          FROM {table}{{where}})
+  )"""
+    raw_bg = bg.format(where="")
+    tgt_bg = bg.format(where=f" WHERE {target_where}")
+    return f"""
+WITH raw_ev AS ({raw_bg}
+), tgt_ev AS ({tgt_bg}
+), raw_cnt AS (
+  SELECT bucket, cast(count(*) AS BIGINT) AS c_raw
+  FROM raw_ev GROUP BY bucket
+), tgt_cnt AS (
+  SELECT bucket, cast(count(*) AS BIGINT) AS c_tgt
+  FROM tgt_ev GROUP BY bucket
+), tot AS (
+  SELECT (SELECT cast(sum(c_raw) AS BIGINT) FROM raw_cnt) AS n_raw,
+         (SELECT cast(coalesce(sum(c_tgt), 0) AS BIGINT) FROM tgt_cnt)
+           AS n_tgt
+), ratio AS (
+  SELECT r.bucket,
+         ((coalesce(t.c_tgt, 0) + 1) * 1000000000 // (tot.n_tgt + {B}))
+           * 1000000
+           // greatest((r.c_raw + 1) * 1000000000 // (tot.n_raw + {B}), 1)
+           AS ratio_ppm
+  FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.bucket = t.bucket, tot
+), scored AS (
+  SELECT id AS {id_col},
+         cast(count(*) AS BIGINT) AS n_events,
+         cast(sum(ratio_ppm) AS BIGINT) AS sum_ratio_ppm
+  FROM raw_ev JOIN ratio USING (bucket)
+  GROUP BY id
+)
+SELECT {id_col}, n_events, sum_ratio_ppm,
+       cast(sum_ratio_ppm // n_events AS BIGINT) AS mean_ratio_ppm,
+       sum_ratio_ppm // n_events >= {int(min_ratio_ppm)} AS selected
+FROM scored
+"""

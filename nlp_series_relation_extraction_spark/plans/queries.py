@@ -10506,6 +10506,30 @@ _SFT_PAIRS_SQL = _sft_pairs_sql()
 
 
 
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (functions/curation.py:dsir_weights, Xie et
+    al. 2023): hashed-bigram importance ratios of every document
+    against the English-language slice as the target domain —
+    the data-mixture reweighting step of LLM pretraining pipelines,
+    integer-exact. Two alphabet-sized bucket aggregations + broadcast
+    ratio table; bit-exact DuckDB twin."""
+    from ..functions.curation import dsir_weights
+    from ..functions.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en")).orderBy(
+        "doc_id"
+    )
+
+
+def _dsir_select_sql() -> str:
+    from ..functions.curation import dsir_sql
+
+    return dsir_sql("documents", "lang = 'en'") + " ORDER BY doc_id"
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -10705,6 +10729,7 @@ def queries() -> dict:
             "conv_quality_gate": q_conv_quality_gate,
             "conv_dialogue_acts": q_conv_dialogue_acts,
             "sft_pairs": q_sft_pairs,
+            "dsir_select": q_dsir_select,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -10869,6 +10894,7 @@ def oracle_sql() -> dict:
         "conv_quality_gate": _CONV_QUALITY_GATE_SQL,
         "conv_dialogue_acts": _CONV_DIALOGUE_ACTS_SQL,
         "sft_pairs": _SFT_PAIRS_SQL,
+        "dsir_select": _dsir_select_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
