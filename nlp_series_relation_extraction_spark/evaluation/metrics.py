@@ -198,3 +198,69 @@ def calibration_report(
             ).alias("ece_contrib_ppm"),
         )
     )
+
+
+def capture_recapture_completeness(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    key_cols: tuple = ("subj_entity_id", "predicate", "obj_entity_id"),
+    group_col: str = "predicate",
+) -> DataFrame:
+    """KG completeness estimation by capture-recapture (Lincoln-
+    Petersen with Chapman's bias correction — the mark-recapture
+    estimator Razniewski et al.'s completeness surveys apply to KGs):
+    treat two INDEPENDENT extraction runs over the same corpus as two
+    captures of the latent true fact population; the overlap rate
+    estimates what fraction neither run is seeing. Per ``group_col``:
+
+      (group, n_a, n_b, n_both, n_union,
+       est_total   = (n_a+1)(n_b+1) div (n_both+1) - 1   [Chapman],
+       est_missing = max(est_total - n_union, 0),
+       coverage_union_ppm = n_union * 1e6 div max(est_total, 1))
+
+    All integer arithmetic (truncating division — Chapman can land one
+    below the observed union; est_missing clamps at 0). The estimator
+    assumes run independence and per-group homogeneous capture
+    probability — per-predicate grouping is exactly the
+    stratification that makes the homogeneity assumption tenable.
+
+    Scale shape: per-run distinct (one shuffle each, map-side
+    combine), ONE full-outer join on the fact key (co-partitioned by
+    the same key), then an alphabet-sized group aggregation. Output
+    is predicate-count-sized."""
+    keys = list(key_cols)
+    a = run_a.select(*keys).distinct().withColumn(
+        "_in_a", F.lit(1).cast("long")
+    )
+    b = run_b.select(*keys).distinct().withColumn(
+        "_in_b", F.lit(1).cast("long")
+    )
+    facts = a.join(b, keys, "full_outer").select(
+        F.col(group_col),
+        F.coalesce(F.col("_in_a"), F.lit(0)).alias("_in_a"),
+        F.coalesce(F.col("_in_b"), F.lit(0)).alias("_in_b"),
+    )
+    agg = facts.groupBy(group_col).agg(
+        F.sum("_in_a").cast("long").alias("n_a"),
+        F.sum("_in_b").cast("long").alias("n_b"),
+        F.sum(F.col("_in_a") * F.col("_in_b")).cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+    return agg.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        F.expr(
+            "(n_a + 1) * (n_b + 1) div (n_both + 1) - 1"
+        ).alias("est_total"),
+        F.expr(
+            "greatest((n_a + 1) * (n_b + 1) div (n_both + 1) - 1"
+            " - n_union, 0)"
+        ).alias("est_missing"),
+        F.expr(
+            "n_union * 1000000"
+            " div greatest((n_a + 1) * (n_b + 1) div (n_both + 1) - 1, 1)"
+        ).alias("coverage_union_ppm"),
+    )

@@ -10530,6 +10530,86 @@ def _dsir_select_sql() -> str:
 
 
 
+
+_CAPTURE_FRAC = (
+    "cast(conv(substring(md5(concat_ws('|', cast(subj_entity_id as string),"
+    " predicate, cast(obj_entity_id as string), '{salt}')), 1, 7), 16, 10)"
+    " as bigint) * 1000000 div 268435456"
+)
+
+
+def q_kg_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture KG completeness (evaluation/metrics.py:
+    capture_recapture_completeness): two md5-deterministic Bernoulli
+    'extraction runs' (keep 70% / 55%, independent salts) over the
+    TPC-H hierarchy KG play the two captures; per predicate the
+    Chapman estimator recovers the latent fact total and the share
+    both runs jointly miss — the audit that says how much KG is NOT
+    there, which no single-run metric can. Integer-exact twin."""
+    from ..evaluation.metrics import capture_recapture_completeness
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    run_a = edges.filter(
+        F.expr(_CAPTURE_FRAC.format(salt="capA")) < F.lit(700_000)
+    )
+    run_b = edges.filter(
+        F.expr(_CAPTURE_FRAC.format(salt="capB")) < F.lit(550_000)
+    )
+    return capture_recapture_completeness(run_a, run_b).orderBy("predicate")
+
+
+_KG_COMPLETENESS_SQL = """
+WITH edges AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS subj_entity_id,
+         'cust_in_nation' AS predicate,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS obj_entity_id
+  FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2
+  FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM nation
+), frac AS (
+  SELECT *,
+    cast(concat('0x', substring(md5(concat_ws('|',
+         cast(subj_entity_id AS VARCHAR), predicate,
+         cast(obj_entity_id AS VARCHAR), 'capA')), 1, 7)) AS BIGINT)
+      * 1000000 // 268435456 AS fa,
+    cast(concat('0x', substring(md5(concat_ws('|',
+         cast(subj_entity_id AS VARCHAR), predicate,
+         cast(obj_entity_id AS VARCHAR), 'capB')), 1, 7)) AS BIGINT)
+      * 1000000 // 268435456 AS fb
+  FROM edges
+), marked AS (
+  SELECT DISTINCT subj_entity_id, predicate, obj_entity_id,
+         CASE WHEN fa < 700000 THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN fb < 550000 THEN 1 ELSE 0 END AS in_b
+  FROM frac
+), agg AS (
+  SELECT predicate,
+         cast(sum(in_a) AS BIGINT) AS n_a,
+         cast(sum(in_b) AS BIGINT) AS n_b,
+         cast(sum(in_a * in_b) AS BIGINT) AS n_both,
+         cast(count(*) AS BIGINT) AS n_union
+  FROM marked WHERE in_a = 1 OR in_b = 1
+  GROUP BY predicate
+)
+SELECT predicate, n_a, n_b, n_both, n_union,
+       cast((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT)
+         AS est_total,
+       cast(greatest((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_union,
+                     0) AS BIGINT) AS est_missing,
+       cast(n_union * 1000000
+            // greatest((n_a + 1) * (n_b + 1) // (n_both + 1) - 1, 1)
+            AS BIGINT) AS coverage_union_ppm
+FROM agg ORDER BY predicate
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -10730,6 +10810,7 @@ def queries() -> dict:
             "conv_dialogue_acts": q_conv_dialogue_acts,
             "sft_pairs": q_sft_pairs,
             "dsir_select": q_dsir_select,
+            "kg_completeness": q_kg_completeness,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -10895,6 +10976,7 @@ def oracle_sql() -> dict:
         "conv_dialogue_acts": _CONV_DIALOGUE_ACTS_SQL,
         "sft_pairs": _SFT_PAIRS_SQL,
         "dsir_select": _dsir_select_sql(),
+        "kg_completeness": _KG_COMPLETENESS_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
