@@ -152,3 +152,48 @@ def repetition_stats(
         ).alias("n_dup_ngram_occurrences"),
         F.coalesce(F.max("cnt"), F.lit(0)).alias("top_ngram_count"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-richness profile per document — the degenerate-text
+    screens Gopher/CCNet-style pipelines stack next to repetition
+    stats: (id, n_tokens, n_types, ttr_ppm, hapax_ppm, yule_k_centi).
+
+      ttr_ppm      = types * 1e6 div tokens      (type-token ratio)
+      hapax_ppm    = once-types * 1e6 div types  (hapax legomena share)
+      yule_k_centi = 1e6 * (sum m^2 - N) div N^2 (Yule's K * 100 —
+                     repeat-mass curvature, length-robust where raw
+                     TTR is not; m = each type's occurrence count)
+
+    All truncating integer arithmetic over whitespace tokens (the
+    package-wide tokenization; empty/NULL text emits no row — zero
+    tokens has no defined richness). Scale shape: one explode + one
+    (id, token) count + one id aggregation — two shuffles on the id
+    key, map-side combined; no joins, no windows."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_type = toks.groupBy("id", "tok").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    agg = per_type.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_hapax"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("_s2"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+        F.expr("_hapax * 1000000 div n_types").alias("hapax_ppm"),
+        F.expr(
+            "(1000000 * (_s2 - n_tokens)) div (n_tokens * n_tokens)"
+        ).alias("yule_k_centi"),
+    )

@@ -10610,6 +10610,47 @@ FROM agg ORDER BY predicate
 
 
 
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness screen (functions/textstats.py:
+    lexical_diversity): TTR / hapax share / Yule's K per document in
+    truncating integer ppm — the length-robust degenerate-text gate
+    that composes with repetition_stats. Two id-keyed aggregations,
+    bit-exact twin."""
+    from ..functions.textstats import lexical_diversity
+
+    return lexical_diversity(t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+_LEXICAL_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), nz AS (
+  SELECT id, tok FROM toks WHERE tok <> ''
+), per_type AS (
+  SELECT id, tok, cast(count(*) AS BIGINT) AS m
+  FROM nz GROUP BY id, tok
+), agg AS (
+  SELECT id AS doc_id,
+         cast(sum(m) AS BIGINT) AS n_tokens,
+         cast(count(*) AS BIGINT) AS n_types,
+         cast(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         cast(sum(m * m) AS BIGINT) AS s2
+  FROM per_type GROUP BY id
+)
+SELECT doc_id, n_tokens, n_types,
+       cast(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       cast(hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm,
+       cast((1000000 * (s2 - n_tokens)) // (n_tokens * n_tokens) AS BIGINT)
+         AS yule_k_centi
+FROM agg ORDER BY doc_id
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -10811,6 +10852,7 @@ def queries() -> dict:
             "sft_pairs": q_sft_pairs,
             "dsir_select": q_dsir_select,
             "kg_completeness": q_kg_completeness,
+            "lexical_diversity": q_lexical_diversity,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -10977,6 +11019,7 @@ def oracle_sql() -> dict:
         "sft_pairs": _SFT_PAIRS_SQL,
         "dsir_select": _dsir_select_sql(),
         "kg_completeness": _KG_COMPLETENESS_SQL,
+        "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
