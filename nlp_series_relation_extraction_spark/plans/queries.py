@@ -10651,6 +10651,112 @@ FROM agg ORDER BY doc_id
 
 
 
+
+def q_gazetteer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-broadcast dictionary mention detection (operators/
+    gazetteer.py:gazetteer_match): a corpus-derived gazetteer (bigram
+    names from every 25th document, unigram names from every 25th+5)
+    matched against ALL documents via rarest-token anchor joins + span
+    verification + maximal-munch dedup. The KG-construction stage that
+    replaces per-row vocabularies when the dictionary is 1e8 names.
+    Bit-exact twin (joins + list slices, zero UDFs)."""
+    from ..operators.gazetteer import gazetteer_match
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bi = (
+        d.where((F.col("doc_id") % 25 == 0) & (F.size(ws) >= 5))
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.concat_ws(
+                " ", F.element_at(ws, 4), F.element_at(ws, 5)
+            ).alias("name"),
+        )
+        .where(
+            (F.element_at(ws, 4) != "") & (F.element_at(ws, 5) != "")
+        )
+    )
+    uni = (
+        d.where((F.col("doc_id") % 25 == 5) & (F.size(ws) >= 3))
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.element_at(ws, 3).alias("name"),
+        )
+        .where(F.element_at(ws, 3) != "")
+    )
+    return gazetteer_match(d, bi.unionByName(uni)).orderBy(
+        "doc_id", "start_tok", "end_tok", "entity_id"
+    )
+
+
+_GAZETTEER_MATCH_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+), tokstream AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(toks) - 1)) AS pos,
+         unnest(toks) AS tok
+  FROM docs
+), counts AS (
+  SELECT tok, cast(count(*) AS BIGINT) AS cnt
+  FROM tokstream WHERE tok <> '' GROUP BY tok
+), gaz AS (
+  SELECT doc_id AS entity_id,
+         concat(toks[4], ' ', toks[5]) AS name
+  FROM docs
+  WHERE doc_id % 25 = 0 AND len(toks) >= 5
+    AND toks[4] <> '' AND toks[5] <> ''
+  UNION ALL
+  SELECT doc_id, toks[3]
+  FROM docs
+  WHERE doc_id % 25 = 5 AND len(toks) >= 3 AND toks[3] <> ''
+), gtok AS (
+  SELECT entity_id, name, string_split(name, ' ') AS g_toks
+  FROM gaz WHERE len(string_split(name, ' ')) >= 1
+), gexp AS (
+  SELECT entity_id, name, g_toks, len(g_toks) AS n_toks,
+         unnest(generate_series(0, len(g_toks) - 1)) AS off,
+         unnest(g_toks) AS gtok
+  FROM gtok
+), ranked AS (
+  SELECT g.entity_id, g.name, g.g_toks, g.n_toks, g.off, g.gtok,
+         row_number() OVER (
+           PARTITION BY g.entity_id, g.name
+           ORDER BY coalesce(c.cnt, 0), g.off
+         ) AS rn
+  FROM gexp g LEFT JOIN counts c ON g.gtok = c.tok
+  WHERE g.gtok <> ''
+), anchors AS (
+  SELECT entity_id, name, g_toks, n_toks,
+         gtok AS anchor, off AS anchor_offset
+  FROM ranked WHERE rn = 1
+), cand AS (
+  SELECT t.doc_id, t.pos - a.anchor_offset AS start_tok,
+         a.entity_id, a.name, a.g_toks, a.n_toks
+  FROM tokstream t JOIN anchors a ON t.tok = a.anchor
+  WHERE t.pos - a.anchor_offset >= 0
+), verified AS (
+  SELECT DISTINCT c.doc_id, cast(c.start_tok AS INT) AS start_tok,
+         cast(c.start_tok + c.n_toks - 1 AS INT) AS end_tok,
+         c.entity_id, c.name
+  FROM cand c JOIN docs d ON c.doc_id = d.doc_id
+  WHERE list_slice(d.toks, c.start_tok + 1, c.start_tok + c.n_toks)
+          = c.g_toks
+)
+SELECT v.doc_id, v.start_tok, v.end_tok, v.entity_id, v.name
+FROM verified v
+WHERE NOT EXISTS (
+  SELECT 1 FROM verified s
+  WHERE s.doc_id = v.doc_id
+    AND s.start_tok <= v.start_tok AND s.end_tok >= v.end_tok
+    AND (s.end_tok - s.start_tok) > (v.end_tok - v.start_tok)
+)
+ORDER BY doc_id, start_tok, end_tok, entity_id
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -10853,6 +10959,7 @@ def queries() -> dict:
             "dsir_select": q_dsir_select,
             "kg_completeness": q_kg_completeness,
             "lexical_diversity": q_lexical_diversity,
+            "gazetteer_match": q_gazetteer_match,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11020,6 +11127,7 @@ def oracle_sql() -> dict:
         "dsir_select": _dsir_select_sql(),
         "kg_completeness": _KG_COMPLETENESS_SQL,
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
+        "gazetteer_match": _GAZETTEER_MATCH_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
