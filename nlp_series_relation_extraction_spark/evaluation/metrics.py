@@ -264,3 +264,91 @@ def capture_recapture_completeness(
             " div greatest((n_a + 1) * (n_b + 1) div (n_both + 1) - 1, 1)"
         ).alias("coverage_union_ppm"),
     )
+
+
+def generation_ngram_eval(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level clipped n-gram precision (the BLEU numerators,
+    Papineni 2002) for generation eval over (candidate, reference)
+    pairs: for n = 1..max_n, matched_n = sum over pairs and grams of
+    min(count_cand, count_ref) — each candidate n-gram credits at most
+    its reference multiplicity (the 'clipping' that kills the
+    the-the-the exploit — and total_n = all candidate n-grams.
+
+    Output, one row per n:
+      (n, n_matched, n_total, precision_ppm,
+       cand_tokens, ref_tokens, len_ratio_ppm)
+    precision_ppm = matched * 1e6 div total; len_ratio_ppm =
+    cand_tokens * 1e6 div ref_tokens (corpus totals, repeated on every
+    row — the brevity-penalty inputs, exp left to the consumer so the
+    table stays integer-exact). Empty/NULL sides contribute no grams.
+
+    Scale shape, per n: one (id, gram) count per side (map-side
+    combine), one co-keyed full-outer join, one global sum — the big
+    text never moves, only gram-count rows; max_n small-constant
+    unions of that pipeline."""
+    if max_n < 1:
+        raise ValueError(f"generation_ngram_eval: max_n must be >= 1: {max_n}")
+
+    def gram_counts(col: str, n: int, out: str) -> DataFrame:
+        w = f"split({col}, ' ')"
+        grams = F.expr(
+            f"case when size({w}) >= {n} then "
+            f"transform(sequence(1, size({w}) - {n} + 1),"
+            f" i -> array_join(slice({w}, i, {n}), ' ')) "
+            f"else array() end"
+        )
+        return (
+            pairs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    lens = pairs.agg(
+        F.coalesce(
+            F.sum(F.size(F.split(F.col(cand_col), " "))), F.lit(0)
+        ).cast("long").alias("cand_tokens"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col(ref_col), " "))), F.lit(0)
+        ).cast("long").alias("ref_tokens"),
+    )
+    per_n = []
+    for n in range(1, max_n + 1):
+        c = gram_counts(cand_col, n, "c_cand")
+        r = gram_counts(ref_col, n, "c_ref")
+        joined = c.join(r, ["id", "gram"], "left").select(
+            F.col("c_cand"),
+            F.least(F.col("c_cand"), F.coalesce(F.col("c_ref"), F.lit(0))).alias(
+                "m"
+            ),
+        )
+        per_n.append(
+            joined.agg(
+                F.lit(n).cast("int").alias("n"),
+                F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_matched"),
+                F.coalesce(F.sum("c_cand"), F.lit(0))
+                .cast("long")
+                .alias("n_total"),
+            )
+        )
+    out = per_n[0]
+    for nxt in per_n[1:]:
+        out = out.unionByName(nxt)
+    return out.crossJoin(F.broadcast(lens)).select(
+        "n",
+        "n_matched",
+        "n_total",
+        F.expr(
+            "n_matched * 1000000 div greatest(n_total, 1)"
+        ).alias("precision_ppm"),
+        "cand_tokens",
+        "ref_tokens",
+        F.expr(
+            "cand_tokens * 1000000 div greatest(ref_tokens, 1)"
+        ).alias("len_ratio_ppm"),
+    )

@@ -10757,6 +10757,93 @@ ORDER BY doc_id, start_tok, end_tok, entity_id
 
 
 
+
+def q_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU numerators (evaluation/metrics.py:
+    generation_ngram_eval): clipped n-gram precision n=1..4 of every
+    document against a 3-token-rotated twin of itself — a reference
+    with near-total vocabulary overlap but broken higher-order order,
+    so the table shows exactly the precision decay BLEU exists to
+    measure. Integer ppm; gram-count joins only, text never shuffles."""
+    from ..evaluation.metrics import generation_ngram_eval
+
+    d = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ws = F.split(txt, " ")
+    rotated = F.when(
+        F.size(ws) > 3,
+        F.array_join(
+            F.concat(
+                F.expr("slice(split(coalesce(text, ''), ' '), 4, "
+                       "size(split(coalesce(text, ''), ' ')) - 3)"),
+                F.expr("slice(split(coalesce(text, ''), ' '), 1, 3)"),
+            ),
+            " ",
+        ),
+    ).otherwise(txt)
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        txt.alias("candidate"),
+        rotated.alias("reference"),
+    )
+    return generation_ngram_eval(pairs).orderBy("n")
+
+
+def _generation_eval_sql() -> str:
+    per_n_ctes, unions = [], []
+    for n in range(1, 5):
+        per_n_ctes.append(f"""c{n} AS (
+  SELECT id, gram, count(*) AS c_cand FROM (
+    SELECT id, unnest(list_transform(
+      generate_series(1, greatest(len(cws) - {n} + 1, 0)),
+      i -> array_to_string(list_slice(cws, i, i + {n} - 1), ' '))) AS gram
+    FROM pws) GROUP BY id, gram
+), r{n} AS (
+  SELECT id, gram, count(*) AS c_ref FROM (
+    SELECT id, unnest(list_transform(
+      generate_series(1, greatest(len(rws) - {n} + 1, 0)),
+      i -> array_to_string(list_slice(rws, i, i + {n} - 1), ' '))) AS gram
+    FROM pws) GROUP BY id, gram
+), s{n} AS (
+  SELECT cast({n} AS INT) AS n,
+         cast(coalesce(sum(least(c.c_cand, coalesce(r.c_ref, 0))), 0)
+              AS BIGINT) AS n_matched,
+         cast(coalesce(sum(c.c_cand), 0) AS BIGINT) AS n_total
+  FROM c{n} c LEFT JOIN r{n} r USING (id, gram)
+)""")
+        unions.append(f"SELECT * FROM s{n}")
+    return """
+WITH base AS (
+  SELECT doc_id AS id, coalesce(text, '') AS cand,
+         string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents
+), pairs AS (
+  SELECT id, cand,
+         CASE WHEN len(ws) > 3
+              THEN array_to_string(list_concat(
+                     list_slice(ws, 4, len(ws)), list_slice(ws, 1, 3)), ' ')
+              ELSE cand END AS ref
+  FROM base
+), pws AS (
+  SELECT id, string_split(cand, ' ') AS cws, string_split(ref, ' ') AS rws
+  FROM pairs
+), lens AS (
+  SELECT cast(coalesce(sum(len(cws)), 0) AS BIGINT) AS cand_tokens,
+         cast(coalesce(sum(len(rws)), 0) AS BIGINT) AS ref_tokens
+  FROM pws
+), """ + (",\n".join(per_n_ctes)) + """
+SELECT n, n_matched, n_total,
+       cast(n_matched * 1000000 // greatest(n_total, 1) AS BIGINT)
+         AS precision_ppm,
+       cand_tokens, ref_tokens,
+       cast(cand_tokens * 1000000 // greatest(ref_tokens, 1) AS BIGINT)
+         AS len_ratio_ppm
+FROM (""" + " UNION ALL ".join(unions) + """) CROSS JOIN lens
+ORDER BY n
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -10960,6 +11047,7 @@ def queries() -> dict:
             "kg_completeness": q_kg_completeness,
             "lexical_diversity": q_lexical_diversity,
             "gazetteer_match": q_gazetteer_match,
+            "generation_eval": q_generation_eval,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11128,6 +11216,7 @@ def oracle_sql() -> dict:
         "kg_completeness": _KG_COMPLETENESS_SQL,
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
         "gazetteer_match": _GAZETTEER_MATCH_SQL,
+        "generation_eval": _generation_eval_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
