@@ -197,3 +197,84 @@ def lexical_diversity(
             "(1000000 * (_s2 - n_tokens)) div (n_tokens * n_tokens)"
         ).alias("yule_k_centi"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram, then
+    from each window of ``w`` consecutive hashes keep the RIGHTMOST
+    minimum; the kept (hash, position) pairs are the fingerprints.
+    Guarantees every shared substring of length >= k + w - 1 yields at
+    least one shared fingerprint (the paper's coverage theorem), at
+    ~2/(w+1) selection density — the local, position-bearing
+    complement to the whole-document fingerprints() above, and the
+    primitive plagiarism / license-scan / fine-grained-copy detectors
+    build on.
+
+    Returns distinct (id, pos, hash) with pos the 1-based k-gram
+    offset; hash is the first-7-hex-digits-of-md5 integer (the repo's
+    cross-engine idiom). Documents shorter than k emit nothing; with
+    fewer than w k-grams the whole sequence is one window.
+
+    Scale shape: one k-gram projection (JVM substring+md5), a
+    w-way window-membership explode (the O(w) blowup buys a pure
+    groupBy instead of cross-row window comparisons — w is a small
+    constant), ONE (id, window) aggregation whose lexicographic
+    struct-min implements min-hash-then-rightmost, and a distinct.
+    All shuffles key on (id, window): co-partitioned, combiner-
+    friendly, no joins."""
+    if k < 1 or w < 1:
+        raise ValueError(f"winnowing_fingerprints: bad k={k} w={w}")
+    L = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    n_hashes = (L - F.lit(k) + 1).alias("n_hashes")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        n_hashes,
+    ).where(F.col("n_hashes") >= 1)
+    hashed = grams.select(
+        "id",
+        "n_hashes",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_hashes), i -> "
+                f"cast(conv(substring(md5(substring(_t, i, {k})), 1, 7),"
+                f" 16, 10) as bigint))"
+            )
+        ).alias("pos0", "hash"),
+    ).select(
+        "id",
+        "n_hashes",
+        (F.col("pos0") + 1).alias("pos"),
+        "hash",
+    )
+    memb = hashed.select(
+        "id",
+        "pos",
+        "hash",
+        F.explode(
+            F.expr(
+                f"sequence(greatest(1, pos - {w} + 1),"
+                f" least(pos, greatest(n_hashes - {w} + 1, 1)))"
+            )
+        ).alias("win"),
+    )
+    picked = memb.groupBy("id", "win").agg(
+        F.min(F.struct(F.col("hash"), (-F.col("pos")).alias("_np"))).alias(
+            "m"
+        )
+    )
+    return (
+        picked.select(
+            F.col("id").alias(id_col),
+            (-F.col("m._np")).cast("int").alias("pos"),
+            F.col("m.hash").alias("hash"),
+        )
+        .distinct()
+    )

@@ -10844,6 +10844,54 @@ ORDER BY n
 
 
 
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (functions/textstats.py:
+    winnowing_fingerprints, k=8 w=4): position-bearing local prints
+    with the shared-substring coverage guarantee — the fine-grained
+    copy detector whole-document hashing cannot provide. All shuffles
+    key on (id, window); bit-exact twin."""
+    from ..functions.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), k=8, w=4
+    ).orderBy("doc_id", "pos", "hash")
+
+
+_WINNOWING_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) - 8 + 1 AS n_hashes
+  FROM documents
+  WHERE length(coalesce(text, '')) >= 8
+), hashed AS (
+  SELECT id, n_hashes, t, unnest(generate_series(1, n_hashes)) AS pos
+  FROM base
+), h2 AS (
+  SELECT id, n_hashes, pos,
+         cast(concat('0x', substring(md5(substring(t, pos, 8)), 1, 7))
+              AS BIGINT) AS hash
+  FROM hashed
+), memb AS (
+  SELECT id, pos, hash,
+         unnest(generate_series(
+           greatest(1, pos - 4 + 1),
+           least(pos, greatest(n_hashes - 4 + 1, 1)))) AS win
+  FROM h2
+), mn AS (
+  SELECT id, win, min(hash) AS mh FROM memb GROUP BY id, win
+), pick AS (
+  SELECT m.id, m.win, m.hash, max(m.pos) AS pos
+  FROM memb m
+  JOIN mn ON m.id = mn.id AND m.win = mn.win AND m.hash = mn.mh
+  GROUP BY m.id, m.win, m.hash
+)
+SELECT DISTINCT id AS doc_id, cast(pos AS INT) AS pos, hash
+FROM pick ORDER BY doc_id, pos, hash
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11048,6 +11096,7 @@ def queries() -> dict:
             "lexical_diversity": q_lexical_diversity,
             "gazetteer_match": q_gazetteer_match,
             "generation_eval": q_generation_eval,
+            "winnowing_fingerprints": q_winnowing_fingerprints,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11217,6 +11266,7 @@ def oracle_sql() -> dict:
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
         "gazetteer_match": _GAZETTEER_MATCH_SQL,
         "generation_eval": _generation_eval_sql(),
+        "winnowing_fingerprints": _WINNOWING_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
