@@ -742,3 +742,61 @@ def mine_sft_pairs(
     ).select(
         "conv_id", "turn_idx", "instruction_act", "instruction", "response"
     )
+
+
+def entity_salience(
+    mentions: DataFrame,
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Per-conversation entity salience (the frequency + first-
+    position feature pair of Dunietz & Gillick EACL'14's salience
+    baseline, integer-exact): from mention rows (conv_id, turn_idx,
+    entity) compute, per (conv_id, entity):
+
+      n_mentions, n_turns (distinct turns mentioning it),
+      first_turn_idx, last_turn_idx,
+      share_ppm     = n_mentions * 1e6 div conversation mention total,
+      salience_rank = dense order by (n_mentions DESC,
+                      first_turn_idx ASC, entity ASC) within the
+                      conversation — frequent-and-early wins; the id
+                      tiebreak keeps the rank deterministic.
+
+    The ranking drives KG-construction triage (which entities deserve
+    linking/typing effort first) and summarization-style sampling.
+
+    Scale shape: ONE (conv, entity) aggregation + two windows over
+    the conversation-keyed aggregate (conversation cardinality, not
+    mention cardinality); no joins."""
+    agg = mentions.groupBy(
+        "conv_id", F.col(entity_col).alias("entity")
+    ).agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("turn_idx").cast("long").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("first_turn_idx"),
+        F.max("turn_idx").cast("int").alias("last_turn_idx"),
+    )
+    wc = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("n_mentions").desc(),
+        F.col("first_turn_idx").asc(),
+        F.col("entity").asc(),
+    )
+    return agg.select(
+        "conv_id",
+        F.col("entity").alias(entity_col),
+        "n_mentions",
+        "n_turns",
+        "first_turn_idx",
+        "last_turn_idx",
+        F.sum("n_mentions").over(wc).alias("_tot"),
+        F.row_number().over(wr).cast("int").alias("salience_rank"),
+    ).select(
+        "conv_id",
+        entity_col,
+        "n_mentions",
+        "n_turns",
+        "first_turn_idx",
+        "last_turn_idx",
+        F.expr("n_mentions * 1000000 div _tot").alias("share_ppm"),
+        "salience_rank",
+    )

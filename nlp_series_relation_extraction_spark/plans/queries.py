@@ -10892,6 +10892,79 @@ FROM pick ORDER BY doc_id, pos, hash
 
 
 
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience over detected mentions (operators/
+    conversation.py:entity_salience composed on operators/gazetteer.py:
+    gazetteer_match): the gazetteer's mention stream, folded 8-turns-
+    to-a-conversation, ranked frequent-and-early per conversation —
+    the triage signal for which entities earn linking/typing effort.
+    One (conv, entity) aggregation + conversation-sized windows;
+    bit-exact twin (the gazetteer SQL nests as a subquery)."""
+    from ..operators.conversation import entity_salience
+    from ..operators.gazetteer import gazetteer_match
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bi = (
+        d.where((F.col("doc_id") % 25 == 0) & (F.size(ws) >= 5))
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.concat_ws(
+                " ", F.element_at(ws, 4), F.element_at(ws, 5)
+            ).alias("name"),
+        )
+        .where(
+            (F.element_at(ws, 4) != "") & (F.element_at(ws, 5) != "")
+        )
+    )
+    uni = (
+        d.where((F.col("doc_id") % 25 == 5) & (F.size(ws) >= 3))
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.element_at(ws, 3).alias("name"),
+        )
+        .where(F.element_at(ws, 3) != "")
+    )
+    mentions = gazetteer_match(d, bi.unionByName(uni)).select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        "entity_id",
+    )
+    return entity_salience(mentions).orderBy("conv_id", "salience_rank")
+
+
+def _entity_salience_sql() -> str:
+    inner = _GAZETTEER_MATCH_SQL.strip().rstrip()
+    return f"""
+WITH mentions AS (
+  SELECT cast(doc_id // 8 AS VARCHAR) AS conv_id,
+         cast(doc_id % 8 AS INT) AS turn_idx,
+         entity_id
+  FROM ({inner}) gm
+), agg AS (
+  SELECT conv_id, entity_id,
+         cast(count(*) AS BIGINT) AS n_mentions,
+         cast(count(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+         cast(min(turn_idx) AS INT) AS first_turn_idx,
+         cast(max(turn_idx) AS INT) AS last_turn_idx
+  FROM mentions GROUP BY conv_id, entity_id
+)
+SELECT conv_id, entity_id, n_mentions, n_turns,
+       first_turn_idx, last_turn_idx,
+       cast(n_mentions * 1000000
+            // sum(n_mentions) OVER (PARTITION BY conv_id) AS BIGINT)
+         AS share_ppm,
+       cast(row_number() OVER (
+              PARTITION BY conv_id
+              ORDER BY n_mentions DESC, first_turn_idx ASC, entity_id ASC)
+            AS INT) AS salience_rank
+FROM agg
+ORDER BY conv_id, salience_rank
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11097,6 +11170,7 @@ def queries() -> dict:
             "gazetteer_match": q_gazetteer_match,
             "generation_eval": q_generation_eval,
             "winnowing_fingerprints": q_winnowing_fingerprints,
+            "entity_salience": q_entity_salience,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11267,6 +11341,7 @@ def oracle_sql() -> dict:
         "gazetteer_match": _GAZETTEER_MATCH_SQL,
         "generation_eval": _generation_eval_sql(),
         "winnowing_fingerprints": _WINNOWING_SQL,
+        "entity_salience": _entity_salience_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
