@@ -10965,6 +10965,45 @@ ORDER BY conv_id, salience_rank
 
 
 
+
+def q_kg_rdfstar_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-star interchange (sources/rdf.py:edges_to_ntriples_star):
+    the evidence-bearing edge table as asserted triples plus
+    << s p o >> quoted-triple nEvidence annotations — RDF 1.2's
+    replacement for standard reification (1+q lines per edge, no
+    skolem nodes). Byte-deterministic concat after the broadcast
+    predicate join; bit-exact twin. Roundtrip back to edges is pinned
+    in tests/test_rdfstar.py."""
+    from ..sources.rdf import edges_to_ntriples_star
+
+    return edges_to_ntriples_star(_schema_edges(spark, sf_dir)).orderBy(
+        "line"
+    )
+
+
+_KG_RDFSTAR_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+b AS (
+  SELECT concat('<http://kg.example/e/',
+                cast(subj_entity_id AS VARCHAR),
+                '> <http://kg.example/p/', predicate,
+                '> <http://kg.example/e/',
+                cast(obj_entity_id AS VARCHAR), '>') AS triple,
+         cast(n_evidence AS VARCHAR) AS nev
+  FROM edges
+)
+SELECT line FROM (
+  SELECT concat(triple, ' .') AS line FROM b
+  UNION ALL
+  SELECT concat('<< ', triple, ' >> <http://kg.example/p/nEvidence> "',
+                nev,
+                '"^^<http://www.w3.org/2001/XMLSchema#integer> .')
+  FROM b
+) ORDER BY line
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11171,6 +11210,7 @@ def queries() -> dict:
             "generation_eval": q_generation_eval,
             "winnowing_fingerprints": q_winnowing_fingerprints,
             "entity_salience": q_entity_salience,
+            "kg_rdfstar_export": q_kg_rdfstar_export,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11342,6 +11382,7 @@ def oracle_sql() -> dict:
         "generation_eval": _generation_eval_sql(),
         "winnowing_fingerprints": _WINNOWING_SQL,
         "entity_salience": _entity_salience_sql(),
+        "kg_rdfstar_export": _KG_RDFSTAR_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),

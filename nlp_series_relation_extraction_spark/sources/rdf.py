@@ -636,3 +636,178 @@ def edges_to_jsonld(
             ).alias("line")
         )
     )
+
+
+# --- RDF-star (quoted triples) ------------------------------------------
+
+
+def edges_to_ntriples_star(
+    edges: DataFrame, base: str = DEFAULT_BASE
+) -> DataFrame:
+    """Edge table -> N-Triples-star (RDF-star / RDF 1.2 quoted
+    triples): every edge emits its ASSERTED triple plus
+    ``<< s p o >> <qualifier> value .`` lines carrying the statement
+    metadata — ``kg:nEvidence`` as an xsd:integer literal and (when
+    present) ``kg:firstSeenIn`` as a graph IRI. The modern
+    alternative to edges_to_reified_ntriples: 1 + q lines per edge
+    instead of 4 + q, no skolem statement node to join back, and the
+    quoted term IS the fact (SPARQL-star consumers match it
+    directly).
+
+    Same determinism contract as every exporter here: pure column
+    concat after the broadcast predicate-IRI join, byte-stable, so
+    the DuckDB twin replays it exactly."""
+    pm = predicate_iri_map(edges, base)
+    has_conv = "first_conv_id" in edges.columns
+    has_ev = "n_evidence" in edges.columns
+    e = edges.join(F.broadcast(pm), "predicate").select(
+        F.concat(
+            F.lit(f"<{base}e/"),
+            F.col("subj_entity_id").cast("string"),
+            F.lit("> <"),
+            F.col("pred_iri"),
+            F.lit(f"> <{base}e/"),
+            F.col("obj_entity_id").cast("string"),
+            F.lit(">"),
+        ).alias("triple"),
+        *(
+            [F.col("n_evidence").cast("string").alias("nev")]
+            if has_ev
+            else []
+        ),
+        *([F.col("first_conv_id").alias("conv")] if has_conv else []),
+    )
+    parts = [F.concat(F.col("triple"), F.lit(" ."))]
+    if has_ev:
+        parts.append(
+            F.concat(
+                F.lit("<< "),
+                F.col("triple"),
+                F.lit(f' >> <{base}p/nEvidence> "'),
+                F.col("nev"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+            )
+        )
+    if has_conv:
+        parts.append(
+            F.concat(
+                F.lit("<< "),
+                F.col("triple"),
+                F.lit(f" >> <{base}p/firstSeenIn> <{base}g/"),
+                F.col("conv"),
+                F.lit("> ."),
+            )
+        )
+    return e.select(
+        F.explode(F.array(*[p.alias("x") for p in parts])).alias("line")
+    ).where(F.col("line").isNotNull())  # NULL first_conv_id: no line
+
+
+_STAR_LINE = (
+    r"^\s*<<\s*<([^<>\s]*)>\s+<([^<>\s]*)>\s+<([^<>\s]*)>\s*>>"
+    r"\s+<([^<>\s]*)>\s+(.*?)\s*\.\s*$"
+)
+_STAR_IRI_VAL = r"^<([^<>\s]*)>$"
+_STAR_LIT_VAL = r'^"((?:[^"\\]|\\.)*)"(?:\^\^<([^<>\s]*)>)?$'
+
+
+def parse_ntriples_star(
+    lines: DataFrame, col: str = "line"
+) -> DataFrame:
+    """Parse ``<< s p o >> q v .`` quoted-triple annotation lines
+    (IRI-term quoted triples — the shape edges_to_ntriples_star
+    emits). Returns (subj_iri, pred_iri, obj_iri, qual_iri,
+    value_iri, value_lit, value_dtype) — exactly one of value_iri /
+    value_lit is non-NULL. Plain (non-star) triple lines and
+    malformed input yield no row: feed those to parse_ntriples.
+    Pure JVM regexes, one projection."""
+    c = F.col(col)
+    m = lines.where(c.rlike(_STAR_LINE)).select(
+        F.regexp_extract(c, _STAR_LINE, 1).alias("subj_iri"),
+        F.regexp_extract(c, _STAR_LINE, 2).alias("pred_iri"),
+        F.regexp_extract(c, _STAR_LINE, 3).alias("obj_iri"),
+        F.regexp_extract(c, _STAR_LINE, 4).alias("qual_iri"),
+        F.regexp_extract(c, _STAR_LINE, 5).alias("_v"),
+    )
+    v = F.col("_v")
+    return m.select(
+        "subj_iri",
+        "pred_iri",
+        "obj_iri",
+        "qual_iri",
+        F.when(
+            v.rlike(_STAR_IRI_VAL), F.regexp_extract(v, _STAR_IRI_VAL, 1)
+        ).alias("value_iri"),
+        F.when(
+            v.rlike(_STAR_LIT_VAL), F.regexp_extract(v, _STAR_LIT_VAL, 1)
+        ).alias("value_lit"),
+        F.when(
+            v.rlike(_STAR_LIT_VAL)
+            & (F.regexp_extract(v, _STAR_LIT_VAL, 2) != ""),
+            F.regexp_extract(v, _STAR_LIT_VAL, 2),
+        ).alias("value_dtype"),
+    )
+
+
+def ntriples_star_to_edges(
+    lines: DataFrame, base: str = DEFAULT_BASE, col: str = "line"
+) -> DataFrame:
+    """Reassemble an evidence-bearing edge table from an N-Triples-star
+    dump (the inverse of edges_to_ntriples_star for this package's IRI
+    scheme): asserted lines provide the triples, ``kg:nEvidence``
+    quoted-triple annotations provide the counts (edges missing an
+    annotation default to 1), ``kg:firstSeenIn`` provides
+    first_conv_id (NULL when absent). One co-keyed left join of
+    asserted triples against the annotation stream."""
+    ep = f"{base}e/"
+    # parse_ntriples raises on quoted-triple lines by design (strict
+    # grammar); route only the plain asserted lines through it
+    plain = lines.where(~F.col(col).rlike(r"^\s*<<"))
+    asserted = parse_ntriples(plain, col).select(
+        F.expr(f"cast(substring(subj, {len(ep) + 1}) as bigint)").alias(
+            "subj_entity_id"
+        ),
+        F.regexp_extract(F.col("pred"), r"^.*/([^/]+)$", 1).alias(
+            "predicate"
+        ),
+        F.expr(f"cast(substring(obj, {len(ep) + 1}) as bigint)").alias(
+            "obj_entity_id"
+        ),
+    )
+    ann = parse_ntriples_star(lines, col).select(
+        F.expr(f"cast(substring(subj_iri, {len(ep) + 1}) as bigint)").alias(
+            "subj_entity_id"
+        ),
+        F.regexp_extract(
+            F.col("pred_iri"), r"^.*/([^/]+)$", 1
+        ).alias("predicate"),
+        F.expr(f"cast(substring(obj_iri, {len(ep) + 1}) as bigint)").alias(
+            "obj_entity_id"
+        ),
+        F.regexp_extract(F.col("qual_iri"), r"^.*/([^/]+)$", 1).alias(
+            "qual"
+        ),
+        "value_iri",
+        "value_lit",
+    )
+    keys = ["subj_entity_id", "predicate", "obj_entity_id"]
+    ev = ann.where(F.col("qual") == "nEvidence").select(
+        *keys, F.col("value_lit").cast("long").alias("n_evidence")
+    )
+    conv = ann.where(F.col("qual") == "firstSeenIn").select(
+        *keys,
+        F.regexp_extract(F.col("value_iri"), r"^.*/g/(.*)$", 1).alias(
+            "first_conv_id"
+        ),
+    )
+    return (
+        asserted.join(ev, keys, "left")
+        .join(conv, keys, "left")
+        .select(
+            *keys,
+            F.coalesce(F.col("n_evidence"), F.lit(1).cast("long")).alias(
+                "n_evidence"
+            ),
+            "first_conv_id",
+        )
+    )
