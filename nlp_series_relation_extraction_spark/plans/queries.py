@@ -11004,6 +11004,117 @@ SELECT line FROM (
 
 
 
+
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit (functions/bloom.py): the
+    lineitem fact table pre-filtered by a DELIBERATELY small
+    512-bit/4-probe Bloom
+    filter of the size-1 part keys, tallied against exact membership —
+    (n_big, n_member_rows, n_bloom_pass, n_false_pos, n_false_neg,
+    false_pos_ppm). n_false_neg is structurally 0 (the Bloom
+    guarantee, and the twin proves it); false_pos_ppm is what the
+    post-prune shuffle still carries — the small m makes it visibly
+    nonzero so the tally logic is exercised (production sizing uses
+    ~10 bits/key). md5-derived probes make the
+    filter words and every tally bit-exact cross-engine."""
+    from ..functions.bloom import bloom_might_contain, build_bloom
+
+    M, K = 512, 4
+    li = t(spark, sf_dir, "lineitem")
+    keys = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_size") == 1)
+        .select(F.col("p_partkey").cast("long").alias("k"))
+        .distinct()
+    )
+    words = build_bloom(keys, "k", m_bits=M, k=K)
+    big = li.select(F.col("l_partkey").cast("long").alias("k"))
+    marked = (
+        big.withColumn("pass", bloom_might_contain("k", words, M, K))
+        .join(keys.withColumn("is_member", F.lit(True)), "k", "left")
+    )
+    return marked.agg(
+        F.count("*").cast("long").alias("n_big"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_member_rows"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(
+            F.when(F.col("pass") & F.col("is_member").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("pass"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_neg"),
+    ).select(
+        "*",
+        F.expr(
+            "n_false_pos * 1000000"
+            " div greatest(n_big - n_member_rows, 1)"
+        ).alias("false_pos_ppm"),
+    )
+
+
+def _bloom_prejoin_sql() -> str:
+    M, K = 512, 4
+    probe = (
+        "cast(concat('0x', substring(md5(concat(cast(k AS VARCHAR), '|', "
+        "'{i}')), 1, 15)) AS BIGINT) % " + str(M)
+    )
+    probe_list = "[" + ", ".join(probe.format(i=i) for i in range(K)) + "]"
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT cast(p_partkey AS BIGINT) AS k
+  FROM part WHERE p_size = 1
+), probes AS (
+  SELECT k, unnest({probe_list}) AS h FROM keys
+), words AS (
+  -- DuckDB checks 1<<63 for overflow; the sign-bit word needs the
+  -- literal (Spark's shiftleft wraps silently to the same value)
+  SELECT h // 64 AS word,
+         bit_or(CASE WHEN h % 64 = 63 THEN -9223372036854775808
+                     ELSE cast(1 AS BIGINT) << cast(h % 64 AS INT)
+                END) AS w
+  FROM probes GROUP BY 1
+), big AS (
+  SELECT cast(l_partkey AS BIGINT) AS k FROM lineitem
+), dk AS (
+  SELECT DISTINCT k FROM big
+), dkp AS (
+  SELECT k, unnest({probe_list}) AS h FROM dk
+), dk_pass AS (
+  SELECT p.k,
+         (count(*) FILTER (WHERE
+            ((coalesce(words.w, 0) >> cast(p.h % 64 AS INT)) & 1) = 1
+          )) = {K} AS pass
+  FROM dkp p LEFT JOIN words ON p.h // 64 = words.word
+  GROUP BY p.k
+), marked AS (
+  SELECT b.k, dp.pass, m.k IS NOT NULL AS is_member
+  FROM big b
+  JOIN dk_pass dp ON b.k = dp.k
+  LEFT JOIN keys m ON b.k = m.k
+)
+SELECT cast(count(*) AS BIGINT) AS n_big,
+       cast(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_member_rows,
+       cast(count(*) FILTER (WHERE pass) AS BIGINT) AS n_bloom_pass,
+       cast(count(*) FILTER (WHERE pass AND NOT is_member) AS BIGINT)
+         AS n_false_pos,
+       cast(count(*) FILTER (WHERE is_member AND NOT pass) AS BIGINT)
+         AS n_false_neg,
+       cast(count(*) FILTER (WHERE pass AND NOT is_member) * 1000000
+            // greatest(count(*) - count(*) FILTER (WHERE is_member), 1)
+            AS BIGINT) AS false_pos_ppm
+FROM marked
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11211,6 +11322,7 @@ def queries() -> dict:
             "winnowing_fingerprints": q_winnowing_fingerprints,
             "entity_salience": q_entity_salience,
             "kg_rdfstar_export": q_kg_rdfstar_export,
+            "bloom_prejoin": q_bloom_prejoin,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11383,6 +11495,7 @@ def oracle_sql() -> dict:
         "winnowing_fingerprints": _WINNOWING_SQL,
         "entity_salience": _entity_salience_sql(),
         "kg_rdfstar_export": _KG_RDFSTAR_SQL,
+        "bloom_prejoin": _bloom_prejoin_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
