@@ -11115,6 +11115,167 @@ FROM marked
 
 
 
+
+_TIMEX_PLANT_SPARK = (
+    "CASE cast(doc_id % 4 as int) "
+    "WHEN 0 THEN concat(coalesce(text, ''), ' released on 2023-0', "
+    "cast(doc_id % 9 + 1 as string), '-1', cast(doc_id % 9 as string)) "
+    "WHEN 1 THEN concat(coalesce(text, ''), ' due march ', "
+    "cast(doc_id % 28 + 1 as string), ', ', "
+    "cast(2010 + doc_id % 20 as string)) "
+    "WHEN 2 THEN concat(coalesce(text, ''), ' signed ', "
+    "cast(doc_id % 28 + 1 as string), ' july 1999') "
+    "ELSE text END"
+)
+_TIMEX_PLANT_SQL = (
+    "CASE cast(doc_id % 4 AS INT) "
+    "WHEN 0 THEN concat(coalesce(text, ''), ' released on 2023-0', "
+    "cast(doc_id % 9 + 1 AS VARCHAR), '-1', cast(doc_id % 9 AS VARCHAR)) "
+    "WHEN 1 THEN concat(coalesce(text, ''), ' due march ', "
+    "cast(doc_id % 28 + 1 AS VARCHAR), ', ', "
+    "cast(2010 + doc_id % 20 AS VARCHAR)) "
+    "WHEN 2 THEN concat(coalesce(text, ''), ' signed ', "
+    "cast(doc_id % 28 + 1 AS VARCHAR), ' july 1999') "
+    "ELSE text END"
+)
+
+
+def q_timex_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEX date normalization (operators/timex.py:timex_normalize)
+    over documents with a 4-way planted-surface-form rotation (ISO /
+    month-day-year / day-month-year / raw) — every branch of the
+    normalizer gets deterministic mass while raw text exercises the
+    no-match path. Regex projections only; the twin shares the month
+    table via month_number_case so it cannot drift."""
+    from ..operators.timex import timex_normalize
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TIMEX_PLANT_SPARK).alias("text")
+    )
+    return timex_normalize(d).orderBy("doc_id", "form", "raw", "norm_date")
+
+
+def _timex_dates_sql() -> str:
+    from ..operators.timex import (
+        TIMEX_DMY,
+        TIMEX_ISO,
+        TIMEX_MDY,
+        month_number_case,
+    )
+
+    def branch(form, pat, year_g, month_sql, day_g):
+        p = pat.replace("'", "''")
+        return f"""
+  SELECT doc_id, '{form}' AS form, raw,
+         cast(regexp_extract(raw, '{p}', {year_g}) AS INT) AS year,
+         cast({month_sql} AS INT) AS month,
+         cast(regexp_extract(raw, '{p}', {day_g}) AS INT) AS day
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '{p}', 0)) AS raw
+    FROM planted)"""
+
+    iso = branch(
+        "iso", TIMEX_ISO, 1,
+        f"regexp_extract(raw, '{TIMEX_ISO}', 2)", 3,
+    )
+    mdy = branch(
+        "mdy", TIMEX_MDY, 3,
+        month_number_case(f"regexp_extract(raw, '{TIMEX_MDY}', 1)"), 2,
+    )
+    dmy = branch(
+        "dmy", TIMEX_DMY, 3,
+        month_number_case(f"regexp_extract(raw, '{TIMEX_DMY}', 2)"), 1,
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_TIMEX_PLANT_SQL} AS text FROM documents
+), hits AS ({iso}
+  UNION ALL{mdy}
+  UNION ALL{dmy}
+)
+SELECT doc_id, form, raw, year, month, day,
+       concat(lpad(cast(year AS VARCHAR), 4, '0'), '-',
+              lpad(cast(month AS VARCHAR), 2, '0'), '-',
+              lpad(cast(day AS VARCHAR), 2, '0')) AS norm_date
+FROM hits
+WHERE month BETWEEN 1 AND 12 AND day BETWEEN 1 AND 31
+ORDER BY doc_id, form, raw, norm_date
+"""
+
+
+_QUANT_PLANT_SPARK = (
+    "CASE cast(doc_id % 5 as int) "
+    "WHEN 0 THEN concat(coalesce(text, ''), ' raised $', "
+    "cast(doc_id % 90 + 1 as string), '.5 million') "
+    "WHEN 1 THEN concat(coalesce(text, ''), ' over ', "
+    "cast(doc_id % 500 + 1 as string), ' km') "
+    "WHEN 2 THEN concat(coalesce(text, ''), ' at ', "
+    "cast(doc_id % 8 + 1 as string), '.25ghz') "
+    "ELSE text END"
+)
+_QUANT_PLANT_SQL = (
+    "CASE cast(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat(coalesce(text, ''), ' raised $', "
+    "cast(doc_id % 90 + 1 AS VARCHAR), '.5 million') "
+    "WHEN 1 THEN concat(coalesce(text, ''), ' over ', "
+    "cast(doc_id % 500 + 1 AS VARCHAR), ' km') "
+    "WHEN 2 THEN concat(coalesce(text, ''), ' at ', "
+    "cast(doc_id % 8 + 1 AS VARCHAR), '.25ghz') "
+    "ELSE text END"
+)
+
+
+def q_quantity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-value extraction (operators/timex.py:
+    extract_quantities) with a 5-way plant (currency+scale / unit /
+    attached-unit decimal / raw): the KG attribute harvest, micro-unit
+    fixed point. The single-literal-expression float leg is the only
+    non-integer step and both engines evaluate it identically."""
+    from ..operators.timex import extract_quantities
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_QUANT_PLANT_SPARK).alias("text")
+    )
+    return extract_quantities(d).orderBy(
+        "doc_id", "raw", "value_micro"
+    )
+
+
+def _quantity_extract_sql() -> str:
+    from ..operators.timex import QUANTITY_RE, scale_multiplier_case
+
+    p = QUANTITY_RE.replace("'", "''")
+    mult = scale_multiplier_case("coalesce(nullif(regexp_extract(raw, "
+                                 f"'{p}', 3), ''), '')")
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_QUANT_PLANT_SQL} AS text FROM documents
+), hits AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '{p}', 0))
+           AS raw
+  FROM planted
+), parsed AS (
+  SELECT doc_id, trim(raw) AS raw_t,
+         nullif(regexp_extract(raw, '{p}', 1), '') AS currency,
+         nullif(regexp_extract(raw, '{p}', 4), '') AS unit,
+         nullif(regexp_extract(raw, '{p}', 3), '') AS scale_w,
+         replace(regexp_extract(raw, '{p}', 2), ',', '') AS num,
+         {mult} AS mult
+  FROM hits
+)
+SELECT doc_id, raw_t AS raw, currency, unit,
+       cast(round(cast(num AS DOUBLE) * mult * 1000000) AS BIGINT)
+         AS value_micro
+FROM parsed
+WHERE currency IS NOT NULL OR unit IS NOT NULL OR scale_w IS NOT NULL
+ORDER BY doc_id, raw, value_micro
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11323,6 +11484,8 @@ def queries() -> dict:
             "entity_salience": q_entity_salience,
             "kg_rdfstar_export": q_kg_rdfstar_export,
             "bloom_prejoin": q_bloom_prejoin,
+            "timex_dates": q_timex_dates,
+            "quantity_extract": q_quantity_extract,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11496,6 +11659,8 @@ def oracle_sql() -> dict:
         "entity_salience": _entity_salience_sql(),
         "kg_rdfstar_export": _KG_RDFSTAR_SQL,
         "bloom_prejoin": _bloom_prejoin_sql(),
+        "timex_dates": _timex_dates_sql(),
+        "quantity_extract": _quantity_extract_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
