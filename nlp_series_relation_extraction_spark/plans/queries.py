@@ -11276,6 +11276,86 @@ ORDER BY doc_id, raw, value_micro
 
 
 
+
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout payoff report (functions/layout.py:
+    zorder_pruning_report): lineitem bucketed 64 ways under natural
+    (part-sorted) vs Morton (part,supp)-interleaved order; per-bucket
+    min/max rectangles against the corner box l_partkey<=12.5%,
+    l_suppkey<=12.5% give the exact file-skipping fractions a table
+    format would see — the OPTIMIZE ZORDER evidence run. ntile keeps
+    buckets deterministic so the twin is bit-exact."""
+    from ..functions.layout import zorder_pruning_report
+
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.max(F.col("l_partkey").cast("long")).alias("px"),
+        F.max(F.col("l_suppkey").cast("long")).alias("sy"),
+    ).collect()[0]
+    return zorder_pruning_report(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        (0, int(stats.px) // 8),
+        (0, int(stats.sy) // 8),
+        n_buckets=64,
+    ).orderBy("layout")
+
+
+def _zorder_pruning_sql() -> str:
+    from ..functions.layout import _morton_sql
+
+    z = _morton_sql("x", "y", 16)
+    return f"""
+WITH base AS (
+  SELECT cast(l_partkey AS BIGINT) AS x,
+         cast(l_suppkey AS BIGINT) AS y
+  FROM lineitem
+), zc AS (
+  SELECT x, y, {z} AS z FROM base
+), box AS (
+  SELECT (SELECT max(x) FROM base) // 8 AS x_hi,
+         (SELECT max(y) FROM base) // 8 AS y_hi
+), nat AS (
+  SELECT x, y, ntile(64) OVER (ORDER BY x, y, z) AS bucket FROM zc
+), zo AS (
+  SELECT x, y, ntile(64) OVER (ORDER BY z, x, y) AS bucket FROM zc
+), nat_agg AS (
+  SELECT bucket, min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max
+  FROM nat GROUP BY bucket
+), zo_agg AS (
+  SELECT bucket, min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max
+  FROM zo GROUP BY bucket
+), in_box AS (
+  SELECT cast(count(*) AS BIGINT) AS n_rows_in_box
+  FROM base, box
+  WHERE x BETWEEN 0 AND box.x_hi AND y BETWEEN 0 AND box.y_hi
+), tallies AS (
+  SELECT 'natural' AS layout,
+         cast(count(*) AS BIGINT) AS n_buckets,
+         cast(count(*) FILTER (WHERE
+           x_min <= box.x_hi AND x_max >= 0
+           AND y_min <= box.y_hi AND y_max >= 0) AS BIGINT) AS n_touched
+  FROM nat_agg, box GROUP BY ALL
+  UNION ALL
+  SELECT 'zorder',
+         cast(count(*) AS BIGINT),
+         cast(count(*) FILTER (WHERE
+           x_min <= box.x_hi AND x_max >= 0
+           AND y_min <= box.y_hi AND y_max >= 0) AS BIGINT)
+  FROM zo_agg, box GROUP BY ALL
+)
+SELECT layout, n_buckets, n_touched,
+       cast(n_touched * 1000000 // n_buckets AS BIGINT) AS touched_ppm,
+       n_rows_in_box
+FROM tallies, in_box
+ORDER BY layout
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11486,6 +11566,7 @@ def queries() -> dict:
             "bloom_prejoin": q_bloom_prejoin,
             "timex_dates": q_timex_dates,
             "quantity_extract": q_quantity_extract,
+            "zorder_pruning": q_zorder_pruning,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11661,6 +11742,7 @@ def oracle_sql() -> dict:
         "bloom_prejoin": _bloom_prejoin_sql(),
         "timex_dates": _timex_dates_sql(),
         "quantity_extract": _quantity_extract_sql(),
+        "zorder_pruning": _zorder_pruning_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
