@@ -278,3 +278,43 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+URL_RE = r"https?://[^\s<>\"')\]]+"
+_DOMAIN_RE = r"^https?://([^/:?#]+)"
+
+
+def url_domain_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Link provenance profile: extract every http(s) URL, reduce to
+    its host (www. stripped, lowercased), and count per domain —
+    (domain, n_urls, n_docs). The inputs to domain-level trust priors
+    in curation (boilerplate mills vs reference sites) and to the
+    citation graphs KG pipelines hang provenance on. Naive host
+    parse by design (no PSL registrable-domain table — documented
+    scope; a suffix list drops in as a broadcast join).
+
+    One regexp_extract_all + explode + domain-keyed count; no joins."""
+    low = f"coalesce({text_col}, '')"
+    # escape for the SQL string literal: double backslashes AND quotes
+    # (the URL charset excludes ' which the literal would otherwise eat)
+    upat = URL_RE.replace("\\", "\\\\").replace("'", "''")
+    dpat = _DOMAIN_RE.replace("\\", "\\\\")
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(f"regexp_extract_all({low}, '{upat}', 0)")
+        ).alias("url"),
+    )
+    dom = urls.select(
+        "id",
+        F.expr(
+            f"regexp_replace(lower(regexp_extract(url, '{dpat}', 1)),"
+            " '^www\\\\.', '')"
+        ).alias("domain"),
+    ).where(F.col("domain") != "")
+    return dom.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("id").cast("long").alias("n_docs"),
+    )

@@ -800,3 +800,38 @@ def entity_salience(
         F.expr("n_mentions * 1000000 div _tot").alias("share_ppm"),
         "salience_rank",
     )
+
+
+def dialogue_act_transitions(transcripts: DataFrame) -> DataFrame:
+    """Act-level Markov fingerprint: tag every turn with the
+    dialogue-act cascade, then count adjacent-act transitions within
+    each conversation and normalize per source act — the
+    (from_act, to_act, n, prob) matrix. A healthy assistant corpus is
+    question->statement heavy; command->command runs flag scripted
+    logs; it is role_transitions lifted from the 3-letter role
+    alphabet to the 5-act alphabet tag_dialogue_acts provides.
+
+    One lag-free lead() window on conv_id + an alphabet-sized
+    groupBy; prob is one integer->double division, bit-exact."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tagged = tag_dialogue_acts(transcripts).select(
+        "conv_id",
+        "turn_idx",
+        F.col("dialogue_act").alias("from_act"),
+        F.lead("dialogue_act").over(w).alias("to_act"),
+    )
+    counts = (
+        tagged.where(F.col("to_act").isNotNull())
+        .groupBy("from_act", "to_act")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("from_act")
+    return counts.select(
+        "from_act",
+        "to_act",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("prob"),
+    )

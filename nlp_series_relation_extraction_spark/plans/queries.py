@@ -11356,6 +11356,101 @@ ORDER BY layout
 
 
 
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-provenance profile (functions/textstats.py:
+    url_domain_stats) over documents with a 3-way URL plant (www-
+    prefixed host rotation / fixed docs host / raw) — the per-domain
+    url and doc counts that seed domain trust priors. One extract +
+    one domain-keyed count; bit-exact twin."""
+    from ..functions.textstats import url_domain_stats
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE cast(doc_id % 3 as int) "
+            "WHEN 0 THEN concat(coalesce(text, ''), ' see https://www.site',"
+            " cast(doc_id % 7 as string), '.example/p/',"
+            " cast(doc_id as string)) "
+            "WHEN 1 THEN concat(coalesce(text, ''),"
+            " ' ref http://docs.example/x?id=', cast(doc_id as string)) "
+            "ELSE text END"
+        ).alias("text"),
+    )
+    return url_domain_stats(d).orderBy("domain")
+
+
+def _url_domains_sql() -> str:
+    from ..functions.textstats import URL_RE, _DOMAIN_RE
+
+    u = URL_RE.replace("'", "''")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE cast(doc_id % 3 AS INT)
+           WHEN 0 THEN concat(coalesce(text, ''), ' see https://www.site',
+                              cast(doc_id % 7 AS VARCHAR), '.example/p/',
+                              cast(doc_id AS VARCHAR))
+           WHEN 1 THEN concat(coalesce(text, ''),
+                              ' ref http://docs.example/x?id=',
+                              cast(doc_id AS VARCHAR))
+           ELSE text END AS text
+  FROM documents
+), urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '{u}', 0)) AS url
+  FROM planted
+), dom AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '{_DOMAIN_RE}', 1)),
+                        '^www\.', '') AS domain
+  FROM urls
+)
+SELECT domain,
+       cast(count(*) AS BIGINT) AS n_urls,
+       cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM dom WHERE domain <> ''
+GROUP BY domain ORDER BY domain
+"""
+
+
+def q_act_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-act Markov matrix (operators/conversation.py:
+    dialogue_act_transitions) over the act-planted conversation fold —
+    role_transitions lifted to the 5-act alphabet; the corpus
+    fingerprint instruction-tuning curation reads before sampling.
+    One lead window + alphabet-sized groupBy; prob is a single
+    integer->double division, bit-exact."""
+    from ..operators.conversation import dialogue_act_transitions
+
+    return dialogue_act_transitions(_planted_turns(spark, sf_dir)).orderBy(
+        "from_act", "to_act"
+    )
+
+
+def _act_transitions_sql() -> str:
+    case = _dialogue_act_case_sql("lower(trim(coalesce(text, '')))")
+    return """
+WITH turns AS (
+{turns}
+), tagged AS (
+  SELECT conv_id, turn_idx, {case} AS act FROM turns
+), pairs AS (
+  SELECT act AS from_act,
+         lead(act) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_act
+  FROM tagged
+), counts AS (
+  SELECT from_act, to_act, cast(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_act IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_act, to_act, n,
+       cast(n AS DOUBLE)
+         / cast(sum(n) OVER (PARTITION BY from_act) AS DOUBLE) AS prob
+FROM counts ORDER BY from_act, to_act
+""".format(turns=_PLANTED_TURNS_SQL, case=case.replace(chr(10), chr(10) + "    "))
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11567,6 +11662,8 @@ def queries() -> dict:
             "timex_dates": q_timex_dates,
             "quantity_extract": q_quantity_extract,
             "zorder_pruning": q_zorder_pruning,
+            "url_domains": q_url_domains,
+            "act_transitions": q_act_transitions,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11743,6 +11840,8 @@ def oracle_sql() -> dict:
         "timex_dates": _timex_dates_sql(),
         "quantity_extract": _quantity_extract_sql(),
         "zorder_pruning": _zorder_pruning_sql(),
+        "url_domains": _url_domains_sql(),
+        "act_transitions": _act_transitions_sql(),
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
