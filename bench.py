@@ -199,6 +199,40 @@ RELATIONAL = [
     "kg_link_scores",
     "kg_record_linkage",
     "kg_turtle_export",
+    # round-5 session-5 additions
+    "ann_topk_mips",
+    "conv_dialogue_acts",
+    "conv_ground_deictic",
+    "conv_negation_filter",
+    "conv_quality_gate",
+    "dsir_select",
+    "kg_bag_denoise",
+    "kg_blocking_quality",
+    "kg_completeness",
+    "kg_entity_typing",
+    "kg_growth_report",
+    "kg_jsonld_export",
+    "kg_ktruss",
+    "kg_muc_eval",
+    "kg_predicate_align",
+    "kg_sorted_neighborhood",
+    "lexical_diversity",
+    "quality_calibration",
+    "sft_pairs",
+    "turn_latency",
+    "act_transitions",
+    "bloom_prejoin",
+    "entity_salience",
+    "gazetteer_match",
+    "generation_eval",
+    "kg_rdfstar_export",
+    "quantity_extract",
+    "timex_dates",
+    "url_domains",
+    "winnowing_fingerprints",
+    "zorder_pruning",
+    "k_anonymity",
+    "mixture_weights",
 ]
 
 
@@ -504,6 +538,35 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     extras["distant_10x_ratio"] = round(
         timings["kg_distant_10x"]
         / max(timings["kg_distant_supervision"], 1e-9),
+        2,
+    )
+
+    # gazetteer 10x rehearsal: corpus AND dictionary both grow 10x on
+    # the tagged-disjoint copies (per-copy word prefixes keep names
+    # copy-local), so candidate volume should grow ~10x — the
+    # rarest-token anchor join's fan-out is the number under test; a
+    # latent anchor hot-key or cross-copy match would blow the ratio.
+    from nlp_series_relation_extraction_spark.operators.gazetteer import (
+        gazetteer_match,
+    )
+
+    ws10 = F.split(F.col("text"), " ")
+    gaz10 = (
+        docs10.where((F.col("doc_id") % 25 == 0) & (F.size(ws10) >= 5))
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.concat_ws(
+                " ", F.element_at(ws10, 4), F.element_at(ws10, 5)
+            ).alias("name"),
+        )
+        .where((F.element_at(ws10, 4) != "") & (F.element_at(ws10, 5) != ""))
+    )
+    t0 = time.time()
+    gazetteer_match(docs10, gaz10).count()
+    timings["gazetteer_match_10x"] = round(time.time() - t0, 3)
+    extras["gazetteer_10x_ratio"] = round(
+        timings["gazetteer_match_10x"]
+        / max(timings["gazetteer_match"], 1e-9),
         2,
     )
     docs10.unpersist()

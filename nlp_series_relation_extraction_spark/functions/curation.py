@@ -522,3 +522,133 @@ SELECT {id_col}, n_events, sum_ratio_ppm,
        sum_ratio_ppm // n_events >= {int(min_ratio_ppm)} AS selected
 FROM scored
 """
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """Re-identification risk screen (Sweeney 2002's k-anonymity):
+    group rows by the quasi-identifier combination and bucket the
+    group sizes — a corpus is k-anonymous over ``qi_cols`` iff every
+    group has >= k members. Output, one row per occupied size bucket:
+
+      (k_bucket in {'1','2-4','5-19','20+'}, n_groups, n_rows,
+       at_risk, rows_share_ppm)
+
+    at_risk = the bucket's minimum size < k_threshold;
+    rows_share_ppm = this bucket's rows * 1e6 div total rows — sum it
+    over at_risk buckets for the headline release-risk mass. The screen that runs before a transcript corpus
+    leaves its enclave; pairs with redact_pii (the column fix) the
+    way quality pairs with dedup.
+
+    Scale shape: one QI-keyed aggregation (map-side combined) whose
+    output is group-count-sized, then a 4-bucket rollup + a one-row
+    total broadcast. No joins on the data."""
+    if not qi_cols:
+        raise ValueError("k_anonymity_report: qi_cols must be non-empty")
+    if k_threshold < 2:
+        raise ValueError(
+            f"k_anonymity_report: k_threshold must be >= 2: {k_threshold}"
+        )
+    groups = df.groupBy(*qi_cols).agg(F.count("*").cast("long").alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 19, "5-19")
+        .otherwise("20+")
+    )
+    lo = (
+        F.when(F.col("k_bucket") == "1", 1)
+        .when(F.col("k_bucket") == "2-4", 2)
+        .when(F.col("k_bucket") == "5-19", 5)
+        .otherwise(20)
+    )
+    agg = groups.select(bucket.alias("k_bucket"), "k").groupBy(
+        "k_bucket"
+    ).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    total = agg.agg(F.sum("n_rows").cast("long").alias("_total"))
+    return (
+        agg.withColumn("at_risk", lo < F.lit(int(k_threshold)))
+        .crossJoin(broadcast(total))
+        .select(
+            "k_bucket",
+            "n_groups",
+            "n_rows",
+            "at_risk",
+            F.expr("n_rows * 1000000 div _total").alias(
+                "rows_share_ppm"
+            ),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    temperature: str = "sqrt",
+) -> DataFrame:
+    """Temperature-based data-mixture weights (the multilingual /
+    multi-source sampling rule of mBERT/XLM-R: p_s proportional to
+    n_s^alpha): per source, the sampling share that upweights small
+    sources without letting head sources drown the mixture.
+
+      temperature='proportional' -> alpha = 1   (raw shares)
+      temperature='sqrt'         -> alpha = 1/2 (the standard rebalance)
+      temperature='uniform'      -> alpha = 0   (equal shares)
+
+    Output: (group, n_rows, weight_milli, sample_share_ppm,
+    raw_share_ppm, boost_ppm) where weight_milli =
+    floor(n^alpha * 1000) (for alpha=1/2 the only float step is ONE
+    IEEE sqrt, correctly rounded and engine-identical), shares are
+    truncating integer ppm over the milli-weight totals, and
+    boost_ppm = sample_share * 1e6 div raw_share — >1e6 means the
+    temperature boosts the source.
+
+    Scale shape: one group count (map-side combined, output
+    source-count-sized) + one-row totals broadcast; the corpus is
+    scanned once."""
+    alphas = {"proportional", "sqrt", "uniform"}
+    if temperature not in alphas:
+        raise ValueError(
+            f"mixture_weights: temperature must be one of {sorted(alphas)}:"
+            f" {temperature}"
+        )
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    if temperature == "proportional":
+        w = F.expr("n_rows * 1000")
+    elif temperature == "sqrt":
+        w = F.expr("cast(floor(sqrt(cast(n_rows as double)) * 1000) as bigint)")
+    else:
+        w = F.expr("1000L")
+    weighted = counts.withColumn("weight_milli", w)
+    from pyspark.sql.functions import broadcast
+
+    tot = weighted.agg(
+        F.sum("weight_milli").cast("long").alias("_wtot"),
+        F.sum("n_rows").cast("long").alias("_ntot"),
+    )
+    return (
+        weighted.crossJoin(broadcast(tot))
+        .select(
+            "group",
+            "n_rows",
+            "weight_milli",
+            F.expr("weight_milli * 1000000 div _wtot").alias(
+                "sample_share_ppm"
+            ),
+            F.expr("n_rows * 1000000 div _ntot").alias("raw_share_ppm"),
+            F.expr(
+                "(weight_milli * 1000000 div _wtot) * 1000000"
+                " div greatest(n_rows * 1000000 div _ntot, 1)"
+            ).alias("boost_ppm"),
+        )
+    )

@@ -11451,6 +11451,92 @@ FROM counts ORDER BY from_act, to_act
 
 
 
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release screen (functions/curation.py:
+    k_anonymity_report) over events with (user_id, event_type) as the
+    quasi-identifier — the re-identification audit a transcript corpus
+    passes before leaving its enclave. One QI aggregation + 4-bucket
+    rollup; bit-exact twin."""
+    from ..functions.curation import k_anonymity_report
+
+    return k_anonymity_report(
+        t(spark, sf_dir, "events"), ["user_id", "event_type"], k_threshold=5
+    ).orderBy("k_bucket")
+
+
+_K_ANONYMITY_SQL = """
+WITH groups AS (
+  SELECT user_id, event_type, cast(count(*) AS BIGINT) AS k
+  FROM events GROUP BY user_id, event_type
+), bucketed AS (
+  SELECT CASE WHEN k = 1 THEN '1'
+              WHEN k <= 4 THEN '2-4'
+              WHEN k <= 19 THEN '5-19'
+              ELSE '20+' END AS k_bucket,
+         k
+  FROM groups
+), agg AS (
+  SELECT k_bucket,
+         cast(count(*) AS BIGINT) AS n_groups,
+         cast(sum(k) AS BIGINT) AS n_rows
+  FROM bucketed GROUP BY k_bucket
+), tot AS (
+  SELECT cast(sum(n_rows) AS BIGINT) AS total FROM agg
+)
+SELECT k_bucket, n_groups, n_rows,
+       CASE WHEN k_bucket = '1' THEN 1
+            WHEN k_bucket = '2-4' THEN 2
+            WHEN k_bucket = '5-19' THEN 5
+            ELSE 20 END < 5 AS at_risk,
+       cast(n_rows * 1000000 // tot.total AS BIGINT) AS rows_share_ppm
+FROM agg, tot
+ORDER BY k_bucket
+"""
+
+
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture table (functions/curation.py:
+    mixture_weights, alpha=1/2) over document sources — the
+    multilingual-pretraining rebalance rule, integer-exact except one
+    engine-identical IEEE sqrt. One source-sized count + broadcast
+    totals; bit-exact twin."""
+    from ..functions.curation import mixture_weights
+
+    return mixture_weights(
+        t(spark, sf_dir, "documents"), "source", temperature="sqrt"
+    ).orderBy("group")
+
+
+_MIXTURE_WEIGHTS_SQL = """
+WITH counts AS (
+  SELECT source AS "group", cast(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT "group", n_rows,
+         cast(floor(sqrt(cast(n_rows AS DOUBLE)) * 1000) AS BIGINT)
+           AS weight_milli
+  FROM counts
+), tot AS (
+  SELECT cast(sum(weight_milli) AS BIGINT) AS wtot,
+         cast(sum(n_rows) AS BIGINT) AS ntot
+  FROM weighted
+)
+SELECT "group", n_rows, weight_milli,
+       cast(weight_milli * 1000000 // tot.wtot AS BIGINT)
+         AS sample_share_ppm,
+       cast(n_rows * 1000000 // tot.ntot AS BIGINT) AS raw_share_ppm,
+       cast((weight_milli * 1000000 // tot.wtot) * 1000000
+            // greatest(n_rows * 1000000 // tot.ntot, 1) AS BIGINT)
+         AS boost_ppm
+FROM weighted, tot
+ORDER BY "group"
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11664,6 +11750,8 @@ def queries() -> dict:
             "zorder_pruning": q_zorder_pruning,
             "url_domains": q_url_domains,
             "act_transitions": q_act_transitions,
+            "k_anonymity": q_k_anonymity,
+            "mixture_weights": q_mixture_weights,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11842,6 +11930,8 @@ def oracle_sql() -> dict:
         "zorder_pruning": _zorder_pruning_sql(),
         "url_domains": _url_domains_sql(),
         "act_transitions": _act_transitions_sql(),
+        "k_anonymity": _K_ANONYMITY_SQL,
+        "mixture_weights": _MIXTURE_WEIGHTS_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
