@@ -22,6 +22,7 @@ step in SQL (windowed gaps-and-islands reproduce the greedy fold exactly).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from .partitioning import checkpoint_nostats as _ckpt_nostats
 
 
 def _char_tokens(col: str):
@@ -89,7 +90,7 @@ def train_bpe(
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .select("word", "cnt", _char_tokens("word").alias("tokens"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words
@@ -129,7 +130,7 @@ def train_bpe(
             tokens_col = _merge_fold(tokens_col, a, b)
         cur = cur.select(
             "word", "cnt", tokens_col.alias("tokens")
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
     return {"merges": merges, "words": cur}
 
 

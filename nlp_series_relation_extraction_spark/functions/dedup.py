@@ -21,6 +21,7 @@ produces bit-identical results (the driver's correctness gate).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from .partitioning import checkpoint_nostats as _ckpt_nostats
 
 # --- shingling ---------------------------------------------------------------
 
@@ -157,7 +158,7 @@ def near_dup_clusters(
             minhash_signatures(sh, num_hashes), bands, rows_per_band
         )
         .select("a_id", "b_id")
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     labels = connected_components(
         docs.select(F.col(id_col).alias("mention_id")),
@@ -408,7 +409,7 @@ def duplicate_span_stats(
     pg = (
         occ.groupBy("id", "h")
         .agg(F.count("h").cast("bigint").alias("k"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     dup_keys = (
         pg.where(F.col("h").isNotNull())

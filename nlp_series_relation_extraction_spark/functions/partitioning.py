@@ -26,3 +26,48 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def checkpoint_nostats(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` that also DROPS the inherited Catalyst
+    statistics — the checkpoint for iterative fixpoints.
+
+    Since Spark 3.4, ``Dataset.localCheckpoint`` copies the truncated
+    plan's computed statistics onto the new ``LogicalRDD`` leaf
+    (``originStats``), and there is no conf to disable it.  In a
+    fixpoint loop (pointer-jumping connected components, entailment
+    cascades) every round's joins MULTIPLY ``sizeInBytes`` estimates,
+    the next checkpoint stores the product as its leaf stats, and the
+    BigInteger digit count compounds geometrically round over round.
+    Measured on this install: the third nested CC of
+    ``owl_equality_entailment`` spent >600s of driver CPU inside
+    ``BigInteger.multiply`` doing stats arithmetic on a ~5-row frame
+    (thread-dump evidence; ``kg_owl_sameas`` 644s at sf0.1, ~all of it
+    plan-side and data-independent — the same blow-up would stall a
+    1000-executor driver identically).
+
+    Fix: after checkpointing, rebuild the DataFrame from the
+    materialized ``InternalRow`` RDD via
+    ``SparkSession.internalCreateDataFrame`` — the fresh ``LogicalRDD``
+    carries no origin stats, so its leaf reports
+    ``defaultSizeInBytes`` and each round's stats math starts flat.
+    No data is recomputed or copied (the RDD is the already-eager
+    checkpoint), and results are unchanged — only estimates reset.
+
+    Deliberate trade-offs: the rebuilt leaf loses preserved
+    partitioning/ordering metadata and plan-time auto-broadcast
+    eligibility.  Inside these loops joins re-key every round anyway,
+    and AQE re-derives broadcast/local-read decisions from ACTUAL
+    shuffle sizes at runtime, so nothing is lost at scale.  Falls back
+    to the plain checkpoint if the private JVM API ever moves.
+    """
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        jdf = ck._jdf
+        qe = jdf.queryExecution()
+        new_jdf = jdf.sparkSession().internalCreateDataFrame(
+            qe.toRdd(), qe.analyzed().schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:  # private-API drift: keep correctness, lose the reset
+        return ck

@@ -43,6 +43,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from .partitioning import ensure_parallelism
+from .partitioning import checkpoint_nostats as _ckpt_nostats
 
 _MAX_WORD_LEN = 48  # lattice cap: longer "words" are data noise, skipped
 
@@ -78,9 +79,7 @@ def seed_pieces(
     segmentable) + the top multi-char substrings by (count * length)
     score — frequency-weighted coverage, the standard seed heuristic.
     Deterministic tie-break (score desc, piece asc); bounded collect."""
-    subs = _substring_counts(words, max_piece_len).localCheckpoint(
-        eager=True
-    )
+    subs = _substring_counts(words, max_piece_len).transform(_ckpt_nostats)
     chars = subs.where(F.length("piece") == 1)
     multi = (
         subs.where(F.length("piece") >= 2)
@@ -229,7 +228,7 @@ def unigram_fit(
     driver sees only vocab-sized aggregates."""
     words = ensure_parallelism(
         _word_counts(docs, text_col)
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     seed = seed_pieces(words, max_piece_len, seed_size)
     if not seed:
         raise ValueError("unigram_fit: empty corpus")

@@ -42,6 +42,8 @@ Plan shapes (the 100-TB contract):
 
 from __future__ import annotations
 
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
+
 from pyspark.sql import DataFrame, functions as F
 
 from .ontology import (
@@ -248,7 +250,7 @@ def owl_boolean_class_entailment(
         )
     closure = rdfs_entailment(
         seed, ontology, type_predicate, max_ontology_rows
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     if not ax["intersectionOf"] and not ax["unionOf"]:
         return closure
     inter = _member_df(spark, ax["intersectionOf"])
@@ -261,14 +263,14 @@ def owl_boolean_class_entailment(
         new = (
             derived.distinct()
             .join(closure, cols, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if new.isEmpty():
             break
         ldelta = rdfs_entailment_increment(
             closure, new, ontology, type_predicate, max_ontology_rows
-        ).localCheckpoint(eager=True)
-        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
+        closure = closure.unionByName(ldelta).transform(_ckpt_nostats)
         delta = ldelta
     return closure
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 
 def canonical_triples(
@@ -176,7 +177,7 @@ def pagerank(
     )
     if num_partitions:
         nodes = nodes.repartition(num_partitions, "id")
-    nodes = nodes.localCheckpoint(eager=True)
+    nodes = nodes.transform(_ckpt_nostats)
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -186,7 +187,7 @@ def pagerank(
     links = e.join(outd, "src")
     if num_partitions:
         links = links.repartition(num_partitions, "src")
-    links = links.localCheckpoint(eager=True)
+    links = links.transform(_ckpt_nostats)
     # dangling flag is carried IN the rank vector (joined once, here) so
     # each round's dangling-mass sum is a scan of the already-checkpointed
     # ranks, folded into the round's single job as a broadcast 1-row
@@ -201,7 +202,7 @@ def pagerank(
             F.lit(1.0 / n).alias("rank"),
             F.coalesce(F.col("_dang"), F.lit(False)).alias("_dang"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     for _ in range(iters):
         dang_mass = F.broadcast(
@@ -234,7 +235,7 @@ def pagerank(
                 ).alias("rank"),
                 "_dang",
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 
@@ -270,13 +271,13 @@ def personalized_pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     seed_ids = (
         seeds.select(F.col("entity_id").alias("id"))
         .distinct()
         .join(nodes, "id")
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     n_seeds = seed_ids.count()
     if n_seeds == 0:
@@ -284,7 +285,7 @@ def personalized_pagerank(
             F.col("id").alias("entity_id"), F.lit(0.0).alias("rank")
         )
     outd = e.groupBy("src").agg(F.count("*").alias("outd"))
-    links = e.join(outd, "src").localCheckpoint(eager=True)
+    links = e.join(outd, "src").transform(_ckpt_nostats)
     dangling = nodes.join(
         e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).withColumn("_dang", F.lit(True))
@@ -300,7 +301,7 @@ def personalized_pagerank(
             F.coalesce(F.col("_dang"), F.lit(False)).alias("_dang"),
         )
         .withColumn("rank", F.col("_reset"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     for _ in range(iters):
         dang_mass = F.broadcast(
@@ -334,7 +335,7 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 
@@ -491,7 +492,7 @@ def dense_index(
     parts = df.repartitionByRange(num_partitions, F.col(col))
     with_pid = parts.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     counts = sorted(
         (r._pid, r.cnt)
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -605,7 +606,7 @@ def label_propagation_communities(
     ).distinct()
     if num_partitions:
         und = und.repartition(num_partitions, "b")
-    und = und.localCheckpoint(eager=True)
+    und = und.transform(_ckpt_nostats)
     # vertex set from ALL distinct subj/obj ids — not from the self-loop-
     # filtered undirected list — so an entity whose only edges are
     # self-loops still gets a community row (its own id), consistent with
@@ -616,7 +617,7 @@ def label_propagation_communities(
         .union(edges.select(F.col("obj_entity_id").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     for _ in range(rounds):
         nbr = und.join(labels, und["b"] == labels["id"]).select(
@@ -637,7 +638,7 @@ def label_propagation_communities(
                 "id",
                 F.coalesce(F.col("label"), F.col("id")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
     return labels.select(
         F.col("id").alias("entity_id"), F.col("label").alias("community_id")
@@ -836,11 +837,11 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
     pathological chains."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     prev = None
     for _ in range(max_rounds):
         deg = und.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
-        keep = deg.where(F.col("degree") >= k).localCheckpoint(eager=True)
+        keep = deg.where(F.col("degree") >= k).transform(_ckpt_nostats)
         n = keep.count()
         if n == 0:
             return keep.select(
@@ -855,7 +856,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
             .join(
                 kept_ids.select(F.col("a").alias("b")), "b", "left_semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
     return (
         und.groupBy("a")
@@ -897,10 +898,10 @@ def bfs_distances(
     rows never reshuffle (the anti-join streams them). Unreachable
     vertices are absent from the output (not infinity rows — at
     100-TB graph scale materializing the complement is the bug)."""
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     dist = seeds.select(
         F.col("entity_id"), F.lit(0).cast("int").alias("dist")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(_ckpt_nostats)
     frontier = dist.select("entity_id")
     for d in range(1, max_depth + 1):
         nxt = (
@@ -909,11 +910,11 @@ def bfs_distances(
             .distinct()
             .join(dist.select("entity_id"), "entity_id", "left_anti")
             .withColumn("dist", F.lit(d).cast("int"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).transform(_ckpt_nostats)
         frontier = nxt.select("entity_id")
     return dist
 
@@ -966,7 +967,7 @@ def random_walks(
     contribute a step-0 row and stop."""
     if walk_len < 0 or n_walks < 1:
         raise ValueError(f"bad walk shape: len={walk_len} n={n_walks}")
-    adj = indexed_adjacency(edges).localCheckpoint(eager=True)
+    adj = indexed_adjacency(edges).transform(_ckpt_nostats)
     if starts is None:
         starts = adj.select(F.col("a").alias("vertex")).distinct()
     else:
@@ -1006,7 +1007,7 @@ def random_walks(
                 F.col("b").alias("vertex"),
             )
         )
-        cur = hop.localCheckpoint(eager=True)
+        cur = hop.transform(_ckpt_nostats)
         out = out.unionByName(cur)
     return out
 
@@ -1054,7 +1055,7 @@ def node2vec_walks(
         raise ValueError("node2vec weights must be positive integers")
     from pyspark.sql import Window
 
-    adj = indexed_adjacency(edges).localCheckpoint(eager=True)
+    adj = indexed_adjacency(edges).transform(_ckpt_nostats)
     nbr = adj.select(F.col("a").alias("vertex"), "idx", "b")
     deg = adj.select(F.col("a").alias("vertex"), "degree").distinct()
     und = adj.select(F.col("a").alias("pv"), F.col("b").alias("cand"))
@@ -1091,7 +1092,7 @@ def node2vec_walks(
             F.col("vertex").alias("prev"),
             F.col("b").alias("vertex"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     out = out.unionByName(
         frontier.select(
@@ -1132,7 +1133,7 @@ def node2vec_walks(
                 F.col("vertex").alias("prev"),
                 F.col("b").alias("vertex"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         out = out.unionByName(
             frontier.select(
@@ -1412,7 +1413,7 @@ def _path_closure(step: DataFrame, max_hops: int, min_hops: int) -> DataFrame:
     """Bounded-repetition closure of a compiled (src, dst) step table —
     the frontier semi-naive loop shared by :func:`match_path` (single
     predicate) and :func:`match_path_expr` (composite step)."""
-    step = step.localCheckpoint(eager=True)
+    step = step.transform(_ckpt_nostats)
     found = step.withColumn("hops", F.lit(1).cast("int"))
     frontier = step
     for k in range(2, max_hops + 1):
@@ -1423,11 +1424,11 @@ def _path_closure(step: DataFrame, max_hops: int, min_hops: int) -> DataFrame:
             .distinct()
             .join(found.select("src", "dst"), ["src", "dst"], "left_anti")
             .withColumn("hops", F.lit(k).cast("int"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if nxt.isEmpty():
             break
-        found = found.unionByName(nxt).localCheckpoint(eager=True)
+        found = found.unionByName(nxt).transform(_ckpt_nostats)
         frontier = nxt
     return found.where(F.col("hops") >= min_hops)
 
@@ -1689,7 +1690,7 @@ def forward_chain(
         edges.select(*key)
         .distinct()
         .withColumn("derived_round", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     delta = full.select(*key)
     for rnd in range(1, max_rounds + 1):
@@ -1710,13 +1711,13 @@ def forward_chain(
         delta = (
             derived.distinct()
             .join(full.select(*key), key, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if delta.isEmpty():
             break
         full = full.unionByName(
             delta.withColumn("derived_round", F.lit(rnd))
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
     return full
 
 
@@ -1848,7 +1849,7 @@ def entity_cooccurrence_pmi(
             F.count("*").alias("_n_ents")
         ).where(F.col("_n_ents") <= max_entities_per_conv)
         ce = ce.join(sizes.select("conv_id"), "conv_id")
-    ce = ce.localCheckpoint(eager=True)  # reused 3x: counts + both join sides
+    ce = ce.transform(_ckpt_nostats)  # reused 3x: counts + both join sides
     n_convs = ce.select("conv_id").distinct().count()
     ent_counts = ce.groupBy("entity_id").agg(
         F.count("*").cast("long").alias("n_solo")
@@ -1918,7 +1919,7 @@ def neighborhood_similarity(
     sums 1/ln(degree) doubles, whose addition ORDER is partition-
     dependent — it ships in the operator output but belongs OUT of
     hash-compared oracles (pin it with a python twin instead)."""
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     deg = und.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
     pivots = deg.withColumnRenamed("a", "pivot").withColumnRenamed(
         "degree", "pivot_degree"
@@ -2010,13 +2011,13 @@ def shortest_paths(
         )
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     best = (
         seeds.select("entity_id")
         .distinct()
         .select("entity_id", F.lit(0).cast("long").alias("cost"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     frontier = best
     for _ in range(max_hops):
@@ -2039,14 +2040,14 @@ def shortest_paths(
             )
             .where(F.col("_cur").isNull() | (F.col("cost") < F.col("_cur")))
             .select("entity_id", "cost")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if improved.isEmpty():
             break
         best = (
             best.join(improved.select("entity_id"), "entity_id", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         frontier = improved
     return best
@@ -2081,13 +2082,13 @@ def hits(
             F.col("obj_entity_id").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     if nodes.isEmpty():
         return nodes.select(
@@ -2097,7 +2098,7 @@ def hits(
         )
     score = nodes.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     for _ in range(iters):
         auth = (
             e.join(
@@ -2121,7 +2122,7 @@ def hits(
                 F.coalesce("hub", F.lit(0.0)).alias("hub"),
                 F.coalesce("authority", F.lit(0.0)).alias("authority"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
     norms = score.agg(
         F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("h"),
@@ -2192,14 +2193,14 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     deg = (
         und.select(F.col("u").alias("x"))
         .union(und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").cast("long").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
@@ -2216,7 +2217,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
     w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
@@ -2274,7 +2275,7 @@ def labeled_bfs_distances(
     level. Work per level is sum over sources of that source's frontier
     — the labeled frontier IS the output being built, so no
     amplification beyond the result size."""
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     dist = (
         seeds.select(
             F.col("entity_id").alias("src"),
@@ -2282,7 +2283,7 @@ def labeled_bfs_distances(
             F.lit(0).cast("int").alias("dist"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     frontier = dist.select("src", "entity_id")
     for d in range(1, max_depth + 1):
@@ -2296,11 +2297,11 @@ def labeled_bfs_distances(
                 "left_anti",
             )
             .withColumn("dist", F.lit(d).cast("int"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).transform(_ckpt_nostats)
         frontier = nxt.select("src", "entity_id")
     return dist
 
@@ -2434,11 +2435,9 @@ def hyper_anf(
     if not 1 <= p <= 12:
         raise ValueError(f"p must be in [1, 12], got {p}")
     m = 1 << p
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     verts = (
-        und.select(F.col("a").alias("v")).distinct().localCheckpoint(
-            eager=True
-        )
+        und.select(F.col("a").alias("v")).distinct().transform(_ckpt_nostats)
     )
     hs = "cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)"
     w_bits = 60 - p
@@ -2451,7 +2450,7 @@ def hyper_anf(
             f" else {w_bits + 1} - length(bin(shiftrightunsigned({hs}, {p})))"
             f" end as int)"
         ).alias("rho"),
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     curve = [(0, float(_anf_estimate(counters, m).collect()[0][0]))]
     for t in range(1, max_t + 1):
         nbr = (
@@ -2462,7 +2461,7 @@ def hyper_anf(
             counters.unionByName(nbr)
             .groupBy("v", "ridx")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         est = float(_anf_estimate(counters, m).collect()[0][0])
         curve.append((t, est))
@@ -2560,7 +2559,7 @@ def predicate_inverses(
     O(|predicates|^2 x |facts|)."""
     t = edges.select(
         "subj_entity_id", "predicate", "obj_entity_id"
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(_ckpt_nostats)
     support = t.groupBy("predicate").agg(
         F.count("*").cast("long").alias("n")
     )
@@ -2754,7 +2753,7 @@ def betweenness_centrality(
     frontier itself, localCheckpointed so lineage stays flat. No
     all-pairs stage exists — the pivot count bounds the work exactly
     like harmonic_centrality's seed contract."""
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     pivots = sample_pivots(edges, n_pivots, salt=salt)
     spark = edges.sparkSession
     if not pivots:
@@ -2766,12 +2765,12 @@ def betweenness_centrality(
     )
     lvl0 = spark.createDataFrame(
         [(p, p, 1.0) for p in pivots], "src long, v long, sigma double"
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
 
     # forward: levels[d] = (src, v, sigma) of vertices FIRST reached at
     # depth d from src, sigma = number of shortest src->v paths
     levels = [lvl0]
-    visited = lvl0.select("src", "v").localCheckpoint(eager=True)
+    visited = lvl0.select("src", "v").transform(_ckpt_nostats)
     for _d in range(1, max_depth + 1):
         frontier = levels[-1]
         nxt = (
@@ -2780,14 +2779,14 @@ def betweenness_centrality(
             .groupBy("src", "v")
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["src", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt)
         visited = visited.unionByName(
             nxt.select("src", "v")
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
 
     # backward: delta over levels in reverse; a parent at depth d gets
     # sigma_parent * sum over depth-d+1 neighbors of (1 + delta_w)/sigma_w
@@ -2817,7 +2816,7 @@ def betweenness_centrality(
                     * F.col("sigma")
                 ).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         part = delta.where(F.col("v") != F.col("src")).select(
             "v", "delta"
@@ -2924,7 +2923,7 @@ def link_scores(
     one adjacency self-join keyed on the witness z (each z contributes
     deg(z)^2 pairs — capped by max_hub_degree), one anti-join against
     existing edges, one (a, b) hash aggregate. No all-pairs stage."""
-    und = _undirected(edges).localCheckpoint(eager=True)
+    und = _undirected(edges).transform(_ckpt_nostats)
     deg = und.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
     wit = (
         und.join(deg.select(F.col("a").alias("b"), "deg"), "b")
@@ -3136,21 +3135,19 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     prev = und.count()
     for _ in range(max_rounds):
         sup = _edge_support(und)
-        kept = sup.where(F.col("support") >= k - 2).localCheckpoint(
-            eager=True
-        )
+        kept = sup.where(F.col("support") >= k - 2).transform(_ckpt_nostats)
         n = kept.count()
         if n == 0:
             return kept
         if n == prev:
             return kept
         prev = n
-        und = kept.select("u", "v").localCheckpoint(eager=True)
+        und = kept.select("u", "v").transform(_ckpt_nostats)
     return kept
 
 

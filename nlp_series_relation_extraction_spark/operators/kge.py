@@ -77,6 +77,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.partitioning import ensure_parallelism
 from .graph import corrupt_triples
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 _GRAD_SCHEMA = "kind int, key_id long, pos int, val double"
 
@@ -366,7 +367,7 @@ def _init_entity_embeddings(edges: DataFrame, dim: int) -> DataFrame:
         ensure_parallelism(_entity_ids(edges))
         .mapInPandas(init_rows, "entity_id long, vec array<double>")
         .repartition(n_part, "entity_id")
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
 
 
@@ -413,7 +414,7 @@ def kge_fit(
         pairs = kge_pairs(edges, n_neg=n_neg)
     long = ensure_parallelism(
         _pairs_long(pairs, r_map)
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     n_pairs = long.count() // 3
     if n_pairs == 0:
         raise ValueError("kge_fit: no training pairs")
@@ -477,9 +478,7 @@ def kge_fit(
             )
 
         packed = _packed_pairs(long.join(emb, "entity_id"))
-        scal = packed.mapInPandas(grad_rows, _GRAD_SCHEMA).localCheckpoint(
-            eager=True
-        )
+        scal = packed.mapInPandas(grad_rows, _GRAD_SCHEMA).transform(_ckpt_nostats)
         small = (
             scal.where(F.col("kind") >= 1)
             .groupBy("kind", "key_id", "pos")
@@ -546,7 +545,7 @@ def kge_fit(
         emb = (
             emb.join(grads, "entity_id", "left")
             .mapInPandas(apply_update, "entity_id long, vec array<double>")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
 
     return {
@@ -828,7 +827,7 @@ def kge_rank_eval(
         true_scores,
         "subj_entity_id long, predicate string, obj_entity_id long,"
         " r_idx int, es array<double>, true_score double",
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
 
     # candidate chunks: chunk_id = pmod(id, n_chunks) — uniform enough
     # for balance, zero extra jobs (a dense-rank chunking would cost a

@@ -32,6 +32,7 @@ also covers this; salting is kept explicit per the north rule).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 
 def norm_expr(col):
@@ -227,10 +228,14 @@ def connected_components(
             # below ~500k directed edge rows even a worst-case star fits one
             # reducer comfortably; above it, hub adjacency is a straggler
             salt = 1 if n_edges < 500_000 else 8
-    labels = labels.repartition(num_partitions, "mention_id").localCheckpoint(
-        eager=True
+    # _ckpt_nostats, not plain localCheckpoint: in the iterated join
+    # the leaf stats otherwise compound multiplicatively round over
+    # round (see functions/partitioning.py — measured BigInteger
+    # stats-math blow-up in the owl_equality cascade's nested CCs).
+    labels = labels.repartition(num_partitions, "mention_id").transform(
+        _ckpt_nostats
     )
-    und = und.repartition(num_partitions, "b_id").localCheckpoint(eager=True)
+    und = und.repartition(num_partitions, "b_id").transform(_ckpt_nostats)
     for _ in range(max_iter):
         neighbor_min = propagate_neighbor_min(und, labels, salt=salt)
         stepped = labels.join(
@@ -279,8 +284,8 @@ def connected_components(
             # a scan of already-materialized partitions.
             .withColumn("_changed", F.col("component_id") < F.col("_old"))
             .drop("_old")
-            .localCheckpoint(eager=True)
         )
+        new_labels = new_labels.transform(_ckpt_nostats)
         changed = new_labels.where("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -366,10 +371,10 @@ def link_mentions(
     # extraction UDF that produced the mentions (SURVEY §4 risk). At cluster
     # scale these become persisted stage tables (plans/pipeline.py does so);
     # localCheckpoint is the in-session equivalent.
-    dm = distinct_mentions(norm).localCheckpoint(eager=True)
+    dm = distinct_mentions(norm).transform(_ckpt_nostats)
     edges = candidate_pairs(
         dm, max_block=max_block, threshold=threshold
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     comps = connected_components(
         dm, edges, max_iter=max_iter, num_partitions=num_partitions
     )
@@ -528,7 +533,7 @@ def sorted_neighborhood(
     # join) can replan the upstream differently (cf. pack_sequences)
     d = d.withColumn(
         "lr", F.row_number().over(w).cast("long")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     counts = d.groupBy("pid").agg(F.count("*").alias("n")).collect()
     base, acc = [], 0
     for r in sorted(counts, key=lambda r: r.pid):

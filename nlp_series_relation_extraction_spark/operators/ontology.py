@@ -39,6 +39,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 TYPE_PREDICATE = "type"
 
@@ -312,8 +313,8 @@ def _transitive_fixpoint(
     (predicate, vertex) — the vertex component keeps hub predicates
     from collapsing onto single tasks; AQE's skew handling covers hub
     VERTICES, the same contract as the linking join."""
-    acc = acc.localCheckpoint(eager=True)
-    delta = delta.localCheckpoint(eager=True)
+    acc = acc.transform(_ckpt_nostats)
+    delta = delta.transform(_ckpt_nostats)
     for _ in range(max_rounds):
         left = delta.select(
             "subj", "predicate", F.col("obj").alias("mid")
@@ -336,11 +337,11 @@ def _transitive_fixpoint(
             .select("subj", "predicate", "obj")
             .distinct()
             .join(acc, ["subj", "predicate", "obj"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if delta.isEmpty():
             break
-        acc = acc.unionByName(delta).localCheckpoint(eager=True)
+        acc = acc.unionByName(delta).transform(_ckpt_nostats)
     return acc
 
 
@@ -414,7 +415,7 @@ def owl_transitive_increment(
     )
     if not trans:
         return new
-    new = new.localCheckpoint(eager=True)
+    new = new.transform(_ckpt_nostats)
     tdelta = new.where(F.col("predicate").isin(trans))
     tacc = (
         existing.select(*cols)
@@ -475,7 +476,7 @@ def owl_rl_entailment(
     chains = _chain_axioms(rows)
     closure = rdfs_entailment(
         facts, ontology, type_predicate, max_ontology_rows
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     if not trans and not chains:
         return closure
     cols = ["subj", "predicate", "obj"]
@@ -497,13 +498,13 @@ def owl_rl_entailment(
         )
         tdelta = closed.join(
             closure.select(*cols), cols, "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
         if tdelta.isEmpty():
             break
         ldelta = rdfs_entailment_increment(
             closure, tdelta, ontology, type_predicate, max_ontology_rows
-        ).localCheckpoint(eager=True)
-        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
+        closure = closure.unionByName(ldelta).transform(_ckpt_nostats)
         frontier = ldelta
     return closure
 
@@ -543,23 +544,23 @@ def _owl_rl_with_chains(
         )
         sdelta = derived.join(
             closure.select(*cols), cols, "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
         if sdelta.isEmpty():
             break
         ldelta = rdfs_entailment_increment(
             closure, sdelta, ontology, type_predicate, max_ontology_rows
-        ).localCheckpoint(eager=True)
-        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
+        closure = closure.unionByName(ldelta).transform(_ckpt_nostats)
         # only linear-delta pairs the step plan can consume, and not
         # already in the workset (sdelta pairs re-entered via ldelta)
         frontier = (
             ldelta.where(F.col("predicate").isin(involved))
             .join(work, cols, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if frontier.isEmpty():
             break
-        work = work.unionByName(frontier).localCheckpoint(eager=True)
+        work = work.unionByName(frontier).transform(_ckpt_nostats)
     return closure
 
 
@@ -693,17 +694,17 @@ def _step_fixpoint(
     steps_df = spark.createDataFrame(
         steps, "lp string, rp string, op string"
     )
-    acc = acc.localCheckpoint(eager=True)
-    delta = delta.localCheckpoint(eager=True)
+    acc = acc.transform(_ckpt_nostats)
+    delta = delta.transform(_ckpt_nostats)
     for _ in range(max_rounds):
         delta = (
             _step_compose(acc, delta, steps_df)
             .join(acc, ["subj", "predicate", "obj"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if delta.isEmpty():
             break
-        acc = acc.unionByName(delta).localCheckpoint(eager=True)
+        acc = acc.unionByName(delta).transform(_ckpt_nostats)
     return acc
 
 
@@ -1001,7 +1002,7 @@ def owl_class_entailment(
     res = _class_restrictions(rows, type_predicate)
     closure = rdfs_entailment(
         facts, ontology, type_predicate, max_ontology_rows
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt_nostats)
     if not any(res.values()):
         return closure
     spark = facts.sparkSession
@@ -1018,14 +1019,14 @@ def owl_class_entailment(
         new = (
             derived.distinct()
             .join(closure, cols, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
         if new.isEmpty():
             break
         ldelta = rdfs_entailment_increment(
             closure, new, ontology, type_predicate, max_ontology_rows
-        ).localCheckpoint(eager=True)
-        closure = closure.unionByName(ldelta).localCheckpoint(eager=True)
+        ).transform(_ckpt_nostats)
+        closure = closure.unionByName(ldelta).transform(_ckpt_nostats)
         delta = ldelta
     return closure
 
@@ -1565,15 +1566,20 @@ def owl_equality_entailment(
     ifp = _declared(rows, "inverseFunctionalProperty")
     hk = _has_key_axioms(rows)
 
+    # _ckpt_nostats throughout the cascade: each outer round joins
+    # frames that are themselves products of previous rounds' joins, so
+    # plain localCheckpoint's preserved origin stats compound
+    # geometrically — the measured >600s BigInteger stall (see
+    # functions/partitioning.py:checkpoint_nostats).
     cols = ["subj", "predicate", "obj"]
-    cur = facts.select(*cols).distinct().localCheckpoint(eager=True)
+    cur = _ckpt_nostats(facts.select(*cols).distinct())
     spark = facts.sparkSession
     mapping = spark.createDataFrame([], "orig string, canon string")
     for _ in range(max_outer):
         pairs = same_as_pairs(cur, fp, ifp)
         if hk:
             pairs = pairs.unionByName(has_key_pairs(cur, hk))
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = _ckpt_nostats(pairs)
         if pairs.isEmpty():
             break
         verts = (
@@ -1581,16 +1587,15 @@ def owl_equality_entailment(
             .unionByName(pairs.select(F.col("b_id").alias("mention_id")))
             .distinct()
         )
-        m2 = (
+        m2 = _ckpt_nostats(
             connected_components(verts, pairs)
             .where(F.col("component_id") != F.col("mention_id"))
             .select(
                 F.col("mention_id").alias("m_id"),
                 F.col("component_id").alias("m_canon"),
             )
-            .localCheckpoint(eager=True)
         )
-        cur = (
+        cur = _ckpt_nostats(
             cur.join(m2, cur["subj"] == m2["m_id"], "left")
             .select(
                 F.coalesce("m_canon", "subj").alias("subj"),
@@ -1604,12 +1609,11 @@ def owl_equality_entailment(
                 F.coalesce("m_canon", "obj").alias("obj"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # compose the cumulative orig->canonical mapping: existing
         # targets re-route through m2; m2's own keys (previous-round
         # canonicals or fresh ids) join in as new orig entries.
-        mapping = (
+        mapping = _ckpt_nostats(
             mapping.join(m2, mapping["canon"] == m2["m_id"], "left")
             .select(
                 "orig", F.coalesce("m_canon", "canon").alias("canon")
@@ -1620,7 +1624,6 @@ def owl_equality_entailment(
                     F.col("m_canon").alias("canon"),
                 )
             )
-            .localCheckpoint(eager=True)
         )
     same_rows = mapping.select(
         F.col("orig").alias("subj"),

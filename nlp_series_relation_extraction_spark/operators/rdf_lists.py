@@ -31,6 +31,7 @@ beyond-reference KG-construction surface, same contract as
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 FIRST_PREDICATE = "rdf:first"
 REST_PREDICATE = "rdf:rest"
@@ -93,7 +94,7 @@ def flatten_rdf_lists(
             .otherwise(F.lit(1)).cast("long").alias("d"),
             F.when(F.col("ptr").isNull(), F.col("cell")).alias("head"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_ckpt_nostats)
     )
     for _ in range(max_rounds):
         if state.where(F.col("ptr").isNotNull()).isEmpty():
@@ -115,7 +116,7 @@ def flatten_rdf_lists(
                 .alias("d"),
                 F.coalesce(F.col("head"), F.col("o_head")).alias("head"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt_nostats)
         )
     else:
         if not state.where(F.col("ptr").isNotNull()).isEmpty():

@@ -31,6 +31,7 @@ from ..core.encoders import HashEncoder, _sigmoid
 from ..core.heads import get_hash_encoder
 from ..core.labeling import bio_token_labels
 from ..core.tokenization import normalize_text
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 _GRAD_SCHEMA = "grad binary, loss double, n_tokens long"
 
@@ -104,7 +105,7 @@ def train_bio_head(
     if num_partitions:
         df = df.repartition(num_partitions)
     # every epoch is a fresh action over the same rows: materialize once
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_ckpt_nostats)
 
     opt = (
         BertAdamState(lr, t_total=epochs + 1, warmup=warmup)
@@ -362,7 +363,7 @@ def train_mpn_head(
     df = transcripts.select("text", "gold_json")
     if num_partitions:
         df = df.repartition(num_partitions)
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_ckpt_nostats)
 
     opt = (
         BertAdamState(lr, t_total=epochs + 1, warmup=warmup)
@@ -558,7 +559,7 @@ def train_mhs_head(
     df = transcripts.select("text", "gold_json")
     if num_partitions:
         df = df.repartition(num_partitions)
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(_ckpt_nostats)
 
     opt = (
         BertAdamState(lr, t_total=epochs + 1, warmup=warmup)

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import canonical_triples, edge_table, merge_edge_increment
+from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 _MANIFEST = "_CURRENT"
 _BUCKET = "__edge_bucket"
@@ -136,7 +137,7 @@ def upsert_edge_batch(
         _BUCKET, _bucket_expr(n_buckets)
     )
     # computed once: reused for the touched-bucket probe AND the merge
-    inc = inc.localCheckpoint(eager=True)
+    inc = inc.transform(_ckpt_nostats)
     # bounded collect: at most n_buckets rows (the whole point of buckets)
     touched = sorted(r[0] for r in inc.select(_BUCKET).distinct().collect())
     buckets = dict(state["buckets"]) if state is not None else {}
