@@ -233,6 +233,7 @@ RELATIONAL = [
     "zorder_pruning",
     "k_anonymity",
     "mixture_weights",
+    "l_diversity",
 ]
 
 

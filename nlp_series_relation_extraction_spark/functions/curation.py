@@ -652,3 +652,76 @@ def mixture_weights(
             ).alias("boost_ppm"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    l_threshold: int = 3,
+) -> DataFrame:
+    """Companion screen to :func:`k_anonymity_report` (Machanavajjhala
+    2007's distinct l-diversity): k-anonymity alone is defeated by a
+    HOMOGENEOUS group — if every row sharing a quasi-identifier
+    combination carries the same sensitive value, group size protects
+    nothing. Per QI group, l = the number of DISTINCT sensitive values;
+    a corpus is l-diverse iff every group has >= l of them. Output, one
+    row per occupied diversity bucket:
+
+      (l_bucket in {'1','2','3-4','5+'}, n_groups, n_rows, at_risk,
+       rows_share_ppm)
+
+    at_risk = the bucket's minimum diversity < l_threshold; the '1'
+    bucket is the homogeneity disclosure (attribute inferable with
+    certainty from the QI alone). rows_share_ppm = bucket rows * 1e6
+    div total, truncating integer — sum over at_risk buckets for the
+    headline risk mass.
+
+    Scale shape: one QI+sensitive distinct-collapse then one QI-keyed
+    aggregation (both map-side combined; count(distinct) over a group
+    never materializes value lists), a 4-bucket rollup, and a one-row
+    total broadcast. No joins on the data."""
+    if not qi_cols:
+        raise ValueError("l_diversity_report: qi_cols must be non-empty")
+    if l_threshold < 2:
+        raise ValueError(
+            f"l_diversity_report: l_threshold must be >= 2: {l_threshold}"
+        )
+    groups = df.groupBy(*qi_cols).agg(
+        F.countDistinct(sensitive_col).cast("long").alias("l"),
+        F.count("*").cast("long").alias("k"),
+    )
+    bucket = (
+        F.when(F.col("l") == 1, "1")
+        .when(F.col("l") == 2, "2")
+        .when(F.col("l") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    lo = (
+        F.when(F.col("l_bucket") == "1", 1)
+        .when(F.col("l_bucket") == "2", 2)
+        .when(F.col("l_bucket") == "3-4", 3)
+        .otherwise(5)
+    )
+    agg = groups.select(bucket.alias("l_bucket"), "k").groupBy(
+        "l_bucket"
+    ).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    total = agg.agg(F.sum("n_rows").cast("long").alias("_total"))
+    return (
+        agg.withColumn("at_risk", lo < F.lit(int(l_threshold)))
+        .crossJoin(broadcast(total))
+        .select(
+            "l_bucket",
+            "n_groups",
+            "n_rows",
+            "at_risk",
+            F.expr("n_rows * 1000000 div _total").alias(
+                "rows_share_ppm"
+            ),
+        )
+    )

@@ -11537,6 +11537,57 @@ ORDER BY "group"
 
 
 
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity screen (functions/curation.py:
+    l_diversity_report) over events with (user_id, day) as the
+    quasi-identifier and event_type as the sensitive attribute — the
+    homogeneity audit k-anonymity misses (all four diversity buckets
+    are occupied at every SF). Distinct-collapse + QI aggregation +
+    4-bucket rollup; bit-exact twin."""
+    from ..functions.curation import l_diversity_report
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return l_diversity_report(
+        ev, ["user_id", "day"], "event_type", l_threshold=3
+    ).orderBy("l_bucket")
+
+
+_L_DIVERSITY_SQL = """
+WITH groups AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         cast(count(DISTINCT event_type) AS BIGINT) AS l,
+         cast(count(*) AS BIGINT) AS k
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), bucketed AS (
+  SELECT CASE WHEN l = 1 THEN '1'
+              WHEN l = 2 THEN '2'
+              WHEN l <= 4 THEN '3-4'
+              ELSE '5+' END AS l_bucket,
+         k
+  FROM groups
+), agg AS (
+  SELECT l_bucket,
+         cast(count(*) AS BIGINT) AS n_groups,
+         cast(sum(k) AS BIGINT) AS n_rows
+  FROM bucketed GROUP BY l_bucket
+), tot AS (
+  SELECT cast(sum(n_rows) AS BIGINT) AS total FROM agg
+)
+SELECT l_bucket, n_groups, n_rows,
+       CASE WHEN l_bucket = '1' THEN 1
+            WHEN l_bucket = '2' THEN 2
+            WHEN l_bucket = '3-4' THEN 3
+            ELSE 5 END < 3 AS at_risk,
+       cast(n_rows * 1000000 // tot.total AS BIGINT) AS rows_share_ppm
+FROM agg, tot
+ORDER BY l_bucket
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11752,6 +11803,7 @@ def queries() -> dict:
             "act_transitions": q_act_transitions,
             "k_anonymity": q_k_anonymity,
             "mixture_weights": q_mixture_weights,
+            "l_diversity": q_l_diversity,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11932,6 +11984,7 @@ def oracle_sql() -> dict:
         "act_transitions": _act_transitions_sql(),
         "k_anonymity": _K_ANONYMITY_SQL,
         "mixture_weights": _MIXTURE_WEIGHTS_SQL,
+        "l_diversity": _L_DIVERSITY_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
