@@ -234,6 +234,7 @@ RELATIONAL = [
     "k_anonymity",
     "mixture_weights",
     "l_diversity",
+    "t_closeness",
 ]
 
 

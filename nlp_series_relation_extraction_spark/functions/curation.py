@@ -725,3 +725,111 @@ def l_diversity_report(
             ),
         )
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    t_threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """Third leg of the privacy-screen triple (Li 2007's t-closeness,
+    categorical case): an l-diverse group still leaks if its sensitive
+    DISTRIBUTION differs sharply from the corpus-wide one (skewness
+    attack — 2 distinct values at 99:1 inside a group whose attribute
+    is 50:50 globally). Per QI group, the total-variation distance
+
+      tvd = 1/2 * sum_v |freq_group(v) - freq_global(v)|
+
+    computed EXACTLY in integers: with group size k_g, global size N,
+    group value count k_gv and global value count n_v,
+
+      num_g = sum_{v in group} |k_gv*N - n_v*k_g| + k_g*(N - sum_{v in group} n_v)
+      tvd_ppm = num_g * 1_000_000 div (2 * k_g * N)
+
+    (the second term is every value ABSENT from the group, folded into
+    one subtraction — no dense group x value expansion). Output, one
+    row per occupied TVD band:
+
+      (t_bucket in {'0-10%','10-20%','20-35%','35%+'}, n_groups,
+       n_rows, n_groups_at_risk, rows_at_risk, rows_share_ppm)
+
+    at-risk = the group's exact tvd_ppm > t_threshold_ppm (computed
+    per group BEFORE banding, so any threshold works with the fixed
+    display bands).
+
+    Scale shape: one (QI+value) aggregation, one broadcast join against
+    the value-count dim (sensitive cardinality-sized), one QI-keyed
+    rollup, a 4-band rollup, and two one-row broadcasts. The corpus is
+    scanned once; no data-sized joins."""
+    if not qi_cols:
+        raise ValueError("t_closeness_report: qi_cols must be non-empty")
+    if not 0 < t_threshold_ppm < 1_000_000:
+        raise ValueError(
+            "t_closeness_report: t_threshold_ppm must be in (0, 1e6): "
+            f"{t_threshold_ppm}"
+        )
+    from pyspark.sql.functions import broadcast
+
+    gv = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("k_gv")
+    )
+    vdim = df.groupBy(sensitive_col).agg(
+        F.count("*").cast("long").alias("n_v")
+    )
+    ntot = vdim.agg(F.sum("n_v").cast("long").alias("_n"))
+    # the present-value term needs k_g (the group total) INSIDE the
+    # abs(), so it cannot fold into one aggregate pass — join the group
+    # sizes back onto the (QI, value) rows (QI-keyed shuffle of a
+    # group-value-sized table, still no data-sized join) and aggregate
+    # once more.
+    ksz = gv.groupBy(*qi_cols).agg(F.sum("k_gv").cast("long").alias("k_g"))
+    per_group = (
+        gv.join(ksz, qi_cols)
+        .join(broadcast(vdim), sensitive_col)
+        .crossJoin(broadcast(ntot))
+        .groupBy(*qi_cols)
+        .agg(
+            F.first("k_g").alias("k_g"),
+            F.first("_n").alias("_n"),
+            F.sum(
+                F.abs(F.col("k_gv") * F.col("_n") - F.col("n_v") * F.col("k_g"))
+            ).cast("long").alias("present_num"),
+            F.sum("n_v").cast("long").alias("sum_nv_present"),
+        )
+        .select(
+            "k_g",
+            F.expr(
+                "(present_num + k_g * (_n - sum_nv_present)) * 1000000"
+                " div (2 * k_g * _n)"
+            ).alias("tvd_ppm"),
+        )
+    )
+    bucket = (
+        F.when(F.col("tvd_ppm") < 100_000, "0-10%")
+        .when(F.col("tvd_ppm") < 200_000, "10-20%")
+        .when(F.col("tvd_ppm") < 350_000, "20-35%")
+        .otherwise("35%+")
+    )
+    flagged = per_group.select(
+        bucket.alias("t_bucket"),
+        "k_g",
+        (F.col("tvd_ppm") > F.lit(int(t_threshold_ppm))).alias("_risk"),
+    )
+    agg = flagged.groupBy("t_bucket").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("k_g").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_risk"), 1).otherwise(0))
+        .cast("long").alias("n_groups_at_risk"),
+        F.sum(F.when(F.col("_risk"), F.col("k_g")).otherwise(0))
+        .cast("long").alias("rows_at_risk"),
+    )
+    total = agg.agg(F.sum("n_rows").cast("long").alias("_total"))
+    return agg.crossJoin(broadcast(total)).select(
+        "t_bucket",
+        "n_groups",
+        "n_rows",
+        "n_groups_at_risk",
+        "rows_at_risk",
+        F.expr("n_rows * 1000000 div _total").alias("rows_share_ppm"),
+    )

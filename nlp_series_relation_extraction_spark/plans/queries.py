@@ -11588,6 +11588,80 @@ ORDER BY l_bucket
 
 
 
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness screen (functions/curation.py: t_closeness_report)
+    over events with (user_id, day) QI and event_type sensitive — the
+    skewness audit l-diversity misses (a group's sensitive
+    DISTRIBUTION vs the corpus-wide one, exact integer TVD in ppm).
+    Three bands occupied at every SF with mixed risk states at the
+    default threshold; bit-exact twin."""
+    from ..functions.curation import t_closeness_report
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return t_closeness_report(
+        ev, ["user_id", "day"], "event_type", t_threshold_ppm=200_000
+    ).orderBy("t_bucket")
+
+
+_T_CLOSENESS_SQL = """
+WITH gv AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+         cast(count(*) AS BIGINT) AS k_gv
+  FROM events GROUP BY user_id, date_trunc('day', ts), event_type
+), vdim AS (
+  SELECT event_type, cast(count(*) AS BIGINT) AS n_v
+  FROM events GROUP BY event_type
+), ntot AS (
+  SELECT cast(sum(n_v) AS BIGINT) AS n FROM vdim
+), ksz AS (
+  SELECT user_id, day, cast(sum(k_gv) AS BIGINT) AS k_g
+  FROM gv GROUP BY user_id, day
+), per_group AS (
+  SELECT g.user_id, g.day, max(k.k_g) AS k_g,
+         cast(sum(abs(g.k_gv * t.n - v.n_v * k.k_g)) AS BIGINT)
+           AS present_num,
+         cast(sum(v.n_v) AS BIGINT) AS sum_nv_present,
+         cast(max(t.n) AS BIGINT) AS n
+  FROM gv g
+  JOIN ksz k USING (user_id, day)
+  JOIN vdim v USING (event_type)
+  CROSS JOIN ntot t
+  GROUP BY g.user_id, g.day
+), tvd AS (
+  SELECT k_g,
+         cast((present_num + k_g * (n - sum_nv_present)) * 1000000
+              // (2 * k_g * n) AS BIGINT) AS tvd_ppm
+  FROM per_group
+), banded AS (
+  SELECT CASE WHEN tvd_ppm < 100000 THEN '0-10%'
+              WHEN tvd_ppm < 200000 THEN '10-20%'
+              WHEN tvd_ppm < 350000 THEN '20-35%'
+              ELSE '35%+' END AS t_bucket,
+         k_g, tvd_ppm > 200000 AS risk
+  FROM tvd
+), agg AS (
+  SELECT t_bucket,
+         cast(count(*) AS BIGINT) AS n_groups,
+         cast(sum(k_g) AS BIGINT) AS n_rows,
+         cast(sum(CASE WHEN risk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_at_risk,
+         cast(sum(CASE WHEN risk THEN k_g ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+  FROM banded GROUP BY t_bucket
+), tot AS (
+  SELECT cast(sum(n_rows) AS BIGINT) AS total FROM agg
+)
+SELECT t_bucket, n_groups, n_rows, n_groups_at_risk, rows_at_risk,
+       cast(n_rows * 1000000 // tot.total AS BIGINT) AS rows_share_ppm
+FROM agg, tot
+ORDER BY t_bucket
+"""
+
+
+
 def queries() -> dict:
     q = {
         "kg_eval_prf": q_kg_eval_prf,
@@ -11804,6 +11878,7 @@ def queries() -> dict:
             "k_anonymity": q_k_anonymity,
             "mixture_weights": q_mixture_weights,
             "l_diversity": q_l_diversity,
+            "t_closeness": q_t_closeness,
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
@@ -11985,6 +12060,7 @@ def oracle_sql() -> dict:
         "k_anonymity": _K_ANONYMITY_SQL,
         "mixture_weights": _MIXTURE_WEIGHTS_SQL,
         "l_diversity": _L_DIVERSITY_SQL,
+        "t_closeness": _T_CLOSENESS_SQL,
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
