@@ -28,9 +28,17 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def checkpoint_nostats(df: DataFrame, eager: bool = True) -> DataFrame:
-    """``localCheckpoint`` that also DROPS the inherited Catalyst
-    statistics — the checkpoint for iterative fixpoints.
+def checkpoint_nostats(
+    df: DataFrame, eager: bool = True, max_bits: int = 67
+) -> DataFrame:
+    """``localCheckpoint`` that DROPS the inherited Catalyst statistics
+    once they turn absurd — the checkpoint for iterative fixpoints.
+
+    ``max_bits``: keep the preserved stats while the leaf's sizeInBytes
+    estimate fits in this many bits (2^67 ~ 1.5e20 bytes — beyond any
+    physical dataset, so only garbage estimates are dropped and sane
+    loops keep plan-time auto-broadcast). ``max_bits=0`` strips
+    unconditionally (used by tests to pin the JVM rebuild path).
 
     Since Spark 3.4, ``Dataset.localCheckpoint`` copies the truncated
     plan's computed statistics onto the new ``LogicalRDD`` leaf
@@ -65,6 +73,27 @@ def checkpoint_nostats(df: DataFrame, eager: bool = True) -> DataFrame:
     try:
         jdf = ck._jdf
         qe = jdf.queryExecution()
+        if max_bits > 0:
+            # preserved stats are only DROPPED once the estimate is
+            # physically absurd (> 2^max_bits bytes ~ 10^20 at the
+            # default) — a sane estimate stays, so loops whose stats
+            # remain realistic keep plan-time auto-broadcast
+            # eligibility. (An interleaved A/B on kg_betweenness at
+            # sf0.1 showed strip-vs-keep parity — min 13.9s vs 14.1s —
+            # so this is defense-in-depth, not a measured win: real
+            # estimates are strictly more information than a forced
+            # default.) Compounding still can't start: every leaf is
+            # capped at ~max_bits bits, so a round's plan multiplies a
+            # bounded number of bounded leaves and the next checkpoint
+            # re-caps. Reading the leaf's preserved stats is O(1) — a
+            # stored value on the LogicalRDD, not a plan-wide
+            # recomputation.
+            # py4j converts the scala BigInt to a Python int
+            bits = int(
+                qe.optimizedPlan().stats().sizeInBytes()
+            ).bit_length()
+            if bits <= max_bits:
+                return ck
         new_jdf = jdf.sparkSession().internalCreateDataFrame(
             qe.toRdd(), qe.analyzed().schema(), False
         )
