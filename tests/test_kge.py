@@ -469,3 +469,50 @@ def test_complex_learns_and_rejects_odd_dim(spark):
         kge_fit(df, scorer="complex", dim=7)
     with pytest.raises(ValueError, match="even dim"):
         kge_fit_numpy(edges, scorer="complex", dim=7)
+
+
+def test_link_prediction_threaded_equals_serial(spark):
+    """The driver query submits the four scorer pipelines from a
+    thread pool (concurrent Spark jobs). Every lineage is unchanged, so
+    the result must be BYTE-identical to the serial composition — this
+    pins it, so a thread-safety regression (shared mutable state
+    sneaking into kge_fit, a scorer reading another's model) fails
+    loudly instead of shipping nondeterminism."""
+    from pyspark.sql import functions as F
+
+    from nlp_series_relation_extraction_spark.operators.kge import (
+        kge_fit,
+        kge_pairs,
+        kge_rank_eval,
+        link_prediction_metrics,
+    )
+    from nlp_series_relation_extraction_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    threaded = (
+        Q.queries()["kg_link_prediction"](spark, sf).collect()
+    )
+
+    edges = Q._hierarchy_edges(spark, sf).localCheckpoint(eager=True)
+    pairs = kge_pairs(edges).localCheckpoint(eager=True)
+    out = None
+    for scorer, lr in (
+        ("transe", 0.5),
+        ("distmult", 2.0),
+        ("rotate", 0.5),
+        ("complex", 2.0),
+    ):
+        ranks = kge_rank_eval(
+            kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr,
+                    pairs=pairs),
+            edges,
+            max_test=800,
+            chunk=1024,
+        )
+        m = link_prediction_metrics(ranks).withColumn(
+            "scorer", F.lit(scorer)
+        )
+        out = m if out is None else out.unionByName(m)
+    serial = out.orderBy("scorer", "predicate").collect()
+
+    assert [tuple(r) for r in threaded] == [tuple(r) for r in serial]
