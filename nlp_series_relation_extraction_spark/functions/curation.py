@@ -784,6 +784,10 @@ def t_closeness_report(
     # group-value-sized table, still no data-sized join) and aggregate
     # once more.
     ksz = gv.groupBy(*qi_cols).agg(F.sum("k_gv").cast("long").alias("k_g"))
+    # products run in decimal(38,0): k_gv*N and k_g*N reach ~1e24 at
+    # 1e12 input rows — past BIGINT (ANSI mode fails loud at 9.2e18) —
+    # and the *1e6 ppm step tops out ~1e30, inside decimal's 1e38.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     per_group = (
         gv.join(ksz, qi_cols)
         .join(broadcast(vdim), sensitive_col)
@@ -793,15 +797,19 @@ def t_closeness_report(
             F.first("k_g").alias("k_g"),
             F.first("_n").alias("_n"),
             F.sum(
-                F.abs(F.col("k_gv") * F.col("_n") - F.col("n_v") * F.col("k_g"))
-            ).cast("long").alias("present_num"),
+                F.abs(dec("k_gv") * dec("_n") - dec("n_v") * dec("k_g"))
+            ).alias("present_num"),
             F.sum("n_v").cast("long").alias("sum_nv_present"),
         )
         .select(
             "k_g",
             F.expr(
-                "(present_num + k_g * (_n - sum_nv_present)) * 1000000"
-                " div (2 * k_g * _n)"
+                "cast((present_num"
+                " + cast(k_g as decimal(38,0))"
+                "   * cast(_n - sum_nv_present as decimal(38,0)))"
+                " * 1000000"
+                " div (2 * cast(k_g as decimal(38,0))"
+                "        * cast(_n as decimal(38,0))) as bigint)"
             ).alias("tvd_ppm"),
         )
     )

@@ -11647,8 +11647,8 @@ WITH gv AS (
   FROM gv GROUP BY user_id, day
 ), per_group AS (
   SELECT g.user_id, g.day, max(k.k_g) AS k_g,
-         cast(sum(abs(g.k_gv * t.n - v.n_v * k.k_g)) AS BIGINT)
-           AS present_num,
+         sum(abs(cast(g.k_gv AS HUGEINT) * t.n
+                 - cast(v.n_v AS HUGEINT) * k.k_g)) AS present_num,
          cast(sum(v.n_v) AS BIGINT) AS sum_nv_present,
          cast(max(t.n) AS BIGINT) AS n
   FROM gv g
@@ -11658,8 +11658,9 @@ WITH gv AS (
   GROUP BY g.user_id, g.day
 ), tvd AS (
   SELECT k_g,
-         cast((present_num + k_g * (n - sum_nv_present)) * 1000000
-              // (2 * k_g * n) AS BIGINT) AS tvd_ppm
+         cast((present_num
+               + cast(k_g AS HUGEINT) * (n - sum_nv_present)) * 1000000
+              // (2 * cast(k_g AS HUGEINT) * n) AS BIGINT) AS tvd_ppm
   FROM per_group
 ), banded AS (
   SELECT CASE WHEN tvd_ppm < 100000 THEN '0-10%'
