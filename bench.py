@@ -1078,6 +1078,18 @@ def _headline_section(out: dict) -> str:
         "driver queries returning the end-to-end (fp=0, fn=0, p=r=f1=1.0)",
         "row; the scaling criterion above is the contractual performance gate.",
         "",
+        "Round-5 plan-level finds (details in PLANS.md session-7):",
+        "* Catalyst stats compounding in iterative fixpoints — localCheckpoint",
+        "  preserves origin stats (Spark >= 3.4) and join estimates multiply, so",
+        "  nested loops compound BigInteger digits geometrically; kg_owl_sameas",
+        "  spent >600s of driver CPU in stats arithmetic at sf0.1 (644s -> 11s",
+        "  after checkpoint_nostats). Data-independent: a 1000-executor driver",
+        "  stalls identically.",
+        "* Independent model fits as CONCURRENT Spark jobs (thread-pool submit,",
+        "  FAIR-pool pattern at real scale): kg_link_prediction's four scorer",
+        "  pipelines, serial min 36.8s -> threaded min 15.0s, byte-identical",
+        "  rows (pinned in tests/test_kge.py).",
+        "",
     ]
     return "\n".join(lines)
 
