@@ -235,6 +235,8 @@ RELATIONAL = [
     "mixture_weights",
     "l_diversity",
     "t_closeness",
+    # round-5 session-9 additions
+    "kg_bootstrap",
 ]
 
 

@@ -6169,6 +6169,119 @@ ORDER BY subj_text, predicate, obj_text
 """
 
 
+def q_kg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowball/DIPRE pattern bootstrapping (operators/bootstrap.py;
+    Brin 1998, Agichtein 2000): 11 seed pairs drawn deterministically
+    from every-47th document grow to hundreds of discovered pairs in
+    two induce->apply rounds over windowed token co-occurrences. The
+    corpus-sized pair-type table is built ONCE (one distinct + one
+    broadcast-joined middle total); each round is seed-broadcast joins
+    and integer-ppm confidence floors, so the loop shuffles only
+    seed-matched data. DuckDB replays both rounds as chained CTEs with
+    `//` integer division — bit-exact including each discovery's round
+    and max-pattern confidence."""
+    from ..operators.bootstrap import snowball_bootstrap
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # the >= 3 token guard matters cross-engine: on a short doc Spark's
+    # getItem(2) is NULL (row silently dropped by the != filter) while
+    # DuckDB's split_part returns '' (row kept) — so both sides filter
+    # explicitly instead of leaning on that divergence
+    seeds = (
+        docs.where((F.col("doc_id") % 47 == 0) & (F.size(toks) >= 3))
+        .select(
+            toks.getItem(0).alias("subj"), toks.getItem(2).alias("obj")
+        )
+        .where(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    return snowball_bootstrap(
+        docs, seeds, rounds=2, max_mid=3, min_support=3,
+        min_conf_ppm=30_000,
+    ).orderBy("round", "subj", "obj")
+
+
+def _kg_bootstrap_sql(
+    rounds: int = 2,
+    max_mid: int = 3,
+    min_support: int = 3,
+    min_conf_ppm: int = 30_000,
+) -> str:
+    """Chained-CTE DuckDB replay of q_kg_bootstrap: seeds{r} feeds
+    pats{r+1} -> new{r+1}, one CTE pair per round — the SQL image of
+    the operator's driver loop (parameters must mirror q_kg_bootstrap).
+    """
+    parts = [
+        """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok
+), cand AS (
+  SELECT p.doc_id, p.ts[p.i] AS subj,
+         array_to_string(list_slice(p.ts, p.i + 1, p.i + ms.m), ' ')
+           AS middle,
+         p.ts[p.i + ms.m + 1] AS obj
+  FROM pos p,
+       (SELECT unnest(range(1, %(max_mid)d + 1)) AS m) ms
+  WHERE p.i + ms.m + 1 <= len(p.ts)
+    AND p.ts[p.i] != p.ts[p.i + ms.m + 1]
+), types AS (
+  SELECT DISTINCT subj, middle, obj FROM cand
+), tot AS (
+  SELECT middle, cast(count(*) AS BIGINT) AS total_pairs
+  FROM types GROUP BY middle
+), pt AS (
+  SELECT t.subj, t.middle, t.obj, tot.total_pairs
+  FROM types t JOIN tot USING (middle)
+), seeds0 AS (
+  SELECT DISTINCT split_part(text, ' ', 1) AS subj,
+         split_part(text, ' ', 3) AS obj
+  FROM documents
+  WHERE doc_id %% 47 = 0
+    AND len(string_split(text, ' ')) >= 3
+    AND split_part(text, ' ', 1) != split_part(text, ' ', 3)
+)"""
+        % {"max_mid": max_mid}
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            """, pats%(r)d AS (
+  SELECT pt.middle, pt.total_pairs,
+         cast(count(*) AS BIGINT) AS seed_pairs,
+         cast((count(*) * 1000000) // pt.total_pairs AS BIGINT)
+           AS conf_ppm
+  FROM pt JOIN seeds%(prev)d s ON pt.subj = s.subj AND pt.obj = s.obj
+  GROUP BY pt.middle, pt.total_pairs
+  HAVING count(*) >= %(min_support)d
+     AND (count(*) * 1000000) // pt.total_pairs >= %(min_conf)d
+), new%(r)d AS (
+  SELECT pt.subj, pt.obj, cast(%(r)d AS INT) AS round,
+         cast(max(p.conf_ppm) AS BIGINT) AS conf_ppm
+  FROM pt JOIN pats%(r)d p USING (middle)
+  WHERE NOT EXISTS (SELECT 1 FROM seeds%(prev)d s
+                    WHERE s.subj = pt.subj AND s.obj = pt.obj)
+  GROUP BY pt.subj, pt.obj
+), seeds%(r)d AS (
+  SELECT subj, obj FROM seeds%(prev)d
+  UNION
+  SELECT subj, obj FROM new%(r)d
+)"""
+            % {
+                "r": r,
+                "prev": r - 1,
+                "min_support": min_support,
+                "min_conf": min_conf_ppm,
+            }
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT subj, obj, round, conf_ppm FROM new{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY round, subj, obj")
+    return "".join(parts)
+
+
 def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE / concise-bounded-description export
     (operators/graph.py:describe_entities): every edge incident to the
@@ -11909,6 +12022,7 @@ def queries() -> dict:
             "kg_growth_report": q_kg_growth_report,
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
+            "kg_bootstrap": q_kg_bootstrap,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12091,6 +12205,7 @@ def oracle_sql() -> dict:
         "kg_growth_report": _KG_GROWTH_REPORT_SQL,
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
+        "kg_bootstrap": _kg_bootstrap_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
