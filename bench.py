@@ -237,6 +237,7 @@ RELATIONAL = [
     "t_closeness",
     # round-5 session-9 additions
     "kg_bootstrap",
+    "kg_modularity",
 ]
 
 

@@ -3273,3 +3273,105 @@ def induce_entity_types(
             "confidence_ppm"
         ),
     )
+
+
+def modularity_report(
+    edges: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """Newman modularity of a given community partition, decomposed per
+    community in EXACT integers (Newman & Girvan 2004): for the
+    undirected distinct entity graph with m edges, community c
+    contributes Q_c = e_c/m - (d_c/2m)^2, so
+
+        q_num_c = 4*m*e_c - d_c^2   and   Q = sum(q_num_c) / (4*m^2).
+
+    This returns the integer decomposition — (community_id, n_nodes,
+    intra_edges, degree_sum, q_num, q_ppm, m_edges) — so the whole
+    table is bit-stable cross-engine. `q_num` is decimal(38,0) because
+    4*m*e_c reaches ~4e26 at the 1e12-edge north-rule scale, past
+    BIGINT; `q_ppm` = floor(1e6 * Q_c) is the BIGINT-safe normalized
+    form (bounded in [-1e6, 1e6] at ANY scale). The floor of the
+    possibly-negative quotient is computed by shifting the numerator by
+    +4m^2 (one full denominator times 1e6) before the truncating
+    integer division and subtracting 1e6 after — truncation equals
+    floor on the now-nonnegative numerator, identically in Spark `div`
+    and DuckDB `//`, so no engine-specific negative-division semantics
+    are in play.
+
+    Conventions match triangle_count/label_propagation_communities:
+    self-loops dropped, parallel and reverse duplicates collapsed. The
+    `communities` table (entity_id, community_id) is authoritative for
+    membership: edges touching an unmapped endpoint are dropped BEFORE
+    m is computed (the metric is over the induced subgraph on mapped
+    nodes), and mapped nodes with no surviving edge still get counted
+    in their community's n_nodes with degree 0.
+
+    Plan: two community-map joins on the edge endpoints (AQE skew-split
+    covers hub entities), one node-degree aggregation, two
+    community-sized aggregations, and one broadcast one-row m join —
+    no data-sized windows, no self-joins."""
+    cmap = communities.select("entity_id", "community_id")
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cu = cmap.select(
+        F.col("entity_id").alias("u"), F.col("community_id").alias("cu")
+    )
+    cv = cmap.select(
+        F.col("entity_id").alias("v"), F.col("community_id").alias("cv")
+    )
+    e2 = und.join(cu, "u").join(cv, "v")
+    m_row = e2.agg(F.count("*").cast("long").alias("m_edges"))
+    deg = (
+        e2.select(F.col("u").alias("x"))
+        .union(e2.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    comm_stats = (
+        cmap.join(deg, cmap["entity_id"] == deg["x"], "left")
+        .groupBy("community_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias(
+                "degree_sum"
+            ),
+        )
+    )
+    intra = (
+        e2.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community_id"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    dec = "cast(m_edges as decimal(38,0))"
+    q_num = (
+        f"cast(4 * {dec} * intra_edges"
+        " - cast(degree_sum as decimal(38,0)) * degree_sum"
+        " as decimal(38,0))"
+    )
+    # floor((1e6*q_num)/(4m^2)) via the nonnegative shift (docstring);
+    # m = 0 (empty induced graph) is defined as q_ppm = 0
+    q_ppm = (
+        "cast(IF(m_edges = 0, 0,"
+        f" (1000000 * ({q_num} + 4 * {dec} * {dec}))"
+        f"   div (4 * {dec} * {dec}) - 1000000) as bigint)"
+    )
+    return (
+        comm_stats.join(intra, "community_id", "left")
+        .na.fill({"intra_edges": 0})
+        .join(F.broadcast(m_row))
+        .select(
+            "community_id",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            F.expr(q_num).alias("q_num"),
+            F.expr(q_ppm).alias("q_ppm"),
+            "m_edges",
+        )
+    )

@@ -6282,6 +6282,104 @@ def _kg_bootstrap_sql(
     return "".join(parts)
 
 
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition (operators/graph.py:
+    modularity_report) of an 8-way md5-bucket partition of the schema
+    edge graph — per community the exact integers (n_nodes,
+    intra_edges, degree_sum, q_ppm = floor(1e6*Q_c), m_edges), the
+    community-quality metric LPA/Louvain pipelines gate on. The
+    driver-facing slice keeps the BIGINT columns (q_ppm is bounded in
+    [-1e6, 1e6] at any scale; the decimal(38,0) q_num stays an
+    operator column for exact downstream sums). DuckDB replays the
+    induced-subgraph/degree/intra aggregations, the 7-hex-digit md5
+    bucketing, and the same shifted HUGEINT floor division."""
+    from ..operators.graph import modularity_report
+
+    edges = _schema_edges(spark, sf_dir)
+    ents = (
+        edges.select(F.col("subj_entity_id").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj_entity_id").alias("entity_id")))
+        .distinct()
+    )
+    communities = ents.select(
+        "entity_id",
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(entity_id as string)), 1, 7),"
+                " 16, 10) as bigint)"
+            )
+            % 8
+        ).alias("community_id"),
+    )
+    return modularity_report(edges, communities).select(
+        "community_id", "n_nodes", "intra_edges", "degree_sum",
+        "q_ppm", "m_edges",
+    ).orderBy("community_id")
+
+
+_KG_MODULARITY_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+ents AS (
+  SELECT DISTINCT eid FROM (
+    SELECT subj_entity_id AS eid FROM edges
+    UNION ALL SELECT obj_entity_id FROM edges
+  )
+),
+cmap AS (
+  SELECT eid AS entity_id,
+         cast(concat('0x', substr(md5(cast(eid AS VARCHAR)), 1, 7))
+              AS BIGINT) % 8 AS community_id
+  FROM ents
+),
+und AS (
+  SELECT DISTINCT least(subj_entity_id, obj_entity_id) AS u,
+         greatest(subj_entity_id, obj_entity_id) AS v
+  FROM edges WHERE subj_entity_id != obj_entity_id
+),
+e2 AS (
+  SELECT und.u, und.v, cu.community_id AS cu, cv.community_id AS cv
+  FROM und
+  JOIN cmap cu ON und.u = cu.entity_id
+  JOIN cmap cv ON und.v = cv.entity_id
+),
+m AS (SELECT cast(count(*) AS BIGINT) AS m_edges FROM e2),
+deg AS (
+  SELECT x, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2
+  ) GROUP BY x
+),
+comm AS (
+  SELECT c.community_id,
+         cast(count(*) AS BIGINT) AS n_nodes,
+         cast(coalesce(sum(deg.d), 0) AS BIGINT) AS degree_sum
+  FROM cmap c LEFT JOIN deg ON c.entity_id = deg.x
+  GROUP BY c.community_id
+),
+intra AS (
+  SELECT cu AS community_id, cast(count(*) AS BIGINT) AS intra_edges
+  FROM e2 WHERE cu = cv GROUP BY cu
+)
+,
+base AS (
+  SELECT comm.community_id, comm.n_nodes,
+         cast(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+         comm.degree_sum,
+         4 * cast(m.m_edges AS HUGEINT) * coalesce(intra.intra_edges, 0)
+           - cast(comm.degree_sum AS HUGEINT) * comm.degree_sum AS q_num,
+         m.m_edges
+  FROM comm LEFT JOIN intra USING (community_id), m
+)
+SELECT community_id, n_nodes, intra_edges, degree_sum,
+       cast(CASE WHEN m_edges = 0 THEN 0 ELSE
+         (1000000 * (q_num + 4 * cast(m_edges AS HUGEINT) * m_edges))
+           // (4 * cast(m_edges AS HUGEINT) * m_edges) - 1000000
+       END AS BIGINT) AS q_ppm,
+       m_edges
+FROM base
+ORDER BY community_id
+"""
+
+
 def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE / concise-bounded-description export
     (operators/graph.py:describe_entities): every edge incident to the
@@ -12023,6 +12121,7 @@ def queries() -> dict:
             "kg_bag_denoise": q_kg_bag_denoise,
             "kg_muc_eval": q_kg_muc_eval,
             "kg_bootstrap": q_kg_bootstrap,
+            "kg_modularity": q_kg_modularity,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12206,6 +12305,7 @@ def oracle_sql() -> dict:
         "kg_bag_denoise": _KG_BAG_DENOISE_SQL,
         "kg_muc_eval": _kg_muc_eval_sql(),
         "kg_bootstrap": _kg_bootstrap_sql(),
+        "kg_modularity": _KG_MODULARITY_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
