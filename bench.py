@@ -238,6 +238,7 @@ RELATIONAL = [
     # round-5 session-9 additions
     "kg_bootstrap",
     "kg_modularity",
+    "kg_ceaf_eval",
 ]
 
 

@@ -288,3 +288,220 @@ SELECT n AS n_items, pred_links, gold_links,
        ELSE 2 * prec * rec // (prec + rec) END AS BIGINT) AS muc_f1_ppm
 FROM scored
 """
+
+
+def _hungarian_max(weights: list[list[int]]) -> int:
+    """Optimal-assignment VALUE for a rectangular integer weight matrix
+    (rows x cols, maximize; unmatched pairs implicitly weight 0).
+    Potential-based shortest-augmenting-path Hungarian, O(n^3), pure
+    integer arithmetic — the optimum VALUE is unique even when multiple
+    argmax assignments tie, which is all CEAF consumes, so no
+    tie-breaking policy is needed for determinism."""
+    if not weights or not weights[0]:
+        return 0
+    r, c = len(weights), len(weights[0])
+    n = max(r, c)
+    # pad to square; maximize -> minimize via (maxw - w)
+    maxw = max(max(row) for row in weights)
+    cost = [
+        [
+            maxw - (weights[i][j] if i < r and j < c else 0)
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    INF = float("inf")
+    u = [0] * (n + 1)
+    v = [0] * (n + 1)
+    p = [0] * (n + 1)  # p[j] = row matched to column j (1-based)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], INF, 0
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            p[j0] = p[way[j0]]
+            j0 = way[j0]
+    total = 0
+    for j in range(1, n + 1):
+        i = p[j]
+        if 1 <= i <= r and 1 <= j <= c:
+            total += weights[i - 1][j - 1]
+    return total
+
+
+def ceaf_eval(
+    assign: DataFrame,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+    max_component_clusters: int = 512,
+) -> DataFrame:
+    """CEAF clustering scores (Luo EMNLP 2005) — the optimal-alignment
+    member of the coreference report family (pairwise + B³ + MUC live
+    in clustering_eval/muc_eval; MUC+B³+CEAF-e average to the CoNLL
+    score). CEAF one-to-one-aligns gold and predicted clusters to
+    maximize total similarity Φ*, under two phi functions:
+
+    * phi3 (mention-based, CEAF-m): phi = |K ∩ R|; P = R = Φ3*/n.
+    * phi4 (entity-based, CEAF-e): phi = 2|K ∩ R|/(|K|+|R|);
+      P = Φ4*/|pred clusters|, R = Φ4*/|gold clusters|.
+
+    phi4 is quantized per PAIR to truncating integer ppm before the
+    matching (the same per-cell truncation discipline as B³: bias
+    < 1 ppm per matched pair, bit-stable cross-engine and
+    partitioning-invariant — integer Hungarian has a unique optimum
+    VALUE).
+
+    Scale shape: the optimal alignment is global, but the nonzero
+    contingency cells decompose the cluster bipartite graph into
+    CONNECTED COMPONENTS, and an assignment-problem optimum over a
+    block-diagonal matrix is the sum of per-block optima — so the
+    Hungarian runs PER COMPONENT inside applyInPandas (components are
+    the "a gold entity overlaps a handful of predicted entities"
+    neighborhoods — tiny in practice), with component ids from the
+    linking CC machinery over the cluster graph (cluster-count-sized,
+    never item-sized). A component wider than
+    ``max_component_clusters`` on either side fails loud rather than
+    going cubic silently (the default 512 bounds one component's
+    Hungarian at ~1e8 integer steps; a bigger cap is a deliberate
+    choice — note that a single promiscuous cluster, e.g. a catch-all
+    'unknown' entity, is exactly what inflates a component, and
+    per-document evaluation is the standard way to keep CEAF local). Returns ONE row: (n_items,
+    n_pred_clusters, n_gold_clusters, ceaf_m_ppm, ceaf_e_precision_ppm,
+    ceaf_e_recall_ppm, ceaf_e_f1_ppm)."""
+    from ..operators.linking import connected_components
+
+    a = (
+        assign.select(
+            F.col(item_col).alias("it"),
+            F.col(pred_col).cast("string").alias("pc"),
+            F.col(gold_col).cast("string").alias("gc"),
+        )
+        .groupBy("it")
+        .agg(F.min("pc").alias("pc"), F.min("gc").alias("gc"))
+    )
+    cells = a.groupBy("pc", "gc").agg(
+        F.count("*").cast("long").alias("n_ij")
+    )
+    # bipartite cluster graph: hash-id the two sides into one long id
+    # space (a collision merely merges two components — block-diagonal
+    # optima are additive, so the matching VALUE is unchanged)
+    cells = cells.withColumn(
+        "pid", F.xxhash64(F.concat(F.lit("P|"), F.col("pc")))
+    ).withColumn("gid", F.xxhash64(F.concat(F.lit("G|"), F.col("gc"))))
+    edges = cells.select(
+        F.col("pid").alias("a_id"), F.col("gid").alias("b_id")
+    )
+    verts = edges.select(F.col("a_id").alias("mention_id")).union(
+        edges.select(F.col("b_id").alias("mention_id"))
+    ).distinct()
+    comp = connected_components(verts, edges).withColumnRenamed(
+        "mention_id", "pid"
+    )
+    with_comp = cells.join(comp, "pid").select(
+        "component_id", "pc", "gc", "n_ij"
+    )
+
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        preds = sorted(pdf["pc"].unique())
+        golds = sorted(pdf["gc"].unique())
+        if (
+            len(preds) > max_component_clusters
+            or len(golds) > max_component_clusters
+        ):
+            raise ValueError(
+                "ceaf_eval: contingency component has "
+                f"{len(preds)}x{len(golds)} clusters, beyond "
+                f"max_component_clusters={max_component_clusters}; "
+                "raise the cap or pre-split the evaluation (e.g. per "
+                "document) if this is expected"
+            )
+        pi = {p: i for i, p in enumerate(preds)}
+        gi = {g: i for i, g in enumerate(golds)}
+        m = [[0] * len(golds) for _ in preds]
+        for pc, gc, nij in zip(pdf["pc"], pdf["gc"], pdf["n_ij"]):
+            m[pi[pc]][gi[gc]] = int(nij)
+        n_i = [sum(row) for row in m]
+        n_j = [sum(m[i][j] for i in range(len(preds)))
+               for j in range(len(golds))]
+        w_e = [
+            [
+                (2 * m[i][j] * _PPM) // (n_i[i] + n_j[j])
+                for j in range(len(golds))
+            ]
+            for i in range(len(preds))
+        ]
+        return pd.DataFrame(
+            {
+                "phi_m": [_hungarian_max(m)],
+                "phi_e_ppm": [_hungarian_max(w_e)],
+                "n_pred": [len(preds)],
+                "n_gold": [len(golds)],
+            }
+        )
+
+    per_comp = with_comp.groupBy("component_id").applyInPandas(
+        solve,
+        schema="phi_m long, phi_e_ppm long, n_pred long, n_gold long",
+    )
+    totals = per_comp.agg(
+        F.coalesce(F.sum("phi_m"), F.lit(0)).cast("long").alias("phi_m"),
+        F.coalesce(F.sum("phi_e_ppm"), F.lit(0)).cast("long").alias(
+            "phi_e"
+        ),
+        F.coalesce(F.sum("n_pred"), F.lit(0)).cast("long").alias("r"),
+        F.coalesce(F.sum("n_gold"), F.lit(0)).cast("long").alias("k"),
+    )
+    n_items = a.agg(F.count("*").cast("long").alias("n"))
+    scored = totals.crossJoin(F.broadcast(n_items)).select(
+        "n",
+        "r",
+        "k",
+        "phi_m",
+        F.expr(
+            f"CASE WHEN r = 0 THEN {_PPM} ELSE phi_e div r END"
+        ).cast("long").alias("prec_e"),
+        F.expr(
+            f"CASE WHEN k = 0 THEN {_PPM} ELSE phi_e div k END"
+        ).cast("long").alias("rec_e"),
+    )
+    return scored.select(
+        F.col("n").alias("n_items"),
+        F.col("r").alias("n_pred_clusters"),
+        F.col("k").alias("n_gold_clusters"),
+        F.expr(
+            f"CASE WHEN n = 0 THEN {_PPM}"
+            f" ELSE {_PPM} * phi_m div n END"
+        ).cast("long").alias("ceaf_m_ppm"),
+        F.col("prec_e").alias("ceaf_e_precision_ppm"),
+        F.col("rec_e").alias("ceaf_e_recall_ppm"),
+        F.expr(
+            "CASE WHEN prec_e + rec_e = 0 THEN 0"
+            " ELSE 2 * prec_e * rec_e div (prec_e + rec_e) END"
+        ).cast("long").alias("ceaf_e_f1_ppm"),
+    )

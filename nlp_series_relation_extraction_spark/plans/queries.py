@@ -5691,6 +5691,34 @@ def _kg_muc_eval_sql() -> str:
     )
 
 
+def q_kg_ceaf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEAF optimal-alignment clustering scores (evaluation/
+    clustering.py:ceaf_eval — Luo 2005) on a planted SPLIT assignment
+    over the same orders/custkey gold as kg_clustering_eval/
+    kg_muc_eval: every-97th item breaks away into a per-cluster '_b'
+    shard, the split-type error CEAF's one-to-one alignment punishes
+    on the entity axis (each gold can absorb only one of its shards).
+    A split plant also keeps every contingency component at <= 3
+    clusters, so the per-component Hungarian (run distributed inside
+    applyInPandas) stays trivially bounded — unlike a merge plant,
+    whose catch-all cluster would weld one giant component. Rows-only:
+    optimal assignment is not SQL-expressible; exactness is pinned by
+    the global-Hungarian python twin and brute-force permutation tests
+    (tests/test_ceaf.py)."""
+    from ..evaluation.clustering import ceaf_eval
+
+    o = t(spark, sf_dir, "orders")
+    gold = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    assign = o.select(
+        F.col("o_orderkey").alias("item_id"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.concat(gold, F.lit("_b"))
+        ).otherwise(gold).alias("pred_cluster"),
+        gold.alias("gold_cluster"),
+    )
+    return ceaf_eval(assign)
+
+
 def q_conv_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-heuristic anaphora resolution
     (operators/conversation.py resolve_anaphora): each pronoun mention
@@ -12122,6 +12150,7 @@ def queries() -> dict:
             "kg_muc_eval": q_kg_muc_eval,
             "kg_bootstrap": q_kg_bootstrap,
             "kg_modularity": q_kg_modularity,
+            "kg_ceaf_eval": q_kg_ceaf_eval,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

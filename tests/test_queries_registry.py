@@ -61,7 +61,11 @@ def test_every_oracle_has_a_query():
                "kg_record_linkage",
                # driver-side SVD (Procrustes fit) over Arrow partial
                # sums, twin-pinned in tests/test_procrustes.py
-               "kg_embedding_align")
+               "kg_embedding_align",
+               # per-component integer Hungarian (optimal assignment is
+               # not SQL-expressible); global-matrix twin + brute-force
+               # permutation parity in tests/test_ceaf.py
+               "kg_ceaf_eval")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
