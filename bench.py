@@ -239,6 +239,7 @@ RELATIONAL = [
     "kg_bootstrap",
     "kg_modularity",
     "kg_ceaf_eval",
+    "kg_linking_increment",
 ]
 
 

@@ -73,43 +73,32 @@ def _grams(col: str, n: int = 2):
     )
 
 
-def candidate_pairs(
-    dmentions: DataFrame,
-    max_block: int = 200,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Similarity-joined mention pairs (a_id < b_id, jaccard >= threshold).
-
-    Blocking on char-2-grams; a mention pair is a candidate if it co-occurs
-    in any non-degenerate block. Jaccard over distinct 2-gram sets.
-    """
-    with_grams = dmentions.select(
+def _with_grams(dmentions: DataFrame) -> DataFrame:
+    return dmentions.select(
         "mention_id",
         "mention_norm",
         _grams("mention_norm").alias("grams"),
     )
+
+
+def _capped_blocks(with_grams: DataFrame, max_block: int) -> DataFrame:
+    """(mention_id, block_key) with pathological blocks (very common
+    grams) dropped — candidate generation must stay near-linear; recall
+    is preserved by the other grams."""
     blocks = with_grams.select(
         "mention_id", F.explode("grams").alias("block_key")
     )
-    # cap pathological blocks (very common grams) — candidate generation
-    # must stay near-linear; recall is preserved by the other grams
     block_sizes = blocks.groupBy("block_key").agg(F.count("*").alias("bsz"))
-    blocks = blocks.join(
+    return blocks.join(
         F.broadcast(block_sizes.where(F.col("bsz") > max_block)),
         "block_key",
         "left_anti",
     )
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    pairs = (
-        a.join(b, "block_key")
-        .where(F.col("a.mention_id") < F.col("b.mention_id"))
-        .select(
-            F.col("a.mention_id").alias("a_id"),
-            F.col("b.mention_id").alias("b_id"),
-        )
-        .distinct()
-    )
+
+
+def _score_pairs(
+    with_grams: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
     ga = with_grams.select(
         F.col("mention_id").alias("a_id"),
         F.col("grams").alias("a_grams"),
@@ -137,6 +126,32 @@ def candidate_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return scored.select("a_id", "b_id", "a_mention", "b_mention", "jaccard")
+
+
+def candidate_pairs(
+    dmentions: DataFrame,
+    max_block: int = 200,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Similarity-joined mention pairs (a_id < b_id, jaccard >= threshold).
+
+    Blocking on char-2-grams; a mention pair is a candidate if it co-occurs
+    in any non-degenerate block. Jaccard over distinct 2-gram sets.
+    """
+    with_grams = _with_grams(dmentions)
+    blocks = _capped_blocks(with_grams, max_block)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            F.col("a.mention_id").alias("a_id"),
+            F.col("b.mention_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    return _score_pairs(with_grams, pairs, threshold)
 
 
 def propagate_neighbor_min(
@@ -559,3 +574,172 @@ def sorted_neighborhood(
         )
         .select("id_a", "id_b", F.col("sn_offset").cast("int").alias("sn_offset"))
     )
+
+
+def link_increment(
+    state: DataFrame | None,
+    batch_occurrences: DataFrame,
+    threshold: float = 0.5,
+    max_block: int = 200,
+    max_iter: int = 15,
+    num_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Incremental entity linking: fold ONE new batch of mention
+    occurrences into an existing linking state without re-running
+    pairwise work over history — the shape a continuous 10^12-turn
+    pipeline actually runs (full link_mentions re-blocks the whole
+    corpus every time; this re-blocks only what the batch touches).
+
+    ``state``: (mention_norm, mention_id, n_occurrences, entity_id) —
+    the alias table with counts, i.e. exactly what this function (or a
+    first-batch call with ``state=None``) returns as ``state``.
+    ``batch_occurrences``: (conv_id, turn_idx, mention) like
+    link_mentions' input. Returns {"state", "entities", "components"}.
+
+    EXACT-EQUALITY contract, pinned in tests/test_link_increment.py:
+    processing batches B1..Bk incrementally yields byte-identical
+    aliases and entities to one link_mentions run over B1 ∪ .. ∪ Bk,
+    PROVIDED no blocking key crosses the ``max_block`` cap between the
+    batched and full views of the corpus. (A block that grows past the
+    cap mid-stream stops yielding NEW edges either way, but merges its
+    earlier edges already caused are never undone — incremental linking
+    is monotone in merges, the standard streaming-ER semantics.)
+
+    Why equality holds: the state's (mention_id -> entity_id) map is
+    the connected-components contraction of all PAST similarity edges,
+    and entity_id is the component's min mention_id — so running
+    min-label CC over {new-new, new-old edges} with old mentions
+    CONTRACTED to their entity super-node reaches exactly the full
+    graph's min label for every merged component. Old-old pairs need
+    never be re-scored: both endpoints' components are already in the
+    contraction.
+
+    Scale shape per batch: the batch's distinct mentions join the
+    state's (broadcast-sized per-gram) block index — only blocks the
+    batch TOUCHES produce pairs; the CC loop runs over the contracted
+    graph (batch-sized + touched entities, not corpus-sized); the state
+    rewrite is one join to remap entity ids. The full-corpus artifact
+    written per batch is the state table itself — at cluster scale that
+    is the Iceberg-style bucketed upsert the streaming KG sink
+    implements (streaming/kg_sink.py), not a rewrite-the-world."""
+    norm = normalize_mentions(batch_occurrences)
+    db = distinct_mentions(norm)
+    if state is None:
+        dm = db.transform(_ckpt_nostats)
+        edges = candidate_pairs(
+            dm, max_block=max_block, threshold=threshold
+        ).transform(_ckpt_nostats)
+        comps = connected_components(
+            dm, edges, max_iter=max_iter, num_partitions=num_partitions
+        )
+        entities, aliases = canonical_entities(dm, comps)
+        new_state = dm.join(comps, "mention_id").select(
+            "mention_norm",
+            "mention_id",
+            "n_occurrences",
+            F.col("component_id").alias("entity_id"),
+        )
+        return {
+            "state": new_state.transform(_ckpt_nostats),
+            "entities": entities,
+            "components": comps,
+        }
+
+    st = state.select(
+        "mention_norm", "mention_id", "n_occurrences", "entity_id"
+    )
+    # merged distinct-mention view: counts add; mention_id is the stable
+    # xxhash64 of the norm, identical between batched and full runs
+    merged = (
+        st.select("mention_norm", "n_occurrences")
+        .unionByName(db.select("mention_norm", "n_occurrences"))
+        .groupBy("mention_norm")
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+        .withColumn("mention_id", F.xxhash64("mention_norm"))
+        .transform(_ckpt_nostats)
+    )
+    new_dm = db.join(
+        st.select("mention_norm"), "mention_norm", "left_anti"
+    ).transform(_ckpt_nostats)
+    # pairs where at least one side is NEW, blocked and capped on the
+    # MERGED corpus view (cap parity with the full-batch run)
+    with_grams = _with_grams(merged)
+    blocks = _capped_blocks(with_grams, max_block)
+    new_flag = new_dm.select("mention_id", F.lit(True).alias("is_new"))
+    flagged = blocks.join(new_flag, "mention_id", "left").na.fill(
+        {"is_new": False}
+    )
+    a = flagged.alias("a")
+    b = flagged.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .where(F.col("a.is_new") | F.col("b.is_new"))
+        .select(
+            F.col("a.mention_id").alias("a_id"),
+            F.col("b.mention_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    inc_edges = _score_pairs(with_grams, pairs, threshold)
+    # contract old mentions to their entity super-node (entity_id IS the
+    # component-min mention_id, so min-label CC over the contracted
+    # graph reproduces the full graph's labels)
+    contract = st.select("mention_id", "entity_id")
+    ea = inc_edges.select("a_id", "b_id").join(
+        contract.withColumnRenamed("mention_id", "a_id"), "a_id", "left"
+    ).select(
+        F.coalesce("entity_id", "a_id").alias("a_id"), "b_id"
+    )
+    eb = ea.join(
+        contract.withColumnRenamed("mention_id", "b_id"), "b_id", "left"
+    ).select(
+        "a_id", F.coalesce("entity_id", "b_id").alias("b_id")
+    )
+    cc_edges = eb.where(F.col("a_id") != F.col("b_id")).transform(
+        _ckpt_nostats
+    )
+    verts = (
+        st.select(F.col("entity_id").alias("mention_id"))
+        .unionByName(new_dm.select("mention_id"))
+        .distinct()
+    )
+    comps = connected_components(
+        verts, cc_edges, max_iter=max_iter, num_partitions=num_partitions
+    )
+    old_assign = st.join(
+        comps.withColumnsRenamed(
+            {"mention_id": "entity_id", "component_id": "new_entity_id"}
+        ),
+        "entity_id",
+    ).select("mention_norm", "mention_id", F.col("new_entity_id"))
+    new_assign = new_dm.join(comps, "mention_id").select(
+        "mention_norm",
+        "mention_id",
+        F.col("component_id").alias("new_entity_id"),
+    )
+    assign = old_assign.unionByName(new_assign)
+    new_state = (
+        merged.join(assign, ["mention_norm", "mention_id"])
+        .select(
+            "mention_norm",
+            "mention_id",
+            "n_occurrences",
+            F.col("new_entity_id").alias("entity_id"),
+        )
+        .transform(_ckpt_nostats)
+    )
+    entities = new_state.groupBy(F.col("entity_id")).agg(
+        F.expr(
+            "min_by(mention_norm, struct(-n_occurrences, mention_norm))"
+        ).alias("canonical_name"),
+        F.count("*").alias("n_mentions"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+    )
+    return {
+        "state": new_state,
+        "entities": entities,
+        "components": new_state.select(
+            "mention_id", F.col("entity_id").alias("component_id")
+        ),
+    }

@@ -2829,14 +2829,27 @@ def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared surface is (canonical_name, n_mentions, n_occurrences)."""
     from ..operators.linking import link_mentions
 
+    mentions = _linking_mentions(spark, sf_dir).drop("_doc_id")
+    ent = link_mentions(mentions, threshold=0.5, max_block=200)["entities"]
+    return ent.select(
+        "canonical_name",
+        F.col("n_mentions").cast("long"),
+        F.col("n_occurrences").cast("long"),
+    ).orderBy("canonical_name")
+
+
+def _linking_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared mention corpus for kg_linking_entities and
+    kg_linking_increment: word bigrams of documents. Single-word docs
+    emit no bigram: an unguarded sequence(1, size-1) evaluates
+    sequence(1,0) as the DESCENDING [1,0] and slice(w,0,2) throws (the
+    word_shingles trap, functions/dedup.py:28-37)."""
     d = t(spark, sf_dir, "documents")
     w = "split(text, ' ')"
-    # single-word docs emit no bigram: an unguarded sequence(1, size-1)
-    # evaluates sequence(1,0) as the DESCENDING [1,0] and slice(w,0,2)
-    # throws (the word_shingles trap, functions/dedup.py:28-37)
-    mentions = d.select(
+    return d.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
+        F.col("doc_id").alias("_doc_id"),
         F.explode(
             F.expr(
                 f"case when size({w}) >= 2 then "
@@ -2846,8 +2859,26 @@ def q_kg_linking_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mention"),
     )
-    ent = link_mentions(mentions, threshold=0.5, max_block=200)["entities"]
-    return ent.select(
+
+
+def q_kg_linking_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity linking (operators/linking.py:link_increment):
+    the SAME bigram mention corpus as kg_linking_entities, fed as TWO
+    batches (even doc_ids, then odd), folding the second batch into the
+    first batch's state — per-batch work touches only blocks the batch
+    hits and a contracted CC graph, never the history's pairwise space.
+    The oracle is kg_linking_entities' UNCHANGED recursive-CTE SQL over
+    the whole corpus: the exact-equality contract (incremental ==
+    full-batch linking) is itself what the driver hash-checks, against
+    an independent engine."""
+    from ..operators.linking import link_increment
+
+    mentions = _linking_mentions(spark, sf_dir)
+    b1 = mentions.where(F.col("_doc_id") % 2 == 0).drop("_doc_id")
+    b2 = mentions.where(F.col("_doc_id") % 2 == 1).drop("_doc_id")
+    s1 = link_increment(None, b1, threshold=0.5, max_block=200)
+    s2 = link_increment(s1["state"], b2, threshold=0.5, max_block=200)
+    return s2["entities"].select(
         "canonical_name",
         F.col("n_mentions").cast("long"),
         F.col("n_occurrences").cast("long"),
@@ -12151,6 +12182,7 @@ def queries() -> dict:
             "kg_bootstrap": q_kg_bootstrap,
             "kg_modularity": q_kg_modularity,
             "kg_ceaf_eval": q_kg_ceaf_eval,
+            "kg_linking_increment": q_kg_linking_increment,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12335,6 +12367,9 @@ def oracle_sql() -> dict:
         "kg_muc_eval": _kg_muc_eval_sql(),
         "kg_bootstrap": _kg_bootstrap_sql(),
         "kg_modularity": _KG_MODULARITY_SQL,
+        # the incremental pipeline's oracle IS the full-batch linking
+        # SQL: incremental == full-batch is the contract under check
+        "kg_linking_increment": _LINKING_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
