@@ -240,6 +240,7 @@ RELATIONAL = [
     "kg_modularity",
     "kg_ceaf_eval",
     "kg_linking_increment",
+    "kg_louvain",
 ]
 
 

@@ -3375,3 +3375,154 @@ def modularity_report(
             "m_edges",
         )
     )
+
+
+def louvain_local_move(
+    edges: DataFrame, rounds: int = 5
+) -> DataFrame:
+    """One level of Louvain community detection (Blondel et al. 2008),
+    run as DETERMINISTIC synchronous modularity-gain local moving — the
+    quality-driven counterpart to label_propagation_communities (LPA
+    follows neighbor majorities; this follows exact ΔQ). Every vertex
+    starts in its own community; each round every vertex considers the
+    communities of its neighbors (plus staying put) and adopts the one
+    with the highest modularity gain, ties broken by the SMALLEST
+    community id, moving only on a STRICT improvement over staying.
+
+    Naive all-move synchronous updates are not just oscillation-prone —
+    measured on the bipartite schema edge graph they DEGRADE modularity
+    monotonically (every vertex moves assuming the others stay, so
+    symmetric pairs swap and crowds over-merge; Q fell from the
+    singleton baseline every round). The standard parallel-Louvain
+    remedy (Grappolo's coloring heuristic, in its cheapest form) is
+    applied: each round only HALF the vertices are movers —
+    xxhash64(id) parity must match the round parity — so no two
+    adjacent movers of the same color class invalidate each other's
+    gain estimate in the common case. Deterministic, partitioning-
+    invariant, twin-replicable; a fixed even ``rounds`` budget gives
+    every vertex rounds/2 move opportunities (Louvain's sequential
+    sweep is inherently order-dependent — a deterministic parallel
+    schedule is the scalable substitute).
+
+    Gains are compared in EXACT integers: moving v into D scores
+    gain(D) = 2m*k_vD - k_v * Σtot(D∖v), the standard ΔQ * 2m^2 with
+    v-independent terms dropped (decimal(38,0) — the 2m*k product
+    passes BIGINT at 1e12 edges). Pinned against an identical-recursion
+    python twin in tests/test_louvain.py; community quality is read
+    with modularity_report.
+
+    Scale shape per round: one edges×labels join keyed on the neighbor
+    vertex (the hub-skew point — AQE skew split, same as LPA), one
+    (v, community) count, one community-sized degree-total aggregate
+    joined back on the candidate community, one max_by per vertex.
+    Lineage broken per round (checkpoint_nostats)."""
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).transform(_ckpt_nostats)
+    # every vertex of the edge table gets a row (self-loop-only vertices
+    # included, own community) — same coverage convention as LPA; their
+    # degree is 0 in the simple graph, so deg must LEFT-join onto the
+    # vertex set or the round's inner joins would silently drop them
+    verts = (
+        edges.select(F.col("subj_entity_id").alias("id"))
+        .union(edges.select(F.col("obj_entity_id").alias("id")))
+        .distinct()
+    )
+    deg = verts.join(
+        both.groupBy(F.col("u").alias("id")).agg(
+            F.count("*").cast("long").alias("k")
+        ),
+        "id",
+        "left",
+    ).na.fill({"k": 0})
+    labels = verts.select(
+        "id", F.col("id").alias("community_id")
+    ).transform(_ckpt_nostats)
+    m_edges = und.count()
+    if m_edges == 0:
+        return labels.select(
+            F.col("id").alias("entity_id"), "community_id"
+        )
+    deg = deg.transform(_ckpt_nostats)
+    for r in range(rounds):
+        lab = labels.withColumnRenamed("id", "v").withColumnRenamed(
+            "community_id", "nbr_comm"
+        )
+        # k_vD: edges from v into each neighbor community D
+        kvd = (
+            both.join(lab, "v")
+            .groupBy(F.col("u").alias("id"), F.col("nbr_comm").alias("d"))
+            .agg(F.count("*").cast("long").alias("k_vd"))
+        )
+        # staying is always a candidate, even with no neighbors in C
+        own = labels.select(
+            "id", F.col("community_id").alias("d"),
+            F.lit(0).cast("long").alias("k_vd"),
+        )
+        cand = (
+            kvd.unionByName(own)
+            .groupBy("id", "d")
+            .agg(F.max("k_vd").alias("k_vd"))
+        )
+        # Σtot(D): degree mass per community under the CURRENT labels
+        tot = (
+            labels.join(deg, "id")
+            .groupBy(F.col("community_id").alias("d"))
+            .agg(F.sum("k").cast("long").alias("tot_d"))
+        )
+        cur = labels.select("id", F.col("community_id").alias("own_d"))
+        scored = (
+            cand.join(tot, "d")
+            .join(deg, "id")
+            .join(cur, "id")
+            .withColumn("m", F.lit(m_edges).cast("long"))
+            .select(
+                "id",
+                "d",
+                "own_d",
+                F.expr(
+                    "cast(2 * cast(m as decimal(38,0)) * k_vd"
+                    " - cast(k as decimal(38,0))"
+                    "   * (tot_d - IF(d = own_d, k, 0))"
+                    " as decimal(38,0))"
+                ).alias("gain"),
+            )
+        )
+        # best candidate vs the stay gain: move only movers (hash-parity
+        # color class of this round) with a STRICT improvement
+        best = scored.groupBy("id").agg(
+            F.expr("max_by(d, struct(gain, -d))").alias("best_d"),
+            F.max("gain").alias("best_gain"),
+            # exactly one candidate row has d == own_d, so this picks
+            # the stay gain deterministically
+            F.expr("max_by(gain, d = own_d)").alias("stay_gain"),
+            F.min("own_d").alias("own_d"),
+        )
+        # mover color from md5 (the twin-replicable cross-engine hash —
+        # raw-id parity would correlate with id-construction schemes
+        # like the *4+role entity encoding)
+        mover = (
+            F.expr(
+                "cast(conv(substring(md5(cast(id as string)), 1, 7),"
+                " 16, 10) as bigint) % 2"
+            )
+            == F.lit(r % 2)
+        )
+        labels = best.select(
+            "id",
+            F.when(
+                mover & (F.col("best_gain") > F.col("stay_gain")),
+                F.col("best_d"),
+            )
+            .otherwise(F.col("own_d"))
+            .alias("community_id"),
+        ).transform(_ckpt_nostats)
+    return labels.select(F.col("id").alias("entity_id"), "community_id")

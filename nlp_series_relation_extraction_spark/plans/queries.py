@@ -5722,6 +5722,27 @@ def _kg_muc_eval_sql() -> str:
     )
 
 
+def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style community detection (operators/graph.py:
+    louvain_local_move — deterministic synchronous modularity-gain
+    local moving, exact-integer ΔQ comparisons) over the schema edge
+    graph, its result read through modularity_report so the output is
+    the per-community quality decomposition (BIGINT slice). Rows-only:
+    the gain-move recursion is iterative; exactness is pinned by the
+    identical-recursion python twin (tests/test_louvain.py)."""
+    from ..operators.graph import louvain_local_move, modularity_report
+
+    edges = _schema_edges(spark, sf_dir)
+    # even budget: each color class gets rounds/2 move opportunities;
+    # measured positive modularity (vs LPA's single blob at 0) from 6
+    # rounds on this graph, stable community count from 4
+    labels = louvain_local_move(edges, rounds=8)
+    return modularity_report(edges, labels).select(
+        "community_id", "n_nodes", "intra_edges", "degree_sum",
+        "q_ppm", "m_edges",
+    ).orderBy("community_id")
+
+
 def q_kg_ceaf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEAF optimal-alignment clustering scores (evaluation/
     clustering.py:ceaf_eval — Luo 2005) on a planted SPLIT assignment
@@ -12183,6 +12204,7 @@ def queries() -> dict:
             "kg_modularity": q_kg_modularity,
             "kg_ceaf_eval": q_kg_ceaf_eval,
             "kg_linking_increment": q_kg_linking_increment,
+            "kg_louvain": q_kg_louvain,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -65,7 +65,10 @@ def test_every_oracle_has_a_query():
                # per-component integer Hungarian (optimal assignment is
                # not SQL-expressible); global-matrix twin + brute-force
                # permutation parity in tests/test_ceaf.py
-               "kg_ceaf_eval")
+               "kg_ceaf_eval",
+               # iterative synchronous gain-move recursion,
+               # identical-recursion python twin in tests/test_louvain.py
+               "kg_louvain")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
