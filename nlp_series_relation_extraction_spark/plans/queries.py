@@ -5771,6 +5771,51 @@ def q_kg_ceaf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ceaf_eval(assign)
 
 
+def q_kg_conll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CoNLL-2012 coreference score — the arithmetic mean of MUC,
+    B³ and CEAF-e F1 (Pradhan 2012's official shared-task metric) —
+    computed over ONE shared assignment (the kg_ceaf_eval split plant,
+    which keeps CEAF's contingency components tiny). The three member
+    scores run as the existing contingency-cell evaluators and combine
+    via one-row broadcast crossJoins; the average truncates in integer
+    ppm like every score in the family. Rows-only for the CEAF term;
+    the MUC and B³ members are oracle-checked elsewhere (kg_muc_eval,
+    kg_clustering_eval), and CEAF by its twin suite."""
+    from ..evaluation.clustering import ceaf_eval, clustering_eval, muc_eval
+
+    o = t(spark, sf_dir, "orders")
+    gold = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    assign = o.select(
+        F.col("o_orderkey").alias("item_id"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.concat(gold, F.lit("_b"))
+        ).otherwise(gold).alias("pred_cluster"),
+        gold.alias("gold_cluster"),
+    )
+    muc = muc_eval(assign).select(
+        "n_items", F.col("muc_f1_ppm").alias("muc_f1_ppm")
+    )
+    b3 = clustering_eval(assign).select(
+        F.col("b3_f1_ppm").alias("b3_f1_ppm")
+    )
+    ceaf = ceaf_eval(assign).select(
+        F.col("ceaf_e_f1_ppm").alias("ceaf_e_f1_ppm")
+    )
+    return (
+        muc.crossJoin(F.broadcast(b3))
+        .crossJoin(F.broadcast(ceaf))
+        .select(
+            "n_items",
+            "muc_f1_ppm",
+            "b3_f1_ppm",
+            "ceaf_e_f1_ppm",
+            F.expr(
+                "(muc_f1_ppm + b3_f1_ppm + ceaf_e_f1_ppm) div 3"
+            ).cast("long").alias("conll_f1_ppm"),
+        )
+    )
+
+
 def q_conv_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-heuristic anaphora resolution
     (operators/conversation.py resolve_anaphora): each pronoun mention
@@ -12205,6 +12250,7 @@ def queries() -> dict:
             "kg_ceaf_eval": q_kg_ceaf_eval,
             "kg_linking_increment": q_kg_linking_increment,
             "kg_louvain": q_kg_louvain,
+            "kg_conll_score": q_kg_conll_score,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -160,3 +160,40 @@ class TestCeafEval:
         assert row.n_items == 2
         assert row.n_pred_clusters == 1  # both items land in 'a'
         assert row.ceaf_m_ppm == _PPM
+
+
+def test_conll_score_is_member_mean(spark):
+    """kg_conll_score: member columns equal the standalone evaluators on
+    the same assignment; the CoNLL value is their truncating ppm mean."""
+    from nlp_series_relation_extraction_spark.evaluation.clustering import (
+        clustering_eval,
+        muc_eval,
+    )
+    from nlp_series_relation_extraction_spark.plans.queries import (
+        q_kg_conll_score,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    row = q_kg_conll_score(spark, SF).collect()[0]
+    assert row.conll_f1_ppm == (
+        row.muc_f1_ppm + row.b3_f1_ppm + row.ceaf_e_f1_ppm
+    ) // 3
+
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    gold = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    assign = o.select(
+        F.col("o_orderkey").alias("item_id"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.concat(gold, F.lit("_b"))
+        ).otherwise(gold).alias("pred_cluster"),
+        gold.alias("gold_cluster"),
+    )
+    muc = muc_eval(assign).collect()[0]
+    b3 = clustering_eval(assign).collect()[0]
+    ceaf = ceaf_eval(assign).collect()[0]
+    assert row.muc_f1_ppm == muc.muc_f1_ppm
+    assert row.b3_f1_ppm == b3.b3_f1_ppm
+    assert row.ceaf_e_f1_ppm == ceaf.ceaf_e_f1_ppm
+    assert 0 < row.conll_f1_ppm < _PPM  # the split plant costs something

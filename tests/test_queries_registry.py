@@ -68,7 +68,11 @@ def test_every_oracle_has_a_query():
                "kg_ceaf_eval",
                # iterative synchronous gain-move recursion,
                # identical-recursion python twin in tests/test_louvain.py
-               "kg_louvain")
+               "kg_louvain",
+               # CoNLL mean includes the CEAF-e term (Hungarian);
+               # member math pinned in tests/test_ceaf.py, MUC/B3
+               # members oracle-checked as kg_muc_eval/kg_clustering_eval
+               "kg_conll_score")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
