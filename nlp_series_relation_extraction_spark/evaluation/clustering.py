@@ -30,7 +30,7 @@ convention that an empty claim set makes no errors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _PPM = 1_000_000
 
@@ -383,9 +383,13 @@ def ceaf_eval(
     the "a gold entity overlaps a handful of predicted entities"
     neighborhoods — tiny in practice), with component ids from the
     linking CC machinery over the cluster graph (cluster-count-sized,
-    never item-sized). A component wider than
-    ``max_component_clusters`` on either side fails loud rather than
-    going cubic silently (the default 512 bounds one component's
+    never item-sized). Components with a single pred or single gold
+    cluster (1xN / Mx1 — the overwhelming majority on hub-free data)
+    never reach the UDF at all: one-to-one matching keeps exactly one
+    pair there, so their optimum is a JVM-side max over the component's
+    cells. A RECTANGULAR component (>= 2 clusters on both sides) wider
+    than ``max_component_clusters`` on either side fails loud rather
+    than going cubic silently (the default 512 bounds one component's
     Hungarian at ~1e8 integer steps; a bigger cap is a deliberate
     choice — note that a single promiscuous cluster, e.g. a catch-all
     'unknown' entity, is exactly what inflates a component, and
@@ -424,6 +428,49 @@ def ceaf_eval(
     with_comp = cells.join(comp, "pid").select(
         "component_id", "pc", "gc", "n_ij"
     )
+    # TRIVIAL components first, JVM-side: when a component has a single
+    # pred cluster (1xN) or a single gold cluster (Mx1), one-to-one
+    # matching can keep only ONE pair — the max-weight cell — so no
+    # Hungarian is needed. These are the overwhelming majority on
+    # hub-free data (a 15k-component sf0.1 run spent ~30s of ~38s on
+    # per-group pandas overhead before this split; the UDF now sees
+    # only genuinely rectangular components).
+    wp = Window.partitionBy("component_id", "pc")
+    wg = Window.partitionBy("component_id", "gc")
+    enriched = (
+        with_comp.withColumn("n_i", F.sum("n_ij").over(wp))
+        .withColumn("n_j", F.sum("n_ij").over(wg))
+        .withColumn(
+            "w_e",
+            F.expr(f"2 * n_ij * {_PPM}L div (n_i + n_j)").cast("long"),
+        )
+        .withColumn(
+            "n_pred",
+            F.size(
+                F.collect_set("pc").over(Window.partitionBy("component_id"))
+            ),
+        )
+        .withColumn(
+            "n_gold",
+            F.size(
+                F.collect_set("gc").over(Window.partitionBy("component_id"))
+            ),
+        )
+    )
+    trivial = (
+        enriched.where((F.col("n_pred") == 1) | (F.col("n_gold") == 1))
+        .groupBy("component_id")
+        .agg(
+            F.max("n_ij").cast("long").alias("phi_m"),
+            F.max("w_e").cast("long").alias("phi_e_ppm"),
+            F.min("n_pred").cast("long").alias("n_pred"),
+            F.min("n_gold").cast("long").alias("n_gold"),
+        )
+        .drop("component_id")
+    )
+    rect = enriched.where(
+        (F.col("n_pred") > 1) & (F.col("n_gold") > 1)
+    ).select("component_id", "pc", "gc", "n_ij")
 
     import pandas as pd
 
@@ -465,10 +512,10 @@ def ceaf_eval(
             }
         )
 
-    per_comp = with_comp.groupBy("component_id").applyInPandas(
+    per_comp = rect.groupBy("component_id").applyInPandas(
         solve,
         schema="phi_m long, phi_e_ppm long, n_pred long, n_gold long",
-    )
+    ).unionByName(trivial)
     totals = per_comp.agg(
         F.coalesce(F.sum("phi_m"), F.lit(0)).cast("long").alias("phi_m"),
         F.coalesce(F.sum("phi_e_ppm"), F.lit(0)).cast("long").alias(

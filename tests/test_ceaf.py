@@ -145,12 +145,23 @@ class TestCeafEval:
         assert a.asDict() == _python_twin(triples)
 
     def test_component_cap_fails_loud(self, spark):
-        # one catch-all pred cluster touching 4 golds, cap at 3
-        triples = [(i, "all", f"g{i}") for i in range(4)]
+        # a RECTANGULAR tangle (2 preds x 4 golds in one component),
+        # cap at 3 — must fail loud before the Hungarian
+        triples = [(i, "ab"[i % 2], f"g{i // 2}") for i in range(8)]
         with pytest.raises(Exception, match="max_component_clusters"):
             ceaf_eval(
                 _assign(spark, triples), max_component_clusters=3
             ).collect()
+
+    def test_catch_all_cluster_is_trivial_not_capped(self, spark):
+        # 1xN components bypass the Hungarian AND the cap: a catch-all
+        # pred over 60 golds (way past the cap) evaluates cheaply via
+        # the JVM max path, and matches the global twin
+        triples = [(i, "all", f"g{i % 60}") for i in range(60)]
+        got = ceaf_eval(
+            _assign(spark, triples), max_component_clusters=3
+        ).collect()[0]
+        assert got.asDict() == _python_twin(triples)
 
     def test_multi_assignment_deduped_min(self, spark):
         # duplicate item rows: deterministic min-per-side dedup (same
