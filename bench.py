@@ -241,6 +241,7 @@ RELATIONAL = [
     "kg_ceaf_eval",
     "kg_linking_increment",
     "kg_louvain",
+    "kg_neighbor_sample",
 ]
 
 

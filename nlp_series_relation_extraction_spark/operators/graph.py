@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 
@@ -3526,3 +3526,77 @@ def louvain_local_move(
             .alias("community_id"),
         ).transform(_ckpt_nostats)
     return labels.select(F.col("id").alias("entity_id"), "community_id")
+
+
+def sample_neighborhoods(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: tuple = (3, 2),
+    salt: str = "s",
+) -> DataFrame:
+    """GraphSAGE-style hop-sampled neighborhoods (Hamilton et al. 2017):
+    for each seed entity, sample at most ``fanouts[h-1]`` neighbors per
+    frontier vertex at hop h, WITHOUT replacement, over the undirected
+    distinct entity graph — the bounded subgraph extraction every
+    GNN-on-KG training pipeline runs as data prep (output size is
+    |seeds| * prod(fanouts), never graph-sized).
+
+    Sampling is md5-DETERMINISTIC, not RNG-driven (the random_walks
+    convention): at hop h, vertex v's neighbors under seed s are ranked
+    by md5(seed|hop|v|neighbor|salt) and the top-k kept — reproducible
+    across engines, runs, and partitionings, and SQL-expressible, so
+    the DuckDB oracle replays the identical sample. Each (seed,
+    frontier-vertex) pair draws independently (the per-seed
+    independence GraphSAGE assumes); re-visited vertices at later hops
+    resample under the new hop tag.
+
+    Returns (seed_id, hop, src, dst): the sampled message-passing edges
+    per seed, hop 1 rooted at the seed itself. Per hop: one
+    frontier-adjacency equi-join (hub skew bounded by true degree; AQE
+    skew-split applies) and one (seed, src)-keyed window rank. Seeds
+    absent from the graph contribute nothing (no neighbors to sample).
+    """
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"sample_neighborhoods: bad fanouts {fanouts!r}")
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).transform(_ckpt_nostats)
+    frontier = seeds.select(
+        F.col("seed_id"), F.col("seed_id").alias("src")
+    ).distinct()
+    out = None
+    for h, fan in enumerate(fanouts, start=1):
+        ranked = (
+            frontier.join(adj, frontier["src"] == adj["u"])
+            .select("seed_id", "src", F.col("v").alias("dst"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("seed_id", "src").orderBy(
+                        F.expr(
+                            "cast(conv(substring(md5(concat_ws('|',"
+                            f" seed_id, {h}, src, dst, '{salt}')), 1, 7),"
+                            " 16, 10) as bigint)"
+                        ),
+                        # md5-prefix collisions are possible; a total
+                        # order needs the id tiebreak
+                        F.col("dst"),
+                    )
+                ),
+            )
+            .where(F.col("rk") <= fan)
+            .select("seed_id", F.lit(h).cast("int").alias("hop"),
+                    "src", "dst")
+        )
+        ranked = ranked.transform(_ckpt_nostats)
+        out = ranked if out is None else out.unionByName(ranked)
+        frontier = ranked.select("seed_id", F.col("dst").alias("src")).distinct()
+    return out

@@ -5722,6 +5722,73 @@ def _kg_muc_eval_sql() -> str:
     )
 
 
+def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style hop-sampled neighborhoods (operators/graph.py:
+    sample_neighborhoods, Hamilton 2017) over the schema edge graph:
+    every 13th supplier entity seeds a (3, 2)-fanout 2-hop sample —
+    the bounded GNN-training subgraph extraction, md5-deterministic per
+    (seed, hop, vertex) so the whole sampled edge list is bit-stable.
+    DuckDB replays both hops with the same 7-hex-digit md5 rank and id
+    tiebreak as chained row_number CTEs."""
+    from ..operators.graph import sample_neighborhoods
+
+    edges = _schema_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("subj_entity_id").alias("seed_id"))
+        .where(F.col("seed_id") % 13 == 0)
+        .distinct()
+    )
+    return sample_neighborhoods(edges, seeds, fanouts=(3, 2)).orderBy(
+        "seed_id", "hop", "src", "dst"
+    )
+
+
+_KG_NEIGHBOR_SAMPLE_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(subj_entity_id, obj_entity_id) AS u,
+         greatest(subj_entity_id, obj_entity_id) AS v
+  FROM edges WHERE subj_entity_id != obj_entity_id
+),
+adj AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+),
+seeds AS (
+  SELECT DISTINCT subj_entity_id AS seed_id FROM edges
+  WHERE subj_entity_id % 13 = 0
+),
+h1 AS (
+  SELECT seed_id, 1 AS hop, src, dst FROM (
+    SELECT s.seed_id, a.u AS src, a.v AS dst,
+           row_number() OVER (
+             PARTITION BY s.seed_id, a.u
+             ORDER BY cast(concat('0x', substr(md5(concat_ws('|',
+               s.seed_id, 1, a.u, a.v, 's')), 1, 7)) AS BIGINT), a.v
+           ) AS rk
+    FROM seeds s JOIN adj a ON s.seed_id = a.u
+  ) WHERE rk <= 3
+),
+f2 AS (
+  SELECT DISTINCT seed_id, dst AS src FROM h1
+),
+h2 AS (
+  SELECT seed_id, 2 AS hop, src, dst FROM (
+    SELECT f.seed_id, a.u AS src, a.v AS dst,
+           row_number() OVER (
+             PARTITION BY f.seed_id, a.u
+             ORDER BY cast(concat('0x', substr(md5(concat_ws('|',
+               f.seed_id, 2, a.u, a.v, 's')), 1, 7)) AS BIGINT), a.v
+           ) AS rk
+    FROM f2 f JOIN adj a ON f.src = a.u
+  ) WHERE rk <= 2
+)
+SELECT seed_id, cast(hop AS INT) AS hop, src, dst FROM h1
+UNION ALL
+SELECT seed_id, cast(hop AS INT) AS hop, src, dst FROM h2
+ORDER BY seed_id, hop, src, dst
+"""
+
+
 def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style community detection (operators/graph.py:
     louvain_local_move — deterministic synchronous modularity-gain
@@ -12251,6 +12318,7 @@ def queries() -> dict:
             "kg_linking_increment": q_kg_linking_increment,
             "kg_louvain": q_kg_louvain,
             "kg_conll_score": q_kg_conll_score,
+            "kg_neighbor_sample": q_kg_neighbor_sample,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12438,6 +12506,7 @@ def oracle_sql() -> dict:
         # the incremental pipeline's oracle IS the full-batch linking
         # SQL: incremental == full-batch is the contract under check
         "kg_linking_increment": _LINKING_SQL,
+        "kg_neighbor_sample": _KG_NEIGHBOR_SAMPLE_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
