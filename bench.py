@@ -242,6 +242,7 @@ RELATIONAL = [
     "kg_linking_increment",
     "kg_louvain",
     "kg_neighbor_sample",
+    "rake_keyphrases",
 ]
 
 

@@ -318,3 +318,105 @@ def url_domain_stats(
         F.count("*").cast("long").alias("n_urls"),
         F.countDistinct("id").cast("long").alias("n_docs"),
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    stopwords: tuple = STOPWORDS,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    degree/frequency over the document's candidates (degree = summed
+    length of the phrases it appears in, frequency = its occurrence
+    count); a phrase scores the sum of its word scores; the top ``k``
+    phrases per document are kept.
+
+    Everything is relational and integer-exact, so the DuckDB oracle
+    replays it bit-for-bit: phrase segmentation is gaps-and-islands
+    (pos - row_number over non-stopword tokens — no regex dialect in
+    play), word scores are truncating integer ppm (deg * 1e6 div
+    freq), phrase scores are sums of those, and the per-document top-k
+    is a row_number window ordered (score desc, phrase asc, start
+    asc). Scale shape: one posexplode, three document-keyed hash
+    aggregations, one document-keyed window — no joins beyond the
+    word-score dimension join, nothing corpus-quadratic.
+
+    Returns (id_col, phrase, n_words, score_ppm, rank).
+    """
+    if k < 1:
+        raise ValueError(f"rake_keyphrases: k must be >= 1, got {k}")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    words = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("pos", "w"),
+        )
+        .where(F.length("w") > 0)
+        .withColumn("is_stop", F.array_contains(stop_arr, F.col("w")))
+    )
+    # gaps-and-islands: consecutive non-stopword tokens share
+    # (pos - dense run index) per document
+    runs = (
+        words.where(~F.col("is_stop"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("pos")
+            ),
+        )
+        .withColumn("run_key", F.col("pos") - F.col("rn"))
+    )
+    phrases = runs.groupBy("_id", "run_key").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, w)))," 
+                   " x -> x.w)"),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("n_words"),
+        F.min("pos").alias("start_pos"),
+    )
+    # per-document word stats over candidate occurrences
+    occ = runs.join(
+        phrases.select("_id", "run_key", "n_words"), ["_id", "run_key"]
+    )
+    wstats = occ.groupBy("_id", "w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    ).withColumn(
+        "wscore_ppm", F.expr("deg * 1000000L div freq").cast("long")
+    )
+    scored = (
+        occ.join(wstats, ["_id", "w"])
+        .groupBy("_id", "run_key")
+        .agg(F.sum("wscore_ppm").cast("long").alias("score_ppm"))
+        .join(phrases, ["_id", "run_key"])
+        # identical phrase text scores identically within a document
+        # (scores are functions of the words alone) — collapse repeats
+        # to one distinct candidate, earliest occurrence as tiebreak
+        .groupBy("_id", "phrase")
+        .agg(
+            F.min("n_words").alias("n_words"),
+            F.min("score_ppm").alias("score_ppm"),
+            F.min("start_pos").alias("start_pos"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(
+                F.desc("score_ppm"), F.asc("phrase"), F.asc("start_pos")
+            )
+        ),
+    ).where(F.col("rank") <= k)
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        "phrase",
+        "n_words",
+        "score_ppm",
+        F.col("rank").cast("int").alias("rank"),
+    )

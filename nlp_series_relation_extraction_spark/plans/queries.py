@@ -5722,6 +5722,76 @@ def _kg_muc_eval_sql() -> str:
     )
 
 
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (functions/textstats.py:
+    rake_keyphrases, Rose 2010) over documents: top-3 phrases per doc,
+    gaps-and-islands phrase segmentation (no regex dialect in play),
+    truncating integer-ppm word scores — DuckDB replays segmentation,
+    scoring, dedup, and ranking bit-exactly."""
+    from ..functions.textstats import rake_keyphrases
+
+    return rake_keyphrases(
+        t(spark, sf_dir, "documents"), k=3
+    ).orderBy("doc_id", "rank")
+
+
+_RAKE_SQL = """
+WITH toks AS (
+  SELECT doc_id AS _id, string_split(lower(text), ' ') AS ts
+  FROM documents
+), words AS (
+  SELECT _id, unnest(ts) AS w, unnest(range(0, len(ts))) AS pos
+  FROM toks
+), w2 AS (
+  SELECT _id, w, pos,
+         w IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')
+           AS is_stop
+  FROM words WHERE len(w) > 0
+), runs AS (
+  SELECT _id, pos, w,
+         pos - row_number() OVER (PARTITION BY _id ORDER BY pos)
+           AS run_key
+  FROM w2 WHERE NOT is_stop
+), phrases AS (
+  SELECT _id, run_key,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         cast(count(*) AS BIGINT) AS n_words,
+         min(pos) AS start_pos
+  FROM runs GROUP BY _id, run_key
+), occ AS (
+  SELECT r._id, r.run_key, r.w, p.n_words
+  FROM runs r JOIN phrases p USING (_id, run_key)
+), wstats AS (
+  SELECT _id, w,
+         cast((sum(n_words) * 1000000) // count(*) AS BIGINT)
+           AS wscore_ppm
+  FROM occ GROUP BY _id, w
+), scored0 AS (
+  SELECT o._id, o.run_key,
+         cast(sum(ws.wscore_ppm) AS BIGINT) AS score_ppm
+  FROM occ o JOIN wstats ws ON o._id = ws._id AND o.w = ws.w
+  GROUP BY o._id, o.run_key
+), cand AS (
+  SELECT s._id, p.phrase,
+         min(p.n_words) AS n_words,
+         min(s.score_ppm) AS score_ppm,
+         min(p.start_pos) AS start_pos
+  FROM scored0 s JOIN phrases p USING (_id, run_key)
+  GROUP BY s._id, p.phrase
+), ranked AS (
+  SELECT _id AS doc_id, phrase, n_words, score_ppm,
+         cast(row_number() OVER (
+           PARTITION BY _id
+           ORDER BY score_ppm DESC, phrase ASC, start_pos ASC
+         ) AS INT) AS rank
+  FROM cand
+)
+SELECT doc_id, phrase, n_words, score_ppm, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style hop-sampled neighborhoods (operators/graph.py:
     sample_neighborhoods, Hamilton 2017) over the schema edge graph:
@@ -12319,6 +12389,7 @@ def queries() -> dict:
             "kg_louvain": q_kg_louvain,
             "kg_conll_score": q_kg_conll_score,
             "kg_neighbor_sample": q_kg_neighbor_sample,
+            "rake_keyphrases": q_rake_keyphrases,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12507,6 +12578,7 @@ def oracle_sql() -> dict:
         # SQL: incremental == full-batch is the contract under check
         "kg_linking_increment": _LINKING_SQL,
         "kg_neighbor_sample": _KG_NEIGHBOR_SAMPLE_SQL,
+        "rake_keyphrases": _RAKE_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
