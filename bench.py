@@ -243,6 +243,7 @@ RELATIONAL = [
     "kg_louvain",
     "kg_neighbor_sample",
     "rake_keyphrases",
+    "conv_textrank",
 ]
 
 

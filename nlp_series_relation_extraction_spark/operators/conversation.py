@@ -835,3 +835,103 @@ def dialogue_act_transitions(transcripts: DataFrame) -> DataFrame:
             / F.sum("n").over(wt).cast("double")
         ).alias("prob"),
     )
+
+
+def textrank_turns(
+    turns: DataFrame,
+    min_jaccard_ppm: int = 200_000,
+    damping: float = 0.85,
+    iters: int = 12,
+    top_k: int = 2,
+) -> DataFrame:
+    """TextRank extractive turn selection (Mihalcea & Tarau 2004): per
+    conversation, rank turns by PageRank over the turn-similarity graph
+    (distinct-token Jaccard >= ``min_jaccard_ppm``, undirected) and
+    keep the ``top_k`` — the classic unsupervised summarizer, here
+    picking the most central turns of a transcript as its extractive
+    summary / KG-context anchor.
+
+    Input: (conv_id, turn_idx, text, ...). Returns (conv_id, turn_idx,
+    score, rank); a turn with no similarity edge scores 0.0 (it can
+    still appear in a short conversation's top-k, after every connected
+    turn — the deterministic (score desc, turn_idx asc) order).
+
+    Scale shape: the pair stage is a per-conversation self-join — the
+    ONLY quadratic is in single-conversation turn count, which the
+    transcript data model bounds (conversations are short; a 1e12-turn
+    corpus is wide, not deep), and similarity is JVM-side array
+    intersection on the conv_id-colocated join. Ranking reuses
+    operators/graph.py:pagerank (numpy-twin-pinned) over xxhash64 turn
+    ids; both edge directions are fed, so no node dangles and each
+    power round is one join + one aggregation. Float ranks make this
+    rows-only at the driver; tests/test_textrank.py pins an
+    identical-recursion python twin at 1e-9 and the selection exactly.
+    """
+    if top_k < 1:
+        raise ValueError(f"textrank_turns: top_k must be >= 1, got {top_k}")
+    from .graph import pagerank
+
+    toks = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("grams"),
+        F.xxhash64("conv_id", "turn_idx").alias("node_id"),
+    )
+    a = toks.select(
+        "conv_id",
+        F.col("turn_idx").alias("ti_a"),
+        F.col("grams").alias("ga"),
+        F.col("node_id").alias("na"),
+    )
+    b = toks.select(
+        "conv_id",
+        F.col("turn_idx").alias("ti_b"),
+        F.col("grams").alias("gb"),
+        F.col("node_id").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "conv_id")
+        .where(F.col("ti_a") < F.col("ti_b"))
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "uni", F.size("ga") + F.size("gb") - F.col("inter")
+        )
+        .where(
+            (F.col("uni") > 0)
+            & (
+                F.expr("inter * 1000000L div uni")
+                >= F.lit(min_jaccard_ppm)
+            )
+        )
+        .select("na", "nb")
+    )
+    edges = pairs.select(
+        F.col("na").alias("subj_entity_id"),
+        F.col("nb").alias("obj_entity_id"),
+    ).unionByName(
+        pairs.select(
+            F.col("nb").alias("subj_entity_id"),
+            F.col("na").alias("obj_entity_id"),
+        )
+    )
+    ranks = pagerank(edges, damping=damping, iters=iters).select(
+        F.col("entity_id").alias("node_id"), "rank"
+    )
+    scored = toks.join(ranks, "node_id", "left").select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("rank"), F.lit(0.0)).alias("score"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("score"), F.asc("turn_idx")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("conv_id", "turn_idx", "score", "rank")
+    )

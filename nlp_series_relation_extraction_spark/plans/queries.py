@@ -5722,6 +5722,25 @@ def _kg_muc_eval_sql() -> str:
     )
 
 
+def q_conv_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive turn selection (operators/conversation.py:
+    textrank_turns, Mihalcea 2004): documents folded
+    8-to-a-conversation (the conversation_context fold), top-2 most
+    central turns per conversation by PageRank over the
+    distinct-token-Jaccard turn graph. Rows-only (float power
+    iteration); exactness pinned by the identical-recursion python twin
+    (tests/test_textrank.py) on the score path, and the underlying
+    pagerank by its own numpy twin."""
+    from ..operators.conversation import textrank_turns
+
+    turns = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 8).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return textrank_turns(turns, top_k=2).orderBy("conv_id", "rank")
+
+
 def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (functions/textstats.py:
     rake_keyphrases, Rose 2010) over documents: top-3 phrases per doc,
@@ -12390,6 +12409,7 @@ def queries() -> dict:
             "kg_conll_score": q_kg_conll_score,
             "kg_neighbor_sample": q_kg_neighbor_sample,
             "rake_keyphrases": q_rake_keyphrases,
+            "conv_textrank": q_conv_textrank,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -72,7 +72,10 @@ def test_every_oracle_has_a_query():
                # CoNLL mean includes the CEAF-e term (Hungarian);
                # member math pinned in tests/test_ceaf.py, MUC/B3
                # members oracle-checked as kg_muc_eval/kg_clustering_eval
-               "kg_conll_score")
+               "kg_conll_score",
+               # float PageRank power iteration over the turn-similarity
+               # graph; identical-recursion twin in tests/test_textrank.py
+               "conv_textrank")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
