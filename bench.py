@@ -244,6 +244,7 @@ RELATIONAL = [
     "kg_neighbor_sample",
     "rake_keyphrases",
     "conv_textrank",
+    "kg_rule_apply",
 ]
 
 

@@ -1788,6 +1788,62 @@ def mine_composition_rules(
     )
 
 
+def apply_composition_rules(
+    edges: DataFrame, rules: DataFrame
+) -> DataFrame:
+    """KG completion by rule application — the consumer of
+    :func:`mine_composition_rules`: for each rule p1(x,y) ^ p2(y,z) =>
+    p3(x,z), every body match whose head fact is NOT yet in the KG
+    becomes a candidate new fact, carrying the rule's confidence (a
+    pair predicted by several rules takes the MAX, the same exact-max
+    convention as bootstrap/pattern_apply — no float accumulation
+    order). This is AMIE's actual payoff: the miner finds the
+    regularities, this materializes the missing facts they imply.
+
+    Returns (subj_entity_id, predicate, obj_entity_id, confidence_ppm,
+    n_rules). Scale shape: the body self-join on the mid vertex (the
+    miner's own plan — AQE skew-split on hubs), the rule table rides
+    BROADCAST (schema-sized), and the known-fact exclusion is one
+    anti-join keyed on the uniform (x, p3, z)."""
+    a = edges.select(
+        F.col("subj_entity_id").alias("x"),
+        F.col("predicate").alias("p1"),
+        F.col("obj_entity_id").alias("mid"),
+    )
+    b = edges.select(
+        F.col("subj_entity_id").alias("mid"),
+        F.col("predicate").alias("p2"),
+        F.col("obj_entity_id").alias("z"),
+    )
+    body = a.join(b, "mid").select("p1", "p2", "x", "z").distinct()
+    cand = body.join(
+        F.broadcast(
+            rules.select("p1", "p2", "p3", "confidence_ppm")
+        ),
+        ["p1", "p2"],
+    )
+    known = edges.select(
+        F.col("subj_entity_id").alias("x"),
+        F.col("predicate").alias("p3"),
+        F.col("obj_entity_id").alias("z"),
+    )
+    return (
+        cand.join(known, ["x", "p3", "z"], "left_anti")
+        .groupBy("x", "p3", "z")
+        .agg(
+            F.max("confidence_ppm").cast("long").alias("confidence_ppm"),
+            F.count("*").cast("long").alias("n_rules"),
+        )
+        .select(
+            F.col("x").alias("subj_entity_id"),
+            F.col("p3").alias("predicate"),
+            F.col("z").alias("obj_entity_id"),
+            "confidence_ppm",
+            "n_rules",
+        )
+    )
+
+
 def skipgram_pairs(
     walks: DataFrame, window: int = 2
 ) -> DataFrame:

@@ -3484,6 +3484,99 @@ ORDER BY sup.p1, sup.p2, sup.p3
 """
 
 
+def q_kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule application / KG completion (operators/graph.py:
+    apply_composition_rules) on the kg_rule_mining fixture: rules mined
+    at confidence >= 500k ppm over the hierarchy graph with its
+    90%-planted cust_in_region head are applied back, and the
+    predictions are EXACTLY the held-out 10% (custkey % 10 == 0) —
+    mining finds cust_in_nation ^ in_region => cust_in_region at ~900k
+    ppm, application materializes the facts the plant withheld. The
+    whole mine->apply composition is relational; DuckDB replays it
+    bit-exactly."""
+    from ..operators.graph import (
+        apply_composition_rules,
+        mine_composition_rules,
+    )
+
+    head = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("c_custkey") % 10 != 0)
+        .select(
+            (F.col("c_custkey").cast("long") * 4).alias("subj_entity_id"),
+            F.lit("cust_in_region").alias("predicate"),
+            (F.col("n_regionkey").cast("long") * 4 + 3).alias(
+                "obj_entity_id"
+            ),
+            F.lit(1).cast("long").alias("n_evidence"),
+            F.lit("tpch").alias("first_conv_id"),
+            F.lit(0).alias("first_turn_idx"),
+        )
+    )
+    edges = _hierarchy_edges(spark, sf_dir).unionByName(head)
+    rules = mine_composition_rules(
+        edges, min_support=2, min_confidence_ppm=500_000
+    )
+    return apply_composition_rules(edges, rules).orderBy(
+        "subj_entity_id", "predicate", "obj_entity_id"
+    )
+
+
+_RULE_APPLY_SQL = """
+WITH e AS (
+  SELECT cast(c_custkey AS BIGINT) * 4 AS s, 'cust_in_nation' AS p,
+         cast(c_nationkey AS BIGINT) * 4 + 2 AS o FROM customer
+  UNION ALL
+  SELECT cast(s_suppkey AS BIGINT) * 4 + 1, 'supp_in_nation',
+         cast(s_nationkey AS BIGINT) * 4 + 2 FROM supplier
+  UNION ALL
+  SELECT cast(n_nationkey AS BIGINT) * 4 + 2, 'in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3 FROM nation
+  UNION ALL
+  SELECT cast(c_custkey AS BIGINT) * 4, 'cust_in_region',
+         cast(n_regionkey AS BIGINT) * 4 + 3
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 10 <> 0
+), body AS (
+  SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS z
+  FROM e a JOIN e b ON a.o = b.s
+), nb AS (
+  SELECT p1, p2, cast(count(*) AS BIGINT) AS n_body
+  FROM body GROUP BY p1, p2
+), sup AS (
+  SELECT body.p1, body.p2, e.p AS p3,
+         cast(count(*) AS BIGINT) AS support
+  FROM body JOIN e ON e.s = body.x AND e.o = body.z
+  GROUP BY body.p1, body.p2, e.p
+), rules AS (
+  SELECT sup.p1, sup.p2, sup.p3,
+         cast(sup.support * 1000000 // nb.n_body AS BIGINT)
+           AS confidence_ppm
+  FROM sup JOIN nb ON sup.p1 = nb.p1 AND sup.p2 = nb.p2
+  WHERE sup.support >= 2
+    AND sup.support * 1000000 // nb.n_body >= 500000
+), cand AS (
+  SELECT body.x, rules.p3, body.z, rules.confidence_ppm
+  FROM body JOIN rules ON body.p1 = rules.p1 AND body.p2 = rules.p2
+)
+SELECT cand.x AS subj_entity_id, cand.p3 AS predicate,
+       cand.z AS obj_entity_id,
+       cast(max(cand.confidence_ppm) AS BIGINT) AS confidence_ppm,
+       cast(count(*) AS BIGINT) AS n_rules
+FROM cand
+WHERE NOT EXISTS (
+  SELECT 1 FROM e
+  WHERE e.s = cand.x AND e.p = cand.p3 AND e.o = cand.z
+)
+GROUP BY cand.x, cand.p3, cand.z
+ORDER BY subj_entity_id, predicate, obj_entity_id
+"""
+
+
 def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT (operators/graph.py:construct_triples): derive
     co-supplier edges — s1 shipped a part under rel_N that s2 shipped
@@ -12410,6 +12503,7 @@ def queries() -> dict:
             "kg_neighbor_sample": q_kg_neighbor_sample,
             "rake_keyphrases": q_rake_keyphrases,
             "conv_textrank": q_conv_textrank,
+            "kg_rule_apply": q_kg_rule_apply,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12599,6 +12693,7 @@ def oracle_sql() -> dict:
         "kg_linking_increment": _LINKING_SQL,
         "kg_neighbor_sample": _KG_NEIGHBOR_SAMPLE_SQL,
         "rake_keyphrases": _RAKE_SQL,
+        "kg_rule_apply": _RULE_APPLY_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
