@@ -245,6 +245,7 @@ RELATIONAL = [
     "rake_keyphrases",
     "conv_textrank",
     "kg_rule_apply",
+    "kg_triple_classification",
 ]
 
 

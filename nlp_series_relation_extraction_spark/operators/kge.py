@@ -1038,3 +1038,154 @@ def link_prediction_metrics(ranks: DataFrame) -> DataFrame:
     return agg(ranks, F.col("predicate")).unionByName(
         agg(ranks, F.lit("__all__"))
     )
+
+
+_TC_SPLIT_EXPR = (
+    "cast(conv(substring(md5(concat_ws('|', subj_entity_id, predicate,"
+    " true_obj, 'tcsplit')), 1, 7), 16, 10) as double) / 268435456.0"
+)
+
+
+def kge_triple_classification(
+    model: dict, edges: DataFrame, n_neg: int = 1
+) -> DataFrame:
+    """Triple classification (Socher et al. 2013, the OTHER standard
+    KGE eval beside ranking): per relation, learn a score threshold on
+    a validation split (positives + md5-corrupted negatives) and report
+    accuracy on the held-out test split — "is this candidate fact
+    true?", the yes/no gate a KG-completion pipeline actually applies
+    before inserting a predicted triple.
+
+    Protocol, all deterministic:
+
+    * pairs = kge_pairs (positives with their md5 corruption, false
+      negatives dropped); a pair inherits its POSITIVE's split via
+      md5(s|p|o|'tcsplit') — first half validation, rest test.
+    * both scores per pair come from ONE Arrow pass over the packed
+      embedding join (the margin-eval plan).
+    * threshold per relation = the validation score maximizing
+      accuracy, computed distributed: group by (relation, score), one
+      descending cumulative window — accuracy at threshold t is
+      #pos >= t plus #neg < t. Ties take the LARGEST score; if no
+      threshold beats the all-negative baseline the relation's
+      threshold is null (classify nothing positive).
+    * output: (predicate, threshold, n_valid, n_test, n_correct,
+      acc_ppm) over the test split.
+
+    Rows-only at the driver (float scores); tests/test_kge_tc.py pins
+    the identical-recursion numpy twin."""
+    emb = model["entities"]
+    W = model["relations"]
+    scorer = model.get("scorer", "transe")
+    r_map = {p: i for i, p in enumerate(model["rel_index"])}
+    pairs = kge_pairs(edges, n_neg=n_neg)
+    packed = _packed_pairs(_pairs_long(pairs, r_map).join(emb, "entity_id"))
+
+    def score_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = pdf["r_idx"].to_numpy(dtype=np.int64)
+            ES = np.stack([np.asarray(v[0]["vec"]) for v in pdf["rv"]])
+            EO = np.stack([np.asarray(v[1]["vec"]) for v in pdf["rv"]])
+            EN = np.stack([np.asarray(v[2]["vec"]) for v in pdf["rv"]])
+            yield pd.DataFrame(
+                {
+                    "subj_entity_id": pdf["subj_entity_id"],
+                    "predicate": pdf["predicate"],
+                    "true_obj": pdf["true_obj"],
+                    "neg_i": pdf["neg_i"],
+                    "s_pos": _score_rows(scorer, ES, W[R], EO),
+                    "s_neg": _score_rows(scorer, ES, W[R], EN),
+                }
+            )
+
+    scored = packed.mapInPandas(
+        score_rows,
+        "subj_entity_id long, predicate string, true_obj long,"
+        " neg_i int, s_pos double, s_neg double",
+    ).withColumn("is_valid", F.expr(_TC_SPLIT_EXPR) < F.lit(0.5))
+    labeled = scored.select(
+        "predicate", "is_valid",
+        F.col("s_pos").alias("score"), F.lit(1).alias("label"),
+    ).unionByName(
+        scored.select(
+            "predicate", "is_valid",
+            F.col("s_neg").alias("score"), F.lit(0).alias("label"),
+        )
+    ).transform(_ckpt_nostats)
+
+    from pyspark.sql import Window
+
+    valid = labeled.where("is_valid")
+    by_score = valid.groupBy("predicate", "score").agg(
+        F.sum("label").cast("long").alias("np_"),
+        F.sum(1 - F.col("label")).cast("long").alias("nn_"),
+    )
+    w_cum = (
+        Window.partitionBy("predicate")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("predicate")
+    cand = (
+        by_score.withColumn("cum_pos", F.sum("np_").over(w_cum))
+        .withColumn("cum_neg", F.sum("nn_").over(w_cum))
+        .withColumn("tot_neg", F.sum("nn_").over(w_all))
+        .withColumn(
+            "acc",
+            F.col("cum_pos") + F.col("tot_neg") - F.col("cum_neg"),
+        )
+    )
+    thr = (
+        cand.groupBy("predicate")
+        .agg(
+            # ties take the LARGEST score (struct max: acc major,
+            # then score)
+            F.expr("max_by(score, struct(acc, score))").alias("thr"),
+            F.max("acc").alias("best_acc"),
+            F.max("tot_neg").alias("baseline_acc"),
+        )
+        .select(
+            "predicate",
+            F.when(
+                F.col("best_acc") > F.col("baseline_acc"), F.col("thr")
+            ).alias("threshold"),
+        )
+    )
+    n_valid = valid.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_valid")
+    )
+    test = labeled.where(~F.col("is_valid"))
+    judged = test.join(F.broadcast(thr), "predicate", "left").withColumn(
+        "correct",
+        (
+            (
+                F.col("threshold").isNotNull()
+                & (F.col("score") >= F.col("threshold"))
+            ).cast("int")
+            == F.col("label")
+        ).cast("long"),
+    )
+    return (
+        judged.groupBy("predicate")
+        .agg(
+            F.min("threshold").alias("threshold"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum("correct").cast("long").alias("n_correct"),
+        )
+        .join(F.broadcast(n_valid), "predicate", "left")
+        .na.fill({"n_valid": 0})
+        .select(
+            "predicate",
+            "threshold",
+            "n_valid",
+            "n_test",
+            "n_correct",
+            F.expr("n_correct * 1000000L div n_test").cast("long").alias(
+                "acc_ppm"
+            ),
+        )
+    )

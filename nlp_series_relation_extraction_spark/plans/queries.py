@@ -3096,6 +3096,23 @@ def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_margin_eval(model, edges, pairs=pairs).orderBy("predicate")
 
 
+def q_kg_triple_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple classification (operators/kge.py:
+    kge_triple_classification — Socher 2013): the yes/no fact gate.
+    A TransE fit on the hierarchy graph, per-relation thresholds chosen
+    on the validation half of (positive, md5-corruption) pairs,
+    accuracy reported on the held-out half. Rows-only (float scores +
+    iterative fit); the full protocol — split, scoring, threshold
+    selection with its tie and all-negative-baseline rules,
+    classification — is pinned against an identical-recursion numpy
+    twin in tests/test_kge_tc.py."""
+    from ..operators.kge import kge_triple_classification, transe_fit
+
+    edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
+    model = transe_fit(edges, dim=8, n_epochs=6, lr=0.5)
+    return kge_triple_classification(model, edges).orderBy("predicate")
+
+
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-part bipartite edge table with TYPE-TAGGED ids (suppkey*2
     / partkey*2+1 — raw keys from the two tables would collide into one
@@ -12504,6 +12521,7 @@ def queries() -> dict:
             "rake_keyphrases": q_rake_keyphrases,
             "conv_textrank": q_conv_textrank,
             "kg_rule_apply": q_kg_rule_apply,
+            "kg_triple_classification": q_kg_triple_classification,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

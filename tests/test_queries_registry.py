@@ -75,7 +75,10 @@ def test_every_oracle_has_a_query():
                "kg_conll_score",
                # float PageRank power iteration over the turn-similarity
                # graph; identical-recursion twin in tests/test_textrank.py
-               "conv_textrank")
+               "conv_textrank",
+               # iterative KGE fit + float-score thresholds; full
+               # protocol twin in tests/test_kge_tc.py
+               "kg_triple_classification")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
