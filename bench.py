@@ -246,6 +246,7 @@ RELATIONAL = [
     "conv_textrank",
     "kg_rule_apply",
     "kg_triple_classification",
+    "kg_assortativity",
 ]
 
 

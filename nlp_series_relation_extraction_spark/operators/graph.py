@@ -3656,3 +3656,76 @@ def sample_neighborhoods(
         out = ranked if out is None else out.unionByName(ranked)
         frontier = ranked.select("seed_id", F.col("dst").alias("src")).distinct()
     return out
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity decomposition (Newman 2002, "Assortative
+    mixing in networks") over the undirected distinct entity graph —
+    POSITIVE when hubs attach to hubs (social-network shape), NEGATIVE
+    when hubs attach to leaves (the star/bipartite shape most KGs
+    have); the one-number structural fingerprint that tells a pipeline
+    whether hub-salting pressure concentrates on few reducers.
+
+    Pearson correlation of endpoint degrees over edges reduces to four
+    integer sums — with j, k the endpoint degrees of each undirected
+    edge and m the edge count:
+
+        s_jk = sum(j*k),  s_sum = sum(j + k),  s_sq = sum(j^2 + k^2)
+        r = (4*m*s_jk - s_sum^2) / (2*m*s_sq - s_sum^2)
+
+    Returns ONE row of the EXACT integer components (m_edges, s_jk,
+    s_sum, s_sq as decimal(38,0) — degree products reach ~1e26 at
+    1e12-edge scale) plus r_ppm, the BIGINT-safe floor(1e6 * r)
+    computed with the same nonnegative-shift trick as
+    modularity_report (numerator and denominator can both be negative;
+    the denominator is >= 0 by Cauchy-Schwarz, zero only for
+    degree-regular graphs, where r_ppm is defined as 0). Plan: one
+    degree aggregation, two endpoint joins, one one-row total — no
+    windows, nothing quadratic. The driver oracle replays it
+    bit-exactly in HUGEINT."""
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("j"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("k"))
+    per_edge = und.join(du, "u").join(dv, "v")
+    dec = "decimal(38,0)"
+    totals = per_edge.agg(
+        F.count("*").cast("long").alias("m_edges"),
+        F.sum(
+            F.expr(f"cast(j as {dec}) * k")
+        ).cast(dec).alias("s_jk"),
+        F.sum(F.expr(f"cast(j as {dec}) + k")).cast(dec).alias("s_sum"),
+        F.sum(
+            F.expr(f"cast(j as {dec}) * j + cast(k as {dec}) * k")
+        ).cast(dec).alias("s_sq"),
+    )
+    num = f"(4 * cast(m_edges as {dec}) * s_jk - s_sum * s_sum)"
+    den = f"(2 * cast(m_edges as {dec}) * s_sq - s_sum * s_sum)"
+    # floor(1e6 * num/den) for possibly-negative num, den > 0: shift the
+    # numerator by +den * 2e6 (a bound: |r| <= 1 so |1e6*num| <= 1e6*den
+    # < 2e6*den), truncating-divide the nonnegative value, subtract back
+    r_ppm = (
+        "cast(CASE WHEN m_edges = 0 THEN 0"
+        f" WHEN {den} = 0 THEN 0"
+        f" ELSE (1000000 * {num} + 2000000 * {den}) div {den} - 2000000"
+        " END as bigint)"
+    )
+    return totals.select(
+        "m_edges",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        F.expr(r_ppm).alias("r_ppm"),
+    )

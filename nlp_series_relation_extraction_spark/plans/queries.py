@@ -5988,6 +5988,61 @@ ORDER BY seed_id, hop, src, dst
 """
 
 
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py:degree_assortativity,
+    Newman 2002) of the schema edge graph — expected strongly NEGATIVE
+    here (supplier-part bipartite hubs attach to leaves), the
+    structural signal that tells the pipeline its hub-salting pressure
+    concentrates. The driver-facing slice keeps the BIGINT columns
+    (m_edges, r_ppm in [-1e6, 1e6] at any scale); the decimal(38,0)
+    sums stay operator columns for exact downstream composition.
+    DuckDB replays the sums and the shifted floor division in HUGEINT,
+    bit-exact."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_schema_edges(spark, sf_dir)).select(
+        "m_edges", "r_ppm"
+    )
+
+
+_KG_ASSORTATIVITY_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(subj_entity_id, obj_entity_id) AS u,
+         greatest(subj_entity_id, obj_entity_id) AS v
+  FROM edges WHERE subj_entity_id != obj_entity_id
+),
+deg AS (
+  SELECT x, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY x
+),
+pe AS (
+  SELECT cast(dj.d AS HUGEINT) AS j, cast(dk.d AS HUGEINT) AS k
+  FROM und JOIN deg dj ON und.u = dj.x JOIN deg dk ON und.v = dk.x
+),
+t AS (
+  SELECT cast(count(*) AS BIGINT) AS m_edges,
+         sum(j * k) AS s_jk,
+         sum(j + k) AS s_sum,
+         sum(j * j + k * k) AS s_sq
+  FROM pe
+)
+SELECT m_edges,
+       cast(CASE WHEN m_edges = 0 THEN 0
+         WHEN 2 * cast(m_edges AS HUGEINT) * s_sq - s_sum * s_sum = 0
+           THEN 0
+         ELSE (1000000 * (4 * cast(m_edges AS HUGEINT) * s_jk
+                          - s_sum * s_sum)
+               + 2000000 * (2 * cast(m_edges AS HUGEINT) * s_sq
+                            - s_sum * s_sum))
+              // (2 * cast(m_edges AS HUGEINT) * s_sq - s_sum * s_sum)
+              - 2000000
+       END AS BIGINT) AS r_ppm
+FROM t
+"""
+
+
 def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style community detection (operators/graph.py:
     louvain_local_move — deterministic synchronous modularity-gain
@@ -12522,6 +12577,7 @@ def queries() -> dict:
             "conv_textrank": q_conv_textrank,
             "kg_rule_apply": q_kg_rule_apply,
             "kg_triple_classification": q_kg_triple_classification,
+            "kg_assortativity": q_kg_assortativity,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12712,6 +12768,7 @@ def oracle_sql() -> dict:
         "kg_neighbor_sample": _KG_NEIGHBOR_SAMPLE_SQL,
         "rake_keyphrases": _RAKE_SQL,
         "kg_rule_apply": _RULE_APPLY_SQL,
+        "kg_assortativity": _KG_ASSORTATIVITY_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
