@@ -247,6 +247,7 @@ RELATIONAL = [
     "kg_rule_apply",
     "kg_triple_classification",
     "kg_assortativity",
+    "dedup_containment",
 ]
 
 

@@ -440,3 +440,73 @@ def duplicate_span_stats(
             " (coalesce(n_dup_spans, 0L) * 1000000) div n_spans end"
         ).alias("dup_span_ppm"),
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    threshold_ppm: int = 500_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment C(A in B) =
+    |A ∩ B| / |A| (Broder 1997's second resemblance measure). Jaccard
+    misses the quote/subset case — a short document wholly contained in
+    a long one scores inter/(big union) — while containment of the
+    SMALLER side is 1.0 there; this is the detector for quotes,
+    boilerplate inclusion, and partial copies that symmetric dedup
+    passes over.
+
+    Same inverted-index plan and ``max_df`` stopword-shingle guard as
+    :func:`jaccard_pairs` (sizes computed BEFORE the cap so the
+    denominator stays exact). Per unordered candidate pair the
+    CONTAINED side is the smaller shingle set (ties: smaller id), and
+    containment_ppm = inter * 1e6 div contained_sz — truncating
+    integers end to end, so the DuckDB oracle is bit-exact.
+
+    Returns (contained_id, container_id, inter, contained_sz,
+    container_sz, containment_ppm) for pairs at or above
+    ``threshold_ppm``."""
+    if not 0 <= threshold_ppm <= 1_000_000:
+        raise ValueError(
+            f"containment_pairs: bad threshold_ppm {threshold_ppm}"
+        )
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))
+    sized = inter.join(sa, "a_id").join(sb, "b_id")
+    a_contained = (F.col("a_sz") < F.col("b_sz")) | (
+        (F.col("a_sz") == F.col("b_sz")) & (F.col("a_id") < F.col("b_id"))
+    )
+    oriented = sized.select(
+        F.when(a_contained, F.col("a_id")).otherwise(F.col("b_id")).alias(
+            "contained_id"
+        ),
+        F.when(a_contained, F.col("b_id")).otherwise(F.col("a_id")).alias(
+            "container_id"
+        ),
+        "inter",
+        F.when(a_contained, F.col("a_sz")).otherwise(F.col("b_sz")).alias(
+            "contained_sz"
+        ),
+        F.when(a_contained, F.col("b_sz")).otherwise(F.col("a_sz")).alias(
+            "container_sz"
+        ),
+    ).withColumn(
+        "containment_ppm",
+        F.expr("inter * 1000000L div contained_sz").cast("long"),
+    )
+    return oriented.where(F.col("containment_ppm") >= threshold_ppm)

@@ -813,6 +813,57 @@ ORDER BY a_id, b_id
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (functions/dedup.py:
+    containment_pairs, Broder 1997): word-3-gram shingle containment of
+    the smaller document in the larger at >= 50%, hot shingles capped
+    at the same JACCARD_MAX_DF guard — the quote/boilerplate/partial-
+    copy detector symmetric jaccard dedup passes over. Integer
+    truncating ppm; bit-exact DuckDB twin."""
+    from ..functions.dedup import containment_pairs, word_shingles
+
+    sh = word_shingles(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    ).localCheckpoint(eager=True)
+    return containment_pairs(
+        sh, threshold_ppm=500_000, max_df=JACCARD_MAX_DF
+    ).orderBy("contained_id", "container_id")
+
+
+_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SHINGLE3_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+sh2 AS (SELECT sh.id, sh.shingle FROM sh JOIN sdf USING (shingle)
+        WHERE sdf.df <= {JACCARD_MAX_DF}),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+sized AS (
+  SELECT i.a_id, i.b_id, i.inter, sa.sz AS a_sz, sb.sz AS b_sz,
+         (sa.sz < sb.sz OR (sa.sz = sb.sz AND i.a_id < i.b_id))
+           AS a_contained
+  FROM inter i JOIN sizes sa ON i.a_id = sa.id
+               JOIN sizes sb ON i.b_id = sb.id
+),
+oriented AS (
+  SELECT CASE WHEN a_contained THEN a_id ELSE b_id END AS contained_id,
+         CASE WHEN a_contained THEN b_id ELSE a_id END AS container_id,
+         inter,
+         CASE WHEN a_contained THEN a_sz ELSE b_sz END AS contained_sz,
+         CASE WHEN a_contained THEN b_sz ELSE a_sz END AS container_sz
+  FROM sized
+)
+SELECT contained_id, container_id, inter, contained_sz, container_sz,
+       cast(inter * 1000000 // contained_sz AS BIGINT) AS containment_ppm
+FROM oriented
+WHERE inter * 1000000 // contained_sz >= 500000
+ORDER BY contained_id, container_id
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup signal (Lee et al. 2022): per document, the
     fraction (ppm) of its word-10-gram spans that occur elsewhere in the
@@ -12578,6 +12629,7 @@ def queries() -> dict:
             "kg_rule_apply": q_kg_rule_apply,
             "kg_triple_classification": q_kg_triple_classification,
             "kg_assortativity": q_kg_assortativity,
+            "dedup_containment": q_dedup_containment,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12769,6 +12821,7 @@ def oracle_sql() -> dict:
         "rake_keyphrases": _RAKE_SQL,
         "kg_rule_apply": _RULE_APPLY_SQL,
         "kg_assortativity": _KG_ASSORTATIVITY_SQL,
+        "dedup_containment": _CONTAINMENT_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
