@@ -248,6 +248,8 @@ RELATIONAL = [
     "kg_triple_classification",
     "kg_assortativity",
     "dedup_containment",
+    "kg_transitivity",
+    "kg_reciprocity",
 ]
 
 

@@ -3729,3 +3729,87 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         "s_sq",
         F.expr(r_ppm).alias("r_ppm"),
     )
+
+
+def global_clustering(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient / transitivity (Newman 2003,
+    eq. 3.3): C = 3 * triangles / wedges over the undirected distinct
+    entity graph, with wedges = sum d*(d-1)/2 — how much of the
+    graph's two-hop neighborhood closes, the one-number companion to
+    the per-vertex kg_local_clustering report. Triangle counting
+    reuses :func:`triangle_count`'s degree-ordered orientation (wedge
+    fan-out ~sqrt(|E|) per vertex on power-law graphs).
+
+    Returns ONE row (n_triangles, n_wedges, transitivity_ppm):
+    n_wedges is decimal(38,0) (a 1e10-degree hub alone contributes
+    5e19 wedges — past BIGINT), transitivity_ppm the BIGINT-safe
+    truncating 3 * tri * 1e6 div wedges (wedges = 0, a triangle-free
+    matching, is defined as 0). The driver oracle replays the brute
+    3-join triangle count and the wedge sum in HUGEINT, bit-exact."""
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    # d*(d-1) is always even: integer `div` keeps the whole pipeline in
+    # exact integers (no decimal-scale semantics in play)
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(
+                F.expr("cast(d as decimal(38,0)) * (d - 1) div 2")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)").alias("n_wedges")
+    )
+    tri = triangle_count(edges)
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "cast(CASE WHEN n_wedges = 0 THEN 0 ELSE"
+            " (3000000 * cast(n_triangles as decimal(38,0)))"
+            " div n_wedges END as bigint)"
+        ).alias("transitivity_ppm"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity of the DIRECTED distinct entity graph: the
+    fraction of (u, v) edges whose reverse (v, u) also holds —
+    near-zero on hierarchical/containment predicates, high where a
+    symmetric predicate leaks through as two directed assertions (the
+    signal behind predicate_inverses' owl:SymmetricProperty induction,
+    here as one corpus-level number). Self-loops excluded.
+
+    ONE self-semi-join on the reversed key plus two one-row counts;
+    returns (n_directed_edges, n_reciprocal, reciprocity_ppm) in exact
+    truncating integers — bit-exact DuckDB twin."""
+    e = (
+        edges.select(
+            F.col("subj_entity_id").alias("u"),
+            F.col("obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = e.join(rev, ["u", "v"], "left_semi")
+    totals = e.agg(F.count("*").cast("long").alias("n_directed_edges"))
+    n_rec = recip.agg(F.count("*").cast("long").alias("n_reciprocal"))
+    return totals.crossJoin(F.broadcast(n_rec)).select(
+        "n_directed_edges",
+        "n_reciprocal",
+        F.expr(
+            "cast(CASE WHEN n_directed_edges = 0 THEN 0 ELSE"
+            " n_reciprocal * 1000000 div n_directed_edges END as bigint)"
+        ).alias("reciprocity_ppm"),
+    )

@@ -6094,6 +6094,81 @@ FROM t
 """
 
 
+def q_kg_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (operators/graph.py:
+    global_clustering): 3 * triangles / wedges over the schema edge
+    graph, one row of (n_triangles, transitivity_ppm) BIGINTs (the
+    decimal(38,0) wedge total stays an operator column — a 1e10-degree
+    hub alone passes BIGINT). DuckDB replays the brute 3-join triangle
+    count and the HUGEINT wedge sum bit-exactly."""
+    from ..operators.graph import global_clustering
+
+    return global_clustering(_schema_edges(spark, sf_dir)).select(
+        "n_triangles", "transitivity_ppm"
+    )
+
+
+_KG_TRANSITIVITY_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(subj_entity_id, obj_entity_id) AS u,
+         greatest(subj_entity_id, obj_entity_id) AS v
+  FROM edges WHERE subj_entity_id != obj_entity_id
+),
+deg AS (
+  SELECT x, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY x
+),
+w AS (
+  SELECT coalesce(sum(cast(d AS HUGEINT) * (d - 1) // 2), 0) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT cast(count(*) AS BIGINT) AS n_triangles
+  FROM und a JOIN und b ON a.v = b.u
+  JOIN und c ON c.u = a.u AND c.v = b.v
+)
+SELECT tri.n_triangles,
+       cast(CASE WHEN w.n_wedges = 0 THEN 0 ELSE
+         (3000000 * cast(tri.n_triangles AS HUGEINT)) // w.n_wedges
+       END AS BIGINT) AS transitivity_ppm
+FROM tri, w
+"""
+
+
+def q_kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity (operators/graph.py:reciprocity) of the
+    DIRECTED schema edge graph — near zero here (supplier->part never
+    reverses), the corpus-level symmetric-predicate leak detector
+    behind predicate_inverses. One semi-join + two one-row counts;
+    bit-exact DuckDB twin."""
+    from ..operators.graph import reciprocity
+
+    return reciprocity(_schema_edges(spark, sf_dir))
+
+
+_KG_RECIPROCITY_SQL = f"""
+WITH {_SCHEMA_EDGES_CTE},
+e AS (
+  SELECT DISTINCT subj_entity_id AS u, obj_entity_id AS v
+  FROM edges WHERE subj_entity_id != obj_entity_id
+),
+t AS (SELECT cast(count(*) AS BIGINT) AS n_directed_edges FROM e),
+r AS (
+  SELECT cast(count(*) AS BIGINT) AS n_reciprocal
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e e2 WHERE e2.u = e.v AND e2.v = e.u
+  )
+)
+SELECT t.n_directed_edges, r.n_reciprocal,
+       cast(CASE WHEN t.n_directed_edges = 0 THEN 0 ELSE
+         r.n_reciprocal * 1000000 // t.n_directed_edges
+       END AS BIGINT) AS reciprocity_ppm
+FROM t, r
+"""
+
+
 def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style community detection (operators/graph.py:
     louvain_local_move — deterministic synchronous modularity-gain
@@ -12630,6 +12705,8 @@ def queries() -> dict:
             "kg_triple_classification": q_kg_triple_classification,
             "kg_assortativity": q_kg_assortativity,
             "dedup_containment": q_dedup_containment,
+            "kg_transitivity": q_kg_transitivity,
+            "kg_reciprocity": q_kg_reciprocity,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12822,6 +12899,8 @@ def oracle_sql() -> dict:
         "kg_rule_apply": _RULE_APPLY_SQL,
         "kg_assortativity": _KG_ASSORTATIVITY_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
+        "kg_transitivity": _KG_TRANSITIVITY_SQL,
+        "kg_reciprocity": _KG_RECIPROCITY_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
