@@ -1152,7 +1152,59 @@ def main() -> None:
     }
     _save_json("headline_last.json", out)
     write_baseline_md()
+    # Full detail first (humans / logs), compact contract line LAST: the
+    # grading driver records only the final ~2000 bytes of stdout and
+    # parses the last JSON line, and the full result (220+ queries) is
+    # ~7.5k chars — round 4's BENCH artifact came back "parsed: null"
+    # because the one line overflowed the tail capture.
     print(json.dumps(out))
+    print(_compact_line(out))
+
+
+def _compact_line(out: dict, budget: int = 1800) -> str:
+    """Driver-facing single JSON line under the tail-capture budget: all
+    contract keys ({metric, value, unit, queries, sf}), the headline
+    throughput extras, and as many of the SLOWEST queries as fit —
+    slowest-first because those are the ones a perf review reads.
+    ``n_queries``/``queries_shown`` make the truncation explicit and
+    ``full`` points at the committed complete record."""
+    keep_extras = [
+        k
+        for k in (
+            "turns_per_sec_mpn",
+            "turns_per_sec_bio",
+            "turns_per_sec_mhs",
+            "turns_per_sec_biaffine",
+            "turns_per_sec_mpn_10x",
+            "scale_10x_throughput_ratio",
+            "linking_10x_ratio",
+            "ann_ivfpq_10x_ratio",
+            "ann_ivfpq_10x_recall_at_5",
+            "streaming_batch_p95_sec",
+            "sink_growth_p95_ratio",
+        )
+        if k in out
+    ]
+    base = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {},
+        "sf": out["sf"],
+        "n_queries": len(out["queries"]),
+        "queries_shown": 0,
+        "queries_sec_sum": round(sum(out["queries"].values()), 3),
+        "full": "BENCH/headline_last.json",
+    }
+    for k in keep_extras:
+        base[k] = out[k]
+    for name, sec in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
+        base["queries"][name] = sec
+        if len(json.dumps(base)) > budget:
+            del base["queries"][name]
+            break
+    base["queries_shown"] = len(base["queries"])
+    return json.dumps(base)
 
 
 if __name__ == "__main__":
