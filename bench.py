@@ -250,6 +250,8 @@ RELATIONAL = [
     "dedup_containment",
     "kg_transitivity",
     "kg_reciprocity",
+    # round-5 session-10 additions
+    "kg_scc",
 ]
 
 

@@ -3813,3 +3813,222 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             " n_reciprocal * 1000000 div n_directed_edges END as bigint)"
         ).alias("reciprocity_ppm"),
     )
+
+
+def _min_label_fixpoint(
+    verts: DataFrame, edges: DataFrame, src: str, dst: str, max_prop: int
+) -> DataFrame:
+    """Propagate the MIN vertex id along ``src -> dst`` edges to
+    fixpoint: returns (v, label) with label = min id over {v} and every
+    vertex that can reach v through edges in that direction.
+
+    Convergence is detected with one SCALAR per iteration: labels only
+    ever decrease, so the decimal(38,0) label sum is strictly monotone
+    until the fixpoint — no row-level diff join. decimal(38,0) because a
+    BIGINT sum overflows once ids are xxhash64 values (|id| ~ 9.2e18
+    times millions of vertices; 38 digits holds 9.2e18 * 1e12)."""
+    lab = verts.select("v", F.col("v").alias("label")).transform(
+        _ckpt_nostats
+    )
+    prev = lab.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    for _ in range(max_prop):
+        prop = edges.join(lab, edges[src] == lab["v"]).select(
+            edges[dst].alias("v"), "label"
+        )
+        lab = (
+            lab.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .transform(_ckpt_nostats)
+        )
+        s = lab.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return lab
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 30, max_prop: int = 64
+) -> DataFrame:
+    """(entity_id, component) over the DIRECTED entity graph, where
+    ``component`` is the smallest entity id in the vertex's strongly
+    connected component — the cycle structure a KG needs before
+    hierarchy checks (a subclass/part-of cycle is a modeling bug) and
+    before condensing to a DAG for reachability indexing.
+
+    Trim + forward/backward min-label rounds (the Pregel formulation of
+    Orzan's coloring SCC; cf. Slota et al. 2014 FW-BW-Trim). Each outer
+    round:
+
+    1. TRIM to fixpoint: a vertex with no in-edge or no out-edge in the
+       active subgraph is a singleton SCC. KG periphery (leaf objects,
+       root subjects) is most of the graph, so trimming first keeps the
+       propagation frontier small.
+    2. Propagate min vertex id to fixpoint along forward edges
+       (label = min over ancestors+self) and along reversed edges
+       (min over descendants+self). Where both labels agree on c, the
+       vertex settles with component c: c is then both an ancestor and
+       a descendant (same SCC), and since c lower-bounds every member
+       on both sides it IS the SCC's min id. The SCC of the globally
+       minimal active vertex always settles, so every round makes
+       progress. Settled vertices leave the active subgraph; removing
+       a whole SCC never splits another, so later rounds still compute
+       global SCC minima.
+
+    Self-loop-only vertices never enter (a == b edges dropped); they are
+    singleton SCCs by definition and their mentions are upstream data
+    bugs worth surfacing separately (constraint_violations).
+
+    Scale shape: every step is a vertex-id-keyed join or map-side-
+    combined min aggregation; state is one row per active vertex; per-
+    iteration lineage is cut (checkpoint_nostats — the stats-compounding
+    lesson, PLANS.md session-7). Exact twin: scc_python (iterative
+    Tarjan); relational oracle: mutual-reachability min over a recursive
+    closure (kg_scc driver query)."""
+    e0 = (
+        edges.select(
+            F.col("subj_entity_id").alias("a"),
+            F.col("obj_entity_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(_ckpt_nostats)
+    )
+    spark = e0.sparkSession
+    act_v = (
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
+        .distinct()
+        .transform(_ckpt_nostats)
+    )
+    done = spark.createDataFrame([], "entity_id long, component long")
+    act_e = e0
+    for _ in range(max_outer):
+        # TRIM loop: peel acyclic periphery as singleton SCCs
+        while True:
+            core = (
+                act_e.select(F.col("a").alias("v"))
+                .distinct()
+                .join(act_e.select(F.col("b").alias("v")).distinct(), "v")
+                .transform(_ckpt_nostats)
+            )
+            trivial = act_v.join(core, "v", "left_anti").transform(
+                _ckpt_nostats
+            )
+            if trivial.isEmpty():
+                break
+            done = done.unionByName(
+                trivial.select(
+                    F.col("v").alias("entity_id"),
+                    F.col("v").alias("component"),
+                )
+            ).transform(_ckpt_nostats)
+            act_v = core
+            act_e = (
+                act_e.join(core, act_e["a"] == core["v"], "left_semi")
+                .join(
+                    core.select(F.col("v").alias("b2")),
+                    act_e["b"] == F.col("b2"),
+                    "left_semi",
+                )
+                .transform(_ckpt_nostats)
+            )
+        if act_v.isEmpty():
+            break
+        fwd = _min_label_fixpoint(act_v, act_e, "a", "b", max_prop)
+        bwd = _min_label_fixpoint(act_v, act_e, "b", "a", max_prop)
+        settled = (
+            fwd.join(
+                bwd.select("v", F.col("label").alias("blabel")), "v"
+            )
+            .where(F.col("label") == F.col("blabel"))
+            .select(
+                F.col("v").alias("entity_id"),
+                F.col("label").alias("component"),
+            )
+            .transform(_ckpt_nostats)
+        )
+        done = done.unionByName(settled).transform(_ckpt_nostats)
+        settled_v = settled.select(F.col("entity_id").alias("v"))
+        act_v = act_v.join(settled_v, "v", "left_anti").transform(
+            _ckpt_nostats
+        )
+        if act_v.isEmpty():
+            break
+        act_e = (
+            act_e.join(settled_v, act_e["a"] == settled_v["v"], "left_anti")
+            .join(
+                settled_v.select(F.col("v").alias("b2")),
+                act_e["b"] == F.col("b2"),
+                "left_anti",
+            )
+            .transform(_ckpt_nostats)
+        )
+    return done
+
+
+def scc_python(edge_list: list[tuple[int, int]]) -> dict:
+    """Flat twin of strongly_connected_components: iterative Tarjan over
+    an adjacency dict (same self-loop drop, same vertex universe).
+    Returns {vertex: min id of its SCC}."""
+    adj: dict[int, list] = {}
+    verts: set = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, []).append(b)
+        verts.add(a)
+        verts.add(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root: int) -> None:
+        work = [(root, 0)]
+        while work:
+            v, i = work[-1]
+            if i == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for j in range(i, len(adj.get(v, []))):
+                w = adj[v][j]
+                if w not in index:
+                    work[-1] = (v, j + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    return out

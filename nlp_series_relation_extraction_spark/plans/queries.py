@@ -6169,6 +6169,67 @@ FROM t, r
 """
 
 
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.py:
+    strongly_connected_components — trim + FW/BW min-label rounds) over
+    a DIRECTED derived graph with real cycle structure: the lineitem
+    edges forward plus the deterministic reverse subset
+    (subj + obj) % 5 == 0, so part->supplier backlinks close cycles
+    through the overlapping id range while most parts stay acyclic
+    periphery (the trim path). Returns (entity_id, component = min id
+    in the SCC) for every vertex. Oracle: mutual-reachability min over
+    a recursive-CTE transitive closure — exact, closure bounded by the
+    backlinked core (~1e6 pairs at sf0.01)."""
+    from ..operators.graph import strongly_connected_components
+
+    e = (
+        _derived_edge_table(spark, sf_dir)
+        .select("subj_entity_id", "obj_entity_id")
+        .where(F.col("subj_entity_id") != F.col("obj_entity_id"))
+        .distinct()
+    )
+    rev = e.where(
+        (F.col("subj_entity_id") + F.col("obj_entity_id")) % 5 == 0
+    ).select(
+        F.col("obj_entity_id").alias("subj_entity_id"),
+        F.col("subj_entity_id").alias("obj_entity_id"),
+    )
+    return strongly_connected_components(e.unionByName(rev)).orderBy(
+        "entity_id"
+    )
+
+
+_KG_SCC_SQL = f"""
+WITH RECURSIVE {_DERIVED_LINKED_CTES},
+fwd AS (
+  SELECT DISTINCT subj_entity_id AS a, obj_entity_id AS b
+  FROM linked WHERE subj_entity_id != obj_entity_id
+),
+dir_edges AS (
+  SELECT a, b FROM fwd
+  UNION
+  SELECT b AS a, a AS b FROM fwd WHERE (a + b) % 5 = 0
+),
+verts AS (
+  SELECT a AS v FROM dir_edges UNION SELECT b FROM dir_edges
+),
+reach AS (
+  SELECT a, b FROM dir_edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN dir_edges e ON r.b = e.a
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT v.v AS entity_id,
+       cast(least(v.v, coalesce(min(m.u), v.v)) AS BIGINT) AS component
+FROM verts v LEFT JOIN mutual m ON m.v = v.v
+GROUP BY v.v
+ORDER BY entity_id
+"""
+
+
 def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style community detection (operators/graph.py:
     louvain_local_move — deterministic synchronous modularity-gain
@@ -12707,6 +12768,7 @@ def queries() -> dict:
             "dedup_containment": q_dedup_containment,
             "kg_transitivity": q_kg_transitivity,
             "kg_reciprocity": q_kg_reciprocity,
+            "kg_scc": q_kg_scc,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12901,6 +12963,7 @@ def oracle_sql() -> dict:
         "dedup_containment": _CONTAINMENT_SQL,
         "kg_transitivity": _KG_TRANSITIVITY_SQL,
         "kg_reciprocity": _KG_RECIPROCITY_SQL,
+        "kg_scc": _KG_SCC_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
