@@ -252,6 +252,7 @@ RELATIONAL = [
     "kg_reciprocity",
     # round-5 session-10 additions
     "kg_scc",
+    "kg_condensation",
 ]
 
 

@@ -4032,3 +4032,128 @@ def scc_python(edge_list: list[tuple[int, int]]) -> dict:
         if v not in index:
             strongconnect(v)
     return out
+
+
+def condensation(
+    edges: DataFrame, components: DataFrame | None = None,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Condense the directed entity graph by its SCCs into a DAG and
+    layer it: one row per component with (component, n_vertices,
+    out_components, depth) where ``depth`` is the longest path (in
+    condensation edges) ENDING at the component — the topological layer
+    a reachability index or a hierarchy-repair pass processes the KG in.
+    The condensation of any directed graph is acyclic (a cycle of SCCs
+    would be one SCC), so the longest-path layering is well defined.
+
+    ``components`` defaults to strongly_connected_components(edges);
+    pass a precomputed table to reuse it.
+
+    Scale shape: component mapping is two joins against the (vertex ->
+    component) table keyed on vertex id; depth is an iterative max-label
+    relaxation d(c) = max(d(c), d(pred)+1) over the DISTINCT component
+    edges — state one row per component, convergence by the monotone
+    increasing decimal(38,0) depth sum (same one-scalar trick as the SCC
+    labels, mirrored), iterations bounded by the condensation's longest
+    path which is <= the number of SCCs and tiny in practice."""
+    if components is None:
+        components = strongly_connected_components(edges)
+    comp = components.select(
+        F.col("entity_id").alias("v"), "component"
+    ).transform(_ckpt_nostats)
+    e = (
+        edges.select(
+            F.col("subj_entity_id").alias("a"),
+            F.col("obj_entity_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ce = (
+        e.join(comp.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("component", "ca")
+        .join(
+            comp.select(
+                F.col("v").alias("b"), F.col("component").alias("cb")
+            ),
+            "b",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .select("ca", "cb")
+        .distinct()
+        .transform(_ckpt_nostats)
+    )
+    comps = comp.select("component").distinct().transform(_ckpt_nostats)
+    depth = comps.withColumn("depth", F.lit(0).cast("long")).transform(
+        _ckpt_nostats
+    )
+    prev = depth.agg(
+        F.sum(F.col("depth").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    for _ in range(max_iters):
+        relaxed = ce.join(
+            depth, ce["ca"] == depth["component"]
+        ).select(
+            F.col("cb").alias("component"),
+            (F.col("depth") + F.lit(1)).cast("long").alias("depth"),
+        )
+        depth = (
+            depth.unionByName(relaxed)
+            .groupBy("component")
+            .agg(F.max("depth").alias("depth"))
+            .transform(_ckpt_nostats)
+        )
+        s = depth.agg(
+            F.sum(F.col("depth").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_vertices")
+    )
+    outdeg = ce.groupBy(F.col("ca").alias("component")).agg(
+        F.count("*").cast("long").alias("out_components")
+    )
+    return (
+        sizes.join(outdeg, "component", "left")
+        .join(depth, "component", "left")
+        .select(
+            "component",
+            "n_vertices",
+            F.coalesce("out_components", F.lit(0)).cast("long").alias(
+                "out_components"
+            ),
+            F.coalesce("depth", F.lit(0)).cast("long").alias("depth"),
+        )
+    )
+
+
+def condensation_python(edge_list: list[tuple[int, int]]) -> dict:
+    """Flat twin of condensation: Tarjan SCCs (scc_python) + longest-path
+    relaxation over the condensed DAG. Returns
+    {component: (n_vertices, out_components, depth)}."""
+    comp = scc_python(edge_list)
+    ce: set = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        ca, cb = comp[a], comp[b]
+        if ca != cb:
+            ce.add((ca, cb))
+    comps = sorted(set(comp.values()))
+    depth = {c: 0 for c in comps}
+    changed = True
+    while changed:
+        changed = False
+        for ca, cb in ce:
+            if depth[ca] + 1 > depth[cb]:
+                depth[cb] = depth[ca] + 1
+                changed = True
+    n_v: dict[int, int] = {}
+    for v, c in comp.items():
+        n_v[c] = n_v.get(c, 0) + 1
+    outd: dict[int, int] = {}
+    for ca, _cb in ce:
+        outd[ca] = outd.get(ca, 0) + 1
+    return {c: (n_v[c], outd.get(c, 0), depth[c]) for c in comps}

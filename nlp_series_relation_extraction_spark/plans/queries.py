@@ -6199,11 +6199,18 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KG_SCC_SQL = f"""
-WITH RECURSIVE {_DERIVED_LINKED_CTES},
+# shared by the SCC and condensation oracles: directed derived graph
+# (forward + (a+b)%5 reverse subset), recursive closure, mutual-
+# reachability component assignment. ``extra_where`` lets a caller
+# shrink the graph deterministically (the closure is quadratic in the
+# cyclic core, and the oracle pays it in full).
+
+
+def _scc_ctes(extra_where: str = "") -> str:
+    return f"""{_DERIVED_LINKED_CTES},
 fwd AS (
   SELECT DISTINCT subj_entity_id AS a, obj_entity_id AS b
-  FROM linked WHERE subj_entity_id != obj_entity_id
+  FROM linked WHERE subj_entity_id != obj_entity_id{extra_where}
 ),
 dir_edges AS (
   SELECT a, b FROM fwd
@@ -6221,12 +6228,82 @@ reach AS (
 mutual AS (
   SELECT r1.a AS v, r1.b AS u
   FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+comp AS (
+  SELECT v.v AS v,
+         cast(least(v.v, coalesce(min(m.u), v.v)) AS BIGINT) AS component
+  FROM verts v LEFT JOIN mutual m ON m.v = v.v
+  GROUP BY v.v
+)"""
+
+
+_KG_SCC_SQL = f"""
+WITH RECURSIVE {_scc_ctes()}
+SELECT v AS entity_id, component FROM comp ORDER BY entity_id
+"""
+
+
+def q_kg_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation + topological layering (operators/graph.py:
+    condensation): collapse the same directed derived graph by its SCCs
+    into the (provably acyclic) component DAG and report, per component,
+    its vertex count, distinct successor components, and longest-path
+    depth — the layer order a reachability index or hierarchy-repair
+    pass processes the KG in. Oracle replays the closure-derived SCCs
+    plus a recursive level relaxation (UNION-deduped (component, d)
+    pairs, bounded by #components x longest path). The graph keeps only
+    even subjects — the oracle's closure is quadratic in the cyclic
+    core, and kg_scc already attests the full graph."""
+    from ..operators.graph import condensation
+
+    e = (
+        _derived_edge_table(spark, sf_dir)
+        .select("subj_entity_id", "obj_entity_id")
+        .where(F.col("subj_entity_id") != F.col("obj_entity_id"))
+        .where(F.col("subj_entity_id") % 2 == 0)
+        .distinct()
+    )
+    rev = e.where(
+        (F.col("subj_entity_id") + F.col("obj_entity_id")) % 5 == 0
+    ).select(
+        F.col("obj_entity_id").alias("subj_entity_id"),
+        F.col("subj_entity_id").alias("obj_entity_id"),
+    )
+    return condensation(e.unionByName(rev)).orderBy("component")
+
+
+_KG_CONDENSATION_SQL = f"""
+WITH RECURSIVE {_scc_ctes(" AND subj_entity_id % 2 = 0")},
+ce AS (
+  SELECT DISTINCT c1.component AS ca, c2.component AS cb
+  FROM dir_edges e
+  JOIN comp c1 ON c1.v = e.a
+  JOIN comp c2 ON c2.v = e.b
+  WHERE c1.component != c2.component
+),
+comps AS (SELECT DISTINCT component FROM comp),
+levels AS (
+  SELECT component, 0 AS d FROM comps
+  UNION
+  SELECT ce.cb AS component, l.d + 1 AS d
+  FROM levels l JOIN ce ON ce.ca = l.component
+),
+lvl AS (SELECT component, max(d) AS depth FROM levels GROUP BY component),
+sizes AS (
+  SELECT component, cast(count(*) AS BIGINT) AS n_vertices
+  FROM comp GROUP BY component
+),
+outd AS (
+  SELECT ca AS component, cast(count(*) AS BIGINT) AS out_components
+  FROM ce GROUP BY ca
 )
-SELECT v.v AS entity_id,
-       cast(least(v.v, coalesce(min(m.u), v.v)) AS BIGINT) AS component
-FROM verts v LEFT JOIN mutual m ON m.v = v.v
-GROUP BY v.v
-ORDER BY entity_id
+SELECT s.component, s.n_vertices,
+       cast(coalesce(o.out_components, 0) AS BIGINT) AS out_components,
+       cast(coalesce(l.depth, 0) AS BIGINT) AS depth
+FROM sizes s
+LEFT JOIN outd o ON o.component = s.component
+LEFT JOIN lvl l ON l.component = s.component
+ORDER BY s.component
 """
 
 
@@ -12769,6 +12846,7 @@ def queries() -> dict:
             "kg_transitivity": q_kg_transitivity,
             "kg_reciprocity": q_kg_reciprocity,
             "kg_scc": q_kg_scc,
+            "kg_condensation": q_kg_condensation,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -12964,6 +13042,7 @@ def oracle_sql() -> dict:
         "kg_transitivity": _KG_TRANSITIVITY_SQL,
         "kg_reciprocity": _KG_RECIPROCITY_SQL,
         "kg_scc": _KG_SCC_SQL,
+        "kg_condensation": _KG_CONDENSATION_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
