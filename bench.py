@@ -253,6 +253,7 @@ RELATIONAL = [
     # round-5 session-10 additions
     "kg_scc",
     "kg_condensation",
+    "kg_msf",
 ]
 
 

@@ -4157,3 +4157,189 @@ def condensation_python(edge_list: list[tuple[int, int]]) -> dict:
     for ca, _cb in ce:
         outd[ca] = outd.get(ca, 0) + 1
     return {c: (n_v[c], outd.get(c, 0), depth[c]) for c in comps}
+
+
+def boruvka_msf(
+    edges: DataFrame, weight_col: str = "weight", max_rounds: int = 40
+) -> dict:
+    """Minimum spanning forest of the undirected weighted entity graph
+    by Borůvka rounds — the single-linkage backbone of an entity-
+    similarity graph (cutting the MSF at threshold t IS single-linkage
+    clustering at t, so one forest serves every threshold downstream).
+
+    Edges are compared by the TOTAL order (weight, u, v) — ties cannot
+    happen, so the forest is the unique MSF under that order and the
+    Kruskal twin (msf_python) can assert exact edge-set equality.
+
+    Per round (Borůvka 1926; the textbook O(log V)-round distributed
+    formulation):
+
+    1. every component selects its minimum crossing edge (one min-by-
+       struct aggregation over both orientations of the crossing edges);
+    2. selected edges join the forest (deduped: a mutual-min pair is
+       selected from both sides);
+    3. components contract: parent(c) = the selected neighbor component,
+       mutual-min 2-cycles break toward the smaller id (the only cycles
+       a total order allows), then pointer jumping to the root in
+       O(log depth) iterations — all joins on component ids.
+
+    Rounds halve (at least) the component count, so max_rounds = 40
+    covers any graph a BIGINT can index. Returns {"edges": MSF edges
+    (u, v, weight), "components": final (entity_id, component) with
+    component = min entity id of the tree}.
+
+    Scale shape: state is one row per vertex (comp) + one per surviving
+    crossing edge; every step is keyed on vertex/component id;
+    per-round lineage cut. Skew: a hub component's min-edge aggregation
+    is a map-side-combined min, never a fan-out."""
+    und = (
+        edges.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("u"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("v"),
+            F.col(weight_col).alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges: cheapest survives
+        .transform(_ckpt_nostats)
+    )
+    spark = und.sparkSession
+    comp = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .distinct()
+        .select(F.col("x").alias("vtx"), F.col("x").alias("c"))
+        .transform(_ckpt_nostats)
+    )
+    forest = spark.createDataFrame([], "u long, v long, w double")
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("vtx").alias("u"), F.col("c").alias("cu"))
+        cv = comp.select(F.col("vtx").alias("v"), F.col("c").alias("cv"))
+        cross = (
+            und.join(cu, "u").join(cv, "v")
+            .where(F.col("cu") != F.col("cv"))
+            .transform(_ckpt_nostats)
+        )
+        if cross.isEmpty():
+            break
+        both = cross.select(
+            F.col("cu").alias("c"), F.col("cv").alias("other"),
+            "u", "v", "w",
+        ).unionByName(
+            cross.select(
+                F.col("cv").alias("c"), F.col("cu").alias("other"),
+                "u", "v", "w",
+            )
+        )
+        sel = (
+            both.groupBy("c")
+            .agg(
+                F.min(F.struct("w", "u", "v", "other")).alias("m")
+            )
+            .select(
+                "c",
+                F.col("m.u").alias("u"),
+                F.col("m.v").alias("v"),
+                F.col("m.w").alias("w"),
+                F.col("m.other").alias("other"),
+            )
+            .transform(_ckpt_nostats)
+        )
+        forest = forest.unionByName(
+            sel.select("u", "v", "w").distinct()
+        ).transform(_ckpt_nostats)
+        # contraction: parent = selected neighbor; break mutual-min
+        # 2-cycles toward the smaller id, then pointer-jump to roots
+        parent = sel.select("c", F.col("other").alias("p"))
+        par2 = parent.select(
+            F.col("c").alias("p"), F.col("p").alias("pp")
+        )
+        parent = (
+            parent.join(par2, "p", "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                    F.col("c"),
+                ).otherwise(F.col("p")).alias("p"),
+            )
+            .transform(_ckpt_nostats)
+        )
+        for _ in range(max_rounds):
+            gp = parent.select(
+                F.col("c").alias("p"), F.col("p").alias("gp")
+            )
+            nxt = parent.join(gp, "p", "left").select(
+                "c", F.coalesce("gp", "p").alias("p")
+            ).transform(_ckpt_nostats)
+            if nxt.where(F.col("p") != F.col("c")).join(
+                parent.select(
+                    F.col("c"), F.col("p").alias("p_old")
+                ),
+                "c",
+            ).where(F.col("p") != F.col("p_old")).isEmpty():
+                parent = nxt
+                break
+            parent = nxt
+        comp = (
+            comp.join(
+                parent.select(F.col("c"), F.col("p")), "c", "left"
+            )
+            .select("vtx", F.coalesce("p", "c").alias("c"))
+            .transform(_ckpt_nostats)
+        )
+    # the contraction root is SOME tree member (the smaller end of the
+    # last mutual-min pair), not necessarily the tree minimum —
+    # normalize labels to min(vtx) per tree for the stable contract
+    label = comp.groupBy("c").agg(F.min("vtx").alias("component"))
+    return {
+        "edges": forest,
+        "components": comp.join(label, "c").select(
+            F.col("vtx").alias("entity_id"), "component"
+        ),
+    }
+
+
+def msf_python(weighted_edges: list[tuple[int, int, float]]) -> dict:
+    """Kruskal twin of boruvka_msf under the identical (w, u, v) total
+    order (u/v canonicalized u < v, cheapest parallel edge kept).
+    Returns {"edges": sorted [(u, v, w)], "components": {vtx: min id of
+    its tree}}."""
+    best: dict = {}
+    for a, b, w in weighted_edges:
+        if a == b:
+            continue
+        u, v = (a, b) if a < b else (b, a)
+        if (u, v) not in best or w < best[(u, v)]:
+            best[(u, v)] = w
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in best:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+    out = []
+    for (u, v), w in sorted(best.items(), key=lambda t: (t[1], t[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            out.append((u, v, w))
+    comps: dict = {}
+    for x in parent:
+        comps[x] = find(x)
+    # normalize roots to the min id of each tree (union-by-min keeps
+    # this already, but make it explicit)
+    members: dict = {}
+    for x, r in comps.items():
+        members.setdefault(r, []).append(x)
+    final = {}
+    for r, xs in members.items():
+        m = min(xs)
+        for x in xs:
+            final[x] = m
+    return {"edges": sorted(out), "components": final}

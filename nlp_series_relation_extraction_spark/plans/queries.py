@@ -6307,6 +6307,49 @@ ORDER BY s.component
 """
 
 
+def q_kg_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (operators/graph.py:boruvka_msf —
+    Borůvka rounds, unique under the (w, u, v) total order) of the
+    derived entity graph weighted by evidence scarcity
+    (round(1e6 / n_evidence): well-attested edges are cheap, so the
+    forest is the strongest-evidence backbone and cutting it at any
+    threshold is single-linkage clustering). Per-tree rollup:
+    (component, n_vertices, n_edges, total_weight_micro). Rows-only
+    (MSF needs stateful recursion); exactness pinned by the Kruskal
+    twin (tests/test_msf.py)."""
+    from ..operators.graph import boruvka_msf
+
+    edges = _derived_edge_table(spark, sf_dir).select(
+        "subj_entity_id",
+        "obj_entity_id",
+        F.round(F.lit(1_000_000) / F.col("n_evidence")).alias("weight"),
+    )
+    res = boruvka_msf(edges)
+    comp = res["components"]
+    ecomp = res["edges"].join(
+        comp.select(F.col("entity_id").alias("u"), "component"), "u"
+    )
+    agg_e = ecomp.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("w").cast("long").alias("total_weight_micro"),
+    )
+    agg_v = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_vertices")
+    )
+    return (
+        agg_v.join(agg_e, "component", "left")
+        .select(
+            "component",
+            "n_vertices",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("total_weight_micro", F.lit(0))
+            .cast("long")
+            .alias("total_weight_micro"),
+        )
+        .orderBy("component")
+    )
+
+
 def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style community detection (operators/graph.py:
     louvain_local_move — deterministic synchronous modularity-gain
@@ -12847,6 +12890,7 @@ def queries() -> dict:
             "kg_reciprocity": q_kg_reciprocity,
             "kg_scc": q_kg_scc,
             "kg_condensation": q_kg_condensation,
+            "kg_msf": q_kg_msf,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

@@ -78,7 +78,10 @@ def test_every_oracle_has_a_query():
                "conv_textrank",
                # iterative KGE fit + float-score thresholds; full
                # protocol twin in tests/test_kge_tc.py
-               "kg_triple_classification")
+               "kg_triple_classification",
+               # Borůvka MSF: stateful contraction recursion; Kruskal
+               # twin exact edge-set equality in tests/test_msf.py
+               "kg_msf")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
