@@ -254,6 +254,7 @@ RELATIONAL = [
     "kg_scc",
     "kg_condensation",
     "kg_msf",
+    "dedup_ppjoin",
 ]
 
 

@@ -813,6 +813,39 @@ ORDER BY a_id, b_id
 """
 
 
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering
+    (functions/dedup.py:ppjoin_pairs — AllPairs/PPJoin family): word-3-
+    gram jaccard >= 50% with NO df cap and nothing approximated —
+    candidates come only from each document's rarest-token prefix, then
+    verify exactly. The compliance-grade complement to the capped
+    inverted index (dedup_jaccard) and the probabilistic passes
+    (minhash/simhash): a missed duplicate here is a bug, not a recall
+    trade. Oracle: the uncapped inverted-index jaccard in SQL — the
+    prefix filter is a PLAN choice, the result contract is exact."""
+    from ..functions.dedup import ppjoin_pairs, word_shingles
+
+    sh = word_shingles(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    ).localCheckpoint(eager=True)
+    return ppjoin_pairs(sh, threshold_pct=50).orderBy("a_id", "b_id")
+
+
+_PPJOIN_SQL = f"""
+WITH sh AS ({_SHINGLE3_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.a_id, i.b_id, i.inter, sa.sz AS a_sz, sb.sz AS b_sz
+FROM inter i JOIN sizes sa ON i.a_id = sa.id JOIN sizes sb ON i.b_id = sb.id
+WHERE 100 * i.inter >= 50 * (sa.sz + sb.sz - i.inter)
+ORDER BY a_id, b_id
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (functions/dedup.py:
     containment_pairs, Broder 1997): word-3-gram shingle containment of
@@ -12891,6 +12924,7 @@ def queries() -> dict:
             "kg_scc": q_kg_scc,
             "kg_condensation": q_kg_condensation,
             "kg_msf": q_kg_msf,
+            "dedup_ppjoin": q_dedup_ppjoin,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13001,6 +13035,7 @@ def oracle_sql() -> dict:
         "dedup_cluster_keep": _CLUSTER_SQL,
         "dedup_incremental": _INCREMENTAL_SQL,
         "dedup_jaccard": _JACCARD_SQL,
+        "dedup_ppjoin": _PPJOIN_SQL,
         "balanced_sample": _BALANCED_SQL,
         "doc_chunks": _CHUNKS_SQL,
         "lm_quality": __import__(
