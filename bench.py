@@ -255,6 +255,7 @@ RELATIONAL = [
     "kg_condensation",
     "kg_msf",
     "dedup_ppjoin",
+    "kg_temporal_reach",
 ]
 
 

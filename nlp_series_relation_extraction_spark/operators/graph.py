@@ -4343,3 +4343,81 @@ def msf_python(weighted_edges: list[tuple[int, int, float]]) -> dict:
         for x in xs:
             final[x] = m
     return {"edges": sorted(out), "components": final}
+
+
+def temporal_reachability(
+    edges: DataFrame, seeds: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability (Holme & Saramäki
+    2012 temporal-network semantics): a path may only traverse edges
+    with non-decreasing timestamps, and ``arrival(v)`` is the smallest
+    timestamp at which any such path from a seed reaches v. On
+    transcript KGs this is the influence chain: "which entities could
+    this fact have propagated to, and by which turn" — plain
+    reachability overcounts by ignoring that causality can't go back in
+    time.
+
+    ``edges``: (subj_entity_id, obj_entity_id, ts); ``seeds``:
+    (entity_id). Seeds arrive at -1 (before every real timestamp >= 0).
+
+    Fixpoint relaxation: candidate arrivals are one join per round
+    (edges keyed on the source endpoint, filtered to ts >= arrival(u)),
+    folded by min. Arrival times only decrease, so the decimal(38,0)
+    arrival sum is strictly monotone — the same one-scalar convergence
+    as the SCC labels; a decreased arrival(u) can enable earlier
+    departures, which is exactly what the next round relaxes. State is
+    one row per reached vertex. Twin: temporal_reachability_python;
+    oracle: recursive CTE over (v, t) pairs — bounded by |E| since each
+    row is witnessed by one edge."""
+    e = edges.select(
+        F.col("subj_entity_id").alias("u"),
+        F.col("obj_entity_id").alias("v"),
+        F.col("ts").cast("long").alias("t"),
+    ).transform(_ckpt_nostats)
+    arr = (
+        seeds.select(F.col("entity_id").alias("v"))
+        .distinct()
+        .withColumn("arrival", F.lit(-1).cast("long"))
+        .transform(_ckpt_nostats)
+    )
+    prev = None
+    for _ in range(max_rounds):
+        cand = (
+            e.join(arr, e["u"] == arr["v"])
+            .where(F.col("t") >= F.col("arrival"))
+            .select(e["v"].alias("v"), F.col("t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(cand)
+            .groupBy("v")
+            .agg(F.min("arrival").alias("arrival"))
+            .transform(_ckpt_nostats)
+        )
+        s = arr.agg(
+            F.sum(F.col("arrival").cast("decimal(38,0)")),
+            F.count("*"),
+        ).collect()[0]
+        sig = (s[0], s[1])
+        if sig == prev:
+            break
+        prev = sig
+    return arr.select(F.col("v").alias("entity_id"), "arrival")
+
+
+def temporal_reachability_python(
+    edge_list: list[tuple[int, int, int]], seed_ids: list[int]
+) -> dict:
+    """Flat twin: identical fixpoint over an adjacency dict. Returns
+    {entity_id: earliest arrival} (seeds at -1)."""
+    arr = {s: -1 for s in seed_ids}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in edge_list:
+            au = arr.get(u)
+            if au is not None and t >= au and (
+                v not in arr or t < arr[v]
+            ):
+                arr[v] = t
+                changed = True
+    return arr

@@ -6383,6 +6383,53 @@ def q_kg_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability (operators/
+    graph.py:temporal_reachability) over the derived edge graph with
+    ts = the earliest evidence turn per edge and seeds = subjects
+    divisible by 9: which entities a fact at a seed could have
+    propagated to, and by which turn — paths may only traverse edges
+    with non-decreasing timestamps, which plain reachability ignores.
+    Oracle: recursive CTE over (v, t) arrival pairs (each row witnessed
+    by one edge, so the recursion is |E|-bounded), min per vertex."""
+    from ..operators.graph import temporal_reachability
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    trip = li.select(
+        F.col("l_suppkey").cast("long").alias("subj"),
+        F.col("l_partkey").cast("long").alias("obj"),
+        F.expr("cast(l_orderkey div 1000 as int)").alias("turn_idx"),
+    ).where((F.col("subj") % 7 != 0) & (F.col("obj") % 7 != 0))
+    e = trip.groupBy(
+        F.col("subj").alias("subj_entity_id"),
+        F.col("obj").alias("obj_entity_id"),
+    ).agg(F.min("turn_idx").cast("long").alias("ts"))
+    seeds = (
+        e.select(F.col("subj_entity_id").alias("entity_id"))
+        .where(F.col("entity_id") % 9 == 0)
+        .distinct()
+    )
+    return temporal_reachability(e, seeds).orderBy("entity_id")
+
+
+_KG_TEMPORAL_REACH_SQL = f"""
+WITH RECURSIVE {_DERIVED_LINKED_CTES},
+e AS (
+  SELECT subj_entity_id AS u, obj_entity_id AS v,
+         cast(min(turn_idx) AS BIGINT) AS t
+  FROM linked GROUP BY 1, 2
+),
+seeds AS (SELECT DISTINCT u AS v FROM e WHERE u % 9 = 0),
+reach AS (
+  SELECT v, cast(-1 AS BIGINT) AS t FROM seeds
+  UNION
+  SELECT e.v, e.t FROM reach r JOIN e ON e.u = r.v AND e.t >= r.t
+)
+SELECT v AS entity_id, cast(min(t) AS BIGINT) AS arrival
+FROM reach GROUP BY v ORDER BY entity_id
+"""
+
+
 def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain-style community detection (operators/graph.py:
     louvain_local_move — deterministic synchronous modularity-gain
@@ -12925,6 +12972,7 @@ def queries() -> dict:
             "kg_condensation": q_kg_condensation,
             "kg_msf": q_kg_msf,
             "dedup_ppjoin": q_dedup_ppjoin,
+            "kg_temporal_reach": q_kg_temporal_reach,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13122,6 +13170,7 @@ def oracle_sql() -> dict:
         "kg_reciprocity": _KG_RECIPROCITY_SQL,
         "kg_scc": _KG_SCC_SQL,
         "kg_condensation": _KG_CONDENSATION_SQL,
+        "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
