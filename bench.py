@@ -256,6 +256,7 @@ RELATIONAL = [
     "kg_msf",
     "dedup_ppjoin",
     "kg_temporal_reach",
+    "kg_densest",
 ]
 
 

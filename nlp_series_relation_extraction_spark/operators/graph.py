@@ -4421,3 +4421,112 @@ def temporal_reachability_python(
                 arr[v] = t
                 changed = True
     return arr
+
+
+def densest_subgraph(
+    edges: DataFrame, eps_pct: int = 10, max_rounds: int = 200
+) -> DataFrame:
+    """Densest-subgraph extraction by batched peeling (Bahmani, Kumar &
+    Vassilvitskii 2012, "Densest Subgraph in Streaming and MapReduce"):
+    repeatedly delete EVERY vertex whose degree is <= (1 + eps) times
+    the current AVERAGE DEGREE 2|E|/|V| (some vertex is always at or
+    below average degree, so the peel set is never empty and the loop
+    provably progresses), remembering the densest
+    intermediate subgraph — a (2 + 2*eps)-approximation of the densest
+    subgraph in O(log n / eps) rounds (vs Charikar's sequential
+    one-vertex-at-a-time peel). The KG use: the mutually-entangled core
+    of an entity graph (spam clusters, boilerplate hubs, tight
+    communities) that degree thresholds alone cannot isolate.
+
+    All density comparisons are EXACT integer cross-multiplications
+    (deg * |V| * 100 <= 2 * |E| * (100 + eps_pct); best-density tracking by
+    e1 * v2 vs e2 * v1), so the python twin (densest_subgraph_python)
+    asserts bit-identical vertex sets — no float drift, no tolerance.
+
+    Returns the best subgraph's vertices as (entity_id, n_vertices,
+    n_edges) with the counts constant per row (density = n_edges /
+    n_vertices). Scale shape per round: one degree aggregation + two
+    semi-joins (the k_core peel plan), lineage cut per round; the
+    number of rounds is logarithmic by the peeling lemma."""
+    und = _undirected(edges).transform(_ckpt_nostats)
+    # _undirected doubles each edge; |E| = rows / 2
+    cur = und
+    best = None  # (e_cnt, v_cnt, DataFrame of vertices)
+    for _ in range(max_rounds):
+        deg = cur.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+        counts = deg.agg(
+            F.count("*").cast("long"), F.sum("deg").cast("long")
+        ).collect()[0]
+        v_cnt, e2_cnt = int(counts[0] or 0), int(counts[1] or 0)
+        e_cnt = e2_cnt // 2
+        if v_cnt == 0:
+            break
+        if best is None or e_cnt * best[1] > best[0] * v_cnt:
+            best = (e_cnt, v_cnt, deg.select("a").transform(_ckpt_nostats))
+        # peel: deg <= (1 + eps) * 2E / V (average degree), exactly:
+        # deg * V * 100 <= 2E * (100 + eps_pct)
+        keep = deg.where(
+            F.col("deg") * F.lit(v_cnt) * 100
+            > F.lit(2 * e_cnt * (100 + eps_pct))
+        ).select("a").transform(_ckpt_nostats)
+        if keep.isEmpty():
+            break
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .transform(_ckpt_nostats)
+        )
+    if best is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "entity_id long, n_vertices long, n_edges long"
+        )
+    e_cnt, v_cnt, verts = best
+    return verts.select(
+        F.col("a").alias("entity_id"),
+        F.lit(v_cnt).cast("long").alias("n_vertices"),
+        F.lit(e_cnt).cast("long").alias("n_edges"),
+    )
+
+
+def densest_subgraph_python(
+    edge_list: list[tuple[int, int]], eps_pct: int = 10
+) -> dict:
+    """Flat twin of densest_subgraph: identical batched peel and exact
+    integer density bookkeeping. Returns {"vertices": sorted list,
+    "n_vertices": int, "n_edges": int}."""
+    adj: dict[int, set] = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    best = None  # (e, v, vertex set)
+    while adj:
+        v_cnt = len(adj)
+        e_cnt = sum(len(ns) for ns in adj.values()) // 2
+        if best is None or e_cnt * best[1] > best[0] * v_cnt:
+            best = (e_cnt, v_cnt, sorted(adj))
+        doomed = [
+            x
+            for x, ns in adj.items()
+            if len(ns) * v_cnt * 100 <= 2 * e_cnt * (100 + eps_pct)
+        ]
+        if not doomed:
+            break
+        for x in doomed:
+            for n in adj.pop(x):
+                if n in adj:
+                    adj[n].discard(x)
+        # drop isolated leftovers of this round's peel
+        for x in [x for x, ns in adj.items() if not ns]:
+            adj.pop(x)
+    if best is None:
+        return {"vertices": [], "n_vertices": 0, "n_edges": 0}
+    return {
+        "vertices": best[2],
+        "n_vertices": best[1],
+        "n_edges": best[0],
+    }

@@ -6383,6 +6383,20 @@ def q_kg_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph core (operators/graph.py:densest_subgraph —
+    Bahmani 2012 batched peeling, (2+2eps)-approx) of the derived
+    entity graph: the mutually-entangled cluster degree thresholds
+    cannot isolate. Rows-only (stateful peel recursion with snapshot
+    tracking); exactness pinned bit-identical by the integer-arithmetic
+    twin (tests/test_densest.py)."""
+    from ..operators.graph import densest_subgraph
+
+    return densest_subgraph(
+        _derived_edge_table(spark, sf_dir), eps_pct=10
+    ).orderBy("entity_id")
+
+
 def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting earliest-arrival reachability (operators/
     graph.py:temporal_reachability) over the derived edge graph with
@@ -12973,6 +12987,7 @@ def queries() -> dict:
             "kg_msf": q_kg_msf,
             "dedup_ppjoin": q_dedup_ppjoin,
             "kg_temporal_reach": q_kg_temporal_reach,
+            "kg_densest": q_kg_densest,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

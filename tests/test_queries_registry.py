@@ -81,7 +81,10 @@ def test_every_oracle_has_a_query():
                "kg_triple_classification",
                # Borůvka MSF: stateful contraction recursion; Kruskal
                # twin exact edge-set equality in tests/test_msf.py
-               "kg_msf")
+               "kg_msf",
+               # batched densest-subgraph peel with snapshot tracking;
+               # exact-integer twin in tests/test_densest.py
+               "kg_densest")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
