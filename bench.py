@@ -257,6 +257,7 @@ RELATIONAL = [
     "dedup_ppjoin",
     "kg_temporal_reach",
     "kg_densest",
+    "kg_coreness",
 ]
 
 

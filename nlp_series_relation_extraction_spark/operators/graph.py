@@ -4530,3 +4530,82 @@ def densest_subgraph_python(
         "n_vertices": best[1],
         "n_edges": best[0],
     }
+
+
+def coreness(edges: DataFrame, max_iters: int = 200) -> DataFrame:
+    """Full core decomposition: (entity_id, coreness) where coreness(v)
+    is the largest k such that v belongs to the k-core — the per-vertex
+    refinement of k_core membership, and the standard KG importance
+    tier (embedding pipelines keep cores, serve tiers by coreness).
+
+    Computed by the h-index fixpoint (Lü, Chen, Ren, Zhang, Zhou &
+    Stanley 2016, "The H-index of a network node and its relation to
+    degree and coreness", Nat. Commun.): start at degree and repeat
+    c(v) <- H({c(u): u neighbor of v}), the largest h such that at
+    least h neighbors have value >= h. The sequence is monotonically
+    non-increasing and converges EXACTLY to coreness — no peeling
+    order, no global sequential dependency, just a local aggregate per
+    round: the formulation that distributes.
+
+    Spark shape per round: one join to fetch neighbor values + one
+    per-vertex window h-index (max over rn of min(value at rank rn,
+    rn) on the DESC-ordered neighbor values — partitioned BY VERTEX,
+    a hub's partition is its neighbor list); values only decrease, so
+    the decimal(38,0) sum is the one-scalar convergence signal.
+    Twin: coreness_python runs the CLASSIC min-degree peel — a
+    different algorithm converging to the same numbers, so agreement
+    cross-validates both."""
+    from pyspark.sql import Window
+
+    und = _undirected(edges).transform(_ckpt_nostats)
+    c = und.groupBy("a").agg(
+        F.count("*").cast("long").alias("c")
+    ).transform(_ckpt_nostats)
+    prev = c.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
+    w = Window.partitionBy("a").orderBy(F.desc("cb"), F.asc("b"))
+    for _ in range(max_iters):
+        nv = und.join(
+            c.select(F.col("a").alias("b"), F.col("c").alias("cb")), "b"
+        ).select("a", "b", "cb")
+        c = (
+            nv.select(
+                "a",
+                F.least(
+                    F.col("cb"), F.row_number().over(w).cast("long")
+                ).alias("h"),
+            )
+            .groupBy("a")
+            .agg(F.max("h").alias("c"))
+            .transform(_ckpt_nostats)
+        )
+        s = c.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return c.select(F.col("a").alias("entity_id"), F.col("c").alias("coreness"))
+
+
+def coreness_python(edge_list: list[tuple[int, int]]) -> dict:
+    """Classic peeling twin (Batagelj-Zaversnik order): repeatedly
+    remove a minimum-degree vertex; its degree at removal (monotone
+    max'd) is its coreness. Returns {vertex: coreness}."""
+    adj: dict[int, set] = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict[int, int] = {}
+    k = 0
+    while adj:
+        v = min(adj, key=lambda x: (len(adj[x]), x))
+        k = max(k, len(adj[v]))
+        core[v] = k
+        for n in adj.pop(v):
+            adj[n].discard(v)
+        # vertices isolated by this removal have degree 0 <= k and would
+        # be picked next by the min rule anyway: same coreness k
+        for x in [x for x, ns in adj.items() if not ns]:
+            core[x] = k
+            adj.pop(x)
+    return core

@@ -6397,6 +6397,21 @@ def q_kg_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("entity_id")
 
 
+def q_kg_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition (operators/graph.py:coreness — the Lü
+    2016 h-index fixpoint, the formulation of coreness that
+    distributes) over the derived entity graph: the per-vertex
+    importance tier behind kg_kcore's fixed-k membership. Rows-only
+    (iterative fixpoint); exactness cross-validated against the
+    classic min-degree peeling twin (a DIFFERENT algorithm with the
+    same provable limit, tests/test_coreness.py)."""
+    from ..operators.graph import coreness
+
+    return coreness(_derived_edge_table(spark, sf_dir)).orderBy(
+        "entity_id"
+    )
+
+
 def q_kg_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting earliest-arrival reachability (operators/
     graph.py:temporal_reachability) over the derived edge graph with
@@ -12988,6 +13003,7 @@ def queries() -> dict:
             "dedup_ppjoin": q_dedup_ppjoin,
             "kg_temporal_reach": q_kg_temporal_reach,
             "kg_densest": q_kg_densest,
+            "kg_coreness": q_kg_coreness,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):

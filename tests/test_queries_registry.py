@@ -84,7 +84,10 @@ def test_every_oracle_has_a_query():
                "kg_msf",
                # batched densest-subgraph peel with snapshot tracking;
                # exact-integer twin in tests/test_densest.py
-               "kg_densest")
+               "kg_densest",
+               # h-index coreness fixpoint; cross-validated against the
+               # classic peeling twin in tests/test_coreness.py
+               "kg_coreness")
     assert all(k.startswith(allowed) for k in rows_only), rows_only
 
 
