@@ -258,6 +258,7 @@ RELATIONAL = [
     "kg_temporal_reach",
     "kg_densest",
     "kg_coreness",
+    "kg_weighted_sssp",
 ]
 
 

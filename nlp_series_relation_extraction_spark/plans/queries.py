@@ -6397,6 +6397,59 @@ def q_kg_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("entity_id")
 
 
+def q_kg_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (operators/graph.py:
+    weighted_sssp — Bellman-Ford relaxation) over the derived edge
+    graph with evidence-TIER costs (n_evidence >= 4 -> 1, 3 -> 2,
+    2 -> 3, else 5: well-attested edges are cheap) and seeds at
+    subjects divisible by 9: KG proximity scored by evidence strength
+    instead of raw hops. Oracle: recursive (v, d, hop <= 6)
+    enumeration, finite because the tier set bounds every path cost,
+    min per vertex."""
+    from ..operators.graph import weighted_sssp
+
+    e = _derived_edge_table(spark, sf_dir).select(
+        "subj_entity_id",
+        "obj_entity_id",
+        F.expr(
+            "CASE WHEN n_evidence >= 4 THEN 1 WHEN n_evidence = 3 THEN 2"
+            " WHEN n_evidence = 2 THEN 3 ELSE 5 END"
+        ).alias("cost"),
+    )
+    seeds = (
+        e.select(F.col("subj_entity_id").alias("entity_id"))
+        .where(F.col("entity_id") % 9 == 0)
+        .distinct()
+    )
+    return weighted_sssp(e, seeds, max_hops=6).orderBy("entity_id")
+
+
+_KG_WEIGHTED_SSSP_SQL = f"""
+WITH RECURSIVE {_DERIVED_LINKED_CTES},
+e0 AS (
+  SELECT subj_entity_id, obj_entity_id, count(*) AS n_evidence
+  FROM linked GROUP BY subj_entity_id, predicate, obj_entity_id
+),
+e AS (
+  SELECT subj_entity_id AS u, obj_entity_id AS v,
+         cast(CASE WHEN n_evidence >= 4 THEN 1
+                   WHEN n_evidence = 3 THEN 2
+                   WHEN n_evidence = 2 THEN 3 ELSE 5 END AS BIGINT) AS w
+  FROM e0
+),
+seeds AS (SELECT DISTINCT u AS v FROM e WHERE u % 9 = 0),
+walk AS (
+  SELECT v, cast(0 AS BIGINT) AS d, 0 AS hop FROM seeds
+  UNION
+  SELECT e.v, r.d + e.w AS d, r.hop + 1 AS hop
+  FROM walk r JOIN e ON e.u = r.v
+  WHERE r.hop < 6
+)
+SELECT v AS entity_id, cast(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY v ORDER BY entity_id
+"""
+
+
 def q_kg_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition (operators/graph.py:coreness — the Lü
     2016 h-index fixpoint, the formulation of coreness that
@@ -13004,6 +13057,7 @@ def queries() -> dict:
             "kg_temporal_reach": q_kg_temporal_reach,
             "kg_densest": q_kg_densest,
             "kg_coreness": q_kg_coreness,
+            "kg_weighted_sssp": q_kg_weighted_sssp,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13202,6 +13256,7 @@ def oracle_sql() -> dict:
         "kg_scc": _KG_SCC_SQL,
         "kg_condensation": _KG_CONDENSATION_SQL,
         "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
+        "kg_weighted_sssp": _KG_WEIGHTED_SSSP_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
