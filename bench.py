@@ -259,6 +259,7 @@ RELATIONAL = [
     "kg_densest",
     "kg_coreness",
     "kg_weighted_sssp",
+    "kg_rmat_degrees",
 ]
 
 

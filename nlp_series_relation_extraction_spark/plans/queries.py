@@ -6450,6 +6450,64 @@ FROM walk GROUP BY v ORDER BY entity_id
 """
 
 
+def q_kg_rmat_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-MAT benchmark-graph generation (sources/synthetic.py:
+    rmat_edges — Graph500 kernel shape, 20k edges over 2^12 vertices)
+    checked end to end by its OUT-DEGREE HISTOGRAM: the generator is
+    pure JVM md5 bit-derivation over spark.range, embarrassingly
+    parallel and bit-exact reproducible, so DuckDB re-derives the
+    identical edges from the identical hex math and the power-law
+    histogram matches row for row. This is the fixture-free source for
+    operator rehearsals at sizes where shipping data is impossible."""
+    from ..sources.synthetic import rmat_edges
+
+    e = rmat_edges(spark, 20_000, 12)
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("out_degree"))
+        .groupBy("out_degree")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+        .orderBy("out_degree")
+    )
+
+
+def _rmat_sql(n_edges: int, scale: int) -> str:
+    from ..sources.synthetic import (
+        _RMAT_A_CUT,
+        _RMAT_AB_CUT,
+        _RMAT_ABC_CUT,
+    )
+
+    src_terms, dst_terms = [], []
+    for lvl in range(scale):
+        u = (
+            "cast(concat('0x', substring(md5(concat(cast(i AS VARCHAR),"
+            f" ':', '{lvl}')), 1, 7)) AS BIGINT)"
+        )
+        shift = 1 << (scale - 1 - lvl)
+        src_terms.append(
+            f"(CASE WHEN {u} >= {_RMAT_AB_CUT} THEN {shift} ELSE 0 END)"
+        )
+        dst_terms.append(
+            f"(CASE WHEN ({u} >= {_RMAT_A_CUT} AND {u} < {_RMAT_AB_CUT})"
+            f" OR {u} >= {_RMAT_ABC_CUT} THEN {shift} ELSE 0 END)"
+        )
+    return f"""
+WITH e AS (
+  SELECT i AS edge_id,
+         {' + '.join(src_terms)} AS src,
+         {' + '.join(dst_terms)} AS dst
+  FROM range({n_edges}) t(i)
+),
+outd AS (SELECT src, count(*) AS out_degree FROM e GROUP BY src)
+SELECT out_degree, cast(count(*) AS BIGINT) AS n_vertices
+FROM outd GROUP BY out_degree ORDER BY out_degree
+"""
+
+
+_KG_RMAT_SQL = _rmat_sql(20_000, 12)
+
+
 def q_kg_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition (operators/graph.py:coreness — the Lü
     2016 h-index fixpoint, the formulation of coreness that
@@ -13058,6 +13116,7 @@ def queries() -> dict:
             "kg_densest": q_kg_densest,
             "kg_coreness": q_kg_coreness,
             "kg_weighted_sssp": q_kg_weighted_sssp,
+            "kg_rmat_degrees": q_kg_rmat_degrees,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13257,6 +13316,7 @@ def oracle_sql() -> dict:
         "kg_condensation": _KG_CONDENSATION_SQL,
         "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
         "kg_weighted_sssp": _KG_WEIGHTED_SSSP_SQL,
+        "kg_rmat_degrees": _KG_RMAT_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,

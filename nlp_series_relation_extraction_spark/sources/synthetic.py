@@ -271,3 +271,73 @@ def gold_triples(spark, transcripts_df):
         )
         .select("conv_id", "turn_idx", "spo.*")
     )
+
+
+# R-MAT cutoffs on the 28-bit uniform (7 md5 hex chars): the Graph500
+# (a, b, c, d) = (0.45, 0.15, 0.15, 0.25)-shaped quadrant split as
+# EXACT integers so Spark and any relational twin derive identical bits.
+_RMAT_A_CUT = 120_795_955  # floor(0.45 * 2^28)
+_RMAT_AB_CUT = 161_061_273  # floor(0.60 * 2^28)
+_RMAT_ABC_CUT = 201_326_592  # floor(0.75 * 2^28)
+
+
+def rmat_edges(spark, n_edges: int, scale: int):
+    """Deterministic R-MAT graph generator (Chakrabarti, Zhan &
+    Faloutsos 2004), the Graph500 kernel shape: 2^scale vertices,
+    power-law degree skew from recursive quadrant descent. Edge i's
+    level-l quadrant comes from a 28-bit uniform
+    ``conv(substring(md5(i || ':' || l), 1, 7), 16, 10)`` — pure JVM
+    expressions over ``spark.range`` (no Python in the path, no state),
+    so generation is embarrassingly parallel at any scale and BIT-EXACT
+    reproducible across engines: a relational twin derives the same
+    md5, the same integer cutoffs, the same bits. This is the
+    benchmark-graph source for operator rehearsals at sizes where
+    shipping a fixture is impossible (10^12 edges is a number, not a
+    file).
+
+    Quadrant bits per level: src bit = u >= AB_CUT (lower half c|d),
+    dst bit = u in [A_CUT, AB_CUT) or u >= ABC_CUT (right half b|d).
+    Returns (edge_id, src, dst)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_edges).withColumnRenamed("id", "edge_id")
+    src_terms = []
+    dst_terms = []
+    for lvl in range(scale):
+        u = (
+            f"cast(conv(substring(md5(concat(cast(edge_id as string),"
+            f" ':', '{lvl}')), 1, 7), 16, 10) as bigint)"
+        )
+        shift = 1 << (scale - 1 - lvl)
+        src_terms.append(
+            f"(CASE WHEN {u} >= {_RMAT_AB_CUT} THEN {shift} ELSE 0 END)"
+        )
+        dst_terms.append(
+            f"(CASE WHEN ({u} >= {_RMAT_A_CUT} AND {u} < {_RMAT_AB_CUT})"
+            f" OR {u} >= {_RMAT_ABC_CUT} THEN {shift} ELSE 0 END)"
+        )
+    return df.select(
+        "edge_id",
+        F.expr(" + ".join(src_terms)).cast("long").alias("src"),
+        F.expr(" + ".join(dst_terms)).cast("long").alias("dst"),
+    )
+
+
+def rmat_edges_python(n_edges: int, scale: int) -> list:
+    """Flat twin of rmat_edges: identical md5 bit derivation in pure
+    python. Returns [(edge_id, src, dst)]."""
+    import hashlib
+
+    out = []
+    for i in range(n_edges):
+        src = dst = 0
+        for lvl in range(scale):
+            h = hashlib.md5(f"{i}:{lvl}".encode()).hexdigest()
+            u = int(h[:7], 16)
+            shift = 1 << (scale - 1 - lvl)
+            if u >= _RMAT_AB_CUT:
+                src += shift
+            if (_RMAT_A_CUT <= u < _RMAT_AB_CUT) or u >= _RMAT_ABC_CUT:
+                dst += shift
+        out.append((i, src, dst))
+    return out
