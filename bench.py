@@ -648,6 +648,35 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     want = {(r.query_id, r.neighbor_id) for r in brute10}
     recall10 = len(got & want) / max(len(want), 1)
     extras["ann_ivfpq_10x_recall_at_5"] = round(recall10, 3)
+
+    # graph-operator scale growth on R-MAT (fixture-free; round-5
+    # session-10): SCC on a generated power-law graph at 1x and 10x
+    # edges. R-MAT is the worst-case shape for SCC (hub quadrant
+    # reuse => one giant component + heavy skew); the wall ratio must
+    # stay well under linear-in-edges x round-count — the label tables
+    # are vertex-sized and every join is id-keyed.
+    from nlp_series_relation_extraction_spark.operators.graph import (
+        strongly_connected_components as _scc,
+    )
+    from nlp_series_relation_extraction_spark.sources.synthetic import (
+        rmat_edges as _rmat,
+    )
+
+    def _scc_on_rmat(n_edges, scale):
+        g = _rmat(spark, n_edges, scale).select(
+            F.col("src").alias("subj_entity_id"),
+            F.col("dst").alias("obj_entity_id"),
+        )
+        t0 = time.time()
+        n = _scc(g).count()
+        return time.time() - t0, n
+
+    t1x, n1x = _scc_on_rmat(60_000, 13)
+    t10x, n10x = _scc_on_rmat(600_000, 16)
+    timings["kg_scc_rmat"] = round(t1x, 3)
+    timings["kg_scc_rmat_10x"] = round(t10x, 3)
+    extras["scc_rmat_10x_ratio"] = round(t10x / max(t1x, 1e-9), 2)
+    extras["scc_rmat_10x_vertices"] = n10x
     assert recall10 >= 0.5, (
         f"IVF-PQ recall@5 collapsed at 10x corpus: {recall10}"
     )
