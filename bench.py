@@ -260,6 +260,7 @@ RELATIONAL = [
     "kg_coreness",
     "kg_weighted_sssp",
     "kg_rmat_degrees",
+    "ivm_pricing_view",
 ]
 
 

@@ -152,3 +152,69 @@ def skew_report(
             F.expr("(n_rows * n_keys) div n_total").alias("skew_x"),
         )
     )
+
+
+def agg_view(
+    df: DataFrame, keys: list[str], measures: dict[str, "F.Column"]
+) -> DataFrame:
+    """Materialize a count+sums aggregate view: (keys..., view_count,
+    sum_<name>...). The only aggregates here are the SELF-MAINTAINABLE
+    ones (count, sum): a delta of base rows updates the view without
+    touching base history. min/max are deliberately absent — they are
+    not self-maintainable under deletes (a retracted max needs the
+    runner-up, i.e. the base table) and belong to recompute land."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("view_count")] + [
+        F.sum(expr).cast("long").alias(f"sum_{name}")
+        for name, expr in measures.items()
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def maintain_agg_view(
+    view: DataFrame,
+    keys: list[str],
+    measures: dict[str, "F.Column"],
+    adds: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for agg_view (the classic
+    delta-rule: Gupta, Mumick & Subrahmanian 1993 "Maintaining views
+    incrementally"): fold inserted rows with +1 sign and deleted rows
+    with -1, merge with the materialized view by one keys-grouped sum,
+    drop groups whose maintained count reaches zero. This is the
+    general form of the KG edge upsert (graph.py:merge_edge_increment —
+    evidence counts add) and the streaming sink's merge; at 100 TB the
+    delta is micro-batch-sized and the merge shuffles ONLY view rows +
+    delta rows, never the base table.
+
+    Exactness contract (the IVM theorem for count/sum): maintained ==
+    recomputed from (base + adds - deletes), bit-for-bit on integer
+    measures — the driver oracle IS the full recompute."""
+    parts = [view]
+    if adds is not None:
+        parts.append(
+            agg_view(adds, keys, measures).select(view.columns)
+        )
+    if deletes is not None:
+        neg = agg_view(deletes, keys, measures)
+        parts.append(
+            neg.select(
+                *keys,
+                (-F.col("view_count")).alias("view_count"),
+                *[
+                    (-F.col(f"sum_{name}")).alias(f"sum_{name}")
+                    for name in measures
+                ],
+            ).select(view.columns)
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    out = merged.groupBy(*keys).agg(
+        F.sum("view_count").cast("long").alias("view_count"),
+        *[
+            F.sum(f"sum_{name}").cast("long").alias(f"sum_{name}")
+            for name in measures
+        ],
+    )
+    return out.where(F.col("view_count") > 0)

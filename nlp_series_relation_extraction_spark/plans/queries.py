@@ -6450,6 +6450,50 @@ FROM walk GROUP BY v ORDER BY entity_id
 """
 
 
+def q_ivm_pricing_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/maintenance.py:
+    maintain_agg_view — the Gupta 1993 delta rule, the general form of
+    merge_edge_increment and the streaming sink's merge): materialize
+    the pricing view over the base slice (l_orderkey % 10 != 0), then
+    MAINTAIN it with the remaining rows as an insert delta and the
+    base's l_linenumber = 7 rows as a retraction delta — never touching
+    base history. The oracle is the FULL RECOMPUTE over
+    (lineitem minus the retracted rows): the IVM theorem for count/sum
+    says maintained == recomputed bit-for-bit on integer cents."""
+    from ..operators.maintenance import agg_view, maintain_agg_view
+
+    li = t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "qty_cents": F.expr("cast(round(l_quantity * 100) as bigint)"),
+        "disc_price_cents": F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            " as bigint)"
+        ),
+    }
+    base = li.where(F.col("l_orderkey") % 10 != 0)
+    adds = li.where(F.col("l_orderkey") % 10 == 0)
+    dels = base.where(F.col("l_linenumber") == 7)
+    view = agg_view(base, keys, measures)
+    return maintain_agg_view(
+        view, keys, measures, adds=adds, deletes=dels
+    ).orderBy(*keys)
+
+
+_IVM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  count(*) AS view_count,
+  cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+    AS sum_qty_cents,
+  cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+    AS BIGINT)) AS BIGINT) AS sum_disc_price_cents
+FROM lineitem
+WHERE NOT (l_orderkey % 10 != 0 AND l_linenumber = 7)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_kg_rmat_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R-MAT benchmark-graph generation (sources/synthetic.py:
     rmat_edges — Graph500 kernel shape, 20k edges over 2^12 vertices)
@@ -13117,6 +13161,7 @@ def queries() -> dict:
             "kg_coreness": q_kg_coreness,
             "kg_weighted_sssp": q_kg_weighted_sssp,
             "kg_rmat_degrees": q_kg_rmat_degrees,
+            "ivm_pricing_view": q_ivm_pricing_view,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13317,6 +13362,7 @@ def oracle_sql() -> dict:
         "kg_temporal_reach": _KG_TEMPORAL_REACH_SQL,
         "kg_weighted_sssp": _KG_WEIGHTED_SSSP_SQL,
         "kg_rmat_degrees": _KG_RMAT_SQL,
+        "ivm_pricing_view": _IVM_PRICING_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
