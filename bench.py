@@ -261,6 +261,7 @@ RELATIONAL = [
     "kg_weighted_sssp",
     "kg_rmat_degrees",
     "ivm_pricing_view",
+    "kg_triad_census",
 ]
 
 

@@ -4690,3 +4690,186 @@ def weighted_sssp_python(
             break
         dist = nxt
     return dist
+
+
+def _triad_canon_map() -> dict:
+    """code -> class name for all 64 raw triad codes. Raw code bits for
+    an ORDERED triple (t1 < t2 < t3): bit0 t1->t2, bit1 t2->t1,
+    bit2 t1->t3, bit3 t3->t1, bit4 t2->t3, bit5 t3->t2. Canonical class
+    = min code over the 6 vertex relabelings; names follow the
+    Holland-Leinhardt M-A-N convention with the 021-style orientation
+    rule applied uniformly: D = the two asymmetric edges share their
+    SOURCE, U = share their TARGET, C = chain; 111U/D = the asymmetric
+    edge leaves/enters the mutual dyad."""
+    from itertools import permutations
+
+    pairs = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]
+
+    def recode(code, perm):
+        edges = {
+            (a, b)
+            for i, (a, b) in enumerate(pairs)
+            if (code >> i) & 1
+        }
+        edges2 = {(perm[a], perm[b]) for a, b in edges}
+        out = 0
+        for i, (a, b) in enumerate(pairs):
+            if (a, b) in edges2:
+                out |= 1 << i
+        return out
+
+    names = {
+        0: "003", 1: "012", 3: "102", 5: "021D", 6: "021C",
+        10: "021U", 7: "111U", 11: "111D", 15: "201", 21: "030T",
+        25: "030C", 23: "120U", 27: "120C", 30: "120D", 31: "210",
+        63: "300",
+    }
+    canon = {}
+    for code in range(64):
+        c = min(recode(code, p) for p in permutations(range(3)))
+        canon[code] = names[c]
+    return canon
+
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """Directed triad census (Holland & Leinhardt 1976) over CONNECTED
+    triples — every unordered vertex triple with at least two adjacent
+    pairs, classified into its isomorphism class (13 connected classes
+    of the 16; 003/012/102 have < 2 adjacent pairs and are derivable
+    from edge totals). The standard motif profile of a directed graph:
+    ratios like 030T/030C (transitivity vs cyclicity) and 120/210 mass
+    are the structural fingerprint KG-quality monitoring tracks across
+    builds.
+
+    Plan: pair-state table (unordered pair -> 2-bit state) from one
+    distinct projection; wedge enumeration via three join patterns on
+    the shared vertex (each triple found once per adjacent pair-pair,
+    deduped); 6-bit code assembled from three pair-state lookups;
+    class via the broadcast 64-row canonical map; one count per class.
+    Wedge volume is sum-of-degrees-squared over the PAIR graph — the
+    same budget as any motif count; cap the graph upstream, not here.
+    Returns (triad_class, n_triads)."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("subj_entity_id").alias("u"),
+            F.col("obj_entity_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # 2-bit pair state: e is distinct, so each direction contributes
+    # its bit at most once and the sum IS the bitwise-or
+    ps = (
+        e.select(
+            F.least("u", "v").alias("x"),
+            F.greatest("u", "v").alias("y"),
+            F.when(F.col("u") < F.col("v"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("b"),
+        )
+        .groupBy("x", "y")
+        .agg(F.sum(F.col("b")).cast("int").alias("s"))
+        .transform(_ckpt_nostats)
+    )
+    p1 = ps.select(
+        F.col("x").alias("a1"), F.col("y").alias("b1")
+    )
+    p2 = ps.select(
+        F.col("x").alias("a2"), F.col("y").alias("b2")
+    )
+    trip = (
+        p1.join(p2, (F.col("b1") == F.col("a2")))
+        .select(
+            F.col("a1").alias("t1"),
+            F.col("b1").alias("t2"),
+            F.col("b2").alias("t3"),
+        )
+        .unionByName(
+            p1.join(
+                p2,
+                (F.col("a1") == F.col("a2"))
+                & (F.col("b1") < F.col("b2")),
+            ).select(
+                F.col("a1").alias("t1"),
+                F.col("b1").alias("t2"),
+                F.col("b2").alias("t3"),
+            )
+        )
+        .unionByName(
+            p1.join(
+                p2,
+                (F.col("b1") == F.col("b2"))
+                & (F.col("a1") < F.col("a2")),
+            ).select(
+                F.col("a1").alias("t1"),
+                F.col("a2").alias("t2"),
+                F.col("b1").alias("t3"),
+            )
+        )
+        .distinct()
+        .transform(_ckpt_nostats)
+    )
+    s12 = ps.select(
+        F.col("x").alias("t1"), F.col("y").alias("t2"),
+        F.col("s").alias("s12"),
+    )
+    s13 = ps.select(
+        F.col("x").alias("t1"), F.col("y").alias("t3"),
+        F.col("s").alias("s13"),
+    )
+    s23 = ps.select(
+        F.col("x").alias("t2"), F.col("y").alias("t3"),
+        F.col("s").alias("s23"),
+    )
+    coded = (
+        trip.join(s12, ["t1", "t2"], "left")
+        .join(s13, ["t1", "t3"], "left")
+        .join(s23, ["t2", "t3"], "left")
+        .select(
+            (
+                F.coalesce("s12", F.lit(0))
+                + F.coalesce("s13", F.lit(0)) * 4
+                + F.coalesce("s23", F.lit(0)) * 16
+            ).alias("code")
+        )
+    )
+    cmap = _triad_canon_map()
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in cmap.items()], "code int, triad_class string"
+    )
+    return (
+        coded.join(F.broadcast(lookup), "code")
+        .groupBy("triad_class")
+        .agg(F.count("*").cast("long").alias("n_triads"))
+    )
+
+
+def triad_census_python(edge_list: list[tuple[int, int]]) -> dict:
+    """Brute-force twin: enumerate every vertex triple of the graph,
+    classify through the same canonical map, keep classes with >= 2
+    adjacent pairs. Returns {class: count}."""
+    from itertools import combinations
+
+    e = {(a, b) for a, b in edge_list if a != b}
+    verts = sorted({x for t in e for x in t})
+    cmap = _triad_canon_map()
+    out: dict = {}
+    for t1, t2, t3 in combinations(verts, 3):
+        code = (
+            (1 if (t1, t2) in e else 0)
+            | (2 if (t2, t1) in e else 0)
+            | (4 if (t1, t3) in e else 0)
+            | (8 if (t3, t1) in e else 0)
+            | (16 if (t2, t3) in e else 0)
+            | (32 if (t3, t2) in e else 0)
+        )
+        # adjacent pairs = nonzero 2-bit groups; connected = >= 2
+        npairs = sum(
+            1 for sh in (0, 2, 4) if (code >> sh) & 3
+        )
+        if npairs < 2:
+            continue
+        name = cmap[code]
+        out[name] = out.get(name, 0) + 1
+    return out

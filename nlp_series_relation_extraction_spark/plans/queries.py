@@ -6450,6 +6450,92 @@ FROM walk GROUP BY v ORDER BY entity_id
 """
 
 
+def q_kg_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census (operators/graph.py:triad_census) over a
+    bounded slice of the derived graph (subj % 4 = 0, obj % 3 = 0 —
+    wedge volume is sum-of-degrees-squared, so the slice is the budget
+    knob) with the (a+b) % 5 reverse subset supplying mutual dyads:
+    the 13-class connected-triad motif profile (030T/030C transitivity
+    vs cyclicity, 120/210 mass) that fingerprints a KG build. Oracle:
+    identical pair-state/wedge/canonical-map SQL — the 64-row map is
+    generated from the same permutation minimization."""
+    from ..operators.graph import triad_census
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    fwd = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("u"),
+            F.col("l_partkey").cast("long").alias("v"),
+        )
+        .where(
+            (F.col("u") % 7 != 0) & (F.col("v") % 7 != 0)
+            & (F.col("u") != F.col("v"))
+            & (F.col("u") % 4 == 0) & (F.col("v") % 3 == 0)
+        )
+        .distinct()
+    )
+    de = fwd.unionByName(
+        fwd.where((F.col("u") + F.col("v")) % 5 == 0).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+    ).select(
+        F.col("u").alias("subj_entity_id"),
+        F.col("v").alias("obj_entity_id"),
+    )
+    return triad_census(de).orderBy("triad_class")
+
+
+def _triad_sql() -> str:
+    from ..operators.graph import _triad_canon_map
+
+    values = ", ".join(
+        f"({k}, '{v}')" for k, v in sorted(_triad_canon_map().items())
+    )
+    return f"""
+WITH {_DERIVED_LINKED_CTES},
+fwd AS (
+  SELECT DISTINCT subj_entity_id AS u, obj_entity_id AS v FROM linked
+  WHERE subj_entity_id != obj_entity_id
+    AND subj_entity_id % 4 = 0 AND obj_entity_id % 3 = 0
+),
+de AS (
+  SELECT u, v FROM fwd
+  UNION
+  SELECT v AS u, u AS v FROM fwd WHERE (u + v) % 5 = 0
+),
+ps AS (
+  SELECT least(u, v) AS x, greatest(u, v) AS y,
+         cast(sum(CASE WHEN u < v THEN 1 ELSE 2 END) AS INT) AS s
+  FROM de GROUP BY 1, 2
+),
+wedge3 AS (
+  SELECT p1.x AS t1, p1.y AS t2, p2.y AS t3
+  FROM ps p1 JOIN ps p2 ON p1.y = p2.x
+  UNION
+  SELECT p1.x, p1.y, p2.y
+  FROM ps p1 JOIN ps p2 ON p1.x = p2.x AND p1.y < p2.y
+  UNION
+  SELECT p1.x, p2.x, p1.y
+  FROM ps p1 JOIN ps p2 ON p1.y = p2.y AND p1.x < p2.x
+),
+coded AS (
+  SELECT coalesce(s12.s, 0) + coalesce(s13.s, 0) * 4
+         + coalesce(s23.s, 0) * 16 AS code
+  FROM wedge3 t
+  LEFT JOIN ps s12 ON s12.x = t.t1 AND s12.y = t.t2
+  LEFT JOIN ps s13 ON s13.x = t.t1 AND s13.y = t.t3
+  LEFT JOIN ps s23 ON s23.x = t.t2 AND s23.y = t.t3
+),
+cmap(code, triad_class) AS (VALUES {values})
+SELECT m.triad_class, cast(count(*) AS BIGINT) AS n_triads
+FROM coded c JOIN cmap m ON m.code = c.code
+GROUP BY m.triad_class ORDER BY m.triad_class
+"""
+
+
+_KG_TRIAD_SQL = _triad_sql()
+
+
 def q_ivm_pricing_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/maintenance.py:
     maintain_agg_view — the Gupta 1993 delta rule, the general form of
@@ -13162,6 +13248,7 @@ def queries() -> dict:
             "kg_weighted_sssp": q_kg_weighted_sssp,
             "kg_rmat_degrees": q_kg_rmat_degrees,
             "ivm_pricing_view": q_ivm_pricing_view,
+            "kg_triad_census": q_kg_triad_census,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13363,6 +13450,7 @@ def oracle_sql() -> dict:
         "kg_weighted_sssp": _KG_WEIGHTED_SSSP_SQL,
         "kg_rmat_degrees": _KG_RMAT_SQL,
         "ivm_pricing_view": _IVM_PRICING_SQL,
+        "kg_triad_census": _KG_TRIAD_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
