@@ -176,6 +176,7 @@ def maintain_agg_view(
     measures: dict[str, "F.Column"],
     adds: DataFrame | None = None,
     deletes: DataFrame | None = None,
+    delta_view: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental view maintenance for agg_view (the classic
     delta-rule: Gupta, Mumick & Subrahmanian 1993 "Maintaining views
@@ -189,8 +190,14 @@ def maintain_agg_view(
 
     Exactness contract (the IVM theorem for count/sum): maintained ==
     recomputed from (base + adds - deletes), bit-for-bit on integer
-    measures — the driver oracle IS the full recompute."""
+    measures — the driver oracle IS the full recompute.
+
+    ``delta_view`` accepts an ALREADY-AGGREGATED insert delta in the
+    view's own schema (what a streaming foreachBatch body holds after
+    agg_view(batch)) — merged as-is, no re-aggregation of base rows."""
     parts = [view]
+    if delta_view is not None:
+        parts.append(delta_view.select(view.columns))
     if adds is not None:
         parts.append(
             agg_view(adds, keys, measures).select(view.columns)
