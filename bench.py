@@ -262,6 +262,7 @@ RELATIONAL = [
     "kg_rmat_degrees",
     "ivm_pricing_view",
     "kg_triad_census",
+    "priority_sample_docs",
 ]
 
 

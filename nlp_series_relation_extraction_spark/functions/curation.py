@@ -841,3 +841,88 @@ def t_closeness_report(
         "rows_at_risk",
         F.expr("n_rows * 1000000 div _total").alias("rows_share_ppm"),
     )
+
+
+def priority_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int,
+    salt: str = "ps",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    sampling for estimation of arbitrary subset sums"): a FIXED-SIZE
+    weighted sample of k rows such that any subset-sum estimated by
+    summing ``weight_est`` over the sample's members is UNBIASED — the
+    100-TB answer to "keep 10k documents but preserve every
+    group-by-weight total in expectation". Deterministic: the uniform
+    u_i is a 28-bit md5 of (salt, id), so the sample is reproducible
+    across runs and engines (the DuckDB oracle re-derives it exactly).
+
+    Per row: priority q_i = w_i * 2^28 / u_i (u_i in [1, 2^28] — both
+    operands exact integers, one IEEE double division, bit-identical
+    in any IEEE engine). The sample is the top-k by (q desc, id asc);
+    tau = the (k+1)-th priority (0 when n <= k); each sampled row's
+    estimator is max(w_i, tau), reported in exact micro-units.
+
+    Plan: one projection + TakeOrderedAndProject (top-(k+1) without a
+    global sort materialization — each partition keeps k+1 rows, the
+    driver merges), one broadcast of the scalar tau. Returns
+    (id, weight, weight_est_micro) ordered by id."""
+    u = (
+        f"cast(conv(substring(md5(concat('{salt}', ':',"
+        f" cast({id_col} as string))), 1, 7), 16, 10) as bigint) + 1"
+    )
+    pr = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("double").alias("weight"),
+        (
+            F.col(weight_col).cast("double")
+            * F.lit(float(1 << 28))
+            / F.expr(u).cast("double")
+        ).alias("q"),
+    )
+    top = pr.orderBy(F.desc("q"), F.asc("id")).limit(k + 1)
+    rows = top.collect()  # k+1 rows: sample-sized, not data-sized
+    if len(rows) <= k:
+        tau = 0.0
+        keep = rows
+    else:
+        tau = rows[-1]["q"]
+        keep = rows[:-1]
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                r["id"],
+                r["weight"],
+                int(round(max(r["weight"], tau) * 1_000_000)),
+            )
+            for r in keep
+        ],
+        f"id {df.schema[id_col].dataType.simpleString()},"
+        " weight double, weight_est_micro long",
+    )
+    return out.orderBy("id")
+
+
+def priority_sample_python(
+    items: list[tuple], k: int, salt: str = "ps"
+) -> list[tuple]:
+    """Flat twin of priority_sample over [(id, weight)] — identical md5
+    uniforms, identical double arithmetic, identical tie rule."""
+    import hashlib
+
+    pr = []
+    for i, w in items:
+        u = int(
+            hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:7], 16
+        ) + 1
+        pr.append((i, float(w), float(w) * float(1 << 28) / float(u)))
+    pr.sort(key=lambda t: (-t[2], t[0]))
+    if len(pr) <= k:
+        tau = 0.0
+        keep = pr
+    else:
+        tau = pr[k][2]
+        keep = pr[:k]
+    return sorted(
+        (i, w, int(round(max(w, tau) * 1_000_000))) for i, w, _ in keep
+    )

@@ -6536,6 +6536,55 @@ GROUP BY m.triad_class ORDER BY m.triad_class
 _KG_TRIAD_SQL = _triad_sql()
 
 
+def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (functions/curation.py:priority_sample —
+    Duffield 2007) of the documents corpus weighted by token count,
+    k = 200: the fixed-size weighted sample whose weight_est column
+    gives UNBIASED subset-sum estimates for any post-hoc group — the
+    principled way to keep a bounded corpus slice without losing
+    group-by-weight totals. md5-deterministic uniforms, so the oracle
+    re-derives the identical sample and tau."""
+    from ..functions.curation import priority_sample
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("w"),
+    )
+    return priority_sample(docs, "doc_id", "w", k=200, salt="docs")
+
+
+_PRIORITY_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id AS id,
+         cast(len(string_split(text, ' ')) AS DOUBLE) AS weight
+  FROM documents
+),
+pr AS (
+  SELECT id, weight,
+         weight * 268435456.0 / (
+           cast(concat('0x', substring(md5(concat('docs', ':',
+             cast(id AS VARCHAR))), 1, 7)) AS BIGINT) + 1
+         ) AS q
+  FROM w
+),
+ranked AS (
+  SELECT id, weight, q,
+         row_number() OVER (ORDER BY q DESC, id ASC) AS rn
+  FROM pr
+),
+tau AS (
+  SELECT coalesce(max(CASE WHEN rn = 201 THEN q END), 0.0) AS tau
+  FROM ranked
+)
+SELECT r.id, r.weight,
+       cast(round(greatest(r.weight, t.tau) * 1000000) AS BIGINT)
+         AS weight_est_micro
+FROM ranked r, tau t
+WHERE r.rn <= 200
+ORDER BY r.id
+"""
+
+
 def q_ivm_pricing_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/maintenance.py:
     maintain_agg_view — the Gupta 1993 delta rule, the general form of
@@ -13249,6 +13298,7 @@ def queries() -> dict:
             "kg_rmat_degrees": q_kg_rmat_degrees,
             "ivm_pricing_view": q_ivm_pricing_view,
             "kg_triad_census": q_kg_triad_census,
+            "priority_sample_docs": q_priority_sample_docs,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13451,6 +13501,7 @@ def oracle_sql() -> dict:
         "kg_rmat_degrees": _KG_RMAT_SQL,
         "ivm_pricing_view": _IVM_PRICING_SQL,
         "kg_triad_census": _KG_TRIAD_SQL,
+        "priority_sample_docs": _PRIORITY_SAMPLE_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
