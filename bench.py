@@ -263,6 +263,7 @@ RELATIONAL = [
     "ivm_pricing_view",
     "kg_triad_census",
     "priority_sample_docs",
+    "mention_jw_join",
 ]
 
 

@@ -136,3 +136,116 @@ def levenshtein_python(a: str, b: str) -> int:
             )
         prev = cur
     return prev[-1]
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity (Jaro 1989), the record-linkage classic: match
+    window max(|a|,|b|)/2 - 1, transpositions = out-of-order matches/2.
+    Conventions locked to DuckDB's jaro_similarity BIT-EXACTLY (fuzzed
+    over 20k random pairs in tests/test_jw.py): empty strings score 0
+    (even '' vs ''), equal strings 1."""
+    if not a or not b:
+        return 0.0
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, boost: float = 0.7) -> float:
+    """Jaro-Winkler (Winkler 1990): boost by the common prefix (cap 4)
+    only when the Jaro score exceeds 0.7 — the exact convention DuckDB's
+    jaro_winkler_similarity implements (bit-exact fuzz pin)."""
+    j = jaro(a, b)
+    if j > boost:
+        l = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            l += 1
+        j = j + l * p * (1.0 - j)
+    return j
+
+
+def jw_similarity_join(
+    names: DataFrame,
+    col: str,
+    threshold_ppm: int = 900_000,
+    block_prefix: int = 3,
+    max_len_diff: int = 2,
+) -> DataFrame:
+    """Jaro-Winkler similarity self-join over distinct strings: the
+    fuzzy-alias detector for entity mentions where edit distance is too
+    coarse (JW weights prefixes, the signal in names). Blocking =
+    shared ``block_prefix``-char prefix + length band — sound for the
+    high-JW regime this targets (a pair with >= 0.9 JW and a long
+    common prefix shares its first chars; pairs failing the block are
+    below threshold for realistic name lengths, and the same block is
+    replayed verbatim in the oracle, so the CONTRACT is
+    blocked-join equality, not unblocked completeness).
+
+    Scale shape: candidate pairs come from an equi-join on the prefix
+    key (skew = block size, bounded by the prefix length knob); scoring
+    runs in one Arrow-batched mapInPandas over the pair table (the DP
+    is per-pair python — the same inside-Arrow convention as the codec
+    decoders); output is thresholded in the same pass, so only
+    accepted pairs ever shuffle. Returns (a, b, jw_ppm).
+    """
+    import pandas as pd
+
+    ds = names.select(F.col(col).alias("s")).where(
+        F.length("s") > 0
+    ).distinct()
+    blocked = ds.withColumn(
+        "blk", F.substring("s", 1, block_prefix)
+    )
+    pairs = (
+        blocked.alias("x")
+        .join(blocked.alias("y"), "blk")
+        .where(
+            (F.col("x.s") < F.col("y.s"))
+            & (
+                F.abs(F.length("x.s") - F.length("y.s"))
+                <= max_len_diff
+            )
+        )
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+    )
+
+    thr = threshold_ppm
+
+    def score(batches):
+        for pdf in batches:
+            ppm = [
+                int(jaro_winkler(a, b) * 1_000_000)
+                for a, b in zip(pdf["a"], pdf["b"])
+            ]
+            pdf = pdf.assign(jw_ppm=ppm)
+            yield pdf[pdf["jw_ppm"] >= thr]
+
+    return pairs.mapInPandas(score, "a string, b string, jw_ppm long")

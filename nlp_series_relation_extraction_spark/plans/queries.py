@@ -6536,6 +6536,43 @@ GROUP BY m.triad_class ORDER BY m.triad_class
 _KG_TRIAD_SQL = _triad_sql()
 
 
+def q_mention_jw_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy-alias join (functions/stringsim.py:
+    jw_similarity_join) over distinct part names: the prefix-weighted
+    record-linkage score where edit distance is too coarse. Blocking =
+    3-char prefix + length band, replayed verbatim by the oracle;
+    scoring is the pure-python JW locked BIT-EXACT to DuckDB's
+    jaro_winkler_similarity (20k-pair fuzz pin), so both engines
+    truncate the same doubles to the same ppm."""
+    from ..functions.stringsim import jw_similarity_join
+
+    names = t(spark, sf_dir, "part").select(
+        F.lower(F.col("p_name")).alias("mention")
+    )
+    return jw_similarity_join(
+        names, "mention", threshold_ppm=900_000
+    ).orderBy("a", "b")
+
+
+_MENTION_JW_SQL = """
+WITH ds AS (
+  SELECT DISTINCT lower(p_name) AS s FROM part WHERE length(p_name) > 0
+),
+blocked AS (SELECT s, substring(s, 1, 3) AS blk FROM ds),
+pairs AS (
+  SELECT x.s AS a, y.s AS b
+  FROM blocked x JOIN blocked y ON x.blk = y.blk
+  WHERE x.s < y.s AND abs(length(x.s) - length(y.s)) <= 2
+)
+SELECT a, b,
+       cast(floor(jaro_winkler_similarity(a, b) * 1000000) AS BIGINT)
+         AS jw_ppm
+FROM pairs
+WHERE floor(jaro_winkler_similarity(a, b) * 1000000) >= 900000
+ORDER BY a, b
+"""
+
+
 def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (functions/curation.py:priority_sample —
     Duffield 2007) of the documents corpus weighted by token count,
@@ -13299,6 +13336,7 @@ def queries() -> dict:
             "ivm_pricing_view": q_ivm_pricing_view,
             "kg_triad_census": q_kg_triad_census,
             "priority_sample_docs": q_priority_sample_docs,
+            "mention_jw_join": q_mention_jw_join,
         }
     )
     for head in ("bio", "mpn", "mhs", "biaffine"):
@@ -13502,6 +13540,7 @@ def oracle_sql() -> dict:
         "ivm_pricing_view": _IVM_PRICING_SQL,
         "kg_triad_census": _KG_TRIAD_SQL,
         "priority_sample_docs": _PRIORITY_SAMPLE_SQL,
+        "mention_jw_join": _MENTION_JW_SQL,
         "tfidf_top_terms": _tfidf_sql(),
         "kg_fact_intervals": _FACT_INTERVALS_SQL,
         "kg_facts_as_of": _FACTS_AS_OF_SQL,
