@@ -1243,10 +1243,13 @@ def _compact_line(out: dict, budget: int = 1800) -> str:
         base[k] = out[k]
     for name, sec in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
         base["queries"][name] = sec
+        # measure with the REAL count in place — a 0 placeholder is a
+        # digit narrower than the final value and can overshoot by a char
+        base["queries_shown"] = len(base["queries"])
         if len(json.dumps(base)) > budget:
             del base["queries"][name]
+            base["queries_shown"] = len(base["queries"])
             break
-    base["queries_shown"] = len(base["queries"])
     return json.dumps(base)
 
 
