@@ -21,6 +21,8 @@ step in SQL (windowed gaps-and-islands reproduce the greedy fold exactly).
 
 from __future__ import annotations
 
+from .smalldf import local_df
+
 from pyspark.sql import DataFrame, functions as F
 from .partitioning import checkpoint_nostats as _ckpt_nostats
 
@@ -141,8 +143,8 @@ def bpe_merges_df(
     (step int, a string, b string, pair_count bigint)."""
     res = train_bpe(docs, text_col, n_merges)
     spark = docs.sparkSession
-    return spark.createDataFrame(
-        res["merges"], "step int, a string, b string, pair_count long"
+    return local_df(
+        spark, res["merges"], "step int, a string, b string, pair_count long"
     )
 
 

@@ -16,6 +16,8 @@ and the capped inverted-index join — no all-pairs stage anywhere.
 
 from __future__ import annotations
 
+from .smalldf import local_df
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -187,7 +189,7 @@ def pack_sequences(
     for r in sorted(totals, key=lambda r: r.pid):
         base.append((r.pid, acc))
         acc += int(r.tot)
-    base_df = d.sparkSession.createDataFrame(base, "pid int, base long")
+    base_df = local_df(d.sparkSession, base, "pid int, base long")
     out = d.join(F.broadcast(base_df), "pid").select(
         "doc_id",
         "n_tokens",
@@ -888,7 +890,7 @@ def priority_sample(
         tau = rows[-1]["q"]
         keep = rows[:-1]
     spark = df.sparkSession
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [
             (
                 r["id"],

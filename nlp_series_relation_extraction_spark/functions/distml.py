@@ -36,6 +36,8 @@ LLM-pipeline operators the brief asks for.
 
 from __future__ import annotations
 
+from .smalldf import local_df
+
 from pyspark.sql import DataFrame, functions as F
 
 from .partitioning import ensure_parallelism
@@ -828,7 +830,7 @@ def procrustes_report(
     n = acc.get((0, -1), 0.0)
     spark = pairs.sparkSession
     if n == 0:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [],
             "n_anchors long, mean_cos_before_ppm long,"
             " mean_cos_after_ppm long",
@@ -838,7 +840,7 @@ def procrustes_report(
         int(round(acc[(1, -1)] / n * 1_000_000)),
         int(round(acc[(2, -1)] / n * 1_000_000)),
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [row],
         "n_anchors long, mean_cos_before_ppm long,"
         " mean_cos_after_ppm long",

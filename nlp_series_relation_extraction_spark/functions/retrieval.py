@@ -32,6 +32,8 @@ Scale shape (100 TB chunk corpus):
 
 from __future__ import annotations
 
+from .smalldf import local_df
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 BM25_K1 = 1.2
@@ -77,7 +79,7 @@ def bm25_topk(
     if n_chunks == 0 or dl_sum is None:
         # empty corpus, or no indexable text at all (every chunk_text
         # NULL explodes to zero postings): no index, no matches
-        return chunks.sparkSession.createDataFrame(
+        return local_df(chunks.sparkSession, 
             [],
             "query_id long, rank int, doc_id long, chunk_idx int,"
             " score_milli long",

@@ -42,6 +42,8 @@ Plan shapes (the 100-TB contract):
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
 from pyspark.sql import DataFrame, functions as F
@@ -151,8 +153,8 @@ def _member_df(spark, axioms: dict[str, list[str]]) -> DataFrame:
         for expr, members in sorted(axioms.items())
         for m in sorted(set(members))
     ]
-    return spark.createDataFrame(
-        rows, "expr string, member string, arity int"
+    return local_df(
+        spark, rows, "expr string, member string, arity int"
     )
 
 
@@ -244,8 +246,8 @@ def owl_boolean_class_entailment(
     ]
     if oo_rows:
         seed = seed.unionByName(
-            spark.createDataFrame(
-                oo_rows, "subj string, predicate string, obj string"
+            local_df(
+                spark, oo_rows, "subj string, predicate string, obj string"
             )
         )
     closure = rdfs_entailment(

@@ -16,6 +16,8 @@ dimension (hot mentions are single dimension rows; see operators/linking.py).
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 import re
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -2813,14 +2815,14 @@ def betweenness_centrality(
     pivots = sample_pivots(edges, n_pivots, salt=salt)
     spark = edges.sparkSession
     if not pivots:
-        return spark.createDataFrame(
-            [], "entity_id long, delta_sum double, bc_est double"
+        return local_df(
+            spark, [], "entity_id long, delta_sum double, bc_est double"
         )
     n_verts = (
         und.select(F.col("a").alias("entity_id")).distinct().count()
     )
-    lvl0 = spark.createDataFrame(
-        [(p, p, 1.0) for p in pivots], "src long, v long, sigma double"
+    lvl0 = local_df(
+        spark, [(p, p, 1.0) for p in pivots], "src long, v long, sigma double"
     ).transform(_ckpt_nostats)
 
     # forward: levels[d] = (src, v, sigma) of vertices FIRST reached at
@@ -2883,7 +2885,7 @@ def betweenness_centrality(
     # accumulates levels 0..D-1 as PARENTS — add the deepest level
     # (delta 0 there, so only the parents' rows matter; roots excluded)
     if acc is None:
-        acc = spark.createDataFrame([], "v long, delta double")
+        acc = local_df(spark, [], "v long, delta double")
     out = acc.groupBy(F.col("v").alias("entity_id")).agg(
         F.sum("delta").alias("delta_sum")
     )
@@ -3906,7 +3908,7 @@ def strongly_connected_components(
         .distinct()
         .transform(_ckpt_nostats)
     )
-    done = spark.createDataFrame([], "entity_id long, component long")
+    done = local_df(spark, [], "entity_id long, component long")
     act_e = e0
     for _ in range(max_outer):
         # TRIM loop: peel acyclic periphery as singleton SCCs
@@ -4211,7 +4213,7 @@ def boruvka_msf(
         .select(F.col("x").alias("vtx"), F.col("x").alias("c"))
         .transform(_ckpt_nostats)
     )
-    forest = spark.createDataFrame([], "u long, v long, w double")
+    forest = local_df(spark, [], "u long, v long, w double")
     for _ in range(max_rounds):
         cu = comp.select(F.col("vtx").alias("u"), F.col("c").alias("cu"))
         cv = comp.select(F.col("vtx").alias("v"), F.col("c").alias("cv"))
@@ -4480,8 +4482,8 @@ def densest_subgraph(
         )
     if best is None:
         spark = edges.sparkSession
-        return spark.createDataFrame(
-            [], "entity_id long, n_vertices long, n_edges long"
+        return local_df(
+            spark, [], "entity_id long, n_vertices long, n_edges long"
         )
     e_cnt, v_cnt, verts = best
     return verts.select(
@@ -4835,8 +4837,8 @@ def triad_census(edges: DataFrame) -> DataFrame:
         )
     )
     cmap = _triad_canon_map()
-    lookup = spark.createDataFrame(
-        [(k, v) for k, v in cmap.items()], "code int, triad_class string"
+    lookup = local_df(
+        spark, [(k, v) for k, v in cmap.items()], "code int, triad_class string"
     )
     return (
         coded.join(F.broadcast(lookup), "code")

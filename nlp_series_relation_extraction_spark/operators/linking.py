@@ -31,6 +31,8 @@ also covers this; salting is kept explicit per the north rule).
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 from pyspark.sql import DataFrame, functions as F
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
 
@@ -554,7 +556,7 @@ def sorted_neighborhood(
     for r in sorted(counts, key=lambda r: r.pid):
         base.append((r.pid, acc))
         acc += int(r.n)
-    base_df = d.sparkSession.createDataFrame(base, "pid int, base long")
+    base_df = local_df(d.sparkSession, base, "pid int, base long")
     ranked = d.join(F.broadcast(base_df), "pid").select(
         (F.col("base") + F.col("lr")).alias("rank"), F.col("i")
     )

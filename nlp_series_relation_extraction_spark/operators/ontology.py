@@ -36,6 +36,8 @@ Schema 1.1 entailment rules.
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, functions as F
@@ -691,8 +693,8 @@ def _step_fixpoint(
     hitting it returns the partial closure, same contract as
     match_path/forward_chain."""
     spark = acc.sparkSession
-    steps_df = spark.createDataFrame(
-        steps, "lp string, rp string, op string"
+    steps_df = local_df(
+        spark, steps, "lp string, rp string, op string"
     )
     acc = acc.transform(_ckpt_nostats)
     delta = delta.transform(_ckpt_nostats)
@@ -1007,9 +1009,9 @@ def owl_class_entailment(
         return closure
     spark = facts.sparkSession
     schema = "cls string, prop string, filler string"
-    hv = spark.createDataFrame(res["hasValue"], schema)
-    svf = spark.createDataFrame(res["someValuesFrom"], schema)
-    avf = spark.createDataFrame(res["allValuesFrom"], schema)
+    hv = local_df(spark, res["hasValue"], schema)
+    svf = local_df(spark, res["someValuesFrom"], schema)
+    avf = local_df(spark, res["allValuesFrom"], schema)
     cols = ["subj", "predicate", "obj"]
     delta = closure
     for _ in range(max_rounds):
@@ -1114,7 +1116,7 @@ def disjoint_violations(
         if k == kind
     )
     spark = facts.sparkSession
-    dw = spark.createDataFrame(pairs, "cls_a string, cls_b string")
+    dw = local_df(spark, pairs, "cls_a string, cls_b string")
     types = facts.where(F.col("predicate") == type_predicate).select(
         "subj", F.col("obj").alias("cls_a")
     )
@@ -1324,7 +1326,8 @@ def _declared(onto: list[tuple[str, str, str]], kind: str) -> list[str]:
 
 
 def _adjacent_value_pairs(
-    facts: DataFrame, key_cols: list[str], val_col: str
+    facts: DataFrame, key_cols: list[str], val_col: str,
+    star: bool = False,
 ) -> DataFrame:
     """(a_id, b_id) sameAs candidates: for every key group holding >1
     distinct value, CHAIN-ADJACENT pairs over the sorted value set —
@@ -1332,19 +1335,31 @@ def _adjacent_value_pairs(
     enough because the pairs only seed a connected-components closure:
     a chain and a clique have the same components. Output size is
     linear in the number of colliding values, so a hub key (one email
-    shared by a million accounts) costs a million rows, not 10^12."""
+    shared by a million accounts) costs a million rows, not 10^12.
+
+    ``star=True`` emits (min value -> every other) STAR pairs instead:
+    same size, same connected components, but component diameter 2
+    instead of group size, so the downstream min-label CC settles in
+    O(1) rounds instead of O(log group) — each CC round is several
+    driver-paid jobs (round-6 measurement), and hub stars are already
+    covered by the CC's salted propagation join. Chains stay the
+    default because :func:`max_cardinality_same_as` EXPOSES its pairs
+    (oracle-pinned query output); the equality fixpoint, which only
+    feeds CC, opts into stars."""
     g = (
         facts.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set(val_col)).alias("vals"))
         .where(F.size("vals") > 1)
     )
+    pair_expr = (
+        "transform(slice(vals, 2, size(vals)-1),"
+        " v -> struct(vals[0] as a_id, v as b_id))"
+        if star
+        else "transform(slice(vals, 1, size(vals)-1),"
+        " (v, i) -> struct(v as a_id, vals[i+1] as b_id))"
+    )
     return g.select(
-        F.explode(
-            F.expr(
-                "transform(slice(vals, 1, size(vals)-1),"
-                " (v, i) -> struct(v as a_id, vals[i+1] as b_id))"
-            )
-        ).alias("pr")
+        F.explode(F.expr(pair_expr)).alias("pr")
     ).select("pr.a_id", "pr.b_id")
 
 
@@ -1361,7 +1376,9 @@ def same_as_pairs(
 
     Each is one predicate-pruned scan + one hash aggregate keyed on
     (subject, predicate) / (predicate, object); collisions come back as
-    linear adjacent chains (see :func:`_adjacent_value_pairs`)."""
+    linear STAR pairs (see :func:`_adjacent_value_pairs` — these pairs
+    only seed the equality CC, so the diameter-2 shape halves its
+    rounds; components, and therefore the entailment, are unchanged)."""
     parts = []
     if functional:
         parts.append(
@@ -1369,6 +1386,7 @@ def same_as_pairs(
                 facts.where(F.col("predicate").isin(functional)),
                 ["subj", "predicate"],
                 "obj",
+                star=True,
             )
         )
     if inverse_functional:
@@ -1377,11 +1395,12 @@ def same_as_pairs(
                 facts.where(F.col("predicate").isin(inverse_functional)),
                 ["obj", "predicate"],
                 "subj",
+                star=True,
             )
         )
     if not parts:
-        return facts.sparkSession.createDataFrame(
-            [], "a_id string, b_id string"
+        return local_df(
+            facts.sparkSession, [], "a_id string, b_id string"
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1423,29 +1442,37 @@ def has_key_pairs(
     ``(C, (p1..pn))``): x sameAs y when both are typed C and for EVERY
     key property pi some value is asserted for both.
 
-    Plan per axiom — the entity-resolution block-then-verify shape:
+    Plan per axiom — FULL-SIGNATURE blocking (round-6 rewrite):
 
-    1. *Block* on p1 (callers order properties most-selective first):
-       one predicate-pruned scan, one hash aggregate keyed on the
-       value, all-pairs WITHIN each colliding group. Unlike prp-fp/
-       prp-ifp this cannot use adjacent chains — compound keys
-       intersect pair sets across properties, and a chain's missing
-       pairs don't come back at intersection time — so group fan-out
-       is genuinely quadratic, bounded by ``max_block`` (a key value
-       shared by more entities than that is not a key; the guard
-       raises with the offending count rather than silently spending
-       a trillion-row join, mirroring the dedup operators' capped
-       blocking).
-    2. *Restrict* both sides to class C via broadcast-friendly
-       semi-joins on the typed-entity set.
-    3. *Verify* the remaining n-1 properties per candidate pair: join
-       the pair's a-side values for pi, semi-join the b-side on
-       (entity, property, value), and keep pairs matching all n-1 —
-       every join keyed, work linear in candidates × key arity.
+    1. *Restrict* to class C via a semi-join on the typed-entity set,
+       prune to the key predicates, distinct.
+    2. *Signatures*: x sameAs y iff for EVERY pi they share some value
+       — equivalently, iff they share at least one full value tuple
+       (v1..vn) with vi drawn per property, so joining the per-property
+       value tables on the entity (multi-valued rows fan out into the
+       cross product of value choices) yields an array-typed signature
+       column whose equality IS the prp-key condition. One hash
+       aggregate keyed on the signature groups candidates exactly; no
+       verify joins remain.
+    3. *Pairs*: all-pairs WITHIN each signature group (sorted
+       collect_set + nested transform), bounded by ``max_block`` (a
+       signature shared by more entities than that is not a key; the
+       guard raises with the offending count rather than silently
+       spending a quadratic join). The round-5 plan blocked on p1
+       alone and verified p2..pn with joins — on a low-selectivity p1
+       that materialized the p1-group quadratic (measured: two 8.5 s
+       single-task pair-expansion stages on kg_haskey_sameas at sf0.1,
+       25 nation-keyed groups of ~600 -> 4.5M candidates for 105k true
+       pairs); signature groups are the true collision groups, so the
+       quadratic is bounded by actual key collisions.
 
-    Pairs come back canonicalized a < b, distinct."""
+    Pairs come back canonicalized a < b, distinct. Multi-valued key
+    properties fan signatures out multiplicatively (an entity with m
+    values on each of n props carries m^n signature rows) — real keys
+    are near-single-valued; the all-different guard still bounds any
+    one group."""
     spark = facts.sparkSession
-    empty = spark.createDataFrame([], "a_id string, b_id string")
+    empty = local_df(spark, [], "a_id string, b_id string")
     parts: list[DataFrame] = []
     for cls, props in axioms:
         typed = (
@@ -1462,9 +1489,19 @@ def has_key_pairs(
             .join(typed, F.col("subj") == F.col("ent"), "left_semi")
             .distinct()
         )
+        sig = kv.where(F.col("predicate") == props[0]).select(
+            "subj", F.array("obj").alias("sig")
+        )
+        for p in props[1:]:
+            nxt = kv.where(F.col("predicate") == p).select(
+                "subj", F.col("obj").alias("_v")
+            )
+            sig = sig.join(nxt, "subj").select(
+                "subj",
+                F.concat("sig", F.array("_v")).alias("sig"),
+            )
         blocks = (
-            kv.where(F.col("predicate") == props[0])
-            .groupBy("obj")
+            sig.groupBy("sig")
             .agg(F.sort_array(F.collect_set("subj")).alias("ents"))
             .where(F.size("ents") > 1)
         )
@@ -1473,7 +1510,7 @@ def has_key_pairs(
         ).first()
         if oversize and oversize["mx"] is not None:
             raise ValueError(
-                f"hasKey blocking group for ({cls}, {props[0]}) holds "
+                f"hasKey signature group for ({cls}, {props[0]}) holds "
                 f"{oversize['mx']} entities (> max_block={max_block}) "
                 "- that value does not behave like a key; clean the "
                 "data or reorder the key properties"
@@ -1488,26 +1525,6 @@ def has_key_pairs(
                 )
             ).alias("pr")
         ).select("pr.a_id", "pr.b_id").distinct()
-        for p in props[1:]:
-            kvp = kv.where(F.col("predicate") == p)
-            a_vals = pairs.join(
-                kvp.select(
-                    F.col("subj").alias("a_id"), F.col("obj").alias("v")
-                ),
-                "a_id",
-            )
-            pairs = (
-                a_vals.join(
-                    kvp.select(
-                        F.col("subj").alias("b_id"),
-                        F.col("obj").alias("v"),
-                    ),
-                    ["b_id", "v"],
-                    "left_semi",
-                )
-                .select("a_id", "b_id")
-                .distinct()
-            )
         parts.append(pairs)
     if not parts:
         return empty
@@ -1574,7 +1591,7 @@ def owl_equality_entailment(
     cols = ["subj", "predicate", "obj"]
     cur = _ckpt_nostats(facts.select(*cols).distinct())
     spark = facts.sparkSession
-    mapping = spark.createDataFrame([], "orig string, canon string")
+    mapping = local_df(spark, [], "orig string, canon string")
     for _ in range(max_outer):
         pairs = same_as_pairs(cur, fp, ifp)
         if hk:
@@ -1812,7 +1829,7 @@ def property_axiom_violations(
             flat(fwd.join(rev, ["predicate", "subj", "obj"]), "prp-asyp")
         )
     if pdw:
-        decl = spark.createDataFrame(pdw, "pred_a string, pred_b string")
+        decl = local_df(spark, pdw, "pred_a string, pred_b string")
         pa = facts.where(
             F.col("predicate").isin(sorted({p for p, _ in pdw}))
         ).select(
@@ -1928,8 +1945,8 @@ def max_cardinality_violations(
     reports: list[DataFrame] = []
 
     def assertions(axioms: list[tuple[str, str, str]]) -> DataFrame:
-        decl = spark.createDataFrame(
-            axioms, "r_cls string, predicate string, filler string"
+        decl = local_df(
+            spark, axioms, "r_cls string, predicate string, filler string"
         )
         return (
             facts.where(
@@ -2019,8 +2036,8 @@ def max_cardinality_same_as(
     parts: list[DataFrame] = []
 
     def scoped(axioms: list[tuple[str, str, str]]) -> DataFrame:
-        decl = spark.createDataFrame(
-            axioms, "r_cls string, predicate string, filler string"
+        decl = local_df(
+            spark, axioms, "r_cls string, predicate string, filler string"
         )
         return (
             facts.where(
@@ -2233,8 +2250,8 @@ def schema_closure(
             "belongs in the facts input"
         )
     closed = sorted(schema_closure_python([tuple(r) for r in rows]))
-    return ontology.sparkSession.createDataFrame(
-        closed, "s string, p string, o string"
+    return local_df(
+        ontology.sparkSession, closed, "s string, p string, o string"
     )
 
 

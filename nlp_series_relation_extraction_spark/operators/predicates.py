@@ -36,6 +36,8 @@ Plan shape (the 100 TB contract):
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -191,7 +193,8 @@ def canonicalize_predicates(
         canon = min(members)
         for p in members:
             mapping_rows.append((p, canon, len(members)))
-    mapping = spark.createDataFrame(
+    mapping = local_df(
+        spark,
         mapping_rows,
         "predicate string, canonical_predicate string, cluster_size int",
     ).join(

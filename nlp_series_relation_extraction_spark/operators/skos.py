@@ -41,6 +41,8 @@ depth x edges, not edges^2, on tree-like data.
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 from pyspark.sql import DataFrame, functions as F
 
 PREF_LABEL = "skos:prefLabel"
@@ -79,7 +81,8 @@ def skos_report(parsed: DataFrame) -> DataFrame:
     broader = parsed.where(F.col("predicate") == BROADER).select(
         "subj", "predicate", "obj"
     )
-    onto = parsed.sparkSession.createDataFrame(
+    onto = local_df(
+        parsed.sparkSession,
         [(BROADER, "transitiveProperty", BROADER)],
         "s string, p string, o string",
     )

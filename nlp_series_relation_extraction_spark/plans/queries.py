@@ -13,6 +13,8 @@ covers exactness against the plain-Python oracle + gold roundtrip instead.
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -2411,7 +2413,7 @@ def q_vocab_spo_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..config import vocab_dimension_rows
 
     rows = vocab_dimension_rows()["spo_tag"]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "rel_id int, predicate string, subject_type string, object_type string"
     )
 
@@ -2519,7 +2521,7 @@ def q_kg_train_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, round(float(loss), 6)) for i, loss in enumerate(res["loss_history"])
     ]
-    return spark.createDataFrame(rows, "epoch int, mean_masked_bce double")
+    return local_df(spark, rows, "epoch int, mean_masked_bce double")
 
 
 def _derived_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3041,7 +3043,7 @@ def q_kg_train_mpn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "epoch int, mean_joint_bce double, mean_subject_bce double, "
         "mean_po_bce double",
@@ -3067,7 +3069,7 @@ def q_kg_train_mhs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "epoch int, weighted_bce double, mean_sub_bce double, "
         "mean_rel_bce double",
@@ -3095,7 +3097,7 @@ def q_kg_train_biaffine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "epoch int, weighted_bce double, mean_sub_bce double, "
         "mean_rel_bce double",
@@ -3121,7 +3123,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count("*").alias("n_members"))
     )
-    norms = spark.createDataFrame(
+    norms = local_df(spark, 
         [(c, round(float(np.linalg.norm(C[c])), 6)) for c in range(len(C))],
         "cluster int, centroid_norm double",
     )
@@ -5523,7 +5525,7 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, round(float(r), 6))
         for i, r in enumerate(m["explained_variance_ratio"])
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "component int, explained_variance_ratio double"
     )
 
@@ -7777,7 +7779,7 @@ def q_kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("type").alias("predicate"),
         F.lit("VIP").alias("obj"),
     )
-    onto = spark.createDataFrame(_RDFS_ONTO, "s string, p string, o string")
+    onto = local_df(spark, _RDFS_ONTO, "s string, p string, o string")
     return rdfs_entailment(facts.unionByName(vip), onto).orderBy(
         "subj", "predicate", "obj"
     )
@@ -7878,7 +7880,7 @@ def q_kg_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey").cast("long") + 1) * 4).cast("string")
         .alias("obj"),
     )
-    onto = spark.createDataFrame(_OWL_ONTO, "s string, p string, o string")
+    onto = local_df(spark, _OWL_ONTO, "s string, p string, o string")
     return rdfs_entailment(
         facts.unionByName(vip).unionByName(peers), onto
     ).orderBy("subj", "predicate", "obj")
@@ -8015,7 +8017,7 @@ def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_regionkey").cast("long") * 4 + 3)
         .cast("string").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("reports_to", "transitiveProperty", "reports_to"),
             ("peer_next", "transitiveProperty", "peer_next"),
@@ -8090,7 +8092,7 @@ def q_kg_owl_rl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("reports_to")).alias("predicate"),
         (F.floor(ck / 2) * 4).cast("string").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("manages", "subPropertyOf", "reports_to"),
             ("reports_to", "transitiveProperty", "reports_to"),
@@ -8180,7 +8182,7 @@ def q_kg_owl_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_regionkey").cast("long") * 4 + 3)
         .cast("string").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("registered_email", "inverseFunctionalProperty", "x"),
             ("primary_nation", "functionalProperty", "x"),
@@ -8297,7 +8299,7 @@ def q_kg_owl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = parent.select(
         "subj", F.lit("ancestor").alias("predicate"), "obj"
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("ancestor", "propertyChain", "parent/ancestor"),
             (
@@ -8379,7 +8381,7 @@ def q_kg_owl_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_regionkey").cast("long") * 4 + 3)
         .cast("string").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("R3Nation", "hasValue", "in_region/15"),
             ("R3Cust", "someValuesFrom", "in_nation/R3Nation"),
@@ -8447,7 +8449,7 @@ def q_kg_disjoint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("type").alias("predicate"),
         F.lit("ZoneHigh").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [("ZoneLow", "disjointWith", "ZoneHigh")],
         "s string, p string, o string",
     )
@@ -8548,7 +8550,7 @@ def q_kg_owl_rl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("reports_to")).alias("predicate"),
         (F.floor(ck / 2) * 4).cast("string").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("manages", "subPropertyOf", "reports_to"),
             ("skip_level", "propertyChain", "reports_to/reports_to"),
@@ -8764,7 +8766,7 @@ def q_kg_anf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     curve = hyper_anf(_bipartite_edges(spark, sf_dir), p=4, max_t=3)
     ed = effective_diameter(curve)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(t, round(est, 3), ed) for t, est in curve],
         "t int, pairs_est double, effective_diameter int",
     )
@@ -8887,7 +8889,7 @@ def q_kg_haskey_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("key_bucket").alias("predicate"),
         F.concat(F.lit("b"), (ck % 40).cast("string")).alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [("Customer", "hasKey", "key_nation|key_bucket")],
         "s string, p string, o string",
     )
@@ -9389,7 +9391,7 @@ def q_kg_different_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     facts = emails.unionByName(asserts(97)).unionByName(asserts(1))
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [("registered_email", "inverseFunctionalProperty", "x")],
         "s string, p string, o string",
     )
@@ -9549,7 +9551,7 @@ def q_kg_property_axioms(spark: SparkSession, sf_dir: str) -> DataFrame:
         excl.unionByName(sup).unionByName(sup_rev)
         .unionByName(owns).unionByName(rents)
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("excludes", "irreflexive", ""),
             ("supervises", "asymmetric", ""),
@@ -9644,7 +9646,7 @@ def q_kg_max_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctypes.unionByName(ntypes).unionByName(banned)
         .unionByName(visits)
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("Customer", "maxCardinality0", "banned_from"),
             ("Customer", "maxQualifiedCardinality0", "visits|Restricted"),
@@ -9734,7 +9736,7 @@ def q_kg_maxc_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(addr("z", ck % 26 == 0))
         .unionByName(contacts)
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("Customer", "maxCardinality1", "primary_addr"),
             ("Customer", "maxQualifiedCardinality1", "contact|Email"),
@@ -10045,7 +10047,7 @@ def q_kg_complement_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         csub.alias("subj"), F.lit("type").alias("predicate"),
         F.lit("Inactive").alias("obj"),
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [("Active", "complementOf", "Inactive")],
         "s string, p string, o string",
     )
@@ -10233,7 +10235,7 @@ def q_kg_all_different(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ent = owl_equality_entailment(
         emails,
-        spark.createDataFrame(
+        local_df(spark, 
             [("registered_email", "inverseFunctionalProperty", "x")],
             "s string, p string, o string",
         ),
@@ -10326,7 +10328,7 @@ def q_kg_all_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(typed("Silver", 6))
         .unionByName(typed("Bronze", 10))
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("ax1", "allDisjointMembers", "LT"),
             ("LT", "rdf:first", "Gold"), ("LT", "rdf:rest", "LT#1"),
@@ -10712,7 +10714,7 @@ def q_kg_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _cons_rows("owl:oneOf", "KeyNation", ["nat0", "nat5", "nat10"], "o")
         + [("BigSpender", "subClassOf", "Rich")]
     )
-    onto = spark.createDataFrame(onto_rows, "s string, p string, o string")
+    onto = local_df(spark, onto_rows, "s string, p string, o string")
     return owl_boolean_class_entailment(facts, onto).orderBy(
         "subj", "predicate", "obj"
     )
@@ -10977,7 +10979,7 @@ def q_kg_schema_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Region").alias("o"),
     )
     onto = (
-        spark.createDataFrame(_SCM_ONTO, "s string, p string, o string")
+        local_df(spark, _SCM_ONTO, "s string, p string, o string")
         .unionByName(r_cls)
         .unionByName(r_sub)
     )
@@ -11085,7 +11087,7 @@ def q_kg_eqv_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("type").alias("predicate"),
         F.lit("Premier").alias("obj"),
     )
-    onto = spark.createDataFrame(_EQV_ONTO, "s string, p string, o string")
+    onto = local_df(spark, _EQV_ONTO, "s string, p string, o string")
     return rdfs_entailment(facts.unionByName(premier), onto).orderBy(
         "subj", "predicate", "obj"
     )
@@ -11354,7 +11356,7 @@ def q_kg_all_disjoint_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(linked("disputed", 5))
         .unionByName(linked("comped", 7))
     )
-    onto = spark.createDataFrame(
+    onto = local_df(spark, 
         [
             ("axp", "allDisjointPropertyMembers", "LP"),
             ("LP", "rdf:first", "paid"), ("LP", "rdf:rest", "LP#1"),

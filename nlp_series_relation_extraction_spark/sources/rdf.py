@@ -29,6 +29,8 @@ Design notes:
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 import re
 from urllib.parse import quote, unquote
 
@@ -58,7 +60,7 @@ def predicate_iri_map(
         for r in edges.select("predicate").distinct().orderBy("predicate").collect()
     ]
     spark = edges.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(p, f"{base}p/{quote(p, safe='')}") for p in preds],
         "predicate string, pred_iri string",
     )
@@ -385,7 +387,7 @@ def ntriples_to_edges(
         r[0] for r in edges.select("pred_enc").distinct().collect()
     ]
     spark = lines.sparkSession
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         [(e, unquote(e)) for e in encs], "pred_enc string, predicate string"
     )
     return edges.join(F.broadcast(dim), "pred_enc").select(
@@ -546,7 +548,7 @@ def nquads_to_edges(
     # export's '+'->'%20' rewrite makes form-decode == percent-decode)
     encs = [r[0] for r in quads.select("pred_enc").distinct().collect()]
     spark = lines.sparkSession
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         [(e, unquote(e)) for e in encs],
         "pred_enc string, predicate string",
     )

@@ -30,6 +30,8 @@ the SHACL term machinery compose unchanged.
 
 from __future__ import annotations
 
+from ..functions.smalldf import local_df
+
 import re
 from urllib.parse import quote, urljoin
 
@@ -88,7 +90,7 @@ def edges_to_turtle(
         .orderBy("predicate")
         .collect()
     ]
-    pm = edges.sparkSession.createDataFrame(
+    pm = local_df(edges.sparkSession, 
         [
             (p, "p:" + _pn_local_escape(quote(p, safe="")))
             for p in preds

@@ -1020,6 +1020,10 @@ def test_kg_sink_replay_is_idempotent_and_versions_expire(spark, tmp_path):
         [("alpha beta", 1), ("gamma delta", 2)],
         "mention_norm string, entity_id long",
     )
+    from nlp_series_relation_extraction_spark.streaming.kg_sink import (
+        COMPACT_DELTAS,
+    )
+
     for b in range(4):
         upsert_edge_batch(spark, triples, aliases, table, b)
     once = {tuple(r) for r in read_current_edges(spark, table).collect()}
@@ -1030,8 +1034,19 @@ def test_kg_sink_replay_is_idempotent_and_versions_expire(spark, tmp_path):
     upsert_edge_batch(spark, triples, aliases, table, 3)
     again = {tuple(r) for r in read_current_edges(spark, table).collect()}
     assert again == once
-    # one subject entity -> every batch touches exactly one bucket; within
-    # that bucket the newest two versions are retained, older expired
+    # one subject entity -> every batch touches exactly one bucket.
+    # Merge-on-read: run enough further batches to force >=2 compaction
+    # cycles, then check the fold stays exact and disk stays bounded
+    # (referenced = 1 base + up to COMPACT_DELTAS-1 deltas; expiry keeps
+    # at most COMPACT_DELTAS unreferenced dirs for in-flight readers).
+    n_more = 2 * COMPACT_DELTAS + 1
+    for b in range(4, 4 + n_more):
+        upsert_edge_batch(spark, triples, aliases, table, b)
+    cur = {tuple(r) for r in read_current_edges(spark, table).collect()}
+    assert {r[3] for r in cur} == {4 + n_more}  # every batch folded once
+    with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
+        st = json.load(f)
+    assert any(st["deltas"].values()) or st["buckets"]  # manifest shape
     bdirs = [n for n in os.listdir(table) if n.startswith("b")]
     assert len(bdirs) == 1
     versions = [
@@ -1039,7 +1054,8 @@ def test_kg_sink_replay_is_idempotent_and_versions_expire(spark, tmp_path):
         for n in os.listdir(os.path.join(table, bdirs[0]))
         if n.startswith("v")
     ]
-    assert len(versions) == 2  # newest two retained, older expired
+    n_ref = 1 + len(next(iter(st["deltas"].values()), []))
+    assert len(versions) <= n_ref + COMPACT_DELTAS  # expiry bounds disk
 
 
 def test_kg_sink_batch_ids_beyond_zero_padding(spark, tmp_path):
@@ -1120,19 +1136,25 @@ def test_kg_sink_rewrites_only_touched_buckets(spark, tmp_path):
     def snapshot():
         with open(os.path.join(table, "_CURRENT"), encoding="utf-8") as f:
             st = json.load(f)
+        refs = {
+            b: [v] + list((st.get("deltas") or {}).get(b, []))
+            for b, v in st["buckets"].items()
+        }
         out = {}
-        for b, v in st["buckets"].items():
-            d = os.path.join(table, f"b{int(b):04d}", v)
-            for fn in sorted(os.listdir(d)):
-                p = os.path.join(d, fn)
-                if os.path.isfile(p):
-                    with open(p, "rb") as fh:
-                        out[(b, v, fn)] = hashlib.sha256(
-                            fh.read()
-                        ).hexdigest()
+        for b, vs in refs.items():
+            for v in vs:
+                d = os.path.join(table, f"b{int(b):04d}", v)
+                for fn in sorted(os.listdir(d)):
+                    p = os.path.join(d, fn)
+                    if os.path.isfile(p):
+                        with open(p, "rb") as fh:
+                            out[(b, v, fn)] = hashlib.sha256(
+                                fh.read()
+                            ).hexdigest()
+        st["_refs"] = refs
         return st, out
 
-    _, before = snapshot()
+    state0b, before = snapshot()
     # batch 1: ONE subject -> touches exactly one bucket
     upsert_edge_batch(
         spark, triples_for([(mentions[0], mentions[1])]), aliases, table, 1,
@@ -1140,10 +1162,10 @@ def test_kg_sink_rewrites_only_touched_buckets(spark, tmp_path):
     state1, after = snapshot()
     changed = {
         b
-        for b in state1["buckets"]
-        if state0["buckets"].get(b) != state1["buckets"][b]
+        for b in state1["_refs"]
+        if state0b["_refs"].get(b) != state1["_refs"][b]
     }
-    assert len(changed) == 1  # exactly one bucket advanced a version
+    assert len(changed) == 1  # exactly one bucket gained a version
     (touched,) = changed
     untouched_keys = [k for k in before if k[0] != touched]
     assert untouched_keys  # the subset is strict
