@@ -895,7 +895,9 @@ def priority_sample(
             (
                 r["id"],
                 r["weight"],
-                int(round(max(r["weight"], tau) * 1_000_000)),
+                # half-away-from-zero like DuckDB round() — python round()
+                # is half-to-even and would diverge on exact .5 micro-units
+                int(max(r["weight"], tau) * 1_000_000 + 0.5),
             )
             for r in keep
         ],
@@ -926,5 +928,5 @@ def priority_sample_python(
         tau = pr[k][2]
         keep = pr[:k]
     return sorted(
-        (i, w, int(round(max(w, tau) * 1_000_000))) for i, w, _ in keep
+        (i, w, int(max(w, tau) * 1_000_000 + 0.5)) for i, w, _ in keep
     )

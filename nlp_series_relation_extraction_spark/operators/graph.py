@@ -3501,18 +3501,23 @@ def louvain_local_move(
         "id",
         "left",
     ).na.fill({"k": 0})
-    labels = verts.select(
-        "id", F.col("id").alias("community_id")
-    ).transform(_ckpt_nostats)
     m_edges = und.count()
     if m_edges == 0:
-        return labels.select(
-            F.col("id").alias("entity_id"), "community_id"
+        return verts.select(
+            F.col("id").alias("entity_id"),
+            F.col("id").alias("community_id"),
         )
-    deg = deg.transform(_ckpt_nostats)
+    # labels carry the vertex degree k through every round (round-6):
+    # Σtot becomes a plain aggregate (no labels⋈deg join) and the
+    # scoring join fetches (own_d, k) with ONE labels join instead of
+    # separate deg and cur joins — 3 exchanges per round removed, with
+    # bit-identical gain arithmetic.
+    labels = deg.select(
+        "id", F.col("id").alias("community_id"), "k"
+    ).transform(_ckpt_nostats)
     for r in range(rounds):
-        lab = labels.withColumnRenamed("id", "v").withColumnRenamed(
-            "community_id", "nbr_comm"
+        lab = labels.select(
+            F.col("id").alias("v"), F.col("community_id").alias("nbr_comm")
         )
         # k_vD: edges from v into each neighbor community D
         kvd = (
@@ -3520,32 +3525,35 @@ def louvain_local_move(
             .groupBy(F.col("u").alias("id"), F.col("nbr_comm").alias("d"))
             .agg(F.count("*").cast("long").alias("k_vd"))
         )
-        # staying is always a candidate, even with no neighbors in C
+        # staying is always a candidate, even with no neighbors in C.
+        # No (id, d) re-aggregate: the duplicate own-community row (when
+        # v has neighbors in its own community) scores a gain <= the
+        # true k_vd row's, and both the best_d argmax and the stay-gain
+        # max are unchanged by dominated duplicates (round-6: one
+        # exchange per round removed; pinned identical by test_louvain).
         own = labels.select(
             "id", F.col("community_id").alias("d"),
             F.lit(0).cast("long").alias("k_vd"),
         )
-        cand = (
-            kvd.unionByName(own)
-            .groupBy("id", "d")
-            .agg(F.max("k_vd").alias("k_vd"))
-        )
+        cand = kvd.unionByName(own)
         # Σtot(D): degree mass per community under the CURRENT labels
-        tot = (
-            labels.join(deg, "id")
-            .groupBy(F.col("community_id").alias("d"))
-            .agg(F.sum("k").cast("long").alias("tot_d"))
+        tot = labels.groupBy(F.col("community_id").alias("d")).agg(
+            F.sum("k").cast("long").alias("tot_d")
         )
-        cur = labels.select("id", F.col("community_id").alias("own_d"))
         scored = (
             cand.join(tot, "d")
-            .join(deg, "id")
-            .join(cur, "id")
+            .join(
+                labels.select(
+                    "id", F.col("community_id").alias("own_d"), "k"
+                ),
+                "id",
+            )
             .withColumn("m", F.lit(m_edges).cast("long"))
             .select(
                 "id",
                 "d",
                 "own_d",
+                "k",
                 F.expr(
                     "cast(2 * cast(m as decimal(38,0)) * k_vd"
                     " - cast(k as decimal(38,0))"
@@ -3559,10 +3567,13 @@ def louvain_local_move(
         best = scored.groupBy("id").agg(
             F.expr("max_by(d, struct(gain, -d))").alias("best_d"),
             F.max("gain").alias("best_gain"),
-            # exactly one candidate row has d == own_d, so this picks
-            # the stay gain deterministically
-            F.expr("max_by(gain, d = own_d)").alias("stay_gain"),
+            # the max over own-community rows IS the stay gain: gain is
+            # monotone in k_vd and the duplicate own row carries k_vd=0
+            F.max(F.when(F.col("d") == F.col("own_d"), F.col("gain"))).alias(
+                "stay_gain"
+            ),
             F.min("own_d").alias("own_d"),
+            F.min("k").alias("k"),
         )
         # mover color from md5 (the twin-replicable cross-engine hash —
         # raw-id parity would correlate with id-construction schemes
@@ -3582,6 +3593,7 @@ def louvain_local_move(
             )
             .otherwise(F.col("own_d"))
             .alias("community_id"),
+            "k",
         ).transform(_ckpt_nostats)
     return labels.select(F.col("id").alias("entity_id"), "community_id")
 
@@ -3835,12 +3847,36 @@ def _min_label_fixpoint(
     prev = lab.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).collect()[0][0]
-    for _ in range(max_prop):
+    converged = False
+    for rnd in range(max_prop):
         prop = edges.join(lab, edges[src] == lab["v"]).select(
             edges[dst].alias("v"), "label"
         )
+        base = lab
+        # pointer doubling from round 6 on: label(v) is the min over
+        # vertices REACHING v (src->dst direction), so label(label(v))
+        # also reaches v and folding it in is sound — coverage then
+        # doubles per round, so a diameter-D graph needs ~6 + log2(D)
+        # rounds instead of D (the round-5 ADVICE finding: a >64-hop
+        # cycle silently truncated at the cap). The hop join is NOT
+        # free (one extra label-sized shuffle per round), and measured
+        # on the R-MAT/KG graphs (diameter < 6) always-on doubling
+        # regressed kg_scc ~30% — so the cheap one-hop rounds run
+        # first and doubling only engages on genuinely deep graphs.
+        if rnd >= 6:
+            hop = lab.select(
+                F.col("v").alias("_hv"), F.col("label").alias("_hl")
+            )
+            base = lab.join(
+                hop, lab["label"] == hop["_hv"], "left"
+            ).select(
+                "v",
+                F.least(
+                    "label", F.coalesce("_hl", "label")
+                ).alias("label"),
+            )
         lab = (
-            lab.unionByName(prop)
+            base.unionByName(prop)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
             .transform(_ckpt_nostats)
@@ -3849,8 +3885,19 @@ def _min_label_fixpoint(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
         if s == prev:
+            converged = True
             break
         prev = s
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"_min_label_fixpoint hit max_prop={max_prop} before the "
+            "label sum stabilized — labels may be non-minimal (with "
+            "pointer doubling this needs reachability diameter "
+            f"> 2^{max_prop}); raise max_prop",
+            stacklevel=2,
+        )
     return lab
 
 
@@ -3908,10 +3955,19 @@ def strongly_connected_components(
         .distinct()
         .transform(_ckpt_nostats)
     )
-    done = local_df(spark, [], "entity_id long, component long")
+    # settled pieces accumulate in a list and union once at return: each
+    # piece is already checkpointed, so the union is a flat plan over
+    # LogicalRDD leaves — re-checkpointing the growing union per trim
+    # round was O(|done|) EXTRA I/O per round (round-6 job-count find)
+    done_parts: list[DataFrame] = [
+        local_df(spark, [], "entity_id long, component long")
+    ]
     act_e = e0
     for _ in range(max_outer):
-        # TRIM loop: peel acyclic periphery as singleton SCCs
+        # TRIM loop: peel acyclic periphery as singleton SCCs (the
+        # two-distinct+join shape shuffles ~|V| rows per side thanks to
+        # map-side dedup — measured better than a single 2|E|-row
+        # degree-flag aggregate on the dense derived graphs)
         while True:
             core = (
                 act_e.select(F.col("a").alias("v"))
@@ -3923,13 +3979,14 @@ def strongly_connected_components(
                 _ckpt_nostats
             )
             if trivial.isEmpty():
+                act_v = core
                 break
-            done = done.unionByName(
+            done_parts.append(
                 trivial.select(
                     F.col("v").alias("entity_id"),
                     F.col("v").alias("component"),
                 )
-            ).transform(_ckpt_nostats)
+            )
             act_v = core
             act_e = (
                 act_e.join(core, act_e["a"] == core["v"], "left_semi")
@@ -3955,7 +4012,7 @@ def strongly_connected_components(
             )
             .transform(_ckpt_nostats)
         )
-        done = done.unionByName(settled).transform(_ckpt_nostats)
+        done_parts.append(settled)
         settled_v = settled.select(F.col("entity_id").alias("v"))
         act_v = act_v.join(settled_v, "v", "left_anti").transform(
             _ckpt_nostats
@@ -3971,7 +4028,12 @@ def strongly_connected_components(
             )
             .transform(_ckpt_nostats)
         )
-    return done
+    done = done_parts[0]
+    for part in done_parts[1:]:
+        done = done.unionByName(part)
+    # one flat checkpoint for consumers (condensation joins this table
+    # repeatedly; a many-leaf union plan re-analyzes per use)
+    return done.transform(_ckpt_nostats) if len(done_parts) > 2 else done
 
 
 def scc_python(edge_list: list[tuple[int, int]]) -> dict:

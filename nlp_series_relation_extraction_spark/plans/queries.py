@@ -14,6 +14,7 @@ covers exactness against the plain-Python oracle + gold roundtrip instead.
 from __future__ import annotations
 
 from ..functions.smalldf import local_df
+from ..functions.partitioning import ensure_parallelism
 
 import os
 
@@ -25,7 +26,19 @@ from ..sources.synthetic import synth_transcripts
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader. The sandbox sf dirs hold ONE single-row-group
+    parquet file per table, so the bare scan is ONE split and every
+    pre-shuffle stage (explode/shingle/tokenize/regex map work) ran on
+    one core (round-6 event-log find: kg_linking_10x spent 19s of its
+    29s in a single-task stage computing the 10x shingling explode).
+    ensure_parallelism round-robins the scan up to the session's core
+    count — a sub-MB shuffle here — and is a structural NO-OP at
+    production scale, where the input arrives as thousands of splits
+    (guide §2.5 "input skew: fix at the source if you can; otherwise
+    repartition immediately after the read")."""
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    )
 
 
 def _kg_turns(spark: SparkSession, sf_dir: str) -> int:
@@ -12812,7 +12825,7 @@ def _url_domains_sql() -> str:
     from ..functions.textstats import URL_RE, _DOMAIN_RE
 
     u = URL_RE.replace("'", "''")
-    return f"""
+    return rf"""
 WITH planted AS (
   SELECT doc_id,
          CASE cast(doc_id % 3 AS INT)

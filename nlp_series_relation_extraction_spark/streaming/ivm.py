@@ -131,7 +131,14 @@ def upsert_view_batch(
         path,
         {"batch_id": batch_id, "n_buckets": n_buckets, "buckets": buckets},
     )
-    _expire_versions(path, touched)
+    # copy-on-write view: current version referenced, one superseded
+    # version retained for in-flight readers (the old keep-newest-2)
+    _expire_versions(
+        path,
+        touched,
+        referenced={b: {v} for b, v in buckets.items()},
+        retain_unref=1,
+    )
 
 
 def stream_view_into(

@@ -302,13 +302,19 @@ RUNNERS = {
 
 def main():
     os.makedirs(EVENTLOG_DIR, exist_ok=True)
+    extra = {}
+    if os.environ.get("NRE_EVENTLOG", "0") == "1":
+        # NOTE: event logging measurably slows job-heavy runs (up to
+        # ~2-3x on thousand-job queries) — enable only to inspect job
+        # structure, never for timing comparisons
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": EVENTLOG_DIR,
+        }
     spark = get_spark(
         app_name="nre-prof-10x",
         master=f"local[{CPUS}]",
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": EVENTLOG_DIR,
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warm python workers like bench.py does

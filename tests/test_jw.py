@@ -53,6 +53,37 @@ def test_bit_exact_vs_duckdb_fuzz():
         assert jaro_winkler(a, b) == want, (a, b)
 
 
+def test_bit_exact_vs_duckdb_fuzz_realistic_names():
+    """Round-6 ADVICE: the short-string fuzz never exercised the
+    match-window/transposition/boost paths at the 20-50 char lengths the
+    driver query actually scores. Fuzz long, spaced, shared-prefix-heavy
+    pairs (part-name shaped) against DuckDB directly."""
+    con = duckdb.connect()
+    rng = random.Random(23)
+    words = [
+        "almond", "antique", "aquamarine", "azure", "beige", "bisque",
+        "blanched", "blush", "burlywood", "chartreuse", "chiffon",
+        "chocolate", "coral", "cornflower", "cornsilk", "cream", "cyan",
+    ]
+
+    def name():
+        n = rng.randrange(2, 6)
+        return " ".join(rng.choice(words) for _ in range(n))[:50]
+
+    for _ in range(4_000):
+        a = name()
+        if rng.random() < 0.5:
+            # shared-prefix mutation: realistic near-duplicate names
+            cut = rng.randrange(0, len(a))
+            b = a[:cut] + name()[: rng.randrange(0, 20)]
+        else:
+            b = name()
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
 def test_blocked_join_matches_naive(spark):
     names = [
         "jonathan smith", "jonathon smith", "jonathan smyth",

@@ -79,7 +79,10 @@ def test_connected_components_long_chain_log_rounds(spark):
     import warnings
 
     with warnings.catch_warnings():
-        warnings.simplefilter("error")  # max_iter warning would fail here
+        # error ONLY on the UserWarning the cap emits: a blanket "error"
+        # also promoted py4j's GC-time socket ResourceWarning into an
+        # unraisable exception (the suite's one ResourceWarning)
+        warnings.simplefilter("error", UserWarning)
         comps = {
             r.mention_id: r.component_id
             for r in connected_components(v, e, max_iter=15).collect()
