@@ -16,7 +16,63 @@ the operators' oracle cross-checks verify on every run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MIN_PARTITION_KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+
+# Per-partition byte floor inside compute-dense regions. The default
+# floor (1MB) assumes compute scales with bytes; frontier/fixpoint joins
+# fan tiny rows out to heavy in-stage work, so the region drops the
+# floor two orders of magnitude — task count then still scales with
+# bytes (a 5KB round stays single-task; a 4MB fan-in spreads over the
+# cores) instead of flipping to all-or-nothing. Env-tunable; at
+# production scale the shuffles inside these loops exceed the DEFAULT
+# floor anyway and the region is a no-op.
+import os as _os
+
+_DENSE_MIN_PARTITION = _os.environ.get(
+    "SPARK_GRAFT_DENSE_MIN_PARTITION", "16k"
+)
+
+
+@contextmanager
+def compute_dense_region(spark: SparkSession):
+    """Lower the AQE partition-coalescing byte floor for the actions run
+    INSIDE the ``with`` block (lazy frames executed after the block run
+    with the session default again).
+
+    Why: AQE coalesces post-shuffle partitions by BYTES. Iterative graph
+    and fixpoint operators run joins whose inputs are tiny (a frontier,
+    a label table) but whose in-stage compute fans out (frontier x
+    adjacency, sigma aggregation, entailment composition) — byte-based
+    coalescing collapses those stages to ONE task and serializes the
+    round (round-6 event-log find: a 4.3s single-task frontier-join
+    stage inside kg_betweenness). Fully DISABLING coalescing
+    over-corrects: loops whose per-round state really is a few KB
+    (SCC's trim rounds) then pay 32 task dispatches per tiny stage and
+    regress (kg_scc measured 4.9s -> 10.2s under enabled=false).
+    Lowering the floor keeps both regimes honest. Scoped to the loop
+    rather than set session-wide so the default byte heuristic keeps
+    working for scan/aggregate queries, where bytes ARE the right cost
+    model.
+
+    Not thread-safe across concurrent regions with different desired
+    states (session conf is global); concurrent fits (kg_link_prediction)
+    enter the region once around the whole pool."""
+    try:
+        old = spark.conf.get(_MIN_PARTITION_KEY)
+    except Exception:
+        old = None
+    spark.conf.set(_MIN_PARTITION_KEY, _DENSE_MIN_PARTITION)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_MIN_PARTITION_KEY)
+        else:
+            spark.conf.set(_MIN_PARTITION_KEY, old)
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

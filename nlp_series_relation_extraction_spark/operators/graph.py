@@ -2333,6 +2333,8 @@ def labeled_bfs_distances(
     level. Work per level is sum over sources of that source's frontier
     — the labeled frontier IS the output being built, so no
     amplification beyond the result size."""
+    from ..functions.partitioning import compute_dense_region
+
     und = _undirected(edges).transform(_ckpt_nostats)
     dist = (
         seeds.select(
@@ -2344,23 +2346,27 @@ def labeled_bfs_distances(
         .transform(_ckpt_nostats)
     )
     frontier = dist.select("src", "entity_id")
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(und, frontier["entity_id"] == und["a"])
-            .select("src", F.col("b").alias("entity_id"))
-            .distinct()
-            .join(
-                dist.select("src", "entity_id"),
-                ["src", "entity_id"],
-                "left_anti",
+    # compute_dense_region: the frontier x adjacency join fans each
+    # (src, v) row out to deg(v) rows — byte-based AQE coalescing
+    # single-tasks it (see betweenness_centrality)
+    with compute_dense_region(edges.sparkSession):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(und, frontier["entity_id"] == und["a"])
+                .select("src", F.col("b").alias("entity_id"))
+                .distinct()
+                .join(
+                    dist.select("src", "entity_id"),
+                    ["src", "entity_id"],
+                    "left_anti",
+                )
+                .withColumn("dist", F.lit(d).cast("int"))
+                .transform(_ckpt_nostats)
             )
-            .withColumn("dist", F.lit(d).cast("int"))
-            .transform(_ckpt_nostats)
-        )
-        if nxt.isEmpty():
-            break
-        dist = dist.unionByName(nxt).transform(_ckpt_nostats)
-        frontier = nxt.select("src", "entity_id")
+            if nxt.isEmpty():
+                break
+            dist = dist.unionByName(nxt).transform(_ckpt_nostats)
+            frontier = nxt.select("src", "entity_id")
     return dist
 
 
@@ -2811,6 +2817,8 @@ def betweenness_centrality(
     frontier itself, localCheckpointed so lineage stays flat. No
     all-pairs stage exists — the pivot count bounds the work exactly
     like harmonic_centrality's seed contract."""
+    from ..functions.partitioning import compute_dense_region
+
     und = _undirected(edges).transform(_ckpt_nostats)
     pivots = sample_pivots(edges, n_pivots, salt=salt)
     spark = edges.sparkSession
@@ -2826,61 +2834,69 @@ def betweenness_centrality(
     ).transform(_ckpt_nostats)
 
     # forward: levels[d] = (src, v, sigma) of vertices FIRST reached at
-    # depth d from src, sigma = number of shortest src->v paths
+    # depth d from src, sigma = number of shortest src->v paths.
+    # compute_dense_region: the per-level frontier x adjacency joins are
+    # byte-tiny but compute-dense — AQE's byte-based coalescing was
+    # collapsing them to single tasks (4.3s one-task stages in the
+    # round-6 event log)
     levels = [lvl0]
     visited = lvl0.select("src", "v").transform(_ckpt_nostats)
-    for _d in range(1, max_depth + 1):
-        frontier = levels[-1]
-        nxt = (
-            frontier.join(und, frontier["v"] == und["a"])
-            .select("src", F.col("b").alias("v"), "sigma")
-            .groupBy("src", "v")
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["src", "v"], "left_anti")
-            .transform(_ckpt_nostats)
-        )
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
-        visited = visited.unionByName(
-            nxt.select("src", "v")
-        ).transform(_ckpt_nostats)
-
-    # backward: delta over levels in reverse; a parent at depth d gets
-    # sigma_parent * sum over depth-d+1 neighbors of (1 + delta_w)/sigma_w
-    acc = None
-    delta = levels[-1].withColumn("delta", F.lit(0.0))
-    for d in range(len(levels) - 2, -1, -1):
-        contrib = delta.select(
-            "src",
-            F.col("v").alias("w"),
-            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("share"),
-        )
-        parent = levels[d]
-        dsum = (
-            contrib.join(und, contrib["w"] == und["b"])
-            .select("src", F.col("a").alias("v"), "share")
-            .groupBy("src", "v")
-            .agg(F.sum("share").alias("share_sum"))
-        )
-        delta = (
-            parent.join(dsum, ["src", "v"], "left")
-            .select(
-                "src",
-                "v",
-                "sigma",
-                (
-                    F.coalesce(F.col("share_sum"), F.lit(0.0))
-                    * F.col("sigma")
-                ).alias("delta"),
+    with compute_dense_region(spark):
+        for _d in range(1, max_depth + 1):
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(und, frontier["v"] == und["a"])
+                .select("src", F.col("b").alias("v"), "sigma")
+                .groupBy("src", "v")
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, ["src", "v"], "left_anti")
+                .transform(_ckpt_nostats)
             )
-            .transform(_ckpt_nostats)
-        )
-        part = delta.where(F.col("v") != F.col("src")).select(
-            "v", "delta"
-        )
-        acc = part if acc is None else acc.unionByName(part)
-        # depth-(d+1) vertices contribute their own delta too
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.unionByName(
+                nxt.select("src", "v")
+            ).transform(_ckpt_nostats)
+
+        # backward: delta over levels in reverse; a parent at depth d
+        # gets sigma_parent * sum over depth-d+1 neighbors of
+        # (1 + delta_w)/sigma_w
+        acc = None
+        delta = levels[-1].withColumn("delta", F.lit(0.0))
+        for d in range(len(levels) - 2, -1, -1):
+            contrib = delta.select(
+                "src",
+                F.col("v").alias("w"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias(
+                    "share"
+                ),
+            )
+            parent = levels[d]
+            dsum = (
+                contrib.join(und, contrib["w"] == und["b"])
+                .select("src", F.col("a").alias("v"), "share")
+                .groupBy("src", "v")
+                .agg(F.sum("share").alias("share_sum"))
+            )
+            delta = (
+                parent.join(dsum, ["src", "v"], "left")
+                .select(
+                    "src",
+                    "v",
+                    "sigma",
+                    (
+                        F.coalesce(F.col("share_sum"), F.lit(0.0))
+                        * F.col("sigma")
+                    ).alias("delta"),
+                )
+                .transform(_ckpt_nostats)
+            )
+            part = delta.where(F.col("v") != F.col("src")).select(
+                "v", "delta"
+            )
+            acc = part if acc is None else acc.unionByName(part)
+            # depth-(d+1) vertices contribute their own delta too
     # every non-root level's deltas enter the total; the loop above
     # accumulates levels 0..D-1 as PARENTS — add the deepest level
     # (delta 0 there, so only the parents' rows matter; roots excluded)
@@ -3848,6 +3864,13 @@ def _min_label_fixpoint(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).collect()[0][0]
     converged = False
+    # NOTE: deliberately NOT a compute_dense_region — the per-round
+    # state here is a few hundred KB of (v, label) rows and rounds are
+    # many; lowering the coalescing floor multiplied task dispatches
+    # across ~100 tiny stages and regressed kg_scc 4.9s -> 7.8s /
+    # kg_condensation 7.5s -> 10.2s in the round-6 A/B. The region
+    # pays off on few-round fan-out joins (betweenness, labeled BFS),
+    # not many-round label loops.
     for rnd in range(max_prop):
         prop = edges.join(lab, edges[src] == lab["v"]).select(
             edges[dst].alias("v"), "label"
@@ -3963,6 +3986,7 @@ def strongly_connected_components(
         local_df(spark, [], "entity_id long, component long")
     ]
     act_e = e0
+    # NOTE: no compute_dense_region here — see _min_label_fixpoint
     for _ in range(max_outer):
         # TRIM loop: peel acyclic periphery as singleton SCCs (the
         # two-distinct+join shape shuffles ~|V| rows per side thanks to
