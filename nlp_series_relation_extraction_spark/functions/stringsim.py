@@ -89,10 +89,19 @@ def edit_distance_join(
     ds = strings.select(F.col(col).cast("string").alias("s")).where(
         F.col("s").isNotNull() & (F.length("s") > 0)
     ).distinct()
+    # Pin the SELF-JOIN's partition count too (round-6: the deletion-key
+    # join stage generates the candidate cross product per key group —
+    # compute-dense, byte-tiny, so AQE's byte-based coalescing was
+    # running it near-single-task; an explicit repartition(N, k)
+    # satisfies the join's required distribution, replaces the implicit
+    # exchange rather than adding one, and AQE leaves user-pinned
+    # partition counts alone. Measured min-of-2 at sf0.1:
+    # mention_edit_join ~10s -> ~3s).
+    n_part = strings.sparkSession.sparkContext.defaultParallelism
     blocks = ds.select(
         "s",
         F.explode(deletion_variants("s", max_dist)).alias("k"),
-    )
+    ).repartition(n_part, "k")
     a = blocks.alias("a")
     b = blocks.alias("b")
     # Pin the dedup exchange's partition count: with a bare distinct(),
@@ -102,7 +111,6 @@ def edit_distance_join(
     # CPU-bound stages must be sized by cores, not bytes; measured 5.4s
     # -> ~0.2s on local[32] at sf0.1). repartition(N, keys) satisfies
     # dropDuplicates' required distribution, so no extra exchange.
-    n_part = strings.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, "k")
         .where(F.col("a.s") < F.col("b.s"))

@@ -4023,8 +4023,23 @@ def strongly_connected_components(
             )
         if act_v.isEmpty():
             break
-        fwd = _min_label_fixpoint(act_v, act_e, "a", "b", max_prop)
-        bwd = _min_label_fixpoint(act_v, act_e, "b", "a", max_prop)
+        # the forward and backward propagations are INDEPENDENT (same
+        # inputs, disjoint lineages) and each is a chain of small jobs
+        # that underuses the cluster — submit them as concurrent Spark
+        # jobs from two threads (the kg_link_prediction multi-fit
+        # pattern). Results are byte-identical to the serial order:
+        # only job SUBMISSION overlaps, every lineage is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            f_fwd = _ex.submit(
+                _min_label_fixpoint, act_v, act_e, "a", "b", max_prop
+            )
+            f_bwd = _ex.submit(
+                _min_label_fixpoint, act_v, act_e, "b", "a", max_prop
+            )
+            fwd = f_fwd.result()
+            bwd = f_bwd.result()
         settled = (
             fwd.join(
                 bwd.select("v", F.col("label").alias("blabel")), "v"

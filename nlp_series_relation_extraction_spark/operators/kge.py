@@ -479,18 +479,6 @@ def kge_fit(
 
         packed = _packed_pairs(long.join(emb, "entity_id"))
         scal = packed.mapInPandas(grad_rows, _GRAD_SCHEMA).transform(_ckpt_nostats)
-        small = (
-            scal.where(F.col("kind") >= 1)
-            .groupBy("kind", "key_id", "pos")
-            .agg(F.sum("val").alias("val"))
-            .collect()
-        )
-        losses.append(
-            sum(r.val for r in small if r.kind == 2) / n_pairs
-        )
-        for r in small:
-            if r.kind == 1:
-                W[int(r.key_id), int(r.pos)] -= lr * r.val / n_pairs
 
         # SUM per (entity, pos) first: an entity touched by pairs in
         # several partitions emits one partial per partition, and a bare
@@ -539,14 +527,39 @@ def kge_fit(
                     {"entity_id": pdf["entity_id"], "vec": list(V)}
                 )
 
-        # the update join already hash-partitions its output on
-        # entity_id — re-repartitioning here would add a full shuffle
-        # stage per epoch for nothing
-        emb = (
-            emb.join(grads, "entity_id", "left")
-            .mapInPandas(apply_update, "entity_id long, vec array<double>")
-            .transform(_ckpt_nostats)
+        # the entity update and the relation-gradient collect both read
+        # the CHECKPOINTED scal and are independent of each other (the
+        # driver-side W update only feeds the NEXT epoch's closure), so
+        # the update checkpoint is submitted from a worker thread while
+        # the main thread collects the model-sized relation rows — the
+        # kg_link_prediction concurrent-submission pattern one level
+        # down. Lineages are unchanged, so results are byte-identical
+        # to the serial order. (The update join already hash-partitions
+        # its output on entity_id — re-repartitioning would add a full
+        # shuffle stage per epoch for nothing.)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _ex:
+            emb_f = _ex.submit(
+                lambda: emb.join(grads, "entity_id", "left")
+                .mapInPandas(
+                    apply_update, "entity_id long, vec array<double>"
+                )
+                .transform(_ckpt_nostats)
+            )
+            small = (
+                scal.where(F.col("kind") >= 1)
+                .groupBy("kind", "key_id", "pos")
+                .agg(F.sum("val").alias("val"))
+                .collect()
+            )
+            emb = emb_f.result()
+        losses.append(
+            sum(r.val for r in small if r.kind == 2) / n_pairs
         )
+        for r in small:
+            if r.kind == 1:
+                W[int(r.key_id), int(r.pos)] -= lr * r.val / n_pairs
 
     return {
         "scorer": scorer,
