@@ -94,8 +94,16 @@ def prepare_gazetteer(
         F.coalesce(F.col("tok_count"), F.lit(0)).alias("cnt"),
     )
     w = Window.partitionBy("entity_id", "name").orderBy("cnt", "offset")
+    # pin the window's exchange: the per-phrase argmin sorts MANY tiny
+    # (entity, name) groups — byte-small, so AQE coalesced the window
+    # stage to ONE task (round-6 event log: a 4.1s single-task Window
+    # stage). repartition(N, keys) satisfies the window's required
+    # distribution, so this replaces the implicit exchange, it does not
+    # add one.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        ranked.withColumn("rn", F.row_number().over(w))
+        ranked.repartition(n_part, "entity_id", "name")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
             "entity_id",
@@ -156,15 +164,36 @@ def gazetteer_match(
         )
         .distinct()
     )
-    spans = verified.select(id_col, "start_tok", "end_tok").distinct()
-    return verified.alias("m").join(
-        spans.alias("s"),
-        (F.col(f"m.{id_col}") == F.col(f"s.{id_col}"))
-        & (F.col("s.start_tok") <= F.col("m.start_tok"))
-        & (F.col("s.end_tok") >= F.col("m.end_tok"))
-        & (
-            (F.col("s.end_tok") - F.col("s.start_tok"))
-            > (F.col("m.end_tok") - F.col("m.start_tok"))
-        ),
-        "left_anti",
+    # maximal munch via two running-max windows instead of the per-doc
+    # containment self-join (round 6, guide §3 "exploding joins": the
+    # anti-join built M^2 span pairs per document; sorting once is
+    # O(M log M)). A span m is strictly contained in a longer span s of
+    # the same doc iff s.start <= m.start, s.end >= m.end and s is
+    # strictly longer — equivalently, ordering spans by start:
+    #   * some span with start < m.start has end >= m.end (it is then
+    #     strictly longer automatically), or
+    #   * some span with start = m.start has end > m.end.
+    # Both are running maxima of end over RANGE frames keyed on
+    # start_tok; equal spans from distinct gazetteer entries survive
+    # (neither test fires), preserving the join's exact semantics.
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start_tok")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = (
+        Window.partitionBy(id_col)
+        .orderBy("start_tok")
+        .rangeBetween(0, 0)
+    )
+    return (
+        verified.withColumn("_mx_prev", F.max("end_tok").over(w_prev))
+        .withColumn("_mx_same", F.max("end_tok").over(w_same))
+        .where(
+            F.coalesce(
+                F.col("_mx_prev") < F.col("end_tok"), F.lit(True)
+            )
+            & (F.col("_mx_same") <= F.col("end_tok"))
+        )
+        .drop("_mx_prev", "_mx_same")
     )

@@ -194,13 +194,30 @@ def upsert_edge_batch(
     inc = edge_table(canonical_triples(batch_triples, aliases)).withColumn(
         _BUCKET, _bucket_expr(n_buckets)
     )
-    # computed once: reused for the touched-bucket probe AND the write
+    # touched-bucket probe rides the checkpoint action as OBSERVED
+    # metrics (n_buckets conditional counts — bounded like the old
+    # groupBy collect) instead of a separate per-batch job: the counts
+    # feeding the size-based compaction policy are identical, one Spark
+    # action per batch fewer (round 6; was ckpt + probe + write, now
+    # ckpt-with-metrics + write). The observe node lives below the
+    # checkpoint, so downstream reads see the plain materialized RDD.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"inc_rows_{version}")
+    inc = inc.observe(
+        obs,
+        *[
+            F.count(F.when(F.col(_BUCKET) == b, True)).alias(f"b{b}")
+            for b in range(n_buckets)
+        ],
+    )
+    # computed once: reused for the compaction fold AND the write
     inc = inc.transform(_ckpt_nostats)
-    # bounded collect: at most n_buckets rows (the whole point of
-    # buckets); row counts feed the size-based compaction policy
+    _metrics = obs.get
     inc_rows = {
-        int(r[0]): int(r[1])
-        for r in inc.groupBy(_BUCKET).count().collect()
+        b: int(_metrics[f"b{b}"])
+        for b in range(n_buckets)
+        if int(_metrics.get(f"b{b}") or 0) > 0
     }
     touched = sorted(inc_rows)
     buckets = dict(state["buckets"]) if state is not None else {}
