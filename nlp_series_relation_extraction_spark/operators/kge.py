@@ -371,6 +371,34 @@ def _init_entity_embeddings(edges: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def kge_fit_shared(
+    edges: DataFrame,
+    dim: int,
+    n_neg: int = 1,
+    pairs: DataFrame | None = None,
+) -> dict:
+    """Scorer-independent fit preparation (see ``kge_fit``'s ``shared``
+    param): relation vocabulary, checkpointed long-format pair table,
+    pair count, hash-initialized entity table."""
+    rels = _rel_index(edges)
+    r_map = {p: i for i, p in enumerate(rels)}
+    if pairs is None:
+        pairs = kge_pairs(edges, n_neg=n_neg)
+    long = ensure_parallelism(
+        _pairs_long(pairs, r_map)
+    ).transform(_ckpt_nostats)
+    n_pairs = long.count() // 3
+    if n_pairs == 0:
+        raise ValueError("kge_fit: no training pairs")
+    return {
+        "rels": rels,
+        "long": long,
+        "n_pairs": n_pairs,
+        "emb0": _init_entity_embeddings(edges, dim),
+        "dim": dim,
+    }
+
+
 def kge_fit(
     edges: DataFrame,
     scorer: str = "transe",
@@ -380,6 +408,7 @@ def kge_fit(
     margin: float = 1.0,
     n_neg: int = 1,
     pairs: DataFrame | None = None,
+    shared: dict | None = None,
 ) -> dict:
     """Full-batch deterministic margin-ranking fit over the edge table.
 
@@ -397,29 +426,34 @@ def kge_fit(
     fitting several scorers (or fitting + evaluating) on the same
     edges, so the negative-sampling prep (dense index + md5 join) runs
     once instead of per call.
+
+    ``shared``: precomputed :func:`kge_fit_shared` state for the same
+    (edges, pairs, dim) — the relation index, the checkpointed LONG
+    pair table, the pair count and the checkpointed initial entity
+    table are SCORER-INDEPENDENT (entity init is hash-of-id; only
+    RELATION init differs per scorer), so concurrent multi-scorer fits
+    (kg_link_prediction) prepare them once instead of four times.
     """
     if scorer not in _SCORERS:
         raise ValueError(f"unknown scorer {scorer!r} (want one of {_SCORERS})")
     if scorer in _COMPLEX_DIM and dim % 2:
         raise ValueError(f"{scorer} needs an even dim, got {dim}")
-    rels = _rel_index(edges)
+    if shared is None:
+        shared = kge_fit_shared(edges, dim, n_neg=n_neg, pairs=pairs)
+    if shared["dim"] != dim:
+        raise ValueError(
+            f"shared state prepared for dim={shared['dim']}, got {dim}"
+        )
+    rels = shared["rels"]
     r_map = {p: i for i, p in enumerate(rels)}
     W = (
         _phase_init(np.arange(len(rels)), dim)
         if scorer == "rotate"
         else _hash_init(np.arange(len(rels)), dim, _REL_SALT)
     )
-
-    if pairs is None:
-        pairs = kge_pairs(edges, n_neg=n_neg)
-    long = ensure_parallelism(
-        _pairs_long(pairs, r_map)
-    ).transform(_ckpt_nostats)
-    n_pairs = long.count() // 3
-    if n_pairs == 0:
-        raise ValueError("kge_fit: no training pairs")
-
-    emb = _init_entity_embeddings(edges, dim)
+    long = shared["long"]
+    n_pairs = shared["n_pairs"]
+    emb = shared["emb0"]
 
     losses: list[float] = []
     for _ in range(n_epochs):
@@ -765,8 +799,14 @@ def kge_rank_eval(
     chunk: int = 1024,
     filtered: bool = True,
     test_edges: DataFrame | None = None,
+    shared_ents: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Filtered object-ranking of test triples against ALL entities.
+
+    ``shared_ents``: optional precomputed (entity-id frame aliased to
+    ``eid``, entity count) — model-independent, so concurrent
+    multi-scorer evals over the same ``edges`` count the candidate set
+    once instead of once per scorer.
 
     Returns (subj_entity_id, predicate, obj_entity_id, rank) where
     rank = 1 + #{candidate entities scoring STRICTLY better than the
@@ -846,8 +886,11 @@ def kge_rank_eval(
     # for balance, zero extra jobs (a dense-rank chunking would cost a
     # range shuffle + checkpoint + offset collect per eval), and counts
     # are chunking-invariant so the twin needs no chunk notion at all
-    ents = _entity_ids(edges).select(F.col("entity_id").alias("eid"))
-    n_ents = ents.count()
+    if shared_ents is None:
+        ents = _entity_ids(edges).select(F.col("entity_id").alias("eid"))
+        n_ents = ents.count()
+    else:
+        ents, n_ents = shared_ents
     n_chunks = max(1, (n_ents + chunk - 1) // chunk)
     chunk_long = ents.join(
         emb.select(F.col("entity_id").alias("eid"), "vec"), "eid"

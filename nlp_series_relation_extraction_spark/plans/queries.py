@@ -5474,8 +5474,25 @@ def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _hierarchy_edges(spark, sf_dir).localCheckpoint(eager=True)
-    # training pairs are scorer-independent: sample once, fit all four
+    # training pairs are scorer-independent: sample once, fit all four.
+    # The rest of the fit prep (relation index, long pair table, pair
+    # count, hash-initialized entity table) is scorer-independent too —
+    # prepare it ONCE (kge_fit_shared) instead of once per scorer
+    # (round 6: 3 redundant collects + 3 redundant checkpoint chains
+    # removed from the concurrent-fit critical path).
+    from ..operators.kge import kge_fit_shared
+    from ..operators.kge import _entity_ids as _kge_entity_ids
+
     pairs = kge_pairs(edges).localCheckpoint(eager=True)
+    shared = kge_fit_shared(edges, dim=8, pairs=pairs)
+    # the ranking eval's candidate set is model-independent too: one
+    # checkpointed entity frame + one count, shared by all four evals
+    ents = (
+        _kge_entity_ids(edges)
+        .select(F.col("entity_id").alias("eid"))
+        .localCheckpoint(eager=True)
+    )
+    shared_ents = (ents, ents.count())
 
     # The four scorer pipelines are INDEPENDENT (shared inputs are
     # already materialized above), and each fit epoch runs small jobs
@@ -5495,10 +5512,11 @@ def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scorer, lr = scorer_lr
         ranks = kge_rank_eval(
             kge_fit(edges, scorer=scorer, dim=8, n_epochs=3, lr=lr,
-                    pairs=pairs),
+                    pairs=pairs, shared=shared),
             edges,
             max_test=800,
             chunk=1024,
+            shared_ents=shared_ents,
         )
         # materialize in-thread so the ranking jobs overlap too; the
         # metrics table is predicate-count-sized
