@@ -2348,10 +2348,13 @@ def labeled_bfs_distances(
     frontier = dist.select("src", "entity_id")
     # compute_dense_region: the frontier x adjacency join fans each
     # (src, v) row out to deg(v) rows — byte-based AQE coalescing
-    # single-tasks it (see betweenness_centrality)
+    # single-tasks it (see betweenness_centrality). The emptiness probe
+    # rides the checkpoint as an observed metric (one action per level).
+    from ..functions.partitioning import checkpoint_with_metrics
+
     with compute_dense_region(edges.sparkSession):
         for d in range(1, max_depth + 1):
-            nxt = (
+            nxt, m = checkpoint_with_metrics(
                 frontier.join(und, frontier["entity_id"] == und["a"])
                 .select("src", F.col("b").alias("entity_id"))
                 .distinct()
@@ -2360,10 +2363,10 @@ def labeled_bfs_distances(
                     ["src", "entity_id"],
                     "left_anti",
                 )
-                .withColumn("dist", F.lit(d).cast("int"))
-                .transform(_ckpt_nostats)
+                .withColumn("dist", F.lit(d).cast("int")),
+                F.count(F.lit(1)).alias("n"),
             )
-            if nxt.isEmpty():
+            if not m["n"]:
                 break
             dist = dist.unionByName(nxt).transform(_ckpt_nostats)
             frontier = nxt.select("src", "entity_id")
@@ -2841,18 +2844,20 @@ def betweenness_centrality(
     # round-6 event log)
     levels = [lvl0]
     visited = lvl0.select("src", "v").transform(_ckpt_nostats)
+    from ..functions.partitioning import checkpoint_with_metrics
+
     with compute_dense_region(spark):
         for _d in range(1, max_depth + 1):
             frontier = levels[-1]
-            nxt = (
+            nxt, _m = checkpoint_with_metrics(
                 frontier.join(und, frontier["v"] == und["a"])
                 .select("src", F.col("b").alias("v"), "sigma")
                 .groupBy("src", "v")
                 .agg(F.sum("sigma").alias("sigma"))
-                .join(visited, ["src", "v"], "left_anti")
-                .transform(_ckpt_nostats)
+                .join(visited, ["src", "v"], "left_anti"),
+                F.count(F.lit(1)).alias("n"),
             )
-            if nxt.isEmpty():
+            if not _m["n"]:
                 break
             levels.append(nxt)
             visited = visited.unionByName(
@@ -3857,12 +3862,18 @@ def _min_label_fixpoint(
     until the fixpoint — no row-level diff join. decimal(38,0) because a
     BIGINT sum overflows once ids are xxhash64 values (|id| ~ 9.2e18
     times millions of vertices; 38 digits holds 9.2e18 * 1e12)."""
-    lab = verts.select("v", F.col("v").alias("label")).transform(
-        _ckpt_nostats
+    from ..functions.partitioning import checkpoint_with_metrics
+
+    def _sum_expr():
+        return F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
+    # the convergence scalar rides the round's checkpoint as an
+    # observed metric (round 6): one action per round instead of
+    # checkpoint + follow-up aggregate job — values identical
+    lab, m = checkpoint_with_metrics(
+        verts.select("v", F.col("v").alias("label")), _sum_expr()
     )
-    prev = lab.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).collect()[0][0]
+    prev = m["s"]
     converged = False
     # NOTE: deliberately NOT a compute_dense_region — the per-round
     # state here is a few hundred KB of (v, label) rows and rounds are
@@ -3898,15 +3909,13 @@ def _min_label_fixpoint(
                     "label", F.coalesce("_hl", "label")
                 ).alias("label"),
             )
-        lab = (
+        lab, m = checkpoint_with_metrics(
             base.unionByName(prop)
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .transform(_ckpt_nostats)
+            .agg(F.min("label").alias("label")),
+            _sum_expr(),
         )
-        s = lab.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        s = m["s"]
         if s == prev:
             converged = True
             break
@@ -3986,24 +3995,32 @@ def strongly_connected_components(
         local_df(spark, [], "entity_id long, component long")
     ]
     act_e = e0
-    # NOTE: no compute_dense_region here — see _min_label_fixpoint
+    from ..functions.partitioning import checkpoint_with_metrics
+
+    _n = lambda: F.count(F.lit(1)).alias("n")  # noqa: E731
+
+    # NOTE: no compute_dense_region here — see _min_label_fixpoint.
+    # Emptiness probes ride the checkpoints as observed metrics
+    # (round 6): one action per step instead of checkpoint + isEmpty.
     for _ in range(max_outer):
         # TRIM loop: peel acyclic periphery as singleton SCCs (the
         # two-distinct+join shape shuffles ~|V| rows per side thanks to
         # map-side dedup — measured better than a single 2|E|-row
         # degree-flag aggregate on the dense derived graphs)
+        act_v_n = None
         while True:
-            core = (
+            core, cm = checkpoint_with_metrics(
                 act_e.select(F.col("a").alias("v"))
                 .distinct()
-                .join(act_e.select(F.col("b").alias("v")).distinct(), "v")
-                .transform(_ckpt_nostats)
+                .join(act_e.select(F.col("b").alias("v")).distinct(), "v"),
+                _n(),
             )
-            trivial = act_v.join(core, "v", "left_anti").transform(
-                _ckpt_nostats
+            trivial, tm = checkpoint_with_metrics(
+                act_v.join(core, "v", "left_anti"), _n()
             )
-            if trivial.isEmpty():
+            if not tm["n"]:
                 act_v = core
+                act_v_n = cm["n"]
                 break
             done_parts.append(
                 trivial.select(
@@ -4021,7 +4038,7 @@ def strongly_connected_components(
                 )
                 .transform(_ckpt_nostats)
             )
-        if act_v.isEmpty():
+        if not act_v_n:  # trim's observed count of the surviving core
             break
         # the forward and backward propagations are INDEPENDENT (same
         # inputs, disjoint lineages) and each is a chain of small jobs
@@ -4053,10 +4070,10 @@ def strongly_connected_components(
         )
         done_parts.append(settled)
         settled_v = settled.select(F.col("entity_id").alias("v"))
-        act_v = act_v.join(settled_v, "v", "left_anti").transform(
-            _ckpt_nostats
+        act_v, am = checkpoint_with_metrics(
+            act_v.join(settled_v, "v", "left_anti"), _n()
         )
-        if act_v.isEmpty():
+        if not am["n"]:
             break
         act_e = (
             act_e.join(settled_v, act_e["a"] == settled_v["v"], "left_anti")

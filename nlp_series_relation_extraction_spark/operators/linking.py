@@ -302,8 +302,15 @@ def connected_components(
             .withColumn("_changed", F.col("component_id") < F.col("_old"))
             .drop("_old")
         )
-        new_labels = new_labels.transform(_ckpt_nostats)
-        changed = new_labels.where("_changed").count()
+        # the changed-count rides the checkpoint as an observed metric
+        # (round 6): one action per round instead of checkpoint + count
+        from ..functions.partitioning import checkpoint_with_metrics
+
+        new_labels, _m = checkpoint_with_metrics(
+            new_labels,
+            F.sum(F.col("_changed").cast("long")).alias("changed"),
+        )
+        changed = int(_m["changed"] or 0)
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

@@ -42,6 +42,7 @@ from collections import defaultdict
 
 from pyspark.sql import DataFrame, functions as F
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
+from ..functions.partitioning import checkpoint_with_metrics as _ckpt_metrics
 
 TYPE_PREDICATE = "type"
 
@@ -334,14 +335,14 @@ def _transitive_fixpoint(
             ),
             ["predicate", "mid"],
         )
-        delta = (
+        delta, _m = _ckpt_metrics(
             left.unionByName(right)
             .select("subj", "predicate", "obj")
             .distinct()
-            .join(acc, ["subj", "predicate", "obj"], "left_anti")
-            .transform(_ckpt_nostats)
+            .join(acc, ["subj", "predicate", "obj"], "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if delta.isEmpty():
+        if not _m["n"]:
             break
         acc = acc.unionByName(delta).transform(_ckpt_nostats)
     return acc
@@ -498,10 +499,11 @@ def owl_rl_entailment(
             frontier.where(F.col("predicate").isin(trans)),
             max_rounds,
         )
-        tdelta = closed.join(
-            closure.select(*cols), cols, "left_anti"
-        ).transform(_ckpt_nostats)
-        if tdelta.isEmpty():
+        tdelta, _tm = _ckpt_metrics(
+            closed.join(closure.select(*cols), cols, "left_anti"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if not _tm["n"]:
             break
         ldelta = rdfs_entailment_increment(
             closure, tdelta, ontology, type_predicate, max_ontology_rows
@@ -544,10 +546,11 @@ def _owl_rl_with_chains(
         derived = work.where(
             ~F.col("predicate").startswith(_CHAIN_AUX_PREFIX)
         )
-        sdelta = derived.join(
-            closure.select(*cols), cols, "left_anti"
-        ).transform(_ckpt_nostats)
-        if sdelta.isEmpty():
+        sdelta, _sm = _ckpt_metrics(
+            derived.join(closure.select(*cols), cols, "left_anti"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if not _sm["n"]:
             break
         ldelta = rdfs_entailment_increment(
             closure, sdelta, ontology, type_predicate, max_ontology_rows
@@ -555,12 +558,12 @@ def _owl_rl_with_chains(
         closure = closure.unionByName(ldelta).transform(_ckpt_nostats)
         # only linear-delta pairs the step plan can consume, and not
         # already in the workset (sdelta pairs re-entered via ldelta)
-        frontier = (
+        frontier, _fm = _ckpt_metrics(
             ldelta.where(F.col("predicate").isin(involved))
-            .join(work, cols, "left_anti")
-            .transform(_ckpt_nostats)
+            .join(work, cols, "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if frontier.isEmpty():
+        if not _fm["n"]:
             break
         work = work.unionByName(frontier).transform(_ckpt_nostats)
     return closure
@@ -699,12 +702,12 @@ def _step_fixpoint(
     acc = acc.transform(_ckpt_nostats)
     delta = delta.transform(_ckpt_nostats)
     for _ in range(max_rounds):
-        delta = (
+        delta, _dm = _ckpt_metrics(
             _step_compose(acc, delta, steps_df)
-            .join(acc, ["subj", "predicate", "obj"], "left_anti")
-            .transform(_ckpt_nostats)
+            .join(acc, ["subj", "predicate", "obj"], "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if delta.isEmpty():
+        if not _dm["n"]:
             break
         acc = acc.unionByName(delta).transform(_ckpt_nostats)
     return acc
@@ -1018,12 +1021,11 @@ def owl_class_entailment(
         derived = _class_rule_pass(
             closure, delta, hv, svf, avf, type_predicate
         )
-        new = (
-            derived.distinct()
-            .join(closure, cols, "left_anti")
-            .transform(_ckpt_nostats)
+        new, _nm = _ckpt_metrics(
+            derived.distinct().join(closure, cols, "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if new.isEmpty():
+        if not _nm["n"]:
             break
         ldelta = rdfs_entailment_increment(
             closure, new, ontology, type_predicate, max_ontology_rows
@@ -1596,8 +1598,8 @@ def owl_equality_entailment(
         pairs = same_as_pairs(cur, fp, ifp)
         if hk:
             pairs = pairs.unionByName(has_key_pairs(cur, hk))
-        pairs = _ckpt_nostats(pairs)
-        if pairs.isEmpty():
+        pairs, _pm = _ckpt_metrics(pairs, F.count(F.lit(1)).alias("n"))
+        if not _pm["n"]:
             break
         verts = (
             pairs.select(F.col("a_id").alias("mention_id"))
