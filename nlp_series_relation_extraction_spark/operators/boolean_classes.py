@@ -45,6 +45,7 @@ from __future__ import annotations
 from ..functions.smalldf import local_df
 
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
+from ..functions.partitioning import checkpoint_with_metrics as _ckpt_metrics
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -262,12 +263,11 @@ def owl_boolean_class_entailment(
         derived = _bool_rule_pass(
             closure, delta, inter, uni, type_predicate
         )
-        new = (
-            derived.distinct()
-            .join(closure, cols, "left_anti")
-            .transform(_ckpt_nostats)
+        new, _nm = _ckpt_metrics(
+            derived.distinct().join(closure, cols, "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if new.isEmpty():
+        if not _nm["n"]:
             break
         ldelta = rdfs_entailment_increment(
             closure, new, ontology, type_predicate, max_ontology_rows

@@ -22,6 +22,7 @@ import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
+from ..functions.partitioning import checkpoint_with_metrics as _ckpt_metrics
 
 
 def canonical_triples(
@@ -843,8 +844,10 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
     prev = None
     for _ in range(max_rounds):
         deg = und.groupBy("a").agg(F.count("*").cast("long").alias("degree"))
-        keep = deg.where(F.col("degree") >= k).transform(_ckpt_nostats)
-        n = keep.count()
+        keep, _km = _ckpt_metrics(
+            deg.where(F.col("degree") >= k), F.count(F.lit(1)).alias("n")
+        )
+        n = int(_km["n"] or 0)
         if n == 0:
             return keep.select(
                 F.col("a").alias("entity_id"), "degree"
@@ -906,15 +909,15 @@ def bfs_distances(
     ).distinct().transform(_ckpt_nostats)
     frontier = dist.select("entity_id")
     for d in range(1, max_depth + 1):
-        nxt = (
+        nxt, _m = _ckpt_metrics(
             frontier.join(und, frontier["entity_id"] == und["a"])
             .select(F.col("b").alias("entity_id"))
             .distinct()
             .join(dist.select("entity_id"), "entity_id", "left_anti")
-            .withColumn("dist", F.lit(d).cast("int"))
-            .transform(_ckpt_nostats)
+            .withColumn("dist", F.lit(d).cast("int")),
+            F.count(F.lit(1)).alias("n"),
         )
-        if nxt.isEmpty():
+        if not _m["n"]:
             break
         dist = dist.unionByName(nxt).transform(_ckpt_nostats)
         frontier = nxt.select("entity_id")
@@ -1419,16 +1422,16 @@ def _path_closure(step: DataFrame, max_hops: int, min_hops: int) -> DataFrame:
     found = step.withColumn("hops", F.lit(1).cast("int"))
     frontier = step
     for k in range(2, max_hops + 1):
-        nxt = (
+        nxt, _m = _ckpt_metrics(
             frontier.select("src", F.col("dst").alias("mid"))
             .join(step.select(F.col("src").alias("mid"), "dst"), "mid")
             .select("src", "dst")
             .distinct()
             .join(found.select("src", "dst"), ["src", "dst"], "left_anti")
-            .withColumn("hops", F.lit(k).cast("int"))
-            .transform(_ckpt_nostats)
+            .withColumn("hops", F.lit(k).cast("int")),
+            F.count(F.lit(1)).alias("n"),
         )
-        if nxt.isEmpty():
+        if not _m["n"]:
             break
         found = found.unionByName(nxt).transform(_ckpt_nostats)
         frontier = nxt
@@ -1710,12 +1713,11 @@ def forward_chain(
         derived = parts[0]
         for p in parts[1:]:
             derived = derived.unionByName(p)
-        delta = (
-            derived.distinct()
-            .join(full.select(*key), key, "left_anti")
-            .transform(_ckpt_nostats)
+        delta, _m = _ckpt_metrics(
+            derived.distinct().join(full.select(*key), key, "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if delta.isEmpty():
+        if not _m["n"]:
             break
         full = full.unionByName(
             delta.withColumn("derived_round", F.lit(rnd))
@@ -2098,9 +2100,9 @@ def shortest_paths(
             )
             .where(F.col("_cur").isNull() | (F.col("cost") < F.col("_cur")))
             .select("entity_id", "cost")
-            .transform(_ckpt_nostats)
         )
-        if improved.isEmpty():
+        improved, _m = _ckpt_metrics(improved, F.count(F.lit(1)).alias("n"))
+        if not _m["n"]:
             break
         best = (
             best.join(improved.select("entity_id"), "entity_id", "left_anti")
@@ -3219,8 +3221,11 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
     prev = und.count()
     for _ in range(max_rounds):
         sup = _edge_support(und)
-        kept = sup.where(F.col("support") >= k - 2).transform(_ckpt_nostats)
-        n = kept.count()
+        kept, _km = _ckpt_metrics(
+            sup.where(F.col("support") >= k - 2),
+            F.count(F.lit(1)).alias("n"),
+        )
+        n = int(_km["n"] or 0)
         if n == 0:
             return kept
         if n == prev:
@@ -4204,12 +4209,11 @@ def condensation(
         .transform(_ckpt_nostats)
     )
     comps = comp.select("component").distinct().transform(_ckpt_nostats)
-    depth = comps.withColumn("depth", F.lit(0).cast("long")).transform(
-        _ckpt_nostats
+    depth, _dm = _ckpt_metrics(
+        comps.withColumn("depth", F.lit(0).cast("long")),
+        F.sum(F.col("depth").cast("decimal(38,0)")).alias("s"),
     )
-    prev = depth.agg(
-        F.sum(F.col("depth").cast("decimal(38,0)"))
-    ).collect()[0][0]
+    prev = _dm["s"]
     for _ in range(max_iters):
         relaxed = ce.join(
             depth, ce["ca"] == depth["component"]
@@ -4217,15 +4221,13 @@ def condensation(
             F.col("cb").alias("component"),
             (F.col("depth") + F.lit(1)).cast("long").alias("depth"),
         )
-        depth = (
+        depth, _dm = _ckpt_metrics(
             depth.unionByName(relaxed)
             .groupBy("component")
-            .agg(F.max("depth").alias("depth"))
-            .transform(_ckpt_nostats)
+            .agg(F.max("depth").alias("depth")),
+            F.sum(F.col("depth").cast("decimal(38,0)")).alias("s"),
         )
-        s = depth.agg(
-            F.sum(F.col("depth").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        s = _dm["s"]
         if s == prev:
             break
         prev = s
@@ -4335,12 +4337,12 @@ def boruvka_msf(
     for _ in range(max_rounds):
         cu = comp.select(F.col("vtx").alias("u"), F.col("c").alias("cu"))
         cv = comp.select(F.col("vtx").alias("v"), F.col("c").alias("cv"))
-        cross = (
+        cross, _m = _ckpt_metrics(
             und.join(cu, "u").join(cv, "v")
-            .where(F.col("cu") != F.col("cv"))
-            .transform(_ckpt_nostats)
+            .where(F.col("cu") != F.col("cv")),
+            F.count(F.lit(1)).alias("n"),
         )
-        if cross.isEmpty():
+        if not _m["n"]:
             break
         both = cross.select(
             F.col("cu").alias("c"), F.col("cv").alias("other"),
@@ -4389,18 +4391,31 @@ def boruvka_msf(
             gp = parent.select(
                 F.col("c").alias("p"), F.col("p").alias("gp")
             )
-            nxt = parent.join(gp, "p", "left").select(
-                "c", F.coalesce("gp", "p").alias("p")
-            ).transform(_ckpt_nostats)
-            if nxt.where(F.col("p") != F.col("c")).join(
-                parent.select(
-                    F.col("c"), F.col("p").alias("p_old")
-                ),
-                "c",
-            ).where(F.col("p") != F.col("p_old")).isEmpty():
-                parent = nxt
-                break
+            # the change probe is knowable IN-ROW during the doubling
+            # step (new p differs from old p iff the grandparent hop
+            # moved it), so it rides the checkpoint as an observed
+            # metric instead of a separate join-probe job
+            nxt, _pm = _ckpt_metrics(
+                parent.join(gp, "p", "left")
+                .select(
+                    "c",
+                    F.coalesce("gp", "p").alias("p"),
+                    # exact mirror of the old probe: a row counts as
+                    # moved iff its NEW pointer is non-root (!= c) AND
+                    # differs from the old one (gp present and != p)
+                    (
+                        (F.coalesce("gp", "p") != F.col("c"))
+                        & F.col("gp").isNotNull()
+                        & (F.col("gp") != F.col("p"))
+                    ).alias("_moved"),
+                )
+                .select("c", "p", "_moved"),
+                F.sum(F.col("_moved").cast("long")).alias("moved"),
+            )
+            nxt = nxt.drop("_moved")
             parent = nxt
+            if not int(_pm["moved"] or 0):
+                break
         comp = (
             comp.join(
                 parent.select(F.col("c"), F.col("p")), "c", "left"
@@ -4507,17 +4522,14 @@ def temporal_reachability(
             .where(F.col("t") >= F.col("arrival"))
             .select(e["v"].alias("v"), F.col("t").alias("arrival"))
         )
-        arr = (
+        arr, _am = _ckpt_metrics(
             arr.unionByName(cand)
             .groupBy("v")
-            .agg(F.min("arrival").alias("arrival"))
-            .transform(_ckpt_nostats)
+            .agg(F.min("arrival").alias("arrival")),
+            F.sum(F.col("arrival").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
         )
-        s = arr.agg(
-            F.sum(F.col("arrival").cast("decimal(38,0)")),
-            F.count("*"),
-        ).collect()[0]
-        sig = (s[0], s[1])
+        sig = (_am["s"], _am["n"])
         if sig == prev:
             break
         prev = sig
@@ -4573,23 +4585,31 @@ def densest_subgraph(
     cur = und
     best = None  # (e_cnt, v_cnt, DataFrame of vertices)
     for _ in range(max_rounds):
-        deg = cur.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
-        counts = deg.agg(
-            F.count("*").cast("long"), F.sum("deg").cast("long")
-        ).collect()[0]
-        v_cnt, e2_cnt = int(counts[0] or 0), int(counts[1] or 0)
+        # the vertex/edge tallies ride the degree table's checkpoint as
+        # observed metrics (one action instead of checkpoint-free deg +
+        # a separate aggregate job + a best-snapshot checkpoint: the
+        # checkpointed deg table IS the snapshot)
+        deg, _dm = _ckpt_metrics(
+            cur.groupBy("a").agg(F.count("*").cast("long").alias("deg")),
+            F.count(F.lit(1)).alias("vc"),
+            F.sum("deg").alias("es"),
+        )
+        v_cnt, e2_cnt = int(_dm["vc"] or 0), int(_dm["es"] or 0)
         e_cnt = e2_cnt // 2
         if v_cnt == 0:
             break
         if best is None or e_cnt * best[1] > best[0] * v_cnt:
-            best = (e_cnt, v_cnt, deg.select("a").transform(_ckpt_nostats))
+            best = (e_cnt, v_cnt, deg.select("a"))
         # peel: deg <= (1 + eps) * 2E / V (average degree), exactly:
         # deg * V * 100 <= 2E * (100 + eps_pct)
-        keep = deg.where(
-            F.col("deg") * F.lit(v_cnt) * 100
-            > F.lit(2 * e_cnt * (100 + eps_pct))
-        ).select("a").transform(_ckpt_nostats)
-        if keep.isEmpty():
+        keep, _m = _ckpt_metrics(
+            deg.where(
+                F.col("deg") * F.lit(v_cnt) * 100
+                > F.lit(2 * e_cnt * (100 + eps_pct))
+            ).select("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if not _m["n"]:
             break
         cur = (
             cur.join(keep, "a", "left_semi")
@@ -4678,10 +4698,11 @@ def coreness(edges: DataFrame, max_iters: int = 200) -> DataFrame:
     from pyspark.sql import Window
 
     und = _undirected(edges).transform(_ckpt_nostats)
-    c = und.groupBy("a").agg(
-        F.count("*").cast("long").alias("c")
-    ).transform(_ckpt_nostats)
-    prev = c.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
+    c, _cm = _ckpt_metrics(
+        und.groupBy("a").agg(F.count("*").cast("long").alias("c")),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+    )
+    prev = _cm["s"]
     w = Window.partitionBy("a").orderBy(F.desc("cb"), F.asc("b"))
     for _ in range(max_iters):
         nv = und.join(
@@ -4696,9 +4717,11 @@ def coreness(edges: DataFrame, max_iters: int = 200) -> DataFrame:
             )
             .groupBy("a")
             .agg(F.max("h").alias("c"))
-            .transform(_ckpt_nostats)
         )
-        s = c.agg(F.sum(F.col("c").cast("decimal(38,0)"))).collect()[0][0]
+        c, _cm = _ckpt_metrics(
+            c, F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
+        )
+        s = _cm["s"]
         if s == prev:
             break
         prev = s

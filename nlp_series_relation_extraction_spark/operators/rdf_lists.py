@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from ..functions.partitioning import checkpoint_nostats as _ckpt_nostats
+from ..functions.partitioning import checkpoint_with_metrics as _ckpt_metrics
 
 FIRST_PREDICATE = "rdf:first"
 REST_PREDICATE = "rdf:rest"
@@ -94,10 +95,14 @@ def flatten_rdf_lists(
             .otherwise(F.lit(1)).cast("long").alias("d"),
             F.when(F.col("ptr").isNull(), F.col("cell")).alias("head"),
         )
-        .transform(_ckpt_nostats)
     )
+    # the unresolved-pointer probe rides each checkpoint as an observed
+    # metric (one action per round; same values as the old isEmpty)
+    _live_expr = F.count(F.col("ptr")).alias("live")
+    state, _sm = _ckpt_metrics(state, _live_expr)
+    live = int(_sm["live"] or 0)
     for _ in range(max_rounds):
-        if state.where(F.col("ptr").isNotNull()).isEmpty():
+        if not live:
             break
         other = state.select(
             F.col("cell").alias("o_cell"),
@@ -105,7 +110,7 @@ def flatten_rdf_lists(
             F.col("d").alias("o_d"),
             F.col("head").alias("o_head"),
         )
-        state = (
+        state, _sm = _ckpt_metrics(
             state.join(
                 other, state["ptr"] == other["o_cell"], "left"
             )
@@ -115,11 +120,12 @@ def flatten_rdf_lists(
                 (F.col("d") + F.coalesce(F.col("o_d"), F.lit(0)))
                 .alias("d"),
                 F.coalesce(F.col("head"), F.col("o_head")).alias("head"),
-            )
-            .transform(_ckpt_nostats)
+            ),
+            _live_expr,
         )
+        live = int(_sm["live"] or 0)
     else:
-        if not state.where(F.col("ptr").isNotNull()).isEmpty():
+        if live:
             raise ValueError(
                 f"flatten_rdf_lists: a chain exceeds 2^{max_rounds} "
                 "cells or contains a cycle - raise max_rounds only if "
