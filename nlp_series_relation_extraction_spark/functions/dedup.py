@@ -561,8 +561,20 @@ def ppjoin_pairs(
     Returns (a_id, b_id, inter, a_sz, b_sz) with the same integer
     threshold semantics as jaccard_pairs:
     100*inter >= pct*(a_sz + b_sz - inter)."""
-    pre = _ppjoin_prefixes(shingled, threshold_pct).transform(
-        _ckpt_nostats
+    # pin the prefix self-join's partition count (round 6): the
+    # candidate generation per shingle group is compute-dense but
+    # byte-tiny, so AQE's byte-based coalescing ran it on ~3 tasks
+    # (2.7s stages in the event log — same class as edit_distance_join).
+    # repartition(N, shingle) BEFORE the checkpoint makes the
+    # materialized table carry hash(shingle) partitioning, so the
+    # self-join needs no exchange at all and runs at N tasks; the
+    # explicit repartition(N, keys) before dropDuplicates replaces the
+    # dedup exchange the same way.
+    n_part = shingled.sparkSession.sparkContext.defaultParallelism
+    pre = (
+        _ppjoin_prefixes(shingled, threshold_pct)
+        .repartition(n_part, "shingle")
+        .transform(_ckpt_nostats)
     )
     cand = (
         pre.alias("a")
@@ -571,7 +583,8 @@ def ppjoin_pairs(
         .select(
             F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
         )
-        .distinct()
+        .repartition(n_part, "a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("sz"))
     sa = shingled.select(F.col("id").alias("a_id"), "shingle")

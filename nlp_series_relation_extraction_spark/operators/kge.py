@@ -380,14 +380,24 @@ def kge_fit_shared(
     """Scorer-independent fit preparation (see ``kge_fit``'s ``shared``
     param): relation vocabulary, checkpointed long-format pair table,
     pair count, hash-initialized entity table."""
+    from ..functions.partitioning import checkpoint_with_metrics
+
     rels = _rel_index(edges)
     r_map = {p: i for i, p in enumerate(rels)}
     if pairs is None:
         pairs = kge_pairs(edges, n_neg=n_neg)
-    long = ensure_parallelism(
-        _pairs_long(pairs, r_map)
-    ).transform(_ckpt_nostats)
-    n_pairs = long.count() // 3
+    # repartition by entity_id (not round-robin): the checkpointed
+    # table then carries hash(entity_id) partitioning, matching the
+    # embedding table's, so EVERY epoch's long x emb join needs no
+    # exchange on either side (round 6; the pack groupBy still
+    # shuffles by pair key — that one is inherent). The row count
+    # rides the checkpoint as an observed metric.
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    long, _m = checkpoint_with_metrics(
+        _pairs_long(pairs, r_map).repartition(n_part, "entity_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_pairs = int(_m["n"] or 0) // 3
     if n_pairs == 0:
         raise ValueError("kge_fit: no training pairs")
     return {
